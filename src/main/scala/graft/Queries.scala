@@ -1,0 +1,412 @@
+package graft
+
+import graft.etl.{DimDate, Taxonomy}
+import graft.functions.{CleanExprs, TextExprs, VectorExprs}
+import graft.operators.{Dedup, Sessionize, Similarity}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's query surface, exposed in the driver contract shape:
+  * every operator from SURVEY.md §2 (plus the training-data-pipeline
+  * extensions) has a named query over the driver testdata AND an equivalent
+  * DuckDB oracle SQL, kept adjacent so they cannot drift.
+  *
+  * Numeric parity rules (Spark vs DuckDB on the same parquet):
+  *  - money-ish doubles are cast to DECIMAL(18,2) BEFORE aggregation in
+  *    BOTH engines: decimal sums are exact and order-independent, so no
+  *    floating-point accumulation-order skew; final cast to DOUBLE gives
+  *    both engines the identical float64;
+  *  - dot products fold in element order in double precision on both sides;
+  *  - every computed column is aliased identically on both sides.
+  */
+object Queries {
+
+  final case class Q(name: String,
+                     fn: (SparkSession, String) => DataFrame,
+                     oracle: Option[String])
+
+  private val D = DecimalType(18, 2)
+  private def dec(c: Column): Column = c.cast(D)
+
+  import Tables._
+
+  // ---------------------------------------------------------------- A: core
+  // SURVEY §2.4 A2/A3/A5 hash aggregate with decimal sums (TPC-H Q1 shape)
+  private val q01 = Q("q01_pricing_summary",
+    (s, d) => lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"),
+        sum(dec(col("l_extendedprice"))).cast(DoubleType).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        count(lit(1)).as("n_rows")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      COUNT(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag, l_linestatus"""))
+
+  // SURVEY §2.4 A1 distinct projection
+  private val q02 = Q("q02_distinct_projection",
+    (s, d) => customer(s, d).select(col("c_nationkey"), col("c_mktsegment")).distinct(),
+    Some("SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"))
+
+  // SURVEY §2.4 A4 / §2.6 O2: group + sum + top-k (TakeOrderedAndProject)
+  private val q03 = Q("q03_topk_parts",
+    (s, d) => lineitem(s, d).groupBy(col("l_partkey"))
+      .agg(sum(dec(col("l_quantity"))).cast(DoubleType).as("qty"))
+      .orderBy(col("qty").desc, col("l_partkey"))
+      .limit(200),
+    Some("""SELECT l_partkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+      FROM lineitem GROUP BY l_partkey ORDER BY qty DESC, l_partkey LIMIT 200"""))
+
+  // SURVEY §2.3 J1: NOT EXISTS == left_anti (upsert's insert half)
+  private val q04 = Q("q04_anti_join",
+    (s, d) => customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name")),
+    Some("""SELECT c_custkey, c_name FROM customer c
+      WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""))
+
+  // EXISTS == left_semi
+  private val q05 = Q("q05_semi_join",
+    (s, d) => customer(s, d)
+      .join(orders(s, d).where(col("o_orderstatus") === "F"),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_mktsegment")),
+    Some("""SELECT c_custkey, c_mktsegment FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')"""))
+
+  // SURVEY §2.3 J3/J4: multi-way star join + agg; nation is broadcast
+  private val q06 = Q("q06_star_join_revenue",
+    (s, d) => lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items")),
+    Some("""SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY n_name"""))
+
+  // SURVEY §2.5 W1: percent-of-grand-total window
+  private val q07 = Q("q07_pct_of_total",
+    (s, d) => customer(s, d).groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"))
+      .withColumn("pct",
+        round(col("n_cust").cast(DoubleType) / sum(col("n_cust")).over(Window.partitionBy()), 6)),
+    Some("""SELECT c_mktsegment, n_cust,
+      ROUND(CAST(n_cust AS DOUBLE) / SUM(n_cust) OVER (), 6) AS pct
+      FROM (SELECT c_mktsegment, COUNT(*) AS n_cust FROM customer GROUP BY c_mktsegment)"""))
+
+  // SURVEY §2.5 W2: rank within partition, keep the leader
+  private val q08 = Q("q08_rank_leader",
+    (s, d) => {
+      val base = customer(s, d)
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("c_mktsegment")).agg(count(lit(1)).as("n_cust"))
+      val w = Window.partitionBy(col("n_name"))
+        .orderBy(col("n_cust").desc, col("c_mktsegment"))
+      base.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+        .select(col("n_name"), col("c_mktsegment"), col("n_cust"))
+    },
+    Some("""SELECT n_name, c_mktsegment, n_cust FROM (
+      SELECT n_name, c_mktsegment, n_cust,
+        ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY n_cust DESC, c_mktsegment) AS rn
+      FROM (SELECT n_name, c_mktsegment, COUNT(*) AS n_cust
+            FROM customer JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name, c_mktsegment)) WHERE rn = 1"""))
+
+  // SURVEY §2.4 A10: pivot matrix (nation × mktsegment)
+  private val segments = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+  private val q09 = Q("q09_pivot_matrix",
+    (s, d) => customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .pivot("c_mktsegment", segments)
+      .agg(count(lit(1)))
+      .na.fill(0, segments),
+    Some("SELECT n_name, " + segments.map(seg =>
+        s"""CAST(COALESCE(SUM(CASE WHEN c_mktsegment = '$seg' THEN 1 END), 0) AS BIGINT) AS "$seg"""")
+        .mkString(", ") +
+      " FROM customer JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name"))
+
+  // SURVEY §2.4 A7: rollup with grand-total row
+  private val q10 = Q("q10_rollup_total",
+    (s, d) => customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"))
+      .agg(sum(dec(col("c_acctbal"))).cast(DoubleType).as("total_acctbal"),
+        count(lit(1)).as("n_cust"))
+      .select(coalesce(col("n_name"), lit("ALL")).as("n_name"),
+        col("total_acctbal"), col("n_cust")),
+    Some("""SELECT COALESCE(n_name, 'ALL') AS n_name,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal,
+      COUNT(*) AS n_cust
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY ROLLUP (n_name)"""))
+
+  // SURVEY §2.4 A5/A6: conditional counts + exact distinct
+  private val q11 = Q("q11_conditional_counts",
+    (s, d) => orders(s, d).agg(
+      count(lit(1)).as("n_rows"),
+      count(col("o_orderpriority")).as("n_priority"),
+      countDistinct(col("o_custkey")).as("n_cust"),
+      countDistinct(col("o_orderstatus")).as("n_status")),
+    Some("""SELECT COUNT(*) AS n_rows, COUNT(o_orderpriority) AS n_priority,
+      COUNT(DISTINCT o_custkey) AS n_cust, COUNT(DISTINCT o_orderstatus) AS n_status
+      FROM orders"""))
+
+  // Temporal outputs are ISO strings on both sides: date32-vs-datetime64
+  // representation skew between engines can't then break value hashing.
+  private val q12 = Q("q12_minmax_dates",
+    (s, d) => orders(s, d).agg(
+      date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("min_date"),
+      date_format(max(col("o_orderdate")), "yyyy-MM-dd").as("max_date"),
+      count(lit(1)).as("n")),
+    Some("""SELECT strftime(MIN(o_orderdate), '%Y-%m-%d') AS min_date,
+      strftime(MAX(o_orderdate), '%Y-%m-%d') AS max_date, COUNT(*) AS n FROM orders"""))
+
+  // SURVEY §2.8 date derivations: full calendar dim from the orders range.
+  // day_of_week is Monday=1 (pandas weekday+1 == DuckDB isodow).
+  private val q13 = Q("q13_dim_date",
+    (s, d) => DimDate.fromColumnRange(orders(s, d), "o_orderdate")
+      .withColumn("date_id", date_format(col("date_id"), "yyyy-MM-dd")),
+    Some("""WITH mm AS (SELECT CAST(MIN(o_orderdate) AS DATE) AS lo,
+                               CAST(MAX(o_orderdate) AS DATE) AS hi FROM orders),
+      days AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE) AS date_id FROM mm)
+      SELECT strftime(date_id, '%Y-%m-%d') AS date_id,
+        CAST(year(date_id) AS INTEGER) AS year,
+        CAST(quarter(date_id) AS INTEGER) AS quarter,
+        CAST(month(date_id) AS INTEGER) AS month,
+        strftime(date_id, '%B') AS month_name,
+        CAST(day(date_id) AS INTEGER) AS day,
+        CAST(isodow(date_id) AS INTEGER) AS day_of_week,
+        isodow(date_id) >= 6 AS is_weekend,
+        strftime(date_id, '%a') AS day_name
+      FROM days"""))
+
+  // SURVEY §2.2 P9: deterministic 63-bit hash surrogate key
+  private val q14 = Q("q14_stable_hash_id",
+    (s, d) => customer(s, d).select(col("c_custkey"),
+      CleanExprs.stableId(col("c_name"), col("c_mktsegment"), col("c_nationkey"))
+        .as("stable_id")),
+    Some("""SELECT c_custkey,
+      CAST(CAST(('0x' || substring(md5(c_name || '|' || c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR)), 1, 16)) AS UBIGINT)
+           % 9223372036854775808 AS BIGINT) AS stable_id
+      FROM customer"""))
+
+  // SURVEY §2.2 P6/P7/P10: regex extraction, code validation, key coalesce
+  private val q15 = Q("q15_cleaning_exprs",
+    (s, d) => part(s, d).select(
+      col("p_partkey"),
+      regexp_extract(col("p_brand"), "([0-9]+)", 1).cast(IntegerType).as("brand_num"),
+      regexp_extract(col("p_type"), "^([A-Za-z]+)", 1).as("type_head"),
+      CleanExprs.stateCode(substring(col("p_name"), 1, 2)).as("code2"),
+      CleanExprs.firstNonBlank(col("p_brand"), col("p_type")).as("product_key"),
+      CleanExprs.numFromUnitStr(concat(col("p_size").cast(StringType), lit("cm")))
+        .as("size_num")),
+    Some("""SELECT p_partkey,
+      CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INTEGER) AS brand_num,
+      regexp_extract(p_type, '^([A-Za-z]+)', 1) AS type_head,
+      CASE WHEN regexp_matches(upper(trim(substring(p_name, 1, 2))), '^[A-Z]{2}$')
+           THEN upper(trim(substring(p_name, 1, 2))) END AS code2,
+      COALESCE(NULLIF(trim(p_brand), ''), NULLIF(trim(p_type), '')) AS product_key,
+      CAST(NULLIF(regexp_extract(CAST(p_size AS VARCHAR) || 'cm', '([0-9]+(?:\.[0-9]+)?)', 1), '') AS DOUBLE) AS size_num
+      FROM part"""))
+
+  // SURVEY §3.3: sequential-UPDATE taxonomy passes as when-chains
+  private val q16 = Q("q16_taxonomy",
+    (s, d) => Taxonomy.categorize(part(s, d))
+      .groupBy(col("category"), col("subcategory"))
+      .agg(count(lit(1)).as("n_parts")),
+    Some("""WITH base AS (SELECT lower(p_name) AS nm, lower(p_type) AS ty,
+              CAST(regexp_extract(p_brand, '([0-9]+)', 1) AS INTEGER) AS bn FROM part),
+      s1 AS (SELECT *, CASE WHEN bn <= 15 THEN 'Metals'
+                            WHEN bn BETWEEN 16 AND 35 THEN 'Finishes' END AS c1 FROM base),
+      s2 AS (SELECT *, COALESCE(c1, CASE
+                WHEN ty LIKE '%brass%' OR ty LIKE '%steel%' THEN 'Metals'
+                WHEN ty LIKE '%polished%' OR ty LIKE '%brushed%' THEN 'Finishes'
+                WHEN nm LIKE '%blue%' OR nm LIKE '%navy%' THEN 'Colorware' END) AS c2 FROM s1),
+      s3 AS (SELECT *, CASE WHEN ty LIKE '%anodized%' THEN 'Anodized' ELSE c2 END AS c3 FROM s2),
+      s4 AS (SELECT *, COALESCE(c3, 'Other') AS category FROM s3),
+      s5 AS (SELECT category, CASE WHEN category = 'Metals' THEN COALESCE(CASE
+                WHEN ty LIKE '%brass%' THEN 'Brass'
+                WHEN ty LIKE '%steel%' THEN 'Steel'
+                WHEN ty LIKE '%copper%' THEN 'Copper'
+                WHEN ty LIKE '%nickel%' THEN 'Nickel'
+                WHEN ty LIKE '%tin%' THEN 'Tin' END, 'Other Metals') END AS subcategory FROM s4)
+      SELECT category, subcategory, COUNT(*) AS n_parts FROM s5 GROUP BY category, subcategory"""))
+
+  // ------------------------------------------------- B: training-data ops
+  // Exact dedup: shuffle a 16-byte fingerprint, never the text
+  private val q17 = Q("q17_dedup_exact",
+    (s, d) => Dedup.exact(documents(s, d), "doc_id", "text"),
+    Some("""SELECT MIN(doc_id) AS doc_id,
+      md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents GROUP BY fp"""))
+
+  private val q18 = Q("q18_text_stats",
+    (s, d) => documents(s, d).select(
+      col("doc_id"),
+      TextExprs.tokenCount(col("text")).as("n_tokens"),
+      length(col("text")).as("n_chars_m"),
+      TextExprs.punctCount(col("text")).as("n_punct"),
+      round(length(regexp_replace(col("text"), "\\s", "")).cast(DoubleType)
+        / TextExprs.tokenCount(col("text")), 6).as("avg_tok_len")),
+    Some("""SELECT doc_id,
+      len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+      length(text) AS n_chars_m,
+      length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
+      ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
+            / len(string_split_regex(trim(text), '\s+')), 6) AS avg_tok_len
+      FROM documents"""))
+
+  // Language-ID heuristic: first-argmax of per-language stopword hits
+  private val q19 = Q("q19_lang_id", (s, d) => documents(s, d).select(
+      col("doc_id"), col("lang"),
+      TextExprs.langId(col("text")).as("pred_lang"))
+      .withColumn("is_match", col("pred_lang") === col("lang")),
+    Some {
+      val cnts = TextExprs.langStopwords.map { case (l, sw) =>
+        s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN (${sw.map(w => s"'$w'").mkString(",")}))) AS c_$l"
+      }.mkString(", ")
+      val langs = TextExprs.langStopwords.map(_._1)
+      val greatest = s"GREATEST(${langs.map("c_" + _).mkString(",")})"
+      val cases = langs.map(l => s"WHEN c_$l = $greatest THEN '$l'").mkString(" ")
+      s"""WITH c AS (SELECT doc_id, lang, $cnts FROM documents)
+        SELECT doc_id, lang,
+          CASE WHEN $greatest = 0 THEN 'unk' $cases END AS pred_lang,
+          (CASE WHEN $greatest = 0 THEN 'unk' $cases END) = lang AS is_match
+        FROM c"""
+    })
+
+  /** DuckDB CTE producing distinct (doc, 3-gram-shingle) postings —
+    * mirrors Dedup.postings(ngram=3). */
+  private val shingleCte =
+    """tok AS (SELECT DISTINCT doc_id AS doc,
+        unnest(list_transform(range(len(tk) - 2),
+          i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS tok
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)
+      WHERE len(tk) >= 3)"""
+
+  // Shingle-set Jaccard near-dup pairs. 3-gram shingles keep the candidate
+  // set near-linear (sharing a 3-gram is rare) — token-level Jaccard on a
+  // small vocabulary degenerates to all-pairs.
+  private val q20 = Q("q20_jaccard_dups",
+    (s, d) => Dedup.jaccardPairs(documents(s, d), "doc_id", "text", 0.4, ngram = 3),
+    Some(s"""WITH $shingleCte,
+      sz AS (SELECT doc, COUNT(*) AS n FROM tok GROUP BY doc),
+      inter AS (SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS inter
+                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc < b.doc
+                GROUP BY a.doc, b.doc)
+      SELECT d1, d2, ROUND(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+      FROM inter JOIN sz s1 ON d1 = s1.doc JOIN sz s2 ON d2 = s2.doc
+      WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.4"""))
+
+  // MinHash + LSH banding candidates — oracle SQL generated from the same
+  // hash constants the Spark operator uses
+  private val q21 = Q("q21_minhash_lsh",
+    (s, d) => Dedup.minhashLshCandidates(documents(s, d), "doc_id", "text",
+      bands = 4, ngram = 3),
+    Some {
+      val p = Dedup.MinhashPrime
+      val mins = Dedup.MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+        s"MIN(($a * hv + $b) % $p) AS m$i"
+      }.mkString(", ")
+      val bands = (0 until 4).map { bnd =>
+        val cols = (bnd * 4 until (bnd + 1) * 4)
+          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '_' || ")
+        s"SELECT doc, $bnd AS band, md5($cols) AS bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $shingleCte,
+        h AS (SELECT doc, CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS hv FROM tok),
+        sig AS (SELECT doc, $mins FROM h GROUP BY doc),
+        band AS ($bands)
+        SELECT DISTINCT a.doc AS d1, b.doc AS d2
+        FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc"""
+    })
+
+  // SimHash signatures — 32-bit, oracle generated from the same bit plan
+  private val q22 = Q("q22_simhash",
+    (s, d) => Dedup.simhash(documents(s, d), "doc_id", "text"),
+    Some {
+      val sums = (0 until 32).map(j =>
+        s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+      val bits = (0 until 32).map(j =>
+        s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      s"""WITH tok AS (SELECT DISTINCT doc_id AS doc, tok FROM
+          (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)),
+        h AS (SELECT doc, CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS hv FROM tok),
+        s AS (SELECT doc, $sums FROM h GROUP BY doc)
+        SELECT doc, CAST($bits AS BIGINT) AS simhash FROM s"""
+    })
+
+  // Document fingerprinting (rolling-hash analog over normalized text)
+  private val q23 = Q("q23_fingerprint",
+    (s, d) => documents(s, d).select(col("doc_id"),
+      TextExprs.fingerprint(col("text")).as("fp")),
+    Some("""SELECT doc_id,
+      md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp FROM documents"""))
+
+  // Brute-force exact ANN baseline: top-5 cosine neighbors of 10 queries
+  private val q24 = Q("q24_ann_cosine_topk",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.bruteTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10),
+      c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+      scored AS (SELECT q_id, n_id,
+          list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        FROM c, q WHERE q_id <> n_id),
+      r AS (SELECT q_id, n_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored)
+      SELECT q_id, rank, n_id, ROUND(cos, 6) AS cos FROM r WHERE rank <= 5"""))
+
+  // Tumbling-window event aggregation (batch face of the streaming op)
+  private val q25 = Q("q25_events_hourly",
+    (s, d) => events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"))).cast(DoubleType).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("total_value")),
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY date_trunc('hour', ts), event_type"""))
+
+  // Gap-based sessionization (lag + running sum over one user partitioning)
+  private val q26 = Q("q26_sessionize",
+    (s, d) => Sessionize.userSessionStats(events(s, d), "user_id", "ts", "event_id", 30),
+    Some("""WITH l AS (SELECT user_id, ts, event_id,
+        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+      s AS (SELECT user_id,
+        SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM l)
+      SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      FROM s GROUP BY user_id"""))
+
+  val registry: Seq[Q] = Seq(
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

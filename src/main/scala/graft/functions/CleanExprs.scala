@@ -1,0 +1,80 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Row-wise cleanup expressions — the reference's pandas cleanup pass
+  * re-expressed as pure `Column` functions (SURVEY.md §2.2 P5-P14).
+  *
+  * All of these are built-in Catalyst expressions (codegen'd, pushdown- and
+  * prune-friendly); none are UDFs, so they stay inside whole-stage codegen
+  * on the scan→project hot path at any scale.
+  *
+  * Reference cites (relative to /root/reference/):
+  *  - timestamp parse w/ fallback: etl/order_info_etl.py:37-46
+  *  - unit-suffix numeric extraction: etl/order_info_etl.py:48-50
+  *  - state-code validation: etl/order_info_etl.py:52-54
+  *  - stable customer hash id: etl/order_info_etl.py:56-65
+  *  - product-key coalesce: etl/order_info_etl.py:234-242
+  *  - numeric coerce w/ default: etl/order_info_etl.py:218-221
+  *  - varchar-length truncation: etl/order_info_etl.py:331-348
+  */
+object CleanExprs {
+
+  /** P5: trim whitespace incl. tabs, parse `yyyy-MM-dd HH:mm:ss`, fall back
+    * to Spark's default timestamp inference, NULL on failure (mirrors
+    * pandas `errors="coerce"`). */
+  def parseTs(c: Column): Column = {
+    val t = regexp_replace(c, "^[\\s\\t\\r\\n]+|[\\s\\t\\r\\n]+$", "")
+    coalesce(try_to_timestamp(t, lit("yyyy-MM-dd HH:mm:ss")), try_to_timestamp(t))
+  }
+
+  /** P6: `"8.9523ft³"` / `"78.2641lb"` → 8.9523d; first decimal-number match,
+    * NULL when no digits. */
+  def numFromUnitStr(c: Column): Column =
+    nullif(regexp_extract(c, "([0-9]+(?:\\.[0-9]+)?)", 1), lit("")).cast(DoubleType)
+
+  /** P7: trim+upper; keep iff `^[A-Z]{2}$`, else NULL. `sources` are tried
+    * in preference order (reference: `State` then `houseNo`). */
+  def stateCode(sources: Column*): Column = {
+    val validated = sources.map { c =>
+      val u = upper(trim(c))
+      when(u.rlike("^[A-Z]{2}$"), u)
+    }
+    coalesce(validated: _*)
+  }
+
+  /** P8: numeric coerce with default (invalid/missing → `default`). */
+  def intWithDefault(c: Column, default: Int): Column =
+    coalesce(c.cast(DoubleType).cast(IntegerType), lit(default))
+
+  /** P9: deterministic 63-bit surrogate key:
+    * `int(md5(f"{a}|{b}|…")[:16], 16) & (2^63 - 1)`.
+    * NULL inputs stringify as `"None"` exactly like the Python f-string
+    * (hash parity with the reference). Masking the top bit of the unsigned
+    * 64-bit value == `mod 2^63`, done in decimal space because Spark has no
+    * unsigned long. Pure built-ins ⇒ codegen'd.
+    */
+  def stableId(parts: Column*): Column = {
+    val key = concat_ws("|", parts.map(p => coalesce(p.cast(StringType), lit("None"))): _*)
+    hex16ToId(md5(key))
+  }
+
+  /** First 16 hex chars of a 32-char hex digest → unsigned int → mod 2^63. */
+  private[graft] def hex16ToId(hexDigest: Column): Column =
+    (conv(substring(hexDigest, 1, 16), 16, 10).cast(DecimalType(20, 0))
+      % lit(new java.math.BigDecimal("9223372036854775808"))).cast(LongType)
+
+  /** P10: first non-blank of the candidate keys, blank → NULL. */
+  def firstNonBlank(cs: Column*): Column =
+    coalesce(cs.map(c => nullif(trim(c), lit(""))): _*)
+
+  /** P11: scrub leading/trailing whitespace (incl. tabs/CR/LF). */
+  def scrub(c: Column): Column =
+    regexp_replace(c, "^[\\s\\t\\r\\n]+|[\\s\\t\\r\\n]+$", "")
+
+  /** S9: varchar(n) truncation pre-write, mirroring the DDL length map. */
+  def truncateTo(c: Column, n: Int): Column =
+    when(c.isNotNull, substring(c, 1, n))
+}

@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis expressions for the training-data-pipeline surface:
+  * tokenization, quality scoring, language-ID heuristic, fingerprints.
+  *
+  * Everything here is built-in Catalyst expressions (split / higher-order
+  * array functions / regexp) — no UDFs — so a 100 TB `documents` scan keeps
+  * whole-stage codegen and per-row cost stays in nanoseconds.
+  */
+object TextExprs {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Count of tokens contained in `vocab` (e.g. a stopword list). */
+  def vocabCount(text: Column, vocab: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isInCollection(vocab)))
+
+  /** Stopword lists used by the language-ID heuristic. Order matters:
+    * ties resolve to the earlier language. */
+  val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a", "for"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein", "zu", "nicht"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los", "es", "una"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "est", "une", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  /** N-gram-free language-ID heuristic: argmax of per-language stopword
+    * hits over lowercased tokens; 'unk' when nothing matches. Deterministic
+    * tie-break = list order above. */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val counts = langStopwords.map { case (l, sw) =>
+      l -> size(filter(toks, t => t.isInCollection(sw)))
+    }
+    // lang wins iff its count is strictly greater than every EARLIER lang's
+    // count and >= every later one, and > 0 — i.e. first argmax.
+    val best = counts.foldLeft(lit("unk") -> lit(0)) {
+      case ((bestLang, bestCnt), (l, c)) =>
+        (when(c > bestCnt, lit(l)).otherwise(bestLang),
+         when(c > bestCnt, c).otherwise(bestCnt))
+    }
+    best._1
+  }
+
+  /** Quality features: chars, tokens, mean token length, punctuation ratio.
+    * Returns named struct so callers can star-expand. */
+  def punctCount(text: Column): Column =
+    length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+
+  /** Document fingerprint: md5 of whitespace-collapsed lowercase text —
+    * the exact-dedup key that survives formatting noise. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  /** 32-bit token hash from md5 (engine-portable: any system that can md5
+    * reproduces it — used for MinHash parity with the DuckDB oracle). */
+  def tokenHash32(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast(LongType)
+
+  /** Word n-gram shingles of the token array (n >= 1): array of
+    * space-joined windows; used by MinHash/Jaccard dedup. Documents with
+    * fewer than n tokens yield NULL — callers filter them out (same as the
+    * oracle's `WHERE len(tokens) >= n`). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    if (n <= 1) toks
+    else {
+      // transform over indices 0..size-n producing concat of n tokens
+      val idx = sequence(lit(0), size(toks) - n)
+      when(size(toks) >= n,
+        transform(idx, i =>
+          concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+    }
+  }
+}

@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.functions.TextExprs
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for training-data pipelines: exact, token-Jaccard,
+  * and MinHash+LSH near-dup — all as declarative Spark plans.
+  *
+  * Scale design:
+  *  - exact dedup is a hash groupBy (partial map-side agg; one shuffle on a
+  *    16-byte digest, never on the document text itself);
+  *  - pairwise Jaccard is quadratic and only used as the *verify* step on
+  *    LSH candidates or small slices;
+  *  - MinHash+LSH is the 100 TB path: per-doc signatures (narrow), then a
+  *    shuffle on (band, bucket) whose fan-in AQE can skew-split.
+  */
+object Dedup {
+
+  /** Exact dedup on a normalization of the text: keeps min doc id per
+    * fingerprint. Returns (id, fingerprint). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(TextExprs.fingerprint(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as(idCol))
+      .select(col(idCol), col("fp"))
+
+  /** Distinct (doc, shingle) pairs — the exploded posting list. ngram=1 is
+    * plain tokens; ngram>=2 word shingles (docs shorter than n drop out).
+    * Shingling is what keeps similarity joins non-degenerate at scale: the
+    * shingle space is |vocab|^n, so sharing a posting is rare and the
+    * candidate pair set stays near-linear instead of quadratic. */
+  private def postings(docs: DataFrame, idCol: String, textCol: String,
+                       ngram: Int): DataFrame = {
+    val sh =
+      if (ngram <= 1) TextExprs.tokens(col(textCol))
+      else TextExprs.shingles(col(textCol), ngram)
+    docs.select(col(idCol).as("doc"), explode(sh).as("tok")).distinct()
+  }
+
+  /** Pairwise shingle-set Jaccard >= threshold (d1 < d2). Quadratic in docs
+    * sharing a shingle — use on LSH candidates or with ngram>=3 so sharing
+    * is rare. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   threshold: Double, ngram: Int = 3): DataFrame = {
+    val tok = postings(docs, idCol, textCol, ngram)
+    val sz = tok.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val a = tok.select(col("doc").as("d1"), col("tok"))
+    val b = tok.select(col("doc").as("d2"), col("tok"))
+    val inter = a.join(b, Seq("tok")).where(col("d1") < col("d2"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sz.select(col("doc").as("d2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash parameters: k universal hashes h_i(x) = (a_i·x + b_i) mod p
+    * over the 32-bit md5 token hash. Constants are fixed so signatures are
+    * reproducible across engines and runs. */
+  val MinhashPrime: Long = 4294967311L // smallest prime > 2^32
+  val MinhashParams: Seq[(Long, Long)] = Seq(
+    (1299721L, 7919L), (1299817L, 104729L), (1300021L, 15485863L), (1300123L, 32452843L),
+    (1300189L, 49979687L), (1300201L, 67867967L), (1300247L, 86028121L), (1300267L, 999331L),
+    (1300271L, 2750159L), (1300313L, 198491317L), (1300327L, 217645177L), (1300369L, 236887691L),
+    (1300391L, 256203161L), (1300393L, 275604541L), (1300423L, 295075147L), (1300439L, 314606891L))
+
+  /** Per-doc MinHash signature: one row per doc, columns m0..m{k-1}. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        ngram: Int = 3): DataFrame = {
+    val tok = postings(docs, idCol, textCol, ngram)
+      .withColumn("hv", TextExprs.tokenHash32(col("tok")))
+    val aggs = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("hv") + lit(b)) % MinhashPrime).as(s"m$i")
+    }
+    tok.groupBy(col("doc")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: `bands` bands of `k/bands` rows each; docs sharing any
+    * band bucket become candidate pairs (d1 < d2, distinct). */
+  def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
+                           bands: Int = 4, ngram: Int = 3): DataFrame = {
+    val k = MinhashParams.size
+    val rows = k / bands
+    val sig = minhashSignatures(docs, idCol, textCol, ngram)
+    val banded = (0 until bands).map { bnd =>
+      val cols = (bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i"))
+      sig.select(col("doc"),
+        lit(bnd).as("band"),
+        md5(concat_ws("_", cols: _*)).as("bucket"))
+    }.reduce(_.unionByName(_))
+    val l = banded.select(col("band"), col("bucket"), col("doc").as("d1"))
+    val r = banded.select(col("band"), col("bucket"), col("doc").as("d2"))
+    l.join(r, Seq("band", "bucket")).where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2")).distinct()
+  }
+
+  /** Full near-dup pipeline: LSH candidates verified by true Jaccard. */
+  def minhashDuplicates(docs: DataFrame, idCol: String, textCol: String,
+                        threshold: Double, bands: Int = 4, ngram: Int = 3): DataFrame = {
+    val cand = minhashLshCandidates(docs, idCol, textCol, bands, ngram)
+    jaccardPairs(docs, idCol, textCol, threshold, ngram)
+      .join(cand, Seq("d1", "d2"), "left_semi")
+  }
+
+  /** SimHash: 32-bit signature; near-dups = signatures within `maxBits`
+    * hamming distance. Bit j weight = +1 if bit j of token hash else -1,
+    * summed over distinct tokens; sign → bit. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String,
+              nBits: Int = 32): DataFrame = {
+    val tok = postings(docs, idCol, textCol, ngram = 1)
+      .withColumn("hv", TextExprs.tokenHash32(col("tok")))
+    val bitAggs = (0 until nBits).map { j =>
+      sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
+    }
+    val sums = tok.groupBy(col("doc")).agg(bitAggs.head, bitAggs.tail: _*)
+    val sigExpr = (0 until nBits).map { j =>
+      when(col(s"s$j") >= 0, lit(1L) * (1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+    sums.select(col("doc"), sigExpr.as("simhash"))
+  }
+}

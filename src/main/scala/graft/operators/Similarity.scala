@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.functions.VectorExprs
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `array<float>` embedding
+  * column.
+  *
+  * - `bruteTopK` is the exact baseline: broadcast the (small) query set,
+  *   one pass over the corpus, per-query top-k via window rank. Corpus is
+  *   never shuffled by vector — only the (queryId, candidates) pairs move.
+  * - `lshTopK` is the scale path: bucket both sides by random-hyperplane
+  *   sign bits and only compare within a bucket (probing all buckets within
+  *   0 flipped bits here; widen by flipping bits for higher recall).
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query row (queries ⊆ corpus by
+    * id, or any frame with the same id/vec columns). Excludes self-pairs. */
+  def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val scored = c.crossJoin(q).where(col("q_id") =!= col("n_id"))
+      .withColumn("cos", VectorExprs.cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  /** Deterministic pseudo-random hyperplanes: weight(plane j, dim i) derived
+    * from a fixed integer hash, in [-1, 1]. No RNG — reproducible. */
+  def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nPlanes).map { j =>
+      (0 until dim).map { i =>
+        val h = (j * 2654435761L + i * 40503L + 2166136261L) & 0xffffffffL
+        (h.toDouble / 0xffffffffL.toDouble) * 2.0 - 1.0
+      }
+    }
+
+  /** LSH-bucketed ANN: compare only within matching sign-bucket. Recall is
+    * tunable via nPlanes (fewer planes = bigger buckets = higher recall,
+    * more compute). */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nPlanes: Int, dim: Int): DataFrame = {
+    val ps = planes(nPlanes, dim)
+    val qb = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+      VectorExprs.simhashPlanes(col(vecCol), ps).as("bucket"))
+    val cb = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      VectorExprs.simhashPlanes(col(vecCol), ps).as("bucket"))
+    val scored = cb.join(broadcast(qb), Seq("bucket"))
+      .where(col("q_id") =!= col("n_id"))
+      .withColumn("cos", VectorExprs.cosine(col("q_vec"), col("n_vec")))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
+  }
+}

@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Upsert building blocks — the reference's T-SQL `NOT EXISTS` insert /
+  * `INNER JOIN ... UPDATE` pair re-expressed over immutable DataFrames
+  * (SURVEY.md §2.3 J1/J2; /root/reference/etl/order_info_etl.py:409-455).
+  *
+  * Scale notes: the dim side of these joins is small by construction
+  * (platforms, products, dates), so the anti/left joins broadcast; the
+  * incoming batch never shuffles on its own key.
+  */
+object Upsert {
+
+  /** J1: anti-join insert — rows of `incoming` whose `keys` are unseen in
+    * `dim`, appended. `SELECT ... WHERE NOT EXISTS (...)` == left_anti. */
+  def antiJoinInsert(dim: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val newRows = incoming
+      .select(dim.columns.map(col): _*)
+      .join(broadcast(dim.select(keys.map(col): _*)), keys, "left_anti")
+      .dropDuplicates(keys)
+    dim.unionByName(newRows)
+  }
+
+  /** J2: coalesce-update — enrich `dim` from `updates`: for each key match,
+    * fill NULL attribute values from the update side (reference backfills
+    * customer state/postal and product names via COALESCE).
+    * `preferUpdate=false` keeps existing non-NULL values (reference
+    * semantics: `COALESCE(dim.x, upd.x)` / guarded `WHERE dim.x IS NULL`).
+    */
+  def coalesceUpdate(dim: DataFrame, updates: DataFrame, keys: Seq[String],
+                     attrs: Seq[String], preferUpdate: Boolean = false): DataFrame = {
+    val upd = updates
+      .select((keys ++ attrs).map(col): _*)
+      .dropDuplicates(keys)
+      .select(keys.map(col) ++ attrs.map(a => col(a).as(s"__upd_$a")): _*)
+    val joined = dim.join(broadcast(upd), keys, "left")
+    val merged = attrs.foldLeft(joined) { (df, a) =>
+      val c = if (preferUpdate) coalesce(col(s"__upd_$a"), col(a))
+              else coalesce(col(a), col(s"__upd_$a"))
+      df.withColumn(a, c)
+    }
+    merged.select(dim.columns.map(col): _*)
+  }
+
+  /** IDENTITY-style surrogate keys for newly inserted rows: contiguous ids
+    * starting after the current max. `row_number` over an explicit business
+    * key ordering makes assignment deterministic (unlike
+    * monotonically_increasing_id), matching how the reference's tests must
+    * compare on business keys anyway (SURVEY.md §7.4).
+    *
+    * The single-partition window only ever sees the *new* rows of one
+    * batch (dim-sized, thousands), never the fact table — fine at scale.
+    */
+  def withSurrogateKeys(newRows: DataFrame, idCol: String, orderBy: Seq[Column],
+                        startAfter: Long): DataFrame =
+    newRows.withColumn(idCol,
+      row_number().over(Window.orderBy(orderBy: _*)).cast("long") + startAfter)
+}
