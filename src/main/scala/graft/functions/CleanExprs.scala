@@ -39,15 +39,18 @@ object CleanExprs {
     * in preference order (reference: `State` then `houseNo`). */
   def stateCode(sources: Column*): Column = {
     val validated = sources.map { c =>
-      val u = upper(trim(c))
+      val u = upper(scrub(c)) // pandas .str.strip() removes tabs/CR too
       when(u.rlike("^[A-Z]{2}$"), u)
     }
     coalesce(validated: _*)
   }
 
-  /** P8: numeric coerce with default (invalid/missing → `default`). */
+  /** P8: numeric coerce with default (invalid/missing → `default`).
+    * try_cast because Spark 4 runs ANSI mode by default — a plain cast
+    * would fail the job on the first malformed cell instead of defaulting,
+    * the opposite of `errors="coerce"`. */
   def intWithDefault(c: Column, default: Int): Column =
-    coalesce(c.cast(DoubleType).cast(IntegerType), lit(default))
+    coalesce(c.try_cast(DoubleType).cast(IntegerType), lit(default))
 
   /** P9: deterministic 63-bit surrogate key:
     * `int(md5(f"{a}|{b}|…")[:16], 16) & (2^63 - 1)`.
@@ -56,8 +59,16 @@ object CleanExprs {
     * 64-bit value == `mod 2^63`, done in decimal space because Spark has no
     * unsigned long. Pure built-ins ⇒ codegen'd.
     */
-  def stableId(parts: Column*): Column = {
-    val key = concat_ws("|", parts.map(p => coalesce(p.cast(StringType), lit("None"))): _*)
+  def stableId(parts: Column*): Column =
+    stableIdWithNulls(parts.map(p => p -> "None"))
+
+  /** As [[stableId]] but with a per-part null literal: pandas stringifies a
+    * missing CSV cell as "nan" (NaN) but an injected all-NULL column as
+    * "None" — reproducing both is required for hash parity with the
+    * reference on its own inputs (etl/order_info_etl.py:223-232). */
+  def stableIdWithNulls(parts: Seq[(Column, String)]): Column = {
+    val key = concat_ws("|",
+      parts.map { case (p, nul) => coalesce(p.cast(StringType), lit(nul)) }: _*)
     hex16ToId(md5(key))
   }
 

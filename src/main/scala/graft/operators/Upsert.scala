@@ -45,6 +45,28 @@ object Upsert {
     merged.select(dim.columns.map(col): _*)
   }
 
+  /** J2 variant: row-guarded overwrite — where `guard` holds on the dim row
+    * (e.g. "state IS NULL OR postal IS NULL"), overwrite ALL `attrs` from
+    * the update side (matching the reference's UPDATE ... SET both columns
+    * under one WHERE, /root/reference/etl/order_info_etl.py:442-455 — note
+    * it can overwrite a non-null column with NULL; faithful by design). */
+  def guardedOverwrite(dim: DataFrame, updates: DataFrame, keys: Seq[String],
+                       attrs: Seq[String], guard: DataFrame => Column): DataFrame = {
+    val upd = updates
+      .select((keys ++ attrs).map(col): _*)
+      .dropDuplicates(keys)
+      .select(keys.map(col) ++ attrs.map(a => col(a).as(s"__upd_$a"))
+        :+ lit(true).as("__upd_matched"): _*)
+    // materialize the guard BEFORE mutating attrs: it must observe the
+    // pre-update row (and a withColumn would invalidate its attribute refs)
+    val joined = dim.join(broadcast(upd), keys, "left")
+      .withColumn("__guard", guard(dim) && coalesce(col("__upd_matched"), lit(false)))
+    val merged = attrs.foldLeft(joined) { (df, a) =>
+      df.withColumn(a, when(col("__guard"), col(s"__upd_$a")).otherwise(col(a)))
+    }
+    merged.select(dim.columns.map(col): _*)
+  }
+
   /** IDENTITY-style surrogate keys for newly inserted rows: contiguous ids
     * starting after the current max. `row_number` over an explicit business
     * key ordering makes assignment deterministic (unlike

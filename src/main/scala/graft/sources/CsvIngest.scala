@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Permissive CSV/text ingestion edge — SURVEY.md §2.1 S1/S2 and §2.2
+  * P1-P4: everything reads as string, headers are normalized and
+  * auto-mapped, missing columns are injected as NULL so downstream selects
+  * never fail.
+  *
+  * Reference behavior (cites into /root/reference/):
+  *  - all-string, BOM-tolerant read: etl/order_info_etl.py:175-176
+  *  - header normalization: etl/order_info_etl.py:31-35
+  *  - explicit rename map: etl/order_info_etl.py:184-190
+  *  - case-insensitive auto-map: etl/product_info_etl.py:192-202
+  *  - fuzzy attribute discovery: etl/product_info_etl.py:262-277
+  *  - missing-column defaulting: etl/order_info_etl.py:223-225
+  */
+object CsvIngest {
+
+  /** P1: strip, drop BOM, spaces/hyphens → underscore. */
+  def normalizeColName(c: String): String =
+    c.trim.replace("﻿", "").replace(" ", "_").replace("-", "_")
+
+  /** S1: header CSV, every column StringType (schema-on-read with explicit
+    * coercion later — the reference's `dtype=str` contract). Multiline and
+    * quoted fields tolerated. File-extension dispatch mirrors
+    * order_info_etl.py:173-180 (Excel inputs are expected pre-converted to
+    * CSV in this build — see SURVEY.md §2.1 S2). */
+  def readAllString(spark: SparkSession, path: String): DataFrame = {
+    require(path.toLowerCase.endsWith(".csv") || path.toLowerCase.endsWith(".txt"),
+      s"unsupported input file type: $path (xls/xlsx must be pre-converted)")
+    val raw = spark.read
+      .option("header", "true")
+      .option("encoding", "UTF-8")
+      .option("multiLine", "true")
+      .option("escape", "\"")
+      .csv(path)
+    raw.toDF(raw.columns.map(normalizeColName): _*)
+  }
+
+  /** P2: explicit rename pairs, applied only when present. */
+  def renameIfPresent(df: DataFrame, renames: Map[String, String]): DataFrame =
+    renames.foldLeft(df) { case (d, (from, to)) =>
+      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    }
+
+  /** P3: case-insensitive auto-map — if `target` is absent, adopt the first
+    * column whose lowercased name matches one of `aliases`. */
+  def autoMap(df: DataFrame, target: String, aliases: Seq[String]): DataFrame =
+    if (df.columns.contains(target)) df
+    else df.columns.find(c => aliases.contains(c.toLowerCase)) match {
+      case Some(found) => df.withColumnRenamed(found, target)
+      case None => df
+    }
+
+  /** P4: fuzzy attribute discovery — first column whose lowercase name
+    * contains ALL of `needles`. */
+  def findFuzzy(df: DataFrame, needles: Seq[String]): Option[String] =
+    df.columns.find(c => needles.forall(c.toLowerCase.contains))
+
+  /** P12: inject NULL string columns for any of `required` that is absent.
+    * Returns the frame plus the set of columns that were injected — callers
+    * that need pandas-parity null stringification (see
+    * [[graft.etl.OrderEtl]]) distinguish injected-column NULLs ("None")
+    * from missing-cell NULLs ("nan"). */
+  def ensureColumns(df: DataFrame, required: Seq[String]): (DataFrame, Set[String]) = {
+    val missing = required.filterNot(df.columns.contains)
+    val out = missing.foldLeft(df)((d, c) => d.withColumn(c, lit(null).cast("string")))
+    (out, missing.toSet)
+  }
+}

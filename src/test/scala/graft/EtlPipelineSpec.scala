@@ -1,0 +1,141 @@
+package graft
+
+import graft.etl._
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** End-to-end golden test of the reference pipeline semantics
+  * (SURVEY.md §5.2 item 2): fixture CSVs → OrderEtl → ProductEtl →
+  * SalesTaxonomy → SemanticView → Dashboard, with hand-computed goldens.
+  */
+class EtlPipelineSpec extends SparkSpec {
+
+  private def writeFixture(name: String, content: String): String = {
+    val dir = Files.createTempDirectory("graft-fixtures")
+    val p = dir.resolve(name)
+    Files.writeString(p, content)
+    p.toString
+  }
+
+  // FIXTURES.md §1 shape: messy headers (BOM, Urgent_Orders), unit-suffixed
+  // numerics, tab-polluted timestamps, invalid states, blank SKUs.
+  private lazy val orderCsv = writeFixture("orders.csv",
+    "﻿openorderNo,commercePlatform,name,oneAddress,postalCode,State,houseNo,masterSku,sku,volume,actualWeight,createTime,submitTime,goodsNumber,Urgent_Orders\n"
+      .replace("openorderNo", "orderNo") +
+    """ORD-1,Amazon,John,1 Main St,07001,NJ,,CN100-A,,8.9523ft³,78.2641lb,2024-01-01 09:00:00,2024-01-01 10:00:00,2,N
+      |ORD-2,Amazon,John,1 Main St,07001,NJ,,CN1139-X,,,,2024-01-02 09:00:00,2024-01-02 10:00:00,1,N
+      |ORD-3,Wayfair,Mary,2 Oak Ave,10001,new york,12,,HZ200-B,5.2901ft3,,2024-01-06 09:00:00,2024-01-06 10:00:00	,1,N
+      |ORD-4,TEMU,,,,,,SZ300-C,,,,2024-01-05 09:00:00,garbage,1,N
+      |ORD-5,Walmart,Bob,3 Pine Rd,33101,FL,,HIFINE-1,,,,2024-01-03 09:00:00,2024-01-03 10:00:00,junk,N
+      |ORD-6,,Carl,4 Birch Ln,94101,CA,,NB400-D,,,,2024-01-04 09:00:00,2024-01-04 10:00:00,1,N
+      |ORD-7,Amazon,Mary,2 Oak Ave,10001,NY,,,,,,2024-01-05 09:00:00,2024-01-05 10:00:00,1,N
+      |ORD-8,TIKTOK,Ann,5 Elm St,07302,nj,,XYZ-1,,,,2024-01-07 09:00:00,2024-01-07 10:00:00,3,N
+      |""".stripMargin)
+
+  // FIXTURES.md §2 shape: product-master headers differ from order export
+  private lazy val productCsv = writeFixture("products.csv",
+    """mainSkuCode,Second SKU,English Name,Chinese Name,Customer Code
+      |CN100-A,CN100-A2,Modern Sofa Bed,沙发,CUST1
+      |CN1139-X,,Racing Chair Pro,椅子,CUST2
+      |HZ200-B,,Garden Gazebo 10*12 Canopy,,CUST3
+      |HIFINE-1,,Spare Tire Kit,,
+      |NB400-D,,Storage Bench with Cushion	,,
+      |XYZ-1,,LED Panel Light 2x4,,
+      |EXTRA-9,,Kids Dresser,,
+      |""".stripMargin)
+
+  private lazy val warehouse: OrderEtl.Warehouse = {
+    val wh0 = OrderEtl.run(spark, orderCsv, OrderEtl.emptyWarehouse(spark))
+    val enriched = ProductEtl.run(spark, productCsv, wh0.dimProduct)
+    wh0.copy(dimProduct = SalesTaxonomy(enriched))
+  }
+  private lazy val view = SemanticView.salesProductGeo(warehouse).cache()
+
+  test("dims: platforms exclude blank, products keyed by sku, customers hashed") {
+    val platforms = warehouse.dimPlatform.select("platform_name")
+      .collect().map(_.getString(0)).sorted
+    assert(platforms.toSeq == Seq("Amazon", "TEMU", "TIKTOK", "Walmart", "Wayfair"))
+    // 7 SKUs from orders (ORD-7's blank key dropped) + EXTRA-9 from master
+    assert(warehouse.dimProduct.count() == 8)
+    // identity triples collapse: John×2 and Mary×2 each hash to one id →
+    // John, Mary, nan-identity (ORD-4), Bob, Carl, Ann
+    assert(warehouse.dimCustomer.count() == 6)
+  }
+
+  test("fact load: null-rejecting joins keep exactly the valid orders") {
+    val fact = warehouse.factSales
+    // ORD-4 (bad submitTime), ORD-6 (blank platform), ORD-7 (no sku) excluded
+    assert(fact.count() == 5)
+    assert(fact.agg(sum("units")).first().getLong(0) == 8) // 2+1+1+1+3
+  }
+
+  test("taxonomy: categories and pass-order traps") {
+    val cats = warehouse.dimProduct
+      .select("main_sku_code", "category", "subcategory")
+      .collect().map(r => r.getString(0) -> (r.getString(1), Option(r.getString(2)))).toMap
+    assert(cats("CN100-A") == ("Furniture", Some("Sofa")))
+    // CN1139-% override beats the CN% Furniture prefix (pass 3 after pass 1)
+    assert(cats("CN1139-X")._1 == "Automotive")
+    assert(cats("HZ200-B") == ("Outdoor & Garden", Some("Gazebo / Pergola")))
+    assert(cats("HIFINE-1")._1 == "Spare Parts")
+    // 'Storage Bench…' hits pass B '%bench%' first → 'Bench' (pass C never
+    // sees it — the trap FIXTURES.md flags; actual SQL semantics win)
+    assert(cats("NB400-D") == ("Furniture", Some("Bench")))
+    assert(cats("XYZ-1")._1 == "Lighting")
+    // EXTRA-9 'Kids Dresser': no prefix, no pass-2 keyword → 'Other'
+    assert(cats("EXTRA-9") == ("Other", None))
+  }
+
+  test("dim_date spans submitTime range with Monday=1 convention") {
+    val dd = warehouse.dimDate.orderBy("date_id").collect()
+    assert(dd.length == 7) // 2024-01-01 .. 2024-01-07
+    val first = dd.head
+    assert(first.getAs[java.sql.Date]("date_id").toString == "2024-01-01")
+    assert(first.getAs[Int]("day_of_week") == 1) // Monday
+    assert(first.getAs[String]("day_name") == "Mon")
+    assert(first.getAs[String]("month_name") == "January")
+    assert(!first.getAs[Boolean]("is_weekend"))
+    val sat = dd(5)
+    assert(sat.getAs[Int]("day_of_week") == 6 && sat.getAs[Boolean]("is_weekend"))
+  }
+
+  test("dashboard: units by state with pct of total (A7+W1)") {
+    val rows = Dashboard.unitsByState(view).collect()
+      .map(r => Option(r.getString(0)) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(rows(Some("NJ")) == (6L, 75.0)) // ORD-1(2)+ORD-2(1)+ORD-8(3)
+    assert(rows(Some("FL")) == (1L, 12.5))
+    assert(rows(None)._1 == 1L) // ORD-3's invalid state
+  }
+
+  test("dashboard: platform share, pivot, dow trend, rank leader") {
+    val share = Dashboard.platformShare(view).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(share == Map("Amazon" -> 3L, "TIKTOK" -> 3L, "Wayfair" -> 1L, "Walmart" -> 1L))
+
+    val pivot = Dashboard.platformByStatePivot(view, Seq("Amazon", "TIKTOK"))
+    val nj = pivot.where(col("state_code") === "NJ").collect().head
+    assert(nj.getAs[Long]("Amazon") == 3L && nj.getAs[Long]("TIKTOK") == 3L)
+
+    val dow = Dashboard.dowTrend(view).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(dow == Map(1 -> 2L, 2 -> 1L, 3 -> 1L, 6 -> 1L, 7 -> 3L))
+
+    val leaders = Dashboard.platformRankByState(view).collect()
+      .map(r => Option(r.getString(0)) -> r.getString(1)).toMap
+    assert(leaders(Some("NJ")) == "Amazon") // 3-3 tie broken by name
+    assert(leaders(Some("FL")) == "Walmart")
+  }
+
+  test("upsert idempotence: re-running the order ETL leaves dims unchanged") {
+    val again = OrderEtl.run(spark, orderCsv,
+      warehouse.copy(factSales = OrderEtl.emptyWarehouse(spark).factSales))
+    assert(again.dimPlatform.count() == warehouse.dimPlatform.count())
+    assert(again.dimProduct.count() == warehouse.dimProduct.count())
+    assert(again.dimCustomer.count() == warehouse.dimCustomer.count())
+    assert(again.dimDate.count() == warehouse.dimDate.count())
+    // and product enrichment survives (anti-join insert never overwrites)
+    val sofa = again.dimProduct.where(col("main_sku_code") === "CN100-A")
+      .select("english_name").collect().head.getString(0)
+    assert(sofa == "Modern Sofa Bed")
+  }
+}
