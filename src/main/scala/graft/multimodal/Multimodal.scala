@@ -1,0 +1,118 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns for training-data pipelines: image/audio/video
+  * payloads as opaque `binary` columns with typed metadata, processed by
+  * partition-batched transforms.
+  *
+  * The actual codec work (JPEG decode, audio resample, video frame
+  * extraction) requires native libraries that are NOT in this build — the
+  * decode step is a clearly-marked deterministic STUB
+  * ([[StubCodec]]). Everything around it is real and tested: schema,
+  * null/short-payload handling, batch shape (fixed-size record batches per
+  * partition, the JVM analog of an Arrow-batched pandas UDF), and the
+  * feature-extraction contract.
+  *
+  * Scale design: payload bytes never shuffle — transforms are narrow
+  * mapPartitions; only extracted features (KB per row → bytes per row)
+  * flow into joins/aggregations downstream.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("mime", StringType),
+    StructField("content", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("source", StringType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("duration_ms", LongType))))))
+
+  final case class MediaMeta(source: String, width: Option[Int],
+                             height: Option[Int], duration_ms: Option[Long])
+  final case class MediaRow(media_id: Long, mime: String,
+                            content: Array[Byte], meta: MediaMeta)
+  final case class ImageFeatures(media_id: Long, width: Int, height: Int,
+                                 n_bytes: Long, brightness: Double,
+                                 histogram: Array[Double])
+  final case class FrameSample(media_id: Long, frame_idx: Int, frame_ms: Long,
+                               frame: Array[Byte])
+
+  /** STUB CODEC — deterministic fakes standing in for native decoders.
+    * Every output is a pure function of the payload bytes so tests are
+    * exact and re-runs are idempotent. Swap for a real codec (e.g. via
+    * JNI/ImageIO) without touching the pipeline plumbing. */
+  object StubCodec {
+    /** "Decode" an image: dimensions and pixels derived from byte stats. */
+    def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      val w = 1 + math.abs(java.util.Arrays.hashCode(bytes)) % 64
+      val h = 1 + (bytes.length % 64)
+      val px = bytes.take(256).map(b => b & 0xff)
+      (w, h, if (px.isEmpty) Array(0) else px)
+    }
+    /** "Resize": re-hash payload to the target dims deterministically. */
+    def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(bytes); md.update(s"${w}x$h".getBytes("UTF-8"))
+      md.digest()
+    }
+    /** "Frame-sample" a video payload every `everyMs`. */
+    def sampleFrames(bytes: Array[Byte], durationMs: Long, everyMs: Long): Seq[(Int, Long)] =
+      (0L until math.max(durationMs, 1L) by math.max(everyMs, 1L))
+        .zipWithIndex.map { case (ms, i) => (i, ms) }
+  }
+
+  /** Batched mapPartitions: the Arrow-record-batch shape without Arrow —
+    * operators see fixed-size batches, enabling per-batch amortized setup
+    * (codec init, buffer reuse) exactly like a pandas UDF would. */
+  def mapBatches[T, U](ds: Dataset[T], batchSize: Int)(f: Seq[T] => Seq[U])
+                      (implicit enc: org.apache.spark.sql.Encoder[U]): Dataset[U] =
+    ds.mapPartitions(_.grouped(batchSize).flatMap(batch => f(batch)))(enc)
+
+  /** Image feature extraction over the media frame: decode (stub) →
+    * width/height/brightness/16-bin histogram. NULL/empty payloads yield
+    * zeroed features rather than failing the batch. */
+  def imageFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[ImageFeatures] = {
+    import media.sparkSession.implicits._
+    mapBatches(media, batchSize) { batch =>
+      batch.map { m =>
+        val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
+        if (bytes.isEmpty) ImageFeatures(m.media_id, 0, 0, 0L, 0.0, Array.fill(16)(0.0))
+        else {
+          val (w, h, px) = StubCodec.decodeImage(bytes)
+          val hist = Array.fill(16)(0.0)
+          px.foreach(p => hist(p / 16) += 1.0)
+          val n = px.length.toDouble
+          ImageFeatures(m.media_id, w, h, bytes.length.toLong,
+            px.sum / math.max(n, 1.0) / 255.0, hist.map(_ / math.max(n, 1.0)))
+        }
+      }
+    }
+  }
+
+  /** Video frame sampling: one output row per sampled frame (flatMap
+    * shape), frame payload re-hashed per frame (stub). */
+  def sampleFrames(media: Dataset[MediaRow], everyMs: Long,
+                   batchSize: Int = 16): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    mapBatches(media, batchSize) { batch =>
+      batch.flatMap { m =>
+        val dur = m.meta.duration_ms.getOrElse(0L)
+        StubCodec.sampleFrames(Option(m.content).getOrElse(Array.emptyByteArray), dur, everyMs)
+          .map { case (i, ms) =>
+            FrameSample(m.media_id, i, ms, StubCodec.resize(m.content, 32, 32)) }
+      }
+    }
+  }
+
+  /** Pure-SQL metadata facet — no payload decode, stays in codegen. */
+  def payloadStats(media: DataFrame): DataFrame =
+    media.select(col("media_id"), col("mime"),
+      length(col("content")).as("n_bytes"),
+      md5(col("content")).as("content_md5"),
+      col("meta.width").as("width"), col("meta.height").as("height"))
+}

@@ -1,0 +1,70 @@
+package graft
+
+import graft.streaming.EventStreams
+import graft.operators.Sessionize
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming operators driven through a MemoryStream + memory sink, and
+  * cross-checked against their batch equivalents on the same rows. */
+class EventStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sampleEvents: Seq[EventStreams.Event] = Seq(
+    // user 1: two sessions (gap > 30 min between event 2 and 3)
+    EventStreams.Event(1, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), 1, "view", 1.0),
+    EventStreams.Event(2, java.sql.Timestamp.valueOf("2024-01-01 10:10:00"), 1, "click", 2.0),
+    EventStreams.Event(3, java.sql.Timestamp.valueOf("2024-01-01 11:00:01"), 1, "view", 3.0),
+    // user 2: one session
+    EventStreams.Event(4, java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), 2, "view", 4.0),
+    EventStreams.Event(5, java.sql.Timestamp.valueOf("2024-01-01 10:20:00"), 2, "purchase", 5.0))
+
+  test("streaming hourly agg matches batch groupBy on the same data") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    mem.addData(sampleEvents: _*)
+    val q = EventStreams.hourlyAgg(mem.toDF())
+      .writeStream.format("memory").queryName("hourly").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hourly")
+      .select(date_format($"hour", "HH").as("h"), $"event_type", $"n", $"total_value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(got == Set(
+      ("10", "view", 2L, 5.0), ("10", "click", 1L, 2.0),
+      ("10", "purchase", 1L, 5.0), ("11", "view", 1L, 3.0)))
+  }
+
+  test("stateful sessionization agrees with the batch Sessionize operator") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    mem.addData(sampleEvents: _*)
+    val q = EventStreams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val streaming = spark.table("sessions")
+      .groupBy($"user_id").agg(max($"n_sessions").as("n_sessions"), max($"n_events").as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val batch = Sessionize.userSessionStats(
+      sampleEvents.toDF(), "user_id", "ts", "event_id", 30)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streaming == batch)
+    assert(batch == Set((1L, 2L, 3L), (2L, 1L, 2L)))
+  }
+
+  test("incremental delivery across micro-batches keeps session state") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sessions2").outputMode("update").start()
+    try {
+      mem.addData(sampleEvents.take(2): _*) // user 1 session 1
+      q.processAllAvailable()
+      mem.addData(sampleEvents(2)) // 50 min later -> new session, carried state
+      q.processAllAvailable()
+    } finally q.stop()
+    val last = spark.table("sessions2").where($"user_id" === 1)
+      .agg(max($"n_sessions"), max($"n_events")).collect().head
+    assert(last.getLong(0) == 2L && last.getLong(1) == 3L)
+  }
+}
