@@ -1,0 +1,40 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scratch profiler for operator stages (dev tool). */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
+    }
+    val docs = Tables.documents(spark, sfDir)
+    time("docs count")(docs.count())
+    val toks = docs.select(col("doc_id"), explode(graft.functions.TextExprs.tokens(col("text"))).as("t"))
+    time("token explode")(toks.count())
+    val sh = docs.select(col("doc_id"), explode(graft.functions.TextExprs.shingles(col("text"), 3)).as("t"))
+    time("shingle explode")(sh.count())
+    val shHash = docs.select(col("doc_id"),
+      explode(transform(graft.functions.TextExprs.shingles(col("text"), 3),
+        t => graft.functions.TextExprs.tokenHash32Expr(t))).as("hv"))
+    time("shingle+hash explode")(shHash.count())
+    time("postings distinct")(shHash.distinct().count())
+    val post = shHash.distinct()
+    time("self-join pairs")(
+      post.select(col("doc_id").as("d1"), col("hv")).join(post.select(col("doc_id").as("d2"), col("hv")), Seq("hv"))
+        .where(col("d1") < col("d2")).groupBy("d1", "d2").count().count())
+    time("q20 full")(SparkEntry.queries("q20_jaccard_dups")(spark, sfDir).count())
+    time("q21 full")(SparkEntry.queries("q21_minhash_lsh")(spark, sfDir).count())
+    spark.stop()
+  }
+}

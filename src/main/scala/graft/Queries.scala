@@ -292,14 +292,17 @@ object Queries {
         FROM c"""
     })
 
-  /** DuckDB CTE producing distinct (doc, 3-gram-shingle) postings —
-    * mirrors Dedup.postings(ngram=3). */
+  /** DuckDB CTE producing distinct (doc, 32-bit shingle hash) postings —
+    * mirrors Dedup.postings(ngram=3): hash first, then distinct, so
+    * cross-engine-identical collisions fold identically. */
   private val shingleCte =
-    """tok AS (SELECT DISTINCT doc_id AS doc,
-        unnest(list_transform(range(len(tk) - 2),
-          i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS tok
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)
-      WHERE len(tk) >= 3)"""
+    """h AS (SELECT DISTINCT doc_id AS doc,
+        CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS hv
+      FROM (SELECT doc_id,
+              unnest(list_transform(range(len(tk) - 2),
+                i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS tok
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)
+            WHERE len(tk) >= 3))"""
 
   // Shingle-set Jaccard near-dup pairs. 3-gram shingles keep the candidate
   // set near-linear (sharing a 3-gram is rare) — token-level Jaccard on a
@@ -307,9 +310,9 @@ object Queries {
   private val q20 = Q("q20_jaccard_dups",
     (s, d) => Dedup.jaccardPairs(documents(s, d), "doc_id", "text", 0.4, ngram = 3),
     Some(s"""WITH $shingleCte,
-      sz AS (SELECT doc, COUNT(*) AS n FROM tok GROUP BY doc),
+      sz AS (SELECT doc, COUNT(*) AS n FROM h GROUP BY doc),
       inter AS (SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS inter
-                FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc < b.doc
+                FROM h a JOIN h b ON a.hv = b.hv AND a.doc < b.doc
                 GROUP BY a.doc, b.doc)
       SELECT d1, d2, ROUND(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
       FROM inter JOIN sz s1 ON d1 = s1.doc JOIN sz s2 ON d2 = s2.doc
@@ -331,7 +334,6 @@ object Queries {
         s"SELECT doc, $bnd AS band, md5($cols) AS bucket FROM sig"
       }.mkString(" UNION ALL ")
       s"""WITH $shingleCte,
-        h AS (SELECT doc, CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS hv FROM tok),
         sig AS (SELECT doc, $mins FROM h GROUP BY doc),
         band AS ($bands)
         SELECT DISTINCT a.doc AS d1, b.doc AS d2
@@ -346,9 +348,9 @@ object Queries {
         s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
       val bits = (0 until 32).map(j =>
         s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
-      s"""WITH tok AS (SELECT DISTINCT doc_id AS doc, tok FROM
+      s"""WITH h AS (SELECT DISTINCT doc_id AS doc,
+          CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS hv FROM
           (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)),
-        h AS (SELECT doc, CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS hv FROM tok),
         s AS (SELECT doc, $sums FROM h GROUP BY doc)
         SELECT doc, CAST($bits AS BIGINT) AS simhash FROM s"""
     })
@@ -400,9 +402,97 @@ object Queries {
       SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       FROM s GROUP BY user_id"""))
 
+  // SURVEY §2.4 A11: day-of-week trend (Monday=1)
+  private val q27 = Q("q27_dow_trend",
+    (s, d) => orders(s, d)
+      .groupBy((weekday(col("o_orderdate")) + 1).as("day_of_week"),
+        date_format(col("o_orderdate"), "EEE").as("day_name"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec(col("o_totalprice"))).cast(DoubleType).as("total_price"))
+      .orderBy(col("day_of_week")),
+    Some("""SELECT CAST(isodow(o_orderdate) AS INTEGER) AS day_of_week,
+      strftime(o_orderdate, '%a') AS day_name, COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+      FROM orders GROUP BY 1, 2 ORDER BY day_of_week"""))
+
+  // SURVEY §2.3 J1 as an operator query: anti-join upsert round-trip —
+  // inserting the unseen half reconstitutes the full table exactly
+  private val q28 = Q("q28_upsert_antijoin",
+    (s, d) => {
+      val full = customer(s, d)
+      val dim = full.where(col("c_custkey") <= 750)
+      graft.operators.Upsert.antiJoinInsert(dim, full, Seq("c_custkey"))
+    },
+    Some("SELECT * FROM customer"))
+
+  // SURVEY §2.3 J2 as an operator query: coalesce-update backfills masked
+  // NULLs from the update side, restoring the original attribute values
+  private val q29 = Q("q29_upsert_enrich",
+    (s, d) => {
+      val full = part(s, d).select(col("p_partkey"), col("p_name"), col("p_type"))
+      val masked = full.withColumn("p_type",
+        when(col("p_partkey") % 3 === 0, lit(null).cast(StringType))
+          .otherwise(col("p_type")))
+      graft.operators.Upsert.coalesceUpdate(masked, full,
+        keys = Seq("p_partkey"), attrs = Seq("p_type"))
+    },
+    Some("SELECT p_partkey, p_name, p_type FROM part"))
+
+  // Pushdown scan (TPC-H Q6 shape): date + predicate filters reach the
+  // parquet reader; two-column ReadSchema
+  private val q30 = Q("q30_pushdown_scan",
+    (s, d) => lineitem(s, d)
+      .where(col("l_shipdate") >= lit("1995-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1996-01-01").cast(TimestampType) &&
+        col("l_discount").between(0.02, 0.04))
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n")),
+    Some("""SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_shipdate < TIMESTAMP '1996-01-01'
+        AND l_discount BETWEEN 0.02 AND 0.04"""))
+
+  // Semi-structured column: JSON path extraction + bucket agg
+  private val q31 = Q("q31_json_extract",
+    (s, d) => events(s, d)
+      .select((get_json_object(col("props"), "$.k").cast(IntegerType) % 10).as("k_bucket"))
+      .groupBy(col("k_bucket")).agg(count(lit(1)).as("n")),
+    Some("""SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+      COUNT(*) AS n FROM events GROUP BY 1"""))
+
+  // LSH-bucketed ANN (the 100 TB path of q24): sign-bucket join, then
+  // exact cosine only within buckets. Oracle rebuilds the same
+  // deterministic hyperplanes as SQL literals.
+  private val q32 = Q("q32_ann_lsh",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      Similarity.lshTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        k = 5, nPlanes = 8, dim = 64)
+    },
+    Some {
+      val planes = Similarity.planes(8, 64)
+      def bucketExpr(v: String): String = planes.map { p =>
+        val arr = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product($v, $arr) >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+            FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        qb AS (SELECT q_id, qv, ${bucketExpr("qv")} AS bucket FROM q),
+        cb AS (SELECT n_id, cv, ${bucketExpr("cv")} AS bucket FROM c),
+        scored AS (SELECT q_id, n_id,
+            list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+          FROM cb JOIN qb USING (bucket) WHERE q_id <> n_id),
+        r AS (SELECT q_id, n_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored)
+        SELECT q_id, rank, n_id, ROUND(cos, 6) AS cos FROM r WHERE rank <= 5"""
+    })
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
-    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26)
+    q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
+    q27, q28, q29, q30, q31, q32)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

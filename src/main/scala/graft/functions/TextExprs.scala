@@ -61,7 +61,10 @@ object TextExprs {
 
   /** 32-bit token hash from md5 (engine-portable: any system that can md5
     * reproduces it — used for MinHash parity with the DuckDB oracle). */
-  def tokenHash32(tok: Column): Column =
+  def tokenHash32(tok: Column): Column = tokenHash32Expr(tok)
+
+  /** Same, usable inside higher-order-function lambdas. */
+  def tokenHash32Expr(tok: Column): Column =
     conv(substring(md5(tok), 1, 8), 16, 10).cast(LongType)
 
   /** Word n-gram shingles of the token array (n >= 1): array of

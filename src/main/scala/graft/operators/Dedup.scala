@@ -24,18 +24,22 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("fp"))
 
-  /** Distinct (doc, shingle) pairs — the exploded posting list. ngram=1 is
-    * plain tokens; ngram>=2 word shingles (docs shorter than n drop out).
-    * Shingling is what keeps similarity joins non-degenerate at scale: the
-    * shingle space is |vocab|^n, so sharing a posting is rare and the
-    * candidate pair set stays near-linear instead of quadratic. */
+  /** Distinct (doc, shingle-hash) pairs — the exploded posting list.
+    * ngram=1 is plain tokens; ngram>=2 word shingles (docs shorter than n
+    * drop out). Shingling is what keeps similarity joins non-degenerate at
+    * scale: the shingle space is |vocab|^n, so sharing a posting is rare
+    * and the candidate pair set stays near-linear instead of quadratic.
+    *
+    * Shingles are hashed to 32-bit ints BEFORE the distinct, so every
+    * downstream shuffle moves 8-byte keys instead of ~20-byte strings. The
+    * hash is md5-derived (engine-portable: the DuckDB oracle reproduces
+    * it); the few cross-engine-identical collisions this admits trade
+    * exactness of Jaccard in the 4th decimal for ~2× shuffle reduction. */
   private def postings(docs: DataFrame, idCol: String, textCol: String,
-                       ngram: Int): DataFrame = {
-    val sh =
-      if (ngram <= 1) TextExprs.tokens(col(textCol))
-      else TextExprs.shingles(col(textCol), ngram)
-    docs.select(col(idCol).as("doc"), explode(sh).as("tok")).distinct()
-  }
+                       ngram: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+        explode(graft.functions.ShingleHash32.shingleHash32(col(textCol), ngram)).as("hv"))
+      .distinct()
 
   /** Pairwise shingle-set Jaccard >= threshold (d1 < d2). Quadratic in docs
     * sharing a shingle — use on LSH candidates or with ngram>=3 so sharing
@@ -44,9 +48,9 @@ object Dedup {
                    threshold: Double, ngram: Int = 3): DataFrame = {
     val tok = postings(docs, idCol, textCol, ngram)
     val sz = tok.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val a = tok.select(col("doc").as("d1"), col("tok"))
-    val b = tok.select(col("doc").as("d2"), col("tok"))
-    val inter = a.join(b, Seq("tok")).where(col("d1") < col("d2"))
+    val a = tok.select(col("doc").as("d1"), col("hv"))
+    val b = tok.select(col("doc").as("d2"), col("hv"))
+    val inter = a.join(b, Seq("hv")).where(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
     inter
       .join(sz.select(col("doc").as("d1"), col("n").as("n1")), Seq("d1"))
@@ -71,7 +75,6 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         ngram: Int = 3): DataFrame = {
     val tok = postings(docs, idCol, textCol, ngram)
-      .withColumn("hv", TextExprs.tokenHash32(col("tok")))
     val aggs = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("hv") + lit(b)) % MinhashPrime).as(s"m$i")
     }
@@ -79,18 +82,23 @@ object Dedup {
   }
 
   /** LSH banding: `bands` bands of `k/bands` rows each; docs sharing any
-    * band bucket become candidate pairs (d1 < d2, distinct). */
+    * band bucket become candidate pairs (d1 < d2, distinct).
+    *
+    * Shape matters at scale: the signature is computed ONCE and the bands
+    * explode out of it as an array (one narrow pass) — a per-band
+    * union/self-join would recompute the scan→shingle→distinct→agg
+    * pipeline 2×bands times (observed 8× in the naive plan). */
   def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
                            bands: Int = 4, ngram: Int = 3): DataFrame = {
     val k = MinhashParams.size
     val rows = k / bands
     val sig = minhashSignatures(docs, idCol, textCol, ngram)
-    val banded = (0 until bands).map { bnd =>
+    val bandStructs = (0 until bands).map { bnd =>
       val cols = (bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i"))
-      sig.select(col("doc"),
-        lit(bnd).as("band"),
-        md5(concat_ws("_", cols: _*)).as("bucket"))
-    }.reduce(_.unionByName(_))
+      struct(lit(bnd).as("band"), md5(concat_ws("_", cols: _*)).as("bucket"))
+    }
+    val banded = sig.select(col("doc"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
     val l = banded.select(col("band"), col("bucket"), col("doc").as("d1"))
     val r = banded.select(col("band"), col("bucket"), col("doc").as("d2"))
     l.join(r, Seq("band", "bucket")).where(col("d1") < col("d2"))
@@ -111,7 +119,6 @@ object Dedup {
   def simhash(docs: DataFrame, idCol: String, textCol: String,
               nBits: Int = 32): DataFrame = {
     val tok = postings(docs, idCol, textCol, ngram = 1)
-      .withColumn("hv", TextExprs.tokenHash32(col("tok")))
     val bitAggs = (0 until nBits).map { j =>
       sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
     }
