@@ -1,0 +1,49 @@
+package graft.sources
+
+import graft.etl.OrderEtl.Warehouse
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse persistence (SURVEY.md §2.1 S4-S7): dims as plain parquet
+  * (they're KB-MB at any scale), the fact table partitioned by
+  * (year, month) of date_id.
+  *
+  * Why this layout at 100 TB: the dashboard/view queries all constrain or
+  * group on date attributes, so date partitioning turns them into
+  * partition-pruned scans; within a partition, parquet row-group stats
+  * give min/max pruning on the remaining predicates. `overwrite` on the
+  * staging path is the truncate-reload idempotence of the reference
+  * (S5); `append` on fact is the incremental load path. fact files are
+  * written pre-sorted by product_id so per-product rollups read
+  * clustered row groups.
+  */
+object WarehouseStore {
+
+  def saveFact(fact: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    fact
+      .withColumn("p_year", year(col("date_id")))
+      .withColumn("p_month", month(col("date_id")))
+      .repartition(col("p_year"), col("p_month"))
+      .sortWithinPartitions(col("product_id"))
+      .write.mode(mode)
+      .partitionBy("p_year", "p_month")
+      .parquet(s"$path/fact_sales")
+
+  def save(wh: Warehouse, path: String): Unit = {
+    wh.dimDate.write.mode(SaveMode.Overwrite).parquet(s"$path/dim_date")
+    wh.dimCustomer.write.mode(SaveMode.Overwrite).parquet(s"$path/dim_customer")
+    wh.dimProduct.write.mode(SaveMode.Overwrite).parquet(s"$path/dim_product")
+    wh.dimPlatform.write.mode(SaveMode.Overwrite).parquet(s"$path/dim_platform")
+    saveFact(wh.factSales, path)
+  }
+
+  def load(spark: SparkSession, path: String): Warehouse =
+    Warehouse(
+      dimDate = spark.read.parquet(s"$path/dim_date"),
+      dimCustomer = spark.read.parquet(s"$path/dim_customer"),
+      dimProduct = spark.read.parquet(s"$path/dim_product"),
+      dimPlatform = spark.read.parquet(s"$path/dim_platform"),
+      factSales = spark.read.parquet(s"$path/fact_sales")
+        .drop("p_year", "p_month"))
+}

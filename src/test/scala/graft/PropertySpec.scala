@@ -1,0 +1,82 @@
+package graft
+
+import graft.etl.SalesTaxonomy
+import graft.functions.{CleanExprs, ShingleHash32, StableId63, TextExprs}
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+/** Property-based checks (SURVEY.md §5.2 item 3) using ScalaCheck
+  * generators sampled into Spark jobs: hash range/stability, taxonomy
+  * totality, upsert idempotence, shingle-expression equivalence. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sample[T](g: Gen[T], n: Int): Seq[T] =
+    Iterator.continually(g.sample).flatten.take(n).toSeq
+
+  private val weirdString: Gen[String] = Gen.oneOf(
+    Gen.alphaNumStr,
+    Gen.asciiPrintableStr,
+    Gen.listOf(Gen.oneOf(' ', '\t', '\n', 'a', '好', '|', '%')).map(_.mkString),
+    Gen.const(""))
+
+  test("stableId: 0 <= id < 2^63 and deterministic, for arbitrary inputs") {
+    val rows = sample(Gen.zip(weirdString, weirdString, weirdString), 300)
+    val df = rows.toDF("n", "a", "p")
+    val ids1 = df.select(CleanExprs.stableId($"n", $"a", $"p").as("id"))
+      .as[Long].collect()
+    val ids2 = df.select(CleanExprs.stableId($"n", $"a", $"p").as("id"))
+      .as[Long].collect()
+    assert(ids1.forall(_ >= 0L))
+    assert(ids1.toSeq == ids2.toSeq)
+  }
+
+  test("taxonomy totality: category is never NULL for any (sku, name)") {
+    val skuGen = Gen.oneOf(Gen.alphaNumStr,
+      Gen.oneOf("CN1", "NBx", "HZ-9", "SZ00", "HIFINEZ", "CN1139-Q", "zz"))
+    val rows = sample(Gen.zip(skuGen, Gen.option(weirdString)), 300)
+    val dim = rows.toDF("main_sku_code", "english_name")
+      .withColumn("category", lit(null).cast("string"))
+      .withColumn("subcategory", lit(null).cast("string"))
+    val out = SalesTaxonomy(dim)
+    assert(out.where(col("category").isNull).count() == 0)
+    // and Furniture/Outdoor rows always get a subcategory
+    assert(out.where(col("category").isin("Furniture", "Outdoor & Garden")
+      && col("subcategory").isNull).count() == 0)
+  }
+
+  test("antiJoinInsert idempotence: applying twice equals applying once") {
+    val keys = sample(Gen.chooseNum(1, 40), 60)
+    val dim = keys.take(20).distinct.map(k => (k, s"v$k")).toDF("k", "v")
+    val inc = keys.map(k => (k, s"v$k")).toDF("k", "v")
+    val once = graft.operators.Upsert.antiJoinInsert(dim, inc, Seq("k"))
+    val twice = graft.operators.Upsert.antiJoinInsert(once, inc, Seq("k"))
+    assert(once.count() == twice.count())
+    assert(once.select("k").distinct().count() == once.count())
+  }
+
+  test("ShingleHash32 equals the composed formulation on fuzzed text") {
+    val texts = sample(weirdString, 200)
+    for (n <- Seq(1, 2, 3)) {
+      val df = texts.toDF("text")
+      val slow = df.select(coalesce(transform(
+          if (n == 1) TextExprs.tokens($"text") else TextExprs.shingles($"text", n),
+          t => TextExprs.tokenHash32Expr(t)), array()).as("hv"))
+        .collect().map(_.getSeq[Long](0).toSeq)
+      val fast = df.select(ShingleHash32.shingleHash32($"text", n).as("hv"))
+        .collect().map(_.getSeq[Long](0).toSeq)
+      slow.zip(fast).zip(texts).foreach { case ((s, f), t) =>
+        assert(s == f, s"n=$n text=${t.map(_.toInt.toHexString)}")
+      }
+    }
+  }
+
+  test("native StableId63 equals composed chain on fuzzed keys") {
+    val keys = sample(weirdString, 300)
+    val df = keys.toDF("k")
+    val pairs = df.select(
+      StableId63.stableId63($"k").as("native"),
+      graft.functions.CleanExprs.hex16ToId(md5($"k")).as("composed")).collect()
+    pairs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+}

@@ -1,0 +1,45 @@
+package graft
+
+import graft.etl.OrderEtl
+import graft.sources.WarehouseStore
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Warehouse persistence: partitioned layout, round-trip fidelity, and
+  * partition pruning actually reaching the scan. */
+class WarehouseStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val wh = {
+    val fact = Seq(
+      (1L, "ORD-1", java.sql.Date.valueOf("2024-01-01"), 1L, 10L, 1L, 2, BigDecimal(0), "NJ"),
+      (2L, "ORD-2", java.sql.Date.valueOf("2024-02-15"), 2L, 11L, 1L, 1, BigDecimal(0), "FL"),
+      (3L, "ORD-3", java.sql.Date.valueOf("2025-01-03"), 1L, 12L, 2L, 3, BigDecimal(0), "CA"))
+      .toDF("fact_id", "order_id", "date_id", "product_id", "customer_id",
+        "platform_id", "units", "revenue", "state_code")
+    OrderEtl.emptyWarehouse(spark).copy(factSales = fact)
+  }
+
+  test("save/load round-trip preserves fact rows; partition dirs exist") {
+    val dir = Files.createTempDirectory("graft-wh").toString
+    WarehouseStore.save(wh, dir)
+    assert(new java.io.File(s"$dir/fact_sales/p_year=2024/p_month=1").exists())
+    assert(new java.io.File(s"$dir/fact_sales/p_year=2025/p_month=1").exists())
+    val back = WarehouseStore.load(spark, dir)
+    assert(back.factSales.count() == 3)
+    assert(back.factSales.columns.sorted.toSeq == wh.factSales.columns.sorted.toSeq)
+    val units = back.factSales.orderBy("fact_id").select("units").as[Int].collect()
+    assert(units.toSeq == Seq(2, 1, 3))
+  }
+
+  test("date-range predicates prune partitions at the scan") {
+    val dir = Files.createTempDirectory("graft-wh2").toString
+    WarehouseStore.save(wh, dir)
+    val fact = spark.read.parquet(s"$dir/fact_sales")
+    val pruned = fact.where(col("p_year") === 2024 && col("p_month") === 1)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      (plan.contains("p_year") || plan.contains("dynamicpruning")), plan)
+    assert(pruned.count() == 1)
+  }
+}
