@@ -1,0 +1,25 @@
+package graft
+
+import graft.plans.GraftExtensions
+import org.apache.spark.sql.SparkSession
+
+/** Single place the engine builds its SparkSession: local[N] with
+  * N-matched shuffle partitions, UTC, AQE on, and [[GraftExtensions]]
+  * installed (native-function registration + optimizer rewrites).
+  *
+  * On a real cluster the same settings travel via spark-submit confs; the
+  * extension class is the only non-default requirement
+  * (`spark.sql.extensions=graft.plans.GraftExtensions`).
+  */
+object GraftSession {
+  def build(cpus: String): SparkSession =
+    SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft")
+      .withExtensions(new GraftExtensions)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+}
