@@ -489,10 +489,30 @@ object Queries {
         SELECT q_id, rank, n_id, ROUND(cos, 6) AS cos FROM r WHERE rank <= 5"""
     })
 
+  // Embedding-cosine near-dup pairs via 4-plane LSH buckets (dedup family
+  // member over vectors; oracle reproduces the same hyperplanes + buckets)
+  private val q33 = Q("q33_embedding_dups",
+    (s, d) => Similarity.cosineDupPairs(embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.4, nPlanes = 4, dim = 64),
+    Some {
+      val planes = Similarity.planes(4, 64)
+      def bucketExpr(v: String): String = planes.map { p =>
+        val arr = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product($v, $arr) >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        ba AS (SELECT vec_id AS d1, v AS v1, ${bucketExpr("v")} AS bucket FROM c),
+        bb AS (SELECT vec_id AS d2, v AS v2, ${bucketExpr("v")} AS bucket FROM c),
+        paired AS (SELECT d1, d2,
+            list_dot_product(v1, v2) / (sqrt(list_dot_product(v1, v1)) * sqrt(list_dot_product(v2, v2))) AS cos
+          FROM ba JOIN bb USING (bucket) WHERE d1 < d2)
+        SELECT d1, d2, ROUND(cos, 6) AS cos FROM paired WHERE cos >= 0.4"""
+    })
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32)
+    q27, q28, q29, q30, q31, q32, q33)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -41,6 +41,28 @@ object Similarity {
       }
     }
 
+  /** Embedding-cosine near-duplicate pairs (d1 < d2, cosine >= threshold).
+    * nPlanes = 0 → exact all-pairs (quadratic; small corpora / verify
+    * stage); nPlanes > 0 → LSH-bucketed candidates first (the scale path;
+    * recall = P(same bucket) = (1 - θ/π)^nPlanes for angle θ, so keep
+    * nPlanes small for mid-similarity thresholds). */
+  def cosineDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, nPlanes: Int = 0, dim: Int = 64): DataFrame = {
+    val a = corpus.select(col(idCol).as("d1"), col(vecCol).as("v1"))
+    val b = corpus.select(col(idCol).as("d2"), col(vecCol).as("v2"))
+    val paired =
+      if (nPlanes <= 0) a.crossJoin(b)
+      else {
+        val ps = planes(nPlanes, dim)
+        a.withColumn("bucket", VectorExprs.simhashPlanes(col("v1"), ps))
+          .join(b.withColumn("bucket", VectorExprs.simhashPlanes(col("v2"), ps)), Seq("bucket"))
+      }
+    paired.where(col("d1") < col("d2"))
+      .withColumn("cos", VectorExprs.cosine(col("v1"), col("v2")))
+      .where(col("cos") >= threshold)
+      .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
+  }
+
   /** LSH-bucketed ANN: compare only within matching sign-bucket. Recall is
     * tunable via nPlanes (fewer planes = bigger buckets = higher recall,
     * more compute). */
