@@ -509,10 +509,49 @@ object Queries {
         SELECT d1, d2, ROUND(cos, 6) AS cos FROM paired WHERE cos >= 0.4"""
     })
 
+  // ---------------------------------------------- C: whole-ETL oracle
+  // The complete reference ETL (clean → staging → dim upserts → fact load)
+  // over reference-shaped rows synthesized from the testdata, checked
+  // end-to-end against a DuckDB reconstruction of the same semantics.
+  private val q34 = Q("q34_reference_etl_fact",
+    (s, d) => {
+      val wh = graft.etl.ReferenceShapedData.warehouse(s, d)
+      wh.factSales
+        .join(broadcast(wh.dimPlatform), Seq("platform_id"))
+        .groupBy(col("platform_name"), col("state_code"))
+        .agg(sum(col("units")).as("units"),
+          count(lit(1)).as("n_lines"),
+          countDistinct(col("customer_id")).as("n_customers"))
+    },
+    Some(s"""WITH ${graft.etl.ReferenceShapedData.oracleCtes}
+      SELECT commercePlatform AS platform_name, state_code,
+        CAST(SUM(goodsNumber) AS BIGINT) AS units, COUNT(*) AS n_lines,
+        COUNT(DISTINCT customer_id) AS n_customers
+      FROM fact GROUP BY commercePlatform, state_code"""))
+
+  private val q35 = Q("q35_reference_etl_dims",
+    (s, d) => {
+      val wh = graft.etl.ReferenceShapedData.warehouse(s, d)
+      wh.dimPlatform.agg(count(lit(1)).as("n_platforms"))
+        .crossJoin(wh.dimProduct.agg(count(lit(1)).as("n_products")))
+        .crossJoin(wh.dimCustomer.agg(count(lit(1)).as("n_customers")))
+        .crossJoin(wh.dimDate.agg(count(lit(1)).as("n_dates"),
+          date_format(min(col("date_id")), "yyyy-MM-dd").as("min_date"),
+          date_format(max(col("date_id")), "yyyy-MM-dd").as("max_date")))
+    },
+    Some(s"""WITH ${graft.etl.ReferenceShapedData.oracleCtes}
+      SELECT
+        (SELECT COUNT(DISTINCT commercePlatform) FROM stg WHERE commercePlatform <> '') AS n_platforms,
+        (SELECT COUNT(DISTINCT product_key) FROM stg WHERE product_key IS NOT NULL) AS n_products,
+        (SELECT COUNT(DISTINCT customer_id) FROM stg) AS n_customers,
+        (SELECT date_diff('day', CAST(MIN(submitTime) AS DATE), CAST(MAX(submitTime) AS DATE)) + 1 FROM stg) AS n_dates,
+        (SELECT strftime(CAST(MIN(submitTime) AS DATE), '%Y-%m-%d') FROM stg) AS min_date,
+        (SELECT strftime(CAST(MAX(submitTime) AS DATE), '%Y-%m-%d') FROM stg) AS max_date"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32, q33)
+    q27, q28, q29, q30, q31, q32, q33, q34, q35)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

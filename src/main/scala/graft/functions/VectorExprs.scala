@@ -20,8 +20,13 @@ object VectorExprs {
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
-  /** Cosine similarity; NULL when either vector has zero norm. */
-  def cosine(a: Column, b: Column): Column =
+  /** Cosine similarity — native codegen'd single-pass implementation
+    * (see [[VectorNative]]; the composed fold here is its spec). */
+  def cosine(a: Column, b: Column): Column = VectorNative.cosineSim(a, b)
+
+  /** The composed-HOF cosine (reference implementation for equivalence
+    * tests; interpreted per element — do not use on hot paths). */
+  def cosineComposed(a: Column, b: Column): Column =
     dot(a, b) / (norm(a) * norm(b))
 
   /** Squared L2 distance (cheaper than sqrt when only ranking matters). */
@@ -35,7 +40,11 @@ object VectorExprs {
     * a fixed function of (j, i)). Used to shard ANN search so the
     * brute-force compare only runs within a bucket.
     */
-  def simhashPlanes(v: Column, planes: Seq[Seq[Double]]): Column = {
+  def simhashPlanes(v: Column, planes: Seq[Seq[Double]]): Column =
+    VectorNative.planeBits(v, planes)
+
+  /** Composed-HOF plane bits (reference implementation for tests). */
+  def simhashPlanesComposed(v: Column, planes: Seq[Seq[Double]]): Column = {
     val bits = planes.map { p =>
       val w = array(p.map(lit): _*)
       when(aggregate(zip_with(d(v), w, (x, y) => x * y), lit(0.0), (a, x) => a + x) >= 0, lit("1"))
