@@ -64,6 +64,8 @@ object ReferenceShapedData {
     val raw = syntheticOrders(spark, sfDir)
     OrderEtl.loadWarehouse(OrderEtl.emptyWarehouse(spark),
       OrderEtl.toStaging(OrderEtl.cleanOrders(raw)))
+    // NB: also measured with dims persisted — net loss (materializing full
+    // dim rows defeats the count-only column pruning q35 relies on).
   }
 
   /** DuckDB CTEs reproducing syntheticOrders + the cleaning pass — shared
