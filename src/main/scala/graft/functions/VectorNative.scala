@@ -47,6 +47,29 @@ object VectorNative {
     d / (math.sqrt(na) * math.sqrt(nb))
   }
 
+  /** argmin over squared L2 to each centroid; ties → lowest index. */
+  def evalNearestCentroid(v: ArrayData, cent: Array[Array[Double]]): Int = {
+    val n = v.numElements()
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cent.length) {
+      val w = cent(c)
+      val m = math.min(n, w.length)
+      var d = 0.0
+      var i = 0
+      while (i < m) { val t = v.getDouble(i) - w(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Nearest-centroid cell id for IVF assignment. */
+  def nearestCentroid(v: Column, centroids: Seq[Array[Double]]): Column =
+    ColumnBridge.column(NearestCentroid(
+      ColumnBridge.expr(v.cast(ArrayType(DoubleType))), centroids))
+
   def evalPlaneBits(v: ArrayData, planes: Array[Array[Double]]): UTF8String = {
     val sb = new java.lang.StringBuilder(planes.length)
     val n = v.numElements()
@@ -82,6 +105,23 @@ case class CosineSim(left: Expression, right: Expression) extends BinaryExpressi
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(left = l, right = r)
   override def prettyName: String = "cosine_sim"
+}
+
+case class NearestCentroid(child: Expression, centroids: Seq[Array[Double]])
+  extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  @transient private lazy val centArr: Array[Array[Double]] = centroids.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    VectorNative.evalNearestCentroid(v.asInstanceOf[ArrayData], centArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centArr, "double[][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorNative.evalNearestCentroid($v, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "nearest_centroid"
 }
 
 case class HyperplaneBits(child: Expression, planes: Seq[Array[Double]])

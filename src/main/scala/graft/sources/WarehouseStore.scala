@@ -38,6 +38,19 @@ object WarehouseStore {
     saveFact(wh.factSales, path)
   }
 
+  /** Bucketed catalog table: pre-shuffled on `keys` into `numBuckets` so
+    * joins/aggregations on those keys skip the exchange entirely (the
+    * "co-located join" layout for fact↔fact joins at scale, where neither
+    * side broadcasts). Requires a catalog (saveAsTable), unlike the plain
+    * parquet paths above. */
+  def saveBucketed(df: DataFrame, table: String, keys: Seq[String],
+                   numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   def load(spark: SparkSession, path: String): Warehouse =
     Warehouse(
       dimDate = spark.read.parquet(s"$path/dim_date"),
