@@ -548,10 +548,40 @@ object Queries {
         (SELECT strftime(CAST(MIN(submitTime) AS DATE), '%Y-%m-%d') FROM stg) AS min_date,
         (SELECT strftime(CAST(MAX(submitTime) AS DATE), '%Y-%m-%d') FROM stg) AS max_date"""))
 
+  // BPE-ish pre-tokenizer counts vs whitespace counts (token-budget
+  // estimation for training-data pipelines)
+  private val q36 = Q("q36_bpe_tokens",
+    (s, d) => documents(s, d).select(
+      col("doc_id"),
+      TextExprs.bpeTokenCount(col("text")).as("n_bpe"),
+      TextExprs.tokenCount(col("text")).as("n_ws")),
+    Some(s"""SELECT doc_id,
+      CAST(len(regexp_extract_all(text, '${TextExprs.bpePattern}', 0)) AS INTEGER) AS n_bpe,
+      len(string_split_regex(trim(text), '\\s+')) AS n_ws
+      FROM documents"""))
+
+  // Winnowing (MOSS) fingerprints: windowed-min over positional shingle
+  // hashes — the rolling-hash document fingerprinting operator
+  private val q37 = Q("q37_winnowing",
+    (s, d) => Dedup.winnowingFingerprints(documents(s, d), "doc_id", "text",
+      ngram = 3, window = 4),
+    Some("""WITH sh AS (SELECT doc_id AS doc,
+        list_transform(range(len(tk) - 2),
+          i -> CAST(CAST(('0x' || substring(md5(tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]), 1, 8)) AS UBIGINT) AS BIGINT)) AS arr
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents)
+      WHERE len(tk) >= 3),
+      p AS (SELECT doc, s[1] AS hv, s[2] AS pos FROM
+        (SELECT doc, unnest(list_zip(arr, range(len(arr)))) AS s FROM sh)),
+      wmin AS (SELECT doc,
+        MIN(hv) OVER (PARTITION BY doc ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+        COUNT(*) OVER (PARTITION BY doc ORDER BY pos ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS c
+      FROM p)
+      SELECT DISTINCT doc, m AS fp FROM wmin WHERE c = 4"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32, q33, q34, q35)
+    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

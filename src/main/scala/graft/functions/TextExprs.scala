@@ -22,6 +22,14 @@ object TextExprs {
   def vocabCount(text: Column, vocab: Seq[String]): Column =
     size(filter(tokens(text), t => t.isInCollection(vocab)))
 
+  /** BPE-ish pre-tokenizer count: the GPT-2-style split pattern reduced to
+    * engine-portable character classes (letters run / digits run /
+    * punctuation run, each with optional leading space / whitespace run).
+    * Same regex byte-for-byte on Java regex and RE2. */
+  val bpePattern = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
+
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpePattern))
+
   /** Stopword lists used by the language-ID heuristic. Order matters:
     * ties resolve to the earlier language. */
   val langStopwords: Seq[(String, Seq[String])] = Seq(

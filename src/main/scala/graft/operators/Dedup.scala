@@ -113,6 +113,27 @@ object Dedup {
       .join(cand, Seq("d1", "d2"), "left_semi")
   }
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * algorithm): slide a window of `window` consecutive shingle hashes and
+    * keep each window's minimum — a position-robust document fingerprint
+    * set whose size is ~2/(window+1) of the shingle count. Distinct
+    * (doc, fingerprint) pairs out; windows that spill past the document
+    * tail are excluded (count-guard = w). */
+  def winnowingFingerprints(docs: DataFrame, idCol: String, textCol: String,
+                            ngram: Int = 3, window: Int = 4): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc"),
+      posexplode(graft.functions.ShingleHash32.shingleHash32(col(textCol), ngram))
+        .as(Seq("pos", "hv")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.currentRow, window - 1)
+    sh.withColumn("m", min(col("hv")).over(w))
+      .withColumn("c", count(lit(1)).over(w))
+      .where(col("c") === window)
+      .select(col("doc"), col("m").as("fp"))
+      .distinct()
+  }
+
   /** SimHash: 32-bit signature; near-dups = signatures within `maxBits`
     * hamming distance. Bit j weight = +1 if bit j of token hash else -1,
     * summed over distinct tokens; sign → bit. */
