@@ -90,9 +90,6 @@ object IvfIndex {
       .join(broadcast(qv), Seq("q_id"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos", VectorNative.cosineSim(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
+    Similarity.topKRank(cand, k)
   }
 }

@@ -17,6 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Per-query top-k ranking of a scored candidate frame. Uses the native
+    * [[graft.plans.TopKPerKeyExec]] operator (partial heaps before the
+    * exchange — shuffle carries ≤ queries×k rows instead of every
+    * candidate) when its strategy is installed in the session; falls back
+    * to the window formulation otherwise. Identical output by
+    * construction (row_number semantics, same tiebreak). */
+  private[graft] def topKRank(scored: DataFrame, k: Int): DataFrame = {
+    val native = scored.sparkSession.sessionState.planner.strategies
+      .contains(graft.plans.TopKStrategy)
+    val ranked =
+      if (native)
+        graft.plans.TopK.perKey(scored, Seq("q_id"),
+          Seq(graft.plans.TopK.Sort("cos", desc = true), graft.plans.TopK.Sort("n_id")), k)
+      else {
+        val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
+        scored.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
+      }
+    ranked.select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
+  }
+
   /** Exact top-k cosine neighbors for each query row (queries ⊆ corpus by
     * id, or any frame with the same id/vec columns). Excludes self-pairs. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
@@ -25,10 +45,7 @@ object Similarity {
     val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
     val scored = c.crossJoin(q).where(col("q_id") =!= col("n_id"))
       .withColumn("cos", VectorExprs.cosine(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
+    topKRank(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplanes: weight(plane j, dim i) derived
@@ -76,9 +93,6 @@ object Similarity {
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos", VectorExprs.cosine(col("q_vec"), col("n_vec")))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("n_id"), round(col("cos"), 6).as("cos"))
+    topKRank(scored, k)
   }
 }

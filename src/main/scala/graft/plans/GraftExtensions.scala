@@ -16,6 +16,7 @@ import org.apache.spark.sql.types.IntegerType
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => NativeHashRewrite)
+    ext.injectPlannerStrategy(_ => TopKStrategy)
     ext.injectFunction(
       (org.apache.spark.sql.catalyst.FunctionIdentifier("stable_id63"),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
