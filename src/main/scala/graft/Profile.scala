@@ -35,6 +35,18 @@ object Profile {
         .where(col("d1") < col("d2")).groupBy("d1", "d2").count().count())
     time("q20 full")(SparkEntry.queries("q20_jaccard_dups")(spark, sfDir).count())
     time("q21 full")(SparkEntry.queries("q21_minhash_lsh")(spark, sfDir).count())
+    // ETL pipeline breakdown
+    val synth = graft.etl.ReferenceShapedData.syntheticOrders(spark, sfDir)
+    time("etl synth join")(synth.count())
+    val stg = graft.etl.OrderEtl.toStaging(graft.etl.OrderEtl.cleanOrders(synth))
+    time("etl staging")(stg.count())
+    val wh = graft.etl.OrderEtl.loadWarehouse(graft.etl.OrderEtl.emptyWarehouse(spark), stg)
+    time("etl dimPlatform")(wh.dimPlatform.count())
+    time("etl dimProduct")(wh.dimProduct.count())
+    time("etl dimCustomer")(wh.dimCustomer.count())
+    time("etl dimDate")(wh.dimDate.count())
+    time("etl fact")(wh.factSales.count())
+    time("q34 full")(SparkEntry.queries("q34_reference_etl_fact")(spark, sfDir).count())
     spark.stop()
   }
 }

@@ -24,9 +24,10 @@ object CleanExprs {
 
   /** P5: trim whitespace incl. tabs, parse `yyyy-MM-dd HH:mm:ss`, fall back
     * to Spark's default timestamp inference, NULL on failure (mirrors
-    * pandas `errors="coerce"`). */
+    * pandas `errors="coerce"`). Character-set trim, not regexp_replace —
+    * regex trims cost ~µs/row, a real tax on a 100 TB keying pass. */
   def parseTs(c: Column): Column = {
-    val t = regexp_replace(c, "^[\\s\\t\\r\\n]+|[\\s\\t\\r\\n]+$", "")
+    val t = trim(c, " \t\r\n")
     coalesce(try_to_timestamp(t, lit("yyyy-MM-dd HH:mm:ss")), try_to_timestamp(t))
   }
 
@@ -81,9 +82,10 @@ object CleanExprs {
   def firstNonBlank(cs: Column*): Column =
     coalesce(cs.map(c => nullif(trim(c), lit(""))): _*)
 
-  /** P11: scrub leading/trailing whitespace (incl. tabs/CR/LF). */
+  /** P11: scrub leading/trailing whitespace (incl. tabs/CR/LF) — pandas
+    * str.strip() semantics via character-set trim (no regex). */
   def scrub(c: Column): Column =
-    regexp_replace(c, "^[\\s\\t\\r\\n]+|[\\s\\t\\r\\n]+$", "")
+    trim(c, " \t\r\n")
 
   /** S9: varchar(n) truncation pre-write, mirroring the DDL length map. */
   def truncateTo(c: Column, n: Int): Column =
