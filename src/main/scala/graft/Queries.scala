@@ -257,21 +257,40 @@ object Queries {
       md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
       FROM documents GROUP BY fp"""))
 
+  // Quality scoring: length/punct/stopword signals + a composite score in
+  // [0,1] (the filter column a training-data pipeline thresholds on)
   private val q18 = Q("q18_text_stats",
-    (s, d) => documents(s, d).select(
-      col("doc_id"),
-      TextExprs.tokenCount(col("text")).as("n_tokens"),
-      length(col("text")).as("n_chars_m"),
-      TextExprs.punctCount(col("text")).as("n_punct"),
-      round(length(regexp_replace(col("text"), "\\s", "")).cast(DoubleType)
-        / TextExprs.tokenCount(col("text")), 6).as("avg_tok_len")),
-    Some("""SELECT doc_id,
-      len(string_split_regex(trim(text), '\s+')) AS n_tokens,
+    (s, d) => {
+      val nTok = TextExprs.tokenCount(col("text"))
+      val stopRatio = round(
+        TextExprs.vocabCount(lower(col("text")), TextExprs.langStopwords.head._2)
+          .cast(DoubleType) / nTok, 6)
+      val punctRatio = TextExprs.punctCount(col("text")).cast(DoubleType) / length(col("text"))
+      val lenScore = least(nTok.cast(DoubleType) / 50, lit(1.0))
+      documents(s, d).select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        length(col("text")).as("n_chars_m"),
+        TextExprs.punctCount(col("text")).as("n_punct"),
+        round(length(regexp_replace(col("text"), "\\s", "")).cast(DoubleType)
+          / nTok, 6).as("avg_tok_len"),
+        stopRatio.as("stop_ratio"),
+        round(lenScore * (lit(1.0) - punctRatio), 6).as("quality"))
+    },
+    Some {
+      val sw = TextExprs.langStopwords.head._2.map(w => s"'$w'").mkString(",")
+      s"""SELECT doc_id,
+      len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
       length(text) AS n_chars_m,
-      length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS n_punct,
-      ROUND(CAST(length(regexp_replace(text, '\s', '', 'g')) AS DOUBLE)
-            / len(string_split_regex(trim(text), '\s+')), 6) AS avg_tok_len
-      FROM documents"""))
+      length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+      ROUND(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+            / len(string_split_regex(trim(text), '\\s+')), 6) AS avg_tok_len,
+      ROUND(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN ($sw))) AS DOUBLE)
+            / len(string_split_regex(trim(text), '\\s+')), 6) AS stop_ratio,
+      ROUND(LEAST(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) / 50, 1.0)
+            * (1.0 - CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) / length(text)), 6) AS quality
+      FROM documents"""
+    })
 
   // Language-ID heuristic: first-argmax of per-language stopword hits
   private val q19 = Q("q19_lang_id", (s, d) => documents(s, d).select(

@@ -52,6 +52,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(batch == Set((1L, 2L, 3L), (2L, 1L, 2L)))
   }
 
+  test("file-source stream over the real events table matches batch agg") {
+    // stream the driver's events parquet (nanos timestamps) end-to-end:
+    // readStream -> micro conversion -> windowed agg -> memory sink
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val q = EventStreams.hourlyAgg(stream)
+      .writeStream.format("memory").queryName("file_hourly").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("file_hourly")
+      .agg(sum($"n")).collect().head.getLong(0)
+    val batchTotal = Tables.events(spark, "/root/testdata/sf0.001").count()
+    assert(streamed == batchTotal)
+  }
+
   test("incremental delivery across micro-batches keeps session state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]
