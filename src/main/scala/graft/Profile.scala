@@ -47,6 +47,12 @@ object Profile {
     time("etl dimDate")(wh.dimDate.count())
     time("etl fact")(wh.factSales.count())
     time("q34 full")(SparkEntry.queries("q34_reference_etl_fact")(spark, sfDir).count())
+    // cleaning cost attribution on the synthetic frame
+    import graft.functions.CleanExprs
+    val synth2 = graft.etl.ReferenceShapedData.syntheticOrders(spark, sfDir)
+    time("parse ts only")(synth2.select(CleanExprs.parseTs(col("submitTime")).as("t")).where(col("t").isNotNull).count())
+    time("hash only")(synth2.select(CleanExprs.stableId(col("name"), col("oneAddress"), col("postalCode")).as("h")).where(col("h") > 0).count())
+    time("state only")(synth2.select(CleanExprs.stateCode(col("State")).as("s")).where(col("s").isNotNull).count())
     spark.stop()
   }
 }

@@ -597,10 +597,32 @@ object Queries {
       FROM p)
       SELECT DISTINCT doc, m AS fp FROM wmin WHERE c = 4"""))
 
+  // Full cube: every (nation × segment) subtotal combination — the BI
+  // totals-row pattern generalized (grouping() disambiguates real NULLs)
+  private val q38 = Q("q38_cube_totals",
+    (s, d) => customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .cube(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(dec(col("c_acctbal"))).cast(DoubleType).as("total_acctbal"),
+        grouping(col("n_name")).as("g1"),
+        grouping(col("c_mktsegment")).as("g2"))
+      .select(
+        when(col("g1") === 1, lit("ALL")).otherwise(col("n_name")).as("n_name"),
+        when(col("g2") === 1, lit("ALL")).otherwise(col("c_mktsegment")).as("segment"),
+        col("n_cust"), col("total_acctbal")),
+    Some("""SELECT
+      CASE WHEN GROUPING(n_name) = 1 THEN 'ALL' ELSE n_name END AS n_name,
+      CASE WHEN GROUPING(c_mktsegment) = 1 THEN 'ALL' ELSE c_mktsegment END AS segment,
+      COUNT(*) AS n_cust,
+      CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY CUBE (n_name, c_mktsegment)"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37)
+    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
