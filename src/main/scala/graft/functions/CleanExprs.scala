@@ -28,7 +28,8 @@ object CleanExprs {
     * regex trims cost ~µs/row, a real tax on a 100 TB keying pass. */
   def parseTs(c: Column): Column = {
     val t = trim(c, " \t\r\n")
-    coalesce(try_to_timestamp(t, lit("yyyy-MM-dd HH:mm:ss")), try_to_timestamp(t))
+    coalesce(StrictTs.strictTs(t),
+      try_to_timestamp(t, lit("yyyy-MM-dd HH:mm:ss")), try_to_timestamp(t))
   }
 
   /** P6: `"8.9523ft³"` / `"78.2641lb"` → 8.9523d; first decimal-number match,
