@@ -113,9 +113,9 @@ object OrderEtl {
     // the full staging once. ~6 small columns ⇒ MB-scale cache even for
     // very large batches; at cluster scale this would be the staging
     // table's column-pruned parquet scan instead.
-    val dimKeys = stg.select(col("commercePlatform"), col("product_key"),
-        col("customer_id"), col("state_code"), col("postalCode"),
-        col(FactDateSource))
+    val dimKeys = stg.select(col("orderNo"), col("commercePlatform"),
+        col("product_key"), col("customer_id"), col("state_code"),
+        col("postalCode"), col("goodsNumber"), col(FactDateSource))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // 4) dim_platform upsert (etl/order_info_etl.py:410-417)
@@ -169,7 +169,9 @@ object OrderEtl {
 
     // 8) fact load: broadcast joins + the reference's null-rejecting
     // filters (LEFT JOIN + IS NOT NULL ⇒ written as inner, SURVEY §7.4)
-    val fact = stg
+    // fact consumes the same 8 columns — the cached frame covers it, so
+    // the full staging pipeline is computed exactly once per batch
+    val fact = dimKeys
       .where(col(FactDateSource).isNotNull &&
         col("commercePlatform").isNotNull && col("product_key").isNotNull)
       .join(broadcast(dimPlatform), col("platform_name") === col("commercePlatform"))

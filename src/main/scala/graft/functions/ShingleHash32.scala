@@ -31,10 +31,10 @@ case class ShingleHash32(child: Expression, n: Int) extends UnaryExpression {
       s"shingle_hash32 expects STRING, got ${child.dataType.sql}")
 
   override def nullSafeEval(v: Any): Any =
-    ShingleHash32.eval(v.asInstanceOf[UTF8String], n)
+    ShingleHash32.hashShingles(v.asInstanceOf[UTF8String], n)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHash32.eval($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHash32.hashShingles($c, $n)")
 
   override protected def withNewChildInternal(c: Expression): ShingleHash32 = copy(c)
   override def prettyName: String = "shingle_hash32"
@@ -43,7 +43,7 @@ case class ShingleHash32(child: Expression, n: Int) extends UnaryExpression {
 object ShingleHash32 {
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
-  def eval(text: UTF8String, n: Int): GenericArrayData = {
+  def hashShingles(text: UTF8String, n: Int): GenericArrayData = {
     // Spark's trim() strips 0x20 only — match it, not Java's String.trim
     var s = text.toString
     var lo = 0

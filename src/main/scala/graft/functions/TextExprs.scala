@@ -63,8 +63,11 @@ object TextExprs {
     length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
 
   /** Document fingerprint: md5 of whitespace-collapsed lowercase text —
-    * the exact-dedup key that survives formatting noise. */
-  def fingerprint(text: Column): Column =
+    * the exact-dedup key that survives formatting noise. Native one-pass
+    * implementation; [[fingerprintComposed]] is its spec. */
+  def fingerprint(text: Column): Column = FingerprintMd5.fingerprintMd5(text)
+
+  def fingerprintComposed(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
   /** 32-bit token hash from md5 (engine-portable: any system that can md5

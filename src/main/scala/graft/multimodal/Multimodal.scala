@@ -94,6 +94,21 @@ object Multimodal {
     }
   }
 
+  /** Image resize: payload→payload transform keeping (id, mime, meta)
+    * and rewriting content + dims — the decode→resize→encode round trip
+    * behind the stub codec. */
+  def resizeImages(media: Dataset[MediaRow], w: Int, h: Int,
+                   batchSize: Int = 64): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    mapBatches(media, batchSize) { batch =>
+      batch.map { m =>
+        val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
+        m.copy(content = StubCodec.resize(bytes, w, h),
+          meta = m.meta.copy(width = Some(w), height = Some(h)))
+      }
+    }
+  }
+
   /** Video frame sampling: one output row per sampled frame (flatMap
     * shape), frame payload re-hashed per frame (stub). */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long,
