@@ -619,10 +619,26 @@ object Queries {
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       GROUP BY CUBE (n_name, c_mktsegment)"""))
 
+  // Exact percentiles (interpolated) per event_type — Spark's percentile
+  // and DuckDB's quantile_cont share the linear-interpolation definition
+  private val q39 = Q("q39_percentiles",
+    (s, d) => events(s, d).groupBy(col("event_type")).agg(
+      round(expr("percentile(value, 0.5)"), 6).as("p50"),
+      round(expr("percentile(value, 0.95)"), 6).as("p95"),
+      round(expr("percentile(value, 0.99)"), 6).as("p99"),
+      round(min(col("value")), 6).as("vmin"),
+      round(max(col("value")), 6).as("vmax")),
+    Some("""SELECT event_type,
+      ROUND(quantile_cont(value, 0.5), 6) AS p50,
+      ROUND(quantile_cont(value, 0.95), 6) AS p95,
+      ROUND(quantile_cont(value, 0.99), 6) AS p99,
+      ROUND(MIN(value), 6) AS vmin, ROUND(MAX(value), 6) AS vmax
+      FROM events GROUP BY event_type"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38)
+    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
