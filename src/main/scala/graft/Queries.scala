@@ -635,10 +635,28 @@ object Queries {
       ROUND(MIN(value), 6) AS vmin, ROUND(MAX(value), 6) AS vmax
       FROM events GROUP BY event_type"""))
 
+  // Running total with an explicit window frame (decimal prefix sums stay
+  // exact, so the cumulative column is order-independent-identical)
+  private val q40 = Q("q40_running_total",
+    (s, d) => {
+      val monthly = orders(s, d)
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(sum(dec(col("o_totalprice"))).as("m"))
+      val w = Window.orderBy(col("month"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly.select(col("month"),
+        col("m").cast(DoubleType).as("monthly"),
+        sum(col("m")).over(w).cast(DoubleType).as("cumulative"))
+    },
+    Some("""SELECT month, CAST(m AS DOUBLE) AS monthly,
+      CAST(SUM(m) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cumulative
+      FROM (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m FROM orders GROUP BY 1)"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39)
+    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
