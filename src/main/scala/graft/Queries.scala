@@ -653,10 +653,21 @@ object Queries {
       FROM (SELECT strftime(o_orderdate, '%Y-%m') AS month,
             SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS m FROM orders GROUP BY 1)"""))
 
+  // Quality-aware dedup: keep the longest copy per fingerprint
+  private val q41 = Q("q41_dedup_keep_best",
+    (s, d) => Dedup.exactKeepBest(documents(s, d), "doc_id", "text", "n_chars"),
+    Some("""SELECT doc_id, fp, n_chars FROM (
+      SELECT doc_id, n_chars,
+        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+        ROW_NUMBER() OVER (
+          PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+          ORDER BY n_chars DESC, doc_id) AS rn
+      FROM documents) WHERE rn = 1"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40)
+    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

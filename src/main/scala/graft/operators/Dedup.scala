@@ -24,6 +24,20 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("fp"))
 
+  /** Quality-aware exact dedup: per fingerprint keep the best row by
+    * `qualityCol` (desc), id as deterministic tiebreak — the "keep the
+    * longest/cleanest copy" policy real pipelines use instead of min-id. */
+  def exactKeepBest(docs: DataFrame, idCol: String, textCol: String,
+                    qualityCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("fp"))
+      .orderBy(col(qualityCol).desc, col(idCol))
+    docs.withColumn("fp", TextExprs.fingerprint(col(textCol)))
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+      .select(col(idCol), col("fp"), col(qualityCol))
+  }
+
   /** Distinct (doc, shingle-hash) pairs — the exploded posting list.
     * ngram=1 is plain tokens; ngram>=2 word shingles (docs shorter than n
     * drop out). Shingling is what keeps similarity joins non-degenerate at
