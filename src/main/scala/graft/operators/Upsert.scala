@@ -67,6 +67,21 @@ object Upsert {
     merged.select(dim.columns.map(col): _*)
   }
 
+  /** Idempotent fact append: only batch rows whose business grain is
+    * unseen in the existing fact are added — fixes the reference's
+    * fact-duplication on re-run (its staging truncate-reload makes dim
+    * upserts idempotent but the fact INSERT..SELECT is not).
+    *
+    * Both sides are fact-sized, so this is a shuffled (sort-merge) anti
+    * join on the grain — NOT broadcast. At warehouse scale, restrict
+    * `existing` to the partitions the batch can touch (date range) before
+    * calling, and the anti join prunes to the affected partitions. */
+  def idempotentFactAppend(existing: DataFrame, batch: DataFrame,
+                           grain: Seq[String]): DataFrame =
+    existing.unionByName(
+      batch.join(existing.select(grain.map(col): _*).dropDuplicates(grain),
+        grain, "left_anti"))
+
   /** IDENTITY-style surrogate keys for newly inserted rows: contiguous ids
     * starting after the current max. `row_number` over an explicit business
     * key ordering makes assignment deterministic (unlike
