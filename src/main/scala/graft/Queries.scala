@@ -664,10 +664,35 @@ object Queries {
           ORDER BY n_chars DESC, doc_id) AS rn
       FROM documents) WHERE rn = 1"""))
 
+  // SimHash near-dups: pigeonhole byte-bands → exact hamming verify
+  private val q42 = Q("q42_simhash_dups",
+    (s, d) => Dedup.simhashNearDups(documents(s, d), "doc_id", "text", maxBits = 3),
+    Some {
+      // reuse q22's signature CTE, then band/bucket/pair in SQL
+      val sums = (0 until 32).map(j =>
+        s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
+      val bits = (0 until 32).map(j =>
+        s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
+      val bandRows = (0 to 3).map(b =>
+        s"SELECT doc, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS bucket FROM sig")
+        .mkString(" UNION ALL ")
+      s"""WITH h AS (SELECT DISTINCT doc_id AS doc,
+          CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS hv FROM
+          (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)),
+        sums AS (SELECT doc, $sums FROM h GROUP BY doc),
+        sig AS (SELECT doc, CAST($bits AS BIGINT) AS simhash FROM sums),
+        band AS ($bandRows)
+        SELECT DISTINCT a.doc AS d1, b.doc AS d2,
+          CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
+    })
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
-    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40, q41)
+    q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
+    q41, q42)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -127,6 +127,32 @@ object Dedup {
       .join(cand, Seq("d1", "d2"), "left_semi")
   }
 
+  /** SimHash near-dup pairs: signatures within `maxBits` hamming distance.
+    * Candidate generation by pigeonhole banding — split the 32-bit
+    * signature into `maxBits + 1` byte-bands; any pair with hamming ≤
+    * maxBits must agree exactly on at least one band, so only
+    * band-bucket-mates are compared. Exact hamming verify via
+    * bit_count(xor). */
+  def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
+                      maxBits: Int = 3): DataFrame = {
+    val sig = simhash(docs, idCol, textCol)
+    val bands = (0 to maxBits).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * 8).bitwiseAND(0xff).as("bucket"))
+    }
+    val banded = sig.select(col("doc"), col("simhash"),
+      explode(array(bands: _*)).as("bb"))
+      .select(col("doc"), col("simhash"),
+        col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("doc").as("d1"), col("simhash").as("s1"))
+    val r = banded.select(col("band"), col("bucket"), col("doc").as("d2"), col("simhash").as("s2"))
+    l.join(r, Seq("band", "bucket")).where(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+      .where(col("hamming") <= maxBits)
+      .distinct()
+  }
+
   /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
     * algorithm): slide a window of `window` consecutive shingle hashes and
     * keep each window's minimum — a position-robust document fingerprint
