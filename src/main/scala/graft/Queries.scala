@@ -363,9 +363,9 @@ object Queries {
   private val q22 = Q("q22_simhash",
     (s, d) => Dedup.simhash(documents(s, d), "doc_id", "text"),
     Some {
-      val sums = (0 until 32).map(j =>
+      val sums = (0 until 48).map(j =>
         s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
-      val bits = (0 until 32).map(j =>
+      val bits = (0 until 48).map(j =>
         s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
       s"""WITH h AS (SELECT DISTINCT doc_id AS doc,
           CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS hv FROM
@@ -668,13 +668,13 @@ object Queries {
   private val q42 = Q("q42_simhash_dups",
     (s, d) => Dedup.simhashNearDups(documents(s, d), "doc_id", "text", maxBits = 3),
     Some {
-      // reuse q22's signature CTE, then band/bucket/pair in SQL
-      val sums = (0 until 32).map(j =>
+      // reuse q22's signature CTE (48-bit), then 12-bit band/bucket/pair
+      val sums = (0 until 48).map(j =>
         s"SUM(CASE WHEN (hv >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j").mkString(", ")
-      val bits = (0 until 32).map(j =>
+      val bits = (0 until 48).map(j =>
         s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
       val bandRows = (0 to 3).map(b =>
-        s"SELECT doc, simhash, $b AS band, (simhash >> ${b * 8}) & 255 AS bucket FROM sig")
+        s"SELECT doc, simhash, $b AS band, (simhash >> ${b * 12}) & 4095 AS bucket FROM sig")
         .mkString(" UNION ALL ")
       s"""WITH h AS (SELECT DISTINCT doc_id AS doc,
           CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS hv FROM

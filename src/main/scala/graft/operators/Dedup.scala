@@ -128,17 +128,17 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs: signatures within `maxBits` hamming distance.
-    * Candidate generation by pigeonhole banding — split the 32-bit
-    * signature into `maxBits + 1` byte-bands; any pair with hamming ≤
-    * maxBits must agree exactly on at least one band, so only
-    * band-bucket-mates are compared. Exact hamming verify via
-    * bit_count(xor). */
+    * Candidate generation by pigeonhole banding — split the 48-bit
+    * signature into `maxBits + 1` 12-bit bands (4096 buckets per band —
+    * byte-bands were measured too coarse on clumpy corpora); any pair
+    * with hamming ≤ maxBits must agree exactly on at least one band.
+    * Exact hamming verify via bit_count(xor). */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxBits: Int = 3): DataFrame = {
     val sig = simhash(docs, idCol, textCol)
     val bands = (0 to maxBits).map { b =>
       struct(lit(b).as("band"),
-        shiftright(col("simhash"), b * 8).bitwiseAND(0xff).as("bucket"))
+        shiftright(col("simhash"), b * 12).bitwiseAND(0xfff).as("bucket"))
     }
     val banded = sig.select(col("doc"), col("simhash"),
       explode(array(bands: _*)).as("bb"))
@@ -174,11 +174,11 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash: 32-bit signature; near-dups = signatures within `maxBits`
+  /** SimHash: nBits-bit signature (default 48); near-dups = signatures within `maxBits`
     * hamming distance. Bit j weight = +1 if bit j of token hash else -1,
     * summed over distinct tokens; sign → bit. */
   def simhash(docs: DataFrame, idCol: String, textCol: String,
-              nBits: Int = 32): DataFrame = {
+              nBits: Int = 48): DataFrame = {
     val tok = postings(docs, idCol, textCol, ngram = 1)
     val bitAggs = (0 until nBits).map { j =>
       sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
