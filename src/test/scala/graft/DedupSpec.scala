@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Dedup operator family invariants on real documents. */
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+
+  test("exact dedup: output ids unique, fingerprints unique, count <= input") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+    val n = out.count()
+    assert(n <= docs.count())
+    assert(out.select("fp").distinct().count() == n)
+    assert(out.select("doc_id").distinct().count() == n)
+  }
+
+  test("exactKeepBest picks the longest copy per fingerprint") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "hello  world", 11L), // same normalized text, shorter raw
+      (2L, "hello world", 12L),  // longer n_chars wins
+      (3L, "unique text", 5L))
+      .toDF("doc_id", "text", "n_chars")
+    val kept = Dedup.exactKeepBest(d, "doc_id", "text", "n_chars")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 3L))
+  }
+
+  test("minhashDuplicates is the Jaccard-verified subset of LSH candidates") {
+    val cand = Dedup.minhashLshCandidates(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jacc = Dedup.jaccardPairs(docs, "doc_id", "text", 0.4)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val dups = Dedup.minhashDuplicates(docs, "doc_id", "text", 0.4)
+      .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.subsetOf(cand) && dups.subsetOf(jacc))
+    assert(dups == (cand intersect jacc))
+  }
+
+  test("simhash near-dups: symmetric-free (d1<d2), hamming bound respected") {
+    val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxBits = 3).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getInt(2) <= 3))
+  }
+}
