@@ -280,9 +280,9 @@ object Queries {
     Some {
       val sw = TextExprs.langStopwords.head._2.map(w => s"'$w'").mkString(",")
       s"""SELECT doc_id,
-      len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
-      length(text) AS n_chars_m,
-      length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS n_punct,
+      CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_tokens,
+      CAST(length(text) AS INTEGER) AS n_chars_m,
+      CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS INTEGER) AS n_punct,
       ROUND(CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
             / len(string_split_regex(trim(text), '\\s+')), 6) AS avg_tok_len,
       ROUND(CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN ($sw))) AS DOUBLE)
@@ -395,7 +395,7 @@ object Queries {
         FROM c, q WHERE q_id <> n_id),
       r AS (SELECT q_id, n_id, cos,
           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored)
-      SELECT q_id, rank, n_id, ROUND(cos, 6) AS cos FROM r WHERE rank <= 5"""))
+      SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, ROUND(cos, 6) AS cos FROM r WHERE rank <= 5"""))
 
   // Tumbling-window event aggregation (batch face of the streaming op)
   private val q25 = Q("q25_events_hourly",
@@ -505,7 +505,7 @@ object Queries {
           FROM cb JOIN qb USING (bucket) WHERE q_id <> n_id),
         r AS (SELECT q_id, n_id, cos,
             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored)
-        SELECT q_id, rank, n_id, ROUND(cos, 6) AS cos FROM r WHERE rank <= 5"""
+        SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, ROUND(cos, 6) AS cos FROM r WHERE rank <= 5"""
     })
 
   // Embedding-cosine near-dup pairs via 4-plane LSH buckets (dedup family
@@ -576,7 +576,7 @@ object Queries {
       TextExprs.tokenCount(col("text")).as("n_ws")),
     Some(s"""SELECT doc_id,
       CAST(len(regexp_extract_all(text, '${TextExprs.bpePattern}', 0)) AS INTEGER) AS n_bpe,
-      len(string_split_regex(trim(text), '\\s+')) AS n_ws
+      CAST(len(string_split_regex(trim(text), '\\s+')) AS INTEGER) AS n_ws
       FROM documents"""))
 
   // Winnowing (MOSS) fingerprints: windowed-min over positional shingle
