@@ -688,11 +688,38 @@ object Queries {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
     })
 
+  // Dashboard layer over the ETL warehouse: semantic view → executive
+  // overview (A7+W1) — the reporting path oracle-checked end to end
+  private val q43 = Q("q43_dashboard_units_by_state",
+    (s, d) => {
+      val wh = graft.etl.ReferenceShapedData.warehouse(s, d)
+      graft.etl.Dashboard.unitsByState(graft.etl.SemanticView.salesProductGeo(wh))
+    },
+    Some(s"""WITH ${graft.etl.ReferenceShapedData.oracleCtes}
+      SELECT state_code, CAST(SUM(goodsNumber) AS BIGINT) AS units,
+        ROUND(CAST(SUM(goodsNumber) AS DOUBLE) / SUM(SUM(goodsNumber)) OVER () * 100, 2) AS pct_of_total
+      FROM fact GROUP BY state_code"""))
+
+  // W2 over the ETL warehouse: leading platform per state
+  private val q44 = Q("q44_dashboard_platform_rank",
+    (s, d) => {
+      val wh = graft.etl.ReferenceShapedData.warehouse(s, d)
+      graft.etl.Dashboard.platformRankByState(graft.etl.SemanticView.salesProductGeo(wh))
+    },
+    Some(s"""WITH ${graft.etl.ReferenceShapedData.oracleCtes},
+      agg AS (SELECT state_code, commercePlatform AS platform,
+                CAST(SUM(goodsNumber) AS BIGINT) AS units
+              FROM fact GROUP BY state_code, commercePlatform),
+      r AS (SELECT state_code, platform, units,
+              ROW_NUMBER() OVER (PARTITION BY state_code ORDER BY units DESC, platform) AS rn
+            FROM agg)
+      SELECT state_code, platform, units FROM r WHERE rn = 1"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42)
+    q41, q42, q43, q44)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
