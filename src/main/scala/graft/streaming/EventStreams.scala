@@ -36,6 +36,15 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Exactly-once-style ingest dedup: drop event_id re-deliveries within
+    * the watermark horizon (state = one id per event inside the horizon,
+    * GC'd as the watermark advances — bounded at any scale; an at-least-
+    * once upstream becomes effectively-once downstream). */
+  def dedupedEvents(events: DataFrame, watermarkHorizon: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermarkHorizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
   final case class SessionState(sessionCount: Long, eventsInSession: Long,
