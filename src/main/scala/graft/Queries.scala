@@ -100,12 +100,18 @@ object Queries {
       JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name"""))
 
-  // SURVEY §2.5 W1: percent-of-grand-total window
+  // SURVEY §2.5 W1: percent of grand total. The denominator is a
+  // broadcast scalar (single-row agg + BNLJ), not `SUM() OVER ()` — the
+  // empty-partition window serializes all groups through one task, which
+  // stops scaling when the grouping key is high-cardinality.
   private val q07 = Q("q07_pct_of_total",
-    (s, d) => customer(s, d).groupBy(col("c_mktsegment"))
-      .agg(count(lit(1)).as("n_cust"))
-      .withColumn("pct",
-        round(col("n_cust").cast(DoubleType) / sum(col("n_cust")).over(Window.partitionBy()), 6)),
+    (s, d) => {
+      val agg = customer(s, d).groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_cust"))
+      agg.crossJoin(broadcast(agg.agg(sum(col("n_cust")).as("__tot"))))
+        .withColumn("pct", round(col("n_cust").cast(DoubleType) / col("__tot"), 6))
+        .drop("__tot")
+    },
     Some("""SELECT c_mktsegment, n_cust,
       ROUND(CAST(n_cust AS DOUBLE) / SUM(n_cust) OVER (), 6) AS pct
       FROM (SELECT c_mktsegment, COUNT(*) AS n_cust FROM customer GROUP BY c_mktsegment)"""))
@@ -359,7 +365,10 @@ object Queries {
         FROM band a JOIN band b ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc"""
     })
 
-  // SimHash signatures — 32-bit, oracle generated from the same bit plan
+  // SimHash signatures — true 48-bit token hash (12 md5 hex chars) so every
+  // pigeonhole band in q42 carries entropy; oracle generated from the same
+  // bit plan. Spark side is the native one-pass SimHash48 expression (zero
+  // exchanges for the signature pass).
   private val q22 = Q("q22_simhash",
     (s, d) => Dedup.simhash(documents(s, d), "doc_id", "text"),
     Some {
@@ -368,7 +377,7 @@ object Queries {
       val bits = (0 until 48).map(j =>
         s"(CASE WHEN s$j >= 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")
       s"""WITH h AS (SELECT DISTINCT doc_id AS doc,
-          CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS hv FROM
+          CAST(CAST(('0x' || substring(md5(tok), 1, 12)) AS UBIGINT) AS BIGINT) AS hv FROM
           (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)),
         s AS (SELECT doc, $sums FROM h GROUP BY doc)
         SELECT doc, CAST($bits AS BIGINT) AS simhash FROM s"""
@@ -387,11 +396,12 @@ object Queries {
       val emb = embeddings(s, d)
       Similarity.bruteTopK(emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", 5)
     },
-    Some("""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+    Some("""WITH q0 AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
               FROM embeddings WHERE vec_id < 10),
-      c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-      scored AS (SELECT q_id, n_id,
-          list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+      q AS (SELECT q_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS qv FROM q0),
+      c0 AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT n_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv FROM c0),
+      scored AS (SELECT q_id, n_id, list_dot_product(qv, cv) AS cos
         FROM c, q WHERE q_id <> n_id),
       r AS (SELECT q_id, n_id, cos,
           ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored)
@@ -495,13 +505,14 @@ object Queries {
         val arr = p.mkString("[", ",", "]")
         s"(CASE WHEN list_dot_product($v, $arr) >= 0 THEN '1' ELSE '0' END)"
       }.mkString(" || ")
-      s"""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+      s"""WITH q0 AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
             FROM embeddings WHERE vec_id < 10),
-        c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
-        qb AS (SELECT q_id, qv, ${bucketExpr("qv")} AS bucket FROM q),
-        cb AS (SELECT n_id, cv, ${bucketExpr("cv")} AS bucket FROM c),
-        scored AS (SELECT q_id, n_id,
-            list_dot_product(qv, cv) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+        c0 AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        qb AS (SELECT q_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS qv,
+               ${bucketExpr("v")} AS bucket FROM q0),
+        cb AS (SELECT n_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv,
+               ${bucketExpr("v")} AS bucket FROM c0),
+        scored AS (SELECT q_id, n_id, list_dot_product(qv, cv) AS cos
           FROM cb JOIN qb USING (bucket) WHERE q_id <> n_id),
         r AS (SELECT q_id, n_id, cos,
             ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored)
@@ -520,10 +531,11 @@ object Queries {
         s"(CASE WHEN list_dot_product($v, $arr) >= 0 THEN '1' ELSE '0' END)"
       }.mkString(" || ")
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        ba AS (SELECT vec_id AS d1, v AS v1, ${bucketExpr("v")} AS bucket FROM c),
-        bb AS (SELECT vec_id AS d2, v AS v2, ${bucketExpr("v")} AS bucket FROM c),
-        paired AS (SELECT d1, d2,
-            list_dot_product(v1, v2) / (sqrt(list_dot_product(v1, v1)) * sqrt(list_dot_product(v2, v2))) AS cos
+        n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
+              ${bucketExpr("v")} AS bucket FROM c),
+        ba AS (SELECT vec_id AS d1, nv AS v1, bucket FROM n),
+        bb AS (SELECT vec_id AS d2, nv AS v2, bucket FROM n),
+        paired AS (SELECT d1, d2, list_dot_product(v1, v2) AS cos
           FROM ba JOIN bb USING (bucket) WHERE d1 < d2)
         SELECT d1, d2, ROUND(cos, 6) AS cos FROM paired WHERE cos >= 0.4"""
     })
@@ -677,7 +689,7 @@ object Queries {
         s"SELECT doc, simhash, $b AS band, (simhash >> ${b * 12}) & 4095 AS bucket FROM sig")
         .mkString(" UNION ALL ")
       s"""WITH h AS (SELECT DISTINCT doc_id AS doc,
-          CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS hv FROM
+          CAST(CAST(('0x' || substring(md5(tok), 1, 12)) AS UBIGINT) AS BIGINT) AS hv FROM
           (SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents)),
         sums AS (SELECT doc, $sums FROM h GROUP BY doc),
         sig AS (SELECT doc, CAST($bits AS BIGINT) AS simhash FROM sums),

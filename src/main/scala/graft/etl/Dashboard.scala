@@ -14,20 +14,30 @@ import org.apache.spark.sql.functions._
   */
 object Dashboard {
 
+  /** Percent-of-grand-total denominator as a broadcast scalar instead of an
+    * empty-partition window: `SUM() OVER ()` funnels every group row
+    * through ONE task, which is fine at 25 groups but a serialization
+    * point when the grouping key is high-cardinality (per-product, per-
+    * customer shares). The single-row aggregate + broadcast nested-loop
+    * join keeps the share computation fully parallel at any cardinality. */
+  private def withShareOfTotal(agg: DataFrame, valueCol: String,
+                               outCol: String): DataFrame = {
+    val tot = agg.agg(sum(col(valueCol)).as("__total"))
+    agg.crossJoin(broadcast(tot))
+      .withColumn(outCol, round(col(valueCol) / col("__total") * 100, 2))
+      .drop("__total")
+  }
+
   /** A7+W1: units by state with % of grand total (executive overview). */
   def unitsByState(view: DataFrame): DataFrame = {
     val agg = view.groupBy(col("state_code")).agg(sum(col("units")).as("units"))
-    agg.withColumn("pct_of_total",
-      round(col("units") / sum(col("units")).over(Window.partitionBy()) * 100, 2))
-      .orderBy(col("units").desc)
+    withShareOfTotal(agg, "units", "pct_of_total").orderBy(col("units").desc)
   }
 
   /** A9+W1: units and share by platform. */
   def platformShare(view: DataFrame): DataFrame = {
     val agg = view.groupBy(col("platform")).agg(sum(col("units")).as("units"))
-    agg.withColumn("platform_pct",
-      round(col("units") / sum(col("units")).over(Window.partitionBy()) * 100, 2))
-      .orderBy(col("units").desc)
+    withShareOfTotal(agg, "units", "platform_pct").orderBy(col("units").desc)
   }
 
   /** A10: pivot matrix state × platform (named platforms as columns). */

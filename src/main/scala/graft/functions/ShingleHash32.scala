@@ -21,8 +21,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * first 8 md5 hex chars as an unsigned 32-bit value widened to long.
   * Fewer than n tokens → empty array (docs drop out on explode).
   */
-case class ShingleHash32(child: Expression, n: Int) extends UnaryExpression {
+case class ShingleHash32(child: Expression, n: Int, nBytes: Int = 4) extends UnaryExpression {
   require(n >= 1, "shingle size must be >= 1")
+  require(nBytes >= 1 && nBytes <= 7, "hash width must be 1-7 bytes (fits a signed long)")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def checkInputDataTypes() =
     if (child.dataType == StringType || child.dataType == org.apache.spark.sql.types.NullType)
@@ -31,10 +32,10 @@ case class ShingleHash32(child: Expression, n: Int) extends UnaryExpression {
       s"shingle_hash32 expects STRING, got ${child.dataType.sql}")
 
   override def nullSafeEval(v: Any): Any =
-    ShingleHash32.hashShingles(v.asInstanceOf[UTF8String], n)
+    ShingleHash32.hashShingles(v.asInstanceOf[UTF8String], n, nBytes)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHash32.hashShingles($c, $n)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.ShingleHash32.hashShingles($c, $n, $nBytes)")
 
   override protected def withNewChildInternal(c: Expression): ShingleHash32 = copy(c)
   override def prettyName: String = "shingle_hash32"
@@ -43,7 +44,13 @@ case class ShingleHash32(child: Expression, n: Int) extends UnaryExpression {
 object ShingleHash32 {
   private val ws = java.util.regex.Pattern.compile("\\s+")
 
-  def hashShingles(text: UTF8String, n: Int): GenericArrayData = {
+  def hashShingles(text: UTF8String, n: Int): GenericArrayData =
+    hashShingles(text, n, 4)
+
+  /** nBytes = leading md5 bytes kept (== 2×nBytes hex chars), unsigned,
+    * widened to long: 4 → the 32-bit contract above; 6 → a 48-bit hash for
+    * simhash signatures, where every pigeonhole band must carry entropy. */
+  def hashShingles(text: UTF8String, n: Int, nBytes: Int): GenericArrayData = {
     // Spark's trim() strips 0x20 only — match it, not Java's String.trim
     var s = text.toString
     var lo = 0
@@ -67,9 +74,11 @@ object ShingleHash32 {
       }
       md.reset()
       val d = md.digest(sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // first 8 hex chars == first 4 digest bytes, unsigned
-      out(i) = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      // first 2×nBytes hex chars == first nBytes digest bytes, unsigned
+      var h = 0L
+      var k = 0
+      while (k < nBytes) { h = (h << 8) | (d(k) & 0xffL); k += 1 }
+      out(i) = h
       i += 1
     }
     new GenericArrayData(out)
@@ -77,4 +86,10 @@ object ShingleHash32 {
 
   def shingleHash32(c: Column, n: Int): Column =
     ColumnBridge.column(ShingleHash32(ColumnBridge.expr(c), n))
+
+  def shingleHash32(c: Column, n: Int, nBytes: Int): Column =
+    ColumnBridge.column(ShingleHash32(ColumnBridge.expr(c), n, nBytes))
+
+  def shingleHash48(c: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHash32(ColumnBridge.expr(c), n, nBytes = 6))
 }

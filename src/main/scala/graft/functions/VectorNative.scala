@@ -25,10 +25,48 @@ object VectorNative {
       ColumnBridge.expr(a.cast(ArrayType(DoubleType))),
       ColumnBridge.expr(b.cast(ArrayType(DoubleType)))))
 
+  /** Ordered-fold dot product (the post-normalization cosine kernel). */
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expr(a.cast(ArrayType(DoubleType))),
+      ColumnBridge.expr(b.cast(ArrayType(DoubleType)))))
+
+  /** x / ||x||₂ per element. Pre-normalizing each vector ONCE turns every
+    * pairwise cosine in a similarity join into a bare dot product — 3×
+    * fewer multiply-adds per candidate pair, paid O(n) instead of
+    * O(candidate pairs). Zero-norm vectors propagate NaN (mirrors the
+    * unnormalized cosine's 0/0). */
+  def l2Normalize(v: Column): Column =
+    ColumnBridge.column(L2Normalize(
+      ColumnBridge.expr(v.cast(ArrayType(DoubleType)))))
+
   /** Hyperplane sign-bit bucket: '0'/'1' per plane, concatenated. */
   def planeBits(v: Column, planes: Seq[Seq[Double]]): Column =
     ColumnBridge.column(HyperplaneBits(
       ColumnBridge.expr(v.cast(ArrayType(DoubleType))), planes.map(_.toArray)))
+
+  def evalDot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var d = 0.0
+    var i = 0
+    while (i < n) {
+      d += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
+    d
+  }
+
+  def evalNormalize(v: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = v.numElements()
+    var sq = 0.0
+    var i = 0
+    while (i < n) { val x = v.getDouble(i); sq += x * x; i += 1 }
+    val nrm = math.sqrt(sq)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = v.getDouble(i) / nrm; i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   def evalCosine(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
@@ -85,6 +123,44 @@ object VectorNative {
     }
     UTF8String.fromString(sb.toString)
   }
+}
+
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def checkInputDataTypes() =
+    if (Seq(left, right).forall(e => e.dataType.isInstanceOf[ArrayType] ||
+      e.dataType == NullType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects arrays, got ${left.dataType.sql}, ${right.dataType.sql}")
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorNative.evalDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorNative.evalDot($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+  override def prettyName: String = "dot_product"
+}
+
+case class L2Normalize(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType.isInstanceOf[ArrayType] || child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"l2_normalize expects an array, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any =
+    VectorNative.evalNormalize(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorNative.evalNormalize($v)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "l2_normalize"
 }
 
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {

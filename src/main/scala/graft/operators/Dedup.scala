@@ -50,9 +50,9 @@ object Dedup {
     * it); the few cross-engine-identical collisions this admits trade
     * exactness of Jaccard in the 4th decimal for ~2× shuffle reduction. */
   private def postings(docs: DataFrame, idCol: String, textCol: String,
-                       ngram: Int): DataFrame =
+                       ngram: Int, hashBytes: Int = 4): DataFrame =
     docs.select(col(idCol).as("doc"),
-        explode(graft.functions.ShingleHash32.shingleHash32(col(textCol), ngram)).as("hv"))
+        explode(graft.functions.ShingleHash32.shingleHash32(col(textCol), ngram, hashBytes)).as("hv"))
       .distinct()
 
   /** Pairwise shingle-set Jaccard >= threshold (d1 < d2). Quadratic in docs
@@ -174,12 +174,27 @@ object Dedup {
       .distinct()
   }
 
-  /** SimHash: nBits-bit signature (default 48); near-dups = signatures within `maxBits`
-    * hamming distance. Bit j weight = +1 if bit j of token hash else -1,
-    * summed over distinct tokens; sign → bit. */
-  def simhash(docs: DataFrame, idCol: String, textCol: String,
-              nBits: Int = 48): DataFrame = {
-    val tok = postings(docs, idCol, textCol, ngram = 1)
+  /** SimHash: 48-bit signature; near-dups = signatures within `maxBits`
+    * hamming distance. Bit j weight = +1 if bit j of the 48-bit token hash
+    * else -1, summed over distinct tokens; sign → bit.
+    *
+    * Computed by the native one-pass [[graft.functions.SimHash48]]
+    * expression — the signature pass is a narrow scan with ZERO exchanges
+    * (the declarative explode + 48-SUM hash aggregate it replaces shuffled
+    * every (doc, token-hash) pair; [[simhashDeclarative]] keeps that
+    * formulation as the executable spec). The hash must genuinely fill all
+    * 48 bits: with a 32-bit hash the top pigeonhole band is constant-zero
+    * and [[simhashNearDups]]'s band join degenerates to all-pairs. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      graft.functions.SimHash48.simhash48(col(textCol)).as("simhash"))
+
+  /** The explode/aggregate formulation of [[simhash]] — slower (one
+    * shuffle, 48-column agg buffer) but independently derived; DedupSpec
+    * asserts equality with the native expression. */
+  def simhashDeclarative(docs: DataFrame, idCol: String, textCol: String,
+                         nBits: Int = 48): DataFrame = {
+    val tok = postings(docs, idCol, textCol, ngram = 1, hashBytes = 6)
     val bitAggs = (0 until nBits).map { j =>
       sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s$j")
     }

@@ -38,13 +38,20 @@ object Similarity {
   }
 
   /** Exact top-k cosine neighbors for each query row (queries ⊆ corpus by
-    * id, or any frame with the same id/vec columns). Excludes self-pairs. */
+    * id, or any frame with the same id/vec columns). Excludes self-pairs.
+    *
+    * Both sides are L2-normalized ONCE at the scan (O(rows)), so the
+    * quadratic scoring step is a bare ordered-fold dot product — 3× fewer
+    * multiply-adds per (query, candidate) pair than recomputing norms
+    * inside the cosine. */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec")))
-    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"))
+    val q = broadcast(queries.select(col(idCol).as("q_id"),
+      graft.functions.VectorNative.l2Normalize(col(vecCol)).as("q_vec")))
+    val c = corpus.select(col(idCol).as("n_id"),
+      graft.functions.VectorNative.l2Normalize(col(vecCol)).as("n_vec"))
     val scored = c.crossJoin(q).where(col("q_id") =!= col("n_id"))
-      .withColumn("cos", VectorExprs.cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cos", graft.functions.VectorNative.dotProduct(col("q_vec"), col("n_vec")))
     topKRank(scored, k)
   }
 
@@ -65,17 +72,23 @@ object Similarity {
     * nPlanes small for mid-similarity thresholds). */
   def cosineDupPairs(corpus: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, nPlanes: Int = 0, dim: Int = 64): DataFrame = {
-    val a = corpus.select(col(idCol).as("d1"), col(vecCol).as("v1"))
-    val b = corpus.select(col(idCol).as("d2"), col(vecCol).as("v2"))
+    // Normalize once at the scan; buckets hash the RAW vector (sign bits
+    // are scale-invariant, and the oracle buckets the raw vector too).
+    def side(id: String, v: String): DataFrame = {
+      val base = corpus.select(col(idCol).as(id),
+        graft.functions.VectorNative.l2Normalize(col(vecCol)).as(v),
+        col(vecCol).as("__raw"))
+      if (nPlanes <= 0) base.drop("__raw")
+      else base.withColumn("bucket",
+        VectorExprs.simhashPlanes(col("__raw"), planes(nPlanes, dim))).drop("__raw")
+    }
+    val a = side("d1", "v1")
+    val b = side("d2", "v2")
     val paired =
       if (nPlanes <= 0) a.crossJoin(b)
-      else {
-        val ps = planes(nPlanes, dim)
-        a.withColumn("bucket", VectorExprs.simhashPlanes(col("v1"), ps))
-          .join(b.withColumn("bucket", VectorExprs.simhashPlanes(col("v2"), ps)), Seq("bucket"))
-      }
+      else a.join(b, Seq("bucket"))
     paired.where(col("d1") < col("d2"))
-      .withColumn("cos", VectorExprs.cosine(col("v1"), col("v2")))
+      .withColumn("cos", graft.functions.VectorNative.dotProduct(col("v1"), col("v2")))
       .where(col("cos") >= threshold)
       .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
   }
@@ -86,13 +99,15 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nPlanes: Int, dim: Int): DataFrame = {
     val ps = planes(nPlanes, dim)
-    val qb = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+    val qb = queries.select(col(idCol).as("q_id"),
+      graft.functions.VectorNative.l2Normalize(col(vecCol)).as("q_vec"),
       VectorExprs.simhashPlanes(col(vecCol), ps).as("bucket"))
-    val cb = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+    val cb = corpus.select(col(idCol).as("n_id"),
+      graft.functions.VectorNative.l2Normalize(col(vecCol)).as("n_vec"),
       VectorExprs.simhashPlanes(col(vecCol), ps).as("bucket"))
     val scored = cb.join(broadcast(qb), Seq("bucket"))
       .where(col("q_id") =!= col("n_id"))
-      .withColumn("cos", VectorExprs.cosine(col("q_vec"), col("n_vec")))
+      .withColumn("cos", graft.functions.VectorNative.dotProduct(col("q_vec"), col("n_vec")))
     topKRank(scored, k)
   }
 }

@@ -44,4 +44,23 @@ class DedupSpec extends SparkSpec {
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
     assert(pairs.forall(_.getInt(2) <= 3))
   }
+
+  test("native simhash48 expression == declarative explode/agg formulation") {
+    val native = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val decl = Dedup.simhashDeclarative(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(decl.nonEmpty && native.size == docs.count())
+    // declarative drops no docs here (every doc has >= 1 token row)
+    decl.foreach { case (doc, sig) => assert(native(doc) == sig, s"doc $doc") }
+  }
+
+  test("simhash48 signatures genuinely fill all four 12-bit bands") {
+    val sigs = Dedup.simhash(docs, "doc_id", "text")
+      .collect().map(_.getLong(1))
+    (0 to 3).foreach { b =>
+      val buckets = sigs.map(s => (s >> (b * 12)) & 0xfff).distinct
+      assert(buckets.length > 1, s"band $b is constant -> pigeonhole join degenerates")
+    }
+  }
 }
