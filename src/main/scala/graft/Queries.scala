@@ -727,11 +727,93 @@ object Queries {
             FROM agg)
       SELECT state_code, platform, units FROM r WHERE rn = 1"""))
 
+  // ------------------------------------------- D: round-2 operator adds
+  // Backward as-of join (point-in-time lookup): every click joined to the
+  // user's most recent purchase at-or-before it. One shuffle on user_id
+  // (union + running last-non-null window), never a per-key nested loop.
+  private val q45 = Q("q45_asof_join",
+    (s, d) => {
+      val ev = events(s, d)
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts"))
+        .agg(sum(dec(col("value"))).cast(DoubleType).as("purch_value"))
+      graft.operators.AsOfJoin.backward(clicks, purchases,
+        keys = Seq("user_id"), leftTs = "ts", rightTs = "ts",
+        payload = Seq("purch_value"))
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+          date_format(col("asof_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("purch_ts"),
+          col("asof_purch_value").as("purch_value"))
+    },
+    Some("""WITH clicks AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      purch AS (SELECT user_id, ts, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS purch_value
+                FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts)
+      SELECT c.event_id, c.user_id,
+        strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        strftime(p.ts, '%Y-%m-%d %H:%M:%S.%f') AS purch_ts,
+        p.purch_value
+      FROM clicks c ASOF LEFT JOIN purch p
+        ON c.user_id = p.user_id AND c.ts >= p.ts"""))
+
+  // Bounded range join via bucketization: same-user event pairs within 5
+  // minutes, as an EQUI join on (user, time-bucket) — the inequality only
+  // runs inside a bucket, so no per-key nested loop.
+  private val q46 = Q("q46_range_join",
+    (s, d) => graft.operators.RangeJoin.timeNeighborPairs(
+      events(s, d), "user_id", "ts", "event_id", windowSec = 300),
+    Some("""SELECT a.user_id, a.event_id AS e1, b.event_id AS e2,
+        date_diff('microsecond', a.ts, b.ts) AS gap_us
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE
+       AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))"""))
+
+  // IVF ANN search (the index-backed scale path of q24): deterministic
+  // k-means centroids -> inverted file -> nProbe cell probes. Not
+  // SQL-expressible (centroid training) -> rows-only driver check;
+  // IvfIndexSpec bounds recall against the exact q24 baseline.
+  private val q47 = Q("q47_ann_ivf",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val model = graft.operators.IvfIndex.train(emb, "embedding", k = 16)
+      val index = graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", model)
+      graft.operators.IvfIndex.search(index, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", model, k = 5, nProbe = 4)
+    },
+    None)
+
+  // Approximate sketches (HLL distinct + quantile sketch): the constant-
+  // memory substitutes for q11's exact countDistinct and q39's exact
+  // percentiles at 100 TB. Approximate by design -> rows-only check;
+  // SketchSpec bounds the error against the exact answers.
+  private val q48 = Q("q48_approx_sketches",
+    (s, d) => events(s, d).groupBy(col("event_type")).agg(
+      approx_count_distinct(col("user_id")).as("n_users_approx"),
+      percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
+      percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_approx"),
+      count(lit(1)).as("n")),
+    None)
+
+  // Salted skew join: identical result set to the plain equi join (the
+  // oracle IS the plain join), with hot keys split across `factor`
+  // reducers. The fact side never broadcasts.
+  private val q49 = Q("q49_salted_join",
+    (s, d) => {
+      val li = lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+        col("l_partkey"), col("l_linenumber"))
+      val ord = orders(s, d).select(col("o_orderkey"), col("o_orderpriority"))
+      graft.operators.SkewJoin.saltedJoin(li, ord, Seq("o_orderkey"), factor = 8)
+    },
+    Some("""SELECT l_orderkey AS o_orderkey, l_partkey, l_linenumber, o_orderpriority
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44)
+    q41, q42, q43, q44, q45, q46, q47, q48, q49)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
