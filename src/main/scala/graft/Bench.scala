@@ -5,7 +5,10 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.build(cpus)
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: known-benign warnings (e.g. the documented single-partition
+    // windows over aggregated frames, SCALE.md) must not pollute the
+    // measured output this main exists to print
+    spark.sparkContext.setLogLevel("ERROR")
     // warm up JVM/codegen/parquet reader once so the first timed query
     // doesn't absorb ~3s of session initialization
     spark.range(1000).selectExpr("sum(id)").collect()

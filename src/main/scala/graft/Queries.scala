@@ -100,18 +100,16 @@ object Queries {
       JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name"""))
 
-  // SURVEY §2.5 W1: percent of grand total. The denominator is a
-  // broadcast scalar (single-row agg + BNLJ), not `SUM() OVER ()` — the
-  // empty-partition window serializes all groups through one task, which
-  // stops scaling when the grouping key is high-cardinality.
+  // SURVEY §2.5 W1: percent of grand total — window over the AGGREGATED
+  // frame (5 rows), one traversal. For high-cardinality group keys use
+  // Dashboard.shareOfTotalBroadcast over a materialized aggregate instead
+  // (see its scaladoc).
   private val q07 = Q("q07_pct_of_total",
-    (s, d) => {
-      val agg = customer(s, d).groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n_cust"))
-      agg.crossJoin(broadcast(agg.agg(sum(col("n_cust")).as("__tot"))))
-        .withColumn("pct", round(col("n_cust").cast(DoubleType) / col("__tot"), 6))
-        .drop("__tot")
-    },
+    (s, d) => customer(s, d).groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"))
+      .withColumn("pct",
+        round(col("n_cust").cast(DoubleType) /
+          sum(col("n_cust")).over(Window.partitionBy()), 6)),
     Some("""SELECT c_mktsegment, n_cust,
       ROUND(CAST(n_cust AS DOUBLE) / SUM(n_cust) OVER (), 6) AS pct
       FROM (SELECT c_mktsegment, COUNT(*) AS n_cust FROM customer GROUP BY c_mktsegment)"""))
@@ -654,6 +652,8 @@ object Queries {
       val monthly = orders(s, d)
         .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
         .agg(sum(dec(col("o_totalprice"))).as("m"))
+      // cumulative-over-months is inherently one ordered partition; its
+      // input is the monthly AGGREGATE (~80 rows), never order rows
       val w = Window.orderBy(col("month"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       monthly.select(col("month"),
@@ -796,6 +796,31 @@ object Queries {
       count(lit(1)).as("n")),
     None)
 
+  // Multimodal column plumbing through the driver contract: documents'
+  // text re-encoded as opaque binary payloads -> typed MediaRow Dataset ->
+  // batched feature extraction (stub codec; deterministic pure function of
+  // the payload bytes, see SURVEY §2 addendum). Payload bytes never
+  // shuffle — the narrow mapPartitions emits KB-scale features only.
+  // Stub decode is not SQL-expressible -> rows-only check; MultimodalSpec
+  // pins determinism and batch-shape invariance.
+  private val q50 = Q("q50_multimodal_features",
+    (s, d) => {
+      import s.implicits._
+      val media = documents(s, d).select(
+        col("doc_id").as("media_id"),
+        lit("image/stub").as("mime"),
+        encode(col("text"), "UTF-8").as("content"),
+        struct(col("source"),
+          lit(null).cast(IntegerType).as("width"),
+          lit(null).cast(IntegerType).as("height"),
+          lit(null).cast(LongType).as("duration_ms")).as("meta"))
+        .as[graft.multimodal.Multimodal.MediaRow]
+      graft.multimodal.Multimodal.imageFeatures(media).toDF()
+        .select(col("media_id"), col("width"), col("height"), col("n_bytes"),
+          round(col("brightness"), 6).as("brightness"))
+    },
+    None)
+
   // Salted skew join: identical result set to the plain equi join (the
   // oracle IS the plain join), with hot keys split across `factor`
   // reducers. The fact side never broadcasts.
@@ -813,7 +838,7 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48, q49)
+    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
