@@ -19,6 +19,12 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // The engine caches only narrow, hot frames (the 8-column ETL
+      // staging projection) — for those, columnar-cache compression codecs
+      // cost more CPU at build time than the memory they save (measured
+      // ~2s of a 7.5s ETL query at sf0.1). Wide/cold caches would choose
+      // the opposite; we don't create any.
+      .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -3,7 +3,7 @@ package graft.etl
 import graft.functions.CleanExprs
 import graft.operators.Upsert
 import graft.sources.CsvIngest
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -27,8 +27,12 @@ object OrderEtl {
                              factSales: DataFrame)
 
   def emptyWarehouse(spark: SparkSession): Warehouse = {
+    // empty LocalRelation, NOT emptyRDD: Catalyst's PropagateEmptyRelation
+    // recognizes it and folds away the first batch's anti-joins/unions/max
+    // aggregates against the empty dims (an ExternalRDDScan is opaque —
+    // measured ~1.2s of driver-side jobs + extra stages per ETL query)
     def empty(s: StructType): DataFrame =
-      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](), s)
     Warehouse(empty(SalesSchemas.dimDate), empty(SalesSchemas.dimCustomer),
       empty(SalesSchemas.dimProduct), empty(SalesSchemas.dimPlatform),
       empty(SalesSchemas.factSales))
@@ -46,46 +50,46 @@ object OrderEtl {
     * `injectedCols` = columns CsvIngest.ensureColumns added as all-NULL
     * (drives pandas-parity "None" vs "nan" hash stringification). */
   def cleanOrders(raw: DataFrame, injectedPre: Set[String] = Set.empty): DataFrame = {
+    // TWO projections total (ensure-missing + derive): every withColumn is
+    // a full analyzer pass over a 44-column plan, and the original
+    // ~12-withColumn chain cost ~0.5s of driver time per ETL query
     val renamed = CsvIngest.renameIfPresent(raw, renameMap)
-    // P5: timestamps (trim tabs/whitespace, format-first parse, NULL on bad)
-    val withTs = Seq("createTime", "submitTime", "deliveryTime", "pickingTime")
-      .foldLeft(renamed) { (df, c) =>
-        if (df.columns.contains(c)) df.withColumn(c, CleanExprs.parseTs(col(c)))
-        else df.withColumn(c, lit(null).cast(TimestampType))
-      }
-    // P6: unit-suffixed numerics
-    val withNums = withTs
-      .withColumn("volume_num",
-        if (withTs.columns.contains("volume")) CleanExprs.numFromUnitStr(col("volume"))
-        else lit(null).cast(DoubleType))
-      .withColumn("actualWeight_num",
-        if (withTs.columns.contains("actualWeight")) CleanExprs.numFromUnitStr(col("actualWeight"))
-        else lit(null).cast(DoubleType))
-    // P7: state_code — column-level preference: State if the column exists,
-    // else houseNo (the reference does NOT fall through per-row,
-    // etl/order_info_etl.py:209-216)
-    val withState = withNums.withColumn("state_code",
-      if (withNums.columns.contains("State")) CleanExprs.stateCode(col("State"))
-      else if (withNums.columns.contains("houseNo")) CleanExprs.stateCode(col("houseNo"))
-      else lit(null).cast(StringType))
-    // P8: goodsNumber → int, default 1
-    val withGoods = withState.withColumn("goodsNumber",
-      if (withState.columns.contains("goodsNumber"))
-        CleanExprs.intWithDefault(col("goodsNumber"), 1)
-      else lit(1))
-    // P9: stable customer id over (name, oneAddress, postalCode); missing
-    // column ⇒ "None", missing cell ⇒ "nan" (pandas stringification parity)
-    val (withIdCols, injected) =
-      CsvIngest.ensureColumns(withGoods, Seq("name", "oneAddress", "postalCode"))
+    val (base, injected) = CsvIngest.ensureColumns(renamed,
+      Seq("name", "oneAddress", "postalCode", "masterSku", "sku"))
     val allInjected = injectedPre ++ injected
-    val withId = withIdCols.withColumn("customer_id",
+    val has = base.columns.toSet
+    val tsCols = Seq("createTime", "submitTime", "deliveryTime", "pickingTime")
+
+    // replace-in-place for existing columns:
+    // P5 timestamps (trim tabs/whitespace, format-first parse, NULL on bad);
+    // P8 goodsNumber → int, default 1
+    val passthrough: Seq[Column] = base.columns.toSeq.map {
+      case c if tsCols.contains(c) => CleanExprs.parseTs(col(c)).as(c)
+      case "goodsNumber" => CleanExprs.intWithDefault(col("goodsNumber"), 1).as("goodsNumber")
+      case c => col(c)
+    }
+    val missingTs = tsCols.filterNot(has).map(c => lit(null).cast(TimestampType).as(c))
+    val goodsIfMissing = if (has("goodsNumber")) Nil else Seq(lit(1).as("goodsNumber"))
+    val derived: Seq[Column] = Seq(
+      // P6: unit-suffixed numerics
+      (if (has("volume")) CleanExprs.numFromUnitStr(col("volume"))
+       else lit(null).cast(DoubleType)).as("volume_num"),
+      (if (has("actualWeight")) CleanExprs.numFromUnitStr(col("actualWeight"))
+       else lit(null).cast(DoubleType)).as("actualWeight_num"),
+      // P7: state_code — column-level preference: State if the column
+      // exists, else houseNo (the reference does NOT fall through per-row,
+      // etl/order_info_etl.py:209-216)
+      (if (has("State")) CleanExprs.stateCode(col("State"))
+       else if (has("houseNo")) CleanExprs.stateCode(col("houseNo"))
+       else lit(null).cast(StringType)).as("state_code"),
+      // P9: stable customer id over (name, oneAddress, postalCode); missing
+      // column ⇒ "None", missing cell ⇒ "nan" (pandas stringification parity)
       CleanExprs.stableIdWithNulls(Seq("name", "oneAddress", "postalCode").map { c =>
         col(c) -> (if (allInjected.contains(c)) "None" else "nan")
-      }))
-    // P10: product key = first non-blank of (masterSku, sku)
-    val (withSkus, _) = CsvIngest.ensureColumns(withId, Seq("masterSku", "sku"))
-    withSkus.withColumn("product_key",
-      CleanExprs.firstNonBlank(col("masterSku"), col("sku")))
+      }).as("customer_id"),
+      // P10: product key = first non-blank of (masterSku, sku)
+      CleanExprs.firstNonBlank(col("masterSku"), col("sku")).as("product_key"))
+    base.select(passthrough ++ missingTs ++ goodsIfMissing ++ derived: _*)
   }
 
   /** Staging projection: the 39 raw + 5 derived columns, string lengths
@@ -93,14 +97,16 @@ object OrderEtl {
   def toStaging(cleaned: DataFrame): DataFrame = {
     val (df, _) = CsvIngest.ensureColumns(cleaned,
       SalesSchemas.stagingRawCols ++ SalesSchemas.stagingDerivedCols)
-    val truncated = SalesSchemas.stagingLengthMap.foldLeft(df) { case (d, (c, n)) =>
-      if (d.columns.contains(c) && d.schema(c).dataType == StringType)
-        d.withColumn(c, CleanExprs.truncateTo(col(c), n))
-      else d
+    // one projection: per-column truncation folded into the staging select
+    // (a withColumn per length-map entry = 37 analyzer passes)
+    val proj = (SalesSchemas.stagingRawCols ++ SalesSchemas.stagingDerivedCols).map { c =>
+      SalesSchemas.stagingLengthMap.get(c) match {
+        case Some(n) if df.schema(c).dataType == StringType =>
+          CleanExprs.truncateTo(col(c), n).as(c)
+        case _ => col(c)
+      }
     }
-    truncated
-      .select((SalesSchemas.stagingRawCols ++ SalesSchemas.stagingDerivedCols).map(col): _*)
-      .withColumn("load_ts", current_timestamp())
+    df.select(proj :+ current_timestamp().as("load_ts"): _*)
   }
 
   /** Steps 4-8: dim upserts + fact load. Every dim join broadcasts (dims

@@ -66,7 +66,12 @@ object CsvIngest {
     * from missing-cell NULLs ("nan"). */
   def ensureColumns(df: DataFrame, required: Seq[String]): (DataFrame, Set[String]) = {
     val missing = required.filterNot(df.columns.contains)
-    val out = missing.foldLeft(df)((d, c) => d.withColumn(c, lit(null).cast("string")))
+    // one projection, not a withColumn per missing column — each
+    // withColumn is a full analyzer pass over the (44-column) plan
+    val out =
+      if (missing.isEmpty) df
+      else df.select(df.columns.map(col) ++
+        missing.map(c => lit(null).cast("string").as(c)): _*)
     (out, missing.toSet)
   }
 }

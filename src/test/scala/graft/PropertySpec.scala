@@ -79,4 +79,39 @@ class PropertySpec extends SparkSpec {
       graft.functions.CleanExprs.hex16ToId(md5($"k")).as("composed")).collect()
     pairs.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
+
+  test("native SimHash48 equals the declarative formulation on fuzzed text") {
+    val texts = sample(weirdString, 150).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = texts.toDF("doc_id", "text")
+    val native = graft.operators.Dedup.simhash(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val decl = graft.operators.Dedup.simhashDeclarative(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // declarative == native on every doc it emits; signatures fit 48 bits
+    decl.foreach { case (id, sig) => assert(native(id) == sig, s"doc $id") }
+    native.values.foreach(sig => assert((sig >> 48) == 0L))
+  }
+
+  test("as-of join equals the naive greatest-ts-per-row join on fuzzed series") {
+    val rnd = new scala.util.Random(7)
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def t(offsetMin: Int) = new java.sql.Timestamp(ts0 + offsetMin * 60000L)
+    val left = (1 to 120).map(i => (i.toLong, (rnd.nextInt(5) + 1).toLong, t(rnd.nextInt(500))))
+      .toDF("lid", "k", "lts")
+    val right = (1 to 80).map(i => ((rnd.nextInt(5) + 1).toLong, t(rnd.nextInt(500)), i.toDouble))
+      .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique (k, ts)
+      .toDF("k", "rts", "v")
+    val got = graft.operators.AsOfJoin.backward(left, right, Seq("k"), "lts", "rts", Seq("v"))
+      .select("lid", "asof_rts", "asof_v")
+      .collect().map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    // naive: max right ts <= left ts, then fetch its payload
+    val rRows = right.collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+    left.collect().foreach { lr =>
+      val (lid, k, lts) = (lr.getLong(0), lr.getLong(1), lr.getTimestamp(2))
+      val matched = rRows.filter(x => x._1 == k && !x._2.after(lts))
+        .sortBy(_._2.getTime).lastOption
+      assert(got(lid)._1 == matched.map(_._2), s"lid=$lid ts")
+      assert(got(lid)._2 == matched.map(_._3), s"lid=$lid payload")
+    }
+  }
 }
