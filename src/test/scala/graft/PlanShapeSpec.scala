@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+
+/** Physical-plan shape assertions for the properties that matter at
+  * 100 TB: filters reach the parquet scan, reads are column-pruned,
+  * dims broadcast, fact probes don't shuffle, whole-stage codegen covers
+  * the hot paths. A plan that silently loses one of these still returns
+  * correct rows — only these tests notice. */
+class PlanShapeSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Execute (finalizes AQE), then return the full physical tree. */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame)
+  : org.apache.spark.sql.execution.SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+  }
+
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
+    val p = finalPlan(df)
+    (p.collect { case s: FileSourceScanExec => s } ++
+      p.subqueries.flatMap(_.collect { case s: FileSourceScanExec => s })).toSeq
+  }
+
+  test("q30: predicate pushdown + column pruning reach the lineitem scan") {
+    val df = Queries.queries("q30_pushdown_scan")(spark, sf)
+    val scan = scans(df).head
+    val meta = scan.metadata
+    assert(meta("PushedFilters").contains("GreaterThanOrEqual(l_shipdate"),
+      meta("PushedFilters"))
+    assert(meta("PushedFilters").contains("GreaterThanOrEqual(l_discount"),
+      meta("PushedFilters"))
+    // only the three referenced columns are read, not the 16-column table
+    val read = scan.requiredSchema.fieldNames.toSet
+    assert(read == Set("l_shipdate", "l_discount", "l_extendedprice"), read)
+  }
+
+  test("q06: small dims broadcast; no dim-side shuffle of the fact probe") {
+    val plan = Queries.queries("q06_star_join_revenue")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q01: agg is partial+final hash aggregate (map-side combine)") {
+    val plan = Queries.queries("q01_pricing_summary")(spark, sf)
+      .queryExecution.executedPlan.toString
+    // two HashAggregate levels around one Exchange: shuffle carries groups
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(500))
+    assert("Exchange".r.findAllIn(plan).size >= 1)
+  }
+
+  test("q03: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val plan = Queries.queries("q03_topk_parts")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+  }
+
+  test("as-of join: exactly one exchange pair (key co-partitioning), no join node") {
+    val ev = Tables.events(spark, sf)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val purch = ev.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("pts"), col("value"))
+    val plan = graft.operators.AsOfJoin
+      .backward(clicks, purch, Seq("user_id"), "ts", "pts", Seq("value"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(plan.contains("Window"), plan.take(300))
+  }
+
+  test("whole-stage codegen covers the cleaning scan (native exprs fused)") {
+    val synth = graft.etl.ReferenceShapedData.syntheticOrders(spark, sf)
+    val stg = graft.etl.OrderEtl.toStaging(graft.etl.OrderEtl.cleanOrders(synth))
+    val plan = finalPlan(stg).toString
+    assert(plan.contains("WholeStageCodegen"), plan.take(500))
+  }
+}
