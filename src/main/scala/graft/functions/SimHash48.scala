@@ -34,10 +34,10 @@ case class SimHash48(child: Expression) extends UnaryExpression {
       s"simhash48 expects STRING, got ${child.dataType.sql}")
 
   override def nullSafeEval(v: Any): Any =
-    SimHash48.eval(v.asInstanceOf[UTF8String])
+    SimHash48.sig48(v.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash48.eval($c)")
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash48.sig48($c)")
 
   override protected def withNewChildInternal(c: Expression): SimHash48 = copy(c)
   override def prettyName: String = "simhash48"
@@ -47,7 +47,12 @@ object SimHash48 {
   private val ws = java.util.regex.Pattern.compile("\\s+")
   val Bits = 48
 
-  def eval(text: UTF8String): Long = {
+  /** Kernel deliberately NOT named `eval`: the companion class inherits
+    * `Expression.eval(InternalRow)`, and scalac skips emitting a static
+    * forwarder for any companion method whose name collides with an
+    * inherited class member — generated code then fails to compile and
+    * the whole stage silently falls back to interpreted execution. */
+  def sig48(text: UTF8String): Long = {
     // Spark's trim() strips 0x20 only — match it (same as ShingleHash32)
     var s = text.toString
     var lo = 0

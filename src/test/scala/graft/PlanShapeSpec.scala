@@ -23,11 +23,24 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
-  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] = {
-    val p = finalPlan(df)
-    (p.collect { case s: FileSourceScanExec => s } ++
-      p.subqueries.flatMap(_.collect { case s: FileSourceScanExec => s })).toSeq
+  /** Collect scans across the AQE-finalized tree: QueryStageExec nodes are
+    * leaf-like wrappers whose materialized subtree only shows via `.plan`,
+    * so a plain `collect` over the top tree misses every scan after AQE
+    * re-planning — recurse into them (and subqueries) explicitly. */
+  private def collectScans(p: org.apache.spark.sql.execution.SparkPlan)
+  : Seq[FileSourceScanExec] = {
+    val here = p.collect {
+      case s: FileSourceScanExec => Seq(s)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectScans(q.plan)
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+        collectScans(r.child)
+    }.flatten
+    here ++ p.subqueries.flatMap(collectScans)
   }
+
+  private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
+    collectScans(finalPlan(df))
 
   test("q30: predicate pushdown + column pruning reach the lineitem scan") {
     val df = Queries.queries("q30_pushdown_scan")(spark, sf)
@@ -79,7 +92,14 @@ class PlanShapeSpec extends SparkSpec {
   test("whole-stage codegen covers the cleaning scan (native exprs fused)") {
     val synth = graft.etl.ReferenceShapedData.syntheticOrders(spark, sf)
     val stg = graft.etl.OrderEtl.toStaging(graft.etl.OrderEtl.cleanOrders(synth))
-    val plan = finalPlan(stg).toString
-    assert(plan.contains("WholeStageCodegen"), plan.take(500))
+    // AQE-finalized plans print fused stages as `*(n)` markers, not the
+    // node name — collect the actual WholeStageCodegenExec nodes instead.
+    def codegenSpans(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec => 1
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          codegenSpans(q.plan)
+      }.sum
+    assert(codegenSpans(finalPlan(stg)) >= 1, finalPlan(stg).toString.take(500))
   }
 }
