@@ -14,22 +14,34 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/nation.parquet").count()
     catch { case _: Throwable => () }
+    // Force FULL evaluation of every output column: count() lets Catalyst
+    // prune unevaluated projections, so projection-only queries would
+    // benchmark a bare scan instead of their operator. The noop sink
+    // evaluates each row without write-side cost.
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
     // steady-state measurement: one untimed warm pass (JIT/codegen/page
-    // cache), then the timed pass
+    // cache), then timed passes
     val names = SparkEntry.queries.keys.toSeq.sorted
-    names.foreach { name =>
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
+    names.foreach { name => try run(name) catch { case _: Throwable => () } }
+    // median-of-3: single-shot per-query numbers at this scale showed
+    // 4-7x run-to-run swings on unchanged trivial queries (round 2)
+    val passes = 3
+    val samples = Array.fill(passes) {
+      // drop data cached by the previous pass (e.g. the ETL's staging
+      // persist) — JIT/codegen warmth is legitimate steady-state, reusing
+      // the query's own materialized data would not be
+      spark.sharedState.cacheManager.clearCache()
+      names.map { name =>
+        val t0 = System.nanoTime()
+        try run(name) catch { case _: Throwable => () }
+        name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
     }
-    // drop data cached by the warm pass (e.g. the ETL's staging persist) —
-    // JIT/codegen warmth is legitimate steady-state, reusing the query's
-    // own materialized data would not be
-    spark.sharedState.cacheManager.clearCache()
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try { SparkEntry.queries(name)(spark, sfDir).count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val xs = samples.map(_(name)).sorted
+      name -> xs(passes / 2)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

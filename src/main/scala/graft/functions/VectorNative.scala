@@ -45,11 +45,25 @@ object VectorNative {
     ColumnBridge.column(HyperplaneBits(
       ColumnBridge.expr(v.cast(ArrayType(DoubleType))), planes.map(_.toArray)))
 
+  /** Dimension mismatches and null elements produce plausible-but-wrong
+    * similarities if tolerated (truncate-to-min reads garbage as 0.0), so
+    * every kernel rejects them with a clear error instead. */
+  private def checkDims(n: Int, m: Int, op: String): Unit =
+    if (n != m) throw new IllegalArgumentException(
+      s"$op: vector dimension mismatch ($n vs $m)")
+
+  private def checkNotNullAt(a: ArrayData, i: Int, op: String): Unit =
+    if (a.isNullAt(i)) throw new IllegalArgumentException(
+      s"$op: null element at index $i — scrub or filter null vector entries first")
+
   def evalDot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    checkDims(n, b.numElements(), "dot_product")
     var d = 0.0
     var i = 0
     while (i < n) {
+      checkNotNullAt(a, i, "dot_product")
+      checkNotNullAt(b, i, "dot_product")
       d += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
@@ -60,7 +74,10 @@ object VectorNative {
     val n = v.numElements()
     var sq = 0.0
     var i = 0
-    while (i < n) { val x = v.getDouble(i); sq += x * x; i += 1 }
+    while (i < n) {
+      checkNotNullAt(v, i, "l2_normalize")
+      val x = v.getDouble(i); sq += x * x; i += 1
+    }
     val nrm = math.sqrt(sq)
     val out = new Array[Double](n)
     i = 0
@@ -69,12 +86,15 @@ object VectorNative {
   }
 
   def evalCosine(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    checkDims(n, b.numElements(), "cosine_sim")
     var d = 0.0
     var na = 0.0
     var nb = 0.0
     var i = 0
     while (i < n) {
+      checkNotNullAt(a, i, "cosine_sim")
+      checkNotNullAt(b, i, "cosine_sim")
       val x = a.getDouble(i)
       val y = b.getDouble(i)
       d += x * y
@@ -93,14 +113,50 @@ object VectorNative {
     var c = 0
     while (c < cent.length) {
       val w = cent(c)
-      val m = math.min(n, w.length)
+      checkDims(n, w.length, "nearest_centroid")
       var d = 0.0
       var i = 0
-      while (i < m) { val t = v.getDouble(i) - w(i); d += t * t; i += 1 }
+      while (i < n) {
+        checkNotNullAt(v, i, "nearest_centroid")
+        val t = v.getDouble(i) - w(i); d += t * t; i += 1
+      }
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
     best
+  }
+
+  /** Top-`nProbe` nearest centroid cells, ascending squared-L2 distance
+    * (ties → lowest index, consistent with [[evalNearestCentroid]]).
+    * Centroid counts are small (≤ a few thousand), so a linear scan with
+    * an insertion top-k buffer beats building and sorting the full
+    * distance array. */
+  def evalNearestCells(v: ArrayData, cent: Array[Array[Double]], nProbe: Int)
+  : org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = v.numElements()
+    val k = math.min(nProbe, cent.length)
+    val bestD = Array.fill(k)(Double.MaxValue)
+    val bestI = new Array[Int](k)
+    var c = 0
+    while (c < cent.length) {
+      val w = cent(c)
+      checkDims(n, w.length, "nearest_cells")
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        checkNotNullAt(v, i, "nearest_cells")
+        val t = v.getDouble(i) - w(i); d += t * t; i += 1
+      }
+      if (d < bestD(k - 1)) {
+        var j = k - 1
+        while (j > 0 && bestD(j - 1) > d) {
+          bestD(j) = bestD(j - 1); bestI(j) = bestI(j - 1); j -= 1
+        }
+        bestD(j) = d; bestI(j) = c
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(bestI)
   }
 
   /** Nearest-centroid cell id for IVF assignment. */
@@ -108,16 +164,26 @@ object VectorNative {
     ColumnBridge.column(NearestCentroid(
       ColumnBridge.expr(v.cast(ArrayType(DoubleType))), centroids))
 
+  /** Top-`nProbe` IVF probe cells for a query vector — the distributed
+    * replacement for driver-side probe selection: explode the result to
+    * get one (query, cell) probe row per cell, all inside the scan. */
+  def nearestCells(v: Column, centroids: Seq[Array[Double]], nProbe: Int): Column =
+    ColumnBridge.column(NearestCells(
+      ColumnBridge.expr(v.cast(ArrayType(DoubleType))), centroids, nProbe))
+
   def evalPlaneBits(v: ArrayData, planes: Array[Array[Double]]): UTF8String = {
     val sb = new java.lang.StringBuilder(planes.length)
     val n = v.numElements()
     var j = 0
     while (j < planes.length) {
       val w = planes(j)
-      val m = math.min(n, w.length)
+      checkDims(n, w.length, "hyperplane_bits")
       var acc = 0.0
       var i = 0
-      while (i < m) { acc += v.getDouble(i) * w(i); i += 1 }
+      while (i < n) {
+        checkNotNullAt(v, i, "hyperplane_bits")
+        acc += v.getDouble(i) * w(i); i += 1
+      }
       sb.append(if (acc >= 0) '1' else '0')
       j += 1
     }
@@ -198,6 +264,24 @@ case class NearestCentroid(child: Expression, centroids: Seq[Array[Double]])
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "nearest_centroid"
+}
+
+case class NearestCells(child: Expression, centroids: Seq[Array[Double]], nProbe: Int)
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient private lazy val centArr: Array[Array[Double]] = centroids.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    VectorNative.evalNearestCells(v.asInstanceOf[ArrayData], centArr, nProbe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroids", centArr, "double[][]")
+    defineCodeGen(ctx, ev,
+      v => s"graft.functions.VectorNative.evalNearestCells($v, $ref, $nProbe)")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "nearest_cells"
 }
 
 case class HyperplaneBits(child: Expression, planes: Seq[Array[Double]])

@@ -69,25 +69,23 @@ object IvfIndex {
       VectorNative.nearestCentroid(col(vecCol), model.centroids.toSeq).as("cell"))
 
   /** Search: probe the nProbe nearest cells per query, exact cosine
-    * within the probed cells only. */
+    * within the probed cells only.
+    *
+    * Probe selection is a narrow distributed pass — the native
+    * `nearest_cells` expression emits each query's top-nProbe cell ids in
+    * the scan and `explode` turns them into (q_id, q_vec, cell) probe
+    * rows, so the query side never touches the driver and can itself be a
+    * full table. The broadcast hint fits the "query batch ≪ corpus"
+    * contract; with a corpus-sized query table Catalyst/AQE would plan
+    * the cell join as a shuffle join instead — drop the hint then. */
   def search(index: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              model: Model, k: Int, nProbe: Int): DataFrame = {
-    val spark = index.sparkSession
-    val probes = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-      .collect().flatMap { r =>
-        val v = r.getSeq[Float](1).map(_.toDouble).toArray
-        val byDist = model.centroids.zipWithIndex.map { case (c, i) =>
-          var d = 0.0; var j = 0
-          while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
-          (d, i)
-        }.sortBy(_._1).take(nProbe).map(_._2)
-        byDist.map(cell => (r.getLong(0), cell))
-      }
-    import spark.implicits._
-    val probeCells = probes.toSeq.toDF("q_id", "cell")
-    val qv = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
-    val cand = index.join(broadcast(probeCells), Seq("cell"))
-      .join(broadcast(qv), Seq("q_id"))
+    val probes = queries.select(
+      col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("q_vec"),
+      explode(VectorNative.nearestCells(col(vecCol), model.centroids.toSeq, nProbe))
+        .as("cell"))
+    val cand = index.join(broadcast(probes), Seq("cell"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos", VectorNative.cosineSim(col("q_vec"), col("n_vec")))
     Similarity.topKRank(cand, k)
