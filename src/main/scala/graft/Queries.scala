@@ -771,30 +771,58 @@ object Queries {
        AND (a.ts < b.ts OR (a.ts = b.ts AND a.event_id < b.event_id))"""))
 
   // IVF ANN search (the index-backed scale path of q24): deterministic
-  // k-means centroids -> inverted file -> nProbe cell probes. Not
-  // SQL-expressible (centroid training) -> rows-only driver check;
-  // IvfIndexSpec bounds recall against the exact q24 baseline.
+  // k-means centroids -> inverted file -> nProbe cell probes. Probing ALL
+  // 16 cells makes the result exactly the brute-force top-k, so the whole
+  // IVF machinery (assignment covers the corpus, probe join, scoring,
+  // per-query rank) is hash-checked against a DuckDB oracle; the
+  // approximation property at reduced probes (nProbe=4) is bounded
+  // separately by IvfIndexSpec against the exact baseline.
   private val q47 = Q("q47_ann_ivf",
     (s, d) => {
       val emb = embeddings(s, d)
       val model = graft.operators.IvfIndex.train(emb, "embedding", k = 16)
       val index = graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", model)
       graft.operators.IvfIndex.search(index, emb.where(col("vec_id") < 10),
-        "vec_id", "embedding", model, k = 5, nProbe = 4)
+        "vec_id", "embedding", model, k = 5, nProbe = 16)
     },
-    None)
+    // exact-equivalence oracle: all-cells probe == brute force. The cosine
+    // is computed with the same single-pass fold (dot, norm-a, norm-b
+    // accumulated in one loop) as VectorNative.evalCosine, so the float64
+    // results are bit-identical to DuckDB's left-fold list_dot_product.
+    Some("""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        scored AS (SELECT q_id, n_id,
+            list_dot_product(qv, cv) /
+              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+          FROM q CROSS JOIN c WHERE q_id <> n_id),
+        r AS (SELECT q_id, n_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored)
+        SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, ROUND(cos, 6) AS cos
+        FROM r WHERE rank <= 5"""))
 
   // Approximate sketches (HLL distinct + quantile sketch): the constant-
   // memory substitutes for q11's exact countDistinct and q39's exact
-  // percentiles at 100 TB. Approximate by design -> rows-only check;
-  // SketchSpec bounds the error against the exact answers.
+  // percentiles at 100 TB. The sketch VALUES are engine-specific (DuckDB's
+  // approx algorithms differ), but the exact companions and the error
+  // bounds are not: the oracle checks n / n_users exactly and each sketch
+  // as a within-tolerance boolean (a degraded sketch flips it to false and
+  // fails the hash). SketchSpec additionally bounds the error numerically.
   private val q48 = Q("q48_approx_sketches",
     (s, d) => events(s, d).groupBy(col("event_type")).agg(
-      approx_count_distinct(col("user_id")).as("n_users_approx"),
-      percentile_approx(col("value"), lit(0.5), lit(1000)).as("p50_approx"),
-      percentile_approx(col("value"), lit(0.95), lit(1000)).as("p95_approx"),
-      count(lit(1)).as("n")),
-    None)
+      count(lit(1)).as("n"),
+      countDistinct(col("user_id")).as("n_users"),
+      approx_count_distinct(col("user_id"), rsd = 0.02).as("hll_users"),
+      percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_sketch"),
+      expr("percentile(value, 0.5)").as("p50_exact"))
+      .select(col("event_type"), col("n"), col("n_users"),
+        (abs(col("hll_users") - col("n_users"))
+          <= col("n_users") * 0.10).as("hll_within_10pct"),
+        (abs(col("p50_sketch") - col("p50_exact"))
+          <= abs(col("p50_exact")) * 0.05 + lit(1e-9)).as("p50_within_5pct")),
+    Some("""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
+      TRUE AS hll_within_10pct, TRUE AS p50_within_5pct
+      FROM events GROUP BY event_type"""))
 
   // Multimodal column plumbing through the driver contract: documents'
   // text re-encoded as opaque binary payloads -> typed MediaRow Dataset ->
@@ -834,11 +862,39 @@ object Queries {
     Some("""SELECT l_orderkey AS o_orderkey, l_partkey, l_linenumber, o_orderpriority
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""))
 
+  // Persisted-warehouse round trip (S4-S7 + the reference's durable DB,
+  // /root/reference/sql/schema/fact_sales.Table.sql): the ETL warehouse is
+  // WRITTEN to the (p_year, p_month)-partitioned parquet layout, then the
+  // 1995 dashboard reads it BACK — the year filter lands on the partition
+  // column before it's dropped, so only 1995's ~12 directories of the
+  // ~80-partition table are listed and scanned (PartitionFilters asserted
+  // in PlanShapeSpec). This is the amortized path for q34's fixed cost:
+  // persist once, prune every query after.
+  private val q51 = Q("q51_warehouse_pruned",
+    (s, d) => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_wh_${Integer.toHexString(d.hashCode)}").getAbsolutePath
+      graft.sources.WarehouseStore.save(
+        graft.etl.ReferenceShapedData.warehouse(s, d), path)
+      graft.sources.WarehouseStore.loadFactYear(s, path, 1995)
+        .groupBy(col("p_month"))
+        .agg(sum(col("units")).as("units"),
+          countDistinct(col("customer_id")).as("n_customers"))
+        .select(col("p_month").cast(IntegerType).as("month"),
+          col("units"), col("n_customers"))
+    },
+    Some(s"""WITH ${graft.etl.ReferenceShapedData.oracleCtes}
+      SELECT CAST(month(CAST(submitTime AS DATE)) AS INTEGER) AS month,
+        CAST(SUM(goodsNumber) AS BIGINT) AS units,
+        COUNT(DISTINCT customer_id) AS n_customers
+      FROM fact WHERE year(CAST(submitTime AS DATE)) = 1995
+      GROUP BY 1"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50)
+    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -51,6 +51,13 @@ object WarehouseStore {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Partition-pruned fact read: the year filter lands on the p_year
+    * partition column BEFORE it is dropped, so Spark lists and reads only
+    * the matching (p_year=…) directories — at 100 TB this is the
+    * difference between scanning one year and scanning the table. */
+  def loadFactYear(spark: SparkSession, path: String, year: Int): DataFrame =
+    spark.read.parquet(s"$path/fact_sales").where(col("p_year") === year)
+
   def load(spark: SparkSession, path: String): Warehouse =
     Warehouse(
       dimDate = spark.read.parquet(s"$path/dim_date"),

@@ -89,6 +89,21 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("Window"), plan.take(300))
   }
 
+  test("q51: persisted fact read is partition-pruned by the year filter") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_wh_planspec").getAbsolutePath
+    graft.sources.WarehouseStore.save(
+      graft.etl.ReferenceShapedData.warehouse(spark, sf), path)
+    val pruned = graft.sources.WarehouseStore.loadFactYear(spark, path, 1995)
+      .groupBy(col("p_month")).count()
+    val scan = scans(pruned).head
+    val pf = scan.metadata("PartitionFilters")
+    assert(pf.contains("p_year"), pf)
+    // only 1995's ≤12 month directories are read, not the 1992-1998 layout
+    val nPart = scan.metrics("numPartitions").value
+    assert(nPart > 0 && nPart <= 12, s"numPartitions=$nPart")
+  }
+
   test("whole-stage codegen covers the cleaning scan (native exprs fused)") {
     val synth = graft.etl.ReferenceShapedData.syntheticOrders(spark, sf)
     val stg = graft.etl.OrderEtl.toStaging(graft.etl.OrderEtl.cleanOrders(synth))
