@@ -40,6 +40,15 @@ object AsOfJoin {
       .filterNot(c => keys.contains(c) || c == leftTs)
     require(!left.columns.exists(_.startsWith("__")),
       "left frame uses reserved __ column names")
+    require(!right.columns.exists(_.startsWith("__")),
+      "right frame uses reserved __ column names")
+    // fail fast on output-name collisions: a duplicate column name only
+    // blows up on a later by-name selection, far from the cause
+    val outNames = (rightTs +: payload).map(p => s"asof_$p")
+    val clashes = outNames.filter(left.columns.contains)
+    require(clashes.isEmpty,
+      s"left frame already has column(s) ${clashes.mkString(", ")} — " +
+        "rename them or the right-side columns they would shadow")
 
     // Right rows become (keys, ts, __side=0, payload struct, NULL pass-through
     // cols); left rows become (keys, ts, __side=1, NULL payload, their cols).

@@ -52,6 +52,18 @@ class AsOfJoinSpec extends SparkSpec {
     assert(r.getAs[Double]("asof_price") == 2.0)
   }
 
+  test("output-name collisions and reserved names fail fast") {
+    val clash = trades.withColumn("asof_price", lit(0.0))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(clash, quotes, Seq("uid"), "tts", "qts", Seq("price"))
+    }
+    assert(e.getMessage.contains("asof_price"))
+    intercept[IllegalArgumentException] {
+      AsOfJoin.backward(trades, quotes.withColumn("__x", lit(1)),
+        Seq("uid"), "tts", "qts", Seq("price"))
+    }
+  }
+
   test("plan shuffles once on the key, no nested loop") {
     val out = AsOfJoin.backward(trades, quotes, Seq("uid"), "tts", "qts", Seq("price"))
     val plan = out.queryExecution.executedPlan.toString
