@@ -22,14 +22,17 @@ object CsvIngest {
   def normalizeColName(c: String): String =
     c.trim.replace("﻿", "").replace(" ", "_").replace("-", "_")
 
-  /** S1: header CSV, every column StringType (schema-on-read with explicit
-    * coercion later — the reference's `dtype=str` contract). Multiline and
-    * quoted fields tolerated. File-extension dispatch mirrors
-    * order_info_etl.py:173-180 (Excel inputs are expected pre-converted to
-    * CSV in this build — see SURVEY.md §2.1 S2). */
+  /** S1/S2: header CSV or xlsx, every column StringType (schema-on-read
+    * with explicit coercion later — the reference's `dtype=str` contract).
+    * Multiline and quoted CSV fields tolerated. File-extension dispatch
+    * mirrors order_info_etl.py:173-180: `.csv/.txt` → the distributed CSV
+    * scan, `.xlsx` → [[XlsxIngest]] (legacy binary `.xls` is not OOXML and
+    * must be pre-converted). */
   def readAllString(spark: SparkSession, path: String): DataFrame = {
-    require(path.toLowerCase.endsWith(".csv") || path.toLowerCase.endsWith(".txt"),
-      s"unsupported input file type: $path (xls/xlsx must be pre-converted)")
+    val lower = path.toLowerCase
+    if (lower.endsWith(".xlsx")) return XlsxIngest.readAllString(spark, path)
+    require(lower.endsWith(".csv") || lower.endsWith(".txt"),
+      s"unsupported input file type: $path (legacy .xls must be pre-converted)")
     val raw = spark.read
       .option("header", "true")
       .option("encoding", "UTF-8")
