@@ -22,8 +22,12 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     // steady-state measurement: one untimed warm pass (JIT/codegen/page
-    // cache), then timed passes
+    // cache), then timed passes. SPARK_GRAFT_ONLY=q19,q34 narrows the set
+    // for focused profiling (unset in driver runs -> full set).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(o => o.exists(n.startsWith)))
     names.foreach { name => try run(name) catch { case _: Throwable => () } }
     // median-of-3: single-shot per-query numbers at this scale showed
     // 4-7x run-to-run swings on unchanged trivial queries (round 2)

@@ -41,8 +41,11 @@ object TextExprs {
 
   /** N-gram-free language-ID heuristic: argmax of per-language stopword
     * hits over lowercased tokens; 'unk' when nothing matches. Deterministic
-    * tie-break = list order above. */
-  def langId(text: Column): Column = {
+    * tie-break = list order above. Native one-pass implementation
+    * ([[LangIdNative]]); [[langIdComposed]] is its declarative spec. */
+  def langId(text: Column): Column = LangIdNative.langId(text)
+
+  def langIdComposed(text: Column): Column = {
     val toks = tokens(lower(text))
     val counts = langStopwords.map { case (l, sw) =>
       l -> size(filter(toks, t => t.isInCollection(sw)))

@@ -33,6 +33,7 @@ class CodegenRegressionSpec extends SparkSpec {
         ShingleHash32.shingleHash32(col("text"), 3).as("s32"),
         ShingleHash32.shingleHash48(col("text"), 3).as("s48"),
         StableId63.stableId63(col("text")).as("sid"),
+        LangIdNative.langId(col("text")).as("lid"),
         FingerprintMd5.fingerprintMd5(col("text")).as("fp"),
         VectorNative.dotProduct(col("vec"), col("vec")).as("dot"),
         VectorNative.cosineSim(col("vec"), col("vec")).as("cos"),
