@@ -700,11 +700,14 @@ object Queries {
         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3"""
     })
 
-  // Dashboard layer over the ETL warehouse: semantic view → executive
-  // overview (A7+W1) — the reporting path oracle-checked end to end
+  // Dashboard layer over the DURABLE warehouse (built+saved once per JVM,
+  // like the reference's Power BI reading the persisted DB): semantic view
+  // → executive overview (A7+W1) — the reporting path oracle-checked end
+  // to end, including the parquet round trip.
   private val q43 = Q("q43_dashboard_units_by_state",
     (s, d) => {
-      val wh = graft.etl.ReferenceShapedData.warehouse(s, d)
+      val wh = graft.sources.WarehouseStore.load(s,
+        graft.etl.ReferenceShapedData.persistedWarehousePath(s, d))
       graft.etl.Dashboard.unitsByState(graft.etl.SemanticView.salesProductGeo(wh))
     },
     Some(s"""WITH ${graft.etl.ReferenceShapedData.oracleCtes}
@@ -712,10 +715,11 @@ object Queries {
         ROUND(CAST(SUM(goodsNumber) AS DOUBLE) / SUM(SUM(goodsNumber)) OVER () * 100, 2) AS pct_of_total
       FROM fact GROUP BY state_code"""))
 
-  // W2 over the ETL warehouse: leading platform per state
+  // W2 over the durable warehouse: leading platform per state
   private val q44 = Q("q44_dashboard_platform_rank",
     (s, d) => {
-      val wh = graft.etl.ReferenceShapedData.warehouse(s, d)
+      val wh = graft.sources.WarehouseStore.load(s,
+        graft.etl.ReferenceShapedData.persistedWarehousePath(s, d))
       graft.etl.Dashboard.platformRankByState(graft.etl.SemanticView.salesProductGeo(wh))
     },
     Some(s"""WITH ${graft.etl.ReferenceShapedData.oracleCtes},
@@ -863,19 +867,16 @@ object Queries {
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey"""))
 
   // Persisted-warehouse round trip (S4-S7 + the reference's durable DB,
-  // /root/reference/sql/schema/fact_sales.Table.sql): the ETL warehouse is
-  // WRITTEN to the (p_year, p_month)-partitioned parquet layout, then the
-  // 1995 dashboard reads it BACK — the year filter lands on the partition
+  // /root/reference/sql/schema/fact_sales.Table.sql): the ETL warehouse
+  // lands ONCE in the (p_year, p_month)-partitioned parquet layout, then
+  // the 1995 dashboard reads it BACK — the year filter hits the partition
   // column before it's dropped, so only 1995's ~12 directories of the
   // ~80-partition table are listed and scanned (PartitionFilters asserted
   // in PlanShapeSpec). This is the amortized path for q34's fixed cost:
   // persist once, prune every query after.
   private val q51 = Q("q51_warehouse_pruned",
     (s, d) => {
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_wh_${Integer.toHexString(d.hashCode)}").getAbsolutePath
-      graft.sources.WarehouseStore.save(
-        graft.etl.ReferenceShapedData.warehouse(s, d), path)
+      val path = graft.etl.ReferenceShapedData.persistedWarehousePath(s, d)
       graft.sources.WarehouseStore.loadFactYear(s, path, 1995)
         .groupBy(col("p_month"))
         .agg(sum(col("units")).as("units"),

@@ -68,6 +68,22 @@ object ReferenceShapedData {
     // dim rows defeats the count-only column pruning q35 relies on).
   }
 
+  private val persisted = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Durable-warehouse path for `sfDir`: the ETL runs and saves ONCE per
+    * JVM; every dashboard query after that reads the partitioned parquet
+    * back. This is the reference's own architecture — Power BI queries the
+    * durable SQL DB (sql/schema/fact_sales.Table.sql), it does not re-run
+    * the ETL per visual — and the scale story: the ETL's fixed cost is
+    * paid at load time, reporting reads are pruned scans. */
+  def persistedWarehousePath(spark: SparkSession, sfDir: String): String =
+    persisted.computeIfAbsent(sfDir, _ => {
+      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_dashwh_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
+      graft.sources.WarehouseStore.save(warehouse(spark, sfDir), path)
+      path
+    })
+
   /** DuckDB CTEs reproducing syntheticOrders + the cleaning pass — shared
     * prefix of the two ETL oracle queries. */
   val oracleCtes: String =
