@@ -40,6 +40,30 @@ object Profile {
     time("etl synth join")(synth.count())
     val stg = graft.etl.OrderEtl.toStaging(graft.etl.OrderEtl.cleanOrders(synth))
     time("etl staging")(stg.count())
+    // the narrow shared projection loadWarehouse persists, in isolation
+    val dimKeys = stg.select(col("orderNo"), col("commercePlatform"),
+      col("product_key"), col("customer_id"), col("state_code"),
+      col("postalCode"), col("goodsNumber"), col("submitTime"))
+    time("dimKeys compute only")(dimKeys.count())
+    dimKeys.columns.foreach { c =>
+      time(s"dimKeys col $c (noop)") {
+        dimKeys.select(col(c)).write.format("noop").mode("overwrite").save(); 0L
+      }
+    }
+    time("dimKeys full eval (noop)") {
+      dimKeys.write.format("noop").mode("overwrite").save(); 0L
+    }
+    time("dimKeys parquet write") {
+      dimKeys.write.mode("overwrite").parquet("/tmp/graft_profile_dk"); 0L
+    }
+    time("dimKeys parquet read+agg")(
+      spark.read.parquet("/tmp/graft_profile_dk")
+        .select(col("commercePlatform")).distinct().count())
+    val dkPersisted = dimKeys.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    time("dimKeys persist+count")(dkPersisted.count())
+    time("platform distinct (cached)")(
+      dkPersisted.select(col("commercePlatform")).distinct().count())
+    dkPersisted.unpersist(blocking = true)
     val wh = graft.etl.OrderEtl.loadWarehouse(graft.etl.OrderEtl.emptyWarehouse(spark), stg)
     time("etl dimPlatform")(wh.dimPlatform.count())
     time("etl dimProduct")(wh.dimProduct.count())

@@ -25,11 +25,19 @@ object CleanExprs {
   /** P5: trim whitespace incl. tabs, parse `yyyy-MM-dd HH:mm:ss`, fall back
     * to Spark's default timestamp inference, NULL on failure (mirrors
     * pandas `errors="coerce"`). Character-set trim, not regexp_replace —
-    * regex trims cost ~µs/row, a real tax on a 100 TB keying pass. */
+    * regex trims cost ~µs/row, a real tax on a 100 TB keying pass.
+    *
+    * The lenient formatter fallbacks only run when the string starts with
+    * a digit: every format they can parse does (ISO-ish), and without the
+    * guard each non-date string pays TWO exception-driven formatter
+    * attempts — measured ~2s of the sf0.1 ETL on the synthetic frame's
+    * garbage rows alone. */
   def parseTs(c: Column): Column = {
     val t = trim(c, " \t\r\n")
     coalesce(StrictTs.strictTs(t),
-      try_to_timestamp(t, lit("yyyy-MM-dd HH:mm:ss")), try_to_timestamp(t))
+      when(substring(t, 1, 1).between("0", "9"),
+        coalesce(try_to_timestamp(t, lit("yyyy-MM-dd HH:mm:ss")),
+          try_to_timestamp(t))))
   }
 
   /** P6: `"8.9523ft³"` / `"78.2641lb"` → 8.9523d; first decimal-number match,
@@ -38,11 +46,17 @@ object CleanExprs {
     nullif(regexp_extract(c, "([0-9]+(?:\\.[0-9]+)?)", 1), lit("")).cast(DoubleType)
 
   /** P7: trim+upper; keep iff `^[A-Z]{2}$`, else NULL. `sources` are tried
-    * in preference order (reference: `State` then `houseNo`). */
+    * in preference order (reference: `State` then `houseNo`). The [A-Z]
+    * test is spelled as length + per-char range checks — equivalent to the
+    * anchored regex (length() counts chars, and after upper() only
+    * characters above 'Z' or below 'A' can fail), without paying a regex
+    * matcher per row on the keying pass. */
   def stateCode(sources: Column*): Column = {
     val validated = sources.map { c =>
       val u = upper(scrub(c)) // pandas .str.strip() removes tabs/CR too
-      when(u.rlike("^[A-Z]{2}$"), u)
+      when(length(u) === 2 &&
+        substring(u, 1, 1).between("A", "Z") &&
+        substring(u, 2, 1).between("A", "Z"), u)
     }
     coalesce(validated: _*)
   }

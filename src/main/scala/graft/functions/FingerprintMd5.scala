@@ -30,6 +30,8 @@ case class FingerprintMd5(child: Expression) extends UnaryExpression {
 
 object FingerprintMd5 {
   private val hexChars = "0123456789abcdef".toCharArray
+  private val tlMd = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
 
   private def isWs(b: Byte): Boolean =
     b == ' ' || b == '\t' || b == '\n' || b == 0x0b || b == '\f' || b == '\r'
@@ -57,7 +59,9 @@ object FingerprintMd5 {
     // 3. lowercase — via UTF8String so unicode case rules match Spark lower()
     val lowered = UTF8String.fromBytes(buf, 0, n).toLowerCase.getBytes
     // 4. md5 hex
-    val d = java.security.MessageDigest.getInstance("MD5").digest(lowered)
+    val md = tlMd.get()
+    md.reset()
+    val d = md.digest(lowered)
     val out = new Array[Char](32)
     var j = 0
     while (j < 16) {

@@ -43,6 +43,8 @@ case class ShingleHash32(child: Expression, n: Int, nBytes: Int = 4) extends Una
 
 object ShingleHash32 {
   private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val tlMd = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
 
   def hashShingles(text: UTF8String, n: Int): GenericArrayData =
     hashShingles(text, n, 4)
@@ -60,7 +62,8 @@ object ShingleHash32 {
     s = s.substring(lo, hi)
     val toks = ws.split(s, -1) // limit -1: trailing empties kept, like Spark split
     if (toks.length < n) return new GenericArrayData(Array.emptyLongArray)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = tlMd.get()
+    md.reset()
     val out = new Array[Long](toks.length - n + 1)
     val sb = new java.lang.StringBuilder()
     var i = 0

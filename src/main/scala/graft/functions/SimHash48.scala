@@ -45,6 +45,8 @@ case class SimHash48(child: Expression) extends UnaryExpression {
 
 object SimHash48 {
   private val ws = java.util.regex.Pattern.compile("\\s+")
+  private val tlMd = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
   val Bits = 48
 
   /** Kernel deliberately NOT named `eval`: the companion class inherits
@@ -62,7 +64,7 @@ object SimHash48 {
     s = s.substring(lo, hi)
     val toks = ws.split(s, -1)
     val seen = new java.util.HashSet[String](toks.length * 2)
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = tlMd.get()
     val counts = new Array[Int](Bits)
     var i = 0
     while (i < toks.length) {

@@ -39,10 +39,16 @@ case class StableId63(child: Expression) extends UnaryExpression {
 }
 
 object StableId63 {
+  // one digest instance per task thread — getInstance per row is a
+  // provider lookup + allocation on the keying hot path
+  private val tlMd = ThreadLocal.withInitial[java.security.MessageDigest](
+    () => java.security.MessageDigest.getInstance("MD5"))
+
   /** First 8 bytes of md5 as unsigned 64-bit, masked to signed-63-bit —
     * identical to `int(md5(s).hexdigest()[:16], 16) & ((1<<63)-1)`. */
   def hash(s: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
+    val md = tlMd.get()
+    md.reset()
     val d = md.digest(s.getBytes)
     var v = 0L
     var i = 0
