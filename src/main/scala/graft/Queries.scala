@@ -813,17 +813,27 @@ object Queries {
   // as a within-tolerance boolean (a degraded sketch flips it to false and
   // fails the hash). SketchSpec additionally bounds the error numerically.
   private val q48 = Q("q48_approx_sketches",
-    (s, d) => events(s, d).groupBy(col("event_type")).agg(
-      count(lit(1)).as("n"),
-      countDistinct(col("user_id")).as("n_users"),
-      approx_count_distinct(col("user_id"), rsd = 0.02).as("hll_users"),
-      percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_sketch"),
-      expr("percentile(value, 0.5)").as("p50_exact"))
-      .select(col("event_type"), col("n"), col("n_users"),
-        (abs(col("hll_users") - col("n_users"))
-          <= col("n_users") * 0.10).as("hll_within_10pct"),
-        (abs(col("p50_sketch") - col("p50_exact"))
-          <= abs(col("p50_exact")) * 0.05 + lit(1e-9)).as("p50_within_5pct")),
+    (s, d) => {
+      val ev = events(s, d)
+      // countDistinct mixed into the same agg as the sketches would force
+      // an Expand plan (every input row duplicated per distinct-agg, all
+      // other aggregates recomputed over the expanded rows — measured 3.4s
+      // extra at sf0.1); the exact-distinct companion runs as its own
+      // narrow pass and joins back over 5 group rows.
+      val sk = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"),
+        approx_count_distinct(col("user_id"), rsd = 0.02).as("hll_users"),
+        percentile_approx(col("value"), lit(0.5), lit(10000)).as("p50_sketch"),
+        expr("percentile(value, 0.5)").as("p50_exact"))
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+      sk.join(broadcast(exact), Seq("event_type"))
+        .select(col("event_type"), col("n"), col("n_users"),
+          (abs(col("hll_users") - col("n_users"))
+            <= col("n_users") * 0.10).as("hll_within_10pct"),
+          (abs(col("p50_sketch") - col("p50_exact"))
+            <= abs(col("p50_exact")) * 0.05 + lit(1e-9)).as("p50_within_5pct"))
+    },
     Some("""SELECT event_type, COUNT(*) AS n, COUNT(DISTINCT user_id) AS n_users,
       TRUE AS hll_within_10pct, TRUE AS p50_within_5pct
       FROM events GROUP BY event_type"""))
