@@ -901,11 +901,71 @@ object Queries {
       FROM fact WHERE year(CAST(submitTime AS DATE)) = 1995
       GROUP BY 1"""))
 
+  // ------------------------------------------- E: corpus-prep operators
+  // Deterministic hash sampling: the reproducible train/holdout split.
+  // The oracle reproduces the exact subset from md5 alone — no RNG.
+  private val q52 = Q("q52_deterministic_sample",
+    (s, d) => graft.operators.TrainingData
+      .deterministicSample(documents(s, d), "doc_id", permille = 200)
+      .select(col("doc_id"), col("lang"), col("n_chars")),
+    Some("""SELECT doc_id, lang, n_chars FROM documents
+      WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)
+            % 9223372036854775808 % 1000 < 200"""))
+
+  // Greedy sequence packing into 2048-token bins, sharded by language
+  // (the shard key is the parallelism unit; a global pack would serialize
+  // through one task). Verified at bin granularity.
+  private val q53 = Q("q53_sequence_packing",
+    (s, d) => graft.operators.TrainingData
+      .packSequences(documents(s, d), "lang", "doc_id", "text", budget = 2048)
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens")),
+    Some("""WITH t AS (SELECT lang, doc_id,
+          len(string_split_regex(trim(text), '\s+')) AS n_tokens FROM documents),
+        c AS (SELECT lang, doc_id, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+            ROWS UNBOUNDED PRECEDING) - n_tokens AS prior FROM t)
+      SELECT lang, CAST(FLOOR(CAST(prior AS DOUBLE) / 2048) AS BIGINT) AS bin,
+        COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      FROM c GROUP BY 1, 2"""))
+
+  // PII redaction audit: deterministic synthetic PII (built identically by
+  // both engines from doc_id) injected, then emails/digit runs redacted;
+  // the md5 of the redacted text pins the exact output string.
+  private val q54 = Q("q54_pii_redaction",
+    (s, d) => {
+      val withPii = documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com ref "), col("doc_id")).as("text"))
+      graft.operators.TrainingData.redactPii(withPii, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_numbers"),
+          md5(col("redacted")).as("redacted_md5"))
+    },
+    Some(s"""WITH p AS (SELECT doc_id,
+          text || ' contact user' || doc_id || '@mail.example.com ref ' || doc_id AS text
+        FROM documents),
+      e AS (SELECT doc_id,
+          len(regexp_extract_all(text, '${graft.operators.TrainingData.EmailPattern}')) AS n_emails,
+          regexp_replace(text, '${graft.operators.TrainingData.EmailPattern}', '<EMAIL>', 'g') AS no_email
+        FROM p)
+      SELECT doc_id, CAST(n_emails AS INTEGER) AS n_emails,
+        CAST(len(regexp_extract_all(no_email, '[0-9]+')) AS INTEGER) AS n_numbers,
+        md5(regexp_replace(no_email, '[0-9]+', '<NUM>', 'g')) AS redacted_md5
+      FROM e"""))
+
+  // Frequency vocabulary (tokenizer seed vocab): top-50 tokens globally.
+  private val q55 = Q("q55_vocabulary",
+    (s, d) => graft.operators.TrainingData.vocabulary(documents(s, d), "text", k = 50),
+    Some("""SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+            FROM documents)
+      WHERE tok <> '' GROUP BY tok ORDER BY n DESC, token LIMIT 50"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51)
+    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
