@@ -953,6 +953,35 @@ object Queries {
         md5(regexp_replace(no_email, '[0-9]+', '<NUM>', 'g')) AS redacted_md5
       FROM e"""))
 
+  // Dedup clustering: q20's near-dup pairs resolved into connected
+  // components (one canonical doc per cluster). Spark side is iterative
+  // min-label propagation; the oracle computes the same fixpoint via a
+  // recursive-CTE transitive closure — independently derived semantics.
+  private val q56 = Q("q56_dedup_clusters",
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.4, ngram = 3)
+      Dedup.components(docs, "doc_id", pairs)
+    },
+    Some(s"""WITH RECURSIVE $shingleCte,
+      sz AS (SELECT doc, COUNT(*) AS n FROM h GROUP BY doc),
+      inter AS (SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS inter
+                FROM h a JOIN h b ON a.hv = b.hv AND a.doc < b.doc
+                GROUP BY a.doc, b.doc),
+      pairs AS (SELECT d1, d2
+        FROM inter JOIN sz s1 ON d1 = s1.doc JOIN sz s2 ON d2 = s2.doc
+        WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.4),
+      edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                UNION SELECT d2, d1 FROM pairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      mn AS (SELECT src, MIN(dst) AS m FROM reach GROUP BY src)
+      SELECT d.doc_id AS doc,
+        CAST(LEAST(d.doc_id, COALESCE(mn.m, d.doc_id)) AS BIGINT) AS component
+      FROM documents d LEFT JOIN mn ON d.doc_id = mn.src"""))
+
   // Frequency vocabulary (tokenizer seed vocab): top-50 tokens globally.
   private val q55 = Q("q55_vocabulary",
     (s, d) => graft.operators.TrainingData.vocabulary(documents(s, d), "text", k = 50),
@@ -965,7 +994,8 @@ object Queries {
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
-    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54, q55)
+    q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
+    q55, q56)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

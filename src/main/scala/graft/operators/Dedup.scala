@@ -204,4 +204,50 @@ object Dedup {
     }.reduce(_ + _)
     sums.select(col("doc"), sigExpr.as("simhash"))
   }
+
+  /** The dedup endgame: near-dup PAIRS resolved into CLUSTERS, so one
+    * canonical doc survives per connected component of the similarity
+    * graph (pairwise keep-min would under-delete: a~b, b~c must collapse
+    * a,b,c together even when a~c was never emitted as a pair).
+    *
+    * Iterative min-label propagation: every round each doc takes the min
+    * of its own label and its neighbors' — rounds needed = graph diameter,
+    * and near-dup clusters are shallow (2-4 hops). Each round is ONE
+    * shuffle join + aggregate; the driver sees only an 8-byte convergence
+    * checksum (labels are monotonically nonincreasing, so an unchanged
+    * sum IS the fixpoint — no data ever collects). `localCheckpoint`
+    * truncates the growing lineage per round; a production run on an
+    * unreliable cluster would use reliable checkpointing instead. For
+    * adversarially deep graphs, alternate large-star/small-star rounds
+    * bound iterations at O(log n); near-dup graphs don't need it.
+    *
+    * @return (doc, component) for EVERY doc in `docs`; component = min
+    *         doc id reachable, singletons map to themselves. */
+  def components(docs: DataFrame, idCol: String, pairs: DataFrame,
+                 maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("d1").as("src"), col("d2").as("dst"))
+      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .localCheckpoint()
+    var labels = docs.select(col(idCol).cast("long").as("doc"),
+      col(idCol).cast("long").as("comp")).localCheckpoint()
+    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("doc").as("src"), col("comp")), Seq("src"))
+        .groupBy(col("dst")).agg(min(col("comp")).as("ncomp"))
+        .select(col("dst").as("doc"), col("ncomp"))
+      labels = labels.join(neighborMin, Seq("doc"), "left")
+        .select(col("doc"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      val s = labels.agg(sum(col("comp"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      iter += 1
+    }
+    labels.select(col("doc"), col("comp").as("component"))
+  }
 }

@@ -39,6 +39,26 @@ class DedupSpec extends SparkSpec {
     assert(dups == (cand intersect jacc))
   }
 
+  test("components: transitive closure, singletons self-labeled, converges") {
+    import spark.implicits._
+    // chain 1-2-3 (1~3 never paired), pair 10-11, singleton 20
+    val docs = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val out = graft.operators.Dedup.components(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
+  test("components on a long chain still reaches the global min") {
+    import spark.implicits._
+    val n = 12 // diameter 11 — forces multiple propagation rounds
+    val docs = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("d1", "d2")
+    val out = graft.operators.Dedup.components(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(out.toSeq == Seq(1L))
+  }
+
   test("simhash near-dups: symmetric-free (d1<d2), hamming bound respected") {
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxBits = 3).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
