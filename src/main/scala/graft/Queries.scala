@@ -863,6 +863,30 @@ object Queries {
     },
     None)
 
+  // Multimodal metadata facet — the pure-SQL half of the media frame
+  // (payload length, content digest, typed meta), oracle-checked so the
+  // binary-column PLUMBING is verified even though the stub decode
+  // (q50) can't be: the payload bytes round-trip Spark's binary column
+  // exactly (md5 parity), and stay out of any shuffle.
+  private val q57 = Q("q57_multimodal_stats",
+    (s, d) => {
+      val media = documents(s, d).select(
+        col("doc_id").as("media_id"),
+        lit("image/stub").as("mime"),
+        encode(col("text"), "UTF-8").as("content"),
+        struct(col("source"),
+          lit(null).cast(IntegerType).as("width"),
+          lit(null).cast(IntegerType).as("height"),
+          lit(null).cast(LongType).as("duration_ms")).as("meta"))
+      graft.multimodal.Multimodal.payloadStats(media)
+    },
+    // md5(text) == md5 of the UTF-8 payload bytes — same digest both ways
+    Some("""SELECT doc_id AS media_id, 'image/stub' AS mime,
+      CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      md5(text) AS content_md5,
+      CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height
+      FROM documents"""))
+
   // Salted skew join: identical result set to the plain equi join (the
   // oracle IS the plain join), with hot keys split across `factor`
   // reducers. The fact side never broadcasts.
@@ -995,7 +1019,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56)
+    q55, q56, q57)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
