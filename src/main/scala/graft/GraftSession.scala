@@ -19,6 +19,13 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // Default 10MB broadcast threshold is sized for small executors; on
+      // this 128 GiB single JVM a 64MB build side is trivially resident
+      // and turns the mid-size dimension joins (orders at sf0.1 ≈ 15MB)
+      // into broadcasts — no probe-side shuffle. On a cluster, size this
+      // to executor memory; the big-fact joins stay shuffles regardless.
+      .config("spark.sql.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
+      .config("spark.sql.adaptive.autoBroadcastJoinThreshold", s"${64 * 1024 * 1024}")
       // The engine caches only narrow, hot frames (the 8-column ETL
       // staging projection) — for those, columnar-cache compression codecs
       // cost more CPU at build time than the memory they save (measured

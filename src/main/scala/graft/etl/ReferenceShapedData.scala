@@ -25,7 +25,12 @@ object ReferenceShapedData {
   def syntheticOrders(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val c = Tables.customer(spark, sfDir)
+    // The single-row-group fixture reads as ONE scan task; the cleaning
+    // pass above this frame is the ETL's dominant per-row compute, so
+    // split the probe side explicitly (orders/customer broadcast against
+    // it). See Tables.splitOnRead for the full story.
     val l = Tables.lineitem(spark, sfDir)
+      .repartition(spark.sparkContext.defaultParallelism)
     val joined = l
       .join(o, col("l_orderkey") === col("o_orderkey"))
       .join(c, col("o_custkey") === col("c_custkey"))

@@ -226,11 +226,16 @@ object Dedup {
   def components(docs: DataFrame, idCol: String, pairs: DataFrame,
                  maxIters: Int = 25): DataFrame = {
     val edges = pairs
-      .select(col("d1").as("src"), col("d2").as("dst"))
-      .unionByName(pairs.select(col("d2").as("src"), col("d1").as("dst")))
+      .select(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst"))
+      .unionByName(pairs
+        .select(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst")))
       .localCheckpoint()
-    var labels = docs.select(col(idCol).cast("long").as("doc"),
-      col(idCol).cast("long").as("comp")).localCheckpoint()
+    // Iterate over the ACTIVE subgraph only: a node with no edges can
+    // never change its label, and in a near-dup corpus pair-involved docs
+    // are a sliver of the whole — the loop's joins touch |edge endpoints|
+    // rows, not |corpus| rows. Singletons rejoin at the end.
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("comp")).localCheckpoint()
     var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
     var iter = 0
     var converged = false
@@ -248,6 +253,8 @@ object Dedup {
       prevSum = s
       iter += 1
     }
-    labels.select(col("doc"), col("comp").as("component"))
+    docs.select(col(idCol).cast("long").as("doc"))
+      .join(labels, Seq("doc"), "left")
+      .select(col("doc"), coalesce(col("comp"), col("doc")).as("component"))
   }
 }
