@@ -977,6 +977,45 @@ object Queries {
         md5(regexp_replace(no_email, '[0-9]+', '<NUM>', 'g')) AS redacted_md5
       FROM e"""))
 
+  // The STREAMING face of q25 through the oracle gate: a real
+  // Structured Streaming query (file source → watermarked tumbling-window
+  // aggregate → memory sink) drained with Trigger.AvailableNow must
+  // produce exactly the batch answer — so the batch SQL IS its oracle.
+  // Complete output mode: end-of-stream watermark would hold back the
+  // final windows in append mode; with one drained source there is no
+  // late data to drop, so streaming == batch row-for-row.
+  private val q58 = Q("q58_streaming_hourly",
+    (s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the file source streams a DIRECTORY (new files get picked up);
+      // stage the fixture file into one
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_${Integer.toHexString(d.hashCode)}")
+      if (!new java.io.File(dir, "events.parquet").exists()) {
+        dir.mkdirs()
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          java.nio.file.Paths.get(dir.getAbsolutePath, "events.parquet"))
+      }
+      val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
+      val raw = s.readStream.schema(rawSchema).parquet(dir.getAbsolutePath)
+      val ev = if (rawSchema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) else raw
+      val sink = "graft_q58_sink"
+      val q = graft.streaming.EventStreams.hourlyAgg(ev)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+        .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+          col("event_type"), col("n"), col("total_value"))
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour, event_type, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events GROUP BY date_trunc('hour', ts), event_type"""))
+
   // Dedup clustering: q20's near-dup pairs resolved into connected
   // components (one canonical doc per cluster). Spark side is iterative
   // min-label propagation; the oracle computes the same fixpoint via a
@@ -1019,7 +1058,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57)
+    q55, q56, q57, q58)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
