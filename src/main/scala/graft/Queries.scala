@@ -1045,6 +1045,27 @@ object Queries {
         CAST(LEAST(d.doc_id, COALESCE(mn.m, d.doc_id)) AS BIGINT) AS component
       FROM documents d LEFT JOIN mn ON d.doc_id = mn.src"""))
 
+  // JL-style random projection: 64-float embeddings → 8 doubles via a
+  // fixed deterministic ±1-ish matrix, applied in the scan. The dimension
+  // squeeze (8x fewer bytes) happens BEFORE any shuffle — the shape for
+  // clustering/dedup over vectors at corpus scale. Oracle reproduces the
+  // identical ordered fold via list_dot_product on the same constants.
+  private val q59 = Q("q59_random_projection",
+    (s, d) => {
+      val planes = Similarity.planes(8, 64)
+      embeddings(s, d).select(col("vec_id") +: (0 until 8).map(i =>
+        round(element_at(
+          graft.functions.VectorNative.randomProject(col("embedding"), planes),
+          i + 1), 6).as(s"r$i")): _*)
+    },
+    Some {
+      val planes = Similarity.planes(8, 64)
+      val cols = planes.zipWithIndex.map { case (p, i) =>
+        s"ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), ${p.mkString("[", ",", "]")}), 6) AS r$i"
+      }.mkString(", ")
+      s"SELECT vec_id, $cols FROM embeddings"
+    })
+
   // Frequency vocabulary (tokenizer seed vocab): top-50 tokens globally.
   private val q55 = Q("q55_vocabulary",
     (s, d) => graft.operators.TrainingData.vocabulary(documents(s, d), "text", k = 50),
@@ -1058,7 +1079,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58)
+    q55, q56, q57, q58, q59)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -171,6 +171,35 @@ object VectorNative {
     ColumnBridge.column(NearestCells(
       ColumnBridge.expr(v.cast(ArrayType(DoubleType))), centroids, nProbe))
 
+  /** Dense projection: out[j] = dot(v, planes[j]) — the JL-style
+    * dimensionality reduction that turns a 64-float embedding into k
+    * doubles before it ever reaches a shuffle. Same ordered fold as
+    * [[evalDot]], so results are bit-identical to the oracle's
+    * list_dot_product. */
+  def evalProject(v: ArrayData, planes: Array[Array[Double]]): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = v.numElements()
+    val out = new Array[Double](planes.length)
+    var j = 0
+    while (j < planes.length) {
+      val w = planes(j)
+      checkDims(n, w.length, "random_project")
+      var acc = 0.0
+      var i = 0
+      while (i < n) {
+        checkNotNullAt(v, i, "random_project")
+        acc += v.getDouble(i) * w(i); i += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  /** Fixed-matrix random projection to `planes.length` dims. */
+  def randomProject(v: Column, planes: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(RandomProject(
+      ColumnBridge.expr(v.cast(ArrayType(DoubleType))), planes.map(_.toArray)))
+
   def evalPlaneBits(v: ArrayData, planes: Array[Array[Double]]): UTF8String = {
     val sb = new java.lang.StringBuilder(planes.length)
     val n = v.numElements()
@@ -264,6 +293,23 @@ case class NearestCentroid(child: Expression, centroids: Seq[Array[Double]])
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "nearest_centroid"
+}
+
+case class RandomProject(child: Expression, planes: Seq[Array[Double]])
+  extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  @transient private lazy val planeArr: Array[Array[Double]] = planes.toArray
+
+  override def nullSafeEval(v: Any): Any =
+    VectorNative.evalProject(v.asInstanceOf[ArrayData], planeArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("planes", planeArr, "double[][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorNative.evalProject($v, $ref)")
+  }
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "random_project"
 }
 
 case class NearestCells(child: Expression, centroids: Seq[Array[Double]], nProbe: Int)

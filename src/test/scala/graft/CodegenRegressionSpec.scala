@@ -39,6 +39,8 @@ class CodegenRegressionSpec extends SparkSpec {
         VectorNative.cosineSim(col("vec"), col("vec")).as("cos"),
         VectorNative.l2Normalize(col("vec")).as("l2"),
         VectorNative.planeBits(col("vec"), planes).as("pb"),
+        VectorNative.randomProject(col("vec"), planes).as("rp"),
+        VectorNative.nearestCells(col("vec"), cents, 2).as("ncs"),
         VectorNative.nearestCentroid(col("vec"), cents).as("nc"))
       val rows = out.collect()
       assert(rows.nonEmpty)
