@@ -60,7 +60,11 @@ object Dedup {
     * is rare. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    threshold: Double, ngram: Int = 3): DataFrame = {
-    val tok = postings(docs, idCol, textCol, ngram)
+    // localCheckpoint: three consumers (sizes + both self-join sides) —
+    // without materialization the scan→shingle→distinct pipeline runs
+    // once per consumer that the exchange-reuse pass can't unify (the
+    // per-side projections differ, the round-1 lesson)
+    val tok = postings(docs, idCol, textCol, ngram).localCheckpoint()
     val sz = tok.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val a = tok.select(col("doc").as("d1"), col("hv"))
     val b = tok.select(col("doc").as("d2"), col("hv"))
