@@ -35,6 +35,7 @@ class CodegenRegressionSpec extends SparkSpec {
         StableId63.stableId63(col("text")).as("sid"),
         LangIdNative.langId(col("text")).as("lid"),
         FingerprintMd5.fingerprintMd5(col("text")).as("fp"),
+        StrictTs.strictTs(col("text")).as("sts"),
         VectorNative.dotProduct(col("vec"), col("vec")).as("dot"),
         VectorNative.cosineSim(col("vec"), col("vec")).as("cos"),
         VectorNative.l2Normalize(col("vec")).as("l2"),

@@ -104,6 +104,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(nPart > 0 && nPart <= 12, s"numPartitions=$nPart")
   }
 
+  test("q52: deterministic sample is a narrow filter — zero exchanges") {
+    // read the raw file (Tables.documents splits on read, which IS an
+    // exchange, for scan parallelism over single-row-group fixtures);
+    // the operator itself must add nothing
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.operators.TrainingData
+      .deterministicSample(docs, "doc_id", 200)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
+
+  test("q53: sequence packing has exactly one exchange (the shard key)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.operators.TrainingData
+      .packSequences(docs, "lang", "doc_id", "text", 2048)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(800))
+  }
+
+  test("q55: vocabulary top-k plans as TakeOrderedAndProject over a partial agg") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.operators.TrainingData.vocabulary(docs, "text", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(500))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(500))
+  }
+
   test("whole-stage codegen covers the cleaning scan (native exprs fused)") {
     val synth = graft.etl.ReferenceShapedData.syntheticOrders(spark, sf)
     val stg = graft.etl.OrderEtl.toStaging(graft.etl.OrderEtl.cleanOrders(synth))
