@@ -33,6 +33,11 @@ object GraftSession {
       // the opposite; we don't create any.
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // catalog tables (the bucketed warehouse) live under tmp, not the
+      // source tree
+      .config("spark.sql.warehouse.dir",
+        new java.io.File(System.getProperty("java.io.tmpdir"),
+          "graft_spark_warehouse").getAbsolutePath)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
 }

@@ -1045,6 +1045,44 @@ object Queries {
         CAST(LEAST(d.doc_id, COALESCE(mn.m, d.doc_id)) AS BIGINT) AS component
       FROM documents d LEFT JOIN mn ON d.doc_id = mn.src"""))
 
+  // Bucketed catalog tables for the co-located join path, created once
+  // per JVM per sf dir (the bucketed layout is durable; queries only read)
+  private val bucketed = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+  private def bucketedTables(s: SparkSession, d: String): (String, String) =
+    bucketed.computeIfAbsent(d, _ => {
+      val sfx = Integer.toHexString(d.hashCode)
+      val li = s"graft_li_$sfx"
+      val ord = s"graft_ord_$sfx"
+      graft.sources.WarehouseStore.saveBucketed(
+        lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
+          col("l_quantity"), col("l_extendedprice")),
+        li, Seq("o_orderkey"), numBuckets = 16)
+      graft.sources.WarehouseStore.saveBucketed(
+        orders(s, d).select(col("o_orderkey"), col("o_orderpriority")),
+        ord, Seq("o_orderkey"), numBuckets = 16)
+      (li, ord)
+    })
+
+  // Co-located (bucketed) join: both sides pre-shuffled into 16 buckets
+  // on the join key at WRITE time, so the fact-to-fact join runs with
+  // ZERO exchanges before it (PlanShapeSpec asserts) — the layout for
+  // repeated big-big joins at scale, where neither side can broadcast.
+  // The merge hint models that regime (at sf0.1 both sides would fit a
+  // broadcast, which would hide the bucketed path being exercised).
+  private val q60 = Q("q60_bucketed_join",
+    (s, d) => {
+      val (liT, ordT) = bucketedTables(s, d)
+      s.table(liT).hint("merge")
+        .join(s.table(ordT), Seq("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec(col("l_quantity"))).cast(DoubleType).as("sum_qty"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_lines,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority"""))
+
   // JL-style random projection: 64-float embeddings → 8 doubles via a
   // fixed deterministic ±1-ish matrix, applied in the scan. The dimension
   // squeeze (8x fewer bytes) happens BEFORE any shuffle — the shape for
@@ -1079,7 +1117,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59)
+    q55, q56, q57, q58, q59, q60)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

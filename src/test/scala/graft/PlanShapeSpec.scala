@@ -131,6 +131,25 @@ class PlanShapeSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(500))
   }
 
+  test("q60: bucketed join reads co-located buckets — no exchange below the join") {
+    val df = Queries.queries("q60_bucketed_join")(spark, sf)
+    val plan = finalPlan(df)
+    // the only exchange allowed is the one ABOVE the join (final groupBy);
+    // the join's children must consume bucket layout directly
+    def findJoin(p: org.apache.spark.sql.execution.SparkPlan)
+    : Option[org.apache.spark.sql.execution.SparkPlan] = {
+      val here = p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => Seq(j)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          findJoin(q.plan).toSeq
+      }.flatten
+      here.headOption
+    }
+    val join = findJoin(plan)
+    assert(join.isDefined, plan.toString.take(800))
+    assert(!join.get.toString.contains("Exchange"), join.get.toString.take(800))
+  }
+
   test("whole-stage codegen covers the cleaning scan (native exprs fused)") {
     val synth = graft.etl.ReferenceShapedData.syntheticOrders(spark, sf)
     val stg = graft.etl.OrderEtl.toStaging(graft.etl.OrderEtl.cleanOrders(synth))
