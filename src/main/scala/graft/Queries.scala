@@ -1104,6 +1104,27 @@ object Queries {
       s"SELECT vec_id, $cols FROM embeddings"
     })
 
+  // Gopher-style repetition filter signal: fraction of each document's
+  // 2-grams that are repeats — the boilerplate/machine-text quality gate.
+  private val q61 = Q("q61_repetition",
+    (s, d) => graft.operators.TrainingData
+      .repetitionStats(documents(s, d), "doc_id", "text", n = 2),
+    Some("""WITH sh AS (SELECT doc_id AS doc,
+          CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS hv
+        FROM (SELECT doc_id,
+                unnest(list_transform(range(len(tk) - 1),
+                  i -> tk[i + 1] || ' ' || tk[i + 2])) AS tok
+              FROM (SELECT doc_id,
+                      string_split_regex(trim(text), '\s+') AS tk
+                    FROM documents)
+              WHERE len(tk) >= 2)),
+      tot AS (SELECT doc, COUNT(*) AS n_ngrams FROM sh GROUP BY doc),
+      dis AS (SELECT doc, COUNT(*) AS n_distinct
+              FROM (SELECT DISTINCT doc, hv FROM sh) GROUP BY doc)
+      SELECT t.doc, t.n_ngrams, d2.n_distinct,
+        ROUND(1.0 - CAST(d2.n_distinct AS DOUBLE) / t.n_ngrams, 6) AS rep_ratio
+      FROM tot t JOIN dis d2 ON t.doc = d2.doc"""))
+
   // Frequency vocabulary (tokenizer seed vocab): top-50 tokens globally.
   private val q55 = Q("q55_vocabulary",
     (s, d) => graft.operators.TrainingData.vocabulary(documents(s, d), "text", k = 50),
@@ -1117,7 +1138,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60)
+    q55, q56, q57, q58, q59, q60, q61)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -63,6 +63,27 @@ object TrainingData {
       regexp_replace(col("__no_email"), NumberPattern, "<NUM>"))
     .drop("__no_email")
 
+  /** Gopher-style repetition signal: the fraction of a document's word
+    * n-grams that are repeats (1 - distinct/total). Highly repetitive
+    * machine-generated or boilerplate text scores near 1 and gets
+    * filtered before training. Shingles are hashed to ints before the
+    * counts (identical collisions cross-engine, 8-byte shuffle keys);
+    * total and distinct counts run as two lean aggregates — fusing them
+    * into one groupBy would plan countDistinct as an Expand (every
+    * posting duplicated, see q48). Docs shorter than n tokens drop out
+    * (no n-grams to judge). */
+  def repetitionStats(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 2): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc"),
+      explode(graft.functions.ShingleHash32.shingleHash32(col(textCol), n)).as("hv"))
+    val tot = sh.groupBy(col("doc")).agg(count(lit(1)).as("n_ngrams"))
+    val dis = sh.distinct().groupBy(col("doc")).agg(count(lit(1)).as("n_distinct"))
+    tot.join(dis, Seq("doc"))
+      .select(col("doc"), col("n_ngrams"), col("n_distinct"),
+        round(lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"), 6)
+          .as("rep_ratio"))
+  }
+
   /** Frequency vocabulary: top-`k` lowercased whitespace tokens by global
     * count (ties → lexicographic). Classic two-phase aggregate: partial
     * counts map-side, one shuffle on token, TakeOrdered for the top-k —
