@@ -988,15 +988,19 @@ object Queries {
     (s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // the file source streams a DIRECTORY (new files get picked up);
-      // stage the fixture file into one
-      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_stream_${Integer.toHexString(d.hashCode)}")
-      if (!new java.io.File(dir, "events.parquet").exists()) {
-        dir.mkdirs()
+      // stage the fixture file into one — once per JVM, always refreshed
+      // (an exists-check would silently stream a STALE copy after the
+      // fixture regenerates)
+      val dir = Queries.stagedEventsDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_stream_${Integer.toHexString(d.hashCode)}")
+        f.mkdirs()
         java.nio.file.Files.copy(
           java.nio.file.Paths.get(s"$d/events.parquet"),
-          java.nio.file.Paths.get(dir.getAbsolutePath, "events.parquet"))
-      }
+          java.nio.file.Paths.get(f.getAbsolutePath, "events.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        f
+      })
       val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
       val raw = s.readStream.schema(rawSchema).parquet(dir.getAbsolutePath)
       val ev = if (rawSchema("ts").dataType == LongType)
@@ -1044,6 +1048,9 @@ object Queries {
       SELECT d.doc_id AS doc,
         CAST(LEAST(d.doc_id, COALESCE(mn.m, d.doc_id)) AS BIGINT) AS component
       FROM documents d LEFT JOIN mn ON d.doc_id = mn.src"""))
+
+  private val stagedEventsDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
   // Bucketed catalog tables for the co-located join path, created once
   // per JVM per sf dir (the bucketed layout is durable; queries only read)
