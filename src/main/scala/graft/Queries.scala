@@ -1111,6 +1111,22 @@ object Queries {
       s"SELECT vec_id, $cols FROM embeddings"
     })
 
+  // Benchmark decontamination: docs sharing any 3-gram with the "eval
+  // set" (doc_id < 20 stands in for a benchmark) are removed before
+  // training — the test-set-leakage guard every LLM pipeline runs.
+  private val q62 = Q("q62_decontamination",
+    (s, d) => {
+      val docs = documents(s, d)
+      Dedup.decontaminate(docs, docs.where(col("doc_id") < 20),
+          "doc_id", "text", ngram = 3)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
+    Some(s"""WITH $shingleCte,
+      eval_h AS (SELECT DISTINCT hv FROM h WHERE doc < 20),
+      dirty AS (SELECT DISTINCT doc FROM h WHERE hv IN (SELECT hv FROM eval_h))
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT doc FROM dirty)"""))
+
   // Gopher-style repetition filter signal: fraction of each document's
   // 2-grams that are repeats — the boilerplate/machine-text quality gate.
   private val q61 = Q("q61_repetition",
@@ -1145,7 +1161,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61)
+    q55, q56, q57, q58, q59, q60, q61, q62)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

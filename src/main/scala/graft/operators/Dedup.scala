@@ -209,6 +209,31 @@ object Dedup {
     sums.select(col("doc"), sigExpr.as("simhash"))
   }
 
+  /** Benchmark decontamination: drop (or audit) every corpus document
+    * that shares at least one word n-gram with the evaluation set — the
+    * standard guard against test-set leakage into training data.
+    *
+    * Shape at scale: the eval side reduces to DISTINCT shingle hashes
+    * (tiny — benchmarks are KB-MB), broadcast against the corpus posting
+    * pass; contaminated ids surface from ONE semi-join, and the final
+    * anti-join keeps clean docs. The corpus text itself never shuffles —
+    * only (doc, 8-byte hash) postings flow.
+    *
+    * @return the clean subset of `corpus` (all original columns). */
+  def decontaminate(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                    textCol: String, ngram: Int = 3): DataFrame = {
+    val evalShingles = evalSet
+      .select(explode(graft.functions.ShingleHash32.shingleHash32(col(textCol), ngram)).as("hv"))
+      .distinct()
+    val contaminated = corpus
+      .select(col(idCol).as("__doc"),
+        explode(graft.functions.ShingleHash32.shingleHash32(col(textCol), ngram)).as("hv"))
+      .join(broadcast(evalShingles), Seq("hv"), "left_semi")
+      .select(col("__doc")).distinct()
+    corpus.join(contaminated,
+      corpus(idCol) === contaminated("__doc"), "left_anti")
+  }
+
   /** The dedup endgame: near-dup PAIRS resolved into CLUSTERS, so one
     * canonical doc survives per connected component of the similarity
     * graph (pairwise keep-min would under-delete: a~b, b~c must collapse
