@@ -268,15 +268,19 @@ object Dedup {
     var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIters) {
+    def propagate(ls: DataFrame): DataFrame = {
       val neighborMin = edges
-        .join(labels.select(col("doc").as("src"), col("comp")), Seq("src"))
+        .join(ls.select(col("doc").as("src"), col("comp")), Seq("src"))
         .groupBy(col("dst")).agg(min(col("comp")).as("ncomp"))
         .select(col("dst").as("doc"), col("ncomp"))
-      labels = labels.join(neighborMin, Seq("doc"), "left")
+      ls.join(neighborMin, Seq("doc"), "left")
         .select(col("doc"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint()
+    }
+    while (!converged && iter < maxIters) {
+      // two hops per materialization: each eager checkpoint + checksum is
+      // a driver round trip, and those dominate once the frames are small
+      labels = propagate(propagate(labels)).localCheckpoint()
       val s = labels.agg(sum(col("comp"))).head().getLong(0)
       converged = s == prevSum
       prevSum = s
