@@ -1055,11 +1055,30 @@ object Queries {
   // Bucketed catalog tables for the co-located join path, created once
   // per JVM per sf dir (the bucketed layout is durable; queries only read)
   private val bucketed = new java.util.concurrent.ConcurrentHashMap[String, (String, String)]()
+
+  /** A fresh JVM starts with an empty in-memory catalog, but the managed
+    * table's LOCATION under the warehouse dir survives from the previous
+    * run — saveAsTable then fails with LOCATION_ALREADY_EXISTS. Drop both
+    * the (possibly absent) catalog entry and the stale directory. */
+  private def dropStaleTable(s: SparkSession, table: String): Unit = {
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(rm)
+      f.delete()
+    }
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val dir = new java.io.File(wh, table)
+    if (dir.exists()) rm(dir)
+  }
+
   private def bucketedTables(s: SparkSession, d: String): (String, String) =
     bucketed.computeIfAbsent(d, _ => {
       val sfx = Integer.toHexString(d.hashCode)
       val li = s"graft_li_$sfx"
       val ord = s"graft_ord_$sfx"
+      dropStaleTable(s, li)
+      dropStaleTable(s, ord)
       graft.sources.WarehouseStore.saveBucketed(
         lineitem(s, d).select(col("l_orderkey").as("o_orderkey"),
           col("l_quantity"), col("l_extendedprice")),
