@@ -1146,6 +1146,31 @@ object Queries {
       SELECT doc_id, lang, n_chars FROM documents
       WHERE doc_id NOT IN (SELECT doc FROM dirty)"""))
 
+  // Multi-hop dimension chain (supplier → nation → region): revenue
+  // rolled up to region through three broadcast hops — the deep-star
+  // shape where every dim stays a broadcast and the fact never shuffles
+  // before the final aggregate. Completes table coverage (supplier and
+  // region were otherwise unexercised).
+  private val q63 = Q("q63_region_revenue",
+    (s, d) => lineitem(s, d)
+      .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(
+        sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
+          .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"),
+        countDistinct(col("s_suppkey")).as("n_suppliers")),
+    Some("""SELECT r_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      COUNT(*) AS n_items, COUNT(DISTINCT s_suppkey) AS n_suppliers
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name"""))
+
   // Gopher-style repetition filter signal: fraction of each document's
   // 2-grams that are repeats — the boilerplate/machine-text quality gate.
   private val q61 = Q("q61_repetition",
@@ -1180,7 +1205,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
