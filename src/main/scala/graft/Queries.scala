@@ -936,6 +936,20 @@ object Queries {
       WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)
             % 9223372036854775808 % 1000 < 200"""))
 
+  // Stratified rebalance: downsample English to 20%, keep half of
+  // everything else — per-language deterministic rates on the same
+  // engine-portable hash key.
+  private val q64 = Q("q64_stratified_sample",
+    (s, d) => graft.operators.TrainingData
+      .stratifiedSample(documents(s, d), "doc_id", "lang",
+        Map("en" -> 200), defaultPermille = 500)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_docs")),
+    Some("""SELECT lang, COUNT(*) AS n_docs FROM documents
+      WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16)) AS UBIGINT)
+            % 9223372036854775808 % 1000
+            < CASE WHEN lang = 'en' THEN 200 ELSE 500 END
+      GROUP BY lang"""))
+
   // Greedy sequence packing into 2048-token bins, sharded by language
   // (the shard key is the parallelism unit; a global pack would serialize
   // through one task). Verified at bin granularity.
@@ -1205,7 +1219,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62, q63)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

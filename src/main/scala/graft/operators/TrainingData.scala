@@ -24,6 +24,22 @@ object TrainingData {
       < lit(permille))
   }
 
+  /** Stratified deterministic sampling: a per-stratum rate (permille) on
+    * top of the same md5-derived key — the "rebalance the language mix"
+    * primitive (downsample the dominant language, keep the rest). Same
+    * guarantees as [[deterministicSample]]: narrow, engine-portable,
+    * subset-monotonic per stratum, no RNG state. Strata missing from
+    * `rates` fall back to `defaultPermille`. */
+  def stratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                       rates: Map[String, Int], defaultPermille: Int): DataFrame = {
+    (rates.values.toSeq :+ defaultPermille).foreach(p =>
+      require(p >= 0 && p <= 1000, s"permille out of range: $p"))
+    val rate = rates.foldLeft(lit(defaultPermille)) { case (acc, (k, p)) =>
+      when(col(stratumCol) === k, lit(p)).otherwise(acc)
+    }
+    df.where(pmod(StableId63.stableId63(col(idCol).cast("string")), lit(1000)) < rate)
+  }
+
   /** Greedy sequence packing: documents ordered by `idCol` within a shard
     * are laid head-to-tail and cut into `budget`-token bins —
     * bin = floor(exclusive-running-token-sum / budget), the streaming

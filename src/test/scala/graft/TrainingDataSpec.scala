@@ -24,6 +24,19 @@ class TrainingDataSpec extends SparkSpec {
     assert(TrainingData.deterministicSample(docs, "doc_id", 1000).count() == n)
   }
 
+  test("stratified sample: per-stratum rates, subset of the flat sample") {
+    val strat = TrainingData.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 0), defaultPermille = 300)
+    assert(strat.where(col("lang") === "en").count() == 0) // rate 0 excludes
+    val flat = TrainingData.deterministicSample(docs, "doc_id", 300)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids = strat.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.subsetOf(flat)) // same hash key — strata nest inside the flat rate
+    intercept[IllegalArgumentException] {
+      TrainingData.stratifiedSample(docs, "doc_id", "lang", Map("en" -> 2000), 100)
+    }
+  }
+
   test("sequence packing: bins contiguous per shard, filled to budget") {
     val budget = 1024
     val packed = TrainingData.packSequences(docs, "lang", "doc_id", "text", budget)
