@@ -1034,6 +1034,54 @@ object Queries {
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY date_trunc('hour', ts), event_type"""))
 
+  // Arbitrary-stateful streaming through the gate: the
+  // flatMapGroupsWithState sessionizer drains the events stream and its
+  // final per-user state must equal the batch window formulation — q26's
+  // oracle SQL verifies a streaming operator with custom state.
+  private val q65 = Q("q65_streaming_sessions",
+    (s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dir = Queries.stagedEventsDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_stream_${Integer.toHexString(d.hashCode)}")
+        f.mkdirs()
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          java.nio.file.Paths.get(f.getAbsolutePath, "events.parquet"),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        f
+      })
+      val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
+      val raw = s.readStream.schema(rawSchema).parquet(dir.getAbsolutePath)
+      val ev = (if (rawSchema("ts").dataType == LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) else raw)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      val sink = "graft_q65_sink"
+      val q = graft.streaming.EventStreams.sessionize(ev, gapMinutes = 30)
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("update")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // one drained batch → one (final) row per user; the max-agg keeps
+      // the reduction robust if the source ever arrives as several files
+      s.table(sink).groupBy(col("user_id"))
+        .agg(max(col("n_sessions")).as("n_sessions"),
+          max(col("n_events")).as("n_events"))
+    },
+    Some("""WITH l AS (SELECT user_id, ts, event_id,
+        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events),
+      s AS (SELECT user_id,
+        SUM(CASE WHEN prev IS NULL OR ts - prev > INTERVAL 30 MINUTE THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM l)
+      SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+      FROM s GROUP BY user_id"""))
+
   // Dedup clustering: q20's near-dup pairs resolved into connected
   // components (one canonical doc per cluster). Spark side is iterative
   // min-label propagation; the oracle computes the same fixpoint via a
@@ -1219,7 +1267,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -58,6 +58,12 @@ object EventStreams {
     * Batch equivalent: [[graft.operators.Sessionize.userSessionStats]] —
     * the spec asserts they agree on the same input.
     */
+  /** Full-precision epoch micros — Timestamp.getTime is millis and would
+    * truncate the sub-ms component the batch operator (and the oracle)
+    * order and gap-compare with. */
+  private def micros(t: java.sql.Timestamp): Long =
+    t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
@@ -67,10 +73,10 @@ object EventStreams {
         OutputMode.Update, GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state: GroupState[SessionState]) =>
           // sort this micro-batch's rows; state carries last seen ts across batches
-          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
           var s = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
           sorted.foreach { e =>
-            val tUs = e.ts.getTime * 1000L
+            val tUs = micros(e.ts)
             val newSession = s.sessionCount == 0L || (tUs - s.lastTs) > gapUs
             s =
               if (newSession) SessionState(s.sessionCount + 1, s.eventsInSession + 1, tUs)
