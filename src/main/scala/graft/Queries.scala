@@ -1082,6 +1082,28 @@ object Queries {
       SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
       FROM s GROUP BY user_id"""))
 
+  // Incremental streaming ETL ≡ batch ETL ≡ oracle: the same orders
+  // arrive as two CSV drops, each its own micro-batch through the
+  // foreachBatch upsert pipeline (the second upserts against a non-empty
+  // warehouse), and the final fact aggregate must hash-match q34's batch
+  // answer — which the DuckDB oracle reconstructs independently. The
+  // strongest idempotence/exactly-once claim the gate can make.
+  private val q66 = Q("q66_incremental_etl",
+    (s, d) => {
+      val wh = incrementalWarehouse(s, d)
+      wh.factSales
+        .join(broadcast(wh.dimPlatform), Seq("platform_id"))
+        .groupBy(col("platform_name"), col("state_code"))
+        .agg(sum(col("units")).as("units"),
+          count(lit(1)).as("n_lines"),
+          countDistinct(col("customer_id")).as("n_customers"))
+    },
+    Some(s"""WITH ${graft.etl.ReferenceShapedData.oracleCtes}
+      SELECT commercePlatform AS platform_name, state_code,
+        CAST(SUM(goodsNumber) AS BIGINT) AS units, COUNT(*) AS n_lines,
+        COUNT(DISTINCT customer_id) AS n_customers
+      FROM fact GROUP BY commercePlatform, state_code"""))
+
   // Dedup clustering: q20's near-dup pairs resolved into connected
   // components (one canonical doc per cluster). Spark side is iterative
   // min-label propagation; the oracle computes the same fixpoint via a
@@ -1113,6 +1135,47 @@ object Queries {
 
   private val stagedEventsDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  private val incrementalWh =
+    new java.util.concurrent.ConcurrentHashMap[String, graft.etl.OrderEtl.Warehouse]()
+
+  /** Stream the reference-shaped orders through the incremental-ingest
+    * pipeline: two CSV drops, one foreachBatch upsert per drop (the
+    * second batch exercises the anti-join upserts against a NON-empty
+    * warehouse), final warehouse returned. Once per JVM per sf dir. */
+  private def incrementalWarehouse(s: SparkSession, d: String): graft.etl.OrderEtl.Warehouse =
+    incrementalWh.computeIfAbsent(d, _ => {
+      import java.nio.file.{Files, Paths, StandardCopyOption}
+      val base = Files.createTempDirectory("graft_inc").toFile
+      val drops = new java.io.File(base, "drops"); drops.mkdirs()
+      val synth = graft.etl.ReferenceShapedData.syntheticOrders(s, d)
+      val cols = synth.columns.toSeq
+      val tagged = synth.withColumn("__h",
+        pmod(graft.functions.StableId63.stableId63(col("orderNo")), lit(2)))
+      Seq(0, 1).foreach { h =>
+        val out = new java.io.File(base, s"out$h")
+        tagged.where(col("__h") === h).drop("__h")
+          .coalesce(1).write.option("header", "true")
+          .mode("overwrite").csv(out.getAbsolutePath)
+        val part = out.listFiles().filter(_.getName.startsWith("part-")).head
+        Files.move(part.toPath,
+          Paths.get(drops.getAbsolutePath, s"drop$h.csv"),
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+      @volatile var wh = graft.etl.OrderEtl.emptyWarehouse(s)
+      val q = graft.streaming.IncrementalIngest.start(s,
+        drops.getAbsolutePath,
+        new java.io.File(base, "ckpt").getAbsolutePath,
+        fileColumns = cols,
+        load = () => wh,
+        save = next => wh = graft.etl.OrderEtl.Warehouse(
+          next.dimDate.localCheckpoint(true), next.dimCustomer.localCheckpoint(true),
+          next.dimProduct.localCheckpoint(true), next.dimPlatform.localCheckpoint(true),
+          next.factSales.localCheckpoint(true)),
+        maxFilesPerTrigger = Some(1))
+      q.awaitTermination()
+      wh
+    })
 
   // Bucketed catalog tables for the co-located join path, created once
   // per JVM per sf dir (the bucketed layout is durable; queries only read)
@@ -1267,7 +1330,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

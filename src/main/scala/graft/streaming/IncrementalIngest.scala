@@ -27,14 +27,18 @@ object IncrementalIngest {
             fileColumns: Seq[String],
             load: () => OrderEtl.Warehouse,
             save: OrderEtl.Warehouse => Unit,
-            availableNow: Boolean = true): StreamingQuery = {
+            availableNow: Boolean = true,
+            maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val schema = org.apache.spark.sql.types.StructType(
       fileColumns.map(c => org.apache.spark.sql.types.StructField(c,
         org.apache.spark.sql.types.StringType)))
-    val stream = spark.readStream
+    val reader = spark.readStream
       .option("header", "true")
       .schema(schema)
-      .csv(csvDir)
+    // bounded files per micro-batch: each drop becomes its own
+    // foreachBatch upsert (AvailableNow still drains everything)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = reader.csv(csvDir)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
