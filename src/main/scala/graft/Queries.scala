@@ -1296,6 +1296,24 @@ object Queries {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name"""))
 
+  // Length-decile stratification (ntile): documents cut into 10
+  // equal-count buckets by length — the length-balanced sampling frame.
+  // Deterministic tiebreak on doc_id keeps ntile stable across engines.
+  private val q67 = Q("q67_length_deciles",
+    (s, d) => documents(s, d)
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars")),
+    Some("""WITH t AS (SELECT doc_id, n_chars,
+        NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile FROM documents)
+      SELECT CAST(decile AS INTEGER) AS decile, COUNT(*) AS n_docs,
+        CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+        CAST(MAX(n_chars) AS BIGINT) AS max_chars
+      FROM t GROUP BY decile"""))
+
   // Gopher-style repetition filter signal: fraction of each document's
   // 2-grams that are repeats — the boilerplate/machine-text quality gate.
   private val q61 = Q("q61_repetition",
@@ -1330,7 +1348,7 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -69,6 +69,27 @@ class XlsxIngestSpec extends SparkSpec {
     assert(keys == Seq("SKU-1", "SKU-1"))
   }
 
+  test("malformed inputs fail fast with clear messages") {
+    val notZip = java.io.File.createTempFile("graft_bad", ".xlsx")
+    notZip.deleteOnExit()
+    java.nio.file.Files.writeString(notZip.toPath, "this is not a zip archive")
+    val e = intercept[IllegalArgumentException] {
+      XlsxIngest.readAllString(spark, notZip.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("no worksheet"))
+
+    val emptySheet = java.io.File.createTempFile("graft_empty", ".xlsx")
+    emptySheet.deleteOnExit()
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(emptySheet))
+    entry(zos, "xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData/></worksheet>""")
+    zos.close()
+    val e2 = intercept[IllegalArgumentException] {
+      XlsxIngest.readAllString(spark, emptySheet.getAbsolutePath)
+    }
+    assert(e2.getMessage.contains("no rows"))
+  }
+
   test("column-reference arithmetic covers multi-letter columns") {
     assert(XlsxIngest.colIndex("A1") == 0)
     assert(XlsxIngest.colIndex("Z9") == 25)
