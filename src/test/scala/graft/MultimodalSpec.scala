@@ -33,6 +33,26 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(1L).histogram.sum > 0.999 && f1(1L).histogram.sum < 1.001)
   }
 
+  test("resize: payload rewritten deterministically, identity and meta updated") {
+    val out = Multimodal.resizeImages(media, 32, 32).collect()
+      .map(m => m.media_id -> m).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    out.values.foreach { m =>
+      assert(m.meta.width.contains(32) && m.meta.height.contains(32))
+      assert(m.content.length == 16) // stub codec: md5-sized payload
+    }
+    // pure function of (payload, dims): same input -> same bytes; distinct
+    // payloads -> distinct outputs
+    val again = Multimodal.resizeImages(media, 32, 32).collect()
+      .map(m => m.media_id -> m).toMap
+    out.foreach { case (id, m) =>
+      assert(again(id).content.toSeq == m.content.toSeq)
+    }
+    assert(out(1L).content.toSeq != out(2L).content.toSeq)
+    // mime and source pass through untouched
+    assert(out(3L).mime == "video/mp4" && out(3L).meta.source == "cam2")
+  }
+
   test("frame sampling: one row per sampled frame, duration-driven") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000L).collect()
     val byId = frames.groupBy(_.media_id)
