@@ -1296,13 +1296,16 @@ object Queries {
       JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name"""))
 
-  // Length-decile stratification (ntile): documents cut into 10
-  // equal-count buckets by length — the length-balanced sampling frame.
-  // Deterministic tiebreak on doc_id keeps ntile stable across engines.
+  // Length-decile stratification: documents cut into 10 equal-count
+  // buckets by length — the length-balanced sampling frame. Deterministic
+  // tiebreak on doc_id keeps the cut stable across engines. NOT a
+  // partition-less ntile window (that would sort the whole corpus through
+  // one task): TrainingData.ntileBuckets broadcasts the 9 exact decile
+  // boundaries and assigns with a narrow when-chain — same answer, zero
+  // global sort (plan-asserted in PlanShapeSpec).
   private val q67 = Q("q67_length_deciles",
-    (s, d) => documents(s, d)
-      .withColumn("decile",
-        ntile(10).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+    (s, d) => graft.operators.TrainingData
+      .ntileBuckets(documents(s, d), 10, "n_chars", "doc_id", "decile")
       .groupBy(col("decile"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("n_chars")).as("min_chars"),

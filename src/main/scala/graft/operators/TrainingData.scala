@@ -100,6 +100,75 @@ object TrainingData {
           .as("rep_ratio"))
   }
 
+  /** Exact NTILE(`n`) over (`orderCol`, `tieCol`) WITHOUT a global sort —
+    * the scale-safe length-decile assigner. A partition-less ntile window
+    * funnels the whole table through ONE task; instead:
+    *
+    *  1. histogram of `orderCol` (one shuffle, |distinct values| rows);
+    *  2. cumulative ends over that aggregated frame (the single-partition
+    *     window runs on the histogram, never the base table — SCALE.md);
+    *  3. the n-1 bucket cut ranks are located in the histogram; where a
+    *     cut falls strictly inside a value group, the tie-breaking
+    *     `tieCol` at the cut offset is resolved with a window partitioned
+    *     BY VALUE over only the boundary values' rows (< n values);
+    *  4. the collected boundary list (≤ n-1 rows — bounded driver state,
+    *     never data) becomes a broadcast when-chain: bucket assignment is
+    *     a NARROW projection on the base table.
+    *
+    * Same answer as `ntile(n).over(Window.orderBy(orderCol, tieCol))` for
+    * non-null keys and distinct (orderCol, tieCol) pairs — NTILE bucket
+    * sizes are ceil/floor(N/n) with the first N%n buckets one larger.
+    * Skew note: step 3 sorts each boundary value's group in one task; a
+    * single value owning a whole decile's worth of ties is the worst
+    * case, and only the ≤ n-1 boundary values ever pay it. */
+  def ntileBuckets(df: DataFrame, n: Int, orderCol: String, tieCol: String,
+                   bucketCol: String): DataFrame = {
+    require(n >= 1, s"bucket count must be >= 1: $n")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val total = df.count()
+    if (total == 0L || n == 1) return df.withColumn(bucketCol, lit(1))
+    val hist = df.groupBy(col(orderCol)).agg(count(lit(1)).as("__cnt"))
+    val cumW = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__cum_end", sum(col("__cnt")).over(cumW))
+      .withColumn("__cum_start", col("__cum_end") - col("__cnt"))
+    val base = total / n
+    val rem = total % n
+    // global rank of the LAST row of bucket j (first `rem` buckets get
+    // base+1 rows); cuts collapse onto rank `total` when total < n
+    val cuts = (1 until n).map(j => (j, j * base + math.min(j, rem)))
+      .toDF("__j", "__k")
+    val boundsDf = cum.join(broadcast(cuts),
+        col("__cum_start") < col("__k") && col("__k") <= col("__cum_end"))
+      .select(col("__j"), col(orderCol).as("__v"),
+        (col("__k") - col("__cum_start")).as("__m"), col("__cnt").as("__vcnt"))
+    // tie value at offset __m inside each strictly-cut group; cuts landing
+    // on a group's end need no tie (the condition is just `<= value`)
+    val strictVals = boundsDf.where(col("__m") < col("__vcnt"))
+      .select(col("__v")).distinct()
+    val rnW = Window.partitionBy(col(orderCol)).orderBy(col(tieCol))
+    val ranked = df
+      .join(broadcast(strictVals), col(orderCol) === col("__v"), "left_semi")
+      .select(col(orderCol).as("__rv"), col(tieCol).as("__rt"),
+        row_number().over(rnW).cast("long").as("__rn"))
+    val bounds = boundsDf.join(ranked,
+        col("__v") === col("__rv") && col("__m") === col("__rn"), "left")
+      .select(col("__j"), col("__v"), col("__m"), col("__vcnt"),
+        col("__rt").as("__tie"))
+      .collect()
+      .sortBy(_.getInt(0))
+    val bucket = bounds.foldRight(lit(n)) { (r, acc) =>
+      val cond =
+        if (r.getLong(2) >= r.getLong(3)) col(orderCol) <= lit(r.get(1))
+        else col(orderCol) < lit(r.get(1)) ||
+          (col(orderCol) === lit(r.get(1)) && col(tieCol) <= lit(r.get(4)))
+      when(cond, lit(r.getInt(0))).otherwise(acc)
+    }
+    df.withColumn(bucketCol, bucket)
+  }
+
   /** Frequency vocabulary: top-`k` lowercased whitespace tokens by global
     * count (ties → lexicographic). Classic two-phase aggregate: partial
     * counts map-side, one shuffle on token, TakeOrdered for the top-k —

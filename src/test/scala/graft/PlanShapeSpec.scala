@@ -150,6 +150,17 @@ class PlanShapeSpec extends SparkSpec {
     assert(!join.get.toString.contains("Exchange"), join.get.toString.take(800))
   }
 
+  test("q67: decile assignment has no window and no global sort on the base table") {
+    // boundary resolution runs as bounded side jobs during construction;
+    // the RETURNED plan must be scan -> narrow when-chain -> groupBy only
+    val plan = Queries.queries("q67_length_deciles")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(!plan.contains("Sort"), plan.take(800))
+    // the when-chain decile assignment reached the plan
+    assert(plan.contains("CASE WHEN") || plan.contains("decile"), plan.take(800))
+  }
+
   test("whole-stage codegen covers the cleaning scan (native exprs fused)") {
     val synth = graft.etl.ReferenceShapedData.syntheticOrders(spark, sf)
     val stg = graft.etl.OrderEtl.toStaging(graft.etl.OrderEtl.cleanOrders(synth))

@@ -73,6 +73,41 @@ class TrainingDataSpec extends SparkSpec {
       "mail <EMAIL> and <NUM> monkeys on <NUM>-<NUM>-<NUM>")
   }
 
+  test("ntileBuckets equals the ntile window on the documents table") {
+    import org.apache.spark.sql.expressions.Window
+    val expected = docs
+      .withColumn("decile",
+        ntile(10).over(Window.orderBy(col("n_chars"), col("doc_id"))))
+      .select(col("doc_id"), col("decile"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = TrainingData.ntileBuckets(docs, 10, "n_chars", "doc_id", "decile")
+      .select(col("doc_id"), col("decile"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == expected)
+  }
+
+  test("ntileBuckets: heavy ties, N%n!=0, N<n all match the window answer") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    def check(rows: Seq[(Long, Long)], n: Int): Unit = {
+      val df = rows.toDF("id", "v").repartition(4)
+      val expected = df
+        .withColumn("b", ntile(n).over(Window.orderBy(col("v"), col("id"))))
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      val got = TrainingData.ntileBuckets(df, n, "v", "id", "b")
+        .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+      assert(got == expected, s"n=$n rows=${rows.size}")
+    }
+    // one value owns several buckets; boundaries inside tie groups
+    check((1L to 97L).map(i => (i, (i % 3) * 10)), 10)
+    // all rows identical order value
+    check((1L to 23L).map(i => (i, 7L)), 4)
+    // fewer rows than buckets -> one row per leading bucket
+    check((1L to 5L).map(i => (i, i)), 10)
+    // exact multiples
+    check((1L to 40L).map(i => (i, i % 7)), 10)
+  }
+
   test("vocabulary: descending counts, lexicographic ties, k rows max") {
     val v = TrainingData.vocabulary(docs, "text", 10).collect()
     assert(v.length <= 10)
