@@ -843,8 +843,9 @@ object Queries {
   // batched feature extraction (stub codec; deterministic pure function of
   // the payload bytes, see SURVEY §2 addendum). Payload bytes never
   // shuffle — the narrow mapPartitions emits KB-scale features only.
-  // Stub decode is not SQL-expressible -> rows-only check; MultimodalSpec
-  // pins determinism and batch-shape invariance.
+  // The stub derives dims/pixels from the payload md5 (oracle-proven
+  // byte-identical cross-engine by q57), so the oracle recomputes the
+  // SAME fake decode in SQL — full rows/schema/hash check.
   private val q50 = Q("q50_multimodal_features",
     (s, d) => {
       import s.implicits._
@@ -861,7 +862,23 @@ object Queries {
         .select(col("media_id"), col("width"), col("height"), col("n_bytes"),
           round(col("brightness"), 6).as("brightness"))
     },
-    None)
+    // the stub decode replayed in SQL: width from the first 4 md5 bytes
+    // (hex prefix) mod 64, height from payload length, brightness = mean
+    // of the 16 digest bytes / 255; empty payloads short-circuit to zeros
+    Some("""SELECT doc_id AS media_id,
+      CASE WHEN octet_length(encode(text)) = 0 THEN 0
+        ELSE CAST(1 + CAST(('0x' || substring(md5(text), 1, 8)) AS UBIGINT) % 64 AS INTEGER)
+      END AS width,
+      CASE WHEN octet_length(encode(text)) = 0 THEN 0
+        ELSE CAST(1 + octet_length(encode(text)) % 64 AS INTEGER)
+      END AS height,
+      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+      CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
+        ELSE ROUND(list_sum(list_transform(range(16),
+          i -> CAST(('0x' || substring(md5(text), 1 + i*2, 2)) AS INTEGER)))
+          / 16.0 / 255.0, 6)
+      END AS brightness
+      FROM documents"""))
 
   // Multimodal metadata facet — the pure-SQL half of the media frame
   // (payload length, content digest, typed meta), oracle-checked so the

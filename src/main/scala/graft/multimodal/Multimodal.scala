@@ -47,12 +47,19 @@ object Multimodal {
     * exact and re-runs are idempotent. Swap for a real codec (e.g. via
     * JNI/ImageIO) without touching the pipeline plumbing. */
   object StubCodec {
-    /** "Decode" an image: dimensions and pixels derived from byte stats. */
+    /** "Decode" an image: dimensions and pixels derived from the payload's
+      * md5 digest — NOT a JVM-private hash — so any engine that can md5
+      * reproduces the exact fake (the q50 oracle recomputes width/height/
+      * brightness from `md5(text)` in SQL). Width = first 4 digest bytes
+      * (big-endian, matching the hex prefix) mod 64; pixels = the 16
+      * digest bytes. */
     def decodeImage(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
-      val w = 1 + math.abs(java.util.Arrays.hashCode(bytes)) % 64
+      val digest = java.security.MessageDigest.getInstance("MD5").digest(bytes)
+      val head = ((digest(0) & 0xffL) << 24) | ((digest(1) & 0xffL) << 16) |
+        ((digest(2) & 0xffL) << 8) | (digest(3) & 0xffL)
+      val w = 1 + (head % 64).toInt
       val h = 1 + (bytes.length % 64)
-      val px = bytes.take(256).map(b => b & 0xff)
-      (w, h, if (px.isEmpty) Array(0) else px)
+      (w, h, digest.map(_ & 0xff))
     }
     /** "Resize": re-hash payload to the target dims deterministically. */
     def resize(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
