@@ -83,16 +83,35 @@ object Upsert {
         grain, "left_anti"))
 
   /** IDENTITY-style surrogate keys for newly inserted rows: contiguous ids
-    * starting after the current max. `row_number` over an explicit business
-    * key ordering makes assignment deterministic (unlike
-    * monotonically_increasing_id), matching how the reference's tests must
-    * compare on business keys anyway (SURVEY.md §7.4).
+    * `startAfter+1 ...` in the explicit business-key ordering, assigned
+    * deterministically (unlike monotonically_increasing_id), matching how
+    * the reference's tests must compare on business keys anyway
+    * (SURVEY.md §7.4).
     *
-    * The single-partition window only ever sees the *new* rows of one
-    * batch (dim-sized, thousands), never the fact table — fine at scale.
-    */
+    * NO single-task global sort/window: range-repartition on the ordering
+    * (partition i's keys all precede partition j's for i<j), per-partition
+    * `row_number`, then per-partition counts collected (bounded driver
+    * state — one long per partition, never data) and turned into broadcast
+    * start offsets. Identical ids to
+    * `row_number().over(Window.orderBy(orderBy))` when the ordering is
+    * unique (UpsertSpec asserts parity); ties order arbitrarily in both
+    * formulations. A huge first-load dim batch scales with the cluster
+    * instead of serializing through one task. */
   def withSurrogateKeys(newRows: DataFrame, idCol: String, orderBy: Seq[Column],
-                        startAfter: Long): DataFrame =
-    newRows.withColumn(idCol,
-      row_number().over(Window.orderBy(orderBy: _*)).cast("long") + startAfter)
+                        startAfter: Long): DataFrame = {
+    import newRows.sparkSession.implicits._
+    val outCols = newRows.columns.filterNot(_ == idCol).map(col) :+ col(idCol)
+    val parts = newRows.repartitionByRange(orderBy: _*)
+      .withColumn("__pid", spark_partition_id())
+    var acc = 0L
+    val offsets = parts.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .map { case (pid, n) => val o = acc; acc += n; (pid, o) }
+    parts
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("__pid")).orderBy(orderBy: _*)))
+      .join(broadcast(offsets.toSeq.toDF("__pid", "__offset")), Seq("__pid"))
+      .withColumn(idCol, col("__offset") + col("__rn").cast("long") + startAfter)
+      .select(outCols: _*)
+  }
 }
