@@ -47,8 +47,8 @@ object EventStreams {
 
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                          event_type: String, value: Double)
-  final case class SessionState(sessionCount: Long, eventsInSession: Long,
-                                lastTs: Long)
+  final case class SessionState(sessionCount: Long, totalEvents: Long,
+                                lastStart: Long, lastEnd: Long)
   final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
   /** Stateful gap-based sessionization via flatMapGroupsWithState: emits a
@@ -64,6 +64,36 @@ object EventStreams {
   private def micros(t: java.sql.Timestamp): Long =
     t.getTime / 1000L * 1000000L + t.getNanos / 1000L
 
+  /** A micro-batch's events folded one at a time into disjoint
+    * [start, end] time intervals separated by > gap — the session set of
+    * the batch. Memory is O(sessions in the batch), NOT O(events): a hot
+    * user with millions of dense events in one micro-batch costs a
+    * handful of tree entries, where a sort-the-whole-group buffer
+    * (the previous formulation) would OOM the task.
+    *
+    * Exactness: within a session, consecutive sorted events gap ≤ g, so a
+    * point landing inside an interval chains to both neighbors; a point
+    * within g of an interval's end chains to its boundary event. Merging
+    * a point can bridge at most one interval on each side (intervals are
+    * > g apart). Hence interval-merge ≡ sort-then-fold for the batch. */
+  private def mergePoint(iv: java.util.TreeMap[Long, Long], t: Long,
+                         gapUs: Long): Unit = {
+    var start = t
+    var end = t
+    val below = iv.floorEntry(t)
+    if (below != null && t - below.getValue <= gapUs) {
+      start = below.getKey
+      end = math.max(end, below.getValue)
+      iv.remove(below.getKey)
+    }
+    val above = iv.ceilingEntry(t)
+    if (above != null && above.getKey - end <= gapUs) {
+      end = math.max(end, above.getValue)
+      iv.remove(above.getKey)
+    }
+    iv.put(start, end)
+  }
+
   def sessionize(events: Dataset[Event], gapMinutes: Int): Dataset[UserSessions] = {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
@@ -72,18 +102,22 @@ object EventStreams {
       .flatMapGroupsWithState[SessionState, UserSessions](
         OutputMode.Update, GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state: GroupState[SessionState]) =>
-          // sort this micro-batch's rows; state carries last seen ts across batches
-          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
-          var s = state.getOption.getOrElse(SessionState(0L, 0L, Long.MinValue))
-          sorted.foreach { e =>
-            val tUs = micros(e.ts)
-            val newSession = s.sessionCount == 0L || (tUs - s.lastTs) > gapUs
-            s =
-              if (newSession) SessionState(s.sessionCount + 1, s.eventsInSession + 1, tUs)
-              else s.copy(eventsInSession = s.eventsInSession + 1, lastTs = tUs)
-          }
-          state.update(s)
-          Iterator.single(UserSessions(uid, s.sessionCount, s.eventsInSession))
+          val s = state.getOption.getOrElse(SessionState(0L, 0L, 0L, 0L))
+          // seed with the carried last-session interval so late-but-in-
+          // horizon events chain into it; sessions before it are closed
+          // (an event bridging two CLOSED sessions is beyond repair here,
+          // exactly as in any single-interval carry)
+          val iv = new java.util.TreeMap[Long, Long]()
+          if (s.sessionCount > 0L) iv.put(s.lastStart, s.lastEnd)
+          var nEvents = 0L
+          rows.foreach { e => nEvents += 1L; mergePoint(iv, micros(e.ts), gapUs) }
+          val carried = if (s.sessionCount > 0L) 1L else 0L
+          val next =
+            if (iv.isEmpty) s
+            else SessionState(s.sessionCount - carried + iv.size,
+              s.totalEvents + nEvents, iv.lastKey, iv.lastEntry.getValue)
+          state.update(next)
+          Iterator.single(UserSessions(uid, next.sessionCount, next.totalEvents))
       }
   }
 }

@@ -78,6 +78,36 @@ class EventStreamsSpec extends SparkSpec {
     assert(streamed == batchTotal)
   }
 
+  test("hot key: one user, many unsorted events in one batch — exact sessions") {
+    // the interval-merge sessionizer holds O(sessions) state while the
+    // batch flows through, not O(events) — this feeds one user 30k events
+    // (3 dense sessions, deliberately shuffled arrival order) in a single
+    // micro-batch and checks exact agreement with the batch operator
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.Event
+    val base = java.sql.Timestamp.valueOf("2024-03-01 08:00:00").getTime
+    val rnd = new scala.util.Random(42)
+    val hot = (0 until 30000).map { i =>
+      val session = i / 10000                      // 3 blocks
+      val t = base + session * 7200000L + (i % 10000) * 50L // 50ms apart, 2h gaps
+      Event(i.toLong, new java.sql.Timestamp(t), 99L, "view", 1.0)
+    }
+    val shuffled = rnd.shuffle(hot)
+    val mem = MemoryStream[Event]
+    mem.addData(shuffled: _*)
+    val q = EventStreams.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("hotkey").outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("hotkey").where($"user_id" === 99L)
+      .agg(max($"n_sessions"), max($"n_events")).collect().head
+    val batch = Sessionize.userSessionStats(
+      shuffled.toDF(), "user_id", "ts", "event_id", 30)
+      .where($"user_id" === 99L).collect().head
+    assert(got.getLong(0) == batch.getLong(1), s"sessions ${got.getLong(0)}")
+    assert(got.getLong(1) == batch.getLong(2), s"events ${got.getLong(1)}")
+    assert(got.getLong(0) == 3L)
+  }
+
   test("incremental delivery across micro-batches keeps session state") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]
