@@ -252,20 +252,34 @@ object Dedup {
     *
     * @return (doc, component) for EVERY doc in `docs`; component = min
     *         doc id reachable, singletons map to themselves. */
+  /** @param checkpointDir reliable (HDFS/object-store) checkpoint
+    *        location for the per-round lineage cut. `localCheckpoint`
+    *        (the default) stores blocks on executors — fastest, but an
+    *        executor death mid-iteration kills the job; a 100 TB run on a
+    *        preemptible cluster should pass a durable path instead. */
   def components(docs: DataFrame, idCol: String, pairs: DataFrame,
-                 maxIters: Int = 25): DataFrame = {
-    val edges = pairs
+                 maxIters: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    val edges = ckpt(pairs
       .select(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst"))
       .unionByName(pairs
-        .select(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst")))
-      .localCheckpoint()
+        .select(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst"))))
     // Iterate over the ACTIVE subgraph only: a node with no edges can
     // never change its label, and in a near-dup corpus pair-involved docs
     // are a sliver of the whole — the loop's joins touch |edge endpoints|
     // rows, not |corpus| rows. Singletons rejoin at the end.
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .select(col("doc"), col("doc").as("comp")).localCheckpoint()
-    var prevSum = labels.agg(sum(col("comp"))).head().getLong(0)
+    var labels = ckpt(edges.select(col("src").as("doc")).distinct()
+      .select(col("doc"), col("doc").as("comp")))
+    // labels are monotonically nonincreasing, so an unchanged sum IS the
+    // fixpoint; coalesce covers the no-edges case (sum over empty = null)
+    def checksum(ls: DataFrame): Long =
+      ls.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+    var prevSum = checksum(labels)
     var iter = 0
     var converged = false
     def propagate(ls: DataFrame): DataFrame = {
@@ -280,12 +294,17 @@ object Dedup {
     while (!converged && iter < maxIters) {
       // two hops per materialization: each eager checkpoint + checksum is
       // a driver round trip, and those dominate once the frames are small
-      labels = propagate(propagate(labels)).localCheckpoint()
-      val s = labels.agg(sum(col("comp"))).head().getLong(0)
+      labels = ckpt(propagate(propagate(labels)))
+      val s = checksum(labels)
       converged = s == prevSum
       prevSum = s
       iter += 1
     }
+    // silent non-convergence would hand back WRONG cluster labels — an
+    // adversarially deep chain must fail loudly, not under-merge quietly
+    require(converged,
+      s"components: no fixpoint after $maxIters iterations (${2 * maxIters} " +
+        "propagation hops) — raise maxIters for graphs this deep")
     docs.select(col(idCol).cast("long").as("doc"))
       .join(labels, Seq("doc"), "left")
       .select(col("doc"), coalesce(col("comp"), col("doc")).as("component"))

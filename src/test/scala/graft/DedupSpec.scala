@@ -59,6 +59,34 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq(1L))
   }
 
+  test("components with reliable checkpointing matches localCheckpoint labels") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val docs = (1L to 30L).toDF("doc_id")
+    val pairs = ((1L until 8L).map(i => (i, i + 1)) ++ Seq((20L, 21L)))
+      .toDF("d1", "d2")
+    val local = graft.operators.Dedup.components(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val durable = graft.operators.Dedup
+      .components(docs, "doc_id", pairs, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(durable == local)
+    // the reliable path actually wrote checkpoint data
+    val written = new java.io.File(dir).listFiles()
+    assert(written != null && written.nonEmpty, dir)
+  }
+
+  test("components fails loudly instead of returning non-converged labels") {
+    import spark.implicits._
+    val n = 40 // diameter 39 > 2 hops/iter * 2 iters
+    val docs = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("d1", "d2")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Dedup.components(docs, "doc_id", pairs, maxIters = 2).collect()
+    }
+    assert(e.getMessage.contains("no fixpoint"))
+  }
+
   test("simhash near-dups: symmetric-free (d1<d2), hamming bound respected") {
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxBits = 3).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
