@@ -126,47 +126,64 @@ object TrainingData {
     require(n >= 1, s"bucket count must be >= 1: $n")
     val spark = df.sparkSession
     import spark.implicits._
-    val total = df.count()
-    if (total == 0L || n == 1) return df.withColumn(bucketCol, lit(1))
+    // one base scan builds the histogram; it feeds two bounded actions
+    // (total, cut location) before being dropped
     val hist = df.groupBy(col(orderCol)).agg(count(lit(1)).as("__cnt"))
-    val cumW = Window.orderBy(col(orderCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = hist
-      .withColumn("__cum_end", sum(col("__cnt")).over(cumW))
-      .withColumn("__cum_start", col("__cum_end") - col("__cnt"))
-    val base = total / n
-    val rem = total % n
-    // global rank of the LAST row of bucket j (first `rem` buckets get
-    // base+1 rows); cuts collapse onto rank `total` when total < n
-    val cuts = (1 until n).map(j => (j, j * base + math.min(j, rem)))
-      .toDF("__j", "__k")
-    val boundsDf = cum.join(broadcast(cuts),
-        col("__cum_start") < col("__k") && col("__k") <= col("__cum_end"))
-      .select(col("__j"), col(orderCol).as("__v"),
-        (col("__k") - col("__cum_start")).as("__m"), col("__cnt").as("__vcnt"))
-    // tie value at offset __m inside each strictly-cut group; cuts landing
-    // on a group's end need no tie (the condition is just `<= value`)
-    val strictVals = boundsDf.where(col("__m") < col("__vcnt"))
-      .select(col("__v")).distinct()
-    val rnW = Window.partitionBy(col(orderCol)).orderBy(col(tieCol))
-    val ranked = df
-      .join(broadcast(strictVals), col(orderCol) === col("__v"), "left_semi")
-      .select(col(orderCol).as("__rv"), col(tieCol).as("__rt"),
-        row_number().over(rnW).cast("long").as("__rn"))
-    val bounds = boundsDf.join(ranked,
-        col("__v") === col("__rv") && col("__m") === col("__rn"), "left")
-      .select(col("__j"), col("__v"), col("__m"), col("__vcnt"),
-        col("__rt").as("__tie"))
-      .collect()
-      .sortBy(_.getInt(0))
-    val bucket = bounds.foldRight(lit(n)) { (r, acc) =>
-      val cond =
-        if (r.getLong(2) >= r.getLong(3)) col(orderCol) <= lit(r.get(1))
-        else col(orderCol) < lit(r.get(1)) ||
-          (col(orderCol) === lit(r.get(1)) && col(tieCol) <= lit(r.get(4)))
-      when(cond, lit(r.getInt(0))).otherwise(acc)
-    }
-    df.withColumn(bucketCol, bucket)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = hist.agg(coalesce(sum(col("__cnt")), lit(0L))).head().getLong(0)
+      if (total == 0L || n == 1) return df.withColumn(bucketCol, lit(1))
+      val cumW = Window.orderBy(col(orderCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("__cum_end", sum(col("__cnt")).over(cumW))
+        .withColumn("__cum_start", col("__cum_end") - col("__cnt"))
+      val base = total / n
+      val rem = total % n
+      // global rank of the LAST row of bucket j (first `rem` buckets get
+      // base+1 rows); cuts collapse onto rank `total` when total < n
+      val cuts = (1 until n).map(j => (j, j * base + math.min(j, rem)))
+        .toDF("__j", "__k")
+      // ≤ n-1 rows: (j, boundary value, offset inside its group, group n)
+      val bounds = cum.join(broadcast(cuts),
+          col("__cum_start") < col("__k") && col("__k") <= col("__cum_end"))
+        .select(col("__j"), col(orderCol).as("__v"),
+          (col("__k") - col("__cum_start")).as("__m"), col("__cnt").as("__vcnt"))
+        .collect()
+        .sortBy(_.getInt(0))
+      // tie value at offset __m inside each strictly-cut group; cuts
+      // landing on a group's end need no tie (condition is `<= value`).
+      // The literal isin filter pushes to the scan — only the (< n)
+      // boundary values' rows are read and ranked, each in its own
+      // by-value window partition.
+      val strict = bounds.filter(r => r.getLong(2) < r.getLong(3))
+      val ties: Map[(Any, Long), Any] =
+        if (strict.isEmpty) Map.empty
+        else {
+          val vals = strict.map(_.get(1)).distinct.toSeq
+          val wanted = strict.map(r => (r.get(1), r.getLong(2))).toSet
+          val rnW = Window.partitionBy(col(orderCol)).orderBy(col(tieCol))
+          val need = strict.map(r =>
+            col("__rv") === lit(r.get(1)) && col("__rn") === lit(r.getLong(2)))
+            .reduce(_ || _)
+          df.filter(col(orderCol).isin(vals: _*))
+            .select(col(orderCol).as("__rv"), col(tieCol).as("__rt"),
+              row_number().over(rnW).cast("long").as("__rn"))
+            .filter(need)
+            .collect()
+            .map(r => (r.get(0), r.getLong(2)) -> r.get(1))
+            .toMap.filter { case (k, _) => wanted.contains(k) }
+        }
+      val bucket = bounds.foldRight(lit(n)) { (r, acc) =>
+        val cond =
+          if (r.getLong(2) >= r.getLong(3)) col(orderCol) <= lit(r.get(1))
+          else col(orderCol) < lit(r.get(1)) ||
+            (col(orderCol) === lit(r.get(1)) &&
+              col(tieCol) <= lit(ties((r.get(1), r.getLong(2)))))
+        when(cond, lit(r.getInt(0))).otherwise(acc)
+      }
+      df.withColumn(bucketCol, bucket)
+    } finally hist.unpersist(blocking = false)
   }
 
   /** Frequency vocabulary: top-`k` lowercased whitespace tokens by global
