@@ -22,17 +22,18 @@ object CsvIngest {
   def normalizeColName(c: String): String =
     c.trim.replace("﻿", "").replace(" ", "_").replace("-", "_")
 
-  /** S1/S2: header CSV or xlsx, every column StringType (schema-on-read
+  /** S1/S2: header CSV or Excel, every column StringType (schema-on-read
     * with explicit coercion later — the reference's `dtype=str` contract).
     * Multiline and quoted CSV fields tolerated. File-extension dispatch
     * mirrors order_info_etl.py:173-180: `.csv/.txt` → the distributed CSV
-    * scan, `.xlsx` → [[XlsxIngest]] (legacy binary `.xls` is not OOXML and
-    * must be pre-converted). */
+    * scan, `.xlsx` → [[XlsxIngest]] (OOXML), `.xls` → [[XlsIngest]]
+    * (BIFF8 compound file; BIFF5 fails fast with a convert message). */
   def readAllString(spark: SparkSession, path: String): DataFrame = {
     val lower = path.toLowerCase
     if (lower.endsWith(".xlsx")) return XlsxIngest.readAllString(spark, path)
+    if (lower.endsWith(".xls")) return XlsIngest.readAllString(spark, path)
     require(lower.endsWith(".csv") || lower.endsWith(".txt"),
-      s"unsupported input file type: $path (legacy .xls must be pre-converted)")
+      s"unsupported input file type: $path")
     val raw = spark.read
       .option("header", "true")
       .option("encoding", "UTF-8")
