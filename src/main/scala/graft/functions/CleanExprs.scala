@@ -31,7 +31,14 @@ object CleanExprs {
     * a digit: every format they can parse does (ISO-ish), and without the
     * guard each non-date string pays TWO exception-driven formatter
     * attempts — measured ~2s of the sf0.1 ETL on the synthetic frame's
-    * garbage rows alone. */
+    * garbage rows alone.
+    *
+    * Deliberate exclusion (CleanExprsSpec pins it): signed extended-year
+    * forms ('+10000-01-01') fail the digit gate and return NULL even
+    * though Spark's bare inference could parse them — engines disagree on
+    * years beyond 9999 (the DuckDB oracle rejects them), and the
+    * reference's pandas coercion never sees them; a sales feed containing
+    * year-10k timestamps is garbage by definition here. */
   def parseTs(c: Column): Column = {
     val t = trim(c, " \t\r\n")
     coalesce(StrictTs.strictTs(t),

@@ -56,6 +56,13 @@ object VectorNative {
     if (a.isNullAt(i)) throw new IllegalArgumentException(
       s"$op: null element at index $i — scrub or filter null vector entries first")
 
+  /** NaN distances compare false against every threshold, so a NaN query
+    * would silently fall through argmin/top-k and emit centroid 0 —
+    * reject it like the null/dim checks do. */
+  private def checkFinite(d: Double, op: String): Unit =
+    if (d.isNaN) throw new IllegalArgumentException(
+      s"$op: NaN distance — the query vector contains NaN")
+
   def evalDot(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
     checkDims(n, b.numElements(), "dot_product")
@@ -120,6 +127,7 @@ object VectorNative {
         checkNotNullAt(v, i, "nearest_centroid")
         val t = v.getDouble(i) - w(i); d += t * t; i += 1
       }
+      checkFinite(d, "nearest_centroid")
       if (d < bestD) { bestD = d; best = c }
       c += 1
     }
@@ -147,6 +155,7 @@ object VectorNative {
         checkNotNullAt(v, i, "nearest_cells")
         val t = v.getDouble(i) - w(i); d += t * t; i += 1
       }
+      checkFinite(d, "nearest_cells")
       if (d < bestD(k - 1)) {
         var j = k - 1
         while (j > 0 && bestD(j - 1) > d) {

@@ -43,6 +43,32 @@ object CsvIngest {
     raw.toDF(raw.columns.map(normalizeColName): _*)
   }
 
+  /** Header-first string grid → all-string DataFrame (shared by the two
+    * Excel readers): header names normalized; data rows WIDER than the
+    * header get synthetic `unnamed_<i>` columns (the analog of pandas'
+    * `Unnamed: N`) rather than silent truncation. */
+  private[sources] def gridToDf(spark: SparkSession,
+                                rows: Vector[Array[String]],
+                                what: String): DataFrame = {
+    require(rows.nonEmpty, s"no rows in first sheet of $what")
+    val width = rows.iterator.map(_.length).max
+    val header = Array.tabulate(width) { i =>
+      if (i < rows.head.length)
+        normalizeColName(Option(rows.head(i)).getOrElse(""))
+      else s"unnamed_$i"
+    }
+    val data: java.util.List[org.apache.spark.sql.Row] =
+      new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.tail.foreach { r =>
+      data.add(org.apache.spark.sql.Row.fromSeq((0 until width).map(i =>
+        if (i < r.length) r(i) else null)))
+    }
+    val schema = org.apache.spark.sql.types.StructType(header.map(
+      org.apache.spark.sql.types.StructField(_,
+        org.apache.spark.sql.types.StringType)).toSeq)
+    spark.createDataFrame(data, schema)
+  }
+
   /** P2: explicit rename pairs, applied only when present. */
   def renameIfPresent(df: DataFrame, renames: Map[String, String]): DataFrame =
     renames.foldLeft(df) { case (d, (from, to)) =>

@@ -1,7 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import scala.collection.mutable
 import scala.collection.mutable.ArrayBuffer
@@ -31,21 +30,9 @@ import scala.collection.mutable.ArrayBuffer
 object XlsIngest {
 
   /** `.xls` analog of [[CsvIngest.readAllString]]. */
-  def readAllString(spark: SparkSession, path: String): DataFrame = {
-    val rows = parseGrid(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)))
-    require(rows.nonEmpty, s"no rows in first sheet of $path")
-    val header = rows.head.map(h =>
-      CsvIngest.normalizeColName(Option(h).getOrElse("")))
-    val width = header.length
-    val data: java.util.List[Row] = new java.util.ArrayList[Row]()
-    rows.tail.foreach { r =>
-      data.add(Row.fromSeq((0 until width).map(i =>
-        if (i < r.length) r(i) else null)))
-    }
-    val schema = StructType(header.map(StructField(_, StringType)).toSeq)
-    spark.createDataFrame(data, schema)
-  }
+  def readAllString(spark: SparkSession, path: String): DataFrame =
+    CsvIngest.gridToDf(spark, parseGrid(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))), path)
 
   /** All cell values of the first worksheet as raw strings (null = gap). */
   private[graft] def parseGrid(bytes: Array[Byte]): Vector[Array[String]] = {

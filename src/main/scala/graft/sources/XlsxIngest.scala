@@ -1,7 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import java.io.ByteArrayInputStream
 import java.util.zip.ZipInputStream
@@ -28,29 +27,23 @@ import scala.collection.mutable.ArrayBuffer
 object XlsxIngest {
 
   /** `.xlsx` analog of [[CsvIngest.readAllString]]. */
-  def readAllString(spark: SparkSession, path: String): DataFrame = {
-    val rows = parseRows(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(path)))
-    require(rows.nonEmpty, s"no rows in first sheet of $path")
-    val header = rows.head.map(h =>
-      CsvIngest.normalizeColName(Option(h).getOrElse("")))
-    val width = header.length
-    val data: java.util.List[Row] = new java.util.ArrayList[Row]()
-    rows.tail.foreach { r =>
-      data.add(Row.fromSeq((0 until width).map(i =>
-        if (i < r.length) r(i) else null)))
-    }
-    val schema = StructType(header.map(StructField(_, StringType)).toSeq)
-    spark.createDataFrame(data, schema)
-  }
+  def readAllString(spark: SparkSession, path: String): DataFrame =
+    CsvIngest.gridToDf(spark, parseRows(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))), path)
 
   /** All cell values of the first worksheet, as raw strings (null = gap). */
   private[sources] def parseRows(bytes: Array[Byte]): Vector[Array[String]] = {
     val parts = readZip(bytes)
     val shared = parts.get("xl/sharedStrings.xml")
       .map(parseSharedStrings).getOrElse(Array.empty[String])
-    val sheetName = parts.keys.filter(_.matches("xl/worksheets/sheet\\d+\\.xml"))
-      .toSeq.sortBy(n => n.replaceAll("\\D", "").toInt).headOption
+    // workbook order is defined by xl/workbook.xml (+ its rels), not the
+    // worksheet part numbering — a reordered workbook can display
+    // sheet2.xml first. Fall back to lowest-numbered part only when the
+    // workbook/rels parts are absent or unresolvable.
+    val sheetName = firstSheetByWorkbookOrder(parts)
+      .filter(parts.contains)
+      .orElse(parts.keys.filter(_.matches("xl/worksheets/sheet\\d+\\.xml"))
+        .toSeq.sortBy(n => n.replaceAll("\\D", "").toInt).headOption)
       .getOrElse(throw new IllegalArgumentException("no worksheet found in xlsx"))
     parseSheet(parts(sheetName), shared)
   }
@@ -61,12 +54,59 @@ object XlsxIngest {
     var e = zis.getNextEntry
     while (e != null) {
       if (!e.isDirectory && (e.getName.startsWith("xl/worksheets/") ||
-        e.getName == "xl/sharedStrings.xml"))
+        e.getName == "xl/sharedStrings.xml" ||
+        e.getName == "xl/workbook.xml" ||
+        e.getName == "xl/_rels/workbook.xml.rels"))
         out += e.getName -> zis.readAllBytes()
       e = zis.getNextEntry
     }
     zis.close()
     out.result()
+  }
+
+  /** First `<sheet>` of xl/workbook.xml resolved through the workbook
+    * rels to its worksheet part path. */
+  private def firstSheetByWorkbookOrder(parts: Map[String, Array[Byte]])
+  : Option[String] =
+    for {
+      wb <- parts.get("xl/workbook.xml")
+      rels <- parts.get("xl/_rels/workbook.xml.rels")
+      rid <- firstAttr(wb, "sheet", "id")
+      target <- relTarget(rels, rid)
+    } yield
+      if (target.startsWith("/")) target.drop(1)
+      else "xl/" + target
+
+  /** Value of `attr` (any namespace, e.g. r:id) on the first `elem`. */
+  private def firstAttr(bytes: Array[Byte], elem: String, attr: String)
+  : Option[String] = {
+    val r = newReader(bytes)
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == elem) {
+          val found = (0 until r.getAttributeCount)
+            .find(i => r.getAttributeLocalName(i) == attr)
+            .map(r.getAttributeValue)
+          return found
+        }
+      }
+      None
+    } finally r.close()
+  }
+
+  /** Target of the `Relationship` whose Id matches `rid`. */
+  private def relTarget(bytes: Array[Byte], rid: String): Option[String] = {
+    val r = newReader(bytes)
+    try {
+      while (r.hasNext) {
+        if (r.next() == XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "Relationship" &&
+          r.getAttributeValue(null, "Id") == rid)
+          return Option(r.getAttributeValue(null, "Target"))
+      }
+      None
+    } finally r.close()
   }
 
   private def newReader(bytes: Array[Byte]) = {
@@ -145,14 +185,29 @@ object XlsxIngest {
               rows += row.toArray
               row = null
             case "c" if row != null =>
-              val value = cellType match {
-                case "s" => shared(v.toString.trim.toInt)
-                case "b" => if (v.toString.trim == "1") "true" else "false"
-                case _ => v.toString
-              }
               while (row.length <= cellIdx) row += null
-              if (v.length() > 0 || cellType == "inlineStr")
-                row(cellIdx) = value
+              // value resolution stays INSIDE the emptiness guard: a
+              // self-closing shared-string cell (<c t="s"/>) has no index
+              // to resolve and must stay a gap, not throw on ''.toInt
+              if (v.length() > 0 || cellType == "inlineStr") {
+                row(cellIdx) = cellType match {
+                  case "s" =>
+                    val ref = v.toString.trim
+                    val idx =
+                      try ref.toInt
+                      catch {
+                        case _: NumberFormatException =>
+                          throw new IllegalArgumentException(
+                            s"malformed shared-string reference '$ref'")
+                      }
+                    require(idx >= 0 && idx < shared.length,
+                      s"shared-string index $idx out of range " +
+                        s"(pool holds ${shared.length})")
+                    shared(idx)
+                  case "b" => if (v.toString.trim == "1") "true" else "false"
+                  case _ => v.toString
+                }
+              }
             case "v" => inV = false
             case "t" => inIsT = false
             case _ => ()

@@ -34,6 +34,15 @@ class CleanExprsSpec extends SparkSpec {
     assert(got(3).isEmpty && got(4).isEmpty)
   }
 
+  test("P5 contract: signed extended-year forms are excluded by the digit gate") {
+    // documented exclusion (see parseTs scaladoc): '+10000-01-01' NULLs
+    // rather than parsing — cross-engine year-10k behavior diverges
+    val got = Seq("+10000-01-01", "-0500-01-01").toDF("t")
+      .select(CleanExprs.parseTs($"t").cast("string").as("p"))
+      .collect().map(r => Option(r.getString(0)))
+    assert(got.forall(_.isEmpty))
+  }
+
   test("P8 numeric coerce with default") {
     val got = Seq("3", "3.7", "x", null).toDF("g")
       .select(CleanExprs.intWithDefault($"g", 1).as("n"))

@@ -21,6 +21,21 @@ class VectorNativeSpec extends SparkSpec {
     assert(diff.count() == 0)
   }
 
+  test("NaN query vectors are rejected, not silently mapped to centroid 0") {
+    import graft.functions.VectorNative
+    import spark.implicits._
+    val cents = Seq(Array(0.0, 0.0), Array(1.0, 1.0))
+    val bad = Seq((1L, Seq(Double.NaN, 0.5))).toDF("id", "vec")
+    val e = intercept[Exception] {
+      bad.select(VectorNative.nearestCells($"vec", cents, 2)).collect()
+    }
+    assert(e.getMessage.contains("NaN"))
+    val e2 = intercept[Exception] {
+      bad.select(VectorNative.nearestCentroid($"vec", cents)).collect()
+    }
+    assert(e2.getMessage.contains("NaN"))
+  }
+
   test("native plane bits == composed plane bits") {
     val planes = Similarity.planes(8, 64)
     val diff = emb.select(

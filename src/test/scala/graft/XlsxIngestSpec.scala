@@ -90,6 +90,82 @@ class XlsxIngestSpec extends SparkSpec {
     assert(e2.getMessage.contains("no rows"))
   }
 
+  test("workbook.xml order wins over worksheet part numbering") {
+    // sheet2.xml is listed FIRST in the workbook: it must be the one read
+    val f = java.io.File.createTempFile("graft_order", ".xlsx")
+    f.deleteOnExit()
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(f))
+    entry(zos, "xl/workbook.xml",
+      """<?xml version="1.0"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+        |          xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">
+        |<sheets>
+        |  <sheet name="Front" sheetId="2" r:id="rId7"/>
+        |  <sheet name="Back" sheetId="1" r:id="rId3"/>
+        |</sheets></workbook>""".stripMargin)
+    entry(zos, "xl/_rels/workbook.xml.rels",
+      """<?xml version="1.0"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+        |  <Relationship Id="rId3" Type="t" Target="worksheets/sheet1.xml"/>
+        |  <Relationship Id="rId7" Type="t" Target="worksheets/sheet2.xml"/>
+        |</Relationships>""".stripMargin)
+    entry(zos, "xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>wrong_sheet</t></is></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    entry(zos, "xl/worksheets/sheet2.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>front_col</t></is></c></row>
+        |<row r="2"><c r="A2"><v>42</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val df = XlsxIngest.readAllString(spark, f.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("front_col"))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("42"))
+  }
+
+  test("self-closing shared cells stay gaps; bad pool indexes say why") {
+    def sheet(xml: String): String = {
+      val f = java.io.File.createTempFile("graft_guard", ".xlsx")
+      f.deleteOnExit()
+      val zos = new ZipOutputStream(new java.io.FileOutputStream(f))
+      entry(zos, "xl/sharedStrings.xml",
+        """<?xml version="1.0"?><sst><si><t>h</t></si></sst>""")
+      entry(zos, "xl/worksheets/sheet1.xml",
+        s"""<?xml version="1.0"?><worksheet><sheetData>$xml</sheetData></worksheet>""")
+      zos.close()
+      f.getAbsolutePath
+    }
+    // <c t="s"/> with no <v>: a gap, not a NumberFormatException
+    val ok = XlsxIngest.readAllString(spark, sheet(
+      """<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"/></row>
+        |<row r="2"><c r="A2"><v>5</v></c></row>""".stripMargin))
+    assert(ok.columns.length == 2 && ok.collect().head.isNullAt(1))
+    // out-of-range pool index: descriptive, not a bare AIOOBE
+    val e = intercept[IllegalArgumentException] {
+      XlsxIngest.readAllString(spark, sheet(
+        """<row r="1"><c r="A1" t="s"><v>9</v></c></row>
+          |<row r="2"><c r="A2"><v>1</v></c></row>""".stripMargin))
+    }
+    assert(e.getMessage.contains("out of range"))
+  }
+
+  test("data rows wider than the header widen with unnamed columns") {
+    val f = java.io.File.createTempFile("graft_wide", ".xlsx")
+    f.deleteOnExit()
+    val zos = new ZipOutputStream(new java.io.FileOutputStream(f))
+    entry(zos, "xl/worksheets/sheet1.xml",
+      """<?xml version="1.0"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>only_col</t></is></c></row>
+        |<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c><c r="C2"><v>3</v></c></row>
+        |</sheetData></worksheet>""".stripMargin)
+    zos.close()
+    val df = XlsxIngest.readAllString(spark, f.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("only_col", "unnamed_1", "unnamed_2"))
+    assert(df.collect().head.toSeq == Seq("1", "2", "3"))
+  }
+
   test("column-reference arithmetic covers multi-letter columns") {
     assert(XlsxIngest.colIndex("A1") == 0)
     assert(XlsxIngest.colIndex("Z9") == 25)
