@@ -88,20 +88,31 @@ object Upsert {
     * the reference's tests must compare on business keys anyway
     * (SURVEY.md §7.4).
     *
-    * NO single-task global sort/window: range-repartition on the ordering
-    * (partition i's keys all precede partition j's for i<j), per-partition
-    * `row_number`, then per-partition counts collected (bounded driver
-    * state — one long per partition, never data) and turned into broadcast
-    * start offsets. Identical ids to
-    * `row_number().over(Window.orderBy(orderBy))` when the ordering is
-    * unique (UpsertSpec asserts parity); ties order arbitrarily in both
-    * formulations. A huge first-load dim batch scales with the cluster
-    * instead of serializing through one task. */
+    * The batch is snapshotted (`localCheckpoint`) first: key assignment
+    * needs more than one pass over it, and each extra action would
+    * otherwise re-run the upstream cleaning pipeline (measured ~2×
+    * slowdown of the whole ETL without it).
+    *
+    * Batches up to `smallBatchRows` (the common dim case) take a
+    * single-partition window over the SNAPSHOT — a bounded frame, the
+    * documented tiny-frame exception. Larger batches take the
+    * distributed formulation with NO single-task sort: range-repartition
+    * on the ordering (partition i's keys all precede partition j's for
+    * i<j), per-partition `row_number`, then per-partition counts
+    * collected (bounded driver state — one long per partition, never
+    * data) and turned into broadcast start offsets. Both paths produce
+    * IDENTICAL ids when the ordering is unique (UpsertSpec asserts
+    * parity); ties order arbitrarily in either. */
   def withSurrogateKeys(newRows: DataFrame, idCol: String, orderBy: Seq[Column],
-                        startAfter: Long): DataFrame = {
+                        startAfter: Long, smallBatchRows: Long = 1L << 20): DataFrame = {
     import newRows.sparkSession.implicits._
     val outCols = newRows.columns.filterNot(_ == idCol).map(col) :+ col(idCol)
-    val parts = newRows.repartitionByRange(orderBy: _*)
+    val snap = newRows.localCheckpoint()
+    if (snap.count() <= smallBatchRows)
+      return snap.withColumn(idCol,
+        row_number().over(Window.orderBy(orderBy: _*)).cast("long") + startAfter)
+        .select(outCols: _*)
+    val parts = snap.repartitionByRange(orderBy: _*)
       .withColumn("__pid", spark_partition_id())
     var acc = 0L
     val offsets = parts.groupBy(col("__pid")).count()

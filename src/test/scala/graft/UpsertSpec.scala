@@ -20,7 +20,7 @@ class UpsertSpec extends SparkSpec {
       .select(col("sku"), col("product_id"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val distributed = Upsert.withSurrogateKeys(rows, "product_id",
-        Seq(col("sku")), 500L)
+        Seq(col("sku")), 500L, smallBatchRows = 0L) // force the big-batch path
       .select(col("sku"), col("product_id"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(distributed == windowed)
@@ -29,12 +29,24 @@ class UpsertSpec extends SparkSpec {
     assert(ids == (501L to 2500L))
   }
 
-  test("withSurrogateKeys: no single-partition exchange in the insert plan") {
+  test("withSurrogateKeys: big-batch path has no single-partition exchange") {
     import spark.implicits._
     val rows = (1L to 100L).map(i => (s"k$i", i)).toDF("sku", "payload")
-    val plan = Upsert.withSurrogateKeys(rows, "id", Seq(col("sku")), 0L)
+    val plan = Upsert.withSurrogateKeys(rows, "id", Seq(col("sku")), 0L,
+        smallBatchRows = 0L)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"), plan.take(800))
+  }
+
+  test("withSurrogateKeys: small and big paths assign identical ids") {
+    import spark.implicits._
+    val rows = (1L to 500L).map(i => (s"s${(i * 37) % 1000}", i))
+      .toDF("sku", "payload").repartition(5)
+    def ids(threshold: Long) =
+      Upsert.withSurrogateKeys(rows, "id", Seq(col("sku")), 9L, threshold)
+        .select("sku", "id").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ids(0L) == ids(1L << 20))
   }
 
   test("withSurrogateKeys: keeps column set and replaces an existing id col") {
