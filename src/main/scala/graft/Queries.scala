@@ -1355,6 +1355,79 @@ object Queries {
         ROUND(1.0 - CAST(d2.n_distinct AS DOUBLE) / t.n_ngrams, 6) AS rep_ratio
       FROM tot t JOIN dis d2 ON t.doc = d2.doc"""))
 
+  // Cross-corpus span dedup (CCNet/RefinedWeb line-dedup shape): spans =
+  // fixed 8-token chunks (the corpus has no newlines, so the chunking IS
+  // the caller-owned "line" notion); every occurrence after a span's
+  // global first — ordered by (doc_id, position) — drops; survivors
+  // reassemble in order. Postings shuffle 8-byte xxhash fingerprints, not
+  // span text; the oracle replays keep-first via a window over span text.
+  private val q68 = Q("q68_span_dedup",
+    (s, d) => {
+      val chunked = documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("tk"))
+        .select(col("doc_id"), expr(
+          """transform(sequence(0, cast(ceil(size(tk) / 8.0) as int) - 1),
+             i -> array_join(slice(tk, i * 8 + 1, 8), ' '))""").as("spans"))
+      graft.operators.TrainingData.dedupSpans(chunked, "doc_id", "spans")
+    },
+    Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents),
+      spans AS (SELECT doc_id, i AS idx,
+          array_to_string(t[i*8+1 : i*8+8], ' ') AS span
+        FROM (SELECT doc_id, t,
+                unnest(range(CAST(ceil(len(t) / 8.0) AS INT))) AS i FROM tk)),
+      ranked AS (SELECT doc_id, idx, span,
+          row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+        FROM spans)
+      SELECT doc_id, COUNT(*) AS n_spans,
+        CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        COALESCE(string_agg(CASE WHEN rn = 1 THEN span END, ' ' ORDER BY idx),
+          '') AS kept_text
+      FROM ranked GROUP BY doc_id"""))
+
+  // Gopher-style quality-filter composite: keep/drop with the per-rule
+  // audit columns a tuning/compliance pass needs. Narrow arithmetic over
+  // the scan + the q61 repetition join.
+  private val q69 = Q("q69_quality_filter",
+    (s, d) => graft.operators.TrainingData
+      .qualityFilter(documents(s, d), "doc_id", "text"),
+    Some("""WITH base AS (SELECT doc_id,
+          string_split_regex(trim(lower(text)), '\s+') AS toks,
+          regexp_replace(trim(text), '\s+', '', 'g') AS letters
+        FROM documents),
+      stats AS (SELECT doc_id AS doc,
+          CAST(len(toks) AS BIGINT) AS n_words,
+          ROUND(CAST(length(letters) AS DOUBLE)
+            / GREATEST(len(toks), 1), 4) AS mean_word_len,
+          ROUND(CAST(length(regexp_replace(letters, '[A-Za-z0-9]', '', 'g'))
+            AS DOUBLE) / GREATEST(length(letters), 1), 4) AS symbol_ratio,
+          CAST(len(list_intersect(toks,
+            ['the','be','to','of','and','that','have','with'])) AS BIGINT)
+            AS stop_hits
+        FROM base),
+      sh AS (SELECT doc_id AS doc,
+          CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS hv
+        FROM (SELECT doc_id,
+                unnest(list_transform(range(len(tk) - 1),
+                  i -> tk[i + 1] || ' ' || tk[i + 2])) AS tok
+              FROM (SELECT doc_id,
+                      string_split_regex(trim(text), '\s+') AS tk
+                    FROM documents)
+              WHERE len(tk) >= 2)),
+      tot AS (SELECT doc, COUNT(*) AS n_ngrams FROM sh GROUP BY doc),
+      dis AS (SELECT doc, COUNT(*) AS n_distinct
+              FROM (SELECT DISTINCT doc, hv FROM sh) GROUP BY doc),
+      rep AS (SELECT t.doc,
+          ROUND(1.0 - CAST(d2.n_distinct AS DOUBLE) / t.n_ngrams, 6) AS rr
+        FROM tot t JOIN dis d2 ON t.doc = d2.doc)
+      SELECT s.doc, s.n_words, s.mean_word_len, s.symbol_ratio, s.stop_hits,
+        COALESCE(r.rr, 0.0) AS rep_ratio,
+        (s.n_words BETWEEN 3 AND 100000
+          AND s.mean_word_len BETWEEN 2.0 AND 12.0
+          AND s.symbol_ratio <= 0.2 AND s.stop_hits >= 1
+          AND COALESCE(r.rr, 0.0) <= 0.6) AS keep
+      FROM stats s LEFT JOIN rep r ON s.doc = r.doc"""))
+
   // Frequency vocabulary (tokenizer seed vocab): top-50 tokens globally.
   private val q55 = Q("q55_vocabulary",
     (s, d) => graft.operators.TrainingData.vocabulary(documents(s, d), "text", k = 50),
@@ -1368,7 +1441,8 @@ object Queries {
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
-    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67)
+    q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
+    q68, q69)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

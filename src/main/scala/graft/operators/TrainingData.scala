@@ -186,6 +186,84 @@ object TrainingData {
     } finally hist.unpersist(blocking = false)
   }
 
+  /** Cross-corpus span (line/paragraph) dedup, keep-first-occurrence:
+    * the sub-document granularity pass (boilerplate headers, repeated
+    * paragraphs) that document-level dedup can't touch. Input is a
+    * pre-split array column (the caller owns the notion of "line" —
+    * newline split, fixed-width token chunks, sentence split); every
+    * occurrence of a span after its global first — ordered by
+    * (`idCol`, position) — is dropped.
+    *
+    * Scale shape: spans explode to postings keyed by an 8-byte xxhash64
+    * fingerprint (the span text itself never shuffles twice); one
+    * aggregate finds each fingerprint's keeper, one shuffled join marks
+    * survivors; surviving spans reassemble per doc in position order.
+    *
+    * @return (idCol, n_spans, n_kept, kept_text) one row per input doc
+    *         (docs whose spans all drop keep n_kept=0 and empty text). */
+  def dedupSpans(docs: DataFrame, idCol: String, spansCol: String): DataFrame = {
+    val posts = docs
+      .select(col(idCol).as("doc"), posexplode(col(spansCol)).as(Seq("idx", "span")))
+      .withColumn("fp", xxhash64(col("span")))
+    val keepers = posts
+      .groupBy(col("fp"))
+      .agg(min(struct(col("doc"), col("idx"))).as("keeper"))
+      .select(col("fp"), col("keeper.doc").as("kdoc"), col("keeper.idx").as("kidx"))
+    posts.join(keepers, Seq("fp"))
+      .withColumn("kept", col("doc") === col("kdoc") && col("idx") === col("kidx"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"),
+            struct(col("idx"), col("span"))))),
+          x => x.getField("span")), " ").as("kept_text"))
+      .withColumnRenamed("doc", idCol)
+  }
+
+  /** Gopher-style quality-filter composite: the document-level keep/drop
+    * decision with a per-rule audit trail (a compliance pass needs to
+    * know WHY a doc dropped, and a pipeline needs per-rule drop rates to
+    * tune thresholds). Rules — word-count bounds, mean word length
+    * bounds, symbol ratio, stopword evidence, 2-gram repetition — are
+    * all narrow arithmetic over the scan except the repetition signal,
+    * which reuses [[repetitionStats]] (one shuffle) and joins back.
+    *
+    * Thresholds default to the published Gopher ranges adapted to
+    * word-soup corpora; all overridable. */
+  def qualityFilter(docs: DataFrame, idCol: String, textCol: String,
+                    minWords: Int = 3, maxWords: Int = 100000,
+                    minMeanWordLen: Double = 2.0, maxMeanWordLen: Double = 12.0,
+                    maxSymbolRatio: Double = 0.2,
+                    minStopwordHits: Int = 1,
+                    maxRepRatio: Double = 0.6,
+                    stopwords: Seq[String] = Seq("the", "be", "to", "of",
+                      "and", "that", "have", "with")): DataFrame = {
+    val toks = TextExprs.tokens(lower(trim(col(textCol))))
+    val nWords = size(toks)
+    val lettersOnly = regexp_replace(trim(col(textCol)), "\\s+", "")
+    val symbols = regexp_replace(lettersOnly, "[A-Za-z0-9]", "")
+    val stats = docs.select(
+      col(idCol).as("doc"),
+      nWords.cast("long").as("n_words"),
+      round(length(lettersOnly).cast("double") /
+        greatest(nWords, lit(1)), 4).as("mean_word_len"),
+      round(length(symbols).cast("double") /
+        greatest(length(lettersOnly), lit(1)), 4).as("symbol_ratio"),
+      size(array_intersect(toks,
+        array(stopwords.map(lit): _*))).cast("long").as("stop_hits"))
+    val rep = repetitionStats(docs, idCol, textCol, n = 2)
+      .select(col("doc"), col("rep_ratio"))
+    stats.join(rep, Seq("doc"), "left")
+      .withColumn("rep_ratio", coalesce(col("rep_ratio"), lit(0.0)))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+          col("symbol_ratio") <= maxSymbolRatio &&
+          col("stop_hits") >= minStopwordHits &&
+          col("rep_ratio") <= maxRepRatio)
+  }
+
   /** Frequency vocabulary: top-`k` lowercased whitespace tokens by global
     * count (ties → lexicographic). Classic two-phase aggregate: partial
     * counts map-side, one shuffle on token, TakeOrdered for the top-k —

@@ -108,6 +108,44 @@ class TrainingDataSpec extends SparkSpec {
     check((1L to 40L).map(i => (i, i % 7)), 10)
   }
 
+  test("dedupSpans: keep-first across AND within docs, order preserved") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Seq("alpha beta", "common footer", "gamma")),
+      (2L, Seq("common footer", "delta", "common footer")), // cross + self dup
+      (3L, Seq("common footer")))                           // everything drops
+      .toDF("doc_id", "spans")
+    val out = TrainingData.dedupSpans(df, "doc_id", "spans")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((3L, 3L, "alpha beta common footer gamma"))) // first owner keeps
+    assert(out(2L) == ((3L, 1L, "delta")))       // both occurrences drop
+    assert(out(3L) == ((1L, 0L, "")))            // fully deduped doc stays, empty
+  }
+
+  test("qualityFilter: each rule trips independently and audits why") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // clean -> keep
+      (2L, "hi"),                                          // too few words
+      (3L, "the " + "pneumonoultramicroscopics " * 10),    // mean word len high
+      (4L, "the ####### $$$$$$$ @@@@@@@ !!!!!!!"),         // symbol ratio
+      (5L, "purple monkey dishwasher banana elephant"),    // no stopwords
+      (6L, "the end " * 50))                               // repetition
+      .toDF("doc_id", "text")
+    val out = TrainingData.qualityFilter(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("keep") && out(2L).getAs[Long]("n_words") == 1)
+    assert(!out(3L).getAs[Boolean]("keep") &&
+      out(3L).getAs[Double]("mean_word_len") > 12.0)
+    assert(!out(4L).getAs[Boolean]("keep") &&
+      out(4L).getAs[Double]("symbol_ratio") > 0.2)
+    assert(!out(5L).getAs[Boolean]("keep") && out(5L).getAs[Long]("stop_hits") == 0)
+    assert(!out(6L).getAs[Boolean]("keep") &&
+      out(6L).getAs[Double]("rep_ratio") > 0.6)
+  }
+
   test("vocabulary: descending counts, lexicographic ties, k rows max") {
     val v = TrainingData.vocabulary(docs, "text", 10).collect()
     assert(v.length <= 10)
