@@ -538,6 +538,23 @@ object Queries {
         SELECT d1, d2, ROUND(cos, 6) AS cos FROM paired WHERE cos >= 0.4"""
     })
 
+  // Embedding-space decontamination: the semantic complement of q62's
+  // n-gram pass — corpus rows within cosine 0.4 of ANY eval vector (the
+  // first 20 ids) drop, catching paraphrased leakage exact shingles miss.
+  // Eval broadcasts; anti probe early-exits per row; corpus never shuffles.
+  private val q70 = Q("q70_embedding_decontam",
+    (s, d) => graft.operators.Similarity.decontaminateByEmbedding(
+        embeddings(s, d), embeddings(s, d).where(col("vec_id") < 20),
+        "embedding", threshold = 0.4)
+      .select(col("vec_id"), col("label")),
+    Some("""WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+      n AS (SELECT vec_id, label,
+          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM c),
+      e AS (SELECT nv AS ev FROM n WHERE vec_id < 20)
+      SELECT vec_id, label FROM n
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE list_dot_product(nv, ev) >= 0.4)"""))
+
   // ---------------------------------------------- C: whole-ETL oracle
   // The complete reference ETL (clean → staging → dim upserts → fact load)
   // over reference-shaped rows synthesized from the testdata, checked
@@ -1442,7 +1459,7 @@ object Queries {
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
-    q68, q69)
+    q68, q69, q70)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -110,4 +110,28 @@ object Similarity {
       .withColumn("cos", graft.functions.VectorNative.dotProduct(col("q_vec"), col("n_vec")))
     topKRank(scored, k)
   }
+
+  /** Embedding-space decontamination: the semantic complement of the
+    * n-gram pass ([[Dedup.decontaminate]]) — drop every corpus row whose
+    * embedding is within `threshold` cosine of ANY eval-set vector
+    * (paraphrased benchmark leakage that exact shingles can't see).
+    *
+    * Scale shape: the eval set broadcasts (benchmarks are tiny vs a
+    * 100 TB corpus); both sides L2-normalize ONCE so the pairwise test is
+    * a bare ordered-fold dot product; the broadcast-nested-loop LEFT ANTI
+    * stops probing a corpus row at its FIRST contaminated hit. The corpus
+    * never shuffles.
+    *
+    * @return the clean subset of `corpus`, all original columns. */
+  def decontaminateByEmbedding(corpus: DataFrame, evalSet: DataFrame,
+                               vecCol: String, threshold: Double): DataFrame = {
+    val ev = broadcast(evalSet.select(
+      graft.functions.VectorNative.l2Normalize(col(vecCol)).as("__ev")))
+    val normed = corpus.withColumn("__cv",
+      graft.functions.VectorNative.l2Normalize(col(vecCol)))
+    normed.join(ev,
+        graft.functions.VectorNative.dotProduct(col("__cv"), col("__ev"))
+          >= threshold, "left_anti")
+      .drop("__cv")
+  }
 }

@@ -161,6 +161,15 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("CASE WHEN") || plan.contains("decile"), plan.take(800))
   }
 
+  test("q70: embedding decontamination = broadcast anti probe, corpus unshuffled") {
+    val plan = Queries.queries("q70_embedding_decontam")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") && plan.contains("LeftAnti"),
+      plan.take(600))
+    // the corpus side must not shuffle by key (read-split round robin is fine)
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(600))
+  }
+
   test("whole-stage codegen covers the cleaning scan (native exprs fused)") {
     val synth = graft.etl.ReferenceShapedData.syntheticOrders(spark, sf)
     val stg = graft.etl.OrderEtl.toStaging(graft.etl.OrderEtl.cleanOrders(synth))
