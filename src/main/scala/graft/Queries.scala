@@ -1068,6 +1068,40 @@ object Queries {
       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY date_trunc('hour', ts), event_type"""))
 
+  // Exactly-once-style streaming ingest through the gate: the source dir
+  // holds the events table TWICE (simulated at-least-once re-delivery);
+  // dropDuplicatesWithinWatermark must collapse the duplicates so the
+  // drained counts equal the single-copy batch oracle. The in-test
+  // horizon is effectively unbounded (no state GC) so the check is
+  // exact; production picks a horizon = its re-delivery window.
+  private val q71 = Q("q71_streaming_dedup",
+    (s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_stream_dup_${Integer.toHexString(d.hashCode)}")
+      f.mkdirs()
+      Seq("events_a.parquet", "events_b.parquet").foreach(n =>
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(s"$d/events.parquet"),
+          java.nio.file.Paths.get(f.getAbsolutePath, n),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+      val rawSchema = s.read.parquet(f.getAbsolutePath).schema
+      val raw = s.readStream.schema(rawSchema).parquet(f.getAbsolutePath)
+      val ev = if (rawSchema("ts").dataType == LongType)
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) else raw
+      val sink = "graft_q71_sink"
+      val q = graft.streaming.EventStreams
+        .dedupedEvents(ev, watermarkHorizon = "87600 hours")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink)
+    },
+    Some("SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"))
+
   // Arbitrary-stateful streaming through the gate: the
   // flatMapGroupsWithState sessionizer drains the events stream and its
   // final per-user state must equal the batch window formulation — q26's
@@ -1459,7 +1493,7 @@ object Queries {
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
-    q68, q69, q70)
+    q68, q69, q70, q71)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
