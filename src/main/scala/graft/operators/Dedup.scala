@@ -265,10 +265,14 @@ object Dedup {
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }
+    // edges are joined on src EVERY hop: hash-partition them once before
+    // the checkpoint (LogicalRDD keeps the partitioning), so each round's
+    // join only shuffles the (small, changing) label frame
     val edges = ckpt(pairs
       .select(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst"))
       .unionByName(pairs
-        .select(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst"))))
+        .select(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst")))
+      .repartition(col("src")))
     // Iterate over the ACTIVE subgraph only: a node with no edges can
     // never change its label, and in a near-dup corpus pair-involved docs
     // are a sliver of the whole — the loop's joins touch |edge endpoints|
