@@ -193,6 +193,21 @@ class XlsIngestSpec extends SparkSpec {
     assert(grid(1)(0) == "bulk_0" && grid(1)(1) == "bulk_399")
   }
 
+  test("less-common cell records: numeric formula results, LABEL, FALSE") {
+    def formulaNumber(row: Int, col: Int, d: Double): Array[Byte] =
+      rec(0x0006, cellHead(row, col) ++ dbl(d) ++ u16(0) ++ u32(0) ++ u16(0))
+    def label(row: Int, col: Int, s: String): Array[Byte] =
+      rec(0x0204, cellHead(row, col) ++ u16(s.length) ++ Array(0x01.toByte) ++
+        s.getBytes("UTF-16LE"))
+    val cells = labelSst(0, 0, 0) ++ labelSst(0, 1, 1) ++ labelSst(0, 2, 2) ++
+      formulaNumber(1, 0, 6.25) ++ label(1, 1, "détaillé") ++
+      boolErr(1, 2, v = false)
+    val stream = workbookStream(3,
+      Seq(Seq("A", "B", "C").flatMap(sstString).toArray), cells)
+    val grid = XlsIngest.parseGrid(cfb("Workbook", stream))
+    assert(grid(1).toSeq == Seq("6.25", "détaillé", "FALSE"))
+  }
+
   test("CsvIngest dispatch routes .xls to the BIFF8 reader") {
     val cells = labelSst(0, 0, 0) ++ labelSst(1, 0, 1)
     val stream = workbookStream(2,
