@@ -51,6 +51,52 @@ object WarehouseStore {
       .format("parquet")
       .saveAsTable(table)
 
+  /** Small-file compaction for the incrementally-appended fact: every
+    * `saveFact(..., Append)` batch adds a file per touched (year, month)
+    * directory, and a year of hourly loads turns partition listings and
+    * scan task counts into the bottleneck. Rewrites each affected
+    * partition into ~`targetBytes` files, restoring the product_id
+    * cluster ordering that appends interleave.
+    *
+    * Only partitions matched by `years` (None = all) rewrite — at scale,
+    * compaction runs against the recent write window, not the archive.
+    * The rewrite stages to a sibling temp dir and swaps directories
+    * last, so a failed compaction leaves the original data untouched
+    * (single-writer maintenance op, like the reference's index rebuild
+    * window). */
+  def compactFact(spark: SparkSession, path: String,
+                  targetBytes: Long = 128L * 1024 * 1024,
+                  years: Option[Seq[Int]] = None): Unit = {
+    import org.apache.hadoop.fs.Path
+    val factPath = new Path(s"$path/fact_sales")
+    val fs = factPath.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(factPath)) return
+    val yearDirs = fs.listStatus(factPath)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_year="))
+      .filter(s => years.forall(
+        _.contains(s.getPath.getName.stripPrefix("p_year=").toInt)))
+    yearDirs.foreach { yd =>
+      fs.listStatus(yd.getPath)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_month="))
+        .foreach { md =>
+          val files = fs.listStatus(md.getPath)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          if (files.length > 1) {
+            val nFiles = math.max(1,
+              math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
+            val tmp = new Path(md.getPath.getParent, md.getPath.getName + ".compact_tmp")
+            spark.read.parquet(md.getPath.toString)
+              .repartition(nFiles)
+              .sortWithinPartitions(col("product_id"))
+              .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+            // swap: drop the originals, promote the compacted directory
+            fs.delete(md.getPath, true)
+            require(fs.rename(tmp, md.getPath), s"compaction swap failed for ${md.getPath}")
+          }
+        }
+    }
+  }
+
   /** Partition-pruned fact read: the year filter lands on the p_year
     * partition column BEFORE it is dropped, so Spark lists and reads only
     * the matching (p_year=…) directories — at 100 TB this is the

@@ -32,6 +32,34 @@ class WarehouseStoreSpec extends SparkSpec {
     assert(units.toSeq == Seq(2, 1, 3))
   }
 
+  test("compaction merges appended small files without changing content") {
+    import org.apache.spark.sql.SaveMode
+    val dir = Files.createTempDirectory("graft-wh3").toString
+    // 5 appends of the same fact = 5 small files per touched partition
+    WarehouseStore.saveFact(wh.factSales, dir)
+    (1 to 4).foreach { i =>
+      val batch = wh.factSales.withColumn("fact_id", col("fact_id") + lit(i * 10L))
+      WarehouseStore.saveFact(batch, dir, SaveMode.Append)
+    }
+    def files(sub: String): Int =
+      Option(new java.io.File(s"$dir/fact_sales/$sub").listFiles())
+        .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
+    assert(files("p_year=2024/p_month=1") >= 5)
+    val before = spark.read.parquet(s"$dir/fact_sales")
+      .orderBy("fact_id").collect().map(_.toSeq).toSeq
+    WarehouseStore.compactFact(spark, dir)
+    assert(files("p_year=2024/p_month=1") == 1) // tiny data -> one target file
+    assert(files("p_year=2025/p_month=1") == 1)
+    val after = spark.read.parquet(s"$dir/fact_sales")
+      .orderBy("fact_id").collect().map(_.toSeq).toSeq
+    assert(after == before)
+    // pruning still works over the compacted layout
+    assert(spark.read.parquet(s"$dir/fact_sales")
+      .where(col("p_year") === 2025).count() == 5)
+    // scoped compaction leaves other years alone
+    WarehouseStore.compactFact(spark, dir, years = Some(Seq(2024)))
+  }
+
   test("date-range predicates prune partitions at the scan") {
     val dir = Files.createTempDirectory("graft-wh2").toString
     WarehouseStore.save(wh, dir)
