@@ -1487,13 +1487,91 @@ object Queries {
             FROM documents)
       WHERE tok <> '' GROUP BY tok ORDER BY n DESC, token LIMIT 50"""))
 
+  // Domain-mixing sampler: per-source document quotas (the training-mix
+  // spec), rates DERIVED from corpus counts — src2's over-ask keeps all of
+  // it, src3's zero quota drops it, unlisted sources drop (whitelist).
+  private val q72 = Q("q72_domain_mixing",
+    (s, d) => graft.operators.TrainingData
+      .mixToQuotas(documents(s, d), "doc_id", "source",
+        Map("src0" -> 10L, "src1" -> 5L, "src2" -> 100000L, "src3" -> 0L))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars")),
+    Some("""WITH spec AS (SELECT * FROM (VALUES
+          ('src0', 10), ('src1', 5), ('src2', 100000), ('src3', 0))
+          AS t(dom, quota)),
+      r AS (SELECT c.dom, LEAST(1000, CAST(FLOOR(1000.0 * s.quota / c.cnt)
+              AS BIGINT)) AS permille
+            FROM (SELECT source AS dom, COUNT(*) AS cnt
+                  FROM documents GROUP BY 1) c
+            JOIN spec s ON c.dom = s.dom)
+      SELECT d.doc_id, d.source, d.lang, d.n_chars
+      FROM documents d JOIN r ON d.source = r.dom
+      WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))
+              AS UBIGINT) % 9223372036854775808 % 1000 < r.permille"""))
+
+  // Token-budget selection: fill each source's slice of the mix with its
+  // longest documents until 600 tokens — greedy prefix, window per domain.
+  private val q73 = Q("q73_token_budget",
+    (s, d) => graft.operators.TrainingData
+      .selectToTokenBudget(documents(s, d), "source", "doc_id", "text",
+        "n_chars", budget = 600L)
+      .select(col("doc_id"), col("source"), col("n_chars"), col("n_tokens")),
+    Some("""WITH t AS (SELECT doc_id, source, n_chars,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+            AS n_tokens FROM documents),
+      c AS (SELECT *, SUM(n_tokens) OVER (PARTITION BY source
+              ORDER BY n_chars DESC, doc_id
+              ROWS UNBOUNDED PRECEDING) - n_tokens AS prior FROM t)
+      SELECT doc_id, source, n_chars, n_tokens FROM c WHERE prior < 600"""))
+
+  // Per-document TF-IDF top-3 terms (smoothed idf, rounded-then-ranked so
+  // the kept set is engine-portable).
+  private val q74 = Q("q74_tfidf_topk",
+    (s, d) => graft.operators.TrainingData
+      .tfidfTopTerms(documents(s, d), "doc_id", "text", k = 3),
+    Some("""WITH tf AS (SELECT doc, term, COUNT(*) AS tf
+        FROM (SELECT doc_id AS doc,
+                unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+              FROM documents)
+        WHERE term <> '' GROUP BY 1, 2),
+      df2 AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents),
+      s AS (SELECT tf.doc, tf.term, tf.tf, df2.df,
+          ROUND(tf.tf * (ln(CAST(n.n_docs + 1 AS DOUBLE) / (df2.df + 1)) + 1),
+            6) AS tfidf
+        FROM tf JOIN df2 USING (term) CROSS JOIN n),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc
+              ORDER BY tfidf DESC, term) AS rank FROM s)
+      SELECT doc, CAST(rank AS INTEGER) AS rank, term, tf, df, tfidf
+      FROM r WHERE rank <= 3"""))
+
+  // Incremental exact dedup: the delta batch (doc_id >= 250) against the
+  // warehouse's fingerprint store (built from doc_id < 250) — survivors
+  // are the rows an idempotent daily append would add.
+  private val q75 = Q("q75_incremental_dedup",
+    (s, d) => {
+      val docs = documents(s, d)
+      val seen = graft.operators.Dedup
+        .exact(docs.where(col("doc_id") < 250), "doc_id", "text")
+        .select(col("fp"))
+      graft.operators.Dedup.exactIncremental(
+        docs.where(col("doc_id") >= 250), "doc_id", "text", seen)
+    },
+    Some("""WITH seen AS (SELECT DISTINCT
+          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents WHERE doc_id < 250),
+      batch AS (SELECT MIN(doc_id) AS doc_id,
+          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents WHERE doc_id >= 250 GROUP BY fp)
+      SELECT b.doc_id, b.fp FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM seen s2 WHERE s2.fp = b.fp)"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
-    q68, q69, q70, q71)
+    q68, q69, q70, q71, q72, q73, q74, q75)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

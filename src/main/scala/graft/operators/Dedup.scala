@@ -24,6 +24,27 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol))
       .select(col(idCol), col("fp"))
 
+  /** Incremental exact dedup: dedupe a NEW batch against an existing
+    * fingerprint store — the daily-crawl-append shape, where the corpus's
+    * fingerprints already live in the warehouse and only the delta is
+    * scanned. Intra-batch keep-min-id first ([[exact]]), then a LEFT ANTI
+    * join against the seen fingerprints; both sides shuffle 16-byte
+    * digests, never text. `seen` needs only a `fp` column (extra columns
+    * are ignored) and is typically a bucketed fingerprint table so the
+    * anti join co-locates ([[graft.sources.WarehouseStore.saveBucketed]]).
+    *
+    * Returns (idCol, fp): the rows to append to both the corpus and the
+    * fingerprint store. Re-running the same batch against the appended
+    * store yields zero rows — idempotent ingestion. */
+  def exactIncremental(batch: DataFrame, idCol: String, textCol: String,
+                       seen: DataFrame): DataFrame = {
+    require(seen.columns.contains("fp"),
+      s"seen fingerprints need a 'fp' column; got [${seen.columns.mkString(", ")}]")
+    exact(batch, idCol, textCol)
+      .join(seen.select(col("fp")), Seq("fp"), "left_anti")
+      .select(col(idCol), col("fp"))
+  }
+
   /** Quality-aware exact dedup: per fingerprint keep the best row by
     * `qualityCol` (desc), id as deterministic tiebreak — the "keep the
     * longest/cleanest copy" policy real pipelines use instead of min-id. */

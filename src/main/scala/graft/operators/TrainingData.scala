@@ -274,4 +274,94 @@ object TrainingData {
     .groupBy(col("token")).agg(count(lit(1)).as("n"))
     .orderBy(col("n").desc, col("token"))
     .limit(k)
+
+  /** Domain-mixing sampler: downsample each domain toward a target DOCUMENT
+    * quota (the "30% web / 30% code / 40% books" mixing spec), deterministic.
+    * Unlike [[stratifiedSample]] (fixed per-stratum RATES), the rate here is
+    * DERIVED from the corpus — permille_d = min(1000, ⌊1000·quota_d/count_d⌋)
+    * — so the output lands near quota docs per domain however the corpus is
+    * distributed, and a re-run after the corpus grows re-targets
+    * automatically. Domains absent from `quotas` drop: the mixing spec is
+    * the whitelist.
+    *
+    * Scale shape: one lean aggregate for per-domain counts (one row per
+    * mixing domain), broadcast-joined back onto the scan; the keep test is
+    * the same narrow engine-portable md5 threshold as
+    * [[deterministicSample]]. No driver-side state, no RNG. The ⌊·⌋ runs in
+    * double precision — exact for any corpus below 2^53 docs per domain,
+    * and identically rounded by every IEEE engine (the oracle included). */
+  def mixToQuotas(df: DataFrame, idCol: String, domainCol: String,
+                  quotas: Map[String, Long]): DataFrame = {
+    require(quotas.nonEmpty, "empty mixing spec")
+    quotas.foreach { case (dom, q) =>
+      require(q >= 0, s"negative quota for '$dom': $q") }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val spec = quotas.toSeq.toDF("__dom", "__quota")
+    val rates = df.groupBy(col(domainCol).as("__dom"))
+      .agg(count(lit(1)).as("__cnt"))
+      .join(broadcast(spec), Seq("__dom"))
+      .select(col("__dom"), least(lit(1000L),
+        floor(lit(1000.0) * col("__quota") / col("__cnt"))).as("__permille"))
+    df.join(broadcast(rates), df(domainCol) === rates("__dom"))
+      .where(pmod(StableId63.stableId63(col(idCol).cast("string")), lit(1000))
+        < col("__permille"))
+      .drop("__dom", "__permille")
+  }
+
+  /** Quality-ordered token-budget selection: within each domain take
+    * documents in (`orderCol` DESC, `idCol`) order until `budget` tokens
+    * are reached — a doc is kept iff the tokens BEFORE it are under budget
+    * (the greedy prefix; the budget may overshoot by at most one document).
+    * The "fill each domain's slice of the training mix" primitive when the
+    * budget is tokens, not documents ([[mixToQuotas]]).
+    *
+    * One shuffle on the domain key; the running sum scans each domain
+    * sequentially, so the domain is the parallelism unit — same contract as
+    * [[packSequences]], and same deliberate omission of a global variant
+    * (it would serialize through one task). */
+  def selectToTokenBudget(docs: DataFrame, domainCol: String, idCol: String,
+                          textCol: String, orderCol: String,
+                          budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w = Window.partitionBy(col(domainCol))
+      .orderBy(col(orderCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .withColumn("n_tokens", TextExprs.tokenCount(col(textCol)).cast("long"))
+      .withColumn("__prior", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .where(col("__prior") < budget)
+      .drop("__prior")
+  }
+
+  /** Per-document TF-IDF top-`k` terms (smoothed idf = ln((N+1)/(df+1))+1):
+    * the "what is this document about" signal used for topic-balanced
+    * sampling and near-dup triage. tf and df both derive from ONE exploded
+    * (doc, term) aggregate — df is a re-aggregation of the tf frame, not a
+    * second corpus scan; N rides along as a broadcast one-row scalar; the
+    * per-doc top-k is a row_number over the (doc) partition, so shuffles
+    * move (doc, term, counts) and never document text. Scores are rounded
+    * to 6 decimals BEFORE ranking so the ordering (and therefore the kept
+    * set) is engine-portable: a sub-ulp ln() difference cannot flip ranks. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val tf = docs
+      .select(col(idCol).as("doc"),
+        explode(TextExprs.tokens(lower(col(textCol)))).as("term"))
+      .where(col("term") =!= "")
+      .groupBy(col("doc"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc"))
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(dfreq, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf", round(col("tf") *
+        (log((col("n_docs") + 1).cast("double") / (col("df") + 1)) + 1), 6))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc"), col("rank"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+  }
 }

@@ -111,4 +111,25 @@ class DedupSpec extends SparkSpec {
       assert(buckets.length > 1, s"band $b is constant -> pigeonhole join degenerates")
     }
   }
+
+  test("exactIncremental: idempotent append, intra-batch keep-min, fp gate") {
+    import spark.implicits._
+    val seenDocs = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("doc_id", "text")
+    val seen = Dedup.exact(seenDocs, "doc_id", "text").select("fp")
+    val batch = Seq(
+      (10L, "ALPHA   beta"),   // normalizes to a seen fingerprint -> drop
+      (11L, "delta"),          // new -> keep
+      (12L, "delta"),          // intra-batch dup -> min id 11 wins
+      (13L, "epsilon"))        // new -> keep
+      .toDF("doc_id", "text")
+    val out = Dedup.exactIncremental(batch, "doc_id", "text", seen)
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == Set(11L, 13L))
+    // appending the survivors' fps makes the same batch a no-op
+    val seen2 = seen.union(out.select("fp"))
+    assert(Dedup.exactIncremental(batch, "doc_id", "text", seen2).count() == 0)
+    intercept[IllegalArgumentException] {
+      Dedup.exactIncremental(batch, "doc_id", "text",
+        seenDocs.select(col("text").as("not_fp")))
+    }
+  }
 }

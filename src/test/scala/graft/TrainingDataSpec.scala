@@ -153,4 +153,81 @@ class TrainingDataSpec extends SparkSpec {
     val sorted = pairs.sortBy { case (n, t) => (-n, t) }.toSeq
     assert(pairs.toSeq == sorted)
   }
+
+  test("mixToQuotas: whitelist, zero-quota drop, over-ask keeps all, ~quota") {
+    val counts = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val some = counts.keys.toSeq.sorted.take(3)
+    val (a, b, c) = (some(0), some(1), some(2))
+    val out = TrainingData.mixToQuotas(docs, "doc_id", "source",
+      Map(a -> counts(a) / 2, b -> 0L, c -> (counts(c) * 10)))
+    val got = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet.subsetOf(Set(a, c)))      // whitelist + zero-quota drop
+    assert(!got.contains(b))
+    assert(got(c) == counts(c))                 // over-ask -> rate caps at 1000
+    // half-quota lands near half (hash-uniform, small-sample slack)
+    val frac = got.getOrElse(a, 0L).toDouble / counts(a)
+    assert(frac > 0.2 && frac < 0.8, s"$frac of ${counts(a)}")
+    // deterministic: re-run is identical
+    val again = TrainingData.mixToQuotas(docs, "doc_id", "source",
+      Map(a -> counts(a) / 2, b -> 0L, c -> counts(c) * 10))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet == again)
+    intercept[IllegalArgumentException] {
+      TrainingData.mixToQuotas(docs, "doc_id", "source", Map(a -> -1L))
+    }
+  }
+
+  test("selectToTokenBudget: greedy prefix per domain, overshoot <= one doc") {
+    import spark.implicits._
+    val df = Seq(
+      ("d1", 1L, "a b c d", 40L),   // 4 tokens, longest first by n_chars
+      ("d1", 2L, "a b c", 30L),     // cumulative 7
+      ("d1", 3L, "a b", 20L),       // prior 7 >= 6 -> dropped
+      ("d2", 4L, "x", 10L))         // other domain unaffected
+      .toDF("dom", "doc_id", "text", "n_chars")
+    val kept = TrainingData
+      .selectToTokenBudget(df, "dom", "doc_id", "text", "n_chars", budget = 6L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L))
+    // real corpus: every domain's kept tokens stay under budget + max doc
+    val out = TrainingData
+      .selectToTokenBudget(docs, "source", "doc_id", "text", "n_chars", 500L)
+    val agg = out.groupBy("source")
+      .agg(sum("n_tokens").as("toks"), max("n_tokens").as("mx")).collect()
+    agg.foreach(r => assert(
+      r.getAs[Long]("toks") < 500L + r.getAs[Long]("mx"),
+      r.getAs[String]("source")))
+    intercept[IllegalArgumentException] {
+      TrainingData.selectToTokenBudget(docs, "source", "doc_id", "text",
+        "n_chars", 0L)
+    }
+  }
+
+  test("tfidfTopTerms: k per doc, rank order, corpus-wide terms score low") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "common rare1 rare1 common"),
+      (2L, "common rare2"),
+      (3L, "common other"))
+      .toDF("doc_id", "text")
+    val out = TrainingData.tfidfTopTerms(df, "doc_id", "text", k = 2)
+    val byDoc = out.collect().groupBy(_.getLong(0))
+    assert(byDoc.values.forall(_.length <= 2))
+    // within a doc, rank follows (tfidf desc, term asc)
+    byDoc.values.foreach { rows =>
+      val ordered = rows.sortBy(_.getInt(1))
+      val scores = ordered.map(r => (-r.getAs[Double]("tfidf"),
+        r.getAs[String]("term")))
+      assert(scores.sameElements(scores.sorted))
+    }
+    // the everywhere-term never outranks a doc's distinctive term
+    val d1 = byDoc(1L).sortBy(_.getInt(1)).map(_.getAs[String]("term"))
+    assert(d1.head == "rare1")
+    // df counts documents, not occurrences
+    val dfOfCommon = out.where(col("term") === "common")
+      .select("df").head().getLong(0)
+    assert(dfOfCommon == 3L)
+  }
 }
