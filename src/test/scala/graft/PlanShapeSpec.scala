@@ -170,6 +170,28 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(600))
   }
 
+  test("q72: domain mixing joins rates by broadcast — no sort-merge join") {
+    val df = Queries.queries("q72_domain_mixing")(spark, sf)
+    val plan = finalPlan(df).toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  }
+
+  test("q73: token-budget selection adds exactly one exchange (the domain key)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.operators.TrainingData
+      .selectToTokenBudget(docs, "source", "doc_id", "text", "n_chars", 600L)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(800))
+  }
+
+  test("q74: tf-idf N-scalar rides a broadcast, never a cartesian product") {
+    val df = Queries.queries("q74_tfidf_topk")(spark, sf)
+    val plan = finalPlan(df).toString
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"), plan.take(800))
+  }
+
   test("whole-stage codegen covers the cleaning scan (native exprs fused)") {
     val synth = graft.etl.ReferenceShapedData.syntheticOrders(spark, sf)
     val stg = graft.etl.OrderEtl.toStaging(graft.etl.OrderEtl.cleanOrders(synth))
