@@ -1565,13 +1565,47 @@ object Queries {
       SELECT b.doc_id, b.fp FROM batch b
       WHERE NOT EXISTS (SELECT 1 FROM seen s2 WHERE s2.fp = b.fp)"""))
 
+  // Deterministic corpus shuffle: md5-keyed shard + in-shard rank — the
+  // reproducible training order, no RNG, no global sort (8 shards here).
+  private val q76 = Q("q76_deterministic_shuffle",
+    (s, d) => graft.operators.TrainingData
+      .deterministicShuffle(documents(s, d), "doc_id", numShards = 8)
+      .select(col("doc_id"), col("shard"), col("pos")),
+    Some("""WITH k AS (SELECT doc_id,
+          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+            AS UBIGINT) % 9223372036854775808 AS key
+        FROM documents)
+      SELECT doc_id, CAST(key % 8 AS INTEGER) AS shard,
+        CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id)
+          AS INTEGER) AS pos
+      FROM k"""))
+
+  // Sliding-window token chunking (context-window prep): 32-token chunks
+  // every 16 tokens; chunk text pinned by md5.
+  private val q77 = Q("q77_token_chunks",
+    (s, d) => graft.operators.TrainingData
+      .chunkDocs(documents(s, d), "doc_id", "text", chunk = 32, stride = 16)
+      .select(col("doc_id"), col("chunk_idx"), col("n_tokens"),
+        md5(col("chunk_text")).as("chunk_md5")),
+    Some("""WITH tk AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+        FROM documents WHERE trim(text) <> ''),
+      ch AS (SELECT doc_id, i AS chunk_idx,
+          array_to_string(t[i*16+1 : i*16+32], ' ') AS chunk_text
+        FROM (SELECT doc_id, t,
+                unnest(range(CAST(floor((len(t) - 1) / 16.0) AS INT) + 1)) AS i
+              FROM tk))
+      SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+        CAST(len(string_split_regex(chunk_text, '\s+')) AS BIGINT) AS n_tokens,
+        md5(chunk_text) AS chunk_md5
+      FROM ch"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
-    q68, q69, q70, q71, q72, q73, q74, q75)
+    q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -334,6 +334,56 @@ object TrainingData {
       .drop("__prior")
   }
 
+  /** Deterministic corpus shuffle: the reproducible global reordering a
+    * training run needs (decorrelate adjacent source documents) WITHOUT an
+    * RNG or a global sort. Each row's md5-derived key assigns a shard
+    * (`pmod(key, numShards)`) and its rank within the shard
+    * (`row_number` ordered by (key, id)); reading shards 0..n-1 in pos
+    * order replays the identical permutation on any engine, any cluster
+    * size, any day.
+    *
+    * One exchange on the shard id; each shard sorts independently, so
+    * `numShards` is the parallelism unit — size it like shuffle
+    * partitions (a few × cores at 100 TB), never 1 (that would be the
+    * global sort this operator exists to avoid). */
+  def deterministicShuffle(df: DataFrame, idCol: String,
+                           numShards: Int): DataFrame = {
+    require(numShards >= 1, s"numShards must be >= 1: $numShards")
+    val key = StableId63.stableId63(col(idCol).cast("string"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("__key"), col(idCol))
+    df.withColumn("__key", key)
+      .withColumn("shard", pmod(col("__key"), lit(numShards)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("__key")
+  }
+
+  /** Sliding-window token chunking: cut each document into `chunk`-token
+    * windows starting every `stride` tokens (overlap = chunk - stride) —
+    * the context-window prep step before packing/training. Start offsets
+    * are 0, stride, 2·stride, … while they land inside the document, so
+    * the tail chunk may be short; empty docs emit nothing.
+    *
+    * NARROW: the token array, the start sequence, and the slices are all
+    * computed per row and exploded — zero shuffles, no UDF, and the
+    * emitted chunk text is the only width added to the stream. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunk: Int, stride: Int): DataFrame = {
+    require(chunk >= 1, s"chunk must be >= 1: $chunk")
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    docs
+      .where(trim(col(textCol)) =!= "") // also rejects null text
+      .select(col(idCol), TextExprs.tokens(col(textCol)).as("__tk"))
+      .select(col(idCol), col("__tk"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(floor((size(__tk) - 1) / $stride) as int)),
+              i -> array_join(slice(__tk, i * $stride + 1, $chunk), ' '))"""))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .select(col(idCol), col("chunk_idx"),
+        TextExprs.tokenCount(col("chunk_text")).cast("long").as("n_tokens"),
+        col("chunk_text"))
+  }
+
   /** Per-document TF-IDF top-`k` terms (smoothed idf = ln((N+1)/(df+1))+1):
     * the "what is this document about" signal used for topic-balanced
     * sampling and near-dup triage. tf and df both derive from ONE exploded

@@ -205,6 +205,59 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("deterministicShuffle: a permutation, reproducible, decorrelated") {
+    val out = TrainingData.deterministicShuffle(docs, "doc_id", numShards = 8)
+    val n = docs.count()
+    assert(out.count() == n) // nothing dropped or duplicated
+    // (shard, pos) is a dense rank within each shard: a valid read order
+    val perShard = out.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx")).collect()
+    assert(perShard.nonEmpty)
+    perShard.foreach(r => assert(r.getAs[Long]("n") == r.getAs[Int]("mx")))
+    // reproducible across runs
+    val a = out.select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    val b = TrainingData.deterministicShuffle(docs, "doc_id", 8)
+      .select("doc_id", "shard", "pos").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(a == b)
+    // decorrelated: consecutive input ids do not stay adjacent — the first
+    // shard's first 10 positions are not 10 consecutive doc_ids
+    val firstShard = a.filter(_._2 == 0).toSeq.sortBy(_._3).take(10).map(_._1)
+    val consecutive = firstShard.sorted.sliding(2)
+      .count { case Seq(x, y) => y == x + 1; case _ => false }
+    assert(consecutive < 8, s"shuffle left ids nearly consecutive: $firstShard")
+    intercept[IllegalArgumentException] {
+      TrainingData.deterministicShuffle(docs, "doc_id", 0)
+    }
+  }
+
+  test("chunkDocs: coverage, overlap, short tail, empty docs emit nothing") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6"), // 7 tokens
+      (2L, "a b"),                  // shorter than one chunk
+      (3L, "   "),                  // whitespace-only -> no chunks
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = TrainingData.chunkDocs(df, "doc_id", "text", chunk = 4, stride = 2)
+      .collect().groupBy(_.getLong(0))
+    // doc 1: starts 0,2,4,6 -> 4 chunks; tails shrink
+    val c1 = out(1L).sortBy(_.getInt(1))
+    assert(c1.map(_.getAs[String]("chunk_text")).toSeq == Seq(
+      "t0 t1 t2 t3", "t2 t3 t4 t5", "t4 t5 t6", "t6"))
+    assert(c1.map(_.getAs[Long]("n_tokens")).toSeq == Seq(4L, 4L, 3L, 1L))
+    assert(out(2L).map(_.getAs[String]("chunk_text")).toSeq == Seq("a b"))
+    assert(!out.contains(3L) && !out.contains(4L))
+    // every token of every doc appears in at least one chunk (coverage)
+    val total = TrainingData.chunkDocs(docs, "doc_id", "text", 32, 16)
+    val perDoc = total.groupBy("doc_id").agg(max("n_tokens").as("mx")).collect()
+    assert(perDoc.forall(_.getAs[Long]("mx") <= 32))
+    intercept[IllegalArgumentException] {
+      TrainingData.chunkDocs(df, "doc_id", "text", 0, 2)
+    }
+  }
+
   test("tfidfTopTerms: k per doc, rank order, corpus-wide terms score low") {
     import spark.implicits._
     val df = Seq(
