@@ -564,10 +564,15 @@ object Queries {
       val wh = graft.etl.ReferenceShapedData.warehouse(s, d)
       wh.factSales
         .join(broadcast(wh.dimPlatform), Seq("platform_id"))
+        // two-level aggregate: countDistinct beside sums would Expand the
+        // fact 2x through the aggregate; grouping by customer first
+        // collapses map-side, the re-aggregate counts groups (see q63)
+        .groupBy(col("platform_name"), col("state_code"), col("customer_id"))
+        .agg(sum(col("units")).as("__u"), count(lit(1)).as("__n"))
         .groupBy(col("platform_name"), col("state_code"))
-        .agg(sum(col("units")).as("units"),
-          count(lit(1)).as("n_lines"),
-          countDistinct(col("customer_id")).as("n_customers"))
+        .agg(sum(col("__u")).as("units"),
+          sum(col("__n")).as("n_lines"),
+          count(lit(1)).as("n_customers"))
     },
     Some(s"""WITH ${graft.etl.ReferenceShapedData.oracleCtes}
       SELECT commercePlatform AS platform_name, state_code,
@@ -946,9 +951,11 @@ object Queries {
     (s, d) => {
       val path = graft.etl.ReferenceShapedData.persistedWarehousePath(s, d)
       graft.sources.WarehouseStore.loadFactYear(s, path, 1995)
+        .groupBy(col("p_month"), col("customer_id"))
+        .agg(sum(col("units")).as("__u"))
         .groupBy(col("p_month"))
-        .agg(sum(col("units")).as("units"),
-          countDistinct(col("customer_id")).as("n_customers"))
+        .agg(sum(col("__u")).as("units"),
+          count(lit(1)).as("n_customers"))
         .select(col("p_month").cast(IntegerType).as("month"),
           col("units"), col("n_customers"))
     },
@@ -1161,10 +1168,12 @@ object Queries {
       val wh = incrementalWarehouse(s, d)
       wh.factSales
         .join(broadcast(wh.dimPlatform), Seq("platform_id"))
+        .groupBy(col("platform_name"), col("state_code"), col("customer_id"))
+        .agg(sum(col("units")).as("__u"), count(lit(1)).as("__n"))
         .groupBy(col("platform_name"), col("state_code"))
-        .agg(sum(col("units")).as("units"),
-          count(lit(1)).as("n_lines"),
-          countDistinct(col("customer_id")).as("n_customers"))
+        .agg(sum(col("__u")).as("units"),
+          sum(col("__n")).as("n_lines"),
+          count(lit(1)).as("n_customers"))
     },
     Some(s"""WITH ${graft.etl.ReferenceShapedData.oracleCtes}
       SELECT commercePlatform AS platform_name, state_code,
@@ -1349,12 +1358,21 @@ object Queries {
       .join(broadcast(supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
-      .groupBy(col("r_name"))
+      // two-level aggregate instead of countDistinct-beside-sum: the fused
+      // form plans an Expand that pushes every fact row through the
+      // aggregate twice; grouping by (region, supplier) first collapses
+      // map-side to <= |suppliers| rows, then the re-aggregate counts
+      // groups — same answer (decimal sums are associative), no Expand.
+      .groupBy(col("r_name"), col("s_suppkey"))
       .agg(
         sum(dec(col("l_extendedprice")) * (lit(1).cast(D) - dec(col("l_discount"))))
-          .cast(DoubleType).as("revenue"),
-        count(lit(1)).as("n_items"),
-        countDistinct(col("s_suppkey")).as("n_suppliers")),
+          .as("__rev"),
+        count(lit(1)).as("__n"))
+      .groupBy(col("r_name"))
+      .agg(
+        sum(col("__rev")).cast(DoubleType).as("revenue"),
+        sum(col("__n")).as("n_items"),
+        count(lit(1)).as("n_suppliers")),
     Some("""SELECT r_name,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
       COUNT(*) AS n_items, COUNT(DISTINCT s_suppkey) AS n_suppliers
