@@ -170,6 +170,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(600))
   }
 
+  test("dynamic partition pruning: a dim-side year filter prunes the fact scan") {
+    // the BI pattern at scale: the year constraint lives on the calendar
+    // dim, not the fact — Spark must inject a runtime (dynamicpruning)
+    // filter on the fact's partition column from the broadcast dim side
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_wh_planspec_dpp").getAbsolutePath
+    graft.sources.WarehouseStore.save(
+      graft.etl.ReferenceShapedData.warehouse(spark, sf), path)
+    val fact = spark.read.parquet(s"$path/fact_sales")
+    // the filter constrains date_id, NOT the join key: a `year = 1995`
+    // equality would constant-fold into a static partition filter (tested
+    // above via q51) — here pruning can only happen at runtime
+    val years = spark.read.parquet(s"$path/dim_date")
+      .where(col("date_id").between("1995-01-01", "1995-12-31"))
+      .select(col("year").as("p_year")).distinct()
+    val q = fact.join(years, Seq("p_year")).groupBy(col("p_month")).count()
+    val scan = scans(q).find(_.toString.contains("fact_sales")).get
+    val pf = scan.metadata("PartitionFilters")
+    assert(pf.contains("dynamicpruning"), pf)
+    // and the runtime effect is real: only 1995's ≤12 month dirs were read
+    val nPart = scan.metrics("numPartitions").value
+    assert(nPart > 0 && nPart <= 12, s"numPartitions=$nPart")
+  }
+
   test("q72: domain mixing joins rates by broadcast — no sort-merge join") {
     val df = Queries.queries("q72_domain_mixing")(spark, sf)
     val plan = finalPlan(df).toString
