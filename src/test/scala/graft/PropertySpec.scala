@@ -114,4 +114,45 @@ class PropertySpec extends SparkSpec {
       assert(got(lid)._2 == matched.map(_._3), s"lid=$lid payload")
     }
   }
+
+  test("mixToQuotas: output per domain is monotone in the quota on fuzzed corpora") {
+    val rnd = new scala.util.Random(11)
+    val docs = (1 to 400)
+      .map(i => (i.toLong, s"dom${rnd.nextInt(4)}"))
+      .toDF("doc_id", "dom")
+    def ids(quota: Long): Set[Long] = graft.operators.TrainingData
+      .mixToQuotas(docs, "doc_id", "dom",
+        Map("dom0" -> quota, "dom1" -> quota, "dom2" -> quota))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val steps = Seq(0L, 10L, 40L, 120L, 500L).map(ids)
+    steps.sliding(2).foreach { case Seq(a, b) =>
+      assert(a.subsetOf(b), "growing every quota must only add documents")
+    case _ => ()
+    }
+    assert(steps.head.isEmpty)           // zero quota drops everything
+    // whitelist: dom3 never appears at any quota
+    val all = graft.operators.TrainingData.mixToQuotas(docs, "doc_id", "dom",
+      Map("dom0" -> 500L, "dom1" -> 500L, "dom2" -> 500L))
+    assert(all.where(col("dom") === "dom3").count() == 0)
+  }
+
+  test("chunkDocs reassembles to the original token stream on fuzzed docs") {
+    // stride == chunk (no overlap): concatenating a doc's chunks in
+    // chunk_idx order must reproduce its exact token sequence
+    val texts = sample(Gen.chooseNum(0, 40), 60).zipWithIndex.map {
+      case (n, i) => (i.toLong, (1 to n).map(j => s"t${i}_$j").mkString(" "))
+    }
+    val df = texts.toDF("doc_id", "text")
+    val out = graft.operators.TrainingData
+      .chunkDocs(df, "doc_id", "text", chunk = 7, stride = 7)
+      .collect().groupBy(_.getLong(0))
+    texts.foreach { case (id, text) =>
+      if (text.trim.isEmpty) assert(!out.contains(id))
+      else {
+        val rebuilt = out(id).sortBy(_.getInt(1))
+          .map(_.getAs[String]("chunk_text")).mkString(" ")
+        assert(rebuilt == text, s"doc $id")
+      }
+    }
+  }
 }
