@@ -1617,13 +1617,40 @@ object Queries {
         md5(chunk_text) AS chunk_md5
       FROM ch"""))
 
+  // Corpus report (the "dataset card"): totals, composition facets, token
+  // volume, exact-dup rate — one scan, long format. All values are
+  // integer-exact doubles or round-6 ratios, so cross-engine equal.
+  private val q78 = Q("q78_corpus_report",
+    (s, d) => graft.operators.TrainingData
+      .corpusReport(documents(s, d), "doc_id", "text", "lang", "source",
+        "n_chars"),
+    Some("""WITH base AS (SELECT lang, source,
+          CAST(n_chars AS DOUBLE) AS n_chars,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE)
+            AS n_tokens,
+          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents)
+      SELECT 'docs_total' AS metric, '' AS "key",
+        CAST(COUNT(*) AS DOUBLE) AS value FROM base
+      UNION ALL SELECT 'tokens_total', '', SUM(n_tokens) FROM base
+      UNION ALL SELECT 'chars_total', '', SUM(n_chars) FROM base
+      UNION ALL SELECT 'mean_doc_tokens', '', ROUND(AVG(n_tokens), 6)
+        FROM base
+      UNION ALL SELECT 'docs_by_lang', lang, CAST(COUNT(*) AS DOUBLE)
+        FROM base GROUP BY lang
+      UNION ALL SELECT 'docs_by_source', source, CAST(COUNT(*) AS DOUBLE)
+        FROM base GROUP BY source
+      UNION ALL SELECT 'dup_rate_exact', '',
+        ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6)
+        FROM base"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
-    q68, q69, q70, q71, q72, q73, q74, q75, q76, q77)
+    q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -384,6 +384,60 @@ object TrainingData {
         col("chunk_text"))
   }
 
+  /** Corpus report — the "dataset card" numbers published with a training
+    * set: totals, per-language and per-source composition, token/char
+    * volume, exact-dup rate, mean document length. Long format
+    * (metric, key, value) so new facets append without schema changes;
+    * values are doubles (exact for counts below 2^53).
+    *
+    * ONE corpus scan: a narrow per-doc projection (lang, source, n_chars,
+    * n_tokens, fingerprint) persists, then each facet is a lean aggregate
+    * over it — the scan never re-runs, and nothing wider than the five
+    * columns is ever held. */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String,
+                   langCol: String, sourceCol: String,
+                   charsCol: String): DataFrame = {
+    val base = docs.select(
+      col(langCol).as("lang"), col(sourceCol).as("source"),
+      col(charsCol).cast("double").as("n_chars"),
+      TextExprs.tokenCount(col(textCol)).cast("double").as("n_tokens"),
+      TextExprs.fingerprint(col(textCol)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = base.agg(
+        count(lit(1)).cast("double").as("docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("n_chars")).as("chars"),
+        round(avg(col("n_tokens")), 6).as("mean_tokens"))
+      val head = total.select(explode(map(
+        lit("docs_total"), col("docs"),
+        lit("tokens_total"), col("tokens"),
+        lit("chars_total"), col("chars"),
+        lit("mean_doc_tokens"), col("mean_tokens"))).as(Seq("metric", "value")))
+        .select(col("metric"), lit("").as("key"), col("value"))
+      val byLang = base.groupBy(col("lang"))
+        .agg(count(lit(1)).cast("double").as("value"))
+        .select(lit("docs_by_lang").as("metric"), col("lang").as("key"),
+          col("value"))
+      val bySource = base.groupBy(col("source"))
+        .agg(count(lit(1)).cast("double").as("value"))
+        .select(lit("docs_by_source").as("metric"), col("source").as("key"),
+          col("value"))
+      // two-level distinct (no Expand, see the countDistinct lesson):
+      // group by fingerprint first, then count groups
+      val dupRate = base.groupBy(col("fp")).agg(count(lit(1)).as("__n"))
+        .agg(round(lit(1.0) -
+          count(lit(1)).cast("double") / sum(col("__n")), 6).as("value"))
+        .select(lit("dup_rate_exact").as("metric"), lit("").as("key"),
+          col("value"))
+      val out = head.unionByName(byLang).unionByName(bySource)
+        .unionByName(dupRate)
+      // materialize while `base` is still persisted (the caller's action
+      // would otherwise re-run the scan after unpersist)
+      out.localCheckpoint()
+    } finally base.unpersist(blocking = false)
+  }
+
   /** Per-document TF-IDF top-`k` terms (smoothed idf = ln((N+1)/(df+1))+1):
     * the "what is this document about" signal used for topic-balanced
     * sampling and near-dup triage. tf and df both derive from ONE exploded

@@ -258,6 +258,25 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("corpusReport: facets reconcile with each other and the corpus") {
+    val rows = TrainingData
+      .corpusReport(docs, "doc_id", "text", "lang", "source", "n_chars")
+      .collect()
+    def metric(m: String): Map[String, Double] = rows
+      .filter(_.getString(0) == m)
+      .map(r => r.getString(1) -> r.getDouble(2)).toMap
+    val n = docs.count().toDouble
+    assert(metric("docs_total")("") == n)
+    // composition facets each sum back to the total
+    assert(metric("docs_by_lang").values.sum == n)
+    assert(metric("docs_by_source").values.sum == n)
+    // mean * count == token total (all integer-exact doubles)
+    val tokens = metric("tokens_total")("")
+    assert(math.abs(metric("mean_doc_tokens")("") - tokens / n) < 1e-4)
+    val dup = metric("dup_rate_exact")("")
+    assert(dup >= 0.0 && dup < 1.0)
+  }
+
   test("tfidfTopTerms: k per doc, rank order, corpus-wide terms score low") {
     import spark.implicits._
     val df = Seq(
