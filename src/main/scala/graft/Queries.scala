@@ -1210,6 +1210,34 @@ object Queries {
         CAST(LEAST(d.doc_id, COALESCE(mn.m, d.doc_id)) AS BIGINT) AS component
       FROM documents d LEFT JOIN mn ON d.doc_id = mn.src"""))
 
+  // Same clusters via large-star/small-star contraction (O(log n) rounds
+  // for graphs too deep for q56's propagation) — independently implemented
+  // algorithm, same transitive-closure oracle.
+  private val q79 = Q("q79_dedup_clusters_star",
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.4, ngram = 3)
+      Dedup.componentsStar(docs, "doc_id", pairs)
+    },
+    Some(s"""WITH RECURSIVE $shingleCte,
+      sz AS (SELECT doc, COUNT(*) AS n FROM h GROUP BY doc),
+      inter AS (SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS inter
+                FROM h a JOIN h b ON a.hv = b.hv AND a.doc < b.doc
+                GROUP BY a.doc, b.doc),
+      pairs AS (SELECT d1, d2
+        FROM inter JOIN sz s1 ON d1 = s1.doc JOIN sz s2 ON d2 = s2.doc
+        WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.4),
+      edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                UNION SELECT d2, d1 FROM pairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      mn AS (SELECT src, MIN(dst) AS m FROM reach GROUP BY src)
+      SELECT d.doc_id AS doc,
+        CAST(LEAST(d.doc_id, COALESCE(mn.m, d.doc_id)) AS BIGINT) AS component
+      FROM documents d LEFT JOIN mn ON d.doc_id = mn.src"""))
+
   private val stagedEventsDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
@@ -1650,7 +1678,7 @@ object Queries {
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
-    q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78)
+    q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -301,9 +301,12 @@ object Dedup {
     var labels = ckpt(edges.select(col("src").as("doc")).distinct()
       .select(col("doc"), col("doc").as("comp")))
     // labels are monotonically nonincreasing, so an unchanged sum IS the
-    // fixpoint; coalesce covers the no-edges case (sum over empty = null)
-    def checksum(ls: DataFrame): Long =
-      ls.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+    // fixpoint; coalesce covers the no-edges case (sum over empty = null).
+    // The sum runs in decimal: 63-bit ids × many rows overflow a bigint
+    // sum, which ANSI mode (Spark 4 default) turns into a runtime error.
+    def checksum(ls: DataFrame): java.math.BigDecimal =
+      ls.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+        lit(java.math.BigDecimal.ZERO))).head().getDecimal(0)
     var prevSum = checksum(labels)
     var iter = 0
     var converged = false
@@ -333,5 +336,98 @@ object Dedup {
     docs.select(col(idCol).cast("long").as("doc"))
       .join(labels, Seq("doc"), "left")
       .select(col("doc"), coalesce(col("comp"), col("doc")).as("component"))
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * contraction — the O(log n)-round algorithm (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) for graphs
+    * where [[components]]' min-label propagation (rounds = diameter)
+    * would not converge: adversarially deep similarity chains, transitive
+    * link graphs. Same output contract as [[components]].
+    *
+    * Each half-round is one aggregate (per-node min over the incident
+    * edges) joined back onto the edges — no per-node neighbor
+    * materialization, so a hot node (huge cluster) never builds an
+    * in-memory adjacency list; skew lands in the join, where AQE can
+    * split it.
+    *
+    *  - large-star: every node's strictly-larger neighbors re-attach to
+    *    its overall min neighbor (or itself) — long chains halve;
+    *  - small-star: every node's smaller-or-equal neighbors re-attach to
+    *    its min — stars flatten to depth one.
+    *
+    * Fixpoint = the edge multiset is a stable set of (child, root) links;
+    * detected via an order-insensitive xor-of-hashes checksum (one 8-byte
+    * driver value per round, like [[components]]). */
+  def componentsStar(docs: DataFrame, idCol: String, pairs: DataFrame,
+                     maxIters: Int = 35,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint()
+      case None => df => df.localCheckpoint()
+    }
+    // canonical undirected edge set, self-loops dropped
+    var edges = ckpt(pairs
+      .select(col("d1").cast("long").as("u"), col("d2").cast("long").as("v"))
+      .where(col("u") =!= col("v"))
+      .select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      .distinct())
+    // order-insensitive edge-set fingerprint: xor of per-edge hashes —
+    // stable across partitionings, and a stable set IS the fixpoint
+    // (both stars are deterministic functions of the edge set)
+    // bit_xor, not sum: ANSI mode (on by default in Spark 4) makes a
+    // bigint sum of 64-bit hashes throw on the inevitable overflow
+    def checksum(e: DataFrame): Long = {
+      val h = e.agg(expr("coalesce(bit_xor(xxhash64(u, v)), 0)"),
+        count(lit(1))).head()
+      h.getLong(0) ^ h.getLong(1)
+    }
+    def largeStar(e: DataFrame): DataFrame = {
+      // both orientations; m(u) = min over N(u) ∪ {u}
+      val dir = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val m = dir.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      dir.join(m, Seq("u"))
+        .where(col("v") > col("u"))                 // strictly larger re-attach
+        .select(col("v").as("u"), col("m").as("v")) // new edge (v, m), v > m
+        .where(col("u") =!= col("v"))
+        .distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient every edge toward the larger endpoint: u > v always holds
+      val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val re = e.join(m, Seq("u"))
+        .where(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v")) // smaller sibs -> min
+      val self = m.select(col("u"), col("m").as("v")) // u stays on its min
+      re.unionByName(self)
+        .where(col("u") =!= col("v"))
+        .select(greatest(col("u"), col("v")).as("u"),
+          least(col("u"), col("v")).as("v"))
+        .distinct()
+    }
+    var prev = checksum(edges)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIters) {
+      edges = ckpt(smallStar(largeStar(edges)))
+      val s = checksum(edges)
+      converged = s == prev
+      prev = s
+      iter += 1
+    }
+    require(converged,
+      s"componentsStar: no fixpoint after $maxIters rounds — " +
+        "pathological input or maxIters too small for |V|")
+    // fixpoint edges are (child, root) with root = component min
+    docs.select(col(idCol).cast("long").as("doc"))
+      .join(edges.select(col("u").as("doc"), col("v").as("component")),
+        Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("component"), col("doc")).as("component"))
   }
 }

@@ -87,6 +87,32 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("no fixpoint"))
   }
 
+  test("componentsStar equals min-label propagation on random pair graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val docs = (1L to 200L).toDF("doc_id")
+    val pairs = (1 to 150)
+      .map(_ => (rnd.nextInt(200) + 1L, rnd.nextInt(200) + 1L))
+      .filter { case (a, b) => a != b }
+      .toDF("d1", "d2")
+    val prop = graft.operators.Dedup.components(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = graft.operators.Dedup.componentsStar(docs, "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(star == prop)
+  }
+
+  test("componentsStar collapses a deep chain propagation cannot reach") {
+    import spark.implicits._
+    val n = 2000L // diameter 1999: propagation needs 1000 rounds, star ~log n
+    val docs = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = graft.operators.Dedup
+      .componentsStar(docs, "doc_id", pairs, maxIters = 20)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(labels.toSeq == Seq(1L))
+  }
+
   test("simhash near-dups: symmetric-free (d1<d2), hamming bound respected") {
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxBits = 3).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
