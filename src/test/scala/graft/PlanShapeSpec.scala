@@ -209,6 +209,22 @@ class PlanShapeSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(plan).size == 1, plan.take(800))
   }
 
+  test("q76: deterministic shuffle adds exactly one exchange (the shard key)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.operators.TrainingData
+      .deterministicShuffle(docs, "doc_id", 8)
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(800))
+  }
+
+  test("q77: token chunking is narrow — zero exchanges") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.operators.TrainingData
+      .chunkDocs(docs, "doc_id", "text", 32, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
   test("q74: tf-idf N-scalar rides a broadcast, never a cartesian product") {
     val df = Queries.queries("q74_tfidf_topk")(spark, sf)
     val plan = finalPlan(df).toString
