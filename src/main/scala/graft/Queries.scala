@@ -1672,13 +1672,39 @@ object Queries {
         ROUND(1.0 - CAST(COUNT(DISTINCT fp) AS DOUBLE) / COUNT(*), 6)
         FROM base"""))
 
+  // Corpus snapshot diff: v1 = ids < 400, v2 = ids >= 100 with every 10th
+  // text edited — exercises all four statuses deterministically.
+  private val q80 = Q("q80_corpus_diff",
+    (s, d) => {
+      val docs = documents(s, d)
+      val v1 = docs.where(col("doc_id") < 400)
+      val v2 = docs.where(col("doc_id") >= 100)
+        .withColumn("text", when(col("doc_id") % 10 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      graft.operators.TrainingData.diffCorpora(v1, v2, "doc_id", "text")
+    },
+    Some("""WITH v1 AS (SELECT doc_id,
+          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+        FROM documents WHERE doc_id < 400),
+      v2 AS (SELECT doc_id,
+          md5(lower(regexp_replace(trim(
+            CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END),
+            '\s+', ' ', 'g'))) AS fp
+        FROM documents WHERE doc_id >= 100)
+      SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        CASE WHEN o.fp IS NULL THEN 'added'
+             WHEN n.fp IS NULL THEN 'removed'
+             WHEN o.fp <> n.fp THEN 'changed'
+             ELSE 'unchanged' END AS status
+      FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
-    q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79)
+    q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -384,6 +384,30 @@ object TrainingData {
         col("chunk_text"))
   }
 
+  /** Corpus snapshot diff: classify every document across two corpus
+    * versions as added / removed / changed / unchanged — the audit that
+    * decides whether an incremental retrain is warranted and what the
+    * delta batch is. Content identity is the same normalized md5
+    * fingerprint the dedup family uses, so "changed" means the TEXT
+    * changed, not merely metadata.
+    *
+    * One shuffle per side on the id (the join key); only (id, 16-byte
+    * digest) ever moves — never document text. */
+  def diffCorpora(oldDocs: DataFrame, newDocs: DataFrame,
+                  idCol: String, textCol: String): DataFrame = {
+    def fps(df: DataFrame, side: String) = df.select(
+      col(idCol).as(s"__id_$side"),
+      TextExprs.fingerprint(col(textCol)).as(s"__fp_$side"))
+    fps(oldDocs, "old").join(fps(newDocs, "new"),
+        col("__id_old") === col("__id_new"), "full_outer")
+      .select(
+        coalesce(col("__id_old"), col("__id_new")).as(idCol),
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") =!= col("__fp_new"), "changed")
+          .otherwise("unchanged").as("status"))
+  }
+
   /** Corpus report — the "dataset card" numbers published with a training
     * set: totals, per-language and per-source composition, token/char
     * volume, exact-dup rate, mean document length. Long format

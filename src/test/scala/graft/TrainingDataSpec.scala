@@ -258,6 +258,27 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("diffCorpora: all four statuses, content-based change detection") {
+    import spark.implicits._
+    val v1 = Seq(
+      (1L, "same text"),
+      (2L, "will change"),
+      (3L, "will be removed"),
+      (4L, "whitespace   only")).toDF("doc_id", "text")
+    val v2 = Seq(
+      (1L, "same text"),
+      (2L, "has changed"),
+      (4L, "whitespace only"),   // normalization-equal -> unchanged
+      (5L, "brand new")).toDF("doc_id", "text")
+    val got = TrainingData.diffCorpora(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "unchanged", 5L -> "added"))
+    // diff against self is all-unchanged (the no-op retrain signal)
+    val self = TrainingData.diffCorpora(docs, docs, "doc_id", "text")
+    assert(self.where(col("status") =!= "unchanged").count() == 0)
+  }
+
   test("corpusReport: facets reconcile with each other and the corpus") {
     val rows = TrainingData
       .corpusReport(docs, "doc_id", "text", "lang", "source", "n_chars")
