@@ -47,14 +47,24 @@ object Bench {
       val xs = samples.map(_(name)).sorted
       name -> xs(passes / 2)
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def fmt(v: Double): String =
+      java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // stdout line must fit the driver's 2000-char tail capture (the full
+    // 80-query map with long names + full-precision doubles is ~2.7k and
+    // got front-truncated in rounds 4/5 -> "parsed": null). Short keys
+    // (the unambiguous qNN prefix) + ms precision keep it ~1.1k.
+    val shortQs = results.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
+    }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
+    // full names + full precision land in a file: a truncated stdout tail
+    // (round 3 lost 7 per-query numbers) must not lose the measurement
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(json)
-    // also land the line in a file: a truncated stdout tail (it happened —
-    // round 3 lost 7 per-query numbers) must not lose the measurement
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
