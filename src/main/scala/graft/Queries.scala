@@ -1698,13 +1698,46 @@ object Queries {
              ELSE 'unchanged' END AS status
       FROM v1 o FULL OUTER JOIN v2 n ON o.doc_id = n.doc_id"""))
 
+  // Distributed Lloyd's k-means (2 assignment passes, deterministic seed
+  // = k lowest ids): the semantic-clustering primitive for corpus
+  // bucketing / diversity sampling. Decimal-exact centroid means rounded
+  // to 9 dp make the iteration bit-reproducible across engines.
+  private val q81 = Q("q81_kmeans_embeddings",
+    (s, d) => graft.operators.KMeans.assign(embeddings(s, d), "vec_id",
+      "embedding", k = 8, iters = 2),
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      seed AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, v
+               FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)),
+      d0 AS (SELECT e.vec_id, s.cid,
+               list_sum(list_transform(list_zip(e.v, s.v), p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+             FROM e CROSS JOIN seed s),
+      a0 AS (SELECT vec_id, cluster FROM (
+               SELECT vec_id, cid AS cluster,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d0)
+             WHERE rn = 1),
+      u AS (SELECT cluster, unnest(list_zip(v, range(len(v)))) AS p
+            FROM a0 JOIN e USING (vec_id)),
+      m AS (SELECT cluster, p[2] AS pos,
+              ROUND(CAST(SUM(CAST(p[1] AS DECIMAL(38,16))) AS DOUBLE) / COUNT(*), 9) AS mv
+            FROM u GROUP BY cluster, p[2]),
+      c1 AS (SELECT cluster AS cid, list(mv ORDER BY pos) AS v FROM m GROUP BY cluster),
+      d1 AS (SELECT e.vec_id, c.cid,
+               list_sum(list_transform(list_zip(e.v, c.v), p -> (p[1]-p[2])*(p[1]-p[2]))) AS d
+             FROM e CROSS JOIN c1 c),
+      a1 AS (SELECT vec_id, cluster FROM (
+               SELECT vec_id, cid AS cluster,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn FROM d1)
+             WHERE rn = 1)
+      SELECT vec_id, cluster FROM a1"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
     q27, q28, q29, q30, q31, q32, q33, q34, q35, q36, q37, q38, q39, q40,
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
-    q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80)
+    q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
+    q81)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
