@@ -1730,6 +1730,29 @@ object Queries {
              WHERE rn = 1)
       SELECT vec_id, cluster FROM a1"""))
 
+  // Int8 embedding quantization feasibility: per-vector scale and
+  // round-trip error stats from one native codegen'd pass — the probe a
+  // pipeline runs before shipping 4x-smaller int8 embeddings. Round
+  // half-away-from-zero on both engines.
+  private val q82 = Q("q82_int8_quant",
+    (s, d) => embeddings(s, d)
+      .select(col("vec_id"),
+        graft.functions.VectorNative.int8QuantStats(col("embedding")).as("st"))
+      .select(col("vec_id"),
+        round(element_at(col("st"), 1), 9).as("scale"),
+        round(element_at(col("st"), 2), 9).as("mse"),
+        round(element_at(col("st"), 3), 9).as("max_err")),
+    Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127 AS scale FROM e),
+      r AS (SELECT vec_id, scale,
+              CASE WHEN scale > 0
+                THEN list_transform(v, x -> x - LEAST(GREATEST(ROUND(x / scale), -127), 127) * scale)
+                ELSE list_transform(v, x -> 0.0) END AS err FROM s)
+      SELECT vec_id, ROUND(scale, 9) AS scale,
+        ROUND(list_sum(list_transform(err, x -> x * x)) / len(err), 9) AS mse,
+        ROUND(list_max(list_transform(err, x -> abs(x))), 9) AS max_err
+      FROM r"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -1737,7 +1760,7 @@ object Queries {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81)
+    q81, q82)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -209,6 +209,52 @@ object VectorNative {
     ColumnBridge.column(RandomProject(
       ColumnBridge.expr(v.cast(ArrayType(DoubleType))), planes.map(_.toArray)))
 
+  /** Symmetric per-vector int8 quantization round-trip stats:
+    * `[scale, mse, max_err]` where scale = max|v|/127, q_i = clamp(
+    * round-half-away-from-zero(v_i/scale), ±127), err_i = v_i - q_i*scale.
+    * The storage-compression feasibility probe a training pipeline runs
+    * before shipping int8 embeddings: one pass, no allocation beyond the
+    * 3-slot result. All-zero vectors quantize losslessly (scale 0). */
+  def evalInt8Stats(v: ArrayData): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = v.numElements()
+    var maxAbs = 0.0
+    var i = 0
+    while (i < n) {
+      checkNotNullAt(v, i, "int8_quant_stats")
+      val a = math.abs(v.getDouble(i))
+      if (a > maxAbs) maxAbs = a
+      i += 1
+    }
+    val scale = maxAbs / 127.0
+    var sse = 0.0
+    var maxErr = 0.0
+    if (scale > 0) {
+      i = 0
+      while (i < n) {
+        val x = v.getDouble(i)
+        val r = x / scale
+        // round half AWAY from zero — matches DuckDB/C++ round(), not
+        // Math.round's half-toward-positive-infinity
+        var q = math.floor(math.abs(r) + 0.5)
+        if (r < 0) q = -q
+        if (q > 127.0) q = 127.0 else if (q < -127.0) q = -127.0
+        val e = x - q * scale
+        sse += e * e
+        val ae = math.abs(e)
+        if (ae > maxErr) maxErr = ae
+        i += 1
+      }
+    }
+    val mse = if (n == 0) 0.0 else sse / n
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array(scale, mse, maxErr))
+  }
+
+  /** `[scale, mse, max_err]` of int8-quantizing the vector. */
+  def int8QuantStats(v: Column): Column =
+    ColumnBridge.column(Int8QuantStats(
+      ColumnBridge.expr(v.cast(ArrayType(DoubleType)))))
+
   def evalPlaneBits(v: ArrayData, planes: Array[Array[Double]]): UTF8String = {
     val sb = new java.lang.StringBuilder(planes.length)
     val n = v.numElements()
@@ -265,6 +311,24 @@ case class L2Normalize(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(c: Expression) = copy(child = c)
   override def prettyName: String = "l2_normalize"
+}
+
+case class Int8QuantStats(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def checkInputDataTypes() =
+    if (child.dataType.isInstanceOf[ArrayType] || child.dataType == NullType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"int8_quant_stats expects an array, got ${child.dataType.sql}")
+
+  override def nullSafeEval(v: Any): Any =
+    VectorNative.evalInt8Stats(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.VectorNative.evalInt8Stats($v)")
+
+  override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  override def prettyName: String = "int8_quant_stats"
 }
 
 case class CosineSim(left: Expression, right: Expression) extends BinaryExpression {

@@ -42,7 +42,8 @@ class CodegenRegressionSpec extends SparkSpec {
         VectorNative.planeBits(col("vec"), planes).as("pb"),
         VectorNative.randomProject(col("vec"), planes).as("rp"),
         VectorNative.nearestCells(col("vec"), cents, 2).as("ncs"),
-        VectorNative.nearestCentroid(col("vec"), cents).as("nc"))
+        VectorNative.nearestCentroid(col("vec"), cents).as("nc"),
+        VectorNative.int8QuantStats(col("vec")).as("i8"))
       val rows = out.collect()
       assert(rows.nonEmpty)
       // spot-check the simhash kernel actually ran (non-trivial signatures)
