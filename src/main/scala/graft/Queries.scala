@@ -1753,6 +1753,28 @@ object Queries {
         ROUND(list_max(list_transform(err, x -> abs(x))), 9) AS max_err
       FROM r"""))
 
+  // Canonical unicode text normalization (NFC + control strip + whitespace
+  // collapse) — the cleaning pass that runs before any fingerprint/dedup so
+  // composed vs decomposed forms can't split a duplicate class. NFC itself
+  // is a native codegen'd expression (Spark has no builtin).
+  private val q83 = Q("q83_text_normalize",
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), col("text"),
+        TextExprs.normalizeText(col("text")).as("norm"))
+      .select(col("doc_id"),
+        md5(col("norm")).as("norm_md5"),
+        length(col("norm")).cast(LongType).as("n_chars_norm"),
+        (col("norm") =!= col("text")).as("changed")),
+    Some("""WITH n AS (SELECT doc_id, text,
+        trim(regexp_replace(regexp_replace(nfc_normalize(text),
+          '[\x00-\x08\x0e-\x1f\x7f]', '', 'g'),
+          '[ \t\n\x0b\f\r]+', ' ', 'g')) AS norm
+      FROM documents)
+      SELECT doc_id, md5(norm) AS norm_md5,
+        CAST(length(norm) AS BIGINT) AS n_chars_norm,
+        (norm <> text) AS changed
+      FROM n"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -1760,7 +1782,7 @@ object Queries {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82)
+    q81, q82, q83)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

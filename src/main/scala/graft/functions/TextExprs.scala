@@ -65,6 +65,17 @@ object TextExprs {
   def punctCount(text: Column): Column =
     length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
 
+  /** Canonical text normalization for corpus prep: Unicode NFC (composed
+    * forms), strip non-whitespace control chars, collapse all whitespace
+    * runs to single spaces, trim. Order matters: controls go FIRST so a
+    * stripped `\x01` between spaces leaves one collapsible run, not two
+    * adjacent spaces. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(UnicodeNorm.nfc(text),
+        "[\\x00-\\x08\\x0E-\\x1F\\x7F]", ""),
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
+
   /** Document fingerprint: md5 of whitespace-collapsed lowercase text —
     * the exact-dedup key that survives formatting noise. Native one-pass
     * implementation; [[fingerprintComposed]] is its spec. */

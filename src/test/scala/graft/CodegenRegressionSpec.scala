@@ -43,7 +43,8 @@ class CodegenRegressionSpec extends SparkSpec {
         VectorNative.randomProject(col("vec"), planes).as("rp"),
         VectorNative.nearestCells(col("vec"), cents, 2).as("ncs"),
         VectorNative.nearestCentroid(col("vec"), cents).as("nc"),
-        VectorNative.int8QuantStats(col("vec")).as("i8"))
+        VectorNative.int8QuantStats(col("vec")).as("i8"),
+        UnicodeNorm.nfc(col("text")).as("nfc"))
       val rows = out.collect()
       assert(rows.nonEmpty)
       // spot-check the simhash kernel actually ran (non-trivial signatures)
