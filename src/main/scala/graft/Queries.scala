@@ -1775,6 +1775,21 @@ object Queries {
         (norm <> text) AS changed
       FROM n"""))
 
+  // Semantic dedup survivors: the embedding-space counterpart of q17's
+  // exact dedup — a row survives iff no smaller-id vector is within
+  // cosine 0.4 (dominance, deterministic). Exact pairs here; the LSH
+  // bucket path (nPlanes > 0) is the 100 TB shape, q33-verified.
+  private val q84 = Q("q84_semantic_dedup",
+    (s, d) => Similarity.semanticDedup(embeddings(s, d), "vec_id",
+      "embedding", threshold = 0.4)
+      .select(col("vec_id"), col("label")),
+    Some("""WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      n AS (SELECT vec_id, label,
+              list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv FROM c)
+      SELECT a.vec_id, a.label FROM n a
+      WHERE NOT EXISTS (SELECT 1 FROM n b WHERE b.vec_id < a.vec_id
+        AND list_dot_product(a.nv, b.nv) >= 0.4)"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -1782,7 +1797,7 @@ object Queries {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83)
+    q81, q82, q83, q84)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -93,6 +93,26 @@ object Similarity {
       .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Semantic (embedding-space) dedup: drop every vector that has a
+    * cosine >= `threshold` neighbor with a SMALLER id. Dominance
+    * semantics — NOT transitive clustering — so the survivor set is
+    * deterministic and order-free: a row survives iff no earlier row is
+    * its near-duplicate, regardless of what happens to that earlier row.
+    * (For cluster-then-keep-one semantics, feed [[cosineDupPairs]] into
+    * [[Dedup.components]].)
+    *
+    * `nPlanes = 0` compares exactly (quadratic — verify scale);
+    * `nPlanes > 0` restricts to LSH sign-buckets (the 100 TB path: only
+    * bucket-mates shuffle together, recall tunable by plane count).
+    *
+    * @return surviving rows of `corpus`, all original columns. */
+  def semanticDedup(corpus: DataFrame, idCol: String, vecCol: String,
+                    threshold: Double, nPlanes: Int = 0, dim: Int = 64): DataFrame = {
+    val dominated = cosineDupPairs(corpus, idCol, vecCol, threshold, nPlanes, dim)
+      .select(col("d2").as("__dom")).distinct()
+    corpus.join(dominated, corpus(idCol) === col("__dom"), "left_anti")
+  }
+
   /** LSH-bucketed ANN: compare only within matching sign-bucket. Recall is
     * tunable via nPlanes (fewer planes = bigger buckets = higher recall,
     * more compute). */

@@ -1,0 +1,41 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Dominance semantics of embedding-space dedup: a row drops iff ANY
+  * smaller-id vector is within the cosine threshold — even one that was
+  * itself dropped. Distinct from cluster-then-keep-one. */
+class SemanticDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("chain A~B~C with A!~C: B and C both drop (B dominates C anyway)") {
+    // unit circle: angles 0, 60, 120 degrees; cos(60)=0.5, cos(120)=-0.5
+    def at(deg: Double) = Array(math.cos(math.toRadians(deg)).toFloat,
+      math.sin(math.toRadians(deg)).toFloat)
+    val df = Seq((1L, at(0), 10), (2L, at(60), 20), (3L, at(120), 30))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding", 0.4)
+      .select("vec_id").as[Long].collect().sorted
+    // 2 drops (cos vs 1 = 0.5 >= 0.4); 3 drops too: cos(2,3) = 0.5 even
+    // though 3 vs 1 is -0.5 — dominance by the DROPPED row still counts
+    assert(out.toSeq == Seq(1L))
+  }
+
+  test("isolated vectors all survive with original columns intact") {
+    val df = Seq((5L, Array(1.0f, 0.0f), 1), (6L, Array(-1.0f, 0.0f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding", 0.4)
+    assert(out.columns.toSeq == Seq("vec_id", "embedding", "label"))
+    assert(out.count() == 2)
+  }
+
+  test("lowest id always survives") {
+    val one = Array(1.0f, 0.0f)
+    val df = Seq((7L, one, 0), (8L, one, 0), (9L, one, 0))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.semanticDedup(df, "vec_id", "embedding", 0.99)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(out == Seq(7L))
+  }
+}
