@@ -1790,6 +1790,28 @@ object Queries {
       WHERE NOT EXISTS (SELECT 1 FROM n b WHERE b.vec_id < a.vec_id
         AND list_dot_product(a.nv, b.nv) >= 0.4)"""))
 
+  // Sentence segmentation: terminal-punctuation split with stable
+  // pre-filter indices — the unit-of-text layer under span dedup and
+  // per-sentence quality scoring.
+  // The synthetic corpus carries no punctuation, so the query injects a
+  // period after every 5th token (deterministically, both engines) to
+  // actually exercise multi-segment splitting on driver data.
+  private val q85 = Q("q85_sentence_segments",
+    (s, d) => graft.operators.TrainingData.sentenceSegments(
+      documents(s, d).withColumn("text",
+        regexp_replace(col("text"), "((\\S+ ){4}\\S+) ", "$1. ")),
+      "doc_id", "text"),
+    Some("""WITH d AS (SELECT doc_id,
+        regexp_replace(text, '((\S+ ){4}\S+) ', '\1. ', 'g') AS text
+      FROM documents),
+      s AS (SELECT doc_id,
+        unnest(list_zip(string_split_regex(text, '[.!?]+'),
+          range(len(string_split_regex(text, '[.!?]+'))))) AS p
+      FROM d)
+      SELECT doc_id, CAST(p[2] AS INTEGER) AS seg_idx, trim(p[1]) AS seg,
+        CAST(len(string_split_regex(trim(p[1]), '\s+')) AS BIGINT) AS n_tokens
+      FROM s WHERE length(trim(p[1])) > 0"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -1797,7 +1819,7 @@ object Queries {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84)
+    q81, q82, q83, q84, q85)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

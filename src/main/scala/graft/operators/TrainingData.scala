@@ -384,6 +384,22 @@ object TrainingData {
         col("chunk_text"))
   }
 
+  /** Sentence-ish segmentation: split on terminal-punctuation runs
+    * (`[.!?]+`), keep the original split position as the segment index,
+    * drop whitespace-only fragments AFTER indexing (so indices are stable
+    * whether or not a doc ends in punctuation). The unit-of-text operator
+    * under span dedup, per-sentence quality scoring, and seq2seq pair
+    * mining. Narrow (explode only — no shuffle); output order is
+    * (doc, seg_idx) recoverable, never relied upon. */
+  def sentenceSegments(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), "[.!?]+")).as(Seq("seg_idx", "__raw")))
+      .select(col(idCol), col("seg_idx"), trim(col("__raw")).as("seg"))
+      .where(length(col("seg")) > 0)
+      .select(col(idCol), col("seg_idx"), col("seg"),
+        TextExprs.tokenCount(col("seg")).cast("long").as("n_tokens"))
+
   /** Corpus snapshot diff: classify every document across two corpus
     * versions as added / removed / changed / unchanged — the audit that
     * decides whether an incremental retrain is warranted and what the

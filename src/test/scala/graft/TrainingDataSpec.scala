@@ -298,6 +298,30 @@ class TrainingDataSpec extends SparkSpec {
     assert(dup >= 0.0 && dup < 1.0)
   }
 
+  test("sentenceSegments: split, stable indices, empty fragments dropped") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "One two. Three! Four?"),   // trailing empty fragment dropped
+      (2L, "No punctuation here"),
+      (3L, "!! leading. and... runs"), // leading empty keeps later indices
+      (4L, "   "),                     // whitespace-only -> no rows
+      (5L, "a.b"))                     // no space after period still splits
+      .toDF("doc_id", "text")
+    val out = TrainingData.sentenceSegments(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getLong(3)))
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc(1L).sortBy(_._2).map(x => (x._3, x._4)).toSeq ==
+      Seq(("One two", 2L), ("Three", 1L), ("Four", 1L)))
+    assert(byDoc(2L).toSeq == Seq((2L, 0, "No punctuation here", 3L)))
+    // doc 3 splits as ["", " leading", " and", " runs"]: index 0 is the
+    // dropped empty, surviving indices start at 1
+    assert(byDoc(3L).sortBy(_._2).map(x => (x._2, x._3)).toSeq ==
+      Seq((1, "leading"), (2, "and"), (3, "runs")))
+    assert(!byDoc.contains(4L))
+    assert(byDoc(5L).sortBy(_._2).map(_._3).toSeq == Seq("a", "b"))
+  }
+
   test("tfidfTopTerms: k per doc, rank order, corpus-wide terms score low") {
     import spark.implicits._
     val df = Seq(
