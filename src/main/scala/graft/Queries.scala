@@ -1812,6 +1812,33 @@ object Queries {
         CAST(len(string_split_regex(trim(p[1]), '\s+')) AS BIGINT) AS n_tokens
       FROM s WHERE length(trim(p[1])) > 0"""))
 
+  // LSH recall audit: measured recall of the bucketed near-dup path vs
+  // the exact pair set at the same threshold (subset by construction, so
+  // recall = ratio of two counts). The tuning probe that picks nPlanes
+  // before a full-corpus approximate dedup commits to a guessed recall.
+  private val q86 = Q("q86_lsh_recall",
+    (s, d) => Similarity.lshRecallReport(embeddings(s, d), "vec_id",
+      "embedding", threshold = 0.4, nPlanes = 4),
+    Some {
+      val planes = Similarity.planes(4, 64)
+      def bucketExpr(v: String): String = planes.map { p =>
+        val arr = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product($v, $arr) >= 0 THEN '1' ELSE '0' END)"
+      }.mkString(" || ")
+      s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
+              ${bucketExpr("v")} AS bucket FROM c),
+        ex AS (SELECT COUNT(*) AS n_exact FROM n a JOIN n b
+               ON a.vec_id < b.vec_id AND list_dot_product(a.nv, b.nv) >= 0.4),
+        ap AS (SELECT COUNT(*) AS n_lsh FROM n a JOIN n b
+               ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+                  AND list_dot_product(a.nv, b.nv) >= 0.4)
+        SELECT n_exact, n_lsh,
+          CASE WHEN n_exact = 0 THEN 1.0
+               ELSE ROUND(CAST(n_lsh AS DOUBLE) / n_exact, 6) END AS recall
+        FROM ex CROSS JOIN ap"""
+    })
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -1819,7 +1846,7 @@ object Queries {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85)
+    q81, q82, q83, q84, q85, q86)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -113,6 +113,27 @@ object Similarity {
     corpus.join(dominated, corpus(idCol) === col("__dom"), "left_anti")
   }
 
+  /** Recall audit for the LSH-bucketed near-dup path: at the SAME
+    * threshold the bucketed pair set is a strict subset of the exact one
+    * (bucketing only prunes candidates; the cosine filter is identical),
+    * so recall = |lsh pairs| / |exact pairs| — two counts, no pair join.
+    * Run at a sampled scale to pick `nPlanes` BEFORE committing a 100 TB
+    * dedup to a recall you guessed: (1 - θ/π)^nPlanes is the per-pair
+    * theory, this is the measurement on the actual distribution. */
+  def lshRecallReport(corpus: DataFrame, idCol: String, vecCol: String,
+                      threshold: Double, nPlanes: Int, dim: Int = 64): DataFrame = {
+    require(nPlanes > 0, s"nPlanes must be positive (got $nPlanes): " +
+      "recall of the exact path is 1 by definition")
+    val exact = cosineDupPairs(corpus, idCol, vecCol, threshold, nPlanes = 0, dim)
+      .agg(count(lit(1)).as("n_exact"))
+    val lsh = cosineDupPairs(corpus, idCol, vecCol, threshold, nPlanes, dim)
+      .agg(count(lit(1)).as("n_lsh"))
+    exact.crossJoin(lsh).select(col("n_exact"), col("n_lsh"),
+      when(col("n_exact") === 0, lit(1.0))
+        .otherwise(round(col("n_lsh").cast("double") / col("n_exact"), 6))
+        .as("recall"))
+  }
+
   /** LSH-bucketed ANN: compare only within matching sign-bucket. Recall is
     * tunable via nPlanes (fewer planes = bigger buckets = higher recall,
     * more compute). */

@@ -30,6 +30,21 @@ class SemanticDedupSpec extends SparkSpec {
     assert(out.count() == 2)
   }
 
+  test("lshRecallReport: subset property and exact-path sanity") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val r = Similarity.lshRecallReport(emb, "vec_id", "embedding", 0.4, nPlanes = 4)
+      .collect()(0)
+    val (nExact, nLsh, recall) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(nLsh <= nExact)                 // bucketing only prunes
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(recall == (if (nExact == 0) 1.0
+      else BigDecimal(nLsh.toDouble / nExact)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    intercept[IllegalArgumentException] {
+      Similarity.lshRecallReport(emb, "vec_id", "embedding", 0.4, nPlanes = 0)
+    }
+  }
+
   test("lowest id always survives") {
     val one = Array(1.0f, 0.0f)
     val df = Seq((7L, one, 0), (8L, one, 0), (9L, one, 0))
