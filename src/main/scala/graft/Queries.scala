@@ -1534,8 +1534,10 @@ object Queries {
       WHERE tok <> '' GROUP BY tok ORDER BY n DESC, token LIMIT 50"""))
 
   // Domain-mixing sampler: per-source document quotas (the training-mix
-  // spec), rates DERIVED from corpus counts — src2's over-ask keeps all of
-  // it, src3's zero quota drops it, unlisted sources drop (whitelist).
+  // spec), exact 63-bit keep thresholds DERIVED from corpus counts —
+  // src2's over-ask keeps all of it, src3's zero quota drops it, unlisted
+  // sources drop (whitelist). floor(quota·2^63/cnt) is exact integer
+  // arithmetic on both engines (driver BigInt / DuckDB HUGEINT `//`).
   private val q72 = Q("q72_domain_mixing",
     (s, d) => graft.operators.TrainingData
       .mixToQuotas(documents(s, d), "doc_id", "source",
@@ -1544,15 +1546,18 @@ object Queries {
     Some("""WITH spec AS (SELECT * FROM (VALUES
           ('src0', 10), ('src1', 5), ('src2', 100000), ('src3', 0))
           AS t(dom, quota)),
-      r AS (SELECT c.dom, LEAST(1000, CAST(FLOOR(1000.0 * s.quota / c.cnt)
-              AS BIGINT)) AS permille
+      r AS (SELECT c.dom,
+              CASE WHEN s.quota >= c.cnt THEN NULL
+                   ELSE CAST(CAST(s.quota AS HUGEINT) * 9223372036854775808
+                             // c.cnt AS BIGINT) END AS thr
             FROM (SELECT source AS dom, COUNT(*) AS cnt
                   FROM documents GROUP BY 1) c
             JOIN spec s ON c.dom = s.dom)
       SELECT d.doc_id, d.source, d.lang, d.n_chars
       FROM documents d JOIN r ON d.source = r.dom
-      WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))
-              AS UBIGINT) % 9223372036854775808 % 1000 < r.permille"""))
+      WHERE r.thr IS NULL OR
+        CAST(CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))
+              AS UBIGINT) % 9223372036854775808 AS BIGINT) < r.thr"""))
 
   // Token-budget selection: fill each source's slice of the mix with its
   // longest documents until 600 tokens — greedy prefix, window per domain.

@@ -12,13 +12,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * (e.g. `é` as U+00E9 vs `e` + U+0301) that must fingerprint identically
   * before any dedup pass.
   *
-  * The kernel fast-paths already-normalized strings (the overwhelmingly
-  * common case — all of ASCII) through `Normalizer.isNormalized`, which
-  * scans without allocating; only strings that actually need composing pay
-  * for the String round trip. */
+  * The kernel fast-paths the overwhelmingly common case — all-ASCII input,
+  * NFC by definition — on the raw UTF-8 bytes with ZERO allocation (no
+  * String round trip at all); non-ASCII strings that are already composed
+  * pay one `toString` for the `Normalizer.isNormalized` scan, and only
+  * strings that actually need composing pay the normalize. */
 object UnicodeNorm {
 
   def evalNfc(s: UTF8String): UTF8String = {
+    // ASCII bytes are 0x00-0x7F (sign bit clear); any UTF-8 continuation
+    // or lead byte has it set — one branch per byte, no allocation
+    var i = 0
+    val n = s.numBytes
+    while (i < n && s.getByte(i) >= 0) i += 1
+    if (i == n) return s
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
     else UTF8String.fromString(

@@ -430,4 +430,27 @@ object Dedup {
       .select(col("doc"),
         coalesce(col("component"), col("doc")).as("component"))
   }
+
+  /** Router between [[components]] and [[componentsStar]]: graph diameter
+    * — the quantity that decides which algorithm terminates cheaply — is
+    * unknowable without traversing the graph, so the chooser IS a bounded
+    * traversal: run min-label propagation for at most `propIters`
+    * iterations (2·propIters hops — near-dup similarity graphs are 2–4
+    * hops deep and converge well inside the default), and if the graph
+    * turns out deeper, fall back to the O(log n)-round star contraction.
+    *
+    * Cost bound of a wrong first guess: `propIters` label-prop rounds
+    * (each one join + one aggregate over the ACTIVE subgraph) — small and
+    * fixed, against componentsStar's guaranteed convergence. Callers that
+    * KNOW their graph is adversarially deep (transitive link graphs)
+    * should call [[componentsStar]] directly and skip the probe. */
+  def componentsAuto(docs: DataFrame, idCol: String, pairs: DataFrame,
+                     propIters: Int = 8, starIters: Int = 35,
+                     checkpointDir: Option[String] = None): DataFrame =
+    try components(docs, idCol, pairs, propIters, checkpointDir)
+    catch {
+      case e: IllegalArgumentException
+        if e.getMessage != null && e.getMessage.contains("no fixpoint") =>
+        componentsStar(docs, idCol, pairs, starIters, checkpointDir)
+    }
 }

@@ -120,9 +120,16 @@ object TrainingData {
     * sizes are ceil/floor(N/n) with the first N%n buckets one larger.
     * Skew note: step 3 sorts each boundary value's group in one task; a
     * single value owning a whole decile's worth of ties is the worst
-    * case, and only the ≤ n-1 boundary values ever pay it. */
+    * case, and only the ≤ n-1 boundary values ever pay it.
+    *
+    * Guard: the protocol is sound only while the HISTOGRAM is small — a
+    * continuous-valued `orderCol` makes |distinct| ≈ |rows| and step 2's
+    * single-partition window silently rebuilds the global sort this
+    * operator exists to avoid. `maxDistinct` fails that case loudly:
+    * round/bin the key first (or raise the cap deliberately for a known
+    * machine). */
   def ntileBuckets(df: DataFrame, n: Int, orderCol: String, tieCol: String,
-                   bucketCol: String): DataFrame = {
+                   bucketCol: String, maxDistinct: Long = 1000000L): DataFrame = {
     require(n >= 1, s"bucket count must be >= 1: $n")
     val spark = df.sparkSession
     import spark.implicits._
@@ -131,6 +138,12 @@ object TrainingData {
     val hist = df.groupBy(col(orderCol)).agg(count(lit(1)).as("__cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      val nDistinct = hist.count()
+      require(nDistinct <= maxDistinct,
+        s"ntileBuckets: $nDistinct distinct '$orderCol' values exceed " +
+          s"maxDistinct=$maxDistinct — the histogram cumulative would " +
+          "serialize through one task; bin the order key (round it to a " +
+          "fixed precision) or raise maxDistinct deliberately")
       val total = hist.agg(coalesce(sum(col("__cnt")), lit(0L))).head().getLong(0)
       if (total == 0L || n == 1) return df.withColumn(bucketCol, lit(1))
       val cumW = Window.orderBy(col(orderCol))
@@ -278,35 +291,42 @@ object TrainingData {
   /** Domain-mixing sampler: downsample each domain toward a target DOCUMENT
     * quota (the "30% web / 30% code / 40% books" mixing spec), deterministic.
     * Unlike [[stratifiedSample]] (fixed per-stratum RATES), the rate here is
-    * DERIVED from the corpus — permille_d = min(1000, ⌊1000·quota_d/count_d⌋)
-    * — so the output lands near quota docs per domain however the corpus is
-    * distributed, and a re-run after the corpus grows re-targets
-    * automatically. Domains absent from `quotas` drop: the mixing spec is
-    * the whitelist.
+    * DERIVED from the corpus — keep a doc iff its 63-bit md5-derived key
+    * lands under ⌊quota_d·2^63/count_d⌋ — so the output lands near quota
+    * docs per domain however the corpus is distributed, and a re-run after
+    * the corpus grows re-targets automatically. Domains absent from
+    * `quotas` drop: the mixing spec is the whitelist.
     *
-    * Scale shape: one lean aggregate for per-domain counts (one row per
-    * mixing domain), broadcast-joined back onto the scan; the keep test is
-    * the same narrow engine-portable md5 threshold as
-    * [[deterministicSample]]. No driver-side state, no RNG. The ⌊·⌋ runs in
-    * double precision — exact for any corpus below 2^53 docs per domain,
-    * and identically rounded by every IEEE engine (the oracle included). */
+    * The threshold is 63-bit, NOT permille: a permille floor zeroes any
+    * quota under count/1000 ("50 docs from a 1M-doc domain" selects
+    * nothing), while ⌊quota·2^63/count⌋ resolves rates down to 2^-63.
+    * It is computed on the driver in exact BigInt arithmetic (no float
+    * rounding; engine-portable — the oracle's HUGEINT division is the
+    * same integer floor), from one lean count aggregate whose result is
+    * ≤ |quotas| rows: the same bounded driver state as the mixing spec
+    * itself. The keep test is a narrow when-chain filter in the scan —
+    * no join, no shuffle, no RNG (PlanShapeSpec-gated). */
   def mixToQuotas(df: DataFrame, idCol: String, domainCol: String,
                   quotas: Map[String, Long]): DataFrame = {
     require(quotas.nonEmpty, "empty mixing spec")
     quotas.foreach { case (dom, q) =>
       require(q >= 0, s"negative quota for '$dom': $q") }
-    val spark = df.sparkSession
-    import spark.implicits._
-    val spec = quotas.toSeq.toDF("__dom", "__quota")
-    val rates = df.groupBy(col(domainCol).as("__dom"))
-      .agg(count(lit(1)).as("__cnt"))
-      .join(broadcast(spec), Seq("__dom"))
-      .select(col("__dom"), least(lit(1000L),
-        floor(lit(1000.0) * col("__quota") / col("__cnt"))).as("__permille"))
-    df.join(broadcast(rates), df(domainCol) === rates("__dom"))
-      .where(pmod(StableId63.stableId63(col(idCol).cast("string")), lit(1000))
-        < col("__permille"))
-      .drop("__dom", "__permille")
+    val doms = quotas.keys.toSeq
+    val counts = df.where(col(domainCol).isin(doms: _*))
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keep = counts.foldLeft(lit(false)) { case (acc, (dom, cnt)) =>
+      val q = quotas(dom)
+      val cond =
+        if (q >= cnt) lit(true) // over-ask: keep the whole domain
+        else {
+          // floor(quota * 2^63 / count) < 2^63 — fits a signed long
+          val thr = ((BigInt(q) << 63) / cnt).toLong
+          StableId63.stableId63(col(idCol).cast("string")) < lit(thr)
+        }
+      when(col(domainCol) === lit(dom), cond).otherwise(acc)
+    }
+    df.where(keep)
   }
 
   /** Quality-ordered token-budget selection: within each domain take
@@ -316,22 +336,84 @@ object TrainingData {
     * The "fill each domain's slice of the training mix" primitive when the
     * budget is tokens, not documents ([[mixToQuotas]]).
     *
-    * One shuffle on the domain key; the running sum scans each domain
-    * sequentially, so the domain is the parallelism unit — same contract as
-    * [[packSequences]], and same deliberate omission of a global variant
-    * (it would serialize through one task). */
+    * The naive formulation — a running token sum over
+    * `Window.partitionBy(domain)` — serializes each domain through ONE
+    * task (tens of TB per task when a training mix has 5–20 domains), so
+    * this uses the [[ntileBuckets]] histogram protocol instead:
+    *
+    *  1. per-(domain, order value) token sums — one lean aggregate (the
+    *     histogram; two 8-byte columns per row, never text);
+    *  2. a per-domain cumulative over that AGGREGATED frame locates each
+    *     domain's boundary order value: the first group (best first) whose
+    *     cumulative token count crosses the budget. Groups before it are
+    *     wholly kept, groups after wholly dropped;
+    *  3. the boundary groups' rows (one order value per domain — a literal
+    *     filter that pushes to the scan) are resolved exactly with a
+    *     running sum over only those rows, yielding one cut id per domain.
+    *     Both collects are ≤ |domains| rows — bounded driver state, never
+    *     data;
+    *  4. the RETURNED plan is scan → n_tokens → when-chain filter: narrow,
+    *     zero exchanges, no Window, no Sort over the base docs
+    *     (PlanShapeSpec-gated).
+    *
+    * Skew note (same as [[ntileBuckets]]): step 2's window scans each
+    * domain's distinct order values in one task — fine for discrete keys
+    * (lengths, scores at fixed precision); bin a continuous key first.
+    * Null order values sort last (both engines' DESC default). */
   def selectToTokenBudget(docs: DataFrame, domainCol: String, idCol: String,
                           textCol: String, orderCol: String,
                           budget: Long): DataFrame = {
     require(budget > 0, "budget must be positive")
-    val w = Window.partitionBy(col(domainCol))
-      .orderBy(col(orderCol).desc, col(idCol))
+    val withTok = docs.withColumn("n_tokens",
+      TextExprs.tokenCount(col(textCol)).cast("long"))
+    val hist = withTok
+      .groupBy(col(domainCol).as("__dom"), col(orderCol).as("__v"))
+      .agg(sum(col("n_tokens")).as("__gsum"))
+    val cumW = Window.partitionBy(col("__dom")).orderBy(col("__v").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .withColumn("n_tokens", TextExprs.tokenCount(col(textCol)).cast("long"))
-      .withColumn("__prior", sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .where(col("__prior") < budget)
-      .drop("__prior")
+    // ≤ one boundary row per domain: __cum_start < budget <= __cum_end
+    val bounds = hist
+      .withColumn("__cum_end", sum(col("__gsum")).over(cumW))
+      .withColumn("__cum_start", col("__cum_end") - col("__gsum"))
+      .where(col("__cum_start") < budget && col("__cum_end") >= budget)
+      .select(col("__dom"), col("__v"), col("__cum_start"))
+      .collect()
+    // exact cut inside each boundary group: the first row in id order has
+    // prior = __cum_start < budget, so every boundary domain keeps >= 1 row
+    // and the kept set is the id-prefix ending at __cut
+    val cutIds: Map[Any, Any] =
+      if (bounds.isEmpty) Map.empty
+      else {
+        val sel = bounds.map(r =>
+          col(domainCol) === lit(r.get(0)) && col(orderCol) <=> lit(r.get(1)))
+          .reduce(_ || _)
+        val startOf = bounds.foldLeft(lit(0L)) { (acc, r) =>
+          when(col(domainCol) === lit(r.get(0)), lit(r.getLong(2)))
+            .otherwise(acc)
+        }
+        val wb = Window.partitionBy(col(domainCol)).orderBy(col(idCol))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        withTok.where(sel)
+          .withColumn("__prior",
+            startOf + sum(col("n_tokens")).over(wb) - col("n_tokens"))
+          .where(col("__prior") < budget)
+          .groupBy(col(domainCol)).agg(max(col(idCol)).as("__cut"))
+          .collect().map(r => (r.get(0), r.get(1))).toMap
+      }
+    val keep = bounds.foldLeft(lit(true)) { (acc, r) =>
+      val dom = r.get(0)
+      val v = r.get(1)
+      // groups strictly better than the boundary value are wholly kept;
+      // a null boundary (nulls sort last) keeps every non-null group
+      val before =
+        if (v == null) col(orderCol).isNotNull else col(orderCol) > lit(v)
+      val atBoundary = cutIds.get(dom) match {
+        case Some(c) => (col(orderCol) <=> lit(v)) && col(idCol) <= lit(c)
+        case None => lit(false)
+      }
+      when(col(domainCol) === lit(dom), before || atBoundary).otherwise(acc)
+    }
+    withTok.where(keep)
   }
 
   /** Deterministic corpus shuffle: the reproducible global reordering a
@@ -364,22 +446,45 @@ object TrainingData {
     * are 0, stride, 2·stride, … while they land inside the document, so
     * the tail chunk may be short; empty docs emit nothing.
     *
-    * NARROW: the token array, the start sequence, and the slices are all
-    * computed per row and exploded — zero shuffles, no UDF, and the
-    * emitted chunk text is the only width added to the stream. */
+    * NARROW (zero shuffles, no UDF), and — crucially — ROW-WIDTH BOUNDED:
+    * chunking directly would materialize a doc's token array plus ALL its
+    * overlapping chunks in one row before the explode (~chunk/stride ×
+    * amplification on a 100 MB document). Instead the token array is first
+    * cut into fixed-width SEGMENTS of `chunksPerSegment` chunks each
+    * (segment width = (chunksPerSegment-1)·stride + chunk tokens, adjacent
+    * segments overlapping by chunk-stride so every chunk is contained in
+    * exactly one segment) and exploded; the widest row ever built is
+    * tokens + segments ≈ 2× the doc. Chunks are then cut WITHIN each
+    * exploded segment, whose width is a constant independent of document
+    * size. Output is byte-identical for any `chunksPerSegment`. */
   def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
-                chunk: Int, stride: Int): DataFrame = {
+                chunk: Int, stride: Int, chunksPerSegment: Int = 64): DataFrame = {
     require(chunk >= 1, s"chunk must be >= 1: $chunk")
     require(stride >= 1, s"stride must be >= 1: $stride")
+    require(chunksPerSegment >= 1,
+      s"chunksPerSegment must be >= 1: $chunksPerSegment")
+    val segTok = (chunksPerSegment - 1) * stride + chunk // tokens per segment
+    val segStride = chunksPerSegment.toLong * stride     // start-to-start gap
     docs
       .where(trim(col(textCol)) =!= "") // also rejects null text
       .select(col(idCol), TextExprs.tokens(col(textCol)).as("__tk"))
-      .select(col(idCol), col("__tk"),
+      // stage 1: explode bounded-width segments (row ≈ 2× doc, then 1 seg)
+      .select(col(idCol),
         posexplode(expr(
-          s"""transform(sequence(0, cast(floor((size(__tk) - 1) / $stride) as int)),
-              i -> array_join(slice(__tk, i * $stride + 1, $chunk), ' '))"""))
-          .as(Seq("chunk_idx", "chunk_text")))
-      .select(col(idCol), col("chunk_idx"),
+          s"""transform(sequence(0, cast(floor((size(__tk) - 1) / $segStride) as int)),
+              i -> slice(__tk, cast(i * $segStride + 1 as int), $segTok))"""))
+          .as(Seq("__seg_idx", "__seg")))
+      // stage 2: chunk within the segment; starts past chunksPerSegment-1
+      // belong to the NEXT segment (overlap region) and are dropped
+      .select(col(idCol), col("__seg_idx"),
+        posexplode(expr(
+          s"""transform(sequence(0, cast(floor((size(__seg) - 1) / $stride) as int)),
+              i -> array_join(slice(__seg, i * $stride + 1, $chunk), ' '))"""))
+          .as(Seq("__in_idx", "chunk_text")))
+      .where(col("__in_idx") < chunksPerSegment)
+      .select(col(idCol),
+        (col("__seg_idx").cast("long") * chunksPerSegment + col("__in_idx"))
+          .cast("int").as("chunk_idx"),
         TextExprs.tokenCount(col("chunk_text")).cast("long").as("n_tokens"),
         col("chunk_text"))
   }
@@ -486,7 +591,18 @@ object TrainingData {
     * per-doc top-k is a row_number over the (doc) partition, so shuffles
     * move (doc, term, counts) and never document text. Scores are rounded
     * to 6 decimals BEFORE ranking so the ordering (and therefore the kept
-    * set) is engine-portable: a sub-ulp ln() difference cannot flip ranks. */
+    * set) is engine-portable: a sub-ulp ln() difference cannot flip ranks.
+    *
+    * Hot-term skew: `tf ⋈ dfreq` on `term` concentrates stopword postings
+    * ("the" appears in ~every doc) onto single shuffle keys. Two regimes,
+    * both handled WITHOUT a code path change and both plan-gated:
+    *  - bounded vocabulary (≲ tens of millions of terms — any natural
+    *    corpus): dfreq aggregates to megabytes, and AQE's runtime size
+    *    check collapses the join to a broadcast, so the skewed side never
+    *    shuffles on term at all (PlanShapeSpec "q74 skew" gate);
+    *  - open vocabulary (ids/hashes in text): the join stays sort-merge
+    *    and AQE's skew-join split carves the stopword partitions
+    *    (SkewJoinSpec's runtime skew gate pins that machinery). */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")

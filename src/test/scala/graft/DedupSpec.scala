@@ -113,6 +113,30 @@ class DedupSpec extends SparkSpec {
     assert(labels.toSeq == Seq(1L))
   }
 
+  test("componentsAuto routes a 2000-deep chain to star after the bounded probe") {
+    import spark.implicits._
+    // the chooser's failure mode before it existed: pointing a deep graph
+    // at the diameter-bound variant hung or threw. Auto must probe with a
+    // BOUNDED label-prop budget (4 iters = 8 hops << 1999), give up, and
+    // land the exact answer via star contraction.
+    val n = 2000L
+    val docs = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("d1", "d2")
+    val labels = graft.operators.Dedup
+      .componentsAuto(docs, "doc_id", pairs, propIters = 4)
+      .collect().map(r => r.getLong(1)).distinct
+    assert(labels.toSeq == Seq(1L))
+    // and a shallow near-dup graph resolves inside the probe (no fallback
+    // cost): same answer as plain label propagation
+    val shallow = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("d1", "d2")
+    val sdocs = (1L to 12L).toDF("doc_id")
+    val auto = graft.operators.Dedup.componentsAuto(sdocs, "doc_id", shallow)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val prop = graft.operators.Dedup.components(sdocs, "doc_id", shallow)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(auto == prop)
+  }
+
   test("simhash near-dups: symmetric-free (d1<d2), hamming bound respected") {
     val pairs = Dedup.simhashNearDups(docs, "doc_id", "text", maxBits = 3).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))

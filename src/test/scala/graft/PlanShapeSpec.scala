@@ -194,19 +194,53 @@ class PlanShapeSpec extends SparkSpec {
     assert(nPart > 0 && nPart <= 12, s"numPartitions=$nPart")
   }
 
-  test("q72: domain mixing joins rates by broadcast — no sort-merge join") {
-    val df = Queries.queries("q72_domain_mixing")(spark, sf)
-    val plan = finalPlan(df).toString
-    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
-    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+  test("q72: domain mixing is a narrow when-chain filter — no join, no exchange") {
+    // thresholds resolve to literals during construction (one bounded
+    // count job); the RETURNED plan must add nothing to the scan
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val plan = graft.operators.TrainingData
+      .mixToQuotas(docs, "doc_id", "source",
+        Map("src0" -> 10L, "src1" -> 5L, "src2" -> 100000L, "src3" -> 0L))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(800))
+    assert(!plan.contains("Exchange"), plan.take(800))
   }
 
-  test("q73: token-budget selection adds exactly one exchange (the domain key)") {
+  test("q73: token-budget selection returns a narrow plan — no window, sort, " +
+    "or exchange over the base docs") {
+    // boundary cutoffs resolve as bounded side jobs during construction
+    // (the q67 histogram protocol); the RETURNED plan is scan -> n_tokens
+    // -> when-chain filter
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val plan = graft.operators.TrainingData
       .selectToTokenBudget(docs, "source", "doc_id", "text", "n_chars", 600L)
       .queryExecution.executedPlan.toString
-    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(800))
+    assert(!plan.contains("Window"), plan.take(800))
+    assert(!plan.contains("Sort"), plan.take(800))
+    assert(!plan.contains("Exchange"), plan.take(800))
+  }
+
+  test("q74 skew: stopword-heavy corpus — AQE collapses the hot-term join " +
+    "to a runtime broadcast (no sort-merge on term)") {
+    import spark.implicits._
+    // every doc contains the same stopwords: df('the') = |corpus|, the
+    // classic hot shuffle key. dfreq aggregates to a few KB, so AQE's
+    // runtime size check must broadcast it — the skewed tf side then never
+    // shuffles on term at all.
+    val docs = (1 to 2000)
+      .map(i => (i.toLong, s"the of and is to unique$i tok${i % 97} w${i % 13}"))
+      .toDF("doc_id", "text")
+    val df = graft.operators.TrainingData.tfidfTopTerms(docs, "doc_id", "text", 3)
+    val plan = finalPlan(df)
+    def smj(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          Seq(j.toString.take(200))
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          smj(q.plan)
+      }.flatten
+    assert(smj(plan).isEmpty, smj(plan).mkString("\n"))
+    assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(800))
   }
 
   test("q76: deterministic shuffle adds exactly one exchange (the shard key)") {

@@ -108,6 +108,23 @@ class TrainingDataSpec extends SparkSpec {
     check((1L to 40L).map(i => (i, i % 7)), 10)
   }
 
+  test("ntileBuckets: high-cardinality order key trips the guard loudly") {
+    import spark.implicits._
+    // a unique-valued (continuous-like) order key makes |histogram| ==
+    // |rows| and would silently rebuild the global serialized window —
+    // the guard must fail with an actionable message instead
+    val unique = (1L to 500L).map(i => (i, i * 31 + 7)).toDF("id", "v")
+    val e = intercept[IllegalArgumentException] {
+      TrainingData.ntileBuckets(unique, 10, "v", "id", "b", maxDistinct = 100L)
+    }
+    assert(e.getMessage.contains("maxDistinct"), e.getMessage)
+    // binned to coarse values, the same data passes under the same cap
+    val binned = unique.withColumn("v", (col("v") / 1000L).cast("long"))
+    val ok = TrainingData.ntileBuckets(binned, 10, "v", "id", "b",
+      maxDistinct = 100L)
+    assert(ok.count() == 500L)
+  }
+
   test("dedupSpans: keep-first across AND within docs, order preserved") {
     import spark.implicits._
     val df = Seq(
@@ -179,6 +196,22 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("mixToQuotas: sub-permille quota selects ~quota docs, not zero") {
+    import spark.implicits._
+    // quota 50 from a 100k-doc domain = rate 0.0005 — the case the old
+    // permille floor zeroed (floor(1000*50/100000) = 0). The 63-bit
+    // threshold must land near 50 (hash-uniform: +-4 sigma ~ +-28).
+    val big = (1L to 100000L).map(i => (i, "web")).toDF("doc_id", "dom")
+    val got = TrainingData.mixToQuotas(big, "doc_id", "dom", Map("web" -> 50L))
+      .count()
+    assert(got > 20 && got < 80, s"quota=50 over 100k docs kept $got")
+    // and a quota of 1 from 100k still has a fighting chance of >= 0 docs
+    // without ever erroring; determinism across runs
+    val again = TrainingData.mixToQuotas(big, "doc_id", "dom", Map("web" -> 50L))
+      .count()
+    assert(got == again)
+  }
+
   test("selectToTokenBudget: greedy prefix per domain, overshoot <= one doc") {
     import spark.implicits._
     val df = Seq(
@@ -203,6 +236,34 @@ class TrainingDataSpec extends SparkSpec {
       TrainingData.selectToTokenBudget(docs, "source", "doc_id", "text",
         "n_chars", 0L)
     }
+  }
+
+  test("selectToTokenBudget: one domain holding ~all rows stays exact " +
+    "(the distribution that serialized the old per-domain window)") {
+    import spark.implicits._
+    // 5000 docs in one hot domain with heavy order-value ties (50 distinct
+    // scores) — boundary-group resolution must cut INSIDE a tie group;
+    // 5 docs in a cold domain whose total is under budget (no boundary).
+    val rows = (1 to 5000).map(i =>
+      ("hot", i.toLong, Seq.fill(i % 7 + 1)("w").mkString(" "), (i % 50).toLong)) ++
+      (1 to 5).map(i => ("cold", 10000L + i, "a b c", 5L))
+    val df = rows.toDF("dom", "doc_id", "text", "score")
+    val out = TrainingData
+      .selectToTokenBudget(df, "dom", "doc_id", "text", "score", budget = 300L)
+      .select("dom", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    // local greedy-prefix oracle, same (score DESC, doc_id) order
+    val expected = rows.groupBy(_._1).toSeq.flatMap { case (dom, rs) =>
+      var run = 0L
+      rs.sortBy(r => (-r._4, r._2)).flatMap { r =>
+        val keep = run < 300L
+        run += r._3.split("\\s+").length.toLong
+        if (keep) Some((dom, r._2)) else None
+      }
+    }.toSet
+    assert(out == expected)
+    assert(out.count(_._1 == "cold") == 5) // under-budget domain kept whole
+    assert(out.count(_._1 == "hot") < 5000) // hot domain actually cut
   }
 
   test("deterministicShuffle: a permutation, reproducible, decorrelated") {
@@ -256,6 +317,37 @@ class TrainingDataSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TrainingData.chunkDocs(df, "doc_id", "text", 0, 2)
     }
+  }
+
+  test("chunkDocs: segment width bounds the row peak; output identical " +
+    "for any chunksPerSegment; multi-MB doc chunks correctly") {
+    import spark.implicits._
+    // equivalence: same doc, radically different segmentation -> same rows
+    val doc = (0 until 533).map(i => s"t$i").mkString(" ")
+    val one = Seq((1L, doc)).toDF("doc_id", "text")
+    def rows(seg: Int) = TrainingData
+      .chunkDocs(one, "doc_id", "text", chunk = 32, stride = 16, chunksPerSegment = seg)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getString(3))).toSet
+    val a = rows(1); val b = rows(3); val c = rows(64); val d = rows(1000)
+    assert(a == b && b == c && c == d)
+    // expected count: starts 0,16,...,<=532 -> floor(532/16)+1 = 34 chunks
+    assert(a.size == 34)
+    assert(a.map(_._1) == (0 until 34).toSet)
+    // a multi-MB document (1M tokens, ~2.9 MB text): the old formulation
+    // materialized tokens + all chunks in ONE row (~2x doc * chunk/stride);
+    // segment-first keeps the widest row ~2x the doc and completes
+    val big = Seq((9L, (0 until 1000000).map(i => s"x$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TrainingData
+      .chunkDocs(big, "doc_id", "text", chunk = 512, stride = 256)
+    val stats = out.agg(count(lit(1)), max("chunk_idx"), min("n_tokens"),
+      max("n_tokens")).head()
+    // starts 0,256,...,<=999999 -> floor(999999/256)+1 = 3907 chunks
+    assert(stats.getLong(0) == 3907L, stats.toString)
+    assert(stats.getInt(1) == 3906, stats.toString)
+    assert(stats.getLong(3) == 512L, stats.toString)
+    // tail chunk: start 3906*256 = 999936 -> 64 tokens remain
+    assert(stats.getLong(2) == 64L, stats.toString)
   }
 
   test("diffCorpora: all four statuses, content-based change detection") {

@@ -39,4 +39,17 @@ class UnicodeNormSpec extends SparkSpec {
       .select(UnicodeNorm.nfc($"t")).collect()
     assert(out(0).isNullAt(0))
   }
+
+  test("evalNfc fast paths: all-ASCII returns the SAME instance (zero " +
+    "alloc); normalized non-ASCII returns the input; decomposed composes") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val ascii = UTF8String.fromString("plain ascii text 123!")
+    assert(UnicodeNorm.evalNfc(ascii) eq ascii)
+    val empty = UTF8String.fromString("")
+    assert(UnicodeNorm.evalNfc(empty) eq empty)
+    val composed = UTF8String.fromString("café") // already NFC
+    assert(UnicodeNorm.evalNfc(composed) eq composed)
+    val decomposed = UTF8String.fromString("café")
+    assert(UnicodeNorm.evalNfc(decomposed).toString == "café")
+  }
 }
