@@ -1050,10 +1050,7 @@ object Queries {
         val f = new java.io.File(System.getProperty("java.io.tmpdir"),
           s"graft_stream_${Integer.toHexString(d.hashCode)}")
         f.mkdirs()
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          java.nio.file.Paths.get(f.getAbsolutePath, "events.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Queries.stageParquetCopy(s"$d/events.parquet", f, "events")
         f
       })
       val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
@@ -1087,11 +1084,8 @@ object Queries {
       val f = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_stream_dup_${Integer.toHexString(d.hashCode)}")
       f.mkdirs()
-      Seq("events_a.parquet", "events_b.parquet").foreach(n =>
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          java.nio.file.Paths.get(f.getAbsolutePath, n),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING))
+      Seq("a", "b").foreach(n =>
+        Queries.stageParquetCopy(s"$d/events.parquet", f, s"events_$n"))
       val rawSchema = s.read.parquet(f.getAbsolutePath).schema
       val raw = s.readStream.schema(rawSchema).parquet(f.getAbsolutePath)
       val ev = if (rawSchema("ts").dataType == LongType)
@@ -1121,10 +1115,7 @@ object Queries {
         val f = new java.io.File(System.getProperty("java.io.tmpdir"),
           s"graft_stream_${Integer.toHexString(d.hashCode)}")
         f.mkdirs()
-        java.nio.file.Files.copy(
-          java.nio.file.Paths.get(s"$d/events.parquet"),
-          java.nio.file.Paths.get(f.getAbsolutePath, "events.parquet"),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        Queries.stageParquetCopy(s"$d/events.parquet", f, "events")
         f
       })
       val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
@@ -1240,6 +1231,31 @@ object Queries {
 
   private val stagedEventsDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Stage a parquet table into a streaming-source dir under `prefix`.
+    * The driver fixtures are single files, but engine-written tables
+    * (warehouse output, the sf1.0 scale corpus) are DIRECTORIES of part
+    * files — copy whichever shape `src` is, flattened with stable names
+    * so re-staging overwrites instead of accumulating. */
+  private[graft] def stageParquetCopy(src: String, dstDir: java.io.File,
+                                      prefix: String): Unit = {
+    val s = new java.io.File(src)
+    val parts =
+      if (s.isDirectory)
+        s.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName).toSeq
+      else Seq(s)
+    // drop any earlier staging under this prefix: a leftover copy (from a
+    // prior JVM or a different part count) would double the source
+    Option(dstDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName == s"$prefix.parquet" ||
+        f.getName.startsWith(prefix + "_"))
+      .foreach(_.delete())
+    parts.zipWithIndex.foreach { case (p, i) =>
+      java.nio.file.Files.copy(p.toPath,
+        new java.io.File(dstDir, f"${prefix}_$i%04d.parquet").toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
 
   private val incrementalWh =
     new java.util.concurrent.ConcurrentHashMap[String, graft.etl.OrderEtl.Warehouse]()
