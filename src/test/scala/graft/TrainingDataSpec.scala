@@ -210,6 +210,16 @@ class TrainingDataSpec extends SparkSpec {
     val again = TrainingData.mixToQuotas(big, "doc_id", "dom", Map("web" -> 50L))
       .count()
     assert(got == again)
+    // quota-monotonic: a larger quota keeps a SUPERSET (thresholds grow,
+    // the 63-bit keys don't move) — retuning the mix never churns the
+    // already-selected docs
+    def ids(q: Long) = TrainingData
+      .mixToQuotas(big, "doc_id", "dom", Map("web" -> q))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s50 = ids(50L); val s500 = ids(500L); val s5000 = ids(5000L)
+    assert(s50.subsetOf(s500) && s500.subsetOf(s5000),
+      s"${s50.size}/${s500.size}/${s5000.size}")
+    assert(s500.size > s50.size && s5000.size > s500.size)
   }
 
   test("selectToTokenBudget: greedy prefix per domain, overshoot <= one doc") {
@@ -264,6 +274,39 @@ class TrainingDataSpec extends SparkSpec {
     assert(out == expected)
     assert(out.count(_._1 == "cold") == 5) // under-budget domain kept whole
     assert(out.count(_._1 == "hot") < 5000) // hot domain actually cut
+  }
+
+  test("selectToTokenBudget == the naive running-sum window on random corpora") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // the histogram-cutoff protocol must reproduce the per-domain greedy
+    // prefix EXACTLY — pin it against the formulation it replaced, over
+    // randomized domains / token counts / heavy order-value ties
+    val rnd = new scala.util.Random(7)
+    for (trial <- 1 to 3) {
+      val rows = (1 to 400).map { i =>
+        ("d" + rnd.nextInt(5), i.toLong,
+          Seq.fill(rnd.nextInt(6) + 1)("t").mkString(" "),
+          rnd.nextInt(8).toLong)
+      }
+      val df = rows.toDF("dom", "doc_id", "text", "score").repartition(7)
+      val budget = 40L + rnd.nextInt(100)
+      val w = Window.partitionBy(col("dom"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val naive = df
+        .withColumn("n_tokens",
+          graft.functions.TextExprs.tokenCount(col("text")).cast("long"))
+        .withColumn("__prior", sum(col("n_tokens")).over(w) - col("n_tokens"))
+        .where(col("__prior") < budget)
+        .select("dom", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      val got = TrainingData
+        .selectToTokenBudget(df, "dom", "doc_id", "text", "score", budget)
+        .select("dom", "doc_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(got == naive, s"trial=$trial budget=$budget")
+    }
   }
 
   test("deterministicShuffle: a permutation, reproducible, decorrelated") {
