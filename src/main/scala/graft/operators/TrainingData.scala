@@ -359,25 +359,37 @@ object TrainingData {
     * Skew note (same as [[ntileBuckets]]): step 2's window scans each
     * domain's distinct order values in one task — fine for discrete keys
     * (lengths, scores at fixed precision); bin a continuous key first.
+    * `maxDistinct` guards that contract the same way ntileBuckets' does:
+    * a continuous-valued order key makes |histogram| ≈ |rows| and would
+    * silently rebuild the serialized scan this protocol exists to avoid.
     * Null order values sort last (both engines' DESC default). */
   def selectToTokenBudget(docs: DataFrame, domainCol: String, idCol: String,
                           textCol: String, orderCol: String,
-                          budget: Long): DataFrame = {
+                          budget: Long, maxDistinct: Long = 1000000L): DataFrame = {
     require(budget > 0, "budget must be positive")
     val withTok = docs.withColumn("n_tokens",
       TextExprs.tokenCount(col(textCol)).cast("long"))
     val hist = withTok
       .groupBy(col(domainCol).as("__dom"), col(orderCol).as("__v"))
       .agg(sum(col("n_tokens")).as("__gsum"))
-    val cumW = Window.partitionBy(col("__dom")).orderBy(col("__v").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // ≤ one boundary row per domain: __cum_start < budget <= __cum_end
-    val bounds = hist
-      .withColumn("__cum_end", sum(col("__gsum")).over(cumW))
-      .withColumn("__cum_start", col("__cum_end") - col("__gsum"))
-      .where(col("__cum_start") < budget && col("__cum_end") >= budget)
-      .select(col("__dom"), col("__v"), col("__cum_start"))
-      .collect()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bounds = try {
+      val nDistinct = hist.count()
+      require(nDistinct <= maxDistinct,
+        s"selectToTokenBudget: $nDistinct distinct ($domainCol, $orderCol) " +
+          s"groups exceed maxDistinct=$maxDistinct — the per-domain " +
+          "cumulative would serialize through one task; bin the order key " +
+          "(round it to a fixed precision) or raise maxDistinct deliberately")
+      val cumW = Window.partitionBy(col("__dom")).orderBy(col("__v").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // ≤ one boundary row per domain: __cum_start < budget <= __cum_end
+      hist
+        .withColumn("__cum_end", sum(col("__gsum")).over(cumW))
+        .withColumn("__cum_start", col("__cum_end") - col("__gsum"))
+        .where(col("__cum_start") < budget && col("__cum_end") >= budget)
+        .select(col("__dom"), col("__v"), col("__cum_start"))
+        .collect()
+    } finally hist.unpersist(blocking = false)
     // exact cut inside each boundary group: the first row in id order has
     // prior = __cum_start < budget, so every boundary domain keeps >= 1 row
     // and the kept set is the id-prefix ending at __cut

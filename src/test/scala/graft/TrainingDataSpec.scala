@@ -309,6 +309,17 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("selectToTokenBudget: continuous order key trips the maxDistinct guard") {
+    import spark.implicits._
+    val unique = (1L to 500L).map(i => ("d", i, "t t t", i * 13 + 1))
+      .toDF("dom", "doc_id", "text", "score")
+    val e = intercept[IllegalArgumentException] {
+      TrainingData.selectToTokenBudget(unique, "dom", "doc_id", "text",
+        "score", budget = 100L, maxDistinct = 100L)
+    }
+    assert(e.getMessage.contains("maxDistinct"), e.getMessage)
+  }
+
   test("deterministicShuffle: a permutation, reproducible, decorrelated") {
     val out = TrainingData.deterministicShuffle(docs, "doc_id", numShards = 8)
     val n = docs.count()
