@@ -1860,6 +1860,41 @@ object Queries {
         FROM ex CROSS JOIN ap"""
     })
 
+  // CCNet-style perplexity filter: per-doc mean token NLL under a
+  // unigram LM trained on the corpus itself (self-scoring — the common
+  // bootstrap when no curated reference exists yet). Per-token NLLs
+  // round to 6 decimals BEFORE the exact decimal sum (the q74 rule:
+  // sub-ulp ln() divergence must not reach a compared value).
+  private val q87 = Q("q87_lm_quality",
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.operators.TrainingData
+        .lmQualityScore(docs, "doc_id", "text", docs, "text",
+          vocabSize = 2000, alpha = 0.5)
+    },
+    Some("""WITH ref AS (SELECT tok AS token
+          FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                FROM documents) WHERE tok <> ''),
+      n AS (SELECT COUNT(*) AS nn FROM ref),
+      lm AS (SELECT v.token,
+               CAST(ROUND(-ln((v.c + 0.5) / (n.nn + 0.5 * 2001)), 6)
+                    AS DECIMAL(18,6)) AS t_nll
+             FROM (SELECT token, COUNT(*) AS c FROM ref GROUP BY 1
+                   ORDER BY c DESC, token LIMIT 2000) v CROSS JOIN n),
+      oov AS (SELECT CAST(ROUND(-ln(0.5 / (n.nn + 0.5 * 2001)), 6)
+                    AS DECIMAL(18,6)) AS o_nll FROM n),
+      toks AS (SELECT doc, token
+          FROM (SELECT doc_id AS doc,
+                  unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+                FROM documents) WHERE token <> ''),
+      j AS (SELECT t.doc, lm.t_nll IS NOT NULL AS in_vocab,
+              COALESCE(lm.t_nll, oov.o_nll) AS t_nll
+            FROM toks t LEFT JOIN lm ON t.token = lm.token CROSS JOIN oov)
+      SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+        ROUND(CAST(SUM(t_nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
+      FROM j GROUP BY doc"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -1867,7 +1902,7 @@ object Queries {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86)
+    q81, q82, q83, q84, q85, q86, q87)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -636,4 +636,63 @@ object TrainingData {
       .select(col("doc"), col("rank"), col("term"), col("tf"), col("df"),
         col("tfidf"))
   }
+
+  /** CCNet-style language-model quality score (Wenzek et al., "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * LREC 2020): each document's mean token negative-log-likelihood under
+    * a unigram LM trained on a REFERENCE corpus — low avg_nll means
+    * fluent/in-domain text, high means gibberish or off-distribution,
+    * and the n_oov column exposes the vocabulary-miss half of that
+    * signal separately. The classic "perplexity filter" pass between
+    * heuristic quality rules and dedup.
+    *
+    * LM: top-`vocabSize` reference tokens by count (ties lexicographic —
+    * the [[vocabulary]] contract) with add-`alpha` smoothing over
+    * vocabSize+1 classes (all OOV tokens share one class):
+    * p(t) = (c_t + α) / (N + α·(V+1)), p(oov) = α / (N + α·(V+1)).
+    *
+    * Scale shape: the LM is ONE two-phase aggregate + TakeOrdered top-V
+    * over the reference (shuffle carries (token, count), never text) and
+    * broadcasts as ≤ V rows; scoring is a narrow scan → broadcast-hash
+    * lookup — the corpus never shuffles on token, so stopword skew
+    * cannot exist — followed by one lean per-doc aggregate. Per-token
+    * NLLs are rounded to 6 decimals THEN summed as exact decimals
+    * (engine-portable: a sub-ulp ln() divergence cannot leak into the
+    * sum; the final mean is one IEEE division). Docs with no tokens
+    * emit nothing. */
+  def lmQualityScore(docs: DataFrame, idCol: String, textCol: String,
+                     reference: DataFrame, refTextCol: String,
+                     vocabSize: Int, alpha: Double = 0.5): DataFrame = {
+    require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
+    require(alpha > 0, s"alpha must be positive: $alpha")
+    val denomAdd = alpha * (vocabSize + 1)
+    val refToks = reference
+      .select(explode(TextExprs.tokens(lower(col(refTextCol)))).as("token"))
+      .where(col("token") =!= "")
+    val n = refToks.agg(count(lit(1)).as("__N"))
+    val lm = refToks.groupBy(col("token")).agg(count(lit(1)).as("__c"))
+      .orderBy(col("__c").desc, col("token")).limit(vocabSize)
+      .crossJoin(broadcast(n))
+      .select(col("token"),
+        round(-log((col("__c") + lit(alpha)) / (col("__N") + lit(denomAdd))), 6)
+          .cast("decimal(18,6)").as("__nll"))
+    val oov = n.select(
+      round(-log(lit(alpha) / (col("__N") + lit(denomAdd))), 6)
+        .cast("decimal(18,6)").as("__oov_nll"))
+    docs
+      .select(col(idCol).as("doc"),
+        explode(TextExprs.tokens(lower(col(textCol)))).as("token"))
+      .where(col("token") =!= "")
+      .join(broadcast(lm), Seq("token"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col("doc"), col("__nll").isNotNull.as("__in_vocab"),
+        coalesce(col("__nll"), col("__oov_nll")).as("__t_nll"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(!col("__in_vocab"), 1L).otherwise(0L)).as("n_oov"),
+        sum(col("__t_nll")).as("__sum_nll"))
+      .select(col("doc"), col("n_tokens"), col("n_oov"),
+        round(col("__sum_nll").cast("double") / col("n_tokens"), 6)
+          .as("avg_nll"))
+  }
 }

@@ -266,6 +266,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(800))
   }
 
+  test("q87: LM scoring is a broadcast lookup — the corpus never joins by token shuffle") {
+    // the reference-side LM build legitimately aggregates by token; the
+    // SCORING join must be broadcast-hash (the corpus token stream keeps
+    // its scan partitioning), never a sort-merge join — so stopword skew
+    // has no shuffle key to land on
+    val df = Queries.queries("q87_lm_quality")(spark, sf)
+    val plan = finalPlan(df)
+    def smj(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+          Seq(j.toString.take(200))
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          smj(q.plan)
+      }.flatten
+    assert(smj(plan).isEmpty, smj(plan).mkString("\n"))
+    assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(800))
+  }
+
   test("whole-stage codegen covers the cleaning scan (native exprs fused)") {
     val synth = graft.etl.ReferenceShapedData.syntheticOrders(spark, sf)
     val stg = graft.etl.OrderEtl.toStaging(graft.etl.OrderEtl.cleanOrders(synth))

@@ -468,6 +468,38 @@ class TrainingDataSpec extends SparkSpec {
     assert(byDoc(5L).sortBy(_._2).map(_._3).toSeq == Seq("a", "b"))
   }
 
+  test("lmQualityScore: OOV counts, smoothing arithmetic, fluency ordering") {
+    import spark.implicits._
+    // reference: 'the' x6, 'cat' x3, 'sat' x1 -> N=10; vocab top-2 = the, cat
+    val ref = Seq((1L, "the the the cat sat"), (2L, "the the the cat cat"))
+      .toDF("doc_id", "text")
+    val docs = Seq(
+      (10L, "the cat"),         // fully in-vocab, frequent tokens
+      (11L, "sat zzz"),         // fully OOV ('sat' fell outside top-2)
+      (12L, "the zzz"))         // mixed
+      .toDF("doc_id", "text")
+    val out = TrainingData
+      .lmQualityScore(docs, "doc_id", "text", ref, "text",
+        vocabSize = 2, alpha = 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // hand arithmetic: denom = 10 + 0.5*3 = 11.5
+    //   nll(the) = -ln(6.5/11.5), nll(cat) = -ln(3.5/11.5), oov = -ln(0.5/11.5)
+    def r6(x: Double) = // Spark round() is HALF_UP, not rint's HALF_EVEN
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val nThe = r6(-math.log(6.5 / 11.5))
+    val nCat = r6(-math.log(3.5 / 11.5))
+    val nOov = r6(-math.log(0.5 / 11.5))
+    assert(out(10L) == ((2L, 0L, r6((nThe + nCat) / 2))), out(10L).toString)
+    assert(out(11L) == ((2L, 2L, r6((nOov + nOov) / 2))), out(11L).toString)
+    assert(out(12L) == ((2L, 1L, r6((nThe + nOov) / 2))), out(12L).toString)
+    // fluent text scores lower than OOV soup
+    assert(out(10L)._3 < out(12L)._3 && out(12L)._3 < out(11L)._3)
+    intercept[IllegalArgumentException] {
+      TrainingData.lmQualityScore(docs, "doc_id", "text", ref, "text", 0)
+    }
+  }
+
   test("tfidfTopTerms: k per doc, rank order, corpus-wide terms score low") {
     import spark.implicits._
     val df = Seq(
