@@ -1889,11 +1889,15 @@ object Queries {
                 FROM documents) WHERE token <> ''),
       j AS (SELECT t.doc, lm.t_nll IS NOT NULL AS in_vocab,
               COALESCE(lm.t_nll, oov.o_nll) AS t_nll
-            FROM toks t LEFT JOIN lm ON t.token = lm.token CROSS JOIN oov)
-      SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-        CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
-        ROUND(CAST(SUM(t_nll) AS DOUBLE) / COUNT(*), 6) AS avg_nll
-      FROM j GROUP BY doc"""))
+            FROM toks t LEFT JOIN lm ON t.token = lm.token CROSS JOIN oov),
+      g AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+              CAST(SUM(t_nll) * 1000000 AS BIGINT) AS sm
+            FROM j GROUP BY doc)
+      SELECT doc, n_tokens, n_oov,
+        CAST((sm * 2 + n_tokens) // (n_tokens * 2) AS DOUBLE) / 1000000.0
+          AS avg_nll
+      FROM g"""))
 
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,

@@ -658,8 +658,10 @@ object TrainingData {
     * cannot exist — followed by one lean per-doc aggregate. Per-token
     * NLLs are rounded to 6 decimals THEN summed as exact decimals
     * (engine-portable: a sub-ulp ln() divergence cannot leak into the
-    * sum; the final mean is one IEEE division). Docs with no tokens
-    * emit nothing. */
+    * sum), and the 6-decimal mean is computed half-up in exact INTEGER
+    * micro-NLL arithmetic — a double `round(sum/n, 6)` was observed
+    * flipping the last digit between engines on boundary values. Docs
+    * with no tokens emit nothing. */
   def lmQualityScore(docs: DataFrame, idCol: String, textCol: String,
                      reference: DataFrame, refTextCol: String,
                      vocabSize: Int, alpha: Double = 0.5): DataFrame = {
@@ -690,9 +692,11 @@ object TrainingData {
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(!col("__in_vocab"), 1L).otherwise(0L)).as("n_oov"),
-        sum(col("__t_nll")).as("__sum_nll"))
+        (sum(col("__t_nll")) * 1000000).cast("long").as("__sum_micro"))
       .select(col("doc"), col("n_tokens"), col("n_oov"),
-        round(col("__sum_nll").cast("double") / col("n_tokens"), 6)
-          .as("avg_nll"))
+        // half-up mean at 6 decimals, exactly: (2a + n) DIV 2n on longs,
+        // then ONE exact IEEE division by 10^6 — no double rounding
+        (expr("(__sum_micro * 2 + n_tokens) DIV (n_tokens * 2)")
+          .cast("double") / lit(1000000.0)).as("avg_nll"))
   }
 }

@@ -487,12 +487,17 @@ class TrainingDataSpec extends SparkSpec {
     //   nll(the) = -ln(6.5/11.5), nll(cat) = -ln(3.5/11.5), oov = -ln(0.5/11.5)
     def r6(x: Double) = // Spark round() is HALF_UP, not rint's HALF_EVEN
       BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the operator's exact integer mean: half-up((sum of micro-NLLs)/n)
+    def mean6(vs: Seq[Double]) = {
+      val micro = vs.map(v => math.round(v * 1e6)).sum
+      ((micro * 2 + vs.size) / (vs.size * 2L)).toDouble / 1e6
+    }
     val nThe = r6(-math.log(6.5 / 11.5))
     val nCat = r6(-math.log(3.5 / 11.5))
     val nOov = r6(-math.log(0.5 / 11.5))
-    assert(out(10L) == ((2L, 0L, r6((nThe + nCat) / 2))), out(10L).toString)
-    assert(out(11L) == ((2L, 2L, r6((nOov + nOov) / 2))), out(11L).toString)
-    assert(out(12L) == ((2L, 1L, r6((nThe + nOov) / 2))), out(12L).toString)
+    assert(out(10L) == ((2L, 0L, mean6(Seq(nThe, nCat)))), out(10L).toString)
+    assert(out(11L) == ((2L, 2L, mean6(Seq(nOov, nOov)))), out(11L).toString)
+    assert(out(12L) == ((2L, 1L, mean6(Seq(nThe, nOov)))), out(12L).toString)
     // fluent text scores lower than OOV soup
     assert(out(10L)._3 < out(12L)._3 && out(12L)._3 < out(11L)._3)
     intercept[IllegalArgumentException] {
