@@ -1392,6 +1392,24 @@ object Queries {
       SELECT doc_id, lang, n_chars FROM documents
       WHERE doc_id NOT IN (SELECT doc FROM dirty)"""))
 
+  // Bloom-prefiltered decontamination: byte-identical answer to the
+  // broadcast variant by construction (the exact confirm semi-join kills
+  // bloom false positives), so the oracle is the plain exact SQL — the
+  // bloom changes the plan, never the answer. Different eval split than
+  // q62 so the two queries don't alias.
+  private val q88 = Q("q88_bloom_decontam",
+    (s, d) => {
+      val docs = documents(s, d)
+      Dedup.decontaminateBloom(docs, docs.where(col("doc_id") < 30),
+          "doc_id", "text", ngram = 3, fpp = 0.01)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+    },
+    Some(s"""WITH $shingleCte,
+      eval_h AS (SELECT DISTINCT hv FROM h WHERE doc < 30),
+      dirty AS (SELECT DISTINCT doc FROM h WHERE hv IN (SELECT hv FROM eval_h))
+      SELECT doc_id, lang, n_chars FROM documents
+      WHERE doc_id NOT IN (SELECT doc FROM dirty)"""))
+
   // Multi-hop dimension chain (supplier → nation → region): revenue
   // rolled up to region through three broadcast hops — the deep-star
   // shape where every dim stays a broadcast and the fact never shuffles
@@ -1906,7 +1924,7 @@ object Queries {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87)
+    q81, q82, q83, q84, q85, q86, q87, q88)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -255,6 +255,57 @@ object Dedup {
       corpus(idCol) === contaminated("__doc"), "left_anti")
   }
 
+  /** [[decontaminate]]'s scale path for LARGE eval sets. The broadcast
+    * variant ships the full distinct-shingle hash set to every task —
+    * right for KB–MB benchmarks, wrong once the contamination list is
+    * itself corpus-sized (every public benchmark + train splits +
+    * paraphrase expansions: 10^8-10^9 n-grams, tens of GB as a hash
+    * relation). A Bloom filter at ~10 bits/element (1% fpp) is ~100×
+    * smaller: the corpus posting stream is prefiltered by a NARROW
+    * `might_contain` — no join, no shuffle, and only ~fpp of clean
+    * postings survive — then the surviving sliver meets the eval
+    * shingles in an EXACT semi-join that removes the false positives.
+    * Output is byte-identical to [[decontaminate]]: the bloom changes
+    * the plan, never the answer (PlanShape- and oracle-gated on the
+    * same SQL).
+    *
+    * Driver state: the serialized filter (~1.2 MB per 10^6 distinct
+    * n-grams at 1% fpp), built by the distributed `stat.bloomFilter`
+    * aggregate and shipped to tasks as a literal — bounded by
+    * construction, like IvfIndex's centroid sample. At true 10^9-n-gram
+    * scale the same plan works with fpp relaxed (bloom ≈ 1.2 GB at 1%,
+    * 600 MB at 10% — the exact confirm join absorbs the extra false
+    * positives). */
+  def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                         textCol: String, ngram: Int = 3,
+                         fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp out of range: $fpp")
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+    val evalShingles = evalSet
+      .select(explode(
+        graft.functions.ShingleHash32.shingleHash32(col(textCol), ngram)).as("hv"))
+      .distinct()
+    val nEval = math.max(1L, evalShingles.count())
+    val bloom = evalShingles.stat.bloomFilter("hv", nEval, fpp)
+    val bytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    def mightContain(hv: Column): Column = ColumnBridge.column(
+      BloomFilterMightContain(Literal(bytes, BinaryType), ColumnBridge.expr(hv)))
+    val contaminated = corpus
+      .select(col(idCol).as("__doc"),
+        explode(graft.functions.ShingleHash32.shingleHash32(col(textCol), ngram)).as("hv"))
+      .where(mightContain(col("hv")))
+      .join(evalShingles, Seq("hv"), "left_semi") // exact confirm: kills fps
+      .select(col("__doc")).distinct()
+    corpus.join(contaminated,
+      corpus(idCol) === contaminated("__doc"), "left_anti")
+  }
+
   /** The dedup endgame: near-dup PAIRS resolved into CLUSTERS, so one
     * canonical doc survives per connected component of the similarity
     * graph (pairwise keep-min would under-delete: a~b, b~c must collapse

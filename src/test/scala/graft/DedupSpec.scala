@@ -113,6 +113,33 @@ class DedupSpec extends SparkSpec {
     assert(labels.toSeq == Seq(1L))
   }
 
+  test("decontaminateBloom == decontaminate, even at adversarial fpp") {
+    val evalSet = docs.where(col("doc_id") < 25)
+    val exact = graft.operators.Dedup
+      .decontaminate(docs, evalSet, "doc_id", "text", ngram = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // normal operating point
+    val bloom = graft.operators.Dedup
+      .decontaminateBloom(docs, evalSet, "doc_id", "text", ngram = 3, fpp = 0.01)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(bloom == exact)
+    // fpp 0.5: half of all clean postings pass the prefilter as false
+    // positives — the exact confirm join must still kill every one
+    val sloppy = graft.operators.Dedup
+      .decontaminateBloom(docs, evalSet, "doc_id", "text", ngram = 3, fpp = 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sloppy == exact)
+    // the prefilter is actually in the plan (narrow, pre-join)
+    val plan = graft.operators.Dedup
+      .decontaminateBloom(docs, evalSet, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(600))
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup
+        .decontaminateBloom(docs, evalSet, "doc_id", "text", fpp = 0.0)
+    }
+  }
+
   test("componentsAuto routes a 2000-deep chain to star after the bounded probe") {
     import spark.implicits._
     // the chooser's failure mode before it existed: pointing a deep graph
