@@ -155,4 +155,58 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("lmQualityScore: per-doc NLL bounds and token accounting on fuzzed corpora") {
+    val vocabGen = Gen.oneOf("the", "cat", "sat", "on", "mat",
+      "dog", "ran", "far", "qqq", "zzz")
+    val docsSeq = (1 to 120).map { i =>
+      val n = 1 + (i * 7) % 12
+      (i.toLong, sample(vocabGen, n).mkString(" "))
+    }
+    val df = docsSeq.toDF("doc_id", "text")
+    val v = 5
+    val alpha = 0.5
+    val out = graft.operators.TrainingData
+      .lmQualityScore(df, "doc_id", "text", df, "text", vocabSize = v, alpha = alpha)
+      .collect()
+    // local LM arithmetic: every doc's mean NLL must sit inside the
+    // [most-frequent-token NLL, OOV NLL] envelope, and OOV counts must
+    // never exceed token counts
+    val toks = docsSeq.flatMap(_._2.split("\\s+")).filter(_.nonEmpty)
+    val total = toks.size
+    val maxCount = toks.groupBy(identity).values.map(_.size).max
+    val denom = total + alpha * (v + 1)
+    val lo = -math.log((maxCount + alpha) / denom) - 1e-6
+    val hi = -math.log(alpha / denom) + 1e-6
+    out.foreach { r =>
+      val (nTok, nOov, avg) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(nOov >= 0 && nOov <= nTok, r.toString)
+      assert(avg >= lo && avg <= hi, s"$avg outside [$lo, $hi]: $r")
+    }
+    assert(out.map(_.getLong(1)).sum == total) // every token scored once
+  }
+
+  test("decontaminateBloom == exact decontamination on fuzzed corpora and fpp") {
+    val rnd = new scala.util.Random(29)
+    // corpus: half original docs, half docs sharing 3-gram spans with the
+    // eval slice (real contamination), plus pure noise
+    val base = (1 to 150).map { i =>
+      val words = (0 until 8).map(j => s"w${rnd.nextInt(40)}_$j")
+      (i.toLong, words.mkString(" "))
+    }
+    val contaminatedCopies = base.take(30).map { case (id, t) =>
+      (id + 1000L, t.split(" ").take(5).mkString(" ") + s" tail${id}")
+    }
+    val df = (base ++ contaminatedCopies).toDF("doc_id", "text")
+    val evalSet = df.where(col("doc_id") <= 40)
+    val exact = graft.operators.Dedup
+      .decontaminate(df, evalSet, "doc_id", "text", ngram = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    for (fpp <- Seq(0.3, 0.01)) {
+      val bloom = graft.operators.Dedup
+        .decontaminateBloom(df, evalSet, "doc_id", "text", ngram = 3, fpp = fpp)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(bloom == exact, s"fpp=$fpp")
+    }
+  }
 }
