@@ -275,7 +275,10 @@ object Dedup {
     * construction, like IvfIndex's centroid sample. At true 10^9-n-gram
     * scale the same plan works with fpp relaxed (bloom ≈ 1.2 GB at 1%,
     * 600 MB at 10% — the exact confirm join absorbs the extra false
-    * positives). */
+    * positives). The distinct eval-shingle frame is persisted across its
+    * three consumers (count, bloom build, confirm join) and stays cached
+    * behind the returned plan; `spark.catalog.clearCache()` releases it
+    * once the result is materialized. */
   def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame, idCol: String,
                          textCol: String, ngram: Int = 3,
                          fpp: Double = 0.01): DataFrame = {
@@ -283,10 +286,14 @@ object Dedup {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
+    // three consumers (size count, bloom aggregate, exact confirm join)
+    // must not re-run the explode+distinct shuffle over what is by
+    // definition the LARGE input — persist it once
     val evalShingles = evalSet
       .select(explode(
         graft.functions.ShingleHash32.shingleHash32(col(textCol), ngram)).as("hv"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEval = math.max(1L, evalShingles.count())
     val bloom = evalShingles.stat.bloomFilter("hv", nEval, fpp)
     val bytes = {

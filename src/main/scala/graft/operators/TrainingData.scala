@@ -138,13 +138,16 @@ object TrainingData {
     val hist = df.groupBy(col(orderCol)).agg(count(lit(1)).as("__cnt"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val nDistinct = hist.count()
+      // one job yields both the guard cardinality and the row total
+      val head = hist.agg(count(lit(1)),
+        coalesce(sum(col("__cnt")), lit(0L))).head()
+      val nDistinct = head.getLong(0)
       require(nDistinct <= maxDistinct,
         s"ntileBuckets: $nDistinct distinct '$orderCol' values exceed " +
           s"maxDistinct=$maxDistinct — the histogram cumulative would " +
           "serialize through one task; bin the order key (round it to a " +
           "fixed precision) or raise maxDistinct deliberately")
-      val total = hist.agg(coalesce(sum(col("__cnt")), lit(0L))).head().getLong(0)
+      val total = head.getLong(1)
       if (total == 0L || n == 1) return df.withColumn(bucketCol, lit(1))
       val cumW = Window.orderBy(col(orderCol))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -312,11 +315,14 @@ object TrainingData {
     quotas.foreach { case (dom, q) =>
       require(q >= 0, s"negative quota for '$dom': $q") }
     val doms = quotas.keys.toSeq
+    // keep the RAW domain value for the filter literals (a numeric source
+    // id column compares against a same-typed lit, not a string), and
+    // match quotas by its string form — the spec is human-written strings
     val counts = df.where(col(domainCol).isin(doms: _*))
       .groupBy(col(domainCol)).agg(count(lit(1)).as("__cnt"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
     val keep = counts.foldLeft(lit(false)) { case (acc, (dom, cnt)) =>
-      val q = quotas(dom)
+      val q = quotas(String.valueOf(dom))
       val cond =
         if (q >= cnt) lit(true) // over-ask: keep the whole domain
         else {
@@ -396,11 +402,14 @@ object TrainingData {
     val cutIds: Map[Any, Any] =
       if (bounds.isEmpty) Map.empty
       else {
+        // null-SAFE domain matches throughout: a null domain is its own
+        // partition in the window formulation this replaces, and a
+        // null-unsafe === would silently exempt it from the budget
         val sel = bounds.map(r =>
-          col(domainCol) === lit(r.get(0)) && col(orderCol) <=> lit(r.get(1)))
+          (col(domainCol) <=> lit(r.get(0))) && (col(orderCol) <=> lit(r.get(1))))
           .reduce(_ || _)
         val startOf = bounds.foldLeft(lit(0L)) { (acc, r) =>
-          when(col(domainCol) === lit(r.get(0)), lit(r.getLong(2)))
+          when(col(domainCol) <=> lit(r.get(0)), lit(r.getLong(2)))
             .otherwise(acc)
         }
         val wb = Window.partitionBy(col(domainCol)).orderBy(col(idCol))
@@ -423,7 +432,7 @@ object TrainingData {
         case Some(c) => (col(orderCol) <=> lit(v)) && col(idCol) <= lit(c)
         case None => lit(false)
       }
-      when(col(domainCol) === lit(dom), before || atBoundary).otherwise(acc)
+      when(col(domainCol) <=> lit(dom), before || atBoundary).otherwise(acc)
     }
     withTok.where(keep)
   }
@@ -668,16 +677,27 @@ object TrainingData {
     require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
     require(alpha > 0, s"alpha must be positive: $alpha")
     val denomAdd = alpha * (vocabSize + 1)
-    val refToks = reference
+    // ONE reference scan: N is the sum of the grouped counts, so the
+    // per-token aggregate (persisted across its two bounded consumers)
+    // serves both the total and the top-V — the reference is never
+    // tokenized twice
+    val grouped = reference
       .select(explode(TextExprs.tokens(lower(col(refTextCol)))).as("token"))
       .where(col("token") =!= "")
-    val n = refToks.agg(count(lit(1)).as("__N"))
-    val lm = refToks.groupBy(col("token")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("token")).agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // both LM frames materialize (1 row; <= V rows) while `grouped` is
+    // persisted — nothing downstream can re-trigger the reference scan
+    val n = grouped.agg(coalesce(sum(col("__c")), lit(0L)).as("__N"))
+      .localCheckpoint()
+    val lm = grouped
       .orderBy(col("__c").desc, col("token")).limit(vocabSize)
       .crossJoin(broadcast(n))
       .select(col("token"),
         round(-log((col("__c") + lit(alpha)) / (col("__N") + lit(denomAdd))), 6)
           .cast("decimal(18,6)").as("__nll"))
+      .localCheckpoint()
+    grouped.unpersist(blocking = false)
     val oov = n.select(
       round(-log(lit(alpha) / (col("__N") + lit(denomAdd))), 6)
         .cast("decimal(18,6)").as("__oov_nll"))

@@ -42,6 +42,17 @@ class PlanShapeSpec extends SparkSpec {
   private def scans(df: org.apache.spark.sql.DataFrame): Seq[FileSourceScanExec] =
     collectScans(finalPlan(df))
 
+  /** SortMergeJoinExec nodes across the AQE-finalized tree (recursing
+    * into query stages) — the "did this join avoid a shuffle-by-key"
+    * assertion shared by the skew gates. */
+  private def collectSmj(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+    p.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        Seq(j.toString.take(200))
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        collectSmj(q.plan)
+    }.flatten
+
   test("q30: predicate pushdown + column pruning reach the lineitem scan") {
     val df = Queries.queries("q30_pushdown_scan")(spark, sf)
     val scan = scans(df).head
@@ -232,14 +243,7 @@ class PlanShapeSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val df = graft.operators.TrainingData.tfidfTopTerms(docs, "doc_id", "text", 3)
     val plan = finalPlan(df)
-    def smj(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
-      p.collect {
-        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
-          Seq(j.toString.take(200))
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          smj(q.plan)
-      }.flatten
-    assert(smj(plan).isEmpty, smj(plan).mkString("\n"))
+    assert(collectSmj(plan).isEmpty, collectSmj(plan).mkString("\n"))
     assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(800))
   }
 
@@ -273,14 +277,7 @@ class PlanShapeSpec extends SparkSpec {
     // has no shuffle key to land on
     val df = Queries.queries("q87_lm_quality")(spark, sf)
     val plan = finalPlan(df)
-    def smj(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
-      p.collect {
-        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
-          Seq(j.toString.take(200))
-        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-          smj(q.plan)
-      }.flatten
-    assert(smj(plan).isEmpty, smj(plan).mkString("\n"))
+    assert(collectSmj(plan).isEmpty, collectSmj(plan).mkString("\n"))
     assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(800))
   }
 

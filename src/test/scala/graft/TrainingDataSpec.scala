@@ -220,6 +220,13 @@ class TrainingDataSpec extends SparkSpec {
     assert(s50.subsetOf(s500) && s500.subsetOf(s5000),
       s"${s50.size}/${s500.size}/${s5000.size}")
     assert(s500.size > s50.size && s5000.size > s500.size)
+    // a NUMERIC domain column resolves against the string-keyed spec
+    val numDom = (1L to 900L).map(i => (i, i % 3)).toDF("doc_id", "dom")
+    val kept = TrainingData
+      .mixToQuotas(numDom, "doc_id", "dom", Map("0" -> 10000L, "1" -> 0L))
+      .groupBy("dom").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept == Map(0L -> 300L)) // over-ask keeps all; 0-quota + unlisted drop
   }
 
   test("selectToTokenBudget: greedy prefix per domain, overshoot <= one doc") {
@@ -307,6 +314,38 @@ class TrainingDataSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getLong(1))).toSet
       assert(got == naive, s"trial=$trial budget=$budget")
     }
+  }
+
+  test("selectToTokenBudget: a NULL domain is its own partition, budget applies") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // null domain over budget (5 docs x 3 tokens vs budget 7) plus a
+    // normal domain — parity with the window formulation, where null is
+    // just another partition; a null-unsafe domain match would exempt
+    // the null rows from the budget entirely
+    val df = Seq(
+      (Option.empty[String], 1L, "a b c", 5L),
+      (Option.empty[String], 2L, "a b c", 4L),
+      (Option.empty[String], 3L, "a b c", 3L),
+      (Option.empty[String], 4L, "a b c", 2L),
+      (Option.empty[String], 5L, "a b c", 1L),
+      (Some("d"), 6L, "x y", 9L),
+      (Some("d"), 7L, "x y", 8L))
+      .toDF("dom", "doc_id", "text", "score")
+    val w = Window.partitionBy(col("dom"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df
+      .withColumn("n_tokens",
+        graft.functions.TextExprs.tokenCount(col("text")).cast("long"))
+      .withColumn("__prior", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .where(col("__prior") < 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val got = TrainingData
+      .selectToTokenBudget(df, "dom", "doc_id", "text", "score", budget = 7L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == naive, s"got=$got naive=$naive")
+    assert(got == Set(1L, 2L, 3L, 6L, 7L)) // null domain cut at 9 tokens
   }
 
   test("selectToTokenBudget: continuous order key trips the maxDistinct guard") {
