@@ -1229,6 +1229,35 @@ object Queries {
         CAST(LEAST(d.doc_id, COALESCE(mn.m, d.doc_id)) AS BIGINT) AS component
       FROM documents d LEFT JOIN mn ON d.doc_id = mn.src"""))
 
+  // The chooser through the gate: same clustering contract as q56/q79,
+  // but the algorithm is PICKED at runtime — a bounded label-prop probe
+  // (the near-dup graph converges inside it here) with star-contraction
+  // fallback. Same reachability oracle as q79.
+  private val q89 = Q("q89_dedup_clusters_auto",
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.4, ngram = 3)
+      Dedup.componentsAuto(docs, "doc_id", pairs)
+    },
+    Some(s"""WITH RECURSIVE $shingleCte,
+      sz AS (SELECT doc, COUNT(*) AS n FROM h GROUP BY doc),
+      inter AS (SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS inter
+                FROM h a JOIN h b ON a.hv = b.hv AND a.doc < b.doc
+                GROUP BY a.doc, b.doc),
+      pairs AS (SELECT d1, d2
+        FROM inter JOIN sz s1 ON d1 = s1.doc JOIN sz s2 ON d2 = s2.doc
+        WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.4),
+      edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+                UNION SELECT d2, d1 FROM pairs),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      mn AS (SELECT src, MIN(dst) AS m FROM reach GROUP BY src)
+      SELECT d.doc_id AS doc,
+        CAST(LEAST(d.doc_id, COALESCE(mn.m, d.doc_id)) AS BIGINT) AS component
+      FROM documents d LEFT JOIN mn ON d.doc_id = mn.src"""))
+
   private val stagedEventsDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
@@ -1924,7 +1953,7 @@ object Queries {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
