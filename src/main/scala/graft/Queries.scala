@@ -1258,6 +1258,25 @@ object Queries {
         CAST(LEAST(d.doc_id, COALESCE(mn.m, d.doc_id)) AS BIGINT) AS component
       FROM documents d LEFT JOIN mn ON d.doc_id = mn.src"""))
 
+  // Exact-count domain quotas through the custom TopKPerKey physical
+  // operator: exactly min(quota, count) docs per listed source, selected
+  // in 63-bit-hash order (id tie-break) — the oracle is the equivalent
+  // per-domain ROW_NUMBER prefix. src1's over-ask keeps the whole
+  // domain; unlisted sources drop.
+  private val q90 = Q("q90_domain_quota_exact",
+    (s, d) => graft.operators.TrainingData
+      .mixToQuotasExact(documents(s, d), "doc_id", "source",
+        Map("src0" -> 37L, "src1" -> 100000L, "src2" -> 1L))
+      .select(col("doc_id"), col("source"), col("lang"), col("n_chars")),
+    Some("""WITH spec AS (SELECT * FROM (VALUES
+          ('src0', 37), ('src1', 100000), ('src2', 1)) AS t(dom, quota)),
+      r AS (SELECT d.doc_id, d.source, d.lang, d.n_chars, s.quota,
+              ROW_NUMBER() OVER (PARTITION BY d.source ORDER BY
+                CAST(CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))
+                  AS UBIGINT) % 9223372036854775808 AS BIGINT), d.doc_id) AS rk
+            FROM documents d JOIN spec s ON d.source = s.dom)
+      SELECT doc_id, source, lang, n_chars FROM r WHERE rk <= quota"""))
+
   private val stagedEventsDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
@@ -1953,7 +1972,7 @@ object Queries {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

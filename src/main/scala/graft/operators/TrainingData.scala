@@ -335,6 +335,44 @@ object TrainingData {
     df.where(keep)
   }
 
+  /** Exact-count domain quotas: [[mixToQuotas]] lands NEAR its quota (a
+    * rate-based narrow filter — binomial spread around the target); this
+    * variant selects EXACTLY min(quota_d, count_d) docs per domain,
+    * deterministically, ordered by the same engine-portable 63-bit key
+    * (id as tie-break). Because the selection order is a fixed hash, a
+    * larger quota keeps a strict superset — retuning the mix never churns
+    * already-selected docs, same as the rate variant.
+    *
+    * The per-domain top-k runs on the [[graft.plans.TopKPerKey]] custom
+    * physical operator: bounded per-(task, domain) heaps BEFORE the
+    * exchange, so the shuffle carries ≤ |domains|·maxQuota rows and no
+    * domain ever sorts its full corpus — the plan a per-domain
+    * row_number window could not produce. Heap memory per task is
+    * ∝ max quota: use the rate variant for huge quotas, this one when
+    * the mixing spec must be met exactly. Domains absent from `quotas`
+    * drop (the spec is the whitelist). */
+  def mixToQuotasExact(df: DataFrame, idCol: String, domainCol: String,
+                       quotas: Map[String, Long]): DataFrame = {
+    require(quotas.nonEmpty, "empty mixing spec")
+    quotas.foreach { case (dom, q) =>
+      require(q >= 0, s"negative quota for '$dom': $q")
+      require(q <= Int.MaxValue, s"quota for '$dom' exceeds Int.MaxValue " +
+        "(bounded-heap top-k; use mixToQuotas for rate-scale quotas)") }
+    val maxQ = quotas.values.max
+    if (maxQ == 0L) return df.limit(0)
+    val doms = quotas.keys.toSeq
+    val keyed = df.where(col(domainCol).isin(doms: _*))
+      .withColumn("__mixkey", StableId63.stableId63(col(idCol).cast("string")))
+    val ranked = graft.plans.TopK.perKey(keyed, Seq(domainCol),
+      Seq(graft.plans.TopK.Sort("__mixkey"),
+        graft.plans.TopK.Sort(idCol)),
+      maxQ.toInt, "__mixrank")
+    val quotaOf = quotas.foldLeft(lit(0L)) { case (acc, (dom, q)) =>
+      when(col(domainCol).cast("string") === lit(dom), lit(q)).otherwise(acc)
+    }
+    ranked.where(col("__mixrank") <= quotaOf).drop("__mixkey", "__mixrank")
+  }
+
   /** Quality-ordered token-budget selection: within each domain take
     * documents in (`orderCol` DESC, `idCol`) order until `budget` tokens
     * are reached — a doc is kept iff the tokens BEFORE it are under budget

@@ -40,6 +40,13 @@ object TopK {
     * custom operator. */
   def perKey(df: DataFrame, keys: Seq[String], orderBy: Seq[Sort], k: Int,
              rankName: String = "rank"): DataFrame = {
+    // belt-and-suspenders: sessions built through GraftExtensions carry
+    // the strategy already; a plain session (a user's, a bare test
+    // fixture) would otherwise die at planning with "No plan for
+    // TopKPerKeyPlan". Idempotent.
+    val exp = df.sparkSession.experimental
+    if (!exp.extraStrategies.contains(TopKStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
     val analyzed = df.queryExecution.analyzed
     val resolver = df.sparkSession.sessionState.analyzer.resolver
     def attr(name: String): Attribute =

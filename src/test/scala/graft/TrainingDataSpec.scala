@@ -229,6 +229,33 @@ class TrainingDataSpec extends SparkSpec {
     assert(kept == Map(0L -> 300L)) // over-ask keeps all; 0-quota + unlisted drop
   }
 
+  test("mixToQuotasExact: exact counts, hash-prefix supersets, no window") {
+    import spark.implicits._
+    val big = (1L to 5000L).map(i => (i, s"s${i % 3}")).toDF("doc_id", "dom")
+    def run(q: Map[String, Long]) =
+      TrainingData.mixToQuotasExact(big, "doc_id", "dom", q)
+    // exactly min(quota, count) per listed domain; unlisted drops
+    val got = run(Map("s0" -> 40L, "s1" -> 100000L))
+      .groupBy("dom").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("s0" -> 40L, "s1" -> 1667L), got.toString)
+    // fixed hash order => larger quota keeps a strict superset
+    def ids(q: Long) = run(Map("s0" -> q))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(10L); val b = ids(200L)
+    assert(a.size == 10 && b.size == 200 && a.subsetOf(b))
+    // determinism across runs
+    assert(ids(10L) == a)
+    // the plan is the custom bounded-heap operator, not a rank window
+    val plan = run(Map("s0" -> 40L)).queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(500))
+    assert(!plan.contains("Window"), plan.take(500))
+    // zero-quota mix selects nothing; negative and over-int quotas throw
+    assert(run(Map("s0" -> 0L)).count() == 0L)
+    intercept[IllegalArgumentException] { run(Map("s0" -> -1L)) }
+    intercept[IllegalArgumentException] { run(Map("s0" -> (Int.MaxValue + 1L))) }
+  }
+
   test("selectToTokenBudget: greedy prefix per domain, overshoot <= one doc") {
     import spark.implicits._
     val df = Seq(
