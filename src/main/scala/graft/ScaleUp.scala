@@ -51,6 +51,16 @@ object ScaleUp {
         expr("array_join(transform(split(text, ' '), (t, i) -> " +
           "if(i % 5 = 0, concat(t, '_', __rep), t)), ' ')")))
       .drop("__rep"), "documents")
+    // embeddings: replicas get a deterministic dim-0 offset so replica
+    // vectors are NOT exact duplicates (identical vectors would make
+    // every near-dup/ANN pass collapse replicas into 10-cliques — a
+    // construction artifact, not a scaling measurement)
+    write(spark.read.parquet(s"$src/embeddings.parquet").crossJoin(repl)
+      .withColumn("vec_id", shifted("vec_id"))
+      .withColumn("embedding",
+        expr("transform(embedding, (x, i) -> " +
+          "if(i = 0, cast(x + __rep * 0.37 as float), x))"))
+      .drop("__rep"), "embeddings")
     spark.stop()
   }
 }
