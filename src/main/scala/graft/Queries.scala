@@ -1277,6 +1277,43 @@ object Queries {
             FROM documents d JOIN spec s ON d.source = s.dom)
       SELECT doc_id, source, lang, n_chars FROM r WHERE rk <= quota"""))
 
+  // JSONL ingest through the gate: the documents table staged once per
+  // JVM as gzip JSONL parts (the format corpora actually arrive in),
+  // read back with an EXPLICIT schema + corrupt-record audit column, and
+  // proven LOSSLESS against the parquet original — md5(text) survives
+  // the JSON escape round trip, every row parses (n_bad = 0).
+  private val q91 = Q("q91_jsonl_ingest",
+    (s, d) => {
+      val dir = Queries.stagedJsonlDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_jsonl_${Integer.toHexString(d.hashCode)}")
+        documents(s, d).write.mode("overwrite")
+          .option("compression", "gzip").json(f.getAbsolutePath)
+        f
+      })
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", LongType),
+        org.apache.spark.sql.types.StructField("text", StringType),
+        org.apache.spark.sql.types.StructField("lang", StringType),
+        org.apache.spark.sql.types.StructField("source", StringType),
+        org.apache.spark.sql.types.StructField("n_chars", LongType)))
+      graft.sources.JsonlIngest.read(s, dir.getAbsolutePath, schema)
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("chars"),
+          sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+            .as("n_bad"),
+          min(md5(col("text"))).as("first_md5"))
+    },
+    Some("""SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS chars,
+        CAST(0 AS BIGINT) AS n_bad,
+        MIN(md5(text)) AS first_md5
+      FROM documents GROUP BY lang, source"""))
+
+  private val stagedJsonlDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
   private val stagedEventsDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
@@ -1972,7 +2009,7 @@ object Queries {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
