@@ -1048,7 +1048,7 @@ object Queries {
       // fixture regenerates)
       val dir = Queries.stagedEventsDir.computeIfAbsent(d, _ => {
         val f = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_stream_${Integer.toHexString(d.hashCode)}")
+          s"graft_stream_${Queries.stagingSuffix(d)}")
         f.mkdirs()
         Queries.stageParquetCopy(s"$d/events.parquet", f, "events")
         f
@@ -1082,7 +1082,7 @@ object Queries {
     (s, d) => {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val f = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_stream_dup_${Integer.toHexString(d.hashCode)}")
+        s"graft_stream_dup_${Queries.stagingSuffix(d)}")
       f.mkdirs()
       Seq("a", "b").foreach(n =>
         Queries.stageParquetCopy(s"$d/events.parquet", f, s"events_$n"))
@@ -1113,7 +1113,7 @@ object Queries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val dir = Queries.stagedEventsDir.computeIfAbsent(d, _ => {
         val f = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_stream_${Integer.toHexString(d.hashCode)}")
+          s"graft_stream_${Queries.stagingSuffix(d)}")
         f.mkdirs()
         Queries.stageParquetCopy(s"$d/events.parquet", f, "events")
         f
@@ -1176,13 +1176,11 @@ object Queries {
   // components (one canonical doc per cluster). Spark side is iterative
   // min-label propagation; the oracle computes the same fixpoint via a
   // recursive-CTE transitive closure — independently derived semantics.
-  private val q56 = Q("q56_dedup_clusters",
-    (s, d) => {
-      val docs = documents(s, d)
-      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.4, ngram = 3)
-      Dedup.components(docs, "doc_id", pairs)
-    },
-    Some(s"""WITH RECURSIVE $shingleCte,
+  // ONE reachability oracle for all three clustering variants (q56
+  // propagation, q79 star contraction, q89 auto chooser): same pair
+  // graph, same min-reachable-id contract — a threshold/ngram tweak
+  // edits exactly one place.
+  private lazy val componentsOracleSql = s"""WITH RECURSIVE $shingleCte,
       sz AS (SELECT doc, COUNT(*) AS n FROM h GROUP BY doc),
       inter AS (SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS inter
                 FROM h a JOIN h b ON a.hv = b.hv AND a.doc < b.doc
@@ -1199,7 +1197,15 @@ object Queries {
       mn AS (SELECT src, MIN(dst) AS m FROM reach GROUP BY src)
       SELECT d.doc_id AS doc,
         CAST(LEAST(d.doc_id, COALESCE(mn.m, d.doc_id)) AS BIGINT) AS component
-      FROM documents d LEFT JOIN mn ON d.doc_id = mn.src"""))
+      FROM documents d LEFT JOIN mn ON d.doc_id = mn.src"""
+
+  private val q56 = Q("q56_dedup_clusters",
+    (s, d) => {
+      val docs = documents(s, d)
+      val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.4, ngram = 3)
+      Dedup.components(docs, "doc_id", pairs)
+    },
+    Some(componentsOracleSql))
 
   // Same clusters via large-star/small-star contraction (O(log n) rounds
   // for graphs too deep for q56's propagation) — independently implemented
@@ -1210,24 +1216,7 @@ object Queries {
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.4, ngram = 3)
       Dedup.componentsStar(docs, "doc_id", pairs)
     },
-    Some(s"""WITH RECURSIVE $shingleCte,
-      sz AS (SELECT doc, COUNT(*) AS n FROM h GROUP BY doc),
-      inter AS (SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS inter
-                FROM h a JOIN h b ON a.hv = b.hv AND a.doc < b.doc
-                GROUP BY a.doc, b.doc),
-      pairs AS (SELECT d1, d2
-        FROM inter JOIN sz s1 ON d1 = s1.doc JOIN sz s2 ON d2 = s2.doc
-        WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.4),
-      edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-                UNION SELECT d2, d1 FROM pairs),
-      reach AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-      mn AS (SELECT src, MIN(dst) AS m FROM reach GROUP BY src)
-      SELECT d.doc_id AS doc,
-        CAST(LEAST(d.doc_id, COALESCE(mn.m, d.doc_id)) AS BIGINT) AS component
-      FROM documents d LEFT JOIN mn ON d.doc_id = mn.src"""))
+    Some(componentsOracleSql))
 
   // The chooser through the gate: same clustering contract as q56/q79,
   // but the algorithm is PICKED at runtime — a bounded label-prop probe
@@ -1239,24 +1228,7 @@ object Queries {
       val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.4, ngram = 3)
       Dedup.componentsAuto(docs, "doc_id", pairs)
     },
-    Some(s"""WITH RECURSIVE $shingleCte,
-      sz AS (SELECT doc, COUNT(*) AS n FROM h GROUP BY doc),
-      inter AS (SELECT a.doc AS d1, b.doc AS d2, COUNT(*) AS inter
-                FROM h a JOIN h b ON a.hv = b.hv AND a.doc < b.doc
-                GROUP BY a.doc, b.doc),
-      pairs AS (SELECT d1, d2
-        FROM inter JOIN sz s1 ON d1 = s1.doc JOIN sz s2 ON d2 = s2.doc
-        WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.4),
-      edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
-                UNION SELECT d2, d1 FROM pairs),
-      reach AS (
-        SELECT src, dst FROM edges
-        UNION
-        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
-      mn AS (SELECT src, MIN(dst) AS m FROM reach GROUP BY src)
-      SELECT d.doc_id AS doc,
-        CAST(LEAST(d.doc_id, COALESCE(mn.m, d.doc_id)) AS BIGINT) AS component
-      FROM documents d LEFT JOIN mn ON d.doc_id = mn.src"""))
+    Some(componentsOracleSql))
 
   // Exact-count domain quotas through the custom TopKPerKey physical
   // operator: exactly min(quota, count) docs per listed source, selected
@@ -1286,7 +1258,7 @@ object Queries {
     (s, d) => {
       val dir = Queries.stagedJsonlDir.computeIfAbsent(d, _ => {
         val f = new java.io.File(System.getProperty("java.io.tmpdir"),
-          s"graft_jsonl_${Integer.toHexString(d.hashCode)}")
+          s"graft_jsonl_${Queries.stagingSuffix(d)}")
         documents(s, d).write.mode("overwrite")
           .option("compression", "gzip").json(f.getAbsolutePath)
         f
@@ -1310,6 +1282,15 @@ object Queries {
         CAST(0 AS BIGINT) AS n_bad,
         MIN(md5(text)) AS first_md5
       FROM documents GROUP BY lang, source"""))
+
+  /** Collision-free suffix for per-corpus staged fixtures: the FULL
+    * path sanitized, not `hashCode` — two corpus paths whose hashCodes
+    * collide in one JVM would stage into (and overwrite) each other's
+    * directory/table names. */
+  private def stagingSuffix(d: String): String =
+    // alnum+underscore only: the suffix also names Spark SQL TABLES
+    // (bucketedTables), where dots/dashes are invalid identifiers
+    d.replaceAll("[^A-Za-z0-9]", "_")
 
   private val stagedJsonlDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
@@ -1405,7 +1386,7 @@ object Queries {
 
   private def bucketedTables(s: SparkSession, d: String): (String, String) =
     bucketed.computeIfAbsent(d, _ => {
-      val sfx = Integer.toHexString(d.hashCode)
+      val sfx = stagingSuffix(d)
       val li = s"graft_li_$sfx"
       val ord = s"graft_ord_$sfx"
       dropStaleTable(s, li)

@@ -343,14 +343,16 @@ object TrainingData {
     * larger quota keeps a strict superset — retuning the mix never churns
     * already-selected docs, same as the rate variant.
     *
-    * The per-domain top-k runs on the [[graft.plans.TopKPerKey]] custom
+    * The per-domain top-k runs on the [[graft.plans.TopK]] custom
     * physical operator: bounded per-(task, domain) heaps BEFORE the
-    * exchange, so the shuffle carries ≤ |domains|·maxQuota rows and no
-    * domain ever sorts its full corpus — the plan a per-domain
-    * row_number window could not produce. Heap memory per task is
-    * ∝ max quota: use the rate variant for huge quotas, this one when
-    * the mixing spec must be met exactly. Domains absent from `quotas`
-    * drop (the spec is the whitelist). */
+    * exchange, so each partial task emits ≤ |domains|·maxQuota rows (the
+    * exchange as a whole carries ≤ tasks·|domains|·maxQuota — still
+    * independent of corpus size) and no domain ever sorts its full
+    * corpus — the plan a per-domain row_number window could not produce.
+    * Heap memory per (task, domain) grows to min(rows seen, maxQuota):
+    * use the rate variant for rate-scale quotas, this one when the
+    * mixing spec must be met exactly. Domains absent from `quotas` drop
+    * (the spec is the whitelist). */
   def mixToQuotasExact(df: DataFrame, idCol: String, domainCol: String,
                        quotas: Map[String, Long]): DataFrame = {
     require(quotas.nonEmpty, "empty mixing spec")

@@ -116,7 +116,13 @@ case class TopKPerKeyExec(k: Int, keys: Seq[Expression], order: Seq[SortOrder],
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](limit + 1, reverse)
+          // INITIAL capacity only — the queue grows to at most `limit`.
+          // Seeding it with limit+1 preallocated a k-sized array per
+          // (task, key) before a single row justified it (k=100M quota
+          // = 800 MB of empty arrays), and overflowed to a negative
+          // capacity at k = Int.MaxValue.
+          heap = new java.util.PriorityQueue[InternalRow](
+            math.min(limit, 16) + 1, reverse)
           heaps.put(key.copy(), heap)
         }
         if (heap.size() < limit) heap.add(row.copy())

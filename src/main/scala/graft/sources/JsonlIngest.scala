@@ -14,8 +14,11 @@ import org.apache.spark.sql.types.{StringType, StructType}
   *    the sample hit;
   *  - malformed lines don't kill the job OR vanish: PERMISSIVE mode
   *    parks the raw line in `corruptCol` (null columns otherwise), so
-  *    the ingest emits its own audit trail and a `where(corruptCol
-  *    isNotNull)` is the dead-letter query;
+  *    the ingest emits its own audit trail. The dead-letter query must
+  *    also reference a data column — e.g. `.where(col(corruptCol)
+  *    .isNotNull).select("doc_id", corruptCol)` — because Spark rejects
+  *    raw-file queries whose referenced columns are ONLY the corrupt
+  *    column (cache the parsed frame to lift that);
   *  - missing keys are null — defaulting/cleanup stays in the
   *    downstream cleaning pass (CleanExprs), same contract as the CSV
   *    path (`CsvIngest`).
