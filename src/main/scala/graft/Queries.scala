@@ -517,20 +517,35 @@ object Queries {
         SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, ROUND(cos, 6) AS cos FROM r WHERE rank <= 5"""
     })
 
-  // Embedding-cosine near-dup pairs via 4-plane LSH buckets (dedup family
-  // member over vectors; oracle reproduces the same hyperplanes + buckets)
+  // Embedding-cosine near-dup pairs on the SELF-TUNING LSH path: the
+  // plane count derives from the corpus count (target bucket occupancy
+  // 64), so a 10x corpus gets ~log2(10) more planes and candidate pairs
+  // grow ~linearly instead of quadratically (the fixed-nPlanes scale
+  // defect SCALE.md measured as 17x time for 10x data). The oracle
+  // reproduces the derivation exactly: same integer occupancy rule (a
+  // CASE chain, no float log2), same hyperplanes — the 12-plane bucket
+  // string is computed once and the first `nPlanes` bits are the bucket
+  // (Similarity.planes(j, i) is independent of the plane count, so the
+  // p-plane bucket IS the p-prefix of the 12-plane bucket).
   private val q33 = Q("q33_embedding_dups",
-    (s, d) => Similarity.cosineDupPairs(embeddings(s, d), "vec_id", "embedding",
-      threshold = 0.4, nPlanes = 4, dim = 64),
+    (s, d) => Similarity.cosineDupPairsAuto(embeddings(s, d), "vec_id", "embedding",
+      threshold = 0.4, targetBucket = 64, minPlanes = 1, maxPlanes = 12, dim = 64),
     Some {
-      val planes = Similarity.planes(4, 64)
+      val maxPlanes = 12
+      val planes = Similarity.planes(maxPlanes, 64)
       def bucketExpr(v: String): String = planes.map { p =>
         val arr = p.mkString("[", ",", "]")
         s"(CASE WHEN list_dot_product($v, $arr) >= 0 THEN '1' ELSE '0' END)"
       }.mkString(" || ")
+      // smallest p in [1, 12] with count <= 64 * 2^p — integer-exact,
+      // byte-matching Similarity.autoPlanes(count, 64, 1, 12)
+      val npCase = "CASE " + (1 until maxPlanes).map(p =>
+        s"WHEN cnt <= ${64L << p} THEN $p").mkString(" ") +
+        s" ELSE $maxPlanes END"
       s"""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        np AS (SELECT $npCase AS p FROM (SELECT COUNT(*) AS cnt FROM c)),
         n AS (SELECT vec_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv,
-              ${bucketExpr("v")} AS bucket FROM c),
+              left(${bucketExpr("v")}, (SELECT p FROM np)) AS bucket FROM c),
         ba AS (SELECT vec_id AS d1, nv AS v1, bucket FROM n),
         bb AS (SELECT vec_id AS d2, nv AS v2, bucket FROM n),
         paired AS (SELECT d1, d2, list_dot_product(v1, v2) AS cos

@@ -93,6 +93,51 @@ object Similarity {
       .select(col("d1"), col("d2"), round(col("cos"), 6).as("cos"))
   }
 
+  /** Occupancy-derived LSH plane count: the smallest `p` in
+    * [`minPlanes`, `maxPlanes`] with expected bucket occupancy
+    * `n / 2^p <= targetBucket` (uniform sign bits — measured within 2×
+    * on the synthetic corpus, and [[lshRecallReport]] is the check when
+    * the distribution is in doubt).
+    *
+    * This is what makes the bucketed near-dup path hold its cost shape
+    * under corpus growth: at FIXED `nPlanes`, 10× vectors ⇒ 10× bucket
+    * occupancy ⇒ ~100× within-bucket candidate pairs (measured 17× time
+    * for 10× data at sf1.0 — SCALE.md); with the occupancy-derived
+    * count, buckets stay ~`targetBucket` and candidates grow ~linearly
+    * (n/2^p buckets × occupancy² ≈ n·targetBucket).
+    *
+    * The tradeoff is explicit: each added plane multiplies per-pair
+    * recall by (1 - θ/π) — growing the corpus 10× costs ~log2(10) ≈ 3-4
+    * planes of recall. Callers pinning a recall floor should bound
+    * `maxPlanes` (recall ≥ (1-θ/π)^maxPlanes) and verify with
+    * [[lshRecallReport]] on a sample.
+    *
+    * Integer arithmetic only (`targetBucket << p`, never `log2`):
+    * engine-portable, so an oracle reproduces the exact count. */
+  def autoPlanes(n: Long, targetBucket: Int = 64, minPlanes: Int = 1,
+                 maxPlanes: Int = 24): Int = {
+    require(targetBucket >= 1, s"targetBucket must be >= 1: $targetBucket")
+    require(minPlanes >= 1 && minPlanes <= maxPlanes,
+      s"need 1 <= minPlanes <= maxPlanes: $minPlanes..$maxPlanes")
+    require(maxPlanes <= 62, s"maxPlanes too large for a long shift: $maxPlanes")
+    var p = minPlanes
+    while (p < maxPlanes && n > (targetBucket.toLong << p)) p += 1
+    p
+  }
+
+  /** [[cosineDupPairs]] with the plane count derived from the corpus
+    * itself (one count(*) — bounded driver state) instead of a caller
+    * guess: the self-tuning entry point, so a re-run after the corpus
+    * grows 10× re-targets bucket occupancy automatically instead of
+    * silently going quadratic at yesterday's `nPlanes`. */
+  def cosineDupPairsAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double, targetBucket: Int = 64,
+                         minPlanes: Int = 1, maxPlanes: Int = 24,
+                         dim: Int = 64): DataFrame = {
+    val np = autoPlanes(corpus.count(), targetBucket, minPlanes, maxPlanes)
+    cosineDupPairs(corpus, idCol, vecCol, threshold, np, dim)
+  }
+
   /** Semantic (embedding-space) dedup: drop every vector that has a
     * cosine >= `threshold` neighbor with a SMALLER id. Dominance
     * semantics — NOT transitive clustering — so the survivor set is
@@ -111,6 +156,17 @@ object Similarity {
     val dominated = cosineDupPairs(corpus, idCol, vecCol, threshold, nPlanes, dim)
       .select(col("d2").as("__dom")).distinct()
     corpus.join(dominated, corpus(idCol) === col("__dom"), "left_anti")
+  }
+
+  /** [[semanticDedup]] on the self-tuning bucket path: plane count from
+    * [[autoPlanes]] over the corpus count, same contract as
+    * [[cosineDupPairsAuto]]. */
+  def semanticDedupAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double, targetBucket: Int = 64,
+                        minPlanes: Int = 1, maxPlanes: Int = 24,
+                        dim: Int = 64): DataFrame = {
+    val np = autoPlanes(corpus.count(), targetBucket, minPlanes, maxPlanes)
+    semanticDedup(corpus, idCol, vecCol, threshold, np, dim)
   }
 
   /** Recall audit for the LSH-bucketed near-dup path: at the SAME

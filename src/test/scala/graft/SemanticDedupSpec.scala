@@ -45,6 +45,54 @@ class SemanticDedupSpec extends SparkSpec {
     }
   }
 
+  test("autoPlanes: occupancy stays bounded as the corpus grows") {
+    // the fixed-nPlanes scale defect: occupancy grows linearly with n.
+    // autoPlanes must keep expected occupancy n/2^p <= targetBucket at
+    // every scale below the maxPlanes ceiling — including 10x and 100x.
+    for (n <- Seq(10L, 500L, 2000L, 20000L, 200000L, 2000000L)) {
+      val p = Similarity.autoPlanes(n, targetBucket = 64, maxPlanes = 24)
+      if (p < 24)
+        assert(n.toDouble / (1L << p) <= 64.0,
+          s"occupancy ${n.toDouble / (1L << p)} > 64 at n=$n (p=$p)")
+    }
+    // monotone: growing the corpus never loses planes
+    val ps = Seq(500L, 5000L, 50000L, 500000L)
+      .map(Similarity.autoPlanes(_, 64, 1, 24))
+    assert(ps == ps.sorted)
+    // exact boundary behavior (integer rule, no float log2):
+    // smallest p with n <= 64 << p
+    assert(Similarity.autoPlanes(128L, 64) == 1)  // 128 <= 64<<1
+    assert(Similarity.autoPlanes(129L, 64) == 2)
+    assert(Similarity.autoPlanes(512L, 64) == 3)
+    assert(Similarity.autoPlanes(513L, 64) == 4)
+    // ceilings and floors hold
+    assert(Similarity.autoPlanes(1L, 64, minPlanes = 3) == 3)
+    assert(Similarity.autoPlanes(Long.MaxValue / 2, 64, maxPlanes = 12) == 12)
+  }
+
+  test("cosineDupPairsAuto == cosineDupPairs at the derived plane count") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val np = Similarity.autoPlanes(emb.count(), 64, 1, 12)
+    val auto = Similarity.cosineDupPairsAuto(emb, "vec_id", "embedding",
+      0.4, targetBucket = 64, maxPlanes = 12).collect().toSet
+    val fixed = Similarity.cosineDupPairs(emb, "vec_id", "embedding",
+      0.4, nPlanes = np).collect().toSet
+    assert(auto == fixed)
+    assert(auto.nonEmpty) // fixture has near-dup pairs at 0.4
+  }
+
+  test("semanticDedupAuto: survivors = corpus minus auto-path dominated set") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val survivors = Similarity.semanticDedupAuto(emb, "vec_id", "embedding",
+      0.4, targetBucket = 64, maxPlanes = 12)
+      .select("vec_id").as[Long].collect().toSet
+    val dominated = Similarity.cosineDupPairsAuto(emb, "vec_id", "embedding",
+      0.4, targetBucket = 64, maxPlanes = 12)
+      .select("d2").as[Long].collect().toSet
+    val all = emb.select("vec_id").as[Long].collect().toSet
+    assert(survivors == (all -- dominated))
+  }
+
   test("lowest id always survives") {
     val one = Array(1.0f, 0.0f)
     val df = Seq((7L, one, 0), (8L, one, 0), (9L, one, 0))
