@@ -15,6 +15,14 @@ import org.apache.spark.sql.functions._
   *  - MinHash+LSH is the 100 TB path: per-doc signatures (narrow), then a
   *    shuffle on (band, bucket) whose fan-in AQE can skew-split.
   */
+/** Thrown when an iterative components pass exhausts its round budget
+  * without reaching a fixpoint — a TYPED signal (not a string to match)
+  * so [[Dedup.componentsAuto]]'s routing cannot be broken by a reworded
+  * message. Extends IllegalArgumentException to preserve the original
+  * contract for callers that catch broadly. */
+class ComponentsNoFixpointException(msg: String)
+  extends IllegalArgumentException(msg)
+
 object Dedup {
 
   /** Exact dedup on a normalization of the text: keeps min doc id per
@@ -271,21 +279,27 @@ object Dedup {
     *
     * Driver state: the serialized filter (~1.2 MB per 10^6 distinct
     * n-grams at 1% fpp), built by the distributed `stat.bloomFilter`
-    * aggregate and shipped to tasks as a literal — bounded by
-    * construction, like IvfIndex's centroid sample. At true 10^9-n-gram
-    * scale the same plan works with fpp relaxed (bloom ≈ 1.2 GB at 1%,
-    * 600 MB at 10% — the exact confirm join absorbs the extra false
-    * positives). The distinct eval-shingle frame is persisted across its
-    * three consumers (count, bloom build, confirm join) and stays cached
-    * behind the returned plan; `spark.catalog.clearCache()` releases it
-    * once the result is materialized. */
+    * aggregate. It ships to executors as a BROADCAST (once per executor,
+    * torrent-distributed), NOT as a plan literal — a literal rides
+    * through every driver-side plan transform and serializes into every
+    * task set, which at the true 10^9-n-gram operating point (bloom
+    * ≈ 1.2 GB at 1% fpp, 600 MB at 10% — the exact confirm join absorbs
+    * the extra false positives) is a driver/scheduler chokepoint. The
+    * expression tree holds only the broadcast handle
+    * ([[graft.functions.BloomMightContainBc]]); DedupSpec asserts no
+    * binary literal survives in the analyzed plan.
+    *
+    * This operator is EAGER (three bounded actions: shingle count, bloom
+    * aggregate, contaminated-id materialization): the contaminated-id
+    * frame — ids only, tiny by the operator's own premise — is
+    * localCheckpoint'ed so the eval-shingle cache and the broadcast can
+    * be released HERE instead of leaking until someone calls
+    * `spark.catalog.clearCache()`. The returned plan is a bare anti-join
+    * against the materialized id set. */
   def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame, idCol: String,
                          textCol: String, ngram: Int = 3,
                          fpp: Double = 0.01): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp out of range: $fpp")
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.sql.types.BinaryType
     // three consumers (size count, bloom aggregate, exact confirm join)
     // must not re-run the explode+distinct shuffle over what is by
     // definition the LARGE input — persist it once
@@ -294,23 +308,27 @@ object Dedup {
         graft.functions.ShingleHash32.shingleHash32(col(textCol), ngram)).as("hv"))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEval = math.max(1L, evalShingles.count())
-    val bloom = evalShingles.stat.bloomFilter("hv", nEval, fpp)
-    val bytes = {
-      val bos = new java.io.ByteArrayOutputStream()
-      bloom.writeTo(bos)
-      bos.toByteArray
+    val sc = corpus.sparkSession.sparkContext
+    var bloomBc: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.sketch.BloomFilter] = null
+    try {
+      val nEval = math.max(1L, evalShingles.count())
+      bloomBc = sc.broadcast(evalShingles.stat.bloomFilter("hv", nEval, fpp))
+      val contaminated = corpus
+        .select(col(idCol).as("__doc"),
+          explode(graft.functions.ShingleHash32.shingleHash32(col(textCol), ngram)).as("hv"))
+        .where(graft.functions.BloomMightContainBc.mightContain(bloomBc, col("hv")))
+        .join(evalShingles, Seq("hv"), "left_semi") // exact confirm: kills fps
+        .select(col("__doc")).distinct()
+        .localCheckpoint() // materialize so the cache/broadcast can release
+      corpus.join(contaminated,
+        corpus(idCol) === contaminated("__doc"), "left_anti")
+    } finally {
+      evalShingles.unpersist(blocking = false)
+      // executors hold the checkpointed id blocks now; drop their filter
+      // copies (non-blocking; the driver copy stays for any re-broadcast)
+      if (bloomBc != null) bloomBc.unpersist(blocking = false)
     }
-    def mightContain(hv: Column): Column = ColumnBridge.column(
-      BloomFilterMightContain(Literal(bytes, BinaryType), ColumnBridge.expr(hv)))
-    val contaminated = corpus
-      .select(col(idCol).as("__doc"),
-        explode(graft.functions.ShingleHash32.shingleHash32(col(textCol), ngram)).as("hv"))
-      .where(mightContain(col("hv")))
-      .join(evalShingles, Seq("hv"), "left_semi") // exact confirm: kills fps
-      .select(col("__doc")).distinct()
-    corpus.join(contaminated,
-      corpus(idCol) === contaminated("__doc"), "left_anti")
   }
 
   /** The dedup endgame: near-dup PAIRS resolved into CLUSTERS, so one
@@ -338,24 +356,50 @@ object Dedup {
     *        preemptible cluster should pass a durable path instead. */
   def components(docs: DataFrame, idCol: String, pairs: DataFrame,
                  maxIters: Int = 25, checkpointDir: Option[String] = None): DataFrame = {
-    val ckpt: DataFrame => DataFrame = checkpointDir match {
+    val ckpt = ckptFn(pairs, checkpointDir)
+    val edges = directedEdges(pairs, ckpt)
+    val (labels, converged, iters) = propagateBounded(edges, ckpt, maxIters)
+    // silent non-convergence would hand back WRONG cluster labels — an
+    // adversarially deep chain must fail loudly, not under-merge quietly
+    if (!converged) throw new ComponentsNoFixpointException(
+      s"components: no fixpoint after $iters iterations (${2 * iters} " +
+        "propagation hops) — raise maxIters for graphs this deep")
+    joinLabels(docs, idCol, labels)
+  }
+
+  private def ckptFn(pairs: DataFrame,
+                     checkpointDir: Option[String]): DataFrame => DataFrame =
+    checkpointDir match {
       case Some(dir) =>
         pairs.sparkSession.sparkContext.setCheckpointDir(dir)
         df => df.checkpoint()
       case None => df => df.localCheckpoint()
     }
-    // edges are joined on src EVERY hop: hash-partition them once before
-    // the checkpoint (LogicalRDD keeps the partitioning), so each round's
-    // join only shuffles the (small, changing) label frame
-    val edges = ckpt(pairs
+
+  /** Both-orientation edge frame, hash-partitioned on src ONCE before the
+    * checkpoint (LogicalRDD keeps the partitioning) so each propagation
+    * round's join only shuffles the (small, changing) label frame. */
+  private def directedEdges(pairs: DataFrame,
+                            ckpt: DataFrame => DataFrame): DataFrame =
+    ckpt(pairs
       .select(col("d1").cast("long").as("src"), col("d2").cast("long").as("dst"))
       .unionByName(pairs
         .select(col("d2").cast("long").as("src"), col("d1").cast("long").as("dst")))
       .repartition(col("src")))
-    // Iterate over the ACTIVE subgraph only: a node with no edges can
-    // never change its label, and in a near-dup corpus pair-involved docs
-    // are a sliver of the whole — the loop's joins touch |edge endpoints|
-    // rows, not |corpus| rows. Singletons rejoin at the end.
+
+  /** Bounded min-label propagation over the ACTIVE subgraph (a node with
+    * no edges can never change its label, so the loop touches
+    * |edge endpoints| rows, not |corpus| rows; singletons rejoin in
+    * [[joinLabels]]).
+    *
+    * @return (labels (doc, comp) — every edge endpoint, comp = min id
+    *         reached so far; whether a fixpoint was reached; iterations
+    *         run). Non-converged labels are still a VALID PARTIAL
+    *         CONTRACTION — same-label nodes are definitely connected —
+    *         which is what lets [[componentsAuto]] seed the star phase
+    *         with them instead of discarding the probe's work. */
+  private def propagateBounded(edges: DataFrame, ckpt: DataFrame => DataFrame,
+                               maxIters: Int): (DataFrame, Boolean, Int) = {
     var labels = ckpt(edges.select(col("src").as("doc")).distinct()
       .select(col("doc"), col("doc").as("comp")))
     // labels are monotonically nonincreasing, so an unchanged sum IS the
@@ -386,15 +430,16 @@ object Dedup {
       prevSum = s
       iter += 1
     }
-    // silent non-convergence would hand back WRONG cluster labels — an
-    // adversarially deep chain must fail loudly, not under-merge quietly
-    require(converged,
-      s"components: no fixpoint after $maxIters iterations (${2 * maxIters} " +
-        "propagation hops) — raise maxIters for graphs this deep")
+    (labels, converged, iter)
+  }
+
+  /** Rejoin the full doc set: labeled (edge-involved) docs take their
+    * label, singletons map to themselves. */
+  private def joinLabels(docs: DataFrame, idCol: String,
+                         labels: DataFrame): DataFrame =
     docs.select(col(idCol).cast("long").as("doc"))
       .join(labels, Seq("doc"), "left")
       .select(col("doc"), coalesce(col("comp"), col("doc")).as("component"))
-  }
 
   /** Connected components by alternating large-star / small-star
     * contraction — the O(log n)-round algorithm (Kiveris et al.,
@@ -420,19 +465,29 @@ object Dedup {
   def componentsStar(docs: DataFrame, idCol: String, pairs: DataFrame,
                      maxIters: Int = 35,
                      checkpointDir: Option[String] = None): DataFrame = {
-    val ckpt: DataFrame => DataFrame = checkpointDir match {
-      case Some(dir) =>
-        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
-        df => df.checkpoint()
-      case None => df => df.localCheckpoint()
-    }
+    val ckpt = ckptFn(pairs, checkpointDir)
     // canonical undirected edge set, self-loops dropped
-    var edges = ckpt(pairs
+    val edges = ckpt(pairs
       .select(col("d1").cast("long").as("u"), col("d2").cast("long").as("v"))
       .where(col("u") =!= col("v"))
       .select(greatest(col("u"), col("v")).as("u"),
         least(col("u"), col("v")).as("v"))
       .distinct())
+    val links = starContract(edges, ckpt, maxIters)
+    // fixpoint edges are (child, root) with root = component min
+    docs.select(col(idCol).cast("long").as("doc"))
+      .join(links.select(col("u").as("doc"), col("v").as("component")),
+        Seq("doc"), "left")
+      .select(col("doc"),
+        coalesce(col("component"), col("doc")).as("component"))
+  }
+
+  /** The large-star/small-star loop over a canonical (u > v) edge set;
+    * returns the fixpoint (child, root) link set. Factored out so
+    * [[componentsAuto]] can run it on a probe-contracted graph. */
+  private def starContract(edges0: DataFrame, ckpt: DataFrame => DataFrame,
+                           maxIters: Int): DataFrame = {
+    var edges = edges0
     // order-insensitive edge-set fingerprint: xor of per-edge hashes —
     // stable across partitionings, and a stable set IS the fixpoint
     // (both stars are deterministic functions of the edge set)
@@ -478,15 +533,10 @@ object Dedup {
       prev = s
       iter += 1
     }
-    require(converged,
+    if (!converged) throw new ComponentsNoFixpointException(
       s"componentsStar: no fixpoint after $maxIters rounds — " +
         "pathological input or maxIters too small for |V|")
-    // fixpoint edges are (child, root) with root = component min
-    docs.select(col(idCol).cast("long").as("doc"))
-      .join(edges.select(col("u").as("doc"), col("v").as("component")),
-        Seq("doc"), "left")
-      .select(col("doc"),
-        coalesce(col("component"), col("doc")).as("component"))
+    edges
   }
 
   /** Router between [[components]] and [[componentsStar]]: graph diameter
@@ -498,17 +548,47 @@ object Dedup {
     * turns out deeper, fall back to the O(log n)-round star contraction.
     *
     * Cost bound of a wrong first guess: `propIters` label-prop rounds
-    * (each one join + one aggregate over the ACTIVE subgraph) — small and
-    * fixed, against componentsStar's guaranteed convergence. Callers that
-    * KNOW their graph is adversarially deep (transitive link graphs)
-    * should call [[componentsStar]] directly and skip the probe. */
+    * (each one join + one aggregate over the ACTIVE subgraph) — and the
+    * probe's work is NOT discarded on fallback: its partial labels are a
+    * valid partial contraction (same-label ⇒ connected), so the star
+    * phase runs on the label-contracted graph — long chains arrive
+    * pre-shortened by 2·propIters hops and every already-converged
+    * cluster collapses to one node before star pays a single round.
+    * Callers that KNOW their graph is adversarially deep (transitive
+    * link graphs) should call [[componentsStar]] directly and skip the
+    * probe. */
   def componentsAuto(docs: DataFrame, idCol: String, pairs: DataFrame,
                      propIters: Int = 8, starIters: Int = 35,
-                     checkpointDir: Option[String] = None): DataFrame =
-    try components(docs, idCol, pairs, propIters, checkpointDir)
-    catch {
-      case e: IllegalArgumentException
-        if e.getMessage != null && e.getMessage.contains("no fixpoint") =>
-        componentsStar(docs, idCol, pairs, starIters, checkpointDir)
+                     checkpointDir: Option[String] = None): DataFrame = {
+    val ckpt = ckptFn(pairs, checkpointDir)
+    val edges = directedEdges(pairs, ckpt)
+    val (labels, converged, _) = propagateBounded(edges, ckpt, propIters)
+    if (converged) joinLabels(docs, idCol, labels)
+    else {
+      // Seed star with the probe's contraction: edge (u,v) becomes
+      // (lab(u), lab(v)). Labels are node ids reachable from their
+      // owners, so contraction preserves components exactly, and the
+      // global min id m keeps lab(m) = m — star's roots are the true
+      // component minima, no relabeling needed on the way back out.
+      val contracted = ckpt(edges
+        .join(labels.select(col("doc").as("src"), col("comp").as("__cs")),
+          Seq("src"))
+        .join(labels.select(col("doc").as("dst"), col("comp").as("__cd")),
+          Seq("dst"))
+        .where(col("__cs") =!= col("__cd"))
+        .select(greatest(col("__cs"), col("__cd")).as("u"),
+          least(col("__cs"), col("__cd")).as("v"))
+        .distinct())
+      val roots = starContract(contracted, ckpt, starIters)
+      // doc → partial label → star root of that label (labels whose
+      // cluster was already fully contracted stay their own root)
+      docs.select(col(idCol).cast("long").as("doc"))
+        .join(labels, Seq("doc"), "left")
+        .select(col("doc"), coalesce(col("comp"), col("doc")).as("__lab"))
+        .join(roots.select(col("u").as("__lab"), col("v").as("__root")),
+          Seq("__lab"), "left")
+        .select(col("doc"),
+          coalesce(col("__root"), col("__lab")).as("component"))
     }
+  }
 }

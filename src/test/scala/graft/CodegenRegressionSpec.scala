@@ -28,6 +28,9 @@ class CodegenRegressionSpec extends SparkSpec {
           col("doc_id") === col("vec_id"))
       val planes = Seq.tabulate(2)(p => Seq.tabulate(dim)(i => if (i % 2 == p) 1.0 else -1.0))
       val cents = Seq(Array.fill(dim)(0.1), Array.fill(dim)(-0.1))
+      val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+      bf.putLong(7L)
+      val bloomBc = spark.sparkContext.broadcast(bf)
       val out = docs.select(
         SimHash48.simhash48(col("text")).as("sh"),
         ShingleHash32.shingleHash32(col("text"), 3).as("s32"),
@@ -44,7 +47,8 @@ class CodegenRegressionSpec extends SparkSpec {
         VectorNative.nearestCells(col("vec"), cents, 2).as("ncs"),
         VectorNative.nearestCentroid(col("vec"), cents).as("nc"),
         VectorNative.int8QuantStats(col("vec")).as("i8"),
-        UnicodeNorm.nfc(col("text")).as("nfc"))
+        UnicodeNorm.nfc(col("text")).as("nfc"),
+        BloomMightContainBc.mightContain(bloomBc, col("doc_id")).as("bmc"))
       val rows = out.collect()
       assert(rows.nonEmpty)
       // spot-check the simhash kernel actually ran (non-trivial signatures)

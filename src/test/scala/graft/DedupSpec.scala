@@ -129,11 +129,39 @@ class DedupSpec extends SparkSpec {
       .decontaminateBloom(docs, evalSet, "doc_id", "text", ngram = 3, fpp = 0.5)
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(sloppy == exact)
-    // the prefilter is actually in the plan (narrow, pre-join)
-    val plan = graft.operators.Dedup
+    // the operator is eager now (contaminated ids materialize so cache +
+    // broadcast release at call time): the RETURNED plan is a bare
+    // anti-join against the materialized id set...
+    val bloomDf = graft.operators.Dedup
       .decontaminateBloom(docs, evalSet, "doc_id", "text")
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("might_contain"), plan.take(600))
+    val plan = bloomDf.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti") && plan.contains("ExistingRDD"),
+      plan.take(600))
+    // ...so the narrow `might_contain` prefilter is gated directly on the
+    // expression: a broadcast-bloom filter stage stays in whole-stage
+    // codegen with the broadcast handle, not the filter bytes, in-plan
+    val bf = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    bf.putLong(42L)
+    val bc = spark.sparkContext.broadcast(bf)
+    val pre = docs.select(col("doc_id"))
+      .where(graft.functions.BloomMightContainBc.mightContain(bc, col("doc_id")))
+    val prePlan = pre.queryExecution.executedPlan.toString
+    assert(prePlan.contains("might_contain_bc"), prePlan.take(600))
+    // fallback=false turns a codegen-compile failure into a hard error
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try assert(pre.collect().map(_.getLong(0)).toSet == Set(42L))
+    finally spark.conf.unset("spark.sql.codegen.fallback")
+    // the filter ships as a broadcast handle, never as a plan literal:
+    // no binary literal anywhere in the analyzed tree (a serialized
+    // bloom embedded as Literal(bytes) would ride with every task set)
+    val binLits = bloomDf.queryExecution.analyzed.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType == org.apache.spark.sql.types.BinaryType => l
+      })
+    }.flatten
+    assert(binLits.isEmpty,
+      s"analyzed plan embeds ${binLits.size} binary literal(s)")
     intercept[IllegalArgumentException] {
       graft.operators.Dedup
         .decontaminateBloom(docs, evalSet, "doc_id", "text", fpp = 0.0)
@@ -162,6 +190,33 @@ class DedupSpec extends SparkSpec {
     val prop = graft.operators.Dedup.components(sdocs, "doc_id", shallow)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(auto == prop)
+  }
+
+  test("componentsAuto fallback seeds star with probe labels (mixed-depth graph)") {
+    import spark.implicits._
+    // a deep chain (forces fallback) PLUS shallow clusters that the probe
+    // fully resolves — the probe-seeded star must return exact minima for
+    // BOTH: the chain via star over the contracted (shortened) graph, the
+    // shallow clusters straight from their probe labels.
+    val chain = (100L until 600L).map(i => (i, i + 1))        // diameter 500
+    val tri = Seq((5L, 6L), (6L, 7L))                         // shallow
+    val pairSelf = Seq((90L, 90L))                            // self-loop noise
+    val pairs = (chain ++ tri ++ pairSelf).toDF("d1", "d2")
+    val docs = ((1L to 10L) ++ (90L to 95L) ++ (100L to 601L)).toDF("doc_id")
+    val out = graft.operators.Dedup
+      .componentsAuto(docs, "doc_id", pairs, propIters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected =
+      ((1L to 10L).map(i => i -> (if (i == 6 || i == 7) 5L else i)) ++
+        (90L to 95L).map(i => i -> i) ++
+        (100L to 600L).map(i => i -> 100L) ++
+        Seq(601L -> 601L)).toMap // edge-less doc stays a singleton
+    assert(out == expected)
+    // the probe really did fall back: plain components at the same budget
+    // throws the TYPED no-fixpoint signal
+    intercept[graft.operators.ComponentsNoFixpointException] {
+      graft.operators.Dedup.components(docs, "doc_id", pairs, maxIters = 3)
+    }
   }
 
   test("simhash near-dups: symmetric-free (d1<d2), hamming bound respected") {
