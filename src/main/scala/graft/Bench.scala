@@ -32,12 +32,19 @@ object Bench {
     // median-of-3: single-shot per-query numbers at this scale showed
     // 4-7x run-to-run swings on unchanged trivial queries (round 2)
     val passes = 3
-    val samples = Array.fill(passes) {
+    val samples = Array.tabulate(passes) { p =>
       // drop data cached by the previous pass (e.g. the ETL's staging
       // persist) — JIT/codegen warmth is legitimate steady-state, reusing
       // the query's own materialized data would not be
       spark.sharedState.cacheManager.clearCache()
-      names.map { name =>
+      // rotate the order per pass: with a FIXED order the same query
+      // (q01, alphabetically first) absorbs the post-clearCache cold
+      // cost in every pass, so even the median carried a ~2x ordering
+      // artifact on an unchanged plan (rounds 6->7). Rotation puts each
+      // query first in at most one pass; the median ignores it.
+      val off = p * names.length / passes
+      val rotated = names.drop(off) ++ names.take(off)
+      rotated.map { name =>
         val t0 = System.nanoTime()
         try run(name) catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9

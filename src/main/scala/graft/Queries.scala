@@ -1299,13 +1299,17 @@ object Queries {
       FROM documents GROUP BY lang, source"""))
 
   /** Collision-free suffix for per-corpus staged fixtures: the FULL
-    * path sanitized, not `hashCode` — two corpus paths whose hashCodes
-    * collide in one JVM would stage into (and overwrite) each other's
-    * directory/table names. */
-  private def stagingSuffix(d: String): String =
+    * path sanitized PLUS a digest of the raw path — sanitizing alone
+    * maps distinct paths together ('/a/b', '/a_b', '/a.b' all become
+    * '_a_b'), which would recreate the cross-corpus staging overwrite
+    * this exists to eliminate; the sha-256 prefix separates them. */
+  private def stagingSuffix(d: String): String = {
     // alnum+underscore only: the suffix also names Spark SQL TABLES
     // (bucketedTables), where dots/dashes are invalid identifiers
-    d.replaceAll("[^A-Za-z0-9]", "_")
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    d.replaceAll("[^A-Za-z0-9]", "_") + "_" + digest
+  }
 
   private val stagedJsonlDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()

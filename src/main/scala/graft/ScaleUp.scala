@@ -28,24 +28,41 @@ object ScaleUp {
     val reps = args.lift(2).map(_.toInt).getOrElse(10)
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("WARN")
-    val keyOff = 1L << 32 // above any source key; replicas never collide
+    val keyOff = 1L << 32
     val repl = broadcast(spark.range(reps).select(col("id").as("__rep")))
     def write(df: DataFrame, name: String): Unit = {
       df.write.mode("overwrite").parquet(s"$dst/$name.parquet")
       val n = spark.read.parquet(s"$dst/$name.parquet").count()
       println(s"[scaleup] $name: $n rows")
     }
+    // replica-shift integrity: replica r adds r·keyOff, so every shifted
+    // key must be < keyOff in the SOURCE — pointed at a larger corpus
+    // (e.g. an already-scaled output), replicated keys would silently
+    // collide across replicas and corrupt join integrity. One cheap agg
+    // per shifted table; fail loudly instead.
+    def assertBelowKeyOff(df: DataFrame, key: String, table: String): DataFrame = {
+      val mx = df.agg(max(col(key).cast("long"))).collect()(0)
+      if (!mx.isNullAt(0))
+        require(mx.getLong(0) < keyOff && mx.getLong(0) >= 0,
+          s"$table.$key max ${mx.getLong(0)} not in [0, 2^32) — replica " +
+            "key shifts would collide; use a larger keyOff or a raw source")
+      df
+    }
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
       write(spark.read.parquet(s"$src/$t.parquet"), t)
     }
     def shifted(c: String) = col(c) + col("__rep") * keyOff
-    write(spark.read.parquet(s"$src/orders.parquet").crossJoin(repl)
+    write(assertBelowKeyOff(spark.read.parquet(s"$src/orders.parquet"),
+        "o_orderkey", "orders").crossJoin(repl)
       .withColumn("o_orderkey", shifted("o_orderkey")).drop("__rep"), "orders")
-    write(spark.read.parquet(s"$src/lineitem.parquet").crossJoin(repl)
+    write(assertBelowKeyOff(spark.read.parquet(s"$src/lineitem.parquet"),
+        "l_orderkey", "lineitem").crossJoin(repl)
       .withColumn("l_orderkey", shifted("l_orderkey")).drop("__rep"), "lineitem")
-    write(Tables.events(spark, src).crossJoin(repl)
+    write(assertBelowKeyOff(Tables.events(spark, src), "event_id", "events")
+      .crossJoin(repl)
       .withColumn("event_id", shifted("event_id")).drop("__rep"), "events")
-    write(spark.read.parquet(s"$src/documents.parquet").crossJoin(repl)
+    write(assertBelowKeyOff(spark.read.parquet(s"$src/documents.parquet"),
+        "doc_id", "documents").crossJoin(repl)
       .withColumn("doc_id", shifted("doc_id"))
       .withColumn("text", when(col("__rep") === 0, col("text")).otherwise(
         expr("array_join(transform(split(text, ' '), (t, i) -> " +
@@ -55,7 +72,8 @@ object ScaleUp {
     // vectors are NOT exact duplicates (identical vectors would make
     // every near-dup/ANN pass collapse replicas into 10-cliques — a
     // construction artifact, not a scaling measurement)
-    write(spark.read.parquet(s"$src/embeddings.parquet").crossJoin(repl)
+    write(assertBelowKeyOff(spark.read.parquet(s"$src/embeddings.parquet"),
+        "vec_id", "embeddings").crossJoin(repl)
       .withColumn("vec_id", shifted("vec_id"))
       .withColumn("embedding",
         expr("transform(embedding, (x, i) -> " +

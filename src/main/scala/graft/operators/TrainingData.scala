@@ -354,12 +354,21 @@ object TrainingData {
     * mixing spec must be met exactly. Domains absent from `quotas` drop
     * (the spec is the whitelist). */
   def mixToQuotasExact(df: DataFrame, idCol: String, domainCol: String,
-                       quotas: Map[String, Long]): DataFrame = {
+                       quotas: Map[String, Long],
+                       maxExactQuota: Long = 10000000L): DataFrame = {
     require(quotas.nonEmpty, "empty mixing spec")
+    require(maxExactQuota >= 1, s"maxExactQuota must be >= 1: $maxExactQuota")
     quotas.foreach { case (dom, q) =>
       require(q >= 0, s"negative quota for '$dom': $q")
-      require(q <= Int.MaxValue, s"quota for '$dom' exceeds Int.MaxValue " +
-        "(bounded-heap top-k; use mixToQuotas for rate-scale quotas)") }
+      // the heap bound is ENFORCED, not just documented: each (task,
+      // domain) heap grows to min(rows seen, quota), so a 10^9 quota
+      // means a ~2-billion-row heap per task — raise maxExactQuota only
+      // when that memory is deliberate
+      require(q <= math.min(maxExactQuota, Int.MaxValue.toLong),
+        s"quota for '$dom' is $q > maxExactQuota=$maxExactQuota — exact " +
+          "selection holds a per-(task, domain) heap of quota rows; use " +
+          "mixToQuotas for rate-scale quotas, or raise maxExactQuota " +
+          "deliberately (hard cap Int.MaxValue)") }
     val maxQ = quotas.values.max
     if (maxQ == 0L) return df.limit(0)
     val doms = quotas.keys.toSeq
@@ -413,8 +422,13 @@ object TrainingData {
                           textCol: String, orderCol: String,
                           budget: Long, maxDistinct: Long = 1000000L): DataFrame = {
     require(budget > 0, "budget must be positive")
+    // null text counts as 0 tokens, EXPLICITLY: a null n_tokens would
+    // silently vanish from the histogram sums yet survive the keep
+    // filter in wholly-kept groups (and in the window formulation this
+    // replaces, a null poisons the running sum and drops every later
+    // row of its domain) — coalescing pins one semantics for both
     val withTok = docs.withColumn("n_tokens",
-      TextExprs.tokenCount(col(textCol)).cast("long"))
+      coalesce(TextExprs.tokenCount(col(textCol)).cast("long"), lit(0L)))
     val hist = withTok
       .groupBy(col(domainCol).as("__dom"), col(orderCol).as("__v"))
       .agg(sum(col("n_tokens")).as("__gsum"))

@@ -43,10 +43,15 @@ object TopK {
     // belt-and-suspenders: sessions built through GraftExtensions carry
     // the strategy already; a plain session (a user's, a bare test
     // fixture) would otherwise die at planning with "No plan for
-    // TopKPerKeyPlan". Idempotent.
+    // TopKPerKeyPlan". Idempotent; synchronized because extraStrategies
+    // is a bare var on shared session state — a racing check-then-append
+    // from two threads can lose the strategy entirely (planning then
+    // fails) or register it twice.
     val exp = df.sparkSession.experimental
-    if (!exp.extraStrategies.contains(TopKStrategy))
-      exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(TopKStrategy))
+        exp.extraStrategies = exp.extraStrategies :+ TopKStrategy
+    }
     val analyzed = df.queryExecution.analyzed
     val resolver = df.sparkSession.sessionState.analyzer.resolver
     def attr(name: String): Attribute =

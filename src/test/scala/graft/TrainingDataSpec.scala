@@ -254,6 +254,21 @@ class TrainingDataSpec extends SparkSpec {
     assert(run(Map("s0" -> 0L)).count() == 0L)
     intercept[IllegalArgumentException] { run(Map("s0" -> -1L)) }
     intercept[IllegalArgumentException] { run(Map("s0" -> (Int.MaxValue + 1L))) }
+    // the heap-memory guard is enforced, not doc-only: default
+    // maxExactQuota (10M) rejects 10M+1 with the rate-variant advice,
+    // and a deliberate raise admits the same quota (hard cap Int.MaxValue)
+    val over = intercept[IllegalArgumentException] {
+      run(Map("s0" -> 10000001L))
+    }
+    assert(over.getMessage.contains("mixToQuotas"), over.getMessage)
+    val raised = TrainingData.mixToQuotasExact(big, "doc_id", "dom",
+      Map("s0" -> 10000001L), maxExactQuota = 20000000L)
+    assert(raised.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap == Map("s0" -> 1666L))
+    intercept[IllegalArgumentException] {
+      TrainingData.mixToQuotasExact(big, "doc_id", "dom",
+        Map("s0" -> (Int.MaxValue + 1L)), maxExactQuota = Long.MaxValue)
+    }
   }
 
   test("selectToTokenBudget: greedy prefix per domain, overshoot <= one doc") {
@@ -341,6 +356,45 @@ class TrainingDataSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getLong(1))).toSet
       assert(got == naive, s"trial=$trial budget=$budget")
     }
+  }
+
+  test("selectToTokenBudget: null text counts as 0 tokens in histogram " +
+    "AND keep filter (window parity)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // null-text docs interleaved everywhere: inside a wholly-kept group,
+    // at a boundary group, and in a wholly-dropped tail. A null n_tokens
+    // would vanish from the histogram sums yet pass the keep filter in
+    // kept groups (and poison the window's running sum) — the operator
+    // pins null text = 0 tokens, so the 0-coalesced window formulation
+    // must agree exactly
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 300).map { i =>
+      ("d" + rnd.nextInt(4), i.toLong,
+        if (rnd.nextInt(10) == 0) null
+        else Seq.fill(rnd.nextInt(5) + 1)("t").mkString(" "),
+        rnd.nextInt(6).toLong)
+    }
+    val df = rows.toDF("dom", "doc_id", "text", "score").repartition(5)
+    val budget = 30L
+    val w = Window.partitionBy(col("dom"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df
+      .withColumn("n_tokens", coalesce(
+        graft.functions.TextExprs.tokenCount(col("text")).cast("long"), lit(0L)))
+      .withColumn("__prior", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .where(col("__prior") < budget)
+      .select("dom", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    val got = TrainingData
+      .selectToTokenBudget(df, "dom", "doc_id", "text", "score", budget)
+      .select("dom", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == naive)
+    // and the null-text docs really are present in the output when their
+    // prior is under budget (0-token docs are free to keep)
+    assert(got.nonEmpty)
   }
 
   test("selectToTokenBudget: a NULL domain is its own partition, budget applies") {
