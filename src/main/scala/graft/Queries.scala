@@ -1298,6 +1298,54 @@ object Queries {
         MIN(md5(text)) AS first_md5
       FROM documents GROUP BY lang, source"""))
 
+  // REAL image-header parsing through the gate: per-row VALID container
+  // bytes (PNG / JPEG / GIF by doc_id mod 3, dims derived from doc
+  // fields) are assembled with SQL byte functions, then image_meta
+  // parses them back — construction (hex/concat) and parse (the native
+  // header walker) are independent code paths, so the oracle's direct
+  // recomputation of the expected dims certifies the parser end-to-end.
+  private val q92 = Q("q92_image_meta",
+    (s, d) => {
+      def be(x: Column, hexDigits: Int) =
+        unhex(lpad(hex(x), hexDigits, "0"))
+      def le2(x: Column) = {
+        val hx = lpad(hex(x), 4, "0")
+        unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+      }
+      val w = (lit(1) + pmod(col("doc_id"), lit(509))).cast(IntegerType)
+      val h = (lit(1) + pmod(col("n_chars"), lit(497))).cast(IntegerType)
+      // sig + IHDR(len 13): w, h BE u32; depth 8, color type 6 (RGBA)
+      val png = concat(
+        unhex(lit("89504E470D0A1A0A0000000D49484452")),
+        be(w, 8), be(h, 8), unhex(lit("0806000000")))
+      // SOI + SOF0(len 17): precision 8, h, w BE u16, 3 components
+      val jpeg = concat(
+        unhex(lit("FFD8FFC0001108")),
+        be(h, 4), be(w, 4), unhex(lit("03012200021101031101")))
+      // GIF89a logical screen: w, h LE u16; flags 0x70 (color res 8), 3ch
+      val gif = concat(
+        encode(lit("GIF89a"), "UTF-8"), le2(w), le2(h), unhex(lit("700000")))
+      val content = when(pmod(col("doc_id"), lit(3)) === 0, png)
+        .when(pmod(col("doc_id"), lit(3)) === 1, jpeg)
+        .otherwise(gif)
+      val m = graft.functions.ImageMetaExpr.imageMeta(content)
+      documents(s, d).select(col("doc_id"), m.as("__m"))
+        .select(col("doc_id"),
+          col("__m.format").as("format"),
+          col("__m.width").as("width"),
+          col("__m.height").as("height"),
+          col("__m.bit_depth").as("bit_depth"),
+          col("__m.channels").as("channels"))
+    },
+    Some("""SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'gif' END
+          AS format,
+        CAST(1 + doc_id % 509 AS INTEGER) AS width,
+        CAST(1 + n_chars % 497 AS INTEGER) AS height,
+        8 AS bit_depth,
+        CASE doc_id % 3 WHEN 0 THEN 4 ELSE 3 END AS channels
+      FROM documents"""))
+
   /** Collision-free suffix for per-corpus staged fixtures: the FULL
     * path sanitized PLUS a digest of the raw path — sanitizing alone
     * maps distinct paths together ('/a/b', '/a_b', '/a.b' all become
@@ -2009,7 +2057,7 @@ object Queries {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

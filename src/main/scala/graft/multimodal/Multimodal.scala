@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
   * payloads as opaque `binary` columns with typed metadata, processed by
   * partition-batched transforms.
   *
-  * The actual codec work (JPEG decode, audio resample, video frame
-  * extraction) requires native libraries that are NOT in this build — the
-  * decode step is a clearly-marked deterministic STUB
-  * ([[StubCodec]]). Everything around it is real and tested: schema,
-  * null/short-payload handling, batch shape (fixed-size record batches per
-  * partition, the JVM analog of an Arrow-batched pandas UDF), and the
+  * Container METADATA is real: [[imageHeaderMeta]] parses PNG/JPEG/GIF/
+  * BMP headers natively from the payload bytes
+  * ([[graft.functions.ImageMetaExpr]] — codegen'd, no codec library).
+  * Only PIXEL decode (inflate/DCT, audio resample, video frame
+  * extraction) requires native libraries that are NOT in this build —
+  * that step is a clearly-marked deterministic STUB ([[StubCodec]]).
+  * Everything around it is real and tested: schema, null/short-payload
+  * handling, batch shape (fixed-size record batches per partition, the
+  * JVM analog of an Arrow-batched pandas UDF), and the
   * feature-extraction contract.
   *
   * Scale design: payload bytes never shuffle — transforms are narrow
@@ -137,4 +140,21 @@ object Multimodal {
       length(col("content")).as("n_bytes"),
       md5(col("content")).as("content_md5"),
       col("meta.width").as("width"), col("meta.height").as("height"))
+
+  /** REAL container metadata from the payload bytes: format, dimensions,
+    * bit depth, channels parsed from the PNG/JPEG/GIF/BMP header by the
+    * codegen'd [[graft.functions.ImageMetaExpr]] — one narrow scan, no
+    * pixel decode, NULLs (not failures) for unrecognized payloads. The
+    * trust boundary a 100 TB crawl needs: declared `meta.width/height`
+    * can lie; these come from the bytes. */
+  def imageHeaderMeta(media: DataFrame): DataFrame = {
+    val m = graft.functions.ImageMetaExpr.imageMeta(col("content"))
+    media.select(col("media_id"), col("mime"),
+      length(col("content")).as("n_bytes"),
+      m.getField("format").as("format"),
+      m.getField("width").as("width"),
+      m.getField("height").as("height"),
+      m.getField("bit_depth").as("bit_depth"),
+      m.getField("channels").as("channels"))
+  }
 }

@@ -68,4 +68,83 @@ class MultimodalSpec extends SparkSpec {
     assert(stats(1L) == "fake-jpeg-bytes-1".length.toLong)
     assert(stats(4L) == 0L)
   }
+
+  private def hexBytes(s: String): Array[Byte] =
+    s.replaceAll("\\s", "").sliding(2, 2)
+      .map(Integer.parseInt(_, 16).toByte).toArray
+
+  // REAL container fixtures — spec-valid headers, exact expected fields
+  private val realPng: Array[Byte] = java.util.Base64.getDecoder.decode(
+    // a complete, valid 1x1 RGBA PNG (signature..IEND)
+    "iVBORw0KGgoAAAANSUhEUgAAAAEAAAABCAYAAAAfFcSJAAAADUlEQVR42mNkYPhfDwAChwGA60e6kgAAAABJRU5ErkJggg==")
+  private val realJpegHeader: Array[Byte] = hexBytes(
+    // SOI, APP0/JFIF, SOF0: precision 8, 224x320, 3 components
+    "FFD8 FFE0 0010 4A46494600 0101 00 0001 0001 00 00" +
+      " FFC0 0011 08 00E0 0140 03 01 2200 02 1101 03 1101")
+  private val realGif: Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++ hexBytes("0A00 1400 70 00 00")
+  private val realBmp: Array[Byte] = hexBytes(
+    // BITMAPINFOHEADER, 7 x -5 (top-down), 24 bpp
+    "424D 46000000 00000000 36000000 28000000 07000000 FBFFFFFF 0100 1800")
+
+  test("image_meta parses real PNG/JPEG/GIF/BMP headers exactly") {
+    import graft.functions.ImageMetaExpr.parseHeader
+    def fields(b: Array[Byte]) = Option(parseHeader(b)).map(r =>
+      (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getInt(4)))
+    assert(fields(realPng).contains(("png", 1, 1, 8, 4)))
+    assert(fields(realJpegHeader).contains(("jpeg", 320, 224, 8, 3)))
+    assert(fields(realGif).contains(("gif", 10, 20, 8, 3)))
+    assert(fields(realBmp).contains(("bmp", 7, 5, 24, 3)))
+    // JPEG fill bytes (FF padding) before the SOF marker are legal
+    assert(fields(hexBytes("FFD8 FFFF C0 0011 08 0002 0003 01 1100"))
+      .contains(("jpeg", 3, 2, 8, 1)))
+    // progressive JPEG (SOF2) carries dims the same way
+    assert(fields(hexBytes("FFD8 FFC2 0011 08 0010 0020 03 012200 021101 031101"))
+      .contains(("jpeg", 32, 16, 8, 3)))
+    // truncated/garbage/scan-before-SOF payloads are NULL, never errors
+    assert(fields(realPng.take(20)).isEmpty)
+    assert(fields(realJpegHeader.take(6)).isEmpty)
+    assert(fields("not an image at all".getBytes("UTF-8")).isEmpty)
+    assert(fields(hexBytes("FFD8 FFDA 0002")).isEmpty) // SOS before SOF
+    assert(fields(Array.emptyByteArray).isEmpty)
+    assert(Option(parseHeader(null)).isEmpty)
+  }
+
+  test("imageHeaderMeta: real metadata over the media frame, stub meta ignored") {
+    import spark.implicits._
+    // declared meta lies (640x480) — the parsed header wins; non-image
+    // payloads surface NULLs, not failures
+    val rows = Seq(
+      MediaRow(1L, "image/png", realPng, MediaMeta("s", Some(640), Some(480), None)),
+      MediaRow(2L, "image/jpeg", realJpegHeader, MediaMeta("s", Some(640), Some(480), None)),
+      MediaRow(3L, "image/gif", realGif, MediaMeta("s", None, None, None)),
+      MediaRow(4L, "image/bmp", realBmp, MediaMeta("s", None, None, None)),
+      MediaRow(5L, "text/plain", "hello".getBytes("UTF-8"), MediaMeta("s", None, None, None)))
+    // through parquet so the expression runs inside whole-stage codegen
+    // over a real scan, not a constant-folded local relation
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_imagemeta_${System.nanoTime()}")
+    try {
+      rows.toDS().write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val media = spark.read.parquet(dir.getAbsolutePath)
+      val out = Multimodal.imageHeaderMeta(media).collect()
+        .map(r => r.getLong(0) -> r).toMap
+      assert(out(1L).getString(3) == "png" &&
+        out(1L).getInt(4) == 1 && out(1L).getInt(5) == 1)
+      assert(out(2L).getString(3) == "jpeg" &&
+        out(2L).getInt(4) == 320 && out(2L).getInt(5) == 224)
+      assert(out(3L).getString(3) == "gif" &&
+        out(3L).getInt(4) == 10 && out(3L).getInt(5) == 20)
+      assert(out(4L).getString(3) == "bmp" &&
+        out(4L).getInt(4) == 7 && out(4L).getInt(5) == 5 &&
+        out(4L).getInt(6) == 24)
+      assert(out(5L).isNullAt(3) && out(5L).isNullAt(4))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
