@@ -1362,6 +1362,9 @@ object Queries {
   private val stagedJsonlDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
+  private val stagedLmDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
   private val stagedEventsDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
@@ -2016,14 +2019,9 @@ object Queries {
   // bootstrap when no curated reference exists yet). Per-token NLLs
   // round to 6 decimals BEFORE the exact decimal sum (the q74 rule:
   // sub-ulp ln() divergence must not reach a compared value).
-  private val q87 = Q("q87_lm_quality",
-    (s, d) => {
-      val docs = documents(s, d)
-      graft.operators.TrainingData
-        .lmQualityScore(docs, "doc_id", "text", docs, "text",
-          vocabSize = 2000, alpha = 0.5)
-    },
-    Some("""WITH ref AS (SELECT tok AS token
+  // shared by q87 (fused train+score) and q93 (score against a PARQUET
+  // round-tripped LM): same reference, same model, same exact result
+  private val lmQualityOracle: String = """WITH ref AS (SELECT tok AS token
           FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
                 FROM documents) WHERE tok <> ''),
       n AS (SELECT COUNT(*) AS nn FROM ref),
@@ -2048,7 +2046,36 @@ object Queries {
       SELECT doc, n_tokens, n_oov,
         CAST((sm * 2 + n_tokens) // (n_tokens * 2) AS DOUBLE) / 1000000.0
           AS avg_nll
-      FROM g"""))
+      FROM g"""
+
+  private val q87 = Q("q87_lm_quality",
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.operators.TrainingData
+        .lmQualityScore(docs, "doc_id", "text", docs, "text",
+          vocabSize = 2000, alpha = 0.5)
+    },
+    Some(lmQualityOracle))
+
+  // The persisted-LM path through the gate: the q87 reference LM is
+  // trained ONCE per corpus, parquet round-tripped, and scoring runs
+  // against the LOADED table — proving a saved model prices tokens
+  // identically to retraining (the cross-run reuse contract).
+  private val q93 = Q("q93_lm_quality_saved",
+    (s, d) => {
+      val dir = Queries.stagedLmDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_lm_${Queries.stagingSuffix(d)}")
+        graft.operators.TrainingData
+          .trainQualityLm(documents(s, d), "text", vocabSize = 2000, alpha = 0.5)
+          .write.mode("overwrite").parquet(f.getAbsolutePath)
+        f
+      })
+      graft.operators.TrainingData.lmQualityScore(
+        documents(s, d), "doc_id", "text",
+        s.read.parquet(dir.getAbsolutePath))
+    },
+    Some(lmQualityOracle))
 
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
@@ -2057,7 +2084,7 @@ object Queries {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -727,6 +727,23 @@ object TrainingData {
     * with no tokens emit nothing. */
   def lmQualityScore(docs: DataFrame, idCol: String, textCol: String,
                      reference: DataFrame, refTextCol: String,
+                     vocabSize: Int, alpha: Double = 0.5): DataFrame =
+    lmQualityScore(docs, idCol, textCol,
+      trainQualityLm(reference, refTextCol, vocabSize, alpha))
+
+  /** Train the [[lmQualityScore]] reference LM once and REUSE it: the
+    * returned frame is a plain 2-column table — one row per vocab token
+    * `(token, nll)` plus exactly ONE out-of-vocabulary row with
+    * `token = NULL` carrying the shared OOV class's nll — that survives
+    * any parquet save/load round trip, so a week of scoring runs prices
+    * tokens against the same model instead of re-tokenizing the
+    * reference every run.
+    *
+    * Scale shape (unchanged from the fused path): one two-phase
+    * aggregate + TakeOrdered top-V over the reference; the result is
+    * ≤ vocabSize+1 rows and is materialized here (localCheckpoint) so
+    * nothing downstream can re-trigger the reference scan. */
+  def trainQualityLm(reference: DataFrame, refTextCol: String,
                      vocabSize: Int, alpha: Double = 0.5): DataFrame = {
     require(vocabSize > 0, s"vocabSize must be positive: $vocabSize")
     require(alpha > 0, s"alpha must be positive: $alpha")
@@ -740,8 +757,6 @@ object TrainingData {
       .where(col("token") =!= "")
       .groupBy(col("token")).agg(count(lit(1)).as("__c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // both LM frames materialize (1 row; <= V rows) while `grouped` is
-    // persisted — nothing downstream can re-trigger the reference scan
     val n = grouped.agg(coalesce(sum(col("__c")), lit(0L)).as("__N"))
       .localCheckpoint()
     val lm = grouped
@@ -749,20 +764,44 @@ object TrainingData {
       .crossJoin(broadcast(n))
       .select(col("token"),
         round(-log((col("__c") + lit(alpha)) / (col("__N") + lit(denomAdd))), 6)
-          .cast("decimal(18,6)").as("__nll"))
+          .cast("decimal(18,6)").as("nll"))
+      .unionAll(n.select(
+        lit(null).cast("string").as("token"),
+        round(-log(lit(alpha) / (col("__N") + lit(denomAdd))), 6)
+          .cast("decimal(18,6)").as("nll")))
       .localCheckpoint()
     grouped.unpersist(blocking = false)
-    val oov = n.select(
-      round(-log(lit(alpha) / (col("__N") + lit(denomAdd))), 6)
-        .cast("decimal(18,6)").as("__oov_nll"))
+    lm
+  }
+
+  /** Score against a SAVED (or just-trained) LM table — the
+    * [[trainQualityLm]] contract: vocab rows `(token, nll)` + one
+    * `token IS NULL` OOV row. Identical output to the train-and-score
+    * overload on the same reference (spec-pinned): scoring is a narrow
+    * scan → broadcast-hash token lookup (the corpus never shuffles on
+    * token) → one lean per-doc aggregate, with the same exact integer
+    * micro-NLL half-up mean. */
+  def lmQualityScore(docs: DataFrame, idCol: String, textCol: String,
+                     lm: DataFrame): DataFrame = {
+    // the OOV class is load-bearing: a saved LM missing its NULL row
+    // would silently score every OOV token as null and drop it from the
+    // sums — fail loudly instead (1-row collect, bounded driver state)
+    val oovRows = lm.where(col("token").isNull)
+      .select(col("nll").cast("decimal(18,6)")).collect()
+    require(oovRows.length == 1,
+      s"LM table must carry exactly ONE OOV row (token IS NULL, shared " +
+        s"nll for all out-of-vocab tokens): found ${oovRows.length} — " +
+        "train with trainQualityLm or add the OOV row")
+    val oovNll = oovRows(0).getDecimal(0)
+    val vocab = lm.where(col("token").isNotNull)
+      .select(col("token"), col("nll").cast("decimal(18,6)").as("__nll"))
     docs
       .select(col(idCol).as("doc"),
         explode(TextExprs.tokens(lower(col(textCol)))).as("token"))
       .where(col("token") =!= "")
-      .join(broadcast(lm), Seq("token"), "left")
-      .crossJoin(broadcast(oov))
+      .join(broadcast(vocab), Seq("token"), "left")
       .select(col("doc"), col("__nll").isNotNull.as("__in_vocab"),
-        coalesce(col("__nll"), col("__oov_nll")).as("__t_nll"))
+        coalesce(col("__nll"), lit(oovNll).cast("decimal(18,6)")).as("__t_nll"))
       .groupBy(col("doc"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(when(!col("__in_vocab"), 1L).otherwise(0L)).as("n_oov"),

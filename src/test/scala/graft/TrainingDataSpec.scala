@@ -625,6 +625,39 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("trainQualityLm: saved-LM scoring == retrained scoring (parquet round trip)") {
+    val lm = TrainingData.trainQualityLm(docs, "text", vocabSize = 300)
+    // the LM table contract: vocab rows + exactly ONE null-token OOV row
+    assert(lm.where(col("token").isNull).count() == 1L)
+    assert(lm.count() <= 301L)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_lmrt_${System.nanoTime()}")
+    try {
+      lm.write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val loaded = spark.read.parquet(dir.getAbsolutePath)
+      def scores(out: org.apache.spark.sql.DataFrame) =
+        out.collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      val retrained = scores(TrainingData
+        .lmQualityScore(docs, "doc_id", "text", docs, "text", vocabSize = 300))
+      val viaSaved = scores(TrainingData
+        .lmQualityScore(docs, "doc_id", "text", loaded))
+      assert(viaSaved == retrained) // exact, not approximate
+      assert(retrained.nonEmpty)
+      // an LM stripped of its OOV row fails LOUDLY, not silently
+      val noOov = intercept[IllegalArgumentException] {
+        TrainingData.lmQualityScore(docs, "doc_id", "text",
+          loaded.where(col("token").isNotNull))
+      }
+      assert(noOov.getMessage.contains("OOV"), noOov.getMessage)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("tfidfTopTerms: k per doc, rank order, corpus-wide terms score low") {
     import spark.implicits._
     val df = Seq(
