@@ -1365,6 +1365,9 @@ object Queries {
   private val stagedLmDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
+  private val stagedJsonlExportDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
   private val stagedEventsDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
@@ -2077,6 +2080,41 @@ object Queries {
     },
     Some(lmQualityOracle))
 
+  // Export side of the JSONL story (q91 is ingest): the documents table
+  // leaves through JsonlExport's deterministic shard layout (gzip, one
+  // dir per shard, pos-ordered parts), comes back through the explicit-
+  // schema reader, and the oracle recomputes the ENTIRE (shard, pos)
+  // assignment from the md5 key contract plus md5(text) for payload
+  // parity — layout and losslessness certified in one gate.
+  private val q94 = Q("q94_jsonl_export",
+    (s, d) => {
+      val dir = Queries.stagedJsonlExportDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_jsonl_exp_${Queries.stagingSuffix(d)}")
+        graft.sources.JsonlExport.write(documents(s, d), "doc_id",
+          f.getAbsolutePath, numShards = 8)
+        f
+      })
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", LongType),
+        org.apache.spark.sql.types.StructField("text", StringType),
+        org.apache.spark.sql.types.StructField("lang", StringType),
+        org.apache.spark.sql.types.StructField("source", StringType),
+        org.apache.spark.sql.types.StructField("n_chars", LongType)))
+      graft.sources.JsonlExport.read(s, dir.getAbsolutePath, schema)
+        .select(col("doc_id"), col("shard").cast(IntegerType).as("shard"),
+          col("pos"), md5(col("text")).as("text_md5"))
+    },
+    Some("""WITH k AS (SELECT doc_id, md5(text) AS text_md5,
+          CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+            AS UBIGINT) % 9223372036854775808 AS key
+        FROM documents)
+      SELECT doc_id, CAST(key % 8 AS INTEGER) AS shard,
+        CAST(row_number() OVER (PARTITION BY key % 8 ORDER BY key, doc_id)
+          AS INTEGER) AS pos,
+        text_md5
+      FROM k"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2084,7 +2122,7 @@ object Queries {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
