@@ -2115,6 +2115,30 @@ object Queries {
         text_md5
       FROM k"""))
 
+  // Cross-source contamination matrix: distinct 3-gram shingle overlap
+  // + Jaccard for every source pair — the pre-mixing leakage diagnostic.
+  // The oracle rebuilds the whole matrix from the same md5-prefix
+  // shingle-hash contract the dedup family pins.
+  private val q95 = Q("q95_overlap_matrix",
+    (s, d) => graft.operators.Dedup
+      .overlapMatrix(documents(s, d), "source", "text", ngram = 3),
+    Some("""WITH h AS (SELECT DISTINCT source AS grp,
+          CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS hv
+        FROM (SELECT source,
+                unnest(list_transform(range(len(tk) - 2),
+                  i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS tok
+              FROM (SELECT source, string_split_regex(trim(text), '\s+') AS tk
+                    FROM documents WHERE source IS NOT NULL)
+              WHERE len(tk) >= 3)),
+      sz AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY grp),
+      inter AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+                  CAST(COUNT(*) AS BIGINT) AS shared
+                FROM h a JOIN h b ON a.hv = b.hv AND a.grp < b.grp
+                GROUP BY 1, 2)
+      SELECT grp_a, grp_b, s1.n AS n_a, s2.n AS n_b, shared,
+        ROUND(CAST(shared AS DOUBLE) / (s1.n + s2.n - shared), 6) AS jaccard
+      FROM inter JOIN sz s1 ON grp_a = s1.grp JOIN sz s2 ON grp_b = s2.grp"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2122,7 +2146,8 @@ object Queries {
     q41, q42, q43, q44, q45, q46, q47, q48, q49, q50, q51, q52, q53, q54,
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
-    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94)
+    q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
+    q95)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

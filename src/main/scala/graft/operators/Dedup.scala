@@ -591,4 +591,46 @@ object Dedup {
           coalesce(col("__root"), col("__lab")).as("component"))
     }
   }
+
+  /** Cross-corpus contamination matrix: for every unordered pair of
+    * document groups (sources, snapshots, pipeline stages), the number
+    * of distinct n-gram shingles both contain plus the shingle-set
+    * Jaccard — the "is corpus B leaking into corpus A" diagnostic a mix
+    * runs BEFORE training on it. Pairs sharing nothing are absent (the
+    * matrix is sparse by construction).
+    *
+    * Scale shape: one (group, 32-bit shingle hash) DISTINCT over the
+    * corpus — text shuffles never, hashes once — then a self-join on
+    * the hash whose fan-out per hash is bounded by |groups| (each hash
+    * appears at most once per group after the distinct), so candidate
+    * volume is ≤ |groups|² per distinct shingle, NOT corpus-quadratic.
+    * Per-group sizes ride the same persisted frame. EAGER: the result
+    * (≤ |groups|² rows) materializes here so the persisted shingle
+    * frame releases at call time instead of leaking until clearCache.
+    * Null-group docs are excluded (no group to attribute leakage to). */
+  def overlapMatrix(docs: DataFrame, groupCol: String, textCol: String,
+                    ngram: Int = 3): DataFrame = {
+    require(ngram >= 1, s"ngram must be >= 1: $ngram")
+    val grouped = docs
+      .where(col(groupCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        explode(graft.functions.ShingleHash32.shingleHash32(col(textCol), ngram))
+          .as("hv"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sizes = grouped.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+      val inter = grouped.select(col("grp").as("grp_a"), col("hv"))
+        .join(grouped.select(col("grp").as("grp_b"), col("hv")), Seq("hv"))
+        .where(col("grp_a") < col("grp_b"))
+        .groupBy(col("grp_a"), col("grp_b")).agg(count(lit(1)).as("shared"))
+      inter
+        .join(sizes.select(col("grp").as("grp_a"), col("n").as("n_a")), Seq("grp_a"))
+        .join(sizes.select(col("grp").as("grp_b"), col("n").as("n_b")), Seq("grp_b"))
+        .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"), col("shared"),
+          round(col("shared").cast("double") /
+            (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
+        .localCheckpoint() // |groups|² rows — bounded; frees the shingles
+    } finally grouped.unpersist(blocking = false)
+  }
 }

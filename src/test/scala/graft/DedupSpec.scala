@@ -264,4 +264,30 @@ class DedupSpec extends SparkSpec {
         seenDocs.select(col("text").as("not_fp")))
     }
   }
+
+  test("overlapMatrix: shared shingles + jaccard per group pair, sparse, null-safe") {
+    import spark.implicits._
+    // a: shingles {w1 w2 w3, w2 w3 w4} ; b shares exactly {w2 w3 w4} and
+    // adds {w3 w4 w5}; c is disjoint; null group must not appear at all
+    val df = Seq(
+      (Some("a"), "w1 w2 w3 w4"),          // shingles: w1w2w3, w2w3w4
+      (Some("b"), "w2 w3 w4 w5"),          // shingles: w2w3w4, w3w4w5
+      (Some("c"), "x1 x2 x3"),             // shingle:  x1x2x3
+      (Option.empty[String], "w1 w2 w3"))  // would fake a-overlap if kept
+      .toDF("source", "text")
+    val out = Dedup.overlapMatrix(df, "source", "text", ngram = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // only the overlapping pair appears; jaccard = 1 shared / (2+2-1)
+    assert(out.keySet == Set(("a", "b")), out.keySet.toString)
+    assert(out(("a", "b")) == ((2L, 2L, 1L, 0.333333)))
+    // duplicate shingles within a group count once (DISTINCT contract)
+    val dup = Seq(("a", "w1 w2 w3 w2 w3"), ("b", "w1 w2 w3"))
+      .toDF("source", "text")
+    val o2 = Dedup.overlapMatrix(dup, "source", "text", ngram = 3).collect()
+    assert(o2.length == 1 && o2(0).getLong(4) == 1L) // w1w2w3 once
+    intercept[IllegalArgumentException] {
+      Dedup.overlapMatrix(df, "source", "text", ngram = 0)
+    }
+  }
 }
