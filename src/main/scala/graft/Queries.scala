@@ -2139,6 +2139,58 @@ object Queries {
         ROUND(CAST(shared AS DOUBLE) / (s1.n + s2.n - shared), 6) AS jaccard
       FROM inter JOIN sz s1 ON grp_a = s1.grp JOIN sz s2 ON grp_b = s2.grp"""))
 
+  // SCD Type-2 through the gate: a customer dimension versioned against
+  // a mixed update batch — changed segments (every 7th key), no-op
+  // updates (every 7th+1: re-applying identical attrs must NOT cut a
+  // version), and brand-new keys. The oracle rebuilds the full versioned
+  // dimension set-theoretically.
+  private val q96 = Q("q96_scd2_dimension",
+    (s, d) => {
+      val cust = customer(s, d)
+      val dim = cust.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"), col("c_nationkey").as("nat"),
+        lit("2020-01-01").as("valid_from"), lit("9999-12-31").as("valid_to"),
+        lit(true).as("is_current"))
+      val upd = cust.where(pmod(col("c_custkey"), lit(7)) === 0)
+        .select(col("c_custkey").as("k"), lit("SEGMENT_X").as("seg"),
+          col("c_nationkey").as("nat"))
+        .unionByName(cust.where(pmod(col("c_custkey"), lit(7)) === 1)
+          .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+            col("c_nationkey").as("nat")))
+        .unionByName(cust.where(pmod(col("c_custkey"), lit(100)) === 0)
+          .select((col("c_custkey") + lit(1000000L)).as("k"),
+            lit("NEW_SEGMENT").as("seg"), col("c_nationkey").as("nat")))
+      graft.operators.Upsert.scd2Apply(dim, upd, Seq("k"), Seq("seg", "nat"),
+        effectiveDate = "2024-06-01")
+    },
+    Some("""WITH dim AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+          c_nationkey AS nat, '2020-01-01' AS valid_from,
+          '9999-12-31' AS valid_to, TRUE AS is_current FROM customer),
+      upd AS (
+        SELECT c_custkey AS k, 'SEGMENT_X' AS seg, c_nationkey AS nat
+        FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL
+        SELECT c_custkey, c_mktsegment, c_nationkey
+        FROM customer WHERE c_custkey % 7 = 1
+        UNION ALL
+        SELECT c_custkey + 1000000, 'NEW_SEGMENT', c_nationkey
+        FROM customer WHERE c_custkey % 100 = 0),
+      chg AS (SELECT d.k FROM dim d JOIN upd u ON d.k = u.k
+              WHERE d.seg IS DISTINCT FROM u.seg
+                 OR d.nat IS DISTINCT FROM u.nat)
+      SELECT d.k, d.seg, d.nat, d.valid_from,
+        CASE WHEN c.k IS NOT NULL THEN '2024-06-01' ELSE d.valid_to END
+          AS valid_to,
+        CASE WHEN c.k IS NOT NULL THEN FALSE ELSE d.is_current END
+          AS is_current
+      FROM dim d LEFT JOIN chg c ON d.k = c.k
+      UNION ALL
+      SELECT u.k, u.seg, u.nat, '2024-06-01', '9999-12-31', TRUE
+      FROM upd u JOIN chg c ON u.k = c.k
+      UNION ALL
+      SELECT u.k, u.seg, u.nat, '2024-06-01', '9999-12-31', TRUE
+      FROM upd u LEFT JOIN dim d ON u.k = d.k WHERE d.k IS NULL"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2147,7 +2199,7 @@ object Queries {
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95)
+    q95, q96)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -82,6 +82,81 @@ object Upsert {
       batch.join(existing.select(grain.map(col): _*).dropDuplicates(grain),
         grain, "left_anti"))
 
+  /** SCD Type-2 apply: version the dimension instead of overwriting it —
+    * the warehouse answer to "what segment was this customer in when the
+    * order shipped?". Given the current dimension (each key has exactly
+    * one `currentCol = true` row; closed versions carry their validity
+    * window) and an update batch (one row per key — feed a deduped
+    * batch; conflicting same-key rows have no defined winner):
+    *
+    *  - a matched key whose `attrs` DIFFER (null-safely) closes its
+    *    current row (`validToCol = effectiveDate`, current = false) and
+    *    inserts the update as the new current version;
+    *  - a matched key with IDENTICAL attrs is untouched — so re-applying
+    *    the same batch is a no-op (idempotent re-run contract, same as
+    *    the reference's dim upserts);
+    *  - an unseen key inserts as a brand-new current row;
+    *  - closed history rows pass through untouched.
+    *
+    * Validity bounds are ISO-date STRINGS (sortable, engine-portable,
+    * no timezone semantics to disagree on); open rows end at
+    * `endOfTime`.
+    *
+    * Scale shape: the update batch broadcasts (dims are small relative
+    * to facts; a batch is smaller still) — the big side never shuffles.
+    * Two passes over the current partition (adjust + changed-version
+    * projection), one over history; all narrow after the broadcast
+    * joins. */
+  def scd2Apply(dim: DataFrame, updates: DataFrame, keys: Seq[String],
+                attrs: Seq[String], effectiveDate: String,
+                validFromCol: String = "valid_from",
+                validToCol: String = "valid_to",
+                currentCol: String = "is_current",
+                endOfTime: String = "9999-12-31"): DataFrame = {
+    require(attrs.nonEmpty, "scd2Apply needs at least one tracked attribute")
+    require(effectiveDate < endOfTime,
+      s"effectiveDate $effectiveDate must precede endOfTime $endOfTime")
+    val upd = updates.select(
+      keys.map(col) ++ attrs.map(a => col(a).as(s"__upd_$a")): _*)
+    val current = dim.where(col(currentCol))
+    val history = dim.where(!col(currentCol))
+    val changed = attrs.map(a => !(col(a) <=> col(s"__upd_$a"))).reduce(_ || _)
+    // explicit match marker: "any __upd_* is non-null" cannot detect a
+    // match when updates legitimately carry null attrs
+    val updMarked = upd.withColumn("__matched", lit(true))
+    val adjusted = current.join(broadcast(updMarked), keys, "left")
+      .withColumn("__chg", coalesce(col("__matched"), lit(false)) && changed)
+      .select(dim.columns.map {
+        case c if c == validToCol =>
+          when(col("__chg"), lit(effectiveDate)).otherwise(col(validToCol))
+            .as(validToCol)
+        case c if c == currentCol =>
+          when(col("__chg"), lit(false)).otherwise(col(currentCol))
+            .as(currentCol)
+        case c => col(c)
+      }: _*)
+    val newVersions = current.join(broadcast(updMarked), keys, "inner")
+      .where(changed)
+      .select(dim.columns.map {
+        case c if attrs.contains(c) => col(s"__upd_$c").as(c)
+        case c if c == validFromCol => lit(effectiveDate).as(validFromCol)
+        case c if c == validToCol => lit(endOfTime).as(validToCol)
+        case c if c == currentCol => lit(true).as(currentCol)
+        case c => col(c)
+      }: _*)
+    val newKeys = updates
+      .join(broadcast(current.select(keys.map(col): _*)), keys, "left_anti")
+      .select(dim.columns.map {
+        case c if attrs.contains(c) || keys.contains(c) => col(c)
+        case c if c == validFromCol => lit(effectiveDate).as(validFromCol)
+        case c if c == validToCol => lit(endOfTime).as(validToCol)
+        case c if c == currentCol => lit(true).as(currentCol)
+        case c => lit(null).as(c) // untracked dim columns default null
+      }: _*)
+    history.unionByName(adjusted).unionByName(newVersions)
+      .unionByName(newKeys)
+  }
+
   /** IDENTITY-style surrogate keys for newly inserted rows: contiguous ids
     * `startAfter+1 ...` in the explicit business-key ordering, assigned
     * deterministically (unlike monotonically_increasing_id), matching how

@@ -56,4 +56,60 @@ class UpsertSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("sku", "payload", "id"))
     assert(out.orderBy("sku").collect().map(_.getLong(2)).toSeq == Seq(11L, 12L))
   }
+
+  test("scd2Apply: change cuts a version, no-op is untouched, re-apply is idempotent") {
+    import spark.implicits._
+    val dim = Seq(
+      // k=1: already has history (closed row) + current 'gold'
+      (1L, "bronze", "2019-01-01", "2020-01-01", false),
+      (1L, "gold", "2020-01-01", "9999-12-31", true),
+      (2L, "silver", "2020-01-01", "9999-12-31", true),
+      (3L, "gold", "2020-01-01", "9999-12-31", true))
+      .toDF("k", "tier", "valid_from", "valid_to", "is_current")
+    val updates = Seq(
+      (1L, "platinum"), // changed -> close + new version
+      (2L, "silver"),   // identical -> untouched
+      (9L, "new"))      // unseen key -> fresh current row
+      .toDF("k", "tier")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getBoolean(4))).toSet
+    val out = graft.operators.Upsert.scd2Apply(dim, updates,
+      Seq("k"), Seq("tier"), effectiveDate = "2024-06-01")
+    val got = rows(out)
+    assert(got == Set(
+      (1L, "bronze", "2019-01-01", "2020-01-01", false),   // history untouched
+      (1L, "gold", "2020-01-01", "2024-06-01", false),     // closed at eff
+      (1L, "platinum", "2024-06-01", "9999-12-31", true),  // new version
+      (2L, "silver", "2020-01-01", "9999-12-31", true),    // no-op update
+      (3L, "gold", "2020-01-01", "9999-12-31", true),      // absent from batch
+      (9L, "new", "2024-06-01", "9999-12-31", true)),      // brand-new key
+      got.toString)
+    // exactly one current row per key survives
+    val perKey = out.where(col("is_current")).groupBy("k").count()
+      .collect().map(_.getLong(1))
+    assert(perKey.forall(_ == 1L))
+    // idempotence: the same batch applied to the result changes nothing
+    // (every update now matches its key's current attrs exactly)
+    val again = rows(graft.operators.Upsert.scd2Apply(out, updates,
+      Seq("k"), Seq("tier"), effectiveDate = "2024-07-01"))
+    assert(again == got)
+    // null-safe change detection: null -> value IS a change,
+    // value -> null IS a change, null -> null is not
+    val dimN = Seq((5L, Option.empty[String], "2020-01-01", "9999-12-31", true))
+      .toDF("k", "tier", "valid_from", "valid_to", "is_current")
+    val toNull = Seq((5L, Option.empty[String])).toDF("k", "tier")
+    assert(rows(graft.operators.Upsert.scd2Apply(dimN, toNull,
+      Seq("k"), Seq("tier"), "2024-06-01")).count(_._5) == 1) // no cut
+    val toVal = Seq((5L, Some("basic"))).toDF("k", "tier")
+    val cut = graft.operators.Upsert.scd2Apply(dimN, toVal,
+      Seq("k"), Seq("tier"), "2024-06-01")
+    assert(cut.where(col("is_current")).collect()
+      .map(_.getString(1)).toSeq == Seq("basic"))
+    assert(cut.count() == 2L)
+    intercept[IllegalArgumentException] {
+      graft.operators.Upsert.scd2Apply(dim, updates, Seq("k"), Seq(),
+        "2024-06-01")
+    }
+  }
 }
