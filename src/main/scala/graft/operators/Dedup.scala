@@ -607,30 +607,38 @@ object Dedup {
     * Per-group sizes ride the same persisted frame. EAGER: the result
     * (≤ |groups|² rows) materializes here so the persisted shingle
     * frame releases at call time instead of leaking until clearCache.
-    * Null-group docs are excluded (no group to attribute leakage to). */
+    * Null-group docs are excluded (no group to attribute leakage to).
+    *
+    * `eager = false` returns the LAZY plan instead (no persist, no
+    * checkpoint) — for plan inspection or composition into a larger
+    * eval; the shingle frame then recomputes per consumer unless the
+    * caller persists it. */
   def overlapMatrix(docs: DataFrame, groupCol: String, textCol: String,
-                    ngram: Int = 3): DataFrame = {
+                    ngram: Int = 3, eager: Boolean = true): DataFrame = {
     require(ngram >= 1, s"ngram must be >= 1: $ngram")
-    val grouped = docs
+    val base = docs
       .where(col(groupCol).isNotNull)
       .select(col(groupCol).as("grp"),
         explode(graft.functions.ShingleHash32.shingleHash32(col(textCol), ngram))
           .as("hv"))
       .distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val grouped = if (eager)
+      base.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else base
     try {
       val sizes = grouped.groupBy(col("grp")).agg(count(lit(1)).as("n"))
       val inter = grouped.select(col("grp").as("grp_a"), col("hv"))
         .join(grouped.select(col("grp").as("grp_b"), col("hv")), Seq("hv"))
         .where(col("grp_a") < col("grp_b"))
         .groupBy(col("grp_a"), col("grp_b")).agg(count(lit(1)).as("shared"))
-      inter
+      val out = inter
         .join(sizes.select(col("grp").as("grp_a"), col("n").as("n_a")), Seq("grp_a"))
         .join(sizes.select(col("grp").as("grp_b"), col("n").as("n_b")), Seq("grp_b"))
         .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"), col("shared"),
           round(col("shared").cast("double") /
             (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
-        .localCheckpoint() // |groups|² rows — bounded; frees the shingles
-    } finally grouped.unpersist(blocking = false)
+      if (eager) out.localCheckpoint() // |groups|² rows; frees the shingles
+      else out
+    } finally if (eager) grouped.unpersist(blocking = false)
   }
 }

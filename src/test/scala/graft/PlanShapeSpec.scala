@@ -281,6 +281,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(800))
   }
 
+  test("q95: overlap matrix shuffles hashes and group keys only — text never") {
+    // the contamination matrix's exchanges may carry (grp, hv) pairs and
+    // pair counts; a text column in any shuffle would mean the corpus
+    // payload crosses the network — the exact failure mode the distinct
+    // hash projection exists to prevent
+    def collectShuffles(p: org.apache.spark.sql.execution.SparkPlan)
+    : Seq[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec] =
+      p.collect {
+        case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => Seq(e)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          collectShuffles(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          collectShuffles(r.child)
+      }.flatten
+    val df = graft.operators.Dedup.overlapMatrix(
+      Tables.documents(spark, sf), "source", "text", ngram = 3, eager = false)
+    // Tables.load round-robins the tiny test parquet for parallelism —
+    // a scan-side fixture artifact that disappears on a real multi-split
+    // file. The operator's own exchanges are the KEY (hash) shuffles.
+    val keyShuffles = collectShuffles(finalPlan(df)).filter(
+      _.outputPartitioning.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning])
+    assert(keyShuffles.nonEmpty) // the distinct + hash join genuinely shuffle
+    keyShuffles.foreach { e =>
+      assert(!e.output.exists(_.name == "text"),
+        e.output.map(_.name).mkString(","))
+    }
+  }
+
+  test("q96: SCD2 apply is broadcast-only — the dimension never shuffles") {
+    val df = Queries.queries("q96_scd2_dimension")(spark, sf)
+    val plan = finalPlan(df)
+    assert(collectSmj(plan).isEmpty, collectSmj(plan).mkString("\n"))
+    def shuffleCount(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      p.collect {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          shuffleCount(q.plan)
+      }.sum
+    assert(shuffleCount(plan) == 0, plan.toString.take(800))
+    assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(800))
+  }
+
   test("whole-stage codegen covers the cleaning scan (native exprs fused)") {
     val synth = graft.etl.ReferenceShapedData.syntheticOrders(spark, sf)
     val stg = graft.etl.OrderEtl.toStaging(graft.etl.OrderEtl.cleanOrders(synth))
