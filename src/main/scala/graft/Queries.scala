@@ -2191,6 +2191,53 @@ object Queries {
       SELECT u.k, u.seg, u.nat, '2024-06-01', '9999-12-31', TRUE
       FROM upd u LEFT JOIN dim d ON u.k = d.k WHERE d.k IS NULL"""))
 
+  // BPE tokenizer-training counting round: adjacent char-pair counts over
+  // the word vocabulary, weighted by word frequency — the top pair IS the
+  // next BPE merge. Corpus text is touched exactly once (the vocab agg).
+  private val q97 = Q("q97_bpe_pairs",
+    (s, d) => graft.operators.TrainingData
+      .bpeTopPairs(documents(s, d), "text", k = 64),
+    Some("""WITH w AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n_w
+          FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+                FROM documents)
+          WHERE word <> '' GROUP BY word),
+      p AS (SELECT unnest(list_transform(range(len(word) - 1),
+              i -> word[i+1:i+2])) AS pair, n_w
+            FROM w WHERE len(word) >= 2)
+      SELECT pair, CAST(SUM(n_w) AS BIGINT) AS pair_count
+      FROM p GROUP BY pair ORDER BY pair_count DESC, pair LIMIT 64"""))
+
+  // Event-rate anomaly monitor: per-(type, hour) counts z-scored against
+  // the trailing 24 observed hours. All moments derive from integer sums
+  // through one fixed expression tree, so both engines compute identical
+  // IEEE doubles (engine stddev accumulation order could flip the 6th
+  // rounded decimal).
+  private val q98 = Q("q98_event_anomalies",
+    (s, d) => graft.operators.Sessionize
+      .rateAnomalies(events(s, d), "event_type", "ts", window = 24, minPrior = 3),
+    Some("""WITH h AS (SELECT event_type AS key, date_trunc('hour', ts) AS hh,
+            CAST(COUNT(*) AS BIGINT) AS n
+          FROM events GROUP BY 1, 2),
+      wnd AS (SELECT key, hh, n,
+          CAST(SUM(n) OVER w AS BIGINT) AS s1,
+          CAST(SUM(n*n) OVER w AS BIGINT) AS s2,
+          COUNT(n) OVER w AS c
+        FROM h WINDOW w AS (PARTITION BY key ORDER BY hh
+          ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+      m AS (SELECT key, hh, n, c,
+          CAST(s1 AS DOUBLE) / c AS mean_prior,
+          CAST(s2 AS DOUBLE) / c
+            - (CAST(s1 AS DOUBLE) / c) * (CAST(s1 AS DOUBLE) / c) AS v
+        FROM wnd),
+      f AS (SELECT key, hh, n, mean_prior,
+          CASE WHEN c >= 3 AND v > 0
+               THEN (n - mean_prior) / sqrt(v) END AS z
+        FROM m)
+      SELECT key, strftime(hh, '%Y-%m-%d %H:%M:%S') AS hour, n,
+        ROUND(mean_prior, 6) AS mean_prior, ROUND(z, 6) AS z,
+        (z IS NOT NULL AND abs(z) >= 3.0) AS is_anomaly
+      FROM f"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2199,7 +2246,7 @@ object Queries {
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96)
+    q95, q96, q97, q98)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -35,4 +35,51 @@ object Sessionize {
       .groupBy(col(userCol))
       .agg(max(col("session_id")).cast("long").as("n_sessions"),
         count(lit(1)).as("n_events"))
+
+  /** Event-rate anomaly detection: per (key, hour) counts z-scored
+    * against the TRAILING `window` observed hours of the same key — the
+    * ops-side monitor a streaming ingest wants over its own volume
+    * ("did 'error' events spike this hour?").
+    *
+    * Scale shape: the raw log collapses to a per-(key, hour) count
+    * FIRST (one lean aggregate — the only pass over the events); the
+    * trailing window then runs over that aggregated frame, |keys| ×
+    * |hours| rows, partitioned by key — bounded and parallel per key,
+    * never a window over raw events.
+    *
+    * Engine-exact arithmetic: the window computes integer sums (Σn,
+    * Σn², observed-hour count) and derives mean/variance/z with one
+    * fixed expression tree over exact integers — not the engines'
+    * stddev aggregates, whose accumulation order could flip the 6th
+    * rounded decimal. Variance from the population formula
+    * Σn²/c − mean²; hours with fewer than `minPrior` trailing
+    * observations (warm-up) or zero variance emit NULL z. */
+  def rateAnomalies(events: DataFrame, keyCol: String, tsCol: String,
+                    window: Int = 24, minPrior: Int = 3): DataFrame = {
+    require(window >= 1, s"window must be >= 1: $window")
+    require(minPrior >= 1, s"minPrior must be >= 1: $minPrior")
+    val hourly = events
+      .groupBy(col(keyCol).as("key"),
+        date_trunc("hour", col(tsCol)).as("__h"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("key")).orderBy(col("__h"))
+      .rowsBetween(-window, -1)
+    val s1 = sum(col("n")).over(w)
+    val s2 = sum(col("n") * col("n")).over(w)
+    val c = count(col("n")).over(w)
+    hourly
+      .withColumn("__s1", s1).withColumn("__s2", s2).withColumn("__c", c)
+      .withColumn("mean_prior",
+        col("__s1").cast("double") / col("__c"))
+      .withColumn("__var",
+        col("__s2").cast("double") / col("__c") - col("mean_prior") * col("mean_prior"))
+      .withColumn("z", when(col("__c") >= minPrior && col("__var") > 0,
+        (col("n") - col("mean_prior")) / sqrt(col("__var"))))
+      .select(col("key"),
+        date_format(col("__h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n"),
+        round(col("mean_prior"), 6).as("mean_prior"),
+        round(col("z"), 6).as("z"),
+        (col("z").isNotNull && abs(col("z")) >= 3.0).as("is_anomaly"))
+  }
 }

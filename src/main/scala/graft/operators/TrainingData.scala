@@ -812,4 +812,33 @@ object TrainingData {
         (expr("(__sum_micro * 2 + n_tokens) DIV (n_tokens * 2)")
           .cast("double") / lit(1000000.0)).as("avg_nll"))
   }
+
+  /** BPE merge-pair statistics — the counting core of byte-pair-encoding
+    * tokenizer training: adjacent symbol-pair frequencies over the word
+    * VOCABULARY, each pair weighted by its word's corpus frequency. The
+    * top pair is the next BPE merge; iterating (merge, recount) trains
+    * the tokenizer. This exposes one full counting round, the part that
+    * touches the corpus.
+    *
+    * Scale shape: the corpus collapses to the word vocabulary FIRST
+    * (one aggregate — the only pass over the text; the shuffle carries
+    * (word, count), never documents), then pairs explode over the
+    * VOCAB — |vocab| × avg word length rows, corpus-size-independent —
+    * into a second lean aggregate and a TakeOrdered top-k. Later BPE
+    * rounds recount over the vocab alone, never re-touching the corpus:
+    * exactly why real tokenizer trainers count over word types too. */
+  def bpeTopPairs(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val vocab = docs
+      .select(explode(TextExprs.tokens(lower(col(textCol)))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("__nw"))
+    vocab
+      .where(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, length(w) - 2), i -> substring(w, i + 1, 2))"))
+        .as("pair"), col("__nw"))
+      .groupBy(col("pair")).agg(sum(col("__nw")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("pair")).limit(k)
+  }
 }

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Sessionize
+import org.apache.spark.sql.functions._
+
+/** Batch event-log operators beyond the oracle-gated sessionization
+  * queries: the rate-anomaly monitor's exact arithmetic. */
+class SessionizeSpec extends SparkSpec {
+
+  test("rateAnomalies: trailing-window z from integer sums, warm-up and " +
+    "zero-variance emit null") {
+    import spark.implicits._
+    // one key, hours with counts 1, 2, 3, 10 — window 3, minPrior 2:
+    //  h0: no prior            -> mean null, z null
+    //  h1: prior [1], c=1<2    -> mean 1.0, z null (warm-up)
+    //  h2: prior [1,2]         -> mean 1.5, var .25, z (3-1.5)/.5 = 3.0
+    //  h3: prior [1,2,3]       -> mean 2.0, var 2/3, z = 9.797959
+    val rows = Seq.tabulate(1)(_ => ()).flatMap { _ =>
+      def hour(h: Int, n: Int) = Seq.tabulate(n)(i =>
+        (f"2024-01-01 0$h%d:${i % 60}%02d:00", "error"))
+      hour(0, 1) ++ hour(1, 2) ++ hour(2, 3) ++ hour(3, 10)
+    }
+    val events = rows.toDF("ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Sessionize
+      .rateAnomalies(events, "event_type", "ts", window = 3, minPrior = 2)
+      .orderBy("hour").collect()
+      .map(r => (r.getString(1).substring(11, 13),
+        r.getLong(2),
+        if (r.isNullAt(3)) null else Double.box(r.getDouble(3)),
+        if (r.isNullAt(4)) null else Double.box(r.getDouble(4)),
+        r.getBoolean(5)))
+    assert(out.toSeq == Seq(
+      ("00", 1L, null, null, false),
+      ("01", 2L, Double.box(1.0), null, false),
+      ("02", 3L, Double.box(1.5), Double.box(3.0), true),
+      ("03", 10L, Double.box(2.0), Double.box(9.797959), true)), out.mkString("\n"))
+    // constant prior -> zero variance -> null z even past warm-up
+    val flat = Seq.tabulate(4)(h => Seq.tabulate(2)(i =>
+      (f"2024-01-01 0$h%d:0$i%d:00", "view"))).flatten
+      .toDF("ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val fz = Sessionize.rateAnomalies(flat, "event_type", "ts", 3, 2)
+      .orderBy("hour").collect()
+    assert(fz.forall(r => r.isNullAt(4) && !r.getBoolean(5)))
+    intercept[IllegalArgumentException] {
+      Sessionize.rateAnomalies(events, "event_type", "ts", window = 0)
+    }
+  }
+}

@@ -658,6 +658,26 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("bpeTopPairs: vocab-weighted adjacent pair counts, deterministic top-k") {
+    import spark.implicits._
+    // ab x3 (two docs), cd x1, xyz x1, single-char 'a' contributes nothing
+    val df = Seq("ab ab cd", "ab xyz", "a").toDF("text")
+    val out = TrainingData.bpeTopPairs(df, "text", k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // pair counts: ab->3, cd->1, xy->1, yz->1; ties break alphabetically
+    assert(out == Seq(("ab", 3L), ("cd", 1L)), out.toString)
+    val all = TrainingData.bpeTopPairs(df, "text", k = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(all == Seq(("ab", 3L), ("cd", 1L), ("xy", 1L), ("yz", 1L)))
+    // top-k plans as TakeOrdered, not a global sort
+    val plan = TrainingData.bpeTopPairs(df, "text", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(400))
+    intercept[IllegalArgumentException] {
+      TrainingData.bpeTopPairs(df, "text", 0)
+    }
+  }
+
   test("tfidfTopTerms: k per doc, rank order, corpus-wide terms score low") {
     import spark.implicits._
     val df = Seq(
