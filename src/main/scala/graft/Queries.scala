@@ -2238,6 +2238,18 @@ object Queries {
         (z IS NOT NULL AND abs(z) >= 3.0) AS is_anomaly
       FROM f"""))
 
+  // Exact-k deterministic holdout on the custom bounded-heap operator —
+  // a global "ORDER BY hash LIMIT k" whose shuffle carries <= tasks*k
+  // rows, never the corpus.
+  private val q99 = Q("q99_sample_exact",
+    (s, d) => graft.operators.TrainingData
+      .sampleExact(documents(s, d), "doc_id", k = 250)
+      .select(col("doc_id"), col("lang"), col("n_chars")),
+    Some("""SELECT doc_id, lang, n_chars FROM documents
+      ORDER BY CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+          AS UBIGINT) % 9223372036854775808 AS BIGINT), doc_id
+      LIMIT 250"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2246,7 +2258,7 @@ object Queries {
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98)
+    q95, q96, q97, q98, q99)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

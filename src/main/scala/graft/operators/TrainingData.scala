@@ -24,6 +24,37 @@ object TrainingData {
       < lit(permille))
   }
 
+  /** EXACT-k deterministic sample: the k rows with the smallest
+    * md5-derived 63-bit keys (id tie-break) — [[deterministicSample]]
+    * lands NEAR its rate (binomial spread); this lands exactly, for the
+    * "hold out exactly 10k eval docs" contract. Same determinism
+    * properties: engine-portable, re-runs identical, and a larger k
+    * keeps a strict SUPERSET (the selection order is the fixed hash),
+    * so growing the holdout never churns docs already in it.
+    *
+    * Runs on the [[graft.plans.TopK]] bounded-heap operator with a
+    * constant grouping key: each task's partial heap emits ≤ k rows, so
+    * the single final partition sees ≤ tasks·k rows — a global
+    * "ORDER BY hash LIMIT k" without ever sorting the corpus (the same
+    * physical shape as TakeOrdered, but reusable mid-pipeline and
+    * spilling nothing). `maxExactK` bounds the per-task heap the same
+    * way [[mixToQuotasExact]]'s guard does. */
+  def sampleExact(df: DataFrame, idCol: String, k: Int,
+                  maxExactK: Long = 10000000L): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(k <= maxExactK,
+      s"k=$k > maxExactK=$maxExactK — exact selection holds a per-task " +
+        "heap of k rows; use deterministicSample for rate-scale holdouts " +
+        "or raise maxExactK deliberately")
+    val keyed = df
+      .withColumn("__skey", StableId63.stableId63(col(idCol).cast("string")))
+      .withColumn("__one", lit(0))
+    graft.plans.TopK.perKey(keyed, Seq("__one"),
+      Seq(graft.plans.TopK.Sort("__skey"), graft.plans.TopK.Sort(idCol)),
+      k, "__srank")
+      .drop("__skey", "__one", "__srank")
+  }
+
   /** Stratified deterministic sampling: a per-stratum rate (permille) on
     * top of the same md5-derived key — the "rebalance the language mix"
     * primitive (downsample the dominant language, keep the rest). Same

@@ -658,6 +658,37 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("sampleExact: exactly k, hash-order supersets, bounded-heap plan, guard") {
+    import spark.implicits._
+    val df = (1L to 3000L).map(i => (i, s"t$i")).toDF("doc_id", "text")
+      .repartition(7)
+    def ids(k: Int) = TrainingData.sampleExact(df, "doc_id", k)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val a = ids(50); val b = ids(400)
+    assert(a.size == 50 && b.size == 400 && a.subsetOf(b))
+    assert(ids(50) == a) // deterministic across runs
+    // k >= corpus keeps everything
+    assert(ids(5000).size == 3000)
+    // matches the rate formulation's ordering: the k smallest hash keys
+    val expected = df
+      .withColumn("__k", graft.functions.StableId63.stableId63(
+        col("doc_id").cast("string")))
+      .orderBy(col("__k"), col("doc_id")).limit(50)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == expected)
+    // the plan is the custom bounded-heap operator, not a global sort
+    val plan = TrainingData.sampleExact(df, "doc_id", 50)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), plan.take(500))
+    intercept[IllegalArgumentException] {
+      TrainingData.sampleExact(df, "doc_id", 0)
+    }
+    val over = intercept[IllegalArgumentException] {
+      TrainingData.sampleExact(df, "doc_id", 10000001)
+    }
+    assert(over.getMessage.contains("deterministicSample"), over.getMessage)
+  }
+
   test("bpeTopPairs: vocab-weighted adjacent pair counts, deterministic top-k") {
     import spark.implicits._
     // ab x3 (two docs), cd x1, xyz x1, single-char 'a' contributes nothing
