@@ -2157,8 +2157,11 @@ object Queries {
         .unionByName(cust.where(pmod(col("c_custkey"), lit(7)) === 1)
           .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
             col("c_nationkey").as("nat")))
+        // -(k+1) is strictly negative for every real custkey (keys start
+        // at 0), so synthetic new keys stay disjoint at ANY scale — an
+        // additive offset collides once the table outgrows it
         .unionByName(cust.where(pmod(col("c_custkey"), lit(100)) === 0)
-          .select((col("c_custkey") + lit(1000000L)).as("k"),
+          .select((-(col("c_custkey") + lit(1L))).as("k"),
             lit("NEW_SEGMENT").as("seg"), col("c_nationkey").as("nat")))
       graft.operators.Upsert.scd2Apply(dim, upd, Seq("k"), Seq("seg", "nat"),
         effectiveDate = "2024-06-01")
@@ -2173,7 +2176,7 @@ object Queries {
         SELECT c_custkey, c_mktsegment, c_nationkey
         FROM customer WHERE c_custkey % 7 = 1
         UNION ALL
-        SELECT c_custkey + 1000000, 'NEW_SEGMENT', c_nationkey
+        SELECT -(c_custkey + 1), 'NEW_SEGMENT', c_nationkey
         FROM customer WHERE c_custkey % 100 = 0),
       chg AS (SELECT d.k FROM dim d JOIN upd u ON d.k = u.k
               WHERE d.seg IS DISTINCT FROM u.seg

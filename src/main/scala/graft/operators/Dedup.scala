@@ -298,7 +298,8 @@ object Dedup {
     * against the materialized id set. */
   def decontaminateBloom(corpus: DataFrame, evalSet: DataFrame, idCol: String,
                          textCol: String, ngram: Int = 3,
-                         fpp: Double = 0.01): DataFrame = {
+                         fpp: Double = 0.01,
+                         checkpointDir: Option[String] = None): DataFrame = {
     require(fpp > 0 && fpp < 1, s"fpp out of range: $fpp")
     // three consumers (size count, bloom aggregate, exact confirm join)
     // must not re-run the explode+distinct shuffle over what is by
@@ -320,7 +321,12 @@ object Dedup {
         .where(graft.functions.BloomMightContainBc.mightContain(bloomBc, col("hv")))
         .join(evalShingles, Seq("hv"), "left_semi") // exact confirm: kills fps
         .select(col("__doc")).distinct()
-        .localCheckpoint() // materialize so the cache/broadcast can release
+        // materialize so the cache/broadcast can release here. Default is
+        // a LOCAL checkpoint (executor blocks — lost executors make the
+        // returned frame unrecoverable); pass checkpointDir for a
+        // reliable store on preemptible clusters, same contract as
+        // [[components]].
+        .transform(ckptFn(corpus, checkpointDir))
       corpus.join(contaminated,
         corpus(idCol) === contaminated("__doc"), "left_anti")
     } finally {
@@ -612,9 +618,12 @@ object Dedup {
     * `eager = false` returns the LAZY plan instead (no persist, no
     * checkpoint) — for plan inspection or composition into a larger
     * eval; the shingle frame then recomputes per consumer unless the
-    * caller persists it. */
+    * caller persists it. `checkpointDir` upgrades the eager result from
+    * a local checkpoint to a reliable one (same contract as
+    * [[components]] — local blocks die with their executor). */
   def overlapMatrix(docs: DataFrame, groupCol: String, textCol: String,
-                    ngram: Int = 3, eager: Boolean = true): DataFrame = {
+                    ngram: Int = 3, eager: Boolean = true,
+                    checkpointDir: Option[String] = None): DataFrame = {
     require(ngram >= 1, s"ngram must be >= 1: $ngram")
     val base = docs
       .where(col(groupCol).isNotNull)
@@ -637,7 +646,7 @@ object Dedup {
         .select(col("grp_a"), col("grp_b"), col("n_a"), col("n_b"), col("shared"),
           round(col("shared").cast("double") /
             (col("n_a") + col("n_b") - col("shared")), 6).as("jaccard"))
-      if (eager) out.localCheckpoint() // |groups|² rows; frees the shingles
+      if (eager) ckptFn(docs, checkpointDir)(out) // |groups|² rows; frees the shingles
       else out
     } finally if (eager) grouped.unpersist(blocking = false)
   }

@@ -118,8 +118,12 @@ object Upsert {
       s"effectiveDate $effectiveDate must precede endOfTime $endOfTime")
     val upd = updates.select(
       keys.map(col) ++ attrs.map(a => col(a).as(s"__upd_$a")): _*)
-    val current = dim.where(col(currentCol))
-    val history = dim.where(!col(currentCol))
+    // a NULL current flag (legacy load, nullable column) counts as
+    // history: `where(col)` and `where(!col)` BOTH reject NULL, which
+    // would silently drop the row from the returned full dimension
+    val curFlag = coalesce(col(currentCol), lit(false))
+    val current = dim.where(curFlag)
+    val history = dim.where(!curFlag)
     val changed = attrs.map(a => !(col(a) <=> col(s"__upd_$a"))).reduce(_ || _)
     // explicit match marker: "any __upd_* is non-null" cannot detect a
     // match when updates legitimately carry null attrs

@@ -111,5 +111,15 @@ class UpsertSpec extends SparkSpec {
       graft.operators.Upsert.scd2Apply(dim, updates, Seq("k"), Seq(),
         "2024-06-01")
     }
+    // a NULL current flag (nullable legacy column) is history, not lost:
+    // the row must pass through the full returned dimension untouched
+    val dimNull = Seq(
+      (7L, Some("old"), "2019-01-01", "2020-01-01", Option.empty[Boolean]),
+      (7L, Some("now"), "2020-01-01", "9999-12-31", Some(true)))
+      .toDF("k", "tier", "valid_from", "valid_to", "is_current")
+    val outN = graft.operators.Upsert.scd2Apply(dimNull,
+      Seq((7L, "next")).toDF("k", "tier"), Seq("k"), Seq("tier"), "2024-06-01")
+    assert(outN.count() == 3L) // null-flag history + closed + new version
+    assert(outN.where(col("is_current").isNull).count() == 1L)
   }
 }
