@@ -2253,6 +2253,36 @@ object Queries {
           AS UBIGINT) % 9223372036854775808 AS BIGINT), doc_id
       LIMIT 250"""))
 
+  // Flagship composition: quality gate -> exact dedup survivors -> exact-k
+  // deterministic holdout, all through one oracle — the operators are
+  // proven individually by q17/q69/q99; this gate proves they COMPOSE
+  // (each stage consumes the previous stage's frame, no materialization
+  // between them, one launched job).
+  private val q100 = Q("q100_pipeline_compose",
+    (s, d) => {
+      val qd = documents(s, d)
+        .where(graft.functions.TextExprs.tokenCount(col("text")) >= 10)
+      val survivors = graft.operators.Dedup.exact(qd, "doc_id", "text")
+        .select(col("doc_id"))
+      val kept = qd.join(survivors, Seq("doc_id"), "left_semi")
+      graft.operators.TrainingData.sampleExact(kept, "doc_id", k = 200)
+        .select(col("doc_id"), col("lang"), col("source"),
+          graft.functions.TextExprs.tokenCount(col("text")).cast("long")
+            .as("n_tokens"))
+    },
+    Some("""WITH q AS (SELECT * FROM documents
+          WHERE len(string_split_regex(trim(text), '\s+')) >= 10),
+      surv AS (SELECT MIN(doc_id) AS doc_id FROM q
+               GROUP BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))),
+      kept AS (SELECT d.* FROM q d JOIN surv s ON d.doc_id = s.doc_id),
+      keyed AS (SELECT doc_id, lang, source,
+          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+          CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+            AS UBIGINT) % 9223372036854775808 AS BIGINT) AS skey
+        FROM kept)
+      SELECT doc_id, lang, source, n_tokens FROM keyed
+      ORDER BY skey, doc_id LIMIT 200"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2261,7 +2291,7 @@ object Queries {
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98, q99)
+    q95, q96, q97, q98, q99, q100)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
