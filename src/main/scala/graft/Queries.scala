@@ -2283,6 +2283,33 @@ object Queries {
       SELECT doc_id, lang, source, n_tokens FROM keyed
       ORDER BY skey, doc_id LIMIT 200"""))
 
+  /** Corpus-wide segment dedup (C4/CCNet "drop duplicated lines across
+    * the corpus"): same period-injection preprocessing as q85 so the raw
+    * word-stream documents have sentence boundaries to dedup at. */
+  private val q101 = Q("q101_segment_dedup_global",
+    (s, d) => graft.operators.TrainingData.dedupSegmentsGlobal(
+      documents(s, d).withColumn("text",
+        regexp_replace(col("text"), "((\\S+ ){4}\\S+) ", "$1. ")),
+      "doc_id", "text"),
+    Some("""WITH d AS (SELECT doc_id,
+        regexp_replace(text, '((\S+ ){4}\S+) ', '\1. ', 'g') AS text
+      FROM documents),
+      s AS (SELECT doc_id,
+        unnest(list_zip(string_split_regex(text, '[.!?]+'),
+          range(len(string_split_regex(text, '[.!?]+'))))) AS p
+      FROM d),
+      segs AS (SELECT doc_id, CAST(p[2] AS INTEGER) AS seg_idx,
+          trim(p[1]) AS seg,
+          CAST(len(string_split_regex(trim(p[1]), '\s+')) AS BIGINT)
+            AS n_tokens
+        FROM s WHERE length(trim(p[1])) > 0),
+      keep AS (SELECT *, row_number() OVER (PARTITION BY md5(seg)
+          ORDER BY doc_id, seg_idx) AS rn FROM segs)
+      SELECT doc_id, string_agg(seg, '. ' ORDER BY seg_idx) AS text_dedup,
+        CAST(count(*) AS BIGINT) AS n_kept,
+        CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
+      FROM keep WHERE rn = 1 GROUP BY doc_id"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2291,7 +2318,7 @@ object Queries {
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98, q99, q100)
+    q95, q96, q97, q98, q99, q100, q101)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

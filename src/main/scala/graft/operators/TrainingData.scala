@@ -611,6 +611,47 @@ object TrainingData {
       .select(col(idCol), col("seg_idx"), col("seg"),
         TextExprs.tokenCount(col("seg")).cast("long").as("n_tokens"))
 
+  /** Corpus-wide segment dedup (the C4/CCNet "drop duplicated lines
+    * across the whole corpus" pass): segment every document with
+    * [[sentenceSegments]], keep only the globally FIRST occurrence of
+    * each distinct segment (first = minimal `(doc id, seg_idx)` — a total
+    * order, so the survivor set is deterministic on any cluster), and
+    * reassemble each document from its surviving segments in original
+    * order. Documents whose every segment is a repeat disappear from the
+    * output (their reassembled text would be empty).
+    *
+    * Scale shape: the WINNER decision shuffles only
+    * `(16-byte md5 fingerprint, id, seg_idx)` — segment text stays out of
+    * the vote. Text then moves exactly twice, both unavoidable for an
+    * operator whose OUTPUT is rewritten text: once joining survivors back
+    * to their content, once regrouping kept segments by document. No
+    * window/sort over the corpus — the reassembly orders only within one
+    * document's collected segment array (bounded by doc length). */
+  def dedupSegmentsGlobal(docs: DataFrame, idCol: String, textCol: String,
+                          sep: String = ". "): DataFrame = {
+    val segs = sentenceSegments(docs, idCol, textCol)
+      .withColumn("__fp", TextExprs.fingerprint(col("seg")))
+    val winners = segs
+      .groupBy(col("__fp"))
+      .agg(min(struct(col(idCol), col("seg_idx"))).as("__w"))
+      .select(col("__fp").as("__wfp"),
+        col("__w").getField(idCol).as("__wid"),
+        col("__w").getField("seg_idx").as("__widx"))
+    segs
+      .join(winners,
+        segs("__fp") === col("__wfp") &&
+          segs(idCol) === col("__wid") &&
+          segs("seg_idx") === col("__widx"))
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(array_sort(collect_list(struct(col("seg_idx"), col("seg")))),
+            s => s.getField("seg")),
+          sep).as("text_dedup"),
+        count(lit(1)).as("n_kept"),
+        sum(col("n_tokens")).as("n_tokens_kept"))
+  }
+
   /** Corpus snapshot diff: classify every document across two corpus
     * versions as added / removed / changed / unchanged — the audit that
     * decides whether an incremental retrain is warranted and what the

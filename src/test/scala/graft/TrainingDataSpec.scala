@@ -734,4 +734,29 @@ class TrainingDataSpec extends SparkSpec {
       .select("df").head().getLong(0)
     assert(dfOfCommon == 3L)
   }
+
+  test("dedupSegmentsGlobal: first occurrence wins, empty docs vanish, no Window") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "alpha beta. gamma delta. unique one"),
+      (2L, "gamma delta. fresh two"),
+      (3L, "alpha beta. gamma delta"))
+      .toDF("doc_id", "text")
+    val out = TrainingData.dedupSegmentsGlobal(df, "doc_id", "text")
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getAs[String]("text_dedup"), r.getAs[Long]("n_kept"))).toMap
+    // doc 1 owns every first occurrence, reassembled in original order
+    assert(rows(1L) == ("alpha beta. gamma delta. unique one", 3L))
+    // doc 2 loses the repeat, keeps its fresh segment
+    assert(rows(2L) == ("fresh two", 1L))
+    // doc 3 is repeats-only -> no surviving segments -> absent
+    assert(!rows.contains(3L))
+    // deterministic: winner is min (doc_id, seg_idx), not partition luck
+    val again = TrainingData.dedupSegmentsGlobal(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getAs[String]("text_dedup")).toMap
+    assert(again == rows.map { case (k, v) => k -> v._1 })
+    // the vote + reassembly never needs a Window over the corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(800))
+  }
 }
