@@ -2310,6 +2310,96 @@ object Queries {
         CAST(sum(n_tokens) AS BIGINT) AS n_tokens_kept
       FROM keep WHERE rn = 1 GROUP BY doc_id"""))
 
+  // Stream-stream interval join through the gate: two independent file
+  // sources over the same staged events directory (views / purchases),
+  // joined on user within a 30-minute attribution horizon, drained with
+  // AvailableNow — the pair set must equal the static interval-join SQL.
+  // Inner join in append mode emits pairs immediately; the watermark
+  // exists for state eviction, not emission, so one drained source loses
+  // nothing and streaming == batch exactly.
+  private val q102 = Q("q102_streaming_interval_join",
+    (s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dir = Queries.stagedEventsDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_stream_${Queries.stagingSuffix(d)}")
+        f.mkdirs()
+        Queries.stageParquetCopy(s"$d/events.parquet", f, "events")
+        f
+      })
+      val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
+      def stream(): DataFrame = {
+        val raw = s.readStream.schema(rawSchema).parquet(dir.getAbsolutePath)
+        if (rawSchema("ts").dataType == LongType)
+          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) else raw
+      }
+      val views = stream().filter(col("event_type") === "view")
+      val purchases = stream().filter(col("event_type") === "purchase")
+      val sink = "graft_q102_sink"
+      val q = graft.streaming.EventStreams
+        .intervalJoin(views, purchases, horizon = "30 minutes")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(sink).groupBy(col("effect_id").as("purchase_id"))
+        .agg(count(lit(1)).as("n_views"),
+          min(col("cause_id")).as("min_view_id"))
+    },
+    Some("""SELECT p.event_id AS purchase_id, COUNT(*) AS n_views,
+        MIN(v.event_id) AS min_view_id
+      FROM events p JOIN events v ON v.user_id = p.user_id
+       AND p.event_type = 'purchase' AND v.event_type = 'view'
+       AND v.ts >= p.ts - INTERVAL 30 MINUTE AND v.ts <= p.ts
+      GROUP BY p.event_id"""))
+
+  /** Data-expectations suite over orders: thresholds chosen so several
+    * checks FAIL on the fixture (range tails, status 'P', priority
+    * '5-LOW') — the report's violation counts are what the oracle pins,
+    * not just all-zeroes. */
+  private val q103 = Q("q103_expectations",
+    (s, d) => {
+      import graft.operators.Expectations._
+      graft.operators.Expectations.validate(orders(s, d), Seq(
+        NotNull("o_custkey"),
+        InRange("o_totalprice", 2000.0, 450000.0),
+        InSet("o_orderstatus", Seq("O", "F")),
+        MatchesRegex("o_orderpriority", "^[1-4]-"),
+        Unique(Seq("o_orderkey")),
+        RefIntegrity("o_custkey", customer(s, d), "c_custkey")))
+    },
+    Some("""SELECT check_name, target_col, violations,
+        violations = 0 AS pass FROM (
+      SELECT 'not_null' AS check_name, 'o_custkey' AS target_col,
+        CAST(COALESCE(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END), 0)
+          AS BIGINT) AS violations FROM orders
+      UNION ALL
+      SELECT 'in_range', 'o_totalprice',
+        CAST(COALESCE(SUM(CASE WHEN o_totalprice IS NOT NULL
+          AND (o_totalprice < 2000.0 OR o_totalprice > 450000.0)
+          THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'in_set', 'o_orderstatus',
+        CAST(COALESCE(SUM(CASE WHEN o_orderstatus IS NOT NULL
+          AND o_orderstatus NOT IN ('O', 'F')
+          THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'matches_regex', 'o_orderpriority',
+        CAST(COALESCE(SUM(CASE WHEN o_orderpriority IS NOT NULL
+          AND NOT regexp_matches(o_orderpriority, '^[1-4]-')
+          THEN 1 ELSE 0 END), 0) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT 'unique', 'o_orderkey',
+        CAST((SELECT COALESCE(SUM(n - 1), 0) FROM
+          (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey)) AS BIGINT)
+      UNION ALL
+      SELECT 'ref_integrity', 'o_custkey',
+        CAST((SELECT COUNT(*) FROM orders o
+          LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+          WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS BIGINT)
+      ) t"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2318,7 +2408,7 @@ object Queries {
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98, q99, q100, q101)
+    q95, q96, q97, q98, q99, q100, q101, q102, q103)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

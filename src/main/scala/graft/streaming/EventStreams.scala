@@ -120,4 +120,38 @@ object EventStreams {
           Iterator.single(UserSessions(uid, next.sessionCount, next.totalEvents))
       }
   }
+
+  /** Stream-stream interval join (attribution shape): pair each row of
+    * `effects` with every `causes` row for the same user whose timestamp
+    * falls in `[effect.ts - horizon, effect.ts]` — e.g. attribute a
+    * purchase to the views that preceded it within 30 minutes.
+    *
+    * Both sides carry a watermark, and the join condition bounds cause-ts
+    * by effect-ts on both ends, so Spark derives a state-eviction bound
+    * for BOTH sides: buffered state is one horizon+watermark window per
+    * side, not the whole stream — bounded at any scale. Inner join in
+    * append mode emits a pair the moment both rows exist; nothing waits
+    * on watermark close. The join itself hash-partitions both sides on
+    * `user_id`, the natural key, and the payload carried through the
+    * shuffle is three narrow columns per side.
+    *
+    * Returns (effect_id, cause_id, user_id, effect_ts, cause_ts); callers
+    * aggregate (conversion counts, first-touch/last-touch) downstream. */
+  def intervalJoin(causes: DataFrame, effects: DataFrame,
+                   horizon: String = "30 minutes",
+                   watermark: String = "2 hours"): DataFrame = {
+    val c = causes
+      .select(col("event_id").as("cause_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", watermark)
+    val e = effects
+      .select(col("event_id").as("effect_id"), col("user_id").as("user_id"),
+        col("ts").as("effect_ts"))
+      .withWatermark("effect_ts", watermark)
+    e.join(c,
+      expr(s"""c_user = user_id AND
+        c_ts >= effect_ts - INTERVAL $horizon AND c_ts <= effect_ts"""))
+      .select(col("effect_id"), col("cause_id").as("cause_id"),
+        col("user_id"), col("effect_ts"), col("c_ts").as("cause_ts"))
+  }
 }

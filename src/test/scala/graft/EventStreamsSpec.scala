@@ -123,4 +123,34 @@ class EventStreamsSpec extends SparkSpec {
       .agg(max($"n_sessions"), max($"n_events")).collect().head
     assert(last.getLong(0) == 2L && last.getLong(1) == 3L)
   }
+
+  test("stream-stream interval join: attribution pairs, inclusive bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.Event
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val views = MemoryStream[Event]
+    views.addData(
+      Event(1, ts("2024-01-01 10:00:00"), 1, "view", 0),
+      Event(2, ts("2024-01-01 10:10:00"), 1, "view", 0),
+      Event(3, ts("2024-01-01 10:05:00"), 2, "view", 0),
+      Event(4, ts("2024-01-01 10:40:00"), 2, "view", 0), // AFTER the purchase
+      Event(5, ts("2024-01-01 10:00:00"), 3, "view", 0)) // exactly horizon before
+    val purchases = MemoryStream[Event]
+    purchases.addData(
+      Event(10, ts("2024-01-01 10:25:00"), 1, "purchase", 0),
+      Event(11, ts("2024-01-01 11:30:00"), 1, "purchase", 0), // no view in window
+      Event(12, ts("2024-01-01 10:20:00"), 2, "purchase", 0),
+      Event(13, ts("2024-01-01 10:30:00"), 3, "purchase", 0))
+    val q = EventStreams.intervalJoin(views.toDF(), purchases.toDF(),
+        horizon = "30 minutes")
+      .writeStream.format("memory").queryName("attrib").outputMode("append")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("attrib")
+      .select($"effect_id", $"cause_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // purchase 10 <- views 1,2; purchase 11 <- none; purchase 12 <- view 3
+    // (not 4: causes must precede); purchase 13 <- view 5 (>= boundary in)
+    assert(got == Set((10L, 1L), (10L, 2L), (12L, 3L), (13L, 5L)))
+  }
 }
