@@ -2400,6 +2400,37 @@ object Queries {
           WHERE o.o_custkey IS NOT NULL AND c.c_custkey IS NULL) AS BIGINT)
       ) t"""))
 
+  /** Temperature-scaled multilingual mixing over the skewed lang
+    * distribution (en ≈ 3× the others): T=2 flattens toward uniform. The
+    * oracle re-derives the whole contract — micro weights from
+    * round(pow, 6), exact integer quota split, 63-bit keep thresholds. */
+  private val q104 = Q("q104_temperature_mix",
+    (s, d) => graft.operators.TrainingData
+      .mixByTemperature(documents(s, d), "doc_id", "lang",
+        temperature = 2.0, targetDocs = 300L)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars")),
+    Some("""WITH c AS (SELECT lang AS dom, COUNT(*) AS cnt
+          FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+      tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c),
+      w AS (SELECT dom, cnt,
+          CAST(round(pow(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE), 0.5),
+            6) * 1000000 AS BIGINT) AS m
+        FROM c, tot),
+      sw AS (SELECT SUM(CAST(m AS HUGEINT)) AS sm FROM w),
+      q AS (SELECT dom, cnt,
+          LEAST(CAST(cnt AS HUGEINT), CAST(300 AS HUGEINT) * m // sm)
+            AS quota
+        FROM w, sw),
+      r AS (SELECT dom, CASE WHEN quota >= cnt THEN NULL
+            ELSE CAST(CAST(quota AS HUGEINT) * 9223372036854775808
+                      // cnt AS BIGINT) END AS thr
+        FROM q)
+      SELECT d.doc_id, d.lang, d.source, d.n_chars
+      FROM documents d JOIN r ON d.lang = r.dom
+      WHERE r.thr IS NULL OR
+        CAST(CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))
+              AS UBIGINT) % 9223372036854775808 AS BIGINT) < r.thr"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2408,7 +2439,7 @@ object Queries {
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98, q99, q100, q101, q102, q103)
+    q95, q96, q97, q98, q99, q100, q101, q102, q103, q104)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

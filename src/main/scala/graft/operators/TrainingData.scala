@@ -352,8 +352,19 @@ object TrainingData {
     val counts = df.where(col(domainCol).isin(doms: _*))
       .groupBy(col(domainCol)).agg(count(lit(1)).as("__cnt"))
       .collect().map(r => r.get(0) -> r.getLong(1)).toMap
-    val keep = counts.foldLeft(lit(false)) { case (acc, (dom, cnt)) =>
-      val q = quotas(String.valueOf(dom))
+    df.where(quotaKeep(idCol, domainCol, counts,
+      dom => quotas(String.valueOf(dom))))
+  }
+
+  /** The quota-mixing keep test shared by [[mixToQuotas]] and
+    * [[mixByTemperature]]: per-domain 63-bit threshold
+    * ⌊quota·2^63/count⌋ over the stable id key, as a narrow when-chain —
+    * no join, no shuffle, no RNG. */
+  private def quotaKeep(idCol: String, domainCol: String,
+                        counts: Map[Any, Long],
+                        quotaOf: Any => Long): org.apache.spark.sql.Column =
+    counts.foldLeft(lit(false)) { case (acc, (dom, cnt)) =>
+      val q = quotaOf(dom)
       val cond =
         if (q >= cnt) lit(true) // over-ask: keep the whole domain
         else {
@@ -363,7 +374,51 @@ object TrainingData {
         }
       when(col(domainCol) === lit(dom), cond).otherwise(acc)
     }
-    df.where(keep)
+
+  /** Temperature-scaled domain mixing (the multilingual-sampling rule of
+    * Conneau & Lample, "Cross-lingual Language Model Pretraining", 2019):
+    * sample domain d toward share s_d ∝ (count_d/total)^(1/T). T=1 keeps
+    * the corpus' natural proportions; T>1 flattens toward uniform,
+    * up-weighting low-resource domains; T<1 sharpens toward the head.
+    * `targetDocs` scales the shares into per-domain document quotas
+    * (capped at the domain's own count), which then select via the same
+    * deterministic 63-bit keep test as [[mixToQuotas]] — so a larger
+    * target keeps a strict superset, and re-runs after corpus growth
+    * re-derive the mix automatically.
+    *
+    * Engine portability: float arithmetic appears ONLY in pow(share,
+    * 1/T), immediately rounded half-up to 6 decimals into integer micro
+    * weights (the q87 micro-unit rule); normalization and the
+    * quota split stay in exact BigInt arithmetic, because a float Σw
+    * would depend on engine summation order. Driver state is one count
+    * row per domain; the returned plan is a narrow filter — no join, no
+    * shuffle, no RNG. Σquota can undershoot targetDocs by < |domains|
+    * (floor loss) plus any mass capped at count_d. */
+  def mixByTemperature(df: DataFrame, idCol: String, domainCol: String,
+                       temperature: Double, targetDocs: Long): DataFrame = {
+    require(temperature > 0.0 && !temperature.isInfinite,
+      s"temperature must be finite and > 0: $temperature")
+    require(targetDocs >= 0L, s"negative targetDocs: $targetDocs")
+    val counts = df.where(col(domainCol).isNotNull)
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty || targetDocs == 0L) return df.limit(0)
+    val total = counts.values.sum
+    val micro: Map[Any, Long] = counts.map { case (dom, c) =>
+      dom -> (BigDecimal(Math.pow(c.toDouble / total.toDouble,
+          1.0 / temperature))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+        * BigDecimal(1000000L)).toLongExact
+    }
+    val sumMicro = micro.values.map(BigInt(_)).sum
+    require(sumMicro > 0,
+      s"every temperature weight rounded to zero at T=$temperature — " +
+        "the 6-decimal micro-weight contract cannot express this mix")
+    val quotas: Map[Any, Long] = counts.map { case (dom, c) =>
+      dom -> ((BigInt(targetDocs) * micro(dom)) / sumMicro)
+        .min(BigInt(c)).toLong
+    }
+    df.where(quotaKeep(idCol, domainCol, counts, quotas))
   }
 
   /** Exact-count domain quotas: [[mixToQuotas]] lands NEAR its quota (a

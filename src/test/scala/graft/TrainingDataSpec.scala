@@ -759,4 +759,39 @@ class TrainingDataSpec extends SparkSpec {
     val plan = out.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan.take(800))
   }
+
+  test("mixByTemperature: T=1 natural, high T flattens, superset, narrow plan") {
+    import spark.implicits._
+    val skewed = ((1L to 80L).map(i => (i, "head")) ++
+      (81L to 100L).map(i => (i, "tail"))).toDF("doc_id", "dom")
+    // T=1, target=total: shares are exact micro weights, every quota
+    // equals its count -> the whole corpus survives
+    assert(TrainingData.mixByTemperature(skewed, "doc_id", "dom",
+      temperature = 1.0, targetDocs = 100L).count() == 100L)
+    def keptByDom(t: Double, target: Long): Map[String, Long] =
+      TrainingData.mixByTemperature(skewed, "doc_id", "dom", t, target)
+        .groupBy("dom").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // high temperature flattens toward uniform: the tail's share of the
+    // sample grows (at T=4 its quota caps at its full count)
+    val t1 = keptByDom(1.0, 50L)
+    val t4 = keptByDom(4.0, 50L)
+    assert(t4.getOrElse("tail", 0L) > t1.getOrElse("tail", 0L),
+      s"T=1 $t1 vs T=4 $t4")
+    assert(t4("tail") == 20L) // quota 20 >= count -> whole domain kept
+    // growing the target keeps a strict superset (thresholds only grow)
+    def ids(target: Long): Set[Long] =
+      TrainingData.mixByTemperature(skewed, "doc_id", "dom", 2.0, target)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    val small = ids(30L)
+    assert(small.subsetOf(ids(60L)) && small.nonEmpty)
+    // the returned plan is a narrow filter: no join, no exchange
+    val plan = TrainingData.mixByTemperature(skewed, "doc_id", "dom", 2.0, 50L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"),
+      plan.take(800))
+    intercept[IllegalArgumentException] {
+      TrainingData.mixByTemperature(skewed, "doc_id", "dom", 0.0, 50L)
+    }
+  }
 }
