@@ -2431,6 +2431,80 @@ object Queries {
         CAST(CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 16))
               AS UBIGINT) % 9223372036854775808 AS BIGINT) < r.thr"""))
 
+  /** Audio-container metadata (q92's audio sibling): SQL-assembled
+    * spec-valid WAV / AIFF / FLAC headers, parsed back by the native
+    * audio_meta expression; the oracle recomputes every field from the
+    * doc columns the bytes were built from. */
+  private val q105 = Q("q105_audio_meta",
+    (s, d) => {
+      def be(x: Column, hexDigits: Int) =
+        unhex(lpad(hex(x), hexDigits, "0"))
+      def le2(x: Column) = {
+        val hx = lpad(hex(x), 4, "0")
+        unhex(concat(substring(hx, 3, 2), substring(hx, 1, 2)))
+      }
+      def le4(x: Column) = {
+        val hx = lpad(hex(x), 8, "0")
+        unhex(concat(substring(hx, 7, 2), substring(hx, 5, 2),
+          substring(hx, 3, 2), substring(hx, 1, 2)))
+      }
+      def ascii(t: String) = encode(lit(t), "UTF-8")
+      val id = col("doc_id"); val nc = col("n_chars")
+      // WAV: PCM fmt chunk + header-only data chunk (declared size)
+      val wch = lit(1L) + pmod(id, lit(2L))
+      val wrate = lit(8000L) * (lit(1L) + pmod(id, lit(6L)))
+      val wblock = wch * lit(2L)
+      val wframes = lit(100L) + pmod(nc, lit(1000L))
+      val wdata = wframes * wblock
+      val wav = concat(ascii("RIFF"), le4(lit(36L) + wdata), ascii("WAVE"),
+        ascii("fmt "), le4(lit(16L)), le2(lit(1L)), le2(wch), le4(wrate),
+        le4(wrate * wblock), le2(wblock), le2(lit(16L)),
+        ascii("data"), le4(wdata))
+      // AIFF: COMM with the 80-bit extended 44100.0 sample rate
+      val ach = lit(1L) + pmod(nc, lit(2L))
+      val aframes = lit(50L) + pmod(id, lit(500L))
+      val aiff = concat(ascii("FORM"), be(lit(30L), 8), ascii("AIFF"),
+        ascii("COMM"), be(lit(18L), 8), be(ach, 4), be(aframes, 8),
+        be(lit(16L), 4), unhex(lit("400EAC44000000000000")))
+      // FLAC: STREAMINFO's packed 64-bit rate/channels/bits/samples
+      val fch = lit(1L) + pmod(id, lit(2L))
+      val frate = lit(11025L) * (lit(1L) + pmod(nc, lit(4L)))
+      val fsamples = lit(1000L) + pmod(nc, lit(100000L))
+      val packed = frate * lit(17592186044416L) +              // << 44
+        (fch - lit(1L)) * lit(2199023255552L) +                // << 41
+        lit(15L * 68719476736L) + fsamples                     // bits-1=15
+      val flac = concat(ascii("fLaC"), unhex(lit("00000022")), // STREAMINFO, len 34
+        unhex(lit("0" * 20)), be(packed, 16), unhex(lit("0" * 32)))
+      val content = when(pmod(id, lit(3)) === 0, wav)
+        .when(pmod(id, lit(3)) === 1, aiff)
+        .otherwise(flac)
+      val m = graft.functions.AudioMetaExpr.audioMeta(content)
+      documents(s, d).select(col("doc_id"), m.as("__m"))
+        .select(col("doc_id"),
+          col("__m.format").as("format"),
+          col("__m.channels").as("channels"),
+          col("__m.sample_rate").as("sample_rate"),
+          col("__m.bits_per_sample").as("bits_per_sample"),
+          col("__m.n_frames").as("n_frames"))
+        .withColumn("duration_ms",
+          expr("n_frames * 1000 DIV sample_rate"))
+    },
+    Some("""SELECT doc_id, format, channels, sample_rate, bits_per_sample,
+        n_frames, n_frames * 1000 // sample_rate AS duration_ms FROM (
+      SELECT doc_id,
+        CASE doc_id % 3 WHEN 0 THEN 'wav' WHEN 1 THEN 'aiff' ELSE 'flac' END
+          AS format,
+        CAST(CASE doc_id % 3 WHEN 1 THEN 1 + n_chars % 2
+             ELSE 1 + doc_id % 2 END AS INTEGER) AS channels,
+        CAST(CASE doc_id % 3 WHEN 0 THEN 8000 * (1 + doc_id % 6)
+             WHEN 1 THEN 44100
+             ELSE 11025 * (1 + n_chars % 4) END AS INTEGER) AS sample_rate,
+        16 AS bits_per_sample,
+        CAST(CASE doc_id % 3 WHEN 0 THEN 100 + n_chars % 1000
+             WHEN 1 THEN 50 + doc_id % 500
+             ELSE 1000 + n_chars % 100000 END AS BIGINT) AS n_frames
+      FROM documents) t"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2439,7 +2513,7 @@ object Queries {
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98, q99, q100, q101, q102, q103, q104)
+    q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -157,4 +157,21 @@ object Multimodal {
       m.getField("bit_depth").as("bit_depth"),
       m.getField("channels").as("channels"))
   }
+
+  /** [[imageHeaderMeta]]'s audio sibling: WAV/AIFF/FLAC header fields
+    * parsed from the payload bytes by the codegen'd
+    * [[graft.functions.AudioMetaExpr]], plus derived duration —
+    * same narrow-scan, NULL-on-corrupt contract. */
+  def audioHeaderMeta(media: DataFrame): DataFrame = {
+    val m = graft.functions.AudioMetaExpr.audioMeta(col("content"))
+    media.select(col("media_id"), col("mime"),
+      length(col("content")).as("n_bytes"),
+      m.getField("format").as("format"),
+      m.getField("channels").as("channels"),
+      m.getField("sample_rate").as("sample_rate"),
+      m.getField("bits_per_sample").as("bits_per_sample"),
+      m.getField("n_frames").as("n_frames"))
+      .withColumn("duration_ms",
+        expr("n_frames * 1000 DIV sample_rate"))
+  }
 }

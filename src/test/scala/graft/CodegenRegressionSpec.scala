@@ -49,7 +49,8 @@ class CodegenRegressionSpec extends SparkSpec {
         VectorNative.int8QuantStats(col("vec")).as("i8"),
         UnicodeNorm.nfc(col("text")).as("nfc"),
         BloomMightContainBc.mightContain(bloomBc, col("doc_id")).as("bmc"),
-        ImageMetaExpr.imageMeta(encode(col("text"), "UTF-8")).as("im"))
+        ImageMetaExpr.imageMeta(encode(col("text"), "UTF-8")).as("im"),
+        AudioMetaExpr.audioMeta(encode(col("text"), "UTF-8")).as("am"))
       val rows = out.collect()
       assert(rows.nonEmpty)
       // spot-check the simhash kernel actually ran (non-trivial signatures)

@@ -147,4 +147,83 @@ class MultimodalSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  // real audio containers, hand-assembled to spec
+  private val realWav: Array[Byte] = hexBytes(
+    // RIFF/WAVE with a LIST chunk BEFORE fmt (walk must skip it), then
+    // PCM fmt (2ch 44100 16-bit, block 4) and a header-only data chunk
+    // declaring 400 bytes -> 100 frames
+    "52494646 00000000 57415645" +            // RIFF....WAVE
+      "4C495354 04000000 494E464F" +          // LIST size 4 "INFO"
+      "666D7420 10000000 0100 0200 44AC0000 10B10200 0400 1000" +
+      "64617461 90010000")                    // data size 400, no payload
+  private val realAiff: Array[Byte] = hexBytes(
+    // FORM/AIFF, COMM: 1ch, 1234 frames, 16-bit, 8000 Hz as 80-bit
+    // extended (exp 16395 = 0x400B, mantissa 0xFA00... = 1.953125)
+    "464F524D 00000026 41494646" +
+      "434F4D4D 00000012 0001 000004D2 0010 400BFA00000000000000")
+  private val realFlac: Array[Byte] = {
+    val rate = 48000L; val ch = 2L; val bits = 24L; val samples = 123456789L
+    val packed = (rate << 44) | ((ch - 1) << 41) | ((bits - 1) << 36) | samples
+    "fLaC".getBytes("US-ASCII") ++
+      Array[Byte](0x00, 0x00, 0x00, 0x22) ++          // STREAMINFO, len 34
+      Array.fill[Byte](10)(0) ++                      // block/frame sizes
+      (0 until 8).map(k => ((packed >>> (56 - 8 * k)) & 0xff).toByte) ++
+      Array.fill[Byte](16)(0)                         // md5 placeholder
+  }
+
+  test("audio_meta parses real WAV/AIFF/FLAC headers exactly") {
+    import graft.functions.AudioMetaExpr.parseHeader
+    def fields(b: Array[Byte]) = Option(parseHeader(b)).map(r =>
+      (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2),
+        r.getInt(3), r.getLong(4)))
+    assert(fields(realWav).contains(("wav", 2, 44100, 16, 100L)))
+    assert(fields(realAiff).contains(("aiff", 1, 8000, 16, 1234L)))
+    assert(fields(realFlac).contains(("flac", 2, 48000, 24, 123456789L)))
+    // odd-size chunk before fmt: walk must pad to even
+    val oddChunk = hexBytes(
+      "52494646 00000000 57415645" +
+        "4A554E4B 03000000 616263 00" +       // JUNK size 3 + pad byte
+        "666D7420 10000000 0100 0100 401F0000 803E0000 0200 1000" +
+        "64617461 C8000000")                  // 200 bytes / block 2 = 100
+    assert(fields(oddChunk).contains(("wav", 1, 8000, 16, 100L)))
+    // fractional AIFF rate (1.5 Hz): rejected, not rounded
+    assert(fields(hexBytes(
+      "464F524D 00000026 41494646" +
+        "434F4D4D 00000012 0001 000004D2 0010 3FFFC000000000000000")).isEmpty)
+    // truncation / garbage / missing chunks are NULL, never errors
+    assert(fields(realWav.take(20)).isEmpty)   // no fmt reached
+    assert(fields(realAiff.take(14)).isEmpty)
+    assert(fields(realFlac.take(10)).isEmpty)
+    assert(fields("not audio".getBytes("UTF-8")).isEmpty)
+    assert(fields(Array.emptyByteArray).isEmpty)
+    assert(Option(parseHeader(null)).isEmpty)
+  }
+
+  test("audioHeaderMeta over the media frame: parsed fields + duration") {
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, "audio/wav", realWav, MediaMeta("mic", None, None, Some(1L))),
+      MediaRow(2L, "audio/aiff", realAiff, MediaMeta("mic", None, None, None)),
+      MediaRow(3L, "audio/flac", realFlac, MediaMeta("mic", None, None, None)),
+      MediaRow(4L, "text/plain", "nope".getBytes("UTF-8"),
+        MediaMeta("mic", None, None, None)))
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_audiometa_${System.nanoTime()}")
+    try {
+      rows.toDS().write.mode("overwrite").parquet(dir.getAbsolutePath)
+      val got = Multimodal.audioHeaderMeta(spark.read.parquet(dir.getAbsolutePath))
+        .collect().map(r => r.getLong(0) ->
+          (Option(r.getAs[String]("format")), Option(r.getAs[Any]("duration_ms")))).toMap
+      assert(got(1L) == (Some("wav"), Some(100L * 1000L / 44100L)))  // 2 ms
+      assert(got(2L) == (Some("aiff"), Some(1234L * 1000L / 8000L))) // 154 ms
+      assert(got(3L) == (Some("flac"), Some(123456789L * 1000L / 48000L)))
+      assert(got(4L) == (None, None)) // corrupt row: NULLs, no failure
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
 }
