@@ -2505,6 +2505,48 @@ object Queries {
              ELSE 1000 + n_chars % 100000 END AS BIGINT) AS n_frames
       FROM documents) t"""))
 
+  /** The BPE oracle is GENERATED from the same merge table the Spark
+    * expression uses: per word, chars are framed with chr(1) separators
+    * and each merge becomes one nested replace() in rank order — the
+    * exact contract [[graft.functions.BpeEncode]] implements. */
+  private def bpeOracleSql(merges: Seq[(String, String)]): String = {
+    val inner = merges.foldLeft("d") { case (acc, (a, b)) =>
+      s"replace($acc, chr(1)||'$a'||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
+    }
+    s"""WITH doc AS (SELECT doc_id, lower(text) AS text FROM documents
+        WHERE length(trim(text)) > 0),
+      ws AS (SELECT doc_id, unnest(list_zip(
+            string_split_regex(trim(text), '\\s+'),
+            range(len(string_split_regex(trim(text), '\\s+'))))) AS p
+        FROM doc),
+      w AS (SELECT doc_id, CAST(p[2] AS INTEGER) AS wi, p[1] AS word
+        FROM ws WHERE p[1] <> ''),
+      framed AS (SELECT doc_id, wi,
+          chr(1) || array_to_string(regexp_extract_all(word, '.'), chr(1))
+            || chr(1) AS d
+        FROM w),
+      enc AS (SELECT doc_id, wi,
+          list_filter(string_split($inner, chr(1)), x -> x <> '') AS toks
+        FROM framed)
+      SELECT doc_id, CAST(SUM(len(toks)) AS BIGINT) AS n_bpe_tokens,
+        md5(string_agg(array_to_string(toks, ' '), ' ' ORDER BY wi))
+          AS tokens_md5
+      FROM enc GROUP BY doc_id"""
+  }
+
+  private val q106 = Q("q106_bpe_encode",
+    (s, d) => {
+      val toks = graft.functions.BpeEncode.bpeEncode(
+        lower(col("text")), graft.functions.BpeEncode.DemoMerges)
+      documents(s, d)
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), toks.as("__t"))
+        .select(col("doc_id"),
+          size(col("__t")).cast("long").as("n_bpe_tokens"),
+          md5(concat_ws(" ", col("__t"))).as("tokens_md5"))
+    },
+    Some(bpeOracleSql(graft.functions.BpeEncode.DemoMerges)))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2513,7 +2555,7 @@ object Queries {
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105)
+    q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
