@@ -1359,6 +1359,9 @@ object Queries {
     d.replaceAll("[^A-Za-z0-9]", "_") + "_" + digest
   }
 
+  private val stagedOrcDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
   private val stagedJsonlDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
@@ -2547,6 +2550,35 @@ object Queries {
     },
     Some(bpeOracleSql(graft.functions.BpeEncode.DemoMerges)))
 
+  /** ORC round trip: documents written lang-partitioned through
+    * OrcStore, read back with a partition-pruning filter; the per-group
+    * COUNT/SUM plus a 63-bit text-hash XOR prove the trip lossless
+    * against the parquet-derived oracle (XOR can't overflow and is
+    * order-independent — the right checksum for a shuffled read-back). */
+  private val q107 = Q("q107_orc_roundtrip",
+    (s, d) => {
+      val dir = Queries.stagedOrcDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_orc_${Queries.stagingSuffix(d)}")
+        graft.sources.OrcStore.save(documents(s, d), f.getAbsolutePath,
+          partitionCols = Seq("lang"))
+        f
+      })
+      graft.sources.OrcStore.load(s, dir.getAbsolutePath)
+        .where(col("lang") =!= "en")
+        .withColumn("__k",
+          graft.functions.StableId63.stableId63(col("text")))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("n_chars_total"),
+          expr("bit_xor(__k)").as("text_xor"))
+    },
+    Some("""SELECT lang, source, COUNT(*) AS n_docs,
+        CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+        bit_xor(CAST(CAST(('0x' || substring(md5(text), 1, 16)) AS UBIGINT)
+          % 9223372036854775808 AS BIGINT)) AS text_xor
+      FROM documents WHERE lang <> 'en' GROUP BY 1, 2"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2555,7 +2587,8 @@ object Queries {
     q55, q56, q57, q58, q59, q60, q61, q62, q63, q64, q65, q66, q67,
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
-    q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106)
+    q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
+    q107)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
