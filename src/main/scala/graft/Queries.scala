@@ -2579,6 +2579,35 @@ object Queries {
           % 9223372036854775808 AS BIGINT)) AS text_xor
       FROM documents WHERE lang <> 'en' GROUP BY 1, 2"""))
 
+  /** Epoch-tagged upsampling: quotas chosen to exercise every regime —
+    * multi-epoch + partial (src0), exactly-one-epoch (src1), downsample
+    * partial (src2), drop (src3), full epochs with no remainder (src4). */
+  private val q108 = Q("q108_upsample_epochs",
+    (s, d) => graft.operators.TrainingData
+      .upsampleToQuota(documents(s, d), "doc_id", "source",
+        Map("src0" -> 60L, "src1" -> 25L, "src2" -> 5L, "src3" -> 0L,
+          "src4" -> 100L))
+      .select(col("doc_id"), col("source"), col("lang"),
+        col("epoch").cast(IntegerType).as("epoch")),
+    Some("""WITH spec AS (SELECT * FROM (VALUES
+          ('src0', 60), ('src1', 25), ('src2', 5), ('src3', 0),
+          ('src4', 100)) AS t(dom, quota)),
+      p AS (SELECT c.dom, c.cnt,
+              s.quota // c.cnt AS f,
+              CAST(CAST(s.quota % c.cnt AS HUGEINT) * 9223372036854775808
+                   // c.cnt AS BIGINT) AS thr
+            FROM (SELECT source AS dom, COUNT(*) AS cnt
+                  FROM documents GROUP BY 1) c
+            JOIN spec s ON c.dom = s.dom),
+      n AS (SELECT d.doc_id, d.source, d.lang,
+              p.f + CASE WHEN
+                CAST(CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)),
+                  1, 16)) AS UBIGINT) % 9223372036854775808 AS BIGINT) < p.thr
+                THEN 1 ELSE 0 END AS n
+            FROM documents d JOIN p ON d.source = p.dom)
+      SELECT doc_id, source, lang, CAST(unnest(range(n)) AS INTEGER) AS epoch
+      FROM n WHERE n > 0"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2588,7 +2617,7 @@ object Queries {
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-    q107)
+    q107, q108)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

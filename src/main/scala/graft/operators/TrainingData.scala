@@ -421,6 +421,48 @@ object TrainingData {
     df.where(quotaKeep(idCol, domainCol, counts, quotas))
   }
 
+  /** Upsampling by replication — the half of the mixing problem
+    * [[mixToQuotas]] can't reach: a quota ABOVE a domain's count
+    * replicates every doc ⌊quota/count⌋ times (tagged with an `epoch`
+    * column, 0-based, so the training loader can interleave epochs) and
+    * fills the remainder with one partial epoch selected by the same
+    * deterministic 63-bit threshold. Quotas below the count degrade to
+    * exactly [[mixToQuotas]]'s behavior (zero full epochs, one partial).
+    * Domains absent from `quotas` drop; output size per domain lands at
+    * ~quota docs. Selection is quota-monotone: raising a quota only adds
+    * (doc, epoch) rows, never churns existing ones.
+    *
+    * Scale shape: the count aggregate is one lean job (≤ |quotas| rows
+    * of driver state); the replication itself is a narrow
+    * explode(sequence(0, n-1)) in the scan — no join, no shuffle, and
+    * the fan-out is exactly the requested oversampling factor, applied
+    * where the data lives rather than in the loader. */
+  def upsampleToQuota(df: DataFrame, idCol: String, domainCol: String,
+                      quotas: Map[String, Long]): DataFrame = {
+    require(quotas.nonEmpty, "empty upsampling spec")
+    quotas.foreach { case (dom, q) =>
+      require(q >= 0, s"negative quota for '$dom': $q") }
+    val doms = quotas.keys.toSeq
+    val counts = df.where(col(domainCol).isin(doms: _*))
+      .groupBy(col(domainCol)).agg(count(lit(1)).as("__cnt"))
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    // per-domain (full epochs, partial-epoch threshold), exact integers
+    val key = StableId63.stableId63(col(idCol).cast("string"))
+    val nCopies = counts.foldLeft(lit(0)) { case (acc, (dom, cnt)) =>
+      val q = quotas(String.valueOf(dom))
+      val full = (q / cnt).toInt
+      val rem = q % cnt
+      val thr = ((BigInt(rem) << 63) / cnt).toLong
+      val n = lit(full) +
+        (if (rem == 0L) lit(0) else when(key < lit(thr), 1).otherwise(0))
+      when(col(domainCol) === lit(dom), n).otherwise(acc)
+    }
+    df.withColumn("__n", nCopies)
+      .where(col("__n") > 0)
+      .withColumn("epoch", explode(sequence(lit(0), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Exact-count domain quotas: [[mixToQuotas]] lands NEAR its quota (a
     * rate-based narrow filter — binomial spread around the target); this
     * variant selects EXACTLY min(quota_d, count_d) docs per domain,

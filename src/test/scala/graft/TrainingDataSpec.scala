@@ -794,4 +794,37 @@ class TrainingDataSpec extends SparkSpec {
       TrainingData.mixByTemperature(skewed, "doc_id", "dom", 0.0, 50L)
     }
   }
+
+  test("upsampleToQuota: full epochs + partial, contiguous, monotone, narrow") {
+    import spark.implicits._
+    val corpus = ((1L to 10L).map(i => (i, "low")) ++
+      (11L to 40L).map(i => (i, "high"))).toDF("doc_id", "dom")
+    def rows(quotas: Map[String, Long]): Seq[(Long, String, Int)] =
+      TrainingData.upsampleToQuota(corpus, "doc_id", "dom", quotas)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSeq
+    // quota 35 over 10 docs: 3 full epochs for everyone + ~5 partial
+    val up = rows(Map("low" -> 35L))
+    val byDoc = up.groupBy(_._1).view.mapValues(_.map(_._3).sorted).toMap
+    assert(byDoc.size == 10)
+    assert(byDoc.values.forall(es => es == (0 until es.length)), // contiguous
+      byDoc.toString)
+    assert(byDoc.values.forall(es => es.length == 3 || es.length == 4))
+    assert(up.size >= 30 && up.size <= 40)
+    // exact multiple: no partial epoch at all
+    assert(rows(Map("low" -> 20L)).size == 20)
+    // quota below count: one partial epoch, a strict subset of the docs
+    val down = rows(Map("high" -> 10L))
+    assert(down.forall(_._3 == 0) && down.size < 30 && down.nonEmpty)
+    // monotone in quota: (doc, epoch) rows only ever get added
+    assert(rows(Map("low" -> 20L)).toSet.subsetOf(rows(Map("low" -> 35L)).toSet))
+    // whitelist: unlisted domain drops entirely
+    assert(rows(Map("low" -> 5L)).forall(_._2 == "low"))
+    // narrow plan: the replication is explode-in-scan, no join/exchange
+    val plan = TrainingData.upsampleToQuota(corpus, "doc_id", "dom",
+      Map("low" -> 35L)).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Join"), plan.take(800))
+    intercept[IllegalArgumentException] {
+      TrainingData.upsampleToQuota(corpus, "doc_id", "dom", Map("low" -> -1L))
+    }
+  }
 }
