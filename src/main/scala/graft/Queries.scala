@@ -2339,13 +2339,24 @@ object Queries {
       val views = stream().filter(col("event_type") === "view")
       val purchases = stream().filter(col("event_type") === "purchase")
       val sink = "graft_q102_sink"
-      val q = graft.streaming.EventStreams
-        .intervalJoin(views, purchases, horizon = "30 minutes")
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // the stream-stream join runs one state-store instance per shuffle
+      // partition PER SIDE; at the drain-one-batch scale the per-instance
+      // commit cost dominates the join itself, so pin the streaming
+      // query's parallelism low and restore the session setting after
+      // (the conf is read at query START, so the restore can't race)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      try {
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q = graft.streaming.EventStreams
+          .intervalJoin(views, purchases, horizon = "30 minutes")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        // restore only after the drain: micro-batch planning is async,
+        // so an earlier restore could race the conf read
+        q.awaitTermination()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(sink).groupBy(col("effect_id").as("purchase_id"))
         .agg(count(lit(1)).as("n_views"),
           min(col("cause_id")).as("min_view_id"))
@@ -2608,6 +2619,65 @@ object Queries {
       SELECT doc_id, source, lang, CAST(unnest(range(n)) AS INTEGER) AS epoch
       FROM n WHERE n > 0"""))
 
+  /** Cohort retention matrix (classic BI over the events stream): users
+    * bucketed by first-seen ISO week, counted in every week they return.
+    * Two aggregates + one equi-join on user_id — the join key is the
+    * natural partitioning, and both sides are (user, week)-sized, never
+    * event-sized. */
+  private val q109 = Q("q109_cohort_retention",
+    (s, d) => {
+      val ev = events(s, d)
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(date_trunc("week", col("ts"))).as("cohort_week"))
+      val active = ev.select(col("user_id"),
+        date_trunc("week", col("ts")).as("active_week")).distinct()
+      active.join(cohort, Seq("user_id"))
+        .groupBy(col("cohort_week"), col("active_week"))
+        .agg(count(lit(1)).as("n_users"))
+        .select(date_format(col("cohort_week"), "yyyy-MM-dd").as("cohort_week"),
+          expr("CAST(datediff(active_week, cohort_week) DIV 7 AS INT)")
+            .as("week_offset"),
+          col("n_users"))
+    },
+    Some("""WITH c AS (SELECT user_id, min(date_trunc('week', ts)) AS cw
+          FROM events GROUP BY 1),
+      a AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS aw FROM events)
+      SELECT strftime(c.cw, '%Y-%m-%d') AS cohort_week,
+        CAST(date_diff('day', c.cw, a.aw) // 7 AS INTEGER) AS week_offset,
+        COUNT(*) AS n_users
+      FROM a JOIN c USING (user_id) GROUP BY 1, 2"""))
+
+  /** Strict-order funnel: first view, first click AFTER that view, first
+    * purchase AFTER that click — each stage a per-user min over a
+    * filtered slice joined back on user_id (per-user frames are tiny;
+    * the three shuffles share one key). Counts only — no float. */
+  private val q110 = Q("q110_funnel",
+    (s, d) => {
+      val ev = events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val g1 = ev.where(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val g2 = ev.where(col("event_type") === "click")
+        .join(g1, Seq("user_id")).where(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val g3 = ev.where(col("event_type") === "purchase")
+        .join(g2, Seq("user_id")).where(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      g1.agg(count(lit(1)).as("n_viewed")).crossJoin(
+        g2.agg(count(lit(1)).as("n_clicked_after")).crossJoin(
+          g3.agg(count(lit(1)).as("n_purchased_after"))))
+    },
+    Some("""WITH g1 AS (SELECT user_id, min(ts) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+      g2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+          JOIN g1 ON e.user_id = g1.user_id
+          WHERE e.event_type = 'click' AND e.ts > g1.t1 GROUP BY 1),
+      g3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+          JOIN g2 ON e.user_id = g2.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > g2.t2 GROUP BY 1)
+      SELECT (SELECT COUNT(*) FROM g1) AS n_viewed,
+        (SELECT COUNT(*) FROM g2) AS n_clicked_after,
+        (SELECT COUNT(*) FROM g3) AS n_purchased_after"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2617,7 +2687,7 @@ object Queries {
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-    q107, q108)
+    q107, q108, q109, q110)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
