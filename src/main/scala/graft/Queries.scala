@@ -1073,12 +1073,13 @@ object Queries {
       val ev = if (rawSchema("ts").dataType == LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) else raw
       val sink = "graft_q58_sink"
-      val q = graft.streaming.EventStreams.hourlyAgg(ev)
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      Queries.withStreamingParallelism(s) {
+        graft.streaming.EventStreams.hourlyAgg(ev)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       s.table(sink)
         .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
           col("event_type"), col("n"), col("total_value"))
@@ -1106,14 +1107,15 @@ object Queries {
       val ev = if (rawSchema("ts").dataType == LongType)
         raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) else raw
       val sink = "graft_q71_sink"
-      val q = graft.streaming.EventStreams
-        .dedupedEvents(ev, watermarkHorizon = "87600 hours")
-        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("complete")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      Queries.withStreamingParallelism(s) {
+        graft.streaming.EventStreams
+          .dedupedEvents(ev, watermarkHorizon = "87600 hours")
+          .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       s.table(sink)
     },
     Some("SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type"))
@@ -1141,13 +1143,14 @@ object Queries {
           col("event_type"), col("value"))
         .as[graft.streaming.EventStreams.Event]
       val sink = "graft_q65_sink"
-      val q = graft.streaming.EventStreams.sessionize(ev, gapMinutes = 30)
-        .toDF()
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("update")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      Queries.withStreamingParallelism(s) {
+        graft.streaming.EventStreams.sessionize(ev, gapMinutes = 30)
+          .toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
       // one drained batch → one (final) row per user; the max-agg keeps
       // the reduction robust if the source ever arrives as several files
       s.table(sink).groupBy(col("user_id"))
@@ -1357,6 +1360,24 @@ object Queries {
     val digest = java.security.MessageDigest.getInstance("SHA-256")
       .digest(d.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     d.replaceAll("[^A-Za-z0-9]", "_") + "_" + digest
+  }
+
+  /** Every stateful streaming op runs one state-store instance per
+    * shuffle partition (per side, for joins); draining one staged batch
+    * makes the per-instance open/commit cost dominate the actual work at
+    * 32 partitions. Pin the streaming query's parallelism low for the
+    * start+drain, restore after — restore must wait for the DRAIN, not
+    * just start(): micro-batch planning is async and reads the conf then.
+    * On a real continuous cluster deployment the right setting is the
+    * cluster's core count; this is the drain-one-batch harness tuning. */
+  private[graft] def withStreamingParallelism(
+      s: SparkSession, n: Int = 8)(
+      start: => org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", n.toString)
+      start.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   private val stagedOrcDir =
@@ -2339,24 +2360,14 @@ object Queries {
       val views = stream().filter(col("event_type") === "view")
       val purchases = stream().filter(col("event_type") === "purchase")
       val sink = "graft_q102_sink"
-      // the stream-stream join runs one state-store instance per shuffle
-      // partition PER SIDE; at the drain-one-batch scale the per-instance
-      // commit cost dominates the join itself, so pin the streaming
-      // query's parallelism low and restore the session setting after
-      // (the conf is read at query START, so the restore can't race)
-      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-      try {
-        s.conf.set("spark.sql.shuffle.partitions", "8")
-        val q = graft.streaming.EventStreams
+      Queries.withStreamingParallelism(s) {
+        graft.streaming.EventStreams
           .intervalJoin(views, purchases, horizon = "30 minutes")
           .writeStream.format("memory").queryName(sink)
           .outputMode("append")
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
-        // restore only after the drain: micro-batch planning is async,
-        // so an earlier restore could race the conf read
-        q.awaitTermination()
-      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      }
       s.table(sink).groupBy(col("effect_id").as("purchase_id"))
         .agg(count(lit(1)).as("n_views"),
           min(col("cause_id")).as("min_view_id"))
