@@ -2689,6 +2689,28 @@ object Queries {
         (SELECT COUNT(*) FROM g2) AS n_clicked_after,
         (SELECT COUNT(*) FROM g3) AS n_purchased_after"""))
 
+  /** Contrastive triplets: positive = rank 1, hard negative = rank m+1
+    * of the exact cosine ranking (m = 5 → rank 6). */
+  private val q111 = Q("q111_triplet_mining",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      graft.operators.Similarity.tripletMine(
+        emb, emb.where(col("vec_id") < 10), "vec_id", "embedding", m = 5)
+    },
+    Some("""WITH q0 AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id < 10),
+      q AS (SELECT q_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS qv FROM q0),
+      c0 AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      c AS (SELECT n_id, list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv FROM c0),
+      scored AS (SELECT q_id, n_id, list_dot_product(qv, cv) AS cos
+        FROM c, q WHERE q_id <> n_id),
+      r AS (SELECT q_id, n_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored)
+      SELECT p.q_id, p.n_id AS pos_id, ROUND(p.cos, 6) AS pos_cos,
+        n.n_id AS neg_id, ROUND(n.cos, 6) AS neg_cos
+      FROM (SELECT * FROM r WHERE rank = 1) p
+      JOIN (SELECT * FROM r WHERE rank = 6) n USING (q_id)"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2698,7 +2720,7 @@ object Queries {
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-    q107, q108, q109, q110)
+    q107, q108, q109, q110, q111)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

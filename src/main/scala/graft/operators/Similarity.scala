@@ -55,6 +55,29 @@ object Similarity {
     topKRank(scored, k)
   }
 
+  /** Contrastive triplet mining over an embedding table: per query,
+    * positive = the exact nearest neighbor (rank 1), hard negative = the
+    * strongest candidate just OUTSIDE the top-`m` (rank m+1) — the
+    * classic hard-negative rule: similar enough to be informative,
+    * excluded from the positive set by a margin of m ranks. Queries with
+    * fewer than m+1 candidates drop (no fabricated negatives).
+    *
+    * Exactness/scale: this is the verify-stage EXACT path ([[bruteTopK]]
+    * underneath — normalized once, ordered-fold dots, bounded-heap
+    * ranking); at corpus scale run the identical rank-1 / rank-(m+1)
+    * selection over [[graft.operators.IvfIndex]] or LSH candidates
+    * instead — the selection composes with any ranked candidate frame. */
+  def tripletMine(corpus: DataFrame, queries: DataFrame, idCol: String,
+                  vecCol: String, m: Int): DataFrame = {
+    require(m >= 1, s"m must be >= 1: $m")
+    val ranked = bruteTopK(corpus, queries, idCol, vecCol, m + 1)
+    val pos = ranked.where(col("rank") === 1)
+      .select(col("q_id"), col("n_id").as("pos_id"), col("cos").as("pos_cos"))
+    val neg = ranked.where(col("rank") === m + 1)
+      .select(col("q_id"), col("n_id").as("neg_id"), col("cos").as("neg_cos"))
+    pos.join(neg, Seq("q_id"))
+  }
+
   /** Deterministic pseudo-random hyperplanes: weight(plane j, dim i) derived
     * from a fixed integer hash, in [-1, 1]. No RNG — reproducible. */
   def planes(nPlanes: Int, dim: Int): Seq[Seq[Double]] =

@@ -35,4 +35,28 @@ class IvfIndexSpec extends SparkSpec {
     // neighbors are weakly clustered, so probing half the cells must still
     // recover at least half the true top-5
   }
+
+  test("tripletMine: positive = rank 1, hard negative = rank m+1, margin holds") {
+    import spark.implicits._
+    // 2-D unit vectors at known angles from the anchor (id 0 at 0 rad):
+    // cosine ranking is the angle ranking, hand-checkable
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(math.cos(0.1).toFloat, math.sin(0.1).toFloat)), // rank 1
+      (2L, Array(math.cos(0.3).toFloat, math.sin(0.3).toFloat)), // rank 2
+      (3L, Array(math.cos(0.6).toFloat, math.sin(0.6).toFloat)), // rank 3
+      (4L, Array(math.cos(1.0).toFloat, math.sin(1.0).toFloat)), // rank 4
+      (5L, Array(math.cos(1.4).toFloat, math.sin(1.4).toFloat))) // rank 5
+      .toDF("vec_id", "embedding")
+    val t = Similarity.tripletMine(vecs, vecs.where(col("vec_id") === 0L),
+      "vec_id", "embedding", m = 2)
+    val row = t.collect().head
+    assert(row.getAs[Long]("pos_id") == 1L)  // nearest
+    assert(row.getAs[Long]("neg_id") == 3L)  // just outside top-2
+    assert(row.getAs[Double]("pos_cos") > row.getAs[Double]("neg_cos"))
+    // fewer than m+1 candidates -> the query drops, nothing fabricated
+    val tiny = vecs.where(col("vec_id") <= 1L)
+    assert(Similarity.tripletMine(tiny, tiny.where(col("vec_id") === 0L),
+      "vec_id", "embedding", m = 2).count() == 0L)
+  }
 }
