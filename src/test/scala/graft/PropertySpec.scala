@@ -209,4 +209,57 @@ class PropertySpec extends SparkSpec {
       assert(bloom == exact, s"fpp=$fpp")
     }
   }
+
+  test("dedupSegmentsGlobal conserves exactly the distinct-segment mass") {
+    // on fuzzed corpora: kept segments == distinct segments of the whole
+    // corpus (first-occurrence semantics drop repeats, nothing else)
+    val segGen = Gen.oneOf("alpha beta", "gamma delta", "epsilon zeta",
+      "eta theta", "iota kappa")
+    val docGen = Gen.nonEmptyListOf(segGen).map(_.mkString(". "))
+    val rows = sample(docGen, 60).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val df = rows.toDF("doc_id", "text")
+    val out = graft.operators.TrainingData
+      .dedupSegmentsGlobal(df, "doc_id", "text")
+    val keptTotal = out.agg(sum("n_kept")).head().getLong(0)
+    val distinctSegs = rows.flatMap(_._2.split("\\. ")).map(_.trim)
+      .filter(_.nonEmpty).distinct.size
+    assert(keptTotal == distinctSegs.toLong, s"$keptTotal vs $distinctSegs")
+  }
+
+  test("Expectations.validate equals naive driver-side counting on fuzzed frames") {
+    import graft.operators.Expectations._
+    val rowGen = Gen.zip(Gen.chooseNum(1L, 20L), Gen.option(Gen.chooseNum(1L, 8L)),
+      Gen.oneOf("OK", "BAD", "ok"), Gen.chooseNum(-50.0, 150.0))
+    val rows = sample(rowGen, 200)
+    val df = rows.toDF("id", "fk", "status", "price")
+    val ref = Seq(1L, 2L, 3L, 4L).toDF("k")
+    val got = graft.operators.Expectations.validate(df, Seq(
+      NotNull("fk"), InRange("price", 0.0, 100.0), InSet("status", Seq("OK")),
+      Unique(Seq("id")), RefIntegrity("fk", ref, "k")))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got("not_null") == rows.count(_._2.isEmpty).toLong)
+    assert(got("in_range") == rows.count(r => r._4 < 0.0 || r._4 > 100.0).toLong)
+    assert(got("in_set") == rows.count(_._3 != "OK").toLong)
+    assert(got("unique") ==
+      (rows.size - rows.map(_._1).distinct.size).toLong)
+    assert(got("ref_integrity") ==
+      rows.count(r => r._2.exists(v => v > 4L)).toLong)
+  }
+
+  test("upsampleToQuota output per domain is exactly derivable from counts") {
+    val quota = 37L
+    val rows = sample(Gen.chooseNum(1L, 1000L), 80).distinct
+      .map(id => (id, "d"))
+    val df = rows.toDF("doc_id", "dom")
+    val cnt = rows.size.toLong
+    val out = graft.operators.TrainingData
+      .upsampleToQuota(df, "doc_id", "dom", Map("d" -> quota))
+    val full = quota / cnt
+    // full epochs contribute exactly cnt rows each; the partial epoch is
+    // threshold-selected, so bound it rather than pin it
+    val n = out.count()
+    assert(n >= full * cnt && n <= (full + 1) * cnt, s"n=$n cnt=$cnt")
+    // every doc appears in every full epoch
+    assert(out.where(col("epoch") < full).count() == full * cnt)
+  }
 }
