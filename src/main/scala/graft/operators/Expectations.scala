@@ -41,11 +41,14 @@ object Expectations {
     * [[NotNull]] when they should). */
   final case class InRange(column: String, lo: Double, hi: Double)
       extends Expectation {
+    require(lo <= hi, s"in_range($column): empty range [$lo, $hi]")
     def checkName = "in_range"; def targetCol = column
   }
   /** Column value must be one of `values`; nulls don't violate. */
   final case class InSet(column: String, values: Seq[String])
       extends Expectation {
+    require(values.nonEmpty,
+      s"in_set($column): empty value set would flag every row")
     def checkName = "in_set"; def targetCol = column
   }
   /** String column must match `pattern` (substring semantics — anchor

@@ -438,14 +438,25 @@ object TrainingData {
     * the fan-out is exactly the requested oversampling factor, applied
     * where the data lives rather than in the loader. */
   def upsampleToQuota(df: DataFrame, idCol: String, domainCol: String,
-                      quotas: Map[String, Long]): DataFrame = {
+                      quotas: Map[String, Long],
+                      maxReplication: Long = 1000L): DataFrame = {
     require(quotas.nonEmpty, "empty upsampling spec")
+    require(maxReplication >= 1, s"maxReplication must be >= 1: $maxReplication")
     quotas.foreach { case (dom, q) =>
       require(q >= 0, s"negative quota for '$dom': $q") }
     val doms = quotas.keys.toSeq
     val counts = df.where(col(domainCol).isin(doms: _*))
       .groupBy(col(domainCol)).agg(count(lit(1)).as("__cnt"))
       .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    // the fan-out bound is ENFORCED: a quota orders of magnitude above a
+    // domain's count means a mis-sized spec (or a collapsed domain), and
+    // silently exploding count×10^6 rows is the wrong way to find out
+    counts.foreach { case (dom, cnt) =>
+      val q = quotas(String.valueOf(dom))
+      require(q / cnt <= maxReplication,
+        s"upsampleToQuota: domain '$dom' would replicate ${q / cnt}× " +
+          s"(quota $q over $cnt docs) > maxReplication=$maxReplication — " +
+          "raise maxReplication deliberately if this oversampling is intended") }
     // per-domain (full epochs, partial-epoch threshold), exact integers
     val key = StableId63.stableId63(col(idCol).cast("string"))
     val nCopies = counts.foldLeft(lit(0)) { case (acc, (dom, cnt)) =>

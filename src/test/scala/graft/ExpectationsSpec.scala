@@ -66,4 +66,9 @@ class ExpectationsSpec extends SparkSpec {
       Expectations.validate(fixture, Seq.empty)
     }
   }
+
+  test("degenerate check definitions fail at construction, not at count time") {
+    intercept[IllegalArgumentException] { InRange("price", 10.0, 1.0) }
+    intercept[IllegalArgumentException] { InSet("status", Seq.empty) }
+  }
 }

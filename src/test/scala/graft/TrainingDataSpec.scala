@@ -826,5 +826,12 @@ class TrainingDataSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TrainingData.upsampleToQuota(corpus, "doc_id", "dom", Map("low" -> -1L))
     }
+    // the fan-out guard fires at maxReplication+1 and a deliberate raise passes
+    intercept[IllegalArgumentException] {
+      TrainingData.upsampleToQuota(corpus, "doc_id", "dom",
+        Map("low" -> (10L * 1001L)))
+    }
+    assert(TrainingData.upsampleToQuota(corpus, "doc_id", "dom",
+      Map("low" -> (10L * 1001L)), maxReplication = 1001L).count() == 10010L)
   }
 }
