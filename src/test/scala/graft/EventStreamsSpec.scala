@@ -153,4 +153,30 @@ class EventStreamsSpec extends SparkSpec {
     // (not 4: causes must precede); purchase 13 <- view 5 (>= boundary in)
     assert(got == Set((10L, 1L), (10L, 2L), (12L, 3L), (13L, 5L)))
   }
+
+  test("interval join buffers state across micro-batches") {
+    // causes arrive in batch 1, the matching effect only in batch 2: the
+    // pair must still emit — the join's buffered (watermark-bounded)
+    // state is what makes the operator correct under out-of-order arrival
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.Event
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    views.addData(Event(1, ts("2024-02-01 09:00:00"), 7, "view", 0))
+    val q = EventStreams.intervalJoin(views.toDF(), purchases.toDF(),
+        horizon = "30 minutes")
+      .writeStream.format("memory").queryName("attrib2").outputMode("append")
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("attrib2").isEmpty) // no effect yet
+      purchases.addData(Event(20, ts("2024-02-01 09:10:00"), 7, "purchase", 0))
+      q.processAllAvailable()
+      val got = spark.table("attrib2")
+        .select($"effect_id", $"cause_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((20L, 1L)))
+    } finally q.stop()
+  }
 }
