@@ -2048,7 +2048,7 @@ object Queries {
   // sub-ulp ln() divergence must not reach a compared value).
   // shared by q87 (fused train+score) and q93 (score against a PARQUET
   // round-tripped LM): same reference, same model, same exact result
-  private val lmQualityOracle: String = """WITH ref AS (SELECT tok AS token
+  private val lmQualityCtes: String = """ref AS (SELECT tok AS token
           FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
                 FROM documents) WHERE tok <> ''),
       n AS (SELECT COUNT(*) AS nn FROM ref),
@@ -2069,11 +2069,16 @@ object Queries {
       g AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
               CAST(SUM(CASE WHEN in_vocab THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
               CAST(SUM(t_nll) * 1000000 AS BIGINT) AS sm
-            FROM j GROUP BY doc)
-      SELECT doc, n_tokens, n_oov,
-        CAST((sm * 2 + n_tokens) // (n_tokens * 2) AS DOUBLE) / 1000000.0
-          AS avg_nll
-      FROM g"""
+            FROM j GROUP BY doc),
+      g2 AS (SELECT doc, n_tokens, n_oov,
+              CAST((sm * 2 + n_tokens) // (n_tokens * 2) AS BIGINT) AS micro
+            FROM g),
+      scored AS (SELECT doc, n_tokens, n_oov, micro,
+              CAST(micro AS DOUBLE) / 1000000.0 AS avg_nll
+            FROM g2)"""
+
+  private val lmQualityOracle: String =
+    s"WITH $lmQualityCtes SELECT doc, n_tokens, n_oov, avg_nll FROM scored"
 
   private val q87 = Q("q87_lm_quality",
     (s, d) => {
@@ -2711,6 +2716,34 @@ object Queries {
       FROM (SELECT * FROM r WHERE rank = 1) p
       JOIN (SELECT * FROM r WHERE rank = 6) n USING (q_id)"""))
 
+  /** CCNet head/middle/tail perplexity thirds per language — q87's LM
+    * scores cut by the exact histogram-rank protocol. */
+  private val q112 = Q("q112_perplexity_buckets",
+    (s, d) => {
+      val docs = documents(s, d)
+      val lm = graft.operators.TrainingData
+        .trainQualityLm(docs, "text", vocabSize = 2000, alpha = 0.5)
+      graft.operators.TrainingData
+        .perplexityBuckets(docs, "doc_id", "text", "lang", lm)
+    },
+    Some(s"""WITH $lmQualityCtes,
+      s AS (SELECT sc.doc, d.lang, sc.n_tokens, sc.n_oov, sc.avg_nll,
+              sc.micro
+            FROM scored sc JOIN documents d ON sc.doc = d.doc_id
+            WHERE d.lang IS NOT NULL),
+      hist AS (SELECT lang, micro, COUNT(*) AS c FROM s GROUP BY 1, 2),
+      cum AS (SELECT lang, micro,
+          SUM(c) OVER (PARTITION BY lang ORDER BY micro) AS cum,
+          SUM(c) OVER (PARTITION BY lang) AS n FROM hist),
+      cuts AS (SELECT lang,
+          MIN(CASE WHEN cum >= (n + 2) // 3 THEN micro END) AS cut1,
+          MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN micro END) AS cut2
+        FROM cum GROUP BY lang)
+      SELECT s.doc, s.lang, s.n_tokens, s.n_oov, s.avg_nll,
+        CASE WHEN s.micro <= c.cut1 THEN 'head'
+             WHEN s.micro <= c.cut2 THEN 'middle' ELSE 'tail' END AS bucket
+      FROM s JOIN cuts c USING (lang)"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2720,7 +2753,7 @@ object Queries {
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-    q107, q108, q109, q110, q111)
+    q107, q108, q109, q110, q111, q112)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

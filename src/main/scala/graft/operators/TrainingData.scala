@@ -993,6 +993,67 @@ object TrainingData {
           .cast("double") / lit(1000000.0)).as("avg_nll"))
   }
 
+  /** CCNet-style per-domain perplexity bucketing (Wenzek et al., LREC
+    * 2020 §4.3): rank every document by its [[lmQualityScore]] mean NLL
+    * within its domain and cut the ranking into head / middle / tail
+    * thirds — the curation signal CCNet filters Common Crawl with
+    * (train on head+middle, drop or re-weight tail).
+    *
+    * Exact-cutoff protocol (the q73 histogram rule, not a per-domain
+    * window): one bounded aggregate over `(domain, exact micro-NLL)`
+    * pairs → driver derives the two rank cutoffs per domain in integer
+    * arithmetic (cut_k = smallest NLL whose cumulative count reaches
+    * ⌈k·n/3⌉; ties land in the lower bucket together — a value is never
+    * split) → bucket assignment is a broadcast when-chain in the scan.
+    * No domain ever sorts its corpus. `maxDistinct` bounds the collected
+    * histogram and fails loudly past it. The scored frame is
+    * materialized once (localCheckpoint) so the corpus is not tokenized
+    * twice for histogram + assignment. */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+                        domainCol: String, lm: DataFrame,
+                        maxDistinct: Int = 2000000): DataFrame = {
+    val scored = docs
+      .select(col(idCol).as("doc"), col(domainCol).as("__dom"))
+      .where(col("__dom").isNotNull)
+      .join(lmQualityScore(docs, idCol, textCol, lm), Seq("doc"))
+      // exact micro-NLL: avg_nll IS micro/10^6 (one exact IEEE divide),
+      // so round(avg_nll * 10^6) recovers the integer exactly
+      .withColumn("__micro",
+        round(col("avg_nll") * lit(1000000.0)).cast("long"))
+      .localCheckpoint(true)
+    val hist = scored.groupBy(col("__dom"), col("__micro"))
+      .agg(count(lit(1)).as("__c")).collect()
+    require(hist.length <= maxDistinct,
+      s"perplexityBuckets: ${hist.length} distinct (domain, nll) pairs > " +
+        s"maxDistinct=$maxDistinct — raise it deliberately or coarsen the score")
+    val cuts: Map[Any, (Long, Long)] = hist.groupBy(_.get(0)).map {
+      case (dom, rows) =>
+        val sorted = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+        val n = sorted.iterator.map(_._2).sum
+        val k1 = (n + 2) / 3       // ceil(n/3)
+        val k2 = (2 * n + 2) / 3   // ceil(2n/3)
+        var cum = 0L
+        var c1 = Long.MaxValue
+        var c2 = Long.MaxValue
+        sorted.foreach { case (m, c) =>
+          val prev = cum
+          cum += c
+          if (prev < k1 && cum >= k1) c1 = m
+          if (prev < k2 && cum >= k2) c2 = m
+        }
+        dom -> (c1, c2)
+    }
+    val bucket = cuts.foldLeft(lit(null).cast("string")) {
+      case (acc, (dom, (c1, c2))) =>
+        when(col("__dom") === lit(dom),
+          when(col("__micro") <= c1, "head")
+            .when(col("__micro") <= c2, "middle")
+            .otherwise("tail")).otherwise(acc)
+    }
+    scored.select(col("doc"), col("__dom").as(domainCol), col("n_tokens"),
+      col("n_oov"), col("avg_nll"), bucket.as("bucket"))
+  }
+
   /** BPE merge-pair statistics — the counting core of byte-pair-encoding
     * tokenizer training: adjacent symbol-pair frequencies over the word
     * VOCABULARY, each pair weighted by its word's corpus frequency. The

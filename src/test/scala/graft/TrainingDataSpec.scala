@@ -834,4 +834,42 @@ class TrainingDataSpec extends SparkSpec {
     assert(TrainingData.upsampleToQuota(corpus, "doc_id", "dom",
       Map("low" -> (10L * 1001L)), maxReplication = 1001L).count() == 10010L)
   }
+
+  test("perplexityBuckets: exact thirds, ties stay together, no Window") {
+    import spark.implicits._
+    // 9 docs, one domain: doc i carries i copies of its own rare token,
+    // so every doc's MEAN NLL is distinct (different common/rare mix) and
+    // the thirds are exact
+    val docs = (1L to 9L).map { i =>
+      (i, ("common " * 8) + (s"rare$i " * i.toInt).trim, "d")
+    }.toDF("doc_id", "text", "dom")
+    val lm = TrainingData.trainQualityLm(docs, "text", vocabSize = 4)
+    val out = TrainingData.perplexityBuckets(docs, "doc_id", "text", "dom", lm)
+    val buckets = out.collect()
+      .map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(buckets.size == 9)
+    assert(buckets.values.count(_ == "head") == 3)
+    assert(buckets.values.count(_ == "middle") == 3)
+    assert(buckets.values.count(_ == "tail") == 3)
+    // identical docs share an NLL value — a value never splits across
+    // buckets, so 6 clones + 3 distinct = clones all in one bucket set
+    val tied = ((1L to 6L).map(i => (i, "same text here", "d")) ++
+      (7L to 9L).map(i => (i, ("x " * 6) + s"u$i", "d")))
+      .toDF("doc_id", "text", "dom")
+    val lmT = TrainingData.trainQualityLm(tied, "text", vocabSize = 4)
+    val outT = TrainingData.perplexityBuckets(tied, "doc_id", "text", "dom", lmT)
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    val cloneBuckets = (1L to 6L).map(outT).toSet
+    assert(cloneBuckets.size == 1, s"tied docs split: $outT")
+    // null-domain rows drop
+    val withNull = docs.union(Seq((99L, "common x", null: String))
+      .toDF("doc_id", "text", "dom"))
+    assert(!TrainingData.perplexityBuckets(withNull, "doc_id", "text", "dom", lm)
+      .collect().map(_.getLong(0)).contains(99L))
+    // assignment is a broadcast when-chain over the checkpointed scores:
+    // no Window, no sort-merge join in the returned plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
+      plan.take(800))
+  }
 }
