@@ -2744,6 +2744,25 @@ object Queries {
              WHEN s.micro <= c.cut2 THEN 'middle' ELSE 'tail' END AS bucket
       FROM s JOIN cuts c USING (lang)"""))
 
+  /** Per-doc n-gram novelty vs the q62 reference slice — the continuous
+    * decontamination signal (novelty = share of distinct 3-gram shingles
+    * unseen in the reference). */
+  private val q113 = Q("q113_novelty_score",
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.operators.Dedup.noveltyScore(docs,
+        docs.where(col("doc_id") < 20), "doc_id", "text", ngram = 3)
+    },
+    Some(s"""WITH $shingleCte,
+      ref_h AS (SELECT DISTINCT hv FROM h WHERE doc < 20),
+      per AS (SELECT doc, COUNT(*) AS ns,
+          SUM(CASE WHEN hv IN (SELECT hv FROM ref_h) THEN 1 ELSE 0 END) AS sn
+        FROM h GROUP BY doc)
+      SELECT doc, CAST(ns AS BIGINT) AS n_shingles,
+        CAST(sn AS BIGINT) AS n_seen,
+        ROUND(1.0 - CAST(sn AS DOUBLE) / ns, 6) AS novelty
+      FROM per"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2753,7 +2772,7 @@ object Queries {
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-    q107, q108, q109, q110, q111, q112)
+    q107, q108, q109, q110, q111, q112, q113)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

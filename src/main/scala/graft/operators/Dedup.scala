@@ -263,6 +263,42 @@ object Dedup {
       corpus(idCol) === contaminated("__doc"), "left_anti")
   }
 
+  /** The CONTINUOUS cousin of [[decontaminate]]: instead of dropping a
+    * document on one shared n-gram, score its overlap — the fraction of
+    * its distinct n-gram shingles NOT present in the reference set.
+    * Novelty 1.0 = fully unseen content; near 0 = near-verbatim reuse.
+    * The report a pipeline uses to TUNE a decontamination threshold, and
+    * the dataset-vs-dataset freshness audit ([[overlapMatrix]] is the
+    * group-level roll-up; this is per document).
+    *
+    * Scale shape: identical to [[decontaminate]] — the reference's
+    * distinct 4-byte shingle hashes broadcast (swap in the bloom
+    * prefilter pattern of [[decontaminateBloom]] past ~10^8 n-grams);
+    * the corpus side shuffles only its distinct (doc, hash) posting
+    * pairs. Docs with fewer than `ngram` tokens have no shingles and are
+    * absent from the output (nothing to score). */
+  def noveltyScore(corpus: DataFrame, ref: DataFrame, idCol: String,
+                   textCol: String, ngram: Int = 3): DataFrame = {
+    val refShingles = ref
+      .select(explode(
+        graft.functions.ShingleHash32.shingleHash32(col(textCol), ngram))
+        .as("hv"))
+      .distinct()
+      .withColumn("__seen", lit(1))
+    corpus
+      .select(col(idCol).as("doc"),
+        explode(
+          graft.functions.ShingleHash32.shingleHash32(col(textCol), ngram))
+          .as("hv"))
+      .distinct()
+      .join(broadcast(refShingles), Seq("hv"), "left")
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__seen").isNotNull, 1L).otherwise(0L)).as("n_seen"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6))
+  }
+
   /** [[decontaminate]]'s scale path for LARGE eval sets. The broadcast
     * variant ships the full distinct-shingle hash set to every task —
     * right for KB–MB benchmarks, wrong once the contamination list is

@@ -290,4 +290,22 @@ class DedupSpec extends SparkSpec {
       Dedup.overlapMatrix(df, "source", "text", ngram = 0)
     }
   }
+
+  test("noveltyScore: verbatim 0, partial overlap exact, unseen 1, short docs absent") {
+    import spark.implicits._
+    val ref = Seq((100L, "w1 w2 w3 w4")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "w1 w2 w3 w4"),    // both shingles seen -> novelty 0
+      (2L, "w1 w2 w3 x y"),   // 1 of 3 shingles seen -> 1 - 1/3
+      (3L, "p q r s"),        // fully novel -> 1.0
+      (4L, "a b"))            // < ngram tokens -> no shingles -> absent
+      .toDF("doc_id", "text")
+    val out = Dedup.noveltyScore(corpus, ref, "doc_id", "text", ngram = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 2L, 0.0)))
+    assert(out(2L) == ((3L, 1L, 0.666667)))
+    assert(out(3L) == ((2L, 0L, 1.0)))
+    assert(!out.contains(4L))
+  }
 }
