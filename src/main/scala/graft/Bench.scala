@@ -21,6 +21,28 @@ object Bench {
     def run(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+    // Cross-query state sweep, OUTSIDE every timed window. Round 8's
+    // recorded 2x blowup (q20 18.4s in-run vs 2.2s standalone on the same
+    // binary) was the harness, not the code: clearCache() alone does not
+    // free (a) localCheckpoint RDD blocks — they are persistent RDDs in
+    // the block manager, not cache-manager entries; (b) state-store
+    // providers — each drained streaming run uses a fresh checkpoint dir,
+    // so its per-partition providers (full state maps in memory) stay in
+    // the process-global registry forever; (c) lingering streams from a
+    // query that died mid-drain. 113 queries x 4 passes accumulated all
+    // three until the block manager poisoned unrelated timings.
+    def sweep(): Unit = {
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      spark.sharedState.cacheManager.clearCache()
+      // INVARIANT this blanket unpersist imposes on Queries: cross-query
+      // memos must hold durable FILES only (staged dirs, bucketed catalog
+      // tables, the parquet-backed incremental warehouse) — a memoized
+      // localCheckpoint frame would die on reuse with
+      // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND once its blocks are freed here
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      org.apache.spark.sql.graftbridge.StateBridge.unloadAllStateStores()
+    }
     // steady-state measurement: one untimed warm pass (JIT/codegen/page
     // cache), then timed passes. SPARK_GRAFT_ONLY=q19,q34 narrows the set
     // for focused profiling (unset in driver runs -> full set).
@@ -28,15 +50,20 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(o => o.exists(n.startsWith)))
-    names.foreach { name => try run(name) catch { case _: Throwable => () } }
+    names.foreach { name =>
+      try run(name) catch { case _: Throwable => () }
+      sweep()
+    }
     // median-of-3: single-shot per-query numbers at this scale showed
     // 4-7x run-to-run swings on unchanged trivial queries (round 2)
     val passes = 3
     val samples = Array.tabulate(passes) { p =>
-      // drop data cached by the previous pass (e.g. the ETL's staging
-      // persist) — JIT/codegen warmth is legitimate steady-state, reusing
-      // the query's own materialized data would not be
-      spark.sharedState.cacheManager.clearCache()
+      // per-pass GC: broadcast-exchange blocks (hashed join relations)
+      // are freed by the ContextCleaner only after their plans become
+      // unreachable AND a GC runs — the default periodic GC (30 min)
+      // never fires inside a bench pass, so force one here, outside any
+      // timed window
+      System.gc()
       // rotate the order per pass: with a FIXED order the same query
       // (q01, alphabetically first) absorbs the post-clearCache cold
       // cost in every pass, so even the median carried a ~2x ordering
@@ -47,7 +74,9 @@ object Bench {
       rotated.map { name =>
         val t0 = System.nanoTime()
         try run(name) catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        sweep()
+        name -> dt
       }.toMap
     }
     val results = names.map { name =>

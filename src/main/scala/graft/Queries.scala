@@ -1426,7 +1426,16 @@ object Queries {
   /** Stream the reference-shaped orders through the incremental-ingest
     * pipeline: two CSV drops, one foreachBatch upsert per drop (the
     * second batch exercises the anti-join upserts against a NON-empty
-    * warehouse), final warehouse returned. Once per JVM per sf dir. */
+    * warehouse), final warehouse returned. Once per JVM per sf dir.
+    *
+    * The memoized warehouse is PARQUET-backed, not checkpoint-backed:
+    * every cross-query memo must hold durable files only, because the
+    * bench sweep unpersists all persistent RDDs between queries — a
+    * memoized localCheckpoint frame would die on reuse with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND (round-9 lesson). The in-memory
+    * checkpoints below live only WITHIN this one-time build (batch 2
+    * reads batch 1's state), then the result is dumped to parquet and
+    * the memo references the re-read. */
   private def incrementalWarehouse(s: SparkSession, d: String): graft.etl.OrderEtl.Warehouse =
     incrementalWh.computeIfAbsent(d, _ => {
       import java.nio.file.{Files, Paths, StandardCopyOption}
@@ -1458,7 +1467,16 @@ object Queries {
           next.factSales.localCheckpoint(true)),
         maxFilesPerTrigger = Some(1))
       q.awaitTermination()
-      wh
+      val whDir = new java.io.File(base, "wh")
+      def dump(df: org.apache.spark.sql.DataFrame, n: String) = {
+        val p = new java.io.File(whDir, n).getAbsolutePath
+        df.write.mode("overwrite").parquet(p)
+        s.read.parquet(p)
+      }
+      graft.etl.OrderEtl.Warehouse(
+        dump(wh.dimDate, "dim_date"), dump(wh.dimCustomer, "dim_customer"),
+        dump(wh.dimProduct, "dim_product"), dump(wh.dimPlatform, "dim_platform"),
+        dump(wh.factSales, "fact_sales"))
     })
 
   // Bucketed catalog tables for the co-located join path, created once
@@ -2537,11 +2555,26 @@ object Queries {
 
   /** The BPE oracle is GENERATED from the same merge table the Spark
     * expression uses: per word, chars are framed with chr(1) separators
-    * and each merge becomes one nested replace() in rank order — the
-    * exact contract [[graft.functions.BpeEncode]] implements. */
+    * and each merge becomes replace() calls in rank order. One replace()
+    * per rank is NOT enough: adjacent occurrences share a frame
+    * delimiter ('singing' → …\1in\1g\1in\1g\1…), so a single
+    * left-to-right scan consumes the shared chr(1) and misses every
+    * second occurrence. After one pass the missed occurrences are
+    * pairwise non-adjacent (two neighbors can't both have been skipped),
+    * so applying each rank's replace exactly TWICE reaches that rank's
+    * fixpoint — which equals [[graft.functions.BpeEncode]]'s symbol-space
+    * pass whenever a != b (occurrences are then disjoint in symbol
+    * space, so merge order commutes). a == b rules (where kernel and
+    * string-replace genuinely diverge on odd runs) are rejected here;
+    * BPE training never emits them unless a char repeats itself, and the
+    * demo table has none. */
   private def bpeOracleSql(merges: Seq[(String, String)]): String = {
+    require(merges.forall(p => p._1 != p._2),
+      "bpe oracle: self-pair rules have no faithful replace() oracle")
     val inner = merges.foldLeft("d") { case (acc, (a, b)) =>
-      s"replace($acc, chr(1)||'$a'||chr(1)||'$b'||chr(1), chr(1)||'$a$b'||chr(1))"
+      val pat = s"chr(1)||'$a'||chr(1)||'$b'||chr(1)"
+      val rep = s"chr(1)||'$a$b'||chr(1)"
+      s"replace(replace($acc, $pat, $rep), $pat, $rep)"
     }
     s"""WITH doc AS (SELECT doc_id, lower(text) AS text FROM documents
         WHERE length(trim(text)) > 0),

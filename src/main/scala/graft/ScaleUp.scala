@@ -40,12 +40,17 @@ object ScaleUp {
     // (e.g. an already-scaled output), replicated keys would silently
     // collide across replicas and corrupt join integrity. One cheap agg
     // per shifted table; fail loudly instead.
+    // min matters as much as max: a negative key + r·keyOff lands inside a
+    // NEIGHBORING replica's key range — the exact collision this guard
+    // exists to prevent — so both bounds ride the same single-pass agg.
     def assertBelowKeyOff(df: DataFrame, key: String, table: String): DataFrame = {
-      val mx = df.agg(max(col(key).cast("long"))).collect()(0)
-      if (!mx.isNullAt(0))
-        require(mx.getLong(0) < keyOff && mx.getLong(0) >= 0,
-          s"$table.$key max ${mx.getLong(0)} not in [0, 2^32) — replica " +
-            "key shifts would collide; use a larger keyOff or a raw source")
+      val b = df.agg(min(col(key).cast("long")), max(col(key).cast("long")))
+        .collect()(0)
+      if (!b.isNullAt(0))
+        require(b.getLong(0) >= 0 && b.getLong(1) < keyOff,
+          s"$table.$key range [${b.getLong(0)}, ${b.getLong(1)}] not in " +
+            "[0, 2^32) — replica key shifts would collide; use a larger " +
+            "keyOff or a raw source")
       df
     }
     Seq("region", "nation", "customer", "supplier", "part").foreach { t =>

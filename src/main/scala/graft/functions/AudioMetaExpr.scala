@@ -131,7 +131,10 @@ object AudioMetaExpr {
           dataSize = size // size may exceed remaining bytes (header-only
           // fixture / streamed payload): frames come from the declared size
         }
-        if (size > Int.MaxValue.toLong * 2) return null
+        // >= 2^31 is never a legitimate header chunk size, and its toInt
+        // is negative — the step 8+size.toInt+pad could be <= 0 (size
+        // 0xFFFFFFF8 makes it exactly 0) and the walk would never advance
+        if (size > Int.MaxValue) return null
         i += 8 + size.toInt + (size.toInt & 1) // chunks are even-padded
         if (i < 0) return null // overflow on a hostile size
       }
@@ -151,7 +154,9 @@ object AudioMetaExpr {
           if (rate <= 0L || rate > Int.MaxValue) return null
           return row("aiff", ch, rate.toInt, bits, frames)
         }
-        if (size > Int.MaxValue.toLong * 2) return null
+        // same hostile-size guard as the WAV walk: negative toInt would
+        // zero the step and hang the scan task
+        if (size > Int.MaxValue) return null
         i += 8 + size.toInt + (size.toInt & 1)
         if (i < 0) return null
       }

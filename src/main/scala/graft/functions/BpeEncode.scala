@@ -15,14 +15,20 @@ import org.apache.spark.unsafe.types.UTF8String
   * pairs and returns the flattened token array (word order preserved).
   *
   * Merge semantics — the contract both engines reproduce exactly:
-  * merges apply in RANK ORDER, one pass each, replacing all
-  * left-to-right non-overlapping occurrences (scanning resumes after
-  * each replacement). For a well-formed table (each pair's components
-  * are single characters or products of strictly earlier merges — what
-  * BPE training emits) this is the standard fast path equivalent to the
-  * definitional repeat-lowest-rank loop, and it is exactly string
-  * `replace` on a delimiter-framed symbol string — which is how the SQL
-  * oracle reproduces it with nested replace() calls.
+  * merges apply in RANK ORDER, one pass each over the SYMBOL sequence,
+  * merging left to right (scanning resumes after each replacement, so a
+  * merged symbol never re-pairs within its pass). For a well-formed
+  * table (each pair's components are single characters or products of
+  * strictly earlier merges — what BPE training emits) this is the
+  * standard fast path equivalent to the definitional repeat-lowest-rank
+  * loop. NOTE it is NOT a single string `replace` on a delimiter-framed
+  * symbol string: adjacent occurrences share a frame delimiter, so one
+  * replace() scan misses every second one ('singing' → [s,ing,in,g]
+  * instead of [s,ing,ing]). The SQL oracle therefore applies each
+  * rank's replace() TWICE — after the first pass the missed occurrences
+  * are pairwise non-adjacent, so the second pass reaches the per-rank
+  * fixpoint, which matches this kernel for every rule with a != b (see
+  * the oracle generator's Scaladoc for why a == b is excluded).
   *
   * Scale shape: a narrow whole-stage-codegen scalar — the merge table
   * rides along as one codegen reference object (broadcast with the
@@ -107,8 +113,8 @@ object BpeEncode {
         if (syms.get(idx) == a && syms.get(idx + 1) == b) {
           syms.set(idx, a + b)
           syms.remove(idx + 1)
-          // scanning resumes AFTER the replacement (replace() semantics):
-          // the merged symbol never re-pairs within this pass
+          // scanning resumes AFTER the replacement: the merged symbol
+          // never re-pairs within this pass
           idx += 1
         } else idx += 1
       }

@@ -23,10 +23,49 @@ class BpeEncodeSpec extends SparkSpec {
     assert(enc("the", Seq("th" -> "e")) == Seq("t", "h", "e")) // no (t,h) merge first
   }
 
-  test("left-to-right non-overlapping within one pass (replace semantics)") {
+  test("left-to-right symbol-space pass: merged symbol re-pairs as a LEFT" +
+      " partner only in later occurrences (not string replace)") {
     val m = Seq("a" -> "a")
+    // a single string replace() on the framed word would give [aa,a,a]
+    // (the shared delimiter blocks the second match) — the kernel scans
+    // SYMBOLS, so both disjoint pairs merge in one pass
     assert(enc("aaaa", m) == Seq("aa", "aa"))
     assert(enc("aaa", m) == Seq("aa", "a")) // first pair wins, tail unpaired
+    // the adjacent-occurrence case the round-8 oracle got wrong: with
+    // (i,n) then (in,g), 'singing' must merge BOTH 'ing's even though
+    // their framed occurrences share a chr(1)
+    val ing = Seq("i" -> "n", "in" -> "g")
+    assert(enc("singing", ing) == Seq("s", "ing", "ing"))
+    assert(enc("inginging", ing) == Seq("ing", "ing", "ing"))
+  }
+
+  test("double-replace framed-string oracle matches the kernel (a != b)") {
+    // the DuckDB oracle applies each rank's replace() TWICE on the
+    // chr(1)-framed word; Java String.replace has the same left-to-right
+    // resume-after-replacement semantics, so this simulation proves the
+    // generated SQL equivalent to the kernel, not just green on a
+    // fixture that happens to lack adjacent occurrences
+    val D = "\u0001"
+    def oracle(word: String, merges: Seq[(String, String)]): Seq[String] = {
+      val framed = D + word.map(c => s"$c$D").mkString
+      val done = merges.foldLeft(framed) { case (s, (a, b)) =>
+        val pat = s"$D$a$D$b$D"
+        val rep = s"$D$a$b$D"
+        s.replace(pat, rep).replace(pat, rep)
+      }
+      done.split(D).filter(_.nonEmpty).toSeq
+    }
+    assert(oracle("singing", BpeEncode.DemoMerges.toSeq) ==
+      enc("singing", BpeEncode.DemoMerges))
+    val rnd = new scala.util.Random(11)
+    val alphabet = "theringoulandsmx"
+    (1 to 500).foreach { _ =>
+      val w = Seq.fill(1 + rnd.nextInt(14))(
+        alphabet(rnd.nextInt(alphabet.length))).mkString
+      val got = enc(w, BpeEncode.DemoMerges)
+      val want = oracle(w, BpeEncode.DemoMerges)
+      assert(got == want, s"word '$w': kernel $got vs oracle-sim $want")
+    }
   }
 
   test("matches repeat-lowest-rank on a well-formed table (random words)") {

@@ -200,6 +200,34 @@ class MultimodalSpec extends SparkSpec {
     assert(Option(parseHeader(null)).isEmpty)
   }
 
+  test("audio_meta rejects hostile chunk sizes without hanging") {
+    import graft.functions.AudioMetaExpr.parseHeader
+    // declared u32 size 0xFFFFFFF8: toInt is -8, so the naive step
+    // 8 + size.toInt + pad is exactly 0 — a walk that doesn't reject
+    // negative sizes never advances and the scan task hangs forever
+    val hostileWav = hexBytes(
+      "52494646 00000000 57415645" +
+        "4A554E4B F8FFFFFF")                   // JUNK size 0xFFFFFFF8
+    val hostileAiff = hexBytes(
+      "464F524D 00000026 41494646" +
+        "4A554E4B FFFFFFF7")                   // JUNK size 0xFFFFFFF7 (BE):
+    // toInt -9, step 8 - 9 + (-9 & 1) = 0 — the AIFF-side zero-step case
+    // also the smallest illegitimate size (2^31): toInt is Int.MinValue
+    val minNegWav = hexBytes(
+      "52494646 00000000 57415645" +
+        "4A554E4B 00000080")                   // size 2^31 LE
+    val done = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try {
+      val fut = done.submit(new java.util.concurrent.Callable[Boolean] {
+        def call(): Boolean =
+          parseHeader(hostileWav) == null &&
+            parseHeader(hostileAiff) == null &&
+            parseHeader(minNegWav) == null
+      })
+      assert(fut.get(10, java.util.concurrent.TimeUnit.SECONDS))
+    } finally done.shutdownNow()
+  }
+
   test("audioHeaderMeta over the media frame: parsed fields + duration") {
     import spark.implicits._
     val rows = Seq(
