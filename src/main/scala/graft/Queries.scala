@@ -2796,6 +2796,43 @@ object Queries {
         ROUND(1.0 - CAST(sn AS DOUBLE) / ns, 6) AS novelty
       FROM per"""))
 
+  /** The composed near-dup pipeline (q21's LSH candidates verified by
+    * true Jaccard, q20's threshold) in the round-9 candidate-FIRST order:
+    * the Spark side computes intersections only for candidate pairs; the
+    * oracle states the same set declaratively (candidates ∩ thresholded
+    * Jaccard — order is invisible to the result, which is the point of
+    * the reorder being safe). */
+  private val q114 = Q("q114_minhash_dups",
+    (s, d) => graft.operators.Dedup.minhashDuplicates(
+      documents(s, d), "doc_id", "text", 0.4, bands = 4, ngram = 3),
+    Some {
+      val p = graft.operators.Dedup.MinhashPrime
+      val mins = graft.operators.Dedup.MinhashParams.zipWithIndex.map {
+        case ((a, b), i) => s"MIN(($a * hv + $b) % $p) AS m$i"
+      }.mkString(", ")
+      val bands = (0 until 4).map { bnd =>
+        val cols = (bnd * 4 until (bnd + 1) * 4)
+          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '_' || ")
+        s"SELECT doc, $bnd AS band, md5($cols) AS bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $shingleCte,
+        sig AS (SELECT doc, $mins FROM h GROUP BY doc),
+        band AS ($bands),
+        cand AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
+                 FROM band a JOIN band b
+                 ON a.band = b.band AND a.bucket = b.bucket AND a.doc < b.doc),
+        sz AS (SELECT doc, COUNT(*) AS n FROM h GROUP BY doc),
+        inter AS (SELECT c.d1, c.d2, COUNT(*) AS inter
+                  FROM cand c
+                  JOIN h a ON a.doc = c.d1
+                  JOIN h b ON b.doc = c.d2 AND b.hv = a.hv
+                  GROUP BY c.d1, c.d2)
+        SELECT d1, d2,
+          ROUND(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+        FROM inter JOIN sz s1 ON d1 = s1.doc JOIN sz s2 ON d2 = s2.doc
+        WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.4"""
+    })
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2805,7 +2842,7 @@ object Queries {
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-    q107, q108, q109, q110, q111, q112, q113)
+    q107, q108, q109, q110, q111, q112, q113, q114)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

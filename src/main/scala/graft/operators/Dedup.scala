@@ -120,8 +120,13 @@ object Dedup {
 
   /** Per-doc MinHash signature: one row per doc, columns m0..m{k-1}. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        ngram: Int = 3): DataFrame = {
-    val tok = postings(docs, idCol, textCol, ngram)
+                        ngram: Int = 3): DataFrame =
+    signaturesOf(postings(docs, idCol, textCol, ngram))
+
+  /** Signatures from an already-built (doc, hv) posting frame — shared so
+    * [[minhashDuplicates]] can reuse ONE materialized posting scan for
+    * banding and for the candidate-restricted verify. */
+  private def signaturesOf(tok: DataFrame): DataFrame = {
     val aggs = MinhashParams.zipWithIndex.map { case ((a, b), i) =>
       min((lit(a) * col("hv") + lit(b)) % MinhashPrime).as(s"m$i")
     }
@@ -136,10 +141,12 @@ object Dedup {
     * union/self-join would recompute the scan→shingle→distinct→agg
     * pipeline 2×bands times (observed 8× in the naive plan). */
   def minhashLshCandidates(docs: DataFrame, idCol: String, textCol: String,
-                           bands: Int = 4, ngram: Int = 3): DataFrame = {
+                           bands: Int = 4, ngram: Int = 3): DataFrame =
+    candidatesOf(signaturesOf(postings(docs, idCol, textCol, ngram)), bands)
+
+  private def candidatesOf(sig: DataFrame, bands: Int): DataFrame = {
     val k = MinhashParams.size
     val rows = k / bands
-    val sig = minhashSignatures(docs, idCol, textCol, ngram)
     val bandStructs = (0 until bands).map { bnd =>
       val cols = (bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i"))
       struct(lit(bnd).as("band"), md5(concat_ws("_", cols: _*)).as("bucket"))
@@ -152,12 +159,35 @@ object Dedup {
       .select(col("d1"), col("d2")).distinct()
   }
 
-  /** Full near-dup pipeline: LSH candidates verified by true Jaccard. */
+  /** Full near-dup pipeline: LSH candidates generated FIRST, true Jaccard
+    * computed only for candidate pairs.
+    *
+    * Order is the whole point (round-9 fix): the previous composition ran
+    * [[jaccardPairs]] over the FULL corpus — the all-pairs-sharing-a-
+    * shingle self-join the LSH stage exists to avoid — and only then
+    * semi-joined candidates. On a near-dup-heavy corpus the hv self-join
+    * explodes regardless of banding. Here the verify is candidate-
+    * restricted: explode each candidate pair by d1's postings, keep the
+    * hv values present in d2's postings — cost Σ|shingles(d1)| over
+    * CANDIDATE pairs (LSH-bounded), independent of corpus-wide shingle
+    * sharing. One posting scan is materialized and shared by the
+    * signature build and both verify sides. */
   def minhashDuplicates(docs: DataFrame, idCol: String, textCol: String,
                         threshold: Double, bands: Int = 4, ngram: Int = 3): DataFrame = {
-    val cand = minhashLshCandidates(docs, idCol, textCol, bands, ngram)
-    jaccardPairs(docs, idCol, textCol, threshold, ngram)
-      .join(cand, Seq("d1", "d2"), "left_semi")
+    val tok = postings(docs, idCol, textCol, ngram).localCheckpoint()
+    val cand = candidatesOf(signaturesOf(tok), bands)
+    val sz = tok.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(tok.select(col("doc").as("d1"), col("hv")), Seq("d1"))
+      .join(tok.select(col("doc").as("d2"), col("hv")), Seq("d2", "hv"))
+      .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc").as("d1"), col("n").as("n1")), Seq("d1"))
+      .join(sz.select(col("doc").as("d2"), col("n").as("n2")), Seq("d2"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** SimHash near-dup pairs: signatures within `maxBits` hamming distance.

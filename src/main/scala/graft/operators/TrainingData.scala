@@ -999,49 +999,101 @@ object TrainingData {
     * thirds — the curation signal CCNet filters Common Crawl with
     * (train on head+middle, drop or re-weight tail).
     *
-    * Exact-cutoff protocol (the q73 histogram rule, not a per-domain
-    * window): one bounded aggregate over `(domain, exact micro-NLL)`
-    * pairs → driver derives the two rank cutoffs per domain in integer
-    * arithmetic (cut_k = smallest NLL whose cumulative count reaches
-    * ⌈k·n/3⌉; ties land in the lower bucket together — a value is never
-    * split) → bucket assignment is a broadcast when-chain in the scan.
-    * No domain ever sorts its corpus. `maxDistinct` bounds the collected
-    * histogram and fails loudly past it. The scored frame is
+    * Exact-cutoff protocol, TWO-PHASE (round-9: the one-phase exact
+    * histogram collected every distinct `(domain, micro-NLL)` pair, and
+    * a 6-decimal mean NLL is near-unique per document — the "histogram"
+    * was ≈ one driver row per doc, refusing corpora past maxDistinct):
+    *
+    *  1. COARSE: aggregate `(domain, __micro DIV binWidth)` — the
+    *     collected set is bounded by nll-range/binWidth bins per domain
+    *     (≈ a few thousand for any real LM score) regardless of corpus
+    *     size. The driver walks each domain's cumulative bin counts in
+    *     integer arithmetic to find the BOUNDARY BIN holding each rank
+    *     cut ⌈k·n/3⌉, plus the exact cumulative count below that bin.
+    *  2. FINE: aggregate exact micros ONLY inside boundary bins (a
+    *     when-chain filter, ≤ 2 bins per domain), then resolve cut_k =
+    *     smallest NLL whose cumulative count reaches ⌈k·n/3⌉ inside the
+    *     bin. Distinct values collected ≤ 2·binWidth per domain by
+    *     pigeonhole — bounded by CONSTRUCTION, not by corpus behavior.
+    *
+    * Identical cutoffs to the one-phase protocol (bins partition the
+    * sorted micro axis, so below-bin cumulative + in-bin walk is the
+    * same prefix sum; ties still land in the lower bucket together — a
+    * value is never split). Bucket assignment stays a broadcast
+    * when-chain in the scan; no domain ever sorts its corpus.
+    * `maxDistinct` still guards both collected sets. The scored frame is
     * materialized once (localCheckpoint) so the corpus is not tokenized
     * twice for histogram + assignment. */
   def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
                         domainCol: String, lm: DataFrame,
-                        maxDistinct: Int = 2000000): DataFrame = {
+                        maxDistinct: Int = 2000000,
+                        binWidth: Long = 8192): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1: $binWidth")
     val scored = docs
       .select(col(idCol).as("doc"), col(domainCol).as("__dom"))
       .where(col("__dom").isNotNull)
       .join(lmQualityScore(docs, idCol, textCol, lm), Seq("doc"))
       // exact micro-NLL: avg_nll IS micro/10^6 (one exact IEEE divide),
-      // so round(avg_nll * 10^6) recovers the integer exactly
+      // so round(avg_nll * 10^6) recovers the integer exactly. Micro is
+      // >= 0 by construction (an average of -ln p, p <= 1), so integer
+      // DIV here and floorDiv on the driver agree.
       .withColumn("__micro",
         round(col("avg_nll") * lit(1000000.0)).cast("long"))
       .localCheckpoint(true)
-    val hist = scored.groupBy(col("__dom"), col("__micro"))
+    val coarse = scored
+      .groupBy(col("__dom"), expr(s"__micro DIV $binWidth").as("__bin"))
       .agg(count(lit(1)).as("__c")).collect()
-    require(hist.length <= maxDistinct,
-      s"perplexityBuckets: ${hist.length} distinct (domain, nll) pairs > " +
-        s"maxDistinct=$maxDistinct — raise it deliberately or coarsen the score")
-    val cuts: Map[Any, (Long, Long)] = hist.groupBy(_.get(0)).map {
+    require(coarse.length <= maxDistinct,
+      s"perplexityBuckets: ${coarse.length} coarse (domain, bin) pairs > " +
+        s"maxDistinct=$maxDistinct — raise it or widen binWidth")
+    // per domain: for each cut, the boundary bin + exact count below it
+    case class Boundary(bin: Long, below: Long, k: Long)
+    val boundaries: Map[Any, Seq[Boundary]] = coarse.groupBy(_.get(0)).map {
       case (dom, rows) =>
         val sorted = rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
         val n = sorted.iterator.map(_._2).sum
-        val k1 = (n + 2) / 3       // ceil(n/3)
-        val k2 = (2 * n + 2) / 3   // ceil(2n/3)
-        var cum = 0L
-        var c1 = Long.MaxValue
-        var c2 = Long.MaxValue
-        sorted.foreach { case (m, c) =>
-          val prev = cum
-          cum += c
-          if (prev < k1 && cum >= k1) c1 = m
-          if (prev < k2 && cum >= k2) c2 = m
+        val ks = Seq((n + 2) / 3, (2 * n + 2) / 3) // ceil(n/3), ceil(2n/3)
+        dom -> ks.map { k =>
+          var cum = 0L
+          var found: Boundary = null
+          sorted.foreach { case (b, c) =>
+            if (found == null) {
+              if (cum + c >= k) found = Boundary(b, cum, k)
+              else cum += c
+            }
+          }
+          found
         }
-        dom -> (c1, c2)
+    }
+    val boundaryBins: Set[(Any, Long)] = boundaries.iterator.flatMap {
+      case (dom, bs) => bs.map(b => (dom, b.bin))
+    }.toSet
+    val inBoundary = boundaryBins.foldLeft(lit(false)) {
+      case (acc, (dom, b)) =>
+        (col("__dom") === lit(dom) &&
+          expr(s"__micro DIV $binWidth") === lit(b)) || acc
+    }
+    val fine = scored.where(inBoundary)
+      .groupBy(col("__dom"), col("__micro"))
+      .agg(count(lit(1)).as("__c")).collect()
+    require(fine.length <= maxDistinct,
+      s"perplexityBuckets: ${fine.length} fine (domain, nll) pairs > " +
+        s"maxDistinct=$maxDistinct — raise it deliberately")
+    val fineByDom = fine.groupBy(_.get(0)).map { case (dom, rows) =>
+      dom -> rows.map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    }
+    val cuts: Map[Any, (Long, Long)] = boundaries.map { case (dom, bs) =>
+      val micros = fineByDom(dom)
+      val resolved = bs.map { bd =>
+        val inBin = micros.filter(m => Math.floorDiv(m._1, binWidth) == bd.bin)
+        var cum = bd.below
+        var cut = Long.MaxValue
+        inBin.foreach { case (m, c) =>
+          if (cut == Long.MaxValue) { cum += c; if (cum >= bd.k) cut = m }
+        }
+        cut
+      }
+      dom -> (resolved(0), resolved(1))
     }
     val bucket = cuts.foldLeft(lit(null).cast("string")) {
       case (acc, (dom, (c1, c2))) =>

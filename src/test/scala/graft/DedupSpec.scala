@@ -33,10 +33,19 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val jacc = Dedup.jaccardPairs(docs, "doc_id", "text", 0.4)
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val dups = Dedup.minhashDuplicates(docs, "doc_id", "text", 0.4)
+    val dupsDf = Dedup.minhashDuplicates(docs, "doc_id", "text", 0.4)
+    val dups = dupsDf
       .select("d1", "d2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dups.subsetOf(cand) && dups.subsetOf(jacc))
     assert(dups == (cand intersect jacc))
+    // plan gate for the round-9 reorder: the verify must be candidate-
+    // restricted — NO join keyed on hv alone (that is the full-corpus
+    // posting self-join whose blowup LSH banding exists to avoid; the
+    // legitimate verify join keys on (d2, hv))
+    val plan = dupsDf.queryExecution.executedPlan.toString
+    assert(!plan.matches("""(?s).*Join \[hv#\d+L?\], \[hv#\d+L?\].*"""),
+      "full posting self-join (hv-only keys) found in minhashDuplicates:\n" +
+        plan.take(1200))
   }
 
   test("components: transitive closure, singletons self-labeled, converges") {

@@ -872,4 +872,52 @@ class TrainingDataSpec extends SparkSpec {
     assert(!plan.contains("Window") && !plan.contains("SortMergeJoin"),
       plan.take(800))
   }
+
+  test("perplexityBuckets two-phase cutoff: adversarial all-distinct NLL " +
+      "density matches brute-force thirds for every binWidth") {
+    import spark.implicits._
+    // 120 docs across 2 domains, every doc a distinct common/rare token
+    // mix -> near-unique micro-NLL per doc (the density that made the
+    // one-phase histogram collect ~one row per document at scale)
+    val docs = (1L to 120L).map { i =>
+      val dom = if (i % 2 == 0) "a" else "b"
+      (i, ("common " * 9) + (s"w${i % 7} " * (1 + (i % 11)).toInt) +
+        (s"rare " * (i % 13).toInt).trim, dom)
+    }.toDF("doc_id", "text", "dom")
+    val lm = TrainingData.trainQualityLm(docs, "text", vocabSize = 8)
+    // brute-force reference over the operator's OWN scores: per domain,
+    // sort micros, cut at ceil(n/3)/ceil(2n/3), ties stay low
+    def reference(rows: Seq[(Long, String, Long)]): Map[Long, String] =
+      rows.groupBy(_._2).flatMap { case (_, rs) =>
+        val sorted = rs.sortBy(_._3)
+        val n = sorted.size
+        val k1 = (n + 2) / 3; val k2 = (2 * n + 2) / 3
+        val c1 = sorted(k1 - 1)._3; val c2 = sorted(k2 - 1)._3
+        rs.map { case (doc, _, m) =>
+          doc -> (if (m <= c1) "head" else if (m <= c2) "middle" else "tail")
+        }
+      }
+    // binWidth 1: every value its own bin (fine pass trivial); 8192: the
+    // default; 10^5: cuts land mid-bin; 10^12: ONE bin per domain, the
+    // fine pass degenerates to the full exact histogram — the cutoffs
+    // must be IDENTICAL in all four
+    Seq(1L, 8192L, 100000L, 1000000000000L).foreach { bw =>
+      val got = TrainingData.perplexityBuckets(
+          docs, "doc_id", "text", "dom", lm, binWidth = bw)
+        .collect().map(r => (r.getLong(0), r.getString(1),
+          Math.round(r.getDouble(4) * 1000000.0), r.getString(5)))
+      val want = reference(got.map(t => (t._1, t._2, t._3)).toSeq)
+      got.foreach { case (doc, _, _, b) =>
+        assert(b == want(doc), s"binWidth=$bw doc=$doc: got $b want ${want(doc)}")
+      }
+      assert(got.length == 120)
+    }
+    // distinct micros really are adversarial (no accidental mass ties)
+    val microsByDom = TrainingData.perplexityBuckets(
+        docs, "doc_id", "text", "dom", lm)
+      .collect().groupBy(_.getString(1))
+      .map { case (d, rs) =>
+        d -> rs.map(r => Math.round(r.getDouble(4) * 1000000.0)).distinct.length }
+    assert(microsByDom.values.sum > 100, s"fixture lost density: $microsByDom")
+  }
 }
