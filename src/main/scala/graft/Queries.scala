@@ -875,47 +875,60 @@ object Queries {
       TRUE AS hll_within_10pct, TRUE AS p50_within_5pct
       FROM events GROUP BY event_type"""))
 
-  // Multimodal column plumbing through the driver contract: documents'
-  // text re-encoded as opaque binary payloads -> typed MediaRow Dataset ->
-  // batched feature extraction (stub codec; deterministic pure function of
-  // the payload bytes, see SURVEY §2 addendum). Payload bytes never
-  // shuffle — the narrow mapPartitions emits KB-scale features only.
-  // The stub derives dims/pixels from the payload md5 (oracle-proven
-  // byte-identical cross-engine by q57), so the oracle recomputes the
-  // SAME fake decode in SQL — full rows/schema/hash check.
+  // Multimodal REAL-decode round trip through the driver contract: per
+  // document a deterministic pixel field (value = (seed + 31x + 13y + 7c)
+  // mod 256, alternating grayscale/RGB) is encoded as a REAL PNG — zlib
+  // deflate, filter type rotating y mod 5 — then decoded back by
+  // PngCodec inside the batched feature extractor. The oracle recomputes
+  // width/height/brightness from the SAME synthesis formula in SQL, so a
+  // green row proves the full deflate→inflate→unfilter path recovers
+  // every pixel exactly (any filter/inflate bug shifts the mean).
+  // Payload bytes never shuffle — the narrow mapPartitions emits
+  // KB-scale features only. Brightness is 6-decimal half-up quantized in
+  // integer space (the q87 micro-unit rule), so both engines divide the
+  // same exact integers.
   private val q50 = Q("q50_multimodal_features",
     (s, d) => {
       import s.implicits._
-      val media = documents(s, d).select(
-        col("doc_id").as("media_id"),
-        lit("image/stub").as("mime"),
-        encode(col("text"), "UTF-8").as("content"),
-        struct(col("source"),
-          lit(null).cast(IntegerType).as("width"),
-          lit(null).cast(IntegerType).as("height"),
-          lit(null).cast(LongType).as("duration_ms")).as("meta"))
-        .as[graft.multimodal.Multimodal.MediaRow]
+      import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+      val media = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          val w = 1 + (id % 48).toInt
+          val h = 1 + (nChars % 32).toInt
+          val ch = if (id % 2 == 0) 1 else 3
+          val seed = (id % 251).toInt
+          val samples = Array.tabulate(w * h * ch) { i =>
+            val c = i % ch; val x = (i / ch) % w; val y = i / (ch * w)
+            (seed + 31 * x + 13 * y + 7 * c) % 256
+          }
+          MediaRow(id, "image/png",
+            graft.multimodal.PngCodec.encode(w, h, ch, samples),
+            MediaMeta("synth", Some(w), Some(h), None))
+        }
       graft.multimodal.Multimodal.imageFeatures(media).toDF()
-        .select(col("media_id"), col("width"), col("height"), col("n_bytes"),
-          round(col("brightness"), 6).as("brightness"))
+        .select(col("media_id"), col("width"), col("height"),
+          (col("width").cast("long") * col("height")).as("n_pixels"),
+          col("brightness"))
     },
-    // the stub decode replayed in SQL: width from the first 4 md5 bytes
-    // (hex prefix) mod 64, height from payload length, brightness = mean
-    // of the 16 digest bytes / 255; empty payloads short-circuit to zeros
-    Some("""SELECT doc_id AS media_id,
-      CASE WHEN octet_length(encode(text)) = 0 THEN 0
-        ELSE CAST(1 + CAST(('0x' || substring(md5(text), 1, 8)) AS UBIGINT) % 64 AS INTEGER)
-      END AS width,
-      CASE WHEN octet_length(encode(text)) = 0 THEN 0
-        ELSE CAST(1 + octet_length(encode(text)) % 64 AS INTEGER)
-      END AS height,
-      CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-      CASE WHEN octet_length(encode(text)) = 0 THEN 0.0
-        ELSE ROUND(list_sum(list_transform(range(16),
-          i -> CAST(('0x' || substring(md5(text), 1 + i*2, 2)) AS INTEGER)))
-          / 16.0 / 255.0, 6)
-      END AS brightness
-      FROM documents"""))
+    Some("""WITH p AS (SELECT doc_id,
+          1 + doc_id % 48 AS w,
+          1 + CAST(n_chars AS BIGINT) % 32 AS h,
+          CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+          doc_id % 251 AS seed
+        FROM documents),
+      s AS (SELECT doc_id, w, h, ch,
+          list_sum(list_transform(range(w*h*ch), i ->
+            (seed + 31*((i // ch) % w) + 13*(i // (ch*w)) + 7*(i % ch)) % 256))
+            AS sm
+        FROM p)
+      SELECT doc_id AS media_id,
+        CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        CAST(w*h AS BIGINT) AS n_pixels,
+        CAST((sm*2000000 + w*h*ch*255) // (2*w*h*ch*255) AS DOUBLE)
+          / 1000000.0 AS brightness
+      FROM s"""))
 
   // Multimodal metadata facet — the pure-SQL half of the media frame
   // (payload length, content digest, typed meta), oracle-checked so the
@@ -1382,6 +1395,39 @@ object Queries {
 
   private val stagedOrcDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  private val stagedExcelDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Stage a deterministic orders subset as BOTH Excel formats (durable
+    * files, sweep-safe): one inline-string .xlsx and one BIFF8 .xls,
+    * written by [[graft.sources.ExcelFixture]] from the parquet rows the
+    * oracle reads directly. Values are stringified IN SPARK (cast), so
+    * the workbook holds exactly the strings the oracle's VARCHAR casts
+    * produce. Bounded: the subset is o_orderkey % 997 = 0 (~150 rows at
+    * sf0.1), guarded well under the writer's single-FAT-sector limit. */
+  private def stagedExcel(s: SparkSession, d: String): java.io.File =
+    stagedExcelDir.computeIfAbsent(d, _ => {
+      val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_excel_${Queries.stagingSuffix(d)}")
+      dir.mkdirs()
+      val rows = Tables.orders(s, d)
+        .where(col("o_orderkey") % 997 === 0)
+        .orderBy(col("o_orderkey"))
+        .select(col("o_orderkey").cast("string"),
+          col("o_custkey").cast("string"),
+          col("o_orderstatus"),
+          col("o_orderdate").cast("string"))
+        .collect()
+      require(rows.length <= 2000, s"excel fixture too big: ${rows.length}")
+      val hdr = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate")
+      val data = rows.toSeq.map(r => (0 until 4).map(r.getString))
+      graft.sources.ExcelFixture.writeXlsx(hdr, data,
+        new java.io.File(dir, "orders.xlsx").getAbsolutePath)
+      graft.sources.ExcelFixture.writeXls(hdr, data,
+        new java.io.File(dir, "orders.xls").getAbsolutePath)
+      dir
+    })
 
   private val stagedJsonlDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
@@ -2833,6 +2879,37 @@ object Queries {
         WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.4"""
     })
 
+  /** S2 oracle coverage (the last §2 row without one): a deterministic
+    * orders subset staged as a REAL .xlsx and a REAL .xls
+    * ([[graft.sources.ExcelFixture]]), read back through the native
+    * OOXML-StAX and BIFF8/CFB readers, both tagged and unioned; the
+    * oracle reads the same parquet rows DuckDB-side. At sf0.01 the .xls
+    * stream sits under the 4096-byte CFB cutoff (mini-stream layout), at
+    * sf0.1 above it (main FAT chain) — the two verify scales cover both
+    * container paths end-to-end. */
+  private val q115 = Q("q115_excel_ingest",
+    (s, d) => {
+      val dir = stagedExcel(s, d)
+      def read(name: String, src: String) = {
+        val df =
+          if (name.endsWith(".xlsx"))
+            graft.sources.XlsxIngest.readAllString(s,
+              new java.io.File(dir, name).getAbsolutePath)
+          else graft.sources.XlsIngest.readAllString(s,
+            new java.io.File(dir, name).getAbsolutePath)
+        df.select(lit(src).as("src"),
+          col("o_orderkey").cast("long").as("o_orderkey"),
+          col("o_custkey").cast("long").as("o_custkey"),
+          col("o_orderstatus"), col("o_orderdate"))
+      }
+      read("orders.xlsx", "xlsx").unionAll(read("orders.xls", "xls"))
+    },
+    Some("""WITH sub AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+            CAST(o_orderdate AS VARCHAR) AS o_orderdate
+          FROM orders WHERE o_orderkey % 997 = 0)
+      SELECT 'xlsx' AS src, * FROM sub
+      UNION ALL SELECT 'xls' AS src, * FROM sub"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2842,7 +2919,7 @@ object Queries {
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-    q107, q108, q109, q110, q111, q112, q113, q114)
+    q107, q108, q109, q110, q111, q112, q113, q114, q115)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -11,13 +11,15 @@ import org.apache.spark.sql.types._
   * Container METADATA is real: [[imageHeaderMeta]] parses PNG/JPEG/GIF/
   * BMP headers natively from the payload bytes
   * ([[graft.functions.ImageMetaExpr]] — codegen'd, no codec library).
-  * Only PIXEL decode (inflate/DCT, audio resample, video frame
-  * extraction) requires native libraries that are NOT in this build —
-  * that step is a clearly-marked deterministic STUB ([[StubCodec]]).
-  * Everything around it is real and tested: schema, null/short-payload
-  * handling, batch shape (fixed-size record batches per partition, the
-  * JVM analog of an Arrow-batched pandas UDF), and the
-  * feature-extraction contract.
+  * PNG PIXEL decode is real too ([[PngCodec]] — 8-bit gray/RGB via
+  * java.util.zip, all five scanline filters). Decodes this build cannot
+  * do honestly (JPEG DCT, GIF LZW, audio resample, video frame
+  * extraction) remain a clearly-marked deterministic STUB
+  * ([[StubCodec]]), the fallback when [[PngCodec]] declines a payload.
+  * Everything around the codec is real and tested: schema,
+  * null/short-payload handling, batch shape (fixed-size record batches
+  * per partition, the JVM analog of an Arrow-batched pandas UDF), and
+  * the feature-extraction contract.
   *
   * Scale design: payload bytes never shuffle — transforms are narrow
   * mapPartitions; only extracted features (KB per row → bytes per row)
@@ -83,22 +85,41 @@ object Multimodal {
                       (implicit enc: org.apache.spark.sql.Encoder[U]): Dataset[U] =
     ds.mapPartitions(_.grouped(batchSize).flatMap(batch => f(batch)))(enc)
 
-  /** Image feature extraction over the media frame: decode (stub) →
-    * width/height/brightness/16-bin histogram. NULL/empty payloads yield
-    * zeroed features rather than failing the batch. */
+  /** Image feature extraction over the media frame: decode →
+    * width/height/brightness/16-bin histogram. PNG payloads (8-bit
+    * gray/RGB, non-interlaced) decode for REAL through [[PngCodec]];
+    * everything else falls back to the deterministic [[StubCodec]] fake.
+    * NULL/empty payloads yield zeroed features rather than failing the
+    * batch.
+    *
+    * Real-path brightness is the mean channel sample / 255, quantized
+    * half-up to 6 decimals in INTEGER space (the q87 micro-unit rule:
+    * micro = (2·sum·10^6 + d) DIV 2d over d = n·255, then ONE exact IEEE
+    * divide) — so an engine that can reproduce the pixel synthesis can
+    * reproduce the exact double without float-summation-order hazards. */
   def imageFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[ImageFeatures] = {
     import media.sparkSession.implicits._
     mapBatches(media, batchSize) { batch =>
       batch.map { m =>
         val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
         if (bytes.isEmpty) ImageFeatures(m.media_id, 0, 0, 0L, 0.0, Array.fill(16)(0.0))
-        else {
-          val (w, h, px) = StubCodec.decodeImage(bytes)
-          val hist = Array.fill(16)(0.0)
-          px.foreach(p => hist(p / 16) += 1.0)
-          val n = px.length.toDouble
-          ImageFeatures(m.media_id, w, h, bytes.length.toLong,
-            px.sum / math.max(n, 1.0) / 255.0, hist.map(_ / math.max(n, 1.0)))
+        else PngCodec.decode(bytes) match {
+          case Some((w, h, _, samples)) =>
+            val hist = Array.fill(16)(0.0)
+            var sum = 0L
+            samples.foreach { s => hist(s / 16) += 1.0; sum += s }
+            val d = samples.length.toLong * 255L
+            val micro = (sum * 2000000L + d) / (2L * d)
+            ImageFeatures(m.media_id, w, h, bytes.length.toLong,
+              micro.toDouble / 1000000.0,
+              hist.map(_ / samples.length.toDouble))
+          case None =>
+            val (w, h, px) = StubCodec.decodeImage(bytes)
+            val hist = Array.fill(16)(0.0)
+            px.foreach(p => hist(p / 16) += 1.0)
+            val n = px.length.toDouble
+            ImageFeatures(m.media_id, w, h, bytes.length.toLong,
+              px.sum / math.max(n, 1.0) / 255.0, hist.map(_ / math.max(n, 1.0)))
         }
       }
     }

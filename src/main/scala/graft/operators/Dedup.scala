@@ -302,11 +302,11 @@ object Dedup {
     * group-level roll-up; this is per document).
     *
     * Scale shape: identical to [[decontaminate]] — the reference's
-    * distinct 4-byte shingle hashes broadcast (swap in the bloom
-    * prefilter pattern of [[decontaminateBloom]] past ~10^8 n-grams);
-    * the corpus side shuffles only its distinct (doc, hash) posting
-    * pairs. Docs with fewer than `ngram` tokens have no shingles and are
-    * absent from the output (nothing to score). */
+    * distinct 4-byte shingle hashes broadcast (switch to
+    * [[noveltyScoreBloom]] past ~10^8 reference n-grams); the corpus
+    * side shuffles only its distinct (doc, hash) posting pairs. Docs
+    * with fewer than `ngram` tokens have no shingles and are absent from
+    * the output (nothing to score). */
   def noveltyScore(corpus: DataFrame, ref: DataFrame, idCol: String,
                    textCol: String, ngram: Int = 3): DataFrame = {
     val refShingles = ref
@@ -401,6 +401,67 @@ object Dedup {
       // copies (non-blocking; the driver copy stays for any re-broadcast)
       if (bloomBc != null) bloomBc.unpersist(blocking = false)
     }
+  }
+
+  /** [[noveltyScore]]'s scale path for LARGE reference sets — the same
+    * bloom-prefilter pattern as [[decontaminateBloom]] (which see for
+    * why the filter rides a broadcast, never a plan literal). Output is
+    * value-identical to [[noveltyScore]]: the bloom only prefilters the
+    * postings entering the exact confirm join, and false positives die
+    * in that join before anything is counted.
+    *
+    * Per-doc counting changes the shape vs decontaminate's semi-join:
+    *  - the corpus postings dedup once — one (doc, 8-byte hash) pair
+    *    shuffle, the same cost the exact path already pays, and the ONE
+    *    exchange both consumers below reuse;
+    *  - n_shingles is a hash aggregate over those pairs;
+    *  - the confirm semi-join shuffles ONLY the bloom-surviving sliver
+    *    (≈ true overlap + fpp of the rest) against the reference
+    *    postings — the term that made the giant-ref broadcast the
+    *    bottleneck — then aggregates per doc;
+    *  - the two bounded per-doc frames meet in a final (doc) join.
+    *
+    * Unlike decontaminateBloom this operator stays LAZY (its output is
+    * per-doc, corpus-sized — nothing cheap to checkpoint), so nothing
+    * here may pin cache entries: the reference postings are persisted
+    * only while counting + building the filter, released before return,
+    * and the confirm join re-derives them from source at execution (one
+    * extra pass over ref — the honest price of leaving no cache behind).
+    * The broadcast handle lives in the returned plan and is reclaimed
+    * with it by the context cleaner. */
+  def noveltyScoreBloom(corpus: DataFrame, ref: DataFrame, idCol: String,
+                        textCol: String, ngram: Int = 3,
+                        fpp: Double = 0.01): DataFrame = {
+    require(fpp > 0 && fpp < 1, s"fpp out of range: $fpp")
+    def refShingles = ref
+      .select(explode(
+        graft.functions.ShingleHash32.shingleHash32(col(textCol), ngram))
+        .as("hv"))
+      .distinct()
+    val counted = refShingles
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloomBc =
+      try {
+        val nRef = math.max(1L, counted.count())
+        corpus.sparkSession.sparkContext.broadcast(
+          counted.stat.bloomFilter("hv", nRef, fpp))
+      } finally counted.unpersist(blocking = false)
+    val post = corpus
+      .select(col(idCol).as("doc"),
+        explode(
+          graft.functions.ShingleHash32.shingleHash32(col(textCol), ngram))
+          .as("hv"))
+      .distinct()
+    val sizes = post.groupBy(col("doc")).agg(count(lit(1)).as("n_shingles"))
+    val seen = post
+      .where(graft.functions.BloomMightContainBc.mightContain(bloomBc, col("hv")))
+      .join(refShingles, Seq("hv"), "left_semi") // exact confirm: kills fps
+      .groupBy(col("doc")).agg(count(lit(1)).as("__ns"))
+    sizes.join(seen, Seq("doc"), "left")
+      .select(col("doc"), col("n_shingles"),
+        coalesce(col("__ns"), lit(0L)).as("n_seen"))
+      .withColumn("novelty",
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6))
   }
 
   /** The dedup endgame: near-dup PAIRS resolved into CLUSTERS, so one

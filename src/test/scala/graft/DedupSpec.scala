@@ -177,6 +177,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("noveltyScoreBloom == noveltyScore, no cache residue, no binary literal") {
+    val ref = docs.where(col("doc_id") < 25)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val exact = rows(graft.operators.Dedup
+      .noveltyScore(docs, ref, "doc_id", "text", ngram = 3))
+    val bloom01 = graft.operators.Dedup
+      .noveltyScoreBloom(docs, ref, "doc_id", "text", ngram = 3, fpp = 0.01)
+    assert(rows(bloom01) == exact)
+    // adversarial fpp: half of all unseen postings pass the prefilter —
+    // the exact confirm join must still kill every false positive, or
+    // n_seen (and every novelty value) drifts
+    val sloppy = graft.operators.Dedup
+      .noveltyScoreBloom(docs, ref, "doc_id", "text", ngram = 3, fpp = 0.5)
+    assert(rows(sloppy) == exact)
+    // lazy operator, clean contract: nothing may stay persisted after the
+    // call returns (the ref postings persist only while the filter builds)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "noveltyScoreBloom left cache entries behind")
+    // the filter rides a broadcast handle, never a plan literal
+    val binLits = bloom01.queryExecution.analyzed.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType == org.apache.spark.sql.types.BinaryType => l
+      })
+    }.flatten
+    assert(binLits.isEmpty,
+      s"analyzed plan embeds ${binLits.size} binary literal(s)")
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup
+        .noveltyScoreBloom(docs, ref, "doc_id", "text", fpp = 1.0)
+    }
+  }
+
   test("componentsAuto routes a 2000-deep chain to star after the bounded probe") {
     import spark.implicits._
     // the chooser's failure mode before it existed: pointing a deep graph

@@ -200,6 +200,50 @@ class MultimodalSpec extends SparkSpec {
     assert(Option(parseHeader(null)).isEmpty)
   }
 
+  test("PngCodec round-trips every filter type, both color types, exactly") {
+    val rnd = new scala.util.Random(19)
+    // heights 1..7 make the y%5 filter rotation cover None/Sub/Up/
+    // Average/Paeth including their first-row/first-pixel edge cases;
+    // w=1 exercises the no-left-neighbor path on every row
+    for (w <- Seq(1, 2, 5, 17); h <- Seq(1, 2, 6, 7); ch <- Seq(1, 3)) {
+      val samples = Array.fill(w * h * ch)(rnd.nextInt(256))
+      val png = graft.multimodal.PngCodec.encode(w, h, ch, samples)
+      val got = graft.multimodal.PngCodec.decode(png)
+      assert(got.isDefined, s"decode failed for $w x $h x $ch")
+      val (gw, gh, gch, gs) = got.get
+      assert((gw, gh, gch) == (w, h, ch))
+      assert(gs.toSeq == samples.toSeq, s"pixels drifted for $w x $h x $ch")
+    }
+  }
+
+  test("PngCodec output parses as a real PNG in image_meta (q92 cross-check)") {
+    val png = graft.multimodal.PngCodec.encode(13, 9, 3, Array.fill(13 * 9 * 3)(77))
+    val r = graft.functions.ImageMetaExpr.parseHeader(png)
+    assert(r != null)
+    assert(r.getUTF8String(0).toString == "png")
+    assert(r.getInt(1) == 13 && r.getInt(2) == 9)
+    assert(r.getInt(3) == 8 && r.getInt(4) == 3) // bit depth, channels
+    val gray = graft.multimodal.PngCodec.encode(4, 4, 1, Array.fill(16)(0))
+    val g = graft.functions.ImageMetaExpr.parseHeader(gray)
+    assert(g.getInt(4) == 1)
+  }
+
+  test("PngCodec declines what it can't decode honestly; features fall back") {
+    import graft.multimodal.PngCodec
+    assert(PngCodec.decode(null).isEmpty)
+    assert(PngCodec.decode("not a png".getBytes("UTF-8")).isEmpty)
+    val good = PngCodec.encode(6, 6, 1, Array.fill(36)(128))
+    assert(PngCodec.decode(good).isDefined)
+    // truncated IDAT: inflate can't finish -> None, never an exception
+    assert(PngCodec.decode(good.take(good.length - 20)).isEmpty)
+    // interlaced flag (IHDR byte 28) -> honest decline (no Adam7)
+    val interlaced = good.clone(); interlaced(28) = 1.toByte
+    assert(PngCodec.decode(interlaced).isEmpty)
+    // 16-bit depth -> decline
+    val deep = good.clone(); deep(24) = 16.toByte
+    assert(PngCodec.decode(deep).isEmpty)
+  }
+
   test("audio_meta rejects hostile chunk sizes without hanging") {
     import graft.functions.AudioMetaExpr.parseHeader
     // declared u32 size 0xFFFFFFF8: toInt is -8, so the naive step
