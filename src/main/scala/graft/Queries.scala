@@ -1404,8 +1404,10 @@ object Queries {
     * written by [[graft.sources.ExcelFixture]] from the parquet rows the
     * oracle reads directly. Values are stringified IN SPARK (cast), so
     * the workbook holds exactly the strings the oracle's VARCHAR casts
-    * produce. Bounded: the subset is o_orderkey % 997 = 0 (~150 rows at
-    * sf0.1), guarded well under the writer's single-FAT-sector limit. */
+    * produce. Bounded: the subset is o_orderkey % 997 = 0 capped at the
+    * first 300 keys (~150 rows at sf0.1, cap binding only at sf1.0+) —
+    * deterministic (keys unique, ordered) and safely under the writer's
+    * single-FAT-sector limit at any corpus size. */
   private def stagedExcel(s: SparkSession, d: String): java.io.File =
     stagedExcelDir.computeIfAbsent(d, _ => {
       val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
@@ -1414,6 +1416,7 @@ object Queries {
       val rows = Tables.orders(s, d)
         .where(col("o_orderkey") % 997 === 0)
         .orderBy(col("o_orderkey"))
+        .limit(300)
         .select(col("o_orderkey").cast("string"),
           col("o_custkey").cast("string"),
           col("o_orderstatus"),
@@ -2906,7 +2909,8 @@ object Queries {
     },
     Some("""WITH sub AS (SELECT o_orderkey, o_custkey, o_orderstatus,
             CAST(o_orderdate AS VARCHAR) AS o_orderdate
-          FROM orders WHERE o_orderkey % 997 = 0)
+          FROM orders WHERE o_orderkey % 997 = 0
+          ORDER BY o_orderkey LIMIT 300)
       SELECT 'xlsx' AS src, * FROM sub
       UNION ALL SELECT 'xls' AS src, * FROM sub"""))
 

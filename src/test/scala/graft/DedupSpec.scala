@@ -178,6 +178,10 @@ class DedupSpec extends SparkSpec {
   }
 
   test("noveltyScoreBloom == noveltyScore, no cache residue, no binary literal") {
+    // the session (and its cache manager) is shared across suites; start
+    // from a clean slate so the residue assert below sees only what THIS
+    // operator call leaves behind
+    spark.catalog.clearCache()
     val ref = docs.where(col("doc_id") < 25)
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))

@@ -8,7 +8,15 @@ import java.nio.file.{Files, Paths}
   * (SURVEY.md §5.2 item 2): fixture CSVs → OrderEtl → ProductEtl →
   * SalesTaxonomy → SemanticView → Dashboard, with hand-computed goldens.
   */
-class EtlPipelineSpec extends SparkSpec {
+class EtlPipelineSpec extends SparkSpec
+    with org.scalatest.BeforeAndAfterAll {
+
+  override def afterAll(): Unit = {
+    // the session is shared across suites — drop this suite's cached view
+    // so later suites' cache-residue asserts see a clean manager
+    view.unpersist(blocking = false)
+    super.afterAll()
+  }
 
   private def writeFixture(name: String, content: String): String = {
     val dir = Files.createTempDirectory("graft-fixtures")
