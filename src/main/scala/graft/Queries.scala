@@ -1082,9 +1082,8 @@ object Queries {
         f
       })
       val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
-      val raw = s.readStream.schema(rawSchema).parquet(dir.getAbsolutePath)
-      val ev = if (rawSchema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) else raw
+      val ev = Tables.normalizeEventTs(
+        s.readStream.schema(rawSchema).parquet(dir.getAbsolutePath))
       val sink = "graft_q58_sink"
       Queries.withStreamingParallelism(s) {
         graft.streaming.EventStreams.hourlyAgg(ev)
@@ -1116,9 +1115,8 @@ object Queries {
       Seq("a", "b").foreach(n =>
         Queries.stageParquetCopy(s"$d/events.parquet", f, s"events_$n"))
       val rawSchema = s.read.parquet(f.getAbsolutePath).schema
-      val raw = s.readStream.schema(rawSchema).parquet(f.getAbsolutePath)
-      val ev = if (rawSchema("ts").dataType == LongType)
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) else raw
+      val ev = Tables.normalizeEventTs(
+        s.readStream.schema(rawSchema).parquet(f.getAbsolutePath))
       val sink = "graft_q71_sink"
       Queries.withStreamingParallelism(s) {
         graft.streaming.EventStreams
@@ -1149,9 +1147,8 @@ object Queries {
         f
       })
       val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
-      val raw = s.readStream.schema(rawSchema).parquet(dir.getAbsolutePath)
-      val ev = (if (rawSchema("ts").dataType == LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) else raw)
+      val ev = Tables.normalizeEventTs(
+          s.readStream.schema(rawSchema).parquet(dir.getAbsolutePath))
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[graft.streaming.EventStreams.Event]
@@ -2424,11 +2421,8 @@ object Queries {
         f
       })
       val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
-      def stream(): DataFrame = {
-        val raw = s.readStream.schema(rawSchema).parquet(dir.getAbsolutePath)
-        if (rawSchema("ts").dataType == LongType)
-          raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000"))) else raw
-      }
+      def stream(): DataFrame = Tables.normalizeEventTs(
+        s.readStream.schema(rawSchema).parquet(dir.getAbsolutePath))
       val views = stream().filter(col("event_type") === "view")
       val purchases = stream().filter(col("event_type") === "purchase")
       val sink = "graft_q102_sink"
@@ -2914,6 +2908,45 @@ object Queries {
       SELECT 'xlsx' AS src, * FROM sub
       UNION ALL SELECT 'xls' AS src, * FROM sub"""))
 
+  /** BM25 keyword retrieval gate (round-9 verdict #1: bm25TopK shipped
+    * ungated). The oracle re-derives the full engine-exact score contract
+    * documented on [[graft.operators.TextSearch.bm25TopK]] — idf rounded
+    * half-up at 6 decimals before any multiply, tf normalization as the
+    * 10·TL-scaled ratio with fixed left association, per-term contribution
+    * rounded to micro-units and summed in exact decimal — so a drift in
+    * either engine's IEEE sequence fails the hash compare. */
+  private val q116 = Q("q116_bm25_topk",
+    (s, d) => graft.operators.TextSearch.bm25TopK(
+      documents(s, d), "doc_id", "text",
+      Seq("spark", "vector", "join"), k = 20),
+    Some("""WITH base AS (SELECT doc_id AS doc,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            t -> t <> '') AS toks
+        FROM documents),
+      b AS (SELECT doc, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+      st AS (SELECT COUNT(*) AS n, COALESCE(SUM(dl), 0) AS tl FROM b),
+      t(term) AS (SELECT * FROM (VALUES ('spark'), ('vector'), ('join'))),
+      dfreq AS (SELECT term,
+          (SELECT COUNT(*) FROM b WHERE list_contains(b.toks, t.term)) AS df
+        FROM t),
+      idf AS (SELECT term,
+          ROUND(ln(CAST(st.n + 1 AS DOUBLE) / (dfreq.df + 0.5)), 6) AS idf
+        FROM dfreq CROSS JOIN st),
+      pr AS (SELECT doc, dl, toks FROM b
+        WHERE list_has_any(toks, ['spark', 'vector', 'join'])),
+      tf AS (SELECT doc, dl, term,
+          CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+        FROM pr CROSS JOIN t),
+      c AS (SELECT doc, CASE WHEN tf > 0 THEN 1 ELSE 0 END AS hit,
+          CAST(ROUND(idf.idf * ((10.0 * st.tl * tf) /
+              (10.0 * st.tl * tf + 3.0 * st.tl + 9.0 * dl * st.n)), 6)
+            AS DECIMAL(18,6)) AS contrib
+        FROM tf JOIN idf USING (term) CROSS JOIN st)
+      SELECT doc, CAST(SUM(hit) AS BIGINT) AS n_hit,
+        CAST(CAST(SUM(contrib) * 1000000 AS BIGINT) AS DOUBLE)
+          / 1000000.0 AS score
+      FROM c GROUP BY doc ORDER BY score DESC, doc LIMIT 20"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2923,7 +2956,7 @@ object Queries {
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-    q107, q108, q109, q110, q111, q112, q113, q114, q115)
+    q107, q108, q109, q110, q111, q112, q113, q114, q115, q116)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

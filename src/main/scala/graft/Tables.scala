@@ -57,15 +57,27 @@ object Tables {
 
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$d/events.parquet")
+    normalizeEventTs(s.read.parquet(s"$d/events.parquet"))
+  }
+
+  /** Normalize a raw events frame's `ts` to first-class TIMESTAMP across
+    * the parquet physical types the fixture has shipped with: nanos read
+    * as long (legacy flag), or TIMESTAMP(MICROS) without isAdjustedToUTC,
+    * which Spark 4 reads as NTZ — watermarks and unix_micros require
+    * TIMESTAMP. The session zone is pinned UTC, so the NTZ cast keeps the
+    * same instant DuckDB sees. Shared by the batch reader and every
+    * streaming query that re-reads the staged events fixture. */
+  def normalizeEventTs(raw: DataFrame): DataFrame =
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
-  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }
