@@ -13,7 +13,7 @@ object Bench {
     // doesn't absorb ~3s of session initialization
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/nation.parquet").count()
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
     // Force FULL evaluation of every output column: count() lets Catalyst
     // prune unevaluated projections, so projection-only queries would
     // benchmark a bare scan instead of their operator. The noop sink
@@ -31,8 +31,14 @@ object Bench {
     // the process-global registry forever; (c) lingering streams from a
     // query that died mid-drain. 113 queries x 4 passes accumulated all
     // three until the block manager poisoned unrelated timings.
+    // per-query failure counts: run()/sweep() must not abort the whole
+    // bench on one broken query, but a query that fails every pass must
+    // not silently report a median "timing" either (advice r9) — failures
+    // land in the printed JSON and non-zero totals flag the run.
+    val failures = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
     def sweep(): Unit = {
-      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      spark.streams.active.foreach(q =>
+        try q.stop() catch { case scala.util.control.NonFatal(_) => () })
       spark.sharedState.cacheManager.clearCache()
       // INVARIANT this blanket unpersist imposes on Queries: cross-query
       // memos must hold durable FILES only (staged dirs, bucketed catalog
@@ -51,7 +57,11 @@ object Bench {
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(o => o.exists(n.startsWith)))
     names.foreach { name =>
-      try run(name) catch { case _: Throwable => () }
+      try run(name) catch {
+        case scala.util.control.NonFatal(e) =>
+          failures(name) += 1
+          System.err.println(s"[bench] warm $name failed: ${e.getMessage}")
+      }
       sweep()
     }
     // median-of-3: single-shot per-query numbers at this scale showed
@@ -73,7 +83,11 @@ object Bench {
       val rotated = names.drop(off) ++ names.take(off)
       rotated.map { name =>
         val t0 = System.nanoTime()
-        try run(name) catch { case _: Throwable => () }
+        try run(name) catch {
+          case scala.util.control.NonFatal(e) =>
+            failures(name) += 1
+            System.err.println(s"[bench] pass $p $name failed: ${e.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         sweep()
         name -> dt
@@ -93,14 +107,24 @@ object Bench {
     val shortQs = results.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + k.takeWhile(_ != '_') + "\":" + fmt(v)
     }.mkString("{", ",", "}")
+    // failed runs are zero-cost no-ops, so their "timings" are lies —
+    // surface the count inline (and the names when any exist)
+    val failJson = if (failures.isEmpty) "" else
+      ",\"failed\":" + failures.toSeq.sortBy(_._1).map { case (k, n) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + n
+      }.mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs$failJson,"sf":"$sfDir"}""")
     // full names + full precision land in a file: a truncated stdout tail
     // (round 3 lost 7 per-query numbers) must not lose the measurement
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val failFull = if (failures.isEmpty) "" else
+      ",\"failed\":" + failures.toSeq.sortBy(_._1).map { case (k, n) =>
+        "\"" + k + "\":" + n
+      }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failFull,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)

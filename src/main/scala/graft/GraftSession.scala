@@ -32,6 +32,16 @@ object GraftSession {
       // ~2s of a 7.5s ETL query at sf0.1). Wide/cold caches would choose
       // the opposite; we don't create any.
       .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
+      // Whole-stage-codegen class cache (static conf, default 100). The
+      // engine's query surface alone spans hundreds of distinct codegen
+      // units; at 100 the cache thrashes and EVERY run of a mixed
+      // workload pays Janino recompilation for EVERY stage — measured
+      // round 10: q34 (the multi-stage ETL) 6.5 s -> 2.6 s at sf0.1, the
+      // whole q29-q49 bench block 15.5 s -> 9.3 s, purely driver-side
+      // compile time. Cost is metaspace for compiled classes (~KBs per
+      // entry); 5000 comfortably covers the full query set with room for
+      // a production mix on a long-lived driver.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.sql.session.timeZone", "UTC")
       // catalog tables (the bucketed warehouse) live under tmp, not the
       // source tree

@@ -65,10 +65,13 @@ object TrainingData {
                        rates: Map[String, Int], defaultPermille: Int): DataFrame = {
     (rates.values.toSeq :+ defaultPermille).foreach(p =>
       require(p >= 0 && p <= 1000, s"permille out of range: $p"))
-    val rate = rates.foldLeft(lit(defaultPermille)) { case (acc, (k, p)) =>
-      when(col(stratumCol) === k, lit(p)).otherwise(acc)
-    }
-    df.where(pmod(StableId63.stableId63(col(idCol).cast("string")), lit(1000)) < rate)
+    DomainLookup.attach(df, col(stratumCol),
+        org.apache.spark.sql.types.StringType,
+        rates.toSeq.map { case (k, p) => (k: Any, Seq[Any](p)) },
+        Seq(("__rate", org.apache.spark.sql.types.IntegerType)))
+      .where(pmod(StableId63.stableId63(col(idCol).cast("string")), lit(1000))
+        < coalesce(col("__rate"), lit(defaultPermille)))
+      .drop("__rate")
   }
 
   /** Greedy sequence packing: documents ordered by `idCol` within a shard
@@ -352,28 +355,36 @@ object TrainingData {
     val counts = df.where(col(domainCol).isin(doms: _*))
       .groupBy(col(domainCol)).agg(count(lit(1)).as("__cnt"))
       .collect().map(r => r.get(0) -> r.getLong(1)).toMap
-    df.where(quotaKeep(idCol, domainCol, counts,
-      dom => quotas(String.valueOf(dom))))
+    quotaKeep(df, idCol, domainCol, counts,
+      dom => quotas(String.valueOf(dom)))
   }
 
   /** The quota-mixing keep test shared by [[mixToQuotas]] and
     * [[mixByTemperature]]: per-domain 63-bit threshold
-    * ⌊quota·2^63/count⌋ over the stable id key, as a narrow when-chain —
-    * no join, no shuffle, no RNG. */
-  private def quotaKeep(idCol: String, domainCol: String,
+    * ⌊quota·2^63/count⌋ over the stable id key, attached via
+    * [[DomainLookup.attach]] — a narrow when-chain at hand-written spec
+    * sizes, a broadcast lookup join above the threshold; no shuffle, no
+    * RNG either way. Domains outside `counts` yield null attributes,
+    * which the keep predicate treats as drop (the spec is the
+    * whitelist). */
+  private def quotaKeep(df: DataFrame, idCol: String, domainCol: String,
                         counts: Map[Any, Long],
-                        quotaOf: Any => Long): org.apache.spark.sql.Column =
-    counts.foldLeft(lit(false)) { case (acc, (dom, cnt)) =>
+                        quotaOf: Any => Long): DataFrame = {
+    val rows = counts.toSeq.map { case (dom, cnt) =>
       val q = quotaOf(dom)
-      val cond =
-        if (q >= cnt) lit(true) // over-ask: keep the whole domain
-        else {
-          // floor(quota * 2^63 / count) < 2^63 — fits a signed long
-          val thr = ((BigInt(q) << 63) / cnt).toLong
-          StableId63.stableId63(col(idCol).cast("string")) < lit(thr)
-        }
-      when(col(domainCol) === lit(dom), cond).otherwise(acc)
+      // over-ask keeps the whole domain; otherwise
+      // floor(quota * 2^63 / count) < 2^63 — fits a signed long
+      val thr: Any = if (q >= cnt) null else ((BigInt(q) << 63) / cnt).toLong
+      (dom, Seq[Any](q >= cnt, thr))
     }
+    DomainLookup.attach(df, col(domainCol), df.schema(domainCol).dataType,
+        rows, Seq(("__keepAll", org.apache.spark.sql.types.BooleanType),
+          ("__thr", org.apache.spark.sql.types.LongType)))
+      // null __keepAll/__thr (unlisted domain) -> false || null = null -> drop
+      .where(coalesce(col("__keepAll"), lit(false)) ||
+        (StableId63.stableId63(col(idCol).cast("string")) < col("__thr")))
+      .drop("__keepAll", "__thr")
+  }
 
   /** Temperature-scaled domain mixing (the multilingual-sampling rule of
     * Conneau & Lample, "Cross-lingual Language Model Pretraining", 2019):
@@ -418,7 +429,7 @@ object TrainingData {
       dom -> ((BigInt(targetDocs) * micro(dom)) / sumMicro)
         .min(BigInt(c)).toLong
     }
-    df.where(quotaKeep(idCol, domainCol, counts, quotas))
+    quotaKeep(df, idCol, domainCol, counts, quotas)
   }
 
   /** Upsampling by replication — the half of the mixing problem
@@ -457,21 +468,25 @@ object TrainingData {
         s"upsampleToQuota: domain '$dom' would replicate ${q / cnt}× " +
           s"(quota $q over $cnt docs) > maxReplication=$maxReplication — " +
           "raise maxReplication deliberately if this oversampling is intended") }
-    // per-domain (full epochs, partial-epoch threshold), exact integers
+    // per-domain (full epochs, partial-epoch threshold), exact integers;
+    // attached narrow (chain) or via broadcast lookup (DomainLookup)
     val key = StableId63.stableId63(col(idCol).cast("string"))
-    val nCopies = counts.foldLeft(lit(0)) { case (acc, (dom, cnt)) =>
+    val rows = counts.toSeq.map { case (dom, cnt) =>
       val q = quotas(String.valueOf(dom))
-      val full = (q / cnt).toInt
       val rem = q % cnt
-      val thr = ((BigInt(rem) << 63) / cnt).toLong
-      val n = lit(full) +
-        (if (rem == 0L) lit(0) else when(key < lit(thr), 1).otherwise(0))
-      when(col(domainCol) === lit(dom), n).otherwise(acc)
+      val thr: Any = if (rem == 0L) null else ((BigInt(rem) << 63) / cnt).toLong
+      (dom, Seq[Any]((q / cnt).toInt, thr))
     }
-    df.withColumn("__n", nCopies)
+    DomainLookup.attach(df, col(domainCol), df.schema(domainCol).dataType,
+        rows, Seq(("__full", org.apache.spark.sql.types.IntegerType),
+          ("__uthr", org.apache.spark.sql.types.LongType)))
+      .withColumn("__n", coalesce(
+        col("__full") +
+          when(col("__uthr").isNotNull && key < col("__uthr"), 1).otherwise(0),
+        lit(0)))
       .where(col("__n") > 0)
       .withColumn("epoch", explode(sequence(lit(0), col("__n") - 1)))
-      .drop("__n")
+      .drop("__n", "__full", "__uthr")
   }
 
   /** Exact-count domain quotas: [[mixToQuotas]] lands NEAR its quota (a
@@ -517,10 +532,12 @@ object TrainingData {
       Seq(graft.plans.TopK.Sort("__mixkey"),
         graft.plans.TopK.Sort(idCol)),
       maxQ.toInt, "__mixrank")
-    val quotaOf = quotas.foldLeft(lit(0L)) { case (acc, (dom, q)) =>
-      when(col(domainCol).cast("string") === lit(dom), lit(q)).otherwise(acc)
-    }
-    ranked.where(col("__mixrank") <= quotaOf).drop("__mixkey", "__mixrank")
+    DomainLookup.attach(ranked, col(domainCol).cast("string"),
+        org.apache.spark.sql.types.StringType,
+        quotas.toSeq.map { case (dom, q) => (dom: Any, Seq[Any](q)) },
+        Seq(("__quota", org.apache.spark.sql.types.LongType)))
+      .where(col("__mixrank") <= coalesce(col("__quota"), lit(0L)))
+      .drop("__mixkey", "__mixrank", "__quota")
   }
 
   /** Quality-ordered token-budget selection: within each domain take
@@ -589,45 +606,53 @@ object TrainingData {
         .select(col("__dom"), col("__v"), col("__cum_start"))
         .collect()
     } finally hist.unpersist(blocking = false)
+    // boundary attributes ride DomainLookup (null-SAFE domain matches
+    // throughout: a null domain is its own partition in the window
+    // formulation this replaces, and a null-unsafe === would silently
+    // exempt it from the budget): a narrow when-chain at hand-written
+    // mix sizes, a broadcast lookup join above the threshold — either
+    // way no exchange lands on the corpus side
+    val domType = withTok.schema(domainCol).dataType
+    val orderType = withTok.schema(orderCol).dataType
+    val idType = withTok.schema(idCol).dataType
     // exact cut inside each boundary group: the first row in id order has
     // prior = __cum_start < budget, so every boundary domain keeps >= 1 row
     // and the kept set is the id-prefix ending at __cut
     val cutIds: Map[Any, Any] =
       if (bounds.isEmpty) Map.empty
       else {
-        // null-SAFE domain matches throughout: a null domain is its own
-        // partition in the window formulation this replaces, and a
-        // null-unsafe === would silently exempt it from the budget
-        val sel = bounds.map(r =>
-          (col(domainCol) <=> lit(r.get(0))) && (col(orderCol) <=> lit(r.get(1))))
-          .reduce(_ || _)
-        val startOf = bounds.foldLeft(lit(0L)) { (acc, r) =>
-          when(col(domainCol) <=> lit(r.get(0)), lit(r.getLong(2)))
-            .otherwise(acc)
-        }
         val wb = Window.partitionBy(col(domainCol)).orderBy(col(idCol))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        withTok.where(sel)
+        DomainLookup.attach(withTok, col(domainCol), domType,
+            bounds.toSeq.map(r =>
+              (r.get(0), Seq[Any](r.get(1), r.getLong(2), true))),
+            Seq(("__bv", orderType),
+              ("__bstart", org.apache.spark.sql.types.LongType),
+              ("__bm", org.apache.spark.sql.types.BooleanType)))
+          .where(coalesce(col("__bm"), lit(false)) &&
+            (col(orderCol) <=> col("__bv")))
           .withColumn("__prior",
-            startOf + sum(col("n_tokens")).over(wb) - col("n_tokens"))
+            col("__bstart") + sum(col("n_tokens")).over(wb) - col("n_tokens"))
           .where(col("__prior") < budget)
           .groupBy(col(domainCol)).agg(max(col(idCol)).as("__cut"))
           .collect().map(r => (r.get(0), r.get(1))).toMap
       }
-    val keep = bounds.foldLeft(lit(true)) { (acc, r) =>
-      val dom = r.get(0)
-      val v = r.get(1)
-      // groups strictly better than the boundary value are wholly kept;
-      // a null boundary (nulls sort last) keeps every non-null group
-      val before =
-        if (v == null) col(orderCol).isNotNull else col(orderCol) > lit(v)
-      val atBoundary = cutIds.get(dom) match {
-        case Some(c) => (col(orderCol) <=> lit(v)) && col(idCol) <= lit(c)
-        case None => lit(false)
-      }
-      when(col(domainCol) <=> lit(dom), before || atBoundary).otherwise(acc)
-    }
-    withTok.where(keep)
+    if (bounds.isEmpty) withTok
+    else DomainLookup.attach(withTok, col(domainCol), domType,
+        bounds.toSeq.map { r =>
+          (r.get(0), Seq[Any](r.get(1), cutIds.getOrElse(r.get(0), null), true))
+        },
+        Seq(("__bv", orderType), ("__bcut", idType),
+          ("__bm", org.apache.spark.sql.types.BooleanType)))
+      // groups strictly better than the boundary value are wholly kept
+      // (a null boundary — nulls sort last — keeps every non-null group);
+      // the boundary group keeps the id-prefix; unlisted domains keep all
+      .where(when(coalesce(col("__bm"), lit(false)),
+          when(col("__bv").isNull, col(orderCol).isNotNull)
+            .otherwise(col(orderCol) > col("__bv")) ||
+          ((col(orderCol) <=> col("__bv")) && col(idCol) <= col("__bcut")))
+        .otherwise(lit(true)))
+      .drop("__bv", "__bcut", "__bm")
   }
 
   /** Deterministic corpus shuffle: the reproducible global reordering a
@@ -1065,15 +1090,18 @@ object TrainingData {
           found
         }
     }
-    val boundaryBins: Set[(Any, Long)] = boundaries.iterator.flatMap {
-      case (dom, bs) => bs.map(b => (dom, b.bin))
-    }.toSet
-    val inBoundary = boundaryBins.foldLeft(lit(false)) {
-      case (acc, (dom, b)) =>
-        (col("__dom") === lit(dom) &&
-          expr(s"__micro DIV $binWidth") === lit(b)) || acc
+    // ≤ 2 boundary bins per domain ride DomainLookup as one array
+    // attribute: membership is an O(1) array_contains either way, and
+    // past the chain threshold the bins arrive by broadcast lookup join
+    // instead of a |domains|-branch literal filter
+    val domType = scored.schema("__dom").dataType
+    val binsOf: Seq[(Any, Seq[Any])] = boundaries.toSeq.map { case (dom, bs) =>
+      (dom, Seq[Any](bs.map(_.bin).distinct))
     }
-    val fine = scored.where(inBoundary)
+    val fine = DomainLookup.attach(scored, col("__dom"), domType, binsOf,
+        Seq(("__bbins", org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))))
+      .where(array_contains(col("__bbins"), expr(s"__micro DIV $binWidth")))
       .groupBy(col("__dom"), col("__micro"))
       .agg(count(lit(1)).as("__c")).collect()
     require(fine.length <= maxDistinct,
@@ -1095,15 +1123,16 @@ object TrainingData {
       }
       dom -> (resolved(0), resolved(1))
     }
-    val bucket = cuts.foldLeft(lit(null).cast("string")) {
-      case (acc, (dom, (c1, c2))) =>
-        when(col("__dom") === lit(dom),
-          when(col("__micro") <= c1, "head")
-            .when(col("__micro") <= c2, "middle")
-            .otherwise("tail")).otherwise(acc)
-    }
-    scored.select(col("doc"), col("__dom").as(domainCol), col("n_tokens"),
-      col("n_oov"), col("avg_nll"), bucket.as("bucket"))
+    val bucket = when(col("__cut1").isNotNull,
+      when(col("__micro") <= col("__cut1"), "head")
+        .when(col("__micro") <= col("__cut2"), "middle")
+        .otherwise("tail"))
+    DomainLookup.attach(scored, col("__dom"), domType,
+        cuts.toSeq.map { case (dom, (c1, c2)) => (dom, Seq[Any](c1, c2)) },
+        Seq(("__cut1", org.apache.spark.sql.types.LongType),
+          ("__cut2", org.apache.spark.sql.types.LongType)))
+      .select(col("doc"), col("__dom").as(domainCol), col("n_tokens"),
+        col("n_oov"), col("avg_nll"), bucket.as("bucket"))
   }
 
   /** BPE merge-pair statistics — the counting core of byte-pair-encoding
