@@ -2947,6 +2947,68 @@ object Queries {
           / 1000000.0 AS score
       FROM c GROUP BY doc ORDER BY score DESC, doc LIMIT 20"""))
 
+  /** Audio PCM sample decode round trip (round-9 verdict #4, q50's audio
+    * analog): a deterministic amplitude field per document is encoded as
+    * a REAL spec-valid WAV (even ids) or AIFF (odd ids) PCM container —
+    * 8-bit on every third id, 16-bit otherwise — then decoded back by
+    * [[graft.multimodal.PcmCodec]] inside the batched feature kernel.
+    * The oracle recomputes every feature from the SAME synthesis
+    * formula, so a green row proves the full encode→chunk-walk→sample
+    * round trip recovers every amplitude exactly (integer layer exact;
+    * mean/rms are single fixed IEEE sequences both engines share). */
+  private val q117 = Q("q117_audio_pcm_features",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+      val media = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, nChars) =>
+          val ch = 1 + (nChars % 2).toInt
+          val bits = if (id % 3 == 0) 8 else 16
+          val rate = 8000 * (1 + (id % 4).toInt)
+          val frames = 20 + (nChars % 40).toInt
+          val seed = (id % 251).toInt
+          val samples = Array.tabulate(frames * ch) { i =>
+            if (bits == 8) (seed + 131 * i) % 256 - 128
+            else (seed + 9973 * i) % 65536 - 32768
+          }
+          val bytes =
+            if (id % 2 == 0)
+              graft.multimodal.PcmCodec.encodeWav(ch, rate, bits, samples)
+            else
+              graft.multimodal.PcmCodec.encodeAiff(ch, rate, bits, samples)
+          MediaRow(id, if (id % 2 == 0) "audio/wav" else "audio/aiff",
+            bytes, MediaMeta("synth", None, None, None))
+        }
+      graft.multimodal.Multimodal.audioFeatures(media).toDF()
+        .select(col("media_id"), col("format"), col("channels"),
+          col("sample_rate"), col("n_samples"), col("peak_abs"),
+          col("sum_amp"), col("sum_sq"), col("mean_amp"), col("rms"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          CAST(1 + n_chars % 2 AS INTEGER) AS ch,
+          CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+          CAST(8000 * (1 + doc_id % 4) AS INTEGER) AS rate,
+          20 + n_chars % 40 AS frames,
+          doc_id % 251 AS seed
+        FROM documents),
+      s AS (SELECT doc_id, ch, rate, frames * ch AS n,
+          list_transform(range(frames * ch), i ->
+            CASE WHEN bits = 8 THEN (seed + 131*i) % 256 - 128
+                 ELSE (seed + 9973*i) % 65536 - 32768 END) AS sm
+        FROM p)
+      SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'aiff' END AS format,
+        ch AS channels, rate AS sample_rate,
+        CAST(n AS BIGINT) AS n_samples,
+        CAST(list_max(list_transform(sm, x -> abs(x))) AS INTEGER) AS peak_abs,
+        CAST(list_sum(sm) AS BIGINT) AS sum_amp,
+        CAST(list_sum(list_transform(sm, x -> x*x)) AS BIGINT) AS sum_sq,
+        CAST(list_sum(sm) AS DOUBLE) / n AS mean_amp,
+        sqrt(CAST(list_sum(list_transform(sm, x -> x*x)) AS DOUBLE) / n) AS rms
+      FROM s"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -2956,7 +3018,7 @@ object Queries {
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-    q107, q108, q109, q110, q111, q112, q113, q114, q115, q116)
+    q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

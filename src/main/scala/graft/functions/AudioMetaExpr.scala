@@ -93,8 +93,9 @@ object AudioMetaExpr {
   }
 
   /** 80-bit IEEE 754 extended float at offset i → nearest long, or -1 if
-    * not an exact non-negative integer in long range (audio rates are). */
-  private def ext80(b: Array[Byte], i: Int): Long = {
+    * not an exact non-negative integer in long range (audio rates are).
+    * Shared with [[graft.multimodal.PcmCodec]]'s AIFF sample decode. */
+  private[graft] def ext80(b: Array[Byte], i: Int): Long = {
     val se = u16be(b, i)
     if ((se & 0x8000) != 0) return -1L // negative rate: out of spec
     val exp = se & 0x7fff
@@ -131,9 +132,12 @@ object AudioMetaExpr {
           dataSize = size // size may exceed remaining bytes (header-only
           // fixture / streamed payload): frames come from the declared size
         }
-        // >= 2^31 is never a legitimate header chunk size, and its toInt
-        // is negative — the step 8+size.toInt+pad could be <= 0 (size
-        // 0xFFFFFFF8 makes it exactly 0) and the walk would never advance
+        // DELIBERATE 2 GiB parse cap (not a spec bound: RIFF sizes are
+        // u32 and data chunks between 2 GiB and 4 GiB are legal WAV) —
+        // a size past Int.MaxValue has a negative toInt, the step
+        // 8+size.toInt+pad could be <= 0 (size 0xFFFFFFF8 makes it
+        // exactly 0) and the walk would never advance. Such files parse
+        // as null metadata by policy.
         if (size > Int.MaxValue) return null
         i += 8 + size.toInt + (size.toInt & 1) // chunks are even-padded
         if (i < 0) return null // overflow on a hostile size

@@ -46,6 +46,11 @@ object Multimodal {
                                  histogram: Array[Double])
   final case class FrameSample(media_id: Long, frame_idx: Int, frame_ms: Long,
                                frame: Array[Byte])
+  final case class AudioFeatures(media_id: Long, format: String,
+                                 channels: Int, sample_rate: Int,
+                                 n_samples: Long, peak_abs: Int,
+                                 sum_amp: Long, sum_sq: Long,
+                                 mean_amp: Double, rms: Double)
 
   /** STUB CODEC — deterministic fakes standing in for native decoders.
     * Every output is a pure function of the payload bytes so tests are
@@ -120,6 +125,49 @@ object Multimodal {
             val n = px.length.toDouble
             ImageFeatures(m.media_id, w, h, bytes.length.toLong,
               px.sum / math.max(n, 1.0) / 255.0, hist.map(_ / math.max(n, 1.0)))
+        }
+      }
+    }
+  }
+
+  /** Audio feature extraction — [[imageFeatures]]'s PCM sibling: WAV and
+    * AIFF integer PCM decode for REAL through [[PcmCodec]] (8/16-bit,
+    * one signed amplitude convention); per-payload amplitude features
+    * come out in two layers so the oracle can re-derive them exactly —
+    * the integer layer (n_samples, peak_abs, sum_amp, sum_sq) is exact
+    * arithmetic over decoded samples, and each float (mean_amp, rms) is
+    * ONE fixed IEEE operation sequence over those integers
+    * (sum/n; sqrt(sum_sq/n)) that any engine reproduces bit-for-bit.
+    *
+    * Payloads the codec declines — FLAC and anything else compressed,
+    * float/24/32-bit PCM, truncated sample data — yield the HONEST stub
+    * row: format "stub", zero features, n_samples = payload length, so
+    * a downstream consumer can never mistake a declined decode for
+    * digital silence. NULL/empty payloads yield the same with n 0. */
+  def audioFeatures(media: Dataset[MediaRow], batchSize: Int = 64): Dataset[AudioFeatures] = {
+    import media.sparkSession.implicits._
+    mapBatches(media, batchSize) { batch =>
+      batch.map { m =>
+        val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
+        PcmCodec.decode(bytes) match {
+          case Some(p) if p.samples.nonEmpty =>
+            var peak = 0; var sum = 0L; var sq = 0L
+            p.samples.foreach { s =>
+              val a = math.abs(s)
+              if (a > peak) peak = a
+              sum += s
+              sq += s.toLong * s
+            }
+            val n = p.samples.length
+            AudioFeatures(m.media_id, p.format, p.channels, p.sampleRate,
+              n.toLong, peak, sum, sq,
+              sum.toDouble / n, math.sqrt(sq.toDouble / n))
+          case Some(p) =>
+            AudioFeatures(m.media_id, p.format, p.channels, p.sampleRate,
+              0L, 0, 0L, 0L, 0.0, 0.0)
+          case None =>
+            AudioFeatures(m.media_id, "stub", 0, 0, bytes.length.toLong,
+              0, 0L, 0L, 0.0, 0.0)
         }
       }
     }

@@ -298,4 +298,98 @@ class MultimodalSpec extends SparkSpec {
       rm(dir)
     }
   }
+
+  // ---- PCM sample decode (round-10: q50's audio analog) ----
+
+  private def pcmSamples(n: Int, bits: Int): Array[Int] =
+    Array.tabulate(n) { i =>
+      if (bits == 8) (7 + 131 * i) % 256 - 128
+      else (7 + 9973 * i) % 65536 - 32768
+    }
+
+  test("PcmCodec round-trips WAV and AIFF at 8 and 16 bits exactly") {
+    import graft.multimodal.PcmCodec
+    for {
+      bits <- Seq(8, 16)
+      ch <- Seq(1, 2)
+    } {
+      val s = pcmSamples(10 * ch, bits)
+      val wav = PcmCodec.decode(PcmCodec.encodeWav(ch, 8000, bits, s))
+      assert(wav.exists(p => p.format == "wav" && p.channels == ch &&
+        p.sampleRate == 8000 && p.bits == bits && p.samples.toSeq == s.toSeq),
+        s"wav bits=$bits ch=$ch")
+      val aiff = PcmCodec.decode(PcmCodec.encodeAiff(ch, 44100, bits, s))
+      assert(aiff.exists(p => p.format == "aiff" && p.channels == ch &&
+        p.sampleRate == 44100 && p.bits == bits && p.samples.toSeq == s.toSeq),
+        s"aiff bits=$bits ch=$ch")
+    }
+    // extremes survive both stored conventions (u8+128 / s16 two ways)
+    val edge = Array(-32768, 32767, 0, -1, 1)
+    assert(PcmCodec.decode(PcmCodec.encodeWav(1, 8000, 16, edge))
+      .get.samples.toSeq == edge.toSeq)
+    assert(PcmCodec.decode(PcmCodec.encodeAiff(1, 8000, 16, edge))
+      .get.samples.toSeq == edge.toSeq)
+    val edge8 = Array(-128, 127, 0, -1, 1)
+    assert(PcmCodec.decode(PcmCodec.encodeWav(1, 8000, 8, edge8))
+      .get.samples.toSeq == edge8.toSeq)
+    assert(PcmCodec.decode(PcmCodec.encodeAiff(1, 8000, 8, edge8))
+      .get.samples.toSeq == edge8.toSeq)
+  }
+
+  test("PcmCodec declines honestly: compressed, float, truncated, hostile") {
+    import graft.multimodal.PcmCodec
+    // FLAC is compressed: metadata-only territory, never sample decode
+    assert(PcmCodec.decode(realFlac).isEmpty)
+    // float WAV (fmt tag 3) is outside the integer-PCM envelope
+    val w = PcmCodec.encodeWav(1, 8000, 16, pcmSamples(10, 16))
+    val floatWav = w.clone(); floatWav(20) = 3 // fmt tag LE low byte
+    assert(PcmCodec.decode(floatWav).isEmpty)
+    // 24-bit: bits field rewritten
+    val w24 = w.clone(); w24(34) = 24
+    assert(PcmCodec.decode(w24).isEmpty)
+    // truncated sample data (header intact, payload cut mid-data)
+    assert(PcmCodec.decode(w.take(44 + 7)).isEmpty)
+    val a = PcmCodec.encodeAiff(1, 8000, 16, pcmSamples(10, 16))
+    assert(PcmCodec.decode(a.take(a.length - 3)).isEmpty)
+    // the round-9 hostile-size fixtures must terminate (no hang) as None
+    val hostileWav = hexBytes(
+      "52494646" + "24000000" + "57415645" + // RIFF....WAVE
+        "66616b65" + "f8ffffff")              // chunk w/ size 0xFFFFFFF8
+    val hostileAiff = hexBytes(
+      "464f524d" + "24000000" + "41494646" +
+        "66616b65" + "f8ffffff")
+    assert(PcmCodec.decode(hostileWav).isEmpty)
+    assert(PcmCodec.decode(hostileAiff).isEmpty)
+    // header-only WAV (declared data, no bytes) parses as metadata
+    // (audio_meta) but NOT as samples
+    val headerOnly = w.take(44)
+    assert(PcmCodec.decode(headerOnly).isEmpty)
+    assert(graft.functions.AudioMetaExpr.parseHeader(headerOnly) != null)
+  }
+
+  test("audioFeatures: exact integer layer, fixed IEEE floats, stub fallback") {
+    import spark.implicits._
+    import graft.multimodal.PcmCodec
+    val s = Array(100, -200, 300, -32768)
+    val rows = Seq(
+      MediaRow(1L, "audio/wav", PcmCodec.encodeWav(2, 16000, 16, s),
+        MediaMeta("mic", None, None, None)),
+      MediaRow(2L, "audio/flac", realFlac, MediaMeta("mic", None, None, None)),
+      MediaRow(3L, "audio/wav", Array.emptyByteArray,
+        MediaMeta("mic", None, None, None)))
+    val got = Multimodal.audioFeatures(rows.toDS(), batchSize = 2)
+      .collect().map(f => f.media_id -> f).toMap
+    val f1 = got(1L)
+    assert(f1.format == "wav" && f1.channels == 2 && f1.sample_rate == 16000)
+    assert(f1.n_samples == 4L && f1.peak_abs == 32768)
+    assert(f1.sum_amp == (100L - 200L + 300L - 32768L))
+    val sq = s.map(x => x.toLong * x).sum
+    assert(f1.sum_sq == sq)
+    assert(f1.mean_amp == f1.sum_amp.toDouble / 4)
+    assert(f1.rms == math.sqrt(sq.toDouble / 4))
+    // declined decode is visibly a stub, never fake silence
+    assert(got(2L).format == "stub" && got(2L).n_samples == realFlac.length.toLong
+      && got(2L).peak_abs == 0)
+    assert(got(3L).format == "stub" && got(3L).n_samples == 0L)
+  }
 }
