@@ -428,7 +428,18 @@ object Dedup {
     * and the confirm join re-derives them from source at execution (one
     * extra pass over ref — the honest price of leaving no cache behind).
     * The broadcast handle lives in the returned plan and is reclaimed
-    * with it by the context cleaner. */
+    * with it by the context cleaner.
+    *
+    * PRECONDITION (the price of that re-derivation): `ref` must be
+    * DETERMINISTIC across evaluations — a stable table/file scan, not a
+    * sample(), a limit without order, or a re-read of a mutating source.
+    * The bloom is built from one evaluation and the confirm join runs
+    * against a later one; a reference shingle that exists only in the
+    * second evaluation can be false-negatived by the filter and silently
+    * undercount n_seen, breaking the documented value-identity with
+    * [[noveltyScore]]. Same assumption [[decontaminateBloom]] makes of
+    * its reference; materialize a volatile ref (checkpoint / write-read)
+    * before calling. */
   def noveltyScoreBloom(corpus: DataFrame, ref: DataFrame, idCol: String,
                         textCol: String, ngram: Int = 3,
                         fpp: Double = 0.01): DataFrame = {

@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Distributed directory-of-workbooks Excel ingest (round-9 missing
+  * item #3): [[XlsxIngest]]/[[XlsIngest]] parse ONE workbook on the
+  * driver — correct for the reference's drop-feed semantics (pandas is
+  * single-process too), but a directory of thousands of exports would
+  * serialize through the driver. This variant lists the directory with
+  * the binaryFile source and parses each workbook INSIDE the task that
+  * reads it: the driver never touches payload bytes, parallelism is the
+  * file count, and the per-file parse is the same battle-tested
+  * single-file code.
+  *
+  * Schema contract: the caller names the output columns (the drop
+  * directory's agreed shape). Each workbook's own header row is
+  * normalized ([[CsvIngest.normalizeColName]]) and matched BY NAME —
+  * heterogeneous exports reorder columns, add extras (dropped), or miss
+  * some (null) without breaking the batch. All values stay raw strings
+  * (the dtype=str edge contract); `_source_file` carries provenance for
+  * the idempotent-upsert paths downstream.
+  *
+  * Scale shape: one narrow scan over (path, content) rows; each
+  * workbook is bounded by construction (2^20 xlsx rows / 64 KiB xls
+  * rows), so task memory is bounded no matter how many files the
+  * directory accumulates; no shuffle is introduced. */
+object ExcelDirIngest {
+
+  /** Read every `*.xls` / `*.xlsx` under `dir` (non-recursive glob) into
+    * one all-string frame with columns `columns :+ _source_file`. */
+  def readDirAllString(spark: SparkSession, dir: String,
+                       columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "readDirAllString: no output columns named")
+    val normCols = columns.map(CsvIngest.normalizeColName)
+    require(normCols.distinct.length == normCols.length,
+      s"output columns collide after normalization: $normCols")
+    val schema = StructType(
+      normCols.map(StructField(_, StringType)) :+
+        StructField("_source_file", StringType, nullable = false))
+    // refuse an empty drop directory loudly (metadata-only listing — the
+    // driver still never touches payload bytes): a mis-pointed path must
+    // not masquerade as a legitimately empty batch
+    val hp = new org.apache.hadoop.fs.Path(dir, "*.xls*")
+    val matched = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .globStatus(hp)
+    require(matched != null && matched.nonEmpty,
+      s"readDirAllString: no .xls/.xlsx files under $dir")
+    val bin = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.xls*")
+      .load(dir)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+    bin.flatMap { case (path, bytes) =>
+      val grid =
+        if (path.toLowerCase(java.util.Locale.ROOT).endsWith(".xlsx"))
+          XlsxIngest.parseRows(bytes)
+        else XlsIngest.parseGrid(bytes)
+      if (grid.isEmpty) Iterator.empty
+      else {
+        val header = grid.head.map(h =>
+          CsvIngest.normalizeColName(Option(h).getOrElse("")))
+        val idx = normCols.map(c => header.indexOf(c)).toArray
+        val fname = path.substring(path.lastIndexOf('/') + 1)
+        grid.tail.iterator.map { r =>
+          Row.fromSeq(idx.toSeq.map(i =>
+            if (i >= 0 && i < r.length) r(i) else null) :+ fname)
+        }
+      }
+    }(Encoders.row(schema))
+  }
+}

@@ -28,8 +28,17 @@ import java.util.zip.{ZipEntry, ZipOutputStream}
   */
 object ExcelFixture {
 
+  /** With `workbookParts` (the default), the package carries the full
+    * OOXML boilerplate — `[Content_Types].xml`, root rels, `workbook.xml`
+    * and its rels — so the fixture drives [[XlsxIngest]]'s PRIMARY
+    * workbook-order sheet resolution (and opens in real Excel/pandas);
+    * `workbookParts = false` drops them to pin the reader's documented
+    * lowest-part-number fallback. `sheetPart` names the worksheet part
+    * (a non-1 number + workbook parts proves order resolution beats the
+    * part-number heuristic; see XlsxIngestSpec). */
   def writeXlsx(header: Seq[String], rows: Seq[Seq[String]],
-                path: String): Unit = {
+                path: String, workbookParts: Boolean = true,
+                sheetPart: Int = 1): Unit = {
     def esc(s: String): String = s
       .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     def row(r: Long, cells: Seq[String]): String =
@@ -43,10 +52,38 @@ object ExcelFixture {
     rows.zipWithIndex.foreach { case (r, i) => sb ++= row(i + 2L, r) }
     sb ++= "</sheetData></worksheet>"
     val zos = new ZipOutputStream(new java.io.FileOutputStream(path))
-    try {
-      zos.putNextEntry(new ZipEntry("xl/worksheets/sheet1.xml"))
-      zos.write(sb.toString.getBytes("UTF-8"))
+    def entry(name: String, content: String): Unit = {
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes("UTF-8"))
       zos.closeEntry()
+    }
+    try {
+      if (workbookParts) {
+        entry("[Content_Types].xml",
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+            """<Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types">""" +
+            """<Default Extension="rels" ContentType="application/vnd.openxmlformats-package.relationships+xml"/>""" +
+            """<Default Extension="xml" ContentType="application/xml"/>""" +
+            """<Override PartName="/xl/workbook.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>""" +
+            s"""<Override PartName="/xl/worksheets/sheet$sheetPart.xml" ContentType="application/vnd.openxmlformats-officedocument.spreadsheetml.worksheet+xml"/>""" +
+            "</Types>")
+        entry("_rels/.rels",
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+            """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+            """<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/officeDocument" Target="xl/workbook.xml"/>""" +
+            "</Relationships>")
+        entry("xl/workbook.xml",
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+            """<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">""" +
+            """<sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets>""" +
+            "</workbook>")
+        entry("xl/_rels/workbook.xml.rels",
+          """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""" +
+            """<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">""" +
+            s"""<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet$sheetPart.xml"/>""" +
+            "</Relationships>")
+      }
+      entry(s"xl/worksheets/sheet$sheetPart.xml", sb.toString)
     } finally zos.close()
   }
 
