@@ -3009,6 +3009,68 @@ object Queries {
         sqrt(CAST(list_sum(list_transform(sm, x -> x*x)) AS DOUBLE) / n) AS rms
       FROM s"""))
 
+  /** The composed contamination spot-check audit the TextSearch scaladoc
+    * promises (round-9 verdict #7): q113's novelty signal flags docs
+    * sharing ANY 3-gram with the benchmark slice (novelty < 1), then
+    * BM25 ranks the flagged set for the auditor's probe terms — "show me
+    * the most relevant suspected-contaminated docs". Retrieval stats
+    * (N, TL, df) are computed over the FLAGGED corpus, proving bm25TopK
+    * composes with an upstream operator's output rather than assuming a
+    * base table; novelty rides along via a final bounded join (k rows). */
+  private val q118 = Q("q118_bm25_contamination_audit",
+    (s, d) => {
+      val docs = documents(s, d)
+      val nov = graft.operators.Dedup.noveltyScore(docs,
+        docs.where(col("doc_id") < 20), "doc_id", "text", ngram = 3)
+      val flagged = docs.join(
+        nov.where(col("novelty") < 1.0)
+          .select(col("doc").as("doc_id"), col("novelty")),
+        Seq("doc_id"))
+      graft.operators.TextSearch
+        .bm25TopK(flagged, "doc_id", "text", Seq("table", "join"), k = 15)
+        .join(nov.select(col("doc"), col("novelty")), Seq("doc"))
+        .select(col("doc"), col("n_hit"), col("score"), col("novelty"))
+    },
+    Some(s"""WITH $shingleCte,
+      ref_h AS (SELECT DISTINCT hv FROM h WHERE doc < 20),
+      per AS (SELECT doc, COUNT(*) AS ns,
+          SUM(CASE WHEN hv IN (SELECT hv FROM ref_h) THEN 1 ELSE 0 END) AS sn
+        FROM h GROUP BY doc),
+      flag AS (SELECT doc, novelty FROM (
+          SELECT doc, ROUND(1.0 - CAST(sn AS DOUBLE) / ns, 6) AS novelty
+          FROM per) WHERE novelty < 1.0),
+      base AS (SELECT d.doc_id AS doc, f.novelty,
+          list_filter(string_split_regex(trim(lower(d.text)), '\\s+'),
+            t -> t <> '') AS toks
+        FROM documents d JOIN flag f ON d.doc_id = f.doc),
+      b AS (SELECT doc, novelty, toks,
+          CAST(len(toks) AS BIGINT) AS dl FROM base),
+      st AS (SELECT COUNT(*) AS n, COALESCE(SUM(dl), 0) AS tl FROM b),
+      t(term) AS (SELECT * FROM (VALUES ('table'), ('join'))),
+      dfreq AS (SELECT term,
+          (SELECT COUNT(*) FROM b WHERE list_contains(b.toks, t.term)) AS df
+        FROM t),
+      idf AS (SELECT term,
+          ROUND(ln(CAST(st.n + 1 AS DOUBLE) / (dfreq.df + 0.5)), 6) AS idf
+        FROM dfreq CROSS JOIN st),
+      pr AS (SELECT doc, novelty, dl, toks FROM b
+        WHERE list_has_any(toks, ['table', 'join'])),
+      tf AS (SELECT doc, novelty, dl, term,
+          CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+        FROM pr CROSS JOIN t),
+      c AS (SELECT doc, novelty,
+          CASE WHEN tf > 0 THEN 1 ELSE 0 END AS hit,
+          CAST(ROUND(idf.idf * ((10.0 * st.tl * tf) /
+              (10.0 * st.tl * tf + 3.0 * st.tl + 9.0 * dl * st.n)), 6)
+            AS DECIMAL(18,6)) AS contrib
+        FROM tf JOIN idf USING (term) CROSS JOIN st)
+      SELECT doc, CAST(SUM(hit) AS BIGINT) AS n_hit,
+        CAST(CAST(SUM(contrib) * 1000000 AS BIGINT) AS DOUBLE)
+          / 1000000.0 AS score,
+        novelty
+      FROM c GROUP BY doc, novelty
+      ORDER BY score DESC, doc LIMIT 15"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -3018,7 +3080,8 @@ object Queries {
     q68, q69, q70, q71, q72, q73, q74, q75, q76, q77, q78, q79, q80,
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
-    q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117)
+    q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
+    q118)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
