@@ -83,23 +83,31 @@ object Bench {
       val rotated = names.drop(off) ++ names.take(off)
       rotated.map { name =>
         val t0 = System.nanoTime()
-        try run(name) catch {
+        val ok = try { run(name); true } catch {
           case scala.util.control.NonFatal(e) =>
             failures(name) += 1
             System.err.println(s"[bench] pass $p $name failed: ${e.getMessage}")
+            false
         }
-        val dt = (System.nanoTime() - t0) / 1e9
+        // a failed pass aborts near-instantly, so its wall time is a lie
+        // that would drag the median down (advice r10): record NaN and
+        // exclude it below; a query with zero successful passes emits
+        // null, never a number
+        val dt = if (ok) (System.nanoTime() - t0) / 1e9 else Double.NaN
         sweep()
         name -> dt
       }.toMap
     }
+    // median over SUCCESSFUL passes only (upper median when 2 survive);
+    // all-failed -> NaN, rendered as JSON null and excluded from total
     val results = names.map { name =>
-      val xs = samples.map(_(name)).sorted
-      name -> xs(passes / 2)
+      val xs = samples.map(_(name)).filterNot(_.isNaN).sorted
+      name -> (if (xs.isEmpty) Double.NaN else xs(xs.length / 2))
     }.toMap
     def fmt(v: Double): String =
-      java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+      if (v.isNaN) "null"
+      else java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val total = results.values.filterNot(_.isNaN).sum
     // stdout line must fit the driver's 2000-char tail capture (the full
     // 80-query map with long names + full-precision doubles is ~2.7k and
     // got front-truncated in rounds 4/5 -> "parsed": null). Short keys
@@ -117,8 +125,9 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs$failJson,"sf":"$sfDir"}""")
     // full names + full precision land in a file: a truncated stdout tail
     // (round 3 lost 7 per-query numbers) must not lose the measurement
-    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
+      s"\"" + k + "\":" + (if (v.isNaN) "null" else v.toString)
+    }.mkString("{", ",", "}")
     val failFull = if (failures.isEmpty) "" else
       ",\"failed\":" + failures.toSeq.sortBy(_._1).map { case (k, n) =>
         "\"" + k + "\":" + n

@@ -2950,7 +2950,11 @@ object Queries {
   /** Audio PCM sample decode round trip (round-9 verdict #4, q50's audio
     * analog): a deterministic amplitude field per document is encoded as
     * a REAL spec-valid WAV (even ids) or AIFF (odd ids) PCM container —
-    * 8-bit on every third id, 16-bit otherwise — then decoded back by
+    * bit depth cycles 8/16/24 with id % 3 (round-10 verdict #5 added
+    * 24-bit byte-triplet decode; the even/odd container split exercises
+    * it at BOTH endiannesses), and every 24-bit payload pins the two
+    * signed extremes ±(2^23) in its first samples so sign extension at
+    * the boundary is part of the hash — then decoded back by
     * [[graft.multimodal.PcmCodec]] inside the batched feature kernel.
     * The oracle recomputes every feature from the SAME synthesis
     * formula, so a green row proves the full encode→chunk-walk→sample
@@ -2965,13 +2969,19 @@ object Queries {
         .as[(Long, Long)]
         .map { case (id, nChars) =>
           val ch = 1 + (nChars % 2).toInt
-          val bits = if (id % 3 == 0) 8 else 16
+          val bits = (id % 3) match { case 0 => 8; case 1 => 16; case _ => 24 }
           val rate = 8000 * (1 + (id % 4).toInt)
           val frames = 20 + (nChars % 40).toInt
           val seed = (id % 251).toInt
           val samples = Array.tabulate(frames * ch) { i =>
-            if (bits == 8) (seed + 131 * i) % 256 - 128
-            else (seed + 9973 * i) % 65536 - 32768
+            bits match {
+              case 8 => (seed + 131 * i) % 256 - 128
+              case 16 => (seed + 9973 * i) % 65536 - 32768
+              case _ => // 24-bit: extremes first, then the rolling field
+                if (i == 0) -8388608
+                else if (i == 1) 8388607
+                else (seed + 131071 * i) % 16777216 - 8388608
+            }
           }
           val bytes =
             if (id % 2 == 0)
@@ -2988,7 +2998,8 @@ object Queries {
     },
     Some("""WITH p AS (SELECT doc_id,
           CAST(1 + n_chars % 2 AS INTEGER) AS ch,
-          CASE WHEN doc_id % 3 = 0 THEN 8 ELSE 16 END AS bits,
+          CASE WHEN doc_id % 3 = 0 THEN 8
+               WHEN doc_id % 3 = 1 THEN 16 ELSE 24 END AS bits,
           CAST(8000 * (1 + doc_id % 4) AS INTEGER) AS rate,
           20 + n_chars % 40 AS frames,
           doc_id % 251 AS seed
@@ -2996,7 +3007,10 @@ object Queries {
       s AS (SELECT doc_id, ch, rate, frames * ch AS n,
           list_transform(range(frames * ch), i ->
             CASE WHEN bits = 8 THEN (seed + 131*i) % 256 - 128
-                 ELSE (seed + 9973*i) % 65536 - 32768 END) AS sm
+                 WHEN bits = 16 THEN (seed + 9973*i) % 65536 - 32768
+                 WHEN i = 0 THEN -8388608
+                 WHEN i = 1 THEN 8388607
+                 ELSE (seed + 131071*i) % 16777216 - 8388608 END) AS sm
         FROM p)
       SELECT doc_id AS media_id,
         CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'aiff' END AS format,

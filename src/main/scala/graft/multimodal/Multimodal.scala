@@ -131,7 +131,7 @@ object Multimodal {
   }
 
   /** Audio feature extraction — [[imageFeatures]]'s PCM sibling: WAV and
-    * AIFF integer PCM decode for REAL through [[PcmCodec]] (8/16-bit,
+    * AIFF integer PCM decode for REAL through [[PcmCodec]] (8/16/24-bit,
     * one signed amplitude convention); per-payload amplitude features
     * come out in two layers so the oracle can re-derive them exactly —
     * the integer layer (n_samples, peak_abs, sum_amp, sum_sq) is exact
@@ -140,7 +140,7 @@ object Multimodal {
     * (sum/n; sqrt(sum_sq/n)) that any engine reproduces bit-for-bit.
     *
     * Payloads the codec declines — FLAC and anything else compressed,
-    * float/24/32-bit PCM, truncated sample data — yield the HONEST stub
+    * float/32-bit PCM, truncated sample data — yield the HONEST stub
     * row: format "stub", zero features, n_samples = payload length, so
     * a downstream consumer can never mistake a declined decode for
     * digital silence. NULL/empty payloads yield the same with n 0. */

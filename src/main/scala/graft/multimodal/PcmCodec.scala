@@ -6,12 +6,13 @@ package graft.multimodal
   * plain byte walks over the chunk layout, nothing but `java.lang`.
   *
   * Envelope, stated honestly: uncompressed integer PCM only — WAV
-  * format tag 1 at 8 or 16 bits (8-bit unsigned per spec, recentred to
-  * signed; 16-bit little-endian signed) and AIFF at 8 or 16 bits (both
-  * signed, big-endian). Anything else — FLAC (compressed), float WAV,
-  * 24/32-bit, truncated sample data, hostile chunk sizes — returns None
-  * and the caller falls back to its clearly-marked stub, exactly like
-  * [[PngCodec]] declining JPEG.
+  * format tag 1 at 8, 16, or 24 bits (8-bit unsigned per spec,
+  * recentred to signed; 16/24-bit little-endian signed) and AIFF at 8,
+  * 16, or 24 bits (all signed, big-endian; 24-bit as byte triplets).
+  * Anything else — FLAC (compressed), float WAV, 32-bit, truncated
+  * sample data, hostile chunk sizes — returns None and the caller
+  * falls back to its clearly-marked stub, exactly like [[PngCodec]]
+  * declining JPEG.
   *
   * The encoders exist for fixtures and oracles (the q50 pattern): a
   * deterministic sample field synthesized per document is encoded to a
@@ -81,7 +82,7 @@ object PcmCodec {
       if (i < 0) return None
     }
     if (fmtTag != 1 || ch <= 0 || rate <= 0 || dataAt < 0) return None
-    if (bits != 8 && bits != 16) return None
+    if (bits != 8 && bits != 16 && bits != 24) return None
     val bytesPer = bits / 8
     // the SAMPLES must actually be present (a header-only declared size
     // is fine for metadata, not for amplitude decode)
@@ -90,9 +91,13 @@ object PcmCodec {
     val out = new Array[Int](n)
     var k = 0
     while (k < n) {
-      out(k) =
-        if (bits == 8) u8(b, dataAt + k) - 128 // u8 PCM recentred
-        else u16le(b, dataAt + 2 * k).toShort.toInt // s16 LE
+      out(k) = bits match {
+        case 8 => u8(b, dataAt + k) - 128 // u8 PCM recentred
+        case 16 => u16le(b, dataAt + 2 * k).toShort.toInt // s16 LE
+        case _ => // s24 LE byte triplet, sign-extended via << 8 >> 8
+          val i = dataAt + 3 * k
+          ((u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16)) << 8) >> 8
+      }
       k += 1
     }
     Some(Pcm("wav", ch, rate, bits, out))
@@ -119,7 +124,7 @@ object PcmCodec {
       if (i < 0) return None
     }
     if (ch <= 0 || rate <= 0L || rate > Int.MaxValue || frames < 0) return None
-    if (bits != 8 && bits != 16) return None
+    if (bits != 8 && bits != 16 && bits != 24) return None
     if (ssndAt < 0 || ssndAt + 8 > b.length) return None
     val bytesPer = bits / 8
     // SSND: u32 offset + u32 blockSize, then sample data `offset` bytes in
@@ -134,9 +139,13 @@ object PcmCodec {
     val out = new Array[Int](n)
     var k = 0
     while (k < n) {
-      out(k) =
-        if (bits == 8) b(dataAt + k).toInt // s8
-        else u16be(b, dataAt + 2 * k).toShort.toInt // s16 BE
+      out(k) = bits match {
+        case 8 => b(dataAt + k).toInt // s8
+        case 16 => u16be(b, dataAt + 2 * k).toShort.toInt // s16 BE
+        case _ => // s24 BE byte triplet, sign-extended via << 8 >> 8
+          val i = dataAt + 3 * k
+          (((u8(b, i) << 16) | (u8(b, i + 1) << 8) | u8(b, i + 2)) << 8) >> 8
+      }
       k += 1
     }
     Some(Pcm("aiff", ch, rate.toInt, bits, out))
@@ -145,16 +154,20 @@ object PcmCodec {
   // ---- fixture/oracle encoders (the PngCodec.encode analog) ----
 
   /** Spec-valid PCM WAV: RIFF + fmt(16, tag 1) + data. Samples are the
-    * signed convention [[decode]] returns (8-bit stored +128). */
+    * signed convention [[decode]] returns (8-bit stored +128). An
+    * odd-length data chunk gets the RIFF pad byte (outside the declared
+    * chunk size, inside the RIFF size) so strict external chunk walkers
+    * stay aligned — advice r10. */
   def encodeWav(channels: Int, sampleRate: Int, bits: Int,
                 samples: Array[Int]): Array[Byte] = {
-    require(bits == 8 || bits == 16, s"unsupported bits: $bits")
+    require(bits == 8 || bits == 16 || bits == 24, s"unsupported bits: $bits")
     require(channels > 0 && sampleRate > 0, "bad channels/rate")
     val bytesPer = bits / 8
     val dataSize = samples.length * bytesPer
-    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+    val pad = dataSize & 1
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize + pad)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize + pad)
       .put("WAVE".getBytes("US-ASCII"))
     buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
       .putShort(1.toShort) // PCM
@@ -163,20 +176,30 @@ object PcmCodec {
       .putShort((channels * bytesPer).toShort).putShort(bits.toShort)
     buf.put("data".getBytes("US-ASCII")).putInt(dataSize)
     samples.foreach { s =>
-      if (bits == 8) buf.put((s + 128).toByte) else buf.putShort(s.toShort)
+      bits match {
+        case 8 => buf.put((s + 128).toByte)
+        case 16 => buf.putShort(s.toShort)
+        case _ => // s24 LE triplet
+          buf.put((s & 0xff).toByte).put(((s >> 8) & 0xff).toByte)
+            .put(((s >> 16) & 0xff).toByte)
+      }
     }
+    // ByteBuffer.allocate zero-fills, so the pad byte (if any) is already 0
     buf.array()
   }
 
-  /** Spec-valid PCM AIFF: FORM + COMM (80-bit extended rate) + SSND. */
+  /** Spec-valid PCM AIFF: FORM + COMM (80-bit extended rate) + SSND.
+    * An odd-size SSND body gets the IFF pad byte (outside the declared
+    * chunk size, inside the FORM size) — advice r10. */
   def encodeAiff(channels: Int, sampleRate: Int, bits: Int,
                  samples: Array[Int]): Array[Byte] = {
-    require(bits == 8 || bits == 16, s"unsupported bits: $bits")
+    require(bits == 8 || bits == 16 || bits == 24, s"unsupported bits: $bits")
     require(channels > 0 && sampleRate > 0, "bad channels/rate")
     require(samples.length % channels == 0, "ragged final frame")
     val bytesPer = bits / 8
     val dataSize = samples.length * bytesPer
-    val formSize = 4 + (8 + 18) + (8 + 8 + dataSize)
+    val pad = dataSize & 1
+    val formSize = 4 + (8 + 18) + (8 + 8 + dataSize + pad)
     val buf = java.nio.ByteBuffer.allocate(8 + formSize)
       .order(java.nio.ByteOrder.BIG_ENDIAN)
     buf.put("FORM".getBytes("US-ASCII")).putInt(formSize)
@@ -189,8 +212,15 @@ object PcmCodec {
     buf.put("SSND".getBytes("US-ASCII")).putInt(8 + dataSize)
       .putInt(0).putInt(0) // offset, blockSize
     samples.foreach { s =>
-      if (bits == 8) buf.put(s.toByte) else buf.putShort(s.toShort)
+      bits match {
+        case 8 => buf.put(s.toByte)
+        case 16 => buf.putShort(s.toShort)
+        case _ => // s24 BE triplet
+          buf.put(((s >> 16) & 0xff).toByte).put(((s >> 8) & 0xff).toByte)
+            .put((s & 0xff).toByte)
+      }
     }
+    // allocate zero-fills: the pad byte (if any) is already 0
     buf.array()
   }
 

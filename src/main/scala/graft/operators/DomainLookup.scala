@@ -47,6 +47,18 @@ object DomainLookup {
     * shape with 0 / a large value; production never needs to). */
   val ChainMaxConf = "graft.domain.chainMax"
 
+  /** Hard cap on |rows|. The join shape's no-corpus-exchange contract
+    * holds ONLY while the lookup side actually broadcasts: past Spark's
+    * 8 GB broadcast-relation hard limit, Catalyst would silently plan a
+    * sort-merge join and every caller's no-shuffle property breaks. At
+    * ~100 bytes per (domain, attrs) row, 16M rows is ~1.6 GB — well
+    * under the limit with headroom for wide attribute sets — and far
+    * beyond any real registered-domain table (the web has ~350M
+    * registered domains, but a MIXING config keyed on more than 16M of
+    * them is a driver-held Seq and died long before this require).
+    * Larger per-key state belongs in a real join, declared as one. */
+  val MaxRows: Int = 16 << 20
+
   private def litOf(v: Any, dt: DataType): Column =
     ColumnBridge.column(Literal.create(v, dt))
 
@@ -57,6 +69,18 @@ object DomainLookup {
              rows: Seq[(Any, Seq[Any])],
              valueCols: Seq[(String, DataType)]): DataFrame = {
     val spark = df.sparkSession
+    require(rows.size <= MaxRows,
+      s"attach: ${rows.size} lookup rows exceeds MaxRows=$MaxRows — " +
+        "past the broadcast envelope this would silently become a " +
+        "sort-merge join; model per-key state that large as a real join")
+    // duplicate domain keys would make the two shapes DIVERGE — the
+    // when-chain keeps the last entry, the join duplicates corpus rows —
+    // so they are a caller bug, refused loudly rather than resolved
+    val keys = rows.map(_._1)
+    require(keys.distinct.size == keys.size,
+      s"attach: duplicate domain keys in lookup rows: " +
+        keys.groupBy(identity).collect { case (k, vs) if vs.size > 1 => k }
+          .mkString(", "))
     val chainMax = spark.conf.getOption(ChainMaxConf)
       .map(_.toInt).getOrElse(DefaultChainMax)
     if (rows.size <= chainMax) {

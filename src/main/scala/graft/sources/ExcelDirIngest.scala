@@ -28,10 +28,19 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * directory accumulates; no shuffle is introduced. */
 object ExcelDirIngest {
 
-  /** Read every `*.xls` / `*.xlsx` under `dir` (non-recursive glob) into
-    * one all-string frame with columns `columns :+ _source_file`. */
+  /** Read every `*.xls` / `*.xlsx` under `dir` into one all-string frame
+    * with columns `columns :+ _source_file`. `recursive = true` walks
+    * nested layouts (date-partitioned drop feeds like
+    * `dir/date=2026-08-01/a.xlsx`) with the same by-name alignment and
+    * provenance.
+    *
+    * Extension matching is EXACT and case-insensitive: a stray `.xlsm`/
+    * `.xlsb` macro workbook in the drop directory is skipped, not routed
+    * to a parser that would throw inside a task and fail the whole batch
+    * (advice r10 — the old `*.xls*` glob matched both). */
   def readDirAllString(spark: SparkSession, dir: String,
-                       columns: Seq[String]): DataFrame = {
+                       columns: Seq[String],
+                       recursive: Boolean = false): DataFrame = {
     require(columns.nonEmpty, "readDirAllString: no output columns named")
     val normCols = columns.map(CsvIngest.normalizeColName)
     require(normCols.distinct.length == normCols.length,
@@ -39,17 +48,27 @@ object ExcelDirIngest {
     val schema = StructType(
       normCols.map(StructField(_, StringType)) :+
         StructField("_source_file", StringType, nullable = false))
-    // refuse an empty drop directory loudly (metadata-only listing — the
-    // driver still never touches payload bytes): a mis-pointed path must
-    // not masquerade as a legitimately empty batch
-    val hp = new org.apache.hadoop.fs.Path(dir, "*.xls*")
-    val matched = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .globStatus(hp)
-    require(matched != null && matched.nonEmpty,
-      s"readDirAllString: no .xls/.xlsx files under $dir")
+    // driver-side file LISTING (metadata only, what any source does — the
+    // driver still never touches payload bytes): exact-extension filter,
+    // case-insensitive, optional recursion. Explicit paths also refuse an
+    // empty drop directory loudly: a mis-pointed path must not masquerade
+    // as a legitimately empty batch.
+    val hp = new org.apache.hadoop.fs.Path(dir)
+    val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(hp), s"readDirAllString: no such directory: $dir")
+    val it = fs.listFiles(hp, recursive)
+    val files = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName.toLowerCase(java.util.Locale.ROOT)
+      if (st.isFile && (name.endsWith(".xls") || name.endsWith(".xlsx")))
+        files += st.getPath.toString
+    }
+    require(files.nonEmpty,
+      s"readDirAllString: no .xls/.xlsx files under $dir" +
+        (if (recursive) " (recursive)" else ""))
     val bin = spark.read.format("binaryFile")
-      .option("pathGlobFilter", "*.xls*")
-      .load(dir)
+      .load(files.sorted.toSeq: _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
     bin.flatMap { case (path, bytes) =>

@@ -118,6 +118,39 @@ class DomainLookupSpec extends SparkSpec {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("duplicate domain keys refuse loudly (shape-divergence guard)") {
+    // the when-chain would keep the LAST entry while the broadcast join
+    // would DUPLICATE corpus rows — shape-exchangeability breaks, so
+    // attach refuses rather than resolving (advice r10)
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "dom")
+    val e = intercept[IllegalArgumentException] {
+      DomainLookup.attach(df, col("dom"), StringType,
+        Seq(("a", Seq(1)), ("b", Seq(2)), ("a", Seq(3))),
+        Seq(("attr", IntegerType)))
+    }
+    assert(e.getMessage.contains("duplicate domain keys"))
+  }
+
+  test("lookup rows past MaxRows refuse loudly (broadcast-envelope guard)") {
+    // past Spark's broadcast hard limit the join shape would silently
+    // become a sort-merge join, breaking every caller's no-shuffle
+    // contract — so the bound is a require, not a comment (verdict r10 #8)
+    import org.apache.spark.sql.types.{IntegerType, StringType}
+    val df = Seq((1L, "a")).toDF("id", "dom")
+    // a Seq.fill(16M) would be slow; a lightweight view with a lying size
+    // exercises the require without materializing 16M tuples
+    val big = new scala.collection.immutable.IndexedSeq[(Any, Seq[Any])] {
+      override def length: Int = DomainLookup.MaxRows + 1
+      override def apply(i: Int): (Any, Seq[Any]) = (s"d$i", Seq(i))
+    }
+    val e = intercept[IllegalArgumentException] {
+      DomainLookup.attach(df, col("dom"), StringType, big,
+        Seq(("attr", IntegerType)))
+    }
+    assert(e.getMessage.contains("MaxRows"))
+  }
+
   test("chain at exactly the threshold compiles under whole-stage codegen") {
     // 128 domains = DefaultChainMax: the largest chain the default emits.
     // With fallback disabled, an interpreted regression fails loudly.

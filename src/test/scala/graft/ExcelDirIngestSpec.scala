@@ -55,6 +55,56 @@ class ExcelDirIngestSpec extends SparkSpec {
     assert(!plan.contains("LocalTableScan"), s"driver parse leaked in:\n$plan")
   }
 
+  test("macro workbooks (.xlsm/.xlsb) are skipped; uppercase extensions read") {
+    val d = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_xldir_ext_${System.nanoTime()}")
+    d.mkdirs(); d.deleteOnExit()
+    def at(n: String) = new java.io.File(d, n).getAbsolutePath
+    ExcelFixture.writeXlsx(Seq("SKU", "Qty", "State"),
+      Seq(Seq("u1", "1", "CA")), at("UPPER.XLSX"))
+    // a macro-enabled workbook: hostile bytes behind a near-miss extension
+    // — the old '*.xls*' glob routed it to the BIFF parser and failed the
+    // whole batch; now it is simply not an input
+    java.nio.file.Files.write(new java.io.File(d, "macro.xlsm").toPath,
+      Array[Byte](0x50, 0x4b, 0x03, 0x04, 0x00))
+    java.nio.file.Files.write(new java.io.File(d, "bin.xlsb").toPath,
+      Array[Byte](0x50, 0x4b, 0x03, 0x04, 0x00))
+    val df = ExcelDirIngest.readDirAllString(spark, d.getAbsolutePath,
+      Seq("SKU", "Qty", "State"))
+    val got = df.collect().map(r => (r.getString(0), r.getString(3)))
+    assert(got.toSeq == Seq(("u1", "UPPER.XLSX")))
+  }
+
+  test("recursive ingest walks nested date partitions with provenance") {
+    val d = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_xldir_rec_${System.nanoTime()}")
+    val d1 = new java.io.File(d, "date=2026-08-01")
+    val d2 = new java.io.File(d, "date=2026-08-02/region=west")
+    d1.mkdirs(); d2.mkdirs(); d.deleteOnExit()
+    ExcelFixture.writeXlsx(Seq("SKU", "Qty", "State"),
+      Seq(Seq("r1", "1", "CA")),
+      new java.io.File(d1, "a.xlsx").getAbsolutePath)
+    ExcelFixture.writeXls(Seq("State", "SKU"),
+      Seq(Seq("NY", "r2")),
+      new java.io.File(d2, "b.xls").getAbsolutePath)
+    val df = ExcelDirIngest.readDirAllString(spark, d.getAbsolutePath,
+      Seq("SKU", "Qty", "State"), recursive = true)
+    val got = df.collect()
+      .map(r => (r.getString(0), Option(r.getString(1)), r.getString(2),
+        r.getString(3))).sortBy(_._1)
+    assert(got.toSeq == Seq(
+      ("r1", Some("1"), "CA", "a.xlsx"),
+      ("r2", None, "NY", "b.xls")))
+    // non-recursive on the same tree finds no direct children -> refuses
+    intercept[IllegalArgumentException] {
+      ExcelDirIngest.readDirAllString(spark, d.getAbsolutePath,
+        Seq("SKU"))
+    }
+    // the distributed plan shape survives recursion
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("binaryFile") && !plan.contains("LocalTableScan"))
+  }
+
   test("empty workbook set refuses loudly, not silently empty") {
     val empty = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_xldir_empty_${System.nanoTime()}")

@@ -303,14 +303,17 @@ class MultimodalSpec extends SparkSpec {
 
   private def pcmSamples(n: Int, bits: Int): Array[Int] =
     Array.tabulate(n) { i =>
-      if (bits == 8) (7 + 131 * i) % 256 - 128
-      else (7 + 9973 * i) % 65536 - 32768
+      bits match {
+        case 8 => (7 + 131 * i) % 256 - 128
+        case 16 => (7 + 9973 * i) % 65536 - 32768
+        case _ => (7 + 131071 * i) % 16777216 - 8388608
+      }
     }
 
-  test("PcmCodec round-trips WAV and AIFF at 8 and 16 bits exactly") {
+  test("PcmCodec round-trips WAV and AIFF at 8, 16, and 24 bits exactly") {
     import graft.multimodal.PcmCodec
     for {
-      bits <- Seq(8, 16)
+      bits <- Seq(8, 16, 24)
       ch <- Seq(1, 2)
     } {
       val s = pcmSamples(10 * ch, bits)
@@ -334,6 +337,34 @@ class MultimodalSpec extends SparkSpec {
       .get.samples.toSeq == edge8.toSeq)
     assert(PcmCodec.decode(PcmCodec.encodeAiff(1, 8000, 8, edge8))
       .get.samples.toSeq == edge8.toSeq)
+    // 24-bit sign extension at both signed extremes, both endiannesses
+    val edge24 = Array(-8388608, 8388607, 0, -1, 1)
+    assert(PcmCodec.decode(PcmCodec.encodeWav(1, 8000, 24, edge24))
+      .get.samples.toSeq == edge24.toSeq)
+    assert(PcmCodec.decode(PcmCodec.encodeAiff(1, 8000, 24, edge24))
+      .get.samples.toSeq == edge24.toSeq)
+  }
+
+  test("PcmCodec pads odd-length data chunks per RIFF/IFF (advice r10)") {
+    import graft.multimodal.PcmCodec
+    // 8-bit x 5 samples -> 5-byte data chunk, pad byte required
+    val w = PcmCodec.encodeWav(1, 8000, 8, pcmSamples(5, 8))
+    assert(w.length == 44 + 5 + 1, "WAV pad byte missing")
+    assert(w.last == 0)
+    // RIFF size field covers the pad; data chunk size does not
+    assert((w(4) & 0xff) == 36 + 5 + 1)
+    assert((w(40) & 0xff) == 5)
+    assert(PcmCodec.decode(w).get.samples.toSeq == pcmSamples(5, 8).toSeq)
+    // 24-bit x 1 sample -> 3-byte data chunk, same rule
+    val w3 = PcmCodec.encodeWav(1, 8000, 24, pcmSamples(1, 24))
+    assert(w3.length == 44 + 3 + 1 && w3.last == 0)
+    val a = PcmCodec.encodeAiff(1, 8000, 8, pcmSamples(5, 8))
+    // FORM size (BE at bytes 4..7) covers the pad; total = 8 + formSize
+    val formSize = ((a(4) & 0xff) << 24) | ((a(5) & 0xff) << 16) |
+      ((a(6) & 0xff) << 8) | (a(7) & 0xff)
+    assert(a.length == 8 + formSize, "AIFF FORM size excludes the pad byte")
+    assert(a.length % 2 == 0 && a.last == 0)
+    assert(PcmCodec.decode(a).get.samples.toSeq == pcmSamples(5, 8).toSeq)
   }
 
   test("PcmCodec declines honestly: compressed, float, truncated, hostile") {
@@ -344,9 +375,9 @@ class MultimodalSpec extends SparkSpec {
     val w = PcmCodec.encodeWav(1, 8000, 16, pcmSamples(10, 16))
     val floatWav = w.clone(); floatWav(20) = 3 // fmt tag LE low byte
     assert(PcmCodec.decode(floatWav).isEmpty)
-    // 24-bit: bits field rewritten
-    val w24 = w.clone(); w24(34) = 24
-    assert(PcmCodec.decode(w24).isEmpty)
+    // 32-bit: bits field rewritten past the 8/16/24 envelope
+    val w32 = w.clone(); w32(34) = 32
+    assert(PcmCodec.decode(w32).isEmpty)
     // truncated sample data (header intact, payload cut mid-data)
     assert(PcmCodec.decode(w.take(44 + 7)).isEmpty)
     val a = PcmCodec.encodeAiff(1, 8000, 16, pcmSamples(10, 16))
