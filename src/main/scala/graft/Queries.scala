@@ -3085,6 +3085,61 @@ object Queries {
       FROM c GROUP BY doc, novelty
       ORDER BY score DESC, doc LIMIT 15"""))
 
+  /** Batched multi-probe BM25 (round-10 verdict #1): three probes with
+    * OVERLAPPING term sets — 'join' appears in two probes, 'vector' in
+    * two — ranked in ONE plan by
+    * [[graft.operators.TextSearch.bm25TopKBatch]]. The oracle extends
+    * q116's engine-exact score contract per probe: shared stats (N, TL),
+    * per-term df over the distinct term universe, idf rounded half-up at
+    * 6 decimals before any multiply, the 10·TL tf ratio, micro-unit
+    * contribution sums, and a per-probe row_number top-k with the same
+    * (score desc, doc asc) tie-break. A probe-fan-out bug (a term's tf
+    * leaking between probes that share it) or any stats drift between
+    * the batch and single-probe paths fails the hash. */
+  private val q119 = Q("q119_bm25_multi_probe",
+    (s, d) => {
+      import s.implicits._
+      val probes = Seq(
+        (0L, Seq("spark", "vector", "join")),
+        (1L, Seq("table", "join")),
+        (2L, Seq("vector", "data", "quality"))).toDF("probe", "terms")
+      graft.operators.TextSearch.bm25TopKBatch(
+        documents(s, d), "doc_id", "text", probes, "probe", "terms", k = 10)
+    },
+    Some("""WITH base AS (SELECT doc_id AS doc,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            t -> t <> '') AS toks
+        FROM documents),
+      b AS (SELECT doc, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+      st AS (SELECT COUNT(*) AS n, COALESCE(SUM(dl), 0) AS tl FROM b),
+      t(probe, term) AS (SELECT * FROM (VALUES
+        (0, 'spark'), (0, 'vector'), (0, 'join'),
+        (1, 'table'), (1, 'join'),
+        (2, 'vector'), (2, 'data'), (2, 'quality'))),
+      u AS (SELECT DISTINCT term FROM t),
+      dfreq AS (SELECT term,
+          (SELECT COUNT(*) FROM b WHERE list_contains(b.toks, u.term)) AS df
+        FROM u),
+      idf AS (SELECT term,
+          ROUND(ln(CAST(st.n + 1 AS DOUBLE) / (dfreq.df + 0.5)), 6) AS idf
+        FROM dfreq CROSS JOIN st),
+      tf AS (SELECT doc, dl, term,
+          CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+        FROM b CROSS JOIN u WHERE list_contains(b.toks, u.term)),
+      c AS (SELECT t.probe, tf.doc,
+          CAST(ROUND(idf.idf * ((10.0 * st.tl * tf.tf) /
+              (10.0 * st.tl * tf.tf + 3.0 * st.tl + 9.0 * tf.dl * st.n)), 6)
+            AS DECIMAL(18,6)) AS contrib
+        FROM tf JOIN idf USING (term) JOIN t USING (term) CROSS JOIN st),
+      g AS (SELECT probe, doc, CAST(COUNT(*) AS BIGINT) AS n_hit,
+          CAST(CAST(SUM(contrib) * 1000000 AS BIGINT) AS DOUBLE)
+            / 1000000.0 AS score
+        FROM c GROUP BY probe, doc)
+      SELECT CAST(probe AS BIGINT) AS probe, doc, n_hit, score FROM g
+      QUALIFY row_number() OVER (PARTITION BY probe
+        ORDER BY score DESC, doc) <= 10
+      ORDER BY probe, score DESC, doc"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -3095,7 +3150,7 @@ object Queries {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-    q118)
+    q118, q119)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

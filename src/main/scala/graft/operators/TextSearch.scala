@@ -1,9 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType, StructField, StructType}
 
 import graft.functions.TextExprs
+import graft.plans.TopK
 
 /** Keyword retrieval over the document corpus: BM25 ranking (Robertson
   * et al., TREC-3 Okapi weighting; the Lucene-default parameterization
@@ -117,5 +121,141 @@ object TextSearch {
         (col("__micro").cast("double") / lit(1000000.0)).as("score"))
       .orderBy(col("score").desc, col("doc"))
       .limit(k)
+  }
+
+  /** All probes' BM25 top-k in ONE plan — the batch shape a
+    * contamination audit at real scale needs (round-10 verdict #1): a
+    * benchmark suite has hundreds of probe queries, and running
+    * [[bm25TopK]] per probe pays one full Spark job chain each. Here the
+    * job count is CONSTANT in |probes|:
+    *
+    *  1. probes collect to the driver (a benchmark suite, bounded by
+    *     construction — the require caps make the bound loud);
+    *  2. one narrow corpus aggregate → (N, TL) driver row;
+    *  3. one narrow scan → per-term document frequency for the DISTINCT
+    *     term universe across all probes (explode of
+    *     `array_intersect(toks, terms)` — only MATCHED terms leave the
+    *     scan, partial-aggregated to ≤ |terms| rows per partition);
+    *  4. the scoring plan: the same explode computes each matched
+    *     (doc, term) tf in place on the token array, a BROADCAST join
+    *     against the (probe, term, idf) table fans matches out to the
+    *     probes sharing the term (term overlap across probes is computed
+    *     once per doc, not once per probe), one hash aggregate keyed
+    *     (probe, doc) sums micro-unit contributions, and
+    *     [[graft.plans.TopK.perKey]] takes each probe's top-k with
+    *     bounded heaps BEFORE the final exchange.
+    *
+    * Shuffle volume: the (probe, doc) aggregate carries only docs that
+    * match ≥1 term of the probe (posting-intersection volume — the
+    * irreducible cost), and the top-k exchange carries ≤ partitions×k
+    * rows per probe. The corpus token arrays never shuffle.
+    *
+    * Score contract: identical to [[bm25TopK]] micro-unit for micro-unit
+    * — idf rounded half-up at 6 decimals on the driver before any
+    * multiply, the 10·TL-scaled tf ratio with fixed left association,
+    * per-term contributions rounded to decimal(18,6) and summed exactly,
+    * one final IEEE division. For every probe, the output rows equal
+    * `bm25TopK(docs, …, probeTerms, k)` exactly (spec-gated).
+    *
+    * Input: `probes` with `probeIdCol` (distinct ids, any orderable
+    * type) and `termsCol: array<string>`. Output: (probe, doc, n_hit,
+    * score), ≤ k rows per probe, ties broken by ascending doc; probes
+    * whose terms match no document emit no rows (score 0 by definition).
+    *
+    * Eager operator: steps 1-3 run at call time (bounded collects). */
+  def bm25TopKBatch(docs: DataFrame, idCol: String, textCol: String,
+                    probes: DataFrame, probeIdCol: String, termsCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, s"bm25TopKBatch: k must be positive: $k")
+    val probeRows = probes
+      .select(col(probeIdCol), col(termsCol).cast("array<string>"))
+      .collect()
+      .map(r => r.get(0) -> Option(r.getSeq[String](1)).getOrElse(Seq.empty))
+    require(probeRows.nonEmpty, "bm25TopKBatch: no probes")
+    require(probeRows.length <= 65536,
+      s"bm25TopKBatch: ${probeRows.length} probes — the probe table is " +
+        "driver-collected by design (a benchmark suite, not a corpus); " +
+        "split a larger batch deliberately")
+    val ids = probeRows.map(_._1).toSeq
+    require(ids.distinct.size == ids.size,
+      "bm25TopKBatch: duplicate probe ids")
+    val normed = probeRows.map { case (pid, ts) =>
+      val terms = ts.map(Option(_).getOrElse("").trim
+        .toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty).distinct
+      require(terms.nonEmpty, s"bm25TopKBatch: probe $pid has no non-empty terms")
+      require(terms.size <= 64,
+        s"bm25TopKBatch: probe $pid has ${terms.size} terms (cap 64, " +
+          "same per-query bound as bm25TopK)")
+      pid -> terms
+    }
+    val universe: Seq[String] = normed.flatMap(_._2).distinct.toSeq
+    require(universe.size <= 4096,
+      s"bm25TopKBatch: ${universe.size} distinct terms across probes — " +
+        "the df stats row and the broadcast term table are sized by this; " +
+        "raise deliberately if a suite really needs more")
+
+    val base = docs
+      .select(col(idCol).as("doc"),
+        filter(TextExprs.tokens(lower(col(textCol))), t => t =!= "")
+          .as("__toks"))
+      .select(col("doc"), col("__toks"),
+        size(col("__toks")).cast("long").as("__dl"))
+    val termArr: Column = array(universe.map(lit): _*)
+
+    // stats job A: one global aggregate → one driver row
+    val nt = base.agg(count(lit(1)).cast("long").as("__n"),
+      coalesce(sum(col("__dl")), lit(0L)).as("__tl")).collect()(0)
+    val n = nt.getLong(0)
+    val tl = nt.getLong(1)
+    require(n > 0, "bm25TopKBatch: empty corpus")
+    // stats job B: per-term df in ONE scan — array_intersect dedups per
+    // doc, the partial aggregate bounds the exchange at |terms| rows per
+    // partition. A term in no document simply has no row (df = 0).
+    val dfByTerm: Map[String, Long] = base
+      .select(explode(array_intersect(col("__toks"), termArr)).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val idf: Map[String, Double] = universe.map { t =>
+      val df = dfByTerm.getOrElse(t, 0L)
+      t -> new java.math.BigDecimal(math.log((n + 1).toDouble / (df + 0.5)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    }.toMap
+
+    // the broadcast (probe, term, idf) fan-out table
+    val probeType = probes.schema(probes.schema.fieldIndex(probeIdCol)).dataType
+    val lkpSchema = StructType(Seq(
+      StructField("__lk_probe", probeType),
+      StructField("__lk_term", StringType, nullable = false),
+      StructField("__lk_idf", DoubleType, nullable = false)))
+    val lkp = docs.sparkSession.createDataFrame(
+      normed.flatMap { case (pid, ts) =>
+        ts.map(t => Row(pid, t, idf(t)))
+      }.toSeq.asJava, lkpSchema)
+
+    // the single scoring plan
+    val hits = base
+      .select(col("doc"), col("__dl"), col("__toks"),
+        explode(array_intersect(col("__toks"), termArr)).as("__t"))
+      .select(col("doc"), col("__dl"), col("__t"),
+        size(filter(col("__toks"), x => x === col("__t"))).cast("long")
+          .as("__tf"))
+    val tf = col("__tf").cast("double")
+    val num = lit(10.0) * lit(tl.toDouble) * tf
+    val den = lit(10.0) * lit(tl.toDouble) * tf +
+      lit(3.0) * lit(tl.toDouble) +
+      lit(9.0) * col("__dl").cast("double") * lit(n.toDouble)
+    val perProbeDoc = hits
+      .join(broadcast(lkp), col("__t") === col("__lk_term"))
+      .select(col("__lk_probe").as("probe"), col("doc"),
+        round(col("__lk_idf") * (num / den), 6).cast("decimal(18,6)")
+          .as("__contrib"))
+      .groupBy(col("probe"), col("doc"))
+      .agg(count(lit(1)).as("n_hit"), sum(col("__contrib")).as("__s"))
+      .select(col("probe"), col("doc"), col("n_hit"),
+        ((col("__s") * 1000000).cast("long").cast("double") /
+          lit(1000000.0)).as("score"))
+    TopK.perKey(perProbeDoc, Seq("probe"),
+        Seq(TopK.Sort("score", desc = true), TopK.Sort("doc")), k)
+      .select(col("probe"), col("doc"), col("n_hit"), col("score"))
   }
 }

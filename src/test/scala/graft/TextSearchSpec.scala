@@ -74,6 +74,97 @@ class TextSearchSpec extends SparkSpec {
     }
   }
 
+  test("batch: each probe's slice equals the single-probe result exactly") {
+    // overlapping terms across probes (apple in two, cherry in two) —
+    // the broadcast fan-out must not leak one probe's tf into another's
+    val probeDefs = Seq(
+      (0L, Seq("apple", "cherry")),
+      (1L, Seq("apple")),
+      (2L, Seq("cherry", "durian")))
+    val probes = probeDefs.toDF("probe", "terms")
+    val batch = TextSearch.bm25TopKBatch(corpus, "doc_id", "text",
+        probes, "probe", "terms", k = 10)
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    probeDefs.foreach { case (pid, terms) =>
+      val single = TextSearch.bm25TopK(corpus, "doc_id", "text", terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq.sorted
+      assert(batch.getOrElse(pid, Seq.empty) === single, s"probe $pid")
+    }
+  }
+
+  test("batch: k cuts per probe with the (score desc, doc asc) tie-break") {
+    val dup = Seq(
+      (10L, "alpha beta"), (7L, "alpha beta"), (9L, "alpha beta"),
+      (8L, "gamma")
+    ).toDF("doc_id", "text")
+    val probes = Seq((1L, Seq("alpha")), (2L, Seq("gamma"))).toDF("probe", "terms")
+    val got = TextSearch.bm25TopKBatch(dup, "doc_id", "text",
+        probes, "probe", "terms", k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(got.toSeq === Seq((1L, 7L), (1L, 9L), (2L, 8L)))
+  }
+
+  test("batch: caps and degenerate inputs refuse loudly") {
+    intercept[IllegalArgumentException] { // empty probe table
+      TextSearch.bm25TopKBatch(corpus, "doc_id", "text",
+        Seq.empty[(Long, Seq[String])].toDF("probe", "terms"),
+        "probe", "terms", k = 5)
+    }
+    intercept[IllegalArgumentException] { // a probe with only blanks
+      TextSearch.bm25TopKBatch(corpus, "doc_id", "text",
+        Seq((1L, Seq(" ", ""))).toDF("probe", "terms"), "probe", "terms", 5)
+    }
+    intercept[IllegalArgumentException] { // duplicate probe ids
+      TextSearch.bm25TopKBatch(corpus, "doc_id", "text",
+        Seq((1L, Seq("a")), (1L, Seq("b"))).toDF("probe", "terms"),
+        "probe", "terms", 5)
+    }
+    intercept[IllegalArgumentException] { // per-probe term cap
+      TextSearch.bm25TopKBatch(corpus, "doc_id", "text",
+        Seq((1L, (1 to 65).map(i => s"t$i"))).toDF("probe", "terms"),
+        "probe", "terms", 5)
+    }
+  }
+
+  test("batch plan gate: constant job count in |probes|, one broadcast " +
+      "fan-out, TopKPerKey, no sort-merge join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def jobsFor(probeDefs: Seq[(Long, Seq[String])]): (Int, String) = {
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val df = TextSearch.bm25TopKBatch(docs, "doc_id", "text",
+          probeDefs.toDF("probe", "terms"), "probe", "terms", k = 5)
+        df.collect()
+        org.apache.spark.sql.graftbridge.ListenerBridge
+          .waitUntilListenerBusEmpty(spark.sparkContext)
+        (counter.get(), df.queryExecution.executedPlan.toString)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (jobs2, plan) = jobsFor(Seq(
+      (0L, Seq("spark", "join")), (1L, Seq("vector"))))
+    val (jobs6, _) = jobsFor(Seq(
+      (0L, Seq("spark", "join")), (1L, Seq("vector")),
+      (2L, Seq("table", "join")), (3L, Seq("data")),
+      (4L, Seq("quality", "spark")), (5L, Seq("join", "data", "vector"))))
+    assert(jobs2 == jobs6,
+      s"job count must not grow with probes: $jobs2 vs $jobs6")
+    assert(plan.contains("TopKPerKey"), s"expected per-probe heaps:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected broadcast probe-term fan-out:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Cartesian"),
+      s"wide join leaked into the batch plan:\n$plan")
+  }
+
   test("plan gate: no token explode, no exchange, TakeOrderedAndProject on top") {
     // a real parquet scan — a local fixture constant-folds to a
     // LocalRelation and the planner loses the top-k rewrite. Raw read,
