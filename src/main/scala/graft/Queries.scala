@@ -1435,6 +1435,9 @@ object Queries {
   private val stagedLmDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
+  private val stagedIvfDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
   private val stagedJsonlExportDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
@@ -3140,6 +3143,47 @@ object Queries {
         ORDER BY score DESC, doc) <= 10
       ORDER BY probe, score DESC, doc"""))
 
+  /** Persisted IVF index (round-10 verdict #2, q93's pattern applied to
+    * ANN): the index is trained ONCE per corpus, parquet round-tripped
+    * (centroids + cell-partitioned postings), and the search runs
+    * against the LOADED index with no retrain — proving a saved index
+    * answers identically to a fresh one. nProbe = k makes the probe set
+    * exhaustive, so the oracle is q47's exact brute-force equivalence:
+    * any drift in the centroid round trip (a flipped sign bit, a
+    * truncated dimension, a reordered cell) changes some assignment or
+    * cosine and fails the hash. */
+  private val q120 = Q("q120_ann_ivf_saved",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val dir = Queries.stagedIvfDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_ivf_${Queries.stagingSuffix(d)}")
+        val model = graft.operators.IvfIndex.train(emb, "embedding", k = 16)
+        val index = graft.operators.IvfIndex
+          .assign(emb, "vec_id", "embedding", model)
+        graft.operators.IvfIndex.saveIndex(model, index, f.getAbsolutePath)
+        f
+      })
+      val (model, postings) =
+        graft.operators.IvfIndex.loadIndex(s, dir.getAbsolutePath)
+      graft.operators.IvfIndex.search(postings,
+        emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", model, k = 5, nProbe = 16)
+    },
+    // exact-equivalence oracle, verbatim q47 shape: all-cells probe of
+    // the LOADED index == brute force
+    Some("""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        scored AS (SELECT q_id, n_id,
+            list_dot_product(qv, cv) /
+              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+          FROM q CROSS JOIN c WHERE q_id <> n_id),
+        r AS (SELECT q_id, n_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored)
+        SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, ROUND(cos, 6) AS cos
+        FROM r WHERE rank <= 5"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -3150,7 +3194,7 @@ object Queries {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119)
+    q118, q119, q120)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

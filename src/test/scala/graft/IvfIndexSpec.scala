@@ -36,6 +36,73 @@ class IvfIndexSpec extends SparkSpec {
     // recover at least half the true top-5
   }
 
+  test("saved index: load answers identically to the fresh index, " +
+      "centroids round-trip bit-for-bit") {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_spec_${System.nanoTime()}")
+    dir.deleteOnExit()
+    val model = IvfIndex.train(emb, "embedding", k = 8)
+    val idx = IvfIndex.assign(emb, "vec_id", "embedding", model)
+    IvfIndex.saveIndex(model, idx, dir.getAbsolutePath)
+    val (loaded, postings) = IvfIndex.loadIndex(spark, dir.getAbsolutePath)
+    // centroid round trip is EXACT (doubles through parquet, no re-derive)
+    assert(loaded.centroids.length == model.centroids.length)
+    loaded.centroids.zip(model.centroids).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq)
+    }
+    // postings carry the whole corpus with the same assignment
+    assert(postings.count() == emb.count())
+    val queries = emb.where(col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"), r.getAs[Double]("cos"))).sorted.toSeq
+    val fresh = rows(IvfIndex.search(idx, queries, "vec_id", "embedding",
+      model, k = 5, nProbe = 4))
+    val saved = rows(IvfIndex.search(postings, queries, "vec_id", "embedding",
+      loaded, k = 5, nProbe = 4))
+    assert(saved == fresh)
+    // the cell partitioning survives the round trip (scan-prunable layout)
+    assert(new java.io.File(dir, "postings").listFiles()
+      .exists(_.getName.startsWith("cell=")))
+  }
+
+  test("stale index: dimension mismatch fails loudly, corrupt centroid " +
+      "set refuses at load") {
+    import spark.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_stale_${System.nanoTime()}")
+    dir.deleteOnExit()
+    val model = IvfIndex.train(emb, "embedding", k = 4)
+    IvfIndex.saveIndex(model,
+      IvfIndex.assign(emb, "vec_id", "embedding", model), dir.getAbsolutePath)
+    val (loaded, postings) = IvfIndex.loadIndex(spark, dir.getAbsolutePath)
+    // queries re-embedded at a different dimensionality vs the saved
+    // index: the nearest_cells kernel refuses per row — never garbage
+    val wrongDim = Seq((1L, Array(0.5, 0.25))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      IvfIndex.search(postings, wrongDim, "vec_id", "embedding",
+        loaded, k = 5, nProbe = 2).collect()
+    }
+    assert(e.getMessage != null &&
+      (e.getMessage.contains("dimension mismatch") ||
+        Option(e.getCause).exists(_.getMessage.contains("dimension mismatch"))))
+    // a hand-edited centroid table with a missing cell refuses at load
+    val broken = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_broken_${System.nanoTime()}")
+    broken.deleteOnExit()
+    spark.read.parquet(s"$dir/centroids").where(col("cell") =!= 1)
+      .coalesce(1).write.parquet(s"$broken/centroids")
+    spark.read.parquet(s"$dir/postings").write.partitionBy("cell")
+      .parquet(s"$broken/postings")
+    intercept[IllegalArgumentException] {
+      IvfIndex.loadIndex(spark, broken.getAbsolutePath)
+    }
+    // saveIndex refuses a frame that is not an assign() output
+    intercept[IllegalArgumentException] {
+      IvfIndex.saveIndex(model, emb, dir.getAbsolutePath + "_x")
+    }
+  }
+
   test("tripletMine: positive = rank 1, hard negative = rank m+1, margin holds") {
     import spark.implicits._
     // 2-D unit vectors at known angles from the anchor (id 0 at 0 rad):
