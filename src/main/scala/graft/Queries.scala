@@ -879,14 +879,18 @@ object Queries {
   // document a deterministic pixel field (value = (seed + 31x + 13y + 7c)
   // mod 256, alternating grayscale/RGB) is encoded as a REAL PNG — zlib
   // deflate, filter type rotating y mod 5 — then decoded back by
-  // PngCodec inside the batched feature extractor. The oracle recomputes
-  // width/height/brightness from the SAME synthesis formula in SQL, so a
-  // green row proves the full deflate→inflate→unfilter path recovers
-  // every pixel exactly (any filter/inflate bug shifts the mean).
-  // Payload bytes never shuffle — the narrow mapPartitions emits
-  // KB-scale features only. Brightness is 6-decimal half-up quantized in
-  // integer space (the q87 micro-unit rule), so both engines divide the
-  // same exact integers.
+  // PngCodec inside the batched feature extractor. Every fifth document
+  // is instead a REAL GIF89a (round-10 verdict #4): palette indices from
+  // the same rolling field, a 256-color palette (j, 7j mod 256, 13j mod
+  // 256), REAL LZW compression — decoded back by GifCodec (dictionary
+  // growth, palette expansion). The oracle recomputes width/height/
+  // brightness from the SAME synthesis formulas in SQL, so a green row
+  // proves the full deflate→inflate→unfilter path AND the
+  // LZW→palette-expand path recover every pixel exactly (any filter/
+  // inflate/dictionary bug shifts the mean). Payload bytes never shuffle
+  // — the narrow mapPartitions emits KB-scale features only. Brightness
+  // is 6-decimal half-up quantized in integer space (the q87 micro-unit
+  // rule), so both engines divide the same exact integers.
   private val q50 = Q("q50_multimodal_features",
     (s, d) => {
       import s.implicits._
@@ -897,15 +901,25 @@ object Queries {
         .map { case (id, nChars) =>
           val w = 1 + (id % 48).toInt
           val h = 1 + (nChars % 32).toInt
-          val ch = if (id % 2 == 0) 1 else 3
           val seed = (id % 251).toInt
-          val samples = Array.tabulate(w * h * ch) { i =>
-            val c = i % ch; val x = (i / ch) % w; val y = i / (ch * w)
-            (seed + 31 * x + 13 * y + 7 * c) % 256
+          if (id % 5 == 0) {
+            val palette = Array.tabulate(256)(j =>
+              (j << 16) | (((j * 7) % 256) << 8) | ((j * 13) % 256))
+            val idx = Array.tabulate(w * h)(i =>
+              (seed + 31 * (i % w) + 13 * (i / w)) % 256)
+            MediaRow(id, "image/gif",
+              graft.multimodal.GifCodec.encode(w, h, palette, idx),
+              MediaMeta("synth", Some(w), Some(h), None))
+          } else {
+            val ch = if (id % 2 == 0) 1 else 3
+            val samples = Array.tabulate(w * h * ch) { i =>
+              val c = i % ch; val x = (i / ch) % w; val y = i / (ch * w)
+              (seed + 31 * x + 13 * y + 7 * c) % 256
+            }
+            MediaRow(id, "image/png",
+              graft.multimodal.PngCodec.encode(w, h, ch, samples),
+              MediaMeta("synth", Some(w), Some(h), None))
           }
-          MediaRow(id, "image/png",
-            graft.multimodal.PngCodec.encode(w, h, ch, samples),
-            MediaMeta("synth", Some(w), Some(h), None))
         }
       graft.multimodal.Multimodal.imageFeatures(media).toDF()
         .select(col("media_id"), col("width"), col("height"),
@@ -915,13 +929,21 @@ object Queries {
     Some("""WITH p AS (SELECT doc_id,
           1 + doc_id % 48 AS w,
           1 + CAST(n_chars AS BIGINT) % 32 AS h,
-          CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+          CASE WHEN doc_id % 5 = 0 THEN 3
+               WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+          doc_id % 5 = 0 AS gif,
           doc_id % 251 AS seed
         FROM documents),
       s AS (SELECT doc_id, w, h, ch,
-          list_sum(list_transform(range(w*h*ch), i ->
-            (seed + 31*((i // ch) % w) + 13*(i // (ch*w)) + 7*(i % ch)) % 256))
-            AS sm
+          CASE WHEN gif THEN
+            list_sum(list_transform(range(w*h), i ->
+              (seed + 31*(i % w) + 13*(i // w)) % 256
+              + ((seed + 31*(i % w) + 13*(i // w)) % 256) * 7 % 256
+              + ((seed + 31*(i % w) + 13*(i // w)) % 256) * 13 % 256))
+          ELSE
+            list_sum(list_transform(range(w*h*ch), i ->
+              (seed + 31*((i // ch) % w) + 13*(i // (ch*w)) + 7*(i % ch)) % 256))
+          END AS sm
         FROM p)
       SELECT doc_id AS media_id,
         CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,

@@ -11,11 +11,12 @@ import org.apache.spark.sql.types._
   * Container METADATA is real: [[imageHeaderMeta]] parses PNG/JPEG/GIF/
   * BMP headers natively from the payload bytes
   * ([[graft.functions.ImageMetaExpr]] — codegen'd, no codec library).
-  * PNG PIXEL decode is real too ([[PngCodec]] — 8-bit gray/RGB via
-  * java.util.zip, all five scanline filters). Decodes this build cannot
-  * do honestly (JPEG DCT, GIF LZW, audio resample, video frame
-  * extraction) remain a clearly-marked deterministic STUB
-  * ([[StubCodec]]), the fallback when [[PngCodec]] declines a payload.
+  * PIXEL decode is real for PNG ([[PngCodec]] — 8-bit gray/RGB via
+  * java.util.zip, all five scanline filters) and GIF ([[GifCodec]] —
+  * LZW + palette expansion, non-interlaced). Decodes this build cannot
+  * do honestly (JPEG DCT, interlaced GIF/PNG, audio resample, video
+  * frame extraction) remain a clearly-marked deterministic STUB
+  * ([[StubCodec]]), the fallback when the real codecs decline a payload.
   * Everything around the codec is real and tested: schema,
   * null/short-payload handling, batch shape (fixed-size record batches
   * per partition, the JVM analog of an Arrow-batched pandas UDF), and
@@ -92,10 +93,11 @@ object Multimodal {
 
   /** Image feature extraction over the media frame: decode →
     * width/height/brightness/16-bin histogram. PNG payloads (8-bit
-    * gray/RGB, non-interlaced) decode for REAL through [[PngCodec]];
-    * everything else falls back to the deterministic [[StubCodec]] fake.
-    * NULL/empty payloads yield zeroed features rather than failing the
-    * batch.
+    * gray/RGB, non-interlaced) decode for REAL through [[PngCodec]],
+    * GIF payloads (non-interlaced, palette-expanded to RGB) through
+    * [[GifCodec]]; everything else falls back to the deterministic
+    * [[StubCodec]] fake. NULL/empty payloads yield zeroed features
+    * rather than failing the batch.
     *
     * Real-path brightness is the mean channel sample / 255, quantized
     * half-up to 6 decimals in INTEGER space (the q87 micro-unit rule:
@@ -108,7 +110,7 @@ object Multimodal {
       batch.map { m =>
         val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
         if (bytes.isEmpty) ImageFeatures(m.media_id, 0, 0, 0L, 0.0, Array.fill(16)(0.0))
-        else PngCodec.decode(bytes) match {
+        else PngCodec.decode(bytes).orElse(GifCodec.decode(bytes)) match {
           case Some((w, h, _, samples)) =>
             val hist = Array.fill(16)(0.0)
             var sum = 0L

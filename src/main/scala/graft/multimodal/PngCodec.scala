@@ -4,11 +4,10 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 
 /** REAL PNG pixel codec with zero codec-library dependencies —
   * `java.util.zip` (zlib) is the only machinery PNG's mandatory path
-  * actually needs. Replaces the stub decode for the one container this
-  * build can decode honestly; everything it can't (JPEG DCT, GIF LZW,
-  * interlaced PNG, 16-bit/palette color) stays behind the
+  * actually needs. Everything this codec can't decode honestly
+  * (JPEG DCT, interlaced PNG, 16-bit/palette color) stays behind the
   * [[Multimodal.StubCodec]] fallback, per the decode-what-you-can
-  * contract.
+  * contract; GIF has its own real decoder ([[GifCodec]]).
   *
   * Coverage: 8-bit grayscale (color type 0) and 8-bit truecolor RGB
   * (color type 2), non-interlaced, all five scanline filters

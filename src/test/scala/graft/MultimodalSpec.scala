@@ -244,6 +244,84 @@ class MultimodalSpec extends SparkSpec {
     assert(PngCodec.decode(deep).isEmpty)
   }
 
+  test("GifCodec round-trips palette images exactly, incl. runs (KwKwK) " +
+      "and 1x1") {
+    import graft.multimodal.GifCodec
+    def expand(pal: Array[Int], idx: Array[Int]): Seq[Int] =
+      idx.toSeq.flatMap(c => Seq((pal(c) >> 16) & 0xff, (pal(c) >> 8) & 0xff,
+        pal(c) & 0xff))
+    val rnd = new scala.util.Random(23)
+    for {
+      (w, h) <- Seq((1, 1), (3, 2), (17, 5), (48, 32))
+      palSize <- Seq(4, 16, 256)
+    } {
+      val pal = Array.tabulate(palSize)(j =>
+        (j << 16) | (((j * 7) % 256) << 8) | ((j * 13) % 256))
+      val idx = Array.fill(w * h)(rnd.nextInt(palSize))
+      val gif = GifCodec.encode(w, h, pal, idx)
+      val got = GifCodec.decode(gif)
+      assert(got.isDefined, s"decode failed for $w x $h pal=$palSize")
+      val (gw, gh, gch, gs) = got.get
+      assert((gw, gh, gch) == (w, h, 3))
+      assert(gs.toSeq == expand(pal, idx), s"pixels drifted $w x $h pal=$palSize")
+    }
+    // long runs force the KwKwK (code == next) decoder path
+    val pal = Array(0x000000, 0xff0000, 0x00ff00, 0x0000ff)
+    val runs = Array.fill(300)(1) ++ Array.fill(300)(2) ++
+      Array.tabulate(200)(i => i % 4) ++ Array.fill(224)(3)
+    val gif = GifCodec.encode(32, 32, pal, runs)
+    assert(GifCodec.decode(gif).get._4.toSeq == expand(pal, runs))
+  }
+
+  test("GifCodec dictionary-full reset round-trips (4096-entry clear)") {
+    import graft.multimodal.GifCodec
+    // 256-color noise across 128x128 pixels creates > 4096 dictionary
+    // entries, forcing the encoder's clear-reset and the decoder's
+    // matching rebuild — the path small fixtures never reach
+    val pal = Array.tabulate(256)(j => (j << 16) | (j << 8) | j)
+    var s = 12345
+    val idx = Array.fill(128 * 128) {
+      s = (s * 1103515245 + 12345) & 0x7fffffff; s % 256
+    }
+    val gif = GifCodec.encode(128, 128, pal, idx)
+    val got = GifCodec.decode(gif)
+    assert(got.isDefined)
+    assert(got.get._4.length == 128 * 128 * 3)
+    val want = idx.flatMap(c => Seq(c, c, c)).toSeq
+    assert(got.get._4.toSeq == want)
+  }
+
+  test("GifCodec declines honestly; real GIF parses in image_meta") {
+    import graft.multimodal.GifCodec
+    assert(GifCodec.decode(null).isEmpty)
+    assert(GifCodec.decode("GIF89a".getBytes("US-ASCII")).isEmpty)
+    val pal = Array.tabulate(16)(j => j * 0x111111)
+    val idx = Array.tabulate(60)(i => i % 16)
+    val good = GifCodec.encode(10, 6, pal, idx)
+    assert(GifCodec.decode(good).isDefined)
+    // interlace flag in the image descriptor -> honest decline (the
+    // descriptor follows 13 header bytes + 48-byte GCT; packed is at +9)
+    val interlaced = good.clone()
+    interlaced(13 + 48 + 9) = (interlaced(13 + 48 + 9) | 0x40).toByte
+    assert(GifCodec.decode(interlaced).isEmpty)
+    // truncated LZW stream -> None, never an exception
+    assert(GifCodec.decode(good.take(good.length - 4)).isEmpty)
+    // header cross-check: the q92 metadata parser agrees on dims
+    val r = graft.functions.ImageMetaExpr.parseHeader(good)
+    assert(r != null && r.getUTF8String(0).toString == "gif")
+    assert(r.getInt(1) == 10 && r.getInt(2) == 6)
+    // features integration: a GIF row decodes REAL (not the md5 stub)
+    import spark.implicits._
+    val rows = Seq(MediaRow(9L, "image/gif", good,
+      MediaMeta("synth", Some(10), Some(6), None)))
+    val f = Multimodal.imageFeatures(rows.toDS(), batchSize = 4).collect().head
+    assert(f.width == 10 && f.height == 6)
+    val sum = idx.map(c => ((pal(c) >> 16) & 0xff) + ((pal(c) >> 8) & 0xff)
+      + (pal(c) & 0xff)).sum.toLong
+    val d = 60L * 3 * 255
+    assert(f.brightness == (sum * 2000000L + d) / (2L * d) / 1000000.0)
+  }
+
   test("audio_meta rejects hostile chunk sizes without hanging") {
     import graft.functions.AudioMetaExpr.parseHeader
     // declared u32 size 0xFFFFFFF8: toInt is -8, so the naive step
