@@ -1460,6 +1460,9 @@ object Queries {
   private val stagedIvfDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
+  private val stagedBm25Dir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
   private val stagedJsonlExportDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
@@ -3206,6 +3209,56 @@ object Queries {
         SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, ROUND(cos, 6) AS cos
         FROM r WHERE rank <= 5"""))
 
+  /** Persisted BM25 corpus stats (q120's pattern applied to retrieval):
+    * the full-vocabulary (term, df) table plus the (N, TL) row are
+    * built ONCE per corpus and parquet round-tripped; the query then
+    * runs [[graft.operators.TextSearch.bm25TopKIndexed]] — pass 1 is a
+    * pushdown-pruned read of the query terms' stats, only the scoring
+    * pass touches the corpus. The oracle is q116's score contract
+    * VERBATIM: identical terms and k, so any drift between saved and
+    * live stats (a lost term, a df off by one, a stale TL) changes a
+    * score and fails the hash. */
+  private val q121 = Q("q121_bm25_indexed",
+    (s, d) => {
+      val dir = Queries.stagedBm25Dir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_bm25_${Queries.stagingSuffix(d)}")
+        graft.operators.TextSearch.saveCorpusStats(
+          documents(s, d), "doc_id", "text", f.getAbsolutePath)
+        f
+      })
+      graft.operators.TextSearch.bm25TopKIndexed(
+        documents(s, d), "doc_id", "text", dir.getAbsolutePath,
+        Seq("spark", "vector", "join"), k = 20)
+    },
+    Some("""WITH base AS (SELECT doc_id AS doc,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            t -> t <> '') AS toks
+        FROM documents),
+      b AS (SELECT doc, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+      st AS (SELECT COUNT(*) AS n, COALESCE(SUM(dl), 0) AS tl FROM b),
+      t(term) AS (SELECT * FROM (VALUES ('spark'), ('vector'), ('join'))),
+      dfreq AS (SELECT term,
+          (SELECT COUNT(*) FROM b WHERE list_contains(b.toks, t.term)) AS df
+        FROM t),
+      idf AS (SELECT term,
+          ROUND(ln(CAST(st.n + 1 AS DOUBLE) / (dfreq.df + 0.5)), 6) AS idf
+        FROM dfreq CROSS JOIN st),
+      pr AS (SELECT doc, dl, toks FROM b
+        WHERE list_has_any(toks, ['spark', 'vector', 'join'])),
+      tf AS (SELECT doc, dl, term,
+          CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+        FROM pr CROSS JOIN t),
+      c AS (SELECT doc, CASE WHEN tf > 0 THEN 1 ELSE 0 END AS hit,
+          CAST(ROUND(idf.idf * ((10.0 * st.tl * tf) /
+              (10.0 * st.tl * tf + 3.0 * st.tl + 9.0 * dl * st.n)), 6)
+            AS DECIMAL(18,6)) AS contrib
+        FROM tf JOIN idf USING (term) CROSS JOIN st)
+      SELECT doc, CAST(SUM(hit) AS BIGINT) AS n_hit,
+        CAST(CAST(SUM(contrib) * 1000000 AS BIGINT) AS DOUBLE)
+          / 1000000.0 AS score
+      FROM c GROUP BY doc ORDER BY score DESC, doc LIMIT 20"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -3216,7 +3269,7 @@ object Queries {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120)
+    q118, q119, q120, q121)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -7,11 +7,12 @@ package graft.multimodal
   * needs no library. Same zero-new-deps discipline as the rest of
   * `multimodal`.
   *
-  * Envelope, stated honestly: non-interlaced, single-frame decode (the
-  * FIRST image descriptor of an animated file — features describe the
-  * poster frame), global or local color table, any LZW minimum code
-  * size the spec allows (2..8), full 12-bit dictionary growth with
-  * clear-code resets. Interlaced images, files with no color table,
+  * Envelope, stated honestly: single-frame decode (the FIRST image
+  * descriptor of an animated file — features describe the poster
+  * frame), interlaced or not (GIF interlacing is a fixed 4-pass row
+  * permutation, undone after LZW), global or local color table, any
+  * LZW minimum code size the spec allows (2..8), full 12-bit
+  * dictionary growth with clear-code resets. Files with no color table
   * and malformed LZW streams return None — the caller falls back to
   * its clearly-marked stub, exactly like [[PngCodec]] declining JPEG.
   *
@@ -65,7 +66,7 @@ object GifCodec {
           if (p + 10 > bytes.length) return None
           val iw = u16le(bytes, p + 5); val ih = u16le(bytes, p + 7)
           val ipacked = bytes(p + 9) & 0xff
-          if ((ipacked & 0x40) != 0) return None // interlaced: decline
+          val interlaced = (ipacked & 0x40) != 0
           if (iw < 1 || ih < 1 || iw > (1 << 14) || ih > (1 << 14)) return None
           // a frame smaller than the screen is fine (we decode the frame);
           // one LARGER than the declared screen is malformed
@@ -91,8 +92,19 @@ object GifCodec {
             data.write(bytes, p + 1, n)
             p += 1 + n
           }
-          val idx = lzwDecode(data.toByteArray, minCode, iw * ih)
-          if (idx == null) return None
+          val raw = lzwDecode(data.toByteArray, minCode, iw * ih)
+          if (raw == null) return None
+          // interlaced: rows arrive in 4-pass order (0,8.. / 4,12.. /
+          // 2,6.. / 1,3..); permute back to top-to-bottom
+          val idx = if (!interlaced) raw else {
+            val ordered = new Array[Int](raw.length)
+            var sr = 0
+            interlaceRows(ih).foreach { y =>
+              System.arraycopy(raw, sr * iw, ordered, y * iw, iw)
+              sr += 1
+            }
+            ordered
+          }
           val out = new Array[Int](iw * ih * 3)
           var i = 0
           while (i < iw * ih) {
@@ -111,6 +123,10 @@ object GifCodec {
     }
     None
   }
+
+  /** The stream order of rows for a GIF's fixed 4-pass interlace. */
+  private def interlaceRows(h: Int): Seq[Int] =
+    (0 until h by 8) ++ (4 until h by 8) ++ (2 until h by 4) ++ (1 until h by 2)
 
   private def readPalette(b: Array[Byte], at: Int, n: Int): Array[Int] =
     Array.tabulate(n) { j =>
@@ -194,8 +210,11 @@ object GifCodec {
 
   /** Encode palette indices as a real GIF89a with a REAL LZW compressor.
     * `palette` is packed 0xRRGGBB (1..256 entries, padded internally to
-    * the next power of two as the spec requires); `indices` row-major. */
-  def encode(w: Int, h: Int, palette: Array[Int], indices: Array[Int]): Array[Byte] = {
+    * the next power of two as the spec requires); `indices` row-major.
+    * `interlaced = true` writes rows in the 4-pass interlace order with
+    * the flag set, so fixtures exercise the decoder's permutation. */
+  def encode(w: Int, h: Int, palette: Array[Int], indices: Array[Int],
+             interlaced: Boolean = false): Array[Byte] = {
     require(w >= 1 && h >= 1 && indices.length == w * h,
       s"bad dims: $w x $h vs ${indices.length}")
     require(palette.nonEmpty && palette.length <= 256,
@@ -218,13 +237,24 @@ object GifCodec {
       out.write((rgb >> 16) & 0xff); out.write((rgb >> 8) & 0xff)
       out.write(rgb & 0xff)
     }
-    out.write(0x2c) // image descriptor at (0,0), no LCT, no interlace
+    out.write(0x2c) // image descriptor at (0,0), no LCT
     out.write(0); out.write(0); out.write(0); out.write(0)
     out.write(w & 0xff); out.write(w >> 8)
     out.write(h & 0xff); out.write(h >> 8)
-    out.write(0)
+    out.write(if (interlaced) 0x40 else 0)
     out.write(minCode)
-    val lzw = lzwEncode(indices, minCode)
+    val stream =
+      if (!interlaced) indices
+      else {
+        val s = new Array[Int](indices.length)
+        var sr = 0
+        interlaceRows(h).foreach { y =>
+          System.arraycopy(indices, y * w, s, sr * w, w)
+          sr += 1
+        }
+        s
+      }
+    val lzw = lzwEncode(stream, minCode)
     var off = 0
     while (off < lzw.length) {
       val n = math.min(255, lzw.length - off)

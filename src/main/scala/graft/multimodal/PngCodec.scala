@@ -5,12 +5,13 @@ import java.util.zip.{CRC32, Deflater, Inflater}
 /** REAL PNG pixel codec with zero codec-library dependencies —
   * `java.util.zip` (zlib) is the only machinery PNG's mandatory path
   * actually needs. Everything this codec can't decode honestly
-  * (JPEG DCT, interlaced PNG, 16-bit/palette color) stays behind the
+  * (JPEG DCT, interlaced PNG, 16-bit color) stays behind the
   * [[Multimodal.StubCodec]] fallback, per the decode-what-you-can
   * contract; GIF has its own real decoder ([[GifCodec]]).
   *
-  * Coverage: 8-bit grayscale (color type 0) and 8-bit truecolor RGB
-  * (color type 2), non-interlaced, all five scanline filters
+  * Coverage: 8-bit grayscale (color type 0), 8-bit truecolor RGB
+  * (color type 2), and 8-bit palette (color type 3, PLTE-expanded to
+  * RGB on decode), non-interlaced, all five scanline filters
   * (None/Sub/Up/Average/Paeth) on both sides. The encoder deliberately
   * ROTATES filter types per row (y mod 5) so every fixture image
   * exercises every unfilter path — a decoder bug can't hide behind
@@ -46,16 +47,10 @@ object PngCodec {
     if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
   }
 
-  /** Encode 8-bit samples (row-major y→x→channel, values 0..255) as a
-    * real PNG. channels: 1 = grayscale, 3 = RGB. Filter type rotates
-    * y mod 5 so decodes exercise every unfilter. */
-  def encode(w: Int, h: Int, channels: Int, samples: Array[Int]): Array[Byte] = {
-    require(channels == 1 || channels == 3, s"channels: $channels")
-    require(w >= 1 && h >= 1 && samples.length == w * h * channels,
-      s"bad dims: $w x $h x $channels vs ${samples.length}")
-    val colorType = if (channels == 1) 0 else 2
-    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
-      Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte)
+  /** Filter rows (type rotates y mod 5) and deflate — shared by the
+    * gray/RGB and palette encoders. `channels` is bytes per pixel. */
+  private def filterAndDeflate(w: Int, h: Int, channels: Int,
+                               samples: Array[Int]): Array[Byte] = {
     val stride = w * channels
     val raw = new Array[Byte]((stride + 1) * h)
     var y = 0
@@ -87,13 +82,51 @@ object PngCodec {
     val buf = new Array[Byte](8192)
     while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
     deflater.end()
-    Signature ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++
+    out.toByteArray
+  }
+
+  /** Encode 8-bit samples (row-major y→x→channel, values 0..255) as a
+    * real PNG. channels: 1 = grayscale, 3 = RGB. Filter type rotates
+    * y mod 5 so decodes exercise every unfilter. */
+  def encode(w: Int, h: Int, channels: Int, samples: Array[Int]): Array[Byte] = {
+    require(channels == 1 || channels == 3, s"channels: $channels")
+    require(w >= 1 && h >= 1 && samples.length == w * h * channels,
+      s"bad dims: $w x $h x $channels vs ${samples.length}")
+    val colorType = if (channels == 1) 0 else 2
+    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
+      Array(8.toByte, colorType.toByte, 0.toByte, 0.toByte, 0.toByte)
+    Signature ++ chunk("IHDR", ihdr) ++
+      chunk("IDAT", filterAndDeflate(w, h, channels, samples)) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  /** Encode a palette (color type 3) PNG: PLTE from packed 0xRRGGBB
+    * entries, 8-bit indices, same rotating scanline filters (filters
+    * operate on index bytes per spec). Fixture encoder for the
+    * palette-decode path. */
+  def encodePalette(w: Int, h: Int, palette: Array[Int],
+                    indices: Array[Int]): Array[Byte] = {
+    require(palette.nonEmpty && palette.length <= 256,
+      s"palette size: ${palette.length}")
+    require(w >= 1 && h >= 1 && indices.length == w * h,
+      s"bad dims: $w x $h vs ${indices.length}")
+    require(indices.forall(i => i >= 0 && i < palette.length),
+      "index past the palette")
+    val ihdr = be32(w.toLong) ++ be32(h.toLong) ++
+      Array(8.toByte, 3.toByte, 0.toByte, 0.toByte, 0.toByte)
+    val plte = palette.flatMap(rgb => Array(
+      ((rgb >> 16) & 0xff).toByte, ((rgb >> 8) & 0xff).toByte,
+      (rgb & 0xff).toByte))
+    Signature ++ chunk("IHDR", ihdr) ++ chunk("PLTE", plte) ++
+      chunk("IDAT", filterAndDeflate(w, h, 1, indices)) ++
       chunk("IEND", Array.emptyByteArray)
   }
 
   /** Decode a PNG this codec covers: Some((w, h, channels, samples)) for
-    * 8-bit gray/RGB non-interlaced, None for anything else (caller falls
-    * back to the stub — corrupt bytes must not fail the batch). */
+    * 8-bit gray/RGB/palette non-interlaced, None for anything else
+    * (caller falls back to the stub — corrupt bytes must not fail the
+    * batch). Palette images come back expanded to RGB (channels = 3) so
+    * downstream features see one convention. */
   def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
     if (bytes == null || bytes.length < 45) return None
     var i = 0
@@ -104,14 +137,17 @@ object PngCodec {
     val w = u32be(bytes, 16); val h = u32be(bytes, 20)
     val bitDepth = bytes(24) & 0xff; val colorType = bytes(25) & 0xff
     val interlace = bytes(28) & 0xff
-    if (bitDepth != 8 || (colorType != 0 && colorType != 2) || interlace != 0)
-      return None
+    if (bitDepth != 8 || interlace != 0) return None
+    if (colorType != 0 && colorType != 2 && colorType != 3) return None
     if (w < 1 || h < 1 || w > (1L << 20) || h > (1L << 20)) return None
-    val channels = if (colorType == 0) 1 else 3
+    // bytes per pixel in the FILTERED stream (palette: 1 index byte)
+    val channels = if (colorType == 2) 3 else 1
     val stride = w.toInt * channels
     if ((stride + 1).toLong * h > Int.MaxValue / 2) return None
-    // concatenate IDAT payloads (walk guarded against hostile lengths)
+    // concatenate IDAT payloads, capture PLTE (walk guarded against
+    // hostile lengths)
     val idat = new java.io.ByteArrayOutputStream(bytes.length)
+    var palette: Array[Int] = null
     var p = 8 + 12 + 13
     var sawEnd = false
     while (!sawEnd && p + 8 <= bytes.length) {
@@ -119,9 +155,18 @@ object PngCodec {
       if (len > Int.MaxValue || p + 8 + len + 4 > bytes.length) return None
       val tag = new String(bytes, p + 4, 4, "US-ASCII")
       if (tag == "IDAT") idat.write(bytes, p + 8, len.toInt)
+      else if (tag == "PLTE") {
+        if (len % 3 != 0 || len > 3 * 256) return None
+        palette = Array.tabulate((len / 3).toInt) { j =>
+          ((bytes(p + 8 + 3 * j) & 0xff) << 16) |
+            ((bytes(p + 8 + 3 * j + 1) & 0xff) << 8) |
+            (bytes(p + 8 + 3 * j + 2) & 0xff)
+        }
+      }
       else if (tag == "IEND") sawEnd = true
       p += 8 + len.toInt + 4
     }
+    if (colorType == 3 && palette == null) return None // PLTE is mandatory
     val compressed = idat.toByteArray
     if (compressed.isEmpty) return None
     val raw = new Array[Byte]((stride + 1) * h.toInt)
@@ -162,6 +207,20 @@ object PngCodec {
       }
       y += 1
     }
-    Some((w.toInt, h.toInt, channels, samples))
+    if (colorType != 3) Some((w.toInt, h.toInt, channels, samples))
+    else {
+      // palette expansion: indices → RGB, one downstream convention
+      val rgb = new Array[Int](samples.length * 3)
+      var j = 0
+      while (j < samples.length) {
+        val c = samples(j)
+        if (c >= palette.length) return None // index past the palette
+        rgb(3 * j) = (palette(c) >> 16) & 0xff
+        rgb(3 * j + 1) = (palette(c) >> 8) & 0xff
+        rgb(3 * j + 2) = palette(c) & 0xff
+        j += 1
+      }
+      Some((w.toInt, h.toInt, 3, rgb))
+    }
   }
 }

@@ -93,7 +93,92 @@ object TextSearch {
         .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
     }
 
-    // pass 2: prune → per-term tf in place → row-local score → top-k
+    // pass 2 (shared with the indexed variant): prune → per-term tf in
+    // place → row-local score → top-k. A pruned row has >= 1 token, so
+    // den >= 3·TL + 9·N > 0; tf = 0 contributes exactly 0.000000.
+    scorePass(docs, idCol, textCol, terms, idf, n, tl, k)
+  }
+
+  /** Persist the corpus-level BM25 statistics — the retrieval analog of
+    * the persisted IVF index (train-once/search-many): [[bm25TopK]] and
+    * [[bm25TopKBatch]] pay one or two full-corpus stats scans per call,
+    * which is correct for ad-hoc audits but wasteful when the SAME
+    * frozen corpus snapshot serves many queries across sessions. Layout
+    * under `path`:
+    *
+    *  - `terms/`: (term, df) for EVERY distinct token — the document
+    *    frequency table, vocabulary-sized (the explode is
+    *    partial-aggregated, so the exchange carries ≤ |vocab| rows per
+    *    partition); parquet with term in the sort order, so a query's
+    *    df lookup is a pushdown-pruned tiny scan;
+    *  - `corpus/`: one row (n, tl).
+    *
+    * Contract: the stats describe the EXACT corpus snapshot they were
+    * built from. Querying with stats from a different snapshot is the
+    * caller's staleness bug — scores use frozen idf/TL (often the
+    * wanted behavior for a published index; rebuild when the corpus
+    * changes). */
+  def saveCorpusStats(docs: DataFrame, idCol: String, textCol: String,
+                      path: String): Unit = {
+    val base = docs
+      .select(filter(TextExprs.tokens(lower(col(textCol))), t => t =!= "")
+        .as("__toks"))
+      .select(col("__toks"), size(col("__toks")).cast("long").as("__dl"))
+    base.agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("__dl")), lit(0L)).as("tl"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/corpus")
+    base
+      .select(explode(array_distinct(col("__toks"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("overwrite").parquet(s"$path/terms")
+  }
+
+  /** [[bm25TopK]] against SAVED corpus stats: pass 1's full-corpus
+    * aggregate becomes (a) one 1-row read of `corpus/` and (b) one
+    * pushdown-pruned read of `terms/` for just the query terms
+    * (`term IN (...)` reaches the parquet scan — plan-gated), so only
+    * the scoring pass touches the corpus. Scores are IDENTICAL to
+    * [[bm25TopK]] on the snapshot the stats were built from
+    * (spec-gated equality; q121 gates it against q116's oracle). */
+  def bm25TopKIndexed(docs: DataFrame, idCol: String, textCol: String,
+                      statsPath: String, queryTerms: Seq[String],
+                      k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    val terms = queryTerms.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .filter(_.nonEmpty).distinct
+    require(terms.nonEmpty, "bm25TopKIndexed: no non-empty query terms")
+    require(terms.size <= 64,
+      s"bm25TopKIndexed: ${terms.size} query terms — same cap as bm25TopK")
+    require(k > 0, s"bm25TopKIndexed: k must be positive: $k")
+    val cr = spark.read.parquet(s"$statsPath/corpus").collect()
+    require(cr.length == 1, s"bm25TopKIndexed: corrupt stats at $statsPath")
+    val n = cr(0).getAs[Long]("n")
+    val tl = cr(0).getAs[Long]("tl")
+    require(n > 0, "bm25TopKIndexed: stats describe an empty corpus")
+    val dfByTerm: Map[String, Long] = spark.read.parquet(s"$statsPath/terms")
+      .where(col("term").isin(terms: _*))
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    val idf: Seq[Double] = terms.map { t =>
+      val df = dfByTerm.getOrElse(t, 0L) // absent term: df 0, like bm25TopK
+      new java.math.BigDecimal(math.log((n + 1).toDouble / (df + 0.5)))
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    }
+    scorePass(docs, idCol, textCol, terms, idf, n, tl, k)
+  }
+
+  /** Pass 2 of the single-probe score, shared by the live and indexed
+    * variants so their plans cannot drift: prune → in-place tf →
+    * row-local micro-unit score → TakeOrderedAndProject top-k. */
+  private def scorePass(docs: DataFrame, idCol: String, textCol: String,
+                        terms: Seq[String], idf: Seq[Double],
+                        n: Long, tl: Long, k: Int): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc"),
+        filter(TextExprs.tokens(lower(col(textCol))), t => t =!= "")
+          .as("__toks"))
+      .select(col("doc"), col("__toks"),
+        size(col("__toks")).cast("long").as("__dl"))
     val pruned = base
       .where(arrays_overlap(col("__toks"), array(terms.map(lit): _*)))
       .select(col("doc") +: col("__dl") +:
@@ -101,8 +186,6 @@ object TextSearch {
           size(filter(col("__toks"), x => x === lit(t))).cast("long")
             .as(s"__tf$i")
         }: _*)
-    // a pruned row has >= 1 token, so den >= 3·TL + 9·N > 0; tf = 0
-    // contributes exactly 0.000000 through the same expression
     val contribs: Seq[Column] = terms.indices.map { i =>
       val tf = col(s"__tf$i").cast("double")
       val num = lit(10.0) * lit(tl.toDouble) * tf

