@@ -3259,6 +3259,54 @@ object Queries {
           / 1000000.0 AS score
       FROM c GROUP BY doc ORDER BY score DESC, doc LIMIT 20"""))
 
+  /** Video-container metadata (q92/q105's video sibling, completing the
+    * multimodal metadata family): structurally real MP4 (ftyp +
+    * moov(mvhd + n×trak(tkhd))) and AVI (RIFF hdrl/avih) containers are
+    * synthesized per document and parsed back by the native codegen'd
+    * video_meta expression; the oracle recomputes every field from the
+    * doc columns the bytes were built from. MP4 covers the
+    * first-video-track rule (extra tracks are dimensionless) and the
+    * timescale→ms clock conversion; AVI covers the µs-per-frame clock. */
+  private val q122 = Q("q122_video_meta",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+      val media = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          val bytes =
+            if (id % 2 == 0)
+              graft.multimodal.VideoFixture.encodeMp4(
+                16 * (1 + (id % 120)).toInt, 9 * (1 + (nc % 80)).toInt,
+                1000 * (1 + (id % 5)).toInt, 1000 + (nc % 90000),
+                1 + (id % 3).toInt)
+            else
+              graft.multimodal.VideoFixture.encodeAvi(
+                320 + ((id % 10) * 16).toInt, 240 + ((nc % 10) * 16).toInt,
+                20000 + ((id % 5) * 1000).toInt, (100 + (nc % 5000)).toInt,
+                1 + (nc % 2).toInt)
+          MediaRow(id, if (id % 2 == 0) "video/mp4" else "video/x-msvideo",
+            bytes, MediaMeta("synth", None, None, None))
+        }
+      graft.multimodal.Multimodal.videoHeaderMeta(media.toDF())
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("duration_ms"), col("n_tracks"))
+    },
+    Some("""SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS format,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN 16 * (1 + doc_id % 120)
+             ELSE 320 + (doc_id % 10) * 16 END AS INTEGER) AS width,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN 9 * (1 + n_chars % 80)
+             ELSE 240 + (n_chars % 10) * 16 END AS INTEGER) AS height,
+        CAST(CASE WHEN doc_id % 2 = 0
+             THEN (1000 + n_chars % 90000) * 1000 // (1000 * (1 + doc_id % 5))
+             ELSE (100 + n_chars % 5000) * (20000 + (doc_id % 5) * 1000) // 1000
+             END AS BIGINT) AS duration_ms,
+        CAST(CASE WHEN doc_id % 2 = 0 THEN 1 + doc_id % 3
+             ELSE 1 + n_chars % 2 END AS INTEGER) AS n_tracks
+      FROM documents"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -3269,7 +3317,7 @@ object Queries {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121)
+    q118, q119, q120, q121, q122)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

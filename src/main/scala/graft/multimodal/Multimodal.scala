@@ -229,6 +229,21 @@ object Multimodal {
       m.getField("channels").as("channels"))
   }
 
+  /** [[imageHeaderMeta]]'s video sibling, completing the metadata
+    * family: MP4/AVI header fields parsed from the payload bytes by the
+    * codegen'd [[graft.functions.VideoMetaExpr]] — same narrow-scan,
+    * NULL-on-corrupt contract; frame DECODE stays behind the stub. */
+  def videoHeaderMeta(media: DataFrame): DataFrame = {
+    val m = graft.functions.VideoMetaExpr.videoMeta(col("content"))
+    media.select(col("media_id"), col("mime"),
+      length(col("content")).as("n_bytes"),
+      m.getField("format").as("format"),
+      m.getField("width").as("width"),
+      m.getField("height").as("height"),
+      m.getField("duration_ms").as("duration_ms"),
+      m.getField("n_tracks").as("n_tracks"))
+  }
+
   /** [[imageHeaderMeta]]'s audio sibling: WAV/AIFF/FLAC header fields
     * parsed from the payload bytes by the codegen'd
     * [[graft.functions.AudioMetaExpr]], plus derived duration —

@@ -374,6 +374,60 @@ class MultimodalSpec extends SparkSpec {
     assert(f.brightness == (sum * 2000000L + d) / (2L * d) / 1000000.0)
   }
 
+  test("video_meta parses real MP4/AVI headers exactly; declines hostile") {
+    import graft.multimodal.VideoFixture
+    import graft.functions.VideoMetaExpr
+    // MP4: dims on the FIRST track, extra tracks dimensionless
+    val mp4 = VideoFixture.encodeMp4(640, 360, 30000, 90000L, 3)
+    val m = VideoMetaExpr.parseHeader(mp4)
+    assert(m != null)
+    assert(m.getUTF8String(0).toString == "mp4")
+    assert(m.getInt(1) == 640 && m.getInt(2) == 360)
+    assert(m.getLong(3) == 90000L * 1000 / 30000) // 3000 ms
+    assert(m.getInt(4) == 3)
+    // a dims-less MP4 (audio-only shape) parses with zero dims
+    val audioOnly = VideoFixture.encodeMp4(0, 0, 1000, 5000L, 1)
+    val a = VideoMetaExpr.parseHeader(audioOnly)
+    assert(a != null && a.getInt(1) == 0 && a.getInt(2) == 0 &&
+      a.getLong(3) == 5000L)
+    // AVI: µs-per-frame clock
+    val avi = VideoFixture.encodeAvi(320, 240, 33333, 300, 2)
+    val v = VideoMetaExpr.parseHeader(avi)
+    assert(v != null)
+    assert(v.getUTF8String(0).toString == "avi")
+    assert(v.getInt(1) == 320 && v.getInt(2) == 240)
+    assert(v.getLong(3) == 300L * 33333 / 1000) // 9999 ms
+    assert(v.getInt(4) == 2)
+    // declines: truncated, not-a-container, hostile box sizes
+    assert(VideoMetaExpr.parseHeader(null) == null)
+    assert(VideoMetaExpr.parseHeader(mp4.take(20)) == null)
+    assert(VideoMetaExpr.parseHeader("plain text here!".getBytes) == null)
+    // a box whose declared size exceeds the payload must not loop or throw
+    val hostile = mp4.clone()
+    hostile(0) = 0x7f.toByte // ftyp size becomes huge
+    assert(VideoMetaExpr.parseHeader(hostile) == null)
+    val zeroStep = hexBytes("00000008" + "66747970" + // bare ftyp
+      "00000000" + "6d6f6f76")                        // moov size 0 -> to EOF
+    assert(VideoMetaExpr.parseHeader(zeroStep) == null) // no mvhd inside
+    // AVI with a hostile chunk size terminates as null
+    val hostileAvi = hexBytes("52494646" + "24000000" + "41564920" +
+      "4c495354" + "f8ffffff")
+    assert(VideoMetaExpr.parseHeader(hostileAvi) == null)
+    // frame facet: videoHeaderMeta over the media frame
+    import spark.implicits._
+    val rows = Seq(
+      MediaRow(1L, "video/mp4", mp4, MediaMeta("cam", None, None, None)),
+      MediaRow(2L, "video/avi", avi, MediaMeta("cam", None, None, None)),
+      MediaRow(3L, "video/mp4", Array[Byte](1, 2, 3),
+        MediaMeta("cam", None, None, None)))
+    val got = Multimodal.videoHeaderMeta(rows.toDF())
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)), Option(r.get(6)))).toMap
+    assert(got(1L)._1.contains("mp4") && got(1L)._2.contains(3000L))
+    assert(got(2L)._1.contains("avi") && got(2L)._2.contains(9999L))
+    assert(got(3L)._1.isEmpty && got(3L)._2.isEmpty) // corrupt -> NULLs
+  }
+
   test("audio_meta rejects hostile chunk sizes without hanging") {
     import graft.functions.AudioMetaExpr.parseHeader
     // declared u32 size 0xFFFFFFF8: toInt is -8, so the naive step
