@@ -202,6 +202,25 @@ class TextSearchSpec extends SparkSpec {
     }
   }
 
+  test("batch indexed: saved stats reproduce the live batch exactly, " +
+      "zero corpus scans before scoring") {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_batch_spec_${System.nanoTime()}")
+    dir.deleteOnExit()
+    TextSearch.saveCorpusStats(corpus, "doc_id", "text", dir.getAbsolutePath)
+    val probes = Seq(
+      (0L, Seq("apple", "cherry")),
+      (1L, Seq("cherry", "zzz_absent"))).toDF("probe", "terms")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    val live = rows(TextSearch.bm25TopKBatch(corpus, "doc_id", "text",
+      probes, "probe", "terms", k = 10))
+    val saved = rows(TextSearch.bm25TopKBatchIndexed(corpus, "doc_id",
+      "text", dir.getAbsolutePath, probes, "probe", "terms", k = 10))
+    assert(saved === live)
+  }
+
   test("plan gate: no token explode, no exchange, TakeOrderedAndProject on top") {
     // a real parquet scan — a local fixture constant-folds to a
     // LocalRelation and the planner loses the top-k rewrite. Raw read,
