@@ -246,6 +246,91 @@ class PropertySpec extends SparkSpec {
       rows.count(r => r._2.exists(v => v > 4L)).toLong)
   }
 
+  test("GifCodec: encode→decode is the identity on fuzzed palettes, " +
+      "dims, and interlacing") {
+    val rnd = new scala.util.Random(101)
+    val cases = for {
+      _ <- 1 to 40
+    } yield {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(24)
+      val palSize = 1 + rnd.nextInt(256)
+      val pal = Array.fill(palSize)(rnd.nextInt(1 << 24))
+      // mix noise with runs so both literal-heavy and dictionary-heavy
+      // LZW streams appear
+      val idx = Array.fill(w * h)(
+        if (rnd.nextBoolean()) rnd.nextInt(palSize) else 0)
+      (w, h, pal, idx, rnd.nextBoolean())
+    }
+    cases.foreach { case (w, h, pal, idx, inter) =>
+      val got = graft.multimodal.GifCodec.decode(
+        graft.multimodal.GifCodec.encode(w, h, pal, idx, interlaced = inter))
+      assert(got.isDefined, s"$w x $h pal=${pal.length} inter=$inter")
+      val (gw, gh, ch, gs) = got.get
+      assert((gw, gh, ch) == (w, h, 3))
+      val want = idx.flatMap(c => Array((pal(c) >> 16) & 0xff,
+        (pal(c) >> 8) & 0xff, pal(c) & 0xff)).toSeq
+      assert(gs.toSeq == want, s"$w x $h pal=${pal.length} inter=$inter")
+    }
+  }
+
+  test("PcmCodec: encode→decode is the identity on fuzzed depth/" +
+      "channels/counts, both containers") {
+    val rnd = new scala.util.Random(103)
+    (1 to 60).foreach { _ =>
+      val bits = Seq(8, 16, 24)(rnd.nextInt(3))
+      val ch = 1 + rnd.nextInt(3)
+      val frames = 1 + rnd.nextInt(50) // odd byte counts hit the pad path
+      val lim = 1 << (bits - 1)
+      val s = Array.fill(frames * ch)(rnd.nextInt(2 * lim) - lim)
+      val rate = 8000 + rnd.nextInt(40000)
+      val wav = graft.multimodal.PcmCodec.decode(
+        graft.multimodal.PcmCodec.encodeWav(ch, rate, bits, s))
+      assert(wav.exists(p => p.channels == ch && p.sampleRate == rate &&
+        p.bits == bits && p.samples.toSeq == s.toSeq),
+        s"wav bits=$bits ch=$ch n=${s.length}")
+      val aiff = graft.multimodal.PcmCodec.decode(
+        graft.multimodal.PcmCodec.encodeAiff(ch, rate, bits, s))
+      assert(aiff.exists(p => p.channels == ch && p.sampleRate == rate &&
+        p.bits == bits && p.samples.toSeq == s.toSeq),
+        s"aiff bits=$bits ch=$ch n=${s.length}")
+    }
+  }
+
+  test("VideoMetaExpr: parsed fields equal encoder arguments on fuzzed " +
+      "containers") {
+    val rnd = new scala.util.Random(107)
+    (1 to 50).foreach { _ =>
+      if (rnd.nextBoolean()) {
+        val (w, h) = (rnd.nextInt(4096), rnd.nextInt(4096))
+        val ts = 1 + rnd.nextInt(90000)
+        val dur = rnd.nextInt(1 << 30).toLong
+        val tracks = rnd.nextInt(5)
+        val m = graft.functions.VideoMetaExpr.parseHeader(
+          graft.multimodal.VideoFixture.encodeMp4(w, h, ts, dur, tracks))
+        assert(m != null, s"mp4 $w x $h ts=$ts")
+        assert(m.getUTF8String(0).toString == "mp4")
+        // dims come from the first track; a 0-track file has none
+        assert(m.getInt(1) == (if (tracks > 0) w else 0))
+        assert(m.getInt(2) == (if (tracks > 0) h else 0))
+        assert(m.getLong(3) == dur * 1000L / ts)
+        assert(m.getInt(4) == tracks)
+      } else {
+        val (w, h) = (rnd.nextInt(8192), rnd.nextInt(8192))
+        val usf = 1 + rnd.nextInt(100000)
+        val frames = rnd.nextInt(100000)
+        val streams = rnd.nextInt(10)
+        val m = graft.functions.VideoMetaExpr.parseHeader(
+          graft.multimodal.VideoFixture.encodeAvi(w, h, usf, frames, streams))
+        assert(m != null, s"avi $w x $h")
+        assert(m.getUTF8String(0).toString == "avi")
+        assert(m.getInt(1) == w && m.getInt(2) == h)
+        assert(m.getLong(3) == frames.toLong * usf / 1000L)
+        assert(m.getInt(4) == streams)
+      }
+    }
+  }
+
   test("upsampleToQuota output per domain is exactly derivable from counts") {
     val quota = 37L
     val rows = sample(Gen.chooseNum(1L, 1000L), 80).distinct
