@@ -40,14 +40,34 @@ object ExcelDirIngest {
     * (advice r10 — the old `*.xls*` glob matched both). */
   def readDirAllString(spark: SparkSession, dir: String,
                        columns: Seq[String],
-                       recursive: Boolean = false): DataFrame = {
+                       recursive: Boolean = false): DataFrame =
+    readImpl(spark, dir, columns, recursive, quarantine = false)
+
+  /** [[readDirAllString]] with QUARANTINE semantics for corrupt
+    * workbooks: the strict reader fails the whole batch when one file's
+    * parse throws inside a task — correct for an agreed pipeline, wrong
+    * for a drop directory that external teams feed (one truncated
+    * upload poisons the nightly load). This variant appends an
+    * `_error` column: good rows carry NULL; an unparseable workbook
+    * contributes exactly ONE row with every data column NULL,
+    * `_source_file` set, and `_error` = the parse failure — the batch
+    * survives, the failure is VISIBLE and joinable (quarantine = rows
+    * `WHERE _error IS NOT NULL`), and nothing is silently skipped. */
+  def readDirAllStringQuarantine(spark: SparkSession, dir: String,
+                                 columns: Seq[String],
+                                 recursive: Boolean = false): DataFrame =
+    readImpl(spark, dir, columns, recursive, quarantine = true)
+
+  private def readImpl(spark: SparkSession, dir: String, columns: Seq[String],
+                       recursive: Boolean, quarantine: Boolean): DataFrame = {
     require(columns.nonEmpty, "readDirAllString: no output columns named")
     val normCols = columns.map(CsvIngest.normalizeColName)
     require(normCols.distinct.length == normCols.length,
       s"output columns collide after normalization: $normCols")
     val schema = StructType(
-      normCols.map(StructField(_, StringType)) :+
-        StructField("_source_file", StringType, nullable = false))
+      normCols.map(StructField(_, StringType)) ++
+        (StructField("_source_file", StringType, nullable = false) +:
+          (if (quarantine) Seq(StructField("_error", StringType)) else Nil)))
     // driver-side file LISTING (metadata only, what any source does — the
     // driver still never touches payload bytes): exact-extension filter,
     // case-insensitive, optional recursion. Explicit paths also refuse an
@@ -71,22 +91,34 @@ object ExcelDirIngest {
       .load(files.sorted.toSeq: _*)
       .select(col("path"), col("content"))
       .as[(String, Array[Byte])](Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+    val nData = normCols.length
     bin.flatMap { case (path, bytes) =>
-      val grid =
+      val fname = path.substring(path.lastIndexOf('/') + 1)
+      def rows(grid: Seq[Array[String]]): Iterator[Row] =
+        if (grid.isEmpty) Iterator.empty
+        else {
+          val header = grid.head.map(h =>
+            CsvIngest.normalizeColName(Option(h).getOrElse("")))
+          val idx = normCols.map(c => header.indexOf(c)).toArray
+          grid.tail.iterator.map { r =>
+            Row.fromSeq(idx.toSeq.map(i =>
+              if (i >= 0 && i < r.length) r(i) else null) ++
+              (fname +: (if (quarantine) Seq(null) else Nil)))
+          }
+        }
+      def parse(): Seq[Array[String]] =
         if (path.toLowerCase(java.util.Locale.ROOT).endsWith(".xlsx"))
           XlsxIngest.parseRows(bytes)
         else XlsIngest.parseGrid(bytes)
-      if (grid.isEmpty) Iterator.empty
-      else {
-        val header = grid.head.map(h =>
-          CsvIngest.normalizeColName(Option(h).getOrElse("")))
-        val idx = normCols.map(c => header.indexOf(c)).toArray
-        val fname = path.substring(path.lastIndexOf('/') + 1)
-        grid.tail.iterator.map { r =>
-          Row.fromSeq(idx.toSeq.map(i =>
-            if (i >= 0 && i < r.length) r(i) else null) :+ fname)
+      if (!quarantine) rows(parse())
+      else
+        try rows(parse())
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            Iterator.single(Row.fromSeq(
+              Seq.fill[Any](nData)(null) ++ Seq(fname,
+                s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}")))
         }
-      }
     }(Encoders.row(schema))
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import graft.sources.{ExcelDirIngest, ExcelFixture}
+import org.apache.spark.sql.functions.col
 
 /** Distributed directory-of-workbooks ingest: per-task parse through the
   * binaryFile source (the driver never reads payload bytes), by-name
@@ -103,6 +104,47 @@ class ExcelDirIngestSpec extends SparkSpec {
     // the distributed plan shape survives recursion
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("binaryFile") && !plan.contains("LocalTableScan"))
+  }
+
+  test("quarantine: a corrupt workbook yields one visible _error row, " +
+      "the batch survives; strict mode still fails") {
+    val d = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_xldir_q_${System.nanoTime()}")
+    d.mkdirs(); d.deleteOnExit()
+    ExcelFixture.writeXlsx(Seq("SKU", "Qty", "State"),
+      Seq(Seq("g1", "1", "CA")),
+      new java.io.File(d, "good.xlsx").getAbsolutePath)
+    // a truncated upload: right extension, garbage bytes
+    java.nio.file.Files.write(new java.io.File(d, "broken.xlsx").toPath,
+      Array[Byte](0x50, 0x4b, 0x03, 0x04, 1, 2, 3))
+    val q = ExcelDirIngest.readDirAllStringQuarantine(spark,
+      d.getAbsolutePath, Seq("SKU", "Qty", "State"))
+    assert(q.columns.toSeq ==
+      Seq("SKU", "Qty", "State", "_source_file", "_error"))
+    val rows = q.collect()
+    val good = rows.filter(_.isNullAt(4))
+    val bad = rows.filterNot(_.isNullAt(4))
+    assert(good.map(r => (r.getString(0), r.getString(3))).toSeq ==
+      Seq(("g1", "good.xlsx")))
+    assert(bad.length == 1)
+    assert(bad.head.getString(3) == "broken.xlsx")
+    assert(bad.head.isNullAt(0) && bad.head.isNullAt(1) && bad.head.isNullAt(2))
+    assert(bad.head.getString(4).nonEmpty)
+    // the strict reader keeps its loud contract on the same directory
+    intercept[org.apache.spark.SparkException] {
+      ExcelDirIngest.readDirAllString(spark, d.getAbsolutePath,
+        Seq("SKU", "Qty", "State")).collect()
+    }
+    // all-good directory: quarantine adds no error rows
+    val clean = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_xldir_clean_${System.nanoTime()}")
+    clean.mkdirs(); clean.deleteOnExit()
+    ExcelFixture.writeXlsx(Seq("SKU", "Qty", "State"),
+      Seq(Seq("c1", "2", "NY")),
+      new java.io.File(clean, "a.xlsx").getAbsolutePath)
+    assert(ExcelDirIngest.readDirAllStringQuarantine(spark,
+        clean.getAbsolutePath, Seq("SKU", "Qty", "State"))
+      .where(col("_error").isNotNull).count() == 0L)
   }
 
   test("empty workbook set refuses loudly, not silently empty") {
