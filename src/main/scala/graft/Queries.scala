@@ -3366,6 +3366,136 @@ object Queries {
         ORDER BY score DESC, doc) <= 10
       ORDER BY probe, score DESC, doc"""))
 
+  /** Perceptual image fingerprint over REAL decoded pixels (the
+    * multimodal member of the dedup family): q50's synthesis shrunk to
+    * exact 9×8-divisible dims, encoded as real PNG (gray or RGB) or
+    * real LZW GIF every fifth doc, decoded back, grayscaled by integer
+    * channel mean, area-averaged to the 9×8 dHash grid, and fingerprinted
+    * by the 64 left<right bits. The oracle recomputes the ENTIRE integer
+    * pipeline — pixel synthesis, channel mean, exact-block cell means,
+    * bit packing (bit 63 as the sign bit) — so one flipped comparison
+    * anywhere in decode→grayscale→downsample→compare fails the hash. */
+  private val q124 = Q("q124_image_dhash",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+      val media = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          val w = 9 * (1 + (id % 4)).toInt
+          val h = 8 * (1 + (nc % 3)).toInt
+          val seed = (id % 251).toInt
+          if (id % 5 == 0) {
+            val palette = Array.tabulate(256)(j =>
+              (j << 16) | (((j * 7) % 256) << 8) | ((j * 13) % 256))
+            val idx = Array.tabulate(w * h)(i =>
+              (seed + 31 * (i % w) + 13 * (i / w)) % 256)
+            MediaRow(id, "image/gif",
+              graft.multimodal.GifCodec.encode(w, h, palette, idx),
+              MediaMeta("synth", Some(w), Some(h), None))
+          } else {
+            val ch = if (id % 2 == 0) 1 else 3
+            val samples = Array.tabulate(w * h * ch) { i =>
+              val c = i % ch; val x = (i / ch) % w; val y = i / (ch * w)
+              (seed + 31 * x + 13 * y + 7 * c) % 256
+            }
+            MediaRow(id, "image/png",
+              graft.multimodal.PngCodec.encode(w, h, ch, samples),
+              MediaMeta("synth", Some(w), Some(h), None))
+          }
+        }
+      graft.multimodal.Multimodal.imageDHash(media)
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          9 * (1 + doc_id % 4) AS w,
+          8 * (1 + n_chars % 3) AS h,
+          CASE WHEN doc_id % 5 = 0 OR doc_id % 2 = 1 THEN 3 ELSE 1 END AS ch,
+          doc_id % 5 = 0 AS gif,
+          doc_id % 251 AS seed
+        FROM documents),
+      cells AS (SELECT doc_id, g1.range AS gy, g2.range AS gx,
+          list_sum(list_transform(range(h//8), dy ->
+            list_sum(list_transform(range(w//9), dx ->
+              CASE WHEN gif THEN
+                ((seed + 31*(gx*(w//9)+dx) + 13*(gy*(h//8)+dy)) % 256
+                 + ((seed + 31*(gx*(w//9)+dx) + 13*(gy*(h//8)+dy)) % 256) * 7 % 256
+                 + ((seed + 31*(gx*(w//9)+dx) + 13*(gy*(h//8)+dy)) % 256) * 13 % 256) // 3
+              WHEN ch = 1 THEN
+                (seed + 31*(gx*(w//9)+dx) + 13*(gy*(h//8)+dy)) % 256
+              ELSE
+                ((seed + 31*(gx*(w//9)+dx) + 13*(gy*(h//8)+dy)) % 256
+                 + (seed + 31*(gx*(w//9)+dx) + 13*(gy*(h//8)+dy) + 7) % 256
+                 + (seed + 31*(gx*(w//9)+dx) + 13*(gy*(h//8)+dy) + 14) % 256) // 3
+              END))))
+            // ((w//9) * (h//8)) AS g
+        FROM p CROSS JOIN range(8) g1 CROSS JOIN range(9) g2),
+      bits AS (SELECT a.doc_id, a.gy, a.gx,
+          CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+        FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND a.gy = b.gy
+          AND b.gx = a.gx + 1
+        WHERE a.gx < 8)
+      SELECT doc_id AS media_id,
+        CAST(SUM(bit * (CASE WHEN gy*8+gx = 63 THEN -9223372036854775808
+          ELSE (CAST(1 AS BIGINT) << CAST(gy*8+gx AS INTEGER)) END))
+          AS BIGINT) AS dhash
+      FROM bits GROUP BY doc_id"""))
+
+  /** Banded dHash near-dup pairs (the image analog of q21/q42's text
+    * LSH): fixture images are pure functions of the doc SEED (251
+    * classes), so seed-sharing docs are pixel-identical — Hamming 0 —
+    * while cross-seed coincidences within radius 3 are legitimate
+    * finds. The Spark side generates candidates via the 4×16-bit-band
+    * pigeonhole join (shuffles 8-byte hashes, never pixels); the oracle
+    * checks ALL pairs within Hamming ≤ 3 — pigeonhole makes the two
+    * sets provably equal, so a banding bug (a lost band, a wrong mask)
+    * drops a pair and fails the hash. */
+  private val q125 = Q("q125_image_near_dups",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+      val media = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, _) =>
+          val seed = (id % 251).toInt
+          val w = 9 * (1 + seed % 4)
+          val h = 8 * (1 + seed % 3)
+          val samples = Array.tabulate(w * h)(i =>
+            (seed + 31 * (i % w) + 13 * (i / w)) % 256)
+          MediaRow(id, "image/png",
+            graft.multimodal.PngCodec.encode(w, h, 1, samples),
+            MediaMeta("synth", Some(w), Some(h), None))
+        }
+      graft.multimodal.Multimodal.imageNearDups(
+        graft.multimodal.Multimodal.imageDHash(media), maxHamming = 3)
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          9 * (1 + (doc_id % 251) % 4) AS w,
+          8 * (1 + (doc_id % 251) % 3) AS h,
+          doc_id % 251 AS seed
+        FROM documents),
+      cells AS (SELECT doc_id, g1.range AS gy, g2.range AS gx,
+          list_sum(list_transform(range(h//8), dy ->
+            list_sum(list_transform(range(w//9), dx ->
+              (seed + 31*(gx*(w//9)+dx) + 13*(gy*(h//8)+dy)) % 256))))
+            // ((w//9) * (h//8)) AS g
+        FROM p CROSS JOIN range(8) g1 CROSS JOIN range(9) g2),
+      bits AS (SELECT a.doc_id, a.gy, a.gx,
+          CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+        FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND a.gy = b.gy
+          AND b.gx = a.gx + 1
+        WHERE a.gx < 8),
+      d AS (SELECT doc_id,
+          CAST(SUM(bit * (CASE WHEN gy*8+gx = 63 THEN -9223372036854775808
+            ELSE (CAST(1 AS BIGINT) << CAST(gy*8+gx AS INTEGER)) END))
+            AS BIGINT) AS dhash
+        FROM bits GROUP BY doc_id)
+      SELECT a.doc_id AS a, b.doc_id AS b,
+        CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+      FROM d a JOIN d b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 3"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -3376,7 +3506,7 @@ object Queries {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q122, q123)
+    q118, q119, q120, q121, q122, q123, q124, q125)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

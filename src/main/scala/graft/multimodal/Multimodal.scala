@@ -175,6 +175,109 @@ object Multimodal {
     }
   }
 
+  /** Perceptual image fingerprint (dHash) over REAL decoded pixels —
+    * the multimodal member of the dedup family: PNG/GIF payloads decode
+    * through [[PngCodec]]/[[GifCodec]], grayscale by integer channel
+    * mean, area-average down to a 9×8 grid (cell boundaries
+    * `floor(i·w/9)`, exact integer arithmetic end to end), and each of
+    * the 8×8 left<right comparisons becomes one bit — a 64-bit hash
+    * whose Hamming distance survives recompression, palette changes,
+    * and mild brightness shifts, which exact byte hashes (q17) cannot.
+    *
+    * Output: (media_id, dhash). Payloads the codecs decline, and images
+    * smaller than the 9×8 grid, yield NULL — a visible non-hash, never
+    * a fabricated fingerprint from stub pixels.
+    *
+    * Scale shape: per-row kernel in narrow batches (payloads never
+    * shuffle); downstream near-dup detection ([[imageNearDups]])
+    * operates on the 8-byte hashes only. */
+  def imageDHash(media: Dataset[MediaRow], batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    mapBatches(media, batchSize) { batch =>
+      batch.map { m =>
+        val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
+        val decoded =
+          if (bytes.isEmpty) None
+          else PngCodec.decode(bytes).orElse(GifCodec.decode(bytes))
+        m.media_id -> decoded.flatMap { case (w, h, ch, s) =>
+          if (w < 9 || h < 8) None else Some(dhash64(w, h, ch, s))
+        }
+      }
+    }.toDF("media_id", "dhash")
+  }
+
+  /** The dHash kernel: integer-exact grayscale → 9×8 area means → 64
+    * left<right bits (row-major, bit (row·8+col)). */
+  private[multimodal] def dhash64(w: Int, h: Int, ch: Int, s: Array[Int]): Long = {
+    val cell = Array.ofDim[Long](8, 9)
+    var gy = 0
+    while (gy < 8) {
+      val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+      var gx = 0
+      while (gx < 9) {
+        val x0 = gx * w / 9; val x1 = (gx + 1) * w / 9
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val i = (y * w + x) * ch
+            sum += (if (ch == 1) s(i) else (s(i) + s(i + 1) + s(i + 2)) / 3)
+            x += 1
+          }
+          y += 1
+        }
+        cell(gy)(gx) = sum / ((y1 - y0).toLong * (x1 - x0))
+        gx += 1
+      }
+      gy += 1
+    }
+    var hash = 0L
+    var row = 0
+    while (row < 8) {
+      var colI = 0
+      while (colI < 8) {
+        if (cell(row)(colI) < cell(row)(colI + 1))
+          hash |= 1L << (row * 8 + colI)
+        colI += 1
+      }
+      row += 1
+    }
+    hash
+  }
+
+  /** Near-duplicate image pairs by banded dHash — the [[imageDHash]]
+    * scale path: the 64-bit hash splits into four 16-bit bands; by
+    * pigeonhole, any pair within Hamming distance 3 agrees on at least
+    * one whole band, so candidate generation is four hash-equijoins on
+    * 2-byte keys (shuffle carries 8-byte hashes, never pixels) and the
+    * exact Hamming check runs only inside buckets. maxHamming ≤ 3 keeps
+    * the pigeonhole guarantee; a larger radius would need more bands.
+    * Output: (a, b, hamming), a < b, distinct. */
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"imageNearDups: maxHamming $maxHamming breaks the 4-band pigeonhole")
+    val hs = hashes.where(col("dhash").isNotNull)
+      .select(col("media_id"), col("dhash"))
+    val banded = hs.select(col("media_id"), col("dhash"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("band"),
+          shiftright(col("dhash"), 16 * i).bitwiseAND(lit(0xffffL))
+            .as("key"))): _*)).as("b"))
+      .select(col("media_id"), col("dhash"),
+        col("b.band").as("band"), col("b.key").as("key"))
+    val l = banded.select(col("band"), col("key"),
+      col("media_id").as("a"), col("dhash").as("ha"))
+    val r = banded.select(col("band"), col("key"),
+      col("media_id").as("b"), col("dhash").as("hb"))
+    l.join(r, Seq("band", "key"))
+      .where(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Image resize: payload→payload transform keeping (id, mime, meta)
     * and rewriting content + dims — the decode→resize→encode round trip
     * behind the stub codec. */

@@ -428,6 +428,71 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L)._1.isEmpty && got(3L)._2.isEmpty) // corrupt -> NULLs
   }
 
+  test("imageDHash: brightness-invariant, codec-agnostic, NULL below grid") {
+    import spark.implicits._
+    import graft.multimodal.{GifCodec, Multimodal, PngCodec}
+    val w = 18; val h = 16
+    val base = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (7 + 31 * x + 13 * y) % 180 // < 200 so +50 never wraps
+    }
+    val rows = Seq(
+      MediaRow(1L, "image/png", PngCodec.encode(w, h, 1, base),
+        MediaMeta("s", None, None, None)),
+      // +50 brightness: every left<right comparison unchanged -> hamming 0
+      MediaRow(2L, "image/png", PngCodec.encode(w, h, 1, base.map(_ + 50)),
+        MediaMeta("s", None, None, None)),
+      // the same pixels through the GIF path (gray palette) -> same hash
+      MediaRow(3L, "image/gif", GifCodec.encode(w, h,
+        Array.tabulate(256)(j => (j << 16) | (j << 8) | j), base),
+        MediaMeta("s", None, None, None)),
+      // mirrored image -> a different fingerprint
+      MediaRow(4L, "image/png", PngCodec.encode(w, h, 1,
+        Array.tabulate(w * h)(i => base(i / w * w + (w - 1 - i % w)))),
+        MediaMeta("s", None, None, None)),
+      // below the 9x8 grid -> NULL, never a fabricated fingerprint
+      MediaRow(5L, "image/png", PngCodec.encode(4, 4, 1, Array.fill(16)(9)),
+        MediaMeta("s", None, None, None)),
+      // undecodable payload -> NULL
+      MediaRow(6L, "image/jpeg", Array[Byte](1, 2, 3),
+        MediaMeta("s", None, None, None)))
+    val got = Multimodal.imageDHash(rows.toDS())
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L).isDefined)
+    assert(got(1L) == got(2L), "constant brightness shift must not move dHash")
+    assert(got(1L) == got(3L), "same pixels via GIF must hash identically")
+    assert(got(1L) != got(4L), "mirror must change the fingerprint")
+    assert(got(5L).isEmpty && got(6L).isEmpty)
+  }
+
+  test("imageNearDups: 4-band pigeonhole finds exactly Hamming <= 3") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val h0 = 0x123456789abcdef0L
+    val hashes = Seq(
+      (1L, Some(h0)),
+      (2L, Some(h0)),                      // hamming 0
+      (3L, Some(h0 ^ 0x1L)),               // hamming 1
+      (4L, Some(h0 ^ 0x8001L)),            // hamming 2, spans two bands
+      (5L, Some(h0 ^ 0x100010001L)),       // hamming 3 across three bands
+      (6L, Some(h0 ^ 0x1000100010001L)),   // hamming 4 -> excluded
+      (7L, None))                          // no fingerprint -> excluded
+      .toDF("media_id", "dhash")
+    val got = Multimodal.imageNearDups(hashes, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // exhaustive pairwise distances; 1-6/2-6 (4) and 4-6 (4) excluded
+    val expected = Set(
+      (1L, 2L, 0), (1L, 3L, 1), (1L, 4L, 2), (1L, 5L, 3),
+      (2L, 3L, 1), (2L, 4L, 2), (2L, 5L, 3),
+      (3L, 4L, 1), (3L, 5L, 2), (3L, 6L, 3),
+      (4L, 5L, 3), (5L, 6L, 1))
+    assert(got == expected, s"got $got")
+    intercept[IllegalArgumentException] {
+      Multimodal.imageNearDups(hashes, maxHamming = 4)
+    }
+  }
+
   test("audio_meta rejects hostile chunk sizes without hanging") {
     import graft.functions.AudioMetaExpr.parseHeader
     // declared u32 size 0xFFFFFFF8: toInt is -8, so the naive step
