@@ -3496,6 +3496,73 @@ object Queries {
       FROM d a JOIN d b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.dhash, b.dhash)) <= 3"""))
 
+  /** Perceptual audio fingerprint (q124's PCM sibling): real WAV (even
+    * ids) / AIFF (odd ids) 16-bit fixtures decode through PcmCodec, the
+    * amplitude stream splits into 33 exact integer windows, and the 32
+    * energy-contour comparisons become the hash. The oracle recomputes
+    * synthesis → |amplitude| window sums → bit packing, so a drift
+    * anywhere in decode→window→compare fails the hash. */
+  private val q126 = Q("q126_audio_fingerprint",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+      val media = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          val ch = 1 + (nc % 2).toInt
+          val frames = 80 + (nc % 40).toInt
+          val seed = (id % 251).toInt
+          val samples = Array.tabulate(frames * ch)(i =>
+            (seed + 9973 * i) % 65536 - 32768)
+          val bytes =
+            if (id % 2 == 0)
+              graft.multimodal.PcmCodec.encodeWav(ch, 16000, 16, samples)
+            else
+              graft.multimodal.PcmCodec.encodeAiff(ch, 16000, 16, samples)
+          MediaRow(id, if (id % 2 == 0) "audio/wav" else "audio/aiff",
+            bytes, MediaMeta("synth", None, None, None))
+        }
+      graft.multimodal.Multimodal.audioFingerprint(media)
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          CAST(1 + n_chars % 2 AS INTEGER) AS ch,
+          80 + n_chars % 40 AS frames,
+          doc_id % 251 AS seed
+        FROM documents),
+      s AS (SELECT doc_id, frames * ch AS n, seed FROM p),
+      w AS (SELECT doc_id, g.range AS wi,
+          list_sum(list_transform(range(wi*n//33, (wi+1)*n//33), k ->
+            abs((seed + 9973*k) % 65536 - 32768))) AS e
+        FROM s CROSS JOIN range(33) g),
+      b AS (SELECT a.doc_id, a.wi, CASE WHEN a.e < c.e THEN 1 ELSE 0 END AS bit
+        FROM w a JOIN w c ON a.doc_id = c.doc_id AND c.wi = a.wi + 1
+        WHERE a.wi < 32)
+      SELECT doc_id AS media_id,
+        CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(wi AS INTEGER)))
+          AS BIGINT) AS afp
+      FROM b GROUP BY doc_id"""))
+
+  /** Deterministic named corpus split — the train/val/test primitive a
+    * training pipeline re-derives years later: the md5 63-bit key's
+    * permille bucket partitions by cumulative weights (900/50/50). The
+    * oracle recomputes the split from the same documented key contract
+    * (q52/q104's md5 formula), so the assignment is engine-portable and
+    * the gate proves disjoint-and-exhaustive. */
+  private val q127 = Q("q127_corpus_split",
+    (s, d) => graft.operators.TrainingData.splitCorpus(
+        documents(s, d).select(col("doc_id"), col("lang")),
+        "doc_id", Seq("train" -> 900, "val" -> 50, "test" -> 50))
+      .select(col("doc_id"), col("lang"), col("split")),
+    Some("""WITH k AS (SELECT doc_id, lang,
+          CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+            AS UBIGINT) % 9223372036854775808 % 1000 AS BIGINT) AS bucket
+        FROM documents)
+      SELECT doc_id, lang,
+        CASE WHEN bucket < 900 THEN 'train'
+             WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split
+      FROM k"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -3506,7 +3573,7 @@ object Queries {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q122, q123, q124, q125)
+    q118, q119, q120, q121, q122, q123, q124, q125, q126, q127)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -246,6 +246,47 @@ object Multimodal {
     hash
   }
 
+  /** Perceptual AUDIO fingerprint — [[imageDHash]]'s PCM sibling: decode
+    * through [[PcmCodec]], split the amplitude stream into 33 equal
+    * windows (boundaries `floor(i·n/33)`, exact integer arithmetic),
+    * sum |amplitude| per window, and take the 32 energy[i] < energy[i+1]
+    * comparisons as bits — an energy-contour hash that survives volume
+    * changes (scaling every sample scales every window equally) the way
+    * dHash survives brightness shifts. Payloads the codec declines, and
+    * clips shorter than 33 samples, yield NULL — never a fabricated
+    * fingerprint. Output: (media_id, afp). */
+  def audioFingerprint(media: Dataset[MediaRow], batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    mapBatches(media, batchSize) { batch =>
+      batch.map { m =>
+        val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
+        m.media_id -> PcmCodec.decode(bytes).flatMap { p =>
+          val n = p.samples.length
+          if (n < 33) None
+          else {
+            val e = new Array[Long](33)
+            var wI = 0
+            while (wI < 33) {
+              var k = wI * n / 33
+              val k1 = (wI + 1) * n / 33
+              var sum = 0L
+              while (k < k1) { sum += math.abs(p.samples(k)); k += 1 }
+              e(wI) = sum
+              wI += 1
+            }
+            var hash = 0L
+            var i = 0
+            while (i < 32) {
+              if (e(i) < e(i + 1)) hash |= 1L << i
+              i += 1
+            }
+            Some(hash)
+          }
+        }
+      }
+    }.toDF("media_id", "afp")
+  }
+
   /** Near-duplicate image pairs by banded dHash — the [[imageDHash]]
     * scale path: the 64-bit hash splits into four 16-bit bands; by
     * pigeonhole, any pair within Hamming distance 3 agrees on at least

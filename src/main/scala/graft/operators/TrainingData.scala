@@ -55,6 +55,37 @@ object TrainingData {
       .drop("__skey", "__one", "__srank")
   }
 
+  /** Deterministic NAMED split (train/val/test): the permille space of
+    * the same md5-derived 63-bit key partitions by cumulative weights —
+    * `splits = Seq("train" -> 900, "val" -> 50, "test" -> 50)` sends
+    * bucket 0..899 to train, 900..949 to val, 950..999 to test. Same
+    * guarantees as [[deterministicSample]]: narrow (a scan-side
+    * when-chain, no shuffle, no RNG state), engine-portable, re-runs
+    * identical; splits are DISJOINT and EXHAUSTIVE by construction, and
+    * reweighting moves only boundary buckets (growing train never churns
+    * rows already in it). Weights must sum to exactly 1000 — a partial
+    * split is a silent data loss, refused loudly. Appends `splitCol`. */
+  def splitCorpus(df: DataFrame, idCol: String,
+                  splits: Seq[(String, Int)],
+                  splitCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "splitCorpus: no splits named")
+    require(splits.forall(_._2 > 0),
+      s"splitCorpus: non-positive weight in $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"splitCorpus: duplicate split names in $splits")
+    require(splits.map(_._2).sum == 1000,
+      s"splitCorpus: weights must sum to 1000 permille, got " +
+        s"${splits.map(_._2).sum} — a partial split silently drops data")
+    val bucket = pmod(StableId63.stableId63(col(idCol).cast("string")),
+      lit(1000))
+    val bounds = splits.scanLeft(0) { case (acc, (_, w)) => acc + w }.tail
+    val expr = splits.zip(bounds).init.foldRight(
+      lit(splits.last._1): org.apache.spark.sql.Column) {
+      case (((name, _), bound), acc) => when(bucket < bound, name).otherwise(acc)
+    }
+    df.withColumn(splitCol, expr)
+  }
+
   /** Stratified deterministic sampling: a per-stratum rate (permille) on
     * top of the same md5-derived key — the "rebalance the language mix"
     * primitive (downsample the dominant language, keep the rest). Same

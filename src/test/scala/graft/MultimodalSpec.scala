@@ -493,6 +493,38 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioFingerprint: volume-invariant, container-agnostic, NULL " +
+      "below window count") {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, PcmCodec}
+    val s = Array.tabulate(120)(i => ((i * 37 + 11) % 2000) - 1000)
+    val rows = Seq(
+      MediaRow(1L, "audio/wav", PcmCodec.encodeWav(1, 16000, 16, s),
+        MediaMeta("m", None, None, None)),
+      // 2x volume: every window energy doubles -> contour unchanged
+      MediaRow(2L, "audio/wav", PcmCodec.encodeWav(1, 16000, 16, s.map(_ * 2)),
+        MediaMeta("m", None, None, None)),
+      // the same samples through the AIFF container -> same hash
+      MediaRow(3L, "audio/aiff", PcmCodec.encodeAiff(1, 16000, 16, s),
+        MediaMeta("m", None, None, None)),
+      // reversed stream -> a different contour
+      MediaRow(4L, "audio/wav", PcmCodec.encodeWav(1, 16000, 16, s.reverse),
+        MediaMeta("m", None, None, None)),
+      // 32 samples < 33 windows -> NULL
+      MediaRow(5L, "audio/wav", PcmCodec.encodeWav(1, 16000, 16, s.take(32)),
+        MediaMeta("m", None, None, None)),
+      // undecodable -> NULL
+      MediaRow(6L, "audio/flac", realFlac, MediaMeta("m", None, None, None)))
+    val got = Multimodal.audioFingerprint(rows.toDS())
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got(1L).isDefined)
+    assert(got(1L) == got(2L), "volume scaling must not move the fingerprint")
+    assert(got(1L) == got(3L), "same samples via AIFF must hash identically")
+    assert(got(1L) != got(4L), "reversal must change the contour")
+    assert(got(5L).isEmpty && got(6L).isEmpty)
+  }
+
   test("audio_meta rejects hostile chunk sizes without hanging") {
     import graft.functions.AudioMetaExpr.parseHeader
     // declared u32 size 0xFFFFFFF8: toInt is -8, so the naive step

@@ -24,6 +24,55 @@ class TrainingDataSpec extends SparkSpec {
     assert(TrainingData.deterministicSample(docs, "doc_id", 1000).count() == n)
   }
 
+  test("splitCorpus: disjoint, exhaustive, boundary-monotone, narrow") {
+    val out = TrainingData.splitCorpus(docs, "doc_id",
+      Seq("train" -> 900, "val" -> 50, "test" -> 50))
+    // exhaustive: every row lands in exactly one split (the column is a
+    // total function of the key)
+    assert(out.count() == docs.count())
+    assert(out.where(col("split").isNull).count() == 0)
+    val byName = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byName.keySet == Set("train", "val", "test"))
+    val n = docs.count().toDouble
+    assert(math.abs(byName("train") / n - 0.9) < 0.1)
+    // split equals the sampling key contract: the train split IS the
+    // 900-permille deterministic sample (shared key space, so holdouts
+    // and splits compose without overlap surprises)
+    val det = TrainingData.deterministicSample(docs, "doc_id", 900)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val train = out.where(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(train == det)
+    // boundary-monotone: growing train to 950 absorbs exactly val
+    val wider = TrainingData.splitCorpus(docs, "doc_id",
+      Seq("train" -> 950, "test" -> 50))
+    val train950 = wider.where(col("split") === "train")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val valIds = out.where(col("split") === "val")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(train950 == train ++ valIds)
+    // narrow: no exchange in the plan (raw scan — Tables.documents
+    // injects a round-robin fan-out that would mask the operator's own
+    // zero-exchange claim)
+    val raw = TrainingData.splitCorpus(
+      spark.read.parquet(s"$sf/documents.parquet"), "doc_id",
+      Seq("train" -> 900, "val" -> 50, "test" -> 50))
+    val plan = raw.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"split must stay scan-side:\n$plan")
+    // refuse paths: weights not summing to 1000, dup names, non-positive
+    intercept[IllegalArgumentException] {
+      TrainingData.splitCorpus(docs, "doc_id", Seq("a" -> 900))
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.splitCorpus(docs, "doc_id", Seq("a" -> 500, "a" -> 500))
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.splitCorpus(docs, "doc_id",
+        Seq("a" -> 1100, "b" -> -100))
+    }
+  }
+
   test("stratified sample: per-stratum rates, subset of the flat sample") {
     val strat = TrainingData.stratifiedSample(docs, "doc_id", "lang",
       Map("en" -> 0), defaultPermille = 300)
