@@ -3563,6 +3563,58 @@ object Queries {
              WHEN bucket < 950 THEN 'val' ELSE 'test' END AS split
       FROM k"""))
 
+  /** Baseline JPEG decode through the driver contract: block-constant
+    * grayscale images (EVEN values, so the DC quantization
+    * `round((v-128)/2)` has no float-half hazard and the decoded block
+    * is exactly the source value) are encoded as REAL baseline JFIF —
+    * forward DCT, uniform Q=16, differential DC, canonical Huffman
+    * declared in DHT — and decoded back through the full
+    * parse→Huffman→dequant→IDCT path inside the feature kernel. The
+    * DC-only closed form makes the oracle exact: any drift in the
+    * entropy layer, the DC predictor, the quant table plumbing, or the
+    * IDCT constant term changes a decoded value and fails the hash.
+    * (The AC path is spec-verified with bounded-error gradients —
+    * lossy coefficients have no SQL-expressible closed form.) */
+  private val q128 = Q("q128_jpeg_decode",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+      val media = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          val w = 8 * (1 + (id % 6)).toInt
+          val h = 8 * (1 + (nc % 4)).toInt
+          val seed = (id % 251).toInt
+          val samples = Array.tabulate(w * h) { i =>
+            val bx = (i % w) / 8; val by = (i / w) / 8
+            2 * ((seed + 17 * bx + 29 * by) % 128)
+          }
+          MediaRow(id, "image/jpeg",
+            graft.multimodal.JpegCodec.encode(w, h, samples),
+            MediaMeta("synth", Some(w), Some(h), None))
+        }
+      graft.multimodal.Multimodal.imageFeatures(media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          (col("width").cast("long") * col("height")).as("n_pixels"),
+          col("brightness"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          8 * (1 + doc_id % 6) AS w,
+          8 * (1 + n_chars % 4) AS h,
+          doc_id % 251 AS seed
+        FROM documents),
+      s AS (SELECT doc_id, w, h,
+          64 * list_sum(list_transform(range(w//8 * (h//8)), b ->
+            2 * ((seed + 17*(b % (w//8)) + 29*(b // (w//8))) % 128))) AS sm
+        FROM p)
+      SELECT doc_id AS media_id,
+        CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        CAST(w*h AS BIGINT) AS n_pixels,
+        CAST((sm*2000000 + w*h*255) // (2*w*h*255) AS DOUBLE)
+          / 1000000.0 AS brightness
+      FROM s"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -3573,7 +3625,7 @@ object Queries {
     q81, q82, q83, q84, q85, q86, q87, q88, q89, q90, q91, q92, q93, q94,
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
-    q118, q119, q120, q121, q122, q123, q124, q125, q126, q127)
+    q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

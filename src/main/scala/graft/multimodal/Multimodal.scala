@@ -11,12 +11,14 @@ import org.apache.spark.sql.types._
   * Container METADATA is real: [[imageHeaderMeta]] parses PNG/JPEG/GIF/
   * BMP headers natively from the payload bytes
   * ([[graft.functions.ImageMetaExpr]] — codegen'd, no codec library).
-  * PIXEL decode is real for PNG ([[PngCodec]] — 8-bit gray/RGB via
-  * java.util.zip, all five scanline filters) and GIF ([[GifCodec]] —
-  * LZW + palette expansion, non-interlaced). Decodes this build cannot
-  * do honestly (JPEG DCT, interlaced GIF/PNG, audio resample, video
-  * frame extraction) remain a clearly-marked deterministic STUB
-  * ([[StubCodec]]), the fallback when the real codecs decline a payload.
+  * PIXEL decode is real for PNG ([[PngCodec]] — 8-bit gray/RGB/palette
+  * via java.util.zip, all five scanline filters), GIF ([[GifCodec]] —
+  * LZW + palette expansion, interlaced or not), and baseline grayscale
+  * JPEG ([[JpegCodec]] — Huffman + dequant + IDCT). Decodes this build
+  * cannot do honestly (color/progressive JPEG, interlaced PNG, audio
+  * resample, video frame extraction) remain a clearly-marked
+  * deterministic STUB ([[StubCodec]]), the fallback when the real
+  * codecs decline a payload.
   * Everything around the codec is real and tested: schema,
   * null/short-payload handling, batch shape (fixed-size record batches
   * per partition, the JVM analog of an Arrow-batched pandas UDF), and
@@ -110,7 +112,8 @@ object Multimodal {
       batch.map { m =>
         val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
         if (bytes.isEmpty) ImageFeatures(m.media_id, 0, 0, 0L, 0.0, Array.fill(16)(0.0))
-        else PngCodec.decode(bytes).orElse(GifCodec.decode(bytes)) match {
+        else PngCodec.decode(bytes).orElse(GifCodec.decode(bytes))
+          .orElse(JpegCodec.decode(bytes)) match {
           case Some((w, h, _, samples)) =>
             val hist = Array.fill(16)(0.0)
             var sum = 0L
@@ -199,6 +202,7 @@ object Multimodal {
         val decoded =
           if (bytes.isEmpty) None
           else PngCodec.decode(bytes).orElse(GifCodec.decode(bytes))
+            .orElse(JpegCodec.decode(bytes))
         m.media_id -> decoded.flatMap { case (w, h, ch, s) =>
           if (w < 9 || h < 8) None else Some(dhash64(w, h, ch, s))
         }

@@ -428,6 +428,59 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L)._1.isEmpty && got(3L)._2.isEmpty) // corrupt -> NULLs
   }
 
+  test("JpegCodec: block-constant exactness, bounded-error gradients, " +
+      "honest declines") {
+    import graft.multimodal.JpegCodec
+    // block-constant EVEN values: DC-only blocks decode EXACTLY (the
+    // q128 closed form) — exercises Huffman, the differential DC
+    // predictor across blocks, dequant, and the IDCT constant term
+    val w = 40; val h = 24
+    val const = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8; val by = (i / w) / 8
+      2 * ((7 + 17 * bx + 29 * by) % 128)
+    }
+    val got = JpegCodec.decode(JpegCodec.encode(w, h, const))
+    assert(got.isDefined)
+    assert(got.get._1 == w && got.get._2 == h && got.get._3 == 1)
+    assert(got.get._4.toSeq == const.toSeq,
+      "even block-constant decode must be exact")
+    // smooth gradient (AC path): lossy but tightly bounded under the
+    // uniform Q=16 table; dims not multiples of 8 exercise the crop
+    val gw = 21; val gh = 13
+    val grad = Array.tabulate(gw * gh)(i => ((i % gw) * 5 + (i / gw) * 7) % 256)
+    val g2 = JpegCodec.decode(JpegCodec.encode(gw, gh, grad))
+    assert(g2.isDefined && g2.get._1 == gw && g2.get._2 == gh)
+    val diffs = g2.get._4.zip(grad).map { case (a, b) => math.abs(a - b) }
+    assert(diffs.max <= 40 && diffs.sum.toDouble / diffs.length <= 8.0,
+      s"gradient error too large: max=${diffs.max} mean=${diffs.sum.toDouble / diffs.length}")
+    // the q92 metadata parser agrees on the container
+    val jb = JpegCodec.encode(16, 8, Array.fill(128)(100))
+    val r = graft.functions.ImageMetaExpr.parseHeader(jb)
+    assert(r != null && r.getUTF8String(0).toString == "jpeg")
+    assert(r.getInt(1) == 16 && r.getInt(2) == 8)
+    // declines: progressive, color, truncated, not-a-jpeg
+    val prog = jb.clone()
+    // find the SOF0 marker and flip it to SOF2
+    val sofAt = jb.indices.dropWhile(i =>
+      (jb(i) & 0xff) != 0xff || (jb(i + 1) & 0xff) != 0xc0).head
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(JpegCodec.decode(prog).isEmpty)
+    val color = jb.clone()
+    color(sofAt + 9) = 3.toByte // nComp byte (len 2 + precision 1 + dims 4)
+    assert(JpegCodec.decode(color).isEmpty)
+    assert(JpegCodec.decode(jb.take(jb.length / 2)).isEmpty)
+    assert(JpegCodec.decode("not a jpeg at all".getBytes).isEmpty)
+    // features integration: a real JPEG row decodes REAL (not the stub)
+    import spark.implicits._
+    val rows = Seq(MediaRow(11L, "image/jpeg", JpegCodec.encode(w, h, const),
+      MediaMeta("synth", Some(w), Some(h), None)))
+    val f = Multimodal.imageFeatures(rows.toDS(), batchSize = 4).collect().head
+    assert(f.width == w && f.height == h)
+    val d = const.length.toLong * 255L
+    assert(f.brightness ==
+      (const.map(_.toLong).sum * 2000000L + d) / (2L * d) / 1000000.0)
+  }
+
   test("imageDHash: brightness-invariant, codec-agnostic, NULL below grid") {
     import spark.implicits._
     import graft.multimodal.{GifCodec, Multimodal, PngCodec}
