@@ -8,9 +8,12 @@ package graft.multimodal
   * [[PngCodec]]/[[GifCodec]].
   *
   * Envelope, stated honestly: baseline sequential (SOF0), 8-bit,
-  * SINGLE component (grayscale), no restart markers. Color (multi-
-  * component), progressive (SOF2), arithmetic coding, and 12-bit all
-  * return None — the stub fallback, never fabricated pixels.
+  * grayscale (1 component) or 4:4:4 YCbCr color (3 components, no
+  * chroma subsampling), no restart markers. Subsampled color,
+  * progressive (SOF2), arithmetic coding, and 12-bit all return
+  * None — the stub fallback, never fabricated pixels. Color output is
+  * interleaved RGB via the JFIF inverse transform (one fixed IEEE
+  * sequence per channel, mirrored by the q129 oracle).
   *
   * The encoder exists for fixtures and spec round trips. JPEG is
   * LOSSY, so unlike the PNG/GIF gates the oracle cannot demand
@@ -80,6 +83,38 @@ object JpegCodec {
   def encode(w: Int, h: Int, samples: Array[Int]): Array[Byte] = {
     require(w >= 1 && h >= 1 && samples.length == w * h,
       s"bad dims: $w x $h vs ${samples.length}")
+    encodePlanes(w, h, Array(samples), Quant)
+  }
+
+  /** Encode interleaved RGB as a 4:4:4 YCbCr baseline JPEG. The forward
+    * transform is ONE fixed IEEE sequence per channel (mirrored by the
+    * q129 oracle); `quant = 1` makes constant blocks decode exactly,
+    * which is what the closed-form color gate uses. */
+  def encodeColor(w: Int, h: Int, rgb: Array[Int], quant: Int = Quant): Array[Byte] = {
+    require(w >= 1 && h >= 1 && rgb.length == w * h * 3,
+      s"bad dims: $w x $h x3 vs ${rgb.length}")
+    require(quant >= 1 && quant <= 255, s"quant out of byte range: $quant")
+    val n = w * h
+    val yP = new Array[Int](n); val cbP = new Array[Int](n); val crP = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val r = rgb(3 * i).toDouble
+      val g = rgb(3 * i + 1).toDouble
+      val b = rgb(3 * i + 2).toDouble
+      yP(i) = clamp255(roundHalfAway(0.299 * r + 0.587 * g + 0.114 * b))
+      cbP(i) = clamp255(roundHalfAway(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0))
+      crP(i) = clamp255(roundHalfAway(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0))
+      i += 1
+    }
+    encodePlanes(w, h, Array(yP, cbP, crP), quant)
+  }
+
+  private def clamp255(v: Long): Int =
+    if (v < 0) 0 else if (v > 255) 255 else v.toInt
+
+  private def encodePlanes(w: Int, h: Int, planes: Array[Array[Int]],
+                           quant: Int): Array[Byte] = {
+    val nComp = planes.length
     val dcLen = DcSyms.map(_ => 4)
     val acLen = AcSyms.map(_ => 8)
     val dcCode = canonicalCodes(dcLen)
@@ -89,48 +124,53 @@ object JpegCodec {
     val bw = new BitWriter
     val bw8 = (w + 7) / 8
     val bh8 = (h + 7) / 8
-    var prevDc = 0L
+    val prevDc = new Array[Long](nComp)
     val blk = new Array[Double](64)
     val coef = new Array[Long](64)
     var by = 0
     while (by < bh8) {
       var bx = 0
       while (bx < bw8) {
-        // edge-replicated block, level-shifted
-        var i = 0
-        while (i < 64) {
-          val x = math.min(bx * 8 + i % 8, w - 1)
-          val y = math.min(by * 8 + i / 8, h - 1)
-          blk(i) = samples(y * w + x) - 128.0
-          i += 1
-        }
-        fdct(blk)
-        i = 0
-        while (i < 64) {
-          coef(i) = roundHalfAway(blk(ZigZag(i)) / Quant)
-          i += 1
-        }
-        // DC: differential, magnitude-coded
-        val diff = coef(0) - prevDc
-        prevDc = coef(0)
-        val s = magBits(diff)
-        bw.put(dcCode(dcIdx(s)), 4)
-        if (s > 0) bw.put(magValue(diff, s), s)
-        // AC: run-length of zeros + magnitude
-        var run = 0
-        var k = 1
-        while (k < 64) {
-          if (coef(k) == 0L) run += 1
-          else {
-            while (run >= 16) { bw.put(acCode(acIdx(0xf0)), 8); run -= 16 }
-            val sz = magBits(coef(k))
-            bw.put(acCode(acIdx((run << 4) | sz)), 8)
-            bw.put(magValue(coef(k), sz), sz)
-            run = 0
+        var c = 0
+        while (c < nComp) { // interleaved MCU: one block per component
+          val plane = planes(c)
+          // edge-replicated block, level-shifted
+          var i = 0
+          while (i < 64) {
+            val x = math.min(bx * 8 + i % 8, w - 1)
+            val y = math.min(by * 8 + i / 8, h - 1)
+            blk(i) = plane(y * w + x) - 128.0
+            i += 1
           }
-          k += 1
+          fdct(blk)
+          i = 0
+          while (i < 64) {
+            coef(i) = roundHalfAway(blk(ZigZag(i)) / quant)
+            i += 1
+          }
+          // DC: differential, magnitude-coded
+          val diff = coef(0) - prevDc(c)
+          prevDc(c) = coef(0)
+          val s = magBits(diff)
+          bw.put(dcCode(dcIdx(s)), 4)
+          if (s > 0) bw.put(magValue(diff, s), s)
+          // AC: run-length of zeros + magnitude
+          var run = 0
+          var k = 1
+          while (k < 64) {
+            if (coef(k) == 0L) run += 1
+            else {
+              while (run >= 16) { bw.put(acCode(acIdx(0xf0)), 8); run -= 16 }
+              val sz = magBits(coef(k))
+              bw.put(acCode(acIdx((run << 4) | sz)), 8)
+              bw.put(magValue(coef(k), sz), sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (run > 0) bw.put(acCode(acIdx(0x00)), 8) // EOB
+          c += 1
         }
-        if (run > 0) bw.put(acCode(acIdx(0x00)), 8) // EOB
         bx += 1
       }
       by += 1
@@ -146,14 +186,21 @@ object JpegCodec {
     }
     marker(0xd8) // SOI
     seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
-    seg(0xdb, 0.toByte +: Array.fill(64)(Quant.toByte)) // DQT id 0
-    seg(0xc0, Array[Byte](8, // precision
-      ((h >> 8) & 0xff).toByte, (h & 0xff).toByte,
-      ((w >> 8) & 0xff).toByte, (w & 0xff).toByte,
-      1, 1, 0x11, 0)) // 1 component, 1x1 sampling, quant table 0
+    seg(0xdb, 0.toByte +: Array.fill(64)(quant.toByte)) // DQT id 0
+    val sof = Array.newBuilder[Byte]
+    sof += 8 // precision
+    sof += ((h >> 8) & 0xff).toByte += (h & 0xff).toByte
+    sof += ((w >> 8) & 0xff).toByte += (w & 0xff).toByte
+    sof += nComp.toByte
+    for (c <- 1 to nComp) { sof += c.toByte += 0x11.toByte += 0.toByte }
+    seg(0xc0, sof.result())
     seg(0xc4, dhtBody(0x00, dcLen, DcSyms)) // DC table 0
     seg(0xc4, dhtBody(0x10, acLen, AcSyms)) // AC table 0
-    seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS: comp 1, tables 0/0
+    val sos = Array.newBuilder[Byte]
+    sos += nComp.toByte
+    for (c <- 1 to nComp) { sos += c.toByte += 0x00.toByte }
+    sos += 0.toByte += 63.toByte += 0.toByte
+    seg(0xda, sos.result())
     out.write(entropy, 0, entropy.length)
     marker(0xd9) // EOI
     out.toByteArray
@@ -330,20 +377,22 @@ object JpegCodec {
     else if (v < (1 << (s - 1))) v - (1 << s) + 1
     else v
 
-  /** Decode a baseline grayscale JPEG: Some((w, h, 1, samples)) or None
-    * (progressive, color, corrupt, truncated — caller stubs). */
+  /** Decode a baseline JPEG — grayscale (channels 1) or 4:4:4 YCbCr
+    * color (channels 3, interleaved RGB out): Some((w, h, ch, samples))
+    * or None (progressive, subsampled, corrupt, truncated — caller
+    * stubs). */
   def decode(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Int])] = {
     if (bytes == null || bytes.length < 4) return None
     if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
     var p = 2
     var w = 0; var h = 0
-    var quant: Array[Int] = null // natural order
-    var dc: Huff = null; var ac: Huff = null
-    var dcId = -1; var acId = -1
+    var compIds: Array[Int] = null // SOF order
+    var compQuant: Array[Int] = null
+    var compDc: Array[Int] = null
+    var compAc: Array[Int] = null
     val dcTabs = new java.util.HashMap[Int, Huff]()
     val acTabs = new java.util.HashMap[Int, Huff]()
     val quants = new java.util.HashMap[Int, Array[Int]]()
-    var compQuant = -1
     var scanAt = -1
     while (scanAt < 0) {
       if (p + 4 > bytes.length) return None
@@ -361,9 +410,18 @@ object JpegCodec {
             h = ((bytes(at + 1) & 0xff) << 8) | (bytes(at + 2) & 0xff)
             w = ((bytes(at + 3) & 0xff) << 8) | (bytes(at + 4) & 0xff)
             val nComp = bytes(at + 5) & 0xff
-            if (nComp != 1) return None // grayscale only
-            if ((bytes(at + 7) & 0xff) != 0x11) return None // no subsampling
-            compQuant = bytes(at + 8) & 0xff
+            if (nComp != 1 && nComp != 3) return None
+            if (len < 8 + 3 * nComp) return None
+            compIds = new Array[Int](nComp)
+            compQuant = new Array[Int](nComp)
+            var c = 0
+            while (c < nComp) {
+              compIds(c) = bytes(at + 6 + 3 * c) & 0xff
+              // 1x1 sampling everywhere: 4:4:4 or grayscale only
+              if ((bytes(at + 7 + 3 * c) & 0xff) != 0x11) return None
+              compQuant(c) = bytes(at + 8 + 3 * c) & 0xff
+              c += 1
+            }
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             return None // extended/progressive/lossless/arithmetic
@@ -398,11 +456,20 @@ object JpegCodec {
               q += 17 + n
             }
           case 0xda => // SOS
-            if (len < 6) return None
+            if (compIds == null) return None
             val ns = bytes(at) & 0xff
-            if (ns != 1) return None
-            dcId = (bytes(at + 2) & 0xff) >> 4
-            acId = bytes(at + 2) & 0x0f
+            if (ns != compIds.length || len < 4 + 2 * ns + 2) return None
+            compDc = new Array[Int](ns)
+            compAc = new Array[Int](ns)
+            var c = 0
+            while (c < ns) { // match scan components to SOF order by id
+              val cs = bytes(at + 1 + 2 * c) & 0xff
+              val pos = compIds.indexOf(cs)
+              if (pos < 0) return None
+              compDc(pos) = (bytes(at + 2 + 2 * c) & 0xff) >> 4
+              compAc(pos) = bytes(at + 2 + 2 * c) & 0x0f
+              c += 1
+            }
             scanAt = p + 2 + len
           case 0xdd => return None // restart interval: out of envelope
           case _ => () // APPn/COM: skip
@@ -411,68 +478,92 @@ object JpegCodec {
       }
     }
     if (w < 1 || h < 1 || w > (1 << 14) || h > (1 << 14)) return None
-    quant = quants.get(compQuant)
-    dc = dcTabs.get(dcId); ac = acTabs.get(acId)
-    if (quant == null || dc == null || ac == null) return None
+    val nComp = compIds.length
+    val quant = Array.tabulate(nComp)(c => quants.get(compQuant(c)))
+    val dc = Array.tabulate(nComp)(c => dcTabs.get(compDc(c)))
+    val ac = Array.tabulate(nComp)(c => acTabs.get(compAc(c)))
+    if (quant.exists(_ == null) || dc.exists(_ == null) || ac.exists(_ == null))
+      return None
     val r = new BitReader(java.util.Arrays.copyOfRange(bytes, scanAt, bytes.length))
     val bw8 = (w + 7) / 8
     val bh8 = (h + 7) / 8
-    val out = new Array[Int](w * h)
+    val planes = Array.fill(nComp)(new Array[Int](w * h))
     val coef = new Array[Double](64)
-    var prevDc = 0
+    val prevDc = new Array[Int](nComp)
     var by = 0
     while (by < bh8) {
       var bx = 0
       while (bx < bw8) {
-        java.util.Arrays.fill(coef, 0.0)
-        // DC
-        val s = dc.decode(r)
-        if (s < 0 || s > 11) return None
-        val dcv =
-          if (s == 0) 0
-          else {
-            val v = r.bits(s)
-            if (v < 0) return None
-            extend(v, s)
+        var c = 0
+        while (c < nComp) { // interleaved MCU: one block per component
+          java.util.Arrays.fill(coef, 0.0)
+          // DC
+          val s = dc(c).decode(r)
+          if (s < 0 || s > 11) return None
+          val dcv =
+            if (s == 0) 0
+            else {
+              val v = r.bits(s)
+              if (v < 0) return None
+              extend(v, s)
+            }
+          prevDc(c) += dcv
+          coef(0) = prevDc(c).toDouble * quant(c)(0)
+          // AC
+          var k = 1
+          var done = false
+          while (!done && k < 64) {
+            val sym = ac(c).decode(r)
+            if (sym < 0) return None
+            if (sym == 0x00) done = true // EOB
+            else if (sym == 0xf0) k += 16 // ZRL
+            else {
+              val run = sym >> 4
+              val sz = sym & 0x0f
+              if (sz == 0 || sz > 10) return None
+              k += run
+              if (k > 63) return None
+              val v = r.bits(sz)
+              if (v < 0) return None
+              coef(ZigZag(k)) = extend(v, sz).toDouble * quant(c)(ZigZag(k))
+              k += 1
+            }
           }
-        prevDc += dcv
-        coef(0) = prevDc.toDouble * quant(0)
-        // AC
-        var k = 1
-        var done = false
-        while (!done && k < 64) {
-          val sym = ac.decode(r)
-          if (sym < 0) return None
-          if (sym == 0x00) done = true // EOB
-          else if (sym == 0xf0) k += 16 // ZRL
-          else {
-            val run = sym >> 4
-            val sz = sym & 0x0f
-            if (sz == 0 || sz > 10) return None
-            k += run
-            if (k > 63) return None
-            val v = r.bits(sz)
-            if (v < 0) return None
-            coef(ZigZag(k)) = extend(v, sz).toDouble * quant(ZigZag(k))
-            k += 1
+          idct(coef)
+          var i = 0
+          while (i < 64) {
+            val x = bx * 8 + i % 8
+            val y = by * 8 + i / 8
+            if (x < w && y < h) {
+              val px = roundHalfAway(coef(i)) + 128L
+              planes(c)(y * w + x) =
+                if (px < 0) 0 else if (px > 255) 255 else px.toInt
+            }
+            i += 1
           }
-        }
-        idct(coef)
-        var i = 0
-        while (i < 64) {
-          val x = bx * 8 + i % 8
-          val y = by * 8 + i / 8
-          if (x < w && y < h) {
-            val px = roundHalfAway(coef(i)) + 128L
-            out(y * w + x) =
-              if (px < 0) 0 else if (px > 255) 255 else px.toInt
-          }
-          i += 1
+          c += 1
         }
         bx += 1
       }
       by += 1
     }
-    Some((w, h, 1, out))
+    if (nComp == 1) Some((w, h, 1, planes(0)))
+    else {
+      // JFIF inverse transform — one fixed IEEE sequence per channel,
+      // mirrored verbatim by the q129 oracle
+      val out = new Array[Int](w * h * 3)
+      var i = 0
+      while (i < w * h) {
+        val y = planes(0)(i).toDouble
+        val cb = planes(1)(i).toDouble
+        val cr = planes(2)(i).toDouble
+        out(3 * i) = clamp255(roundHalfAway(y + 1.402 * (cr - 128.0)))
+        out(3 * i + 1) = clamp255(roundHalfAway(
+          y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)))
+        out(3 * i + 2) = clamp255(roundHalfAway(y + 1.772 * (cb - 128.0)))
+        i += 1
+      }
+      Some((w, h, 3, out))
+    }
   }
 }

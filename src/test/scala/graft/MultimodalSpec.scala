@@ -481,6 +481,54 @@ class MultimodalSpec extends SparkSpec {
       (const.map(_.toLong).sum * 2000000L + d) / (2L * d) / 1000000.0)
   }
 
+  test("JpegCodec color: 4:4:4 round trip through both transforms, " +
+      "subsampled declines") {
+    import graft.multimodal.JpegCodec
+    def rha(x: Double): Int = {
+      val v = if (x >= 0) math.floor(x + 0.5) else -math.floor(-x + 0.5)
+      math.max(0, math.min(255, v.toInt))
+    }
+    // block-constant color at quant=1: exact through BOTH fixed IEEE
+    // transform sequences (forward at encode, inverse at decode)
+    val w = 24; val h = 16
+    def blockRgb(bi: Int): (Int, Int, Int) =
+      ((13 + 11 * bi) % 256, (39 + 7 * bi) % 256, (65 + 13 * bi) % 256)
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val px = i / 3
+      val bi = ((px / w) / 8) * (w / 8) + ((px % w) / 8)
+      val (r, g, b) = blockRgb(bi)
+      Seq(r, g, b)(i % 3)
+    }
+    val got = JpegCodec.decode(JpegCodec.encodeColor(w, h, rgb, quant = 1))
+    assert(got.isDefined && got.get._3 == 3)
+    val want = Array.tabulate(w * h * 3) { i =>
+      val px = i / 3
+      val bi = ((px / w) / 8) * (w / 8) + ((px % w) / 8)
+      val (r, g, b) = blockRgb(bi)
+      val yc = rha(0.299 * r + 0.587 * g + 0.114 * b).toDouble
+      val cbc = rha(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0).toDouble
+      val crc = rha(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0).toDouble
+      (i % 3) match {
+        case 0 => rha(yc + 1.402 * (crc - 128.0))
+        case 1 => rha(yc - 0.344136 * (cbc - 128.0) - 0.714136 * (crc - 128.0))
+        case _ => rha(yc + 1.772 * (cbc - 128.0))
+      }
+    }
+    assert(got.get._4.toSeq == want.toSeq,
+      "constant color blocks must decode through the exact closed form")
+    // gradient color at default quant: lossy but bounded
+    val grad = Array.tabulate(w * h * 3)(i => (i * 3 + i % 7) % 256)
+    val g2 = JpegCodec.decode(JpegCodec.encodeColor(w, h, grad))
+    assert(g2.isDefined && g2.get._1 == w && g2.get._3 == 3)
+    // chroma-subsampled SOF (sampling != 1x1) declines honestly
+    val jb = JpegCodec.encodeColor(16, 8, Array.fill(16 * 8 * 3)(77), quant = 1)
+    val sofAt = jb.indices.dropWhile(i =>
+      (jb(i) & 0xff) != 0xff || (jb(i + 1) & 0xff) != 0xc0).head
+    val sub = jb.clone()
+    sub(sofAt + 4 + 7) = 0x22.toByte // first component sampling 2x2
+    assert(JpegCodec.decode(sub).isEmpty)
+  }
+
   test("imageDHash: brightness-invariant, codec-agnostic, NULL below grid") {
     import spark.implicits._
     import graft.multimodal.{GifCodec, Multimodal, PngCodec}
