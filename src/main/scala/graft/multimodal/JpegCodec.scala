@@ -109,11 +109,50 @@ object JpegCodec {
     encodePlanes(w, h, Array(yP, cbP, crP), quant)
   }
 
+  /** [[encodeColor]] at 4:2:0 — Y at full resolution (2x2 sampling),
+    * chroma downsampled by 2x2 block mean (one fixed IEEE sequence, so
+    * constant blocks stay exact). Even dims only (fixture encoder). */
+  def encodeColor420(w: Int, h: Int, rgb: Array[Int], quant: Int = Quant): Array[Byte] = {
+    require(w >= 2 && h >= 2 && w % 2 == 0 && h % 2 == 0,
+      s"encodeColor420: even dims only: $w x $h")
+    require(rgb.length == w * h * 3, s"bad dims: $w x $h x3 vs ${rgb.length}")
+    require(quant >= 1 && quant <= 255, s"quant out of byte range: $quant")
+    val n = w * h
+    val yP = new Array[Int](n); val cbF = new Array[Int](n); val crF = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val r = rgb(3 * i).toDouble
+      val g = rgb(3 * i + 1).toDouble
+      val b = rgb(3 * i + 2).toDouble
+      yP(i) = clamp255(roundHalfAway(0.299 * r + 0.587 * g + 0.114 * b))
+      cbF(i) = clamp255(roundHalfAway(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0))
+      crF(i) = clamp255(roundHalfAway(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0))
+      i += 1
+    }
+    val cw = w / 2; val chh = h / 2
+    def down(src: Array[Int]): Array[Int] = Array.tabulate(cw * chh) { j =>
+      val cx = j % cw; val cy = j / cw
+      val a = src(2 * cy * w + 2 * cx) + src(2 * cy * w + 2 * cx + 1) +
+        src((2 * cy + 1) * w + 2 * cx) + src((2 * cy + 1) * w + 2 * cx + 1)
+      clamp255(roundHalfAway(a / 4.0))
+    }
+    encodeMcus(w, h, Array(yP, down(cbF), down(crF)),
+      Array(w, cw, cw), Array(h, chh, chh),
+      Array(0x22, 0x11, 0x11), quant)
+  }
+
   private def clamp255(v: Long): Int =
     if (v < 0) 0 else if (v > 255) 255 else v.toInt
 
   private def encodePlanes(w: Int, h: Int, planes: Array[Array[Int]],
-                           quant: Int): Array[Byte] = {
+                           quant: Int): Array[Byte] =
+    encodeMcus(w, h, planes,
+      Array.fill(planes.length)(w), Array.fill(planes.length)(h),
+      Array.fill(planes.length)(0x11), quant)
+
+  private def encodeMcus(w: Int, h: Int, planes: Array[Array[Int]],
+                         planeW: Array[Int], planeH: Array[Int],
+                         samps: Array[Int], quant: Int): Array[Byte] = {
     val nComp = planes.length
     val dcLen = DcSyms.map(_ => 4)
     val acLen = AcSyms.map(_ => 8)
@@ -122,53 +161,65 @@ object JpegCodec {
     val dcIdx = DcSyms.zipWithIndex.toMap
     val acIdx = AcSyms.zipWithIndex.toMap
     val bw = new BitWriter
-    val bw8 = (w + 7) / 8
-    val bh8 = (h + 7) / 8
+    val hMax = samps.map(_ >> 4).max
+    val vMax = samps.map(_ & 0x0f).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
     val prevDc = new Array[Long](nComp)
     val blk = new Array[Double](64)
     val coef = new Array[Long](64)
     var by = 0
-    while (by < bh8) {
+    while (by < mcusY) {
       var bx = 0
-      while (bx < bw8) {
+      while (bx < mcusX) {
         var c = 0
-        while (c < nComp) { // interleaved MCU: one block per component
+        while (c < nComp) { // interleaved MCU: hi×vi blocks per component
           val plane = planes(c)
-          // edge-replicated block, level-shifted
-          var i = 0
-          while (i < 64) {
-            val x = math.min(bx * 8 + i % 8, w - 1)
-            val y = math.min(by * 8 + i / 8, h - 1)
-            blk(i) = plane(y * w + x) - 128.0
-            i += 1
-          }
-          fdct(blk)
-          i = 0
-          while (i < 64) {
-            coef(i) = roundHalfAway(blk(ZigZag(i)) / quant)
-            i += 1
-          }
-          // DC: differential, magnitude-coded
-          val diff = coef(0) - prevDc(c)
-          prevDc(c) = coef(0)
-          val s = magBits(diff)
-          bw.put(dcCode(dcIdx(s)), 4)
-          if (s > 0) bw.put(magValue(diff, s), s)
-          // AC: run-length of zeros + magnitude
-          var run = 0
-          var k = 1
-          while (k < 64) {
-            if (coef(k) == 0L) run += 1
-            else {
-              while (run >= 16) { bw.put(acCode(acIdx(0xf0)), 8); run -= 16 }
-              val sz = magBits(coef(k))
-              bw.put(acCode(acIdx((run << 4) | sz)), 8)
-              bw.put(magValue(coef(k), sz), sz)
-              run = 0
+          val hi = samps(c) >> 4
+          val vi = samps(c) & 0x0f
+          var iy = 0
+          while (iy < vi) {
+            var ix = 0
+            while (ix < hi) {
+              // edge-replicated block, level-shifted
+              var i = 0
+              while (i < 64) {
+                val x = math.min((bx * hi + ix) * 8 + i % 8, planeW(c) - 1)
+                val y = math.min((by * vi + iy) * 8 + i / 8, planeH(c) - 1)
+                blk(i) = plane(y * planeW(c) + x) - 128.0
+                i += 1
+              }
+              fdct(blk)
+              i = 0
+              while (i < 64) {
+                coef(i) = roundHalfAway(blk(ZigZag(i)) / quant)
+                i += 1
+              }
+              // DC: differential, magnitude-coded
+              val diff = coef(0) - prevDc(c)
+              prevDc(c) = coef(0)
+              val s = magBits(diff)
+              bw.put(dcCode(dcIdx(s)), 4)
+              if (s > 0) bw.put(magValue(diff, s), s)
+              // AC: run-length of zeros + magnitude
+              var run = 0
+              var k = 1
+              while (k < 64) {
+                if (coef(k) == 0L) run += 1
+                else {
+                  while (run >= 16) { bw.put(acCode(acIdx(0xf0)), 8); run -= 16 }
+                  val sz = magBits(coef(k))
+                  bw.put(acCode(acIdx((run << 4) | sz)), 8)
+                  bw.put(magValue(coef(k), sz), sz)
+                  run = 0
+                }
+                k += 1
+              }
+              if (run > 0) bw.put(acCode(acIdx(0x00)), 8) // EOB
+              ix += 1
             }
-            k += 1
+            iy += 1
           }
-          if (run > 0) bw.put(acCode(acIdx(0x00)), 8) // EOB
           c += 1
         }
         bx += 1
@@ -192,7 +243,9 @@ object JpegCodec {
     sof += ((h >> 8) & 0xff).toByte += (h & 0xff).toByte
     sof += ((w >> 8) & 0xff).toByte += (w & 0xff).toByte
     sof += nComp.toByte
-    for (c <- 1 to nComp) { sof += c.toByte += 0x11.toByte += 0.toByte }
+    for (c <- 0 until nComp) {
+      sof += (c + 1).toByte += samps(c).toByte += 0.toByte
+    }
     seg(0xc0, sof.result())
     seg(0xc4, dhtBody(0x00, dcLen, DcSyms)) // DC table 0
     seg(0xc4, dhtBody(0x10, acLen, AcSyms)) // AC table 0
@@ -388,6 +441,7 @@ object JpegCodec {
     var w = 0; var h = 0
     var compIds: Array[Int] = null // SOF order
     var compQuant: Array[Int] = null
+    var compSamp: Array[Int] = null
     var compDc: Array[Int] = null
     var compAc: Array[Int] = null
     val dcTabs = new java.util.HashMap[Int, Huff]()
@@ -414,14 +468,20 @@ object JpegCodec {
             if (len < 8 + 3 * nComp) return None
             compIds = new Array[Int](nComp)
             compQuant = new Array[Int](nComp)
+            compSamp = new Array[Int](nComp)
             var c = 0
             while (c < nComp) {
               compIds(c) = bytes(at + 6 + 3 * c) & 0xff
-              // 1x1 sampling everywhere: 4:4:4 or grayscale only
-              if ((bytes(at + 7 + 3 * c) & 0xff) != 0x11) return None
+              compSamp(c) = bytes(at + 7 + 3 * c) & 0xff
               compQuant(c) = bytes(at + 8 + 3 * c) & 0xff
               c += 1
             }
+            // supported sampling shapes: all-1x1 (grayscale / 4:4:4) or
+            // 4:2:0 (Y 2x2, chroma 1x1); anything else declines
+            val all11 = compSamp.forall(_ == 0x11)
+            val is420 = nComp == 3 && compSamp(0) == 0x22 &&
+              compSamp(1) == 0x11 && compSamp(2) == 0x11
+            if (!all11 && !is420) return None
           case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             return None // extended/progressive/lossless/arithmetic
@@ -485,61 +545,80 @@ object JpegCodec {
     if (quant.exists(_ == null) || dc.exists(_ == null) || ac.exists(_ == null))
       return None
     val r = new BitReader(java.util.Arrays.copyOfRange(bytes, scanAt, bytes.length))
-    val bw8 = (w + 7) / 8
-    val bh8 = (h + 7) / 8
-    val planes = Array.fill(nComp)(new Array[Int](w * h))
+    val hMax = compSamp.map(_ >> 4).max
+    val vMax = compSamp.map(_ & 0x0f).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    // per-component plane dims: ceil(w·hi/hMax) × ceil(h·vi/vMax)
+    val planeW = Array.tabulate(nComp)(c =>
+      (w * (compSamp(c) >> 4) + hMax - 1) / hMax)
+    val planeH = Array.tabulate(nComp)(c =>
+      (h * (compSamp(c) & 0x0f) + vMax - 1) / vMax)
+    val planes = Array.tabulate(nComp)(c => new Array[Int](planeW(c) * planeH(c)))
     val coef = new Array[Double](64)
     val prevDc = new Array[Int](nComp)
     var by = 0
-    while (by < bh8) {
+    while (by < mcusY) {
       var bx = 0
-      while (bx < bw8) {
+      while (bx < mcusX) {
         var c = 0
-        while (c < nComp) { // interleaved MCU: one block per component
-          java.util.Arrays.fill(coef, 0.0)
-          // DC
-          val s = dc(c).decode(r)
-          if (s < 0 || s > 11) return None
-          val dcv =
-            if (s == 0) 0
-            else {
-              val v = r.bits(s)
-              if (v < 0) return None
-              extend(v, s)
+        while (c < nComp) { // interleaved MCU: hi×vi blocks per component
+          val hi = compSamp(c) >> 4
+          val vi = compSamp(c) & 0x0f
+          var iy = 0
+          while (iy < vi) {
+            var ix = 0
+            while (ix < hi) {
+              java.util.Arrays.fill(coef, 0.0)
+              // DC
+              val s = dc(c).decode(r)
+              if (s < 0 || s > 11) return None
+              val dcv =
+                if (s == 0) 0
+                else {
+                  val v = r.bits(s)
+                  if (v < 0) return None
+                  extend(v, s)
+                }
+              prevDc(c) += dcv
+              coef(0) = prevDc(c).toDouble * quant(c)(0)
+              // AC
+              var k = 1
+              var done = false
+              while (!done && k < 64) {
+                val sym = ac(c).decode(r)
+                if (sym < 0) return None
+                if (sym == 0x00) done = true // EOB
+                else if (sym == 0xf0) k += 16 // ZRL
+                else {
+                  val run = sym >> 4
+                  val sz = sym & 0x0f
+                  if (sz == 0 || sz > 10) return None
+                  k += run
+                  if (k > 63) return None
+                  val v = r.bits(sz)
+                  if (v < 0) return None
+                  coef(ZigZag(k)) = extend(v, sz).toDouble * quant(c)(ZigZag(k))
+                  k += 1
+                }
+              }
+              idct(coef)
+              val x0 = (bx * hi + ix) * 8
+              val y0 = (by * vi + iy) * 8
+              var i = 0
+              while (i < 64) {
+                val x = x0 + i % 8
+                val y = y0 + i / 8
+                if (x < planeW(c) && y < planeH(c)) {
+                  val px = roundHalfAway(coef(i)) + 128L
+                  planes(c)(y * planeW(c) + x) =
+                    if (px < 0) 0 else if (px > 255) 255 else px.toInt
+                }
+                i += 1
+              }
+              ix += 1
             }
-          prevDc(c) += dcv
-          coef(0) = prevDc(c).toDouble * quant(c)(0)
-          // AC
-          var k = 1
-          var done = false
-          while (!done && k < 64) {
-            val sym = ac(c).decode(r)
-            if (sym < 0) return None
-            if (sym == 0x00) done = true // EOB
-            else if (sym == 0xf0) k += 16 // ZRL
-            else {
-              val run = sym >> 4
-              val sz = sym & 0x0f
-              if (sz == 0 || sz > 10) return None
-              k += run
-              if (k > 63) return None
-              val v = r.bits(sz)
-              if (v < 0) return None
-              coef(ZigZag(k)) = extend(v, sz).toDouble * quant(c)(ZigZag(k))
-              k += 1
-            }
-          }
-          idct(coef)
-          var i = 0
-          while (i < 64) {
-            val x = bx * 8 + i % 8
-            val y = by * 8 + i / 8
-            if (x < w && y < h) {
-              val px = roundHalfAway(coef(i)) + 128L
-              planes(c)(y * w + x) =
-                if (px < 0) 0 else if (px > 255) 255 else px.toInt
-            }
-            i += 1
+            iy += 1
           }
           c += 1
         }
@@ -550,18 +629,30 @@ object JpegCodec {
     if (nComp == 1) Some((w, h, 1, planes(0)))
     else {
       // JFIF inverse transform — one fixed IEEE sequence per channel,
-      // mirrored verbatim by the q129 oracle
+      // mirrored verbatim by the q129/q130 oracles. Chroma samples map
+      // through the sampling ratio (identity at 4:4:4, x/2 at 4:2:0).
       val out = new Array[Int](w * h * 3)
-      var i = 0
-      while (i < w * h) {
-        val y = planes(0)(i).toDouble
-        val cb = planes(1)(i).toDouble
-        val cr = planes(2)(i).toDouble
-        out(3 * i) = clamp255(roundHalfAway(y + 1.402 * (cr - 128.0)))
-        out(3 * i + 1) = clamp255(roundHalfAway(
-          y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)))
-        out(3 * i + 2) = clamp255(roundHalfAway(y + 1.772 * (cb - 128.0)))
-        i += 1
+      val cbHi = compSamp(1) >> 4; val cbVi = compSamp(1) & 0x0f
+      val crHi = compSamp(2) >> 4; val crVi = compSamp(2) & 0x0f
+      var yy = 0
+      while (yy < h) {
+        var xx = 0
+        while (xx < w) {
+          val i = yy * w + xx
+          val y = planes(0)(yy * planeW(0) + xx).toDouble
+          val cbx = math.min(xx * cbHi / hMax, planeW(1) - 1)
+          val cby = math.min(yy * cbVi / vMax, planeH(1) - 1)
+          val crx = math.min(xx * crHi / hMax, planeW(2) - 1)
+          val cry = math.min(yy * crVi / vMax, planeH(2) - 1)
+          val cb = planes(1)(cby * planeW(1) + cbx).toDouble
+          val cr = planes(2)(cry * planeW(2) + crx).toDouble
+          out(3 * i) = clamp255(roundHalfAway(y + 1.402 * (cr - 128.0)))
+          out(3 * i + 1) = clamp255(roundHalfAway(
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)))
+          out(3 * i + 2) = clamp255(roundHalfAway(y + 1.772 * (cb - 128.0)))
+          xx += 1
+        }
+        yy += 1
       }
       Some((w, h, 3, out))
     }

@@ -520,13 +520,67 @@ class MultimodalSpec extends SparkSpec {
     val grad = Array.tabulate(w * h * 3)(i => (i * 3 + i % 7) % 256)
     val g2 = JpegCodec.decode(JpegCodec.encodeColor(w, h, grad))
     assert(g2.isDefined && g2.get._1 == w && g2.get._3 == 3)
-    // chroma-subsampled SOF (sampling != 1x1) declines honestly
+    // a sampling shape outside the 4:4:4 / 4:2:0 envelope (2x1)
+    // declines honestly
     val jb = JpegCodec.encodeColor(16, 8, Array.fill(16 * 8 * 3)(77), quant = 1)
     val sofAt = jb.indices.dropWhile(i =>
       (jb(i) & 0xff) != 0xff || (jb(i + 1) & 0xff) != 0xc0).head
     val sub = jb.clone()
-    sub(sofAt + 4 + 7) = 0x22.toByte // first component sampling 2x2
+    sub(sofAt + 4 + 7) = 0x21.toByte // first component sampling 2x1
     assert(JpegCodec.decode(sub).isEmpty)
+  }
+
+  test("JpegCodec 4:2:0: MCU-constant exactness through subsample + " +
+      "upsample, gradient dims survive") {
+    import graft.multimodal.JpegCodec
+    def rha(x: Double): Int = {
+      val v = if (x >= 0) math.floor(x + 0.5) else -math.floor(-x + 0.5)
+      math.max(0, math.min(255, v.toInt))
+    }
+    // constant 16x16 MCUs at quant=1: chroma downsample of a constant is
+    // the constant, so the whole chain is the q129 closed form per MCU
+    val w = 48; val h = 32
+    def mcuRgb(mi: Int): (Int, Int, Int) =
+      ((19 + 11 * mi) % 256, (47 + 7 * mi) % 256, (83 + 13 * mi) % 256)
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val px = i / 3
+      val mi = ((px / w) / 16) * (w / 16) + ((px % w) / 16)
+      val (r, g, b) = mcuRgb(mi)
+      Seq(r, g, b)(i % 3)
+    }
+    val got = JpegCodec.decode(JpegCodec.encodeColor420(w, h, rgb, quant = 1))
+    assert(got.isDefined && got.get._1 == w && got.get._2 == h && got.get._3 == 3)
+    val want = Array.tabulate(w * h * 3) { i =>
+      val px = i / 3
+      val mi = ((px / w) / 16) * (w / 16) + ((px % w) / 16)
+      val (r, g, b) = mcuRgb(mi)
+      val yc = rha(0.299 * r + 0.587 * g + 0.114 * b).toDouble
+      val cbc = rha(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0).toDouble
+      val crc = rha(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0).toDouble
+      (i % 3) match {
+        case 0 => rha(yc + 1.402 * (crc - 128.0))
+        case 1 => rha(yc - 0.344136 * (cbc - 128.0) - 0.714136 * (crc - 128.0))
+        case _ => rha(yc + 1.772 * (cbc - 128.0))
+      }
+    }
+    assert(got.get._4.toSeq == want.toSeq,
+      "constant 4:2:0 MCUs must decode through the exact closed form")
+    // a gentle gradient at default quant: decodes with right dims, and
+    // the luma-dominant error stays bounded despite chroma replication
+    val gw = 20; val gh = 12
+    val grad = Array.tabulate(gw * gh * 3) { i =>
+      val px = i / 3
+      (40 + (px % gw) * 4 + (px / gw) * 3) % 256
+    }
+    val g2 = JpegCodec.decode(JpegCodec.encodeColor420(gw, gh, grad))
+    assert(g2.isDefined && g2.get._1 == gw && g2.get._2 == gh && g2.get._3 == 3)
+    val diffs = g2.get._4.zip(grad).map { case (a, b) => math.abs(a - b) }
+    assert(diffs.sum.toDouble / diffs.length <= 12.0,
+      s"4:2:0 gradient mean error too large: ${diffs.sum.toDouble / diffs.length}")
+    // odd dims refuse at the fixture encoder (even-dims contract)
+    intercept[IllegalArgumentException] {
+      JpegCodec.encodeColor420(15, 8, Array.fill(15 * 8 * 3)(1))
+    }
   }
 
   test("imageDHash: brightness-invariant, codec-agnostic, NULL below grid") {
