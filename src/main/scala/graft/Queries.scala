@@ -3774,6 +3774,77 @@ object Queries {
           / 1000000.0 AS brightness
       FROM s"""))
 
+  /** Audio resample gate: 16-bit mono fixtures at 8/16/24 kHz resample
+    * to 12 kHz through the rational-position linear interpolator
+    * (integer quotient+remainder positions — no accumulating float
+    * phase), re-encode into the same container, and re-decode for
+    * features. The oracle recomputes EVERY resampled amplitude from the
+    * synthesis formula via the identical fixed IEEE interpolation
+    * sequence, then the q117-style exact integer feature layer on top —
+    * a drift in the position arithmetic, the interpolation rounding, or
+    * the re-encode round trip fails the hash. */
+  private val q131 = Q("q131_audio_resample",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+      val media = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          val frames = 60 + (nc % 40).toInt
+          val r1 = 8000 * (1 + (id % 3)).toInt
+          val seed = (id % 251).toInt
+          val samples = Array.tabulate(frames)(i =>
+            (seed + 9973 * i) % 65536 - 32768)
+          val bytes =
+            if (id % 2 == 0)
+              graft.multimodal.PcmCodec.encodeWav(1, r1, 16, samples)
+            else
+              graft.multimodal.PcmCodec.encodeAiff(1, r1, 16, samples)
+          MediaRow(id, if (id % 2 == 0) "audio/wav" else "audio/aiff",
+            bytes, MediaMeta("synth", None, None, None))
+        }
+      graft.multimodal.Multimodal.audioFeatures(
+          graft.multimodal.Multimodal.resampleAudio(media, 12000)).toDF()
+        .select(col("media_id"), col("format"), col("channels"),
+          col("sample_rate"), col("n_samples"), col("peak_abs"),
+          col("sum_amp"), col("sum_sq"), col("mean_amp"), col("rms"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          8000 * (1 + doc_id % 3) AS r1,
+          60 + n_chars % 40 AS frames,
+          doc_id % 251 AS seed
+        FROM documents),
+      src AS (SELECT doc_id, r1, frames,
+          list_transform(range(frames), i ->
+            (seed + 9973*i) % 65536 - 32768) AS sm
+        FROM p),
+      rs AS (SELECT doc_id, r1, frames,
+          (frames - 1) * 12000 // r1 + 1 AS nout, sm
+        FROM src),
+      o AS (SELECT doc_id, nout,
+          list_transform(range(nout), i ->
+            CASE WHEN (i*r1) % 12000 = 0 OR (i*r1) // 12000 + 2 > frames
+              THEN CAST(sm[(i*r1) // 12000 + 1] AS BIGINT)
+              ELSE CAST(ROUND(CAST(sm[(i*r1) // 12000 + 1] AS DOUBLE)
+                + CAST(sm[(i*r1) // 12000 + 2] - sm[(i*r1) // 12000 + 1]
+                    AS DOUBLE)
+                  * ((i*r1) % 12000) / CAST(12000 AS DOUBLE)) AS BIGINT)
+            END) AS os
+        FROM rs)
+      SELECT doc_id AS media_id,
+        CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'aiff' END AS format,
+        CAST(1 AS INTEGER) AS channels,
+        CAST(12000 AS INTEGER) AS sample_rate,
+        CAST(nout AS BIGINT) AS n_samples,
+        CAST(list_max(list_transform(os, x -> abs(x))) AS INTEGER) AS peak_abs,
+        CAST(list_sum(os) AS BIGINT) AS sum_amp,
+        CAST(list_sum(list_transform(os, x -> x*x)) AS BIGINT) AS sum_sq,
+        CAST(list_sum(os) AS DOUBLE) / nout AS mean_amp,
+        sqrt(CAST(list_sum(list_transform(os, x -> x*x)) AS DOUBLE) / nout)
+          AS rms
+      FROM o"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -3785,7 +3856,7 @@ object Queries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130)
+    q129, q130, q131)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -250,6 +250,66 @@ object Multimodal {
     hash
   }
 
+  /** Audio resampling — payload→payload linear interpolation to a
+    * target rate, closing the "audio resample" stub: PCM decodes
+    * through [[PcmCodec]], each channel resamples independently at
+    * RATIONAL source positions (pos = i·srcRate/dstRate held as exact
+    * integer quotient+remainder, so there is NO accumulating float
+    * phase error), each interpolated amplitude is ONE fixed IEEE
+    * sequence `a + (b−a)·rem/dstRate` rounded half away (the q117
+    * micro-unit discipline — an oracle can recompute every sample), and
+    * the result re-encodes into the SAME container and bit depth.
+    * Output frame count preserves duration: ((frames−1)·dst)/src + 1.
+    *
+    * Payloads the codec declines pass through UNTOUCHED — visibly, via
+    * [[audioHeaderMeta]]'s unchanged sample_rate, never silently
+    * dropped or fabricated. */
+  def resampleAudio(media: Dataset[MediaRow], targetRate: Int,
+                    batchSize: Int = 64): Dataset[MediaRow] = {
+    require(targetRate > 0, s"resampleAudio: bad target rate $targetRate")
+    import media.sparkSession.implicits._
+    mapBatches(media, batchSize) { batch =>
+      batch.map { m =>
+        val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
+        PcmCodec.decode(bytes) match {
+          case Some(p) if p.samples.nonEmpty && p.sampleRate != targetRate =>
+            val ch = p.channels
+            val frames = p.samples.length / ch
+            val outFrames =
+              if (frames == 1) 1
+              else ((frames - 1).toLong * targetRate / p.sampleRate).toInt + 1
+            val out = new Array[Int](outFrames * ch)
+            var i = 0
+            while (i < outFrames) {
+              val num = i.toLong * p.sampleRate
+              val k = (num / targetRate).toInt
+              val rem = (num % targetRate).toInt
+              var c = 0
+              while (c < ch) {
+                val a = p.samples(k * ch + c)
+                out(i * ch + c) =
+                  if (rem == 0 || k + 1 >= frames) a
+                  else {
+                    val b = p.samples((k + 1) * ch + c)
+                    val t = (b - a).toDouble * rem / targetRate.toDouble
+                    (if (a + t >= 0) math.floor(a + t + 0.5)
+                     else -math.floor(-(a + t) + 0.5)).toInt
+                  }
+                c += 1
+              }
+              i += 1
+            }
+            val re =
+              if (p.format == "wav")
+                PcmCodec.encodeWav(ch, targetRate, p.bits, out)
+              else PcmCodec.encodeAiff(ch, targetRate, p.bits, out)
+            m.copy(content = re)
+          case _ => m // declined or already at rate: untouched, visibly
+        }
+      }
+    }
+  }
+
   /** Perceptual AUDIO fingerprint — [[imageDHash]]'s PCM sibling: decode
     * through [[PcmCodec]], split the amplitude stream into 33 equal
     * windows (boundaries `floor(i·n/33)`, exact integer arithmetic),

@@ -648,6 +648,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resampleAudio: exact midpoints on 2x upsample, per-channel " +
+      "independence, untouched declines") {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, PcmCodec}
+    // mono 2x upsample: even outputs copy, odd outputs are exact
+    // midpoints (rem/dst = 1/2, round half away)
+    val s = Array(100, 200, -50, 301)
+    val rows = Seq(
+      MediaRow(1L, "audio/wav", PcmCodec.encodeWav(1, 8000, 16, s),
+        MediaMeta("m", None, None, None)),
+      // stereo: channels interpolate independently
+      MediaRow(2L, "audio/wav", PcmCodec.encodeWav(2, 8000, 16,
+        Array(0, 1000, 100, 2000, 200, 3000)),
+        MediaMeta("m", None, None, None)),
+      // already at target rate: bytes pass through untouched
+      MediaRow(3L, "audio/wav", PcmCodec.encodeWav(1, 16000, 16, s),
+        MediaMeta("m", None, None, None)),
+      // declined codec: untouched, visibly the same payload
+      MediaRow(4L, "audio/flac", realFlac, MediaMeta("m", None, None, None)))
+    val out = Multimodal.resampleAudio(rows.toDS(), 16000)
+      .collect().map(m => m.media_id -> m.content).toMap
+    val p1 = PcmCodec.decode(out(1L)).get
+    assert(p1.sampleRate == 16000)
+    // duration preserved: (4-1)*16000/8000 + 1 = 7 samples
+    assert(p1.samples.toSeq == Seq(100, 150, 200, 75, -50, 126, 301))
+    val p2 = PcmCodec.decode(out(2L)).get
+    assert(p2.channels == 2)
+    assert(p2.samples.toSeq == Seq(0, 1000, 50, 1500, 100, 2000,
+      150, 2500, 200, 3000))
+    assert(out(3L).toSeq == PcmCodec.encodeWav(1, 16000, 16, s).toSeq)
+    assert(out(4L).toSeq == realFlac.toSeq)
+  }
+
   test("audioFingerprint: volume-invariant, container-agnostic, NULL " +
       "below window count") {
     import spark.implicits._
