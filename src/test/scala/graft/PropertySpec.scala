@@ -331,6 +331,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("codec hostility: every prefix and random corruption of valid " +
+      "containers decodes to None or a value, never throws") {
+    // the 100 TB crawl contract: a truncated upload or a bit-flipped
+    // payload must decline inside the kernel, not kill the task
+    val rnd = new scala.util.Random(211)
+    val png = graft.multimodal.PngCodec.encode(9, 7, 3,
+      Array.fill(9 * 7 * 3)(rnd.nextInt(256)))
+    val gif = graft.multimodal.GifCodec.encode(9, 7,
+      Array.tabulate(16)(_ * 0x111111), Array.fill(63)(rnd.nextInt(16)))
+    val jpg = graft.multimodal.JpegCodec.encodeColor(16, 16,
+      Array.fill(16 * 16 * 3)(rnd.nextInt(256)))
+    val j420 = graft.multimodal.JpegCodec.encodeColor420(16, 16,
+      Array.fill(16 * 16 * 3)(rnd.nextInt(256)))
+    val wav = graft.multimodal.PcmCodec.encodeWav(2, 8000, 24,
+      Array.fill(20)(rnd.nextInt(1 << 24) - (1 << 23)))
+    val mp4 = graft.multimodal.VideoFixture.encodeMp4(64, 48, 1000, 5000L, 2)
+    def assaults(full: Array[Byte]): Iterator[Array[Byte]] =
+      full.indices.iterator.map(full.take) ++ // every prefix
+        (1 to 40).iterator.map { _ =>         // random single-byte flips
+          val c = full.clone()
+          c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+          c
+        }
+    assaults(png).foreach(b => graft.multimodal.PngCodec.decode(b))
+    assaults(gif).foreach(b => graft.multimodal.GifCodec.decode(b))
+    assaults(jpg).foreach(b => graft.multimodal.JpegCodec.decode(b))
+    assaults(j420).foreach(b => graft.multimodal.JpegCodec.decode(b))
+    assaults(wav).foreach(b => graft.multimodal.PcmCodec.decode(b))
+    assaults(mp4).foreach(b => graft.functions.VideoMetaExpr.parseHeader(b))
+    // full payloads still decode after the fuzz pass (no shared state)
+    assert(graft.multimodal.PngCodec.decode(png).isDefined)
+    assert(graft.multimodal.GifCodec.decode(gif).isDefined)
+    assert(graft.multimodal.JpegCodec.decode(jpg).isDefined)
+    assert(graft.multimodal.JpegCodec.decode(j420).isDefined)
+    assert(graft.multimodal.PcmCodec.decode(wav).isDefined)
+  }
+
   test("upsampleToQuota output per domain is exactly derivable from counts") {
     val quota = 37L
     val rows = sample(Gen.chooseNum(1L, 1000L), 80).distinct
