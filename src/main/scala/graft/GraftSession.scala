@@ -39,9 +39,12 @@ object GraftSession {
       // round 10: q34 (the multi-stage ETL) 6.5 s -> 2.6 s at sf0.1, the
       // whole q29-q49 bench block 15.5 s -> 9.3 s, purely driver-side
       // compile time. Cost is metaspace for compiled classes (~KBs per
-      // entry); 5000 comfortably covers the full query set with room for
-      // a production mix on a long-lived driver.
-      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // entry). Round 11 raised the default to 20000 as HEADROOM for the
+      // 131-query surface (an A/B at 5000 vs 20000 under ambient host
+      // variance was inconclusive — SCALE.md r11 notes the measurement;
+      // the conf is env-overridable for future bisects).
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "20000"))
       .config("spark.sql.session.timeZone", "UTC")
       // catalog tables (the bucketed warehouse) live under tmp, not the
       // source tree
