@@ -3845,6 +3845,73 @@ object Queries {
           AS rms
       FROM o"""))
 
+  /** End-to-end multimodal dedup: q125's real-codec dHash near-dup
+    * pairs become the edge set for the connected-components machinery
+    * (the q89 auto chooser), proving the perceptual-fingerprint and
+    * graph-clustering operators compose — decode → hash → banded pairs
+    * → components in one plan chain. The oracle recomputes the dHash
+    * pipeline, ALL pairs within Hamming ≤ 3, and the transitive closure
+    * (WITH RECURSIVE min-reachable), the same reachability contract as
+    * q56/q79/q89. */
+  private val q132 = Q("q132_image_dedup_clusters",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+      val media = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, _) =>
+          val seed = (id % 251).toInt
+          val w = 9 * (1 + seed % 4)
+          val h = 8 * (1 + seed % 3)
+          val samples = Array.tabulate(w * h)(i =>
+            (seed + 31 * (i % w) + 13 * (i / w)) % 256)
+          MediaRow(id, "image/png",
+            graft.multimodal.PngCodec.encode(w, h, 1, samples),
+            MediaMeta("synth", Some(w), Some(h), None))
+        }
+      val hashes = graft.multimodal.Multimodal.imageDHash(media)
+      val pairs = graft.multimodal.Multimodal
+        .imageNearDups(hashes, maxHamming = 3)
+        .select(col("a").as("d1"), col("b").as("d2"))
+      graft.operators.Dedup.componentsAuto(
+        hashes.select(col("media_id").as("doc_id")), "doc_id", pairs)
+    },
+    Some("""WITH RECURSIVE p AS (SELECT doc_id,
+          9 * (1 + (doc_id % 251) % 4) AS w,
+          8 * (1 + (doc_id % 251) % 3) AS h,
+          doc_id % 251 AS seed
+        FROM documents),
+      cells AS (SELECT doc_id, g1.range AS gy, g2.range AS gx,
+          list_sum(list_transform(range(h//8), dy ->
+            list_sum(list_transform(range(w//9), dx ->
+              (seed + 31*(gx*(w//9)+dx) + 13*(gy*(h//8)+dy)) % 256))))
+            // ((w//9) * (h//8)) AS g
+        FROM p CROSS JOIN range(8) g1 CROSS JOIN range(9) g2),
+      bits AS (SELECT a.doc_id, a.gy, a.gx,
+          CASE WHEN a.g < b.g THEN 1 ELSE 0 END AS bit
+        FROM cells a JOIN cells b ON a.doc_id = b.doc_id AND a.gy = b.gy
+          AND b.gx = a.gx + 1
+        WHERE a.gx < 8),
+      dh AS (SELECT doc_id,
+          CAST(SUM(bit * (CASE WHEN gy*8+gx = 63 THEN -9223372036854775808
+            ELSE (CAST(1 AS BIGINT) << CAST(gy*8+gx AS INTEGER)) END))
+            AS BIGINT) AS dhash
+        FROM bits GROUP BY doc_id),
+      pr AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+        FROM dh a JOIN dh b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.dhash, b.dhash)) <= 3),
+      edges AS (SELECT d1 AS src, d2 AS dst FROM pr
+                UNION SELECT d2, d1 FROM pr),
+      reach AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+      mn AS (SELECT src, MIN(dst) AS m FROM reach GROUP BY src)
+      SELECT d.doc_id AS doc,
+        CAST(LEAST(d.doc_id, COALESCE(mn.m, d.doc_id)) AS BIGINT) AS component
+      FROM documents d LEFT JOIN mn ON d.doc_id = mn.src"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -3856,7 +3923,7 @@ object Queries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131)
+    q129, q130, q131, q132)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
