@@ -3912,6 +3912,59 @@ object Queries {
         CAST(LEAST(d.doc_id, COALESCE(mn.m, d.doc_id)) AS BIGINT) AS component
       FROM documents d LEFT JOIN mn ON d.doc_id = mn.src"""))
 
+  /** HTML → text extraction (crawl boilerplate stripping): every
+    * document wraps into deterministic HTML — style/script elements
+    * with hostile angle-bracket contents, headings, entities including
+    * the double-encoded `&amp;amp;`, a comment — and
+    * [[graft.functions.TextExprs.htmlToText]] recovers the text via a
+    * pure codegen'd regexp chain. Every construct is RE2-compatible by
+    * design, so the oracle applies the IDENTICAL chain (with DuckDB's
+    * explicit 'g' flag) to the identically-built wrapper: scripts drop
+    * WITH contents, tags strip, entities single-decode (&amp; last),
+    * whitespace collapses. */
+  private val q133 = Q("q133_html_to_text",
+    (s, d) => {
+      val wrapped = concat(
+        lit("<html><head><style>p { color: red }</style>" +
+          "<script type=\"text/js\">var a = \"<p>evil</p>\";</script>" +
+          "</head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), col("text"),
+        lit(" &amp;amp; <b>bold</b> &lt;tag&gt; &quot;q&quot; " +
+          "&#39;s&#39;</p><!-- trailing comment --></body></html>"))
+      val clean = graft.functions.TextExprs.htmlToText(wrapped)
+      documents(s, d).select(col("doc_id"), clean.as("clean"))
+        .withColumn("n_tokens",
+          size(graft.functions.TextExprs.tokens(col("clean"))))
+    },
+    Some("""WITH w AS (SELECT doc_id,
+          '<html><head><style>p { color: red }</style>' ||
+          '<script type="text/js">var a = "<p>evil</p>";</script>' ||
+          '</head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) ||
+          '</h1><p>' || text ||
+          ' &amp;amp; <b>bold</b> &lt;tag&gt; &quot;q&quot; ' ||
+          '&#39;s&#39;</p><!-- trailing comment --></body></html>' AS html
+        FROM documents),
+      f AS (SELECT doc_id,
+          trim(regexp_replace(
+            regexp_replace(
+              regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(html,
+                      '(?is)<script\b[^>]*>.*?</script>', ' ', 'g'),
+                    '(?is)<style\b[^>]*>.*?</style>', ' ', 'g'),
+                  '<[^>]*>', ' ', 'g'),
+                '&lt;', '<', 'g'), '&gt;', '>', 'g'),
+                '&quot;', '"', 'g'), '&#39;', CHR(39), 'g'),
+              '&amp;', '&', 'g'),
+            '\s+', ' ', 'g')) AS clean
+        FROM w)
+      SELECT doc_id, clean,
+        CAST(len(string_split_regex(trim(clean), '\s+')) AS INTEGER)
+          AS n_tokens
+      FROM f"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -3923,7 +3976,7 @@ object Queries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131, q132)
+    q129, q130, q131, q132, q133)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

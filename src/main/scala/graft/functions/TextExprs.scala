@@ -16,6 +16,35 @@ object TextExprs {
   /** Whitespace tokenization of trimmed text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** HTML → text extraction for crawl curation, as a pure codegen'd
+    * regexp chain (no parser, no UDF — stays in whole-stage codegen and
+    * is mirrorable verbatim by a SQL oracle since every construct is
+    * RE2-compatible: non-greedy spans, inline (?is), no backrefs):
+    *
+    *  1. drop `<script>`/`<style>` elements WITH their contents
+    *     (non-greedy, case-insensitive, dot-matches-newline);
+    *  2. strip every remaining `<...>` tag;
+    *  3. decode the five predefined entities (&amp; LAST, so
+    *     `&amp;lt;` decodes to the literal `&lt;` — one pass, not a
+    *     fixpoint, the standard single-decode contract);
+    *  4. collapse whitespace runs to single spaces and trim.
+    *
+    * Deliberately NOT a browser: comments/CDATA fall to the tag-strip
+    * rule, conditional markup is out of scope — the 99% boilerplate
+    * case a 100 TB crawl needs first, stated honestly. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "<[^>]*>", " ")
+    val ent = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&amp;", "&")
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Count of tokens contained in `vocab` (e.g. a stopword list). */

@@ -331,6 +331,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("htmlToText: scripts drop with contents, entities single-decode, " +
+      "hostile markup never throws") {
+    def clean(s: String): String =
+      Seq(s).toDF("h")
+        .select(TextExprs.htmlToText(col("h")).as("c"))
+        .collect().head.getString(0)
+    assert(clean("<p>hello <b>world</b></p>") == "hello world")
+    // script/style contents vanish even when they contain markup
+    assert(clean("<script>var a = \"<p>evil</p>\";</script>keep") == "keep")
+    assert(clean("<STYLE media=x>p { }</STYLE>keep") == "keep") // case-insensitive
+    assert(clean("a<script>\nmulti\nline\n</script>b") == "a b")
+    // entities: single decode, &amp; last — the double-encoded survives
+    assert(clean("&lt;tag&gt; &amp;amp; &quot;q&quot; &#39;s&#39;") ==
+      "<tag> &amp; \"q\" 's'")
+    // comments fall to the tag rule; whitespace collapses; trim
+    assert(clean("  x <!-- note --> \n\t y  ") == "x y")
+    // hostile fragments: unbalanced, truncated — never throw
+    assert(clean("<script>never closed") == "<script>never closed"
+      .replaceAll("<[^>]*>", " ").trim) // no </script>: span rule can't fire
+    assert(clean("<<<>>>") == ">>") // greedy <...> eats "<<<>", rest literal
+    assert(clean("") == "")
+  }
+
   test("codec hostility: every prefix and random corruption of valid " +
       "containers decodes to None or a value, never throws") {
     // the 100 TB crawl contract: a truncated upload or a bit-flipped
