@@ -3965,6 +3965,54 @@ object Queries {
           AS n_tokens
       FROM f"""))
 
+  /** Restart-marker JPEG (the shape most real encoders emit): q128's
+    * block-constant fixtures re-encoded with a 3-MCU restart interval —
+    * byte-aligned RSTn boundaries resetting every DC predictor — must
+    * decode to the IDENTICAL closed form, so the oracle is q128's
+    * verbatim. A desynchronized restart (wrong alignment, missed
+    * predictor reset, marker mis-consume) shifts decoded DC values and
+    * fails the hash. */
+  private val q134 = Q("q134_jpeg_restart",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+      val media = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          val w = 8 * (1 + (id % 6)).toInt
+          val h = 8 * (1 + (nc % 4)).toInt
+          val seed = (id % 251).toInt
+          val samples = Array.tabulate(w * h) { i =>
+            val bx = (i % w) / 8; val by = (i / w) / 8
+            2 * ((seed + 17 * bx + 29 * by) % 128)
+          }
+          MediaRow(id, "image/jpeg",
+            graft.multimodal.JpegCodec.encode(w, h, samples,
+              restartInterval = 3),
+            MediaMeta("synth", Some(w), Some(h), None))
+        }
+      graft.multimodal.Multimodal.imageFeatures(media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          (col("width").cast("long") * col("height")).as("n_pixels"),
+          col("brightness"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          8 * (1 + doc_id % 6) AS w,
+          8 * (1 + n_chars % 4) AS h,
+          doc_id % 251 AS seed
+        FROM documents),
+      s AS (SELECT doc_id, w, h,
+          64 * list_sum(list_transform(range(w//8 * (h//8)), b ->
+            2 * ((seed + 17*(b % (w//8)) + 29*(b // (w//8))) % 128))) AS sm
+        FROM p)
+      SELECT doc_id AS media_id,
+        CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        CAST(w*h AS BIGINT) AS n_pixels,
+        CAST((sm*2000000 + w*h*255) // (2*w*h*255) AS DOUBLE)
+          / 1000000.0 AS brightness
+      FROM s"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -3976,7 +4024,7 @@ object Queries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131, q132, q133)
+    q129, q130, q131, q132, q133, q134)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

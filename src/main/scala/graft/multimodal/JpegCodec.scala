@@ -8,12 +8,13 @@ package graft.multimodal
   * [[PngCodec]]/[[GifCodec]].
   *
   * Envelope, stated honestly: baseline sequential (SOF0), 8-bit,
-  * grayscale (1 component) or 4:4:4 YCbCr color (3 components, no
-  * chroma subsampling), no restart markers. Subsampled color,
-  * progressive (SOF2), arithmetic coding, and 12-bit all return
-  * None — the stub fallback, never fabricated pixels. Color output is
-  * interleaved RGB via the JFIF inverse transform (one fixed IEEE
-  * sequence per channel, mirrored by the q129 oracle).
+  * grayscale, 4:4:4 YCbCr, or 4:2:0 YCbCr, with or without restart
+  * markers (DRI/RSTn — byte-aligned predictor resets, the shape most
+  * real encoders emit). Other subsampling, progressive (SOF2),
+  * arithmetic coding, and 12-bit all return None — the stub fallback,
+  * never fabricated pixels. Color output is interleaved RGB via the
+  * JFIF inverse transform (one fixed IEEE sequence per channel,
+  * mirrored by the q129/q130 oracles).
   *
   * The encoder exists for fixtures and spec round trips. JPEG is
   * LOSSY, so unlike the PNG/GIF gates the oracle cannot demand
@@ -72,6 +73,12 @@ object JpegCodec {
         nBits -= 8
       }
     }
+    /** 1-pad to a byte boundary and emit a restart marker (raw bytes —
+      * markers are never stuffed). */
+    def restart(n: Int): Unit = {
+      if (nBits > 0) put(0x7f, 8 - nBits)
+      out.write(0xff); out.write(0xd0 + (n & 7))
+    }
     def finishWithOnes(): Array[Byte] = {
       if (nBits > 0) put(0x7f, 8 - nBits) // pad with 1s per spec
       out.toByteArray
@@ -80,10 +87,12 @@ object JpegCodec {
 
   /** Encode 8-bit grayscale as a real baseline JFIF JPEG (SOF0, one
     * component, uniform Q=16, self-declared canonical Huffman). */
-  def encode(w: Int, h: Int, samples: Array[Int]): Array[Byte] = {
+  def encode(w: Int, h: Int, samples: Array[Int],
+             restartInterval: Int = 0): Array[Byte] = {
     require(w >= 1 && h >= 1 && samples.length == w * h,
       s"bad dims: $w x $h vs ${samples.length}")
-    encodePlanes(w, h, Array(samples), Quant)
+    encodeMcus(w, h, Array(samples), Array(w), Array(h), Array(0x11),
+      Quant, restartInterval)
   }
 
   /** Encode interleaved RGB as a 4:4:4 YCbCr baseline JPEG. The forward
@@ -138,7 +147,7 @@ object JpegCodec {
     }
     encodeMcus(w, h, Array(yP, down(cbF), down(crF)),
       Array(w, cw, cw), Array(h, chh, chh),
-      Array(0x22, 0x11, 0x11), quant)
+      Array(0x22, 0x11, 0x11), quant, 0)
   }
 
   private def clamp255(v: Long): Int =
@@ -148,11 +157,12 @@ object JpegCodec {
                            quant: Int): Array[Byte] =
     encodeMcus(w, h, planes,
       Array.fill(planes.length)(w), Array.fill(planes.length)(h),
-      Array.fill(planes.length)(0x11), quant)
+      Array.fill(planes.length)(0x11), quant, 0)
 
   private def encodeMcus(w: Int, h: Int, planes: Array[Array[Int]],
                          planeW: Array[Int], planeH: Array[Int],
-                         samps: Array[Int], quant: Int): Array[Byte] = {
+                         samps: Array[Int], quant: Int,
+                         restartInterval: Int): Array[Byte] = {
     val nComp = planes.length
     val dcLen = DcSyms.map(_ => 4)
     val acLen = AcSyms.map(_ => 8)
@@ -168,10 +178,21 @@ object JpegCodec {
     val prevDc = new Array[Long](nComp)
     val blk = new Array[Double](64)
     val coef = new Array[Long](64)
+    var mcuIdx = 0
+    var rstN = 0
     var by = 0
     while (by < mcusY) {
       var bx = 0
       while (bx < mcusX) {
+        // a restart boundary byte-aligns the stream and resets every
+        // DC predictor — emitted BEFORE each interval-multiple MCU
+        if (restartInterval > 0 && mcuIdx > 0 &&
+          mcuIdx % restartInterval == 0) {
+          bw.restart(rstN)
+          rstN = (rstN + 1) & 7
+          java.util.Arrays.fill(prevDc, 0L)
+        }
+        mcuIdx += 1
         var c = 0
         while (c < nComp) { // interleaved MCU: hi×vi blocks per component
           val plane = planes(c)
@@ -237,6 +258,9 @@ object JpegCodec {
     }
     marker(0xd8) // SOI
     seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    if (restartInterval > 0)
+      seg(0xdd, Array[Byte](((restartInterval >> 8) & 0xff).toByte,
+        (restartInterval & 0xff).toByte))
     seg(0xdb, 0.toByte +: Array.fill(64)(quant.toByte)) // DQT id 0
     val sof = Array.newBuilder[Byte]
     sof += 8 // precision
@@ -386,6 +410,17 @@ object JpegCodec {
       }
       v
     }
+    /** Discard padding bits and consume an RSTn marker; false on
+      * anything else (malformed restart structure). */
+    def consumeRestart(): Boolean = {
+      acc = 0; nBits = 0
+      if (pos + 2 > d.length) return false
+      if ((d(pos) & 0xff) != 0xff) return false
+      val m = d(pos + 1) & 0xff
+      if (m < 0xd0 || m > 0xd7) return false
+      pos += 2
+      true
+    }
   }
 
   private final class Huff(bits: Array[Int], vals: Array[Int]) {
@@ -447,6 +482,7 @@ object JpegCodec {
     val dcTabs = new java.util.HashMap[Int, Huff]()
     val acTabs = new java.util.HashMap[Int, Huff]()
     val quants = new java.util.HashMap[Int, Array[Int]]()
+    var restartInterval = 0
     var scanAt = -1
     while (scanAt < 0) {
       if (p + 4 > bytes.length) return None
@@ -531,7 +567,9 @@ object JpegCodec {
               c += 1
             }
             scanAt = p + 2 + len
-          case 0xdd => return None // restart interval: out of envelope
+          case 0xdd => // DRI: restart interval in MCUs
+            if (len < 4) return None
+            restartInterval = ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
           case _ => () // APPn/COM: skip
         }
         p += 2 + len
@@ -557,10 +595,18 @@ object JpegCodec {
     val planes = Array.tabulate(nComp)(c => new Array[Int](planeW(c) * planeH(c)))
     val coef = new Array[Double](64)
     val prevDc = new Array[Int](nComp)
+    var mcuIdx = 0
     var by = 0
     while (by < mcusY) {
       var bx = 0
       while (bx < mcusX) {
+        // restart boundary: byte-align, consume RSTn, reset predictors
+        if (restartInterval > 0 && mcuIdx > 0 &&
+          mcuIdx % restartInterval == 0) {
+          if (!r.consumeRestart()) return None
+          java.util.Arrays.fill(prevDc, 0)
+        }
+        mcuIdx += 1
         var c = 0
         while (c < nComp) { // interleaved MCU: hi×vi blocks per component
           val hi = compSamp(c) >> 4

@@ -530,6 +530,32 @@ class MultimodalSpec extends SparkSpec {
     assert(JpegCodec.decode(sub).isEmpty)
   }
 
+  test("JpegCodec restart markers: byte-aligned predictor resets " +
+      "round-trip exactly; corrupt restart structure declines") {
+    import graft.multimodal.JpegCodec
+    val w = 40; val h = 24 // 5x3 = 15 MCUs
+    val const = Array.tabulate(w * h) { i =>
+      val bx = (i % w) / 8; val by = (i / w) / 8
+      2 * ((11 + 17 * bx + 29 * by) % 128)
+    }
+    for (interval <- Seq(1, 2, 3, 7)) {
+      val jb = JpegCodec.encode(w, h, const, restartInterval = interval)
+      val got = JpegCodec.decode(jb)
+      assert(got.isDefined, s"interval=$interval")
+      assert(got.get._4.toSeq == const.toSeq,
+        s"restart interval $interval broke the exact DC contract")
+    }
+    // a restart file whose marker bytes are corrupted declines, never
+    // desynchronizes into garbage pixels
+    val jb = JpegCodec.encode(w, h, const, restartInterval = 2)
+    // find the first RST marker in the entropy stream (FF D0)
+    val rstAt = jb.indices.dropWhile(i =>
+      (jb(i) & 0xff) != 0xff || (jb(i + 1) & 0xff) != 0xd0).head
+    val bad = jb.clone()
+    bad(rstAt + 1) = 0x3b.toByte // not a marker at all
+    assert(JpegCodec.decode(bad).isEmpty)
+  }
+
   test("JpegCodec 4:2:0: MCU-constant exactness through subsample + " +
       "upsample, gradient dims survive") {
     import graft.multimodal.JpegCodec
