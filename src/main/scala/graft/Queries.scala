@@ -4013,6 +4013,52 @@ object Queries {
           / 1000000.0 AS brightness
       FROM s"""))
 
+  /** Banded audio near-dups (q125's audio sibling, closing the dedup
+    * symmetry): clips are pure functions of the doc SEED, so
+    * seed-sharing docs are sample-identical — Hamming 0 on the
+    * energy-contour fingerprint — while cross-seed coincidences within
+    * radius 3 are legitimate finds. Spark generates candidates via the
+    * 4×8-bit-band pigeonhole join over the 32-bit hash; the oracle
+    * checks ALL pairs within radius, provably equal to the banded set. */
+  private val q135 = Q("q135_audio_near_dups",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+      val media = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, _) =>
+          val seed = (id % 251).toInt
+          val frames = 80 + seed % 40
+          val samples = Array.tabulate(frames)(i =>
+            (seed + 9973 * i) % 65536 - 32768)
+          MediaRow(id, "audio/wav",
+            graft.multimodal.PcmCodec.encodeWav(1, 16000, 16, samples),
+            MediaMeta("synth", None, None, None))
+        }
+      graft.multimodal.Multimodal.audioNearDups(
+        graft.multimodal.Multimodal.audioFingerprint(media), maxHamming = 3)
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          80 + (doc_id % 251) % 40 AS n,
+          doc_id % 251 AS seed
+        FROM documents),
+      w AS (SELECT doc_id, g.range AS wi,
+          list_sum(list_transform(range(wi*n//33, (wi+1)*n//33), k ->
+            abs((seed + 9973*k) % 65536 - 32768))) AS e
+        FROM p CROSS JOIN range(33) g),
+      b AS (SELECT a.doc_id, a.wi, CASE WHEN a.e < c.e THEN 1 ELSE 0 END AS bit
+        FROM w a JOIN w c ON a.doc_id = c.doc_id AND c.wi = a.wi + 1
+        WHERE a.wi < 32),
+      fp AS (SELECT doc_id,
+          CAST(SUM(bit * (CAST(1 AS BIGINT) << CAST(wi AS INTEGER)))
+            AS BIGINT) AS afp
+        FROM b GROUP BY doc_id)
+      SELECT a.doc_id AS a, b.doc_id AS b,
+        CAST(bit_count(xor(a.afp, b.afp)) AS INTEGER) AS hamming
+      FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.afp, b.afp)) <= 3"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -4024,7 +4070,7 @@ object Queries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131, q132, q133, q134)
+    q129, q130, q131, q132, q133, q134, q135)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

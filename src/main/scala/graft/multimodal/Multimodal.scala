@@ -359,22 +359,39 @@ object Multimodal {
     * exact Hamming check runs only inside buckets. maxHamming ≤ 3 keeps
     * the pigeonhole guarantee; a larger radius would need more bands.
     * Output: (a, b, hamming), a < b, distinct. */
-  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def imageNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    nearDupsByHash(hashes, "dhash", hashBits = 64, maxHamming = maxHamming)
+
+  /** [[imageNearDups]] for the audio fingerprint: same 4-band
+    * pigeonhole over the 32-bit energy-contour hash (8-bit bands). */
+  def audioNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    nearDupsByHash(hashes, "afp", hashBits = 32, maxHamming = maxHamming)
+
+  /** The shared banded near-dup core: a `hashBits`-bit hash splits into
+    * 4 equal bands; by pigeonhole any pair within Hamming distance 3
+    * agrees on a whole band, so candidates come from 4 hash-equijoins
+    * and the exact Hamming check runs only inside buckets. NULL hashes
+    * (declined decodes) never pair. Output: (a, b, hamming), a < b. */
+  private def nearDupsByHash(hashes: DataFrame, hashCol: String,
+                             hashBits: Int, maxHamming: Int): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
-      s"imageNearDups: maxHamming $maxHamming breaks the 4-band pigeonhole")
-    val hs = hashes.where(col("dhash").isNotNull)
-      .select(col("media_id"), col("dhash"))
-    val banded = hs.select(col("media_id"), col("dhash"),
+      s"nearDupsByHash: maxHamming $maxHamming breaks the 4-band pigeonhole")
+    require(hashBits % 4 == 0, s"nearDupsByHash: bits $hashBits not 4-bandable")
+    val bandBits = hashBits / 4
+    val mask = (1L << bandBits) - 1
+    val hs = hashes.where(col(hashCol).isNotNull)
+      .select(col("media_id"), col(hashCol).as("__h"))
+    val banded = hs.select(col("media_id"), col("__h"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("band"),
-          shiftright(col("dhash"), 16 * i).bitwiseAND(lit(0xffffL))
+          shiftright(col("__h"), bandBits * i).bitwiseAND(lit(mask))
             .as("key"))): _*)).as("b"))
-      .select(col("media_id"), col("dhash"),
+      .select(col("media_id"), col("__h"),
         col("b.band").as("band"), col("b.key").as("key"))
     val l = banded.select(col("band"), col("key"),
-      col("media_id").as("a"), col("dhash").as("ha"))
+      col("media_id").as("a"), col("__h").as("ha"))
     val r = banded.select(col("band"), col("key"),
-      col("media_id").as("b"), col("dhash").as("hb"))
+      col("media_id").as("b"), col("__h").as("hb"))
     l.join(r, Seq("band", "key"))
       .where(col("a") < col("b"))
       .select(col("a"), col("b"),

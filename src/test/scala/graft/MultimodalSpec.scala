@@ -739,6 +739,30 @@ class MultimodalSpec extends SparkSpec {
     assert(got(5L).isEmpty && got(6L).isEmpty)
   }
 
+  test("audioNearDups: identical clips pair at Hamming 0 through the " +
+      "4x8-bit bands; NULLs never pair") {
+    import spark.implicits._
+    import graft.multimodal.{Multimodal, PcmCodec}
+    val s = Array.tabulate(120)(i => ((i * 37 + 11) % 2000) - 1000)
+    val rows = Seq(
+      MediaRow(1L, "audio/wav", PcmCodec.encodeWav(1, 16000, 16, s),
+        MediaMeta("m", None, None, None)),
+      MediaRow(2L, "audio/wav", PcmCodec.encodeWav(1, 16000, 16, s.clone()),
+        MediaMeta("m", None, None, None)),
+      MediaRow(3L, "audio/wav", PcmCodec.encodeWav(1, 16000, 16, s.reverse),
+        MediaMeta("m", None, None, None)),
+      MediaRow(4L, "audio/flac", realFlac, MediaMeta("m", None, None, None)))
+    val pairs = Multimodal.audioNearDups(
+        Multimodal.audioFingerprint(rows.toDS()), maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // NULL never pairs
+    intercept[IllegalArgumentException] {
+      Multimodal.audioNearDups(
+        Multimodal.audioFingerprint(rows.toDS()), maxHamming = 4)
+    }
+  }
+
   test("audio_meta rejects hostile chunk sizes without hanging") {
     import graft.functions.AudioMetaExpr.parseHeader
     // declared u32 size 0xFFFFFFF8: toInt is -8, so the naive step
