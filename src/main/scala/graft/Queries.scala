@@ -4059,6 +4059,60 @@ object Queries {
       FROM fp a JOIN fp b ON a.doc_id < b.doc_id
       WHERE bit_count(xor(a.afp, b.afp)) <= 3"""))
 
+  /** Real image downscale (the resize stub retired for decodable
+    * payloads): q50-style PNG fixtures with 3-divisible dims shrink by
+    * an exact half-up 3×3 box mean and re-encode as PNG; features of
+    * the RESIZED payload — dims and micro-unit brightness over the box
+    * means — are recomputed by the oracle from the synthesis formula,
+    * so a wrong box boundary, a float mean, or a re-encode defect
+    * fails the hash. */
+  private val q136 = Q("q136_image_downscale",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+      val media = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          val w = 3 * (1 + (id % 16)).toInt
+          val h = 3 * (1 + (nc % 10)).toInt
+          val ch = if (id % 2 == 0) 1 else 3
+          val seed = (id % 251).toInt
+          val samples = Array.tabulate(w * h * ch) { i =>
+            val c = i % ch; val x = (i / ch) % w; val y = i / (ch * w)
+            (seed + 31 * x + 13 * y + 7 * c) % 256
+          }
+          MediaRow(id, "image/png",
+            graft.multimodal.PngCodec.encode(w, h, ch, samples),
+            MediaMeta("synth", Some(w), Some(h), None))
+        }
+      graft.multimodal.Multimodal.imageFeatures(
+          graft.multimodal.Multimodal.downscaleImages(media, factor = 3))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          (col("width").cast("long") * col("height")).as("n_pixels"),
+          col("brightness"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          3 * (1 + doc_id % 16) AS w,
+          3 * (1 + CAST(n_chars AS BIGINT) % 10) AS h,
+          CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+          doc_id % 251 AS seed
+        FROM documents),
+      s AS (SELECT doc_id, w//3 AS ow, h//3 AS oh, ch,
+          list_sum(list_transform(range(w//3 * (h//3) * ch), i ->
+            (2 * list_sum(list_transform(range(9), r ->
+              (seed + 31*(3*((i // ch) % (w//3)) + r % 3)
+               + 13*(3*(i // (ch * (w//3))) + r // 3)
+               + 7*(i % ch)) % 256)) + 9) // 18)) AS sm
+        FROM p)
+      SELECT doc_id AS media_id,
+        CAST(ow AS INTEGER) AS width, CAST(oh AS INTEGER) AS height,
+        CAST(ow*oh AS BIGINT) AS n_pixels,
+        CAST((sm*2000000 + ow*oh*ch*255) // (2*ow*oh*ch*255) AS DOUBLE)
+          / 1000000.0 AS brightness
+      FROM s"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -4070,7 +4124,7 @@ object Queries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131, q132, q133, q134, q135)
+    q129, q130, q131, q132, q133, q134, q135, q136)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

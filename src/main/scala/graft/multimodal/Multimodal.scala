@@ -400,6 +400,71 @@ object Multimodal {
       .distinct()
   }
 
+  /** REAL integer-factor image downscale — the thumbnailing transform
+    * a 100 TB crawl runs before feature extraction, replacing the stub
+    * resize for every payload the real codecs can decode: pixels come
+    * through [[PngCodec]]/[[GifCodec]]/[[JpegCodec]], each output
+    * sample is the EXACT half-up integer mean of its factor×factor box
+    * (`(2·sum + f²) div 2f²` — no float, an oracle recomputes it), and
+    * the result re-encodes as lossless PNG (thumbnails standardize to
+    * PNG regardless of source container — re-encoding lossy JPEG as
+    * JPEG would stack quantization error).
+    *
+    * Payloads that decline — undecodable bytes, dims not divisible by
+    * the factor — pass through UNTOUCHED (visible via image_meta's
+    * unchanged dims), never silently dropped or fabricated. General
+    * fractional resize stays out of the envelope deliberately: it
+    * needs interpolation choices this contract doesn't want to hide. */
+  def downscaleImages(media: Dataset[MediaRow], factor: Int,
+                      batchSize: Int = 64): Dataset[MediaRow] = {
+    require(factor >= 1, s"downscaleImages: bad factor $factor")
+    import media.sparkSession.implicits._
+    val f2 = factor * factor
+    mapBatches(media, batchSize) { batch =>
+      batch.map { m =>
+        val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
+        val decoded =
+          if (bytes.isEmpty) None
+          else PngCodec.decode(bytes).orElse(GifCodec.decode(bytes))
+            .orElse(JpegCodec.decode(bytes))
+        decoded match {
+          case Some((w, h, ch, s))
+            if factor > 1 && w % factor == 0 && h % factor == 0 =>
+            val ow = w / factor; val oh = h / factor
+            val out = new Array[Int](ow * oh * ch)
+            var oy = 0
+            while (oy < oh) {
+              var ox = 0
+              while (ox < ow) {
+                var c = 0
+                while (c < ch) {
+                  var sum = 0
+                  var dy = 0
+                  while (dy < factor) {
+                    var dx = 0
+                    while (dx < factor) {
+                      sum += s(((oy * factor + dy) * w + ox * factor + dx)
+                        * ch + c)
+                      dx += 1
+                    }
+                    dy += 1
+                  }
+                  out((oy * ow + ox) * ch + c) = (2 * sum + f2) / (2 * f2)
+                  c += 1
+                }
+                ox += 1
+              }
+              oy += 1
+            }
+            m.copy(mime = "image/png",
+              content = PngCodec.encode(ow, oh, ch, out),
+              meta = m.meta.copy(width = Some(ow), height = Some(oh)))
+          case _ => m // declined or factor 1: untouched, visibly
+        }
+      }
+    }
+  }
+
   /** Image resize: payload→payload transform keeping (id, mime, meta)
     * and rewriting content + dims — the decode→resize→encode round trip
     * behind the stub codec. */

@@ -609,6 +609,45 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("downscaleImages: exact half-up box means, cross-codec input, " +
+      "untouched declines") {
+    import spark.implicits._
+    import graft.multimodal.{JpegCodec, Multimodal, PngCodec}
+    // 4x2 gray at factor 2 -> 2x1; means: (10+20+30+40)/4 = 25,
+    // (1+2+3+4)/4 = 2.5 -> half-up 3
+    val tiny = Array(10, 20, 1, 2, 30, 40, 3, 4)
+    val rows = Seq(
+      MediaRow(1L, "image/png", PngCodec.encode(4, 2, 1, tiny),
+        MediaMeta("s", Some(4), Some(2), None)),
+      // dims not divisible by the factor: untouched, visibly
+      MediaRow(2L, "image/png", PngCodec.encode(3, 2, 1, Array.fill(6)(9)),
+        MediaMeta("s", Some(3), Some(2), None)),
+      // a JPEG source standardizes to a PNG thumbnail (block-constant
+      // even values decode exactly, so the box means are exact too)
+      MediaRow(3L, "image/jpeg", JpegCodec.encode(16, 16,
+        Array.tabulate(256)(i => 2 * ((((i % 16) / 8) * 2 + (i / 16) / 8) * 30))),
+        MediaMeta("s", Some(16), Some(16), None)),
+      // undecodable: untouched
+      MediaRow(4L, "application/blob", Array[Byte](1, 2, 3),
+        MediaMeta("s", None, None, None)))
+    val out = Multimodal.downscaleImages(rows.toDS(), factor = 2)
+      .collect().map(m => m.media_id -> m).toMap
+    val p1 = PngCodec.decode(out(1L).content).get
+    assert((p1._1, p1._2) == (2, 1))
+    assert(p1._4.toSeq == Seq(25, 3))
+    assert(out(1L).meta.width.contains(2) && out(1L).meta.height.contains(1))
+    assert(out(2L).content.toSeq ==
+      PngCodec.encode(3, 2, 1, Array.fill(6)(9)).toSeq) // untouched
+    assert(out(3L).mime == "image/png")
+    val p3 = PngCodec.decode(out(3L).content).get
+    assert((p3._1, p3._2) == (8, 8))
+    // each 8x8 output quadrant is the constant of its source block
+    // (value = 2*(bx*2 + by)*30: TL 0, TR 120, BL 60, BR 180)
+    assert(p3._4(0) == 0 && p3._4(7) == 120 &&
+      p3._4(56) == 60 && p3._4(63) == 180)
+    assert(out(4L).content.toSeq == Seq[Byte](1, 2, 3)) // untouched
+  }
+
   test("imageDHash: brightness-invariant, codec-agnostic, NULL below grid") {
     import spark.implicits._
     import graft.multimodal.{GifCodec, Multimodal, PngCodec}
