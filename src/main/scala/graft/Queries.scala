@@ -4113,6 +4113,66 @@ object Queries {
           / 1000000.0 AS brightness
       FROM s"""))
 
+  /** Real video frame extraction (MJPEG): per document an MJPEG AVI
+    * with 2-4 block-constant JPEG frames (even values — the q128 exact
+    * DC form per frame) goes through the full container walk → per-
+    * frame JPEG decode → features chain; frame_ms comes from the
+    * container's µs-per-frame clock. The oracle recomputes every
+    * frame's brightness and timestamp from the synthesis formulas, so
+    * a mis-sliced movi chunk, a dropped frame, a wrong clock, or any
+    * JPEG defect fails the hash. */
+  private val q137 = Q("q137_mjpeg_frames",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+      val media = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, _) =>
+          val nf = 2 + (id % 3).toInt
+          val us = 33000 + ((id % 5) * 1000).toInt
+          val seed = (id % 251).toInt
+          val frames = (0 until nf).map { f =>
+            val samples = Array.tabulate(256) { i =>
+              val b = ((i % 16) / 8) + 2 * ((i / 16) / 8)
+              2 * ((seed + 5 * f + 17 * (b % 2) + 29 * (b / 2)) % 128)
+            }
+            graft.multimodal.JpegCodec.encode(16, 16, samples)
+          }
+          MediaRow(id, "video/x-msvideo",
+            graft.multimodal.VideoFixture.encodeMjpegAvi(16, 16, us, frames),
+            MediaMeta("synth", Some(16), Some(16), None))
+        }
+      val fr = graft.multimodal.Multimodal.mjpegFrames(media)
+      val fmedia = fr.map(f => MediaRow(f.media_id * 8 + f.frame_idx,
+        "image/jpeg", f.frame, MediaMeta("frame", None, None, None)))
+      val feats = graft.multimodal.Multimodal.imageFeatures(fmedia).toDF()
+        .select(col("media_id").as("fid"), col("width"), col("height"),
+          col("brightness"))
+      fr.toDF()
+        .select(col("media_id"), col("frame_idx"), col("frame_ms"),
+          (col("media_id") * 8 + col("frame_idx")).as("fid"))
+        .join(feats, Seq("fid"))
+        .drop("fid")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          2 + doc_id % 3 AS nf,
+          33000 + (doc_id % 5) * 1000 AS us,
+          doc_id % 251 AS seed
+        FROM documents),
+      fr AS (SELECT doc_id, us, seed, f.range AS fi
+        FROM p CROSS JOIN range(4) f WHERE f.range < nf),
+      s AS (SELECT doc_id, fi, us,
+          64 * list_sum(list_transform(range(4), b ->
+            2 * ((seed + 5*fi + 17*(b % 2) + 29*(b // 2)) % 128))) AS sm
+        FROM fr)
+      SELECT doc_id AS media_id, CAST(fi AS INTEGER) AS frame_idx,
+        CAST(fi * us // 1000 AS BIGINT) AS frame_ms,
+        CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+        CAST((sm*2000000 + 16*16*255) // (2*16*16*255) AS DOUBLE)
+          / 1000000.0 AS brightness
+      FROM s"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -4124,7 +4184,7 @@ object Queries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131, q132, q133, q134, q135, q136)
+    q129, q130, q131, q132, q133, q134, q135, q136, q137)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -480,6 +480,30 @@ object Multimodal {
     }
   }
 
+  /** REAL video frame extraction for the Motion-JPEG family: each
+    * `movi` chunk of an MJPEG AVI is a complete baseline JPEG, so
+    * [[MjpegAvi]] + [[JpegCodec]] extract genuinely decodable frames —
+    * one output row per frame, frame payload = the frame's own JPEG
+    * bytes, `frame_ms` from the container's µs-per-frame clock.
+    * Containers outside the envelope (real inter-frame codecs) emit
+    * NO rows — compose with [[sampleFrames]]'s visible stub for those,
+    * never fabricated frames. */
+  def mjpegFrames(media: Dataset[MediaRow], batchSize: Int = 16): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    mapBatches(media, batchSize) { batch =>
+      batch.flatMap { m =>
+        val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
+        MjpegAvi.decode(bytes) match {
+          case Some((us, frames)) =>
+            frames.zipWithIndex.map { case (f, i) =>
+              FrameSample(m.media_id, i, i.toLong * us / 1000L, f)
+            }
+          case None => Seq.empty
+        }
+      }
+    }
+  }
+
   /** Video frame sampling: one output row per sampled frame (flatMap
     * shape), frame payload re-hashed per frame (stub). */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long,

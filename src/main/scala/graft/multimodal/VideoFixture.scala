@@ -61,6 +61,36 @@ object VideoFixture {
       be32(0L) ++ be32(0x00010000L) ++ be32(0L) ++
       be32(0L) ++ be32(0L) ++ be32(0x40000000L)
 
+  /** A REAL Motion-JPEG AVI: the [[encodeAvi]] header plus a
+    * `LIST movi` whose `00dc` chunks each hold a complete JPEG payload
+    * — the fixture [[MjpegAvi.decode]] + [[JpegCodec]] extract real
+    * frames from. */
+  def encodeMjpegAvi(w: Int, h: Int, usPerFrame: Int,
+                     frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty && usPerFrame > 0)
+    val head = encodeAvi(w, h, usPerFrame, frames.size, 1)
+    val movi = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("movi".getBytes("US-ASCII"))
+      frames.foreach { f =>
+        out.write("00dc".getBytes("US-ASCII"))
+        out.write(le32(f.length.toLong), 0, 4)
+        out.write(f, 0, f.length)
+        if ((f.length & 1) == 1) out.write(0) // RIFF pad
+      }
+      out.toByteArray
+    }
+    val list = "LIST".getBytes("US-ASCII") ++ le32(movi.length.toLong) ++ movi
+    // splice: extend the RIFF size and append the movi list
+    val total = head ++ list
+    val riffSize = total.length - 8
+    total(4) = (riffSize & 0xff).toByte
+    total(5) = ((riffSize >> 8) & 0xff).toByte
+    total(6) = ((riffSize >> 16) & 0xff).toByte
+    total(7) = ((riffSize >> 24) & 0xff).toByte
+    total
+  }
+
   /** Minimal AVI: RIFF('AVI ' LIST('hdrl' avih(56))). */
   def encodeAvi(w: Int, h: Int, usPerFrame: Int, totalFrames: Int,
                 streams: Int): Array[Byte] = {

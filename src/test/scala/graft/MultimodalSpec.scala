@@ -374,6 +374,40 @@ class MultimodalSpec extends SparkSpec {
     assert(f.brightness == (sum * 2000000L + d) / (2L * d) / 1000000.0)
   }
 
+  test("MjpegAvi: frames extract in order with the container clock; " +
+      "non-video chunks skip; hostile declines") {
+    import spark.implicits._
+    import graft.multimodal.{JpegCodec, MjpegAvi, Multimodal, VideoFixture}
+    val f0 = JpegCodec.encode(16, 16, Array.fill(256)(100))
+    val f1 = JpegCodec.encode(16, 16, Array.fill(256)(200))
+    // odd-length frame exercises the RIFF pad in the movi walk
+    val f2 = JpegCodec.encode(8, 8, Array.fill(64)(50))
+    val avi = VideoFixture.encodeMjpegAvi(16, 16, 40000, Seq(f0, f1, f2))
+    val got = MjpegAvi.decode(avi)
+    assert(got.isDefined)
+    assert(got.get._1 == 40000L)
+    assert(got.get._2.map(_.toSeq) == Seq(f0.toSeq, f1.toSeq, f2.toSeq))
+    // every extracted frame is itself a decodable JPEG
+    got.get._2.foreach(f => assert(JpegCodec.decode(f).isDefined))
+    // declines: plain AVI without movi, truncated, not-a-container
+    assert(MjpegAvi.decode(
+      VideoFixture.encodeAvi(16, 16, 40000, 3, 1)).isEmpty)
+    assert(MjpegAvi.decode(avi.take(avi.length / 2)).isEmpty ||
+      MjpegAvi.decode(avi.take(avi.length / 2)).exists(_._2.size < 3))
+    assert(MjpegAvi.decode("RIFFxxxxWAVE".getBytes).isEmpty)
+    // the operator: frame rows with the container clock, stub-free
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "video/x-msvideo", avi,
+        Multimodal.MediaMeta("cam", None, None, None)),
+      Multimodal.MediaRow(2L, "video/mp4",
+        VideoFixture.encodeMp4(64, 48, 1000, 5000L, 1),
+        Multimodal.MediaMeta("cam", None, None, None)))
+    val fr = Multimodal.mjpegFrames(rows.toDS()).collect()
+      .sortBy(f => (f.media_id, f.frame_idx))
+    assert(fr.map(f => (f.media_id, f.frame_idx, f.frame_ms)).toSeq ==
+      Seq((1L, 0, 0L), (1L, 1, 40L), (1L, 2, 80L))) // mp4: no rows
+  }
+
   test("video_meta parses real MP4/AVI headers exactly; declines hostile") {
     import graft.multimodal.VideoFixture
     import graft.functions.VideoMetaExpr
