@@ -13,12 +13,15 @@ import org.apache.spark.sql.types._
   * ([[graft.functions.ImageMetaExpr]] — codegen'd, no codec library).
   * PIXEL decode is real for PNG ([[PngCodec]] — 8-bit gray/RGB/palette
   * via java.util.zip, all five scanline filters), GIF ([[GifCodec]] —
-  * LZW + palette expansion, interlaced or not), and baseline grayscale
-  * JPEG ([[JpegCodec]] — Huffman + dequant + IDCT). Decodes this build
-  * cannot do honestly (color/progressive JPEG, interlaced PNG, audio
-  * resample, video frame extraction) remain a clearly-marked
-  * deterministic STUB ([[StubCodec]]), the fallback when the real
-  * codecs decline a payload.
+  * LZW + palette expansion, interlaced or not), and baseline JPEG
+  * ([[JpegCodec]] — Huffman + dequant + IDCT; grayscale, 4:4:4, 4:2:0,
+  * restart markers). Audio decodes, resamples, and fingerprints for
+  * real through [[PcmCodec]]; image downscaling ([[downscaleImages]])
+  * and MJPEG video frame extraction ([[mjpegFrames]]) are real too.
+  * What this build cannot do honestly (progressive JPEG, inter-frame
+  * video codecs) remains a clearly-marked deterministic STUB
+  * ([[StubCodec]]), the fallback when the real codecs decline a
+  * payload.
   * Everything around the codec is real and tested: schema,
   * null/short-payload handling, batch shape (fixed-size record batches
   * per partition, the JVM analog of an Arrow-batched pandas UDF), and
