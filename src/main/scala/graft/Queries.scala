@@ -4173,6 +4173,216 @@ object Queries {
           / 1000000.0 AS brightness
       FROM s"""))
 
+  /** Deterministic messy-URL fixture shared by q138/q139: group g =
+    * doc_id % 50 fixes the canonical target; variant v = doc_id % 4
+    * picks the mess — upper-case scheme/host + www + default port +
+    * duplicate slashes + trailing slash + unsorted params + fragment
+    * (v=1), utm_* tracking params (v=2), www + gclid + unsorted (v=3),
+    * already-canonical (v=0). Every variant canonicalizes to
+    * `https://site{g%7}.example.com/cat/item{g%10}?a={g%3}&b={g%4}`,
+    * which the oracles recompute directly from the formula — so a wrong
+    * port rule, an unsorted param, or a kept tracking key all
+    * hash-mismatch. */
+  private def messyUrl: Column = {
+    val g = col("doc_id") % 50
+    val v = col("doc_id") % 4
+    val h = (g % 7).cast("string"); val m = (g % 10).cast("string")
+    val a = (g % 3).cast("string"); val b = (g % 4).cast("string")
+    val gs = g.cast("string")
+    when(v === 0, concat(lit("https://site"), h, lit(".example.com/cat/item"), m,
+        lit("?a="), a, lit("&b="), b))
+      .when(v === 1, concat(lit("HTTPS://WWW.Site"), h, lit(".Example.COM:443/cat//item"), m,
+        lit("/?b="), b, lit("&a="), a, lit("#frag"), gs))
+      .when(v === 2, concat(lit("https://site"), h, lit(".example.com/cat/item"), m,
+        lit("/?utm_source=feed&a="), a, lit("&b="), b, lit("&utm_campaign=x"), gs))
+      .otherwise(concat(lit("https://www.site"), h, lit(".example.com/cat/item"), m,
+        lit("?b="), b, lit("&gclid=abc"), gs, lit("&a="), a))
+  }
+
+  /** URL canonicalization + crawl dedup: one narrow codegen'd scan
+    * normalizes four messy variants onto one canonical form, then the
+    * only exchange is the groupBy on the short canonical string —
+    * keeper = min doc_id, the crawl-frontier "first fetch wins" rule. */
+  private val q138 = Q("q138_url_canonical_dedup",
+    (s, d) => documents(s, d)
+      .select(col("doc_id"), messyUrl.as("url"))
+      .select(col("doc_id"),
+        graft.functions.UrlExprs.canonicalizeUrl(col("url")).as("canonical_url"))
+      .groupBy(col("canonical_url"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups")),
+    Some("""WITH u AS (SELECT doc_id, doc_id % 50 AS g FROM documents),
+      c AS (SELECT doc_id,
+          'https://site' || (g % 7) || '.example.com/cat/item' || (g % 10) ||
+          '?a=' || (g % 3) || '&b=' || (g % 4) AS canonical_url
+        FROM u)
+      SELECT canonical_url, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+      FROM c GROUP BY canonical_url"""))
+
+  /** Robots-style crawl-policy filter: per-host prefix rules with
+    * longest-match-wins and allow-beats-disallow-on-tie, decided by one
+    * broadcast join + an argmax over matched rules. The rule set
+    * exercises all three semantics: a host-wide `/cat` disallow, a
+    * longer `/cat/item{h}` allow override, and an exact allow/disallow
+    * TIE on `/cat/item{h+1}` that allow must win. */
+  private val q139 = Q("q139_crawl_policy",
+    (s, d) => {
+      import s.implicits._
+      val rules = (0 until 7).flatMap { h =>
+        val host = s"site$h.example.com"
+        Seq((host, "/cat", false),
+          (host, s"/cat/item$h", true),
+          (host, s"/cat/item${(h + 1) % 10}", true),
+          (host, s"/cat/item${(h + 1) % 10}", false))
+      }.toDF("host", "prefix", "allow")
+      val docs = documents(s, d).select(col("doc_id"), messyUrl.as("url"))
+      graft.operators.CrawlPolicy.applyPolicy(docs, "doc_id", "url", rules)
+        .select(col("doc_id"), col("allowed").cast("int").as("allowed"),
+          col("matched_prefix"))
+    },
+    Some("""WITH u AS (SELECT doc_id, doc_id % 50 AS g FROM documents),
+      k AS (SELECT doc_id, g % 7 AS h, g % 10 AS m FROM u)
+      SELECT doc_id,
+        CAST(CASE WHEN m = h OR m = (h + 1) % 10 THEN 1 ELSE 0 END AS INTEGER) AS allowed,
+        CASE WHEN m = h OR m = (h + 1) % 10 THEN '/cat/item' || m ELSE '/cat' END AS matched_prefix
+      FROM k"""))
+
+  /** Integer-autocorrelation periodicity detection: each doc carries an
+    * exactly-periodic 16-bit PCM clip (period 20+id%30, a
+    * pseudo-random-within-period waveform); the operator decodes and
+    * scans lags 20..49 for the exact-integer autocorrelation argmax
+    * (ties → smallest lag). The oracle recomputes every R(lag) from the
+    * sample formula and takes the same argmax, so a wrong lag window,
+    * an off-by-one in the product count, or any decode defect fails the
+    * hash. */
+  private val q140 = Q("q140_audio_periodicity",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+      val media = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, _) =>
+          val per = 20 + (id % 30).toInt
+          val n = 200 + (id % 5).toInt * 20
+          val samples = Array.tabulate(n)(i => ((i % per) * 1999) % 4001 - 2000)
+          MediaRow(id, "audio/wav",
+            graft.multimodal.PcmCodec.encodeWav(1, 16000, 16, samples),
+            MediaMeta("synth", None, None, None))
+        }
+      graft.multimodal.Multimodal.audioPeriodicity(media, minLag = 20, maxLag = 49)
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          20 + doc_id % 30 AS per,
+          200 + (doc_id % 5) * 20 AS n
+        FROM documents),
+      r AS (SELECT doc_id, l.range AS lag,
+          list_sum(list_transform(range(n - lag), i ->
+            (((i % per) * 1999) % 4001 - 2000)
+            * ((((i + lag) % per) * 1999) % 4001 - 2000))) AS r
+        FROM p CROSS JOIN range(20, 50) l)
+      SELECT media_id, period_lag, period_score FROM (
+        SELECT doc_id AS media_id, CAST(lag AS INTEGER) AS period_lag,
+          CAST(r AS BIGINT) AS period_score,
+          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY r DESC, lag) AS rn
+        FROM r) WHERE rn = 1"""))
+
+  /** Walsh-Hadamard spectral sign hash (the pHash family with the DCT
+    * replaced by the integer-exact WHT): decode → 8×8 area means → 15
+    * low-frequency coefficients → sign-vs-median bits. The oracle
+    * recomputes the grid, the transform, the exact integer median, and
+    * every bit from the pixel synthesis formula. */
+  private val q141 = Q("q141_image_spectral_hash",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+      val media = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          val w = 8 * (1 + (id % 6)).toInt
+          val h = 8 * (1 + (nc % 5)).toInt
+          val ch = if (id % 2 == 0) 1 else 3
+          val seed = (id % 251).toInt
+          val samples = Array.tabulate(w * h * ch) { i =>
+            val c = i % ch; val x = (i / ch) % w; val y = i / (ch * w)
+            (seed + 31 * x + 13 * y + 7 * c) % 256
+          }
+          MediaRow(id, "image/png",
+            graft.multimodal.PngCodec.encode(w, h, ch, samples),
+            MediaMeta("synth", Some(w), Some(h), None))
+        }
+      graft.multimodal.Multimodal.imageSpectralHash(media)
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          8 * (1 + doc_id % 6) AS w,
+          8 * (1 + CAST(n_chars AS BIGINT) % 5) AS h,
+          CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS ch,
+          doc_id % 251 AS seed
+        FROM documents),
+      g AS (SELECT doc_id, list_transform(range(64), cell ->
+          list_sum(list_transform(range((w//8)*(h//8)), j ->
+            CASE WHEN ch = 1 THEN
+              (seed + 31*((cell%8)*(w//8) + j%(w//8))
+               + 13*((cell//8)*(h//8) + j//(w//8))) % 256
+            ELSE
+              ((seed + 31*((cell%8)*(w//8) + j%(w//8))
+                + 13*((cell//8)*(h//8) + j//(w//8))) % 256
+               + (seed + 31*((cell%8)*(w//8) + j%(w//8))
+                  + 13*((cell//8)*(h//8) + j//(w//8)) + 7) % 256
+               + (seed + 31*((cell%8)*(w//8) + j%(w//8))
+                  + 13*((cell//8)*(h//8) + j//(w//8)) + 14) % 256) // 3
+            END)) // ((w//8)*(h//8))) AS gm
+        FROM p),
+      c AS (SELECT doc_id, list_transform(range(15), t ->
+          list_sum(list_transform(range(64), cell ->
+            gm[cell+1] * (CASE WHEN (bit_count((cell//8) & ((t+1)//4))
+              + bit_count((cell%8) & ((t+1)%4))) % 2 = 0
+              THEN 1 ELSE -1 END)))) AS cf
+        FROM g)
+      SELECT doc_id AS media_id,
+        CAST(list_sum(list_transform(range(15), t ->
+          CASE WHEN cf[t+1] > list_sort(cf)[8] THEN 1 << t ELSE 0 END))
+          AS INTEGER) AS shash
+      FROM c"""))
+
+  /** Directional containment (partial-duplicate / quote detection): the
+    * corpus is every document PLUS a derived 15-token prefix "quote" doc
+    * (id + 1000000), so src↦dst containment ≈ 1 pairs exist by
+    * construction. The operator's prefix-filtered candidates are EXACT,
+    * so the oracle needs no candidate mirror — it computes containment
+    * over ALL pairs sharing any shingle and filters by the threshold.
+    * 5-gram shingles keep the shingle space far larger than the corpus
+    * (the near-linearity knob for every shingle-based similarity
+    * join). */
+  private val q142 = Q("q142_containment_pairs",
+    (s, d) => {
+      val base = documents(s, d).select(col("doc_id"), col("text"))
+      val derived = documents(s, d).select(
+        (col("doc_id") + 1000000).as("doc_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 15), " ").as("text"))
+      Dedup.containmentPairs(base.union(derived), "doc_id", "text",
+        threshold = 0.9, ngram = 5)
+    },
+    Some("""WITH tkn AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk
+          FROM documents),
+      corpus AS (SELECT doc_id, tk FROM tkn
+        UNION ALL SELECT doc_id + 1000000, tk[1:15] FROM tkn),
+      h AS (SELECT DISTINCT doc_id AS doc,
+          CAST(CAST(('0x' || substring(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS hv
+        FROM (SELECT doc_id,
+                unnest(list_transform(range(len(tk) - 4),
+                  i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3]
+                       || ' ' || tk[i+4] || ' ' || tk[i+5])) AS tok
+              FROM corpus WHERE len(tk) >= 5)),
+      sz AS (SELECT doc, COUNT(*) AS n FROM h GROUP BY doc),
+      inter AS (SELECT a.doc AS src, b.doc AS dst, COUNT(*) AS inter
+        FROM h a JOIN h b ON a.hv = b.hv AND a.doc <> b.doc
+        GROUP BY a.doc, b.doc)
+      SELECT src, dst, n AS n_src,
+        ROUND(CAST(inter AS DOUBLE) / n, 6) AS containment
+      FROM inter JOIN sz ON sz.doc = src
+      WHERE CAST(inter AS DOUBLE) / n >= 0.9"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -4184,7 +4394,8 @@ object Queries {
     q95, q96, q97, q98, q99, q100, q101, q102, q103, q104, q105, q106,
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
-    q129, q130, q131, q132, q133, q134, q135, q136, q137)
+    q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
+    q140, q141, q142)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -354,6 +354,152 @@ object Multimodal {
     }.toDF("media_id", "afp")
   }
 
+  /** Periodicity (pitch-period) detection by integer autocorrelation —
+    * the audio-analysis member of the curation family: decode through
+    * [[PcmCodec]], then for every lag in `[minLag, maxLag]` compute the
+    * EXACT integer autocorrelation
+    * `R(lag) = Σ_{i<n-lag} s(i)·s(i+lag)` and report the lag that
+    * maximizes it (ties → smallest lag — the fundamental, not its
+    * multiple). All-integer end to end: products and sums are exact
+    * longs, so an oracle recomputes every R from the sample formula and
+    * the argmax is deterministic on any engine. A periodic clip scores
+    * its true period; noise scores an arbitrary-but-reproducible lag —
+    * the feature a voiced/unvoiced or music/speech router thresholds on
+    * (score relative to R(0) energy).
+    *
+    * Payloads the codec declines, and clips shorter than `maxLag + 1`
+    * samples, yield NULL lag/score — a visible non-answer, never a
+    * fabricated pitch. Output: (media_id, period_lag, period_score).
+    *
+    * Scale shape: per-row kernel in narrow batches — `O(n·lagRange)`
+    * integer ops per clip, payloads never shuffle. */
+  def audioPeriodicity(media: Dataset[MediaRow], minLag: Int, maxLag: Int,
+                       batchSize: Int = 64): DataFrame = {
+    require(0 < minLag && minLag <= maxLag,
+      s"audioPeriodicity: bad lag range [$minLag, $maxLag]")
+    import media.sparkSession.implicits._
+    mapBatches(media, batchSize) { batch =>
+      batch.map { m =>
+        val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
+        val best = PcmCodec.decode(bytes).flatMap { p =>
+          val s = p.samples
+          val n = s.length
+          if (n <= maxLag) None
+          else {
+            var bestLag = 0; var bestR = Long.MinValue
+            var lag = minLag
+            while (lag <= maxLag) {
+              var r = 0L
+              var i = 0
+              val end = n - lag
+              while (i < end) { r += s(i).toLong * s(i + lag); i += 1 }
+              if (r > bestR) { bestR = r; bestLag = lag } // strict: ties keep the smaller lag
+              lag += 1
+            }
+            Some((bestLag, bestR))
+          }
+        }
+        (m.media_id, best.map(_._1), best.map(_._2))
+      }
+    }.toDF("media_id", "period_lag", "period_score")
+  }
+
+  /** Spectral sign hash — [[imageDHash]]'s frequency-domain sibling (the
+    * pHash family, with the DCT swapped for the integer-exact
+    * Walsh-Hadamard transform so every bit is reproducible arithmetic,
+    * not float-rounding luck): decode, grayscale by integer channel
+    * mean, area-average onto an 8×8 grid (floor cell boundaries, exact
+    * integer division — [[dhash64]]'s cell rule), then the 2-D WHT
+    * `H(u,v) = Σ_{x,y} g(y,x)·(−1)^(popcount(y∧u)+popcount(x∧v))`.
+    * The 15 lowest-frequency coefficients ((u,v) ∈ {0..3}², DC (0,0)
+    * excluded) each contribute one bit: 1 iff the coefficient exceeds
+    * their exact integer median (8th smallest of 15). dHash encodes
+    * local gradients; this encodes global structure — robust to the
+    * local noise that flips gradient bits.
+    *
+    * Payloads the codecs decline, and images smaller than 8×8, yield
+    * NULL. Output: (media_id, shash) — a 15-bit hash, bit (u·4+v−1).
+    * Near-dup pairing rides [[nearDupsByHash]]'s banded core unchanged
+    * (16-bit multiple via the 15 bits zero-extended is not 4-bandable,
+    * so pair via exact equality or small-radius scan — at 15 bits the
+    * keyspace is 32k buckets and a plain hash-equijoin is the scale
+    * path). */
+  def imageSpectralHash(media: Dataset[MediaRow], batchSize: Int = 64): DataFrame = {
+    import media.sparkSession.implicits._
+    mapBatches(media, batchSize) { batch =>
+      batch.map { m =>
+        val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
+        val decoded =
+          if (bytes.isEmpty) None
+          else PngCodec.decode(bytes).orElse(GifCodec.decode(bytes))
+            .orElse(JpegCodec.decode(bytes))
+        m.media_id -> decoded.flatMap { case (w, h, ch, s) =>
+          if (w < 8 || h < 8) None else Some(spectralHash15(w, h, ch, s))
+        }
+      }
+    }.toDF("media_id", "shash")
+  }
+
+  /** The spectral-hash kernel: 8×8 area means → 2-D Walsh-Hadamard →
+    * 15 low-frequency sign-vs-median bits. Integer-exact throughout. */
+  private[multimodal] def spectralHash15(w: Int, h: Int, ch: Int, s: Array[Int]): Int = {
+    val g = Array.ofDim[Long](8, 8)
+    var gy = 0
+    while (gy < 8) {
+      val y0 = gy * h / 8; val y1 = (gy + 1) * h / 8
+      var gx = 0
+      while (gx < 8) {
+        val x0 = gx * w / 8; val x1 = (gx + 1) * w / 8
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val i = (y * w + x) * ch
+            sum += (if (ch == 1) s(i) else (s(i) + s(i + 1) + s(i + 2)) / 3)
+            x += 1
+          }
+          y += 1
+        }
+        g(gy)(gx) = sum / ((y1 - y0).toLong * (x1 - x0))
+        gx += 1
+      }
+      gy += 1
+    }
+    val coeffs = new Array[Long](15)
+    var u = 0
+    while (u < 4) {
+      var v = 0
+      while (v < 4) {
+        if (u != 0 || v != 0) {
+          var acc = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              val sign = Integer.bitCount(x & v) + Integer.bitCount(y & u)
+              acc += (if ((sign & 1) == 0) g(y)(x) else -g(y)(x))
+              x += 1
+            }
+            y += 1
+          }
+          coeffs(u * 4 + v - 1) = acc
+        }
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = coeffs.clone(); java.util.Arrays.sort(sorted)
+    val med = sorted(7)
+    var hash = 0
+    var i = 0
+    while (i < 15) {
+      if (coeffs(i) > med) hash |= 1 << i
+      i += 1
+    }
+    hash
+  }
+
   /** Near-duplicate image pairs by banded dHash — the [[imageDHash]]
     * scale path: the 64-bit hash splits into four 16-bit bands; by
     * pigeonhole, any pair within Hamming distance 3 agrees on at least

@@ -190,6 +190,70 @@ object Dedup {
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** Directional containment pairs — the partial-duplicate detector
+    * symmetric Jaccard misses: a short document quoted inside a long one
+    * scores near-zero Jaccard (union is dominated by the long doc) but
+    * containment |S_src ∩ S_dst| / |S_src| ≈ 1. The curation use is
+    * quote/boilerplate-extraction and subset-document pruning at corpus
+    * scale.
+    *
+    * EXACT, via PPJoin-style prefix filtering: order the shingle
+    * universe globally by (document frequency asc, hv) and take each
+    * src's first p = ⌊(1−τ)·n⌋+1 shingles as probes. If a dst misses
+    * ALL p probes then |S_src ∖ S_dst| ≥ p > (1−τ)·n, so containment
+    * < τ — every qualifying pair MUST share a probe, and candidate
+    * generation (probe postings ⋈ full postings on hv) has perfect
+    * recall with no rare-shingle contract. Rarest-first probe order is
+    * the fan-out minimizer: the candidate count is Σ_probe df(hv),
+    * smallest when probes are the rarest shingles available. The exact
+    * intersection then runs candidate-restricted (the round-9 lesson):
+    * explode candidates by src's postings, keep hv present in dst's —
+    * cost Σ|shingles(src)| over candidate pairs only. One posting scan
+    * is materialized and shared by every stage.
+    *
+    * Scale shape: the probe side is the (1−τ) fraction of postings
+    * (τ=0.9 ⇒ ~10%); exchanges carry (id, hv) longs only, never text.
+    * Inherent worst case: a corpus saturated with repeated n-grams makes
+    * even the rarest probes common — raise `ngram` so the shingle space
+    * outgrows the corpus (the knob that keeps ALL shingle-based
+    * similarity joins near-linear, q20's lesson). Output: (src, dst,
+    * n_src, containment), src ≠ dst, containment ≥ threshold, both
+    * directions reported independently. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       threshold: Double, ngram: Int = 3): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"containmentPairs: threshold $threshold outside (0, 1]")
+    val tok = postings(docs, idCol, textCol, ngram).localCheckpoint()
+    val sz = tok.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+    val dfreq = tok.groupBy(col("hv")).agg(count(lit(1)).as("df"))
+    // per-doc probe prefix: rank by global (df, hv) order; the +1e-9
+    // nudge biases the float product UP so an exactly-integer (1−τ)·n
+    // never floors low (under-probing would lose recall; the rare
+    // over-probe costs one extra candidate row)
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("df"), col("hv"))
+    val prefix = tok.join(dfreq, Seq("hv"))
+      .withColumn("__rk", row_number().over(rankW))
+      .join(sz, Seq("doc"))
+      .where(col("__rk") <=
+        floor(lit(1.0 - threshold) * col("n") + lit(1e-9)) + 1)
+      .select(col("doc").as("src"), col("hv"))
+    val cand = prefix
+      .join(tok.select(col("doc").as("dst"), col("hv")), Seq("hv"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"), col("dst")).distinct()
+    val inter = cand
+      .join(tok.select(col("doc").as("src"), col("hv")), Seq("src"))
+      .join(tok.select(col("doc").as("dst"), col("hv")), Seq("dst", "hv"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc").as("src"), col("n").as("n_src")), Seq("src"))
+      .withColumn("containment", col("inter").cast("double") / col("n_src"))
+      .where(col("containment") >= threshold)
+      .select(col("src"), col("dst"), col("n_src"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** SimHash near-dup pairs: signatures within `maxBits` hamming distance.
     * Candidate generation by pigeonhole banding — split the 48-bit
     * signature into `maxBits + 1` 12-bit bands (4096 buckets per band —

@@ -1,0 +1,104 @@
+package graft
+
+import graft.functions.UrlExprs
+import graft.operators.CrawlPolicy
+import org.apache.spark.sql.functions._
+
+/** URL canonicalization + crawl-policy semantics: the crawl-curation
+  * front door. Every rule the canonical contract documents gets an
+  * adversarial case here; the policy suite pins robots longest-match
+  * and tie-break semantics. */
+class CrawlCurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(urls: (Long, String)*): Map[Long, String] =
+    urls.toSeq.toDF("id", "url")
+      .select(col("id"), UrlExprs.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getString(1)))
+      .toMap
+
+  test("canonicalizeUrl: case, www, default port, dup slashes, trailing " +
+    "slash, fragment, param order, tracking params") {
+    val c = canon(
+      1L -> "https://site1.example.com/cat/item5?a=2&b=1",
+      2L -> "HTTPS://WWW.Site1.Example.COM:443/cat//item5/?b=1&a=2#frag",
+      3L -> "https://site1.example.com/cat/item5/?utm_source=f&a=2&b=1&utm_campaign=x",
+      4L -> "https://www.site1.example.com/cat/item5?b=1&gclid=abc&a=2")
+    val want = "https://site1.example.com/cat/item5?a=2&b=1"
+    assert(c.values.toSet == Set(want))
+  }
+
+  test("canonicalizeUrl: non-default port kept; http default 80 stripped") {
+    val c = canon(
+      1L -> "http://h.com:80/x",
+      2L -> "http://h.com:8080/x",
+      3L -> "https://h.com:80/x") // 80 is NOT the https default
+    assert(c(1L) == "http://h.com/x")
+    assert(c(2L) == "http://h.com:8080/x")
+    assert(c(3L) == "https://h.com:80/x")
+  }
+
+  test("canonicalizeUrl: root and absent paths normalize to '/', empty " +
+    "query drops '?', garbage and NULL yield NULL") {
+    val c = canon(
+      1L -> "https://h.com",
+      2L -> "https://h.com/",
+      3L -> "https://h.com/?",
+      4L -> "https://h.com/?utm_source=only",
+      5L -> "not a url at all",
+      6L -> null)
+    assert(Seq(1L, 2L, 3L, 4L).map(c) == Seq.fill(4)("https://h.com/"))
+    assert(c(5L) == null && c(6L) == null)
+  }
+
+  test("canonicalHost / canonicalPath agree with the canonical URL") {
+    val r = Seq((1L, "HTTP://WWW.Ex.COM:8080/a//b/?q=1#f")).toDF("id", "url")
+      .select(UrlExprs.canonicalHost(col("url")).as("h"),
+        UrlExprs.canonicalPath(col("url")).as("p"))
+      .head()
+    assert(r.getString(0) == "ex.com")
+    assert(r.getString(1) == "/a/b")
+  }
+
+  private val rules = Seq(
+    ("a.com", "/cat", false),        // host-wide disallow
+    ("a.com", "/cat/ok", true),      // longer allow override
+    ("a.com", "/cat/tie", true),     // exact tie:
+    ("a.com", "/cat/tie", false),    //   allow must win
+    ("b.com", "/", false)            // everything disallowed
+  ).toDF("host", "prefix", "allow")
+
+  private def verdicts(urls: (Long, String)*): Map[Long, (Boolean, String)] =
+    CrawlPolicy.applyPolicy(urls.toSeq.toDF("doc_id", "url"), "doc_id", "url", rules)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), if (r.isNullAt(3)) null else r.getString(3)))).toMap
+
+  test("applyPolicy: longest prefix wins, tie goes to allow, no rule or " +
+    "unknown host means allowed") {
+    val v = verdicts(
+      1L -> "https://a.com/cat/other",   // only /cat matches -> disallow
+      2L -> "https://a.com/cat/ok/deep", // longer allow wins over /cat
+      3L -> "https://a.com/cat/tie/x",   // allow/disallow tie -> allow
+      4L -> "https://a.com/elsewhere",   // no matching rule -> allowed
+      5L -> "https://WWW.A.com:443/cat/ok", // canonical host/path feed the match
+      6L -> "https://c.com/cat/other",   // host without rules -> allowed
+      7L -> "https://b.com/anything")    // host-wide '/' disallow
+    assert(v(1L) == ((false, "/cat")))
+    assert(v(2L) == ((true, "/cat/ok")))
+    assert(v(3L) == ((true, "/cat/tie")))
+    assert(v(4L) == ((true, null)))
+    assert(v(5L) == ((true, "/cat/ok")))
+    assert(v(6L) == ((true, null)))
+    assert(v(7L) == ((false, "/")))
+  }
+
+  test("applyPolicy: verdict column is never NULL and doc count is " +
+    "preserved (no dropped, no duplicated docs)") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"https://a.com/cat/p$i")).toDF("doc_id", "url")
+    val out = CrawlPolicy.applyPolicy(docs, "doc_id", "url", rules)
+    assert(out.count() == 40)
+    assert(out.where(col("allowed").isNull).count() == 0)
+    assert(out.select("doc_id").distinct().count() == 40)
+  }
+}

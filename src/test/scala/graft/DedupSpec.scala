@@ -356,4 +356,83 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((2L, 0L, 1.0)))
     assert(!out.contains(4L))
   }
+
+  test("containmentPairs: quote inside a long doc scores 1.0 one way, " +
+    "low the other; unrelated docs never pair; threshold filters") {
+    import spark.implicits._
+    val long1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val quote = (1 to 10).map(i => s"w$i").mkString(" ") // 10 tokens of long1
+    val df = Seq(
+      (1L, long1),
+      (2L, quote),
+      (3L, "x1 x2 x3 x4 x5 x6")) // unrelated
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.5,
+      ngram = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // quote: 8 shingles, all inside long1's 28 -> containment 1.0
+    assert(out((2L, 1L)) == ((8L, 1.0)))
+    // reverse direction: 8/28 = 0.285714 < 0.5 -> filtered out
+    assert(!out.contains((1L, 2L)))
+    assert(out.keySet == Set((2L, 1L))) // doc 3 pairs with nothing
+    // threshold 0.2 admits the reverse direction too, exactly
+    val lo = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.2,
+      ngram = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(lo((1L, 2L)) == 0.285714)
+  }
+
+  test("containmentPairs prefix filtering is EXACT: equals the brute-force " +
+    "all-pairs answer, including saturated all-common-shingle corpora") {
+    import spark.implicits._
+    // adversarial mix: identical docs (every shingle df = high), quotes,
+    // overlapping windows, and unique docs — seeded, deterministic
+    val rnd = new scala.util.Random(42)
+    val vocab = (1 to 12).map(i => s"v$i")
+    val base = (0L until 30L).map { i =>
+      (i, Seq.fill(6 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val clones = (0L until 8L).map(i => (100L + i, base(2)._2)) // 9 identical
+    val df = (base ++ clones).toDF("doc_id", "text")
+    for (tau <- Seq(0.5, 0.9, 1.0)) {
+      val got = Dedup.containmentPairs(df, "doc_id", "text", tau, ngram = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+      // brute force straight from the definition (test-local recompute)
+      def shingles(t: String): Set[String] =
+        t.trim.split("\\s+").sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      val sets = (base ++ clones).map { case (id, t) => id -> shingles(t) }.toMap
+      val want = (for {
+        (s1, a) <- sets.toSeq; (s2, b) <- sets.toSeq
+        if s1 != s2 && a.nonEmpty
+        c = (a intersect b).size.toDouble / a.size
+        if c >= tau
+      } yield (s1, s2) -> c).toMap
+      assert(got.keySet == want.keySet,
+        s"tau=$tau: got ${got.keySet.size} pairs, want ${want.keySet.size}")
+      want.foreach { case (k, c) =>
+        assert(math.abs(got(k) - c) < 1e-6, s"tau=$tau pair $k")
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.containmentPairs(df, "doc_id", "text", threshold = 1.5)
+    }
+  }
+
+  test("containmentPairs: exactly-integer (1-tau)*n never under-probes " +
+    "(the float-floor hazard at the threshold boundary)") {
+    import spark.implicits._
+    // src has exactly 10 shingles (12 tokens); dst misses exactly one of
+    // them -> containment 0.9 == tau must be REPORTED (p must be 2, not 1)
+    val srcTokens = (1 to 12).map(i => s"t$i")
+    val dstTokens = (1 to 11).map(i => s"t$i") // drops the last shingle
+    val df = Seq((1L, srcTokens.mkString(" ")), (2L, dstTokens.mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = Dedup.containmentPairs(df, "doc_id", "text", threshold = 0.9,
+      ngram = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(out((1L, 2L)) == 0.9) // 9 of 10 shingles -> exactly tau
+    assert(out((2L, 1L)) == 1.0)
+  }
 }

@@ -1015,4 +1015,117 @@ class MultimodalSpec extends SparkSpec {
       && got(2L).peak_abs == 0)
     assert(got(3L).format == "stub" && got(3L).n_samples == 0L)
   }
+
+  test("audioPeriodicity: argmax matches a brute-force recompute, pure " +
+    "sawtooth scores its true period, declined and short clips are NULL") {
+    import spark.implicits._
+    import graft.multimodal.PcmCodec
+    // clip 1: pure sawtooth, period 24, 10 full cycles
+    val p1 = 24
+    val s1 = Array.tabulate(10 * p1)(i => (i % p1) * 100 - 1150)
+    // clip 2: pseudo-random-within-period, period 37
+    val p2 = 37
+    val s2 = Array.tabulate(300)(i => ((i % p2) * 1999) % 4001 - 2000)
+    val rows = Seq(
+      MediaRow(1L, "audio/wav", PcmCodec.encodeWav(1, 8000, 16, s1),
+        MediaMeta("mic", None, None, None)),
+      MediaRow(2L, "audio/aiff", PcmCodec.encodeAiff(1, 8000, 16, s2),
+        MediaMeta("mic", None, None, None)),
+      MediaRow(3L, "audio/wav", "garbage".getBytes("UTF-8"),
+        MediaMeta("mic", None, None, None)),
+      MediaRow(4L, "audio/wav", PcmCodec.encodeWav(1, 8000, 16, Array(1, 2, 3)),
+        MediaMeta("mic", None, None, None))) // shorter than maxLag
+    val got = Multimodal.audioPeriodicity(rows.toDS(), minLag = 20, maxLag = 49)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getInt(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    // independent brute recompute straight from the definition
+    def brute(s: Array[Int]): (Int, Long) =
+      (20 to 49).map { lag =>
+        (lag, (0 until s.length - lag).map(i => s(i).toLong * s(i + lag)).sum)
+      }.maxBy { case (lag, r) => (r, -lag) }
+    assert(got(1L)._1.contains(brute(s1)._1) && got(1L)._2.contains(brute(s1)._2))
+    assert(got(1L)._1.contains(p1)) // the sawtooth's true period wins
+    assert(got(2L)._1.contains(brute(s2)._1) && got(2L)._2.contains(brute(s2)._2))
+    assert(got(2L)._1.contains(p2))
+    assert(got(3L) == ((None, None)) && got(4L) == ((None, None)))
+  }
+
+  test("audioPeriodicity: exact ties resolve to the smallest lag") {
+    import spark.implicits._
+    import graft.multimodal.PcmCodec
+    // constant signal: every lag has R = c^2 * (n - lag)... NOT a tie.
+    // A true tie needs equal sums: use a signal that is zero except one
+    // spike — R(lag) = 0 for every lag past the spike, a full tie band.
+    val s = Array.tabulate(120)(i => if (i == 0) 500 else 0)
+    val rows = Seq(MediaRow(1L, "audio/wav",
+      PcmCodec.encodeWav(1, 8000, 16, s), MediaMeta("mic", None, None, None)))
+    val r = Multimodal.audioPeriodicity(rows.toDS(), 20, 49).head()
+    assert(r.getInt(1) == 20 && r.getLong(2) == 0L) // all-zero R -> first lag
+  }
+
+  test("imageSpectralHash: brightness-shift invariant (non-DC WHT), " +
+    "matches a brute recompute, NULL below 8x8 and on declined decode") {
+    import spark.implicits._
+    import graft.multimodal.PngCodec
+    val w = 16; val h = 24
+    def px(shift: Int) = Array.tabulate(w * h) { i =>
+      val x = i % w; val y = i / w
+      (7 * x + 13 * y + (x * y) % 31) % 200 + shift
+    }
+    val rows = Seq(
+      MediaRow(1L, "image/png", PngCodec.encode(w, h, 1, px(0)),
+        MediaMeta("cam", None, None, None)),
+      MediaRow(2L, "image/png", PngCodec.encode(w, h, 1, px(55)),
+        MediaMeta("cam", None, None, None)),
+      MediaRow(3L, "image/png", PngCodec.encode(4, 4, 1, Array.fill(16)(9)),
+        MediaMeta("cam", None, None, None)),
+      MediaRow(4L, "image/png", "not-a-png".getBytes("UTF-8"),
+        MediaMeta("cam", None, None, None)))
+    val got = Multimodal.imageSpectralHash(rows.toDS())
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getInt(1)))).toMap
+    // brute recompute straight from the definition
+    val g = Array.tabulate(8, 8) { (gy, gx) =>
+      val ys = gy * h / 8 until (gy + 1) * h / 8
+      val xs = gx * w / 8 until (gx + 1) * w / 8
+      val sum = (for (y <- ys; x <- xs) yield px(0)(y * w + x).toLong).sum
+      sum / (ys.size.toLong * xs.size)
+    }
+    val coeffs = (for (u <- 0 to 3; v <- 0 to 3 if u != 0 || v != 0) yield
+      (for (y <- 0 until 8; x <- 0 until 8) yield {
+        val neg = (Integer.bitCount(y & u) + Integer.bitCount(x & v)) % 2 == 1
+        if (neg) -g(y)(x) else g(y)(x)
+      }).sum).toArray
+    val med = coeffs.sorted.apply(7)
+    val wantHash = coeffs.zipWithIndex.collect {
+      case (c, i) if c > med => 1 << i
+    }.sum
+    assert(got(1L).contains(wantHash))
+    // +55 on every pixel shifts every cell mean by exactly 55 and leaves
+    // every non-DC WHT coefficient unchanged -> identical hash
+    assert(got(2L) == got(1L))
+    assert(got(3L).isEmpty && got(4L).isEmpty)
+  }
+
+  test("imageSpectralHash: a global low-frequency gradient flip changes " +
+    "the hash while a sub-cell speckle does not") {
+    import spark.implicits._
+    import graft.multimodal.PngCodec
+    val w = 32; val h = 32
+    val base = Array.tabulate(w * h)(i => (i % w) * 6)        // left->right ramp
+    val flipped = Array.tabulate(w * h)(i => (w - 1 - i % w) * 6) // right->left
+    val speckled = base.clone(); speckled(5 * w + 7) += 3     // one-pixel nudge
+    val rows = Seq(
+      MediaRow(1L, "image/png", PngCodec.encode(w, h, 1, base),
+        MediaMeta("cam", None, None, None)),
+      MediaRow(2L, "image/png", PngCodec.encode(w, h, 1, flipped),
+        MediaMeta("cam", None, None, None)),
+      MediaRow(3L, "image/png", PngCodec.encode(w, h, 1, speckled),
+        MediaMeta("cam", None, None, None)))
+    val got = Multimodal.imageSpectralHash(rows.toDS())
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got(1L) != got(2L)) // global structure differs -> hash differs
+    assert(got(1L) == got(3L)) // sub-cell speckle -> hash stable
+  }
 }
