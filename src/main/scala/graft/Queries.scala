@@ -4383,6 +4383,61 @@ object Queries {
       FROM inter JOIN sz ON sz.doc = src
       WHERE CAST(inter AS DOUBLE) / n >= 0.9"""))
 
+  /** The production near-dup dedup pipeline end-to-end in ONE call —
+    * minhash-LSH pairs (q21) verified by Jaccard (q20), resolved into
+    * clusters (q56/q89 components), best-quality representative per
+    * cluster (q41's keep-best rule lifted to near-duplicates). The
+    * oracle recomputes every stage: signature banding from the same
+    * hash constants, candidate-verified Jaccard, WITH RECURSIVE
+    * closure, windowed representative pick. */
+  private val q143 = Q("q143_near_dup_keep_best",
+    (s, d) => Dedup.nearDupKeepBest(documents(s, d), "doc_id", "text",
+      "n_chars", threshold = 0.4),
+    Some {
+      val p = Dedup.MinhashPrime
+      val mins = Dedup.MinhashParams.zipWithIndex.map { case ((a, b), i) =>
+        s"MIN(($a * hv + $b) % $p) AS m$i"
+      }.mkString(", ")
+      val bandSel = (0 until 4).map { bnd =>
+        val cols = (bnd * 4 until (bnd + 1) * 4)
+          .map(i => s"CAST(m$i AS VARCHAR)").mkString(" || '_' || ")
+        s"SELECT doc, $bnd AS band, md5($cols) AS bucket FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH RECURSIVE $shingleCte,
+        sig AS (SELECT doc, $mins FROM h GROUP BY doc),
+        band AS ($bandSel),
+        cand AS (SELECT DISTINCT a.doc AS d1, b.doc AS d2
+          FROM band a JOIN band b ON a.band = b.band
+            AND a.bucket = b.bucket AND a.doc < b.doc),
+        sz AS (SELECT doc, COUNT(*) AS n FROM h GROUP BY doc),
+        inter AS (SELECT c.d1, c.d2, COUNT(*) AS i
+          FROM cand c
+          JOIN h a ON a.doc = c.d1
+          JOIN h b ON b.doc = c.d2 AND b.hv = a.hv
+          GROUP BY c.d1, c.d2),
+        pr AS (SELECT d1, d2
+          FROM inter JOIN sz s1 ON d1 = s1.doc JOIN sz s2 ON d2 = s2.doc
+          WHERE CAST(i AS DOUBLE) / (s1.n + s2.n - i) >= 0.4),
+        edges AS (SELECT d1 AS src, d2 AS dst FROM pr
+                  UNION SELECT d2, d1 FROM pr),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        mn AS (SELECT src, MIN(dst) AS m FROM reach GROUP BY src),
+        lab AS (SELECT d.doc_id AS doc,
+            LEAST(d.doc_id, COALESCE(mn.m, d.doc_id)) AS component, d.n_chars
+          FROM documents d LEFT JOIN mn ON d.doc_id = mn.src),
+        rk AS (SELECT component, doc, n_chars,
+            ROW_NUMBER() OVER (PARTITION BY component
+              ORDER BY n_chars DESC, doc) AS rn,
+            COUNT(*) OVER (PARTITION BY component) AS n_members
+          FROM lab)
+        SELECT CAST(component AS BIGINT) AS component, doc AS rep,
+          CAST(n_members AS BIGINT) AS n_members
+        FROM rk WHERE rn = 1"""
+    })
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -4395,7 +4450,7 @@ object Queries {
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
-    q140, q141, q142)
+    q140, q141, q142, q143)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -41,22 +41,39 @@ object CrawlPolicy {
                   rules: DataFrame): DataFrame = {
     val withKeys = docs.withColumn("__host", UrlExprs.canonicalHost(col(urlCol)))
       .withColumn("__path", UrlExprs.canonicalPath(col(urlCol)))
-    val r = broadcast(rules.select(col("host").as("__host"),
-      col("prefix").as("__prefix"), col("allow").as("__allow")))
-    // longest-prefix-wins, allow beats disallow on ties: max over a
-    // (len, allowBit, prefix) struct picks exactly that rule
+    // rule ids assigned by a window over the tiny rule table (single
+    // partition is fine — rules are policy config, never corpus-sized);
+    // the id recovers the winning PREFIX after the argmax
+    val ruleW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__host"), col("__prefix"), col("__allow"))
+    val rulesIdx = rules.select(col("host").as("__host"),
+        col("prefix").as("__prefix"), col("allow").as("__allow"))
+      .withColumn("__rid", row_number().over(ruleW).cast("long"))
+    // longest-prefix-wins, allow beats disallow on ties. The winning
+    // rule is an argmax over (prefix length, allow); packing that order
+    // into ONE long — length<<40 | allow<<39 | ruleId — keeps the
+    // aggregation buffer fixed-width, so the argmax is a true
+    // HashAggregate with map-side partial combine. A struct (or string)
+    // max would fall back to SortAggregate: sort-the-world at corpus
+    // scale for a 3-field comparison. Length caps at 2^23 chars (far
+    // past any URL path); equal-(length,allow) ties break by max rule
+    // id — deterministic, and verdict-identical since allow already
+    // ranks above.
+    val packed = shiftleft(length(col("__prefix")).cast("long"), 40)
+      .bitwiseOR(shiftleft(col("__allow").cast("long"), 39))
+      .bitwiseOR(col("__rid"))
     val matched = withKeys
-      .join(r, Seq("__host"), "left")
+      .join(broadcast(rulesIdx), Seq("__host"), "left")
       .where(col("__prefix").isNull || col("__path").startsWith(col("__prefix")))
       .groupBy(col(idCol))
-      .agg(max(when(col("__prefix").isNotNull,
-        struct(length(col("__prefix")).as("len"),
-          col("__allow").cast("int").as("allow_bit"),
-          col("__prefix").as("prefix")))).as("__win"))
+      .agg(max(when(col("__prefix").isNotNull, packed)).as("__win"))
+    val ridMask = (1L << 39) - 1
     docs.join(matched, Seq(idCol), "left")
-      .withColumn("allowed",
-        coalesce(col("__win.allow_bit") === 1, lit(true)))
-      .withColumn("matched_prefix", col("__win.prefix"))
-      .drop("__win")
+      .withColumn("allowed", coalesce(
+        shiftright(col("__win"), 39).bitwiseAND(lit(1L)) === 1, lit(true)))
+      .join(broadcast(rulesIdx.select(col("__rid"),
+          col("__prefix").as("matched_prefix"))),
+        col("__win").bitwiseAND(lit(ridMask)) === col("__rid"), "left")
+      .drop("__win", "__rid")
   }
 }

@@ -852,4 +852,39 @@ object Dedup {
       else out
     } finally if (eager) grouped.unpersist(blocking = false)
   }
+
+  /** The production near-dup dedup pipeline in one call — pairs →
+    * clusters → one representative per cluster: MinHash-LSH candidates
+    * verified by true Jaccard ([[minhashDuplicates]], candidate-first),
+    * resolved into connected components ([[componentsAuto]], bounded
+    * rounds), then per component the member with the highest
+    * `qualityCol` (ties → smallest id) survives — exactKeepBest's rule
+    * ([[exactKeepBest]]) lifted from byte-identical to near-duplicate
+    * clusters. Every doc is labeled (non-duplicates are their own
+    * singleton component), so the output is exactly one row per
+    * cluster: (component, rep, n_members).
+    *
+    * Scale shape: inherits each stage's audited shape — no new
+    * exchanges beyond one component-keyed window for the
+    * representative pick (rank + size share the same partitioning, one
+    * shuffle). Text never flows past the posting stage; the window
+    * carries (id, component, quality) only. */
+  def nearDupKeepBest(docs: DataFrame, idCol: String, textCol: String,
+                      qualityCol: String, threshold: Double,
+                      bands: Int = 4, ngram: Int = 3): DataFrame = {
+    val pairs = minhashDuplicates(docs, idCol, textCol, threshold, bands, ngram)
+      .select(col("d1"), col("d2"))
+    val labels = componentsAuto(docs.select(col(idCol)), idCol, pairs)
+    val labeled = labels.join(
+      docs.select(col(idCol).cast("long").as("doc"), col(qualityCol)),
+      Seq("doc"))
+    val byComp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+    labeled
+      .withColumn("__rn", row_number().over(
+        byComp.orderBy(col(qualityCol).desc, col("doc"))))
+      .withColumn("n_members", count(lit(1)).over(byComp))
+      .where(col("__rn") === 1)
+      .select(col("component"), col("doc").as("rep"), col("n_members"))
+  }
 }

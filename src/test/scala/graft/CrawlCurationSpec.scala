@@ -101,4 +101,16 @@ class CrawlCurationSpec extends SparkSpec {
     assert(out.where(col("allowed").isNull).count() == 0)
     assert(out.select("doc_id").distinct().count() == 40)
   }
+
+  test("applyPolicy plan: rules ride broadcast joins and the argmax " +
+    "hash-aggregates (no SortAggregate — the packed-long ordering)") {
+    val docs = (0L until 40L).map(i =>
+      (i, s"https://a.com/cat/p$i")).toDF("doc_id", "url")
+    val out = CrawlPolicy.applyPolicy(docs, "doc_id", "url", rules)
+    out.collect() // materialize so AQE finalizes
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "rules must broadcast")
+    assert(!plan.contains("SortAggregate"),
+      "argmax must stay hash-aggregable (packed-long ordering)")
+  }
 }

@@ -435,4 +435,35 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) == 0.9) // 9 of 10 shingles -> exactly tau
     assert(out((2L, 1L)) == 1.0)
   }
+
+  test("nearDupKeepBest: one row per cluster, best quality wins (tie -> " +
+    "smallest id), singletons survive as themselves") {
+    import spark.implicits._
+    val a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    val b = "b1 b2 b3 b4 b5 b6"
+    val df = Seq(
+      (1L, a, 10L), (2L, a, 50L), (3L, a, 20L), // cluster 1: rep 2 (quality)
+      (4L, b, 7L), (5L, b, 7L),                 // cluster 4: tie -> rep 4
+      (6L, "u1 u2 u3 u4 u5", 99L))              // singleton
+      .toDF("doc_id", "text", "n_chars")
+    val out = Dedup.nearDupKeepBest(df, "doc_id", "text", "n_chars", 0.4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == Map(1L -> ((2L, 3L)), 4L -> ((4L, 2L)), 6L -> ((6L, 1L))))
+  }
+
+  test("nearDupKeepBest invariants on real documents: members partition " +
+    "the corpus, reps belong to their cluster, labels agree with the " +
+    "component stage") {
+    val out = Dedup.nearDupKeepBest(docs, "doc_id", "text", "n_chars", 0.4)
+    val total = docs.count()
+    assert(out.agg(sum("n_members")).head().getLong(0) == total)
+    assert(out.select("component").distinct().count() == out.count())
+    // every rep's own label is its row's component
+    val pairs = Dedup.minhashDuplicates(docs, "doc_id", "text", 0.4)
+      .select(col("d1"), col("d2"))
+    val labels = Dedup.componentsAuto(docs.select("doc_id"), "doc_id", pairs)
+    val mismatches = out.join(labels, out("rep") === labels("doc"))
+      .where(out("component") =!= labels("component"))
+    assert(mismatches.count() == 0)
+  }
 }

@@ -407,4 +407,35 @@ class PropertySpec extends SparkSpec {
     // every doc appears in every full epoch
     assert(out.where(col("epoch") < full).count() == full * cnt)
   }
+
+  test("canonicalizeUrl is idempotent on fuzzed URLs: canonical output " +
+    "is a fixed point, and garbage is stably NULL") {
+    val scheme = Gen.oneOf("http", "HTTPS", "Http", "ftp")
+    val host = Gen.oneOf("Ex.COM", "www.ex.com", "WWW.a-b.ORG", "h99.net")
+    val port = Gen.oneOf("", ":80", ":443", ":8080", ":0443")
+    val path = Gen.oneOf("", "/", "/a", "/a//b/", "/a/b//", "//x")
+    val query = Gen.oneOf("", "?", "?b=2&a=1", "?utm_source=x&a=1",
+      "?a=1&&b=2", "?gclid=9", "?z=%20&a=1")
+    val frag = Gen.oneOf("", "#f", "#a?b=1")
+    val urlGen = for {
+      s <- scheme; h <- host; po <- port; pa <- path; q <- query; f <- frag
+    } yield s"$s://$h$po$pa$q$f"
+    val urls = (sample(urlGen, 250) ++ Seq("", "no-scheme/path", "a:b"))
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }
+    val df = urls.toDF("id", "url")
+    val once = df.select($"id",
+      graft.functions.UrlExprs.canonicalizeUrl($"url").as("c1"))
+    val twice = once.select($"id",
+      $"c1", graft.functions.UrlExprs.canonicalizeUrl($"c1").as("c2"))
+    val rows = twice.collect()
+    rows.foreach { r =>
+      val c1 = if (r.isNullAt(1)) null else r.getString(1)
+      val c2 = if (r.isNullAt(2)) null else r.getString(2)
+      assert(c1 == c2, s"not a fixed point: $c1 -> $c2")
+    }
+    // garbage (no scheme://) is NULL, not a fabricated canonical
+    val bad = Seq((0L, ""), (1L, "no-scheme/path"), (2L, "a:b")).toDF("id", "url")
+      .select(graft.functions.UrlExprs.canonicalizeUrl($"url").as("c"))
+    assert(bad.collect().forall(_.isNullAt(0)))
+  }
 }
