@@ -4438,6 +4438,96 @@ object Queries {
         FROM rk WHERE rn = 1"""
     })
 
+  /** Audio activity segmentation (gaps-and-islands over decoded PCM):
+    * block-structured fixtures alternate pseudo-random active/silent
+    * 7-sample blocks, so runs come in multiples of 7 (tail-truncated)
+    * and minRun=10 genuinely drops the single-block runs. The oracle
+    * rebuilds every boundary from the sample formula with the classic
+    * i − ROW_NUMBER() islands trick. */
+  private val q144 = Q("q144_audio_segments",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+      val media = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, _) =>
+          val n = 180 + (id % 4).toInt * 30
+          val seed = (id % 251).toInt
+          val samples = Array.tabulate(n) { i =>
+            if (((i / 7) * 31 + seed) % 10 < 6) 200 + (i * 29 + seed) % 300
+            else (i * 13 + seed) % 100 - 50
+          }
+          MediaRow(id, "audio/wav",
+            graft.multimodal.PcmCodec.encodeWav(1, 16000, 16, samples),
+            MediaMeta("synth", None, None, None))
+        }
+      graft.multimodal.Multimodal.audioActiveSegments(media,
+        threshold = 100, minRun = 10)
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          180 + (doc_id % 4) * 30 AS n,
+          doc_id % 251 AS seed
+        FROM documents),
+      s AS (SELECT doc_id, j.range AS i,
+          CASE WHEN ((j.range // 7) * 31 + seed) % 10 < 6
+            THEN 200 + (j.range * 29 + seed) % 300
+            ELSE (j.range * 13 + seed) % 100 - 50 END AS amp
+        FROM p CROSS JOIN range(270) j WHERE j.range < n),
+      g AS (SELECT doc_id, i, amp,
+          CASE WHEN abs(amp) >= 100 THEN 1 ELSE 0 END AS act,
+          i - ROW_NUMBER() OVER (PARTITION BY doc_id,
+            CASE WHEN abs(amp) >= 100 THEN 1 ELSE 0 END ORDER BY i) AS grp
+        FROM s),
+      seg AS (SELECT doc_id, MIN(i) AS st, MAX(i) + 1 AS en,
+          COUNT(*) AS ns, MAX(abs(amp)) AS pk
+        FROM g WHERE act = 1 GROUP BY doc_id, grp HAVING COUNT(*) >= 10)
+      SELECT doc_id AS media_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY st) - 1
+          AS INTEGER) AS seg_idx,
+        CAST(st AS INTEGER) AS "start", CAST(en AS INTEGER) AS end_excl,
+        CAST(ns AS INTEGER) AS n_samples, CAST(pk AS INTEGER) AS peak
+      FROM seg"""))
+
+  /** Embedding corpus-drift: per-label centroid cosine between the
+    * embeddings table and a deterministically shifted version (+0.25 on
+    * every element of label ≡ 0 mod 3 — those labels drift below 1,
+    * the rest pin at the engine-identical self-cosine). The oracle
+    * reproduces the full integer-micro protocol: floor(x·2^20) per
+    * element, exact component sums, DECIMAL(19)×DECIMAL(19) quadratic
+    * forms, one final IEEE divide. */
+  private val q145 = Q("q145_embedding_drift",
+    (s, d) => {
+      val e = embeddings(s, d)
+      val b = e.select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double") +
+          when(col("label") % 3 === 0, lit(0.25)).otherwise(lit(0.0)))
+          .as("embedding"))
+      Similarity.embeddingDrift(e, b, "label", "embedding")
+    },
+    Some("""WITH ev AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+      m AS (SELECT label, j.range AS pos,
+          CAST(FLOOR(v[j.range + 1] * 1048576) AS BIGINT) AS ma,
+          CAST(FLOOR((v[j.range + 1] +
+            CASE WHEN label % 3 = 0 THEN 0.25 ELSE 0.0 END) * 1048576)
+            AS BIGINT) AS mb
+        FROM ev CROSS JOIN range(4096) j WHERE j.range < len(v)),
+      s AS (SELECT label, pos, SUM(ma) AS sa, SUM(mb) AS sb,
+          COUNT(*) AS c
+        FROM m GROUP BY label, pos),
+      g AS (SELECT label,
+          SUM(CAST(sa AS DECIMAL(19,0)) * CAST(sb AS DECIMAL(19,0))) AS dot,
+          SUM(CAST(sa AS DECIMAL(19,0)) * CAST(sa AS DECIMAL(19,0))) AS na,
+          SUM(CAST(sb AS DECIMAL(19,0)) * CAST(sb AS DECIMAL(19,0))) AS nb,
+          MAX(c) AS n_a
+        FROM s GROUP BY label)
+      SELECT label, n_a, n_a AS n_b,
+        CAST(CAST(dot AS DOUBLE) /
+          (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+          AS DOUBLE) AS drift_cos
+      FROM g"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -4450,7 +4540,7 @@ object Queries {
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
-    q140, q141, q142, q143)
+    q140, q141, q142, q143, q144, q145)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

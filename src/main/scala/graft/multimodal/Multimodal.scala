@@ -404,6 +404,57 @@ object Multimodal {
     }.toDF("media_id", "period_lag", "period_score")
   }
 
+  /** Activity (non-silence) segmentation — the trim-before-transcribe
+    * pass of an audio curation pipeline: decode through [[PcmCodec]],
+    * mark each sample ACTIVE iff |amplitude| ≥ `threshold`, and emit
+    * every maximal active run of at least `minRun` samples as one
+    * segment row (media_id, seg_idx, start, end_excl, n_samples, peak).
+    * seg_idx numbers the KEPT segments in order from 0. All-integer —
+    * an oracle reproduces every boundary from the sample formula via
+    * gaps-and-islands SQL. Payloads the codec declines, and clips with
+    * no qualifying run, emit NO rows (compose with [[audioFeatures]]'s
+    * visible stub row to distinguish "silent" from "undecodable").
+    *
+    * Scale shape: flatMap-shaped per-row kernel in narrow batches —
+    * payload bytes never shuffle, and the output is segment METADATA
+    * (five ints per segment), not audio. */
+  def audioActiveSegments(media: Dataset[MediaRow], threshold: Int,
+                          minRun: Int, batchSize: Int = 64): DataFrame = {
+    require(threshold > 0, s"audioActiveSegments: bad threshold $threshold")
+    require(minRun >= 1, s"audioActiveSegments: bad minRun $minRun")
+    import media.sparkSession.implicits._
+    mapBatches(media, batchSize) { batch =>
+      batch.flatMap { m =>
+        val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
+        PcmCodec.decode(bytes) match {
+          case Some(p) =>
+            val s = p.samples
+            val segs = scala.collection.mutable.ArrayBuffer
+              .empty[(Long, Int, Int, Int, Int, Int)]
+            var i = 0
+            var segIdx = 0
+            while (i < s.length) {
+              if (math.abs(s(i)) >= threshold) {
+                val start = i
+                var peak = 0
+                while (i < s.length && math.abs(s(i)) >= threshold) {
+                  val a = math.abs(s(i))
+                  if (a > peak) peak = a
+                  i += 1
+                }
+                if (i - start >= minRun) {
+                  segs += ((m.media_id, segIdx, start, i, i - start, peak))
+                  segIdx += 1
+                }
+              } else i += 1
+            }
+            segs.toSeq
+          case None => Seq.empty
+        }
+      }
+    }.toDF("media_id", "seg_idx", "start", "end_excl", "n_samples", "peak")
+  }
+
   /** Spectral sign hash — [[imageDHash]]'s frequency-domain sibling (the
     * pHash family, with the DCT swapped for the integer-exact
     * Walsh-Hadamard transform so every bit is reproducible arithmetic,

@@ -254,4 +254,60 @@ object Similarity {
           >= threshold, "left_anti")
       .drop("__cv")
   }
+
+  /** Per-group centroid drift between two corpus versions — the
+    * distribution-shift monitor a training-data pipeline runs between
+    * crawls or after a filtering pass: for each `labelCol` group,
+    * cosine between version A's and version B's centroid embedding. A
+    * drift of 1.0 means the group's mean direction is unchanged; the
+    * further below 1, the more the filter/crawl moved it.
+    *
+    * Determinism protocol (the q87 micro-unit discipline applied to
+    * vectors): each element quantizes to an exact integer
+    * `floor(x · 2^20)` BEFORE any aggregation, so the per-(group, pos)
+    * component sums are exact integers regardless of row order and
+    * partitioning; cross-position reduction of the 3 quadratic forms
+    * (dot, |a|², |b|²) sums exact `DECIMAL(38,0)` products of those
+    * integers; ONE final fixed IEEE sequence (`dot / (√na · √nb)`)
+    * produces the double. Cosine is scale-invariant, so centroid
+    * division by the group count cancels and is never computed —
+    * the sums ARE the centroids up to scale.
+    *
+    * Scale shape: one narrow posexplode per side (rows × dim, bytes per
+    * row), partial-aggregated `groupBy(label, pos)` — the only
+    * exchanges carry (label, pos, long) triples, never vectors — then a
+    * |labels|×dim-sized final reduce. No broadcast of anything
+    * corpus-sized; group skew is irrelevant because the heavy aggregate
+    * is keyed by (label, pos), dim-times finer than the label. Output:
+    * (label, n_a, n_b, drift_cos). Groups present in only one version
+    * are absent from the output (inner join on label) — surface them
+    * with a frame-level anti join if needed. */
+  def embeddingDrift(a: DataFrame, b: DataFrame,
+                     labelCol: String, vecCol: String): DataFrame = {
+    def microSums(df: DataFrame, sumName: String, cntName: String): DataFrame =
+      df.select(col(labelCol).as("label"),
+          posexplode(col(vecCol)).as(Seq("pos", "__v")))
+        .select(col("label"), col("pos"),
+          floor(col("__v").cast("double") * (1 << 20)).cast("long").as("__m"))
+        .groupBy(col("label"), col("pos"))
+        .agg(sum(col("__m")).as(sumName),
+          count(lit(1)).as(cntName))
+    // operands go to DECIMAL(19,0) BEFORE the multiply: component sums
+    // reach micro·rows ≈ 2^34 at modest scale, so a long×long product
+    // would overflow 2^63 silently; decimal(19)×decimal(19) widens to
+    // decimal(38,0) losslessly
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    microSums(a, "sa", "ca")
+      .join(microSums(b, "sb", "cb"), Seq("label", "pos"))
+      .groupBy(col("label"))
+      .agg(
+        sum(col("sa").cast(d19) * col("sb").cast(d19)).as("__dot"),
+        sum(col("sa").cast(d19) * col("sa").cast(d19)).as("__na"),
+        sum(col("sb").cast(d19) * col("sb").cast(d19)).as("__nb"),
+        max(col("ca")).as("n_a"), max(col("cb")).as("n_b"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        (col("__dot").cast("double") /
+          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
+          .as("drift_cos"))
+  }
 }

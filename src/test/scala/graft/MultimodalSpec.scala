@@ -1108,6 +1108,39 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L).isEmpty && got(4L).isEmpty)
   }
 
+  test("audioActiveSegments: exact island boundaries, minRun filter, " +
+    "threshold is inclusive, declines and all-silent emit no rows") {
+    import spark.implicits._
+    import graft.multimodal.PcmCodec
+    // hand-built: 3 silent, 12 active, 2 silent, 7 active (dropped by
+    // minRun=10), 4 silent, 10 active to the end
+    val s = Array.fill(38)(0)
+    (3 until 15).foreach(i => s(i) = 300 + i)      // run 1: [3, 15)
+    (17 until 24).foreach(i => s(i) = -400)        // run 2: 7 < minRun
+    (28 until 38).foreach(i => s(i) = if (i == 30) 100 else 250) // run 3: [28, 38)
+    val rows = Seq(
+      MediaRow(1L, "audio/wav", PcmCodec.encodeWav(1, 8000, 16, s),
+        MediaMeta("mic", None, None, None)),
+      MediaRow(2L, "audio/wav", "not audio".getBytes("UTF-8"),
+        MediaMeta("mic", None, None, None)),
+      MediaRow(3L, "audio/wav", PcmCodec.encodeWav(1, 8000, 16, Array.fill(50)(5)),
+        MediaMeta("mic", None, None, None))) // all below threshold
+    val out = graft.multimodal.Multimodal
+      .audioActiveSegments(rows.toDS(), threshold = 100, minRun = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) ->
+        ((r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    // sample 30 == threshold exactly -> ACTIVE (inclusive), run unbroken
+    assert(out == Map(
+      (1L, 0) -> ((3, 15, 12, 314)),
+      (1L, 1) -> ((28, 38, 10, 250))))
+    // minRun=1 recovers the dropped middle run with its true bounds
+    val all = graft.multimodal.Multimodal
+      .audioActiveSegments(rows.toDS(), threshold = 100, minRun = 1)
+      .where($"media_id" === 1L && $"seg_idx" === 1)
+      .head()
+    assert(all.getInt(2) == 17 && all.getInt(3) == 24 && all.getInt(5) == 400)
+  }
+
   test("imageSpectralHash: a global low-frequency gradient flip changes " +
     "the hash while a sub-cell speckle does not") {
     import spark.implicits._

@@ -101,4 +101,45 @@ class SemanticDedupSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSeq
     assert(out == Seq(7L))
   }
+
+  test("embeddingDrift: orthogonal shift scores exactly 0, unchanged " +
+    "groups score ~1, one-version-only labels are absent, counts exact") {
+    import spark.implicits._
+    val a = Seq(
+      (1L, Array(1.0f, 0.0f), 10),
+      (2L, Array(1.0f, 0.0f), 10),
+      (3L, Array(0.5f, 0.5f), 20),
+      (4L, Array(0.25f, -0.75f), 30)) // label 30 absent from B
+      .toDF("vec_id", "embedding", "label")
+    val b = Seq(
+      (1L, Array(0.0f, 1.0f), 10), // orthogonal to A's centroid
+      (2L, Array(0.0f, 1.0f), 10),
+      (3L, Array(0.5f, 0.5f), 20)) // unchanged
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingDrift(a, b, "label", "embedding")
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(10, 20)) // label 30 inner-joins away
+    assert(out(10)._1 == 2L && out(10)._2 == 2L)
+    assert(out(10)._3 == 0.0) // integer-exact orthogonality
+    assert(out(20)._1 == 1L && math.abs(out(20)._3 - 1.0) < 1e-12)
+  }
+
+  test("embeddingDrift is row-order and partitioning independent " +
+    "(the integer-micro protocol's whole point)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 60L).map(i =>
+      (i, Array.fill(8)(rnd.nextFloat() * 2 - 1), (i % 3).toInt))
+    val a1 = rows.toDF("vec_id", "embedding", "label").repartition(1)
+    val a2 = rows.reverse.toDF("vec_id", "embedding", "label").repartition(7)
+    val b = rows.map { case (i, v, l) =>
+      (i, v.map(_ + 0.125f), l) }.toDF("vec_id", "embedding", "label")
+    val d1 = Similarity.embeddingDrift(a1, b, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    val d2 = Similarity.embeddingDrift(a2, b, "label", "embedding")
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(d1 == d2) // bit-for-bit, not approximately
+    assert(d1.values.forall(c => c > 0.0 && c <= 1.0 + 1e-12))
+  }
 }
