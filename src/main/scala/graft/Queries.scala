@@ -1460,6 +1460,9 @@ object Queries {
   private val stagedIvfDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
+  private val stagedIvfAppendDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
   private val stagedBm25Dir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
@@ -4528,6 +4531,48 @@ object Queries {
           AS DOUBLE) AS drift_cos
       FROM g"""))
 
+  /** Incremental IVF append (q120's persisted index grown without
+    * retrain): the index is trained and saved on the EVEN half of the
+    * corpus only, the odd half arrives later via
+    * [[graft.operators.IvfIndex.appendToIndex]] (one delta-sized
+    * assignment scan, postings appended in place), and the search runs
+    * against the grown index. nProbe = k exhausts the probes, so the
+    * oracle is exact brute force over the FULL corpus — a vector lost
+    * or mis-assigned by the append path changes some neighbor and
+    * fails the hash. */
+  private val q146 = Q("q146_ann_ivf_append",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val dir = Queries.stagedIvfAppendDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_ivf_append_${Queries.stagingSuffix(d)}")
+        val half = emb.where(col("vec_id") % 2 === 0)
+        val model = graft.operators.IvfIndex.train(half, "embedding", k = 16)
+        graft.operators.IvfIndex.saveIndex(model,
+          graft.operators.IvfIndex.assign(half, "vec_id", "embedding", model),
+          f.getAbsolutePath)
+        graft.operators.IvfIndex.appendToIndex(s, f.getAbsolutePath,
+          emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding")
+        f
+      })
+      val (model, postings) =
+        graft.operators.IvfIndex.loadIndex(s, dir.getAbsolutePath)
+      graft.operators.IvfIndex.search(postings,
+        emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", model, k = 5, nProbe = 16)
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),
+        scored AS (SELECT q_id, n_id,
+            list_dot_product(qv, cv) /
+              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+          FROM q CROSS JOIN c WHERE q_id <> n_id),
+        r AS (SELECT q_id, n_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored)
+        SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, ROUND(cos, 6) AS cos
+        FROM r WHERE rank <= 5"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -4540,7 +4585,7 @@ object Queries {
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
-    q140, q141, q142, q143, q144, q145)
+    q140, q141, q142, q143, q144, q145, q146)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

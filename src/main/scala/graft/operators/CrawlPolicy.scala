@@ -46,7 +46,11 @@ object CrawlPolicy {
     // the id recovers the winning PREFIX after the argmax
     val ruleW = org.apache.spark.sql.expressions.Window
       .orderBy(col("__host"), col("__prefix"), col("__allow"))
-    val rulesIdx = rules.select(col("host").as("__host"),
+    // rule hosts normalize like URL hosts (lowercase, www. stripped) so
+    // a rule authored as "WWW.A.com" still matches — the join key is
+    // canonical on BOTH sides, not just the URL side
+    val rulesIdx = rules.select(
+        regexp_replace(lower(trim(col("host"))), "^www\\.", "").as("__host"),
         col("prefix").as("__prefix"), col("allow").as("__allow"))
       .withColumn("__rid", row_number().over(ruleW).cast("long"))
     // longest-prefix-wins, allow beats disallow on ties. The winning

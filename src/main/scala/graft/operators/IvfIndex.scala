@@ -122,6 +122,33 @@ object IvfIndex {
     (model, postings)
   }
 
+  /** Incremental index growth — append a delta batch to a PERSISTED
+    * index without retraining: load the saved centroids, assign ONLY
+    * the new vectors against them (one narrow scan over the delta —
+    * the corpus-sized postings are never re-read or rewritten), and
+    * append the new postings into the same cell-partitioned layout.
+    * This is the production shape for a growing corpus: train once,
+    * then each ingest batch pays O(|delta|), and every later search
+    * sees old and new vectors identically.
+    *
+    * Centroids are deliberately NOT updated — an IVF index's cells must
+    * stay fixed or every existing posting's assignment is invalidated;
+    * re-train + re-assign (a new index) is the rebalance path when
+    * drift degrades recall, and [[Similarity.embeddingDrift]] is the
+    * monitor that says when. Dimension mismatches fail loudly per row
+    * in the assignment kernel (same contract as search). Appending the
+    * same batch twice duplicates postings — id dedup is the caller's
+    * contract, as with any append-mode sink (SURVEY §2 S4).
+    *
+    * Returns the loaded model so the caller can search immediately. */
+  def appendToIndex(spark: SparkSession, path: String, delta: DataFrame,
+                    idCol: String, vecCol: String): Model = {
+    val (model, _) = loadIndex(spark, path)
+    assign(delta, idCol, vecCol, model)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
+    model
+  }
+
   /** Search: probe the nProbe nearest cells per query, exact cosine
     * within the probed cells only.
     *

@@ -65,7 +65,7 @@ class CrawlCurationSpec extends SparkSpec {
     ("a.com", "/cat/ok", true),      // longer allow override
     ("a.com", "/cat/tie", true),     // exact tie:
     ("a.com", "/cat/tie", false),    //   allow must win
-    ("b.com", "/", false)            // everything disallowed
+    ("WWW.B.com", "/", false)        // messy rule host: normalized to b.com
   ).toDF("host", "prefix", "allow")
 
   private def verdicts(urls: (Long, String)*): Map[Long, (Boolean, String)] =

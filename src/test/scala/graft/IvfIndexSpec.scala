@@ -66,6 +66,39 @@ class IvfIndexSpec extends SparkSpec {
       .exists(_.getName.startsWith("cell=")))
   }
 
+  test("appendToIndex: grown index searches the union identically to a " +
+      "same-centroid index built in one shot; delta-only assignment") {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_append_spec_${System.nanoTime()}")
+    dir.deleteOnExit()
+    val half = emb.where(col("vec_id") % 2 === 0)
+    val delta = emb.where(col("vec_id") % 2 === 1)
+    val model = IvfIndex.train(half, "embedding", k = 8)
+    IvfIndex.saveIndex(model,
+      IvfIndex.assign(half, "vec_id", "embedding", model), dir.getAbsolutePath)
+    val returned = IvfIndex.appendToIndex(spark, dir.getAbsolutePath,
+      delta, "vec_id", "embedding")
+    // returned model is the SAVED one, bit-for-bit
+    returned.centroids.zip(model.centroids).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq)
+    }
+    val (loaded, postings) = IvfIndex.loadIndex(spark, dir.getAbsolutePath)
+    assert(postings.count() == emb.count())
+    // grown == one-shot assignment with the same centroids
+    val oneShot = IvfIndex.assign(emb, "vec_id", "embedding", model)
+    assert(postings.select("n_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      oneShot.collect().map(r => (r.getLong(0), r.getInt(2))).toSet)
+    val queries = emb.where(col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"), r.getAs[Double]("cos"))).sorted.toSeq
+    assert(rows(IvfIndex.search(postings, queries, "vec_id", "embedding",
+        loaded, k = 5, nProbe = 4)) ==
+      rows(IvfIndex.search(oneShot, queries, "vec_id", "embedding",
+        model, k = 5, nProbe = 4)))
+  }
+
   test("stale index: dimension mismatch fails loudly, corrupt centroid " +
       "set refuses at load") {
     import spark.implicits._
