@@ -4573,6 +4573,54 @@ object Queries {
         SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, ROUND(cos, 6) AS cos
         FROM r WHERE rank <= 5"""))
 
+  /** Scalar-feature distribution drift (q145's sibling for lengths/
+    * scores): per-language total-variation distance between the
+    * n_chars bucket distribution and a version where English docs grew
+    * by +200 chars — 'en' drifts, every other language pins at exactly
+    * 0. TV needs no logarithms, so the oracle reproduces the exact
+    * rational numerator (decimal products of counts) and the one final
+    * IEEE divide. */
+  private val q147 = Q("q147_histogram_drift",
+    (s, d) => {
+      val a = documents(s, d).select(col("lang"), col("n_chars"))
+      val b = documents(s, d).select(col("lang"),
+        (col("n_chars") + when(col("lang") === "en", 200).otherwise(0))
+          .as("n_chars"))
+      graft.operators.TrainingData.histogramDrift(a, b, "lang", "n_chars",
+        Seq(100.0, 200.0, 300.0, 400.0))
+    },
+    Some("""WITH da AS (SELECT lang AS label,
+          (CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END
+           + CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END
+           + CASE WHEN n_chars >= 300 THEN 1 ELSE 0 END
+           + CASE WHEN n_chars >= 400 THEN 1 ELSE 0 END) AS bucket
+        FROM documents WHERE n_chars IS NOT NULL),
+      db AS (SELECT lang AS label,
+          (CASE WHEN v >= 100 THEN 1 ELSE 0 END
+           + CASE WHEN v >= 200 THEN 1 ELSE 0 END
+           + CASE WHEN v >= 300 THEN 1 ELSE 0 END
+           + CASE WHEN v >= 400 THEN 1 ELSE 0 END) AS bucket
+        FROM (SELECT lang,
+            n_chars + CASE WHEN lang = 'en' THEN 200 ELSE 0 END AS v
+          FROM documents WHERE n_chars IS NOT NULL)),
+      ca AS (SELECT label, bucket, COUNT(*) AS ca FROM da GROUP BY 1, 2),
+      cb AS (SELECT label, bucket, COUNT(*) AS cb FROM db GROUP BY 1, 2),
+      na AS (SELECT label, COUNT(*) AS na FROM da GROUP BY 1),
+      nb AS (SELECT label, COUNT(*) AS nb FROM db GROUP BY 1),
+      u AS (SELECT COALESCE(ca.label, cb.label) AS label,
+          COALESCE(ca.bucket, cb.bucket) AS bucket,
+          COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+        FROM ca FULL JOIN cb
+          ON ca.label = cb.label AND ca.bucket = cb.bucket),
+      g AS (SELECT u.label, na.na, nb.nb,
+          SUM(ABS(CAST(ca AS DECIMAL(19,0)) * CAST(nb AS DECIMAL(19,0))
+            - CAST(cb AS DECIMAL(19,0)) * CAST(na AS DECIMAL(19,0)))) AS num
+        FROM u JOIN na ON u.label = na.label JOIN nb ON u.label = nb.label
+        GROUP BY 1, 2, 3)
+      SELECT label, na AS n_a, nb AS n_b,
+        CAST(CAST(num AS DOUBLE) / (2.0 * na * nb) AS DOUBLE) AS tv_dist
+      FROM g"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -4585,7 +4633,7 @@ object Queries {
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
-    q140, q141, q142, q143, q144, q145, q146)
+    q140, q141, q142, q143, q144, q145, q146, q147)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{StableId63, TextExprs}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1193,5 +1193,70 @@ object TrainingData {
         .as("pair"), col("__nw"))
       .groupBy(col("pair")).agg(sum(col("__nw")).as("pair_count"))
       .orderBy(col("pair_count").desc, col("pair")).limit(k)
+  }
+
+  /** Per-group distribution drift of a SCALAR feature between two
+    * corpus versions — [[Similarity.embeddingDrift]]'s sibling for
+    * lengths, quality scores, token counts (the data-validation check a
+    * pipeline runs between crawls or after a filter): bucketize the
+    * feature at FIXED boundaries, then per group the total-variation
+    * distance `TV = ½ Σ_bucket |p_a − p_b|` between the two bucket
+    * distributions. TV is 0 for identical distributions, 1 for
+    * disjoint, and — unlike KL/PSI — needs no logarithms, so the whole
+    * statistic is exact rational arithmetic until one final IEEE
+    * divide: the numerator folds as `Σ |c_a·n_b − c_b·n_a|` in
+    * DECIMAL(19)×DECIMAL(19) products (exact, order-independent,
+    * overflow-proof where long×long is not at count² ≈ 2^60+ scale).
+    *
+    * Bucket `i` = number of boundaries ≤ v (boundaries ascending):
+    * below-first → 0, ≥ last → |boundaries|. NULL features land in no
+    * bucket and reduce that side's total — by design: a filter that
+    * NULLs a feature IS distribution drift.
+    *
+    * Scale shape: one narrow bucketize scan per side, the heavy
+    * aggregates are (group, bucket)-keyed partial hash aggregates, the
+    * final reduce is |groups|×|buckets| rows regardless of corpus
+    * size. Groups present in only one version are absent (inner join
+    * on the group totals), matching embeddingDrift's contract. */
+  def histogramDrift(a: DataFrame, b: DataFrame, groupCol: String,
+                     valueCol: String, boundaries: Seq[Double]): DataFrame = {
+    require(boundaries.nonEmpty, "histogramDrift: no bucket boundaries")
+    require(boundaries == boundaries.sorted && boundaries.distinct == boundaries,
+      s"histogramDrift: boundaries not strictly ascending: $boundaries")
+    def bucket(v: Column): Column =
+      boundaries.foldLeft(lit(0))((acc, bnd) =>
+        acc + when(v >= bnd, 1).otherwise(0))
+    def counts(df: DataFrame, cName: String, nName: String): DataFrame = {
+      val c = df.select(col(groupCol).as("label"),
+          bucket(col(valueCol).cast("double")).as("bucket"))
+        .where(col(valueCol).isNotNull)
+        .groupBy(col("label"), col("bucket"))
+        .agg(count(lit(1)).as(cName))
+      c.join(c.groupBy(col("label")).agg(sum(col(cName)).as(nName)),
+        Seq("label"))
+    }
+    val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
+    val ca = counts(a, "ca", "na")
+    val cb = counts(b, "cb", "nb")
+    // full outer on buckets (a bucket emptied by the filter still
+    // drifts) but inner on group totals (embeddingDrift's contract)
+    val joined = ca.select(col("label"), col("bucket"), col("ca"))
+      .join(cb.select(col("label"), col("bucket"), col("cb")),
+        Seq("label", "bucket"), "full_outer")
+      .join(ca.select(col("label"), col("na")).distinct(), Seq("label"))
+      .join(cb.select(col("label"), col("nb")).distinct(), Seq("label"))
+      .select(col("label"), col("na"), col("nb"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    joined
+      .groupBy(col("label"))
+      .agg(
+        sum(abs(col("ca").cast(d19) * col("nb").cast(d19) -
+          col("cb").cast(d19) * col("na").cast(d19))).as("__num"),
+        max(col("na")).as("n_a"), max(col("nb")).as("n_b"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        (col("__num").cast("double") /
+          (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
+          .as("tv_dist"))
   }
 }

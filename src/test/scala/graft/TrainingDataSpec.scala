@@ -969,4 +969,37 @@ class TrainingDataSpec extends SparkSpec {
         d -> rs.map(r => Math.round(r.getDouble(4) * 1000000.0)).distinct.length }
     assert(microsByDom.values.sum > 100, s"fixture lost density: $microsByDom")
   }
+
+  test("histogramDrift: identical -> exactly 0, disjoint buckets -> " +
+    "exactly 1, hand-computed mixed case, NULLs shrink a side, " +
+    "one-version groups absent, boundary validation") {
+    import spark.implicits._
+    val a = Seq(
+      ("g1", 5.0), ("g1", 15.0), ("g1", 25.0), ("g1", 25.0), // buckets 0,1,2,2
+      ("g2", 5.0), ("g2", 5.0),                              // all bucket 0
+      ("g3", 5.0),                                           // only in A
+      ("g4", 5.0), ("g4", 15.0))
+      .toDF("grp", "v")
+    val b = Seq(
+      ("g1", Some(5.0)), ("g1", Some(15.0)),
+      ("g1", Some(25.0)), ("g1", Some(25.0)), // identical
+      ("g2", Some(25.0)), ("g2", Some(25.0)), // fully moved
+      ("g4", Some(5.0)), ("g4", Option.empty[Double]))
+      .toDF("grp", "v")
+    val out = TrainingData.histogramDrift(a, b, "grp", "v", Seq(10.0, 20.0))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set("g1", "g2", "g4")) // g3 inner-joins away
+    assert(out("g1") == ((4L, 4L, 0.0)))  // identical distribution
+    assert(out("g2") == ((2L, 2L, 1.0)))  // disjoint buckets
+    // g4: A = {b0:1, b1:1} of 2; B = {b0:1} of 1 (NULL dropped)
+    // TV = 1/2 (|1*1-1*2| + |1*1-0*2|) / (2*1) = (1+1)/4 = 0.5
+    assert(out("g4") == ((2L, 1L, 0.5)))
+    intercept[IllegalArgumentException] {
+      TrainingData.histogramDrift(a, b, "grp", "v", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.histogramDrift(a, b, "grp", "v", Seq(20.0, 10.0))
+    }
+  }
 }
