@@ -4621,6 +4621,77 @@ object Queries {
         CAST(CAST(num AS DOUBLE) / (2.0 * na * nb) AS DOUBLE) AS tv_dist
       FROM g"""))
 
+  /** Top-k frequent trigrams per language — corpus statistics through
+    * the native TopKPerKey operator (bounded per-group heaps before the
+    * final exchange). The oracle is the window formulation with the
+    * identical (count desc, ngram) tie-break. */
+  private val q148 = Q("q148_top_ngrams_per_lang",
+    (s, d) => graft.operators.TrainingData.topNgramsPerGroup(
+      documents(s, d), "lang", "text", ngram = 3, k = 10),
+    Some("""WITH tkn AS (SELECT lang, string_split_regex(trim(text), '\s+') AS tk
+          FROM documents),
+      n AS (SELECT lang, unnest(list_transform(range(len(tk) - 2),
+            i -> tk[i+1] || ' ' || tk[i+2] || ' ' || tk[i+3])) AS ngram
+        FROM tkn WHERE len(tk) >= 3),
+      c AS (SELECT lang AS label, ngram, COUNT(*) AS cnt FROM n GROUP BY 1, 2)
+      SELECT label, CAST(rank AS INTEGER) AS rank, ngram, cnt FROM (
+        SELECT label, ngram, cnt,
+          ROW_NUMBER() OVER (PARTITION BY label
+            ORDER BY cnt DESC, ngram) AS rank
+        FROM c)
+      WHERE rank <= 10"""))
+
+  /** Audio peak normalization (payload→payload, all-integer): every
+    * clip rescales so its peak |amplitude| is exactly 12000, then the
+    * q117 feature contract reads the REWRITTEN payload — the oracle
+    * recomputes every normalized sample with the same
+    * `(2·|s|·target + peak) div (2·peak)` half-away arithmetic, so a
+    * rounding-mode slip, a sign error, or a re-encode defect fails the
+    * hash. */
+  private val q149 = Q("q149_audio_normalize",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+      val media = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, _) =>
+          val n = 160 + (id % 5).toInt * 20
+          val seed = (id % 251).toInt
+          val samples = Array.tabulate(n)(i =>
+            (i * 7919 + seed * 13) % 4001 - 2000)
+          MediaRow(id, "audio/wav",
+            graft.multimodal.PcmCodec.encodeWav(1, 16000, 16, samples),
+            MediaMeta("synth", None, None, None))
+        }
+      graft.multimodal.Multimodal.audioFeatures(
+          graft.multimodal.Multimodal.normalizeAudioPeak(media, targetPeak = 12000))
+        .toDF()
+        .select(col("media_id"), col("n_samples"), col("peak_abs"),
+          col("sum_amp"), col("sum_sq"), col("mean_amp"), col("rms"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          160 + (doc_id % 5) * 20 AS n,
+          doc_id % 251 AS seed
+        FROM documents),
+      s AS (SELECT doc_id, j.range AS i,
+          (j.range * 7919 + seed * 13) % 4001 - 2000 AS amp
+        FROM p CROSS JOIN range(240) j WHERE j.range < n),
+      pk AS (SELECT doc_id, MAX(ABS(amp)) AS peak FROM s GROUP BY 1),
+      v AS (SELECT s.doc_id,
+          CASE WHEN amp >= 0 THEN (2*amp*12000 + peak) // (2*peak)
+            ELSE -((2*(-amp)*12000 + peak) // (2*peak)) END AS nv
+        FROM s JOIN pk ON s.doc_id = pk.doc_id),
+      f AS (SELECT doc_id, COUNT(*) AS ns, MAX(ABS(nv)) AS pa,
+          SUM(nv) AS sa, SUM(nv*nv) AS sq
+        FROM v GROUP BY 1)
+      SELECT doc_id AS media_id, CAST(ns AS BIGINT) AS n_samples,
+        CAST(pa AS INTEGER) AS peak_abs, CAST(sa AS BIGINT) AS sum_amp,
+        CAST(sq AS BIGINT) AS sum_sq,
+        CAST(CAST(sa AS DOUBLE) / ns AS DOUBLE) AS mean_amp,
+        sqrt(CAST(sq AS DOUBLE) / ns) AS rms
+      FROM f"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -4633,7 +4704,7 @@ object Queries {
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
-    q140, q141, q142, q143, q144, q145, q146, q147)
+    q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

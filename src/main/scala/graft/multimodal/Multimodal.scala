@@ -404,6 +404,53 @@ object Multimodal {
     }.toDF("media_id", "period_lag", "period_score")
   }
 
+  /** Peak (loudness) normalization — payload→payload, the level-the-
+    * volumes pass an audio corpus runs before comparative feature
+    * extraction: decode through [[PcmCodec]], scale every sample so the
+    * clip's peak |amplitude| becomes exactly `targetPeak`, re-encode
+    * into the SAME container and bit depth. The scale is ALL-INTEGER:
+    * `out = round_half_away(s · target / peak)` computed as
+    * `(2·|s|·target + peak) div (2·peak)` with the sign reapplied — no
+    * float anywhere, so an oracle recomputes every sample, and
+    * |out| ≤ targetPeak is guaranteed (no clipping stage needed).
+    *
+    * Untouched (visibly, via [[audioFeatures]]' unchanged peak):
+    * payloads the codec declines, all-zero clips (no peak to scale),
+    * and clips whose bit depth cannot represent `targetPeak`
+    * (target ≥ 2^(bits−1)) — never a silently clipped rewrite. */
+  def normalizeAudioPeak(media: Dataset[MediaRow], targetPeak: Int,
+                         batchSize: Int = 64): Dataset[MediaRow] = {
+    require(targetPeak > 0, s"normalizeAudioPeak: bad target $targetPeak")
+    import media.sparkSession.implicits._
+    mapBatches(media, batchSize) { batch =>
+      batch.map { m =>
+        val bytes = Option(m.content).getOrElse(Array.emptyByteArray)
+        PcmCodec.decode(bytes) match {
+          case Some(p) if p.samples.nonEmpty &&
+            targetPeak < (1 << (p.bits - 1)) =>
+            var peak = 0
+            p.samples.foreach { s =>
+              val a = math.abs(s); if (a > peak) peak = a
+            }
+            if (peak == 0) m // digital silence: nothing to scale, visibly
+            else {
+              val out = p.samples.map { s =>
+                val scaled = ((2L * math.abs(s) * targetPeak + peak) /
+                  (2L * peak)).toInt
+                if (s < 0) -scaled else scaled
+              }
+              val re =
+                if (p.format == "wav")
+                  PcmCodec.encodeWav(p.channels, p.sampleRate, p.bits, out)
+                else PcmCodec.encodeAiff(p.channels, p.sampleRate, p.bits, out)
+              m.copy(content = re)
+            }
+          case _ => m // declined or unrepresentable target: untouched
+        }
+      }
+    }
+  }
+
   /** Activity (non-silence) segmentation — the trim-before-transcribe
     * pass of an audio curation pipeline: decode through [[PcmCodec]],
     * mark each sample ACTIVE iff |amplitude| ≥ `threshold`, and emit

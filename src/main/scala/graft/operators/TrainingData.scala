@@ -1195,6 +1195,38 @@ object TrainingData {
       .orderBy(col("pair_count").desc, col("pair")).limit(k)
   }
 
+  /** Top-k most frequent word n-grams per group — the corpus-statistics
+    * query behind stop-phrase discovery, boilerplate spotting, and
+    * tokenizer-vocabulary sanity checks, per language/source. Returns
+    * the n-gram TEXT (unlike the hashed posting machinery, which trades
+    * the string away for shuffle width): one narrow scan explodes
+    * n-grams, a partial-aggregated `groupBy(group, ngram)` counts them
+    * (map-side combine eats the heavy duplication before the exchange),
+    * and the per-group top-k runs through the native [[graft.plans.TopK]]
+    * operator — bounded heaps BEFORE the final exchange, so the rank
+    * stage shuffles ≤ |groups|·k rows, never the full n-gram
+    * distribution. Ties break lexicographically (deterministic).
+    * Docs shorter than `ngram` tokens contribute nothing. */
+  def topNgramsPerGroup(docs: DataFrame, groupCol: String, textCol: String,
+                        ngram: Int, k: Int): DataFrame = {
+    require(ngram >= 1, s"topNgramsPerGroup: bad ngram $ngram")
+    require(k >= 1, s"topNgramsPerGroup: bad k $k")
+    val parts = (0 until ngram).map(j => s"tk[i + $j]").mkString(", ")
+    val counts = docs
+      .select(col(groupCol).as("label"),
+        split(trim(col(textCol)), "\\s+").as("tk"))
+      .where(size(col("tk")) >= ngram)
+      .select(col("label"), explode(expr(
+        s"transform(sequence(0, size(tk) - $ngram), i -> concat_ws(' ', $parts))"))
+        .as("ngram"))
+      .groupBy(col("label"), col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+    graft.plans.TopK.perKey(counts, Seq("label"),
+      Seq(graft.plans.TopK.Sort("cnt", desc = true),
+        graft.plans.TopK.Sort("ngram")), k)
+      .select(col("label"), col("rank"), col("ngram"), col("cnt"))
+  }
+
   /** Per-group distribution drift of a SCALAR feature between two
     * corpus versions — [[Similarity.embeddingDrift]]'s sibling for
     * lengths, quality scores, token counts (the data-validation check a

@@ -1108,6 +1108,44 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L).isEmpty && got(4L).isEmpty)
   }
 
+  test("normalizeAudioPeak: exact half-away integer scaling, peak lands " +
+    "on target, untouched for declines / silence / unrepresentable target") {
+    import spark.implicits._
+    import graft.multimodal.PcmCodec
+    val s1 = Array(1000, -250, 125, -1000, 3)
+    val rows = Seq(
+      MediaRow(1L, "audio/wav", PcmCodec.encodeWav(1, 8000, 16, s1),
+        MediaMeta("mic", None, None, None)),
+      MediaRow(2L, "audio/aiff", PcmCodec.encodeAiff(1, 8000, 16, s1),
+        MediaMeta("mic", None, None, None)),
+      MediaRow(3L, "audio/wav", "junk".getBytes("UTF-8"),
+        MediaMeta("mic", None, None, None)),
+      MediaRow(4L, "audio/wav", PcmCodec.encodeWav(1, 8000, 16, Array(0, 0, 0)),
+        MediaMeta("mic", None, None, None)),
+      MediaRow(5L, "audio/wav", PcmCodec.encodeWav(1, 8000, 8, Array(10, -5)),
+        MediaMeta("mic", None, None, None))) // 8-bit can't hold 12000
+    val out = graft.multimodal.Multimodal
+      .normalizeAudioPeak(rows.toDS(), targetPeak = 12000)
+      .collect().map(m => m.media_id -> m).toMap
+    // peak 1000 -> x12: exact products, and 3*12000/1000 = 36 exactly
+    val want = Seq(12000, -3000, 1500, -12000, 36)
+    assert(PcmCodec.decode(out(1L).content).get.samples.toSeq == want)
+    assert(PcmCodec.decode(out(2L).content).get.samples.toSeq == want)
+    assert(PcmCodec.decode(out(2L).content).get.format == "aiff") // container kept
+    // a non-divisible peak exercises the half-away rounding both signs
+    val s2 = Array(7, -7, 3)
+    val odd = graft.multimodal.Multimodal.normalizeAudioPeak(
+      Seq(MediaRow(9L, "audio/wav", PcmCodec.encodeWav(1, 8000, 16, s2),
+        MediaMeta("mic", None, None, None))).toDS(), targetPeak = 10)
+      .collect().head
+    // 3*10/7 = 4.2857 -> 4;  peak stays exact at 10
+    assert(PcmCodec.decode(odd.content).get.samples.toSeq == Seq(10, -10, 4))
+    // untouched paths: bytes identical
+    assert(out(3L).content.toSeq == "junk".getBytes("UTF-8").toSeq)
+    assert(PcmCodec.decode(out(4L).content).get.samples.toSeq == Seq(0, 0, 0))
+    assert(PcmCodec.decode(out(5L).content).get.samples.toSeq == Seq(10, -5))
+  }
+
   test("audioActiveSegments: exact island boundaries, minRun filter, " +
     "threshold is inclusive, declines and all-silent emit no rows") {
     import spark.implicits._

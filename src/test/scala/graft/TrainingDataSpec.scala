@@ -1002,4 +1002,26 @@ class TrainingDataSpec extends SparkSpec {
       TrainingData.histogramDrift(a, b, "grp", "v", Seq(20.0, 10.0))
     }
   }
+
+  test("topNgramsPerGroup: exact counts, lexicographic tie-break, short " +
+    "docs excluded, k bounds, native TopKPerKey plan") {
+    import spark.implicits._
+    val df = Seq(
+      ("en", "a b c a b c a b"),  // "a b c"x2, "b c a"x2, "c a b"x2
+      ("en", "z z z z"),          // "z z z"x2
+      ("en", "x y"),              // < 3 tokens: contributes nothing
+      ("de", "m n o"))            // one trigram
+      .toDF("lang", "text")
+    val out = TrainingData.topNgramsPerGroup(df, "lang", "text", ngram = 3, k = 2)
+    val rows = out.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getString(2), r.getLong(3))))
+      .toMap
+    // en: four trigrams all count 2 -> lexicographic picks "a b c", "b c a"
+    assert(rows(("en", 1)) == (("a b c", 2L)))
+    assert(rows(("en", 2)) == (("b c a", 2L)))
+    assert(rows(("de", 1)) == (("m n o", 1L)))
+    assert(rows.size == 3) // de has only one trigram; k=2 doesn't pad
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKey"), "must use the native operator")
+  }
 }
