@@ -4692,6 +4692,58 @@ object Queries {
         sqrt(CAST(sq AS DOUBLE) / ns) AS rms
       FROM f"""))
 
+  /** PROGRESSIVE JPEG decode (q128's closed form through SOF2 spectral
+    * selection): the same block-constant even-value images encode as
+    * multi-scan progressive files — band splits and EOBn batching vary
+    * per doc — and the full DC-scan + AC-band-scan + EOB-run
+    * accumulation path reproduces q128's exact arithmetic, so the
+    * oracle is q128's closed form verbatim. A mis-ordered scan, a
+    * wrong EOB run, or a band boundary slip changes some pixel and
+    * fails the hash. */
+  private val q150 = Q("q150_jpeg_progressive",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+      val media = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          val w = 8 * (1 + (id % 6)).toInt
+          val h = 8 * (1 + (nc % 4)).toInt
+          val seed = (id % 251).toInt
+          val samples = Array.tabulate(w * h) { i =>
+            val bx = (i % w) / 8; val by = (i / w) / 8
+            2 * ((seed + 17 * bx + 29 * by) % 128)
+          }
+          val bands =
+            if (id % 2 == 0) Seq((1, 5), (6, 63))
+            else Seq((1, 2), (3, 20), (21, 63))
+          MediaRow(id, "image/jpeg",
+            graft.multimodal.JpegCodec.encodeProgressive(w, h, samples,
+              bands, batchEob = id % 3 != 0),
+            MediaMeta("synth", Some(w), Some(h), None))
+        }
+      graft.multimodal.Multimodal.imageFeatures(media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          (col("width").cast("long") * col("height")).as("n_pixels"),
+          col("brightness"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          8 * (1 + doc_id % 6) AS w,
+          8 * (1 + n_chars % 4) AS h,
+          doc_id % 251 AS seed
+        FROM documents),
+      s AS (SELECT doc_id, w, h,
+          64 * list_sum(list_transform(range(w//8 * (h//8)), b ->
+            2 * ((seed + 17*(b % (w//8)) + 29*(b // (w//8))) % 128))) AS sm
+        FROM p)
+      SELECT doc_id AS media_id,
+        CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        CAST(w*h AS BIGINT) AS n_pixels,
+        CAST((sm*2000000 + w*h*255) // (2*w*h*255) AS DOUBLE)
+          / 1000000.0 AS brightness
+      FROM s"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -4704,7 +4756,7 @@ object Queries {
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
-    q140, q141, q142, q143, q144, q145, q146, q147, q148, q149)
+    q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -10,11 +10,15 @@ package graft.multimodal
   * Envelope, stated honestly: baseline sequential (SOF0), 8-bit,
   * grayscale, 4:4:4 YCbCr, or 4:2:0 YCbCr, with or without restart
   * markers (DRI/RSTn — byte-aligned predictor resets, the shape most
-  * real encoders emit). Other subsampling, progressive (SOF2),
-  * arithmetic coding, and 12-bit all return None — the stub fallback,
-  * never fabricated pixels. Color output is interleaved RGB via the
-  * JFIF inverse transform (one fixed IEEE sequence per channel,
-  * mirrored by the q129/q130 oracles).
+  * real encoders emit); plus PROGRESSIVE (SOF2) with spectral
+  * selection — multi-scan DC + AC band accumulation with full EOBn
+  * run handling — for grayscale and 4:4:4. Still declined (None, the
+  * stub fallback, never fabricated pixels): successive-approximation
+  * progressive (Ah/Al ≠ 0), subsampled progressive, restart intervals
+  * inside progressive scans, other subsampling, arithmetic coding,
+  * 12-bit. Color output is interleaved RGB via the JFIF inverse
+  * transform (one fixed IEEE sequence per channel, mirrored by the
+  * q129/q130 oracles).
   *
   * The encoder exists for fixtures and spec round trips. JPEG is
   * LOSSY, so unlike the PNG/GIF gates the oracle cannot demand
@@ -283,6 +287,213 @@ object JpegCodec {
     out.toByteArray
   }
 
+  // progressive AC tables also need the EOBn symbols (run<<4, size 0,
+  // run 1..14 — 0x00 is EOB0 and already present)
+  private val AcProgSyms: Array[Int] = AcSyms ++ (1 to 14).map(_ << 4)
+
+  /** Encode 8-bit grayscale as a PROGRESSIVE (SOF2) JPEG using spectral
+    * selection only (Ah=Al=0): one interleaved DC scan, then one AC
+    * scan per `bands` entry. `batchEob = true` emits real EOBn
+    * run-batching across all-zero-band blocks (what production
+    * encoders do — exercises the decoder's EOB-run path); `false`
+    * emits per-block EOB0 only (also spec-legal). Coefficients are
+    * identical to [[encode]]'s, so progressive and baseline decodes of
+    * the same image agree exactly. */
+  def encodeProgressive(w: Int, h: Int, samples: Array[Int],
+                        bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63)),
+                        batchEob: Boolean = true): Array[Byte] = {
+    require(w >= 1 && h >= 1 && samples.length == w * h,
+      s"bad dims: $w x $h vs ${samples.length}")
+    encodeProgressiveMcus(w, h, Array(samples), Quant, bands, batchEob)
+  }
+
+  /** [[encodeProgressive]] for interleaved RGB at 4:4:4 YCbCr (the
+    * same forward transform as [[encodeColor]]). */
+  def encodeProgressiveColor(w: Int, h: Int, rgb: Array[Int],
+                             quant: Int = Quant,
+                             bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63)),
+                             batchEob: Boolean = true): Array[Byte] = {
+    require(w >= 1 && h >= 1 && rgb.length == w * h * 3,
+      s"bad dims: $w x $h x3 vs ${rgb.length}")
+    require(quant >= 1 && quant <= 255, s"quant out of byte range: $quant")
+    val n = w * h
+    val yP = new Array[Int](n); val cbP = new Array[Int](n); val crP = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val r = rgb(3 * i).toDouble
+      val g = rgb(3 * i + 1).toDouble
+      val b = rgb(3 * i + 2).toDouble
+      yP(i) = clamp255(roundHalfAway(0.299 * r + 0.587 * g + 0.114 * b))
+      cbP(i) = clamp255(roundHalfAway(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0))
+      crP(i) = clamp255(roundHalfAway(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0))
+      i += 1
+    }
+    encodeProgressiveMcus(w, h, Array(yP, cbP, crP), quant, bands, batchEob)
+  }
+
+  /** Zigzag-ordered quantized coefficients for every 8×8 block of a
+    * plane, raster order, edge-replicated — the shared transform stage
+    * both encoders feed from. */
+  private def planeCoefs(plane: Array[Int], pw: Int, ph: Int,
+                         quant: Int): Array[Array[Long]] = {
+    val bxN = (pw + 7) / 8; val byN = (ph + 7) / 8
+    val out = new Array[Array[Long]](bxN * byN)
+    val blk = new Array[Double](64)
+    var by = 0
+    while (by < byN) {
+      var bx = 0
+      while (bx < bxN) {
+        var i = 0
+        while (i < 64) {
+          val x = math.min(bx * 8 + i % 8, pw - 1)
+          val y = math.min(by * 8 + i / 8, ph - 1)
+          blk(i) = plane(y * pw + x) - 128.0
+          i += 1
+        }
+        fdct(blk)
+        val coef = new Array[Long](64)
+        i = 0
+        while (i < 64) { coef(i) = roundHalfAway(blk(ZigZag(i)) / quant); i += 1 }
+        out(by * bxN + bx) = coef
+        bx += 1
+      }
+      by += 1
+    }
+    out
+  }
+
+  private def encodeProgressiveMcus(w: Int, h: Int, planes: Array[Array[Int]],
+                                    quant: Int, bands: Seq[(Int, Int)],
+                                    batchEob: Boolean): Array[Byte] = {
+    require(bands.nonEmpty, "progressive: no AC bands")
+    var prevEnd = 0
+    bands.foreach { case (ss, se) =>
+      require(ss == prevEnd + 1 && se >= ss && se <= 63,
+        s"progressive bands must tile 1..63 in order: $bands")
+      prevEnd = se
+    }
+    require(prevEnd == 63, s"progressive bands must end at 63: $bands")
+    val nComp = planes.length
+    val coefs = planes.map(p => planeCoefs(p, w, h, quant))
+    val dcLen = DcSyms.map(_ => 4)
+    val acLen = AcProgSyms.map(_ => 8)
+    val dcCode = canonicalCodes(dcLen)
+    val acCode = canonicalCodes(acLen)
+    val dcIdx = DcSyms.zipWithIndex.toMap
+    val acIdx = AcProgSyms.zipWithIndex.toMap
+    val bxN = (w + 7) / 8; val byN = (h + 7) / 8
+    val nBlocks = bxN * byN
+
+    // DC scan: interleaved over all components (1x1 sampling: one block
+    // per component per MCU), baseline DC coding (Ah=Al=0)
+    val dcBw = new BitWriter
+    val prevDc = new Array[Long](nComp)
+    var b = 0
+    while (b < nBlocks) {
+      var c = 0
+      while (c < nComp) {
+        val dcv = coefs(c)(b)(0)
+        val diff = dcv - prevDc(c)
+        prevDc(c) = dcv
+        val s = magBits(diff)
+        dcBw.put(dcCode(dcIdx(s)), 4)
+        if (s > 0) dcBw.put(magValue(diff, s), s)
+        c += 1
+      }
+      b += 1
+    }
+    val dcData = dcBw.finishWithOnes()
+
+    // AC scans: one per (component, band), non-interleaved raster order
+    val acScans = for (c <- 0 until nComp; (ss, se) <- bands) yield {
+      val bw = new BitWriter
+      var eobrun = 0
+      def flushEob(): Unit = {
+        var run = eobrun
+        eobrun = 0
+        while (run > 0) {
+          val chunk = math.min(run, 32767)
+          val n = 31 - Integer.numberOfLeadingZeros(chunk) // floor(log2)
+          bw.put(acCode(acIdx(n << 4)), 8)
+          if (n > 0) bw.put(chunk - (1 << n), n)
+          run -= chunk
+        }
+      }
+      var blkI = 0
+      while (blkI < nBlocks) {
+        val coef = coefs(c)(blkI)
+        var last = se
+        while (last >= ss && coef(last) == 0L) last -= 1
+        if (last < ss) {
+          // whole band zero: one more block in the EOB run
+          if (batchEob) eobrun += 1
+          else bw.put(acCode(acIdx(0x00)), 8)
+        } else {
+          flushEob()
+          var run = 0
+          var k = ss
+          while (k <= last) {
+            if (coef(k) == 0L) run += 1
+            else {
+              while (run >= 16) { bw.put(acCode(acIdx(0xf0)), 8); run -= 16 }
+              val sz = magBits(coef(k))
+              bw.put(acCode(acIdx((run << 4) | sz)), 8)
+              bw.put(magValue(coef(k), sz), sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (last < se) {
+            // zero tail inside the band: ends this block's band
+            if (batchEob) eobrun += 1
+            else bw.put(acCode(acIdx(0x00)), 8)
+          }
+        }
+        blkI += 1
+      }
+      flushEob()
+      (c, ss, se, bw.finishWithOnes())
+    }
+
+    val out = new java.io.ByteArrayOutputStream(4096)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      out.write(((body.length + 2) >> 8) & 0xff)
+      out.write((body.length + 2) & 0xff)
+      out.write(body, 0, body.length)
+    }
+    marker(0xd8)
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, 0.toByte +: Array.fill(64)(quant.toByte))
+    val sof = Array.newBuilder[Byte]
+    sof += 8
+    sof += ((h >> 8) & 0xff).toByte += (h & 0xff).toByte
+    sof += ((w >> 8) & 0xff).toByte += (w & 0xff).toByte
+    sof += nComp.toByte
+    for (c <- 0 until nComp) sof += (c + 1).toByte += 0x11.toByte += 0.toByte
+    seg(0xc2, sof.result()) // SOF2: progressive
+    seg(0xc4, dhtBody(0x00, dcLen, DcSyms))
+    seg(0xc4, dhtBody(0x10, acLen, AcProgSyms))
+    // DC scan
+    val dcSos = Array.newBuilder[Byte]
+    dcSos += nComp.toByte
+    for (c <- 1 to nComp) { dcSos += c.toByte += 0x00.toByte }
+    dcSos += 0.toByte += 0.toByte += 0.toByte // Ss=0 Se=0 Ah=Al=0
+    seg(0xda, dcSos.result())
+    out.write(dcData, 0, dcData.length)
+    // AC scans
+    acScans.foreach { case (c, ss, se, data) =>
+      val sos = Array.newBuilder[Byte]
+      sos += 1.toByte += (c + 1).toByte += 0x00.toByte
+      sos += ss.toByte += se.toByte += 0.toByte
+      seg(0xda, sos.result())
+      out.write(data, 0, data.length)
+    }
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** Canonical code assignment for per-symbol lengths (sorted by
     * (length, order)) — the same construction the decoder derives from
     * BITS/HUFFVAL, so the encoder and any spec-compliant reader agree. */
@@ -465,6 +676,240 @@ object JpegCodec {
     else if (v < (1 << (s - 1))) v - (1 << s) + 1
     else v
 
+  /** PROGRESSIVE (SOF2) decode — spectral selection only, all-1x1
+    * sampling: a DC scan (possibly interleaved) plus non-interleaved AC
+    * band scans with full EOBn run handling accumulate quantized
+    * coefficients per block; dequant + IDCT run once at the end. Out of
+    * envelope (→ None, the visible stub): successive approximation
+    * (Ah or Al ≠ 0), restart intervals inside progressive scans,
+    * subsampled progressive, truncated or structurally malformed scan
+    * sequences. Called from [[decode]] at the first SOS; inter-scan
+    * DHT/DQT segments are honored (tables may arrive per scan). */
+  private def decodeProgressive(bytes: Array[Byte], pStart: Int,
+                                w: Int, h: Int,
+                                compIds: Array[Int], compQuant: Array[Int],
+                                dcTabs: java.util.HashMap[Int, Huff],
+                                acTabs: java.util.HashMap[Int, Huff],
+                                quants: java.util.HashMap[Int, Array[Int]],
+                                restartInterval: Int): Option[(Int, Int, Int, Array[Int])] = {
+    if (restartInterval > 0) return None // DRI + progressive: declined
+    if (w < 1 || h < 1 || w > (1 << 14) || h > (1 << 14)) return None
+    val nComp = compIds.length
+    val bxN = (w + 7) / 8; val byN = (h + 7) / 8
+    val nBlocks = bxN * byN
+    // quantized coefficients, natural (row-major frequency) order
+    val coefs = Array.fill(nComp)(new Array[Int](nBlocks * 64))
+    var ri = restartInterval // re-checked if a DRI arrives between scans
+    var p = pStart
+    var sawEoi = false
+    while (!sawEoi) {
+      if (p + 2 > bytes.length) return None
+      if ((bytes(p) & 0xff) != 0xff) return None
+      val m = bytes(p + 1) & 0xff
+      if (m == 0xd9) sawEoi = true
+      else {
+        if (p + 4 > bytes.length) return None
+        val len = ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+        if (len < 2 || p + 2 + len > bytes.length) return None
+        val at = p + 4
+        m match {
+          case 0xda =>
+            val ns = bytes(at) & 0xff
+            if (ns < 1 || ns > nComp || len < 4 + 2 * ns + 2) return None
+            val scanComp = new Array[Int](ns)
+            val scanDc = new Array[Int](ns)
+            val scanAc = new Array[Int](ns)
+            var c = 0
+            while (c < ns) {
+              val cs = bytes(at + 1 + 2 * c) & 0xff
+              val pos = compIds.indexOf(cs)
+              if (pos < 0) return None
+              scanComp(c) = pos
+              scanDc(c) = (bytes(at + 2 + 2 * c) & 0xff) >> 4
+              scanAc(c) = bytes(at + 2 + 2 * c) & 0x0f
+              c += 1
+            }
+            val ss = bytes(at + 1 + 2 * ns) & 0xff
+            val se = bytes(at + 2 + 2 * ns) & 0xff
+            val ahAl = bytes(at + 3 + 2 * ns) & 0xff
+            if (ahAl != 0) return None // successive approximation: declined
+            if (ri > 0) return None
+            val dataStart = p + 2 + len
+            // entropy data ends at the first non-stuffed marker
+            var q = dataStart
+            var end = -1
+            while (end < 0 && q + 1 < bytes.length) {
+              if ((bytes(q) & 0xff) == 0xff && (bytes(q + 1) & 0xff) != 0x00)
+                end = q
+              else q += 1
+            }
+            if (end < 0) return None
+            val r = new BitReader(
+              java.util.Arrays.copyOfRange(bytes, dataStart, end))
+            if (ss == 0) {
+              // DC scan: Se must be 0; interleaved over scan components
+              // (1x1 sampling: one block each per MCU = block-grid cell)
+              if (se != 0) return None
+              val dcH = Array.tabulate(ns)(i => dcTabs.get(scanDc(i)))
+              if (dcH.exists(_ == null)) return None
+              val prevDc = new Array[Int](ns)
+              var b = 0
+              while (b < nBlocks) {
+                var i = 0
+                while (i < ns) {
+                  val s = dcH(i).decode(r)
+                  if (s < 0 || s > 11) return None
+                  val dcv =
+                    if (s == 0) 0
+                    else {
+                      val v = r.bits(s)
+                      if (v < 0) return None
+                      extend(v, s)
+                    }
+                  prevDc(i) += dcv
+                  coefs(scanComp(i))(b * 64) = prevDc(i)
+                  i += 1
+                }
+                b += 1
+              }
+            } else {
+              // AC band scan: exactly one component (spec), 1 <= Ss <= Se <= 63
+              if (ns != 1 || ss > se || se > 63) return None
+              val acH = acTabs.get(scanAc(0))
+              if (acH == null) return None
+              val comp = scanComp(0)
+              var eobrun = 0
+              var b = 0
+              while (b < nBlocks) {
+                if (eobrun > 0) eobrun -= 1 // this block's band is all zero
+                else {
+                  var k = ss
+                  var done = false
+                  while (!done && k <= se) {
+                    val sym = acH.decode(r)
+                    if (sym < 0) return None
+                    val run = sym >> 4
+                    val sz = sym & 0x0f
+                    if (sz == 0) {
+                      if (run == 15) k += 16 // ZRL
+                      else {
+                        // EOBn: run of 2^run + extra all-zero-band blocks,
+                        // INCLUDING ending this one
+                        var n = (1 << run) - 1
+                        if (run > 0) {
+                          val extra = r.bits(run)
+                          if (extra < 0) return None
+                          n += extra
+                        }
+                        eobrun = n
+                        done = true
+                      }
+                    } else {
+                      if (sz > 10) return None
+                      k += run
+                      if (k > se) return None
+                      val v = r.bits(sz)
+                      if (v < 0) return None
+                      coefs(comp)(b * 64 + ZigZag(k)) = extend(v, sz)
+                      k += 1
+                    }
+                  }
+                }
+                b += 1
+              }
+            }
+            p = end
+          case 0xc4 => // DHT between scans
+            var q = at
+            while (q < p + 2 + len) {
+              val tc = (bytes(q) & 0xff) >> 4
+              val th = bytes(q) & 0x0f
+              if (q + 17 > p + 2 + len) return None
+              val bs = Array.tabulate(16)(i => bytes(q + 1 + i) & 0xff)
+              val n = bs.sum
+              if (q + 17 + n > p + 2 + len) return None
+              val vs = Array.tabulate(n)(i => bytes(q + 17 + i) & 0xff)
+              val t = new Huff(bs, vs)
+              if (tc == 0) dcTabs.put(th, t) else acTabs.put(th, t)
+              q += 17 + n
+            }
+            p += 2 + len
+          case 0xdb => // DQT between scans
+            var q = at
+            while (q < p + 2 + len) {
+              val pq = (bytes(q) & 0xff) >> 4
+              val tq = bytes(q) & 0x0f
+              if (pq != 0) return None
+              if (q + 1 + 64 > p + 2 + len) return None
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) { t(ZigZag(i)) = bytes(q + 1 + i) & 0xff; i += 1 }
+              quants.put(tq, t)
+              q += 65
+            }
+            p += 2 + len
+          case 0xdd =>
+            if (len < 4) return None
+            ri = ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
+            if (ri > 0) return None // progressive restarts: declined
+            p += 2 + len
+          case _ => p += 2 + len // APPn/COM
+        }
+      }
+    }
+    val quant = Array.tabulate(nComp)(c => quants.get(compQuant(c)))
+    if (quant.exists(_ == null)) return None
+    // dequantize + IDCT every block into full-resolution planes
+    val planes = Array.fill(nComp)(new Array[Int](w * h))
+    val blk = new Array[Double](64)
+    var c = 0
+    while (c < nComp) {
+      var b = 0
+      while (b < nBlocks) {
+        var i = 0
+        while (i < 64) {
+          blk(i) = coefs(c)(b * 64 + i).toDouble * quant(c)(i)
+          i += 1
+        }
+        idct(blk)
+        val x0 = (b % bxN) * 8
+        val y0 = (b / bxN) * 8
+        i = 0
+        while (i < 64) {
+          val x = x0 + i % 8
+          val y = y0 + i / 8
+          if (x < w && y < h) {
+            val px = roundHalfAway(blk(i)) + 128L
+            planes(c)(y * w + x) =
+              if (px < 0) 0 else if (px > 255) 255 else px.toInt
+          }
+          i += 1
+        }
+        b += 1
+      }
+      c += 1
+    }
+    if (nComp == 1) Some((w, h, 1, planes(0)))
+    else {
+      // all-1x1: identity chroma mapping; same fixed IEEE transform as
+      // the baseline path
+      val out = new Array[Int](w * h * 3)
+      var i = 0
+      val n = w * h
+      while (i < n) {
+        val y = planes(0)(i).toDouble
+        val cb = planes(1)(i).toDouble
+        val cr = planes(2)(i).toDouble
+        out(3 * i) = clamp255(roundHalfAway(y + 1.402 * (cr - 128.0)))
+        out(3 * i + 1) = clamp255(roundHalfAway(
+          y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)))
+        out(3 * i + 2) = clamp255(roundHalfAway(y + 1.772 * (cb - 128.0)))
+        i += 1
+      }
+      Some((w, h, 3, out))
+    }
+  }
+
   /** Decode a baseline JPEG — grayscale (channels 1) or 4:4:4 YCbCr
     * color (channels 3, interleaved RGB out): Some((w, h, ch, samples))
     * or None (progressive, subsampled, corrupt, truncated — caller
@@ -474,6 +919,7 @@ object JpegCodec {
     if ((bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
     var p = 2
     var w = 0; var h = 0
+    var progressive = false
     var compIds: Array[Int] = null // SOF order
     var compQuant: Array[Int] = null
     var compSamp: Array[Int] = null
@@ -494,7 +940,7 @@ object JpegCodec {
         if (len < 2 || p + 2 + len > bytes.length) return None
         val at = p + 4
         m match {
-          case 0xc0 => // baseline SOF
+          case 0xc0 | 0xc2 => // baseline SOF0 / progressive SOF2
             if (len < 8 + 3) return None
             if ((bytes(at) & 0xff) != 8) return None // 8-bit only
             h = ((bytes(at + 1) & 0xff) << 8) | (bytes(at + 2) & 0xff)
@@ -513,14 +959,19 @@ object JpegCodec {
               c += 1
             }
             // supported sampling shapes: all-1x1 (grayscale / 4:4:4) or
-            // 4:2:0 (Y 2x2, chroma 1x1); anything else declines
+            // 4:2:0 (Y 2x2, chroma 1x1); anything else declines.
+            // Progressive narrows further: all-1x1 only (non-interleaved
+            // AC scans over subsampled block grids stay out of envelope)
             val all11 = compSamp.forall(_ == 0x11)
             val is420 = nComp == 3 && compSamp(0) == 0x22 &&
               compSamp(1) == 0x11 && compSamp(2) == 0x11
-            if (!all11 && !is420) return None
-          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
+            if (m == 0xc2) {
+              progressive = true
+              if (!all11) return None
+            } else if (!all11 && !is420) return None
+          case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
-            return None // extended/progressive/lossless/arithmetic
+            return None // extended/lossless/arithmetic
           case 0xdb => // DQT (possibly several tables per segment)
             var q = at
             while (q < p + 2 + len) {
@@ -553,6 +1004,9 @@ object JpegCodec {
             }
           case 0xda => // SOS
             if (compIds == null) return None
+            if (progressive)
+              return decodeProgressive(bytes, p, w, h, compIds, compQuant,
+                dcTabs, acTabs, quants, restartInterval)
             val ns = bytes(at) & 0xff
             if (ns != compIds.length || len < 4 + 2 * ns + 2) return None
             compDc = new Array[Int](ns)

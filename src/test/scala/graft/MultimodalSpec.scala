@@ -1108,6 +1108,55 @@ class MultimodalSpec extends SparkSpec {
     assert(got(3L).isEmpty && got(4L).isEmpty)
   }
 
+  test("JpegCodec progressive: spectral-selection decode equals the " +
+    "baseline decode exactly, EOBn batching and per-block EOB0 agree, " +
+    "band splits are transparent, honest declines") {
+    import graft.multimodal.JpegCodec
+    val w = 20; val h = 13
+    val gray = Array.tabulate(w * h)(i => (7 * (i % w) + 11 * (i / w)) % 256)
+    val base = JpegCodec.decode(JpegCodec.encode(w, h, gray))
+    assert(base.isDefined)
+    // progressive coefficients are identical, so decode must agree EXACTLY
+    for (bands <- Seq(Seq((1, 63)), Seq((1, 5), (6, 63)),
+        Seq((1, 2), (3, 20), (21, 63)));
+      batch <- Seq(true, false)) {
+      val p = JpegCodec.decode(
+        JpegCodec.encodeProgressive(w, h, gray, bands, batch))
+      assert(p.isDefined, s"bands=$bands batch=$batch")
+      assert(p.get._4.toSeq == base.get._4.toSeq, s"bands=$bands batch=$batch")
+    }
+    // a flat region makes long all-zero AC bands -> real EOBn runs
+    val flat = Array.tabulate(48 * 40)(i => if (i < 48 * 8) (i * 3) % 256 else 77)
+    val fb = JpegCodec.decode(JpegCodec.encode(48, 40, flat))
+    val fp = JpegCodec.decode(JpegCodec.encodeProgressive(48, 40, flat))
+    assert(fp.get._4.toSeq == fb.get._4.toSeq)
+    // color 4:4:4 progressive == color baseline, pixel-exact
+    val rgb = Array.tabulate(16 * 16 * 3)(i => (5 * i) % 256)
+    val cb = JpegCodec.decode(JpegCodec.encodeColor(16, 16, rgb, quant = 1))
+    val cp = JpegCodec.decode(
+      JpegCodec.encodeProgressiveColor(16, 16, rgb, quant = 1))
+    assert(cp.isDefined && cp.get._4.toSeq == cb.get._4.toSeq)
+    // image_meta reads progressive headers (SOF2 dims)
+    val prog = JpegCodec.encodeProgressive(w, h, gray)
+    val meta = graft.functions.ImageMetaExpr.parseHeader(prog)
+    assert(meta != null && meta.getInt(1) == w && meta.getInt(2) == h)
+    // declines: successive approximation (patched AhAl), truncation
+    def patchLastSosAhAl(b: Array[Byte]): Array[Byte] = {
+      val out = b.clone()
+      var i = 0; var last = -1
+      while (i + 1 < out.length) {
+        if ((out(i) & 0xff) == 0xff && (out(i + 1) & 0xff) == 0xda) last = i
+        i += 1
+      }
+      val ns = out(last + 4) & 0xff
+      out(last + 4 + 1 + 2 * ns + 3) = 0x11.toByte // Ah=1, Al=1
+      out
+    }
+    assert(JpegCodec.decode(patchLastSosAhAl(prog)).isEmpty)
+    assert(JpegCodec.decode(prog.take(prog.length / 2)).isEmpty)
+    assert(JpegCodec.decode(prog.take(40)).isEmpty)
+  }
+
   test("normalizeAudioPeak: exact half-away integer scaling, peak lands " +
     "on target, untouched for declines / silence / unrepresentable target") {
     import spark.implicits._
