@@ -4692,14 +4692,15 @@ object Queries {
         sqrt(CAST(sq AS DOUBLE) / ns) AS rms
       FROM f"""))
 
-  /** PROGRESSIVE JPEG decode (q128's closed form through SOF2 spectral
-    * selection): the same block-constant even-value images encode as
-    * multi-scan progressive files — band splits and EOBn batching vary
-    * per doc — and the full DC-scan + AC-band-scan + EOB-run
-    * accumulation path reproduces q128's exact arithmetic, so the
-    * oracle is q128's closed form verbatim. A mis-ordered scan, a
-    * wrong EOB run, or a band boundary slip changes some pixel and
-    * fails the hash. */
+  /** PROGRESSIVE JPEG decode (q128's closed form through SOF2): the
+    * same block-constant even-value images encode as multi-scan
+    * progressive files — band splits and EOBn batching vary per doc,
+    * and every third doc uses the SUCCESSIVE-APPROXIMATION two-level
+    * script (DC/AC first scans at Al=1 + refinement scans) — and the
+    * full multi-scan accumulation path reproduces q128's exact
+    * arithmetic, so the oracle is q128's closed form verbatim. A
+    * mis-ordered scan, a wrong EOB run, a dropped refinement bit, or a
+    * band boundary slip changes some pixel and fails the hash. */
   private val q150 = Q("q150_jpeg_progressive",
     (s, d) => {
       import s.implicits._
@@ -4718,9 +4719,12 @@ object Queries {
           val bands =
             if (id % 2 == 0) Seq((1, 5), (6, 63))
             else Seq((1, 2), (3, 20), (21, 63))
-          MediaRow(id, "image/jpeg",
-            graft.multimodal.JpegCodec.encodeProgressive(w, h, samples,
-              bands, batchEob = id % 3 != 0),
+          val payload =
+            if (id % 3 == 0)
+              graft.multimodal.JpegCodec.encodeProgressiveSA(w, h, samples, bands)
+            else graft.multimodal.JpegCodec.encodeProgressive(w, h, samples,
+              bands, batchEob = id % 3 == 1)
+          MediaRow(id, "image/jpeg", payload,
             MediaMeta("synth", Some(w), Some(h), None))
         }
       graft.multimodal.Multimodal.imageFeatures(media).toDF()

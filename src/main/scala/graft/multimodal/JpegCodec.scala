@@ -10,15 +10,17 @@ package graft.multimodal
   * Envelope, stated honestly: baseline sequential (SOF0), 8-bit,
   * grayscale, 4:4:4 YCbCr, or 4:2:0 YCbCr, with or without restart
   * markers (DRI/RSTn — byte-aligned predictor resets, the shape most
-  * real encoders emit); plus PROGRESSIVE (SOF2) with spectral
-  * selection — multi-scan DC + AC band accumulation with full EOBn
-  * run handling — for grayscale and 4:4:4. Still declined (None, the
-  * stub fallback, never fabricated pixels): successive-approximation
-  * progressive (Ah/Al ≠ 0), subsampled progressive, restart intervals
-  * inside progressive scans, other subsampling, arithmetic coding,
-  * 12-bit. Color output is interleaved RGB via the JFIF inverse
-  * transform (one fixed IEEE sequence per channel, mirrored by the
-  * q129/q130 oracles).
+  * real encoders emit); plus PROGRESSIVE (SOF2) for grayscale and
+  * 4:4:4 — BOTH progressive dimensions: spectral selection (multi-scan
+  * DC + AC band accumulation with full EOBn run handling) and
+  * successive approximation (point-transformed first scans, DC
+  * refinement bits, AC ±1 arrivals with correction bits inside ZRL
+  * windows and EOB runs — the libjpeg default-script shape). Still
+  * declined (None, the stub fallback, never fabricated pixels):
+  * subsampled progressive, restart intervals inside progressive scans,
+  * other subsampling, arithmetic coding, 12-bit. Color output is
+  * interleaved RGB via the JFIF inverse transform (one fixed IEEE
+  * sequence per channel, mirrored by the q129/q130 oracles).
   *
   * The encoder exists for fixtures and spec round trips. JPEG is
   * LOSSY, so unlike the PNG/GIF gates the oracle cannot demand
@@ -494,6 +496,266 @@ object JpegCodec {
     out.toByteArray
   }
 
+  /** Encode grayscale as PROGRESSIVE with SUCCESSIVE APPROXIMATION —
+    * the libjpeg-style two-level script real encoders emit: DC first at
+    * Al=1 then a DC refinement bit-scan, AC band first scans at Al=1
+    * then AC refinement scans delivering the last magnitude bit
+    * (correction bits for history coefficients, ±1 arrivals for new
+    * ones, EOB runs carrying buffered corrections). All bits are
+    * delivered, so the decode equals the baseline decode EXACTLY. */
+  def encodeProgressiveSA(w: Int, h: Int, samples: Array[Int],
+                          bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63))): Array[Byte] = {
+    require(w >= 1 && h >= 1 && samples.length == w * h,
+      s"bad dims: $w x $h vs ${samples.length}")
+    encodeProgressiveSaMcus(w, h, Array(samples), Quant, bands)
+  }
+
+  /** [[encodeProgressiveSA]] for interleaved RGB at 4:4:4 YCbCr. */
+  def encodeProgressiveColorSA(w: Int, h: Int, rgb: Array[Int],
+                               quant: Int = Quant,
+                               bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63))): Array[Byte] = {
+    require(w >= 1 && h >= 1 && rgb.length == w * h * 3,
+      s"bad dims: $w x $h x3 vs ${rgb.length}")
+    require(quant >= 1 && quant <= 255, s"quant out of byte range: $quant")
+    val n = w * h
+    val yP = new Array[Int](n); val cbP = new Array[Int](n); val crP = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      val r = rgb(3 * i).toDouble
+      val g = rgb(3 * i + 1).toDouble
+      val b = rgb(3 * i + 2).toDouble
+      yP(i) = clamp255(roundHalfAway(0.299 * r + 0.587 * g + 0.114 * b))
+      cbP(i) = clamp255(roundHalfAway(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0))
+      crP(i) = clamp255(roundHalfAway(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0))
+      i += 1
+    }
+    encodeProgressiveSaMcus(w, h, Array(yP, cbP, crP), quant, bands)
+  }
+
+  private def encodeProgressiveSaMcus(w: Int, h: Int, planes: Array[Array[Int]],
+                                      quant: Int, bands: Seq[(Int, Int)]): Array[Byte] = {
+    require(bands.nonEmpty, "progressive: no AC bands")
+    var prevEnd = 0
+    bands.foreach { case (ss, se) =>
+      require(ss == prevEnd + 1 && se >= ss && se <= 63,
+        s"progressive bands must tile 1..63 in order: $bands")
+      prevEnd = se
+    }
+    require(prevEnd == 63, s"progressive bands must end at 63: $bands")
+    val nComp = planes.length
+    val coefs = planes.map(p => planeCoefs(p, w, h, quant))
+    val dcLen = DcSyms.map(_ => 4)
+    val acLen = AcProgSyms.map(_ => 8)
+    val dcCode = canonicalCodes(dcLen)
+    val acCode = canonicalCodes(acLen)
+    val dcIdx = DcSyms.zipWithIndex.toMap
+    val acIdx = AcProgSyms.zipWithIndex.toMap
+    val bxN = (w + 7) / 8; val byN = (h + 7) / 8
+    val nBlocks = bxN * byN
+
+    // scan 1: DC first at Al=1 — diffs of the arithmetic-shifted value
+    val dcFirst = {
+      val bw = new BitWriter
+      val prevDc = new Array[Long](nComp)
+      var b = 0
+      while (b < nBlocks) {
+        var c = 0
+        while (c < nComp) {
+          val v = coefs(c)(b)(0) >> 1 // arithmetic point transform
+          val diff = v - prevDc(c)
+          prevDc(c) = v
+          val s = magBits(diff)
+          bw.put(dcCode(dcIdx(s)), 4)
+          if (s > 0) bw.put(magValue(diff, s), s)
+          c += 1
+        }
+        b += 1
+      }
+      bw.finishWithOnes()
+    }
+    // scan 2: DC refinement — bit Al=0 of each value, raw
+    val dcRefine = {
+      val bw = new BitWriter
+      var b = 0
+      while (b < nBlocks) {
+        var c = 0
+        while (c < nComp) {
+          bw.put((coefs(c)(b)(0) & 1L).toInt, 1)
+          c += 1
+        }
+        b += 1
+      }
+      bw.finishWithOnes()
+    }
+    // AC first scans at Al=1: sign-magnitude point transform |v| >> 1
+    val acFirst = for (c <- 0 until nComp; (ss, se) <- bands) yield {
+      val bw = new BitWriter
+      var eobrun = 0
+      def flushEob(): Unit = {
+        var run = eobrun
+        eobrun = 0
+        while (run > 0) {
+          val chunk = math.min(run, 32767)
+          val n = 31 - Integer.numberOfLeadingZeros(chunk)
+          bw.put(acCode(acIdx(n << 4)), 8)
+          if (n > 0) bw.put(chunk - (1 << n), n)
+          run -= chunk
+        }
+      }
+      def shifted(v: Long): Long = {
+        val m = math.abs(v) >> 1
+        if (v < 0) -m else m
+      }
+      var blkI = 0
+      while (blkI < nBlocks) {
+        val coef = coefs(c)(blkI)
+        var last = se
+        while (last >= ss && shifted(coef(last)) == 0L) last -= 1
+        if (last < ss) eobrun += 1
+        else {
+          flushEob()
+          var run = 0
+          var k = ss
+          while (k <= last) {
+            val sv = shifted(coef(k))
+            if (sv == 0L) run += 1
+            else {
+              while (run >= 16) { bw.put(acCode(acIdx(0xf0)), 8); run -= 16 }
+              val sz = magBits(sv)
+              bw.put(acCode(acIdx((run << 4) | sz)), 8)
+              bw.put(magValue(sv, sz), sz)
+              run = 0
+            }
+            k += 1
+          }
+          if (last < se) eobrun += 1
+        }
+        blkI += 1
+      }
+      flushEob()
+      (c, ss, se, 0, 1, bw.finishWithOnes()) // (comp, Ss, Se, Ah, Al)
+    }
+    // AC refinement scans Ah=1 -> Al=0 (the libjpeg encode_mcu_AC_refine
+    // structure: correction bits buffer until the next emitted symbol)
+    val acRefine = for (c <- 0 until nComp; (ss, se) <- bands) yield {
+      val bw = new BitWriter
+      var eobrun = 0
+      // BE: correction bits from COMPLETED blocks' tails, attached to
+      // the pending EOB run and emitted right after its EOBn symbol;
+      // BR: the current block's bits, emitted after each symbol —
+      // libjpeg's two-buffer discipline, which is what makes the
+      // decoder's read order come out right
+      val bePending = new scala.collection.mutable.ArrayBuffer[Int]()
+      val brBlock = new scala.collection.mutable.ArrayBuffer[Int]()
+      def emitBr(): Unit = {
+        brBlock.foreach(bw.put(_, 1))
+        brBlock.clear()
+      }
+      def flushEob(): Unit = {
+        if (eobrun > 0) {
+          val n = 31 - Integer.numberOfLeadingZeros(eobrun)
+          bw.put(acCode(acIdx(n << 4)), 8)
+          if (n > 0) bw.put(eobrun - (1 << n), n)
+          eobrun = 0
+          bePending.foreach(bw.put(_, 1))
+          bePending.clear()
+        }
+      }
+      var blkI = 0
+      while (blkI < nBlocks) {
+        val coef = coefs(c)(blkI)
+        val absv = new Array[Int](64)
+        var eobIdx = ss - 1 // last NEWLY-significant index in this block
+        var k = ss
+        while (k <= se) {
+          val t = math.abs(coef(k)).toInt // point transform at Al=0
+          absv(k) = t
+          if (t == 1) eobIdx = k
+          k += 1
+        }
+        // the libjpeg walk: ZRLs emit EAGERLY at each nonzero position
+        // while the zero-run exceeds 15 and a new coefficient is still
+        // ahead — so each symbol's window carries exactly the
+        // correction bits the decoder will read inside it
+        var run = 0
+        k = ss
+        while (k <= se) {
+          val t = absv(k)
+          if (t == 0) run += 1
+          else {
+            while (run > 15 && k <= eobIdx) {
+              flushEob()
+              bw.put(acCode(acIdx(0xf0)), 8)
+              run -= 16
+              emitBr()
+            }
+            if (t > 1) {
+              // history coefficient: buffer its correction bit; does
+              // NOT break the zero run
+              brBlock += (t & 1)
+            } else {
+              // newly significant: symbol + sign bit, then the
+              // corrections buffered inside this symbol's window
+              flushEob()
+              bw.put(acCode(acIdx((run << 4) | 1)), 8)
+              bw.put(if (coef(k) < 0) 0 else 1, 1)
+              emitBr()
+              run = 0
+            }
+          }
+          k += 1
+        }
+        if (run > 0 || brBlock.nonEmpty) {
+          // band tail folds into the EOB run; its corrections move to
+          // the run's buffer, emitted after the eventual EOBn
+          eobrun += 1
+          bePending ++= brBlock
+          brBlock.clear()
+          if (eobrun == 32767) flushEob()
+        }
+        blkI += 1
+      }
+      flushEob()
+      (c, ss, se, 1, 0, bw.finishWithOnes())
+    }
+
+    val out = new java.io.ByteArrayOutputStream(4096)
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      marker(m)
+      out.write(((body.length + 2) >> 8) & 0xff)
+      out.write((body.length + 2) & 0xff)
+      out.write(body, 0, body.length)
+    }
+    marker(0xd8)
+    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    seg(0xdb, 0.toByte +: Array.fill(64)(quant.toByte))
+    val sof = Array.newBuilder[Byte]
+    sof += 8
+    sof += ((h >> 8) & 0xff).toByte += (h & 0xff).toByte
+    sof += ((w >> 8) & 0xff).toByte += (w & 0xff).toByte
+    sof += nComp.toByte
+    for (c <- 0 until nComp) sof += (c + 1).toByte += 0x11.toByte += 0.toByte
+    seg(0xc2, sof.result())
+    seg(0xc4, dhtBody(0x00, dcLen, DcSyms))
+    seg(0xc4, dhtBody(0x10, acLen, AcProgSyms))
+    def sosSeg(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int,
+               data: Array[Byte]): Unit = {
+      val sos = Array.newBuilder[Byte]
+      sos += comps.length.toByte
+      comps.foreach(ci => { sos += (ci + 1).toByte += 0x00.toByte })
+      sos += ss.toByte += se.toByte += ((ah << 4) | al).toByte
+      seg(0xda, sos.result())
+      out.write(data, 0, data.length)
+    }
+    sosSeg(0 until nComp, 0, 0, 0, 1, dcFirst)
+    sosSeg(0 until nComp, 0, 0, 1, 0, dcRefine)
+    acFirst.foreach { case (c, ss, se, ah, al, d) => sosSeg(Seq(c), ss, se, ah, al, d) }
+    acRefine.foreach { case (c, ss, se, ah, al, d) => sosSeg(Seq(c), ss, se, ah, al, d) }
+    marker(0xd9)
+    out.toByteArray
+  }
+
   /** Canonical code assignment for per-symbol lengths (sorted by
     * (length, order)) — the same construction the decoder derives from
     * BITS/HUFFVAL, so the encoder and any spec-compliant reader agree. */
@@ -676,15 +938,18 @@ object JpegCodec {
     else if (v < (1 << (s - 1))) v - (1 << s) + 1
     else v
 
-  /** PROGRESSIVE (SOF2) decode — spectral selection only, all-1x1
-    * sampling: a DC scan (possibly interleaved) plus non-interleaved AC
-    * band scans with full EOBn run handling accumulate quantized
-    * coefficients per block; dequant + IDCT run once at the end. Out of
-    * envelope (→ None, the visible stub): successive approximation
-    * (Ah or Al ≠ 0), restart intervals inside progressive scans,
-    * subsampled progressive, truncated or structurally malformed scan
-    * sequences. Called from [[decode]] at the first SOS; inter-scan
-    * DHT/DQT segments are honored (tables may arrive per scan). */
+  /** PROGRESSIVE (SOF2) decode — all-1x1 sampling, BOTH progressive
+    * dimensions: spectral selection (DC scan + non-interleaved AC band
+    * scans, full EOBn runs) and successive approximation (first scans
+    * at Al>0, DC refinement bit-scans, AC refinement per T.81 G.1.2.3 —
+    * ±1<<Al arrivals, correction bits for history coefficients
+    * including inside EOB runs). Coefficients accumulate per block;
+    * dequant + IDCT run once at the end. Out of envelope (→ None, the
+    * visible stub): inconsistent Ah/Al chains (Ah ≠ Al+1 on refine),
+    * restart intervals inside progressive scans, subsampled
+    * progressive, truncated or structurally malformed scan sequences.
+    * Called from [[decode]] at the first SOS; inter-scan DHT/DQT
+    * segments are honored (tables may arrive per scan). */
   private def decodeProgressive(bytes: Array[Byte], pStart: Int,
                                 w: Int, h: Int,
                                 compIds: Array[Int], compQuant: Array[Int],
@@ -732,7 +997,9 @@ object JpegCodec {
             val ss = bytes(at + 1 + 2 * ns) & 0xff
             val se = bytes(at + 2 + 2 * ns) & 0xff
             val ahAl = bytes(at + 3 + 2 * ns) & 0xff
-            if (ahAl != 0) return None // successive approximation: declined
+            val ah = ahAl >> 4
+            val al = ahAl & 0x0f
+            if (al > 13 || (ah != 0 && ah != al + 1)) return None
             if (ri > 0) return None
             val dataStart = p + 2 + len
             // entropy data ends at the first non-stuffed marker
@@ -750,27 +1017,47 @@ object JpegCodec {
               // DC scan: Se must be 0; interleaved over scan components
               // (1x1 sampling: one block each per MCU = block-grid cell)
               if (se != 0) return None
-              val dcH = Array.tabulate(ns)(i => dcTabs.get(scanDc(i)))
-              if (dcH.exists(_ == null)) return None
-              val prevDc = new Array[Int](ns)
-              var b = 0
-              while (b < nBlocks) {
-                var i = 0
-                while (i < ns) {
-                  val s = dcH(i).decode(r)
-                  if (s < 0 || s > 11) return None
-                  val dcv =
-                    if (s == 0) 0
-                    else {
-                      val v = r.bits(s)
-                      if (v < 0) return None
-                      extend(v, s)
-                    }
-                  prevDc(i) += dcv
-                  coefs(scanComp(i))(b * 64) = prevDc(i)
-                  i += 1
+              if (ah == 0) {
+                // first scan: diffs of the point-transformed value
+                // (arithmetic >> Al), stored re-shifted
+                val dcH = Array.tabulate(ns)(i => dcTabs.get(scanDc(i)))
+                if (dcH.exists(_ == null)) return None
+                val prevDc = new Array[Int](ns)
+                var b = 0
+                while (b < nBlocks) {
+                  var i = 0
+                  while (i < ns) {
+                    val s = dcH(i).decode(r)
+                    if (s < 0 || s > 11) return None
+                    val dcv =
+                      if (s == 0) 0
+                      else {
+                        val v = r.bits(s)
+                        if (v < 0) return None
+                        extend(v, s)
+                      }
+                    prevDc(i) += dcv
+                    coefs(scanComp(i))(b * 64) = prevDc(i) << al
+                    i += 1
+                  }
+                  b += 1
                 }
-                b += 1
+              } else {
+                // refinement: one raw bit per block per component, OR'd
+                // at the new precision (two's-complement OR matches the
+                // arithmetic-shift point transform exactly)
+                var b = 0
+                while (b < nBlocks) {
+                  var i = 0
+                  while (i < ns) {
+                    val bit = r.bit()
+                    if (bit < 0) return None
+                    if (bit == 1)
+                      coefs(scanComp(i))(b * 64) |= (1 << al)
+                    i += 1
+                  }
+                  b += 1
+                }
               }
             } else {
               // AC band scan: exactly one component (spec), 1 <= Ss <= Se <= 63
@@ -778,44 +1065,118 @@ object JpegCodec {
               val acH = acTabs.get(scanAc(0))
               if (acH == null) return None
               val comp = scanComp(0)
+              val cf = coefs(comp)
               var eobrun = 0
-              var b = 0
-              while (b < nBlocks) {
-                if (eobrun > 0) eobrun -= 1 // this block's band is all zero
-                else {
-                  var k = ss
-                  var done = false
-                  while (!done && k <= se) {
-                    val sym = acH.decode(r)
-                    if (sym < 0) return None
-                    val run = sym >> 4
-                    val sz = sym & 0x0f
-                    if (sz == 0) {
-                      if (run == 15) k += 16 // ZRL
-                      else {
-                        // EOBn: run of 2^run + extra all-zero-band blocks,
-                        // INCLUDING ending this one
-                        var n = (1 << run) - 1
-                        if (run > 0) {
-                          val extra = r.bits(run)
-                          if (extra < 0) return None
-                          n += extra
+              if (ah == 0) {
+                // first scan at this precision: magnitudes point-
+                // transformed (|v| >> Al), stored re-shifted sign-magnitude
+                var b = 0
+                while (b < nBlocks) {
+                  if (eobrun > 0) eobrun -= 1 // this block's band is all zero
+                  else {
+                    var k = ss
+                    var done = false
+                    while (!done && k <= se) {
+                      val sym = acH.decode(r)
+                      if (sym < 0) return None
+                      val run = sym >> 4
+                      val sz = sym & 0x0f
+                      if (sz == 0) {
+                        if (run == 15) k += 16 // ZRL
+                        else {
+                          var n = (1 << run) - 1
+                          if (run > 0) {
+                            val extra = r.bits(run)
+                            if (extra < 0) return None
+                            n += extra
+                          }
+                          eobrun = n
+                          done = true
                         }
-                        eobrun = n
-                        done = true
+                      } else {
+                        if (sz > 10) return None
+                        k += run
+                        if (k > se) return None
+                        val v = r.bits(sz)
+                        if (v < 0) return None
+                        cf(b * 64 + ZigZag(k)) = extend(v, sz) << al
+                        k += 1
                       }
-                    } else {
-                      if (sz > 10) return None
-                      k += run
-                      if (k > se) return None
-                      val v = r.bits(sz)
-                      if (v < 0) return None
-                      coefs(comp)(b * 64 + ZigZag(k)) = extend(v, sz)
-                      k += 1
                     }
                   }
+                  b += 1
                 }
-                b += 1
+              } else {
+                // refinement scan (T.81 G.1.2.3, the libjpeg structure):
+                // new coefficients arrive as ±1<<Al; already-nonzero ones
+                // read a correction bit, including inside EOB runs
+                val p1 = 1 << al
+                val m1 = -1 << al
+                var b = 0
+                while (b < nBlocks) {
+                  val base = b * 64
+                  var k = ss
+                  if (eobrun == 0) {
+                    var break1 = false
+                    while (!break1 && k <= se) {
+                      val sym = acH.decode(r)
+                      if (sym < 0) return None
+                      var run = sym >> 4
+                      val sz = sym & 0x0f
+                      var newval = 0
+                      if (sz == 0) {
+                        if (run != 15) {
+                          eobrun = 1 << run
+                          if (run > 0) {
+                            val extra = r.bits(run)
+                            if (extra < 0) return None
+                            eobrun += extra
+                          }
+                          break1 = true
+                        }
+                        // run == 15 (ZRL): newval stays 0
+                      } else {
+                        if (sz != 1) return None
+                        val bit = r.bit()
+                        if (bit < 0) return None
+                        newval = if (bit == 1) p1 else m1
+                      }
+                      if (!break1) {
+                        var placed = false
+                        while (!placed && k <= se) {
+                          val pos = base + ZigZag(k)
+                          if (cf(pos) != 0) {
+                            val bit = r.bit()
+                            if (bit < 0) return None
+                            if (bit == 1 && (cf(pos) & p1) == 0)
+                              cf(pos) += (if (cf(pos) >= 0) p1 else m1)
+                          } else {
+                            if (run == 0) {
+                              if (newval != 0) cf(pos) = newval
+                              placed = true
+                            } else run -= 1
+                          }
+                          k += 1
+                        }
+                      }
+                    }
+                  }
+                  if (eobrun > 0) {
+                    // EOB-run block: corrections only for the remainder
+                    while (k <= se) {
+                      val pos = base + ZigZag(k)
+                      if (cf(pos) != 0) {
+                        val bit = r.bit()
+                        if (bit < 0) return None
+                        if (bit == 1 && (cf(pos) & p1) == 0)
+                          cf(pos) += (if (cf(pos) >= 0) p1 else m1)
+                      }
+                      k += 1
+                    }
+                    eobrun -= 1
+                  }
+                  b += 1
+                }
               }
             }
             p = end

@@ -1140,7 +1140,8 @@ class MultimodalSpec extends SparkSpec {
     val prog = JpegCodec.encodeProgressive(w, h, gray)
     val meta = graft.functions.ImageMetaExpr.parseHeader(prog)
     assert(meta != null && meta.getInt(1) == w && meta.getInt(2) == h)
-    // declines: successive approximation (patched AhAl), truncation
+    // declines: inconsistent Ah/Al chain (patched to Ah=1,Al=1 — refine
+    // must have Ah == Al+1), truncation
     def patchLastSosAhAl(b: Array[Byte]): Array[Byte] = {
       val out = b.clone()
       var i = 0; var last = -1
@@ -1155,6 +1156,45 @@ class MultimodalSpec extends SparkSpec {
     assert(JpegCodec.decode(patchLastSosAhAl(prog)).isEmpty)
     assert(JpegCodec.decode(prog.take(prog.length / 2)).isEmpty)
     assert(JpegCodec.decode(prog.take(40)).isEmpty)
+  }
+
+  test("JpegCodec progressive successive approximation: the two-level " +
+    "libjpeg-style script decodes pixel-identical to baseline — DC " +
+    "refinement bits, AC ±1 arrivals, correction bits inside ZRL " +
+    "windows and EOB runs all reconstruct exactly") {
+    import graft.multimodal.JpegCodec
+    // gradient: dense coefficients exercise history corrections
+    val w = 24; val h = 21
+    val gray = Array.tabulate(w * h)(i => (7 * (i % w) + 11 * (i / w)) % 256)
+    val base = JpegCodec.decode(JpegCodec.encode(w, h, gray)).get
+    for (bands <- Seq(Seq((1, 63)), Seq((1, 5), (6, 63)),
+        Seq((1, 2), (3, 20), (21, 63)))) {
+      val sa = JpegCodec.decode(JpegCodec.encodeProgressiveSA(w, h, gray, bands))
+      assert(sa.isDefined, s"bands=$bands")
+      assert(sa.get._4.toSeq == base._4.toSeq, s"bands=$bands")
+    }
+    // flat + textured mix: long EOB runs whose blocks still carry
+    // history corrections (the BE-buffer path), plus negative values
+    val mixed = Array.tabulate(64 * 48) { i =>
+      val x = i % 64; val y = i / 64
+      if (y < 16) (x * 9 + y * 5) % 256 else if (y < 32) 130 else (251 * x) % 256
+    }
+    val mb = JpegCodec.decode(JpegCodec.encode(64, 48, mixed)).get
+    val ms = JpegCodec.decode(JpegCodec.encodeProgressiveSA(64, 48, mixed)).get
+    assert(ms._4.toSeq == mb._4.toSeq)
+    // color SA == color baseline
+    val rgb = Array.tabulate(16 * 16 * 3)(i => (5 * i + i * i % 37) % 256)
+    val cb = JpegCodec.decode(JpegCodec.encodeColor(16, 16, rgb)).get
+    val cs = JpegCodec.decode(JpegCodec.encodeProgressiveColorSA(16, 16, rgb)).get
+    assert(cs._4.toSeq == cb._4.toSeq)
+    // pseudo-random content, several shapes incl. non-multiple-of-8
+    val rnd = new scala.util.Random(99)
+    for ((pw, ph) <- Seq((8, 8), (17, 9), (40, 33))) {
+      val px = Array.fill(pw * ph)(rnd.nextInt(256))
+      val b2 = JpegCodec.decode(JpegCodec.encode(pw, ph, px)).get
+      val s2 = JpegCodec.decode(JpegCodec.encodeProgressiveSA(pw, ph, px)).get
+      assert(s2._4.toSeq == b2._4.toSeq, s"${pw}x$ph")
+    }
   }
 
   test("normalizeAudioPeak: exact half-away integer scaling, peak lands " +

@@ -369,6 +369,8 @@ class PropertySpec extends SparkSpec {
       Array.fill(16 * 16 * 3)(rnd.nextInt(256)))
     val jprog = graft.multimodal.JpegCodec.encodeProgressive(16, 16,
       Array.fill(16 * 16)(rnd.nextInt(256)))
+    val jsa = graft.multimodal.JpegCodec.encodeProgressiveSA(16, 16,
+      Array.fill(16 * 16)(rnd.nextInt(256)))
     val wav = graft.multimodal.PcmCodec.encodeWav(2, 8000, 24,
       Array.fill(20)(rnd.nextInt(1 << 24) - (1 << 23)))
     val mp4 = graft.multimodal.VideoFixture.encodeMp4(64, 48, 1000, 5000L, 2)
@@ -384,6 +386,7 @@ class PropertySpec extends SparkSpec {
     assaults(jpg).foreach(b => graft.multimodal.JpegCodec.decode(b))
     assaults(j420).foreach(b => graft.multimodal.JpegCodec.decode(b))
     assaults(jprog).foreach(b => graft.multimodal.JpegCodec.decode(b))
+    assaults(jsa).foreach(b => graft.multimodal.JpegCodec.decode(b))
     assaults(wav).foreach(b => graft.multimodal.PcmCodec.decode(b))
     assaults(mp4).foreach(b => graft.functions.VideoMetaExpr.parseHeader(b))
     // full payloads still decode after the fuzz pass (no shared state)
@@ -392,6 +395,7 @@ class PropertySpec extends SparkSpec {
     assert(graft.multimodal.JpegCodec.decode(jpg).isDefined)
     assert(graft.multimodal.JpegCodec.decode(j420).isDefined)
     assert(graft.multimodal.JpegCodec.decode(jprog).isDefined)
+    assert(graft.multimodal.JpegCodec.decode(jsa).isDefined)
     assert(graft.multimodal.PcmCodec.decode(wav).isDefined)
   }
 
