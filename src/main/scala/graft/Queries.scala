@@ -4748,6 +4748,84 @@ object Queries {
           / 1000000.0 AS brightness
       FROM s"""))
 
+  /** PROGRESSIVE 4:2:0 JPEG decode — the shape most real-world
+    * progressive files have: q130's MCU-constant quant=1 closed form
+    * through the SOF2 multi-scan path, interleaved-DC MCU geometry
+    * with padded Y grids, non-interleaved AC scans per component;
+    * every second doc uses the successive-approximation script. The
+    * oracle is q130's closed form verbatim. */
+  private val q151 = Q("q151_jpeg_progressive_420",
+    (s, d) => {
+      import s.implicits._
+      import graft.multimodal.Multimodal.{MediaMeta, MediaRow}
+      val media = documents(s, d)
+        .select(col("doc_id"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+        .map { case (id, nc) =>
+          val w = 16 * (1 + (id % 3)).toInt
+          val h = 16 * (1 + (nc % 2)).toInt
+          val seed = (id % 251).toInt
+          val mw = w / 16
+          val rgb = Array.tabulate(w * h * 3) { i =>
+            val px = i / 3
+            val mi = ((px / w) / 16) * mw + ((px % w) / 16)
+            (i % 3) match {
+              case 0 => (seed + 11 * mi) % 256
+              case 1 => (3 * seed + 7 * mi) % 256
+              case _ => (5 * seed + 13 * mi) % 256
+            }
+          }
+          MediaRow(id, "image/jpeg",
+            graft.multimodal.JpegCodec.encodeProgressive420(w, h, rgb,
+              quant = 1, sa = id % 2 == 0),
+            MediaMeta("synth", Some(w), Some(h), None))
+        }
+      graft.multimodal.Multimodal.imageFeatures(media).toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          (col("width").cast("long") * col("height")).as("n_pixels"),
+          col("brightness"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+          16 * (1 + doc_id % 3) AS w,
+          16 * (1 + n_chars % 2) AS h,
+          doc_id % 251 AS seed
+        FROM documents),
+      blk AS (SELECT doc_id, w, h, b.range AS bi,
+          (seed + 11*b.range) % 256 AS rr,
+          (3*seed + 7*b.range) % 256 AS gg,
+          (5*seed + 13*b.range) % 256 AS bb
+        FROM p CROSS JOIN range(6) b
+        WHERE b.range < w//16 * (h//16)),
+      ycc AS (SELECT doc_id, w, h, bi,
+          LEAST(255, GREATEST(0, ROUND(
+            CAST(0.299 AS DOUBLE)*rr + CAST(0.587 AS DOUBLE)*gg
+              + CAST(0.114 AS DOUBLE)*bb))) AS yc,
+          LEAST(255, GREATEST(0, ROUND(
+            -CAST(0.168736 AS DOUBLE)*rr - CAST(0.331264 AS DOUBLE)*gg
+              + CAST(0.5 AS DOUBLE)*bb + CAST(128 AS DOUBLE)))) AS cbc,
+          LEAST(255, GREATEST(0, ROUND(
+            CAST(0.5 AS DOUBLE)*rr - CAST(0.418688 AS DOUBLE)*gg
+              - CAST(0.081312 AS DOUBLE)*bb + CAST(128 AS DOUBLE)))) AS crc
+        FROM blk),
+      dec AS (SELECT doc_id, w, h,
+          LEAST(255, GREATEST(0, ROUND(yc +
+            CAST(1.402 AS DOUBLE)*(crc - CAST(128 AS DOUBLE))))) +
+          LEAST(255, GREATEST(0, ROUND(yc -
+            CAST(0.344136 AS DOUBLE)*(cbc - CAST(128 AS DOUBLE)) -
+            CAST(0.714136 AS DOUBLE)*(crc - CAST(128 AS DOUBLE))))) +
+          LEAST(255, GREATEST(0, ROUND(yc +
+            CAST(1.772 AS DOUBLE)*(cbc - CAST(128 AS DOUBLE))))) AS pxsum
+        FROM ycc),
+      s AS (SELECT doc_id, w, h,
+          CAST(256 * SUM(pxsum) AS BIGINT) AS sm
+        FROM dec GROUP BY doc_id, w, h)
+      SELECT doc_id AS media_id,
+        CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+        CAST(w*h AS BIGINT) AS n_pixels,
+        CAST((sm*2000000 + w*h*3*255) // (2*w*h*3*255) AS DOUBLE)
+          / 1000000.0 AS brightness
+      FROM s"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -4760,7 +4838,8 @@ object Queries {
     q107, q108, q109, q110, q111, q112, q113, q114, q115, q116, q117,
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
-    q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150)
+    q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
+    q151)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

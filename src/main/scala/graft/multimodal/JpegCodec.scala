@@ -306,7 +306,8 @@ object JpegCodec {
                         batchEob: Boolean = true): Array[Byte] = {
     require(w >= 1 && h >= 1 && samples.length == w * h,
       s"bad dims: $w x $h vs ${samples.length}")
-    encodeProgressiveMcus(w, h, Array(samples), Quant, bands, batchEob)
+    encodeProgressiveCore(w, h, Array(samples), Array(w), Array(h),
+      Array(0x11), Quant, bands, sa = false, batchEob = batchEob)
   }
 
   /** [[encodeProgressive]] for interleaved RGB at 4:4:4 YCbCr (the
@@ -318,27 +319,22 @@ object JpegCodec {
     require(w >= 1 && h >= 1 && rgb.length == w * h * 3,
       s"bad dims: $w x $h x3 vs ${rgb.length}")
     require(quant >= 1 && quant <= 255, s"quant out of byte range: $quant")
-    val n = w * h
-    val yP = new Array[Int](n); val cbP = new Array[Int](n); val crP = new Array[Int](n)
-    var i = 0
-    while (i < n) {
-      val r = rgb(3 * i).toDouble
-      val g = rgb(3 * i + 1).toDouble
-      val b = rgb(3 * i + 2).toDouble
-      yP(i) = clamp255(roundHalfAway(0.299 * r + 0.587 * g + 0.114 * b))
-      cbP(i) = clamp255(roundHalfAway(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0))
-      crP(i) = clamp255(roundHalfAway(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0))
-      i += 1
-    }
-    encodeProgressiveMcus(w, h, Array(yP, cbP, crP), quant, bands, batchEob)
+    val (yP, cbP, crP) = rgbToYcc(w, h, rgb)
+    encodeProgressiveCore(w, h, Array(yP, cbP, crP),
+      Array(w, w, w), Array(h, h, h), Array(0x11, 0x11, 0x11),
+      quant, bands, sa = false, batchEob = batchEob)
   }
 
   /** Zigzag-ordered quantized coefficients for every 8×8 block of a
     * plane, raster order, edge-replicated — the shared transform stage
     * both encoders feed from. */
+  /** Zigzag-ordered quantized coefficients for every 8×8 block of a
+    * plane over an EXPLICIT block grid (raster order, edge-replicated).
+    * Interleaved scans cover the MCU-padded grid (`bxN`/`byN` larger
+    * than the plane needs); padding blocks replicate the edge exactly
+    * like the baseline encoder's. */
   private def planeCoefs(plane: Array[Int], pw: Int, ph: Int,
-                         quant: Int): Array[Array[Long]] = {
-    val bxN = (pw + 7) / 8; val byN = (ph + 7) / 8
+                         quant: Int, bxN: Int, byN: Int): Array[Array[Long]] = {
     val out = new Array[Array[Long]](bxN * byN)
     val blk = new Array[Double](64)
     var by = 0
@@ -364,8 +360,187 @@ object JpegCodec {
     out
   }
 
-  private def encodeProgressiveMcus(w: Int, h: Int, planes: Array[Array[Int]],
-                                    quant: Int, bands: Seq[(Int, Int)],
+  // ---- progressive scan-data emitters (shared by every script) ----
+
+  private final class ProgTables {
+    val dcLen: Array[Int] = DcSyms.map(_ => 4)
+    val acLen: Array[Int] = AcProgSyms.map(_ => 8)
+    val dcCode: Array[Int] = canonicalCodes(dcLen)
+    val acCode: Array[Int] = canonicalCodes(acLen)
+    val dcIdx: Map[Int, Int] = DcSyms.zipWithIndex.toMap
+    val acIdx: Map[Int, Int] = AcProgSyms.zipWithIndex.toMap
+  }
+
+  /** DC first scan at point transform `al`: diffs of the arithmetic-
+    * shifted DC over `traversal` — (comp, block) pairs in scan order
+    * (MCU-interleaved for multi-component scans). */
+  private def dcFirstData(traversal: IndexedSeq[(Int, Array[Long])],
+                          nComp: Int, al: Int, t: ProgTables): Array[Byte] = {
+    val bw = new BitWriter
+    val prevDc = new Array[Long](nComp)
+    traversal.foreach { case (c, coef) =>
+      val v = coef(0) >> al // arithmetic point transform
+      val diff = v - prevDc(c)
+      prevDc(c) = v
+      val s = magBits(diff)
+      bw.put(t.dcCode(t.dcIdx(s)), 4)
+      if (s > 0) bw.put(magValue(diff, s), s)
+    }
+    bw.finishWithOnes()
+  }
+
+  /** DC refinement scan delivering bit `al` of each DC, raw. */
+  private def dcRefineData(traversal: IndexedSeq[(Int, Array[Long])],
+                           al: Int): Array[Byte] = {
+    val bw = new BitWriter
+    traversal.foreach { case (_, coef) =>
+      bw.put(((coef(0) >> al) & 1L).toInt, 1)
+    }
+    bw.finishWithOnes()
+  }
+
+  /** AC band first scan at point transform `al` (sign-magnitude shift)
+    * over one component's blocks in raster order, with optional EOBn
+    * batching. */
+  private def acFirstData(blocks: IndexedSeq[Array[Long]], ss: Int, se: Int,
+                          al: Int, batchEob: Boolean, t: ProgTables): Array[Byte] = {
+    val bw = new BitWriter
+    var eobrun = 0
+    def flushEob(): Unit = {
+      var run = eobrun
+      eobrun = 0
+      while (run > 0) {
+        val chunk = math.min(run, 32767)
+        val n = 31 - Integer.numberOfLeadingZeros(chunk)
+        bw.put(t.acCode(t.acIdx(n << 4)), 8)
+        if (n > 0) bw.put(chunk - (1 << n), n)
+        run -= chunk
+      }
+    }
+    def shifted(v: Long): Long = {
+      val m = math.abs(v) >> al
+      if (v < 0) -m else m
+    }
+    blocks.foreach { coef =>
+      var last = se
+      while (last >= ss && shifted(coef(last)) == 0L) last -= 1
+      if (last < ss) {
+        if (batchEob) eobrun += 1
+        else bw.put(t.acCode(t.acIdx(0x00)), 8)
+      } else {
+        flushEob()
+        var run = 0
+        var k = ss
+        while (k <= last) {
+          val sv = shifted(coef(k))
+          if (sv == 0L) run += 1
+          else {
+            while (run >= 16) { bw.put(t.acCode(t.acIdx(0xf0)), 8); run -= 16 }
+            val sz = magBits(sv)
+            bw.put(t.acCode(t.acIdx((run << 4) | sz)), 8)
+            bw.put(magValue(sv, sz), sz)
+            run = 0
+          }
+          k += 1
+        }
+        if (last < se) {
+          if (batchEob) eobrun += 1
+          else bw.put(t.acCode(t.acIdx(0x00)), 8)
+        }
+      }
+    }
+    flushEob()
+    bw.finishWithOnes()
+  }
+
+  /** AC band REFINEMENT scan (Ah = al+1 → Al = al) over one component's
+    * blocks — the libjpeg encode_mcu_AC_refine structure: BR bits (this
+    * block's corrections) emit after each symbol's window; BE bits ride
+    * the pending EOB run and emit after its EOBn. ZRLs emit eagerly at
+    * each nonzero position while the zero-run exceeds 15 and a new
+    * coefficient is still ahead, so each symbol's window carries
+    * exactly the correction bits the decoder reads inside it. */
+  private def acRefineData(blocks: IndexedSeq[Array[Long]], ss: Int, se: Int,
+                           al: Int, t: ProgTables): Array[Byte] = {
+    val bw = new BitWriter
+    var eobrun = 0
+    val bePending = new scala.collection.mutable.ArrayBuffer[Int]()
+    val brBlock = new scala.collection.mutable.ArrayBuffer[Int]()
+    def emitBr(): Unit = {
+      brBlock.foreach(bw.put(_, 1))
+      brBlock.clear()
+    }
+    def flushEob(): Unit = {
+      if (eobrun > 0) {
+        val n = 31 - Integer.numberOfLeadingZeros(eobrun)
+        bw.put(t.acCode(t.acIdx(n << 4)), 8)
+        if (n > 0) bw.put(eobrun - (1 << n), n)
+        eobrun = 0
+        bePending.foreach(bw.put(_, 1))
+        bePending.clear()
+      }
+    }
+    blocks.foreach { coef =>
+      val absv = new Array[Int](64)
+      var eobIdx = ss - 1 // last NEWLY-significant index in this block
+      var k = ss
+      while (k <= se) {
+        val tv = (math.abs(coef(k)) >> al).toInt
+        absv(k) = tv
+        if (tv == 1) eobIdx = k
+        k += 1
+      }
+      var run = 0
+      k = ss
+      while (k <= se) {
+        val tv = absv(k)
+        if (tv == 0) run += 1
+        else {
+          while (run > 15 && k <= eobIdx) {
+            flushEob()
+            bw.put(t.acCode(t.acIdx(0xf0)), 8)
+            run -= 16
+            emitBr()
+          }
+          if (tv > 1) {
+            // history coefficient: buffer its correction bit; does NOT
+            // break the zero run
+            brBlock += (tv & 1)
+          } else {
+            // newly significant: symbol + sign bit, then the window's
+            // buffered corrections
+            flushEob()
+            bw.put(t.acCode(t.acIdx((run << 4) | 1)), 8)
+            bw.put(if (coef(k) < 0) 0 else 1, 1)
+            emitBr()
+            run = 0
+          }
+        }
+        k += 1
+      }
+      if (run > 0 || brBlock.nonEmpty) {
+        // band tail folds into the EOB run; its corrections move to the
+        // run's buffer, emitted after the eventual EOBn
+        eobrun += 1
+        bePending ++= brBlock
+        brBlock.clear()
+        if (eobrun == 32767) flushEob()
+      }
+    }
+    flushEob()
+    bw.finishWithOnes()
+  }
+
+  /** The general progressive encoder core: any component geometry
+    * (all-1x1 or 4:2:0), spectral-selection bands, optionally the
+    * two-level successive-approximation script. Interleaved DC scans
+    * traverse the MCU grid (hi×vi blocks per component per MCU);
+    * non-interleaved AC scans traverse each component's own UNPADDED
+    * block grid, exactly as T.81 prescribes. */
+  private def encodeProgressiveCore(w: Int, h: Int, planes: Array[Array[Int]],
+                                    planeW: Array[Int], planeH: Array[Int],
+                                    samps: Array[Int], quant: Int,
+                                    bands: Seq[(Int, Int)], sa: Boolean,
                                     batchEob: Boolean): Array[Byte] = {
     require(bands.nonEmpty, "progressive: no AC bands")
     var prevEnd = 0
@@ -376,85 +551,73 @@ object JpegCodec {
     }
     require(prevEnd == 63, s"progressive bands must end at 63: $bands")
     val nComp = planes.length
-    val coefs = planes.map(p => planeCoefs(p, w, h, quant))
-    val dcLen = DcSyms.map(_ => 4)
-    val acLen = AcProgSyms.map(_ => 8)
-    val dcCode = canonicalCodes(dcLen)
-    val acCode = canonicalCodes(acLen)
-    val dcIdx = DcSyms.zipWithIndex.toMap
-    val acIdx = AcProgSyms.zipWithIndex.toMap
-    val bxN = (w + 7) / 8; val byN = (h + 7) / 8
-    val nBlocks = bxN * byN
-
-    // DC scan: interleaved over all components (1x1 sampling: one block
-    // per component per MCU), baseline DC coding (Ah=Al=0)
-    val dcBw = new BitWriter
-    val prevDc = new Array[Long](nComp)
-    var b = 0
-    while (b < nBlocks) {
-      var c = 0
-      while (c < nComp) {
-        val dcv = coefs(c)(b)(0)
-        val diff = dcv - prevDc(c)
-        prevDc(c) = dcv
-        val s = magBits(diff)
-        dcBw.put(dcCode(dcIdx(s)), 4)
-        if (s > 0) dcBw.put(magValue(diff, s), s)
-        c += 1
-      }
-      b += 1
-    }
-    val dcData = dcBw.finishWithOnes()
-
-    // AC scans: one per (component, band), non-interleaved raster order
-    val acScans = for (c <- 0 until nComp; (ss, se) <- bands) yield {
-      val bw = new BitWriter
-      var eobrun = 0
-      def flushEob(): Unit = {
-        var run = eobrun
-        eobrun = 0
-        while (run > 0) {
-          val chunk = math.min(run, 32767)
-          val n = 31 - Integer.numberOfLeadingZeros(chunk) // floor(log2)
-          bw.put(acCode(acIdx(n << 4)), 8)
-          if (n > 0) bw.put(chunk - (1 << n), n)
-          run -= chunk
-        }
-      }
-      var blkI = 0
-      while (blkI < nBlocks) {
-        val coef = coefs(c)(blkI)
-        var last = se
-        while (last >= ss && coef(last) == 0L) last -= 1
-        if (last < ss) {
-          // whole band zero: one more block in the EOB run
-          if (batchEob) eobrun += 1
-          else bw.put(acCode(acIdx(0x00)), 8)
-        } else {
-          flushEob()
-          var run = 0
-          var k = ss
-          while (k <= last) {
-            if (coef(k) == 0L) run += 1
-            else {
-              while (run >= 16) { bw.put(acCode(acIdx(0xf0)), 8); run -= 16 }
-              val sz = magBits(coef(k))
-              bw.put(acCode(acIdx((run << 4) | sz)), 8)
-              bw.put(magValue(coef(k), sz), sz)
-              run = 0
+    val t = new ProgTables
+    val hMax = samps.map(_ >> 4).max
+    val vMax = samps.map(_ & 0x0f).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val hi = samps.map(_ >> 4)
+    val vi = samps.map(_ & 0x0f)
+    val bxPad = hi.map(_ * mcusX)
+    val byPad = vi.map(_ * mcusY)
+    val bxUn = planeW.map(pw => (pw + 7) / 8)
+    val byUn = planeH.map(ph => (ph + 7) / 8)
+    val coefs = Array.tabulate(nComp)(c =>
+      planeCoefs(planes(c), planeW(c), planeH(c), quant, bxPad(c), byPad(c)))
+    // interleaved DC traversal: MCU order, hi×vi blocks per component
+    val dcTraversal = {
+      val b = IndexedSeq.newBuilder[(Int, Array[Long])]
+      var by = 0
+      while (by < mcusY) {
+        var bx = 0
+        while (bx < mcusX) {
+          var c = 0
+          while (c < nComp) {
+            var iy = 0
+            while (iy < vi(c)) {
+              var ix = 0
+              while (ix < hi(c)) {
+                b += ((c, coefs(c)((by * vi(c) + iy) * bxPad(c) + bx * hi(c) + ix)))
+                ix += 1
+              }
+              iy += 1
             }
-            k += 1
+            c += 1
           }
-          if (last < se) {
-            // zero tail inside the band: ends this block's band
-            if (batchEob) eobrun += 1
-            else bw.put(acCode(acIdx(0x00)), 8)
-          }
+          bx += 1
         }
-        blkI += 1
+        by += 1
       }
-      flushEob()
-      (c, ss, se, bw.finishWithOnes())
+      b.result()
+    }
+    // non-interleaved AC traversal per component: UNPADDED raster
+    def acBlocks(c: Int): IndexedSeq[Array[Long]] = {
+      val b = IndexedSeq.newBuilder[Array[Long]]
+      var yB = 0
+      while (yB < byUn(c)) {
+        var xB = 0
+        while (xB < bxUn(c)) {
+          b += coefs(c)(yB * bxPad(c) + xB)
+          xB += 1
+        }
+        yB += 1
+      }
+      b.result()
+    }
+    // scan script
+    val scans = scala.collection.mutable.ArrayBuffer
+      .empty[(Seq[Int], Int, Int, Int, Int, Array[Byte])]
+    if (sa) {
+      scans += (((0 until nComp), 0, 0, 0, 1, dcFirstData(dcTraversal, nComp, 1, t)))
+      scans += (((0 until nComp), 0, 0, 1, 0, dcRefineData(dcTraversal, 0)))
+      for (c <- 0 until nComp; (ss, se) <- bands)
+        scans += ((Seq(c), ss, se, 0, 1, acFirstData(acBlocks(c), ss, se, 1, batchEob, t)))
+      for (c <- 0 until nComp; (ss, se) <- bands)
+        scans += ((Seq(c), ss, se, 1, 0, acRefineData(acBlocks(c), ss, se, 0, t)))
+    } else {
+      scans += (((0 until nComp), 0, 0, 0, 0, dcFirstData(dcTraversal, nComp, 0, t)))
+      for (c <- 0 until nComp; (ss, se) <- bands)
+        scans += ((Seq(c), ss, se, 0, 0, acFirstData(acBlocks(c), ss, se, 0, batchEob, t)))
     }
 
     val out = new java.io.ByteArrayOutputStream(4096)
@@ -473,22 +636,15 @@ object JpegCodec {
     sof += ((h >> 8) & 0xff).toByte += (h & 0xff).toByte
     sof += ((w >> 8) & 0xff).toByte += (w & 0xff).toByte
     sof += nComp.toByte
-    for (c <- 0 until nComp) sof += (c + 1).toByte += 0x11.toByte += 0.toByte
+    for (c <- 0 until nComp) sof += (c + 1).toByte += samps(c).toByte += 0.toByte
     seg(0xc2, sof.result()) // SOF2: progressive
-    seg(0xc4, dhtBody(0x00, dcLen, DcSyms))
-    seg(0xc4, dhtBody(0x10, acLen, AcProgSyms))
-    // DC scan
-    val dcSos = Array.newBuilder[Byte]
-    dcSos += nComp.toByte
-    for (c <- 1 to nComp) { dcSos += c.toByte += 0x00.toByte }
-    dcSos += 0.toByte += 0.toByte += 0.toByte // Ss=0 Se=0 Ah=Al=0
-    seg(0xda, dcSos.result())
-    out.write(dcData, 0, dcData.length)
-    // AC scans
-    acScans.foreach { case (c, ss, se, data) =>
+    seg(0xc4, dhtBody(0x00, t.dcLen, DcSyms))
+    seg(0xc4, dhtBody(0x10, t.acLen, AcProgSyms))
+    scans.foreach { case (comps, ss, se, ah, al, data) =>
       val sos = Array.newBuilder[Byte]
-      sos += 1.toByte += (c + 1).toByte += 0x00.toByte
-      sos += ss.toByte += se.toByte += 0.toByte
+      sos += comps.length.toByte
+      comps.foreach(ci => { sos += (ci + 1).toByte += 0x00.toByte })
+      sos += ss.toByte += se.toByte += ((ah << 4) | al).toByte
       seg(0xda, sos.result())
       out.write(data, 0, data.length)
     }
@@ -507,7 +663,8 @@ object JpegCodec {
                           bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63))): Array[Byte] = {
     require(w >= 1 && h >= 1 && samples.length == w * h,
       s"bad dims: $w x $h vs ${samples.length}")
-    encodeProgressiveSaMcus(w, h, Array(samples), Quant, bands)
+    encodeProgressiveCore(w, h, Array(samples), Array(w), Array(h),
+      Array(0x11), Quant, bands, sa = true, batchEob = true)
   }
 
   /** [[encodeProgressiveSA]] for interleaved RGB at 4:4:4 YCbCr. */
@@ -517,6 +674,44 @@ object JpegCodec {
     require(w >= 1 && h >= 1 && rgb.length == w * h * 3,
       s"bad dims: $w x $h x3 vs ${rgb.length}")
     require(quant >= 1 && quant <= 255, s"quant out of byte range: $quant")
+    val (yP, cbP, crP) = rgbToYcc(w, h, rgb)
+    encodeProgressiveCore(w, h, Array(yP, cbP, crP),
+      Array(w, w, w), Array(h, h, h), Array(0x11, 0x11, 0x11),
+      quant, bands, sa = true, batchEob = true)
+  }
+
+  /** PROGRESSIVE at 4:2:0 — Y full resolution (2×2 sampling), chroma
+    * 2×2-mean downsampled, interleaved DC scan over the MCU grid,
+    * non-interleaved AC scans over each component's own block grid;
+    * `sa = true` adds the successive-approximation two-level script.
+    * The shape most real-world progressive JPEGs have. Even dims only
+    * (fixture encoder). */
+  def encodeProgressive420(w: Int, h: Int, rgb: Array[Int],
+                           quant: Int = Quant,
+                           bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63)),
+                           sa: Boolean = false,
+                           batchEob: Boolean = true): Array[Byte] = {
+    require(w >= 2 && h >= 2 && w % 2 == 0 && h % 2 == 0,
+      s"encodeProgressive420: even dims only: $w x $h")
+    require(rgb.length == w * h * 3, s"bad dims: $w x $h x3 vs ${rgb.length}")
+    require(quant >= 1 && quant <= 255, s"quant out of byte range: $quant")
+    val (yP, cbF, crF) = rgbToYcc(w, h, rgb)
+    val cw = w / 2; val chh = h / 2
+    def down(src: Array[Int]): Array[Int] = Array.tabulate(cw * chh) { j =>
+      val cx = j % cw; val cy = j / cw
+      val a = src(2 * cy * w + 2 * cx) + src(2 * cy * w + 2 * cx + 1) +
+        src((2 * cy + 1) * w + 2 * cx) + src((2 * cy + 1) * w + 2 * cx + 1)
+      clamp255(roundHalfAway(a / 4.0))
+    }
+    encodeProgressiveCore(w, h, Array(yP, down(cbF), down(crF)),
+      Array(w, cw, cw), Array(h, chh, chh), Array(0x22, 0x11, 0x11),
+      quant, bands, sa, batchEob)
+  }
+
+  /** The shared JFIF forward transform — one fixed IEEE sequence per
+    * channel, the q129/q130 oracle contract. */
+  private def rgbToYcc(w: Int, h: Int,
+                       rgb: Array[Int]): (Array[Int], Array[Int], Array[Int]) = {
     val n = w * h
     val yP = new Array[Int](n); val cbP = new Array[Int](n); val crP = new Array[Int](n)
     var i = 0
@@ -529,231 +724,7 @@ object JpegCodec {
       crP(i) = clamp255(roundHalfAway(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0))
       i += 1
     }
-    encodeProgressiveSaMcus(w, h, Array(yP, cbP, crP), quant, bands)
-  }
-
-  private def encodeProgressiveSaMcus(w: Int, h: Int, planes: Array[Array[Int]],
-                                      quant: Int, bands: Seq[(Int, Int)]): Array[Byte] = {
-    require(bands.nonEmpty, "progressive: no AC bands")
-    var prevEnd = 0
-    bands.foreach { case (ss, se) =>
-      require(ss == prevEnd + 1 && se >= ss && se <= 63,
-        s"progressive bands must tile 1..63 in order: $bands")
-      prevEnd = se
-    }
-    require(prevEnd == 63, s"progressive bands must end at 63: $bands")
-    val nComp = planes.length
-    val coefs = planes.map(p => planeCoefs(p, w, h, quant))
-    val dcLen = DcSyms.map(_ => 4)
-    val acLen = AcProgSyms.map(_ => 8)
-    val dcCode = canonicalCodes(dcLen)
-    val acCode = canonicalCodes(acLen)
-    val dcIdx = DcSyms.zipWithIndex.toMap
-    val acIdx = AcProgSyms.zipWithIndex.toMap
-    val bxN = (w + 7) / 8; val byN = (h + 7) / 8
-    val nBlocks = bxN * byN
-
-    // scan 1: DC first at Al=1 — diffs of the arithmetic-shifted value
-    val dcFirst = {
-      val bw = new BitWriter
-      val prevDc = new Array[Long](nComp)
-      var b = 0
-      while (b < nBlocks) {
-        var c = 0
-        while (c < nComp) {
-          val v = coefs(c)(b)(0) >> 1 // arithmetic point transform
-          val diff = v - prevDc(c)
-          prevDc(c) = v
-          val s = magBits(diff)
-          bw.put(dcCode(dcIdx(s)), 4)
-          if (s > 0) bw.put(magValue(diff, s), s)
-          c += 1
-        }
-        b += 1
-      }
-      bw.finishWithOnes()
-    }
-    // scan 2: DC refinement — bit Al=0 of each value, raw
-    val dcRefine = {
-      val bw = new BitWriter
-      var b = 0
-      while (b < nBlocks) {
-        var c = 0
-        while (c < nComp) {
-          bw.put((coefs(c)(b)(0) & 1L).toInt, 1)
-          c += 1
-        }
-        b += 1
-      }
-      bw.finishWithOnes()
-    }
-    // AC first scans at Al=1: sign-magnitude point transform |v| >> 1
-    val acFirst = for (c <- 0 until nComp; (ss, se) <- bands) yield {
-      val bw = new BitWriter
-      var eobrun = 0
-      def flushEob(): Unit = {
-        var run = eobrun
-        eobrun = 0
-        while (run > 0) {
-          val chunk = math.min(run, 32767)
-          val n = 31 - Integer.numberOfLeadingZeros(chunk)
-          bw.put(acCode(acIdx(n << 4)), 8)
-          if (n > 0) bw.put(chunk - (1 << n), n)
-          run -= chunk
-        }
-      }
-      def shifted(v: Long): Long = {
-        val m = math.abs(v) >> 1
-        if (v < 0) -m else m
-      }
-      var blkI = 0
-      while (blkI < nBlocks) {
-        val coef = coefs(c)(blkI)
-        var last = se
-        while (last >= ss && shifted(coef(last)) == 0L) last -= 1
-        if (last < ss) eobrun += 1
-        else {
-          flushEob()
-          var run = 0
-          var k = ss
-          while (k <= last) {
-            val sv = shifted(coef(k))
-            if (sv == 0L) run += 1
-            else {
-              while (run >= 16) { bw.put(acCode(acIdx(0xf0)), 8); run -= 16 }
-              val sz = magBits(sv)
-              bw.put(acCode(acIdx((run << 4) | sz)), 8)
-              bw.put(magValue(sv, sz), sz)
-              run = 0
-            }
-            k += 1
-          }
-          if (last < se) eobrun += 1
-        }
-        blkI += 1
-      }
-      flushEob()
-      (c, ss, se, 0, 1, bw.finishWithOnes()) // (comp, Ss, Se, Ah, Al)
-    }
-    // AC refinement scans Ah=1 -> Al=0 (the libjpeg encode_mcu_AC_refine
-    // structure: correction bits buffer until the next emitted symbol)
-    val acRefine = for (c <- 0 until nComp; (ss, se) <- bands) yield {
-      val bw = new BitWriter
-      var eobrun = 0
-      // BE: correction bits from COMPLETED blocks' tails, attached to
-      // the pending EOB run and emitted right after its EOBn symbol;
-      // BR: the current block's bits, emitted after each symbol —
-      // libjpeg's two-buffer discipline, which is what makes the
-      // decoder's read order come out right
-      val bePending = new scala.collection.mutable.ArrayBuffer[Int]()
-      val brBlock = new scala.collection.mutable.ArrayBuffer[Int]()
-      def emitBr(): Unit = {
-        brBlock.foreach(bw.put(_, 1))
-        brBlock.clear()
-      }
-      def flushEob(): Unit = {
-        if (eobrun > 0) {
-          val n = 31 - Integer.numberOfLeadingZeros(eobrun)
-          bw.put(acCode(acIdx(n << 4)), 8)
-          if (n > 0) bw.put(eobrun - (1 << n), n)
-          eobrun = 0
-          bePending.foreach(bw.put(_, 1))
-          bePending.clear()
-        }
-      }
-      var blkI = 0
-      while (blkI < nBlocks) {
-        val coef = coefs(c)(blkI)
-        val absv = new Array[Int](64)
-        var eobIdx = ss - 1 // last NEWLY-significant index in this block
-        var k = ss
-        while (k <= se) {
-          val t = math.abs(coef(k)).toInt // point transform at Al=0
-          absv(k) = t
-          if (t == 1) eobIdx = k
-          k += 1
-        }
-        // the libjpeg walk: ZRLs emit EAGERLY at each nonzero position
-        // while the zero-run exceeds 15 and a new coefficient is still
-        // ahead — so each symbol's window carries exactly the
-        // correction bits the decoder will read inside it
-        var run = 0
-        k = ss
-        while (k <= se) {
-          val t = absv(k)
-          if (t == 0) run += 1
-          else {
-            while (run > 15 && k <= eobIdx) {
-              flushEob()
-              bw.put(acCode(acIdx(0xf0)), 8)
-              run -= 16
-              emitBr()
-            }
-            if (t > 1) {
-              // history coefficient: buffer its correction bit; does
-              // NOT break the zero run
-              brBlock += (t & 1)
-            } else {
-              // newly significant: symbol + sign bit, then the
-              // corrections buffered inside this symbol's window
-              flushEob()
-              bw.put(acCode(acIdx((run << 4) | 1)), 8)
-              bw.put(if (coef(k) < 0) 0 else 1, 1)
-              emitBr()
-              run = 0
-            }
-          }
-          k += 1
-        }
-        if (run > 0 || brBlock.nonEmpty) {
-          // band tail folds into the EOB run; its corrections move to
-          // the run's buffer, emitted after the eventual EOBn
-          eobrun += 1
-          bePending ++= brBlock
-          brBlock.clear()
-          if (eobrun == 32767) flushEob()
-        }
-        blkI += 1
-      }
-      flushEob()
-      (c, ss, se, 1, 0, bw.finishWithOnes())
-    }
-
-    val out = new java.io.ByteArrayOutputStream(4096)
-    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
-    def seg(m: Int, body: Array[Byte]): Unit = {
-      marker(m)
-      out.write(((body.length + 2) >> 8) & 0xff)
-      out.write((body.length + 2) & 0xff)
-      out.write(body, 0, body.length)
-    }
-    marker(0xd8)
-    seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
-    seg(0xdb, 0.toByte +: Array.fill(64)(quant.toByte))
-    val sof = Array.newBuilder[Byte]
-    sof += 8
-    sof += ((h >> 8) & 0xff).toByte += (h & 0xff).toByte
-    sof += ((w >> 8) & 0xff).toByte += (w & 0xff).toByte
-    sof += nComp.toByte
-    for (c <- 0 until nComp) sof += (c + 1).toByte += 0x11.toByte += 0.toByte
-    seg(0xc2, sof.result())
-    seg(0xc4, dhtBody(0x00, dcLen, DcSyms))
-    seg(0xc4, dhtBody(0x10, acLen, AcProgSyms))
-    def sosSeg(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int,
-               data: Array[Byte]): Unit = {
-      val sos = Array.newBuilder[Byte]
-      sos += comps.length.toByte
-      comps.foreach(ci => { sos += (ci + 1).toByte += 0x00.toByte })
-      sos += ss.toByte += se.toByte += ((ah << 4) | al).toByte
-      seg(0xda, sos.result())
-      out.write(data, 0, data.length)
-    }
-    sosSeg(0 until nComp, 0, 0, 0, 1, dcFirst)
-    sosSeg(0 until nComp, 0, 0, 1, 0, dcRefine)
-    acFirst.foreach { case (c, ss, se, ah, al, d) => sosSeg(Seq(c), ss, se, ah, al, d) }
-    acRefine.foreach { case (c, ss, se, ah, al, d) => sosSeg(Seq(c), ss, se, ah, al, d) }
-    marker(0xd9)
-    out.toByteArray
+    (yP, cbP, crP)
   }
 
   /** Canonical code assignment for per-symbol lengths (sorted by
@@ -938,21 +909,24 @@ object JpegCodec {
     else if (v < (1 << (s - 1))) v - (1 << s) + 1
     else v
 
-  /** PROGRESSIVE (SOF2) decode — all-1x1 sampling, BOTH progressive
-    * dimensions: spectral selection (DC scan + non-interleaved AC band
-    * scans, full EOBn runs) and successive approximation (first scans
-    * at Al>0, DC refinement bit-scans, AC refinement per T.81 G.1.2.3 —
-    * ±1<<Al arrivals, correction bits for history coefficients
-    * including inside EOB runs). Coefficients accumulate per block;
-    * dequant + IDCT run once at the end. Out of envelope (→ None, the
-    * visible stub): inconsistent Ah/Al chains (Ah ≠ Al+1 on refine),
-    * restart intervals inside progressive scans, subsampled
-    * progressive, truncated or structurally malformed scan sequences.
-    * Called from [[decode]] at the first SOS; inter-scan DHT/DQT
-    * segments are honored (tables may arrive per scan). */
+  /** PROGRESSIVE (SOF2) decode — all-1x1 OR 4:2:0 sampling, BOTH
+    * progressive dimensions: spectral selection (DC scan + non-
+    * interleaved AC band scans, full EOBn runs) and successive
+    * approximation (first scans at Al>0, DC refinement bit-scans, AC
+    * refinement per T.81 G.1.2.3 — ±1<<Al arrivals, correction bits
+    * for history coefficients including inside EOB runs). Interleaved
+    * DC scans traverse the MCU grid (hi×vi blocks per component);
+    * non-interleaved scans traverse the component's own UNPADDED block
+    * grid; storage is MCU-padded so both views address the same
+    * coefficients. Dequant + IDCT run once at the end. Out of envelope
+    * (→ None, the visible stub): inconsistent Ah/Al chains (Ah ≠ Al+1
+    * on refine), restart intervals inside progressive scans, truncated
+    * or structurally malformed scan sequences. Called from [[decode]]
+    * at the first SOS; inter-scan DHT/DQT segments are honored. */
   private def decodeProgressive(bytes: Array[Byte], pStart: Int,
                                 w: Int, h: Int,
                                 compIds: Array[Int], compQuant: Array[Int],
+                                compSamp: Array[Int],
                                 dcTabs: java.util.HashMap[Int, Huff],
                                 acTabs: java.util.HashMap[Int, Huff],
                                 quants: java.util.HashMap[Int, Array[Int]],
@@ -960,10 +934,39 @@ object JpegCodec {
     if (restartInterval > 0) return None // DRI + progressive: declined
     if (w < 1 || h < 1 || w > (1 << 14) || h > (1 << 14)) return None
     val nComp = compIds.length
-    val bxN = (w + 7) / 8; val byN = (h + 7) / 8
-    val nBlocks = bxN * byN
-    // quantized coefficients, natural (row-major frequency) order
-    val coefs = Array.fill(nComp)(new Array[Int](nBlocks * 64))
+    val hMax = compSamp.map(_ >> 4).max
+    val vMax = compSamp.map(_ & 0x0f).max
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val hi = compSamp.map(_ >> 4)
+    val vi = compSamp.map(_ & 0x0f)
+    val bxPad = Array.tabulate(nComp)(c => hi(c) * mcusX)
+    val byPad = Array.tabulate(nComp)(c => vi(c) * mcusY)
+    val planeW = Array.tabulate(nComp)(c => (w * hi(c) + hMax - 1) / hMax)
+    val planeH = Array.tabulate(nComp)(c => (h * vi(c) + vMax - 1) / vMax)
+    val bxUn = planeW.map(pw => (pw + 7) / 8)
+    val byUn = planeH.map(ph => (ph + 7) / 8)
+    // quantized coefficients, natural (row-major frequency) order,
+    // MCU-padded per-component block grids
+    val coefs = Array.tabulate(nComp)(c =>
+      new Array[Int](bxPad(c) * byPad(c) * 64))
+    // base offsets of a component's blocks in UNPADDED raster order —
+    // the traversal of every non-interleaved scan
+    def unpaddedBases(c: Int): Array[Int] = {
+      val out = new Array[Int](bxUn(c) * byUn(c))
+      var i = 0
+      var yB = 0
+      while (yB < byUn(c)) {
+        var xB = 0
+        while (xB < bxUn(c)) {
+          out(i) = (yB * bxPad(c) + xB) * 64
+          i += 1
+          xB += 1
+        }
+        yB += 1
+      }
+      out
+    }
     var ri = restartInterval // re-checked if a DRI arrives between scans
     var p = pStart
     var sawEoi = false
@@ -1014,49 +1017,104 @@ object JpegCodec {
             val r = new BitReader(
               java.util.Arrays.copyOfRange(bytes, dataStart, end))
             if (ss == 0) {
-              // DC scan: Se must be 0; interleaved over scan components
-              // (1x1 sampling: one block each per MCU = block-grid cell)
+              // DC scan: Se must be 0. Interleaved (ns > 1): MCU
+              // traversal, hi×vi blocks per component. Non-interleaved
+              // (ns == 1): the component's unpadded raster grid.
               if (se != 0) return None
               if (ah == 0) {
-                // first scan: diffs of the point-transformed value
-                // (arithmetic >> Al), stored re-shifted
                 val dcH = Array.tabulate(ns)(i => dcTabs.get(scanDc(i)))
                 if (dcH.exists(_ == null)) return None
                 val prevDc = new Array[Int](ns)
-                var b = 0
-                while (b < nBlocks) {
-                  var i = 0
-                  while (i < ns) {
-                    val s = dcH(i).decode(r)
-                    if (s < 0 || s > 11) return None
-                    val dcv =
-                      if (s == 0) 0
-                      else {
-                        val v = r.bits(s)
-                        if (v < 0) return None
-                        extend(v, s)
+                def readDc(i: Int): Boolean = {
+                  val s = dcH(i).decode(r)
+                  if (s < 0 || s > 11) return false
+                  val dcv =
+                    if (s == 0) 0
+                    else {
+                      val v = r.bits(s)
+                      if (v < 0) return false
+                      extend(v, s)
+                    }
+                  prevDc(i) += dcv
+                  true
+                }
+                if (ns > 1) {
+                  var by = 0
+                  while (by < mcusY) {
+                    var bx = 0
+                    while (bx < mcusX) {
+                      var i = 0
+                      while (i < ns) {
+                        val cc = scanComp(i)
+                        var iy = 0
+                        while (iy < vi(cc)) {
+                          var ix = 0
+                          while (ix < hi(cc)) {
+                            if (!readDc(i)) return None
+                            coefs(cc)(((by * vi(cc) + iy) * bxPad(cc) +
+                              bx * hi(cc) + ix) * 64) = prevDc(i) << al
+                            ix += 1
+                          }
+                          iy += 1
+                        }
+                        i += 1
                       }
-                    prevDc(i) += dcv
-                    coefs(scanComp(i))(b * 64) = prevDc(i) << al
-                    i += 1
+                      bx += 1
+                    }
+                    by += 1
                   }
-                  b += 1
+                } else {
+                  val cc = scanComp(0)
+                  val bases = unpaddedBases(cc)
+                  var b = 0
+                  while (b < bases.length) {
+                    if (!readDc(0)) return None
+                    coefs(cc)(bases(b)) = prevDc(0) << al
+                    b += 1
+                  }
                 }
               } else {
-                // refinement: one raw bit per block per component, OR'd
-                // at the new precision (two's-complement OR matches the
-                // arithmetic-shift point transform exactly)
-                var b = 0
-                while (b < nBlocks) {
-                  var i = 0
-                  while (i < ns) {
-                    val bit = r.bit()
-                    if (bit < 0) return None
-                    if (bit == 1)
-                      coefs(scanComp(i))(b * 64) |= (1 << al)
-                    i += 1
+                // refinement: one raw bit per block, OR'd at the new
+                // precision (two's-complement OR matches the arithmetic-
+                // shift point transform exactly)
+                def refineOne(cc: Int, base: Int): Boolean = {
+                  val bit = r.bit()
+                  if (bit < 0) return false
+                  if (bit == 1) coefs(cc)(base) |= (1 << al)
+                  true
+                }
+                if (ns > 1) {
+                  var by = 0
+                  while (by < mcusY) {
+                    var bx = 0
+                    while (bx < mcusX) {
+                      var i = 0
+                      while (i < ns) {
+                        val cc = scanComp(i)
+                        var iy = 0
+                        while (iy < vi(cc)) {
+                          var ix = 0
+                          while (ix < hi(cc)) {
+                            if (!refineOne(cc, ((by * vi(cc) + iy) * bxPad(cc) +
+                              bx * hi(cc) + ix) * 64)) return None
+                            ix += 1
+                          }
+                          iy += 1
+                        }
+                        i += 1
+                      }
+                      bx += 1
+                    }
+                    by += 1
                   }
-                  b += 1
+                } else {
+                  val cc = scanComp(0)
+                  val bases = unpaddedBases(cc)
+                  var b = 0
+                  while (b < bases.length) {
+                    if (!refineOne(cc, bases(b))) return None
+                    b += 1
+                  }
                 }
               }
             } else {
@@ -1066,14 +1124,16 @@ object JpegCodec {
               if (acH == null) return None
               val comp = scanComp(0)
               val cf = coefs(comp)
+              val bases = unpaddedBases(comp)
               var eobrun = 0
               if (ah == 0) {
                 // first scan at this precision: magnitudes point-
                 // transformed (|v| >> Al), stored re-shifted sign-magnitude
                 var b = 0
-                while (b < nBlocks) {
+                while (b < bases.length) {
                   if (eobrun > 0) eobrun -= 1 // this block's band is all zero
                   else {
+                    val base = bases(b)
                     var k = ss
                     var done = false
                     while (!done && k <= se) {
@@ -1099,7 +1159,7 @@ object JpegCodec {
                         if (k > se) return None
                         val v = r.bits(sz)
                         if (v < 0) return None
-                        cf(b * 64 + ZigZag(k)) = extend(v, sz) << al
+                        cf(base + ZigZag(k)) = extend(v, sz) << al
                         k += 1
                       }
                     }
@@ -1113,8 +1173,8 @@ object JpegCodec {
                 val p1 = 1 << al
                 val m1 = -1 << al
                 var b = 0
-                while (b < nBlocks) {
-                  val base = b * 64
+                while (b < bases.length) {
+                  val base = bases(b)
                   var k = ss
                   if (eobrun == 0) {
                     var break1 = false
@@ -1220,28 +1280,30 @@ object JpegCodec {
     }
     val quant = Array.tabulate(nComp)(c => quants.get(compQuant(c)))
     if (quant.exists(_ == null)) return None
-    // dequantize + IDCT every block into full-resolution planes
-    val planes = Array.fill(nComp)(new Array[Int](w * h))
+    // dequantize + IDCT every block (padded grid; out-of-plane pixels
+    // drop at the bounds check) into per-component planes
+    val planes = Array.tabulate(nComp)(c => new Array[Int](planeW(c) * planeH(c)))
     val blk = new Array[Double](64)
     var c = 0
     while (c < nComp) {
       var b = 0
-      while (b < nBlocks) {
+      val nB = bxPad(c) * byPad(c)
+      while (b < nB) {
         var i = 0
         while (i < 64) {
           blk(i) = coefs(c)(b * 64 + i).toDouble * quant(c)(i)
           i += 1
         }
         idct(blk)
-        val x0 = (b % bxN) * 8
-        val y0 = (b / bxN) * 8
+        val x0 = (b % bxPad(c)) * 8
+        val y0 = (b / bxPad(c)) * 8
         i = 0
         while (i < 64) {
           val x = x0 + i % 8
           val y = y0 + i / 8
-          if (x < w && y < h) {
+          if (x < planeW(c) && y < planeH(c)) {
             val px = roundHalfAway(blk(i)) + 128L
-            planes(c)(y * w + x) =
+            planes(c)(y * planeW(c) + x) =
               if (px < 0) 0 else if (px > 255) 255 else px.toInt
           }
           i += 1
@@ -1252,25 +1314,34 @@ object JpegCodec {
     }
     if (nComp == 1) Some((w, h, 1, planes(0)))
     else {
-      // all-1x1: identity chroma mapping; same fixed IEEE transform as
-      // the baseline path
+      // JFIF inverse transform with sampling-ratio chroma mapping —
+      // identical to the baseline path (identity at 4:4:4, x/2 at 4:2:0)
       val out = new Array[Int](w * h * 3)
-      var i = 0
-      val n = w * h
-      while (i < n) {
-        val y = planes(0)(i).toDouble
-        val cb = planes(1)(i).toDouble
-        val cr = planes(2)(i).toDouble
-        out(3 * i) = clamp255(roundHalfAway(y + 1.402 * (cr - 128.0)))
-        out(3 * i + 1) = clamp255(roundHalfAway(
-          y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)))
-        out(3 * i + 2) = clamp255(roundHalfAway(y + 1.772 * (cb - 128.0)))
-        i += 1
+      val cbHi = compSamp(1) >> 4; val cbVi = compSamp(1) & 0x0f
+      val crHi = compSamp(2) >> 4; val crVi = compSamp(2) & 0x0f
+      var yy = 0
+      while (yy < h) {
+        var xx = 0
+        while (xx < w) {
+          val i = yy * w + xx
+          val y = planes(0)(yy * planeW(0) + xx).toDouble
+          val cbx = math.min(xx * cbHi / hMax, planeW(1) - 1)
+          val cby = math.min(yy * cbVi / vMax, planeH(1) - 1)
+          val crx = math.min(xx * crHi / hMax, planeW(2) - 1)
+          val cry = math.min(yy * crVi / vMax, planeH(2) - 1)
+          val cb = planes(1)(cby * planeW(1) + cbx).toDouble
+          val cr = planes(2)(cry * planeW(2) + crx).toDouble
+          out(3 * i) = clamp255(roundHalfAway(y + 1.402 * (cr - 128.0)))
+          out(3 * i + 1) = clamp255(roundHalfAway(
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)))
+          out(3 * i + 2) = clamp255(roundHalfAway(y + 1.772 * (cb - 128.0)))
+          xx += 1
+        }
+        yy += 1
       }
       Some((w, h, 3, out))
     }
   }
-
   /** Decode a baseline JPEG — grayscale (channels 1) or 4:4:4 YCbCr
     * color (channels 3, interleaved RGB out): Some((w, h, ch, samples))
     * or None (progressive, subsampled, corrupt, truncated — caller
@@ -1319,17 +1390,14 @@ object JpegCodec {
               compQuant(c) = bytes(at + 8 + 3 * c) & 0xff
               c += 1
             }
-            // supported sampling shapes: all-1x1 (grayscale / 4:4:4) or
-            // 4:2:0 (Y 2x2, chroma 1x1); anything else declines.
-            // Progressive narrows further: all-1x1 only (non-interleaved
-            // AC scans over subsampled block grids stay out of envelope)
+            // supported sampling shapes, baseline AND progressive:
+            // all-1x1 (grayscale / 4:4:4) or 4:2:0 (Y 2x2, chroma 1x1);
+            // anything else declines
             val all11 = compSamp.forall(_ == 0x11)
             val is420 = nComp == 3 && compSamp(0) == 0x22 &&
               compSamp(1) == 0x11 && compSamp(2) == 0x11
-            if (m == 0xc2) {
-              progressive = true
-              if (!all11) return None
-            } else if (!all11 && !is420) return None
+            if (m == 0xc2) progressive = true
+            if (!all11 && !is420) return None
           case 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 |
                0xc9 | 0xca | 0xcb | 0xcd | 0xce | 0xcf =>
             return None // extended/lossless/arithmetic
@@ -1367,7 +1435,7 @@ object JpegCodec {
             if (compIds == null) return None
             if (progressive)
               return decodeProgressive(bytes, p, w, h, compIds, compQuant,
-                dcTabs, acTabs, quants, restartInterval)
+                compSamp, dcTabs, acTabs, quants, restartInterval)
             val ns = bytes(at) & 0xff
             if (ns != compIds.length || len < 4 + 2 * ns + 2) return None
             compDc = new Array[Int](ns)

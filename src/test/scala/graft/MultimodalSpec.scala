@@ -1197,6 +1197,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("JpegCodec progressive 4:2:0: interleaved-DC MCU geometry with " +
+    "padded Y grids decodes pixel-identical to the 4:2:0 baseline, " +
+    "spectral and successive-approximation scripts alike") {
+    import graft.multimodal.JpegCodec
+    // width 24: Y's padded grid (4 blocks/row) != unpadded (3) — the
+    // exact geometry a progressive 4:2:0 decoder must keep straight
+    for ((w, h) <- Seq((16, 16), (24, 16), (48, 34 + 6))) {
+      val rnd = new scala.util.Random(w * 1000 + h)
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256))
+      val base = JpegCodec.decode(JpegCodec.encodeColor420(w, h, rgb)).get
+      val sp = JpegCodec.decode(JpegCodec.encodeProgressive420(w, h, rgb)).get
+      assert(sp._4.toSeq == base._4.toSeq, s"spectral ${w}x$h")
+      val sa = JpegCodec.decode(
+        JpegCodec.encodeProgressive420(w, h, rgb, sa = true)).get
+      assert(sa._4.toSeq == base._4.toSeq, s"sa ${w}x$h")
+    }
+    // block-constant at quant=1: the q130 closed-form shape survives
+    val w = 32; val h = 16
+    val rgb = Array.tabulate(w * h * 3) { i =>
+      val px = i / 3
+      val mi = ((px / w) / 16) * (w / 16) + ((px % w) / 16)
+      (i % 3) match {
+        case 0 => (40 + 11 * mi) % 256
+        case 1 => (90 + 7 * mi) % 256
+        case _ => (10 + 13 * mi) % 256
+      }
+    }
+    val b = JpegCodec.decode(JpegCodec.encodeColor420(w, h, rgb, quant = 1)).get
+    val p = JpegCodec.decode(
+      JpegCodec.encodeProgressive420(w, h, rgb, quant = 1, sa = true)).get
+    assert(p._4.toSeq == b._4.toSeq)
+  }
+
   test("normalizeAudioPeak: exact half-away integer scaling, peak lands " +
     "on target, untouched for declines / silence / unrepresentable target") {
     import spark.implicits._

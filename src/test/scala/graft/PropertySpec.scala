@@ -371,6 +371,8 @@ class PropertySpec extends SparkSpec {
       Array.fill(16 * 16)(rnd.nextInt(256)))
     val jsa = graft.multimodal.JpegCodec.encodeProgressiveSA(16, 16,
       Array.fill(16 * 16)(rnd.nextInt(256)))
+    val jp420 = graft.multimodal.JpegCodec.encodeProgressive420(16, 16,
+      Array.fill(16 * 16 * 3)(rnd.nextInt(256)), sa = true)
     val wav = graft.multimodal.PcmCodec.encodeWav(2, 8000, 24,
       Array.fill(20)(rnd.nextInt(1 << 24) - (1 << 23)))
     val mp4 = graft.multimodal.VideoFixture.encodeMp4(64, 48, 1000, 5000L, 2)
@@ -387,6 +389,7 @@ class PropertySpec extends SparkSpec {
     assaults(j420).foreach(b => graft.multimodal.JpegCodec.decode(b))
     assaults(jprog).foreach(b => graft.multimodal.JpegCodec.decode(b))
     assaults(jsa).foreach(b => graft.multimodal.JpegCodec.decode(b))
+    assaults(jp420).foreach(b => graft.multimodal.JpegCodec.decode(b))
     assaults(wav).foreach(b => graft.multimodal.PcmCodec.decode(b))
     assaults(mp4).foreach(b => graft.functions.VideoMetaExpr.parseHeader(b))
     // full payloads still decode after the fuzz pass (no shared state)
@@ -396,6 +399,7 @@ class PropertySpec extends SparkSpec {
     assert(graft.multimodal.JpegCodec.decode(j420).isDefined)
     assert(graft.multimodal.JpegCodec.decode(jprog).isDefined)
     assert(graft.multimodal.JpegCodec.decode(jsa).isDefined)
+    assert(graft.multimodal.JpegCodec.decode(jp420).isDefined)
     assert(graft.multimodal.PcmCodec.decode(wav).isDefined)
   }
 
