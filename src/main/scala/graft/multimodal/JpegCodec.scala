@@ -10,17 +10,18 @@ package graft.multimodal
   * Envelope, stated honestly: baseline sequential (SOF0), 8-bit,
   * grayscale, 4:4:4 YCbCr, or 4:2:0 YCbCr, with or without restart
   * markers (DRI/RSTn — byte-aligned predictor resets, the shape most
-  * real encoders emit); plus PROGRESSIVE (SOF2) for grayscale and
-  * 4:4:4 — BOTH progressive dimensions: spectral selection (multi-scan
-  * DC + AC band accumulation with full EOBn run handling) and
-  * successive approximation (point-transformed first scans, DC
-  * refinement bits, AC ±1 arrivals with correction bits inside ZRL
-  * windows and EOB runs — the libjpeg default-script shape). Still
-  * declined (None, the stub fallback, never fabricated pixels):
-  * subsampled progressive, restart intervals inside progressive scans,
-  * other subsampling, arithmetic coding, 12-bit. Color output is
-  * interleaved RGB via the JFIF inverse transform (one fixed IEEE
-  * sequence per channel, mirrored by the q129/q130 oracles).
+  * real encoders emit); plus the FULL PROGRESSIVE (SOF2) matrix over
+  * the same sampling shapes — grayscale, 4:4:4, AND 4:2:0 — in both
+  * progressive dimensions: spectral selection (multi-scan DC + AC band
+  * accumulation with full EOBn run handling) and successive
+  * approximation (point-transformed first scans, DC refinement bits,
+  * AC ±1 arrivals with correction bits inside ZRL windows and EOB
+  * runs — the libjpeg default-script shape). Still declined (None, the
+  * stub fallback, never fabricated pixels): restart intervals inside
+  * progressive scans, inconsistent Ah/Al chains, other subsampling,
+  * arithmetic coding, 12-bit. Color output is interleaved RGB via the
+  * JFIF inverse transform (one fixed IEEE sequence per channel,
+  * mirrored by the q129/q130 oracles).
   *
   * The encoder exists for fixtures and spec round trips. JPEG is
   * LOSSY, so unlike the PNG/GIF gates the oracle cannot demand
@@ -325,9 +326,6 @@ object JpegCodec {
       quant, bands, sa = false, batchEob = batchEob)
   }
 
-  /** Zigzag-ordered quantized coefficients for every 8×8 block of a
-    * plane, raster order, edge-replicated — the shared transform stage
-    * both encoders feed from. */
   /** Zigzag-ordered quantized coefficients for every 8×8 block of a
     * plane over an EXPLICIT block grid (raster order, edge-replicated).
     * Interleaved scans cover the MCU-padded grid (`bxN`/`byN` larger
@@ -982,6 +980,10 @@ object JpegCodec {
         val at = p + 4
         m match {
           case 0xda =>
+            // len >= 3 guarantees the ns byte exists (a declared len of
+            // 2 passes the generic length check with at == segment end —
+            // the truncated-SOS crash a crawl payload must not trigger)
+            if (len < 3) return None
             val ns = bytes(at) & 0xff
             if (ns < 1 || ns > nComp || len < 4 + 2 * ns + 2) return None
             val scanComp = new Array[Int](ns)
@@ -1436,6 +1438,8 @@ object JpegCodec {
             if (progressive)
               return decodeProgressive(bytes, p, w, h, compIds, compQuant,
                 compSamp, dcTabs, acTabs, quants, restartInterval)
+            // len >= 3 guarantees the ns byte exists (truncated-SOS guard)
+            if (len < 3) return None
             val ns = bytes(at) & 0xff
             if (ns != compIds.length || len < 4 + 2 * ns + 2) return None
             compDc = new Array[Int](ns)

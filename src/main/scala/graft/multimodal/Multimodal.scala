@@ -367,9 +367,12 @@ object Multimodal {
     * the feature a voiced/unvoiced or music/speech router thresholds on
     * (score relative to R(0) energy).
     *
-    * Payloads the codec declines, and clips shorter than `maxLag + 1`
-    * samples, yield NULL lag/score — a visible non-answer, never a
-    * fabricated pitch. Output: (media_id, period_lag, period_score).
+    * Payloads the codec declines, clips shorter than `maxLag + 1`
+    * samples, AND clips whose `n · peak²` could overflow the exact
+    * Long accumulator (a loud 24-bit clip past ~131k samples — wrapped
+    * sums would be a silently-wrong pitch, worse than no answer) yield
+    * NULL lag/score — a visible non-answer, never a fabricated pitch.
+    * Output: (media_id, period_lag, period_score).
     *
     * Scale shape: per-row kernel in narrow batches — `O(n·lagRange)`
     * integer ops per clip, payloads never shuffle. */
@@ -384,7 +387,10 @@ object Multimodal {
         val best = PcmCodec.decode(bytes).flatMap { p =>
           val s = p.samples
           val n = s.length
-          if (n <= maxLag) None
+          var peak = 0L
+          s.foreach { v => val a = math.abs(v).toLong; if (a > peak) peak = a }
+          if (n <= maxLag ||
+            (peak > 0 && n.toLong > Long.MaxValue / (peak * peak))) None
           else {
             var bestLag = 0; var bestR = Long.MinValue
             var lag = minLag

@@ -281,7 +281,12 @@ object Similarity {
     * is keyed by (label, pos), dim-times finer than the label. Output:
     * (label, n_a, n_b, drift_cos). Groups present in only one version
     * are absent from the output (inner join on label) — surface them
-    * with a frame-level anti join if needed. */
+    * with a frame-level anti join if needed. Mismatched embedding
+    * DIMENSIONALITY between the versions (a re-embedding — the change
+    * a drift monitor must not paper over) fails LOUDLY at execution:
+    * a position present in only one side would silently truncate the
+    * cosine to the shared subspace, so the join is full-outer on pos
+    * within a shared label and a one-sided position raises. */
   def embeddingDrift(a: DataFrame, b: DataFrame,
                      labelCol: String, vecCol: String): DataFrame = {
     def microSums(df: DataFrame, sumName: String, cntName: String): DataFrame =
@@ -297,17 +302,28 @@ object Similarity {
     // would overflow 2^63 silently; decimal(19)×decimal(19) widens to
     // decimal(38,0) losslessly
     val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
-    microSums(a, "sa", "ca")
-      .join(microSums(b, "sb", "cb"), Seq("label", "pos"))
+    val labelsBoth = microSums(a, "sa", "ca")
+      .join(microSums(b, "sb", "cb"), Seq("label", "pos"), "full_outer")
+    // decide mismatches at LABEL level: a label absent from one version
+    // entirely (all-NULL totals on that side) drops per the contract; a
+    // label present in BOTH whose positions disagree raises
+    val perLabel = labelsBoth
       .groupBy(col("label"))
       .agg(
         sum(col("sa").cast(d19) * col("sb").cast(d19)).as("__dot"),
         sum(col("sa").cast(d19) * col("sa").cast(d19)).as("__na"),
         sum(col("sb").cast(d19) * col("sb").cast(d19)).as("__nb"),
+        count(when(col("sa").isNull || col("sb").isNull, 1)).as("__onesided"),
         max(col("ca")).as("n_a"), max(col("cb")).as("n_b"))
+    perLabel
+      .where(col("n_a").isNotNull && col("n_b").isNotNull)
       .select(col("label"), col("n_a"), col("n_b"),
-        (col("__dot").cast("double") /
-          (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
+        when(col("__onesided") > 0, raise_error(concat(
+          lit("embeddingDrift: embedding dimensionality differs between "),
+          lit("versions for label "), col("label").cast("string")))
+          .cast("double"))
+          .otherwise(col("__dot").cast("double") /
+            (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
           .as("drift_cos"))
   }
 }

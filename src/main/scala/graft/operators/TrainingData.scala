@@ -1206,7 +1206,9 @@ object TrainingData {
     * operator — bounded heaps BEFORE the final exchange, so the rank
     * stage shuffles ≤ |groups|·k rows, never the full n-gram
     * distribution. Ties break lexicographically (deterministic).
-    * Docs shorter than `ngram` tokens contribute nothing. */
+    * Docs shorter than `ngram` tokens contribute nothing — including
+    * empty/whitespace-only docs at ngram = 1, whose split yields the
+    * [""] singleton that the empty-ngram filter drops. */
   def topNgramsPerGroup(docs: DataFrame, groupCol: String, textCol: String,
                         ngram: Int, k: Int): DataFrame = {
     require(ngram >= 1, s"topNgramsPerGroup: bad ngram $ngram")
@@ -1214,11 +1216,12 @@ object TrainingData {
     val parts = (0 until ngram).map(j => s"tk[i + $j]").mkString(", ")
     val counts = docs
       .select(col(groupCol).as("label"),
-        split(trim(col(textCol)), "\\s+").as("tk"))
+        TextExprs.tokens(col(textCol)).as("tk"))
       .where(size(col("tk")) >= ngram)
       .select(col("label"), explode(expr(
         s"transform(sequence(0, size(tk) - $ngram), i -> concat_ws(' ', $parts))"))
         .as("ngram"))
+      .where(col("ngram") =!= "")
       .groupBy(col("label"), col("ngram"))
       .agg(count(lit(1)).as("cnt"))
     graft.plans.TopK.perKey(counts, Seq("label"),
@@ -1258,25 +1261,26 @@ object TrainingData {
     def bucket(v: Column): Column =
       boundaries.foldLeft(lit(0))((acc, bnd) =>
         acc + when(v >= bnd, 1).otherwise(0))
-    def counts(df: DataFrame, cName: String, nName: String): DataFrame = {
-      val c = df.select(col(groupCol).as("label"),
+    // one aggregation per side; totals derive from the bucket counts
+    // ONCE (not re-joined through a distinct, which would recompute the
+    // same aggregate a second time)
+    def counts(df: DataFrame, cName: String): DataFrame =
+      df.select(col(groupCol).as("label"),
           bucket(col(valueCol).cast("double")).as("bucket"))
         .where(col(valueCol).isNotNull)
         .groupBy(col("label"), col("bucket"))
         .agg(count(lit(1)).as(cName))
-      c.join(c.groupBy(col("label")).agg(sum(col(cName)).as(nName)),
-        Seq("label"))
-    }
     val d19 = org.apache.spark.sql.types.DecimalType(19, 0)
-    val ca = counts(a, "ca", "na")
-    val cb = counts(b, "cb", "nb")
+    val ca = counts(a, "ca").localCheckpoint()
+    val cb = counts(b, "cb").localCheckpoint()
+    val na = ca.groupBy(col("label")).agg(sum(col("ca")).as("na"))
+    val nb = cb.groupBy(col("label")).agg(sum(col("cb")).as("nb"))
     // full outer on buckets (a bucket emptied by the filter still
     // drifts) but inner on group totals (embeddingDrift's contract)
-    val joined = ca.select(col("label"), col("bucket"), col("ca"))
-      .join(cb.select(col("label"), col("bucket"), col("cb")),
-        Seq("label", "bucket"), "full_outer")
-      .join(ca.select(col("label"), col("na")).distinct(), Seq("label"))
-      .join(cb.select(col("label"), col("nb")).distinct(), Seq("label"))
+    val joined = ca
+      .join(cb, Seq("label", "bucket"), "full_outer")
+      .join(na, Seq("label"))
+      .join(nb, Seq("label"))
       .select(col("label"), col("na"), col("nb"),
         coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))

@@ -1156,6 +1156,15 @@ class MultimodalSpec extends SparkSpec {
     assert(JpegCodec.decode(patchLastSosAhAl(prog)).isEmpty)
     assert(JpegCodec.decode(prog.take(prog.length / 2)).isEmpty)
     assert(JpegCodec.decode(prog.take(40)).isEmpty)
+    // review regression: an SOS whose declared length is 2 ends the
+    // segment exactly at the ns byte — must return None, not throw
+    // (both the baseline and progressive SOS parsers)
+    for (sof <- Seq(0xc0, 0xc2)) {
+      val crafted = Array(0xff, 0xd8, 0xff, sof, 0x00, 0x0b,
+        0x08, 0x00, 0x01, 0x00, 0x01, 0x01, 0x01, 0x11, 0x00,
+        0xff, 0xda, 0x00, 0x02).map(_.toByte)
+      assert(JpegCodec.decode(crafted).isEmpty, f"SOF $sof%02x")
+    }
   }
 
   test("JpegCodec progressive successive approximation: the two-level " +

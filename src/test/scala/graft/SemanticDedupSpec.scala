@@ -142,4 +142,20 @@ class SemanticDedupSpec extends SparkSpec {
     assert(d1 == d2) // bit-for-bit, not approximately
     assert(d1.values.forall(c => c > 0.0 && c <= 1.0 + 1e-12))
   }
+
+  test("embeddingDrift fails LOUDLY on mismatched dimensionality (the " +
+    "re-embedding case a drift monitor must not truncate away)") {
+    import spark.implicits._
+    val a = Seq((1L, Array(1.0f, 0.0f, 0.5f), 10)) // 3-dim
+      .toDF("vec_id", "embedding", "label")
+    val b = Seq((1L, Array(1.0f, 0.0f), 10))       // re-embedded at 2-dim
+      .toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] {
+      Similarity.embeddingDrift(a, b, "label", "embedding").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("dimensionality")), msgs(e).toString)
+  }
 }

@@ -1023,5 +1023,14 @@ class TrainingDataSpec extends SparkSpec {
     assert(rows.size == 3) // de has only one trigram; k=2 doesn't pad
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.contains("TopKPerKey"), "must use the native operator")
+    // review regression: empty/whitespace-only docs at ngram=1 must not
+    // surface "" as a top token (split of an empty string yields [""])
+    val withEmpties = Seq(
+      ("en", "tok tok other"), ("en", ""), ("en", "   \t "))
+      .toDF("lang", "text")
+    val uni = TrainingData.topNgramsPerGroup(withEmpties, "lang", "text",
+      ngram = 1, k = 3)
+      .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
+    assert(uni.toSeq == Seq((1, "tok", 2L), (2, "other", 1L)))
   }
 }
