@@ -1169,9 +1169,9 @@ object TrainingData {
   /** BPE merge-pair statistics — the counting core of byte-pair-encoding
     * tokenizer training: adjacent symbol-pair frequencies over the word
     * VOCABULARY, each pair weighted by its word's corpus frequency. The
-    * top pair is the next BPE merge; iterating (merge, recount) trains
-    * the tokenizer. This exposes one full counting round, the part that
-    * touches the corpus.
+    * top pair is the next BPE merge; [[trainBpeMerges]] runs that
+    * iteration to completion. This exposes one full counting round, the
+    * part that touches the corpus.
     *
     * Scale shape: the corpus collapses to the word vocabulary FIRST
     * (one aggregate — the only pass over the text; the shuffle carries
@@ -1193,6 +1193,111 @@ object TrainingData {
         .as("pair"), col("__nw"))
       .groupBy(col("pair")).agg(sum(col("__nw")).as("pair_count"))
       .orderBy(col("pair_count").desc, col("pair")).limit(k)
+  }
+
+  /** Learn a BPE merge table from the corpus — the training loop whose
+    * one-round counting core is [[bpeTopPairs]] and whose apply side is
+    * [[graft.functions.BpeEncode]]: Sennrich's algorithm at its
+    * scalable shape. ONE distributed pass collapses the corpus to the
+    * word-frequency table, TRUNCATED to the `maxWords` most frequent
+    * word types (ties → lexicographic) — the standard practice that
+    * bounds driver state by vocabulary, not corpus (the tail word types
+    * it drops carry negligible pair mass). The merge iterations then
+    * run over that small table: count adjacent symbol pairs weighted by
+    * word frequency, take the argmax (ties → lexicographically smallest
+    * pair, deterministic), merge it into every word's segmentation with
+    * the SAME left-to-right resume-after-replacement pass the encoder
+    * applies per rank, repeat. Stops early when no pair occurs twice.
+    *
+    * Consistency contract, spec-pinned: running
+    * `bpeEncode(word, trainBpeMerges(...))` on any trained-on word
+    * reproduces the trainer's final segmentation of it. */
+  def trainBpeMerges(docs: DataFrame, textCol: String, nMerges: Int,
+                     maxWords: Int = 50000): Seq[(String, String)] = {
+    require(nMerges >= 1, s"trainBpeMerges: bad nMerges $nMerges")
+    require(maxWords >= 1, s"trainBpeMerges: bad maxWords $maxWords")
+    val words = docs
+      .select(explode(TextExprs.tokens(lower(col(textCol)))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("w"))
+      .limit(maxWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var segs: Array[(Array[String], Long)] = words.map { case (w, f) =>
+      (w.toCharArray.map(_.toString), f)
+    }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var round = 0
+    var dry = false
+    while (round < nMerges && !dry) {
+      val counts = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      segs.foreach { case (syms, f) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val p = (syms(i), syms(i + 1))
+          counts.update(p, counts.getOrElse(p, 0L) + f)
+          i += 1
+        }
+      }
+      val best = counts.filter(_._2 >= 2).toSeq
+        .sortBy { case ((a, b), n) => (-n, a, b) }.headOption
+      best match {
+        case None => dry = true
+        case Some(((a, b), _)) =>
+          merges += ((a, b))
+          val ab = a + b
+          segs = segs.map { case (syms, f) =>
+            // the encoder's per-rank pass: left to right, resume AFTER
+            // each replacement so a merged symbol never re-pairs
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                out += ab
+                i += 2
+              } else {
+                out += syms(i)
+                i += 1
+              }
+            }
+            (out.toArray, f)
+          }
+      }
+      round += 1
+    }
+    merges.toSeq
+  }
+
+  /** Persist a learned merge table (the q93 LM / q121 BM25 pattern for
+    * the tokenizer): (rank, left, right) parquet, so `bpeEncode` jobs
+    * reuse a trained tokenizer without re-touching the training
+    * corpus. */
+  def saveBpeMerges(spark: org.apache.spark.sql.SparkSession,
+                    merges: Seq[(String, String)], path: String): Unit = {
+    require(merges.nonEmpty, "saveBpeMerges: empty merge table")
+    import spark.implicits._
+    merges.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted merge table, validating contiguous ranks 0..n-1
+    * and non-empty components — a corrupted table fails HERE, not as
+    * silently-wrong tokenization. */
+  def loadBpeMerges(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[(String, String)] = {
+    val rows = spark.read.parquet(path)
+      .select(col("rank").cast("int"), col("left"), col("right"))
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    require(rows.map(_._1).toSeq == rows.indices.toSeq,
+      s"loadBpeMerges: non-contiguous ranks in $path")
+    require(rows.forall(r => r._2 != null && r._2.nonEmpty &&
+      r._3 != null && r._3.nonEmpty),
+      s"loadBpeMerges: empty merge component in $path")
+    rows.map(r => (r._2, r._3)).toSeq
   }
 
   /** Top-k most frequent word n-grams per group — the corpus-statistics

@@ -1033,4 +1033,64 @@ class TrainingDataSpec extends SparkSpec {
       .collect().map(r => (r.getInt(1), r.getString(2), r.getLong(3)))
     assert(uni.toSeq == Seq((1, "tok", 2L), (2, "other", 1L)))
   }
+
+  test("trainBpeMerges: hand-computed merge sequence, tie-break, early " +
+    "stop below frequency 2, and the encoder reproduces the trainer's " +
+    "segmentations exactly") {
+    import spark.implicits._
+    val docs = Seq((1L, "banana banana band")).toDF("doc_id", "text")
+    // round 1: (a,n) x5 wins; round 2: (b,an) x3; round 3: tie at 2
+    // between (an,a) and (ban,an) -> lexicographic picks (an,a);
+    // round 4: (ban,ana) x2; round 5: only (ban,d) x1 -> dry stop
+    val merges = TrainingData.trainBpeMerges(docs, "text", nMerges = 10)
+    assert(merges == Seq("a" -> "n", "b" -> "an", "an" -> "a", "ban" -> "ana"))
+    // encoder consistency: replaying the learned table reproduces the
+    // trainer's final segmentations
+    val toks = docs.select(
+      graft.functions.BpeEncode.bpeEncode(lower(col("text")), merges).as("t"))
+      .head().getSeq[String](0)
+    assert(toks == Seq("banana", "banana", "ban", "d"))
+    // early stop: every pair unique -> no merge reaches frequency 2
+    val uniq = Seq((1L, "ab cd ef")).toDF("doc_id", "text")
+    assert(TrainingData.trainBpeMerges(uniq, "text", 5).isEmpty)
+    // maxWords truncation: keeping only the most frequent word type
+    // ('banana') drops 'band', so without band's (b,an) contribution
+    // round 2 is a three-way tie at 2 that lexicographic resolves to
+    // (an,a) -- the merge sequence genuinely changes with the cutoff
+    val trunc = TrainingData.trainBpeMerges(docs, "text", 10, maxWords = 1)
+    assert(trunc == Seq("a" -> "n", "an" -> "a", "an" -> "ana", "b" -> "anana"))
+    intercept[IllegalArgumentException] {
+      TrainingData.trainBpeMerges(docs, "text", 0)
+    }
+  }
+
+  test("BPE merge persistence: save/load round trip preserves rank " +
+    "order; corrupted rank sequences and empty components refuse") {
+    import spark.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bpe_spec_${System.nanoTime()}")
+    dir.deleteOnExit()
+    val docs = Seq((1L, "banana banana band")).toDF("doc_id", "text")
+    val merges = TrainingData.trainBpeMerges(docs, "text", 10)
+    TrainingData.saveBpeMerges(spark, merges, dir.getAbsolutePath)
+    val loaded = TrainingData.loadBpeMerges(spark, dir.getAbsolutePath)
+    assert(loaded == merges)
+    // loaded table drives the encoder identically
+    val toks = docs.select(
+      graft.functions.BpeEncode.bpeEncode(lower(col("text")), loaded).as("t"))
+      .head().getSeq[String](0)
+    assert(toks == Seq("banana", "banana", "ban", "d"))
+    // corrupt: gap in ranks
+    val bad = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bpe_bad_${System.nanoTime()}")
+    bad.deleteOnExit()
+    Seq((0, "a", "n"), (2, "b", "an")).toDF("rank", "left", "right")
+      .write.mode("overwrite").parquet(bad.getAbsolutePath)
+    intercept[IllegalArgumentException] {
+      TrainingData.loadBpeMerges(spark, bad.getAbsolutePath)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.saveBpeMerges(spark, Seq.empty, dir.getAbsolutePath)
+    }
+  }
 }
