@@ -450,4 +450,38 @@ class PropertySpec extends SparkSpec {
       .select(graft.functions.UrlExprs.canonicalizeUrl($"url").as("c"))
     assert(bad.collect().forall(_.isNullAt(0)))
   }
+
+  test("progressive JPEG == baseline JPEG decode on fuzzed images, band " +
+    "splits, sampling shapes, and both scan scripts") {
+    import graft.multimodal.JpegCodec
+    val rnd = new scala.util.Random(4242)
+    // random band tilings of 1..63
+    def randomBands(): Seq[(Int, Int)] = {
+      val cuts = Seq.fill(rnd.nextInt(3))(1 + rnd.nextInt(62)).distinct.sorted
+      val edges = (0 +: cuts) :+ 63
+      edges.sliding(2).map { case Seq(a, b) => (a + 1, b) }.toSeq
+    }
+    for (_ <- 1 to 12) {
+      val w = 1 + rnd.nextInt(40)
+      val h = 1 + rnd.nextInt(40)
+      val gray = Array.fill(w * h)(rnd.nextInt(256))
+      val base = JpegCodec.decode(JpegCodec.encode(w, h, gray)).get._4.toSeq
+      val bands = randomBands()
+      val sp = JpegCodec.decode(
+        JpegCodec.encodeProgressive(w, h, gray, bands, rnd.nextBoolean())).get
+      assert(sp._4.toSeq == base, s"spectral ${w}x$h $bands")
+      val sa = JpegCodec.decode(
+        JpegCodec.encodeProgressiveSA(w, h, gray, bands)).get
+      assert(sa._4.toSeq == base, s"sa ${w}x$h $bands")
+    }
+    for (_ <- 1 to 6) {
+      val w = 2 * (1 + rnd.nextInt(20))
+      val h = 2 * (1 + rnd.nextInt(20))
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256))
+      val base = JpegCodec.decode(JpegCodec.encodeColor420(w, h, rgb)).get._4.toSeq
+      val p = JpegCodec.decode(JpegCodec.encodeProgressive420(w, h, rgb,
+        bands = randomBands(), sa = rnd.nextBoolean())).get
+      assert(p._4.toSeq == base, s"420 ${w}x$h")
+    }
+  }
 }
