@@ -4826,6 +4826,65 @@ object Queries {
           / 1000000.0 AS brightness
       FROM s"""))
 
+  /** Fixed training corpus for q152 — chosen so the learned table has
+    * no self-pair merges (bpeOracleSql's replace() oracle cannot
+    * express a == b rules). The oracle's merge table is computed at
+    * REGISTRY BUILD TIME by replaying the pure merge loop on word
+    * counts derived from these literals in plain Scala — so the gate
+    * proves the DISTRIBUTED word-count + train + persist + encode path
+    * reproduces the from-first-principles computation exactly. */
+  private val BpeTrainCorpus: Seq[String] = Seq(
+    "the cat sat on the mat",
+    "the rat sat on the cat",
+    "a cat and a rat",
+    "the bat and the cat sat",
+    "on the mat sat a rat",
+    "and the bat sat on a mat")
+
+  private val BpeTrainedMerges: Seq[(String, String)] = {
+    val counts = BpeTrainCorpus
+      .flatMap(_.toLowerCase.split("\\s+")).filter(_.nonEmpty)
+      .groupBy(identity).map { case (w, ws) => (w, ws.size.toLong) }.toSeq
+    graft.operators.TrainingData.trainBpeMergesFromCounts(counts, nMerges = 10)
+  }
+
+  private val stagedBpeDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** BPE tokenizer training end-to-end, oracle-gated: the distributed
+    * trainer learns merges from the fixed corpus, persists them
+    * (saveBpeMerges → loadBpeMerges), and the LOADED table encodes the
+    * documents corpus. The oracle replays the identical q106 encode
+    * contract with the merge table derived at registry-build time from
+    * the same corpus literals in pure Scala — a drift anywhere in the
+    * distributed word count, the merge loop, the parquet round trip, or
+    * the encoder fails the hash. */
+  private val q152 = Q("q152_bpe_train_encode",
+    (s, d) => {
+      import s.implicits._
+      val dir = Queries.stagedBpeDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_bpe_${Queries.stagingSuffix(d)}")
+        val corpusDf = BpeTrainCorpus.zipWithIndex
+          .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+        val merges = graft.operators.TrainingData
+          .trainBpeMerges(corpusDf, "text", nMerges = 10)
+        graft.operators.TrainingData.saveBpeMerges(s, merges, f.getAbsolutePath)
+        f
+      })
+      val merges = graft.operators.TrainingData
+        .loadBpeMerges(s, dir.getAbsolutePath)
+      val toks = graft.functions.BpeEncode.bpeEncode(
+        lower(col("text")), merges)
+      documents(s, d)
+        .where(length(trim(col("text"))) > 0)
+        .select(col("doc_id"), toks.as("__t"))
+        .select(col("doc_id"),
+          size(col("__t")).cast("long").as("n_bpe_tokens"),
+          md5(concat_ws(" ", col("__t"))).as("tokens_md5"))
+    },
+    Some(bpeOracleSql(BpeTrainedMerges)))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -4839,7 +4898,7 @@ object Queries {
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151)
+    q151, q152)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

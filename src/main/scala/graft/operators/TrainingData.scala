@@ -1223,7 +1223,19 @@ object TrainingData {
       .orderBy(col("freq").desc, col("w"))
       .limit(maxWords)
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    var segs: Array[(Array[String], Long)] = words.map { case (w, f) =>
+    trainBpeMergesFromCounts(words.toSeq, nMerges)
+  }
+
+  /** The pure merge loop behind [[trainBpeMerges]] — word-ORDER
+    * insensitive (counts accumulate in a map; ties break
+    * deterministically), so any independently-derived word-frequency
+    * table yields the identical merge sequence. Exposed so an oracle
+    * can replay training from first principles (q152 computes it at
+    * registry-build time from the literal training corpus). */
+  def trainBpeMergesFromCounts(words: Seq[(String, Long)],
+                               nMerges: Int): Seq[(String, String)] = {
+    require(nMerges >= 1, s"trainBpeMergesFromCounts: bad nMerges $nMerges")
+    var segs: Array[(Array[String], Long)] = words.toArray.map { case (w, f) =>
       (w.toCharArray.map(_.toString), f)
     }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
