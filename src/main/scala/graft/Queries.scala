@@ -4719,11 +4719,13 @@ object Queries {
           val bands =
             if (id % 2 == 0) Seq((1, 5), (6, 63))
             else Seq((1, 2), (3, 20), (21, 63))
+          val ri = (id % 4).toInt // 0 = no restart marker; else every ri MCUs
           val payload =
             if (id % 3 == 0)
-              graft.multimodal.JpegCodec.encodeProgressiveSA(w, h, samples, bands)
+              graft.multimodal.JpegCodec.encodeProgressiveSA(w, h, samples,
+                bands, restartInterval = ri)
             else graft.multimodal.JpegCodec.encodeProgressive(w, h, samples,
-              bands, batchEob = id % 3 == 1)
+              bands, batchEob = id % 3 == 1, restartInterval = ri)
           MediaRow(id, "image/jpeg", payload,
             MediaMeta("synth", Some(w), Some(h), None))
         }
@@ -4777,7 +4779,8 @@ object Queries {
           }
           MediaRow(id, "image/jpeg",
             graft.multimodal.JpegCodec.encodeProgressive420(w, h, rgb,
-              quant = 1, sa = id % 2 == 0),
+              quant = 1, sa = id % 2 == 0,
+              restartInterval = (id % 3).toInt),
             MediaMeta("synth", Some(w), Some(h), None))
         }
       graft.multimodal.Multimodal.imageFeatures(media).toDF()

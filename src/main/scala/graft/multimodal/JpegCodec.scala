@@ -16,9 +16,10 @@ package graft.multimodal
   * accumulation with full EOBn run handling) and successive
   * approximation (point-transformed first scans, DC refinement bits,
   * AC ±1 arrivals with correction bits inside ZRL windows and EOB
-  * runs — the libjpeg default-script shape). Still declined (None, the
-  * stub fallback, never fabricated pixels): restart intervals inside
-  * progressive scans, inconsistent Ah/Al chains, other subsampling,
+  * runs — the libjpeg default-script shape), with or without restart
+  * intervals (DRI: per-scan RSTn boundaries resetting predictors and
+  * EOB runs). Still declined (None, the stub fallback, never
+  * fabricated pixels): inconsistent Ah/Al chains, other subsampling,
   * arithmetic coding, 12-bit. Color output is interleaved RGB via the
   * JFIF inverse transform (one fixed IEEE sequence per channel,
   * mirrored by the q129/q130 oracles).
@@ -304,11 +305,13 @@ object JpegCodec {
     * the same image agree exactly. */
   def encodeProgressive(w: Int, h: Int, samples: Array[Int],
                         bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63)),
-                        batchEob: Boolean = true): Array[Byte] = {
+                        batchEob: Boolean = true,
+                        restartInterval: Int = 0): Array[Byte] = {
     require(w >= 1 && h >= 1 && samples.length == w * h,
       s"bad dims: $w x $h vs ${samples.length}")
     encodeProgressiveCore(w, h, Array(samples), Array(w), Array(h),
-      Array(0x11), Quant, bands, sa = false, batchEob = batchEob)
+      Array(0x11), Quant, bands, sa = false, batchEob = batchEob,
+      restartInterval = restartInterval)
   }
 
   /** [[encodeProgressive]] for interleaved RGB at 4:4:4 YCbCr (the
@@ -373,10 +376,19 @@ object JpegCodec {
     * shifted DC over `traversal` — (comp, block) pairs in scan order
     * (MCU-interleaved for multi-component scans). */
   private def dcFirstData(traversal: IndexedSeq[(Int, Array[Long])],
-                          nComp: Int, al: Int, t: ProgTables): Array[Byte] = {
+                          nComp: Int, al: Int, t: ProgTables,
+                          ri: Int, bpm: Int): Array[Byte] = {
     val bw = new BitWriter
     val prevDc = new Array[Long](nComp)
+    var rstN = 0
+    var e = 0
     traversal.foreach { case (c, coef) =>
+      if (ri > 0 && e > 0 && e % (ri * bpm) == 0) {
+        // restart boundary every ri MCUs: byte-align, marker, predictors reset
+        bw.restart(rstN); rstN = (rstN + 1) & 7
+        java.util.Arrays.fill(prevDc, 0L)
+      }
+      e += 1
       val v = coef(0) >> al // arithmetic point transform
       val diff = v - prevDc(c)
       prevDc(c) = v
@@ -389,9 +401,15 @@ object JpegCodec {
 
   /** DC refinement scan delivering bit `al` of each DC, raw. */
   private def dcRefineData(traversal: IndexedSeq[(Int, Array[Long])],
-                           al: Int): Array[Byte] = {
+                           al: Int, ri: Int, bpm: Int): Array[Byte] = {
     val bw = new BitWriter
+    var rstN = 0
+    var e = 0
     traversal.foreach { case (_, coef) =>
+      if (ri > 0 && e > 0 && e % (ri * bpm) == 0) {
+        bw.restart(rstN); rstN = (rstN + 1) & 7 // align only: no predictors
+      }
+      e += 1
       bw.put(((coef(0) >> al) & 1L).toInt, 1)
     }
     bw.finishWithOnes()
@@ -401,9 +419,12 @@ object JpegCodec {
     * over one component's blocks in raster order, with optional EOBn
     * batching. */
   private def acFirstData(blocks: IndexedSeq[Array[Long]], ss: Int, se: Int,
-                          al: Int, batchEob: Boolean, t: ProgTables): Array[Byte] = {
+                          al: Int, batchEob: Boolean, t: ProgTables,
+                          ri: Int): Array[Byte] = {
     val bw = new BitWriter
     var eobrun = 0
+    var rstN = 0
+    var blkIdx = 0
     def flushEob(): Unit = {
       var run = eobrun
       eobrun = 0
@@ -420,6 +441,13 @@ object JpegCodec {
       if (v < 0) -m else m
     }
     blocks.foreach { coef =>
+      if (ri > 0 && blkIdx > 0 && blkIdx % ri == 0) {
+        // restart boundary (non-interleaved: 1 block per MCU): an EOB
+        // run cannot span it, so flush, then byte-align + marker
+        flushEob()
+        bw.restart(rstN); rstN = (rstN + 1) & 7
+      }
+      blkIdx += 1
       var last = se
       while (last >= ss && shifted(coef(last)) == 0L) last -= 1
       if (last < ss) {
@@ -459,9 +487,11 @@ object JpegCodec {
     * coefficient is still ahead, so each symbol's window carries
     * exactly the correction bits the decoder reads inside it. */
   private def acRefineData(blocks: IndexedSeq[Array[Long]], ss: Int, se: Int,
-                           al: Int, t: ProgTables): Array[Byte] = {
+                           al: Int, t: ProgTables, ri: Int): Array[Byte] = {
     val bw = new BitWriter
     var eobrun = 0
+    var rstN = 0
+    var blkIdx = 0
     val bePending = new scala.collection.mutable.ArrayBuffer[Int]()
     val brBlock = new scala.collection.mutable.ArrayBuffer[Int]()
     def emitBr(): Unit = {
@@ -479,6 +509,12 @@ object JpegCodec {
       }
     }
     blocks.foreach { coef =>
+      if (ri > 0 && blkIdx > 0 && blkIdx % ri == 0) {
+        // restart: flush the run (its BE bits included), align, marker
+        flushEob()
+        bw.restart(rstN); rstN = (rstN + 1) & 7
+      }
+      blkIdx += 1
       val absv = new Array[Int](64)
       var eobIdx = ss - 1 // last NEWLY-significant index in this block
       var k = ss
@@ -539,7 +575,9 @@ object JpegCodec {
                                     planeW: Array[Int], planeH: Array[Int],
                                     samps: Array[Int], quant: Int,
                                     bands: Seq[(Int, Int)], sa: Boolean,
-                                    batchEob: Boolean): Array[Byte] = {
+                                    batchEob: Boolean,
+                                    restartInterval: Int = 0): Array[Byte] = {
+    require(restartInterval >= 0, s"bad restart interval $restartInterval")
     require(bands.nonEmpty, "progressive: no AC bands")
     var prevEnd = 0
     bands.foreach { case (ss, se) =>
@@ -602,20 +640,28 @@ object JpegCodec {
       }
       b.result()
     }
+    // blocks per MCU, the restart-boundary unit in interleaved DC scans
+    val bpm = (0 until nComp).map(c => hi(c) * vi(c)).sum
     // scan script
     val scans = scala.collection.mutable.ArrayBuffer
       .empty[(Seq[Int], Int, Int, Int, Int, Array[Byte])]
     if (sa) {
-      scans += (((0 until nComp), 0, 0, 0, 1, dcFirstData(dcTraversal, nComp, 1, t)))
-      scans += (((0 until nComp), 0, 0, 1, 0, dcRefineData(dcTraversal, 0)))
+      scans += (((0 until nComp), 0, 0, 0, 1,
+        dcFirstData(dcTraversal, nComp, 1, t, restartInterval, bpm)))
+      scans += (((0 until nComp), 0, 0, 1, 0,
+        dcRefineData(dcTraversal, 0, restartInterval, bpm)))
       for (c <- 0 until nComp; (ss, se) <- bands)
-        scans += ((Seq(c), ss, se, 0, 1, acFirstData(acBlocks(c), ss, se, 1, batchEob, t)))
+        scans += ((Seq(c), ss, se, 0, 1,
+          acFirstData(acBlocks(c), ss, se, 1, batchEob, t, restartInterval)))
       for (c <- 0 until nComp; (ss, se) <- bands)
-        scans += ((Seq(c), ss, se, 1, 0, acRefineData(acBlocks(c), ss, se, 0, t)))
+        scans += ((Seq(c), ss, se, 1, 0,
+          acRefineData(acBlocks(c), ss, se, 0, t, restartInterval)))
     } else {
-      scans += (((0 until nComp), 0, 0, 0, 0, dcFirstData(dcTraversal, nComp, 0, t)))
+      scans += (((0 until nComp), 0, 0, 0, 0,
+        dcFirstData(dcTraversal, nComp, 0, t, restartInterval, bpm)))
       for (c <- 0 until nComp; (ss, se) <- bands)
-        scans += ((Seq(c), ss, se, 0, 0, acFirstData(acBlocks(c), ss, se, 0, batchEob, t)))
+        scans += ((Seq(c), ss, se, 0, 0,
+          acFirstData(acBlocks(c), ss, se, 0, batchEob, t, restartInterval)))
     }
 
     val out = new java.io.ByteArrayOutputStream(4096)
@@ -628,6 +674,9 @@ object JpegCodec {
     }
     marker(0xd8)
     seg(0xe0, Array[Byte]('J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    if (restartInterval > 0)
+      seg(0xdd, Array[Byte](((restartInterval >> 8) & 0xff).toByte,
+        (restartInterval & 0xff).toByte))
     seg(0xdb, 0.toByte +: Array.fill(64)(quant.toByte))
     val sof = Array.newBuilder[Byte]
     sof += 8
@@ -658,11 +707,13 @@ object JpegCodec {
     * ones, EOB runs carrying buffered corrections). All bits are
     * delivered, so the decode equals the baseline decode EXACTLY. */
   def encodeProgressiveSA(w: Int, h: Int, samples: Array[Int],
-                          bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63))): Array[Byte] = {
+                          bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63)),
+                          restartInterval: Int = 0): Array[Byte] = {
     require(w >= 1 && h >= 1 && samples.length == w * h,
       s"bad dims: $w x $h vs ${samples.length}")
     encodeProgressiveCore(w, h, Array(samples), Array(w), Array(h),
-      Array(0x11), Quant, bands, sa = true, batchEob = true)
+      Array(0x11), Quant, bands, sa = true, batchEob = true,
+      restartInterval = restartInterval)
   }
 
   /** [[encodeProgressiveSA]] for interleaved RGB at 4:4:4 YCbCr. */
@@ -688,7 +739,8 @@ object JpegCodec {
                            quant: Int = Quant,
                            bands: Seq[(Int, Int)] = Seq((1, 5), (6, 63)),
                            sa: Boolean = false,
-                           batchEob: Boolean = true): Array[Byte] = {
+                           batchEob: Boolean = true,
+                           restartInterval: Int = 0): Array[Byte] = {
     require(w >= 2 && h >= 2 && w % 2 == 0 && h % 2 == 0,
       s"encodeProgressive420: even dims only: $w x $h")
     require(rgb.length == w * h * 3, s"bad dims: $w x $h x3 vs ${rgb.length}")
@@ -703,7 +755,7 @@ object JpegCodec {
     }
     encodeProgressiveCore(w, h, Array(yP, down(cbF), down(crF)),
       Array(w, cw, cw), Array(h, chh, chh), Array(0x22, 0x11, 0x11),
-      quant, bands, sa, batchEob)
+      quant, bands, sa, batchEob, restartInterval)
   }
 
   /** The shared JFIF forward transform — one fixed IEEE sequence per
@@ -916,11 +968,13 @@ object JpegCodec {
     * DC scans traverse the MCU grid (hi×vi blocks per component);
     * non-interleaved scans traverse the component's own UNPADDED block
     * grid; storage is MCU-padded so both views address the same
-    * coefficients. Dequant + IDCT run once at the end. Out of envelope
+    * coefficients. Dequant + IDCT run once at the end. Restart
+    * intervals are honored per scan: RSTn boundaries byte-align, reset
+    * DC predictors (first scans) and EOB runs. Out of envelope
     * (→ None, the visible stub): inconsistent Ah/Al chains (Ah ≠ Al+1
-    * on refine), restart intervals inside progressive scans, truncated
-    * or structurally malformed scan sequences. Called from [[decode]]
-    * at the first SOS; inter-scan DHT/DQT segments are honored. */
+    * on refine), truncated or structurally malformed scan/restart
+    * sequences. Called from [[decode]] at the first SOS; inter-scan
+    * DHT/DQT segments are honored. */
   private def decodeProgressive(bytes: Array[Byte], pStart: Int,
                                 w: Int, h: Int,
                                 compIds: Array[Int], compQuant: Array[Int],
@@ -929,7 +983,6 @@ object JpegCodec {
                                 acTabs: java.util.HashMap[Int, Huff],
                                 quants: java.util.HashMap[Int, Array[Int]],
                                 restartInterval: Int): Option[(Int, Int, Int, Array[Int])] = {
-    if (restartInterval > 0) return None // DRI + progressive: declined
     if (w < 1 || h < 1 || w > (1 << 14) || h > (1 << 14)) return None
     val nComp = compIds.length
     val hMax = compSamp.map(_ >> 4).max
@@ -1005,13 +1058,15 @@ object JpegCodec {
             val ah = ahAl >> 4
             val al = ahAl & 0x0f
             if (al > 13 || (ah != 0 && ah != al + 1)) return None
-            if (ri > 0) return None
             val dataStart = p + 2 + len
-            // entropy data ends at the first non-stuffed marker
+            // entropy data ends at the first non-stuffed, non-RSTn
+            // marker (restart markers belong to the scan's data)
             var q = dataStart
             var end = -1
             while (end < 0 && q + 1 < bytes.length) {
-              if ((bytes(q) & 0xff) == 0xff && (bytes(q + 1) & 0xff) != 0x00)
+              val nxt = bytes(q + 1) & 0xff
+              if ((bytes(q) & 0xff) == 0xff && nxt != 0x00 &&
+                !(nxt >= 0xd0 && nxt <= 0xd7))
                 end = q
               else q += 1
             }
@@ -1040,11 +1095,17 @@ object JpegCodec {
                   prevDc(i) += dcv
                   true
                 }
+                var mcuIdx = 0
                 if (ns > 1) {
                   var by = 0
                   while (by < mcusY) {
                     var bx = 0
                     while (bx < mcusX) {
+                      if (ri > 0 && mcuIdx > 0 && mcuIdx % ri == 0) {
+                        if (!r.consumeRestart()) return None
+                        java.util.Arrays.fill(prevDc, 0)
+                      }
+                      mcuIdx += 1
                       var i = 0
                       while (i < ns) {
                         val cc = scanComp(i)
@@ -1070,6 +1131,10 @@ object JpegCodec {
                   val bases = unpaddedBases(cc)
                   var b = 0
                   while (b < bases.length) {
+                    if (ri > 0 && b > 0 && b % ri == 0) {
+                      if (!r.consumeRestart()) return None
+                      java.util.Arrays.fill(prevDc, 0)
+                    }
                     if (!readDc(0)) return None
                     coefs(cc)(bases(b)) = prevDc(0) << al
                     b += 1
@@ -1085,11 +1150,15 @@ object JpegCodec {
                   if (bit == 1) coefs(cc)(base) |= (1 << al)
                   true
                 }
+                var mcuIdx = 0
                 if (ns > 1) {
                   var by = 0
                   while (by < mcusY) {
                     var bx = 0
                     while (bx < mcusX) {
+                      if (ri > 0 && mcuIdx > 0 && mcuIdx % ri == 0 &&
+                        !r.consumeRestart()) return None
+                      mcuIdx += 1
                       var i = 0
                       while (i < ns) {
                         val cc = scanComp(i)
@@ -1114,6 +1183,8 @@ object JpegCodec {
                   val bases = unpaddedBases(cc)
                   var b = 0
                   while (b < bases.length) {
+                    if (ri > 0 && b > 0 && b % ri == 0 &&
+                      !r.consumeRestart()) return None
                     if (!refineOne(cc, bases(b))) return None
                     b += 1
                   }
@@ -1133,6 +1204,10 @@ object JpegCodec {
                 // transformed (|v| >> Al), stored re-shifted sign-magnitude
                 var b = 0
                 while (b < bases.length) {
+                  if (ri > 0 && b > 0 && b % ri == 0) {
+                    if (!r.consumeRestart()) return None
+                    eobrun = 0 // a run cannot legally span a restart
+                  }
                   if (eobrun > 0) eobrun -= 1 // this block's band is all zero
                   else {
                     val base = bases(b)
@@ -1176,6 +1251,10 @@ object JpegCodec {
                 val m1 = -1 << al
                 var b = 0
                 while (b < bases.length) {
+                  if (ri > 0 && b > 0 && b % ri == 0) {
+                    if (!r.consumeRestart()) return None
+                    eobrun = 0 // a run cannot legally span a restart
+                  }
                   val base = bases(b)
                   var k = ss
                   if (eobrun == 0) {
@@ -1274,7 +1353,6 @@ object JpegCodec {
           case 0xdd =>
             if (len < 4) return None
             ri = ((bytes(at) & 0xff) << 8) | (bytes(at + 1) & 0xff)
-            if (ri > 0) return None // progressive restarts: declined
             p += 2 + len
           case _ => p += 2 + len // APPn/COM
         }

@@ -1239,6 +1239,47 @@ class MultimodalSpec extends SparkSpec {
     assert(p._4.toSeq == b._4.toSeq)
   }
 
+  test("JpegCodec progressive restart intervals: DRI boundaries reset " +
+    "predictors and EOB runs per scan, pixel-identical to baseline " +
+    "across scripts and sampling shapes; corrupt restart declines") {
+    import graft.multimodal.JpegCodec
+    val w = 40; val h = 24
+    val gray = Array.tabulate(w * h)(i => (7 * (i % w) + 11 * (i / w)) % 256)
+    val base = JpegCodec.decode(JpegCodec.encode(w, h, gray)).get._4.toSeq
+    for (ri <- Seq(1, 2, 3, 7)) {
+      val sp = JpegCodec.decode(JpegCodec.encodeProgressive(w, h, gray,
+        restartInterval = ri)).get
+      assert(sp._4.toSeq == base, s"spectral ri=$ri")
+      val sa = JpegCodec.decode(JpegCodec.encodeProgressiveSA(w, h, gray,
+        restartInterval = ri)).get
+      assert(sa._4.toSeq == base, s"sa ri=$ri")
+    }
+    // 4:2:0: restart unit is the 16x16 MCU in DC scans, blocks in AC
+    val rnd = new scala.util.Random(5)
+    val rgb = Array.fill(48 * 32 * 3)(rnd.nextInt(256))
+    val cbase = JpegCodec.decode(JpegCodec.encodeColor420(48, 32, rgb)).get._4.toSeq
+    for (ri <- Seq(1, 2, 5); sa <- Seq(false, true)) {
+      val p = JpegCodec.decode(JpegCodec.encodeProgressive420(48, 32, rgb,
+        sa = sa, restartInterval = ri)).get
+      assert(p._4.toSeq == cbase, s"420 ri=$ri sa=$sa")
+    }
+    // corrupt: zap the first restart marker's second byte -> decline,
+    // never desync
+    val prog = JpegCodec.encodeProgressive(w, h, gray, restartInterval = 2)
+    var i = 2
+    var patched: Array[Byte] = null
+    while (patched == null && i + 1 < prog.length) {
+      val m = prog(i + 1) & 0xff
+      if ((prog(i) & 0xff) == 0xff && m >= 0xd0 && m <= 0xd7) {
+        patched = prog.clone()
+        patched(i + 1) = 0x3c // not a marker at all
+      }
+      i += 1
+    }
+    assert(patched != null, "fixture must contain a restart marker")
+    assert(JpegCodec.decode(patched).isEmpty)
+  }
+
   test("normalizeAudioPeak: exact half-away integer scaling, peak lands " +
     "on target, untouched for declines / silence / unrepresentable target") {
     import spark.implicits._
