@@ -4177,29 +4177,39 @@ object Queries {
       FROM s"""))
 
   /** Deterministic messy-URL fixture shared by q138/q139: group g =
-    * doc_id % 50 fixes the canonical target; variant v = doc_id % 4
+    * doc_id % 50 fixes the canonical target; variant v = doc_id % 6
     * picks the mess — upper-case scheme/host + www + default port +
-    * duplicate slashes + trailing slash + unsorted params + fragment
-    * (v=1), utm_* tracking params (v=2), www + gclid + unsorted (v=3),
-    * already-canonical (v=0). Every variant canonicalizes to
-    * `https://site{g%7}.example.com/cat/item{g%10}?a={g%3}&b={g%4}`,
+    * duplicate slashes + trailing slash + unsorted params + fragment +
+    * lowercase reserved escape hex (v=1), utm_* tracking params (v=2),
+    * www + gclid + unsorted (v=3), host trailing root-dot + unreserved
+    * escape in the path (`it%65m`) + escaped param NAME (`%61=`) +
+    * lowercase reserved hex (v=4), unreserved escape in the HOST
+    * (`c%6Fm`) + default port + unsorted (v=5), already-canonical
+    * (v=0). Every variant canonicalizes to
+    * `https://site{g%7}.example.com/cat/item{g%10}?a={g%3}&b=x%2Fy`
+    * (the `%2F` pins reserved-escape preservation + hex uppercasing),
     * which the oracles recompute directly from the formula — so a wrong
-    * port rule, an unsorted param, or a kept tracking key all
+    * port rule, an unsorted param, a kept tracking key, a decoded
+    * reserved escape, or an undecoded unreserved escape all
     * hash-mismatch. */
   private def messyUrl: Column = {
     val g = col("doc_id") % 50
-    val v = col("doc_id") % 4
+    val v = col("doc_id") % 6
     val h = (g % 7).cast("string"); val m = (g % 10).cast("string")
-    val a = (g % 3).cast("string"); val b = (g % 4).cast("string")
+    val a = (g % 3).cast("string")
     val gs = g.cast("string")
     when(v === 0, concat(lit("https://site"), h, lit(".example.com/cat/item"), m,
-        lit("?a="), a, lit("&b="), b))
+        lit("?a="), a, lit("&b=x%2Fy")))
       .when(v === 1, concat(lit("HTTPS://WWW.Site"), h, lit(".Example.COM:443/cat//item"), m,
-        lit("/?b="), b, lit("&a="), a, lit("#frag"), gs))
+        lit("/?b=x%2fy&a="), a, lit("#frag"), gs))
       .when(v === 2, concat(lit("https://site"), h, lit(".example.com/cat/item"), m,
-        lit("/?utm_source=feed&a="), a, lit("&b="), b, lit("&utm_campaign=x"), gs))
-      .otherwise(concat(lit("https://www.site"), h, lit(".example.com/cat/item"), m,
-        lit("?b="), b, lit("&gclid=abc"), gs, lit("&a="), a))
+        lit("/?utm_source=feed&a="), a, lit("&b=x%2Fy&utm_campaign=x"), gs))
+      .when(v === 3, concat(lit("https://www.site"), h, lit(".example.com/cat/item"), m,
+        lit("?b=x%2Fy&gclid=abc"), gs, lit("&a="), a))
+      .when(v === 4, concat(lit("https://site"), h, lit(".example.com./cat/it%65m"), m,
+        lit("?%61="), a, lit("&b=x%2fy")))
+      .otherwise(concat(lit("https://site"), h, lit(".example.c%6Fm:443/cat/item"), m,
+        lit("?b=x%2Fy&a="), a))
   }
 
   /** URL canonicalization + crawl dedup: one narrow codegen'd scan
@@ -4216,17 +4226,23 @@ object Queries {
     Some("""WITH u AS (SELECT doc_id, doc_id % 50 AS g FROM documents),
       c AS (SELECT doc_id,
           'https://site' || (g % 7) || '.example.com/cat/item' || (g % 10) ||
-          '?a=' || (g % 3) || '&b=' || (g % 4) AS canonical_url
+          '?a=' || (g % 3) || '&b=x%2Fy' AS canonical_url
         FROM u)
       SELECT canonical_url, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
       FROM c GROUP BY canonical_url"""))
 
-  /** Robots-style crawl-policy filter: per-host prefix rules with
-    * longest-match-wins and allow-beats-disallow-on-tie, decided by one
-    * broadcast join + an argmax over matched rules. The rule set
-    * exercises all three semantics: a host-wide `/cat` disallow, a
-    * longer `/cat/item{h}` allow override, and an exact allow/disallow
-    * TIE on `/cat/item{h+1}` that allow must win. */
+  /** Robots-style crawl-policy filter: per-host rules with
+    * longest-match-wins (by RAW pattern length, Google semantics) and
+    * allow-beats-disallow-on-tie, decided by one broadcast join + an
+    * argmax over matched rules. The rule set exercises every semantic:
+    * a host-wide `/cat` disallow, a longer `/cat/item{h}` allow
+    * override, an exact allow/disallow TIE on `/cat/item{h+1}` that
+    * allow must win, a WILDCARD+ANCHOR disallow `/cat/it*m{h+2}$`
+    * (len 11) that outranks the literal allows, a slash-star wildcard
+    * allow on `item{h+4}` (len 8) that outranks `/cat`, and an inert
+    * anchored rule `/cat/ite$` (len 9) that matches nothing — an
+    * implementation that drops the `$` would turn it into a
+    * catch-all allow and hash-mismatch. */
   private val q139 = Q("q139_crawl_policy",
     (s, d) => {
       import s.implicits._
@@ -4235,7 +4251,10 @@ object Queries {
         Seq((host, "/cat", false),
           (host, s"/cat/item$h", true),
           (host, s"/cat/item${(h + 1) % 10}", true),
-          (host, s"/cat/item${(h + 1) % 10}", false))
+          (host, s"/cat/item${(h + 1) % 10}", false),
+          (host, s"/cat/it*m${(h + 2) % 10}$$", false),
+          (host, s"/*/item${(h + 4) % 10}", true),
+          (host, "/cat/ite$", true))
       }.toDF("host", "prefix", "allow")
       val docs = documents(s, d).select(col("doc_id"), messyUrl.as("url"))
       graft.operators.CrawlPolicy.applyPolicy(docs, "doc_id", "url", rules)
@@ -4245,8 +4264,14 @@ object Queries {
     Some("""WITH u AS (SELECT doc_id, doc_id % 50 AS g FROM documents),
       k AS (SELECT doc_id, g % 7 AS h, g % 10 AS m FROM u)
       SELECT doc_id,
-        CAST(CASE WHEN m = h OR m = (h + 1) % 10 THEN 1 ELSE 0 END AS INTEGER) AS allowed,
-        CASE WHEN m = h OR m = (h + 1) % 10 THEN '/cat/item' || m ELSE '/cat' END AS matched_prefix
+        CAST(CASE WHEN m = h OR m = (h + 1) % 10 THEN 1
+                  WHEN m = (h + 2) % 10 THEN 0
+                  WHEN m = (h + 4) % 10 THEN 1
+                  ELSE 0 END AS INTEGER) AS allowed,
+        CASE WHEN m = h OR m = (h + 1) % 10 THEN '/cat/item' || m
+             WHEN m = (h + 2) % 10 THEN '/cat/it*m' || m || '$'
+             WHEN m = (h + 4) % 10 THEN '/*/item' || m
+             ELSE '/cat' END AS matched_prefix
       FROM k"""))
 
   /** Integer-autocorrelation periodicity detection: each doc carries an

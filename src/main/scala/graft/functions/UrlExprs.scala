@@ -19,7 +19,19 @@ import org.apache.spark.sql.functions._
   *
   * Canonical form (the common-crawl-style contract):
   *  - fragment stripped (`#...` never reaches the server);
-  *  - scheme and host lowercased; a leading `www.` dropped;
+  *  - percent-encoding normalized per RFC 3986 §6.2.2: escapes of
+  *    UNRESERVED characters (`%41`→`A`, `%7E`→`~`; ALPHA / DIGIT /
+  *    `-` `.` `_` `~`) are decoded — they never change meaning, and
+  *    real crawls hit `%7Euser` vs `~user` duplicates constantly; all
+  *    REMAINING escapes keep their `%` but uppercase their hex
+  *    (`%2f`→`%2F` — `/` is reserved, so it must NOT decode, but hex
+  *    case is insignificant); a `%` not followed by two hex digits is
+  *    left verbatim (garbage in, garbage kept — never mangled).
+  *    Decoded characters are all unreserved, so they can never
+  *    introduce a delimiter (`/ ? # & = :` are reserved and stay
+  *    escaped) — normalizing BEFORE parsing is safe by construction;
+  *  - scheme and host lowercased; a trailing root-dot dropped
+  *    (`a.com.` ≡ `a.com` in DNS); a leading `www.` dropped;
   *  - default ports stripped (`:80` for http, `:443` for https);
   *    any other explicit port is kept;
   *  - runs of `/` in the path collapsed to one; a single trailing `/`
@@ -30,19 +42,54 @@ import org.apache.spark.sql.functions._
   *
   * NULL in → NULL out (expressions propagate). Non-URL garbage (no
   * `scheme://`) yields NULL rather than a fabricated canonical.
+  *
+  * Known residual gap (documented, deliberate): `xn--` punycode hosts
+  * are not folded onto their Unicode form — IDNA is a stateful
+  * per-label algorithm, and the corpus-side cost/benefit does not
+  * justify it here; both forms still canonicalize stably, they just
+  * occupy two groups.
   */
 object UrlExprs {
 
   /** Query parameters that never change content — the drop list. */
   private val TrackingParam = "^(utm_[^=]*|gclid|fbclid|msclkid)(=.*)?$"
 
+  /** RFC 3986 §6.2.2 percent-encoding normalization, pure Column: split
+    * on `%`, then every split tail starts with the escape's two hex
+    * chars. Unreserved codes decode via `char()`; other valid escapes
+    * re-emit `%` + UPPERCASE hex; invalid tails re-emit verbatim. One
+    * narrow expression chain — no UDF, no join, idempotent (a decoded
+    * string has no unreserved escapes left; surviving escapes are
+    * already-uppercase and re-normalize to themselves). */
+  private def pctNormalize(c: Column): Column = {
+    val pieces = split(c, "%", -1)
+    val head = element_at(pieces, 1)
+    val tails = slice(pieces, lit(2), greatest(size(pieces) - 1, lit(0)))
+    val fixed = transform(tails, p => {
+      val hex = upper(substring(p, 1, 2))
+      val valid = hex.rlike("^[0-9A-F]{2}$")
+      val code = conv(hex, 16, 10).cast("int")
+      val unreserved =
+        (code >= 65 && code <= 90) || (code >= 97 && code <= 122) ||
+          (code >= 48 && code <= 57) ||
+          code === 45 || code === 46 || code === 95 || code === 126
+      val rest = p.substr(lit(3), length(p))
+      when(valid && unreserved, concat(call_function("char", code), rest))
+        .when(valid, concat(lit("%"), hex, rest))
+        .otherwise(concat(lit("%"), p))
+    })
+    concat(head, array_join(fixed, ""))
+  }
+
   def canonicalizeUrl(url: Column): Column = {
-    // fragment off first: everything downstream parses the defragmented form
-    val defrag = regexp_replace(url, "#.*$", "")
+    // fragment off first: everything downstream parses the defragmented
+    // form; then percent-normalize BEFORE parsing (decoded chars are
+    // unreserved, so no delimiter can appear — see object doc)
+    val defrag = pctNormalize(regexp_replace(url, "#.*$", ""))
     val scheme = lower(regexp_extract(defrag, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
     val authority = lower(regexp_extract(defrag, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1))
     val hostRaw = regexp_replace(authority, ":[0-9]+$", "")
-    val host = regexp_replace(hostRaw, "^www\\.", "")
+    val host = regexp_replace(regexp_replace(hostRaw, "\\.$", ""), "^www\\.", "")
     val port = regexp_extract(authority, ":([0-9]+)$", 1)
     val portPart = when(
       port === "" ||
@@ -65,17 +112,18 @@ object UrlExprs {
   /** The canonical URL's host — for per-site grouping and policy joins. */
   def canonicalHost(url: Column): Column = {
     val authority = lower(regexp_extract(
-      regexp_replace(url, "#.*$", ""),
+      pctNormalize(regexp_replace(url, "#.*$", "")),
       "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1))
     val noPort = regexp_replace(authority, ":[0-9]+$", "")
-    when(noPort === "", lit(null).cast("string"))
-      .otherwise(regexp_replace(noPort, "^www\\.", ""))
+    val noDot = regexp_replace(noPort, "\\.$", "")
+    when(noDot === "", lit(null).cast("string"))
+      .otherwise(regexp_replace(noDot, "^www\\.", ""))
   }
 
   /** The canonical URL's path (collapsed, de-trailing-slashed, `/` for
     * root) — the robots-style policy match key. */
   def canonicalPath(url: Column): Column = {
-    val defrag = regexp_replace(url, "#.*$", "")
+    val defrag = pctNormalize(regexp_replace(url, "#.*$", ""))
     val pathRaw = regexp_extract(defrag, "^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]*([^?#]*)", 1)
     val collapsed = regexp_replace(pathRaw, "/{2,}", "/")
     when(collapsed === "" || collapsed === "/", lit("/"))

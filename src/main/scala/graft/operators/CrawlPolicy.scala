@@ -1,21 +1,26 @@
 package graft.operators
 
 import graft.functions.UrlExprs
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Robots-style crawl-policy filtering — which URLs a curation pipeline
-  * may keep, decided by per-host path-prefix rules with robots.txt
+  * may keep, decided by per-host path rules with robots.txt
   * longest-match semantics. The reference has no crawl surface; this is
   * the training-data-pipeline extension family (curating a 100 TB crawl
   * starts by honoring the crawl policy it was fetched under).
   *
-  * Semantics (the de-facto robots standard):
-  *  - a rule is (host, prefix, allow); a rule matches a URL when the
+  * Semantics (the Google-documented de-facto robots standard):
+  *  - a rule is (host, pattern, allow); a rule matches a URL when the
   *    URL's canonical host equals the rule's host and its canonical
-  *    path starts with the prefix;
-  *  - among matching rules the LONGEST prefix wins; on a length tie,
-  *    allow beats disallow;
+  *    path matches the pattern;
+  *  - a pattern is a path prefix that may contain `*` (matches any
+  *    character sequence, including empty) and a trailing `$` (anchors
+  *    the match at the END of the path — a `*.pdf$` rule matches
+  *    exactly the paths ending in `.pdf`); `$` anywhere else is literal;
+  *  - among matching rules the one with the LONGEST pattern (raw
+  *    length, `*`/`$` included — Google's "most specific by length"
+  *    rule) wins; on a length tie, allow beats disallow;
   *  - no matching rule ⇒ allowed (robots is opt-out).
   *
   * Scale shape: the rule table is policy config — thousands of rows,
@@ -26,41 +31,97 @@ import org.apache.spark.sql.functions._
   * through the argmax, and the verdict joins back onto the corpus by id.
   * A hot host (half the crawl from one domain) skews nothing: the
   * broadcast join is map-side and the argmax key is the URL id, not the
-  * host. */
+  * host. Wildcard matching is the classic greedy `*`-only algorithm
+  * expressed as one `aggregate()` fold over the pattern's literal
+  * segments — no per-row regex compilation, no UDF. */
 object CrawlPolicy {
+
+  /** Patterns at or past this length would overflow the packed-long
+    * argmax ordering (length lives in bits 40..62); enforced loudly on
+    * the rules side so a pathological rule table fails instead of
+    * silently electing a wrong rule. */
+  val MaxPatternLen: Int = (1 << 23) - 1
+
+  /** true iff `path` matches the robots `pattern` (`*` wildcards plus
+    * optional trailing `$` end-anchor; anything else literal).
+    *
+    * Greedy matching, correct for `*`-only patterns: the first literal
+    * segment must be a path PREFIX; each middle segment is taken at its
+    * leftmost occurrence after the previous one; a trailing `$` demands
+    * the last segment sit flush at the path's END (at or after the
+    * greedily-consumed position). All built-in expressions — the fold
+    * is `aggregate()` over `split(pattern, "*")`, `locate` via
+    * `call_function` so the needle can be a per-rule column. */
+  private[graft] def robotsMatch(path: Column, pattern: Column): Column = {
+    val endAnch = pattern.endsWith("$")
+    val core = when(endAnch, pattern.substr(lit(1), length(pattern) - 1))
+      .otherwise(pattern)
+    val segs = split(core, "\\*", -1)
+    val n = size(segs)
+    val first = element_at(segs, 1)
+    // 1-based position of the first path char not yet consumed; -1 = fail
+    val afterFirst = when(path.startsWith(first), length(first) + 1)
+      .otherwise(lit(-1))
+    // when end-anchored the LAST segment is held back for the anchor
+    // check; otherwise every remaining segment is a greedy find
+    val mids = when(endAnch, slice(segs, lit(2), greatest(n - 2, lit(0))))
+      .otherwise(slice(segs, lit(2), greatest(n - 1, lit(0))))
+    val acc = aggregate(mids, afterFirst,
+      (a, sg) => when(a === -1, lit(-1))
+        .when(length(sg) === 0, a)
+        .otherwise({
+          val pos = call_function("locate", sg, path, a)
+          when(pos === 0, lit(-1)).otherwise(pos + length(sg))
+        }))
+    val lastSeg = element_at(segs, n)
+    val endPos = length(path) - length(lastSeg) + 1
+    when(endAnch && n === 1, path === core) // `/abc$`: exact-path rule
+      .when(endAnch,
+        acc =!= -1 && path.endsWith(lastSeg) && endPos >= acc)
+      .otherwise(acc =!= -1)
+  }
 
   /** Annotate `docs` with the policy verdict.
     *
     * @param docs  corpus frame carrying `idCol` and `urlCol` (raw or
     *              canonical URLs — host/path are re-derived canonically)
-    * @param rules (host, prefix, allow) policy frame; small, broadcast
+    * @param rules (host, prefix, allow) policy frame — `prefix` may use
+    *              robots `*`/`$` patterns; small, broadcast
     * @return docs' columns + `allowed` (boolean, never NULL) +
-    *         `matched_prefix` (the winning rule's prefix, NULL when no
-    *         rule matched) */
+    *         `matched_prefix` (the winning rule's raw pattern, NULL
+    *         when no rule matched) */
   def applyPolicy(docs: DataFrame, idCol: String, urlCol: String,
                   rules: DataFrame): DataFrame = {
     val withKeys = docs.withColumn("__host", UrlExprs.canonicalHost(col(urlCol)))
       .withColumn("__path", UrlExprs.canonicalPath(col(urlCol)))
     // rule ids assigned by a window over the tiny rule table (single
     // partition is fine — rules are policy config, never corpus-sized);
-    // the id recovers the winning PREFIX after the argmax
+    // the id recovers the winning PATTERN after the argmax
     val ruleW = org.apache.spark.sql.expressions.Window
       .orderBy(col("__host"), col("__prefix"), col("__allow"))
     // rule hosts normalize like URL hosts (lowercase, www. stripped) so
     // a rule authored as "WWW.A.com" still matches — the join key is
-    // canonical on BOTH sides, not just the URL side
+    // canonical on BOTH sides, not just the URL side. Pattern length is
+    // bounded loudly here (rules-side only — zero corpus-side cost):
+    // past MaxPatternLen the packed ordering below would overflow into
+    // the sign bit and elect a WRONG rule, so refuse instead.
+    val boundedPrefix = when(length(col("prefix")) > MaxPatternLen,
+        raise_error(concat(lit(s"CrawlPolicy: rule pattern longer than " +
+          s"$MaxPatternLen chars overflows the packed argmax: "),
+          substring(col("prefix"), 1, 80))))
+      .otherwise(col("prefix"))
     val rulesIdx = rules.select(
         regexp_replace(lower(trim(col("host"))), "^www\\.", "").as("__host"),
-        col("prefix").as("__prefix"), col("allow").as("__allow"))
+        boundedPrefix.as("__prefix"), col("allow").as("__allow"))
       .withColumn("__rid", row_number().over(ruleW).cast("long"))
-    // longest-prefix-wins, allow beats disallow on ties. The winning
-    // rule is an argmax over (prefix length, allow); packing that order
+    // longest-pattern-wins, allow beats disallow on ties. The winning
+    // rule is an argmax over (pattern length, allow); packing that order
     // into ONE long — length<<40 | allow<<39 | ruleId — keeps the
     // aggregation buffer fixed-width, so the argmax is a true
     // HashAggregate with map-side partial combine. A struct (or string)
     // max would fall back to SortAggregate: sort-the-world at corpus
-    // scale for a 3-field comparison. Length caps at 2^23 chars (far
-    // past any URL path); equal-(length,allow) ties break by max rule
+    // scale for a 3-field comparison. Length is rules-side-bounded at
+    // MaxPatternLen above; equal-(length,allow) ties break by max rule
     // id — deterministic, and verdict-identical since allow already
     // ranks above.
     val packed = shiftleft(length(col("__prefix")).cast("long"), 40)
@@ -68,7 +129,8 @@ object CrawlPolicy {
       .bitwiseOR(col("__rid"))
     val matched = withKeys
       .join(broadcast(rulesIdx), Seq("__host"), "left")
-      .where(col("__prefix").isNull || col("__path").startsWith(col("__prefix")))
+      .where(col("__prefix").isNull ||
+        robotsMatch(col("__path"), col("__prefix")))
       .groupBy(col(idCol))
       .agg(max(when(col("__prefix").isNotNull, packed)).as("__win"))
     val ridMask = (1L << 39) - 1

@@ -51,6 +51,34 @@ class CrawlCurationSpec extends SparkSpec {
     assert(c(5L) == null && c(6L) == null)
   }
 
+  test("canonicalizeUrl: unreserved percent-escapes decode (RFC 3986 " +
+    "§6.2.2) so %7Euser and ~user collide; reserved escapes do NOT " +
+    "decode but uppercase their hex; garbage escapes survive verbatim") {
+    val c = canon(
+      1L -> "https://h.com/%7Euser/p%61ge?q=%41",     // ~user / page / A
+      2L -> "https://h.com/~user/page?q=A",
+      3L -> "https://h.com/a%2fb",                    // %2f reserved: keep, uppercase
+      4L -> "https://h.com/a%2Fb",
+      5L -> "https://h.com/x%zz%4",                   // invalid escapes verbatim
+      6L -> "https://h.com/x%")
+    assert(c(1L) == "https://h.com/~user/page?q=A")
+    assert(c(2L) == c(1L))
+    assert(c(3L) == "https://h.com/a%2Fb")
+    assert(c(4L) == c(3L))
+    assert(c(5L) == "https://h.com/x%zz%4")
+    assert(c(6L) == "https://h.com/x%")
+  }
+
+  test("canonicalizeUrl: host trailing root-dot strips; host escapes " +
+    "decode before the www/lowercase rules; escaped param NAMES decode " +
+    "before the byte-wise sort") {
+    val c = canon(
+      1L -> "https://site1.example.com./cat?a=1&b=2",
+      2L -> "https://WWW.site1.example.c%6Fm/cat?%62=2&a=1", // %6F=o, %62=b
+      3L -> "https://site1.example.com/cat?a=1&b=2")
+    assert(c.values.toSet == Set("https://site1.example.com/cat?a=1&b=2"))
+  }
+
   test("canonicalHost / canonicalPath agree with the canonical URL") {
     val r = Seq((1L, "HTTP://WWW.Ex.COM:8080/a//b/?q=1#f")).toDF("id", "url")
       .select(UrlExprs.canonicalHost(col("url")).as("h"),
@@ -100,6 +128,74 @@ class CrawlCurationSpec extends SparkSpec {
     assert(out.count() == 40)
     assert(out.where(col("allowed").isNull).count() == 0)
     assert(out.select("doc_id").distinct().count() == 40)
+  }
+
+  private def matches(cases: (String, String)*): Seq[Boolean] =
+    cases.toSeq.toDF("path", "pat")
+      .select(CrawlPolicy.robotsMatch(col("path"), col("pat")).as("m"))
+      .collect().map(_.getBoolean(0)).toSeq
+
+  test("robotsMatch: literal prefix, * wildcards (greedy), trailing $ " +
+    "end-anchor, mid-$ literal, adjacent/leading/trailing stars") {
+    val r = matches(
+      "/a/b.pdf" -> "/a",             // plain prefix
+      "/a/b.pdf" -> "/*.pdf",         // star + suffix-ish (unanchored)
+      "/a/b.pdfx" -> "/*.pdf",        // unanchored: still a match (prefix rule)
+      "/a/b.pdfx" -> "/*.pdf$",       // anchored: must END at .pdf -> no
+      "/a/b.pdf" -> "/*.pdf$",        // anchored match
+      "/a/b" -> "/a/b$",              // no star, $: exact path only
+      "/a/bc" -> "/a/b$",             //   longer path -> no
+      "/x/ay/az" -> "/x/a*a",         // greedy leftmost middle find
+      "/ab" -> "/a**b",               // adjacent stars: empty segment ok
+      "/ab$x" -> "/ab$x",             // mid-$ is literal
+      "/p" -> "*p$",                  // leading star
+      "/p/q" -> "/p/*",               // trailing star matches rest incl empty
+      "/p" -> "/p*",                  //   empty rest
+      "/q" -> "",                     // empty pattern matches everything
+      "/ab" -> "/a*b$",               // anchor just after prefix
+      "/ab" -> "/ab*$")               // star-then-anchor: matches
+    assert(r == Seq(true, true, true, false, true, true, false, true,
+      true, true, true, true, true, true, true, true))
+  }
+
+  test("robotsMatch: $-anchored last segment may not overlap the " +
+    "prefix/middle consumption (position constraint)") {
+    // pattern /ab*b$ on path /ab: prefix consumes /ab, last seg b would
+    // need to re-use the consumed b -> no match; /abb matches
+    assert(matches("/ab" -> "/ab*b$", "/abb" -> "/ab*b$") == Seq(false, true))
+  }
+
+  test("applyPolicy: wildcard and $ rules participate in longest-match " +
+    "by RAW pattern length; a $-rule that cannot match is inert") {
+    val wrules = Seq(
+      ("w.com", "/cat", false),            // len 4 host-wide disallow
+      ("w.com", "/cat/item1", true),       // len 10 literal allow
+      ("w.com", "/cat/it*m2$", false),     // len 11 wildcard disallow
+      ("w.com", "/*/item3", true),         // len 8 wildcard allow
+      ("w.com", "/cat/ite$", true)         // len 9: matches NOTHING here
+    ).toDF("host", "prefix", "allow")
+    val v = CrawlPolicy.applyPolicy(
+      (0L to 4L).map(i => (i, s"https://w.com/cat/item$i")).toDF("doc_id", "url"),
+      "doc_id", "url", wrules)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getBoolean(2), if (r.isNullAt(3)) null else r.getString(3)))).toMap
+    assert(v(0L) == ((false, "/cat")))          // only /cat (the $-rule can't match)
+    assert(v(1L) == ((true, "/cat/item1")))     // literal 10 beats /cat 4
+    assert(v(2L) == ((false, "/cat/it*m2$")))   // wildcard 11 wins
+    assert(v(3L) == ((true, "/*/item3")))       // wildcard 8 beats /cat 4
+    assert(v(4L) == ((false, "/cat")))
+  }
+
+  test("applyPolicy: rule patterns at/past the packed-ordering bound " +
+    "fail loudly instead of electing a wrong rule") {
+    val big = ("a.com", "/" * (CrawlPolicy.MaxPatternLen + 1), true)
+    val bad = Seq(big).toDF("host", "prefix", "allow")
+    val docs = Seq((1L, "https://a.com/x")).toDF("doc_id", "url")
+    val e = intercept[Exception] {
+      CrawlPolicy.applyPolicy(docs, "doc_id", "url", bad).collect()
+    }
+    assert(e.getMessage.contains("CrawlPolicy") ||
+      e.getCause != null && e.getCause.getMessage.contains("CrawlPolicy"))
   }
 
   test("applyPolicy plan: rules ride broadcast joins and the argmax " +

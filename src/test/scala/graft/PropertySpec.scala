@@ -423,11 +423,13 @@ class PropertySpec extends SparkSpec {
   test("canonicalizeUrl is idempotent on fuzzed URLs: canonical output " +
     "is a fixed point, and garbage is stably NULL") {
     val scheme = Gen.oneOf("http", "HTTPS", "Http", "ftp")
-    val host = Gen.oneOf("Ex.COM", "www.ex.com", "WWW.a-b.ORG", "h99.net")
+    val host = Gen.oneOf("Ex.COM", "www.ex.com", "WWW.a-b.ORG", "h99.net",
+      "ex.com.", "e%78.com")
     val port = Gen.oneOf("", ":80", ":443", ":8080", ":0443")
-    val path = Gen.oneOf("", "/", "/a", "/a//b/", "/a/b//", "//x")
+    val path = Gen.oneOf("", "/", "/a", "/a//b/", "/a/b//", "//x",
+      "/%7euser", "/a%2fb", "/p%41ge", "/x%zz", "/y%")
     val query = Gen.oneOf("", "?", "?b=2&a=1", "?utm_source=x&a=1",
-      "?a=1&&b=2", "?gclid=9", "?z=%20&a=1")
+      "?a=1&&b=2", "?gclid=9", "?z=%20&a=1", "?%62=1&a=%2f", "?k=%7E%")
     val frag = Gen.oneOf("", "#f", "#a?b=1")
     val urlGen = for {
       s <- scheme; h <- host; po <- port; pa <- path; q <- query; f <- frag
