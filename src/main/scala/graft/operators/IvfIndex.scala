@@ -140,14 +140,44 @@ object IvfIndex {
     * same batch twice duplicates postings — id dedup is the caller's
     * contract, as with any append-mode sink (SURVEY §2 S4).
     *
-    * Returns the loaded model so the caller can search immediately. */
+    * Returns the loaded model so the caller can search immediately.
+    *
+    * The delta is VALIDATED before the write mutates the persisted
+    * postings: its vector element type must equal the saved postings'
+    * (appending `array<float>` onto an `array<double>` index — or vice
+    * versa — would create mixed-schema parquet a later [[loadIndex]]
+    * can fail on or resolve inconsistently), and every delta vector's
+    * length must equal the model's dimensionality (checked in one
+    * bounded scan over the delta — an ingest batch, never the corpus —
+    * so a bad batch fails while the index is still intact). */
   def appendToIndex(spark: SparkSession, path: String, delta: DataFrame,
                     idCol: String, vecCol: String): Model = {
     val (model, _) = loadIndex(spark, path)
+    val saved = spark.read.parquet(s"$path/postings")
+      .schema("n_vec").dataType.catalogString
+    val deltaT = delta.schema(vecCol).dataType.catalogString
+    require(deltaT == saved,
+      s"appendToIndex: delta vector type $deltaT != persisted postings " +
+        s"type $saved — appending would pollute the index schema; cast " +
+        "the delta (or rebuild the index) first")
+    val badDim = delta
+      .where(col(vecCol).isNull || size(col(vecCol)) =!= model.dim)
+      .limit(1).count()
+    require(badDim == 0,
+      s"appendToIndex: delta contains a vector whose length != the " +
+        s"index dimensionality ${model.dim} (or a NULL vector)")
     assign(delta, idCol, vecCol, model)
       .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
     model
   }
+
+  /** Query tables at or under this row count ride a `broadcast` hint
+    * into the cell join (the "query batch ≪ corpus" fast path — same
+    * cap as TextSearch's probe tables); bigger query tables plan a
+    * plain shuffle join instead of riding a hard hint into a driver
+    * OOM. The guard costs one short-circuiting `limit(cap+1).count()`
+    * job — it never scans more than cap+1 query rows. */
+  val MaxBroadcastQueries: Long = 65536L
 
   /** Search: probe the nProbe nearest cells per query, exact cosine
     * within the probed cells only.
@@ -156,9 +186,10 @@ object IvfIndex {
     * `nearest_cells` expression emits each query's top-nProbe cell ids in
     * the scan and `explode` turns them into (q_id, q_vec, cell) probe
     * rows, so the query side never touches the driver and can itself be a
-    * full table. The broadcast hint fits the "query batch ≪ corpus"
-    * contract; with a corpus-sized query table Catalyst/AQE would plan
-    * the cell join as a shuffle join instead — drop the hint then. */
+    * full table: past [[MaxBroadcastQueries]] rows the broadcast hint is
+    * dropped automatically and Catalyst/AQE plan the cell join as a
+    * shuffle join — a corpus-sized query table degrades to a bigger
+    * plan, never to a driver OOM. */
   def search(index: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              model: Model, k: Int, nProbe: Int): DataFrame = {
     val probes = queries.select(
@@ -166,7 +197,10 @@ object IvfIndex {
       col(vecCol).cast("array<double>").as("q_vec"),
       explode(VectorNative.nearestCells(col(vecCol), model.centroids.toSeq, nProbe))
         .as("cell"))
-    val cand = index.join(broadcast(probes), Seq("cell"))
+    val small = queries.limit((MaxBroadcastQueries + 1).toInt).count() <=
+      MaxBroadcastQueries
+    val probeSide = if (small) broadcast(probes) else probes
+    val cand = index.join(probeSide, Seq("cell"))
       .where(col("q_id") =!= col("n_id"))
       .withColumn("cos", VectorNative.cosineSim(col("q_vec"), col("n_vec")))
     Similarity.topKRank(cand, k)

@@ -315,6 +315,15 @@ object Similarity {
         sum(col("sb").cast(d19) * col("sb").cast(d19)).as("__nb"),
         count(when(col("sa").isNull || col("sb").isNull, 1)).as("__onesided"),
         max(col("ca")).as("n_a"), max(col("cb")).as("n_b"))
+    // overflow is loud, not NULL: the quadratic-form sums live in
+    // DECIMAL(38,0), and with ANSI off a sum overflow returns NULL
+    // silently. In the surviving branch (label on both sides, zero
+    // one-sided positions) every summand is non-null, so a NULL sum can
+    // ONLY mean |Σ products| ≥ 10^38 — raise instead of emitting a NULL
+    // drift_cos. (Residual headroom: micro-sums reach ~2^20·rows per
+    // (label,pos), so products pass 10^38 only around 10^13 rows per
+    // label·position — but "can't happen" is exactly what this guards.)
+    val overflow = col("__dot").isNull || col("__na").isNull || col("__nb").isNull
     perLabel
       .where(col("n_a").isNotNull && col("n_b").isNotNull)
       .select(col("label"), col("n_a"), col("n_b"),
@@ -322,6 +331,11 @@ object Similarity {
           lit("embeddingDrift: embedding dimensionality differs between "),
           lit("versions for label "), col("label").cast("string")))
           .cast("double"))
+          .when(overflow, raise_error(concat(
+            lit("embeddingDrift: decimal(38,0) sum overflow for label "),
+            col("label").cast("string"),
+            lit(" — quadratic forms exceed 10^38; shard the label or "),
+            lit("rescale the embeddings"))).cast("double"))
           .otherwise(col("__dot").cast("double") /
             (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
           .as("drift_cos"))

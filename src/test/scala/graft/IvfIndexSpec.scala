@@ -136,6 +136,72 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("appendToIndex: a delta with a different vector element type, " +
+      "wrong dimensionality, or NULL vectors refuses BEFORE the write " +
+      "mutates the persisted postings") {
+    import spark.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_guard_${System.nanoTime()}")
+    dir.deleteOnExit()
+    val model = IvfIndex.train(emb, "embedding", k = 4)
+    IvfIndex.saveIndex(model,
+      IvfIndex.assign(emb, "vec_id", "embedding", model), dir.getAbsolutePath)
+    val before = IvfIndex.loadIndex(spark, dir.getAbsolutePath)._2.count()
+    // element-type mismatch: array<double> onto an array<float> index
+    val doubleDelta = Seq((9001L, Array.fill(model.dim)(0.25)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[IllegalArgumentException] {
+      IvfIndex.appendToIndex(spark, dir.getAbsolutePath,
+        doubleDelta, "vec_id", "embedding")
+    }
+    assert(e1.getMessage.contains("vector type"))
+    // right type, wrong per-row dimensionality
+    val shortDelta = Seq((9002L, Array(0.25f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      IvfIndex.appendToIndex(spark, dir.getAbsolutePath,
+        shortDelta, "vec_id", "embedding")
+    }
+    assert(e2.getMessage.contains("dimensionality"))
+    // NULL vector
+    val nullDelta = Seq((9003L, Option.empty[Array[Float]]))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      IvfIndex.appendToIndex(spark, dir.getAbsolutePath,
+        nullDelta, "vec_id", "embedding")
+    }
+    // index intact: same posting count, still loadable and searchable
+    val (loaded, postings) = IvfIndex.loadIndex(spark, dir.getAbsolutePath)
+    assert(postings.count() == before)
+    assert(IvfIndex.search(postings, emb.where(col("vec_id") < 3), "vec_id",
+      "embedding", loaded, k = 3, nProbe = 2).count() > 0)
+  }
+
+  test("search: a query table past MaxBroadcastQueries drops the hard " +
+      "broadcast hint (shuffle join, no driver-OOM path) and answers " +
+      "identically to the broadcast path") {
+    import spark.implicits._
+    val model = IvfIndex.train(emb, "embedding", k = 8)
+    val idx = IvfIndex.assign(emb, "vec_id", "embedding", model)
+    val dim = model.dim
+    val vecCols = array((0 until dim).map(i => lit(((i % 7) + 1) * 0.1f)): _*)
+    val big = spark.range(0, IvfIndex.MaxBroadcastQueries + 1)
+      .select((col("id") + 1000000L).as("vec_id"), vecCols.as("embedding"))
+    val outBig = IvfIndex.search(idx, big, "vec_id", "embedding", model,
+      k = 5, nProbe = 2)
+    assert(!outBig.queryExecution.analyzed.toString.toLowerCase
+      .contains("broadcast"), "over-bound query table must not be hinted")
+    val one = big.where(col("vec_id") === 1000000L)
+    val outOne = IvfIndex.search(idx, one, "vec_id", "embedding", model,
+      k = 5, nProbe = 2)
+    assert(outOne.queryExecution.analyzed.toString.toLowerCase
+      .contains("broadcast"), "small query table keeps the fast path")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Int]("rank"), r.getAs[Long]("n_id")))
+        .sorted.toSeq
+    assert(rows(outBig.where(col("q_id") === 1000000L)) == rows(outOne))
+  }
+
   test("tripletMine: positive = rank 1, hard negative = rank m+1, margin holds") {
     import spark.implicits._
     // 2-D unit vectors at known angles from the anchor (id 0 at 0 rad):

@@ -143,6 +143,25 @@ class SemanticDedupSpec extends SparkSpec {
     assert(d1.values.forall(c => c > 0.0 && c <= 1.0 + 1e-12))
   }
 
+  test("embeddingDrift raises on decimal(38,0) sum overflow instead of " +
+    "emitting a silent NULL drift_cos (non-ANSI overflow semantics)") {
+    import spark.implicits._
+    // micro-sums reach floor(8e12·2^20) ≈ 8.4e18 per position (still a
+    // valid long); each squared product is ~7.0e37 (fits DECIMAL(38,0))
+    // but the 2-position sum is ~1.4e38 — a guaranteed decimal overflow,
+    // which non-ANSI Spark turns into NULL. The monitor must refuse.
+    val big = Array(8.0e12f, 8.0e12f)
+    val a = Seq((1L, big, 10)).toDF("vec_id", "embedding", "label")
+    val b = Seq((1L, big, 10)).toDF("vec_id", "embedding", "label")
+    val e = intercept[Exception] {
+      Similarity.embeddingDrift(a, b, "label", "embedding").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("overflow")), msgs(e).toString)
+  }
+
   test("embeddingDrift fails LOUDLY on mismatched dimensionality (the " +
     "re-embedding case a drift monitor must not truncate away)") {
     import spark.implicits._
