@@ -4913,6 +4913,37 @@ object Queries {
     },
     Some(bpeOracleSql(BpeTrainedMerges)))
 
+  private val stagedBm25AppendDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Incremental BM25 stats growth (q146's append shape applied to
+    * retrieval, round-11 verdict #5): stats are SAVED from the even
+    * half of the corpus only, the odd half arrives later via
+    * [[graft.operators.TextSearch.appendCorpusStats]] (one delta-sized
+    * scan, additive partials appended in place — the existing stats are
+    * never rewritten), and the indexed search runs against the merged
+    * stats. The oracle is q116's FULL-corpus score contract verbatim —
+    * a lost delta term, a double-counted df, or a stale N/TL changes a
+    * score and fails the hash. */
+  private val q153 = Q("q153_bm25_stats_append",
+    (s, d) => {
+      val dir = Queries.stagedBm25AppendDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_bm25_append_${Queries.stagingSuffix(d)}")
+        graft.operators.TextSearch.saveCorpusStats(
+          documents(s, d).where(col("doc_id") % 2 === 0), "doc_id", "text",
+          f.getAbsolutePath)
+        graft.operators.TextSearch.appendCorpusStats(
+          documents(s, d).where(col("doc_id") % 2 === 1), "doc_id", "text",
+          f.getAbsolutePath)
+        f
+      })
+      graft.operators.TextSearch.bm25TopKIndexed(
+        documents(s, d), "doc_id", "text", dir.getAbsolutePath,
+        Seq("spark", "vector", "join"), k = 20)
+    },
+    q116.oracle)
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -4926,7 +4957,7 @@ object Queries {
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152)
+    q151, q152, q153)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -111,13 +111,20 @@ object TextSearch {
     *    partial-aggregated, so the exchange carries ≤ |vocab| rows per
     *    partition); parquet with term in the sort order, so a query's
     *    df lookup is a pushdown-pruned tiny scan;
-    *  - `corpus/`: one row (n, tl).
+    *  - `corpus/`: (n, tl) rows — one per save/append, summed on read.
+    *
+    * Both directories hold ADDITIVE PARTIALS: readers sum `corpus/`
+    * rows into one (n, tl) and sum `df` per term, so
+    * [[appendCorpusStats]] can grow the stats by writing delta partials
+    * only — no rewrite of what is already there (the IVF
+    * `appendToIndex` shape applied to retrieval).
     *
     * Contract: the stats describe the EXACT corpus snapshot they were
-    * built from. Querying with stats from a different snapshot is the
-    * caller's staleness bug — scores use frozen idf/TL (often the
-    * wanted behavior for a published index; rebuild when the corpus
-    * changes). */
+    * built from (plus any appended deltas). Querying with stats from a
+    * different snapshot is the caller's staleness bug — scores use
+    * frozen idf/TL (often the wanted behavior for a published index;
+    * rebuild when the corpus shrinks or documents CHANGE — append only
+    * covers growth by NEW documents). */
   def saveCorpusStats(docs: DataFrame, idCol: String, textCol: String,
                       path: String): Unit = {
     val base = docs
@@ -132,6 +139,60 @@ object TextSearch {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(s"$path/terms")
+  }
+
+  /** Incrementally grow SAVED corpus stats with a delta batch of NEW
+    * documents — the round-11 gap closer (BM25 stats were rebuild-only
+    * while the IVF index had `appendToIndex`): a growing frozen-snapshot
+    * corpus now pays O(|delta|) per ingest batch instead of a full
+    * corpus rescan. Document frequency, N, and TL are all additive over
+    * disjoint document sets, so the delta's own partials are simply
+    * appended into the same layout and every reader sums — merged stats
+    * are EXACTLY the stats a full rebuild over old∪delta would produce
+    * (spec- and oracle-gated: q153 rebuilds the oracle from the full
+    * corpus while the engine merges).
+    *
+    * Contract mirrors [[IvfIndex.appendToIndex]]: delta documents must
+    * be NEW (appending the same batch twice double-counts — id dedup is
+    * the caller's append-sink contract, SURVEY §2 S4); changed or
+    * deleted documents need a rebuild. The target is validated as a
+    * stats directory before anything is written. */
+  def appendCorpusStats(delta: DataFrame, idCol: String, textCol: String,
+                        path: String): Unit = {
+    val spark = delta.sparkSession
+    val cs = spark.read.parquet(s"$path/corpus").schema.fieldNames.toSet
+    require(cs == Set("n", "tl"),
+      s"appendCorpusStats: $path/corpus is not a saveCorpusStats layout " +
+        s"(fields: ${cs.mkString(",")})")
+    val base = delta
+      .select(filter(TextExprs.tokens(lower(col(textCol))), t => t =!= "")
+        .as("__toks"))
+      .select(col("__toks"), size(col("__toks")).cast("long").as("__dl"))
+    base.agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("__dl")), lit(0L)).as("tl"))
+      .coalesce(1).write.mode("append").parquet(s"$path/corpus")
+    base
+      .select(explode(array_distinct(col("__toks"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .sortWithinPartitions(col("term"))
+      .write.mode("append").parquet(s"$path/terms")
+  }
+
+  /** Read persisted stats: (N, TL) plus the given terms' document
+    * frequencies. `corpus/` and `terms/` hold additive partials (one
+    * per save/append), so both reads SUM — the terms read is still
+    * pushdown-pruned to the query terms before the tiny aggregate. */
+  private def readStats(spark: org.apache.spark.sql.SparkSession,
+                        path: String, terms: Seq[String])
+  : (Long, Long, Map[String, Long]) = {
+    val cr = spark.read.parquet(s"$path/corpus")
+      .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+        coalesce(sum(col("tl")), lit(0L)).as("tl")).collect()(0)
+    val dfByTerm = spark.read.parquet(s"$path/terms")
+      .where(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(sum(col("df")).as("df"))
+      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
+    (cr.getAs[Long]("n"), cr.getAs[Long]("tl"), dfByTerm)
   }
 
   /** [[bm25TopK]] against SAVED corpus stats: pass 1's full-corpus
@@ -151,14 +212,8 @@ object TextSearch {
     require(terms.size <= 64,
       s"bm25TopKIndexed: ${terms.size} query terms — same cap as bm25TopK")
     require(k > 0, s"bm25TopKIndexed: k must be positive: $k")
-    val cr = spark.read.parquet(s"$statsPath/corpus").collect()
-    require(cr.length == 1, s"bm25TopKIndexed: corrupt stats at $statsPath")
-    val n = cr(0).getAs[Long]("n")
-    val tl = cr(0).getAs[Long]("tl")
+    val (n, tl, dfByTerm) = readStats(spark, statsPath, terms)
     require(n > 0, "bm25TopKIndexed: stats describe an empty corpus")
-    val dfByTerm: Map[String, Long] = spark.read.parquet(s"$statsPath/terms")
-      .where(col("term").isin(terms: _*))
-      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
     val idf: Seq[Double] = terms.map { t =>
       val df = dfByTerm.getOrElse(t, 0L) // absent term: df 0, like bm25TopK
       new java.math.BigDecimal(math.log((n + 1).toDouble / (df + 0.5)))
@@ -286,15 +341,8 @@ object TextSearch {
     require(k > 0, s"bm25TopKBatchIndexed: k must be positive: $k")
     val spark = docs.sparkSession
     val (normed, universe) = normalizeProbes(probes, probeIdCol, termsCol)
-    val cr = spark.read.parquet(s"$statsPath/corpus").collect()
-    require(cr.length == 1,
-      s"bm25TopKBatchIndexed: corrupt stats at $statsPath")
-    val n = cr(0).getAs[Long]("n")
-    val tl = cr(0).getAs[Long]("tl")
+    val (n, tl, dfByTerm) = readStats(spark, statsPath, universe)
     require(n > 0, "bm25TopKBatchIndexed: stats describe an empty corpus")
-    val dfByTerm: Map[String, Long] = spark.read.parquet(s"$statsPath/terms")
-      .where(col("term").isin(universe: _*))
-      .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
     batchScore(docs, idCol, textCol, probes, probeIdCol,
       normed, universe, roundedIdf(universe, dfByTerm, n), n, tl, k)
   }

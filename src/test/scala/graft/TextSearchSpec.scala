@@ -188,18 +188,62 @@ class TextSearchSpec extends SparkSpec {
     val scan = stats.queryExecution.executedPlan.toString
     assert(scan.contains("PushedFilters: [In(term"),
       s"term filter must reach the parquet scan:\n$scan")
-    // corrupt stats (two corpus rows) refuse loudly
+    // stats that sum to an empty corpus refuse loudly (partials are
+    // legal — all-zero partials are not a searchable snapshot)
     val bad = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_bm25_bad_${System.nanoTime()}")
     bad.deleteOnExit()
     import spark.implicits._
-    Seq((4L, 10L), (5L, 11L)).toDF("n", "tl")
+    Seq((0L, 0L), (0L, 0L)).toDF("n", "tl")
       .write.parquet(s"$bad/corpus")
     spark.read.parquet(s"$dir/terms").write.parquet(s"$bad/terms")
     intercept[IllegalArgumentException] {
       TextSearch.bm25TopKIndexed(corpus, "doc_id", "text",
         bad.getAbsolutePath, Seq("apple"), k = 5)
     }
+  }
+
+  test("appendCorpusStats: merged stats answer EXACTLY like a one-shot " +
+      "rebuild over the grown corpus; empty delta is a no-op; a " +
+      "non-stats target refuses before writing") {
+    val grown = corpus.union(Seq(
+      (5L, "apple durian durian"),
+      (6L, "cherry banana apple apple")).toDF("doc_id", "text"))
+    val merged = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_append_${System.nanoTime()}")
+    merged.deleteOnExit()
+    TextSearch.saveCorpusStats(corpus, "doc_id", "text", merged.getAbsolutePath)
+    TextSearch.appendCorpusStats(grown.where(col("doc_id") > 4L),
+      "doc_id", "text", merged.getAbsolutePath)
+    val oneShot = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_oneshot_${System.nanoTime()}")
+    oneShot.deleteOnExit()
+    TextSearch.saveCorpusStats(grown, "doc_id", "text", oneShot.getAbsolutePath)
+    def rows(path: String, terms: Seq[String]) =
+      TextSearch.bm25TopKIndexed(grown, "doc_id", "text", path, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // overlap terms (apple/cherry df spans both halves), delta-only
+    // terms (durian count grows), and absent terms all agree
+    for (terms <- Seq(Seq("apple", "cherry"), Seq("durian"),
+        Seq("banana", "zzz_absent"))) {
+      assert(rows(merged.getAbsolutePath, terms) ===
+        rows(oneShot.getAbsolutePath, terms), s"terms=$terms")
+    }
+    // empty delta: stats unchanged (same answers as before the append)
+    val before = rows(merged.getAbsolutePath, Seq("apple", "cherry"))
+    TextSearch.appendCorpusStats(grown.where(col("doc_id") < 0L),
+      "doc_id", "text", merged.getAbsolutePath)
+    assert(rows(merged.getAbsolutePath, Seq("apple", "cherry")) === before)
+    // a directory that is not a stats layout refuses before mutation
+    val notStats = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_notstats_${System.nanoTime()}")
+    notStats.deleteOnExit()
+    corpus.write.parquet(s"$notStats/corpus")
+    val e = intercept[IllegalArgumentException] {
+      TextSearch.appendCorpusStats(corpus, "doc_id", "text",
+        notStats.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("saveCorpusStats layout"))
   }
 
   test("batch indexed: saved stats reproduce the live batch exactly, " +
