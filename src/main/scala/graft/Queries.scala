@@ -4944,6 +4944,59 @@ object Queries {
     },
     q116.oracle)
 
+  /** Boilerplate removal after HTML extraction (round-11 verdict #6):
+    * every document is wrapped in a page carrying the full chrome
+    * taxonomy — a title fragment, a 5-link nav rail whose word count
+    * PASSES the length rule (only link density kills it), a bare
+    * heading, a copyright stub, and a 2-link footer — around two real
+    * content blocks, one containing an inline link that must survive
+    * (low density). [[graft.functions.TextExprs.htmlBlocks]] classifies
+    * per block and [[graft.functions.TextExprs.htmlMainText]] keeps the
+    * content. The oracle recomputes everything from the fixture formula
+    * (block counts are structural constants; the main text is the
+    * document text under a known wrapper), so a block-boundary bug, a
+    * mis-counted word, a density off-by-one, or a kept nav rail all
+    * hash-mismatch. */
+  private val q154 = Q("q154_boilerplate_removal",
+    (s, d) => {
+      val idStr = col("doc_id").cast("string")
+      val page = concat(
+        lit("<html><head><title>t</title><style>a{color:blue}</style>" +
+          "</head><body>" +
+          "<nav><a href=\"/\">Home</a> <a href=\"/about\">About</a> " +
+          "<a href=\"/contact\">Contact</a> <a href=\"/careers\">Careers" +
+          "</a> <a href=\"/blog\">Blog</a></nav><h1>Doc "),
+        idStr,
+        lit("</h1><p>main content body text "), col("text"),
+        lit("</p><p>Read the full spec of engine "), idStr,
+        lit(" at <a href=\"/spec\">this page</a> for details</p>" +
+          "<p>© 2026</p>" +
+          "<footer><a href=\"/tos\">Terms</a> <a href=\"/privacy\">" +
+          "Privacy</a></footer></body></html>"))
+      val blocks = graft.functions.TextExprs.htmlBlocks(page)
+      documents(s, d).select(col("doc_id"),
+        graft.functions.TextExprs.htmlMainText(page).as("main_text"),
+        size(blocks).as("n_blocks"),
+        size(filter(blocks, b => b.getField("is_boilerplate")))
+          .as("n_boiler"),
+        aggregate(blocks, lit(0), (acc, b) =>
+          acc + when(b.getField("is_boilerplate"),
+            b.getField("n_words")).otherwise(0)).as("tokens_removed"),
+        size(graft.functions.TextExprs.tokens(
+          graft.functions.TextExprs.htmlMainText(page))).as("n_tokens_main"))
+    },
+    Some("""WITH t AS (SELECT doc_id, trim(text) AS tx FROM documents)
+      SELECT doc_id,
+        'main content body text ' || tx || chr(10) ||
+          'Read the full spec of engine ' || doc_id ||
+          ' at this page for details' AS main_text,
+        CAST(7 AS INTEGER) AS n_blocks,
+        CAST(5 AS INTEGER) AS n_boiler,
+        CAST(12 AS INTEGER) AS tokens_removed,
+        CAST(16 + len(string_split_regex(tx, '\s+')) AS INTEGER)
+          AS n_tokens_main
+      FROM t"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -4957,7 +5010,7 @@ object Queries {
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153)
+    q151, q152, q153, q154)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

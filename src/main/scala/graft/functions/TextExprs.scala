@@ -45,6 +45,85 @@ object TextExprs {
     trim(regexp_replace(ent, "\\s+", " "))
   }
 
+  /** Inline cleanup shared by the block pipeline: strip remaining tags,
+    * single-decode the five predefined entities (&amp; last), collapse
+    * whitespace, trim. */
+  private def cleanInline(c: Column): Column = {
+    val noTags = regexp_replace(c, "<[^>]*>", " ")
+    val ent = regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      regexp_replace(noTags,
+        "&lt;", "<"), "&gt;", ">"), "&quot;", "\""), "&#39;", "'"),
+      "&amp;", "&")
+    trim(regexp_replace(ent, "\\s+", " "))
+  }
+
+  /** Block-structured HTML extraction with boilerplate classification —
+    * the step after [[htmlToText]] a real crawl needs: nav bars, footer
+    * chrome, and cookie banners survive tag-stripping as text and
+    * poison training data. This is the Arc90-readability/boilerpipe
+    * heuristic family reduced to its two strongest per-block signals,
+    * both computable as pure codegen'd expressions (no parser, no UDF,
+    * one narrow scan):
+    *
+    *  1. script/style/comments drop with contents;
+    *  2. BLOCK-level tags (p, div, li, headings, table rows, section/
+    *     article/header/footer/nav/aside, br, …) become block
+    *     boundaries; inline markup (a, b, i, span, …) stays inside its
+    *     block;
+    *  3. per block: `text` (inline-cleaned), `n_words`, and
+    *     `link_density` = cleaned chars inside `<a>` elements / total
+    *     cleaned chars;
+    *  4. a block is boilerplate iff `n_words < minWords` (chrome
+    *     fragments: "© 2026", bare headings) OR `link_density >
+    *     maxLinkDensity` (link lists: navigation, footers, related-
+    *     article rails — boilerpipe's dominant feature).
+    *
+    * Empty blocks vanish before classification. Returns
+    * `array<struct<text, n_words, link_density, is_boilerplate>>` —
+    * [[htmlMainText]] is the common projection. Defaults (4 words,
+    * 0.33) follow the boilerpipe NumWordsRules ballpark; tune per
+    * corpus. Honest limits as [[htmlToText]]: no DOM, no CSS
+    * visibility, no cross-block smoothing. */
+  def htmlBlocks(html: Column, minWords: Int = 4,
+                 maxLinkDensity: Double = 0.33): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<script\\b[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style\\b[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val marked = regexp_replace(noComment,
+      "(?i)</?(?:p|div|li|ul|ol|h[1-6]|tr|td|th|table|thead|tbody|" +
+        "section|article|header|footer|nav|aside|blockquote|pre|form|" +
+        "main|body|html|head|title)\\b[^>]*>|<br\\s*/?>",
+      "\n")
+    val rawBlocks = split(marked, "\n")
+    val stats = transform(rawBlocks, b => {
+      val text = cleanInline(b)
+      val linkTexts = regexp_extract_all(b, lit("(?is)<a\\b[^>]*>(.*?)</a>"), lit(1))
+      val linkChars = aggregate(linkTexts, lit(0),
+        (acc, t) => acc + length(cleanInline(t)))
+      val words = size(filter(split(text, " "), w => w =!= ""))
+      val density = linkChars.cast("double") /
+        greatest(length(text), lit(1)).cast("double")
+      struct(text.as("text"), words.as("n_words"),
+        density.as("link_density"),
+        (words < minWords || density > maxLinkDensity).as("is_boilerplate"))
+    })
+    filter(stats, s => s.getField("text") =!= "")
+  }
+
+  /** The kept-content projection of [[htmlBlocks]]: non-boilerplate
+    * block texts joined with newlines — the "main text" a curation
+    * pipeline feeds downstream quality filters. */
+  def htmlMainText(html: Column, minWords: Int = 4,
+                   maxLinkDensity: Double = 0.33): Column =
+    array_join(
+      transform(
+        filter(htmlBlocks(html, minWords, maxLinkDensity),
+          b => !b.getField("is_boilerplate")),
+        b => b.getField("text")),
+      "\n")
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Count of tokens contained in `vocab` (e.g. a stopword list). */

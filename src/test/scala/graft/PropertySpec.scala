@@ -354,6 +354,56 @@ class PropertySpec extends SparkSpec {
     assert(clean("") == "")
   }
 
+  test("htmlBlocks/htmlMainText: nav rails die by link density, stubs " +
+      "die by word count, content with an inline link survives, hostile " +
+      "markup never throws") {
+    def blocks(s: String): Seq[(String, Int, Double, Boolean)] =
+      Seq(s).toDF("h")
+        .select(explode(TextExprs.htmlBlocks(col("h"))).as("b"))
+        .select("b.text", "b.n_words", "b.link_density", "b.is_boilerplate")
+        .collect().map(r => (r.getString(0), r.getInt(1),
+          r.getDouble(2), r.getBoolean(3))).toSeq
+    def main(s: String): String =
+      Seq(s).toDF("h")
+        .select(TextExprs.htmlMainText(col("h")).as("m"))
+        .collect().head.getString(0)
+    val page = "<body><nav><a href=\"/\">Home</a> <a href=\"/a\">About</a> " +
+      "<a href=\"/c\">Contact</a> <a href=\"/x\">Careers</a> " +
+      "<a href=\"/b\">Blog</a></nav>" +
+      "<h1>Short heading</h1>" +
+      "<p>This long paragraph talks about engines and links to " +
+      "<a href=\"/s\">one page</a> among many other words.</p>" +
+      "<p>© 2026</p></body>"
+    val bs = blocks(page)
+    assert(bs.map(_._1) == Seq(
+      "Home About Contact Careers Blog",
+      "Short heading",
+      "This long paragraph talks about engines and links to one page " +
+        "among many other words.",
+      "© 2026"))
+    // nav: 5 words (passes the length rule) but density ~0.87 kills it
+    assert(bs(0)._2 == 5 && bs(0)._3 > 0.33 && bs(0)._4)
+    // heading: density 0 but 2 words kill it
+    assert(bs(1)._2 == 2 && bs(1)._3 == 0.0 && bs(1)._4)
+    // content: 15 words, link "one page" = 8 of 85 chars -> kept
+    assert(bs(2)._2 == 15 && bs(2)._3 < 0.33 && !bs(2)._4)
+    assert(bs(3)._4)
+    assert(main(page) == bs(2)._1)
+    // inline markup inside a link counts its CLEANED chars only
+    val b2 = blocks("<p><a href=\"/x\"><b>Bold</b> link</a> word</p>")
+    assert(b2.head._1 == "Bold link word")
+    assert(math.abs(b2.head._3 - 9.0 / 14.0) < 1e-12)
+    // hostile: unclosed tags, empty input, all-chrome pages
+    assert(blocks("").isEmpty)
+    assert(main("<nav><a href=\"/\">Only</a> <a href=\"/b\">Links</a></nav>") == "")
+    // unclosed <a>: the link span can't match (no </a>), so density 0;
+    // the 2-word fragment still dies by word count — and nothing throws
+    assert(blocks("<p><a href=x>never closed") ==
+      Seq(("never closed", 2, 0.0, true)))
+    assert(main("<div>one two three four five</div>") ==
+      "one two three four five")
+  }
+
   test("codec hostility: every prefix and random corruption of valid " +
       "containers decodes to None or a value, never throws") {
     // the 100 TB crawl contract: a truncated upload or a bit-flipped
