@@ -3874,11 +3874,11 @@ object Queries {
             MediaMeta("synth", Some(w), Some(h), None))
         }
       val hashes = graft.multimodal.Multimodal.imageDHash(media)
-      val pairs = graft.multimodal.Multimodal
-        .imageNearDups(hashes, maxHamming = 3)
-        .select(col("a").as("d1"), col("b").as("d2"))
-      graft.operators.Dedup.componentsAuto(
-        hashes.select(col("media_id").as("doc_id")), "doc_id", pairs)
+      // the collapsed composition (identical dHashes -> one leader ->
+      // banded pairs -> components -> expand): provably the same labels
+      // as the uncollapsed pairs->componentsAuto chain, minus the
+      // C(m,2) pair listing inside identical-image classes
+      graft.multimodal.Multimodal.imageDupClusters(hashes, maxHamming = 3)
     },
     Some("""WITH RECURSIVE p AS (SELECT doc_id,
           9 * (1 + (doc_id % 251) % 4) AS w,

@@ -620,6 +620,25 @@ object Multimodal {
   def audioNearDups(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
     nearDupsByHash(hashes, "afp", hashBits = 32, maxHamming = maxHamming)
 
+  /** Image duplicate CLUSTERS at crawl scale: identical dHashes
+    * collapse to one leader before the banded pair listing (equal hash
+    * ⇒ Hamming 0 ⇒ edge, so the collapse is exact —
+    * [[graft.operators.Dedup.componentsCollapsedByKey]]), then
+    * [[imageNearDups]] pairs the leaders and components label them.
+    * Without the collapse, m byte-identical images (the million-member
+    * logo/placeholder classes every real crawl carries) cost C(m,2)
+    * pair rows before components even start — measured 25.9 s → 2.8 s
+    * at sf1.0 with cluster mass pushed 4× (800-member clusters), and
+    * the uncollapsed cost grows quadratically with cluster size where
+    * this stays flat (SCALE.md round-12 table). NULL
+    * hashes (declined decodes) stay singleton components. Output:
+    * (doc, component), one row per input hash row. */
+  def imageDupClusters(hashes: DataFrame, maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.componentsCollapsedByKey(
+      hashes.select(col("media_id"), col("dhash")), "media_id", "dhash",
+      leaders => imageNearDups(leaders, maxHamming)
+        .select(col("a").as("d1"), col("b").as("d2")))
+
   /** The shared banded near-dup core: a `hashBits`-bit hash splits into
     * 4 equal bands; by pigeonhole any pair within Hamming distance 3
     * agrees on a whole band, so candidates come from 4 hash-equijoins

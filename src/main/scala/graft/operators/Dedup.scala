@@ -173,8 +173,15 @@ object Dedup {
     * sharing. One posting scan is materialized and shared by the
     * signature build and both verify sides. */
   def minhashDuplicates(docs: DataFrame, idCol: String, textCol: String,
-                        threshold: Double, bands: Int = 4, ngram: Int = 3): DataFrame = {
-    val tok = postings(docs, idCol, textCol, ngram).localCheckpoint()
+                        threshold: Double, bands: Int = 4, ngram: Int = 3): DataFrame =
+    verifiedPairs(postings(docs, idCol, textCol, ngram).localCheckpoint(),
+      threshold, bands)
+
+  /** The candidate-first verify over an already-materialized (doc, hv)
+    * posting frame — shared by [[minhashDuplicates]] and the collapsed
+    * leader pipeline in [[nearDupKeepBest]]. */
+  private def verifiedPairs(tok: DataFrame, threshold: Double,
+                            bands: Int): DataFrame = {
     val cand = candidatesOf(signaturesOf(tok), bands)
     val sz = tok.groupBy(col("doc")).agg(count(lit(1)).as("n"))
     val inter = cand
@@ -853,6 +860,48 @@ object Dedup {
     } finally if (eager) grouped.unpersist(blocking = false)
   }
 
+  /** Connected components over an EQUALITY-COLLAPSED node set — the
+    * generic form of [[nearDupKeepBest]]'s exact-duplicate pre-collapse,
+    * for any clustering whose edge set is derived from a per-node key
+    * such that EQUAL (non-null) KEYS IMPLY AN EDGE (identical dHash ⇒
+    * Hamming 0, equal shingle sets ⇒ Jaccard 1, equal fingerprints ⇒
+    * exact dup). Under that contract, collapsing each key-equality
+    * class to its min-id leader, running pair generation + components
+    * over LEADERS only, and expanding labels through the class is
+    * provably identical to components over the full graph (a
+    * component's min member is its own class leader) — while the
+    * quadratic pair listing inside each class (C(m,2) pairs for m
+    * identical items; real crawls carry million-member identical-logo
+    * classes) disappears entirely.
+    *
+    * `pairsOf` receives the leader subset of `nodes` (all columns
+    * intact) and must return the pair set among those leaders as
+    * (d1, d2). NULL keys never collapse AND never pair (the decline
+    * contract of every hash producer here); null-key nodes come back
+    * as their own singleton components. Output: (doc, component) for
+    * every input node. */
+  def componentsCollapsedByKey(nodes: DataFrame, idCol: String,
+                               keyCol: String,
+                               pairsOf: DataFrame => DataFrame): DataFrame = {
+    val base = nodes.select(col(idCol).cast("long").as("doc"),
+      col(keyCol).as("__k"))
+    val keyed = base.where(col("__k").isNotNull)
+    val leaders = keyed.groupBy(col("__k")).agg(min(col("doc")).as("__leader"))
+    val docLeader = keyed.join(leaders, Seq("__k"))
+      .select(col("doc"), col("__leader")).localCheckpoint()
+    val leaderNodes = nodes.join(
+      docLeader.where(col("doc") === col("__leader"))
+        .select(col("doc").as("__ln")),
+      col(idCol).cast("long") === col("__ln")).drop("__ln")
+    val pairs = pairsOf(leaderNodes).select(col("d1"), col("d2"))
+    val labels = componentsAuto(leaderNodes.select(col(idCol)), idCol, pairs)
+    base.select(col("doc"))
+      .join(docLeader, Seq("doc"), "left")
+      .join(labels.select(col("doc").as("__leader"),
+        col("component").as("__c")), Seq("__leader"), "left")
+      .select(col("doc"), coalesce(col("__c"), col("doc")).as("component"))
+  }
+
   /** The production near-dup dedup pipeline in one call — pairs →
     * clusters → one representative per cluster: MinHash-LSH candidates
     * verified by true Jaccard ([[minhashDuplicates]], candidate-first),
@@ -868,16 +917,46 @@ object Dedup {
     * exchanges beyond one component-keyed window for the
     * representative pick (rank + size share the same partitioning, one
     * shuffle). Text never flows past the posting stage; the window
-    * carries (id, component, quality) only. */
+    * carries (id, component, quality) only.
+    *
+    * Exact-duplicate PRE-COLLAPSE (round-12): equal shingle SETS are
+    * Jaccard-1 near-dups at every threshold ≤ 1, so only one LEADER
+    * (min id) per set-equality class enters the quadratic candidate
+    * machinery; every member inherits its leader's component, which is
+    * provably the label the uncollapsed pipeline assigns (a component's
+    * min member is its own leader). Real crawls are exact-dup heavy
+    * (mirrors, reposts, templated pages): without the collapse a group
+    * of m byte-identical docs costs C(m,2) candidate-verify pairs —
+    * measured 80.7 s → 5.0 s (16×) on a 75%-duplicate sf0.1 corpus,
+    * identical output. The collapse itself is narrow: one
+    * hash-aggregate fingerprint (md5 of the sorted hv set) over the
+    * already-materialized postings and two long-only joins — raw text
+    * is never shuffled. Docs with no shingles (NULL/short text) never
+    * reach the posting table and stay their own singleton components,
+    * exactly as before. */
   def nearDupKeepBest(docs: DataFrame, idCol: String, textCol: String,
                       qualityCol: String, threshold: Double,
                       bands: Int = 4, ngram: Int = 3): DataFrame = {
-    val pairs = minhashDuplicates(docs, idCol, textCol, threshold, bands, ngram)
-      .select(col("d1"), col("d2"))
-    val labels = componentsAuto(docs.select(col(idCol)), idCol, pairs)
-    val labeled = labels.join(
-      docs.select(col(idCol).cast("long").as("doc"), col(qualityCol)),
+    val tok = postings(docs, idCol, textCol, ngram).localCheckpoint()
+    val fp = tok.groupBy(col("doc"))
+      .agg(md5(sort_array(collect_set(col("hv"))).cast("string")).as("__fp"))
+    val leaders = fp.groupBy(col("__fp")).agg(min(col("doc")).as("__leader"))
+    val docLeader = fp.join(leaders, Seq("__fp"))
+      .select(col("doc"), col("__leader")).localCheckpoint()
+    val leadTok = tok.join(
+      docLeader.where(col("doc") === col("__leader")).select(col("doc")),
       Seq("doc"))
+    val pairs = verifiedPairs(leadTok, threshold, bands)
+      .select(col("d1"), col("d2"))
+    val labels = componentsAuto(
+      docLeader.select(col("__leader").as("doc")).distinct(), "doc", pairs)
+    val labeled = docs
+      .select(col(idCol).cast("long").as("doc"), col(qualityCol))
+      .join(docLeader, Seq("doc"), "left")
+      .join(labels.select(col("doc").as("__leader"),
+        col("component").as("__comp")), Seq("__leader"), "left")
+      .select(col("doc"), col(qualityCol),
+        coalesce(col("__comp"), col("doc")).as("component"))
     val byComp = org.apache.spark.sql.expressions.Window
       .partitionBy(col("component"))
     labeled

@@ -747,6 +747,32 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageDupClusters: identical-hash collapse yields EXACTLY the " +
+      "uncollapsed pairs->components labels; null hashes stay singleton") {
+    import spark.implicits._
+    import graft.multimodal.Multimodal
+    val h0 = 0x123456789abcdef0L
+    val hA = 0x0f0f0f0f0f0f0f0fL
+    val hashes = Seq(
+      (1L, Some(h0)), (2L, Some(h0)), (3L, Some(h0)),  // identical class
+      (4L, Some(h0 ^ 0x3L)),       // hamming 2 -> chains into the class
+      (5L, Some(hA)), (6L, Some(hA)),                   // isolated identical pair
+      (7L, None),                                        // declined decode
+      (8L, Some(h0 ^ 0x1000100010001L)))                 // hamming 4 -> out
+      .toDF("media_id", "dhash")
+    val collapsed = Multimodal.imageDupClusters(hashes, maxHamming = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the uncollapsed composition: all pairs -> componentsAuto
+    val pairs = Multimodal.imageNearDups(hashes, maxHamming = 3)
+      .select(org.apache.spark.sql.functions.col("a").as("d1"), org.apache.spark.sql.functions.col("b").as("d2"))
+    val reference = graft.operators.Dedup.componentsAuto(
+        hashes.select(org.apache.spark.sql.functions.col("media_id").as("doc_id")), "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(collapsed == reference)
+    assert(collapsed == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+  }
+
   test("resampleAudio: exact midpoints on 2x upsample, per-channel " +
       "independence, untouched declines") {
     import spark.implicits._
