@@ -4997,6 +4997,41 @@ object Queries {
           AS n_tokens_main
       FROM t"""))
 
+  /** Internationalized-host URL dedup: every doc's URL appears as the
+    * Unicode host (`münchen{h}`), the UPPERCASE Unicode host behind a
+    * default port + trailing slash + fragment, or the pre-encoded
+    * `xn--mnchen{h}-n2a` ACE host — all three must land on one
+    * canonical (the ACE wire form). The expected punycode literals
+    * were verified against an independent encoder (Python stdlib) and
+    * the oracle recomputes the canonical from that formula, so an
+    * encoder drift, a missed uppercase fold, or an ACE-input
+    * double-encode all hash-mismatch. */
+  private val q155 = Q("q155_idn_host_dedup",
+    (s, d) => {
+      val g = col("doc_id") % 50
+      val v = col("doc_id") % 3
+      val h = (g % 7).cast("string")
+      val url = when(v === 0,
+          concat(lit("https://münchen"), h, lit(".example.com/cat?x=1")))
+        .when(v === 1,
+          concat(lit("https://MÜNCHEN"), h,
+            lit(".Example.COM:443/cat/?x=1#f")))
+        .otherwise(
+          concat(lit("https://xn--mnchen"), h, lit("-n2a.example.com/cat?x=1")))
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.UrlExprs.canonicalizeUrl(url).as("canonical_url"))
+        .groupBy(col("canonical_url"))
+        .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_dups"))
+    },
+    Some("""WITH u AS (SELECT doc_id, (doc_id % 50) % 7 AS h FROM documents),
+      c AS (SELECT doc_id,
+          'https://xn--mnchen' || h || '-n2a.example.com/cat?x=1'
+            AS canonical_url
+        FROM u)
+      SELECT canonical_url, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
+      FROM c GROUP BY canonical_url"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -5010,7 +5045,7 @@ object Queries {
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154)
+    q151, q152, q153, q154, q155)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

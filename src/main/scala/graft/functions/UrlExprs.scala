@@ -31,7 +31,11 @@ import org.apache.spark.sql.functions._
   *    introduce a delimiter (`/ ? # & = :` are reserved and stay
   *    escaped) — normalizing BEFORE parsing is safe by construction;
   *  - scheme and host lowercased; a trailing root-dot dropped
-  *    (`a.com.` ≡ `a.com` in DNS); a leading `www.` dropped;
+  *    (`a.com.` ≡ `a.com` in DNS); internationalized host labels fold
+  *    to their RFC 3492 `xn--` ACE form ([[IdnHostExpr]] — DNS's wire
+  *    form, so `bücher.example` and `xn--bcher-kva.example` collide;
+  *    ASCII hosts take a zero-cost fast path); a leading `www.`
+  *    dropped;
   *  - default ports stripped (`:80` for http, `:443` for https);
   *    any other explicit port is kept;
   *  - runs of `/` in the path collapsed to one; a single trailing `/`
@@ -43,11 +47,12 @@ import org.apache.spark.sql.functions._
   * NULL in → NULL out (expressions propagate). Non-URL garbage (no
   * `scheme://`) yields NULL rather than a fabricated canonical.
   *
-  * Known residual gap (documented, deliberate): `xn--` punycode hosts
-  * are not folded onto their Unicode form — IDNA is a stateful
-  * per-label algorithm, and the corpus-side cost/benefit does not
-  * justify it here; both forms still canonicalize stably, they just
-  * occupy two groups.
+  * Known residual gap (documented, deliberate): a host whose non-ASCII
+  * labels arrive PERCENT-ENCODED (`m%C3%BCnchen.example`) stays in its
+  * escaped form — RFC 3986 authorities should not carry raw UTF-8
+  * escapes, and decoding reserved-range escapes is unsound in general;
+  * such URLs still canonicalize stably, they just occupy their own
+  * group.
   */
 object UrlExprs {
 
@@ -89,7 +94,8 @@ object UrlExprs {
     val scheme = lower(regexp_extract(defrag, "^([A-Za-z][A-Za-z0-9+.\\-]*)://", 1))
     val authority = lower(regexp_extract(defrag, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1))
     val hostRaw = regexp_replace(authority, ":[0-9]+$", "")
-    val host = regexp_replace(regexp_replace(hostRaw, "\\.$", ""), "^www\\.", "")
+    val host = regexp_replace(
+      IdnHostExpr.idnHost(regexp_replace(hostRaw, "\\.$", "")), "^www\\.", "")
     val port = regexp_extract(authority, ":([0-9]+)$", 1)
     val portPart = when(
       port === "" ||
@@ -115,7 +121,7 @@ object UrlExprs {
       pctNormalize(regexp_replace(url, "#.*$", "")),
       "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1))
     val noPort = regexp_replace(authority, ":[0-9]+$", "")
-    val noDot = regexp_replace(noPort, "\\.$", "")
+    val noDot = IdnHostExpr.idnHost(regexp_replace(noPort, "\\.$", ""))
     when(noDot === "", lit(null).cast("string"))
       .otherwise(regexp_replace(noDot, "^www\\.", ""))
   }

@@ -79,6 +79,36 @@ class CrawlCurationSpec extends SparkSpec {
     assert(c.values.toSet == Set("https://site1.example.com/cat?a=1&b=2"))
   }
 
+  test("canonicalizeUrl: internationalized hosts fold to their xn-- ACE " +
+    "form (RFC 3492), colliding Unicode, uppercase-Unicode, and " +
+    "pre-encoded variants; ASCII and hostile labels untouched") {
+    // expected literals verified against an independent encoder
+    // (Python stdlib punycode/idna) — not against this implementation
+    val c = canon(
+      1L -> "https://bücher.example.com/p",
+      2L -> "https://xn--bcher-kva.example.com/p",
+      3L -> "https://BÜCHER.Example.com:443/p",
+      4L -> "https://münchen0.example.com/p",
+      5L -> "https://пример.example.com/p",
+      6L -> "https://例え.example.com/p",
+      7L -> "https://straße.example.com/p", // IDNA2008-leaning: ß kept
+      8L -> "https://mixed.bücher.ascii.com/p")
+    assert(c(1L) == "https://xn--bcher-kva.example.com/p")
+    assert(c(2L) == c(1L) && c(3L) == c(1L))
+    assert(c(4L) == "https://xn--mnchen0-n2a.example.com/p")
+    assert(c(5L) == "https://xn--e1afmkfd.example.com/p")
+    assert(c(6L) == "https://xn--r8jz45g.example.com/p")
+    assert(c(7L) == "https://xn--strae-oqa.example.com/p")
+    assert(c(8L) == "https://mixed.xn--bcher-kva.ascii.com/p")
+    // hostile: a label past the size guard survives lowercased, never throws
+    val huge = "ü" * 4000
+    val ch = canon(9L -> s"https://$huge.com/p")
+    assert(ch(9L) == s"https://$huge.com/p")
+    // idempotence through the full canonicalizer
+    val again = canon(1L -> c(4L))
+    assert(again(1L) == c(4L))
+  }
+
   test("canonicalHost / canonicalPath agree with the canonical URL") {
     val r = Seq((1L, "HTTP://WWW.Ex.COM:8080/a//b/?q=1#f")).toDF("id", "url")
       .select(UrlExprs.canonicalHost(col("url")).as("h"),
