@@ -5032,6 +5032,55 @@ object Queries {
       SELECT canonical_url, MIN(doc_id) AS keeper, COUNT(*) AS n_dups
       FROM c GROUP BY canonical_url"""))
 
+  /** robots.txt → policy verdict END-TO-END: raw robots bodies (with
+    * comments, CRLF-free multi-line groups, a decoy OtherBot group, a
+    * `*` group, and — on even hosts — a graftbot-specific group with a
+    * wildcard+anchor rule and an empty Allow) are PARSED per RFC 9309
+    * group selection and drive [[graft.operators.CrawlPolicy
+    * .applyPolicy]] over the messy-URL corpus. Even hosts must use
+    * ONLY the graftbot group (no star fallback: unmatched paths
+    * default-allow); odd hosts fall back to `*`. The oracle recomputes
+    * every verdict from the fixture formula, so a group-selection bug,
+    * a comment leak, a kept empty-value rule, or a dropped wildcard
+    * all hash-mismatch. */
+  private val q156 = Q("q156_robots_parse_policy",
+    (s, d) => {
+      import s.implicits._
+      val robots = (0 until 7).map { h =>
+        val base =
+          s"# synthetic robots for site$h\n" +
+            "User-agent: OtherBot\nDisallow: /\n\n" +
+            "User-agent: *\n" +
+            s"Disallow: /cat\nAllow: /cat/item$h\n"
+        val extra = if (h % 2 == 0)
+          "\nUser-agent: graftbot\nUser-agent: auditbot\n" +
+            s"Disallow: /cat/it*m${(h + 2) % 10}$$\n" +
+            s"Allow: /cat/item${(h + 1) % 10}\nAllow:\n"
+        else ""
+        (s"site$h.example.com", base + extra)
+      }.toDF("host", "body")
+      val parsed = graft.operators.CrawlPolicy.rulesFromRobots(
+        robots, "host", "body", agent = "graftbot")
+      val docs = documents(s, d).select(col("doc_id"), messyUrl.as("url"))
+      graft.operators.CrawlPolicy.applyPolicy(docs, "doc_id", "url", parsed)
+        .select(col("doc_id"), col("allowed").cast("int").as("allowed"),
+          col("matched_prefix"))
+    },
+    Some("""WITH u AS (SELECT doc_id, doc_id % 50 AS g FROM documents),
+      k AS (SELECT doc_id, g % 7 AS h, g % 10 AS m FROM u)
+      SELECT doc_id,
+        CAST(CASE WHEN h % 2 = 0 THEN
+               CASE WHEN m = (h + 2) % 10 THEN 0 ELSE 1 END
+             ELSE CASE WHEN m = h THEN 1 ELSE 0 END END AS INTEGER)
+          AS allowed,
+        CASE WHEN h % 2 = 0 THEN
+               CASE WHEN m = (h + 2) % 10 THEN '/cat/it*m' || m || '$'
+                    WHEN m = (h + 1) % 10 THEN '/cat/item' || m
+                    ELSE NULL END
+             ELSE CASE WHEN m = h THEN '/cat/item' || m ELSE '/cat' END
+        END AS matched_prefix
+      FROM k"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -5045,7 +5094,7 @@ object Queries {
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155)
+    q151, q152, q153, q154, q155, q156)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -81,6 +81,23 @@ object CrawlPolicy {
       .otherwise(acc =!= -1)
   }
 
+  /** Parse fetched robots.txt bodies into [[applyPolicy]]'s rules shape
+    * — the front half of the policy path: a crawl stores one
+    * (host, robots_body) row per site, [[graft.functions.RobotsTxtExpr]]
+    * extracts the rule group that applies to `agent` (RFC 9309 exact
+    * product-token match, `*` fallback), and one explode yields
+    * (host, prefix, allow). Hosts whose body gives the agent no rules
+    * disappear here and default-allow downstream, exactly the robots
+    * opt-out contract. Bodies never shuffle; the output is policy-
+    * config-sized and rides [[applyPolicy]]'s broadcast. */
+  def rulesFromRobots(robots: DataFrame, hostCol: String, bodyCol: String,
+                      agent: String = "*"): DataFrame =
+    robots.select(col(hostCol).as("host"),
+        explode(graft.functions.RobotsTxtExpr.robotsRules(col(bodyCol), agent))
+          .as("__r"))
+      .select(col("host"), col("__r.prefix").as("prefix"),
+        col("__r.allow").as("allow"))
+
   /** Annotate `docs` with the policy verdict.
     *
     * @param docs  corpus frame carrying `idCol` and `urlCol` (raw or

@@ -228,6 +228,72 @@ class CrawlCurationSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("CrawlPolicy"))
   }
 
+  private def rules(body: String, agent: String): Seq[(String, Boolean)] =
+    CrawlPolicy.rulesFromRobots(
+        Seq(("h.com", body)).toDF("host", "body"), "host", "body", agent)
+      .collect().map(r => (r.getString(1), r.getBoolean(2))).toSeq
+
+  test("rulesFromRobots: comments, blank lines inside groups, CRLF, " +
+    "case-insensitive directives, multi-agent groups, empty values") {
+    val body = "# robots for h.com\r\n" +
+      "User-agent: OtherBot\r\n" +
+      "Disallow: /\r\n" +
+      "\r\n" +
+      "user-AGENT: *\r\n" +
+      "\r\n" +                       // blank line does NOT close the group
+      "DISALLOW: /cat   # trailing comment\r\n" +
+      "Allow: /cat/ok\r\n" +
+      "Allow:\r\n" +                 // empty value: no rule
+      "Crawl-delay: 10\r\n" +
+      "not a directive line\r\n" +
+      "Sitemap: https://h.com/map.xml\r\n"
+    assert(rules(body, "graftbot") ==
+      Seq(("/cat", false), ("/cat/ok", true)))
+  }
+
+  test("rulesFromRobots: RFC 9309 group selection — exact product token " +
+    "beats *, an exact group with no rules allows everything (no star " +
+    "fallback), user-agent runs accumulate until a rule closes them") {
+    val body =
+      "User-agent: *\nDisallow: /\n" +
+      "User-agent: graftbot\nUser-agent: auditbot\n" +
+      "Disallow: /private\nAllow: /private/ok\n"
+    assert(rules(body, "graftbot") ==
+      Seq(("/private", false), ("/private/ok", true)))
+    assert(rules(body, "auditbot") == rules(body, "graftbot"))
+    assert(rules(body, "randombot") == Seq(("/", false)))
+    // a second user-agent line AFTER a rule starts a NEW group
+    val split = "User-agent: graftbot\nDisallow: /a\n" +
+      "User-agent: other\nDisallow: /b\n"
+    assert(rules(split, "graftbot") == Seq(("/a", false)))
+    // exact group exists but has no rules -> nothing applies, even
+    // though a * group would forbid everything
+    val emptyExact = "User-agent: *\nDisallow: /\n" +
+      "User-agent: graftbot\nAllow:\n"
+    assert(rules(emptyExact, "graftbot").isEmpty)
+    // hostile garbage never throws and yields no rules
+    assert(rules(" ::::\n#\n:::", "graftbot").isEmpty)
+  }
+
+  test("rulesFromRobots + applyPolicy compose: parsed wildcard rules " +
+    "drive the verdict end-to-end") {
+    val robots = Seq(
+      ("a.com", "User-agent: graftbot\nDisallow: /*.pdf$\nAllow: /docs\n"),
+      ("b.com", "User-agent: *\nDisallow: /\n")).toDF("host", "body")
+    val parsed = CrawlPolicy.rulesFromRobots(robots, "host", "body", "graftbot")
+    val docs = Seq(
+      (1L, "https://a.com/docs/x.pdf"),   // allow /docs (6) vs /*.pdf$ (7): disallow wins
+      (2L, "https://a.com/docs/x.txt"),   // only /docs matches -> allow
+      (3L, "https://a.com/free"),         // no rule -> allow
+      (4L, "https://b.com/anything"))     // * group for b.com, but we asked
+                                          // for graftbot: no exact group ->
+                                          // * applies -> disallow
+      .toDF("doc_id", "url")
+    val v = CrawlPolicy.applyPolicy(docs, "doc_id", "url", parsed)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(v == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false))
+  }
+
   test("applyPolicy plan: rules ride broadcast joins and the argmax " +
     "hash-aggregates (no SortAggregate — the packed-long ordering)") {
     val docs = (0L until 40L).map(i =>
