@@ -4973,17 +4973,25 @@ object Queries {
           "<p>© 2026</p>" +
           "<footer><a href=\"/tos\">Terms</a> <a href=\"/privacy\">" +
           "Privacy</a></footer></body></html>"))
-      val blocks = graft.functions.TextExprs.htmlBlocks(page)
-      documents(s, d).select(col("doc_id"),
-        graft.functions.TextExprs.htmlMainText(page).as("main_text"),
-        size(blocks).as("n_blocks"),
-        size(filter(blocks, b => b.getField("is_boilerplate")))
-          .as("n_boiler"),
-        aggregate(blocks, lit(0), (acc, b) =>
-          acc + when(b.getField("is_boilerplate"),
-            b.getField("n_words")).otherwise(0)).as("tokens_removed"),
-        size(graft.functions.TextExprs.tokens(
-          graft.functions.TextExprs.htmlMainText(page))).as("n_tokens_main"))
+      // materialize the block array ONCE as a named column: higher-order
+      // functions sit outside whole-stage codegen's subexpression
+      // elimination, so referencing htmlBlocks(page) per output column
+      // would re-run the whole block pipeline 5x per row
+      documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextExprs.htmlBlocks(page).as("__b"))
+        .select(col("doc_id"),
+          array_join(transform(
+            filter(col("__b"), b => !b.getField("is_boilerplate")),
+            b => b.getField("text")), "\n").as("main_text"),
+          size(col("__b")).as("n_blocks"),
+          size(filter(col("__b"), b => b.getField("is_boilerplate")))
+            .as("n_boiler"),
+          aggregate(col("__b"), lit(0), (acc, b) =>
+            acc + when(b.getField("is_boilerplate"),
+              b.getField("n_words")).otherwise(0)).as("tokens_removed"))
+        .withColumn("n_tokens_main",
+          size(graft.functions.TextExprs.tokens(col("main_text"))))
     },
     Some("""WITH t AS (SELECT doc_id, trim(text) AS tx FROM documents)
       SELECT doc_id,
