@@ -5089,6 +5089,53 @@ object Queries {
         END AS matched_prefix
       FROM k"""))
 
+  /** Control/format-char sanitization: every doc's text is wrapped in
+    * the full hostile-character taxonomy — leading ZWSP, NBSP, a CRLF,
+    * a soft hyphen splitting a word, a BEL control, a trailing ZWJ —
+    * and [[graft.functions.TextExprs.sanitizeText]] must strip/normalize
+    * exactly per contract. Every construct is RE2-compatible, so the
+    * oracle builds the identical wrapper with chr() and replays the
+    * identical regexp chain (q133's discipline): a missed class member,
+    * a wrong replacement, or an over-eager strip (tab/LF must survive)
+    * all hash-mismatch. */
+  private val q157 = Q("q157_text_sanitize",
+    (s, d) => {
+      val wrapped = concat(lit("\u200Bz\u00A0"), col("text"),
+        lit("\r\nli\tne\u00ADend\u0007tail\u200D"))
+      documents(s, d).select(col("doc_id"),
+          graft.functions.TextExprs.sanitizeText(wrapped).as("clean"),
+          length(wrapped).as("n_before"))
+        .withColumn("n_after", length(col("clean")))
+    },
+    Some("""WITH w AS (SELECT doc_id,
+          chr(8203) || 'z' || chr(160) || text || chr(13) || chr(10) ||
+          'li' || chr(9) || 'ne' || chr(173) || 'end' || chr(7) ||
+          'tail' || chr(8205) AS wrapped
+        FROM documents)
+      SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(wrapped, '\r\n', chr(10), 'g'),
+                '\r', chr(10), 'g'),
+              '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}\x{00AD}]', '', 'g'),
+            '[\x{00A0}\x{202F}\x{2007}]', ' ', 'g'),
+          '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}]',
+          '', 'g') AS clean,
+        CAST(length(wrapped) AS INTEGER) AS n_before,
+        CAST(length(regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(wrapped, '\r\n', chr(10), 'g'),
+                '\r', chr(10), 'g'),
+              '[\x{200B}\x{200C}\x{200D}\x{2060}\x{FEFF}\x{00AD}]', '', 'g'),
+            '[\x{00A0}\x{202F}\x{2007}]', ' ', 'g'),
+          '[\x{0000}-\x{0008}\x{000B}\x{000C}\x{000E}-\x{001F}\x{007F}-\x{009F}]',
+          '', 'g')) AS INTEGER) AS n_after
+      FROM w"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -5102,7 +5149,7 @@ object Queries {
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156)
+    q151, q152, q153, q154, q155, q156, q157)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -124,6 +124,36 @@ object TextExprs {
         b => b.getField("text")),
       "\n")
 
+  /** Control/format-character sanitization — the cleanup a crawl runs
+    * before tokenization and fingerprinting: invisible characters make
+    * visually-identical texts hash differently (breaking every dedup
+    * stage upstream of this) and leak into training data as garbage
+    * tokens. Pure codegen'd regexp chain, RE2-compatible by design so
+    * a SQL oracle replays it verbatim (q133's discipline):
+    *
+    *  1. CRLF → LF, then stray CR → LF (line semantics preserved);
+    *  2. zero-width/invisible format characters STRIP: ZWSP ZWNJ ZWJ
+    *     (U+200B..200D), WORD JOINER (U+2060), BOM/ZWNBSP (U+FEFF),
+    *     SOFT HYPHEN (U+00AD);
+    *  3. non-breaking space family → plain space: NBSP (U+00A0),
+    *     NNBSP (U+202F), FIGURE SPACE (U+2007);
+    *  4. remaining C0/C1 controls STRIP (tab and LF survive — they are
+    *     structure, not noise).
+    *
+    * Deliberately NOT here: NFC (that is [[UnicodeNorm.nfc]] — compose
+    * them in either order, both are idempotent), confusable folding
+    * (lossy, corpus-policy territory), emoji/variation selectors
+    * (meaningful content). Idempotent; NULL in → NULL out. */
+  def sanitizeText(text: Column): Column = {
+    val lf = regexp_replace(regexp_replace(text, "\r\n", "\n"), "\r", "\n")
+    val noZw = regexp_replace(lf,
+      "[\\x{200B}\\x{200C}\\x{200D}\\x{2060}\\x{FEFF}\\x{00AD}]", "")
+    val sp = regexp_replace(noZw, "[\\x{00A0}\\x{202F}\\x{2007}]", " ")
+    regexp_replace(sp,
+      "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}" +
+        "\\x{007F}-\\x{009F}]", "")
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Count of tokens contained in `vocab` (e.g. a stopword list). */

@@ -324,6 +324,41 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.toString.contains("BroadcastHashJoin"), plan.toString.take(800))
   }
 
+  test("q154: boilerplate block pipeline is a narrow scan — zero exchanges, " +
+      "and the block array is evaluated once (single Project chain)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val page = org.apache.spark.sql.functions.concat(
+      org.apache.spark.sql.functions.lit("<p>body words here for blocks "),
+      org.apache.spark.sql.functions.col("text"),
+      org.apache.spark.sql.functions.lit("</p><nav><a href=x>A</a></nav>"))
+    val out = docs
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.TextExprs.htmlBlocks(page).as("__b"))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          org.apache.spark.sql.functions.col("__b")).as("n_blocks"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(500))
+  }
+
+  test("q138/q155: URL canonicalization is scan-side — the only exchange " +
+      "is the canonical-string groupBy (escape + IDN folds add none)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = docs
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.functions.UrlExprs.canonicalizeUrl(
+          org.apache.spark.sql.functions.concat(
+            org.apache.spark.sql.functions.lit("https://bücher"),
+            (org.apache.spark.sql.functions.col("doc_id") % 7)
+              .cast("string"),
+            org.apache.spark.sql.functions.lit(".Example.com:443/a%2fb/%7Eu")))
+          .as("c"))
+      .groupBy("c").count()
+    val plan = finalPlan(out).toString
+    assert("Exchange".r.findAllIn(plan).size == 1, plan.take(800))
+    assert(!plan.contains("SortAggregate"), plan.take(800))
+  }
+
   test("whole-stage codegen covers the cleaning scan (native exprs fused)") {
     val synth = graft.etl.ReferenceShapedData.syntheticOrders(spark, sf)
     val stg = graft.etl.OrderEtl.toStaging(graft.etl.OrderEtl.cleanOrders(synth))

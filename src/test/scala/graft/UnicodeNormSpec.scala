@@ -40,6 +40,33 @@ class UnicodeNormSpec extends SparkSpec {
     assert(out(0).isNullAt(0))
   }
 
+  test("sanitizeText: zero-width/soft-hyphen strip, NBSP family to " +
+    "space, CRLF to LF, C0/C1 strip with tab+LF surviving; idempotent; " +
+    "composes with nfc") {
+    import graft.functions.TextExprs
+    def san(x: String): String = Seq((1L, x)).toDF("id", "t")
+      .select(TextExprs.sanitizeText($"t").as("c"))
+      .collect().head.getString(0)
+    assert(san("a\u200Bb\u200Cc\u200Dd\u2060e\uFEFFf\u00ADg") == "abcdefg")
+    assert(san("a\u00A0b\u202Fc\u2007d") == "a b c d")
+    assert(san("l1\r\nl2\rl3\nl4") == "l1\nl2\nl3\nl4")
+    assert(san("keep\ttab\nand lf\u0007\u009F!") == "keep\ttab\nand lf!")
+    val hostile = "\u200B x\u00A0y\r\n\u0000z\u00AD"
+    assert(san(san(hostile)) == san(hostile))
+    // order-independent with NFC (both idempotent, disjoint domains)
+    val mixed = "cafe\u0301\u200B\u00A0end"
+    val a = Seq((1L, mixed)).toDF("id", "t")
+      .select(graft.functions.UnicodeNorm.nfc(
+        TextExprs.sanitizeText($"t")).as("c")).collect().head.getString(0)
+    val b = Seq((1L, mixed)).toDF("id", "t")
+      .select(TextExprs.sanitizeText(
+        graft.functions.UnicodeNorm.nfc($"t")).as("c")).collect().head.getString(0)
+    assert(a == b && a == "caf\u00E9 end")
+    // null propagates
+    assert(Seq((1L, null: String)).toDF("id", "t")
+      .select(TextExprs.sanitizeText($"t")).collect()(0).isNullAt(0))
+  }
+
   test("evalNfc fast paths: all-ASCII returns the SAME instance (zero " +
     "alloc); normalized non-ASCII returns the input; decomposed composes") {
     import org.apache.spark.unsafe.types.UTF8String
