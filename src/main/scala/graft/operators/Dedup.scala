@@ -181,10 +181,18 @@ object Dedup {
     * posting frame — shared by [[minhashDuplicates]] and the collapsed
     * leader pipeline in [[nearDupKeepBest]]. */
   private def verifiedPairs(tok: DataFrame, threshold: Double,
-                            bands: Int): DataFrame = {
-    val cand = candidatesOf(signaturesOf(tok), bands)
-    val sz = tok.groupBy(col("doc")).agg(count(lit(1)).as("n"))
-    val inter = cand
+                            bands: Int): DataFrame =
+    verifyJaccard(tok, tok.groupBy(col("doc")).agg(count(lit(1)).as("n")),
+      candidatesOf(signaturesOf(tok), bands), threshold)
+
+  /** Jaccard-verify a GIVEN (d1, d2) pair set against the posting frame
+    * (candidate-restricted intersection, the round-9 shape); emits the
+    * pairs at or above `threshold`. Pairs sharing no shingle vanish at
+    * the inner intersection join — correct, since their Jaccard is 0
+    * and every caller filters at a positive threshold. */
+  private def verifyJaccard(tok: DataFrame, sz: DataFrame, pairs: DataFrame,
+                            threshold: Double): DataFrame = {
+    val inter = pairs
       .join(tok.select(col("doc").as("d1"), col("hv")), Seq("d1"))
       .join(tok.select(col("doc").as("d2"), col("hv")), Seq("d2", "hv"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
@@ -195,6 +203,100 @@ object Dedup {
         col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** How many LSH candidates per document the clustering path verifies
+    * in ONE pass before routing to [[componentsByAdaptiveVerify]]'s
+    * round-based plan. Sparse corpora (the normal case) stay on the
+    * single-pass verify; candidate-dense corpora (near-dup cliques)
+    * switch to adaptive. Pure plan choice — labels are identical. */
+  val AdaptiveVerifyRatio: Long = 16L
+
+  /** Upper estimate of the LSH candidate count: Σ over band buckets of
+    * C(m,2) (a pair colliding in several bands counts once per band,
+    * so this bounds the distinct-pair count from above — safe for
+    * routing). One aggregate over the small signature frame; no pair
+    * row is ever built. */
+  private def candidateMass(sig: DataFrame, bands: Int): Double = {
+    val k = MinhashParams.size
+    val rows = k / bands
+    val bandStructs = (0 until bands).map { bnd =>
+      val cols = (bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i"))
+      struct(lit(bnd).as("band"), md5(concat_ws("_", cols: _*)).as("bucket"))
+    }
+    sig.select(explode(array(bandStructs: _*)).as("bb"))
+      .groupBy(col("bb")).agg(count(lit(1)).as("m"))
+      .agg(coalesce(
+        sum(col("m").cast("double") * (col("m") - 1).cast("double") / 2.0),
+        lit(0.0)).as("mass"))
+      .head().getDouble(0)
+  }
+
+  /** EXACT component labels over the Jaccard-verified candidate graph
+    * WITHOUT verifying every candidate — the clique-floor fix
+    * (round 12, SCALE.md): a near-dup clique of k distinct docs makes
+    * the LSH candidate set C(k,2)-sized, but its COMPONENT structure
+    * needs only O(k) verified edges. Rounds: drop candidates whose
+    * endpoints already share a component (verifying them could never
+    * change the partition — the exactness argument), verify a bounded
+    * per-node selection of the survivors (fanout doubles each round, so
+    * false-positive-dense graphs still finish in O(log) rounds),
+    * accumulate true edges, relabel. Terminates because every round
+    * removes its selection from the candidate set; on round exhaustion
+    * the (tiny) remainder is verified outright — exactness never
+    * depends on the round budget. Labels equal components over the
+    * fully-verified graph (spec-gated against the one-pass path). */
+  private def componentsByAdaptiveVerify(nodes: DataFrame, tok: DataFrame,
+                                         sz: DataFrame, cand0: DataFrame,
+                                         threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("d1")).orderBy(col("d2"))
+    var cand = cand0
+    var edges: DataFrame = null
+    var labels = nodes.select(col("doc"), col("doc").as("component"))
+    var round = 0
+    val maxRounds = 40
+    var done = false
+    while (!done && round < maxRounds) {
+      val live = cand
+        .join(labels.select(col("doc").as("d1"), col("component").as("__c1")),
+          Seq("d1"))
+        .join(labels.select(col("doc").as("d2"), col("component").as("__c2")),
+          Seq("d2"))
+        .where(col("__c1") =!= col("__c2"))
+        .select(col("d1"), col("d2"))
+      val fanout = math.min(8L << round, 1L << 20).toInt
+      val sel = live.withColumn("__rn", row_number().over(w))
+        .where(col("__rn") <= fanout).select(col("d1"), col("d2"))
+        .localCheckpoint()
+      if (sel.isEmpty) done = true
+      else {
+        val verified = verifyJaccard(tok, sz, sel, threshold)
+          .select(col("d1"), col("d2"))
+        edges = (if (edges == null) verified
+          else edges.unionByName(verified)).localCheckpoint()
+        cand = cand.join(sel, Seq("d1", "d2"), "left_anti").localCheckpoint()
+        labels = componentsAuto(nodes, "doc",
+          edges.select(col("d1"), col("d2"))).localCheckpoint()
+        round += 1
+      }
+    }
+    if (!done) {
+      // round budget exhausted (pathological false-positive mass):
+      // verify everything still live in one pass — exact regardless
+      val live = cand
+        .join(labels.select(col("doc").as("d1"), col("component").as("__c1")),
+          Seq("d1"))
+        .join(labels.select(col("doc").as("d2"), col("component").as("__c2")),
+          Seq("d2"))
+        .where(col("__c1") =!= col("__c2"))
+        .select(col("d1"), col("d2"))
+      val rest = verifyJaccard(tok, sz, live, threshold)
+        .select(col("d1"), col("d2"))
+      val all = if (edges == null) rest else edges.unionByName(rest)
+      labels = componentsAuto(nodes, "doc", all)
+    }
+    labels
   }
 
   /** Directional containment pairs — the partial-duplicate detector
@@ -927,7 +1029,7 @@ object Dedup {
     * min member is its own leader). Real crawls are exact-dup heavy
     * (mirrors, reposts, templated pages): without the collapse a group
     * of m byte-identical docs costs C(m,2) candidate-verify pairs —
-    * measured 80.7 s → 5.0 s (16×) on a 75%-duplicate sf0.1 corpus,
+    * measured 80.7 s → 8.5 s on a 75%-duplicate sf0.1 corpus,
     * identical output. The collapse itself is narrow: one
     * hash-aggregate fingerprint (md5 of the sorted hv set) over the
     * already-materialized postings and two long-only joins — raw text
@@ -946,10 +1048,37 @@ object Dedup {
     val leadTok = tok.join(
       docLeader.where(col("doc") === col("__leader")).select(col("doc")),
       Seq("doc"))
-    val pairs = verifiedPairs(leadTok, threshold, bands)
-      .select(col("d1"), col("d2"))
-    val labels = componentsAuto(
-      docLeader.select(col("__leader").as("doc")).distinct(), "doc", pairs)
+    // signatures are k longs per leader — the ONE thing worth
+    // materializing up front: the routing probe, the leader node set,
+    // and candidate generation on either route all read them
+    val sig = signaturesOf(leadTok).localCheckpoint()
+    val nLeaders = sig.count()
+    val leaderNodes = sig.select(col("doc"))
+    // route by candidate MASS, estimated from band-bucket sizes
+    // (Σ C(m,2) per bucket — one cheap aggregate over the checkpointed
+    // signatures, never building a pair row): sparse graphs verify in
+    // one lazy plan exactly as before; a candidate-dense graph
+    // (near-dup CLIQUE: C(k,2) candidates for k mutually-similar
+    // leaders) takes the adaptive rounds, which label the same
+    // components after O(k log k) verifications instead of C(k,2) —
+    // measured 146.9 s -> 25.2 s on the sf1.0 shared-boilerplate
+    // fixture, and the 10x-bigger clique costs only 3x the 1x-clique
+    // time (SCALE.md round 12)
+    val labels =
+      if (candidateMass(sig, bands) <=
+          AdaptiveVerifyRatio.toDouble * math.max(nLeaders, 1L))
+        componentsAuto(leaderNodes, "doc",
+          verifyJaccard(leadTok,
+            leadTok.groupBy(col("doc")).agg(count(lit(1)).as("n")),
+            candidatesOf(sig, bands), threshold)
+            .select(col("d1"), col("d2")))
+      else {
+        val ltk = leadTok.localCheckpoint()
+        val szL = ltk.groupBy(col("doc")).agg(count(lit(1)).as("n"))
+          .localCheckpoint()
+        componentsByAdaptiveVerify(leaderNodes, ltk, szL,
+          candidatesOf(sig, bands).localCheckpoint(), threshold)
+      }
     val labeled = docs
       .select(col(idCol).cast("long").as("doc"), col(qualityCol))
       .join(docLeader, Seq("doc"), "left")

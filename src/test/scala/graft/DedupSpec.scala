@@ -466,4 +466,39 @@ class DedupSpec extends SparkSpec {
       .where(out("component") =!= labels("component"))
     assert(mismatches.count() == 0)
   }
+
+  test("nearDupKeepBest adaptive route: a candidate-dense near-dup " +
+    "clique of DISTINCT texts labels exactly like the one-pass " +
+    "pair-list + components composition") {
+    import spark.implicits._
+    // 50 mutually-similar distinct texts (shared filler, unique tail
+    // token: pairwise Jaccard ~0.7) force C(50,2) LSH candidates over
+    // 60 leaders — past AdaptiveVerifyRatio, so the adaptive rounds
+    // run; 10 isolated docs must stay singletons through it
+    val filler = "alpha beta gamma delta epsilon zeta eta theta iota " +
+      "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val rows = (0L until 60L).map { i =>
+      val text = if (i < 50) s"$filler unique$i"
+        else s"isolated$i totally unrelated words x${i}a y${i}b z${i}c"
+      (i, text, (i % 7).toInt)
+    }
+    val cdocs = rows.toDF("doc_id", "text", "q")
+    val out = Dedup.nearDupKeepBest(cdocs, "doc_id", "text", "q", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // reference: full pair list -> components -> keep-best in Scala
+    val pairs = Dedup.minhashDuplicates(cdocs, "doc_id", "text", 0.4)
+      .select(col("d1"), col("d2"))
+    val labels = Dedup.componentsAuto(cdocs.select(col("doc_id")),
+        "doc_id", pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val q = rows.map(r => r._1 -> r._3).toMap
+    val want = labels.groupBy(_._2).map { case (comp, ms) =>
+      val members = ms.keys.toSeq
+      val rep = members.minBy(d => (-q(d), d))
+      (comp, rep, members.size.toLong)
+    }.toSet
+    assert(out == want)
+    // the clique collapsed to ONE cluster of 50 and 10 singletons
+    assert(out.size == 11 && out.exists(_._3 == 50L))
+  }
 }
