@@ -404,6 +404,45 @@ class PropertySpec extends SparkSpec {
       "one two three four five")
   }
 
+  test("robots parser hostility: random directive soup never throws, " +
+    "every emitted rule is non-empty, and parsing is deterministic") {
+    val frag = Gen.oneOf(
+      "User-agent: *", "User-agent: graftbot", "user-agent:", "User-agent: A",
+      "Disallow: /a", "Allow: /b", "Disallow:", "Allow: ", "allow: /c$",
+      "Disallow: /*.pdf$", "# comment", "", "   ", "no colon here",
+      ":", "::", "Crawl-delay: 3", "Sitemap: http://x/map", "\t Allow: /d",
+      "USER-AGENT: GRAFTBOT", "Disallow: /e # tail")
+    val bodyGen = Gen.listOfN(12, frag).map(_.mkString("\n"))
+    val bodies = sample(bodyGen, 120).zipWithIndex
+      .map { case (b, i) => (i.toLong, b) }
+    val df = bodies.toDF("id", "body")
+    def parse() = graft.operators.CrawlPolicy
+      .rulesFromRobots(df.select(concat(lit("h"), $"id").as("host"), $"body"),
+        "host", "body", "graftbot")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+      .toSeq.sorted
+    val r1 = parse()
+    assert(r1.forall(_._2.nonEmpty)) // empty-value rules never leak
+    assert(r1 == parse())            // deterministic
+  }
+
+  test("IDN host fold is idempotent on fuzzed hosts and never throws") {
+    val label = Gen.oneOf("ascii", "büch", "пример", "例", "xn--bcher-kva",
+      "UPPER", "MÜnch", "a-b", "", "ü" * 70, "mix3d9")
+    val hostGen = Gen.listOfN(3, label).map(_.mkString("."))
+    val hosts = sample(hostGen, 150).zipWithIndex
+      .map { case (h, i) => (i.toLong, s"https://$h/p") }
+    val once = hosts.toDF("id", "url")
+      .select($"id", graft.functions.UrlExprs.canonicalizeUrl($"url").as("c1"))
+    val twice = once.select($"id", $"c1",
+      graft.functions.UrlExprs.canonicalizeUrl($"c1").as("c2"))
+    twice.collect().foreach { r =>
+      val c1 = if (r.isNullAt(1)) null else r.getString(1)
+      val c2 = if (r.isNullAt(2)) null else r.getString(2)
+      assert(c1 == c2, s"IDN fold not a fixed point: $c1 -> $c2")
+    }
+  }
+
   test("codec hostility: every prefix and random corruption of valid " +
       "containers decodes to None or a value, never throws") {
     // the 100 TB crawl contract: a truncated upload or a bit-flipped
