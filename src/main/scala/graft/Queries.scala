@@ -5136,6 +5136,66 @@ object Queries {
           '', 'g')) AS INTEGER) AS n_after
       FROM w"""))
 
+  /** Fixed PQ codebook for the q158 gate: 8 subspaces × 16 centroids ×
+    * 8 dims of exact dyadic values (n/32), so every literal is
+    * bit-identical across engines. The gate pins ENCODE (per-subspace
+    * argmin, first-index ties) and ADC (distance-table lookups summed
+    * in subspace order) — the trained-codebook path shares every line
+    * of that machinery and is spec-gated for determinism
+    * (PqIndexSpec). */
+  private val PqCb: Array[Array[Array[Double]]] = Array.tabulate(8, 16, 8) {
+    (j, c, d) => (((j * 31 + c * 17 + d * 7) % 41) - 20) / 32.0
+  }
+
+  /** Product-quantization ADC search end-to-end: encode the embeddings
+    * corpus to 8 4-bit-range codes each, search 10 unquantized queries
+    * by asymmetric distance. The oracle recomputes the per-subspace
+    * argmin codes (list_position of list_min — the kernel's first-
+    * index tie rule), every subspace distance in the identical fold
+    * order, and the (adc asc, id) top-5 — so a wrong code, a
+    * transposed table lookup, or a fold-order drift all
+    * hash-mismatch. */
+  private val q158 = Q("q158_pq_adc_search",
+    (s, d) => {
+      val model = graft.operators.PqIndex.Model(PqCb)
+      val emb = embeddings(s, d)
+      val codes = graft.operators.PqIndex.encode(emb, "vec_id", "embedding", model)
+      graft.operators.PqIndex.search(codes, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", model, kTop = 5)
+    },
+    Some {
+      val cbLit = PqCb.map(cb => cb.map(ct => ct.mkString("[", ", ", "]"))
+        .mkString("[", ", ", "]")).mkString("[", ", ", "]")
+      s"""WITH cbl AS (SELECT $cbLit AS cb),
+        c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10),
+        codes AS (SELECT n_id,
+            list_transform(range(8), j ->
+              list_position(
+                list_transform(cb[j+1], ct ->
+                  list_sum(list_transform(range(8), d ->
+                    (cv[j*8+d+1] - ct[d+1]) * (cv[j*8+d+1] - ct[d+1])))),
+                list_min(list_transform(cb[j+1], ct ->
+                  list_sum(list_transform(range(8), d ->
+                    (cv[j*8+d+1] - ct[d+1]) * (cv[j*8+d+1] - ct[d+1]))))))
+              - 1) AS code
+          FROM c CROSS JOIN cbl),
+        scored AS (SELECT q_id, n_id,
+            list_sum(list_transform(range(8), j ->
+              list_sum(list_transform(range(8), d ->
+                (qv[j*8+d+1] - cb[j+1][code[j+1]+1][d+1]) *
+                (qv[j*8+d+1] - cb[j+1][code[j+1]+1][d+1]))))) AS adc
+          FROM q CROSS JOIN codes CROSS JOIN cbl
+          WHERE q_id <> n_id),
+        r AS (SELECT q_id, n_id, adc,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY adc, n_id) AS rank
+          FROM scored)
+        SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, ROUND(adc, 6) AS adc
+        FROM r WHERE rank <= 5"""
+    })
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -5149,7 +5209,7 @@ object Queries {
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157)
+    q151, q152, q153, q154, q155, q156, q157, q158)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,152 @@
+package graft.operators
+
+import graft.functions.VectorNative
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for ANN at memory scale (Jégou, Douze,
+  * Schmid, "Product Quantization for Nearest Neighbor Search", TPAMI
+  * 2011 — public literature): split each d-dim vector into `m`
+  * subvectors, k-means each subspace to `k` centroids, store each
+  * vector as m small codes (m bytes at k ≤ 256) instead of d floats —
+  * a 64-float embedding compresses 32× at m=8/k=16. Search is ADC
+  * (asymmetric distance computation): the query stays UNquantized, a
+  * per-query m×k table of exact subspace distances is built once, and
+  * each candidate's approximate L2² is m table lookups.
+  *
+  * Scale shape: encoding is one narrow scan (per-subspace argmin via
+  * the SAME native `nearest_centroid` kernel IVF uses — no new
+  * expression); the code table is the only thing that persists or
+  * shuffles (ids + m small ints, never vectors). ADC search broadcasts
+  * the query batch WITH its precomputed distance tables (bounded by
+  * [[MaxBroadcastQueries]], the IvfIndex guard) and scans codes — PQ
+  * alone is deliberately an exhaustive compressed scan (that is its
+  * contract: memory-bound, not candidate-bound); at 100 TB compose it
+  * with [[IvfIndex]] cells (filter the code table to probed cells
+  * first — codes carry the id, so the join is id-keyed and narrow).
+  *
+  * Training mirrors [[IvfIndex.train]]'s deterministic protocol
+  * (bounded driver sample, first-k init, fixed Lloyd rounds) run
+  * independently per subspace. */
+object PqIndex {
+
+  final case class Model(codebooks: Array[Array[Array[Double]]]) {
+    require(codebooks.nonEmpty, "PQ model: no subspaces")
+    require(codebooks.forall(_.nonEmpty), "PQ model: empty codebook")
+    require(codebooks.forall(_.length == codebooks(0).length),
+      "PQ model: ragged centroid counts across subspaces")
+    require(codebooks.forall(cb => cb.forall(_.length == cb(0).length)),
+      "PQ model: ragged centroid dimensions")
+    /** Subspace count. */
+    def m: Int = codebooks.length
+    /** Centroids per subspace. */
+    def k: Int = codebooks(0).length
+    /** Dimensions per subspace. */
+    def ds: Int = codebooks(0)(0).length
+    /** Full embedding dimensionality this model quantizes. */
+    def dim: Int = m * ds
+  }
+
+  /** Same bound and rationale as [[IvfIndex.MaxBroadcastQueries]]. */
+  val MaxBroadcastQueries: Long = IvfIndex.MaxBroadcastQueries
+
+  /** Deterministic per-subspace k-means over one driver-collected
+    * sample (shared across subspaces — one collect, not m). */
+  def train(corpus: DataFrame, vecCol: String, m: Int, k: Int,
+            sampleSize: Int = 2000, iters: Int = 8): Model = {
+    require(m > 0 && k > 0, s"PQ train: m=$m k=$k must be positive")
+    val sample = corpus.select(col(vecCol).cast("array<double>"))
+      .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k, s"PQ train: need >= $k sample vectors")
+    val dim = sample(0).length
+    require(sample.forall(_.length == dim), "PQ train: ragged sample dims")
+    require(dim % m == 0, s"PQ train: dim $dim not divisible by m=$m")
+    val ds = dim / m
+    val codebooks = Array.tabulate(m) { j =>
+      val sub = sample.map(v => java.util.Arrays.copyOfRange(v, j * ds, (j + 1) * ds))
+      var cent = sub.take(k).map(_.clone())
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(k)(new Array[Double](ds))
+        val counts = new Array[Long](k)
+        sub.foreach { v =>
+          val c = nearestSub(cent, v)
+          counts(c) += 1
+          var i = 0
+          while (i < ds) { sums(c)(i) += v(i); i += 1 }
+        }
+        cent = cent.indices.map { c =>
+          if (counts(c) == 0) cent(c) else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cent
+    }
+    Model(codebooks)
+  }
+
+  private def nearestSub(cent: Array[Array[Double]], v: Array[Double]): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cent.length) {
+      var d = 0.0
+      var i = 0
+      val w = cent(c)
+      while (i < v.length) { val t = v(i) - w(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Encode: (pq_id, pq_code array<int> of length m) — one narrow scan,
+    * per-subspace argmin through the native `nearest_centroid` kernel
+    * (first index wins ties, dimension mismatches fail loudly per row,
+    * same contract as IVF assignment). */
+  def encode(corpus: DataFrame, idCol: String, vecCol: String,
+             model: Model): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val codes = array((0 until model.m).map { j =>
+      VectorNative.nearestCentroid(
+        slice(v, j * model.ds + 1, model.ds), model.codebooks(j).toSeq)
+    }: _*)
+    corpus.select(col(idCol).as("pq_id"), codes.as("pq_code"))
+  }
+
+  /** ADC top-k: per query build the m×k exact subspace distance table
+    * once (query side — small, broadcast), then every candidate costs m
+    * lookups. Output: (q_id, rank, n_id, adc) with adc = approximate
+    * L2² rounded at 6 decimals, rank by (adc asc, n_id asc), self-match
+    * excluded. Queries past [[MaxBroadcastQueries]] drop the broadcast
+    * hint exactly like [[IvfIndex.search]]. */
+  def search(codes: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, model: Model, kTop: Int): DataFrame = {
+    require(kTop > 0, s"PQ search: kTop must be positive: $kTop")
+    val qv = col(vecCol).cast("array<double>")
+    val dtab = array((0 until model.m).map { j =>
+      val sub = slice(qv, j * model.ds + 1, model.ds)
+      array((0 until model.k).map { c =>
+        val cent = model.codebooks(j)(c).toSeq
+        aggregate(
+          zip_with(sub, typedlit(cent), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*)
+    }: _*)
+    val qdf = queries.select(col(idCol).as("q_id"), dtab.as("__dtab"))
+    val small = queries.limit((MaxBroadcastQueries + 1).toInt).count() <=
+      MaxBroadcastQueries
+    val qside = if (small) broadcast(qdf) else qdf
+    val adc = (0 until model.m).map { j =>
+      element_at(element_at(col("__dtab"), j + 1),
+        element_at(col("pq_code"), j + 1) + 1)
+    }.reduce(_ + _)
+    val scored = codes.crossJoin(qside)
+      .where(col("q_id") =!= col("pq_id"))
+      .select(col("q_id"), col("pq_id").as("n_id"), adc.as("__adc"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("__adc"), col("n_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= kTop)
+      .select(col("q_id"), col("rank"), col("n_id"),
+        round(col("__adc"), 6).as("adc"))
+  }
+}

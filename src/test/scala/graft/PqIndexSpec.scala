@@ -1,0 +1,89 @@
+package graft
+
+import graft.operators.PqIndex
+import org.apache.spark.sql.functions._
+
+/** Product quantization: encode/ADC exactness on perfectly-quantizable
+  * fixtures, training determinism, and the loud-refusal envelope. */
+class PqIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  // exact dyadic codebook: 4 subspaces x 4 centroids x 2 dims
+  private val cb: Array[Array[Array[Double]]] = Array.tabulate(4, 4, 2) {
+    (j, c, d) => if (d == 0) j + c * 0.25 else c * 0.5 - 1.0
+  }
+  private val model = PqIndex.Model(cb)
+
+  // vectors ARE centroid concatenations: code of vec i in subspace j is
+  // (i + j) % 4, so encode is fully determined and ADC == exact L2²
+  private def vec(i: Int): Array[Float] =
+    (0 until 4).flatMap { j =>
+      cb(j)((i + j) % 4).map(_.toFloat)
+    }.toArray
+
+  private lazy val corpus =
+    (0 until 20).map(i => (i.toLong, vec(i))).toDF("vec_id", "embedding")
+
+  test("encode recovers the constructed codes exactly (first-index tie " +
+    "rule, native kernel per subspace)") {
+    val got = PqIndex.encode(corpus, "vec_id", "embedding", model)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    (0 until 20).foreach { i =>
+      assert(got(i.toLong) == (0 until 4).map(j => (i + j) % 4), s"vec $i")
+    }
+  }
+
+  test("ADC search on perfectly-quantized vectors equals brute-force L2 " +
+    "ranking exactly (adc IS the true squared distance)") {
+    val codes = PqIndex.encode(corpus, "vec_id", "embedding", model)
+    val queries = corpus.where(col("vec_id") < 4)
+    val got = PqIndex.search(codes, queries, "vec_id", "embedding", model,
+        kTop = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sorted.toSeq
+    val vs = (0 until 20).map(i => i.toLong -> vec(i).map(_.toDouble)).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val want = (0L until 4L).flatMap { q =>
+      (0L until 20L).filter(_ != q)
+        .map(n => (n, l2(vs(q), vs(n))))
+        .sortBy { case (n, d) => (d, n) }
+        .take(5).zipWithIndex
+        .map { case ((n, d), r) =>
+          (q, r + 1, n, math.rint(d * 1e6) / 1e6)
+        }
+    }.sorted
+    assert(got == want)
+  }
+
+  test("train is deterministic, partitions the dimensionality, and " +
+    "refuses bad shapes loudly") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val m1 = PqIndex.train(emb, "embedding", m = 8, k = 16)
+    val m2 = PqIndex.train(emb, "embedding", m = 8, k = 16)
+    assert(m1.m == 8 && m1.k == 16 && m1.ds == 8 && m1.dim == 64)
+    m1.codebooks.zip(m2.codebooks).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(x.toSeq == y.toSeq) }
+    }
+    // trained codes cover a reasonable spread (not all vectors in one cell)
+    val codes = PqIndex.encode(emb, "vec_id", "embedding", m1)
+      .select(explode(col("pq_code")).as("c"))
+      .distinct().collect().map(_.getInt(0))
+    assert(codes.forall(c => c >= 0 && c < 16) && codes.length > 4)
+    intercept[IllegalArgumentException] {
+      PqIndex.train(emb, "embedding", m = 7, k = 4) // 64 % 7 != 0
+    }
+    intercept[IllegalArgumentException] {
+      PqIndex.train(emb.limit(3), "embedding", m = 8, k = 16) // k > sample
+    }
+    // encode against a wrong-dimensionality vector fails loudly per row
+    val bad = Seq((1L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      PqIndex.encode(bad, "vec_id", "embedding", m1).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("dimension mismatch")), msgs(e))
+  }
+}
