@@ -5196,6 +5196,28 @@ object Queries {
         FROM r WHERE rank <= 5"""
     })
 
+  /** IVFADC — the IVF × PQ composition (the PQ paper's production
+    * shape, and the one a 100 TB corpus actually runs): IVF cells
+    * prune candidates, PQ codes compress the distance arithmetic
+    * inside probed cells. nProbe = all cells makes the pruning a
+    * no-op, so the oracle is q158's exhaustive ADC contract VERBATIM —
+    * a lost cell, a mis-joined code row, or a probe-dedup bug changes
+    * some neighbor and fails the hash (q47/q146's trick applied to the
+    * composition). The pruned-probe path is spec-gated (adc values
+    * identical to the exhaustive scan on the survivors). */
+  private val q159 = Q("q159_pq_ivf_adc",
+    (s, d) => {
+      val pq = graft.operators.PqIndex.Model(PqCb)
+      val emb = embeddings(s, d)
+      val ivf = graft.operators.IvfIndex.train(emb, "embedding", k = 16)
+      val codes = graft.operators.PqIndex.encode(emb, "vec_id", "embedding", pq)
+      val cells = graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", ivf)
+      graft.operators.PqIndex.searchInCells(codes, cells,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding",
+        ivf, pq, kTop = 5, nProbe = 16)
+    },
+    q158.oracle)
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -5209,7 +5231,7 @@ object Queries {
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -142,6 +142,53 @@ object PqIndex {
     val scored = codes.crossJoin(qside)
       .where(col("q_id") =!= col("pq_id"))
       .select(col("q_id"), col("pq_id").as("n_id"), adc.as("__adc"))
+    rankTop(scored, kTop)
+  }
+
+  /** The 100 TB composition: IVF cells prune the candidate set, PQ
+    * codes compress the distance computation inside the probed cells —
+    * the IVF-ADC shape from the PQ paper (IVFADC). `cells` is
+    * [[IvfIndex.assign]]'s (n_id, …, cell) frame (or loaded postings);
+    * only its (n_id, cell) columns are read, so the full vectors never
+    * join. Probe selection is the same distributed `nearest_cells`
+    * explode IVF search uses; the candidate join is cell-keyed, then
+    * each survivor costs m table lookups. With nProbe = all cells this
+    * degenerates to [[search]] exactly (the q159 oracle trick). */
+  def searchInCells(codes: DataFrame, cells: DataFrame, queries: DataFrame,
+                    idCol: String, vecCol: String, ivf: IvfIndex.Model,
+                    pq: Model, kTop: Int, nProbe: Int): DataFrame = {
+    require(kTop > 0, s"PQ searchInCells: kTop must be positive: $kTop")
+    require(pq.dim == ivf.dim,
+      s"PQ searchInCells: PQ dim ${pq.dim} != IVF dim ${ivf.dim}")
+    val qv = col(vecCol).cast("array<double>")
+    val dtab = array((0 until pq.m).map { j =>
+      val sub = slice(qv, j * pq.ds + 1, pq.ds)
+      array((0 until pq.k).map { c =>
+        val cent = pq.codebooks(j)(c).toSeq
+        aggregate(
+          zip_with(sub, typedlit(cent), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*)
+    }: _*)
+    val probes = queries.select(col(idCol).as("q_id"), dtab.as("__dtab"),
+      explode(VectorNative.nearestCells(col(vecCol), ivf.centroids.toSeq,
+        nProbe)).as("cell"))
+    val small = queries.limit((MaxBroadcastQueries + 1).toInt).count() <=
+      MaxBroadcastQueries
+    val qside = if (small) broadcast(probes) else probes
+    val cand = codes
+      .join(cells.select(col("n_id").as("pq_id"), col("cell")), Seq("pq_id"))
+      .join(qside, Seq("cell"))
+      .where(col("q_id") =!= col("pq_id"))
+    val adc = (0 until pq.m).map { j =>
+      element_at(element_at(col("__dtab"), j + 1),
+        element_at(col("pq_code"), j + 1) + 1)
+    }.reduce(_ + _)
+    rankTop(cand.select(col("q_id"), col("pq_id").as("n_id"),
+      adc.as("__adc")), kTop)
+  }
+
+  private def rankTop(scored: DataFrame, kTop: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("__adc"), col("n_id"))
     scored.withColumn("rank", row_number().over(w))

@@ -56,6 +56,35 @@ class PqIndexSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("searchInCells: all-cells probe equals the exhaustive ADC search " +
+    "exactly; a pruned probe returns a subset with identical adc values") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val pq = PqIndex.train(emb, "embedding", m = 8, k = 16)
+    val ivf = graft.operators.IvfIndex.train(emb, "embedding", k = 8)
+    val codes = PqIndex.encode(emb, "vec_id", "embedding", pq)
+    val cells = graft.operators.IvfIndex
+      .assign(emb, "vec_id", "embedding", ivf)
+    val queries = emb.where(col("vec_id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sorted.toSeq
+    val full = rows(PqIndex.search(codes, queries, "vec_id", "embedding",
+      pq, kTop = 5))
+    val allCells = rows(PqIndex.searchInCells(codes, cells, queries,
+      "vec_id", "embedding", ivf, pq, kTop = 5, nProbe = 8))
+    assert(allCells == full)
+    val pruned = PqIndex.searchInCells(codes, cells, queries,
+      "vec_id", "embedding", ivf, pq, kTop = 5, nProbe = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    val fullAdc = PqIndex.search(codes, queries, "vec_id", "embedding",
+      pq, kTop = 1000)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    assert(pruned.nonEmpty)
+    pruned.foreach { case (k, adc) =>
+      assert(fullAdc(k) == adc, s"adc drift for $k")
+    }
+  }
+
   test("train is deterministic, partitions the dimensionality, and " +
     "refuses bad shapes loudly") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
