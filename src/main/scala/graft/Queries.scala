@@ -5218,6 +5218,37 @@ object Queries {
     },
     q158.oracle)
 
+  /** PQ shortlist → exact re-rank, gated at the identity point: with
+    * the shortlist covering the corpus the re-rank IS exact brute-force
+    * L2, so the oracle is the plain exhaustive top-5 by squared
+    * distance — the whole shortlist plumbing (ADC ranking, id join
+    * back to raw vectors, exact re-score, re-rank) must be invisible
+    * or the hash breaks. Realistic-shortlist behavior (top-k of the PQ
+    * shortlist only) is spec-gated in PqIndexSpec. */
+  private val q160 = Q("q160_pq_rerank",
+    (s, d) => {
+      val pq = graft.operators.PqIndex.Model(PqCb)
+      val emb = embeddings(s, d)
+      val codes = graft.operators.PqIndex.encode(emb, "vec_id", "embedding", pq)
+      graft.operators.PqIndex.searchRerank(codes, emb,
+        emb.where(col("vec_id") < 10), "vec_id", "embedding", pq,
+        kTop = 5, shortlist = 1000000)
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings),
+        scored AS (SELECT q_id, n_id,
+            list_sum(list_transform(range(64), i ->
+              (qv[i+1] - cv[i+1]) * (qv[i+1] - cv[i+1]))) AS l2sq
+          FROM q CROSS JOIN c WHERE q_id <> n_id),
+        r AS (SELECT q_id, n_id, l2sq,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY l2sq, n_id) AS rank
+          FROM scored)
+        SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id,
+          ROUND(l2sq, 6) AS l2sq
+        FROM r WHERE rank <= 5"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -5231,7 +5262,7 @@ object Queries {
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -188,6 +188,36 @@ object PqIndex {
       adc.as("__adc")), kTop)
   }
 
+  /** PQ shortlist → EXACT re-rank — the production retrieval tail:
+    * ADC distances are quantized approximations, so real pipelines take
+    * a generous PQ shortlist (`shortlist` ≥ 3–10× kTop) and re-score
+    * just those candidates against the RAW vectors. The expensive exact
+    * arithmetic runs on |queries|×shortlist rows instead of the corpus;
+    * the corpus-side join back to vectors is id-keyed. Output:
+    * (q_id, rank, n_id, l2sq) by exact squared L2, self excluded. With
+    * `shortlist` ≥ |corpus| this IS exact brute-force search (the q160
+    * oracle identity); at realistic shortlists the result is contained
+    * in it (spec-gated). */
+  def searchRerank(codes: DataFrame, corpus: DataFrame, queries: DataFrame,
+                   idCol: String, vecCol: String, model: Model,
+                   kTop: Int, shortlist: Int): DataFrame = {
+    require(shortlist >= kTop,
+      s"PQ rerank: shortlist $shortlist < kTop $kTop")
+    val short = search(codes, queries, idCol, vecCol, model, shortlist)
+      .select(col("q_id"), col("n_id"))
+    val qv = queries.select(col(idCol).as("q_id"),
+      col(vecCol).cast("array<double>").as("__qv"))
+    val nv = corpus.select(col(idCol).as("n_id"),
+      col(vecCol).cast("array<double>").as("__nv"))
+    val exact = short.join(broadcast(qv), Seq("q_id")).join(nv, Seq("n_id"))
+      .select(col("q_id"), col("n_id"),
+        aggregate(zip_with(col("__qv"), col("__nv"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
+          .as("__adc"))
+    rankTop(exact, kTop)
+      .withColumnRenamed("adc", "l2sq")
+  }
+
   private def rankTop(scored: DataFrame, kTop: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("__adc"), col("n_id"))

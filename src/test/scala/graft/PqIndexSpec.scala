@@ -85,6 +85,39 @@ class PqIndexSpec extends SparkSpec {
     }
   }
 
+  test("searchRerank: exact l2 on the shortlist — on perfectly-quantized " +
+    "vectors any shortlist >= kTop reproduces brute force; returned " +
+    "distances are exact regardless of shortlist") {
+    val codes = PqIndex.encode(corpus, "vec_id", "embedding", model)
+    val queries = corpus.where(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3))).sorted.toSeq
+    val brute = rows(PqIndex.searchRerank(codes, corpus, queries,
+      "vec_id", "embedding", model, kTop = 5, shortlist = 1000))
+    val tight = rows(PqIndex.searchRerank(codes, corpus, queries,
+      "vec_id", "embedding", model, kTop = 5, shortlist = 5))
+    assert(tight == brute) // perfect quantization: ADC order == exact order
+    // realistic corpora: every returned distance is the true L2^2
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val trained = PqIndex.train(emb, "embedding", m = 8, k = 16)
+    val ecodes = PqIndex.encode(emb, "vec_id", "embedding", trained)
+    val out = PqIndex.searchRerank(ecodes, emb, emb.where(col("vec_id") < 3),
+      "vec_id", "embedding", trained, kTop = 3, shortlist = 12)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3)))
+    val vs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .toMap
+    out.foreach { case ((q, n), got) =>
+      val d = vs(q).zip(vs(n)).map { case (x, y) => (x - y) * (x - y) }.sum
+      assert(math.abs(got - math.rint(d * 1e6) / 1e6) < 1e-9, s"($q,$n)")
+    }
+    intercept[IllegalArgumentException] {
+      PqIndex.searchRerank(ecodes, emb, emb.limit(1), "vec_id", "embedding",
+        trained, kTop = 5, shortlist = 3)
+    }
+  }
+
   test("train is deterministic, partitions the dimensionality, and " +
     "refuses bad shapes loudly") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
