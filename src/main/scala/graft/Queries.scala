@@ -5249,6 +5249,33 @@ object Queries {
           ROUND(l2sq, 6) AS l2sq
         FROM r WHERE rank <= 5"""))
 
+  private val stagedPqDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Persisted PQ model (q120/q121's pattern for the PQ family): the
+    * codebooks are SAVED once per corpus and parquet round-tripped; the
+    * query encodes and ADC-searches with the LOADED model. Doubles
+    * round-trip bit-exact, so the oracle is q158's contract VERBATIM —
+    * a lost centroid, a transposed (subspace, centroid) id, or any
+    * load-time reshuffle changes a code or a distance and fails the
+    * hash. */
+  private val q161 = Q("q161_pq_persisted",
+    (s, d) => {
+      val dir = Queries.stagedPqDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_pq_${Queries.stagingSuffix(d)}")
+        graft.operators.PqIndex.saveModel(
+          graft.operators.PqIndex.Model(PqCb), f.getAbsolutePath, s)
+        f
+      })
+      val pq = graft.operators.PqIndex.loadModel(s, dir.getAbsolutePath)
+      val emb = embeddings(s, d)
+      val codes = graft.operators.PqIndex.encode(emb, "vec_id", "embedding", pq)
+      graft.operators.PqIndex.search(codes, emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", pq, kTop = 5)
+    },
+    q158.oracle)
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -5262,7 +5289,7 @@ object Queries {
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -98,6 +98,47 @@ object PqIndex {
     best
   }
 
+  /** Persist a trained PQ model — the train-once/search-many shape
+    * ([[IvfIndex.saveIndex]]'s pattern): one tiny parquet of
+    * (subspace, centroid, values) rows; doubles round-trip bit-exact,
+    * so a loaded model encodes and scores IDENTICALLY to the fresh one
+    * (spec- and oracle-gated). The CODE TABLE is a plain DataFrame the
+    * caller persists like any fact table (append new batches by
+    * encoding them with the SAME loaded model — codes are only
+    * meaningful against the codebooks they were assigned from). */
+  def saveModel(model: Model, path: String, spark: org.apache.spark.sql.SparkSession): Unit = {
+    import spark.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (cb, j) =>
+      cb.zipWithIndex.map { case (ct, c) => (j, c, ct.toSeq) }
+    }.toSeq.toDF("subspace", "centroid", "values")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Load a persisted model with structural validation: contiguous
+    * subspace and centroid ids, uniform counts and dimensions (the
+    * [[Model]] requires) — a corrupted or hand-edited table fails HERE,
+    * not as garbage codes. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): Model = {
+    val rows = spark.read.parquet(path)
+      .select(col("subspace").cast("int"), col("centroid").cast("int"),
+        col("values").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, s"loadModel: empty PQ model at $path")
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    require(rows.length == m * k,
+      s"loadModel: ${rows.length} rows != $m subspaces x $k centroids — " +
+        s"non-contiguous ids or missing centroids in $path")
+    val cb = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { case (j, c, v) =>
+      require(j >= 0 && c >= 0 && cb(j)(c) == null,
+        s"loadModel: duplicate (subspace=$j, centroid=$c) in $path")
+      cb(j)(c) = v
+    }
+    Model(cb.map(_.toArray))
+  }
+
   /** Encode: (pq_id, pq_code array<int> of length m) — one narrow scan,
     * per-subspace argmin through the native `nearest_centroid` kernel
     * (first index wins ties, dimension mismatches fail loudly per row,

@@ -118,6 +118,36 @@ class PqIndexSpec extends SparkSpec {
     }
   }
 
+  test("saveModel/loadModel: bit-exact round trip, corrupt tables refuse " +
+    "at load") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val trained = PqIndex.train(emb, "embedding", m = 8, k = 16)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_pq_spec_${System.nanoTime()}")
+    dir.deleteOnExit()
+    PqIndex.saveModel(trained, dir.getAbsolutePath, spark)
+    val loaded = PqIndex.loadModel(spark, dir.getAbsolutePath)
+    assert(loaded.m == trained.m && loaded.k == trained.k)
+    loaded.codebooks.zip(trained.codebooks).foreach { case (a, b) =>
+      a.zip(b).foreach { case (x, y) => assert(x.toSeq == y.toSeq) }
+    }
+    // loaded model answers identically
+    val codes = PqIndex.encode(emb, "vec_id", "embedding", trained)
+    val lcodes = PqIndex.encode(emb, "vec_id", "embedding", loaded)
+    assert(codes.collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet ==
+      lcodes.collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSet)
+    // a model table missing a centroid refuses at load
+    val broken = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_pq_broken_${System.nanoTime()}")
+    broken.deleteOnExit()
+    spark.read.parquet(dir.getAbsolutePath)
+      .where(!(col("subspace") === 3 && col("centroid") === 7))
+      .write.parquet(broken.getAbsolutePath)
+    intercept[IllegalArgumentException] {
+      PqIndex.loadModel(spark, broken.getAbsolutePath)
+    }
+  }
+
   test("train is deterministic, partitions the dimensionality, and " +
     "refuses bad shapes loudly") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
