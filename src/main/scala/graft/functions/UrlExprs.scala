@@ -30,8 +30,9 @@ import org.apache.spark.sql.functions._
   *    Decoded characters are all unreserved, so they can never
   *    introduce a delimiter (`/ ? # & = :` are reserved and stay
   *    escaped) — normalizing BEFORE parsing is safe by construction;
-  *  - scheme and host lowercased; a trailing root-dot dropped
-  *    (`a.com.` ≡ `a.com` in DNS); internationalized host labels fold
+  *  - scheme and host lowercased; trailing root-dots dropped
+  *    (`a.com.` ≡ `a.com` in DNS; a run of junk trailing dots
+  *    collapses too, keeping the fold idempotent on garbage); internationalized host labels fold
   *    to their RFC 3492 `xn--` ACE form ([[IdnHostExpr]] — DNS's wire
   *    form, so `bücher.example` and `xn--bcher-kva.example` collide;
   *    ASCII hosts take a zero-cost fast path); a leading `www.`
@@ -95,7 +96,7 @@ object UrlExprs {
     val authority = lower(regexp_extract(defrag, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1))
     val hostRaw = regexp_replace(authority, ":[0-9]+$", "")
     val host = regexp_replace(
-      IdnHostExpr.idnHost(regexp_replace(hostRaw, "\\.$", "")), "^www\\.", "")
+      IdnHostExpr.idnHost(regexp_replace(hostRaw, "\\.+$", "")), "^www\\.", "")
     val port = regexp_extract(authority, ":([0-9]+)$", 1)
     val portPart = when(
       port === "" ||
@@ -121,7 +122,7 @@ object UrlExprs {
       pctNormalize(regexp_replace(url, "#.*$", "")),
       "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1))
     val noPort = regexp_replace(authority, ":[0-9]+$", "")
-    val noDot = IdnHostExpr.idnHost(regexp_replace(noPort, "\\.$", ""))
+    val noDot = IdnHostExpr.idnHost(regexp_replace(noPort, "\\.+$", ""))
     when(noDot === "", lit(null).cast("string"))
       .otherwise(regexp_replace(noDot, "^www\\.", ""))
   }

@@ -75,7 +75,8 @@ class CrawlCurationSpec extends SparkSpec {
     val c = canon(
       1L -> "https://site1.example.com./cat?a=1&b=2",
       2L -> "https://WWW.site1.example.c%6Fm/cat?%62=2&a=1", // %6F=o, %62=b
-      3L -> "https://site1.example.com/cat?a=1&b=2")
+      3L -> "https://site1.example.com/cat?a=1&b=2",
+      4L -> "https://site1.example.com...//cat/?a=1&b=2") // junk dot run
     assert(c.values.toSet == Set("https://site1.example.com/cat?a=1&b=2"))
   }
 
