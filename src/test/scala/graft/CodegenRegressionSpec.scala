@@ -50,7 +50,11 @@ class CodegenRegressionSpec extends SparkSpec {
         UnicodeNorm.nfc(col("text")).as("nfc"),
         BloomMightContainBc.mightContain(bloomBc, col("doc_id")).as("bmc"),
         ImageMetaExpr.imageMeta(encode(col("text"), "UTF-8")).as("im"),
-        AudioMetaExpr.audioMeta(encode(col("text"), "UTF-8")).as("am"))
+        AudioMetaExpr.audioMeta(encode(col("text"), "UTF-8")).as("am"),
+        IdnHostExpr.idnHost(concat(lit("bü"), col("text").substr(1, 4),
+          lit(".example"))).as("idn"),
+        RobotsTxtExpr.robotsRules(concat(lit("User-agent: *\nDisallow: /"),
+          col("text").substr(1, 3)), "graftbot").as("rr"))
       val rows = out.collect()
       assert(rows.nonEmpty)
       // spot-check the simhash kernel actually ran (non-trivial signatures)
