@@ -5276,6 +5276,45 @@ object Queries {
     },
     q158.oracle)
 
+  /** Flesch reading-ease over period-injected documents (q101's
+    * sentence-boundary preprocessing): every proxy term — whitespace
+    * words, `[.!?]+` sentence runs, vowel-group syllables — is a
+    * regexp count the oracle replays verbatim, and the score is one
+    * fixed double sequence, so a drifted regex class, a zero-sentence
+    * guard miss, or a reassociated multiply all hash-mismatch. */
+  private val q162 = Q("q162_flesch_readability",
+    (s, d) => {
+      val withSent = regexp_replace(col("text"), "((\\S+ ){4}\\S+) ", "$1. ")
+      documents(s, d)
+        .select(col("doc_id"), withSent.as("__t"))
+        .select(col("doc_id"),
+          size(filter(graft.functions.TextExprs.tokens(col("__t")),
+            t => t =!= "")).as("n_words"),
+          greatest(regexp_count(col("__t"), lit("[.!?]+")), lit(1))
+            .as("n_sentences"),
+          regexp_count(col("__t"), lit("[aeiouyAEIOUY]+")).as("n_syllables"),
+          round(graft.functions.TextExprs.fleschScore(col("__t")), 6)
+            .as("flesch"))
+    },
+    Some("""WITH w AS (SELECT doc_id,
+          regexp_replace(text, '((\S+ ){4}\S+) ', '\1. ', 'g') AS t
+        FROM documents),
+      k AS (SELECT doc_id,
+          len(list_filter(string_split_regex(trim(t), '\s+'),
+            x -> x <> '')) AS n_words,
+          GREATEST(len(regexp_extract_all(t, '[.!?]+')), 1) AS n_sentences,
+          len(regexp_extract_all(t, '[aeiouyAEIOUY]+')) AS n_syllables
+        FROM w)
+      SELECT doc_id, CAST(n_words AS INTEGER) AS n_words,
+        CAST(n_sentences AS INTEGER) AS n_sentences,
+        CAST(n_syllables AS INTEGER) AS n_syllables,
+        CASE WHEN n_words > 0 THEN
+          ROUND(206.835 - 1.015 * (CAST(n_words AS DOUBLE) /
+              CAST(n_sentences AS DOUBLE)) -
+            84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)), 6)
+        ELSE NULL END AS flesch
+      FROM k"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -5289,7 +5328,7 @@ object Queries {
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -198,6 +198,31 @@ object TextExprs {
     best._1
   }
 
+  /** Flesch reading-ease score with the standard heuristic proxies,
+    * every term a codegen'd regexp count so a SQL oracle replays it
+    * verbatim (no dictionary, no syllabifier — stated honestly):
+    *
+    *  - words   = whitespace tokens;
+    *  - sentences = runs of `.!?` (min 1 so fragments don't divide by
+    *    zero — a fragment is "one sentence");
+    *  - syllables = vowel GROUPS (`[aeiouyAEIOUY]+` runs), the classic
+    *    cheap proxy (±1 on silent-e words, fine for corpus-level
+    *    filtering, which is this function's use: drop word-soup and
+    *    legalese tails by readability band).
+    *
+    * score = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    * computed in one fixed double sequence; NULL for wordless text. */
+  def fleschScore(text: Column): Column = {
+    val words = size(filter(tokens(text), t => t =!= "")).cast("double")
+    val sentences = greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+      .cast("double")
+    val syllables = regexp_count(text, lit("[aeiouyAEIOUY]+")).cast("double")
+    when(words > 0,
+      lit(206.835) - lit(1.015) * (words / sentences) -
+        lit(84.6) * (syllables / words))
+      .otherwise(lit(null).cast("double"))
+  }
+
   /** Quality features: chars, tokens, mean token length, punctuation ratio.
     * Returns named struct so callers can star-expand. */
   def punctCount(text: Column): Column =

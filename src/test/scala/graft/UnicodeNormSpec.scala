@@ -67,6 +67,23 @@ class UnicodeNormSpec extends SparkSpec {
       .select(TextExprs.sanitizeText($"t")).collect()(0).isNullAt(0))
   }
 
+  test("fleschScore: hand-computed value, fragment counts as one " +
+    "sentence, wordless text is NULL") {
+    import graft.functions.TextExprs
+    def f(x: String): Option[Double] = {
+      val r = Seq((1L, x)).toDF("id", "t")
+        .select(TextExprs.fleschScore($"t").as("f")).collect().head
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))
+    }
+    // 6 words, 2 sentence runs, 6 vowel groups:
+    // 206.835 - 1.015*3 - 84.6*1 = 119.19
+    assert(math.abs(f("The cat sat. It ran fast!").get - 119.19) < 1e-9)
+    // no terminal punctuation: one sentence by contract
+    // 2 words, 1 sentence, 2 vowel groups: 206.835 - 2.03 - 84.6
+    assert(math.abs(f("word soup").get - (206.835 - 1.015 * 2 - 84.6)) < 1e-9)
+    assert(f("").isEmpty && f("   ").isEmpty)
+  }
+
   test("evalNfc fast paths: all-ASCII returns the SAME instance (zero " +
     "alloc); normalized non-ASCII returns the input; decomposed composes") {
     import org.apache.spark.unsafe.types.UTF8String
