@@ -4913,6 +4913,9 @@ object Queries {
     },
     Some(bpeOracleSql(BpeTrainedMerges)))
 
+  private val stagedUrlStreamDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
   private val stagedBm25AppendDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
@@ -5315,6 +5318,44 @@ object Queries {
         ELSE NULL END AS flesch
       FROM k"""))
 
+  /** Streaming crawl frontier: the documents stream's messy URLs (six
+    * variants per canonical, incl. escapes, IDN-free hosts, tracking
+    * params) drain through canonicalize → dropDuplicates seen-state →
+    * per-host frontier counts, AvailableNow into a memory sink. Which
+    * duplicate arrives first is scheduler-dependent, so the gate
+    * compares the arrival-order-INVARIANT projection (host, distinct
+    * canonical count) against the formula: 50 groups spread over 7
+    * hosts ⇒ host 0 owns 8 frontier slots, hosts 1-6 own 7. */
+  private val q163 = Q("q163_streaming_url_frontier",
+    (s, d) => {
+      // the staged stream carries (doc_id, url) ONLY — a frontier's
+      // input is a URL stream, not a documents table; staging the text
+      // would stream megabytes the query never reads
+      val f = Queries.stagedUrlStreamDir.computeIfAbsent(d, _ => {
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_stream_url_${Queries.stagingSuffix(d)}")
+        documents(s, d).select(col("doc_id"), messyUrl.as("url"))
+          .coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
+        dir
+      })
+      val rawSchema = s.read.parquet(f.getAbsolutePath).schema
+      val docs = s.readStream.schema(rawSchema).parquet(f.getAbsolutePath)
+      val sink = "graft_q163_sink"
+      Queries.withStreamingParallelism(s) {
+        graft.streaming.UrlFrontier.frontierPerHost(docs, "url")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      s.table(sink)
+    },
+    Some("""WITH u AS (SELECT DISTINCT
+          'site' || ((doc_id % 50) % 7) || '.example.com' AS host,
+          (doc_id % 50) AS g
+        FROM documents)
+      SELECT host, COUNT(*) AS n_frontier FROM u GROUP BY host"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -5328,7 +5369,7 @@ object Queries {
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,39 @@
+package graft.streaming
+
+import graft.functions.UrlExprs
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming crawl-frontier discovery: the seen-filter a crawler runs
+  * on its URL stream — canonicalize each incoming URL (the full
+  * [[UrlExprs]] normalization: percent-escapes, IDN fold, tracking
+  * params, the works — inside the stream's scan), keep the FIRST
+  * arrival of each canonical form via streaming dedup state, and track
+  * per-host frontier size. Four messy variants of one page cost one
+  * frontier slot, which is the whole reason the canonicalizer runs
+  * before the seen-filter and not after fetch.
+  *
+  * State: `dropDuplicates` keyed on the canonical string — bounded by
+  * DISTINCT canonicals, not arrivals. For an unbounded 24/7 frontier,
+  * swap in `dropDuplicatesWithinWatermark` keyed the same way (eviction
+  * by arrival-time watermark — new URLs for a page older than the
+  * horizon re-enter, the standard recrawl compromise); the AvailableNow
+  * gate below exercises the unevicted path, which is also the nightly
+  * batch-drain shape. */
+object UrlFrontier {
+
+  /** (host, n_frontier): distinct canonical URLs seen per canonical
+    * host, over a STREAMING `urls` frame. Compose with `writeStream`
+    * in complete mode. */
+  def frontierPerHost(urls: DataFrame, urlCol: String): DataFrame =
+    urls
+      .select(UrlExprs.canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .where(col("canonical_url").isNotNull)
+      .dropDuplicates("canonical_url")
+      // host re-extracts from the CANONICAL form (already lowercased,
+      // de-ported, IDN-folded) — one canonicalization pass per row, not
+      // two, and the extract is a single anchored regex
+      .groupBy(regexp_extract(col("canonical_url"),
+        "^[a-z][a-z0-9+.\\-]*://([^/:?#]*)", 1).as("host"))
+      .agg(count(lit(1)).as("n_frontier"))
+}

@@ -295,6 +295,20 @@ class CrawlCurationSpec extends SparkSpec {
     assert(v == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false))
   }
 
+  test("UrlFrontier.frontierPerHost: variants collapse to one frontier " +
+    "slot, hosts from the canonical form, garbage URLs dropped") {
+    val urls = Seq(
+      (1L, "https://A.com/p?utm_source=x"),
+      (2L, "https://www.a.com:443/p"),          // same slot as 1
+      (3L, "https://a.com/p2"),                 // second slot for a.com
+      (4L, "https://b.com./q"),
+      (5L, "not a url")                         // NULL canonical: dropped
+    ).toDF("id", "url")
+    val got = graft.streaming.UrlFrontier.frontierPerHost(urls, "url")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("a.com" -> 2L, "b.com" -> 1L))
+  }
+
   test("applyPolicy plan: rules ride broadcast joins and the argmax " +
     "hash-aggregates (no SortAggregate — the packed-long ordering)") {
     val docs = (0L until 40L).map(i =>
