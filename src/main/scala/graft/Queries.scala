@@ -823,7 +823,11 @@ object Queries {
       val emb = embeddings(s, d)
       val model = graft.operators.IvfIndex.train(emb, "embedding", k = 16)
       val index = graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", model)
-      graft.operators.IvfIndex.search(index, emb.where(col("vec_id") < 10),
+      // .limit(10) bounds the plan's maxRows so the broadcast guard
+      // short-circuits without its probe job (the filter yields exactly
+      // the 10 rows the limit admits — same frame, cheaper guard).
+      graft.operators.IvfIndex.search(index,
+        emb.where(col("vec_id") < 10).limit(10),
         "vec_id", "embedding", model, k = 5, nProbe = 16)
     },
     // exact-equivalence oracle: all-cells probe == brute force. The cosine

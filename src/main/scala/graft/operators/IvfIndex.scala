@@ -176,8 +176,23 @@ object IvfIndex {
     * cap as TextSearch's probe tables); bigger query tables plan a
     * plain shuffle join instead of riding a hard hint into a driver
     * OOM. The guard costs one short-circuiting `limit(cap+1).count()`
-    * job — it never scans more than cap+1 query rows. */
+    * job — it never scans more than cap+1 query rows — and costs NO
+    * job at all when the plan already bounds its row count (a
+    * `.limit(n)`-derived query frame short-circuits via `maxRows`). */
   val MaxBroadcastQueries: Long = 65536L
+
+  /** True iff `queries` is provably at-or-under `cap` rows. Checks the
+    * analyzed plan's static `maxRows` bound first (free — no job; any
+    * limit-derived frame carries one), and only then falls back to the
+    * short-circuiting `limit(cap+1).count()` probe job. Shared by the
+    * IVF and PQ search families so every broadcast hint in the ANN
+    * surface rides the same guard. */
+  private[operators] def fitsBroadcast(queries: DataFrame, cap: Long): Boolean =
+    // maxRows is an UPPER bound: at-or-under cap proves smallness (no
+    // job); above cap proves nothing (a filter keeps its child's bound),
+    // so only then pay the bounded probe job.
+    queries.queryExecution.analyzed.maxRows.exists(_ <= cap) ||
+      queries.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).count() <= cap
 
   /** Search: probe the nProbe nearest cells per query, exact cosine
     * within the probed cells only.
@@ -197,8 +212,11 @@ object IvfIndex {
       col(vecCol).cast("array<double>").as("q_vec"),
       explode(VectorNative.nearestCells(col(vecCol), model.centroids.toSeq, nProbe))
         .as("cell"))
-    val small = queries.limit((MaxBroadcastQueries + 1).toInt).count() <=
-      MaxBroadcastQueries
+    // Guard caps query ROWS at MaxBroadcastQueries/nProbe: the broadcast
+    // side is the EXPLODED probes frame (nProbe rows per query, each
+    // carrying q_vec), so the payload bound must scale with nProbe.
+    val small = fitsBroadcast(queries,
+      math.max(1L, MaxBroadcastQueries / math.max(1, nProbe)))
     val probeSide = if (small) broadcast(probes) else probes
     val cand = index.join(probeSide, Seq("cell"))
       .where(col("q_id") =!= col("n_id"))

@@ -160,7 +160,13 @@ object PqIndex {
     * excluded. Queries past [[MaxBroadcastQueries]] drop the broadcast
     * hint exactly like [[IvfIndex.search]]. */
   def search(codes: DataFrame, queries: DataFrame, idCol: String,
-             vecCol: String, model: Model, kTop: Int): DataFrame = {
+             vecCol: String, model: Model, kTop: Int): DataFrame =
+    searchImpl(codes, queries, idCol, vecCol, model, kTop,
+      IvfIndex.fitsBroadcast(queries, MaxBroadcastQueries))
+
+  private def searchImpl(codes: DataFrame, queries: DataFrame, idCol: String,
+                         vecCol: String, model: Model, kTop: Int,
+                         small: Boolean): DataFrame = {
     require(kTop > 0, s"PQ search: kTop must be positive: $kTop")
     val qv = col(vecCol).cast("array<double>")
     val dtab = array((0 until model.m).map { j =>
@@ -173,8 +179,6 @@ object PqIndex {
       }: _*)
     }: _*)
     val qdf = queries.select(col(idCol).as("q_id"), dtab.as("__dtab"))
-    val small = queries.limit((MaxBroadcastQueries + 1).toInt).count() <=
-      MaxBroadcastQueries
     val qside = if (small) broadcast(qdf) else qdf
     val adc = (0 until model.m).map { j =>
       element_at(element_at(col("__dtab"), j + 1),
@@ -214,8 +218,12 @@ object PqIndex {
     val probes = queries.select(col(idCol).as("q_id"), dtab.as("__dtab"),
       explode(VectorNative.nearestCells(col(vecCol), ivf.centroids.toSeq,
         nProbe)).as("cell"))
-    val small = queries.limit((MaxBroadcastQueries + 1).toInt).count() <=
-      MaxBroadcastQueries
+    // The broadcast side is the EXPLODED probes frame — nProbe rows per
+    // query, each carrying the m×k __dtab — so the guard caps query ROWS
+    // at MaxBroadcastQueries/nProbe to bound the real broadcast payload,
+    // not just the pre-explode row count.
+    val small = IvfIndex.fitsBroadcast(queries,
+      math.max(1L, MaxBroadcastQueries / math.max(1, nProbe)))
     val qside = if (small) broadcast(probes) else probes
     val cand = codes
       .join(cells.select(col("n_id").as("pq_id"), col("cell")), Seq("pq_id"))
@@ -244,13 +252,21 @@ object PqIndex {
                    kTop: Int, shortlist: Int): DataFrame = {
     require(shortlist >= kTop,
       s"PQ rerank: shortlist $shortlist < kTop $kTop")
-    val short = search(codes, queries, idCol, vecCol, model, shortlist)
+    // One guard decision for BOTH stages: the shortlist search's query
+    // broadcast and the re-rank join's query-vector broadcast carry the
+    // same |queries| rows, so an over-bound query table degrades both to
+    // shuffle joins instead of passing the first guard and then OOMing
+    // the driver in the re-rank stage.
+    val small = IvfIndex.fitsBroadcast(queries, MaxBroadcastQueries)
+    val short = searchImpl(codes, queries, idCol, vecCol, model, shortlist,
+      small)
       .select(col("q_id"), col("n_id"))
     val qv = queries.select(col(idCol).as("q_id"),
       col(vecCol).cast("array<double>").as("__qv"))
     val nv = corpus.select(col(idCol).as("n_id"),
       col(vecCol).cast("array<double>").as("__nv"))
-    val exact = short.join(broadcast(qv), Seq("q_id")).join(nv, Seq("n_id"))
+    val qvSide = if (small) broadcast(qv) else qv
+    val exact = short.join(qvSide, Seq("q_id")).join(nv, Seq("n_id"))
       .select(col("q_id"), col("n_id"),
         aggregate(zip_with(col("__qv"), col("__nv"),
           (x, y) => (x - y) * (x - y)), lit(0.0), (a, x) => a + x)
@@ -259,12 +275,29 @@ object PqIndex {
       .withColumnRenamed("adc", "l2sq")
   }
 
+  /** Per-query top-k reduction. Routed through the native
+    * [[graft.plans.TopKPerKeyExec]] bounded heaps when the strategy is
+    * installed ([[Similarity.topKRank]]'s contract): the partial stage
+    * keeps ≤ kTop rows per query per partition BEFORE the exchange, so
+    * the exhaustive-ADC [[search]]'s |codes|×|queries| scored product
+    * never shuffles onto the |queries| partitions a window formulation
+    * would force — the exchange carries ≤ queries×k rows. Window
+    * fallback for plain sessions; identical output (row_number
+    * semantics, same (__adc asc, n_id asc) tiebreak). */
   private def rankTop(scored: DataFrame, kTop: Int): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("__adc"), col("n_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= kTop)
-      .select(col("q_id"), col("rank"), col("n_id"),
-        round(col("__adc"), 6).as("adc"))
+    val native = scored.sparkSession.sessionState.planner.strategies
+      .contains(graft.plans.TopKStrategy)
+    val ranked =
+      if (native)
+        graft.plans.TopK.perKey(scored, Seq("q_id"),
+          Seq(graft.plans.TopK.Sort("__adc"), graft.plans.TopK.Sort("n_id")), kTop)
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("__adc"), col("n_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= kTop)
+      }
+    ranked.select(col("q_id"), col("rank"), col("n_id"),
+      round(col("__adc"), 6).as("adc"))
   }
 }

@@ -178,4 +178,68 @@ class PqIndexSpec extends SparkSpec {
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("dimension mismatch")), msgs(e))
   }
+
+  test("search plan gate: top-k reduces through partial+final " +
+    "TopKPerKeyExec bounded heaps, not a Window over the full scored " +
+    "product") {
+    // a GraftExtensions session carries the strategy; a plain test
+    // session gets it the same way TopK.perKey self-installs it
+    val exp = spark.experimental
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(graft.plans.TopKStrategy))
+        exp.extraStrategies = exp.extraStrategies :+ graft.plans.TopKStrategy
+    }
+    val codes = PqIndex.encode(corpus, "vec_id", "embedding", model)
+    val queries = corpus.where(col("vec_id") < 4)
+    val out = PqIndex.search(codes, queries, "vec_id", "embedding", model,
+      kTop = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert("TopKPerKey".r.findAllIn(plan).size == 2,
+      s"expected partial+final bounded heaps:\n${plan.take(2000)}")
+    assert(!plan.contains("Window"),
+      s"window rank leaked into the PQ search plan:\n${plan.take(2000)}")
+    // and the routed plan still answers the hand-computed exact ranking
+    // (the dyadic fixture makes ADC the true L2², so this doubles as the
+    // native-vs-window equivalence oracle)
+    val native = out.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getLong(2), r.getDouble(3))).sorted.toSeq
+    val vs = (0 until 20).map(i => i.toLong -> vec(i).map(_.toDouble)).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val want = (0L until 4L).flatMap { q =>
+      (0L until 20L).filter(_ != q)
+        .map(n => (n, l2(vs(q), vs(n))))
+        .sortBy { case (n, d) => (d, n) }
+        .take(5).zipWithIndex
+        .map { case ((n, d), r) => (q, r + 1, n, math.rint(d * 1e6) / 1e6) }
+    }.sorted
+    assert(native == want)
+  }
+
+  test("searchRerank guard: an over-bound query table drops EVERY " +
+    "broadcast hint (shortlist stage AND re-rank join) and answers " +
+    "identically to the broadcast path") {
+    import org.apache.spark.sql.functions.{array, lit}
+    val cap = PqIndex.MaxBroadcastQueries
+    val vecCols = array((0 until 8).map(i =>
+      lit(model.codebooks(i % 4)((i / 2) % 4)(i % 2).toFloat)): _*)
+    val big = spark.range(0, cap + 1)
+      .select((col("id") + 1000000L).as("vec_id"), vecCols.as("embedding"))
+      .where(col("vec_id") >= 1000000L) // filter hides maxRows: real probe
+    val codes = PqIndex.encode(corpus, "vec_id", "embedding", model)
+    val outBig = PqIndex.searchRerank(codes, corpus, big, "vec_id",
+      "embedding", model, kTop = 3, shortlist = 6)
+    assert(!outBig.queryExecution.analyzed.toString.toLowerCase
+      .contains("broadcast"),
+      "over-bound query table must not be hinted anywhere in rerank")
+    val one = big.where(col("vec_id") === 1000000L)
+    val outOne = PqIndex.searchRerank(codes, corpus, one, "vec_id",
+      "embedding", model, kTop = 3, shortlist = 6)
+    assert(outOne.queryExecution.analyzed.toString.toLowerCase
+      .contains("broadcast"), "small query table keeps the fast path")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sorted.toSeq
+    assert(rows(outBig.where(col("q_id") === 1000000L)) == rows(outOne))
+  }
 }
