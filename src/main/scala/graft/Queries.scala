@@ -4582,6 +4582,10 @@ object Queries {
           f.getAbsolutePath)
         graft.operators.IvfIndex.appendToIndex(s, f.getAbsolutePath,
           emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding")
+        // fold the append's per-cell file-sets — the oracle now gates
+        // save → append → COMPACT → load → search end-to-end (compaction
+        // must be invisible to results)
+        graft.operators.IvfIndex.compactPostings(s, f.getAbsolutePath)
         f
       })
       val (model, postings) =
@@ -4920,6 +4924,28 @@ object Queries {
   private val stagedUrlStreamDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
+  private val stagedUrlWindowDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Write `df` as ONE parquet part-file named `name.parquet` in `dir`
+    * with a forced modification time — the file-stream staging for
+    * multi-batch gates: `maxFilesPerTrigger=1` + strictly increasing
+    * modTimes pin the BATCH ORDER (FileStreamSource admits oldest
+    * first), which is what makes watermark-advance/evict/re-deliver
+    * scenarios deterministic. */
+  private[graft] def stageStreamFile(df: DataFrame, dir: java.io.File,
+                                     name: String, modTime: Long): Unit = {
+    val tmp = new java.io.File(dir, s".stage_$name")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().filter(_.getName.endsWith(".parquet"))
+    require(part.length == 1, s"stageStreamFile: ${part.length} parts")
+    val dst = new java.io.File(dir, s"$name.parquet")
+    java.nio.file.Files.move(part(0).toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    require(dst.setLastModified(modTime), s"stageStreamFile: modTime $dst")
+    org.apache.commons.io.FileUtils.deleteDirectory(tmp)
+  }
+
   private val stagedBm25AppendDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
@@ -4943,6 +4969,10 @@ object Queries {
         graft.operators.TextSearch.appendCorpusStats(
           documents(s, d).where(col("doc_id") % 2 === 1), "doc_id", "text",
           f.getAbsolutePath)
+        // fold the accumulated partials — the oracle now gates
+        // save → append → COMPACT → indexed-score end-to-end (summed
+        // reads must be identical before/after compaction)
+        graft.operators.TextSearch.compactCorpusStats(s, f.getAbsolutePath)
         f
       })
       graft.operators.TextSearch.bm25TopKIndexed(
@@ -5024,13 +5054,18 @@ object Queries {
   private val q155 = Q("q155_idn_host_dedup",
     (s, d) => {
       val g = col("doc_id") % 50
-      val v = col("doc_id") % 3
+      val v = col("doc_id") % 4
       val h = (g % 7).cast("string")
       val url = when(v === 0,
           concat(lit("https://münchen"), h, lit(".example.com/cat?x=1")))
         .when(v === 1,
           concat(lit("https://MÜNCHEN"), h,
             lit(".Example.COM:443/cat/?x=1#f")))
+        .when(v === 2,
+          // percent-encoded UTF-8 spelling (%C3%BC = ü, %C3%9C = Ü):
+          // the r13 host-escape decode must land it in the SAME group
+          concat(lit("https://m%C3%9Cnchen"), h,
+            lit(".example.com/cat?x=1")))
         .otherwise(
           concat(lit("https://xn--mnchen"), h, lit("-n2a.example.com/cat?x=1")))
       documents(s, d)
@@ -5360,6 +5395,85 @@ object Queries {
         FROM documents)
       SELECT host, COUNT(*) AS n_frontier FROM u GROUP BY host"""))
 
+  /** The EVICTING frontier (r12 missing #2): q163's seen-filter on
+    * `dropDuplicatesWithinWatermark`, gated on the semantics that make
+    * it a different operator — re-delivery past the horizon RE-ENTERS
+    * the frontier, re-delivery inside it does not. Four staged files
+    * drain as four ordered micro-batches (maxFilesPerTrigger=1, forced
+    * modTimes):
+    *
+    *  1. every document's messy URL arrives (ts = base + group minutes)
+    *     — six variants per group dedup to one frontier entry;
+    *  2. a clock URL at base+100d advances the watermark past every
+    *     batch-1 state's `arrival + horizon`;
+    *  3. a second clock tick makes the engine EVICT those states (state
+    *     cleanup runs at batch end against the already-advanced
+    *     watermark — the extra tick makes the gate independent of
+    *     whether lookup double-checks expiry);
+    *  4. groups < 25 re-deliver their CANONICAL form at base+100d+minutes
+    *     — state is gone, so each re-entry counts again; groups ≥ 25
+    *     do not re-deliver and stay at one entry.
+    *
+    * Expected: site(g%7) hosts count 2 per g<25 and 1 per g≥25; the
+    * clock host counts its 2 distinct ticks. A dedup that never evicts
+    * (q163's) would under-count every g<25 host by one — hash-distinct
+    * from this oracle. */
+  private val q164 = Q("q164_streaming_frontier_eviction",
+    (s, d) => {
+      import s.implicits._
+      val f = Queries.stagedUrlWindowDir.computeIfAbsent(d, _ => {
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_stream_urlw_${Queries.stagingSuffix(d)}")
+        org.apache.commons.io.FileUtils.deleteDirectory(dir)
+        dir.mkdirs()
+        val base = 1767225600L // 2026-01-01T00:00:00Z
+        val far = base + 100L * 86400
+        val g = col("doc_id") % 50
+        val arrivals = documents(s, d).select(
+          (lit(base) + g * 60 + col("doc_id") % 6).cast("timestamp")
+            .as("arrival"),
+          messyUrl.as("url"))
+        val tick = (n: Int) => Seq(
+          (new java.sql.Timestamp((far + n) * 1000L),
+            s"https://clock.example.com/tick$n"))
+          .toDF("arrival", "url")
+        val redeliver = documents(s, d).select(g.as("g")).distinct()
+          .where(col("g") < 25)
+          .select((lit(far) + (col("g") + 1) * 60).cast("timestamp")
+            .as("arrival"),
+            concat(lit("https://site"), (col("g") % 7).cast("string"),
+              lit(".example.com/cat/item"), (col("g") % 10).cast("string"),
+              lit("?a="), (col("g") % 3).cast("string"), lit("&b=x%2Fy"))
+              .as("url"))
+        val t0 = System.currentTimeMillis()
+        Queries.stageStreamFile(arrivals, dir, "a_arrivals", t0)
+        Queries.stageStreamFile(tick(1), dir, "b_tick1", t0 + 2000)
+        Queries.stageStreamFile(tick(2), dir, "c_tick2", t0 + 4000)
+        Queries.stageStreamFile(redeliver, dir, "d_redeliver", t0 + 6000)
+        dir
+      })
+      val rawSchema = s.read.parquet(f.getAbsolutePath).schema
+      val urls = s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f.getAbsolutePath)
+      val sink = "graft_q164_sink"
+      Queries.withStreamingParallelism(s) {
+        graft.streaming.UrlFrontier
+          .frontierPerHostWindowed(urls, "url", "arrival", "1 hour")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      s.table(sink)
+    },
+    Some("""WITH gs AS (SELECT DISTINCT (doc_id % 50) AS g FROM documents),
+        e AS (SELECT 'site' || (g % 7) || '.example.com' AS host,
+            1 + CASE WHEN g < 25 THEN 1 ELSE 0 END AS n FROM gs)
+      SELECT host, CAST(SUM(n) AS BIGINT) AS n_frontier FROM e GROUP BY host
+      UNION ALL
+      SELECT 'clock.example.com' AS host, CAST(2 AS BIGINT) AS n_frontier"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -5373,7 +5487,8 @@ object Queries {
     q118, q119, q120, q121, q122, q123, q124, q125, q126, q127, q128,
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
-    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162, q163)
+    q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
+    q163, q164)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -102,6 +102,17 @@ object IdnHostExpr {
     }
     val lower = label.toLowerCase(java.util.Locale.ROOT)
     if (ascii) return lower
+    // re-check AFTER lowercasing: a few non-ASCII chars lowercase to
+    // pure ASCII (Kelvin sign U+212A -> 'k') — such a label is plain
+    // ASCII in DNS terms and must NOT grow a pseudo-ACE "xn--" form
+    // that misses the collision with its ASCII spelling.
+    var asciiLower = true
+    var j = 0
+    while (asciiLower && j < lower.length) {
+      if (lower.charAt(j) >= 128) asciiLower = false
+      j += 1
+    }
+    if (asciiLower) return lower
     val cps = lower.codePoints().toArray
     if (cps.length > MaxLabel) return lower
     val enc = punycode(cps)

@@ -48,12 +48,18 @@ import org.apache.spark.sql.functions._
   * NULL in → NULL out (expressions propagate). Non-URL garbage (no
   * `scheme://`) yields NULL rather than a fabricated canonical.
   *
-  * Known residual gap (documented, deliberate): a host whose non-ASCII
-  * labels arrive PERCENT-ENCODED (`m%C3%BCnchen.example`) stays in its
-  * escaped form — RFC 3986 authorities should not carry raw UTF-8
-  * escapes, and decoding reserved-range escapes is unsound in general;
-  * such URLs still canonicalize stably, they just occupy their own
-  * group.
+  * Host escapes (the r12 residual gap, closed): a host whose non-ASCII
+  * labels arrive PERCENT-ENCODED (`m%C3%BCnchen.example`) is decoded
+  * IN THE HOST COMPONENT ONLY — after authority extraction, escapes
+  * ≥ 0x80 whose byte runs form well-formed UTF-8 decode to their
+  * characters and then fold through [[IdnHostExpr]], so the escaped,
+  * raw, and ACE spellings of one host all land in one canonical group.
+  * This is sound precisely because it happens post-split: a decoded
+  * character can no longer change where the authority ends, and ASCII
+  * escapes (`%2F` …) are deliberately NOT decoded (they are invalid in
+  * hostnames; decoding could fabricate delimiters inside the rebuilt
+  * URL). Ill-formed byte runs keep their escaped spelling verbatim —
+  * still a stable group, never mangled, never a throw.
   */
 object UrlExprs {
 
@@ -87,6 +93,51 @@ object UrlExprs {
     concat(head, array_join(fixed, ""))
   }
 
+  /** Well-formed UTF-8 over a HEX-PAIR string (RFC 3629 grammar, two
+    * hex chars per byte): ASCII, 2-byte C2–DF, 3-byte with the E0/ED
+    * overlong/surrogate exclusions, 4-byte with the F0/F4 range
+    * exclusions. Validating the hex BEFORE `decode` means the decoder
+    * never sees malformed input (which would throw under Spark 4's
+    * strict coding-error action) — ill-formed runs simply keep their
+    * escaped spelling. */
+  private val Utf8HexPattern =
+    "^(?:[0-7][0-9A-F]" +
+      "|(?:C[2-9A-F]|D[0-9A-F])[89AB][0-9A-F]" +
+      "|E0[AB][0-9A-F][89AB][0-9A-F]" +
+      "|E[1-9A-C][89AB][0-9A-F][89AB][0-9A-F]" +
+      "|ED[89][0-9A-F][89AB][0-9A-F]" +
+      "|E[EF][89AB][0-9A-F][89AB][0-9A-F]" +
+      "|F0[9AB][0-9A-F](?:[89AB][0-9A-F]){2}" +
+      "|F[1-3](?:[89AB][0-9A-F]){3}" +
+      "|F48[0-9A-F](?:[89AB][0-9A-F]){2})*$"
+
+  /** Decode percent-encoded UTF-8 in an already-extracted HOST string:
+    * rebuild the host as hex bytes (escapes ≥ 0x80 contribute their
+    * byte, everything else its literal text bytes), and decode the
+    * whole thing iff the byte string is well-formed UTF-8 per
+    * [[Utf8HexPattern]]. Escapes < 0x80 stay escaped (ASCII escapes are
+    * invalid hostname content and must not fabricate delimiters);
+    * hosts without `%` take a zero-cost fast path. Idempotent: the
+    * decoded host is escape-free, and a kept (ill-formed) host
+    * re-normalizes to itself. */
+  private def hostPctDecode(c: Column): Column = {
+    val pieces = split(c, "%", -1)
+    val head = element_at(pieces, 1)
+    val tails = slice(pieces, lit(2), greatest(size(pieces) - 1, lit(0)))
+    val hexParts = transform(tails, p => {
+      val hx = upper(substring(p, 1, 2))
+      val valid = hx.rlike("^[0-9A-F]{2}$")
+      val code = conv(hx, 16, 10).cast("int")
+      val rest = p.substr(lit(3), length(p))
+      when(valid && code >= 128, concat(hx, hex(encode(rest, "UTF-8"))))
+        .otherwise(hex(encode(concat(lit("%"), p), "UTF-8")))
+    })
+    val full = concat(hex(encode(head, "UTF-8")), array_join(hexParts, ""))
+    when(instr(c, "%") === 0, c)
+      .otherwise(when(full.rlike(Utf8HexPattern), decode(unhex(full), "UTF-8"))
+        .otherwise(c))
+  }
+
   def canonicalizeUrl(url: Column): Column = {
     // fragment off first: everything downstream parses the defragmented
     // form; then percent-normalize BEFORE parsing (decoded chars are
@@ -96,7 +147,8 @@ object UrlExprs {
     val authority = lower(regexp_extract(defrag, "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1))
     val hostRaw = regexp_replace(authority, ":[0-9]+$", "")
     val host = regexp_replace(
-      IdnHostExpr.idnHost(regexp_replace(hostRaw, "\\.+$", "")), "^www\\.", "")
+      IdnHostExpr.idnHost(
+        regexp_replace(hostPctDecode(hostRaw), "\\.+$", "")), "^www\\.", "")
     val port = regexp_extract(authority, ":([0-9]+)$", 1)
     val portPart = when(
       port === "" ||
@@ -122,7 +174,8 @@ object UrlExprs {
       pctNormalize(regexp_replace(url, "#.*$", "")),
       "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]*)", 1))
     val noPort = regexp_replace(authority, ":[0-9]+$", "")
-    val noDot = IdnHostExpr.idnHost(regexp_replace(noPort, "\\.+$", ""))
+    val noDot = IdnHostExpr.idnHost(
+      regexp_replace(hostPctDecode(noPort), "\\.+$", ""))
     when(noDot === "", lit(null).cast("string"))
       .otherwise(regexp_replace(noDot, "^www\\.", ""))
   }

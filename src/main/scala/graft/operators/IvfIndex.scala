@@ -171,6 +171,47 @@ object IvfIndex {
     model
   }
 
+  /** Fold each cell's accumulated posting files into ~`targetBytes`
+    * parquet files — the append-layout small-file compaction
+    * ([[graft.sources.WarehouseStore.compactFact]]'s staged swap
+    * applied to the ANN index): every [[appendToIndex]] batch adds one
+    * file-set per touched cell, and a daily-ingest index accumulates
+    * hundreds of small files whose open/footer cost dominates the
+    * probed-cell scans long before data volume does. Postings are a plain
+    * (n_id, n_vec) bag within each cell=… partition, so a per-cell
+    * rewrite is trivially content-preserving (spec-gated: identical
+    * search results, file count collapsed). Each cell's compacted set
+    * is fully written to a sibling tmp directory before the live cell
+    * directory is dropped and the tmp promoted — a crash leaves either
+    * the old files or the compacted set, never a torn cell. Safe any
+    * time no append is in flight. */
+  def compactPostings(spark: SparkSession, path: String,
+                      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.hadoop.fs.Path
+    val postings = new Path(s"$path/postings")
+    val fs = postings.getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(postings),
+      s"compactPostings: $path is not a saveIndex layout (no postings/)")
+    fs.listStatus(postings)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .foreach { cd =>
+        val files = fs.listStatus(cd.getPath)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        if (files.length > 1) {
+          val nFiles = math.max(1,
+            math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
+          val tmp = new Path(cd.getPath.getParent, cd.getPath.getName + ".compact_tmp")
+          spark.read.parquet(cd.getPath.toString)
+            .repartition(nFiles)
+            .write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(cd.getPath, true)
+          require(fs.rename(tmp, cd.getPath),
+            s"compactPostings: swap failed for ${cd.getPath} — compacted " +
+              s"data is intact at $tmp; rename it into place to recover")
+        }
+      }
+  }
+
   /** Query tables at or under this row count ride a `broadcast` hint
     * into the cell join (the "query batch ≪ corpus" fast path — same
     * cap as TextSearch's probe tables); bigger query tables plan a

@@ -168,14 +168,92 @@ object TextSearch {
       .select(filter(TextExprs.tokens(lower(col(textCol))), t => t =!= "")
         .as("__toks"))
       .select(col("__toks"), size(col("__toks")).cast("long").as("__dl"))
-    base.agg(count(lit(1)).cast("long").as("n"),
-        coalesce(sum(col("__dl")), lit(0L)).as("tl"))
-      .coalesce(1).write.mode("append").parquet(s"$path/corpus")
-    base
-      .select(explode(array_distinct(col("__toks"))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .sortWithinPartitions(col("term"))
-      .write.mode("append").parquet(s"$path/terms")
+    // Both partials land in a STAGING directory first, and only then
+    // move into the live layout — terms/ before corpus/. A failure
+    // while staging leaves the live stats untouched; a failure between
+    // the two move batches leaves term dfs in without the delta's N/TL,
+    // which UNDER-counts N (slightly inflated dfs for the delta's terms
+    // only) instead of the reverse ordering's silent global idf
+    // inflation (N up, every df stale). Either torn state is repaired
+    // by re-running saveCorpusStats (rebuild) — the documented recovery.
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = new Path(path,
+      s".append_stage_${java.util.UUID.randomUUID().toString.take(8)}")
+    try {
+      base.agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum(col("__dl")), lit(0L)).as("tl"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new Path(stage, "corpus").toString)
+      base
+        .select(explode(array_distinct(col("__toks"))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").parquet(new Path(stage, "terms").toString)
+      Seq("terms", "corpus").foreach { part =>
+        fs.listStatus(new Path(stage, part))
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            require(fs.rename(f.getPath, new Path(s"$path/$part", f.getPath.getName)),
+              s"appendCorpusStats: move of ${f.getPath} into $path/$part " +
+                "failed — stats may be torn; rebuild with saveCorpusStats")
+          }
+      }
+    } finally fs.delete(stage, true)
+  }
+
+  /** Fold the accumulated save/append PARTIALS into one file-set per
+    * directory — the small-file compaction every append-mode layout
+    * eventually needs (a daily-ingest corpus accumulates one partial
+    * per append, and every [[readStats]] sums across all of them, so
+    * read cost grows linearly with append count). Sums are associative:
+    * the compacted `corpus/` is ONE (n, tl) row, the compacted `terms/`
+    * is one (term, df) row per distinct term, and every subsequent
+    * summed read is byte-identical to the pre-compaction read
+    * (spec-gated). [[WarehouseStore.compactFact]]'s staged swap: the
+    * folded result is fully written to a sibling tmp directory before
+    * the live directory is dropped and the tmp promoted, so a crash
+    * mid-compaction leaves either the old partials or the compacted set
+    * — never a half-written layout. Safe to run any time no append is
+    * in flight. */
+  def compactCorpusStats(spark: org.apache.spark.sql.SparkSession,
+                         path: String,
+                         targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val cs = spark.read.parquet(s"$path/corpus").schema.fieldNames.toSet
+    require(cs == Set("n", "tl"),
+      s"compactCorpusStats: $path/corpus is not a saveCorpusStats layout " +
+        s"(fields: ${cs.mkString(",")})")
+    def swap(live: Path)(write: String => Unit): Unit = {
+      val tmp = new Path(live.getParent, live.getName + ".compact_tmp")
+      write(tmp.toString)
+      fs.delete(live, true)
+      require(fs.rename(tmp, live),
+        s"compactCorpusStats: swap failed for $live — compacted data is " +
+          s"intact at $tmp; rename it into place to recover")
+    }
+    swap(new Path(s"$path/corpus")) { tmp =>
+      spark.read.parquet(s"$path/corpus")
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
+          coalesce(sum(col("tl")), lit(0L)).as("tl"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+    }
+    // terms/ is vocabulary-sized — size-target the folded file count
+    // (one file per ~targetBytes of input partials) instead of forcing
+    // one; per-file min/max term stats keep the IN-pruning property.
+    val termsLive = new Path(s"$path/terms")
+    val termBytes = fs.listStatus(termsLive)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val nFiles = math.max(1, math.ceil(termBytes.toDouble / targetBytes).toInt)
+    swap(termsLive) { tmp =>
+      spark.read.parquet(s"$path/terms")
+        .groupBy(col("term")).agg(sum(col("df")).as("df"))
+        .repartition(nFiles)
+        .sortWithinPartitions(col("term"))
+        .write.mode("overwrite").parquet(tmp)
+    }
   }
 
   /** Read persisted stats: (N, TL) plus the given terms' document

@@ -36,4 +36,33 @@ object UrlFrontier {
       .groupBy(regexp_extract(col("canonical_url"),
         "^[a-z][a-z0-9+.\\-]*://([^/:?#]*)", 1).as("host"))
       .agg(count(lit(1)).as("n_frontier"))
+
+  /** The 24/7 frontier: seen-state EVICTED by an arrival-time watermark
+    * (`dropDuplicatesWithinWatermark` on the canonical string) instead
+    * of growing with DISTINCT canonicals forever. `tsCol` is the URL's
+    * arrival/discovery time; `horizon` (e.g. "30 days") is the recrawl
+    * compromise — a canonical re-arriving INSIDE the horizon of its
+    * stored arrival is still a duplicate, one re-arriving after its
+    * state was evicted re-enters the frontier (counted again: the page
+    * is due for a recrawl). State is bounded by canonicals seen within
+    * one horizon, which is what makes the stream runnable forever.
+    *
+    * Exactly [[frontierPerHost]] otherwise: canonicalize in-stream,
+    * count per canonical host. Eviction timing is the engine's
+    * watermark contract — state drops when the event-time watermark
+    * passes `arrival + horizon`, so late re-deliveries BETWEEN the
+    * horizon and the actual eviction may still dedup (the standard
+    * within-watermark guarantee: never a duplicate inside the horizon,
+    * best-effort dedup beyond it). */
+  def frontierPerHostWindowed(urls: DataFrame, urlCol: String,
+                              tsCol: String, horizon: String): DataFrame =
+    urls
+      .select(col(tsCol).cast("timestamp").as("__arrival"),
+        UrlExprs.canonicalizeUrl(col(urlCol)).as("canonical_url"))
+      .where(col("canonical_url").isNotNull)
+      .withWatermark("__arrival", horizon)
+      .dropDuplicatesWithinWatermark("canonical_url")
+      .groupBy(regexp_extract(col("canonical_url"),
+        "^[a-z][a-z0-9+.\\-]*://([^/:?#]*)", 1).as("host"))
+      .agg(count(lit(1)).as("n_frontier"))
 }

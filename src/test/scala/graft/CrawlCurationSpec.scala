@@ -110,6 +110,52 @@ class CrawlCurationSpec extends SparkSpec {
     assert(again(1L) == c(4L))
   }
 
+  test("canonicalizeUrl: percent-encoded UTF-8 HOST labels decode and " +
+    "fold — escaped, raw, and ACE spellings of one host collide; " +
+    "ill-formed byte runs and ASCII escapes stay escaped; a " +
+    "non-ASCII char that lowercases to ASCII never grows a pseudo-ACE") {
+    val c = canon(
+      1L -> "https://m%C3%BCnchen.example/p",          // %C3%BC = ü
+      2L -> "https://münchen.example/p",
+      3L -> "https://xn--mnchen-3ya.example/p",
+      4L -> "https://M%C3%9Cnchen.example/p",          // %C3%9C = Ü
+      5L -> "https://%D0%BF%D1%80%D0%B8%D0%BC%D0%B5%D1%80.example/p", // пример
+      6L -> "https://пример.example/p",
+      7L -> "https://bad%C3host.example/p",   // C3 needs a continuation: ill-formed
+      8L -> "https://a%2Fb.example/p",        // ASCII escape: NOT decoded
+      9L -> "https://Kelvin.example/p",  // Kelvin sign lowercases to 'k'
+      10L -> "https://kelvin.example/p")
+    assert(c(1L) == "https://xn--mnchen-3ya.example/p")
+    assert(c(2L) == c(1L) && c(3L) == c(1L) && c(4L) == c(1L))
+    assert(c(5L) == "https://xn--e1afmkfd.example/p")
+    assert(c(6L) == c(5L))
+    // the lone C3 run is not well-formed UTF-8 — the host keeps its
+    // escaped spelling (lowercased hex from the authority lowercase),
+    // stable and unmangled
+    assert(c(7L).contains("bad%c3host") || c(7L).contains("bad%C3host"), c(7L))
+    assert(c(8L).toLowerCase.contains("a%2fb"), c(8L))
+    assert(c(9L) == "https://kelvin.example/p" && c(10L) == c(9L))
+    // idempotence: every canonical re-canonicalizes to itself
+    c.values.foreach { u =>
+      val again = canon(1L -> u)
+      assert(again(1L) == u, s"not idempotent: $u")
+    }
+  }
+
+  test("IdnHostExpr.fold: a label whose non-ASCII chars LOWERCASE to " +
+    "pure ASCII (Kelvin sign U+212A) folds to the plain ASCII label, " +
+    "never a pseudo-ACE xn-- form") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def f(s: String) =
+      graft.functions.IdnHostExpr.fold(UTF8String.fromString(s)).toString
+    assert(f("Kelvin.example") == "kelvin.example")
+    assert(f("abK.example") == "abk.example")
+    // the two equivalent spellings now land in ONE canonical group
+    assert(f("Kelvin.example") == f("Kelvin.example".toLowerCase))
+    // a genuinely non-ASCII label still folds to its ACE form
+    assert(f("bücher.example") == "xn--bcher-kva.example")
+  }
+
   test("canonicalHost / canonicalPath agree with the canonical URL") {
     val r = Seq((1L, "HTTP://WWW.Ex.COM:8080/a//b/?q=1#f")).toDF("id", "url")
       .select(UrlExprs.canonicalHost(col("url")).as("h"),

@@ -177,6 +177,50 @@ class IvfIndexSpec extends SparkSpec {
       "embedding", loaded, k = 3, nProbe = 2).count() > 0)
   }
 
+  test("compactPostings: folds per-cell append files into one set with " +
+      "identical search results; refuses a non-index layout") {
+    import spark.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_compact_${System.nanoTime()}")
+    dir.deleteOnExit()
+    val half = emb.where(col("vec_id") % 2 === 0)
+    val model = IvfIndex.train(emb, "embedding", k = 4)
+    IvfIndex.saveIndex(model,
+      IvfIndex.assign(half, "vec_id", "embedding", model), dir.getAbsolutePath)
+    // two appends → each touched cell accumulates extra file-sets
+    IvfIndex.appendToIndex(spark, dir.getAbsolutePath,
+      emb.where(col("vec_id") % 4 === 1), "vec_id", "embedding")
+    IvfIndex.appendToIndex(spark, dir.getAbsolutePath,
+      emb.where(col("vec_id") % 4 === 3), "vec_id", "embedding")
+    def cellFiles(): Map[String, Int] = {
+      val cells = new java.io.File(dir, "postings").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      cells.map(c => c.getName ->
+        c.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))).toMap
+    }
+    assert(cellFiles().values.exists(_ > 1),
+      "fixture must accumulate multiple files in at least one cell")
+    def results() = {
+      val (m, postings) = IvfIndex.loadIndex(spark, dir.getAbsolutePath)
+      IvfIndex.search(postings, emb.where(col("vec_id") < 5).limit(5),
+        "vec_id", "embedding", m, k = 5, nProbe = 4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .sorted.toSeq
+    }
+    val before = results()
+    IvfIndex.compactPostings(spark, dir.getAbsolutePath)
+    assert(cellFiles().values.forall(_ == 1),
+      s"every cell must fold to one file: ${cellFiles()}")
+    assert(results() === before)
+    // idempotent; appends after compaction still merge correctly
+    IvfIndex.compactPostings(spark, dir.getAbsolutePath)
+    assert(results() === before)
+    intercept[IllegalArgumentException] {
+      IvfIndex.compactPostings(spark,
+        dir.getAbsolutePath + "_missing")
+    }
+  }
+
   test("search: a query table past MaxBroadcastQueries drops the hard " +
       "broadcast hint (shuffle join, no driver-OOM path) and answers " +
       "identically to the broadcast path") {

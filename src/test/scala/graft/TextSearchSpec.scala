@@ -246,6 +246,51 @@ class TextSearchSpec extends SparkSpec {
     assert(e.getMessage.contains("saveCorpusStats layout"))
   }
 
+  test("compactCorpusStats: folds the append partials into one file-set " +
+      "with byte-identical summed reads; refuses a non-stats layout") {
+    val grown = corpus.union(Seq(
+      (5L, "apple durian durian"),
+      (6L, "cherry banana apple apple")).toDF("doc_id", "text"))
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_compact_${System.nanoTime()}")
+    dir.deleteOnExit()
+    TextSearch.saveCorpusStats(corpus, "doc_id", "text", dir.getAbsolutePath)
+    TextSearch.appendCorpusStats(grown.where(col("doc_id") === 5L),
+      "doc_id", "text", dir.getAbsolutePath)
+    TextSearch.appendCorpusStats(grown.where(col("doc_id") === 6L),
+      "doc_id", "text", dir.getAbsolutePath)
+    def parquetFiles(sub: String): Int =
+      new java.io.File(dir, sub).listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parquetFiles("corpus") >= 3,
+      "fixture must accumulate one corpus partial per save/append")
+    def rows(terms: Seq[String]) =
+      TextSearch.bm25TopKIndexed(grown, "doc_id", "text",
+        dir.getAbsolutePath, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val before = Seq(Seq("apple", "cherry"), Seq("durian"),
+      Seq("banana", "zzz_absent")).map(rows)
+    TextSearch.compactCorpusStats(spark, dir.getAbsolutePath)
+    assert(parquetFiles("corpus") == 1, "corpus partials must fold to one")
+    assert(parquetFiles("terms") == 1,
+      "terms partials must fold to the size-targeted count (1 here)")
+    val after = Seq(Seq("apple", "cherry"), Seq("durian"),
+      Seq("banana", "zzz_absent")).map(rows)
+    assert(after === before)
+    // compaction is idempotent
+    TextSearch.compactCorpusStats(spark, dir.getAbsolutePath)
+    assert(Seq(Seq("apple", "cherry"), Seq("durian"),
+      Seq("banana", "zzz_absent")).map(rows) === before)
+    val notStats = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_compact_bad_${System.nanoTime()}")
+    notStats.deleteOnExit()
+    corpus.write.parquet(s"$notStats/corpus")
+    val e = intercept[IllegalArgumentException] {
+      TextSearch.compactCorpusStats(spark, notStats.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("saveCorpusStats layout"))
+  }
+
   test("batch indexed: saved stats reproduce the live batch exactly, " +
       "zero corpus scans before scoring") {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
