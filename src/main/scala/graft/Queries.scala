@@ -821,7 +821,7 @@ object Queries {
   private val q47 = Q("q47_ann_ivf",
     (s, d) => {
       val emb = embeddings(s, d)
-      val model = graft.operators.IvfIndex.train(emb, "embedding", k = 16)
+      val model = graft.operators.IvfIndex.train(emb, "vec_id", "embedding", k = 16)
       val index = graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", model)
       // .limit(10) bounds the plan's maxRows so the broadcast guard
       // short-circuits without its probe job (the filter yields exactly
@@ -3190,7 +3190,7 @@ object Queries {
       val dir = Queries.stagedIvfDir.computeIfAbsent(d, _ => {
         val f = new java.io.File(System.getProperty("java.io.tmpdir"),
           s"graft_ivf_${Queries.stagingSuffix(d)}")
-        val model = graft.operators.IvfIndex.train(emb, "embedding", k = 16)
+        val model = graft.operators.IvfIndex.train(emb, "vec_id", "embedding", k = 16)
         val index = graft.operators.IvfIndex
           .assign(emb, "vec_id", "embedding", model)
         graft.operators.IvfIndex.saveIndex(model, index, f.getAbsolutePath)
@@ -4576,7 +4576,7 @@ object Queries {
         val f = new java.io.File(System.getProperty("java.io.tmpdir"),
           s"graft_ivf_append_${Queries.stagingSuffix(d)}")
         val half = emb.where(col("vec_id") % 2 === 0)
-        val model = graft.operators.IvfIndex.train(half, "embedding", k = 16)
+        val model = graft.operators.IvfIndex.train(half, "vec_id", "embedding", k = 16)
         graft.operators.IvfIndex.saveIndex(model,
           graft.operators.IvfIndex.assign(half, "vec_id", "embedding", model),
           f.getAbsolutePath)
@@ -5251,7 +5251,7 @@ object Queries {
     (s, d) => {
       val pq = graft.operators.PqIndex.Model(PqCb)
       val emb = embeddings(s, d)
-      val ivf = graft.operators.IvfIndex.train(emb, "embedding", k = 16)
+      val ivf = graft.operators.IvfIndex.train(emb, "vec_id", "embedding", k = 16)
       val codes = graft.operators.PqIndex.encode(emb, "vec_id", "embedding", pq)
       val cells = graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", ivf)
       graft.operators.PqIndex.searchInCells(codes, cells,

@@ -28,11 +28,22 @@ object IvfIndex {
 
   /** Deterministic k-means over a driver-collected sample (sampleSize
     * rows, first-k init, `iters` Lloyd rounds). The sample is bounded and
-    * the result broadcast — no large-state driver loop at scale. */
-  def train(corpus: DataFrame, vecCol: String, k: Int,
+    * the result broadcast — no large-state driver loop at scale.
+    *
+    * The sample is the `sampleSize` vectors whose IDs carry the
+    * SMALLEST md5-derived 63-bit hashes ([[sampleVectors]]) — the
+    * deterministic-AND-unbiased protocol (`TrainingData.sampleExact`'s
+    * ordering): a bare `limit(n)` would take the first file-order
+    * rows, which on a partitioned corpus is one shard's distribution,
+    * not the corpus's — centroids trained on one shard mis-cover every
+    * other shard's cells. Hashing the ID (not the vector) keeps the
+    * draw uniform even when the corpus carries mass-duplicated vectors
+    * (dup-heavy crawls), and hash order is a pure function of the
+    * data, so training is identical across re-runs, partition counts,
+    * and cluster sizes. */
+  def train(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
             sampleSize: Int = 2000, iters: Int = 8): Model = {
-    val sample = corpus.select(col(vecCol).cast("array<double>"))
-      .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
+    val sample = sampleVectors(corpus, idCol, vecCol, sampleSize)
     require(sample.length >= k, s"need >= $k sample vectors")
     var cent = sample.take(k).map(_.clone())
     for (_ <- 0 until iters) {
@@ -50,6 +61,22 @@ object IvfIndex {
       }.toArray
     }
     Model(cent)
+  }
+
+  /** The shared training-sample protocol (IVF and PQ): the sampleSize
+    * vectors whose ids have the smallest md5-derived 63-bit hash keys,
+    * in hash order (id tie-break for identical keys) —
+    * TakeOrderedAndProject underneath (per-partition bounded heaps,
+    * driver merges ≤ partitions×sampleSize candidates), so the corpus
+    * is never sorted and the collect is bounded by construction. */
+  private[operators] def sampleVectors(corpus: DataFrame, idCol: String,
+                                       vecCol: String,
+                                       sampleSize: Int): Array[Array[Double]] = {
+    val id = col(idCol).cast("string")
+    corpus.select(col(vecCol).cast("array<double>").as("__v"),
+        graft.functions.StableId63.stableId63(id).as("__skey"), id.as("__sid"))
+      .orderBy(col("__skey"), col("__sid")).limit(sampleSize)
+      .select(col("__v")).collect().map(_.getSeq[Double](0).toArray)
   }
 
   private def nearest(cent: Array[Array[Double]], v: Array[Double]): Int = {

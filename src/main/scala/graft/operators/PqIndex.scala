@@ -51,12 +51,15 @@ object PqIndex {
   val MaxBroadcastQueries: Long = IvfIndex.MaxBroadcastQueries
 
   /** Deterministic per-subspace k-means over one driver-collected
-    * sample (shared across subspaces — one collect, not m). */
-  def train(corpus: DataFrame, vecCol: String, m: Int, k: Int,
+    * sample (shared across subspaces — one collect, not m), drawn by
+    * [[IvfIndex.sampleVectors]]'s id-hash order: deterministic AND
+    * unbiased (a bare limit would see one shard's distribution on a
+    * partitioned corpus — codebooks that mis-quantize every other
+    * shard). */
+  def train(corpus: DataFrame, idCol: String, vecCol: String, m: Int, k: Int,
             sampleSize: Int = 2000, iters: Int = 8): Model = {
     require(m > 0 && k > 0, s"PQ train: m=$m k=$k must be positive")
-    val sample = corpus.select(col(vecCol).cast("array<double>"))
-      .limit(sampleSize).collect().map(_.getSeq[Double](0).toArray)
+    val sample = IvfIndex.sampleVectors(corpus, idCol, vecCol, sampleSize)
     require(sample.length >= k, s"PQ train: need >= $k sample vectors")
     val dim = sample(0).length
     require(sample.forall(_.length == dim), "PQ train: ragged sample dims")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{IvfIndex, Similarity}
+import graft.operators.{IvfIndex, PqIndex, Similarity}
 import org.apache.spark.sql.functions._
 
 /** IVF ANN: index structure, determinism, and recall against the exact
@@ -10,19 +10,19 @@ class IvfIndexSpec extends SparkSpec {
   private lazy val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
 
   test("assignment covers the corpus and is deterministic") {
-    val model = IvfIndex.train(emb, "embedding", k = 8)
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
     val idx = IvfIndex.assign(emb, "vec_id", "embedding", model)
     assert(idx.count() == emb.count())
     val cells = idx.groupBy("cell").count().collect().map(_.getInt(0)).toSet
     assert(cells.nonEmpty && cells.forall(c => c >= 0 && c < 8))
     val again = IvfIndex.assign(emb, "vec_id", "embedding",
-      IvfIndex.train(emb, "embedding", k = 8))
+      IvfIndex.train(emb, "vec_id", "embedding", k = 8))
     assert(idx.collect().map(r => (r.getLong(0), r.getInt(2))).toSet ==
       again.collect().map(r => (r.getLong(0), r.getInt(2))).toSet)
   }
 
   test("recall@5 vs brute force is high with generous probes") {
-    val model = IvfIndex.train(emb, "embedding", k = 8)
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
     val idx = IvfIndex.assign(emb, "vec_id", "embedding", model)
     val queries = emb.where(col("vec_id") < 20)
     val exact = Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 5)
@@ -41,7 +41,7 @@ class IvfIndexSpec extends SparkSpec {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_ivf_spec_${System.nanoTime()}")
     dir.deleteOnExit()
-    val model = IvfIndex.train(emb, "embedding", k = 8)
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
     val idx = IvfIndex.assign(emb, "vec_id", "embedding", model)
     IvfIndex.saveIndex(model, idx, dir.getAbsolutePath)
     val (loaded, postings) = IvfIndex.loadIndex(spark, dir.getAbsolutePath)
@@ -73,7 +73,7 @@ class IvfIndexSpec extends SparkSpec {
     dir.deleteOnExit()
     val half = emb.where(col("vec_id") % 2 === 0)
     val delta = emb.where(col("vec_id") % 2 === 1)
-    val model = IvfIndex.train(half, "embedding", k = 8)
+    val model = IvfIndex.train(half, "vec_id", "embedding", k = 8)
     IvfIndex.saveIndex(model,
       IvfIndex.assign(half, "vec_id", "embedding", model), dir.getAbsolutePath)
     val returned = IvfIndex.appendToIndex(spark, dir.getAbsolutePath,
@@ -105,7 +105,7 @@ class IvfIndexSpec extends SparkSpec {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_ivf_stale_${System.nanoTime()}")
     dir.deleteOnExit()
-    val model = IvfIndex.train(emb, "embedding", k = 4)
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 4)
     IvfIndex.saveIndex(model,
       IvfIndex.assign(emb, "vec_id", "embedding", model), dir.getAbsolutePath)
     val (loaded, postings) = IvfIndex.loadIndex(spark, dir.getAbsolutePath)
@@ -143,7 +143,7 @@ class IvfIndexSpec extends SparkSpec {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_ivf_guard_${System.nanoTime()}")
     dir.deleteOnExit()
-    val model = IvfIndex.train(emb, "embedding", k = 4)
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 4)
     IvfIndex.saveIndex(model,
       IvfIndex.assign(emb, "vec_id", "embedding", model), dir.getAbsolutePath)
     val before = IvfIndex.loadIndex(spark, dir.getAbsolutePath)._2.count()
@@ -177,6 +177,38 @@ class IvfIndexSpec extends SparkSpec {
       "embedding", loaded, k = 3, nProbe = 2).count() > 0)
   }
 
+  test("train sample is content-hash drawn — unbiased across file order " +
+      "— and training stays deterministic") {
+    import spark.implicits._
+    // first 3000 rows in file order sit at cluster A, the last 1000 at
+    // cluster B: a file-order limit(100) would see ONLY A and train
+    // centroids that mis-cover B
+    val rows = (0 until 3000).map(i =>
+      (i.toLong, Array(0.0f + (i % 7) * 0.01f, 0.0f))) ++
+      (3000 until 4000).map(i =>
+        (i.toLong, Array(10.0f + (i % 7) * 0.01f, 10.0f)))
+    val skewed = rows.toDF("vec_id", "embedding").coalesce(1)
+    val model = IvfIndex.train(skewed, "vec_id", "embedding", k = 2, sampleSize = 100)
+    val sawB = model.centroids.exists(c => c(0) > 5.0 && c(1) > 5.0)
+    val sawA = model.centroids.exists(c => c(0) < 5.0 && c(1) < 5.0)
+    assert(sawA && sawB,
+      s"hash-drawn sample must span both clusters: ${model.centroids.map(_.toSeq).toSeq}")
+    // deterministic across re-runs and partition counts
+    val again = IvfIndex.train(skewed.repartition(7), "vec_id", "embedding", k = 2,
+      sampleSize = 100)
+    assert(model.centroids.map(_.toSeq).toSeq ==
+      again.centroids.map(_.toSeq).toSeq)
+    // PQ rides the same protocol
+    val pq = PqIndex.train(skewed, "vec_id", "embedding", m = 2, k = 2, sampleSize = 100)
+    val pq2 = PqIndex.train(skewed.repartition(5), "vec_id", "embedding", m = 2, k = 2,
+      sampleSize = 100)
+    assert(pq.codebooks.map(_.map(_.toSeq).toSeq).toSeq ==
+      pq2.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(pq.codebooks(0).exists(_(0) > 5.0) &&
+      pq.codebooks(0).exists(_(0) < 5.0),
+      "PQ subspace codebook must span both clusters")
+  }
+
   test("compactPostings: folds per-cell append files into one set with " +
       "identical search results; refuses a non-index layout") {
     import spark.implicits._
@@ -184,7 +216,7 @@ class IvfIndexSpec extends SparkSpec {
       s"graft_ivf_compact_${System.nanoTime()}")
     dir.deleteOnExit()
     val half = emb.where(col("vec_id") % 2 === 0)
-    val model = IvfIndex.train(emb, "embedding", k = 4)
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 4)
     IvfIndex.saveIndex(model,
       IvfIndex.assign(half, "vec_id", "embedding", model), dir.getAbsolutePath)
     // two appends → each touched cell accumulates extra file-sets
@@ -225,7 +257,7 @@ class IvfIndexSpec extends SparkSpec {
       "broadcast hint (shuffle join, no driver-OOM path) and answers " +
       "identically to the broadcast path") {
     import spark.implicits._
-    val model = IvfIndex.train(emb, "embedding", k = 8)
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
     val idx = IvfIndex.assign(emb, "vec_id", "embedding", model)
     val dim = model.dim
     val vecCols = array((0 until dim).map(i => lit(((i % 7) + 1) * 0.1f)): _*)

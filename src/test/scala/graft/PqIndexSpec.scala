@@ -59,8 +59,8 @@ class PqIndexSpec extends SparkSpec {
   test("searchInCells: all-cells probe equals the exhaustive ADC search " +
     "exactly; a pruned probe returns a subset with identical adc values") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val pq = PqIndex.train(emb, "embedding", m = 8, k = 16)
-    val ivf = graft.operators.IvfIndex.train(emb, "embedding", k = 8)
+    val pq = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16)
+    val ivf = graft.operators.IvfIndex.train(emb, "vec_id", "embedding", k = 8)
     val codes = PqIndex.encode(emb, "vec_id", "embedding", pq)
     val cells = graft.operators.IvfIndex
       .assign(emb, "vec_id", "embedding", ivf)
@@ -100,7 +100,7 @@ class PqIndexSpec extends SparkSpec {
     assert(tight == brute) // perfect quantization: ADC order == exact order
     // realistic corpora: every returned distance is the true L2^2
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val trained = PqIndex.train(emb, "embedding", m = 8, k = 16)
+    val trained = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16)
     val ecodes = PqIndex.encode(emb, "vec_id", "embedding", trained)
     val out = PqIndex.searchRerank(ecodes, emb, emb.where(col("vec_id") < 3),
       "vec_id", "embedding", trained, kTop = 3, shortlist = 12)
@@ -121,7 +121,7 @@ class PqIndexSpec extends SparkSpec {
   test("saveModel/loadModel: bit-exact round trip, corrupt tables refuse " +
     "at load") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val trained = PqIndex.train(emb, "embedding", m = 8, k = 16)
+    val trained = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16)
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_pq_spec_${System.nanoTime()}")
     dir.deleteOnExit()
@@ -151,8 +151,8 @@ class PqIndexSpec extends SparkSpec {
   test("train is deterministic, partitions the dimensionality, and " +
     "refuses bad shapes loudly") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val m1 = PqIndex.train(emb, "embedding", m = 8, k = 16)
-    val m2 = PqIndex.train(emb, "embedding", m = 8, k = 16)
+    val m1 = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16)
+    val m2 = PqIndex.train(emb, "vec_id", "embedding", m = 8, k = 16)
     assert(m1.m == 8 && m1.k == 16 && m1.ds == 8 && m1.dim == 64)
     m1.codebooks.zip(m2.codebooks).foreach { case (a, b) =>
       a.zip(b).foreach { case (x, y) => assert(x.toSeq == y.toSeq) }
@@ -163,10 +163,10 @@ class PqIndexSpec extends SparkSpec {
       .distinct().collect().map(_.getInt(0))
     assert(codes.forall(c => c >= 0 && c < 16) && codes.length > 4)
     intercept[IllegalArgumentException] {
-      PqIndex.train(emb, "embedding", m = 7, k = 4) // 64 % 7 != 0
+      PqIndex.train(emb, "vec_id", "embedding", m = 7, k = 4) // 64 % 7 != 0
     }
     intercept[IllegalArgumentException] {
-      PqIndex.train(emb.limit(3), "embedding", m = 8, k = 16) // k > sample
+      PqIndex.train(emb.limit(3), "vec_id", "embedding", m = 8, k = 16) // k > sample
     }
     // encode against a wrong-dimensionality vector fails loudly per row
     val bad = Seq((1L, Array(0.1f, 0.2f))).toDF("vec_id", "embedding")
