@@ -5474,6 +5474,131 @@ object Queries {
       UNION ALL
       SELECT 'clock.example.com' AS host, CAST(2 AS BIGINT) AS n_frontier"""))
 
+  /** Hybrid lexical+semantic retrieval fused by Reciprocal Rank Fusion
+    * (SIGIR 2009): BM25 over document text + cosine over embeddings,
+    * each list self-excluded and cut at kEach=20, fused at k0=60, top
+    * 10 per probe. The probe ids live in the shared doc_id/vec_id
+    * namespace, so the oracle rebuilds BOTH rankings verbatim (q119's
+    * BM25 micro-unit CTE with the self row dropped; q24's normalized
+    * cosine CTE) and fuses with the same rounded-decimal RRF sum —
+    * any drift in either ranking, the self-exclusion, or the fusion
+    * arithmetic shifts a rank and fails the hash. */
+  private val q165 = Q("q165_hybrid_rrf",
+    (s, d) => {
+      import s.implicits._
+      val probes = Seq(
+        (0L, Seq("spark", "vector", "join")),
+        (1L, Seq("table", "join")),
+        (2L, Seq("vector", "data", "quality"))).toDF("probe", "terms")
+        .join(embeddings(s, d).select(col("vec_id").as("probe"),
+          col("embedding").as("pvec")), Seq("probe"))
+      graft.operators.HybridSearch.hybridTopK(
+        documents(s, d), "doc_id", "text",
+        embeddings(s, d), "vec_id", "embedding",
+        probes, "probe", "terms", "pvec",
+        kTop = 10, kEach = 20, k0 = 60)
+    },
+    Some("""WITH base AS (SELECT doc_id AS doc,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            t -> t <> '') AS toks
+        FROM documents),
+      b AS (SELECT doc, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+      st AS (SELECT COUNT(*) AS n, COALESCE(SUM(dl), 0) AS tl FROM b),
+      t(probe, term) AS (SELECT * FROM (VALUES
+        (0, 'spark'), (0, 'vector'), (0, 'join'),
+        (1, 'table'), (1, 'join'),
+        (2, 'vector'), (2, 'data'), (2, 'quality'))),
+      u AS (SELECT DISTINCT term FROM t),
+      dfreq AS (SELECT term,
+          (SELECT COUNT(*) FROM b WHERE list_contains(b.toks, u.term)) AS df
+        FROM u),
+      idf AS (SELECT term,
+          ROUND(ln(CAST(st.n + 1 AS DOUBLE) / (dfreq.df + 0.5)), 6) AS idf
+        FROM dfreq CROSS JOIN st),
+      tf AS (SELECT doc, dl, term,
+          CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+        FROM b CROSS JOIN u WHERE list_contains(b.toks, u.term)),
+      ctb AS (SELECT t.probe, tf.doc,
+          CAST(ROUND(idf.idf * ((10.0 * st.tl * tf.tf) /
+              (10.0 * st.tl * tf.tf + 3.0 * st.tl + 9.0 * tf.dl * st.n)), 6)
+            AS DECIMAL(18,6)) AS contrib
+        FROM tf JOIN idf USING (term) JOIN t USING (term) CROSS JOIN st),
+      g AS (SELECT probe, doc,
+          CAST(CAST(SUM(contrib) * 1000000 AS BIGINT) AS DOUBLE)
+            / 1000000.0 AS score
+        FROM ctb GROUP BY probe, doc),
+      lexr AS (SELECT CAST(probe AS BIGINT) AS q_id, doc AS n_id,
+          ROW_NUMBER() OVER (PARTITION BY probe
+            ORDER BY score DESC, doc) AS rank
+        FROM g WHERE doc <> probe
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY probe
+          ORDER BY score DESC, doc) <= 20),
+      s0 AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id IN (0, 1, 2)),
+      sq AS (SELECT q_id,
+          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS qv
+        FROM s0),
+      sc0 AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      scn AS (SELECT n_id,
+          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+        FROM sc0),
+      ssc AS (SELECT q_id, n_id, list_dot_product(qv, cv) AS cos
+        FROM scn, sq WHERE q_id <> n_id),
+      semr AS (SELECT q_id, n_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY cos DESC, n_id) AS rank
+        FROM ssc
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY cos DESC, n_id) <= 20),
+      contrib AS (
+        SELECT q_id, n_id,
+          CAST(ROUND(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS ct FROM lexr
+        UNION ALL
+        SELECT q_id, n_id,
+          CAST(ROUND(1.0 / (60 + rank), 6) AS DECIMAL(18,6)) AS ct FROM semr),
+      fused AS (SELECT q_id, n_id,
+          CAST(CAST(SUM(ct) * 1000000 AS BIGINT) AS DOUBLE)
+            / 1000000.0 AS rrf
+        FROM contrib GROUP BY q_id, n_id)
+      SELECT q_id,
+        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY rrf DESC, n_id) AS INTEGER) AS rank,
+        n_id, rrf
+      FROM fused
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+        ORDER BY rrf DESC, n_id) <= 10
+      ORDER BY q_id, rank"""))
+
+  /** SemDeDup semantic dedup gated at the 1-cluster identity point
+    * (the q159/q160 oracle trick): with a single unit-basis centroid
+    * e0, cluster assignment is trivial, centroid-cosine degenerates to
+    * the first normalized coordinate (adding e0's zeros is IEEE-exact),
+    * and the greedy dominance rule is a pure NOT EXISTS the oracle
+    * states directly — an example survives iff no example earlier in
+    * (csim asc, id asc) order is tau-similar. The multi-cluster path
+    * (real k-means cells confining the quadratic verify) is spec-gated
+    * in SemDeDupSpec. */
+  private val q166 = Q("q166_semantic_dedup",
+    (s, d) => {
+      val e0 = Array.tabulate(64)(i => if (i == 0) 1.0 else 0.0)
+      graft.operators.SemDeDup.dedup(
+          embeddings(s, d), "vec_id", "embedding",
+          graft.operators.IvfIndex.Model(Array(e0)), tau = 0.35)
+        .select(col("vec_id"), col("label"))
+    },
+    Some("""WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+      n AS (SELECT vec_id, label,
+          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM c),
+      o AS (SELECT vec_id, label, nv, nv[1] AS csim FROM n)
+      SELECT vec_id, label FROM o a
+      WHERE NOT EXISTS (SELECT 1 FROM o b
+        WHERE (b.csim < a.csim
+            OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+          AND list_dot_product(a.nv, b.nv) >= 0.35)"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -5488,7 +5613,7 @@ object Queries {
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163, q164)
+    q163, q164, q165, q166)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
