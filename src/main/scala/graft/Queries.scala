@@ -5599,6 +5599,173 @@ object Queries {
             OR (b.csim = a.csim AND b.vec_id < a.vec_id))
           AND list_dot_product(a.nv, b.nv) >= 0.35)"""))
 
+  /** Mojibake repair over a four-class corpus: latin1-shaped UTF-8
+    * (repairs), cp1252-shaped (repairs through the 0x80–0x9F fold),
+    * structurally-invalid mojibake lookalike (untouched), genuine
+    * Unicode past U+00FF (untouched — the guard). The doc text is
+    * ASCII-stripped first so the injected class suffix is the ONLY
+    * non-ASCII content and the oracle can state each class's expected
+    * output in closed form (chr() literals, q157's discipline); the
+    * md5 pins the exact repaired string. */
+  private val q167 = Q("q167_fix_mojibake",
+    (s, d) => {
+      val base = regexp_replace(col("text"), "[^ -~]", "")
+      val moji = concat(base, element_at(array(
+        lit(" caf\u00C3\u00A9 voil\u00C3\u00A0"),
+        lit(" it\u00E2\u20AC\u2122s\u00E2\u20AC\u00A6"),
+        lit(" bad \u00C3| run"),
+        lit(" sign \u2192 here")),
+        (col("doc_id") % 4).cast("int") + 1))
+      documents(s, d).select(col("doc_id"),
+        md5(graft.functions.TextExprs.fixMojibake(moji)).as("fixed_md5"))
+    },
+    Some("""WITH b AS (SELECT doc_id,
+          regexp_replace(text, '[^ -~]', '', 'g') AS base
+        FROM documents),
+      f AS (SELECT doc_id,
+          CASE CAST(doc_id % 4 AS INTEGER)
+            WHEN 0 THEN base || ' caf' || chr(233) || ' voil' || chr(224)
+            WHEN 1 THEN base || ' it' || chr(8217) || 's' || chr(8230)
+            WHEN 2 THEN base || ' bad ' || chr(195) || '| run'
+            ELSE base || ' sign ' || chr(8594) || ' here' END AS fixed
+        FROM b)
+      SELECT doc_id, md5(fixed) AS fixed_md5 FROM f"""))
+
+  /** Retrieval evaluation of the exact ANN run against label ground
+    * truth: 20 queries' brute-force cosine top-10 scored as
+    * recall/MRR/nDCG@10, where a neighbor is relevant iff it shares the
+    * query's label (the synthetic corpus's cluster structure as qrels).
+    * The oracle rebuilds the run (q24's CTE), the label qrels, the
+    * rounded-discount DCG, the cumulative ideal prefix, and every
+    * floor-protocol ratio verbatim — a drifted rank, a mis-rounded
+    * discount, or a wrong ideal cut all shift a 6-decimal value. */
+  private val q168 = Q("q168_retrieval_eval",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val run = Similarity.bruteTopK(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", 10)
+      val qrels = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("label"))
+        .join(emb.select(col("vec_id").as("n_id"), col("label")),
+          Seq("label"))
+        .where(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"))
+      graft.operators.RetrievalEval.perQuery(run, qrels, k = 10)
+    },
+    Some("""WITH q0 AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < 20),
+      q AS (SELECT q_id,
+          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS qv
+        FROM q0),
+      c0 AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      c AS (SELECT n_id,
+          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+        FROM c0),
+      scored AS (SELECT q_id, n_id, list_dot_product(qv, cv) AS cos
+        FROM c, q WHERE q_id <> n_id),
+      runr AS (SELECT q_id, n_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+            AS rank
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY cos DESC, n_id) <= 10),
+      qrels AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id
+        FROM embeddings a JOIN embeddings b ON a.label = b.label
+        WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
+      nrel AS (SELECT q_id, COUNT(*) AS n_rel FROM qrels GROUP BY q_id),
+      hits AS (SELECT r.q_id, r.rank
+        FROM runr r JOIN qrels USING (q_id, n_id)),
+      perq AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS hits,
+          MIN(rank) AS first,
+          SUM(CAST(CAST(ROUND(1.0 / log2(rank + 1), 6) AS DECIMAL(18,6))
+            * 1000000 AS BIGINT)) AS dcg
+        FROM hits GROUP BY q_id),
+      iv AS (SELECT r, SUM(CAST(CAST(ROUND(1.0 / log2(r + 1), 6)
+            AS DECIMAL(18,6)) * 1000000 AS BIGINT))
+          OVER (ORDER BY r) AS cum
+        FROM range(1, 11) t(r))
+      SELECT n.q_id, n.n_rel,
+        COALESCE(p.hits, 0) AS hits,
+        FLOOR(CAST(COALESCE(p.hits, 0) * 1000000 AS DOUBLE) * 1000000.0
+          / CAST(LEAST(n.n_rel, 10) * 1000000 AS DOUBLE)) / 1000000.0
+          AS recall,
+        COALESCE(CAST(CAST(ROUND(1.0 / p.first, 6) AS DECIMAL(18,6))
+          * 1000000 AS BIGINT), 0) / 1000000.0 AS mrr,
+        COALESCE(FLOOR(CAST(p.dcg AS DOUBLE) * 1000000.0 /
+          CAST((SELECT cum FROM iv
+            WHERE r = LEAST(n.n_rel, 10)) AS DOUBLE)) / 1000000.0, 0.0)
+          AS ndcg
+      FROM nrel n LEFT JOIN perq p USING (q_id)"""))
+
+  /** MMR diversification gated at the λ=1 identity point (the
+    * q159/q166 trick): with the redundancy weight at zero the kernel's
+    * score is bit-for-bit the relevance, ties resolve to the better
+    * original rank, and the diversified output IS the run's top-5 —
+    * the whole pipeline (id-keyed vector join, per-query fold,
+    * rank-ordered candidate array, native greedy kernel, posexplode
+    * re-emit) must be invisible or ranks shift. λ<1 diversity is
+    * spec-gated brute-force-equal in MmrRerankSpec. */
+  private val q169 = Q("q169_mmr_diversify",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val run = Similarity.bruteTopK(emb, emb.where(col("vec_id") < 15),
+        "vec_id", "embedding", 10)
+      graft.operators.MmrRerank.diversify(run, emb, "vec_id", "embedding",
+        "cos", lambda = 1.0, kOut = 5)
+    },
+    Some("""WITH q0 AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < 15),
+      q AS (SELECT q_id,
+          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS qv
+        FROM q0),
+      c0 AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      c AS (SELECT n_id,
+          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+        FROM c0),
+      scored AS (SELECT q_id, n_id, list_dot_product(qv, cv) AS cos
+        FROM c, q WHERE q_id <> n_id),
+      r AS (SELECT q_id, n_id, cos,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+            AS rank
+        FROM scored)
+      SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id,
+        ROUND(cos, 6) AS rel
+      FROM r WHERE rank <= 5"""))
+
+  /** Snapshot diff across a synthetic second dump: every 7th doc
+    * removed, every 5th survivor rewritten, every 3rd re-added under a
+    * shifted id — all four statuses present with exact md5
+    * fingerprints on both sides (content hashed at the scan; the text
+    * column never reaches the join). */
+  private val q170 = Q("q170_snapshot_diff",
+    (s, d) => {
+      val old = documents(s, d).select(col("doc_id"), col("text"))
+      val neu = old.where(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(old.where(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      graft.operators.SnapshotDiff.diff(old, neu, "doc_id", "text")
+    },
+    Some("""WITH o AS (SELECT doc_id AS id, md5(text) AS old_fp
+          FROM documents),
+      n0 AS (SELECT doc_id,
+          CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        FROM documents WHERE doc_id % 7 <> 0
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 3 = 0),
+      n AS (SELECT doc_id AS id, md5(text) AS new_fp FROM n0)
+      SELECT COALESCE(o.id, n.id) AS id,
+        CASE WHEN o.id IS NULL THEN 'added'
+             WHEN n.id IS NULL THEN 'removed'
+             WHEN o.old_fp = n.new_fp THEN 'unchanged'
+             ELSE 'changed' END AS status,
+        o.old_fp, n.new_fp
+      FROM o FULL OUTER JOIN n ON o.id = n.id"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -5613,7 +5780,7 @@ object Queries {
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163, q164, q165, q166)
+    q163, q164, q165, q166, q167, q168, q169, q170)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -154,6 +154,63 @@ object TextExprs {
         "\\x{007F}-\\x{009F}]", "")
   }
 
+  /** Repair ONE layer of mojibake — UTF-8 bytes that were mis-decoded
+    * as Latin-1/Windows-1252 somewhere upstream ("cafÃ©" for "café",
+    * "itâ€™s" for "it's"), the single most common crawl-text encoding
+    * defect (the core transform of the public `ftfy` library's
+    * fix-encoding pass, reimplemented as a pure-Column chain).
+    *
+    * Method: fold the 27 cp1252-specific characters back to their byte
+    * values (one `translate` pass — cp1252 is Latin-1 with 0x80–0x9F
+    * remapped to €‚ƒ…'"•–—™… etc.), then repair ONLY when the result
+    * (a) contains a non-ASCII char and (b) is a COMPLETE well-formed
+    * UTF-8 byte sequence under the char≡byte reading — checked by one
+    * anchored regex over ≤0xFF char classes (the RFC 3629 table:
+    * overlongs, lone continuations, surrogates, >U+10FFFF all fail)
+    * BEFORE `decode()` ever runs, the [[graft.functions.UrlExprs]]
+    * hostPctDecode discipline (Spark 4 decode throws on malformed).
+    * Any char > U+00FF fails the check too, so genuine Unicode text is
+    * structurally untouchable — a legit "São" (0xE3 0x6F invalid) or a
+    * stray "…" (no lead byte) never repairs. Strings that fail the
+    * gate pass through BYTE-IDENTICAL (the original, not the
+    * translated form).
+    *
+    * Ambiguity is inherent (a Latin-1 text that happens to spell valid
+    * UTF-8 repairs "wrongly" — ftfy has the same blind spot) and the
+    * bias is deliberate: real mojibake is overwhelmingly more likely
+    * than such coincidences. Doubly-encoded text needs two
+    * applications (one layer per call, spec-gated). Run BEFORE
+    * [[sanitizeText]] — its C1-control strip would destroy the folded
+    * 0x80–0x9F bytes this repair needs. */
+  def fixMojibake(text: Column): Column = {
+    // cp1252 0x80-0x9F table as code points (escape-only: raw C1
+    // controls in source would be invisible and editor-hostile)
+    val cp1252 = Seq(
+      0x20AC -> 0x80, 0x201A -> 0x82, 0x0192 -> 0x83, 0x201E -> 0x84,
+      0x2026 -> 0x85, 0x2020 -> 0x86, 0x2021 -> 0x87, 0x02C6 -> 0x88,
+      0x2030 -> 0x89, 0x0160 -> 0x8A, 0x2039 -> 0x8B, 0x0152 -> 0x8C,
+      0x017D -> 0x8E, 0x2018 -> 0x91, 0x2019 -> 0x92, 0x201C -> 0x93,
+      0x201D -> 0x94, 0x2022 -> 0x95, 0x2013 -> 0x96, 0x2014 -> 0x97,
+      0x02DC -> 0x98, 0x2122 -> 0x99, 0x0161 -> 0x9A, 0x203A -> 0x9B,
+      0x0153 -> 0x9C, 0x017E -> 0x9E, 0x0178 -> 0x9F)
+    val pre = translate(text,
+      cp1252.map(_._1.toChar).mkString,
+      cp1252.map(_._2.toChar).mkString)
+    val wellFormedUtf8 =
+      "^(?:[\\x{0000}-\\x{007F}]" +
+        "|[\\x{00C2}-\\x{00DF}][\\x{0080}-\\x{00BF}]" +
+        "|\\x{00E0}[\\x{00A0}-\\x{00BF}][\\x{0080}-\\x{00BF}]" +
+        "|[\\x{00E1}-\\x{00EC}][\\x{0080}-\\x{00BF}]{2}" +
+        "|\\x{00ED}[\\x{0080}-\\x{009F}][\\x{0080}-\\x{00BF}]" +
+        "|[\\x{00EE}-\\x{00EF}][\\x{0080}-\\x{00BF}]{2}" +
+        "|\\x{00F0}[\\x{0090}-\\x{00BF}][\\x{0080}-\\x{00BF}]{2}" +
+        "|[\\x{00F1}-\\x{00F3}][\\x{0080}-\\x{00BF}]{3}" +
+        "|\\x{00F4}[\\x{0080}-\\x{008F}][\\x{0080}-\\x{00BF}]{2})*$"
+    when(pre.rlike("[\\x{0080}-\\x{00FF}]") && pre.rlike(wellFormedUtf8),
+      decode(encode(pre, "ISO-8859-1"), "UTF-8"))
+      .otherwise(text)
+  }
+
   def tokenCount(text: Column): Column = size(tokens(text))
 
   /** Count of tokens contained in `vocab` (e.g. a stopword list). */

@@ -114,6 +114,18 @@ class SemDeDupSpec extends SparkSpec {
     assert(viaTrained.nonEmpty && viaTrained.size < emb.count())
   }
 
+  test("plan gate: the dominance anti-join keys on cell equality (hash " +
+    "or sort-merge join), never a nested-loop corpus product") {
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val model = IvfIndex.Model(Array(e0, e1, Array(-1.0, 0.0)))
+    val plan = SemDeDup.dedup(emb, "vec_id", "embedding", model, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"all-pairs join leaked into the SemDeDup plan:\n${plan.take(2000)}")
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+  }
+
   test("refusals: tau out of (0,1], zero-vector centroid") {
     val df = Seq((1L, at(0))).toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {

@@ -96,4 +96,39 @@ class UnicodeNormSpec extends SparkSpec {
     val decomposed = UTF8String.fromString("café")
     assert(UnicodeNorm.evalNfc(decomposed).toString == "café")
   }
+
+  test("fixMojibake: latin1-shaped UTF-8 repairs, one layer per call") {
+    import spark.implicits._
+    def f(x: String): String =
+      Seq(Tuple1(x)).toDF("t")
+        .select(graft.functions.TextExprs.fixMojibake(col("t")))
+        .collect()(0).getString(0)
+    // "cafÃ© voilÃ " -> "café voilà" (C3 A9 / C3 A0 runs)
+    assert(f("caf\u00C3\u00A9 voil\u00C3\u00A0") == "caf\u00E9 voil\u00E0")
+    // cp1252 shape: "itâ€™sâ€¦" -> "it's…" (E2 80 99 / E2 80 A6 with
+    // 0x99 surfacing as ™ and 0x80 as €)
+    assert(f("it\u00E2\u20AC\u2122s\u00E2\u20AC\u00A6") ==
+      "it\u2019s\u2026")
+    // double-encoded needs two applications: "ÃƒÂ©" -> "Ã©" -> "é"
+    val once = f("caf\u00C3\u0192\u00C2\u00A9")
+    assert(once == "caf\u00C3\u00A9", once)
+    assert(f(once) == "caf\u00E9")
+  }
+
+  test("fixMojibake: genuine text is structurally untouchable") {
+    import spark.implicits._
+    def f(x: String): String =
+      Seq(Tuple1(x)).toDF("t")
+        .select(graft.functions.TextExprs.fixMojibake(col("t")))
+        .collect()(0).getString(0)
+    assert(f("S\u00E3o Paulo") == "S\u00E3o Paulo")   // E3 6F invalid
+    assert(f("price \u00C3 10") == "price \u00C3 10") // C3 20 invalid
+    assert(f("a \u2192 b") == "a \u2192 b")           // >U+00FF fails gate
+    assert(f("dots\u2026here") == "dots\u2026here")   // lone cp1252 char:
+      // translated 0x85 is a bare continuation byte -> invalid -> original
+    assert(f("plain ascii") == "plain ascii")
+    val df = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(graft.functions.TextExprs.fixMojibake(col("t")))
+    assert(df.collect()(0).isNullAt(0))
+  }
 }
