@@ -5766,6 +5766,153 @@ object Queries {
         o.old_fp, n.new_fp
       FROM o FULL OUTER JOIN n ON o.id = n.id"""))
 
+  /** Sitemap discovery: per doc a synthesized urlset (1–2 entries,
+    * `&amp;` entities, an `sm:`-prefixed whitespace-padded loc,
+    * attribute soup on the root) or a sitemapindex (2 children). The
+    * oracle states the expected DISCOVERED rows in closed form from
+    * the synthesis formulas — the whole parse (kind detection, entry
+    * split, prefix/attribute tolerance, entity decode, trim, lastmod
+    * extraction) must land exactly there. */
+  private val q171 = Q("q171_sitemap_parse",
+    (s, d) => {
+      import graft.functions.SitemapExprs
+      val h = (col("doc_id") % 7).cast("string")
+      val b = (col("doc_id") % 4).cast("string")
+      val mm = (lit(10) + col("doc_id") % 20).cast("string")
+      val entry0 = concat(lit("<url><loc>https://site"), h,
+        lit(".example.com/p/"), col("doc_id").cast("string"),
+        lit("?a=1&amp;b="), b, lit("</loc><lastmod>2026-01-"), mm,
+        lit("</lastmod></url>"))
+      val entry1 = when(col("doc_id") % 3 =!= 0,
+        concat(lit("<url><sm:loc> https://site"), h,
+          lit(".example.com/p/"), col("doc_id").cast("string"),
+          lit("/alt </sm:loc></url>"))).otherwise(lit(""))
+      val urlset = concat(
+        lit("<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">"),
+        entry0, entry1, lit("</urlset>"))
+      val index = concat(lit("<sitemapindex><sitemap><loc>https://site"), h,
+        lit(".example.com/sitemap0.xml</loc></sitemap><sitemap><loc>"),
+        lit("https://site"), h,
+        lit(".example.com/sitemap1.xml</loc></sitemap></sitemapindex>"))
+      val xml = when(col("doc_id") % 5 === 0, index).otherwise(urlset)
+      val base = documents(s, d).select(col("doc_id"), xml.as("__xml"))
+      val kind = SitemapExprs.sitemapKind(col("__xml"))
+      val pages = base
+        .select(col("doc_id"), kind.as("kind"),
+          explode(SitemapExprs.sitemapEntries(col("__xml"))).as("e"))
+        .select(col("doc_id"), col("kind"),
+          col("e.loc").as("loc"), col("e.lastmod").as("lastmod"))
+      val children = base
+        .where(kind === "sitemapindex")
+        .select(col("doc_id"), kind.as("kind"),
+          explode(SitemapExprs.childSitemaps(col("__xml"))).as("loc"),
+          lit(null).cast("string").as("lastmod"))
+      pages.unionAll(children)
+    },
+    Some("""WITH d AS (SELECT doc_id, CAST(doc_id % 7 AS VARCHAR) AS h,
+          CAST(doc_id % 4 AS VARCHAR) AS b,
+          CAST(10 + doc_id % 20 AS VARCHAR) AS mm
+        FROM documents),
+      u0 AS (SELECT doc_id, 'urlset' AS kind,
+          'https://site' || h || '.example.com/p/' || doc_id
+            || '?a=1&b=' || b AS loc,
+          '2026-01-' || mm AS lastmod
+        FROM d WHERE doc_id % 5 <> 0),
+      u1 AS (SELECT doc_id, 'urlset' AS kind,
+          'https://site' || h || '.example.com/p/' || doc_id
+            || '/alt' AS loc,
+          CAST(NULL AS VARCHAR) AS lastmod
+        FROM d WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 0),
+      ix AS (SELECT doc_id, 'sitemapindex' AS kind,
+          'https://site' || h || '.example.com/sitemap' || k || '.xml' AS loc,
+          CAST(NULL AS VARCHAR) AS lastmod
+        FROM d CROSS JOIN range(0, 2) t(k) WHERE doc_id % 5 = 0)
+      SELECT * FROM u0 UNION ALL SELECT * FROM u1
+      UNION ALL SELECT * FROM ix"""))
+
+  private val dsirCtes: String =
+    """tref AS (SELECT tok AS token
+          FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                FROM documents WHERE lang = 'en') WHERE tok <> ''),
+      tn AS (SELECT COUNT(*) AS nn FROM tref),
+      tlm AS (SELECT v.token,
+          CAST(ROUND(-ln((v.c + 0.5) / (tn.nn + 0.5 * 1001)), 6)
+            AS DECIMAL(18,6)) AS nll
+        FROM (SELECT token, COUNT(*) AS c FROM tref GROUP BY 1
+              ORDER BY c DESC, token LIMIT 1000) v CROSS JOIN tn),
+      toov AS (SELECT CAST(ROUND(-ln(0.5 / (tn.nn + 0.5 * 1001)), 6)
+            AS DECIMAL(18,6)) AS nll FROM tn),
+      rref AS (SELECT tok AS token
+          FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+                FROM documents) WHERE tok <> ''),
+      rn AS (SELECT COUNT(*) AS nn FROM rref),
+      rlm AS (SELECT v.token,
+          CAST(ROUND(-ln((v.c + 0.5) / (rn.nn + 0.5 * 1001)), 6)
+            AS DECIMAL(18,6)) AS nll
+        FROM (SELECT token, COUNT(*) AS c FROM rref GROUP BY 1
+              ORDER BY c DESC, token LIMIT 1000) v CROSS JOIN rn),
+      roov AS (SELECT CAST(ROUND(-ln(0.5 / (rn.nn + 0.5 * 1001)), 6)
+            AS DECIMAL(18,6)) AS nll FROM rn),
+      toks AS (SELECT doc, token
+          FROM (SELECT doc_id AS doc,
+                  unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+                FROM documents) WHERE token <> ''),
+      j AS (SELECT t.doc, COALESCE(tlm.nll, toov.nll) AS t_nll,
+              COALESCE(rlm.nll, roov.nll) AS r_nll
+            FROM toks t LEFT JOIN tlm ON t.token = tlm.token
+            LEFT JOIN rlm ON t.token = rlm.token
+            CROSS JOIN toov CROSS JOIN roov),
+      g AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+              CAST((SUM(r_nll) - SUM(t_nll)) * 1000000 AS BIGINT) AS wm
+            FROM j GROUP BY doc)"""
+
+  /** DSIR importance weights: target LM = the English slice, raw LM =
+    * the whole corpus (both add-0.5 unigram LMs, vocab 1000). The
+    * oracle rebuilds BOTH LMs, the shared one-scan double lookup, and
+    * the exact decimal log-ratio — positive weights mark
+    * English-reading documents. */
+  private val q172 = Q("q172_dsir_weights",
+    (s, d) => {
+      val docs = documents(s, d)
+      val target = graft.operators.TrainingData.trainQualityLm(
+        docs.where(col("lang") === "en"), "text", vocabSize = 1000)
+      val raw = graft.operators.TrainingData.trainQualityLm(
+        docs, "text", vocabSize = 1000)
+      graft.operators.TrainingData.dsirWeights(docs, "doc_id", "text",
+        target, raw)
+    },
+    Some(s"WITH $dsirCtes SELECT doc, n_tokens, " +
+      "CAST(wm AS DOUBLE) / 1000000.0 AS weight FROM g"))
+
+  /** DSIR Gumbel-top-k resampling: deterministic Gumbel noise from the
+    * md5 63-bit id key (q99's hash contract) added to the weight in
+    * exact micros, top-100 by (key desc, doc). The oracle replays the
+    * hash, the clamped uniform, both ln()s inside one rounded step, and
+    * the ORDER BY — the draw is reproducible by construction. */
+  private val q173 = Q("q173_dsir_resample",
+    (s, d) => {
+      val docs = documents(s, d)
+      val target = graft.operators.TrainingData.trainQualityLm(
+        docs.where(col("lang") === "en"), "text", vocabSize = 1000)
+      val raw = graft.operators.TrainingData.trainQualityLm(
+        docs, "text", vocabSize = 1000)
+      graft.operators.TrainingData.dsirResample(docs, "doc_id", "text",
+        target, raw, k = 100)
+    },
+    Some(s"WITH $dsirCtes, " +
+      """s AS (SELECT doc, n_tokens, wm,
+          CAST(CAST(('0x' || substring(md5(CAST(doc AS VARCHAR)), 1, 16))
+            AS UBIGINT) % 9223372036854775808 AS BIGINT) AS skey
+        FROM g),
+      kk AS (SELECT doc, n_tokens, wm,
+          wm + CAST(CAST(ROUND(-ln(-ln(LEAST(
+              (CAST(skey AS DOUBLE) + 0.5) / 9223372036854775808.0,
+              0.999999999999))), 6) AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+            AS key
+        FROM s)
+      SELECT doc, n_tokens, CAST(wm AS DOUBLE) / 1000000.0 AS weight
+      FROM kk ORDER BY key DESC, doc LIMIT 100"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -5780,7 +5927,7 @@ object Queries {
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163, q164, q165, q166, q167, q168, q169, q170)
+    q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

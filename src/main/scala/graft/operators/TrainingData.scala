@@ -1412,4 +1412,95 @@ object TrainingData {
           (lit(2.0) * col("n_a").cast("double") * col("n_b").cast("double")))
           .as("tv_dist"))
   }
+
+  /** DSIR-style importance weights (Xie, Santurkar, Ma & Liang, "Data
+    * Selection for Language Models via Importance Resampling", NeurIPS
+    * 2023 — public literature): weight(doc) = log p_target(doc) −
+    * log p_raw(doc) under two add-alpha unigram LMs ([[trainQualityLm]]
+    * tables — the paper's hashed-ngram feature LMs reduced to this
+    * repo's exact engine-portable unigram protocol). Positive weight =
+    * the document reads more like the TARGET distribution (the curated
+    * domain you want more of) than the raw crawl it came from.
+    *
+    * Scale shape: ONE corpus scan — both vocabularies broadcast
+    * (≤ V+1 rows each), two broadcast-hash lookups per token in the
+    * same plan, one per-doc aggregate. Per-token nlls are the LM
+    * tables' already-rounded decimals, so the weight is exact decimal
+    * arithmetic end to end: weight = (Σ nll_raw − Σ nll_target)/10⁶ on
+    * long micros. Token-less documents emit nothing ([[lmQualityScore]]
+    * rule). Output: (doc, n_tokens, weight). */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+                  targetLm: DataFrame, rawLm: DataFrame): DataFrame =
+    dsirWeightsMicro(docs, idCol, textCol, targetLm, rawLm)
+      .select(col("doc"), col("n_tokens"),
+        col("__w_micro").cast("double").divide(lit(1000000.0))
+          .as("weight"))
+
+  private def lmVocabAndOov(lm: DataFrame, which: String)
+  : (DataFrame, java.math.BigDecimal) = {
+    val oovRows = lm.where(col("token").isNull)
+      .select(col("nll").cast("decimal(18,6)")).collect()
+    require(oovRows.length == 1,
+      s"$which LM table must carry exactly ONE OOV row (token IS NULL): " +
+        s"found ${oovRows.length} — train with trainQualityLm")
+    (lm.where(col("token").isNotNull)
+      .select(col("token"), col("nll").cast("decimal(18,6)")),
+      oovRows(0).getDecimal(0))
+  }
+
+  private def dsirWeightsMicro(docs: DataFrame, idCol: String,
+                               textCol: String, targetLm: DataFrame,
+                               rawLm: DataFrame): DataFrame = {
+    val (tv, tOov) = lmVocabAndOov(targetLm, "target")
+    val (rv, rOov) = lmVocabAndOov(rawLm, "raw")
+    docs
+      .select(col(idCol).as("doc"),
+        explode(TextExprs.tokens(lower(col(textCol)))).as("token"))
+      .where(col("token") =!= "")
+      .join(broadcast(tv.withColumnRenamed("nll", "__t")), Seq("token"), "left")
+      .join(broadcast(rv.withColumnRenamed("nll", "__r")), Seq("token"), "left")
+      .select(col("doc"),
+        coalesce(col("__t"), lit(tOov).cast("decimal(18,6)")).as("__t"),
+        coalesce(col("__r"), lit(rOov).cast("decimal(18,6)")).as("__r"))
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_tokens"),
+        ((sum(col("__r")) - sum(col("__t"))) * 1000000).cast("long")
+          .as("__w_micro"))
+  }
+
+  /** DSIR importance RESAMPLING, reproducibly: Gumbel-top-k over the
+    * [[dsirWeights]] log-ratios — `key = weight + Gumbel(doc)` where the
+    * Gumbel draw derives from the document's md5 63-bit key (the
+    * [[sampleExact]] protocol), so the "random" sample is deterministic,
+    * engine-portable, and stable under re-runs and repartitioning.
+    * Gumbel-top-k of (log-weight + noise) IS sampling without
+    * replacement proportional to the softmax of the weights — the
+    * paper's resampling step with the RNG replaced by the id-hash.
+    *
+    * The noise rounds at 6 decimals and joins the weight in exact long
+    * micros; selection is the native bounded-heap top-k by
+    * (key desc, doc asc). Output: (doc, n_tokens, weight) of the k
+    * selected documents. */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+                   targetLm: DataFrame, rawLm: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"dsirResample: k must be >= 1: $k")
+    val w = dsirWeightsMicro(docs, idCol, textCol, targetLm, rawLm)
+    val skey = StableId63.stableId63(col("doc").cast("string"))
+    // u in (0, 1): the +0.5 keeps 0 out; the least() keeps the handful
+    // of keys whose long->double conversion rounds UP to 2^63 from
+    // producing u = 1 (-ln(-ln(1)) = +inf)
+    val u = least(
+      (skey.cast("double") + lit(0.5)) / lit(9.223372036854775808e18),
+      lit(0.999999999999))
+    val gMicro = (round(-log(-log(u)), 6).cast("decimal(18,6)") * 1000000)
+      .cast("long")
+    val keyed = w.withColumn("__key", col("__w_micro") + gMicro)
+      .withColumn("__one", lit(0))
+    graft.plans.TopK.perKey(keyed, Seq("__one"),
+      Seq(graft.plans.TopK.Sort("__key", desc = true),
+        graft.plans.TopK.Sort("doc")), k, "__drank")
+      .select(col("doc"), col("n_tokens"),
+        col("__w_micro").cast("double").divide(lit(1000000.0))
+          .as("weight"))
+  }
 }
