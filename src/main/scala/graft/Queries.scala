@@ -5913,6 +5913,45 @@ object Queries {
       SELECT doc, n_tokens, CAST(wm AS DOUBLE) / 1000000.0 AS weight
       FROM kk ORDER BY key DESC, doc LIMIT 100"""))
 
+  /** Host-authority PageRank over a 97-node synthetic link graph, 3
+    * iterations at damping 85 — the oracle replays the ENTIRE integer
+    * protocol (distinct edges, out-degrees, per-edge `rm DIV deg`
+    * contributions, `(85·Σ) DIV 100` damping) as three chained CTE
+    * rounds, so any drift in the arithmetic, the dangling handling, or
+    * an iteration count lands as a hash mismatch. */
+  private val q174 = Q("q174_pagerank",
+    (s, d) => {
+      val edges = documents(s, d).select(
+        concat(lit("h"), (col("doc_id") % 97).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * 31 + 7) % 97).cast("string"))
+          .as("dst"))
+      graft.operators.LinkGraph.pageRank(edges, "src", "dst", iters = 3)
+    },
+    Some("""WITH e AS (SELECT DISTINCT 'h' || (doc_id % 97) AS src,
+          'h' || ((doc_id * 31 + 7) % 97) AS dst FROM documents),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rm FROM nodes),
+      c1 AS (SELECT e.dst AS node, SUM(r0.rm // od.deg) AS s
+        FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
+        GROUP BY e.dst),
+      r1 AS (SELECT n.node,
+          CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS rm
+        FROM nodes n LEFT JOIN c1 USING (node)),
+      c2 AS (SELECT e.dst AS node, SUM(r1.rm // od.deg) AS s
+        FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
+        GROUP BY e.dst),
+      r2 AS (SELECT n.node,
+          CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS rm
+        FROM nodes n LEFT JOIN c2 USING (node)),
+      c3 AS (SELECT e.dst AS node, SUM(r2.rm // od.deg) AS s
+        FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src
+        GROUP BY e.dst),
+      r3 AS (SELECT n.node,
+          CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS rm
+        FROM nodes n LEFT JOIN c3 USING (node))
+      SELECT node, CAST(rm AS DOUBLE) / 1000000.0 AS rank FROM r3"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -5927,7 +5966,7 @@ object Queries {
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173)
+    q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
