@@ -5952,6 +5952,84 @@ object Queries {
         FROM nodes n LEFT JOIN c3 USING (node))
       SELECT node, CAST(rm AS DOUBLE) / 1000000.0 AS rank FROM r3"""))
 
+  /** C4-style blocklist filter: per-doc token totals, blocklist-hit
+    * counts (multiplicity, after lowercase + edge-punctuation trim),
+    * and the keep verdict at maxHits=2 — the oracle replays the exact
+    * tokenize → trim → IN-list → roll-up protocol. */
+  private val q175 = Q("q175_blocklist_filter",
+    (s, d) => graft.operators.TrainingData.blocklistFilter(
+      documents(s, d), "doc_id", "text",
+      blocklist = Seq("spill", "slow", "stale"), maxHits = 2),
+    Some("""WITH t AS (
+        SELECT doc_id AS doc,
+          regexp_replace(tok, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g') AS tok
+        FROM (SELECT doc_id,
+                unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+              FROM documents))
+      SELECT doc,
+        CAST(SUM(CASE WHEN tok <> '' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_tokens,
+        CAST(SUM(CASE WHEN tok IN ('spill', 'slow', 'stale') THEN 1
+          ELSE 0 END) AS BIGINT) AS n_flagged,
+        SUM(CASE WHEN tok IN ('spill', 'slow', 'stale') THEN 1
+          ELSE 0 END) <= 2 AS keep
+      FROM t GROUP BY doc ORDER BY doc"""))
+
+  /** Head-metadata extraction (title / meta description / canonical
+    * link) over a 4-variant syntax matrix — attribute order × quote
+    * style rotate by doc_id, one doc in five carries no head metadata
+    * at all. All four syntactic variants must extract to the SAME
+    * formula value (the oracle recomputes it from the fixture, q154's
+    * discipline), so a pattern that misses an attribute order, a
+    * quote style, an uppercase tag, or leaks entities un-decoded
+    * hash-mismatches. */
+  private val q176 = Q("q176_html_metadata",
+    (s, d) => {
+      val idStr = col("doc_id").cast("string")
+      val title = concat(lit("Engine "), idStr, lit(" &amp; Friends"))
+      val desc = concat(lit("A &quot;fast&quot; engine no. "), idStr)
+      val canon = concat(lit("https://ex.com/d?id="), idStr,
+        lit("&amp;v=1"))
+      val v = col("doc_id") % 4
+      val metaTag = when(v === 0, concat(
+          lit("<meta name=\"description\" content=\""), desc, lit("\">")))
+        .when(v === 1, concat(
+          lit("<meta name='description' content='"), desc, lit("'>")))
+        .when(v === 2, concat(
+          lit("<meta content=\""), desc, lit("\" name=\"description\">")))
+        .otherwise(concat(
+          lit("<META CONTENT='"), desc, lit("' NAME='description'>")))
+      val linkTag = when(v === 0, concat(
+          lit("<link rel=\"canonical\" href=\""), canon, lit("\">")))
+        .when(v === 1, concat(
+          lit("<link rel='canonical' href='"), canon, lit("'>")))
+        .when(v === 2, concat(
+          lit("<link href=\""), canon, lit("\" rel=\"canonical\">")))
+        .otherwise(concat(
+          lit("<LINK HREF='"), canon, lit("' REL='canonical'>")))
+      val titleTag = when(v % 2 === 0,
+          concat(lit("<title> "), title, lit(" </title>")))
+        .otherwise(concat(lit("<TITLE lang=\"en\">"), title,
+          lit("</TITLE>")))
+      val page = when(col("doc_id") % 5 === 0,
+          lit("<html><head></head><body><p>no head</p></body></html>"))
+        .otherwise(concat(lit("<html><head>"), titleTag, metaTag,
+          linkTag, lit("</head><body><p>x</p></body></html>")))
+      documents(s, d).select(col("doc_id"),
+        graft.functions.TextExprs.htmlTitle(page).as("title"),
+        graft.functions.TextExprs.htmlMetaContent(page, "description")
+          .as("meta_description"),
+        graft.functions.TextExprs.htmlCanonicalUrl(page).as("canonical"))
+    },
+    Some("""SELECT doc_id,
+        CASE WHEN doc_id % 5 = 0 THEN NULL
+          ELSE 'Engine ' || doc_id || ' & Friends' END AS title,
+        CASE WHEN doc_id % 5 = 0 THEN NULL
+          ELSE 'A "fast" engine no. ' || doc_id END AS meta_description,
+        CASE WHEN doc_id % 5 = 0 THEN NULL
+          ELSE 'https://ex.com/d?id=' || doc_id || '&v=1' END AS canonical
+      FROM documents"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -5966,7 +6044,8 @@ object Queries {
     q129, q130, q131, q132, q133, q134, q135, q136, q137, q138, q139,
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
-    q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174)
+    q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
+    q175, q176)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -112,6 +112,66 @@ object TextExprs {
     filter(stats, s => s.getField("text") =!= "")
   }
 
+  /** Page `<title>` extraction — the head-metadata sibling of
+    * [[htmlToText]]: titles feed dedup keys, retrieval display, and
+    * quality heuristics without touching the body. First title
+    * element's inline-cleaned text (tag-strip, single entity decode,
+    * whitespace collapse); NULL when absent or empty — the
+    * distinguishes-nothing value, not "". Pure codegen'd regexp,
+    * RE2-compatible, oracle-replayable. */
+  def htmlTitle(html: Column): Column = {
+    val raw = regexp_extract(html, "(?is)<title\\b[^>]*>(.*?)</title>", 1)
+    val t = cleanInline(raw)
+    when(t === "", lit(null).cast("string")).otherwise(t)
+  }
+
+  /** `<meta name="…" content="…">` extraction for a fixed lowercase
+    * `name` (description, keywords, robots, …). Attribute order and
+    * quote style both vary in the wild, so four anchored patterns
+    * cover {name-first, content-first} × {double, single} quotes —
+    * first non-empty wins, entity-decoded, whitespace-collapsed; NULL
+    * when absent. Unquoted attribute values are out of scope (rare,
+    * and unanchored matching would false-positive) — stated, not
+    * hidden. `name` is a literal, validated to `[a-z0-9:._-]+` so it
+    * splices into the pattern without regex-injection. */
+  def htmlMetaContent(html: Column, name: String): Column = {
+    require(name.nonEmpty && name.matches("[a-z0-9:._-]+"),
+      s"htmlMetaContent: name must match [a-z0-9:._-]+: '$name'")
+    firstNonEmpty(attrPairPatterns("meta", "name", name, "content")
+      .map(p => regexp_extract(html, p, 1)))
+  }
+
+  /** `<link rel="canonical" href="…">` extraction — the page's own
+    * statement of its canonical URL, the strongest pre-content dedup
+    * signal a crawl has (compose with [[UrlExprs]] canonicalization:
+    * this yields the URL, that normalizes it). Same four-pattern
+    * attribute-order/quote-style coverage as [[htmlMetaContent]];
+    * entity-decoded (`&amp;` in query strings), NULL when absent. */
+  def htmlCanonicalUrl(html: Column): Column =
+    firstNonEmpty(attrPairPatterns("link", "rel", "canonical", "href")
+      .map(p => regexp_extract(html, p, 1)))
+
+  /** The 4 patterns for `<tag … key="value" … valueAttr="CAPTURE">`
+    * with either attribute order and either quote style. */
+  private def attrPairPatterns(tag: String, keyAttr: String,
+                               keyVal: String, valAttr: String): Seq[String] = {
+    val key = s"\\b$keyAttr\\s*=\\s*[\"']?$keyVal[\"']?"
+    Seq(
+      s"(?is)<$tag\\b[^>]*$key[^>]*\\b$valAttr\\s*=\\s*\"([^\"]*)\"",
+      s"(?is)<$tag\\b[^>]*$key[^>]*\\b$valAttr\\s*=\\s*'([^']*)'",
+      s"(?is)<$tag\\b[^>]*\\b$valAttr\\s*=\\s*\"([^\"]*)\"[^>]*$key",
+      s"(?is)<$tag\\b[^>]*\\b$valAttr\\s*=\\s*'([^']*)'[^>]*$key")
+  }
+
+  /** First pattern whose cleaned extract is non-empty, else NULL. */
+  private def firstNonEmpty(extracts: Seq[Column]): Column = {
+    val cleaned = extracts.map(e => cleanInline(e))
+    val picked = cleaned.foldRight(lit(null).cast("string")) { (c, acc) =>
+      when(c =!= "", c).otherwise(acc)
+    }
+    picked
+  }
+
   /** The kept-content projection of [[htmlBlocks]]: non-boilerplate
     * block texts joined with newlines — the "main text" a curation
     * pipeline feeds downstream quality filters. */

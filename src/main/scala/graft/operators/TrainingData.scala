@@ -345,6 +345,56 @@ object TrainingData {
           col("rep_ratio") <= maxRepRatio)
   }
 
+  /** Blocklist (bad-words) filtering — the C4 cleaning step (Raffel et
+    * al., "Exploring the Limits of Transfer Learning with a Unified
+    * Text-to-Text Transformer", JMLR 2020, §2.2: pages containing any
+    * word on a public blocklist are dropped — public literature). A
+    * token matches when its lowercased, edge-punctuation-trimmed form
+    * equals a blocklist entry, so "Spill," and "SPILL" both hit
+    * "spill"; single-token entries only (phrase entries belong to a
+    * substring scan, a different cost model — refused loudly).
+    *
+    * Scale shape (100 TB): tokens explode NARROW ((doc, token) only —
+    * the text column never shuffles), the blocklist broadcasts
+    * (list-sized by contract), the hit test is one broadcast hash
+    * join, and the per-doc roll-up partial-aggregates map-side. No
+    * per-row array allocation, no regex alternation that grows with
+    * the list.
+    *
+    * Output: (doc, n_tokens, n_flagged, keep) — every input doc
+    * appears (token-less docs count 0/0); keep = n_flagged <= maxHits
+    * (default 0 = C4's drop-on-any-hit). */
+  def blocklistFilter(docs: DataFrame, idCol: String, textCol: String,
+                      blocklist: Seq[String], maxHits: Int = 0): DataFrame = {
+    require(blocklist.nonEmpty, "blocklistFilter: empty blocklist")
+    require(maxHits >= 0, s"blocklistFilter: maxHits must be >= 0: $maxHits")
+    blocklist.foreach { w =>
+      require(w.nonEmpty && w == w.toLowerCase(java.util.Locale.ROOT) &&
+        !w.exists(_.isWhitespace),
+        s"blocklistFilter: entries must be nonempty lowercase single " +
+          s"tokens: '$w' (phrases need a substring scan, not this operator)")
+    }
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bl = broadcast(blocklist.distinct.toDF("__bl_word"))
+    val toks = docs
+      .select(col(idCol).as("doc"),
+        explode_outer(TextExprs.tokens(lower(trim(col(textCol)))))
+          .as("__raw"))
+      .select(col("doc"),
+        regexp_replace(col("__raw"), "^[^a-z0-9]+|[^a-z0-9]+$", "")
+          .as("__tok"))
+    toks
+      .join(bl, col("__tok") === col("__bl_word"), "left")
+      .groupBy(col("doc"))
+      .agg(
+        sum(when(col("__tok").isNotNull && col("__tok") =!= "", 1L)
+          .otherwise(0L)).as("n_tokens"),
+        sum(when(col("__bl_word").isNotNull, 1L).otherwise(0L))
+          .as("n_flagged"))
+      .withColumn("keep", col("n_flagged") <= maxHits)
+  }
+
   /** Frequency vocabulary: top-`k` lowercased whitespace tokens by global
     * count (ties → lexicographic). Classic two-phase aggregate: partial
     * counts map-side, one shuffle on token, TakeOrdered for the top-k —

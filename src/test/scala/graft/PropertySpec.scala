@@ -354,6 +354,45 @@ class PropertySpec extends SparkSpec {
     assert(clean("") == "")
   }
 
+  test("htmlTitle/htmlMetaContent/htmlCanonicalUrl: attribute-order and " +
+      "quote-style matrix, entity decode, absent -> NULL, injection " +
+      "refusal, hostile markup never throws") {
+    def ext(s: String): (String, String, String) =
+      Seq(s).toDF("h").select(
+        TextExprs.htmlTitle(col("h")).as("t"),
+        TextExprs.htmlMetaContent(col("h"), "description").as("d"),
+        TextExprs.htmlCanonicalUrl(col("h")).as("c"))
+        .collect().map(r => (r.getString(0), r.getString(1),
+          r.getString(2))).head
+    // all four syntax variants extract identically
+    val want = ("T & t", "a \"b\"", "https://e.x/?a=1&b=2")
+    assert(ext("<title>T &amp; t</title>" +
+      "<meta name=\"description\" content=\"a &quot;b&quot;\">" +
+      "<link rel=\"canonical\" href=\"https://e.x/?a=1&amp;b=2\">") == want)
+    assert(ext("<TITLE lang=en>T &amp; t</TITLE>" +
+      "<meta name='description' content='a &quot;b&quot;'>" +
+      "<link rel='canonical' href='https://e.x/?a=1&amp;b=2'>") == want)
+    assert(ext("<title> T &amp;\n t </title>" + // whitespace collapses
+      "<META content=\"a &quot;b&quot;\" NAME=\"description\">" +
+      "<LINK href=\"https://e.x/?a=1&amp;b=2\" rel=canonical>") == want)
+    assert(ext("<title>T &amp; t</title>" +
+      "<meta content='a &quot;b&quot;' name=description>" +
+      "<link href='https://e.x/?a=1&amp;b=2' rel='canonical'>") == want)
+    // absent, empty, or wrong-name metadata -> NULL, never ""
+    assert(ext("<body>no head</body>") == ((null, null, null)))
+    assert(ext("<title>  </title><meta name=\"keywords\" content=\"k\">" +
+      "<link rel=\"next\" href=\"/2\">") == ((null, null, null)))
+    // first title wins; truncated/hostile markup never throws
+    assert(ext("<title>one</title><title>two</title>")._1 == "one")
+    assert(ext("<title>never closed")._1 == null)
+    assert(ext("<meta name=\"description\" content=\"unclosed")._2 == null)
+    // the name parameter refuses regex injection
+    intercept[IllegalArgumentException] {
+      Seq("x").toDF("h")
+        .select(TextExprs.htmlMetaContent(col("h"), "a|b)("))
+    }
+  }
+
   test("htmlBlocks/htmlMainText: nav rails die by link density, stubs " +
       "die by word count, content with an inline link survives, hostile " +
       "markup never throws") {

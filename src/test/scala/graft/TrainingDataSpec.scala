@@ -1093,4 +1093,47 @@ class TrainingDataSpec extends SparkSpec {
       TrainingData.saveBpeMerges(spark, Seq.empty, dir.getAbsolutePath)
     }
   }
+
+  test("blocklistFilter: punctuation/case-insensitive hits with " +
+    "multiplicity, token-less docs survive, threshold semantics") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "Clean words only here"),
+      (2L, "Spill, SPILL and spill!"),     // 3 hits via case + edge punct
+      (3L, "a slow day"),                  // 1 hit
+      (4L, ""),                            // token-less: 0/0, keep
+      (5L, "nospill spillage"),            // substrings must NOT hit
+      (6L, "... !!")                       // punctuation-only tokens: 0/0
+    ).toDF("doc_id", "text")
+    val out = TrainingData.blocklistFilter(d, "doc_id", "text",
+      Seq("spill", "slow"), maxHits = 1)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out(1L) == ((4L, 0L, true)))
+    assert(out(2L) == ((4L, 3L, false)))   // multiplicity counts, > maxHits
+    assert(out(3L) == ((3L, 1L, true)))    // at the threshold keeps
+    assert(out(4L) == ((0L, 0L, true)))
+    assert(out(5L) == ((2L, 0L, true)))
+    assert(out(6L) == ((0L, 0L, true)))
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L)) // every doc appears
+  }
+
+  test("blocklistFilter refusals: empty list, phrase/case entries, " +
+    "negative maxHits") {
+    import spark.implicits._
+    val d = Seq((1L, "x")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TrainingData.blocklistFilter(d, "doc_id", "text", Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.blocklistFilter(d, "doc_id", "text", Seq("two words"))
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.blocklistFilter(d, "doc_id", "text", Seq("Upper"))
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.blocklistFilter(d, "doc_id", "text", Seq("ok"),
+        maxHits = -1)
+    }
+  }
 }
