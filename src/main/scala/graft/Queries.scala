@@ -6030,6 +6030,88 @@ object Queries {
           ELSE 'https://ex.com/d?id=' || doc_id || '&v=1' END AS canonical
       FROM documents"""))
 
+  /** Hard-negative mining over q168's fixture (brute-cosine top-10 run,
+    * label-match qrels): rank-1 skipped as the false-negative band,
+    * 4 negatives per query, queries without positives silent. The
+    * oracle rebuilds the run CTE verbatim and replays anti-join →
+    * semi-join → per-query cut, so a leaked positive, a mined rank-1,
+    * an unjudged query emitting, or a tie-order drift all
+    * hash-mismatch. */
+  private val q177 = Q("q177_hard_negatives",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val run = Similarity.bruteTopK(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", 10)
+      val qrels = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("label"))
+        .join(emb.select(col("vec_id").as("n_id"), col("label")),
+          Seq("label"))
+        .where(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"))
+      graft.operators.RetrievalEval.hardNegatives(run, qrels,
+        k = 4, skipTop = 1)
+    },
+    Some("""WITH q0 AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < 20),
+      q AS (SELECT q_id,
+          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS qv
+        FROM q0),
+      c0 AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      c AS (SELECT n_id,
+          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+        FROM c0),
+      scored AS (SELECT q_id, n_id, list_dot_product(qv, cv) AS cos
+        FROM c, q WHERE q_id <> n_id),
+      runr AS (SELECT q_id, n_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+            AS rank
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY cos DESC, n_id) <= 10),
+      qrels AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
+        FROM embeddings a JOIN embeddings b ON a.label = b.label
+        WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
+      cand AS (SELECT r.q_id, r.n_id, r.rank AS orig_rank
+        FROM runr r
+        WHERE r.rank > 1
+          AND NOT EXISTS (SELECT 1 FROM qrels x
+            WHERE x.q_id = r.q_id AND x.n_id = r.n_id)
+          AND EXISTS (SELECT 1 FROM qrels x WHERE x.q_id = r.q_id))
+      SELECT q_id, n_id, CAST(orig_rank AS INTEGER) AS orig_rank,
+        CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY orig_rank, n_id) AS INTEGER) AS neg_rank
+      FROM cand
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+        ORDER BY orig_rank, n_id) <= 4"""))
+
+  /** Code-point Shannon entropy + the low/prose/high banding a noise
+    * screen applies — the oracle recomputes the full micro protocol
+    * (per-character GROUP BY, per-term round-at-6, long-micro sum)
+    * from the raw text, so a count drift, a rounding-order change, or
+    * a band boundary off-by-one all hash-mismatch. */
+  private val q178 = Q("q178_char_entropy",
+    (s, d) => documents(s, d).select(col("doc_id"),
+      graft.functions.CharEntropyExpr.charEntropy(col("text"))
+        .as("entropy"))
+      .withColumn("band",
+        when(col("entropy") < 3.0, "low")
+          .when(col("entropy") <= 5.0, "prose")
+          .otherwise("high")),
+    Some("""WITH ch AS (SELECT doc_id,
+          unnest(regexp_split_to_array(text, '')) AS ch FROM documents),
+      cnt AS (SELECT doc_id, ch, COUNT(*) AS c FROM ch GROUP BY 1, 2),
+      tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY 1),
+      e AS (SELECT cnt.doc_id,
+          SUM(CAST(CAST(ROUND((c / CAST(n AS DOUBLE)) *
+            log2(CAST(n AS DOUBLE) / c), 6) AS DECIMAL(18,6)) * 1000000
+            AS BIGINT)) / 1000000.0 AS entropy
+        FROM cnt JOIN tot ON cnt.doc_id = tot.doc_id GROUP BY cnt.doc_id)
+      SELECT doc_id, entropy,
+        CASE WHEN entropy < 3.0 THEN 'low'
+          WHEN entropy <= 5.0 THEN 'prose' ELSE 'high' END AS band
+      FROM e"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -6045,7 +6127,7 @@ object Queries {
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
-    q175, q176)
+    q175, q176, q177, q178)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -121,4 +121,40 @@ object RetrievalEval {
       .select(col("n_queries"), mean(col("__r")).as("recall"),
         mean(col("__m")).as("mrr"), mean(col("__n")).as("ndcg"))
   }
+
+  /** Hard-negative mining — the training-data half of the retrieval
+    * loop: contrastive embedding training (SimCSE/DPR/BGE family —
+    * Karpukhin et al., EMNLP 2020, public literature) wants, per
+    * query, the highest-ranked candidates the searcher retrieved that
+    * are NOT judged relevant. Top-of-run negatives are routinely
+    * FALSE negatives (relevant but unjudged), so `skipTop` excludes
+    * the first ranks (the "mine from a band below the top" practice).
+    *
+    * Rules: run ranks in (skipTop, …] that do not appear in qrels,
+    * cut to the `k` best original ranks per query (ties by n_id);
+    * queries with ZERO judged-relevant documents emit nothing — with
+    * no positive anchor a training triple cannot be formed, the same
+    * exclusion [[perQuery]] applies when scoring.
+    *
+    * Scale shape (100 TB): the run is already top-k-sized; the
+    * anti/semi joins are (q_id, n_id)-keyed over run-sized frames, and
+    * the per-query cut is the native bounded-heap top-k — no window
+    * over a skewed q_id partition, no corpus participation at all.
+    * Output: (q_id, n_id, orig_rank, neg_rank 1..k). */
+  def hardNegatives(run: DataFrame, qrels: DataFrame, k: Int,
+                    skipTop: Int = 0): DataFrame = {
+    require(k > 0, s"hardNegatives: k must be positive: $k")
+    require(skipTop >= 0, s"hardNegatives: skipTop must be >= 0: $skipTop")
+    val r = run.select(col("q_id"), col("rank").cast("int").as("orig_rank"),
+        col("n_id"))
+      .where(col("orig_rank") > skipTop)
+    val rels = qrels.select(col("q_id"), col("n_id")).distinct()
+    val cand = r
+      .join(rels, Seq("q_id", "n_id"), "left_anti")
+      .join(rels.select(col("q_id")).distinct(), Seq("q_id"), "left_semi")
+    graft.plans.TopK.perKey(cand, Seq("q_id"),
+      Seq(graft.plans.TopK.Sort("orig_rank"), graft.plans.TopK.Sort("n_id")),
+      k, "neg_rank")
+      .select(col("q_id"), col("n_id"), col("orig_rank"), col("neg_rank"))
+  }
 }

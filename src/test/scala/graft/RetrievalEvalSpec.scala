@@ -79,4 +79,38 @@ class RetrievalEvalSpec extends SparkSpec {
       RetrievalEval.perQuery(df, df.select($"q_id", $"n_id"), 0)
     }
   }
+
+  test("hardNegatives: positives excluded, skipTop band honored, " +
+    "unjudged queries silent, cut + renumber by original rank") {
+    val run = Seq(
+      // query 1: rank1=pos(10), rank2=neg, rank3=pos, rank4..6=neg
+      (1L, 1, 10L), (1L, 2, 20L), (1L, 3, 11L),
+      (1L, 4, 21L), (1L, 5, 22L), (1L, 6, 23L),
+      // query 2: judged but all retrieved are positives -> nothing
+      (2L, 1, 30L), (2L, 2, 31L),
+      // query 3: NO qrels -> must emit nothing
+      (3L, 1, 40L), (3L, 2, 41L))
+      .toDF("q_id", "rank", "n_id")
+    val qrels = Seq((1L, 10L), (1L, 11L), (1L, 11L), // dup collapses
+      (2L, 30L), (2L, 31L)).toDF("q_id", "n_id")
+    val out = RetrievalEval.hardNegatives(run, qrels, k = 2, skipTop = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+        r.getInt(3))).sortBy(x => (x._1, x._4))
+    // q1: band is ranks 2..6; negatives 20(r2), 21(r4), 22, 23 -> top 2
+    assert(out.toSeq == Seq((1L, 20L, 2, 1), (1L, 21L, 4, 2)))
+  }
+
+  test("hardNegatives: skipTop=0 mines from rank 1; refusals") {
+    val run = Seq((1L, 1, 20L), (1L, 2, 10L)).toDF("q_id", "rank", "n_id")
+    val qrels = Seq((1L, 10L)).toDF("q_id", "n_id")
+    val out = RetrievalEval.hardNegatives(run, qrels, k = 5)
+      .collect().map(r => (r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(out.toSeq == Seq((20L, 1, 1)))
+    intercept[IllegalArgumentException] {
+      RetrievalEval.hardNegatives(run, qrels, 0)
+    }
+    intercept[IllegalArgumentException] {
+      RetrievalEval.hardNegatives(run, qrels, 1, skipTop = -1)
+    }
+  }
 }

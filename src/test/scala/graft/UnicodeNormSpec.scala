@@ -131,4 +131,31 @@ class UnicodeNormSpec extends SparkSpec {
       .select(graft.functions.TextExprs.fixMojibake(col("t")))
     assert(df.collect()(0).isNullAt(0))
   }
+
+  test("charEntropy: hand-computed micro protocol, code points not " +
+    "UTF-16 units, degenerate and null inputs") {
+    import graft.functions.CharEntropyExpr
+    def e(s: String): Double =
+      Seq(s).toDF("t").select(CharEntropyExpr.charEntropy(col("t")))
+        .collect()(0).getDouble(0)
+    assert(e("aaaa") == 0.0)                 // one symbol: no information
+    assert(e("ab") == 1.0)                   // exact halves
+    assert(e("abcd") == 2.0)
+    assert(e("abab") == 1.0)                 // distribution, not length
+    // hand-computed with per-term round-at-6:
+    // a: round((2/3)*log2(3/2), 6) = 0.389975
+    // b: round((1/3)*log2(3),   6) = 0.528321  -> 0.918296
+    assert(e("aab") == 0.918296)
+    // the treble clef is one CODE POINT (a surrogate pair in UTF-16):
+    // same distribution as "aab", so identical entropy
+    assert(e("𝄞𝄞a") == 0.918296)
+    assert(e("") == 0.0)                     // empty is a distribution
+    assert(e("   ") == 0.0)                  // whitespace counts as symbols
+    val df = Seq(Tuple1(null.asInstanceOf[String])).toDF("t")
+      .select(CharEntropyExpr.charEntropy(col("t")))
+    assert(df.collect()(0).isNullAt(0))
+    // prose vs base64-ish separation the banding relies on
+    assert(e("the quick brown fox jumps over the lazy dog") > 3.0)
+    assert(e("QWxhZGRpbjpvcGVuIHNlc2FtZQ8x7Kf0b3BlbiBzZXNhbWU5") > 4.9)
+  }
 }
