@@ -6112,6 +6112,73 @@ object Queries {
           WHEN entropy <= 5.0 THEN 'prose' ELSE 'high' END AS band
       FROM e"""))
 
+  /** Supervised quality classifier, trained IN the gate (dim=8, 2
+    * full-batch iterations, lrDiv=4, label = lang='en') and scored
+    * over the corpus — the oracle replays the ENTIRE integer
+    * protocol: hashed featurization (md5 63-bit % 8), the all-zero
+    * first iteration, gradient aggregation, truncating-division
+    * updates, the second iteration's hard-sigmoid margins, and final
+    * scoring, all as chained CTEs. Any drift in hashing, clamping,
+    * division sign semantics, or iteration count hash-mismatches. */
+  private val q179 = Q("q179_quality_classifier",
+    (s, d) => {
+      val docs = documents(s, d).withColumn("label",
+        when(col("lang") === "en", 1).otherwise(0))
+      val m = graft.operators.QualityClassifier.train(docs, "doc_id",
+        "text", "label", dim = 8, iters = 2, lrDiv = 4)
+      graft.operators.QualityClassifier.score(docs, "doc_id", "text", m)
+    },
+    Some("""WITH tok AS (SELECT doc_id AS doc,
+          CAST(CAST(CAST(('0x' || substring(md5(tok), 1, 16)) AS UBIGINT)
+            % 9223372036854775808 AS BIGINT) % 8 AS INTEGER) AS j
+        FROM (SELECT doc_id,
+            unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS tok
+          FROM documents)
+        WHERE tok <> ''),
+      f AS (SELECT doc, j, CAST(COUNT(*) AS BIGINT) AS x
+        FROM tok GROUP BY 1, 2),
+      lab AS (SELECT doc_id AS doc,
+          CAST(CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS BIGINT) AS y
+        FROM documents),
+      n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lab),
+      e1 AS (SELECT doc, y,
+          CAST(500000 - y * 1000000 AS BIGINT) AS err FROM lab),
+      g1 AS (SELECT f.j, CAST(SUM(e1.err * f.x) AS BIGINT) AS g
+        FROM f JOIN e1 USING (doc) GROUP BY f.j),
+      w1 AS (SELECT t.j,
+          CAST(0 - COALESCE(g1.g, 0) // ((SELECT n FROM n) * 4)
+            AS BIGINT) AS w
+        FROM range(0, 8) t(j) LEFT JOIN g1 ON g1.j = t.j),
+      b1 AS (SELECT CAST(0 - CAST(SUM(err) AS BIGINT)
+            // ((SELECT n FROM n) * 4) AS BIGINT) AS b FROM e1),
+      m2 AS (SELECT l.doc, l.y,
+          CAST((SELECT b FROM b1) + COALESCE(SUM(f.x * w1.w), 0)
+            AS BIGINT) AS marg
+        FROM lab l LEFT JOIN f ON f.doc = l.doc
+          LEFT JOIN w1 ON w1.j = f.j
+        GROUP BY l.doc, l.y),
+      e2 AS (SELECT doc, y,
+          CAST(LEAST(GREATEST(marg // 4 + 500000, 0), 1000000)
+            - y * 1000000 AS BIGINT) AS err FROM m2),
+      g2 AS (SELECT f.j, CAST(SUM(e2.err * f.x) AS BIGINT) AS g
+        FROM f JOIN e2 USING (doc) GROUP BY f.j),
+      w2 AS (SELECT w1.j,
+          CAST(w1.w - COALESCE(g2.g, 0) // ((SELECT n FROM n) * 4)
+            AS BIGINT) AS w
+        FROM w1 LEFT JOIN g2 ON g2.j = w1.j),
+      b2 AS (SELECT CAST((SELECT b FROM b1) - CAST(SUM(err) AS BIGINT)
+            // ((SELECT n FROM n) * 4) AS BIGINT) AS b FROM e2),
+      ms AS (SELECT d.doc_id AS doc,
+          CAST((SELECT b FROM b2) + COALESCE(SUM(f.x * w2.w), 0)
+            AS BIGINT) AS marg
+        FROM documents d LEFT JOIN f ON f.doc = d.doc_id
+          LEFT JOIN w2 ON w2.j = f.j
+        GROUP BY d.doc_id),
+      p AS (SELECT doc,
+          LEAST(GREATEST(marg // 4 + 500000, 0), 1000000) AS pm FROM ms)
+      SELECT doc, CAST(pm AS DOUBLE) / 1000000.0 AS score,
+        pm >= 500000 AS pred FROM p"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -6127,7 +6194,7 @@ object Queries {
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
-    q175, q176, q177, q178)
+    q175, q176, q177, q178, q179)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
