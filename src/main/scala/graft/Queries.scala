@@ -6179,6 +6179,108 @@ object Queries {
       SELECT doc, CAST(pm AS DOUBLE) / 1000000.0 AS score,
         pm >= 500000 AS pred FROM p"""))
 
+  /** The crawl front door COMPOSED end to end: messy frontier URLs
+    * (q138's 6-variant fixture) canonicalize and collapse, q139's rule
+    * matrix filters, a partial host-authority table attaches (hosts
+    * 4–6 deliberately unknown → rank 0), and the per-host politeness
+    * cut keeps 2 slots per host. The oracle recomputes the surviving
+    * set from the fixture formulas (canonical target, the q139 allow
+    * condition, literal authority CASE, row_number cut) — so a
+    * canonicalization drift, a policy regression, a lost
+    * unknown-host default, or a politeness off-by-one all
+    * hash-mismatch. */
+  private val q180 = Q("q180_crawl_schedule",
+    (s, d) => {
+      import s.implicits._
+      val rules = (0 until 7).flatMap { h =>
+        val host = s"site$h.example.com"
+        Seq((host, "/cat", false),
+          (host, s"/cat/item$h", true),
+          (host, s"/cat/item${(h + 1) % 10}", true),
+          (host, s"/cat/item${(h + 1) % 10}", false),
+          (host, s"/cat/it*m${(h + 2) % 10}$$", false),
+          (host, s"/*/item${(h + 4) % 10}", true),
+          (host, "/cat/ite$", true))
+      }.toDF("host", "prefix", "allow")
+      val auth = Seq(("site0.example.com", 0.1),
+        ("site1.example.com", 0.2), ("site2.example.com", 0.3),
+        ("site3.example.com", 0.4)).toDF("host", "rank")
+      val cand = documents(s, d).select(messyUrl.as("url"))
+      graft.operators.CrawlPolicy.prioritizedFetchList(cand, "url",
+        rules, auth, perHostK = 2)
+    },
+    Some("""WITH u AS (SELECT DISTINCT doc_id % 50 AS g FROM documents),
+      k AS (SELECT g, g % 7 AS h, g % 10 AS m, g % 3 AS a FROM u),
+      c AS (SELECT 'site' || h || '.example.com' AS host,
+          'https://site' || h || '.example.com/cat/item' || m ||
+            '?a=' || a || '&b=x%2Fy' AS url, h, m
+        FROM k),
+      al AS (SELECT host, url, h FROM c
+        WHERE m = h OR m = (h + 1) % 10 OR m = (h + 4) % 10),
+      r AS (SELECT host, url, h,
+          ROW_NUMBER() OVER (PARTITION BY host ORDER BY url) AS slot
+        FROM al)
+      SELECT host, url,
+        CAST(CASE h WHEN 0 THEN 0.1 WHEN 1 THEN 0.2 WHEN 2 THEN 0.3
+          WHEN 3 THEN 0.4 ELSE 0.0 END AS DOUBLE) AS authority,
+        CAST(slot AS INTEGER) AS slot
+      FROM r WHERE slot <= 2"""))
+
+  /** DPR-style training triples over q177's mining fixture: every
+    * judged positive × the query's 3 mined negatives (skipTop=1). The
+    * oracle replays the full chain — run rebuild, negative mining,
+    * positive cross — so a dropped pair, a doubled positive, or a
+    * leaked negative-less query all hash-mismatch. */
+  private val q181 = Q("q181_training_triples",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val run = Similarity.bruteTopK(emb, emb.where(col("vec_id") < 20),
+        "vec_id", "embedding", 10)
+      val qrels = emb.where(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("label"))
+        .join(emb.select(col("vec_id").as("n_id"), col("label")),
+          Seq("label"))
+        .where(col("q_id") =!= col("n_id"))
+        .select(col("q_id"), col("n_id"))
+      graft.operators.RetrievalEval.trainingTriples(run, qrels,
+        kNeg = 3, skipTop = 1)
+    },
+    Some("""WITH q0 AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id < 20),
+      q AS (SELECT q_id,
+          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS qv
+        FROM q0),
+      c0 AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings),
+      c AS (SELECT n_id,
+          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS cv
+        FROM c0),
+      scored AS (SELECT q_id, n_id, list_dot_product(qv, cv) AS cos
+        FROM c, q WHERE q_id <> n_id),
+      runr AS (SELECT q_id, n_id,
+          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id)
+            AS rank
+        FROM scored
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY cos DESC, n_id) <= 10),
+      qrels AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS n_id
+        FROM embeddings a JOIN embeddings b ON a.label = b.label
+        WHERE a.vec_id < 20 AND a.vec_id <> b.vec_id),
+      cand AS (SELECT r.q_id, r.n_id, r.rank AS orig_rank
+        FROM runr r
+        WHERE r.rank > 1
+          AND NOT EXISTS (SELECT 1 FROM qrels x
+            WHERE x.q_id = r.q_id AND x.n_id = r.n_id)
+          AND EXISTS (SELECT 1 FROM qrels x WHERE x.q_id = r.q_id)),
+      negs AS (SELECT q_id, n_id AS neg_id,
+          CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+            ORDER BY orig_rank, n_id) AS INTEGER) AS neg_rank
+        FROM cand
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY q_id
+          ORDER BY orig_rank, n_id) <= 3)
+      SELECT p.q_id, p.n_id AS pos_id, negs.neg_id, negs.neg_rank
+      FROM qrels p JOIN negs ON p.q_id = negs.q_id"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -6194,7 +6296,7 @@ object Queries {
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
-    q175, q176, q177, q178, q179)
+    q175, q176, q177, q178, q179, q180, q181)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -157,4 +157,23 @@ object RetrievalEval {
       k, "neg_rank")
       .select(col("q_id"), col("n_id"), col("orig_rank"), col("neg_rank"))
   }
+
+  /** Contrastive training TRIPLES — [[hardNegatives]] packaged into
+    * the (query, positive, negative) rows a DPR/SimCSE-style trainer
+    * consumes: every judged-positive of a query crossed with the
+    * query's `kNeg` mined negatives. Queries whose negatives mined
+    * empty (all retrieved were positives, or no positives judged)
+    * emit nothing — a triple needs both sides.
+    *
+    * Size contract: |qrels| × kNeg rows at most — training-set-sized,
+    * never corpus-sized; the join is q_id-keyed over two list-sized
+    * frames. Output: (q_id, pos_id, neg_id, neg_rank). */
+  def trainingTriples(run: DataFrame, qrels: DataFrame, kNeg: Int,
+                      skipTop: Int = 0): DataFrame = {
+    val negs = hardNegatives(run, qrels, kNeg, skipTop)
+      .select(col("q_id"), col("n_id").as("neg_id"), col("neg_rank"))
+    qrels.select(col("q_id"), col("n_id").as("pos_id")).distinct()
+      .join(negs, Seq("q_id"))
+      .select(col("q_id"), col("pos_id"), col("neg_id"), col("neg_rank"))
+  }
 }

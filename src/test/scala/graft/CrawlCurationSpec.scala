@@ -366,4 +366,35 @@ class CrawlCurationSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"),
       "argmax must stay hash-aggregable (packed-long ordering)")
   }
+
+  test("prioritizedFetchList: variants collapse before scheduling, " +
+    "disallowed URLs drop, unknown hosts rank 0, politeness cut with " +
+    "deterministic slots") {
+    import spark.implicits._
+    val cand = Seq(
+      // three spellings of ONE canonical URL on a.com
+      "https://a.com/x/1", "HTTPS://WWW.A.com:443/x/1",
+      "https://a.com/x/1#frag",
+      "https://a.com/x/2", "https://a.com/x/3", // same host, more URLs
+      "https://a.com/private/1",                 // disallowed by rule
+      "https://b.com/y", "https://b.com/z",      // host with no authority
+      "garbage not a url" // canonicalizes to NULL and vanishes
+    ).toDF("url")
+    val rules = Seq(("a.com", "/private", false)).toDF("host", "prefix",
+      "allow")
+    val auth = Seq(("a.com", 0.7)).toDF("host", "rank")
+    val out = graft.operators.CrawlPolicy.prioritizedFetchList(
+      cand, "url", rules, auth, perHostK = 2)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getDouble(2), r.getInt(3))).toSet
+    assert(out == Set(
+      ("a.com", "https://a.com/x/1", 0.7, 1),
+      ("a.com", "https://a.com/x/2", 0.7, 2), // /x/3 cut by politeness
+      ("b.com", "https://b.com/y", 0.0, 1),
+      ("b.com", "https://b.com/z", 0.0, 2)))
+    intercept[IllegalArgumentException] {
+      graft.operators.CrawlPolicy.prioritizedFetchList(cand, "url",
+        rules, auth, perHostK = 0)
+    }
+  }
 }

@@ -113,4 +113,18 @@ class RetrievalEvalSpec extends SparkSpec {
       RetrievalEval.hardNegatives(run, qrels, 1, skipTop = -1)
     }
   }
+
+  test("trainingTriples: every positive crosses every mined negative; " +
+    "negative-less queries emit nothing") {
+    val run = Seq(
+      (1L, 1, 10L), (1L, 2, 20L), (1L, 3, 21L), // q1: pos 10,11; negs 20,21
+      (2L, 1, 30L)).toDF("q_id", "rank", "n_id") // q2: only a positive
+    val qrels = Seq((1L, 10L), (1L, 11L), (2L, 30L)).toDF("q_id", "n_id")
+    val out = RetrievalEval.trainingTriples(run, qrels, kNeg = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(out == Set(
+      (1L, 10L, 20L, 1), (1L, 10L, 21L, 2),
+      (1L, 11L, 20L, 1), (1L, 11L, 21L, 2)))
+  }
 }
