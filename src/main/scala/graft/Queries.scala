@@ -6281,6 +6281,59 @@ object Queries {
       SELECT p.q_id, p.n_id AS pos_id, negs.neg_id, negs.neg_rank
       FROM qrels p JOIN negs ON p.q_id = negs.q_id"""))
 
+  /** PC1 of the embedding corpus by 2 FP20 power iterations, projected
+    * per vector — the oracle replays the ENTIRE protocol (floor(x·2²⁰)
+    * encode, truncating mean, the uniform floor(2²⁰/√dim) start, both
+    * iterations' per-row scalars / DIV-2²⁰ contributions / exact long
+    * sums / IEEE normalize-and-floor, final projection), so a drift in
+    * any division sign, sum order dependence, or normalization op
+    * order lands as a hash mismatch. */
+  private val q182 = Q("q182_pca_top_component",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val c = graft.operators.Pca.topComponent(emb, "vec_id",
+        "embedding", iters = 2)
+      graft.operators.Pca.project(emb, "vec_id", "embedding", c)
+    },
+    Some("""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+      fx AS (SELECT vec_id, j.range AS pos,
+          CAST(FLOOR(v[j.range + 1] * 1048576) AS BIGINT) AS f
+        FROM ev CROSS JOIN range(4096) j WHERE j.range < len(v)),
+      mn AS (SELECT pos, SUM(f) AS fs, COUNT(*) AS n FROM fx GROUP BY pos),
+      m AS (SELECT pos, CAST(fs // n AS BIGINT) AS mu FROM mn),
+      d0 AS (SELECT COUNT(*) AS dim FROM m),
+      cx AS (SELECT vec_id, fx.pos, f - mu AS c
+        FROM fx JOIN m ON fx.pos = m.pos),
+      w0 AS (SELECT pos,
+          CAST(FLOOR(1048576 / sqrt((SELECT dim FROM d0))) AS BIGINT) AS w
+        FROM m),
+      s1 AS (SELECT cx.vec_id,
+          CAST(SUM(cx.c * w0.w) // 1048576 AS BIGINT) AS s
+        FROM cx JOIN w0 ON cx.pos = w0.pos GROUP BY cx.vec_id),
+      u1 AS (SELECT cx.pos,
+          CAST(SUM((cx.c * s1.s) // 1048576) AS BIGINT) AS u
+        FROM cx JOIN s1 ON cx.vec_id = s1.vec_id GROUP BY cx.pos),
+      nm1 AS (SELECT sqrt(CAST(SUM(CAST(u AS HUGEINT) * u) AS DOUBLE))
+          AS norm FROM u1),
+      w1 AS (SELECT pos, CAST(FLOOR(CAST(u AS DOUBLE) /
+          (SELECT norm FROM nm1) * 1048576) AS BIGINT) AS w FROM u1),
+      s2 AS (SELECT cx.vec_id,
+          CAST(SUM(cx.c * w1.w) // 1048576 AS BIGINT) AS s
+        FROM cx JOIN w1 ON cx.pos = w1.pos GROUP BY cx.vec_id),
+      u2 AS (SELECT cx.pos,
+          CAST(SUM((cx.c * s2.s) // 1048576) AS BIGINT) AS u
+        FROM cx JOIN s2 ON cx.vec_id = s2.vec_id GROUP BY cx.pos),
+      nm2 AS (SELECT sqrt(CAST(SUM(CAST(u AS HUGEINT) * u) AS DOUBLE))
+          AS norm FROM u2),
+      w2 AS (SELECT pos, CAST(FLOOR(CAST(u AS DOUBLE) /
+          (SELECT norm FROM nm2) * 1048576) AS BIGINT) AS w FROM u2),
+      p AS (SELECT cx.vec_id,
+          CAST(SUM(cx.c * w2.w) // 1048576 AS BIGINT) AS s
+        FROM cx JOIN w2 ON cx.pos = w2.pos GROUP BY cx.vec_id)
+      SELECT vec_id AS id, CAST(s AS DOUBLE) / 1048576.0 AS pc1
+      FROM p"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -6296,7 +6349,7 @@ object Queries {
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
-    q175, q176, q177, q178, q179, q180, q181)
+    q175, q176, q177, q178, q179, q180, q181, q182)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

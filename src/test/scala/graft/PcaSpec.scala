@@ -1,0 +1,121 @@
+package graft
+
+import graft.operators.Pca
+import org.apache.spark.sql.functions._
+
+/** FP20 power-method protocol equality against a driver-side reference
+  * replay, eigen-direction recovery, ABTT residuals, invariance,
+  * refusals. */
+class PcaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Fp = 1048576L
+
+  private def tdiv(m: Long, d: Long): Long = m / d // Scala: trunc toward 0
+
+  /** The whole protocol as plain loops — topComponent must match bit
+    * for bit. */
+  private def refComponent(vecs: Seq[Array[Double]], iters: Int)
+  : (Array[Long], Array[Long]) = {
+    val dim = vecs.head.length
+    val fx = vecs.map(v => v.map(x => math.floor(x * Fp).toLong))
+    val n = fx.size.toLong
+    val mean = Array.tabulate(dim)(j => fx.map(_(j)).sum / n)
+    var w = Array.fill(dim)(math.floor(Fp / math.sqrt(dim)).toLong)
+    for (_ <- 1 to iters) {
+      val u = Array.fill(dim)(0L)
+      fx.foreach { v =>
+        val cx = Array.tabulate(dim)(j => v(j) - mean(j))
+        val s = tdiv(cx.indices.map(j => cx(j) * w(j)).sum, Fp)
+        for (j <- 0 until dim) u(j) += tdiv(cx(j) * s, Fp)
+      }
+      val norm = math.sqrt(u.map(v => BigInt(v) * BigInt(v)).sum.toDouble)
+      w = u.map(v => math.floor(v.toDouble / norm * Fp).toLong)
+    }
+    (mean, w)
+  }
+
+  private def fixture(n: Int): Seq[(Long, Array[Double])] = {
+    val rnd = new scala.util.Random(17)
+    val dir = Array(0.6, 0.8, 0.0, 0.0) // dominant direction in 4-d
+    (0 until n).map { i =>
+      val t = rnd.nextGaussian() * 3.0
+      val v = Array.tabulate(4)(j =>
+        t * dir(j) + rnd.nextGaussian() * 0.05 + (if (j == 3) 2.0 else 0.0))
+      (i.toLong, v)
+    }
+  }
+
+  test("topComponent == driver-side reference replay, bit for bit; " +
+    "partitioning-invariant") {
+    val data = fixture(200)
+    val df = data.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val (mRef, wRef) = refComponent(data.map(_._2), iters = 3)
+    val c = Pca.topComponent(df, "vec_id", "embedding", iters = 3)
+    assert(c.meanFp.toSeq == mRef.toSeq)
+    assert(c.dirFp.toSeq == wRef.toSeq)
+    val c2 = Pca.topComponent(df.repartition(7), "vec_id", "embedding", 3)
+    assert(c2.dirFp.toSeq == c.dirFp.toSeq)
+  }
+
+  test("the recovered direction aligns with the planted dominant axis " +
+    "and the mean absorbs the offset") {
+    val data = fixture(500)
+    val df = data.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val c = Pca.topComponent(df, "vec_id", "embedding", iters = 6)
+    val w = c.dirFp.map(_.toDouble / Fp)
+    val cos = math.abs(w(0) * 0.6 + w(1) * 0.8) /
+      math.sqrt(w.map(x => x * x).sum)
+    assert(cos > 0.99, s"cosine with planted direction: $cos")
+    // the constant +2.0 on axis 3 lives in the mean, not the direction
+    assert(math.abs(c.meanFp(3).toDouble / Fp - 2.0) < 0.05)
+    assert(math.abs(w(3)) < 0.05)
+  }
+
+  test("removeTop: residuals project to ~0 along PC1; projection " +
+    "variance survives in project()") {
+    val data = fixture(300)
+    val df = data.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val c = Pca.topComponent(df, "vec_id", "embedding", iters = 5)
+    val pc1 = Pca.project(df, "vec_id", "embedding", c)
+      .agg(max(abs(col("pc1")))).collect()(0).getDouble(0)
+    assert(pc1 > 1.0) // the planted spread is visible
+    // residuals are ALREADY centered — dot them with the direction
+    // directly (project() would subtract the mean a second time)
+    val dirD = typedLit(c.dirFp.map(_.toDouble / Fp).toSeq)
+    val residMax = Pca.removeTop(df, "vec_id", "embedding", c)
+      .select(abs(aggregate(zip_with(col("vec"), dirD, (a, b) => a * b),
+        lit(0.0), (acc, v) => acc + v)).as("d"))
+      .agg(max(col("d"))).collect()(0).getDouble(0)
+    assert(residMax < 0.01, s"residual PC1 magnitude: $residMax")
+  }
+
+  test("refusals: iteration bounds, ragged dimensions, empty corpus, " +
+    "degenerate constant corpus") {
+    val ok = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(2.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Pca.topComponent(ok, "vec_id", "embedding", 0)
+    }
+    intercept[IllegalArgumentException] {
+      Pca.topComponent(ok, "vec_id", "embedding", 21)
+    }
+    val ragged = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(1.0)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Pca.topComponent(ragged, "vec_id", "embedding", 1)
+    }
+    intercept[IllegalArgumentException] {
+      Pca.topComponent(ok.where(col("vec_id") < 0), "vec_id",
+        "embedding", 1)
+    }
+    val const = Seq((1L, Seq(1.0, 1.0)), (2L, Seq(1.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    intercept[IllegalArgumentException] {
+      Pca.topComponent(const, "vec_id", "embedding", 1)
+    }
+  }
+}

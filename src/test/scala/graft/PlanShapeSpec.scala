@@ -359,6 +359,49 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("SortAggregate"), plan.take(800))
   }
 
+  test("q175 blocklist: the list rides a broadcast join; text never " +
+    "shuffles (exchange carries only doc/token-derived columns)") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val out = graft.operators.TrainingData.blocklistFilter(
+      docs, "doc_id", "text", Seq("spill", "slow"))
+    val plan = finalPlan(out).toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assert(!plan.contains("SortMergeJoin"), plan.take(800))
+    // the only exchange feeds the per-doc roll-up — no text column in it
+    assert(!"Exchange hashpartitioning\\([^)]*text".r
+      .findFirstIn(plan).isDefined, plan.take(800))
+  }
+
+  test("q179 classifier scoring: weights are a plan literal — no " +
+    "weights-table join; one doc-keyed aggregate pair") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val m = graft.operators.QualityClassifier.Model(8, 5L,
+      Array.tabulate(8)(_.toLong))
+    val out = graft.operators.QualityClassifier.score(
+      docs, "doc_id", "text", m)
+    val plan = finalPlan(out).toString
+    // exactly one join: scored dots back onto the doc spine (left)
+    assert("Join".r.findAllIn(plan).size <= 2, plan.take(800))
+    assert(!plan.contains("SortAggregate"), plan.take(800))
+  }
+
+  test("q180 scheduler: ONE parquet scan (no double canonicalization " +
+    "branch) and the politeness cut is the native TopKPerKey") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    import spark.implicits._
+    val rules = Seq(("site0.example.com", "/private", false))
+      .toDF("host", "prefix", "allow")
+    val auth = Seq(("site0.example.com", 0.5)).toDF("host", "rank")
+    val cand = docs.select(concat(lit("https://site"),
+      (col("doc_id") % 7).cast("string"),
+      lit(".example.com/p/"), col("doc_id").cast("string")).as("url"))
+    val out = graft.operators.CrawlPolicy.prioritizedFetchList(
+      cand, "url", rules, auth, perHostK = 3)
+    val p = finalPlan(out)
+    assert(collectScans(p).size == 1, p.toString.take(800))
+    assert(p.toString.contains("TopKPerKey"), p.toString.take(800))
+  }
+
   test("whole-stage codegen covers the cleaning scan (native exprs fused)") {
     val synth = graft.etl.ReferenceShapedData.syntheticOrders(spark, sf)
     val stg = graft.etl.OrderEtl.toStaging(graft.etl.OrderEtl.cleanOrders(synth))
