@@ -6334,6 +6334,207 @@ object Queries {
       SELECT vec_id AS id, CAST(s AS DOUBLE) / 1048576.0 AS pc1
       FROM p"""))
 
+  /** Top-2 principal coordinates via deflation: the oracle replays
+    * q182's full component-1 protocol, then the residual deflation
+    * (cx − dir·(cx·dir DIV 2²⁰) DIV 2²⁰), then component 2's BOTH
+    * power iterations on the residuals, then both coordinate
+    * projections — any drift in deflation order, division sign, or
+    * which vector pc2 projects (residual, not raw) hash-mismatches. */
+  private val q183 = Q("q183_pca_two_components",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val cs = graft.operators.Pca.topComponents(emb, "vec_id",
+        "embedding", r = 2, iters = 2)
+      graft.operators.Pca.projectMany(emb, "vec_id", "embedding", cs)
+    },
+    Some("""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+      fx AS (SELECT vec_id, j.range AS pos,
+          CAST(FLOOR(v[j.range + 1] * 1048576) AS BIGINT) AS f
+        FROM ev CROSS JOIN range(4096) j WHERE j.range < len(v)),
+      mn AS (SELECT pos, SUM(f) AS fs, COUNT(*) AS n FROM fx GROUP BY pos),
+      m AS (SELECT pos, CAST(fs // n AS BIGINT) AS mu FROM mn),
+      d0 AS (SELECT COUNT(*) AS dim FROM m),
+      cx AS (SELECT vec_id, fx.pos, f - mu AS c
+        FROM fx JOIN m ON fx.pos = m.pos),
+      w0 AS (SELECT pos,
+          CAST(FLOOR(1048576 / sqrt((SELECT dim FROM d0))) AS BIGINT) AS w
+        FROM m),
+      s1 AS (SELECT cx.vec_id,
+          CAST(SUM(cx.c * w0.w) // 1048576 AS BIGINT) AS s
+        FROM cx JOIN w0 ON cx.pos = w0.pos GROUP BY cx.vec_id),
+      u1 AS (SELECT cx.pos,
+          CAST(SUM((cx.c * s1.s) // 1048576) AS BIGINT) AS u
+        FROM cx JOIN s1 ON cx.vec_id = s1.vec_id GROUP BY cx.pos),
+      nm1 AS (SELECT sqrt(CAST(SUM(CAST(u AS HUGEINT) * u) AS DOUBLE))
+          AS norm FROM u1),
+      w1 AS (SELECT pos, CAST(FLOOR(CAST(u AS DOUBLE) /
+          (SELECT norm FROM nm1) * 1048576) AS BIGINT) AS w FROM u1),
+      s2 AS (SELECT cx.vec_id,
+          CAST(SUM(cx.c * w1.w) // 1048576 AS BIGINT) AS s
+        FROM cx JOIN w1 ON cx.pos = w1.pos GROUP BY cx.vec_id),
+      u2 AS (SELECT cx.pos,
+          CAST(SUM((cx.c * s2.s) // 1048576) AS BIGINT) AS u
+        FROM cx JOIN s2 ON cx.vec_id = s2.vec_id GROUP BY cx.pos),
+      nm2 AS (SELECT sqrt(CAST(SUM(CAST(u AS HUGEINT) * u) AS DOUBLE))
+          AS norm FROM u2),
+      w2 AS (SELECT pos, CAST(FLOOR(CAST(u AS DOUBLE) /
+          (SELECT norm FROM nm2) * 1048576) AS BIGINT) AS w FROM u2),
+      p AS (SELECT cx.vec_id,
+          CAST(SUM(cx.c * w2.w) // 1048576 AS BIGINT) AS s
+        FROM cx JOIN w2 ON cx.pos = w2.pos GROUP BY cx.vec_id),
+      rx AS (SELECT cx.vec_id, cx.pos,
+          cx.c - (w2.w * p.s) // 1048576 AS c
+        FROM cx JOIN w2 ON cx.pos = w2.pos
+          JOIN p ON cx.vec_id = p.vec_id),
+      t1 AS (SELECT rx.vec_id,
+          CAST(SUM(rx.c * w0.w) // 1048576 AS BIGINT) AS s
+        FROM rx JOIN w0 ON rx.pos = w0.pos GROUP BY rx.vec_id),
+      v1 AS (SELECT rx.pos,
+          CAST(SUM((rx.c * t1.s) // 1048576) AS BIGINT) AS u
+        FROM rx JOIN t1 ON rx.vec_id = t1.vec_id GROUP BY rx.pos),
+      bn1 AS (SELECT sqrt(CAST(SUM(CAST(u AS HUGEINT) * u) AS DOUBLE))
+          AS norm FROM v1),
+      x1 AS (SELECT pos, CAST(FLOOR(CAST(u AS DOUBLE) /
+          (SELECT norm FROM bn1) * 1048576) AS BIGINT) AS w FROM v1),
+      t2 AS (SELECT rx.vec_id,
+          CAST(SUM(rx.c * x1.w) // 1048576 AS BIGINT) AS s
+        FROM rx JOIN x1 ON rx.pos = x1.pos GROUP BY rx.vec_id),
+      v2 AS (SELECT rx.pos,
+          CAST(SUM((rx.c * t2.s) // 1048576) AS BIGINT) AS u
+        FROM rx JOIN t2 ON rx.vec_id = t2.vec_id GROUP BY rx.pos),
+      bn2 AS (SELECT sqrt(CAST(SUM(CAST(u AS HUGEINT) * u) AS DOUBLE))
+          AS norm FROM v2),
+      x2 AS (SELECT pos, CAST(FLOOR(CAST(u AS DOUBLE) /
+          (SELECT norm FROM bn2) * 1048576) AS BIGINT) AS w FROM v2),
+      p2 AS (SELECT rx.vec_id,
+          CAST(SUM(rx.c * x2.w) // 1048576 AS BIGINT) AS s
+        FROM rx JOIN x2 ON rx.pos = x2.pos GROUP BY rx.vec_id)
+      SELECT p.vec_id AS id, CAST(p.s AS DOUBLE) / 1048576.0 AS pc1,
+        CAST(p2.s AS DOUBLE) / 1048576.0 AS pc2
+      FROM p JOIN p2 ON p.vec_id = p2.vec_id"""))
+
+  /** Exact ROC-AUC of a length-based scorer against the lang='en'
+    * label: score = min(n_chars·500, 10⁶)/10⁶ (clamping manufactures
+    * heavy ties at 1.0, exercising the tie-aware half-credit path).
+    * The oracle replays the histogram rank form — per-distinct-score
+    * label counts, cumulative negatives strictly below, u2 =
+    * Σ p·(2·nb + q) as an exact integer — so a drift in tie handling,
+    * strictness of "below", or the final division hash-mismatches. */
+  private val q184 = Q("q184_roc_auc",
+    (s, d) => {
+      val scored = documents(s, d).select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("label"),
+        (least(col("n_chars") * 500, lit(1000000L)).cast("double") /
+          1000000.0).as("score"))
+      graft.operators.ClassifierEval.rocAuc(scored, "label", "score")
+    },
+    Some("""WITH sc AS (SELECT
+          CAST(LEAST(n_chars * 500, 1000000) AS DOUBLE) / 1000000.0
+            AS score,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      h AS (SELECT score, CAST(SUM(y) AS BIGINT) AS p,
+          CAST(SUM(1 - y) AS BIGINT) AS q FROM sc GROUP BY score),
+      c AS (SELECT score, p, q,
+          CAST(COALESCE(SUM(q) OVER (ORDER BY score
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            AS BIGINT) AS nb
+        FROM h)
+      SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+        CAST(SUM(q) AS BIGINT) AS n_neg,
+        CAST(SUM(p * (2 * nb + q)) AS BIGINT) AS u2,
+        CAST(SUM(p * (2 * nb + q)) AS DOUBLE) /
+          (CAST(SUM(p) AS DOUBLE) * CAST(SUM(q) AS DOUBLE) * 2.0) AS auc
+      FROM c"""))
+
+  /** Reliability bins (10) for the same scorer/label pair: per
+    * occupied bin the doc count, positive count, truncating-division
+    * exact average confidence, positive fraction, and |gap| — the
+    * per-bin ECE contribution. The oracle replays binning (floor,
+    * top-edge clamp), the micros reconstruction floor(s·10⁶+½), and
+    * both derived doubles. */
+  private val q185 = Q("q185_calibration_bins",
+    (s, d) => {
+      val scored = documents(s, d).select(
+        when(col("lang") === "en", 1L).otherwise(0L).as("label"),
+        (least(col("n_chars") * 500, lit(1000000L)).cast("double") /
+          1000000.0).as("score"))
+      graft.operators.ClassifierEval.calibrationBins(
+        scored, "label", "score", bins = 10)
+    },
+    Some("""WITH sc AS (SELECT
+          CAST(LEAST(n_chars * 500, 1000000) AS DOUBLE) / 1000000.0
+            AS score,
+          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+      b AS (SELECT LEAST(9, CAST(FLOOR(score * 10) AS BIGINT)) AS bin,
+          y, CAST(FLOOR(score * 1000000.0 + 0.5) AS BIGINT) AS sm
+        FROM sc),
+      g AS (SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+          CAST(SUM(y) AS BIGINT) AS n_pos,
+          CAST(SUM(sm) AS BIGINT) AS smsum
+        FROM b GROUP BY bin)
+      SELECT bin, n, n_pos,
+        CAST(smsum // n AS DOUBLE) / 1000000.0 AS avg_conf,
+        CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos,
+        ABS(CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) -
+          CAST(smsum // n AS DOUBLE) / 1000000.0) AS gap
+      FROM g"""))
+
+  /** HITS hubs/authorities over q174's 97-node link graph, 2
+    * iterations — the oracle replays the ENTIRE integer protocol
+    * (distinct edges, hub-start 10⁶, exact long sums, the L∞ ceiling
+    * rescale max(1, ⌈max/10⁶⌉) by truncating division, the
+    * authority-then-hub half-step order) as four chained CTE rounds,
+    * so a drift in rescale arithmetic, half-step order, or the
+    * missing-node zero default lands as a hash mismatch. */
+  private val q186 = Q("q186_hits",
+    (s, d) => {
+      val edges = documents(s, d).select(
+        concat(lit("h"), (col("doc_id") % 97).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * 31 + 7) % 97).cast("string"))
+          .as("dst"))
+      graft.operators.LinkGraph.hits(edges, "src", "dst", iters = 2)
+    },
+    Some("""WITH e AS (SELECT DISTINCT 'h' || (doc_id % 97) AS src,
+          'h' || ((doc_id * 31 + 7) % 97) AS dst FROM documents),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      h0 AS (SELECT node, CAST(1000000 AS BIGINT) AS hm FROM nodes),
+      ar1 AS (SELECT e.dst AS node, CAST(SUM(h0.hm) AS BIGINT) AS raw
+        FROM e JOIN h0 ON e.src = h0.node GROUP BY e.dst),
+      ad1 AS (SELECT GREATEST(1, (MAX(raw) + 999999) // 1000000) AS den
+        FROM ar1),
+      a1 AS (SELECT n.node,
+          CAST(COALESCE(ar1.raw, 0) // (SELECT den FROM ad1) AS BIGINT)
+            AS am
+        FROM nodes n LEFT JOIN ar1 USING (node)),
+      hr1 AS (SELECT e.src AS node, CAST(SUM(a1.am) AS BIGINT) AS raw
+        FROM e JOIN a1 ON e.dst = a1.node GROUP BY e.src),
+      hd1 AS (SELECT GREATEST(1, (MAX(raw) + 999999) // 1000000) AS den
+        FROM hr1),
+      h1 AS (SELECT n.node,
+          CAST(COALESCE(hr1.raw, 0) // (SELECT den FROM hd1) AS BIGINT)
+            AS hm
+        FROM nodes n LEFT JOIN hr1 USING (node)),
+      ar2 AS (SELECT e.dst AS node, CAST(SUM(h1.hm) AS BIGINT) AS raw
+        FROM e JOIN h1 ON e.src = h1.node GROUP BY e.dst),
+      ad2 AS (SELECT GREATEST(1, (MAX(raw) + 999999) // 1000000) AS den
+        FROM ar2),
+      a2 AS (SELECT n.node,
+          CAST(COALESCE(ar2.raw, 0) // (SELECT den FROM ad2) AS BIGINT)
+            AS am
+        FROM nodes n LEFT JOIN ar2 USING (node)),
+      hr2 AS (SELECT e.src AS node, CAST(SUM(a2.am) AS BIGINT) AS raw
+        FROM e JOIN a2 ON e.dst = a2.node GROUP BY e.src),
+      hd2 AS (SELECT GREATEST(1, (MAX(raw) + 999999) // 1000000) AS den
+        FROM hr2),
+      h2 AS (SELECT n.node,
+          CAST(COALESCE(hr2.raw, 0) // (SELECT den FROM hd2) AS BIGINT)
+            AS hm
+        FROM nodes n LEFT JOIN hr2 USING (node))
+      SELECT h2.node, CAST(h2.hm AS DOUBLE) / 1000000.0 AS hub,
+        CAST(a2.am AS DOUBLE) / 1000000.0 AS authority
+      FROM h2 JOIN a2 ON h2.node = a2.node"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -6349,7 +6550,8 @@ object Queries {
     q140, q141, q142, q143, q144, q145, q146, q147, q148, q149, q150,
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
-    q175, q176, q177, q178, q179, q180, q181, q182)
+    q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
+    q186)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -78,4 +78,71 @@ object LinkGraph {
     rank.select(col("node"),
       col("__rm").cast("double").divide(lit(1000000.0)).as("rank"))
   }
+
+  /** HITS hubs and authorities (Kleinberg, "Authoritative Sources in
+    * a Hyperlinked Environment", JACM 1999 — public literature) —
+    * PageRank's complement for crawl curation: PageRank scores global
+    * endorsement, HITS separates PAGES THAT POINT WELL (hubs — link
+    * directories, index pages a frontier mines for URLs) from PAGES
+    * POINTED AT WELL (authorities — what the corpus wants fetched).
+    *
+    * Exact integer protocol: hubs start at 1.000000 (micros); each
+    * iteration, authority_raw(v) = Σ_{u→v} hub(u) (exact long sum),
+    * rescaled to ≤ 10⁶ by TRUNCATING division with the ceiling scale
+    * factor `max(1, ⌈max_raw/10⁶⌉)` — computed as `(max_raw + 10⁶−1)
+    * DIV 10⁶`, integer arithmetic both engines state verbatim — then
+    * hub_raw(u) = Σ_{u→v} authority(v) rescaled the same way. The L∞
+    * rescale replaces the classical L2 normalize so no float ever
+    * enters the loop; relative order within each side is preserved
+    * exactly (a monotone map), which is what a scheduler consumes.
+    * Overflow envelope: values ≤ 10⁶, so a sum needs ≥ 2⁴³ in-edges
+    * on one node to overflow — documented, not checked.
+    *
+    * Scale shape: identical to [[pageRank]] — per half-step ONE
+    * src-or-dst-keyed join + one partial-aggregated shuffle carrying
+    * ≤ |nodes| rows, a bounded driver loop with localCheckpoint
+    * between rounds; the per-half-step max is a 1-row collect off an
+    * already-aggregated frame. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50,
+      s"hits: iters must be in [1, 50]: $iters — each iteration is " +
+        "two shuffle rounds; raise the bound deliberately if needed")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    require(e.limit(1).count() == 1L, "hits: empty edge set")
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    def rescaled(raw: DataFrame, valCol: String): DataFrame = {
+      val mx = raw.agg(max(col(valCol))).collect()(0).getLong(0)
+      val denom = math.max(1L, (mx + 999999L) / 1000000L)
+      nodes.join(raw.withColumnRenamed(valCol, "__raw"),
+          Seq("node"), "left")
+        .select(col("node"),
+          expr(s"coalesce(__raw, 0L) DIV $denom").as(valCol))
+        .localCheckpoint()
+    }
+    var hub = nodes.select(col("node"), lit(1000000L).as("__hm"))
+    var auth: DataFrame = null
+    for (_ <- 1 to iters) {
+      auth = rescaled(
+        e.join(hub.select(col("node").as("src"), col("__hm")), Seq("src"))
+          .groupBy(col("dst")).agg(sum(col("__hm")).as("__am"))
+          .withColumnRenamed("dst", "node"), "__am")
+      hub = rescaled(
+        e.join(auth.select(col("node").as("dst"), col("__am")), Seq("dst"))
+          .groupBy(col("src")).agg(sum(col("__am")).as("__hm"))
+          .withColumnRenamed("src", "node"), "__hm")
+    }
+    hub.join(auth, Seq("node"))
+      .select(col("node"),
+        col("__hm").cast("double").divide(lit(1000000.0)).as("hub"),
+        col("__am").cast("double").divide(lit(1000000.0))
+          .as("authority"))
+  }
 }

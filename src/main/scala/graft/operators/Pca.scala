@@ -86,27 +86,38 @@ object Pca {
     (sums.map(_ / n), n)
   }
 
-  /** Top principal direction by `iters` power iterations from the
-    * uniform start floor(2²⁰/√dim). Deterministic, partitioning-
-    * invariant. */
-  def topComponent(emb: DataFrame, idCol: String, vecCol: String,
-                   iters: Int): Component = {
-    require(iters >= 1 && iters <= 20,
-      s"Pca: iters must be in [1, 20]: $iters — each iteration is a " +
-        "corpus scan; raise deliberately if needed")
-    val (mean, _) = meanAndCount(emb, vecCol)
-    val dim = mean.length
+  /** Centered FP20 rows as column `__cx`, deflated by `prevDirs` in
+    * training order: for each previous direction d, the row loses its
+    * d-component — cx ← cx − (d·((cx·d) DIV 2²⁰) DIV 2²⁰) — every step
+    * in the exact protocol, every scalar STAGED as a named projection
+    * (the q154 HOF lesson: a lambda-captured expression TREE
+    * re-evaluates per element; a staged attribute reads a slot). */
+  private def residualFrame(emb: DataFrame, vecCol: String,
+      mean: Array[Long], prevDirs: Seq[Array[Long]]): DataFrame = {
+    var df = emb.select(
+      zip_with(fxCol(vecCol), typedLit(mean.toSeq), (a, b) => a - b)
+        .as("__cx"))
+    prevDirs.foreach { d =>
+      val dLit = typedLit(d.toSeq)
+      df = df
+        .select(col("__cx"),
+          divFp(aggregate(zip_with(col("__cx"), dLit, (a, b) => a * b),
+            lit(0L), (acc, v) => acc + v)).as("__s"))
+        .select(zip_with(col("__cx"), dLit,
+          (c, dj) => c - divFp(dj * col("__s"))).as("__cx"))
+    }
+    df
+  }
+
+  /** The power loop over a (re-buildable) centered frame: per
+    * iteration one staged scan + one dim-wide sum aggregate + a
+    * dim-row collect. */
+  private def powerIterate(base: () => DataFrame, dim: Int,
+                           iters: Int): Array[Long] = {
     var w = Array.fill(dim)(math.floor(Fp / math.sqrt(dim)).toLong)
     for (_ <- 1 to iters) {
-      val meanLit = typedLit(mean.toSeq)
       val wLit = typedLit(w.toSeq)
-      // STAGED projections (the q154 HOF lesson): an expression
-      // referenced inside a transform/zip_with lambda re-evaluates PER
-      // ELEMENT — inlining the dot fold into contrib costs 64 folds
-      // per row (measured 2.1 s vs 0.2 on 20k rows). Name each stage.
-      val staged = emb
-        .select(zip_with(fxCol(vecCol), meanLit, (a, b) => a - b)
-          .as("__cx"))
+      val staged = base()
         .select(col("__cx"),
           divFp(aggregate(zip_with(col("__cx"), wLit, (a, b) => a * b),
             lit(0L), (acc, v) => acc + v)).as("__s"))
@@ -116,10 +127,52 @@ object Pca {
       val norm = math.sqrt(
         u.map(v => BigInt(v) * BigInt(v)).sum.toDouble)
       require(norm > 0.0,
-        "Pca: degenerate iteration (u = 0) — constant corpus?")
+        "Pca: degenerate iteration (u = 0) — constant or " +
+          "rank-deficient corpus?")
       w = u.map(v => math.floor(v.toDouble / norm * Fp).toLong)
     }
-    Component(dim, mean, w)
+    w
+  }
+
+  /** Top principal direction by `iters` power iterations from the
+    * uniform start floor(2²⁰/√dim). Deterministic, partitioning-
+    * invariant. */
+  def topComponent(emb: DataFrame, idCol: String, vecCol: String,
+                   iters: Int): Component =
+    topComponents(emb, idCol, vecCol, r = 1, iters = iters).head
+
+  /** Top `r` principal directions by power iteration with DATA
+    * deflation (Hotelling-style, applied to the rows rather than the
+    * covariance — after each component trains, every row loses its
+    * component along it, and the next component trains on the
+    * residuals; with the FP20 protocol the whole sequence stays
+    * integer-exact and partitioning-invariant). Directions come back
+    * in training order sharing one mean. Component i's coordinate is
+    * DEFINED against the residual it trained on (see [[projectMany]])
+    * — under fixed-point arithmetic directions are orthogonal only to
+    * ~2⁻²⁰, so the residual projection is the protocol, not a detail.
+    *
+    * Cost: (r·iters + 1) corpus scans, each narrow; the deflation
+    * chain adds one staged dot + one staged subtract per PREVIOUS
+    * component inside the same scan — no extra action, no shuffle. */
+  def topComponents(emb: DataFrame, idCol: String, vecCol: String,
+                    r: Int, iters: Int): Seq[Component] = {
+    require(r >= 1 && r <= 8,
+      s"Pca: r must be in [1, 8]: $r — each component costs `iters` " +
+        "corpus scans; raise the bound deliberately if needed")
+    require(iters >= 1 && iters <= 20,
+      s"Pca: iters must be in [1, 20]: $iters — each iteration is a " +
+        "corpus scan; raise deliberately if needed")
+    val (mean, _) = meanAndCount(emb, vecCol)
+    val dim = mean.length
+    require(r <= dim,
+      s"Pca: r = $r exceeds the vector dimension $dim")
+    val dirs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    for (_ <- 0 until r) {
+      dirs += powerIterate(
+        () => residualFrame(emb, vecCol, mean, dirs.toSeq), dim, iters)
+    }
+    dirs.map(w => Component(dim, mean, w)).toSeq
   }
 
   /** PC1 projection score per row: (id, pc1) with
@@ -133,6 +186,36 @@ object Pca {
       (a, b) => a * b), lit(0L), (acc, v) => acc + v))
     emb.select(col(idCol).as("id"),
       (s.cast("double") / lit(Fp.toDouble)).as("pc1"))
+  }
+
+  /** Coordinates along EVERY component of a [[topComponents]] train,
+    * in one narrow scan: (id, pc1 … pcr). Component i's coordinate is
+    * the dot of the (i−1)-times-deflated residual with direction i —
+    * the exact quantity component i trained on (directions are only
+    * ~2⁻²⁰-orthogonal under fixed point, so projecting the RAW
+    * centered vector would be a silently different protocol). */
+  def projectMany(emb: DataFrame, idCol: String, vecCol: String,
+                  comps: Seq[Component]): DataFrame = {
+    require(comps.nonEmpty, "Pca.projectMany: no components")
+    require(comps.forall(c => c.dim == comps.head.dim &&
+        java.util.Arrays.equals(c.meanFp, comps.head.meanFp)),
+      "Pca.projectMany: components must share one mean/dim — train " +
+        "them together via topComponents")
+    var df = emb.select(col(idCol).as("id"),
+      zip_with(fxCol(vecCol), typedLit(comps.head.meanFp.toSeq),
+        (a, b) => a - b).as("__cx"))
+    comps.zipWithIndex.foreach { case (c, i) =>
+      val dLit = typedLit(c.dirFp.toSeq)
+      df = df.withColumn(s"__p${i + 1}",
+        divFp(aggregate(zip_with(col("__cx"), dLit, (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v)))
+      if (i < comps.size - 1)
+        df = df.withColumn("__cx", zip_with(col("__cx"), dLit,
+          (cc, dj) => cc - divFp(dj * col(s"__p${i + 1}"))))
+    }
+    df.select(col("id") +: comps.indices.map(i =>
+      (col(s"__p${i + 1}").cast("double") / lit(Fp.toDouble))
+        .as(s"pc${i + 1}")): _*)
   }
 
   /** All-but-the-top residual: center, then remove the PC1 component —

@@ -52,6 +52,64 @@ class LinkGraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  private def hitsMap(edges: Seq[(String, String)], iters: Int)
+  : Map[String, (Double, Double)] =
+    LinkGraph.hits(edges.toDF("src", "dst"), "src", "dst", iters)
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+
+  test("hits: hand-stepped directory graph, both iterations exact") {
+    // D is a directory (links A, B, C), E endorses only A
+    val e = Seq(("D", "A"), ("D", "B"), ("D", "C"), ("E", "A"))
+    // iter1: a_raw A=2e6,B=1e6,C=1e6; den=2 -> a=(1e6,5e5,5e5)
+    //        h_raw D=2e6,E=1e6; den=2 -> h=(1e6,5e5)
+    // iter2: a_raw A=1.5e6,B=1e6,C=1e6; den=ceil(1.5)=2
+    //        -> a=(750000,500000,500000)
+    //        h_raw D=1.75e6,E=750000; den=2 -> h=(875000,375000)
+    val r = hitsMap(e, 2)
+    assert(r("D") == (0.875, 0.0))
+    assert(r("E") == (0.375, 0.0))
+    assert(r("A") == (0.0, 0.75))
+    assert(r("B") == (0.0, 0.5))
+    assert(r("C") == (0.0, 0.5))
+  }
+
+  test("hits: hubs and authorities separate; dup/null edges collapse; " +
+    "deterministic across partitioning") {
+    val spokes = (1 to 5).map(i => ("directory", s"page$i"))
+    val e = spokes ++ spokes :+ ((null: String), "page1") :+
+      ("page9", (null: String)) :+ ("lone", "page1")
+    val df = e.toDF("src", "dst")
+    val r = LinkGraph.hits(df, "src", "dst", 3).collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2)))
+      .toMap
+    // the ceiling rescale keeps everything <= 1.0 and the directory
+    // (5 endorsements) on top of the single-link hub
+    assert(r.values.forall { case (h, a) => h <= 1.0 && a <= 1.0 })
+    assert(r("directory")._1 > r("lone")._1)
+    assert(r("page1")._2 >= r("page2")._2) // doubly-endorsed page leads
+    assert(r.keySet ==
+      (1 to 5).map(i => s"page$i").toSet + "directory" + "lone")
+    val b = LinkGraph.hits(df.repartition(7), "src", "dst", 3).collect()
+      .map(x => x.getString(0) -> (x.getDouble(1), x.getDouble(2)))
+      .toMap
+    assert(r == b)
+  }
+
+  test("hits refusals: iteration bounds and empty edge set") {
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      LinkGraph.hits(e, "src", "dst", 0)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.hits(e, "src", "dst", 51)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.hits(e.where($"src" === "zzz"), "src", "dst", 1)
+    }
+  }
+
   test("refusals: iteration and damping bounds") {
     val e = Seq(("a", "b")).toDF("src", "dst")
     intercept[IllegalArgumentException] {

@@ -93,6 +93,97 @@ class PcaSpec extends SparkSpec {
     assert(residMax < 0.01, s"residual PC1 magnitude: $residMax")
   }
 
+  /** Reference replay of topComponents: deflate rows after each
+    * trained direction exactly as residualFrame does. */
+  private def refComponents(vecs: Seq[Array[Double]], r: Int,
+      iters: Int): Seq[Array[Long]] = {
+    val dim = vecs.head.length
+    val fx = vecs.map(v => v.map(x => math.floor(x * Fp).toLong))
+    val n = fx.size.toLong
+    val mean = Array.tabulate(dim)(j => fx.map(_(j)).sum / n)
+    val dirs = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+    for (_ <- 0 until r) {
+      def resid(v: Array[Long]): Array[Long] = {
+        var cx = Array.tabulate(dim)(j => v(j) - mean(j))
+        dirs.foreach { d =>
+          val s = tdiv(cx.indices.map(j => cx(j) * d(j)).sum, Fp)
+          cx = Array.tabulate(dim)(j => cx(j) - tdiv(d(j) * s, Fp))
+        }
+        cx
+      }
+      var w = Array.fill(dim)(math.floor(Fp / math.sqrt(dim)).toLong)
+      for (_ <- 1 to iters) {
+        val u = Array.fill(dim)(0L)
+        fx.foreach { v =>
+          val cx = resid(v)
+          val s = tdiv(cx.indices.map(j => cx(j) * w(j)).sum, Fp)
+          for (j <- 0 until dim) u(j) += tdiv(cx(j) * s, Fp)
+        }
+        val norm = math.sqrt(u.map(v => BigInt(v) * BigInt(v)).sum.toDouble)
+        w = u.map(v => math.floor(v.toDouble / norm * Fp).toLong)
+      }
+      dirs += w
+    }
+    dirs.toSeq
+  }
+
+  test("topComponents == driver-side deflation replay bit for bit; " +
+    "r=1 equals topComponent; directions near-orthogonal; the second " +
+    "planted axis is recovered") {
+    // two planted directions with well-separated spread
+    val rnd = new scala.util.Random(23)
+    val d1 = Array(0.6, 0.8, 0.0, 0.0)
+    val d2 = Array(0.0, 0.0, 1.0, 0.0)
+    val data = (0 until 300).map { i =>
+      val t1 = rnd.nextGaussian() * 3.0
+      val t2 = rnd.nextGaussian() * 1.5
+      (i.toLong, Array.tabulate(4)(j =>
+        t1 * d1(j) + t2 * d2(j) + rnd.nextGaussian() * 0.03))
+    }
+    val df = data.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val ref = refComponents(data.map(_._2), r = 2, iters = 4)
+    val cs = Pca.topComponents(df, "vec_id", "embedding", r = 2, iters = 4)
+    assert(cs.size == 2)
+    assert(cs(0).dirFp.toSeq == ref(0).toSeq)
+    assert(cs(1).dirFp.toSeq == ref(1).toSeq)
+    assert(Pca.topComponent(df, "vec_id", "embedding", 4)
+      .dirFp.toSeq == cs(0).dirFp.toSeq)
+    val w1 = cs(0).dirFp.map(_.toDouble / Fp)
+    val w2 = cs(1).dirFp.map(_.toDouble / Fp)
+    val dot = w1.indices.map(j => w1(j) * w2(j)).sum
+    assert(math.abs(dot) < 0.01, s"dir1.dir2 = $dot")
+    val cos2 = math.abs(w2(2)) / math.sqrt(w2.map(x => x * x).sum)
+    assert(cos2 > 0.98, s"PC2 cosine with planted axis 3: $cos2")
+  }
+
+  test("projectMany: pc1 matches project() on component 1; pc2 is the " +
+    "RESIDUAL projection; shared-mean requirement enforced") {
+    val data = fixture(200)
+    val df = data.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val cs = Pca.topComponents(df, "vec_id", "embedding", r = 2, iters = 3)
+    val many = Pca.projectMany(df, "vec_id", "embedding", cs)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    val one = Pca.project(df, "vec_id", "embedding", cs(0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(one.forall { case (id, pc1) => many(id)._1 == pc1 })
+    // pc2 projects the deflated residual: recompute one row by hand
+    val (id0, v0) = data.head
+    val mean = cs(0).meanFp
+    var cx = Array.tabulate(4)(j =>
+      math.floor(v0(j) * Fp).toLong - mean(j))
+    val s1 = tdiv(cx.indices.map(j => cx(j) * cs(0).dirFp(j)).sum, Fp)
+    cx = Array.tabulate(4)(j => cx(j) - tdiv(cs(0).dirFp(j) * s1, Fp))
+    val s2 = tdiv(cx.indices.map(j => cx(j) * cs(1).dirFp(j)).sum, Fp)
+    assert(many(id0) == (s1.toDouble / Fp, s2.toDouble / Fp))
+    val alien = cs(1).copy(meanFp = cs(1).meanFp.map(_ + 1L))
+    intercept[IllegalArgumentException] {
+      Pca.projectMany(df, "vec_id", "embedding", Seq(cs(0), alien))
+    }
+  }
+
   test("refusals: iteration bounds, ragged dimensions, empty corpus, " +
     "degenerate constant corpus") {
     val ok = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(2.0, 1.0)))
@@ -116,6 +207,15 @@ class PcaSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     intercept[IllegalArgumentException] {
       Pca.topComponent(const, "vec_id", "embedding", 1)
+    }
+    intercept[IllegalArgumentException] { // r out of bounds
+      Pca.topComponents(ok, "vec_id", "embedding", 0, 1)
+    }
+    intercept[IllegalArgumentException] { // r > dim
+      Pca.topComponents(ok, "vec_id", "embedding", 3, 1)
+    }
+    intercept[IllegalArgumentException] { // empty component list
+      Pca.projectMany(ok, "vec_id", "embedding", Nil)
     }
   }
 }
