@@ -6535,6 +6535,166 @@ object Queries {
         CAST(a2.am AS DOUBLE) / 1000000.0 AS authority
       FROM h2 JOIN a2 ON h2.node = a2.node"""))
 
+  /** Exact phrase occurrences of "value table" per document — the
+    * oracle replays the anchor-vote protocol itself (positional
+    * token stream, per-slot votes pos−i carrying bit 1<<i, the
+    * (doc, anchor) bit_or, the full-mask filter, the per-doc count),
+    * so a positions-shift (e.g. filtering empties before numbering),
+    * an off-by-one in anchors, or lost overlap handling lands as a
+    * hash mismatch. */
+  private val q187 = Q("q187_phrase_search",
+    (s, d) => graft.operators.TextSearch.phraseMatches(
+      documents(s, d), "doc_id", "text", Seq("value", "table")),
+    Some("""WITH arr AS (SELECT doc_id,
+          regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        FROM documents),
+      pt AS (SELECT doc_id, j.range AS pos, a[j.range + 1] AS tok
+        FROM arr CROSS JOIN range(128) j WHERE j.range < len(a)),
+      v AS (
+        SELECT doc_id, pos AS anchor, 1 AS bit FROM pt
+          WHERE tok = 'value'
+        UNION ALL
+        SELECT doc_id, pos - 1 AS anchor, 2 AS bit FROM pt
+          WHERE tok = 'table'),
+      g AS (SELECT doc_id, anchor, BIT_OR(bit) AS bits FROM v
+        WHERE anchor >= 0 GROUP BY doc_id, anchor)
+      SELECT doc_id AS doc, CAST(COUNT(*) AS BIGINT) AS n_matches
+      FROM g WHERE bits = 3 GROUP BY doc_id"""))
+
+  /** Per-node triangle counts + clustering coefficient over a
+    * two-generator 97-node graph (the second generator manufactures
+    * triangles; most nodes have zero — exercising the left-join zero
+    * default). The oracle enumerates each triangle once by PLAIN
+    * string order u<v<w — provably the same triangle set the
+    * operator's degree-ordered enumeration produces (both enumerate
+    * every distinct triangle of the deduped undirected graph exactly
+    * once; ordering only changes which copy generates it), so
+    * per-node counts, degrees, and the clustering division must
+    * hash-match. */
+  private val q188 = Q("q188_triangles",
+    (s, d) => {
+      val docs = documents(s, d)
+      def gen(m: Int, a: Int, b: Int) = docs.select(
+        concat(lit("h"), (col("doc_id") % m).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * a + b) % m).cast("string"))
+          .as("dst"))
+      graft.operators.LinkGraph.triangles(
+        gen(97, 31, 7).unionAll(gen(97, 17, 3)), "src", "dst")
+    },
+    Some("""WITH e0 AS (
+        SELECT 'h' || (doc_id % 97) AS s,
+          'h' || ((doc_id * 31 + 7) % 97) AS t FROM documents
+        UNION ALL
+        SELECT 'h' || (doc_id % 97),
+          'h' || ((doc_id * 17 + 3) % 97) FROM documents),
+      und AS (SELECT DISTINCT LEAST(s, t) AS u, GREATEST(s, t) AS v
+        FROM e0 WHERE s <> t),
+      deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM
+          (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+        GROUP BY node),
+      tri AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM und a
+        JOIN und b ON a.u = b.u AND a.v < b.v
+        JOIN und c ON c.u = a.v AND c.v = b.v),
+      pn AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM
+          (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri)
+        GROUP BY node)
+      SELECT deg.node, deg.d AS degree,
+        CAST(COALESCE(pn.t, 0) AS BIGINT) AS n_triangles,
+        CASE WHEN deg.d < 2 THEN 0.0
+          ELSE CAST(COALESCE(pn.t, 0) AS DOUBLE) * 2.0 /
+            (CAST(deg.d AS DOUBLE) * (CAST(deg.d AS DOUBLE) - 1.0))
+        END AS clustering
+      FROM deg LEFT JOIN pn ON deg.node = pn.node"""))
+
+  /** Variance explained by the two q183 components: the oracle
+    * replays the full two-component training chain, then the exact
+    * HUGEINT sums of squares (total centered, per-coordinate) and the
+    * double casts/division — so a drift in which vector each ss
+    * measures (residual coordinates, not raw), the exact-sum
+    * protocol, or the ratio arithmetic hash-mismatches. */
+  private val q189 = Q("q189_pca_variance_explained",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val cs = graft.operators.Pca.topComponents(emb, "vec_id",
+        "embedding", r = 2, iters = 2)
+      graft.operators.Pca.varianceExplained(emb, "vec_id",
+        "embedding", cs)
+    },
+    Some("""WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+      fx AS (SELECT vec_id, j.range AS pos,
+          CAST(FLOOR(v[j.range + 1] * 1048576) AS BIGINT) AS f
+        FROM ev CROSS JOIN range(4096) j WHERE j.range < len(v)),
+      mn AS (SELECT pos, SUM(f) AS fs, COUNT(*) AS n FROM fx GROUP BY pos),
+      m AS (SELECT pos, CAST(fs // n AS BIGINT) AS mu FROM mn),
+      d0 AS (SELECT COUNT(*) AS dim FROM m),
+      cx AS (SELECT vec_id, fx.pos, f - mu AS c
+        FROM fx JOIN m ON fx.pos = m.pos),
+      w0 AS (SELECT pos,
+          CAST(FLOOR(1048576 / sqrt((SELECT dim FROM d0))) AS BIGINT) AS w
+        FROM m),
+      s1 AS (SELECT cx.vec_id,
+          CAST(SUM(cx.c * w0.w) // 1048576 AS BIGINT) AS s
+        FROM cx JOIN w0 ON cx.pos = w0.pos GROUP BY cx.vec_id),
+      u1 AS (SELECT cx.pos,
+          CAST(SUM((cx.c * s1.s) // 1048576) AS BIGINT) AS u
+        FROM cx JOIN s1 ON cx.vec_id = s1.vec_id GROUP BY cx.pos),
+      nm1 AS (SELECT sqrt(CAST(SUM(CAST(u AS HUGEINT) * u) AS DOUBLE))
+          AS norm FROM u1),
+      w1 AS (SELECT pos, CAST(FLOOR(CAST(u AS DOUBLE) /
+          (SELECT norm FROM nm1) * 1048576) AS BIGINT) AS w FROM u1),
+      s2 AS (SELECT cx.vec_id,
+          CAST(SUM(cx.c * w1.w) // 1048576 AS BIGINT) AS s
+        FROM cx JOIN w1 ON cx.pos = w1.pos GROUP BY cx.vec_id),
+      u2 AS (SELECT cx.pos,
+          CAST(SUM((cx.c * s2.s) // 1048576) AS BIGINT) AS u
+        FROM cx JOIN s2 ON cx.vec_id = s2.vec_id GROUP BY cx.pos),
+      nm2 AS (SELECT sqrt(CAST(SUM(CAST(u AS HUGEINT) * u) AS DOUBLE))
+          AS norm FROM u2),
+      w2 AS (SELECT pos, CAST(FLOOR(CAST(u AS DOUBLE) /
+          (SELECT norm FROM nm2) * 1048576) AS BIGINT) AS w FROM u2),
+      p AS (SELECT cx.vec_id,
+          CAST(SUM(cx.c * w2.w) // 1048576 AS BIGINT) AS s
+        FROM cx JOIN w2 ON cx.pos = w2.pos GROUP BY cx.vec_id),
+      rx AS (SELECT cx.vec_id, cx.pos,
+          cx.c - (w2.w * p.s) // 1048576 AS c
+        FROM cx JOIN w2 ON cx.pos = w2.pos
+          JOIN p ON cx.vec_id = p.vec_id),
+      t1 AS (SELECT rx.vec_id,
+          CAST(SUM(rx.c * w0.w) // 1048576 AS BIGINT) AS s
+        FROM rx JOIN w0 ON rx.pos = w0.pos GROUP BY rx.vec_id),
+      v1 AS (SELECT rx.pos,
+          CAST(SUM((rx.c * t1.s) // 1048576) AS BIGINT) AS u
+        FROM rx JOIN t1 ON rx.vec_id = t1.vec_id GROUP BY rx.pos),
+      bn1 AS (SELECT sqrt(CAST(SUM(CAST(u AS HUGEINT) * u) AS DOUBLE))
+          AS norm FROM v1),
+      x1 AS (SELECT pos, CAST(FLOOR(CAST(u AS DOUBLE) /
+          (SELECT norm FROM bn1) * 1048576) AS BIGINT) AS w FROM v1),
+      t2 AS (SELECT rx.vec_id,
+          CAST(SUM(rx.c * x1.w) // 1048576 AS BIGINT) AS s
+        FROM rx JOIN x1 ON rx.pos = x1.pos GROUP BY rx.vec_id),
+      v2 AS (SELECT rx.pos,
+          CAST(SUM((rx.c * t2.s) // 1048576) AS BIGINT) AS u
+        FROM rx JOIN t2 ON rx.vec_id = t2.vec_id GROUP BY rx.pos),
+      bn2 AS (SELECT sqrt(CAST(SUM(CAST(u AS HUGEINT) * u) AS DOUBLE))
+          AS norm FROM v2),
+      x2 AS (SELECT pos, CAST(FLOOR(CAST(u AS DOUBLE) /
+          (SELECT norm FROM bn2) * 1048576) AS BIGINT) AS w FROM v2),
+      p2 AS (SELECT rx.vec_id,
+          CAST(SUM(rx.c * x2.w) // 1048576 AS BIGINT) AS s
+        FROM rx JOIN x2 ON rx.pos = x2.pos GROUP BY rx.vec_id),
+      sst AS (SELECT SUM(CAST(c AS HUGEINT) * c) AS v FROM cx),
+      ssa AS (SELECT SUM(CAST(s AS HUGEINT) * s) AS v FROM p),
+      ssb AS (SELECT SUM(CAST(s AS HUGEINT) * s) AS v FROM p2)
+      SELECT 1 AS component, CAST((SELECT v FROM ssa) AS DOUBLE) AS ss,
+        CAST((SELECT v FROM ssa) AS DOUBLE) /
+          CAST((SELECT v FROM sst) AS DOUBLE) AS ratio
+      UNION ALL
+      SELECT 2, CAST((SELECT v FROM ssb) AS DOUBLE),
+        CAST((SELECT v FROM ssb) AS DOUBLE) /
+          CAST((SELECT v FROM sst) AS DOUBLE)"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -6551,7 +6711,7 @@ object Queries {
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186)
+    q186, q187, q188, q189)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

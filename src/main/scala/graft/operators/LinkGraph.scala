@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Link-graph authority for crawl prioritization — fixed-iteration
@@ -144,5 +144,85 @@ object LinkGraph {
         col("__hm").cast("double").divide(lit(1000000.0)).as("hub"),
         col("__am").cast("double").divide(lit(1000000.0))
           .as("authority"))
+  }
+
+  /** Per-node triangle counts and local clustering coefficient over
+    * the UNDIRECTED link graph — the community-structure signal a
+    * crawl curator uses to spot link farms (dense mutual-link cliques
+    * → clustering ≈ 1 at scale is a spam smell) and to weight
+    * authority flows. Degree-ordered enumeration (Cohen, "Graph
+    * Twiddling in a MapReduce World", Computing in Science &
+    * Engineering 2009; Suri & Vassilvitskii, WWW 2011 — public
+    * literature): orient every undirected edge from its canonically
+    * smaller endpoint — (degree, node) lexicographic — so each
+    * triangle is generated EXACTLY ONCE from its smallest vertex, and
+    * the wedge fan-out per node is bounded by its ORIENTED out-degree
+    * (O(√|E|) on any graph: a node of degree d only points at nodes
+    * of degree ≥ d, and there can't be many of those). That bound is
+    * the 100 TB story: the wedge join's shuffle is Σ outdeg², which
+    * degree-ordering caps, where naive wedge generation is Σ deg² —
+    * quadratic in the hub degree on a power-law web graph.
+    *
+    * Exactness: counts are exact integers; `clustering` =
+    * 2T/(d·(d−1)) is the only float (one IEEE expression, 0.0 when
+    * d < 2). Direction, multiplicity, and self-loops are collapsed
+    * before counting.
+    *
+    * Shape: edge dedup + two degree joins + one wedge self-join +
+    * one closing-edge join + a 3-way explode into a node-keyed
+    * count — every shuffle keyed and partial-aggregated, nothing
+    * corpus-sized beyond the edge list itself. */
+  def triangles(edges: DataFrame, srcCol: String, dstCol: String)
+  : DataFrame = {
+    val und = edges
+      .select(col(srcCol).cast("string").as("u"),
+        col(dstCol).cast("string").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .localCheckpoint()
+    // canonical order: (degree, node); orient low -> high
+    def lt(d1: Column, n1: Column, d2: Column, n2: Column): Column =
+      d1 < d2 || (d1 === d2 && n1 < n2)
+    val withDeg = und
+      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+    val oriented = withDeg.select(
+      when(lt(col("du"), col("u"), col("dv"), col("v")), col("u"))
+        .otherwise(col("v")).as("a"),
+      when(lt(col("du"), col("u"), col("dv"), col("v")), col("v"))
+        .otherwise(col("u")).as("b"),
+      when(lt(col("du"), col("u"), col("dv"), col("v")), col("dv"))
+        .otherwise(col("du")).as("db"))
+      .localCheckpoint()
+    // wedges from each smallest vertex: (a; b1 < b2 canonically) —
+    // the closing edge, if present, is oriented exactly b1 -> b2
+    val e1 = oriented.select(col("a"), col("b").as("b1"),
+      col("db").as("db1"))
+    val e2 = oriented.select(col("a"), col("b").as("b2"),
+      col("db").as("db2"))
+    val wedges = e1.join(e2, Seq("a"))
+      .where(lt(col("db1"), col("b1"), col("db2"), col("b2")))
+    val tri = wedges.join(
+      oriented.select(col("a").as("b1"), col("b").as("b2")),
+      Seq("b1", "b2"))
+      .select(col("a"), col("b1"), col("b2"))
+    val perNode = tri
+      .select(explode(array(col("a"), col("b1"), col("b2"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    deg.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("d").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+      .withColumn("clustering",
+        when(col("degree") < 2L, lit(0.0))
+          .otherwise(col("n_triangles").cast("double") * 2.0 /
+            (col("degree").cast("double") *
+              (col("degree").cast("double") - 1.0))))
   }
 }

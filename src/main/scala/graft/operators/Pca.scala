@@ -218,6 +218,54 @@ object Pca {
         .as(s"pc${i + 1}")): _*)
   }
 
+  /** Variance explained per component: (component, ss, ratio) where
+    * ss = Σ rows s_i² (s_i the residual-projection coordinate the
+    * component trained on, FP20² units) and ratio = ss / ss_total
+    * with ss_total = Σ rows Σ_j cx_j² — the "is PC1 actually the
+    * common direction worth removing" audit before [[removeTop]]
+    * rewrites a corpus. ONE narrow scan: the per-row squared norm and
+    * every coordinate compute in the same staged chain; per-row
+    * squares are exact longs (envelope: |x| ≤ 90 keeps cx² < 2⁵³),
+    * cross-row sums are exact DECIMAL(38,0); ss is emitted as the
+    * IEEE double of that exact integer (identical rounding in any
+    * engine), ratio one further IEEE division. */
+  def varianceExplained(emb: DataFrame, idCol: String, vecCol: String,
+                        comps: Seq[Component]): DataFrame = {
+    require(comps.nonEmpty, "Pca.varianceExplained: no components")
+    require(comps.forall(c => c.dim == comps.head.dim &&
+        java.util.Arrays.equals(c.meanFp, comps.head.meanFp)),
+      "Pca.varianceExplained: components must share one mean/dim — " +
+        "train them together via topComponents")
+    var df = emb.select(
+      zip_with(fxCol(vecCol), typedLit(comps.head.meanFp.toSeq),
+        (a, b) => a - b).as("__cx"))
+      .withColumn("__rss", aggregate(col("__cx"), lit(0L),
+        (acc, v) => acc + v * v))
+    comps.zipWithIndex.foreach { case (c, i) =>
+      val dLit = typedLit(c.dirFp.toSeq)
+      df = df.withColumn(s"__p$i",
+        divFp(aggregate(zip_with(col("__cx"), dLit, (a, b) => a * b),
+          lit(0L), (acc, v) => acc + v)))
+      if (i < comps.size - 1)
+        df = df.withColumn("__cx", zip_with(col("__cx"), dLit,
+          (cc, dj) => cc - divFp(dj * col(s"__p$i"))))
+    }
+    val aggs = sum(col("__rss").cast("decimal(38,0)")).as("__sstot") +:
+      comps.indices.map(i =>
+        sum((col(s"__p$i") * col(s"__p$i")).cast("decimal(38,0)"))
+          .as(s"__ss$i"))
+    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val sstot = row.getDecimal(0).doubleValue
+    require(sstot > 0.0,
+      "Pca.varianceExplained: zero total variance — constant corpus?")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    comps.indices.map { i =>
+      val ss = row.getDecimal(i + 1).doubleValue
+      (i + 1, ss, ss / sstot)
+    }.toDF("component", "ss", "ratio")
+  }
+
   /** All-but-the-top residual: center, then remove the PC1 component —
     * (id, vec as double array). residual = (cx − (s·dir DIV 2²⁰)) /
     * 2²⁰, every step in the exact protocol. One narrow scan. */

@@ -425,6 +425,65 @@ object TextSearch {
       normed, universe, roundedIdf(universe, dfByTerm, n), n, tl, k)
   }
 
+  /** Exact consecutive-token phrase occurrences per document —
+    * (doc, n_matches), docs without the phrase absent. BM25 retrieves
+    * by bag-of-words; contamination audits and "find the exact
+    * benchmark sentence in the crawl" checks need POSITIONS.
+    *
+    * Algorithm (anchor voting — no positional self-joins): token
+    * occurrence (doc, pos, tok) matching phrase slot i votes for
+    * anchor pos − i with bit 1<<i; an anchor whose bit_or collects the
+    * full mask saw every slot at its offset — a phrase start.
+    * Repeated phrase tokens keep their slots (one occurrence votes
+    * once per slot it matches, at DIFFERENT anchors), and overlapping
+    * occurrences each count: "table table table" holds two starts of
+    * "table table".
+    *
+    * Scale shape (100 TB): ONE corpus scan; the posexplode stream
+    * filters to phrase tokens BEFORE the shuffle (a broadcast-sized
+    * IN-list), so the (doc, anchor)-keyed bit_or HashAggregate — and
+    * the per-doc count after it — carry only phrase-term occurrences,
+    * a vanishing fraction of the corpus. No join anywhere. Tokenizer
+    * parity with the repo protocol: split(trim(lower(text)), '\s+'),
+    * positions over the RAW split (empty tokens can't match a
+    * non-empty phrase term, so filtering is unnecessary and would
+    * shift positions). */
+  def phraseMatches(docs: DataFrame, idCol: String, textCol: String,
+                    phrase: Seq[String]): DataFrame = {
+    val terms = phrase.map(_.trim.toLowerCase(java.util.Locale.ROOT))
+    require(terms.nonEmpty && terms.forall(_.nonEmpty),
+      "phraseMatches: phrase must be non-empty tokens")
+    require(terms.size <= 63,
+      s"phraseMatches: ${terms.size} tokens exceed the 63-slot bitmask")
+    val k = terms.size
+    val mask = (1L << k) - 1L
+    // a term at two slots must vote at two anchors, in the SAME scan:
+    // each matching occurrence explodes a literal (slot, bit) list
+    // chosen by a when-chain — never a per-branch re-scan of the corpus
+    val slotsByTerm: Seq[(String, Seq[(Int, Long)])] =
+      terms.zipWithIndex.groupBy(_._1).view
+        .mapValues(_.map { case (_, i) => (i, 1L << i) }).toSeq
+    val posTok = docs.select(col(idCol).as("doc"),
+      posexplode(split(trim(lower(col(textCol))), "\\s+"))
+        .as(Seq("pos", "tok")))
+      .where(col("tok").isin(terms.distinct: _*))
+    val slotCol = slotsByTerm.foldLeft(
+      lit(null).cast("array<struct<_1:int,_2:bigint>>")) {
+      case (acc, (t, ss)) => when(col("tok") === t, typedLit(ss))
+        .otherwise(acc)
+    }
+    posTok
+      .select(col("doc"), col("pos"), explode(slotCol).as("s"))
+      .select(col("doc"), (col("pos") - col("s._1")).as("anchor"),
+        col("s._2").as("bit"))
+      .where(col("anchor") >= 0)
+      .groupBy(col("doc"), col("anchor"))
+      .agg(bit_or(col("bit")).as("__bits"))
+      .where(col("__bits") === mask)
+      .groupBy(col("doc"))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc"),

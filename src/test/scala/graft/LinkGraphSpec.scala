@@ -110,6 +110,55 @@ class LinkGraphSpec extends SparkSpec {
     }
   }
 
+  private def triMap(edges: Seq[(String, String)])
+  : Map[String, (Long, Long, Double)] =
+    LinkGraph.triangles(edges.toDF("src", "dst"), "src", "dst")
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+
+  test("triangles: K4 gives 3 per node and clustering 1; a pendant " +
+    "node gets 0; direction/multiplicity/self-loops collapse") {
+    val k4 = for {
+      a <- Seq("A", "B", "C", "D"); b <- Seq("A", "B", "C", "D")
+      if a != b
+    } yield (a, b) // both directions = multiplicity 2 per pair
+    val e = k4 ++ Seq(("D", "E"), ("A", "A"), ("E", "D"))
+    val r = triMap(e)
+    for (n <- Seq("A", "B", "C")) assert(r(n) == (3L, 3L, 1.0))
+    assert(r("D") == (4L, 3L, 0.5)) // deg 4: 3 of C(4,2)=6 wedges close
+    assert(r("E") == (1L, 0L, 0.0)) // pendant: degree < 2 -> 0.0
+  }
+
+  test("triangles: overlapping triangles count per node; a " +
+    "triangle-free star is all zeros") {
+    // two triangles sharing edge A-B: ABC and ABD
+    val r = triMap(Seq(("A", "B"), ("A", "C"), ("B", "C"),
+      ("A", "D"), ("B", "D")))
+    assert(r("A")._2 == 2L && r("B")._2 == 2L)
+    assert(r("C")._2 == 1L && r("D")._2 == 1L)
+    val star = triMap((1 to 5).map(i => ("hub", s"n$i")))
+    assert(star.values.forall(_._2 == 0L))
+    assert(star("hub")._1 == 5L)
+  }
+
+  test("triangles: deterministic across partitioning; degree ties " +
+    "break on node name without losing triangles") {
+    val rnd = new scala.util.Random(41)
+    val edges = (0 until 400).map(_ =>
+      (s"g${rnd.nextInt(30)}", s"g${rnd.nextInt(30)}"))
+    val df = edges.toDF("src", "dst")
+    val a = LinkGraph.triangles(df, "src", "dst").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val b = LinkGraph.triangles(df.repartition(7), "src", "dst")
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(a == b)
+    // global triangle identity: sum of per-node counts = 3 * |triangles|
+    assert(a.values.map(_._2).sum % 3 == 0)
+  }
+
   test("refusals: iteration and damping bounds") {
     val e = Seq(("a", "b")).toDF("src", "dst")
     intercept[IllegalArgumentException] {

@@ -184,6 +184,32 @@ class PcaSpec extends SparkSpec {
     }
   }
 
+  test("varianceExplained: ss reconciles exactly with projectMany " +
+    "coordinates; the planted dominant axis leads; ratios bounded") {
+    val data = fixture(250)
+    val df = data.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val cs = Pca.topComponents(df, "vec_id", "embedding", r = 2, iters = 4)
+    val ve = Pca.varianceExplained(df, "vec_id", "embedding", cs)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    // reconcile: ss_i == sum over rows of s_i^2, s_i recovered exactly
+    // from projectMany's pc_i = s_i / 2^20 (s_i < 2^26 => pc exact)
+    val pcs = Pca.projectMany(df, "vec_id", "embedding", cs).collect()
+    def ssOf(col: Int): Double = pcs.map { r =>
+      val s = BigInt(math.round(r.getDouble(col) * Fp))
+      s * s
+    }.sum.toDouble
+    assert(ve(1)._1 == ssOf(1))
+    assert(ve(2)._1 == ssOf(2))
+    assert(ve(1)._2 > ve(2)._2, s"PC1 should dominate: $ve")
+    assert(ve(1)._2 > 0.5 && ve(1)._2 <= 1.0)
+    assert(ve(2)._2 > 0.0 && ve(1)._2 + ve(2)._2 <= 1.0 + 1e-12)
+    intercept[IllegalArgumentException] {
+      Pca.varianceExplained(df, "vec_id", "embedding", Nil)
+    }
+  }
+
   test("refusals: iteration bounds, ragged dimensions, empty corpus, " +
     "degenerate constant corpus") {
     val ok = Seq((1L, Seq(1.0, 2.0)), (2L, Seq(2.0, 1.0)))

@@ -310,6 +310,51 @@ class TextSearchSpec extends SparkSpec {
     assert(saved === live)
   }
 
+  test("phraseMatches: exact counts, overlap with repeated terms, " +
+    "duplicate-slot phrases, normalization, absent docs omitted") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps the quick brown dog"),
+      (2L, "quick the brown"), // both words, wrong order/adjacency
+      (3L, "  The   QUICK  brown  cat "), // case + run whitespace
+      (4L, "table table table"), // 2 overlapping "table table" starts
+      (5L, "a b a b a"), // 2 overlapping "a b a" starts
+      (6L, "nothing here")).toDF("doc_id", "text")
+    def m(phrase: Seq[String]) =
+      TextSearch.phraseMatches(docs, "doc_id", "text", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(Seq("quick", "brown")) == Map(1L -> 2L, 3L -> 1L))
+    assert(m(Seq("QUICK", " Brown ")) == Map(1L -> 2L, 3L -> 1L))
+    assert(m(Seq("table", "table")) == Map(4L -> 2L))
+    assert(m(Seq("a", "b", "a")) == Map(5L -> 2L))
+    assert(m(Seq("fox", "jumps")) == Map(1L -> 1L))
+    assert(m(Seq("absent")) == Map.empty[Long, Long])
+    intercept[IllegalArgumentException] {
+      TextSearch.phraseMatches(docs, "doc_id", "text", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      TextSearch.phraseMatches(docs, "doc_id", "text", Seq("a", " "))
+    }
+    intercept[IllegalArgumentException] {
+      TextSearch.phraseMatches(docs, "doc_id", "text",
+        (1 to 64).map(_.toString))
+    }
+  }
+
+  test("phraseMatches plan gate: one scan, no join — the corpus " +
+    "filters to phrase tokens before any exchange") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = TextSearch.phraseMatches(docs, "doc_id", "text",
+      Seq("value", "table"))
+    df.collect()
+    // AQE repeats the tree under "== Initial Plan ==" — gate the final
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(!plan.contains("Join"), s"unexpected join:\n$plan")
+    assert(!plan.contains("SortAggregate"), s"sort-the-world agg:\n$plan")
+    assert("FileScan".r.findAllIn(plan).size == 1,
+      s"expected exactly one scan:\n$plan")
+  }
+
   test("plan gate: no token explode, no exchange, TakeOrderedAndProject on top") {
     // a real parquet scan — a local fixture constant-folds to a
     // LocalRelation and the planner loses the top-k rewrite. Raw read,
