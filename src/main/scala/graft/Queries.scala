@@ -6695,6 +6695,197 @@ object Queries {
         CAST((SELECT v FROM ssb) AS DOUBLE) /
           CAST((SELECT v FROM sst) AS DOUBLE)"""))
 
+  /** Unicode script profile over a mixed-script fixture (Cyrillic /
+    * CJK / Greek runs of doc_id-dependent length appended to the
+    * Latin base, long enough to FLIP dominance on many docs) — the
+    * oracle replays the per-block counts (byte-identical RE2/Java
+    * character classes), the packed argmax count·16+(15−idx) with its
+    * earlier-script tie-break, and the fraction division, so a range
+    * drift, a tie-break flip, or a zero-scripted mishandling
+    * hash-mismatches. */
+  private val q190 = Q("q190_script_profile",
+    (s, d) => {
+      val fix = documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" "),
+          when(col("doc_id") % 4 === 0,
+            expr("repeat('ж', CAST(doc_id % 400 AS INT))"))
+            .when(col("doc_id") % 4 === 1,
+              expr("repeat('汉', CAST(doc_id % 400 AS INT))"))
+            .when(col("doc_id") % 4 === 2,
+              expr("repeat('α', CAST(doc_id % 400 AS INT))"))
+            .otherwise(lit(""))).as("text"))
+      graft.operators.ScriptProfile.profile(fix, "doc_id", "text")
+    },
+    Some("""WITH fx AS (SELECT doc_id, text || ' ' ||
+          CASE WHEN doc_id % 4 = 0
+              THEN repeat('ж', CAST(doc_id % 400 AS INT))
+            WHEN doc_id % 4 = 1
+              THEN repeat('汉', CAST(doc_id % 400 AS INT))
+            WHEN doc_id % 4 = 2
+              THEN repeat('α', CAST(doc_id % 400 AS INT))
+            ELSE '' END AS t
+        FROM documents),
+      c AS (SELECT doc_id AS doc,
+          CAST(len(regexp_extract_all(t,
+            '[A-Za-z\x{00C0}-\x{024F}]')) AS BIGINT) AS latin,
+          CAST(len(regexp_extract_all(t,
+            '[\x{0400}-\x{04FF}]')) AS BIGINT) AS cyrillic,
+          CAST(len(regexp_extract_all(t,
+            '[\x{0370}-\x{03FF}]')) AS BIGINT) AS greek,
+          CAST(len(regexp_extract_all(t,
+            '[\x{0600}-\x{06FF}]')) AS BIGINT) AS arabic,
+          CAST(len(regexp_extract_all(t,
+            '[\x{0590}-\x{05FF}]')) AS BIGINT) AS hebrew,
+          CAST(len(regexp_extract_all(t,
+            '[\x{0900}-\x{097F}]')) AS BIGINT) AS devanagari,
+          CAST(len(regexp_extract_all(t,
+            '[\x{4E00}-\x{9FFF}]')) AS BIGINT) AS cjk,
+          CAST(len(regexp_extract_all(t,
+            '[\x{AC00}-\x{D7AF}]')) AS BIGINT) AS hangul,
+          CAST(len(regexp_extract_all(t,
+            '[\x{3040}-\x{30FF}]')) AS BIGINT) AS kana
+        FROM fx),
+      g AS (SELECT *, latin + cyrillic + greek + arabic + hebrew +
+          devanagari + cjk + hangul + kana AS n_scripted,
+          GREATEST(latin * 16 + 15, cyrillic * 16 + 14,
+            greek * 16 + 13, arabic * 16 + 12, hebrew * 16 + 11,
+            devanagari * 16 + 10, cjk * 16 + 9, hangul * 16 + 8,
+            kana * 16 + 7) AS gg
+        FROM c)
+      SELECT doc, latin, cyrillic, greek, arabic, hebrew, devanagari,
+        cjk, hangul, kana, n_scripted,
+        CASE WHEN n_scripted = 0 THEN 'none'
+          WHEN 15 - (gg % 16) = 0 THEN 'latin'
+          WHEN 15 - (gg % 16) = 1 THEN 'cyrillic'
+          WHEN 15 - (gg % 16) = 2 THEN 'greek'
+          WHEN 15 - (gg % 16) = 3 THEN 'arabic'
+          WHEN 15 - (gg % 16) = 4 THEN 'hebrew'
+          WHEN 15 - (gg % 16) = 5 THEN 'devanagari'
+          WHEN 15 - (gg % 16) = 6 THEN 'cjk'
+          WHEN 15 - (gg % 16) = 7 THEN 'hangul'
+          ELSE 'kana' END AS dominant,
+        CASE WHEN n_scripted = 0 THEN 0.0
+          ELSE CAST(gg // 16 AS DOUBLE) / CAST(n_scripted AS DOUBLE)
+        END AS fraction
+      FROM g"""))
+
+  /** Exact p25/p50/p95 document length per source — the oracle
+    * replays the histogram → per-key cumulative → rank
+    * (q·n+999) DIV 1000 → smallest-value-reaching-rank protocol, so
+    * an off-by-one in the ceiling rank, a type-1/type-7 quantile
+    * drift, or cumulative-window frame change hash-mismatches. */
+  private val q191 = Q("q191_quantiles_by_key",
+    (s, d) => graft.operators.TrainingData.quantilesByKey(
+      documents(s, d), "source", "n_chars", Seq(250, 500, 950)),
+    Some("""WITH h AS (SELECT source AS key, n_chars AS v,
+          CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents
+        WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        GROUP BY 1, 2),
+      cw AS (SELECT key, v, c,
+          SUM(c) OVER (PARTITION BY key ORDER BY v) AS cum,
+          SUM(c) OVER (PARTITION BY key) AS n FROM h),
+      e AS (SELECT key, v, cum, n, q
+        FROM cw CROSS JOIN (VALUES (250), (500), (950)) t(q))
+      SELECT key, CAST(q AS BIGINT) AS q_permille,
+        CAST(MAX(n) AS BIGINT) AS n, CAST(MIN(v) AS BIGINT) AS value
+      FROM e WHERE cum >= (q * n + 999) // 1000
+      GROUP BY key, q"""))
+
+  /** Three fixed k-core peel rounds at k=4 over the q188 graph — the
+    * peel is STILL IN PROGRESS after round 3 (the fixture loses edges
+    * every round: 176→144→78), so the oracle's three unrolled
+    * degree→filter→semi-join rounds pin the exact bulk-synchronous
+    * semantics (degrees recomputed from the SURVIVING subgraph each
+    * round, both endpoints required alive), not just the fixpoint. */
+  private val q192 = Q("q192_kcore_peel",
+    (s, d) => {
+      val docs = documents(s, d)
+      def gen(m: Int, a: Int, b: Int) = docs.select(
+        concat(lit("h"), (col("doc_id") % m).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * a + b) % m).cast("string"))
+          .as("dst"))
+      graft.operators.LinkGraph.kCorePeel(
+        gen(97, 31, 7).unionAll(gen(97, 17, 3)), "src", "dst",
+        k = 4, rounds = 3)
+    },
+    Some("""WITH e0 AS (
+        SELECT 'h' || (doc_id % 97) AS s,
+          'h' || ((doc_id * 31 + 7) % 97) AS t FROM documents
+        UNION ALL
+        SELECT 'h' || (doc_id % 97),
+          'h' || ((doc_id * 17 + 3) % 97) FROM documents),
+      u0 AS (SELECT DISTINCT LEAST(s, t) AS u, GREATEST(s, t) AS v
+        FROM e0 WHERE s <> t),
+      d1 AS (SELECT node, COUNT(*) AS d FROM
+          (SELECT u AS node FROM u0 UNION ALL SELECT v FROM u0)
+        GROUP BY node),
+      a1 AS (SELECT node FROM d1 WHERE d >= 4),
+      u1 AS (SELECT u0.u, u0.v FROM u0
+        JOIN a1 x ON u0.u = x.node JOIN a1 y ON u0.v = y.node),
+      d2 AS (SELECT node, COUNT(*) AS d FROM
+          (SELECT u AS node FROM u1 UNION ALL SELECT v FROM u1)
+        GROUP BY node),
+      a2 AS (SELECT node FROM d2 WHERE d >= 4),
+      u2 AS (SELECT u1.u, u1.v FROM u1
+        JOIN a2 x ON u1.u = x.node JOIN a2 y ON u1.v = y.node),
+      d3 AS (SELECT node, COUNT(*) AS d FROM
+          (SELECT u AS node FROM u2 UNION ALL SELECT v FROM u2)
+        GROUP BY node),
+      a3 AS (SELECT node FROM d3 WHERE d >= 4),
+      u3 AS (SELECT u2.u, u2.v FROM u2
+        JOIN a3 x ON u2.u = x.node JOIN a3 y ON u2.v = y.node)
+      SELECT node, CAST(COUNT(*) AS BIGINT) AS degree FROM
+        (SELECT u AS node FROM u3 UNION ALL SELECT v FROM u3)
+      GROUP BY node"""))
+
+  /** Two deterministic label-propagation rounds over the q188 graph —
+    * the oracle unrolls both bulk-synchronous rounds (neighbor vote
+    * counts from BOTH edge directions, per-node max count, argmax-tie
+    * filter, MIN-label tie-break), so an async-update drift, a lost
+    * direction, or a nondeterministic max_by-style tie lands as a
+    * hash mismatch. */
+  private val q193 = Q("q193_label_propagation",
+    (s, d) => {
+      val docs = documents(s, d)
+      def gen(m: Int, a: Int, b: Int) = docs.select(
+        concat(lit("h"), (col("doc_id") % m).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * a + b) % m).cast("string"))
+          .as("dst"))
+      graft.operators.LinkGraph.labelPropagation(
+        gen(97, 31, 7).unionAll(gen(97, 17, 3)), "src", "dst",
+        iters = 2)
+    },
+    Some("""WITH e0 AS (
+        SELECT 'h' || (doc_id % 97) AS s,
+          'h' || ((doc_id * 31 + 7) % 97) AS t FROM documents
+        UNION ALL
+        SELECT 'h' || (doc_id % 97),
+          'h' || ((doc_id * 17 + 3) % 97) FROM documents),
+      u0 AS (SELECT DISTINCT LEAST(s, t) AS u, GREATEST(s, t) AS v
+        FROM e0 WHERE s <> t),
+      n AS (SELECT u AS node FROM u0 UNION SELECT v FROM u0),
+      l0 AS (SELECT node, node AS label FROM n),
+      v1 AS (SELECT x.node, x.label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT u0.v AS node, l0.label
+            FROM u0 JOIN l0 ON u0.u = l0.node
+          UNION ALL
+          SELECT u0.u, l0.label FROM u0 JOIN l0 ON u0.v = l0.node) x
+        GROUP BY 1, 2),
+      m1 AS (SELECT node, MAX(c) AS m FROM v1 GROUP BY node),
+      l1 AS (SELECT v1.node, MIN(v1.label) AS label FROM v1
+        JOIN m1 ON v1.node = m1.node AND v1.c = m1.m GROUP BY v1.node),
+      v2 AS (SELECT x.node, x.label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM (SELECT u0.v AS node, l1.label
+            FROM u0 JOIN l1 ON u0.u = l1.node
+          UNION ALL
+          SELECT u0.u, l1.label FROM u0 JOIN l1 ON u0.v = l1.node) x
+        GROUP BY 1, 2),
+      m2 AS (SELECT node, MAX(c) AS m FROM v2 GROUP BY node),
+      l2 AS (SELECT v2.node, MIN(v2.label) AS label FROM v2
+        JOIN m2 ON v2.node = m2.node AND v2.c = m2.m GROUP BY v2.node)
+      SELECT node, label AS community FROM l2"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -6711,7 +6902,7 @@ object Queries {
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189)
+    q186, q187, q188, q189, q190, q191, q192, q193)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -146,6 +146,136 @@ object LinkGraph {
           .as("authority"))
   }
 
+  /** Synchronous label propagation for community detection (Raghavan,
+    * Albert & Kumara, Phys. Rev. E 76, 2007 — public literature),
+    * made DETERMINISTIC: labels start as the node's own id; each
+    * round every node adopts the most frequent label among its
+    * NEIGHBORS, ties broken toward the lexicographically smallest
+    * label; a fixed iteration count (classic LPA's stochastic
+    * update order and random tie-breaks are replaced by the
+    * bulk-synchronous min-tie rule, so the result is partitioning-
+    * invariant and oracle-replayable). Communities are the label
+    * groups — the mutual-link ring a crawl curator wants to treat as
+    * ONE entity, where [[Dedup]]'s connected components merge
+    * anything touching and [[kCore]] keeps only the dense part.
+    *
+    * Mode-with-deterministic-tie is computed without any max_by
+    * (whose ties are nondeterministic in a distributed agg): per
+    * round, (node, label) vote counts → per-node max count → filter
+    * to argmax ties → min(label). Three map-side-combined aggregates
+    * + one join per round, every shuffle keyed and ≤ |edge-endpoint|
+    * rows; bounded driver loop, localCheckpoint per round. */
+  def labelPropagation(edges: DataFrame, srcCol: String,
+                       dstCol: String, iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 50,
+      s"labelPropagation: iters must be in [1, 50]: $iters")
+    val e = undirected(edges, srcCol, dstCol)
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node"))).distinct()
+      .localCheckpoint()
+    var lab = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val votes = e
+        .join(lab.select(col("node").as("u"), col("label")), Seq("u"))
+        .select(col("v").as("node"), col("label"))
+        .unionAll(e
+          .join(lab.select(col("node").as("v"), col("label")), Seq("v"))
+          .select(col("u").as("node"), col("label")))
+        .groupBy(col("node"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .localCheckpoint()
+      val best = votes.groupBy(col("node")).agg(max(col("__c")).as("__m"))
+      lab = votes.join(best, Seq("node"))
+        .where(col("__c") === col("__m"))
+        .groupBy(col("node")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+    }
+    lab.select(col("node"), col("label").as("community"))
+  }
+
+  /** One peeling pass of the k-core iteration, `rounds` times: each
+    * round drops every node whose CURRENT degree is below k along
+    * with its incident edges (Seidman, "Network structure and minimum
+    * degree", Social Networks 1983; the Batagelj–Zaveršnik peel as a
+    * bounded bulk-synchronous loop). Fixed round count makes the
+    * result deterministic and SQL-oracle-replayable whether or not
+    * the peel has converged; [[kCore]] wraps it with convergence
+    * detection. Dense cores survive peeling — link farms and mutual-
+    * admiration rings hold high k-cores while organically-linked
+    * pages shed early, making core number the third crawl-curation
+    * graph signal next to [[pageRank]]/[[hits]] (endorsement) and
+    * [[triangles]] (local density).
+    *
+    * Scale shape: per round ONE degree aggregation (map-side combined,
+    * ≤ |nodes| rows) + one broadcast-or-shuffle semi-join of the edge
+    * list against the surviving node set, bounded driver loop,
+    * localCheckpoint per round. Exact integer degrees; no floats
+    * anywhere.
+    *
+    * @return (node, degree) — nodes still alive after `rounds` peels,
+    *         with their degree in the surviving subgraph. */
+  def kCorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"kCorePeel: k must be >= 1: $k")
+    require(rounds >= 1 && rounds <= 100,
+      s"kCorePeel: rounds must be in [1, 100]: $rounds")
+    var e = undirected(edges, srcCol, dstCol)
+    for (_ <- 1 to rounds) e = peelOnce(e, k)
+    degrees(e)
+  }
+
+  /** The k-core itself: peel until no node drops (round count is a
+    * measured property of the graph, bounded loudly at `maxRounds` —
+    * exactness never silently degrades to a partial peel). */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, maxRounds: Int = 50): DataFrame = {
+    require(k >= 1, s"kCore: k must be >= 1: $k")
+    require(maxRounds >= 1 && maxRounds <= 100,
+      s"kCore: maxRounds must be in [1, 100]: $maxRounds")
+    var e = undirected(edges, srcCol, dstCol)
+    var n = e.count()
+    var round = 0
+    var done = n == 0L
+    while (!done) {
+      round += 1
+      require(round <= maxRounds,
+        s"kCore: no fixpoint after $maxRounds rounds — raise maxRounds " +
+          "deliberately for adversarially deep peel chains")
+      e = peelOnce(e, k)
+      val m = e.count()
+      done = m == n || m == 0L
+      n = m
+    }
+    degrees(e)
+  }
+
+  private def undirected(edges: DataFrame, srcCol: String,
+                         dstCol: String): DataFrame =
+    edges
+      .select(col(srcCol).cast("string").as("u"),
+        col(dstCol).cast("string").as("v"))
+      .where(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("node"))
+      .unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+
+  /** Drop sub-k nodes and their incident edges, once. */
+  private def peelOnce(e: DataFrame, k: Int): DataFrame = {
+    val alive = degrees(e).where(col("degree") >= k)
+      .select(col("node"))
+    e.join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+      .select(col("u"), col("v"))
+      .localCheckpoint()
+  }
+
   /** Per-node triangle counts and local clustering coefficient over
     * the UNDIRECTED link graph — the community-structure signal a
     * crawl curator uses to spot link farms (dense mutual-link cliques

@@ -165,6 +165,53 @@ object TrainingData {
           .as("rep_ratio"))
   }
 
+  /** Exact per-key quantiles over a BOUNDED DISCRETE value domain —
+    * the filter-threshold primitive ("p50/p95 document length per
+    * source decides each source's length cut") computed without any
+    * per-row window. Type-1 (lower) quantile at permille q: the
+    * smallest value whose cumulative count reaches rank
+    * ⌈q·n/1000⌉ = (q·n + 999) DIV 1000 — all-integer, so the result
+    * is exact and engine-portable.
+    *
+    * Scale shape (100 TB): ONE corpus scan into a (key, value)-keyed
+    * HashAggregate (map-side combine); the cumulative window runs on
+    * that HISTOGRAM partitioned BY KEY — never the base table — and
+    * the quantile probes explode |permille| rows per histogram row.
+    * The [[ntileBuckets]] guard discipline applies: a continuous
+    * value domain makes the histogram corpus-sized; `maxHistRows`
+    * fails that loudly (bin first, or raise deliberately).
+    *
+    * @return (key, q_permille, n, value), one row per key × permille;
+    *         null keys/values are excluded from the population. */
+  def quantilesByKey(df: DataFrame, keyCol: String, valCol: String,
+                     permille: Seq[Int],
+                     maxHistRows: Long = 4194304L): DataFrame = {
+    require(permille.nonEmpty && permille.forall(q => q >= 1 && q <= 1000),
+      s"quantilesByKey: permille must be non-empty in [1, 1000]: $permille")
+    require(permille.distinct.size == permille.size,
+      s"quantilesByKey: duplicate permille: $permille")
+    val hist = df
+      .where(col(keyCol).isNotNull && col(valCol).isNotNull)
+      .groupBy(col(keyCol).as("key"), col(valCol).cast("long").as("v"))
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint()
+    val histRows = hist.limit((maxHistRows + 1).toInt).count()
+    require(histRows <= maxHistRows,
+      s"quantilesByKey: histogram exceeds maxHistRows=$maxHistRows — " +
+        s"'$valCol' looks continuous; bin it first or raise the cap " +
+        "deliberately")
+    val wCum = Window.partitionBy(col("key")).orderBy(col("v"))
+    val wAll = Window.partitionBy(col("key"))
+    hist
+      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      .withColumn("__n", sum(col("__cnt")).over(wAll))
+      .select(col("key"), col("v"), col("__cum"), col("__n"),
+        explode(typedLit(permille.map(_.toLong))).as("q_permille"))
+      .where(col("__cum") >= expr("(q_permille * __n + 999) DIV 1000"))
+      .groupBy(col("key"), col("q_permille"))
+      .agg(max(col("__n")).as("n"), min(col("v")).as("value"))
+  }
+
   /** Exact NTILE(`n`) over (`orderCol`, `tieCol`) WITHOUT a global sort —
     * the scale-safe length-decile assigner. A partition-less ntile window
     * funnels the whole table through ONE task; instead:

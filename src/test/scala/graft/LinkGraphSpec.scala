@@ -159,6 +159,87 @@ class LinkGraphSpec extends SparkSpec {
     assert(a.values.map(_._2).sum % 3 == 0)
   }
 
+  test("kCore: K4 survives k=3 while its tail peels in cascade; " +
+    "kCorePeel exposes the intermediate rounds") {
+    val k4 = Seq(("A", "B"), ("A", "C"), ("A", "D"), ("B", "C"),
+      ("B", "D"), ("C", "D"))
+    val e = (k4 ++ Seq(("D", "E"), ("E", "F"))).toDF("src", "dst")
+    val core = LinkGraph.kCore(e, "src", "dst", k = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core == Map("A" -> 3L, "B" -> 3L, "C" -> 3L, "D" -> 3L))
+    // round 1 peels F (deg 1 < 3) and E (deg 2 < 3) TOGETHER — bulk
+    // synchronous, both judged on the same pre-round degrees
+    val r1 = LinkGraph.kCorePeel(e, "src", "dst", k = 3, rounds = 1)
+      .collect().map(_.getString(0)).toSet
+    assert(r1 == Set("A", "B", "C", "D"))
+    // chain peeling needs a round per link: path v1..v5 at k=2 loses
+    // only its ENDPOINTS each round
+    val path = (1 to 4).map(i => (s"v$i", s"v${i + 1}"))
+      .toDF("src", "dst")
+    val after1 = LinkGraph.kCorePeel(path, "src", "dst", 2, 1)
+      .collect().map(_.getString(0)).toSet
+    assert(after1 == Set("v2", "v3", "v4"))
+    assert(LinkGraph.kCore(path, "src", "dst", 2).collect().isEmpty)
+  }
+
+  test("kCore: a ring is its own 2-core; convergence matches a deep " +
+    "fixed peel; deterministic across partitioning; refusals") {
+    val ring = (0 until 6).map(i => (s"r$i", s"r${(i + 1) % 6}"))
+    val mixed = (ring ++ Seq(("r0", "x"), ("x", "y"))).toDF("src", "dst")
+    val core = LinkGraph.kCore(mixed, "src", "dst", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(core == (0 until 6).map(i => s"r$i" -> 2L).toMap)
+    val deep = LinkGraph.kCorePeel(mixed, "src", "dst", 2, rounds = 30)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(deep == core)
+    val repart = LinkGraph.kCore(mixed.repartition(7), "src", "dst", 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(repart == core)
+    intercept[IllegalArgumentException] {
+      LinkGraph.kCore(mixed, "src", "dst", 0)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.kCorePeel(mixed, "src", "dst", 2, rounds = 0)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.kCorePeel(mixed, "src", "dst", 2, rounds = 101)
+    }
+  }
+
+  test("labelPropagation: two cliques joined by a bridge resolve to " +
+    "two communities; hand-stepped sync rounds; deterministic") {
+    def clique(p: String) = for {
+      a <- 1 to 4; b <- 1 to 4 if a < b
+    } yield (s"$p$a", s"$p$b")
+    val e = (clique("a") ++ clique("b") :+ ("a1", "b1"))
+      .toDF("src", "dst")
+    val r = LinkGraph.labelPropagation(e, "src", "dst", iters = 4)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    // every a-node converges to label a1, every b-node to b1 (min
+    // label of each clique); the bridge does not merge them
+    assert((1 to 4).forall(i => r(s"a$i") == "a1"), r.toString)
+    assert((2 to 4).forall(i => r(s"b$i") == "b1"), r.toString)
+    // hand-step round 1 on a triangle with one pendant: every
+    // triangle node sees two labels once each -> tie -> min neighbor
+    val tri = Seq(("x", "y"), ("y", "z"), ("x", "z"), ("z", "p"))
+      .toDF("src", "dst")
+    val r1 = LinkGraph.labelPropagation(tri, "src", "dst", 1)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    // x: neighbors {y,z} -> min y? no: labels y,z once each -> 'y'...
+    // votes: x sees y,z -> min 'y'; y sees x,z -> 'x'; z sees x,y,p
+    // -> 'p'; p sees z -> 'z'
+    assert(r1 == Map("x" -> "y", "y" -> "x", "z" -> "p", "p" -> "z"))
+    val rp = LinkGraph.labelPropagation(e.repartition(7), "src", "dst", 4)
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    assert(rp == r)
+    intercept[IllegalArgumentException] {
+      LinkGraph.labelPropagation(e, "src", "dst", 0)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.labelPropagation(e, "src", "dst", 51)
+    }
+  }
+
   test("refusals: iteration and damping bounds") {
     val e = Seq(("a", "b")).toDF("src", "dst")
     intercept[IllegalArgumentException] {

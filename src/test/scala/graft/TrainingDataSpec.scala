@@ -1136,4 +1136,46 @@ class TrainingDataSpec extends SparkSpec {
         maxHits = -1)
     }
   }
+
+  test("quantilesByKey: hand-checked type-1 quantiles, tie mass, " +
+    "independent keys, null exclusion") {
+    import spark.implicits._
+    val rows =
+      (1 to 10).map(v => ("A", v.toLong)) ++ // uniform 1..10
+        Seq(("B", 1L), ("B", 1L), ("B", 1L), ("B", 9L)) ++ // tie mass
+        Seq((null.asInstanceOf[String], 5L), ("C", 7L))
+    val df = rows.toDF("src", "len")
+      .unionByName(Seq(("C", Option.empty[Long])).toDF("src", "len"))
+    val out = TrainingData.quantilesByKey(df, "src", "len",
+      Seq(100, 250, 500, 750, 1000))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    // A: n=10; ranks ceil(q*10/1000) = 1,3,5,8,10 -> values 1,3,5,8,10
+    assert(out(("A", 100L)) == (10L, 1L))
+    assert(out(("A", 250L)) == (10L, 3L))
+    assert(out(("A", 500L)) == (10L, 5L))
+    assert(out(("A", 750L)) == (10L, 8L))
+    assert(out(("A", 1000L)) == (10L, 10L))
+    // B: n=4, values 1,1,1,9; ranks 1,1,2,3,4 -> 1,1,1,1,9
+    assert(out(("B", 500L)) == (4L, 1L))
+    assert(out(("B", 750L)) == (4L, 1L))
+    assert(out(("B", 1000L)) == (4L, 9L))
+    // C: the null value row dropped -> n=1, every quantile 7
+    assert(out(("C", 500L)) == (1L, 7L))
+    assert(!out.keySet.exists(_._1 == null))
+    intercept[IllegalArgumentException] {
+      TrainingData.quantilesByKey(df, "src", "len", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.quantilesByKey(df, "src", "len", Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      TrainingData.quantilesByKey(df, "src", "len", Seq(500, 500))
+    }
+    intercept[IllegalArgumentException] { // histogram cap refusal
+      TrainingData.quantilesByKey(df, "src", "len", Seq(500),
+        maxHistRows = 2L)
+    }
+  }
 }
