@@ -6886,6 +6886,50 @@ object Queries {
         JOIN m2 ON v2.node = m2.node AND v2.c = m2.m GROUP BY v2.node)
       SELECT node, label AS community FROM l2"""))
 
+  /** Personalized PageRank from seeds {h0,h1,h2}, 3 iterations at
+    * damping 85 over q174's functional graph — the oracle replays the
+    * seed-restricted protocol (seed-only 10⁶ start, seed-only
+    * teleport base, the same DIV arithmetic as q174), so mass leaking
+    * to non-seed teleports, a wrong start vector, or global-PageRank
+    * semantics sneaking back land as a hash mismatch. */
+  private val q194 = Q("q194_personalized_pagerank",
+    (s, d) => {
+      val edges = documents(s, d).select(
+        concat(lit("h"), (col("doc_id") % 97).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * 31 + 7) % 97).cast("string"))
+          .as("dst"))
+      graft.operators.LinkGraph.personalizedPageRank(
+        edges, "src", "dst", Seq("h0", "h1", "h2"), iters = 3)
+    },
+    Some("""WITH e AS (SELECT DISTINCT 'h' || (doc_id % 97) AS src,
+          'h' || ((doc_id * 31 + 7) % 97) AS dst FROM documents),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      r0 AS (SELECT node, CAST(CASE WHEN node IN ('h0', 'h1', 'h2')
+          THEN 1000000 ELSE 0 END AS BIGINT) AS rm FROM nodes),
+      c1 AS (SELECT e.dst AS node, SUM(r0.rm // od.deg) AS s
+        FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
+        GROUP BY e.dst),
+      r1 AS (SELECT n.node,
+          CAST(CASE WHEN n.node IN ('h0', 'h1', 'h2') THEN 150000
+            ELSE 0 END + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS rm
+        FROM nodes n LEFT JOIN c1 USING (node)),
+      c2 AS (SELECT e.dst AS node, SUM(r1.rm // od.deg) AS s
+        FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
+        GROUP BY e.dst),
+      r2 AS (SELECT n.node,
+          CAST(CASE WHEN n.node IN ('h0', 'h1', 'h2') THEN 150000
+            ELSE 0 END + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS rm
+        FROM nodes n LEFT JOIN c2 USING (node)),
+      c3 AS (SELECT e.dst AS node, SUM(r2.rm // od.deg) AS s
+        FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src
+        GROUP BY e.dst),
+      r3 AS (SELECT n.node,
+          CAST(CASE WHEN n.node IN ('h0', 'h1', 'h2') THEN 150000
+            ELSE 0 END + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS rm
+        FROM nodes n LEFT JOIN c3 USING (node))
+      SELECT node, CAST(rm AS DOUBLE) / 1000000.0 AS rank FROM r3"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -6902,7 +6946,7 @@ object Queries {
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

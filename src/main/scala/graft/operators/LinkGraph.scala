@@ -79,6 +79,70 @@ object LinkGraph {
       col("__rm").cast("double").divide(lit(1000000.0)).as("rank"))
   }
 
+  /** Personalized PageRank (Page et al. 1999 §6; Haveliwala,
+    * "Topic-Sensitive PageRank", WWW 2002 — public literature): the
+    * same damped iteration as [[pageRank]] but ALL teleport mass
+    * returns to a seed set — authority relative to a topic anchor,
+    * the signal a focused crawl ranks its frontier by ("pages the
+    * seed cluster endorses, transitively") where global PageRank
+    * ranks by the whole web's endorsement.
+    *
+    * Exact integer protocol, identical to [[pageRank]] except the
+    * base term: seeds get `(100−d)·10⁴ + (d·Σ) DIV 100`, everything
+    * else `(d·Σ) DIV 100`; seed ranks start at 1.000000, others 0.
+    * Seeds ride as a broadcast literal IN-list, loudly bounded —
+    * never a join.
+    *
+    * Scale shape: identical to [[pageRank]] — per iteration one
+    * src-keyed join + one dst-keyed partial-aggregated shuffle,
+    * bounded driver loop, localCheckpoint per round. */
+  def personalizedPageRank(edges: DataFrame, srcCol: String,
+      dstCol: String, seeds: Seq[String], iters: Int,
+      dampingPct: Int = 85): DataFrame = {
+    require(iters >= 1 && iters <= 50,
+      s"personalizedPageRank: iters must be in [1, 50]: $iters")
+    require(dampingPct >= 0 && dampingPct <= 100,
+      s"personalizedPageRank: dampingPct must be in [0, 100]: " +
+        dampingPct)
+    require(seeds.nonEmpty && seeds.size <= 10000,
+      s"personalizedPageRank: seed set must be non-empty and <= " +
+        s"10000 (got ${seeds.size}) — it broadcasts as a literal")
+    require(seeds.distinct.size == seeds.size,
+      "personalizedPageRank: duplicate seeds")
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .localCheckpoint()
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+      .localCheckpoint()
+    val isSeed = col("node").isin(seeds: _*)
+    val baseMicro = (100L - dampingPct) * 10000L
+    var rank = nodes.select(col("node"),
+      when(isSeed, lit(1000000L)).otherwise(lit(0L)).as("__rm"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(rank.select(col("node").as("src"), col("__rm")), Seq("src"))
+        .join(outdeg, Seq("src"))
+        .select(col("dst"), expr("__rm DIV __deg").as("__c"))
+        .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
+      rank = nodes
+        .join(contrib.select(col("dst").as("node"), col("__s")),
+          Seq("node"), "left")
+        .select(col("node"),
+          (when(isSeed, lit(baseMicro)).otherwise(lit(0L)) +
+            expr(s"($dampingPct * coalesce(__s, 0L)) DIV 100"))
+            .as("__rm"))
+        .localCheckpoint()
+    }
+    rank.select(col("node"),
+      col("__rm").cast("double").divide(lit(1000000.0)).as("rank"))
+  }
+
   /** HITS hubs and authorities (Kleinberg, "Authoritative Sources in
     * a Hyperlinked Environment", JACM 1999 — public literature) —
     * PageRank's complement for crawl curation: PageRank scores global

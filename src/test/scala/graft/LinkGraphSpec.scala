@@ -240,6 +240,34 @@ class LinkGraphSpec extends SparkSpec {
     }
   }
 
+  test("personalizedPageRank: hand-stepped seed restart; mass decays " +
+    "with link distance from the seed; unreachable nodes get zero") {
+    // chain S -> A -> B plus an off-topic island X -> Y
+    val e = Seq(("S", "A"), ("A", "B"), ("X", "Y")).toDF("src", "dst")
+    val r = LinkGraph.personalizedPageRank(e, "src", "dst", Seq("S"), 2)
+      .collect().map(x => x.getString(0) -> x.getDouble(1)).toMap
+    // iter1: S=150000; A gets 85*1000000/100=850000; B gets 0
+    // iter2: S=150000; A = 85*150000/100 = 127500;
+    //        B = 85*850000/100 = 722500; X=Y=0
+    assert(r("S") == 0.15 && r("A") == 0.1275 && r("B") == 0.7225)
+    assert(r("X") == 0.0 && r("Y") == 0.0)
+    // seed ordering beats distance: with damping the seed's own
+    // teleport mass keeps the near neighborhood above the far one
+    val deep = LinkGraph.personalizedPageRank(e, "src", "dst",
+      Seq("S"), 10).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(deep("A") > 0.0 && deep("X") == 0.0)
+    intercept[IllegalArgumentException] {
+      LinkGraph.personalizedPageRank(e, "src", "dst", Nil, 3)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.personalizedPageRank(e, "src", "dst", Seq("S", "S"), 3)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.personalizedPageRank(e, "src", "dst", Seq("S"), 0)
+    }
+  }
+
   test("refusals: iteration and damping bounds") {
     val e = Seq(("a", "b")).toDF("src", "dst")
     intercept[IllegalArgumentException] {
