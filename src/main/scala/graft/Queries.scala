@@ -6930,6 +6930,98 @@ object Queries {
         FROM nodes n LEFT JOIN c3 USING (node))
       SELECT node, CAST(rm AS DOUBLE) / 1000000.0 AS rank FROM r3"""))
 
+  /** Directed BFS depth ≤ 3 from seeds {h0,h1} over q174's graph —
+    * the oracle unrolls all three relax-and-min rounds, so a
+    * direction flip, an off-by-one hop, a seed echo outside the
+    * graph, or min-vs-last semantics land as a hash mismatch. */
+  private val q195 = Q("q195_hop_distance",
+    (s, d) => {
+      val edges = documents(s, d).select(
+        concat(lit("h"), (col("doc_id") % 97).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * 31 + 7) % 97).cast("string"))
+          .as("dst"))
+      graft.operators.LinkGraph.hopDistance(
+        edges, "src", "dst", Seq("h0", "h1"), maxHops = 3)
+    },
+    Some("""WITH e AS (SELECT DISTINCT 'h' || (doc_id % 97) AS src,
+          'h' || ((doc_id * 31 + 7) % 97) AS dst FROM documents),
+      ns AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      d0 AS (SELECT node, CAST(0 AS BIGINT) AS dist FROM ns
+        WHERE node IN ('h0', 'h1')),
+      x1 AS (SELECT e.dst AS node, d0.dist + 1 AS dist
+        FROM e JOIN d0 ON e.src = d0.node),
+      d1 AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM
+          (SELECT * FROM d0 UNION ALL SELECT * FROM x1)
+        GROUP BY node),
+      x2 AS (SELECT e.dst AS node, d1.dist + 1 AS dist
+        FROM e JOIN d1 ON e.src = d1.node),
+      d2 AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM
+          (SELECT * FROM d1 UNION ALL SELECT * FROM x2)
+        GROUP BY node),
+      x3 AS (SELECT e.dst AS node, d2.dist + 1 AS dist
+        FROM e JOIN d2 ON e.src = d2.node),
+      d3 AS (SELECT node, CAST(MIN(dist) AS BIGINT) AS dist FROM
+          (SELECT * FROM d2 UNION ALL SELECT * FROM x3)
+        GROUP BY node)
+      SELECT node, dist FROM d3"""))
+
+  /** Mixed-script (homoglyph) token detection: the fixture plants
+    * 'pаypal' (Cyrillic а inside Latin) on doc_id%3=0 and 'αlpha'
+    * (Greek α) on the remaining doc_id%5=0 — the oracle replays
+    * tokenization, each token's per-script presence flags, the ≥2
+    * mixed rule, and the per-doc roll-up, so a flag computed on the
+    * doc instead of the token, a lost script class, or ratio drift
+    * hash-mismatches. */
+  private val q196 = Q("q196_mixed_script_tokens",
+    (s, d) => {
+      val fix = documents(s, d).select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, lit(" pаypal"))
+            .when(col("doc_id") % 5 === 0, lit(" αlpha"))
+            .otherwise(lit(""))).as("text"))
+      graft.operators.ScriptProfile.mixedScriptTokens(
+        fix, "doc_id", "text")
+    },
+    Some("""WITH fx AS (SELECT doc_id, text ||
+          CASE WHEN doc_id % 3 = 0 THEN ' pаypal'
+            WHEN doc_id % 5 = 0 THEN ' αlpha'
+            ELSE '' END AS t
+        FROM documents),
+      tk AS (SELECT doc_id AS doc,
+          unnest(regexp_split_to_array(trim(lower(t)), '\s+')) AS tok
+        FROM fx),
+      fl AS (SELECT doc, tok,
+          (CASE WHEN len(regexp_extract_all(tok,
+            '[A-Za-z\x{00C0}-\x{024F}]')) > 0 THEN 1 ELSE 0 END) +
+          (CASE WHEN len(regexp_extract_all(tok,
+            '[\x{0400}-\x{04FF}]')) > 0 THEN 1 ELSE 0 END) +
+          (CASE WHEN len(regexp_extract_all(tok,
+            '[\x{0370}-\x{03FF}]')) > 0 THEN 1 ELSE 0 END) +
+          (CASE WHEN len(regexp_extract_all(tok,
+            '[\x{0600}-\x{06FF}]')) > 0 THEN 1 ELSE 0 END) +
+          (CASE WHEN len(regexp_extract_all(tok,
+            '[\x{0590}-\x{05FF}]')) > 0 THEN 1 ELSE 0 END) +
+          (CASE WHEN len(regexp_extract_all(tok,
+            '[\x{0900}-\x{097F}]')) > 0 THEN 1 ELSE 0 END) +
+          (CASE WHEN len(regexp_extract_all(tok,
+            '[\x{4E00}-\x{9FFF}]')) > 0 THEN 1 ELSE 0 END) +
+          (CASE WHEN len(regexp_extract_all(tok,
+            '[\x{AC00}-\x{D7AF}]')) > 0 THEN 1 ELSE 0 END) +
+          (CASE WHEN len(regexp_extract_all(tok,
+            '[\x{3040}-\x{30FF}]')) > 0 THEN 1 ELSE 0 END) AS ns
+        FROM tk)
+      SELECT doc,
+        CAST(SUM(CASE WHEN tok <> '' THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_tokens,
+        CAST(SUM(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_mixed,
+        CASE WHEN SUM(CASE WHEN tok <> '' THEN 1 ELSE 0 END) = 0
+          THEN 0.0
+          ELSE CAST(SUM(CASE WHEN ns >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+            / CAST(SUM(CASE WHEN tok <> '' THEN 1 ELSE 0 END) AS DOUBLE)
+        END AS mixed_ratio
+      FROM fl GROUP BY doc"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -6946,7 +7038,7 @@ object Queries {
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

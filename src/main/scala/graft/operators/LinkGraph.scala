@@ -79,6 +79,60 @@ object LinkGraph {
       col("__rm").cast("double").divide(lit(1000000.0)).as("rank"))
   }
 
+  /** Minimum DIRECTED hop distance from a seed set, bounded at
+    * `maxHops` — the crawl-depth primitive ("fetch nothing more than
+    * k clicks from the seeds", the depth cut every focused crawler
+    * pairs with [[personalizedPageRank]]'s authority cut). Plain
+    * bulk-synchronous BFS: distance 0 at the seeds, each round every
+    * reached node relaxes its out-neighbors to dist+1, min wins;
+    * exactly `maxHops` rounds, so the result is deterministic and an
+    * unrolled SQL oracle replays it. Nodes not reached within the
+    * bound are ABSENT (the crawler's drop set), including seeds that
+    * never appear in the edge list (documented: the output is graph
+    * reachability, not seed echo).
+    *
+    * Scale shape: per round one src-keyed join of the REACHED set
+    * against the edge list + one min-combining HashAggregate
+    * (≤ |reached| rows per shuffle), bounded driver loop,
+    * localCheckpoint per round. This re-relaxes the whole reached set
+    * each round (simple, exact); for deep bounds a frontier-delta
+    * variant saves work, but crawl depth cuts are small (≤ ~6) and
+    * the re-relax keeps the round a pure idempotent min — documented
+    * trade, not an accident. */
+  def hopDistance(edges: DataFrame, srcCol: String, dstCol: String,
+                  seeds: Seq[String], maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 20,
+      s"hopDistance: maxHops must be in [1, 20]: $maxHops — each hop " +
+        "is a shuffle round; raise the bound deliberately if needed")
+    require(seeds.nonEmpty && seeds.size <= 10000,
+      s"hopDistance: seed set must be non-empty and <= 10000 " +
+        s"(got ${seeds.size}) — it broadcasts as a literal")
+    require(seeds.distinct.size == seeds.size,
+      "hopDistance: duplicate seeds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint()
+    val inGraph = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+    var dist = inGraph.where(col("node").isin(seeds: _*))
+      .select(col("node"), lit(0L).as("dist"))
+      .localCheckpoint()
+    for (_ <- 1 to maxHops) {
+      val relaxed = e
+        .join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionAll(relaxed)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint()
+    }
+    dist
+  }
+
   /** Personalized PageRank (Page et al. 1999 §6; Haveliwala,
     * "Topic-Sensitive PageRank", WWW 2002 — public literature): the
     * same damped iteration as [[pageRank]] but ALL teleport mass

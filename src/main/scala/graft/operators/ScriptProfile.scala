@@ -42,6 +42,47 @@ object ScriptProfile {
     "hangul" -> "[\\x{AC00}-\\x{D7AF}]",
     "kana" -> "[\\x{3040}-\\x{30FF}]")
 
+  /** Mixed-script tokens per document — the HOMOGLYPH-SPOOFING smell
+    * [[profile]]'s doc-level histogram can't see: "pаypal" with a
+    * Cyrillic а profiles as 83% Latin overall, but the token itself
+    * straddles two scripts, which near-never happens in honest text
+    * (IDN homograph literature: Gabrilovich & Gontmakher, CACM 2002 —
+    * public). A token is mixed when its characters match ≥ 2 of the
+    * script classes.
+    *
+    * Scale shape: ONE scan; tokens explode (the repo split protocol),
+    * each token's per-script presence bits are STAGED once, and the
+    * per-doc roll-up is a map-side-combined HashAggregate — the
+    * exchange carries per-doc partial counts, never tokens.
+    *
+    * @return (doc, n_tokens, n_mixed, mixed_ratio) — every doc kept
+    *         (token-less docs count 0 with ratio 0.0). */
+  def mixedScriptTokens(docs: DataFrame, idCol: String,
+                        textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc"),
+      explode_outer(split(trim(lower(col(textCol))), "\\s+")).as("tok"))
+    val flags = tok.select(col("doc") +: col("tok") +:
+      Scripts.map { case (n, re) =>
+        when(col("tok").isNotNull &&
+          regexp_count(col("tok"), lit(re)) > 0, 1L).otherwise(0L)
+          .as(s"__$n")
+      }: _*)
+    val nScripts = Scripts.map { case (n, _) => col(s"__$n") }
+      .reduce(_ + _)
+    flags
+      .select(col("doc"),
+        when(col("tok").isNotNull && col("tok") =!= "", 1L)
+          .otherwise(0L).as("__isTok"),
+        when(nScripts >= 2L, 1L).otherwise(0L).as("__isMixed"))
+      .groupBy(col("doc"))
+      .agg(sum(col("__isTok")).as("n_tokens"),
+        sum(col("__isMixed")).as("n_mixed"))
+      .withColumn("mixed_ratio",
+        when(col("n_tokens") === 0L, lit(0.0))
+          .otherwise(col("n_mixed").cast("double") /
+            col("n_tokens").cast("double")))
+  }
+
   /** (doc, <one count column per script>, n_scripted, dominant,
     * fraction). */
   def profile(docs: DataFrame, idCol: String, textCol: String)

@@ -268,6 +268,37 @@ class LinkGraphSpec extends SparkSpec {
     }
   }
 
+  test("hopDistance: directed min-distance within the bound; " +
+    "unreached and out-of-graph seeds absent; shortcut wins") {
+    // S -> A -> B -> C -> D, plus shortcut S -> C; reverse edge D -> S
+    val e = Seq(("S", "A"), ("A", "B"), ("B", "C"), ("C", "D"),
+      ("S", "C"), ("D", "S")).toDF("src", "dst")
+    val d3 = LinkGraph.hopDistance(e, "src", "dst", Seq("S"), 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // C via the shortcut at 1, D at 2; B at 2 through A
+    assert(d3 == Map("S" -> 0L, "A" -> 1L, "B" -> 2L, "C" -> 1L,
+      "D" -> 2L))
+    val d1 = LinkGraph.hopDistance(e, "src", "dst", Seq("S"), 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(d1 == Map("S" -> 0L, "A" -> 1L, "C" -> 1L))
+    // direction respected: from D, S is 1 hop (D->S), A is 2
+    val fromD = LinkGraph.hopDistance(e, "src", "dst", Seq("D"), 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fromD == Map("D" -> 0L, "S" -> 1L, "A" -> 2L, "C" -> 2L))
+    // a seed absent from the graph emits nothing
+    val ghost = LinkGraph.hopDistance(e, "src", "dst", Seq("Z"), 2)
+    assert(ghost.collect().isEmpty)
+    intercept[IllegalArgumentException] {
+      LinkGraph.hopDistance(e, "src", "dst", Nil, 2)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.hopDistance(e, "src", "dst", Seq("S"), 0)
+    }
+    intercept[IllegalArgumentException] {
+      LinkGraph.hopDistance(e, "src", "dst", Seq("S", "S"), 2)
+    }
+  }
+
   test("refusals: iteration and damping bounds") {
     val e = Seq(("a", "b")).toDF("src", "dst")
     intercept[IllegalArgumentException] {

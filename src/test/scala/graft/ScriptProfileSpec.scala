@@ -59,6 +59,28 @@ class ScriptProfileSpec extends SparkSpec {
     assert(p(4L)._3 == "none" && p(4L)._2 == 0L)
   }
 
+  test("mixedScriptTokens: homoglyph tokens flagged, honest " +
+    "single-script and empty docs are not; ratio exact") {
+    val rows = Seq(
+      (1L, "paypal login page"), // honest: 0 mixed
+      (2L, "pаypal login page"), // Cyrillic а inside latin -> 1 of 3
+      (3L, "честный русский текст"), // honest cyrillic: 0 mixed
+      (4L, "αlpha beta 漢kanji"), // two mixed of 3
+      (5L, ""), // token-less
+      (6L, "123 !!! ---")) // no scripted chars at all -> 0 mixed
+    val out = graft.operators.ScriptProfile.mixedScriptTokens(
+      rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(out(1L) == (3L, 0L, 0.0))
+    assert(out(2L) == (3L, 1L, 1.0 / 3.0))
+    assert(out(3L) == (3L, 0L, 0.0))
+    assert(out(4L) == (3L, 2L, 2.0 / 3.0))
+    assert(out(5L) == (0L, 0L, 0.0))
+    assert(out(6L) == (3L, 0L, 0.0))
+  }
+
   test("plan: one scan, zero exchanges — per-row kernels only, " +
     "counts staged (not re-evaluated per reference)") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
