@@ -7022,6 +7022,51 @@ object Queries {
         END AS mixed_ratio
       FROM fl GROUP BY doc"""))
 
+  /** Per-node link reciprocity over the two-generator graph plus a
+    * parity-gated REVERSE of generator 1 (even doc_ids reverse their
+    * gen-1 edge, planting a mixed reciprocated/one-way population) —
+    * the oracle replays dedup, the reversed-edge semi-join, per-node
+    * out-degree and reciprocated counts, and the ratio, so a
+    * direction mix-up, lost self-loop drop, or a count over the
+    * un-deduped multigraph hash-mismatches. */
+  private val q197 = Q("q197_reciprocity",
+    (s, d) => {
+      val docs = documents(s, d)
+      def gen(a: Int, b: Int) = docs.select(
+        concat(lit("h"), (col("doc_id") % 97).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * a + b) % 97).cast("string"))
+          .as("dst"))
+      val rev = docs.where(col("doc_id") % 2 === 0).select(
+        concat(lit("h"), ((col("doc_id") * 31 + 7) % 97).cast("string"))
+          .as("src"),
+        concat(lit("h"), (col("doc_id") % 97).cast("string")).as("dst"))
+      graft.operators.LinkGraph.reciprocity(
+        gen(31, 7).unionAll(gen(17, 3)).unionAll(rev), "src", "dst")
+    },
+    Some("""WITH e0 AS (
+        SELECT 'h' || (doc_id % 97) AS s,
+          'h' || ((doc_id * 31 + 7) % 97) AS t FROM documents
+        UNION ALL
+        SELECT 'h' || (doc_id % 97),
+          'h' || ((doc_id * 17 + 3) % 97) FROM documents
+        UNION ALL
+        SELECT 'h' || ((doc_id * 31 + 7) % 97),
+          'h' || (doc_id % 97) FROM documents WHERE doc_id % 2 = 0),
+      e AS (SELECT DISTINCT s, t FROM e0 WHERE s <> t),
+      r AS (SELECT a.s, a.t FROM e a
+        JOIN e b ON a.s = b.t AND a.t = b.s),
+      od AS (SELECT s AS node, CAST(COUNT(*) AS BIGINT) AS out_degree
+        FROM e GROUP BY s),
+      rc AS (SELECT s AS node,
+          CAST(COUNT(*) AS BIGINT) AS n_reciprocated
+        FROM r GROUP BY s)
+      SELECT od.node, od.out_degree,
+        CAST(COALESCE(rc.n_reciprocated, 0) AS BIGINT)
+          AS n_reciprocated,
+        CAST(COALESCE(rc.n_reciprocated, 0) AS DOUBLE) /
+          CAST(od.out_degree AS DOUBLE) AS reciprocity
+      FROM od LEFT JOIN rc ON od.node = rc.node"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -7038,7 +7083,8 @@ object Queries {
     q151, q152, q153, q154, q155, q156, q157, q158, q159, q160, q161, q162,
     q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
-    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196)
+    q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196,
+    q197)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

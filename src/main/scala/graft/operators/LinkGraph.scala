@@ -79,6 +79,43 @@ object LinkGraph {
       col("__rm").cast("double").divide(lit(1000000.0)).as("rank"))
   }
 
+  /** Per-node link reciprocity: how much of a node's out-linking is
+    * returned (Garlaschelli & Loffredo, "Patterns of Link Reciprocity
+    * in Directed Networks", PRL 2004 — public literature). Organic
+    * web linking is weakly reciprocal; near-1.0 reciprocity across a
+    * host cluster is the mutual-admiration link-scheme smell, the
+    * directed complement of [[triangles]]' undirected density.
+    *
+    * Exact: dedup directed edges, drop self-loops; an edge u→v is
+    * reciprocated iff v→u exists (ONE left-semi self-join on the
+    * reversed edge list); per-node out-degree, reciprocated count,
+    * and ratio (the only float). Every shuffle keyed; nothing wider
+    * than the edge list.
+    *
+    * @return (node, out_degree, n_reciprocated, reciprocity). */
+  def reciprocity(edges: DataFrame, srcCol: String, dstCol: String)
+  : DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    val recip = e.join(
+      e.select(col("dst").as("src"), col("src").as("dst")),
+      Seq("src", "dst"), "left_semi")
+    e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("out_degree"))
+      .join(recip.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("n_reciprocated")), Seq("node"), "left")
+      .select(col("node"), col("out_degree"),
+        coalesce(col("n_reciprocated"), lit(0L)).as("n_reciprocated"))
+      .withColumn("reciprocity",
+        col("n_reciprocated").cast("double") /
+          col("out_degree").cast("double"))
+  }
+
   /** Minimum DIRECTED hop distance from a seed set, bounded at
     * `maxHops` — the crawl-depth primitive ("fetch nothing more than
     * k clicks from the seeds", the depth cut every focused crawler

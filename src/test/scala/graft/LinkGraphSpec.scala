@@ -299,6 +299,28 @@ class LinkGraphSpec extends SparkSpec {
     }
   }
 
+  test("reciprocity: mutual pairs count, one-way links do not; " +
+    "self-loops and duplicates collapse; sink nodes absent") {
+    val e = Seq(
+      ("A", "B"), ("B", "A"), // mutual
+      ("A", "C"), // one-way
+      ("A", "C"), // duplicate must collapse
+      ("C", "C"), // self-loop dropped
+      ("D", "A")) // one-way into A; D never receives
+      .toDF("src", "dst")
+    val r = LinkGraph.reciprocity(e, "src", "dst")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(r("A") == (2L, 1L, 0.5)) // out: B (mutual), C (one-way)
+    assert(r("B") == (1L, 1L, 1.0))
+    assert(r("D") == (1L, 0L, 0.0))
+    assert(!r.contains("C")) // C has no out-edges after the drops
+    val rp = LinkGraph.reciprocity(e.repartition(5), "src", "dst")
+      .collect().map(x => x.getString(0) ->
+        (x.getLong(1), x.getLong(2), x.getDouble(3))).toMap
+    assert(rp == r)
+  }
+
   test("refusals: iteration and damping bounds") {
     val e = Seq(("a", "b")).toDF("src", "dst")
     intercept[IllegalArgumentException] {

@@ -402,6 +402,25 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.toString.contains("TopKPerKey"), p.toString.take(800))
   }
 
+  test("graph family (triangles/reciprocity): keyed joins only — no " +
+    "cartesian product, no nested-loop join, no sort aggregate") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val edges = docs.select(
+      concat(lit("h"), (col("doc_id") % 97).cast("string")).as("src"),
+      concat(lit("h"), ((col("doc_id") * 31 + 7) % 97).cast("string"))
+        .as("dst"))
+    for (out <- Seq(
+      graft.operators.LinkGraph.triangles(edges, "src", "dst"),
+      graft.operators.LinkGraph.reciprocity(edges, "src", "dst"))) {
+      out.collect()
+      val plan = out.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
+      assert(!plan.contains("CartesianProduct"), plan.take(800))
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+      assert(!plan.contains("SortAggregate"), plan.take(800))
+    }
+  }
+
   test("whole-stage codegen covers the cleaning scan (native exprs fused)") {
     val synth = graft.etl.ReferenceShapedData.syntheticOrders(spark, sf)
     val stg = graft.etl.OrderEtl.toStaging(graft.etl.OrderEtl.cleanOrders(synth))
