@@ -7067,6 +7067,83 @@ object Queries {
           CAST(od.out_degree AS DOUBLE) AS reciprocity
       FROM od LEFT JOIN rc ON od.node = rc.node"""))
 
+  // Rolling time-RANGE window: trailing-30-day spend per customer — the
+  // value-distance frame q40's ROWS cumulative can't express; same-day
+  // rows are frame peers on both engines, so the compare is
+  // order-insensitive by construction.
+  private val q198 = Q("q198_rolling_window",
+    (s, d) => graft.operators.Rolling.trailingSumCount(
+      orders(s, d), "o_custkey", "o_orderdate", "o_totalprice",
+      windowDays = 30),
+    Some("""WITH t AS (SELECT o_custkey,
+        CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) AS epoch_day,
+        CAST(o_totalprice AS DECIMAL(18,2)) AS v
+      FROM orders)
+      SELECT o_custkey, epoch_day,
+        strftime(DATE '1970-01-01' + CAST(epoch_day AS INTEGER), '%Y-%m-%d')
+          AS day,
+        CAST(SUM(v) OVER (PARTITION BY o_custkey ORDER BY epoch_day
+          RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_sum,
+        COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch_day
+          RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS roll_n
+      FROM t"""))
+
+  // Key-skew diagnosis over the event log — the pre-shuffle measurement
+  // that decides between a plain exchange, salting, and isolate-union.
+  private val q199 = Q("q199_key_skew_report",
+    (s, d) => graft.operators.SkewReport.keySkew(
+      events(s, d), "event_type", topN = 20),
+    Some("""WITH c AS (SELECT COALESCE(CAST(event_type AS VARCHAR), '∅')
+          AS key, COUNT(*) AS cnt FROM events GROUP BY 1),
+      t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows,
+          COUNT(*) AS n_keys FROM c)
+      SELECT key, cnt,
+        ROUND(CAST(cnt AS DOUBLE) / n_rows, 6) AS share,
+        ROUND(CAST(cnt AS DOUBLE) * n_keys / n_rows, 6) AS skew,
+        n_rows, n_keys
+      FROM c, t ORDER BY cnt DESC, key LIMIT 20"""))
+
+  // CDC MERGE apply: deletes + latest-wins upserts + passthrough in one
+  // operator call over a deterministic change batch derived from the
+  // customer dim itself.
+  private val q200 = Q("q200_merge_changeset",
+    (s, d) => {
+      val c = customer(s, d)
+      val cols = c.columns.map(col)
+      def ch(df: DataFrame, op: String, seq: Long) =
+        df.select(cols :+ lit(op).as("op") :+ lit(seq).as("seq"): _*)
+      val del = ch(c.where(col("c_custkey") % 7 === 0), "D", 2L)
+      val upd1 = ch(c.where(col("c_custkey") % 7 === 1)
+        .withColumn("c_acctbal", col("c_acctbal") + 100.0), "U", 1L)
+      val upd2 = ch(c.where(col("c_custkey") % 7 === 1)
+        .withColumn("c_acctbal", col("c_acctbal") + 200.0), "U", 3L)
+      val ins = ch(c.where(col("c_custkey") % 7 === 2)
+        .withColumn("c_custkey", col("c_custkey") + 1000000L)
+        .withColumn("c_name", concat(col("c_name"), lit("_new"))), "I", 1L)
+      graft.operators.Upsert.applyChangeSet(
+        c, del.unionByName(upd1).unionByName(upd2).unionByName(ins),
+        Seq("c_custkey"))
+    },
+    Some("""WITH ch AS (
+        SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment,
+          'D' AS op, 2 AS seq FROM customer WHERE c_custkey % 7 = 0
+        UNION ALL SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100.0,
+          c_mktsegment, 'U', 1 FROM customer WHERE c_custkey % 7 = 1
+        UNION ALL SELECT c_custkey, c_name, c_nationkey, c_acctbal + 200.0,
+          c_mktsegment, 'U', 3 FROM customer WHERE c_custkey % 7 = 1
+        UNION ALL SELECT c_custkey + 1000000, c_name || '_new', c_nationkey,
+          c_acctbal, c_mktsegment, 'I', 1 FROM customer WHERE c_custkey % 7 = 2),
+      w AS (SELECT *, row_number() OVER (PARTITION BY c_custkey
+          ORDER BY seq DESC, op, c_name, c_nationkey, c_acctbal,
+            c_mktsegment) AS rn FROM ch)
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM customer c WHERE NOT EXISTS
+        (SELECT 1 FROM w WHERE w.c_custkey = c.c_custkey)
+      UNION ALL
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+      FROM w WHERE rn = 1 AND op <> 'D'"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -7084,7 +7161,7 @@ object Queries {
     q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196,
-    q197)
+    q197, q198, q199, q200)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -161,6 +161,47 @@ object Upsert {
       .unionByName(newKeys)
   }
 
+  /** CDC change-set apply — the full MERGE the J1/J2 halves compose
+    * into, plus the piece neither has: DELETES. A change batch carries
+    * (keys..., op, seq, attrs...) with op ∈ {I, U, D}; per key the
+    * LATEST change wins (max `seqCol`; ties — caller error, but broken
+    * deterministically by (op, then every non-key column ascending in
+    * base column order) so re-runs and engines agree), then:
+    *
+    *  - winner D: the key disappears from the result;
+    *  - winner I/U: the winner's attribute values replace (or insert)
+    *    the key's row wholesale — I-vs-U carry no semantic difference
+    *    at apply time (upsert semantics; the distinction is audit
+    *    metadata from the capture side);
+    *  - keys with no change pass through untouched.
+    *
+    * Scale shape (100 TB base, batch-sized changes): ONE window over
+    * the CHANGES (batch-keyed, never the base), then the base takes a
+    * single anti join against the distinct changed-key set — broadcast
+    * when the batch fits [[IvfIndex.MaxBroadcastQueries]] (guarded, not
+    * assumed), shuffled-anti otherwise — and the surviving winners
+    * union in. The base is never windowed, never shuffled beyond that
+    * one join. */
+  def applyChangeSet(base: DataFrame, changes: DataFrame, keys: Seq[String],
+                     opCol: String = "op", seqCol: String = "seq"): DataFrame = {
+    val valueCols = base.columns.filterNot(keys.contains)
+    val ordering = col(seqCol).desc +: col(opCol).asc +:
+      valueCols.toSeq.map(c => col(c).asc)
+    val winners = changes
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(keys.map(col): _*).orderBy(ordering: _*)))
+      .where(col("__rn") === 1)
+      .localCheckpoint()
+    val changedKeys = winners.select(keys.map(col): _*)
+    val keySide =
+      if (IvfIndex.fitsBroadcast(changedKeys, IvfIndex.MaxBroadcastQueries))
+        broadcast(changedKeys)
+      else changedKeys
+    base.join(keySide, keys, "left_anti")
+      .unionByName(winners.where(upper(col(opCol)) =!= "D")
+        .select(base.columns.map(col): _*))
+  }
+
   /** IDENTITY-style surrogate keys for newly inserted rows: contiguous ids
     * `startAfter+1 ...` in the explicit business-key ordering, assigned
     * deterministically (unlike monotonically_increasing_id), matching how

@@ -122,4 +122,38 @@ class UpsertSpec extends SparkSpec {
     assert(outN.count() == 3L) // null-flag history + closed + new version
     assert(outN.where(col("is_current").isNull).count() == 1L)
   }
+
+  test("applyChangeSet: latest-wins per key, deletes drop, inserts/updates " +
+    "replace wholesale, untouched keys pass through") {
+    import spark.implicits._
+    val base = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("k", "name", "v")
+    val changes = Seq(
+      // key 1: U at seq 5 loses to D at seq 9 -> key disappears
+      (1L, "a2", 11.0, "U", 5L),
+      (1L, "a2", 11.0, "D", 9L),
+      // key 2: two updates, latest (seq 7) wins
+      (2L, "b1", 21.0, "U", 3L),
+      (2L, "b2", 22.0, "U", 7L),
+      // key 4: fresh insert
+      (4L, "d", 40.0, "I", 1L),
+      // key 5: insert then delete -> never appears
+      (5L, "e", 50.0, "I", 1L),
+      (5L, "e", 50.0, "D", 2L))
+      .toDF("k", "name", "v", "op", "seq")
+    val out = graft.operators.Upsert.applyChangeSet(base, changes, Seq("k"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(out.toSeq == Seq(
+      (2L, "b2", 22.0), (3L, "c", 30.0), (4L, "d", 40.0)), out.mkString("\n"))
+    // seq tie: op asc means "D" < "I"/"U" -> delete wins a tied seq
+    val tied = Seq((3L, "c9", 31.0, "U", 5L), (3L, "c9", 31.0, "D", 5L))
+      .toDF("k", "name", "v", "op", "seq")
+    val outT = graft.operators.Upsert.applyChangeSet(base, tied, Seq("k"))
+    assert(outT.where(col("k") === 3L).count() == 0L)
+    // re-applying the same change set is idempotent
+    val once = graft.operators.Upsert.applyChangeSet(base, changes, Seq("k"))
+    val twice = graft.operators.Upsert.applyChangeSet(once, changes, Seq("k"))
+    assert(once.orderBy("k").collect().toSeq ==
+      twice.orderBy("k").collect().toSeq)
+  }
 }
