@@ -7144,6 +7144,89 @@ object Queries {
       SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
       FROM w WHERE rn = 1 AND op <> 'D'"""))
 
+  // Vocabulary-growth curve: new distinct tokens per ingest batch —
+  // the corpus-diversity stall / junk-token spike monitor.
+  private val q201 = Q("q201_vocab_growth",
+    (s, d) => graft.operators.TrainingData.vocabGrowth(
+      documents(s, d), "doc_id", "text", batchSize = 25L, n = 2),
+    Some("""WITH tok AS (SELECT doc_id // 25 AS batch,
+          unnest(list_transform(range(len(tk) - 1),
+            i -> tk[i + 1] || ' ' || tk[i + 2])) AS token
+        FROM (SELECT doc_id,
+                string_split_regex(trim(lower(text)), '\s+') AS tk
+              FROM documents)
+        WHERE len(tk) >= 2),
+      b AS (SELECT token, MIN(batch) AS batch FROM tok
+        WHERE token <> '' GROUP BY token),
+      p AS (SELECT batch, COUNT(*) AS n_new_tokens FROM b GROUP BY batch)
+      SELECT batch, n_new_tokens,
+        CAST(SUM(n_new_tokens) OVER (ORDER BY batch
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM p"""))
+
+  // Z-order layout audit: per-z-bucket min/max rectangles over
+  // (customer, order-day) prove two-dimensional file-skipping locality.
+  private val q202 = Q("q202_zorder_layout",
+    (s, d) => {
+      val o = orders(s, d).select(
+        (col("o_custkey") % 1024).as("x"),
+        (datediff(col("o_orderdate").cast("date"),
+          lit("1970-01-01").cast("date")).cast("long") % 1024).as("y"))
+      graft.operators.Layout.zorderStats(o, "x", "y", shiftBits = 12)
+    },
+    Some("""WITH t AS (SELECT o_custkey % 1024 AS x,
+        CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+          AS BIGINT) % 1024 AS y FROM orders),
+      c1 AS (SELECT x, y, (x | (x << 8)) & 16711935 AS xa,
+        (y | (y << 8)) & 16711935 AS ya FROM t),
+      c2 AS (SELECT x, y, (xa | (xa << 4)) & 252645135 AS xb,
+        (ya | (ya << 4)) & 252645135 AS yb FROM c1),
+      c3 AS (SELECT x, y, (xb | (xb << 2)) & 858993459 AS xc,
+        (yb | (yb << 2)) & 858993459 AS yc FROM c2),
+      c4 AS (SELECT x, y, (xc | (xc << 1)) & 1431655765 AS xd,
+        (yc | (yc << 1)) & 1431655765 AS yd FROM c3),
+      z AS (SELECT x, y, xd | (yd << 1) AS zv FROM c4)
+      SELECT zv >> 12 AS bucket, COUNT(*) AS n,
+        MIN(x) AS x_min, MAX(x) AS x_max,
+        MIN(y) AS y_min, MAX(y) AS y_max
+      FROM z GROUP BY 1"""))
+
+  // Link prediction over the synthetic crawl graph: exact-integer
+  // resource-allocation index + common-neighbor counts, top pairs.
+  private val q203 = Q("q203_link_prediction",
+    (s, d) => {
+      val docs = documents(s, d)
+      def gen(a: Int, b: Int) = docs.select(
+        concat(lit("h"), (col("doc_id") % 97).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * a + b) % 97).cast("string"))
+          .as("dst"))
+      graft.operators.LinkGraph.linkPrediction(
+        gen(31, 7).unionAll(gen(17, 3)), "src", "dst",
+        maxDeg = 1000, topK = 100)
+    },
+    Some("""WITH e0 AS (
+        SELECT 'h' || (doc_id % 97) AS s, 'h' || ((doc_id * 31 + 7) % 97)
+          AS t FROM documents
+        UNION ALL SELECT 'h' || (doc_id % 97),
+          'h' || ((doc_id * 17 + 3) % 97) FROM documents),
+      e AS (SELECT DISTINCT least(s, t) AS u, greatest(s, t) AS v
+        FROM e0 WHERE s <> t),
+      deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY node),
+      nbr AS (SELECT t.c, t.n, 1000000 // degree AS ra
+        FROM (SELECT u AS c, v AS n FROM e
+              UNION ALL SELECT v, u FROM e) t
+        JOIN deg ON t.c = deg.node WHERE degree <= 1000),
+      p AS (SELECT a.n AS a, b.n AS b, COUNT(*) AS common_neighbors,
+          CAST(SUM(a.ra) AS BIGINT) AS ra_micro
+        FROM nbr a JOIN nbr b ON a.c = b.c AND a.n < b.n GROUP BY 1, 2),
+      np AS (SELECT p.* FROM p WHERE NOT EXISTS
+        (SELECT 1 FROM e WHERE e.u = p.a AND e.v = p.b))
+      SELECT a AS node_a, b AS node_b, common_neighbors, ra_micro FROM np
+      ORDER BY ra_micro DESC, common_neighbors DESC, node_a, node_b
+      LIMIT 100"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -7161,7 +7244,7 @@ object Queries {
     q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196,
-    q197, q198, q199, q200)
+    q197, q198, q199, q200, q201, q202, q203)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

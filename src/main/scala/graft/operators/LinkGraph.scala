@@ -404,6 +404,62 @@ object LinkGraph {
     degrees(e)
   }
 
+  /** Link prediction by shared neighborhood — common-neighbor count
+    * and the resource-allocation index (Zhou, Lü & Zhang, "Predicting
+    * missing links via local information", Eur. Phys. J. B 2009 —
+    * public literature; the degree-penalized cousin of Adamic–Adar):
+    * for a non-adjacent pair (a, b), RA = Σ_{v ∈ N(a)∩N(b)} 1/deg(v).
+    * For a crawl curator this surfaces the host pairs the link graph
+    * "almost" connects — related-domain suggestion, and (run on the
+    * TOP of the score range) the mutual-neighborhood smell that
+    * precedes a link farm's next edge. RA over Adamic–Adar is a
+    * deliberate protocol choice: 1/deg needs no logarithm, so the
+    * per-neighbor term is exact integer micros (`1000000 DIV deg`)
+    * and the pair score an exact integer SUM — engine-portable with
+    * no libm-ulp risk, same ranking behavior.
+    *
+    * Scale: wedges are generated from their CENTER v, so the fan-out
+    * is Σ deg(v)² — quadratic in hub degree on a web graph. `maxDeg`
+    * drops hub centers LOUDLY (a super-hub's endorsement is the
+    * weakest evidence anyway — RA scores it 1/deg ≈ 0 — so capping
+    * trades negligible score mass for the quadratic bound; capped
+    * centers are simply absent from every pair's sum, documented).
+    * Existing edges anti-join away; the global top-k is a
+    * TakeOrderedAndProject, never a full sort.
+    *
+    * @return (node_a, node_b, common_neighbors, ra_micro) — canonical
+    *         a < b, top `topK` by (ra_micro desc, common desc, a, b). */
+  def linkPrediction(edges: DataFrame, srcCol: String, dstCol: String,
+                     maxDeg: Int, topK: Int): DataFrame = {
+    require(maxDeg >= 2 && maxDeg <= 1000000,
+      s"linkPrediction: maxDeg must be in [2, 1000000]: $maxDeg")
+    require(topK >= 1 && topK <= 1000000,
+      s"linkPrediction: topK must be in [1, 1000000]: $topK")
+    val e = undirected(edges, srcCol, dstCol)
+    val deg = degrees(e).localCheckpoint()
+    // neighbor lists keyed by the wedge CENTER, center degree bounded
+    val nbr = e.select(col("u").as("c"), col("v").as("n"))
+      .unionAll(e.select(col("v").as("c"), col("u").as("n")))
+      .join(deg.select(col("node").as("c"), col("degree")), Seq("c"))
+      .where(col("degree") <= maxDeg)
+      .select(col("c"), col("n"),
+        expr("1000000 DIV degree").as("__ra"))
+    val pairs = nbr.select(col("c"), col("n").as("a"), col("__ra"))
+      .join(nbr.select(col("c"), col("n").as("b")), Seq("c"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("common_neighbors"),
+        sum(col("__ra")).as("ra_micro"))
+    pairs
+      .join(e.select(col("u").as("a"), col("v").as("b")),
+        Seq("a", "b"), "left_anti")
+      .select(col("a").as("node_a"), col("b").as("node_b"),
+        col("common_neighbors"), col("ra_micro"))
+      .orderBy(col("ra_micro").desc, col("common_neighbors").desc,
+        col("node_a"), col("node_b"))
+      .limit(topK)
+  }
+
   private def undirected(edges: DataFrame, srcCol: String,
                          dstCol: String): DataFrame =
     edges

@@ -453,6 +453,53 @@ object TrainingData {
     .orderBy(col("n").desc, col("token"))
     .limit(k)
 
+  /** Vocabulary-growth curve (Heaps'-law audit): how many NEW distinct
+    * tokens each successive ingest batch contributes. A healthy crawl
+    * keeps discovering vocabulary (sub-linear but growing); a curve
+    * that flattens to ~0 says the frontier is re-crawling the same
+    * content (diversity stall), and one that spikes says an encoding
+    * or boilerplate regression is minting junk tokens — both cheaper
+    * to catch here than after tokenizer training. Batch = `idCol DIV
+    * batchSize` (ingest order proxy); a token's BIRTH batch is
+    * `min(batch)` over its occurrences, exact.
+    *
+    * Scale shape: one explode → one map-side-combined min-aggregate
+    * keyed by token (the only corpus-sized shuffle, token-keyed) → a
+    * per-batch count (≤ |batches| rows) → one cumulative window over
+    * that TINY aggregate (documented single-partition-over-aggregate
+    * exception, q40's shape).
+    *
+    * `n` is the gram order: 1 audits raw vocabulary (flattens once the
+    * base lexicon is seen), higher orders audit PHRASE novelty — the
+    * sharper diversity signal on a corpus whose word list saturates
+    * early but whose combinations shouldn't.
+    *
+    * @return (batch, n_new_tokens, cum_tokens) ordered by batch. */
+  def vocabGrowth(docs: DataFrame, idCol: String, textCol: String,
+                  batchSize: Long, n: Int = 1): DataFrame = {
+    require(batchSize >= 1, s"vocabGrowth: batchSize must be >= 1: $batchSize")
+    require(n >= 1 && n <= 8, s"vocabGrowth: n must be in [1, 8]: $n")
+    val tk = TextExprs.tokens(lower(col(textCol)))
+    val grams =
+      if (n == 1) tk
+      else filter(
+        transform(tk, (t, i) =>
+          when(i <= size(tk) - n,
+            concat_ws(" ", (0 until n).map(j =>
+              element_at(tk, i + j + 1)): _*))),
+        g => g.isNotNull)
+    val birth = docs
+      .select(col(idCol).cast("long").as("__id"), explode(grams).as("token"))
+      .select(expr(s"__id DIV ${batchSize}L").as("batch"), col("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("token")).agg(min(col("batch")).as("batch"))
+    val perBatch = birth.groupBy(col("batch"))
+      .agg(count(lit(1)).as("n_new_tokens"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("batch"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perBatch.withColumn("cum_tokens", sum(col("n_new_tokens")).over(w))
+  }
+
   /** Domain-mixing sampler: downsample each domain toward a target DOCUMENT
     * quota (the "30% web / 30% code / 40% books" mixing spec), deterministic.
     * Unlike [[stratifiedSample]] (fixed per-stratum RATES), the rate here is

@@ -333,4 +333,29 @@ class LinkGraphSpec extends SparkSpec {
       LinkGraph.pageRank(e, "src", "dst", 3, dampingPct = 101)
     }
   }
+
+  test("linkPrediction: RA scores in exact micros, existing edges " +
+    "excluded, hub-center cap drops wedges loudly") {
+    import spark.implicits._
+    // triangle a-b-c plus a-d, b-d: the one non-adjacent pair is (c, d)
+    // with common neighbors {a, b}, both degree 3 -> ra = 2*(10^6 DIV 3)
+    val e = Seq(("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d"))
+      .toDF("s", "t")
+    val out = LinkGraph.linkPrediction(e, "s", "t", maxDeg = 1000, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == Seq(("c", "d", 2L, 666666L)), out.mkString(","))
+    // direction and duplicates collapse before scoring
+    val dup = Seq(("b", "a"), ("a", "b"), ("a", "c"), ("b", "c"),
+      ("a", "d"), ("d", "b")).toDF("s", "t")
+    val out2 = LinkGraph.linkPrediction(dup, "s", "t", 1000, 10).collect()
+    assert(out2.length == 1 && out2(0).getLong(3) == 666666L)
+    // maxDeg=2 drops centers a and b (degree 3); the only wedge centers
+    // left are c and d, whose single pair (a, b) is an existing edge
+    assert(LinkGraph.linkPrediction(e, "s", "t", maxDeg = 2, topK = 10)
+      .count() == 0L)
+    intercept[IllegalArgumentException] {
+      LinkGraph.linkPrediction(e, "s", "t", maxDeg = 1, topK = 10)
+    }
+  }
 }

@@ -1178,4 +1178,36 @@ class TrainingDataSpec extends SparkSpec {
         maxHistRows = 2L)
     }
   }
+
+  test("vocabGrowth: token birth batches, new-token counts, cumulative") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b"), (1L, "b c"),        // batch 0: births a, b, c
+      (2L, "c d"), (3L, "a d"),        // batch 1: birth d
+      (4L, "E e"), (5L, "b"))          // batch 2: birth e (case-folded)
+      .toDF("doc_id", "text")
+    val out = graft.operators.TrainingData
+      .vocabGrowth(docs, "doc_id", "text", batchSize = 2L)
+      .orderBy("batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((0L, 3L, 3L), (1L, 1L, 4L), (2L, 1L, 5L)),
+      out.mkString(","))
+    // a batch with no new tokens is ABSENT (birth attribution, not a
+    // per-batch scan): shift the last doc to its own batch of rehashes
+    val flat = docs.union(Seq((6L, "a b c")).toDF("doc_id", "text"))
+    val out2 = graft.operators.TrainingData
+      .vocabGrowth(flat, "doc_id", "text", 2L).orderBy("batch").collect()
+    assert(out2.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainingData.vocabGrowth(docs, "doc_id", "text", 0L)
+    }
+    // n=2: phrase novelty — "a b" (doc 0), "b c" (1), "c d"/"a d" (2/3),
+    // "e e" (4); doc 5 is a single token -> no bigram
+    val out3 = graft.operators.TrainingData
+      .vocabGrowth(docs, "doc_id", "text", 2L, n = 2)
+      .orderBy("batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out3.toSeq == Seq((0L, 2L, 2L), (1L, 2L, 4L), (2L, 1L, 5L)),
+      out3.mkString(","))
+  }
 }
