@@ -7227,6 +7227,87 @@ object Queries {
       ORDER BY ra_micro DESC, common_neighbors DESC, node_a, node_b
       LIMIT 100"""))
 
+  // Token↔label PMI feature selection: most over-represented tokens per
+  // language, ratio-ordered (transcendental-free selection protocol).
+  private val q204 = Q("q204_token_label_pmi",
+    (s, d) => graft.operators.TrainingData.tokenLabelPmi(
+      documents(s, d), "doc_id", "text", "lang", minBoth = 5L, topK = 15),
+    Some("""WITH pr AS (SELECT DISTINCT doc_id, lang AS label, tok AS token
+        FROM (SELECT doc_id, lang,
+              unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok
+              FROM documents)
+        WHERE tok <> ''),
+      ctl AS (SELECT token, label, CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM pr GROUP BY 1, 2),
+      ct AS (SELECT token, CAST(SUM(n_both) AS BIGINT) AS n_token
+        FROM ctl GROUP BY 1),
+      cl AS (SELECT lang AS label, COUNT(*) AS n_label
+        FROM documents GROUP BY 1),
+      nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+      sc AS (SELECT ctl.label, ctl.token, n_both, n_token, n_label,
+          CAST(n_both AS DOUBLE) * nd /
+            (CAST(n_token AS DOUBLE) * CAST(n_label AS DOUBLE)) AS r
+        FROM ctl JOIN ct USING (token) JOIN cl USING (label), nn
+        WHERE n_both >= 5),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY label
+          ORDER BY r DESC, token) AS rank FROM sc)
+      SELECT label, token, n_both, n_token, n_label,
+        ROUND(LN(r), 6) AS pmi, rank
+      FROM rk WHERE rank <= 15"""))
+
+  // Deterministic weighted (PPS-systematic) sampling by document length
+  // — exact integer protocol, no RNG.
+  private val q205 = Q("q205_weighted_sample",
+    (s, d) => graft.operators.TrainingData.weightedSystematicSample(
+      documents(s, d), "doc_id", "n_chars", k = 100),
+    Some("""WITH t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        CAST(SUM(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id, n_chars
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM documents),
+      s AS (SELECT GREATEST(1, CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT)
+          // 100) AS stride FROM documents)
+      SELECT doc_id, w AS n_chars,
+        CAST((cum // stride) - ((cum - w) // stride) AS BIGINT)
+          AS multiplicity
+      FROM t, s
+      WHERE (cum // stride) - ((cum - w) // stride) >= 1"""))
+
+  // Streaming SLIDING windows (1 h window / 15 min slide) drained with
+  // AvailableNow == the batch explode-into-4-windows oracle.
+  private val q206 = Q("q206_streaming_sliding",
+    (s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dir = Queries.stagedEventsDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_stream_${Queries.stagingSuffix(d)}")
+        f.mkdirs()
+        Queries.stageParquetCopy(s"$d/events.parquet", f, "events")
+        f
+      })
+      val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
+      val ev = Tables.normalizeEventTs(
+        s.readStream.schema(rawSchema).parquet(dir.getAbsolutePath))
+      val sink = "graft_q206_sink"
+      Queries.withStreamingParallelism(s) {
+        graft.streaming.EventStreams.slidingAgg(ev)
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      s.table(sink)
+        .select(date_format(col("w_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("w_start"), col("event_type"), col("n"), col("total_value"))
+    },
+    Some("""WITH w AS (SELECT event_type, value,
+        time_bucket(INTERVAL '15 minutes', ts) - j * INTERVAL '15 minutes'
+          AS ws
+      FROM events, (SELECT unnest(range(4)) AS j))
+      SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS w_start, event_type,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM w GROUP BY ws, event_type"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -7244,7 +7325,7 @@ object Queries {
     q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196,
-    q197, q198, q199, q200, q201, q202, q203)
+    q197, q198, q199, q200, q201, q202, q203, q204, q205, q206)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -500,6 +500,139 @@ object TrainingData {
     perBatch.withColumn("cum_tokens", sum(col("n_new_tokens")).over(w))
   }
 
+  /** Weighted systematic sampling — draw ~`k` rows with inclusion
+    * probability proportional to an integer weight (quality score,
+    * token count), DETERMINISTICALLY (Madow & Madow, "On the theory of
+    * systematic sampling", Ann. Math. Stat. 1944 — public literature;
+    * the classic PPS-systematic design, with the random start replaced
+    * by a fixed origin so re-runs and engines agree). Rows are laid on
+    * a line in id order, each occupying its weight; a point every
+    * `stride = max(1, W DIV k)` units selects the row under it. Heavy
+    * rows can cover several points — `multiplicity` reports how many
+    * (an upsampling signal, same contract as [[upsampleToQuota]]);
+    * zero-weight rows are never selected.
+    *
+    * All arithmetic is exact integer (cumulative long sums, floor
+    * divisions) — no RNG, no floats, engine-portable by construction.
+    *
+    * Scale shape: the global prefix sum is ONE range exchange on the
+    * id + a per-partition window (never a single-partition global
+    * window) + per-partition totals collected as bounded driver state
+    * (one long per partition — [[graft.operators.Upsert.withSurrogateKeys]]'
+    * offset discipline) broadcast back as start offsets.
+    *
+    * @param df ids must be unique (sampling frame identity); equal-id
+    *           rows would make the prefix order ambiguous
+    * @return (idCol, weightCol, multiplicity) for selected rows. */
+  def weightedSystematicSample(df: DataFrame, idCol: String,
+                               weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"weightedSystematicSample: k must be >= 1: $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(idCol).cast("long").as("__id"),
+        col(weightCol).cast("long").as("__w"))
+      .localCheckpoint()
+    val t = base.agg(sum(col("__w")), min(col("__w"))).collect()(0)
+    require(!t.isNullAt(0) && t.getLong(0) >= 1,
+      "weightedSystematicSample: total weight must be >= 1")
+    require(t.getLong(1) >= 0,
+      s"weightedSystematicSample: negative weight ${t.getLong(1)}")
+    val stride = math.max(1L, t.getLong(0) / k)
+    val parts = base.repartitionByRange(col("__id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    var acc = 0L
+    val offsets = parts.groupBy(col("__pid")).agg(sum(col("__w")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .map { case (pid, s) => val o = acc; acc += s; (pid, o) }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pid")).orderBy(col("__id"), col("__w"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    parts
+      .join(broadcast(offsets.toSeq.toDF("__pid", "__off")), Seq("__pid"))
+      .withColumn("__cum", col("__off") + sum(col("__w")).over(w))
+      .withColumn("multiplicity",
+        expr(s"__cum DIV ${stride}L - (__cum - __w) DIV ${stride}L"))
+      .where(col("multiplicity") >= 1)
+      .select(col("__id").as(idCol), col("__w").as(weightCol),
+        col("multiplicity"))
+  }
+
+  /** Token↔label pointwise mutual information — the feature-selection
+    * table behind a bag-of-words quality/language classifier (Church &
+    * Hanks, "Word Association Norms, Mutual Information, and
+    * Lexicography", CL 1990 — public literature): which tokens are
+    * most over-represented in each label's documents. PMI(t, l) =
+    * ln(P(t,l) / (P(t)·P(l))) over document PRESENCE (a doc counts a
+    * token once — burstiness would otherwise let one spammy doc crown
+    * a token).
+    *
+    * Exactness protocol: the selection ORDER KEY is the raw likelihood
+    * ratio `(double(n_both)·N) / (double(n_token)·n_label)` — every
+    * step a correctly-rounded IEEE op on exactly-representable integer
+    * inputs, stated in the same shape on both engines (doubles, not
+    * integer products, so the protocol survives counts past 2^53·/N
+    * overflow territory), so top-k membership and order are engine-
+    * portable with NO transcendental in the sort; ln() touches only
+    * the REPORTED pmi, rounded at 6.
+    *
+    * Scale shape: one explode + one composite-key dedup shuffle
+    * (presence), one (token,label) count-aggregate; n_token is a
+    * SECOND-LEVEL aggregate over that result (each doc has one label —
+    * never re-scans the corpus); label totals are a broadcast-sized
+    * frame collected to the driver (bounded by |labels|). Top-k per
+    * label through the native bounded-heap TopKPerKey when installed,
+    * window fallback otherwise.
+    *
+    * @return (label, token, n_both, n_token, n_label, pmi, rank) —
+    *         top `topK` per label by (ratio desc, token). */
+  def tokenLabelPmi(docs: DataFrame, idCol: String, textCol: String,
+                    labelCol: String, minBoth: Long, topK: Int): DataFrame = {
+    require(minBoth >= 1, s"tokenLabelPmi: minBoth must be >= 1: $minBoth")
+    require(topK >= 1 && topK <= 100000,
+      s"tokenLabelPmi: topK must be in [1, 100000]: $topK")
+    val pairs = docs
+      .select(col(idCol).as("__id"),
+        col(labelCol).cast("string").as("label"),
+        explode(TextExprs.tokens(lower(col(textCol)))).as("token"))
+      .where(col("token") =!= "")
+      .dropDuplicates("__id", "label", "token")
+    val ctl = pairs.groupBy(col("token"), col("label"))
+      .agg(count(lit(1)).as("n_both"))
+      .localCheckpoint()
+    val ct = ctl.groupBy(col("token")).agg(sum(col("n_both")).as("n_token"))
+    val labelCounts = docs
+      .groupBy(col(labelCol).cast("string").as("label"))
+      .agg(count(lit(1)).as("n_label"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    require(labelCounts.length <= 100000,
+      s"tokenLabelPmi: ${labelCounts.length} labels — label cardinality " +
+        "must stay broadcast-sized; bucket the label column first")
+    val n = labelCounts.map(_._2).sum
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cl = labelCounts.toSeq.toDF("label", "n_label")
+    val scored = ctl.join(ct, Seq("token")).join(broadcast(cl), Seq("label"))
+      .where(col("n_both") >= minBoth)
+      .withColumn("__r", col("n_both").cast("double") * n.toDouble /
+        (col("n_token").cast("double") * col("n_label").cast("double")))
+    val native = scored.sparkSession.sessionState.planner.strategies
+      .contains(graft.plans.TopKStrategy)
+    val ranked =
+      if (native)
+        graft.plans.TopK.perKey(scored, Seq("label"),
+          Seq(graft.plans.TopK.Sort("__r", desc = true),
+            graft.plans.TopK.Sort("token")), topK)
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("label")).orderBy(col("__r").desc, col("token"))
+        scored.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= topK)
+      }
+    ranked.select(col("label"), col("token"), col("n_both"), col("n_token"),
+      col("n_label"), round(log(col("__r")), 6).as("pmi"), col("rank"))
+  }
+
   /** Domain-mixing sampler: downsample each domain toward a target DOCUMENT
     * quota (the "30% web / 30% code / 40% books" mixing spec), deterministic.
     * Unlike [[stratifiedSample]] (fixed per-stratum RATES), the rate here is

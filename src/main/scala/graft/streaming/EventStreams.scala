@@ -36,6 +36,30 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** SLIDING-window counts/sums: 1-hour windows advancing every 15
+    * minutes — each event lands in windowDur/slideDur overlapping
+    * windows (4 here), the "last hour, refreshed every 15 min"
+    * operational view a tumbling window can't give (its hourly edges
+    * hide a mid-hour spike for up to an hour). Same watermark/state
+    * contract as [[hourlyAgg]]: state is bounded by windows inside the
+    * horizon × keys, GC'd as the watermark advances; the overlap
+    * multiplies state by windowDur/slideDur — the caller's knob, loud
+    * in the signature.
+    *
+    * slideDur must divide windowDur (Spark aligns window starts to the
+    * slide grid from the epoch; a non-dividing pair produces partial
+    * windows the batch oracle can't replay). */
+  def slidingAgg(events: DataFrame, windowDur: String = "1 hour",
+                 slideDur: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), windowDur, slideDur), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("total_value"))
+
   /** Exactly-once-style ingest dedup: drop event_id re-deliveries within
     * the watermark horizon (state = one id per event inside the horizon,
     * GC'd as the watermark advances — bounded at any scale; an at-least-

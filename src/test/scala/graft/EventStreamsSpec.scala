@@ -34,6 +34,31 @@ class EventStreamsSpec extends SparkSpec {
       ("10", "purchase", 1L, 5.0), ("11", "view", 1L, 3.0)))
   }
 
+  test("streaming sliding agg: each event covers windowDur/slideDur " +
+    "overlapping windows, matches the batch explode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    mem.addData(sampleEvents: _*)
+    val q = EventStreams.slidingAgg(mem.toDF())
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode("update").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("sliding")
+      .select(date_format($"w_start", "HH:mm").as("w"), $"event_type", $"n")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet
+    // the views at 10:00 and 10:05 share all four windows 09:15..10:00;
+    // the 11:00:01 view reaches windows 10:15..11:00
+    assert(got(("10:00", "view", 2L)), got.toString)
+    assert(got(("09:15", "view", 2L)), got.toString)
+    assert(got(("11:00", "view", 1L)), got.toString)
+    assert(got(("10:15", "purchase", 1L)))
+    // every event appears in exactly 4 windows
+    val totalView = spark.table("sliding")
+      .where($"event_type" === "view").agg(sum($"n")).collect()(0).getLong(0)
+    assert(totalView == 3L * 4L, s"view rows x 4 windows, got $totalView")
+  }
+
   test("stateful sessionization agrees with the batch Sessionize operator") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]

@@ -1210,4 +1210,63 @@ class TrainingDataSpec extends SparkSpec {
     assert(out3.toSeq == Seq((0L, 2L, 2L), (1L, 2L, 4L), (2L, 1L, 5L)),
       out3.mkString(","))
   }
+
+  test("tokenLabelPmi: presence-based counts, ratio-ordered ranks, " +
+    "exact supports") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "en", "the cat"), (1L, "en", "the dog"),
+      (2L, "de", "der hund"), (3L, "de", "der cat"))
+      .toDF("doc_id", "lang", "text")
+    val out = graft.operators.TrainingData
+      .tokenLabelPmi(docs, "doc_id", "text", "lang", minBoth = 1L, topK = 10)
+      .orderBy("label", "rank").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5), r.getInt(6)))
+    // N=4, 2 docs per label. Ratios: label-exclusive single-doc token
+    // (dog/hund) r = 1*4/(1*2) = 2; label-exclusive two-doc token
+    // (the/der) r = 2*4/(2*2) = 2; cross-label token (cat) r = 1.
+    // Ties at r=2 break by token.
+    val ln2 = math.rint(math.log(2.0) * 1e6) / 1e6
+    assert(out.toSeq == Seq(
+      ("de", "der", 2L, 2L, 2L, ln2, 1),
+      ("de", "hund", 1L, 1L, 2L, ln2, 2),
+      ("de", "cat", 1L, 2L, 2L, 0.0, 3),
+      ("en", "dog", 1L, 1L, 2L, ln2, 1),
+      ("en", "the", 2L, 2L, 2L, ln2, 2),
+      ("en", "cat", 1L, 2L, 2L, 0.0, 3)), out.mkString("\n"))
+    // a doc repeating a token still counts ONCE (presence)
+    val burst = docs.union(Seq((4L, "en", "spam spam spam"))
+      .toDF("doc_id", "lang", "text"))
+    val sp = graft.operators.TrainingData
+      .tokenLabelPmi(burst, "doc_id", "text", "lang", 1L, 10)
+      .where(col("token") === "spam").collect()
+    assert(sp.length == 1 && sp(0).getLong(2) == 1L)
+  }
+
+  test("weightedSystematicSample: exact integer protocol, multiplicity, " +
+    "partitioning invariance") {
+    import spark.implicits._
+    // W=10, k=5 -> stride 2; cums 5,6,7,8,10
+    val df = Seq((1L, 5L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 2L))
+      .toDF("id", "w")
+    val out = graft.operators.TrainingData
+      .weightedSystematicSample(df, "id", "w", k = 5)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq((1L, 5L, 2L), (2L, 1L, 1L), (4L, 1L, 1L),
+      (5L, 2L, 1L)), out.mkString(","))
+    assert(out.map(_._3).sum == 5L) // total multiplicity == k exactly here
+    // zero-weight rows never selected; result invariant to input layout
+    val shuffled = df.union(Seq((6L, 0L)).toDF("id", "w")).repartition(7)
+    val out2 = graft.operators.TrainingData
+      .weightedSystematicSample(shuffled, "id", "w", 5)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out2.toSeq == out.toSeq, out2.mkString(","))
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainingData.weightedSystematicSample(
+        Seq((1L, -2L)).toDF("id", "w"), "id", "w", 2)
+    }
+  }
 }
