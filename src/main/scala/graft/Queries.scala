@@ -7308,6 +7308,88 @@ object Queries {
         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM w GROUP BY ws, event_type"""))
 
+  // Exact-moment Pearson correlations between document quality features
+  // — decimal sums, one IEEE closed form, partitioning-invariant.
+  private val q207 = Q("q207_feature_correlations",
+    (s, d) => {
+      val tk = graft.functions.TextExprs.tokens(col("text"))
+      val feats = documents(s, d).select(
+        col("n_chars"),
+        size(tk).cast("long").as("n_tokens"),
+        size(array_distinct(graft.functions.TextExprs
+          .tokens(lower(col("text"))))).cast("long").as("n_distinct"))
+      graft.operators.Stats.featureCorrelations(
+        feats, Seq("n_chars", "n_tokens", "n_distinct"), scale = 0)
+    },
+    Some("""WITH f AS (SELECT CAST(n_chars AS BIGINT) AS a,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS b,
+        CAST(len(list_distinct(string_split_regex(trim(lower(text)),
+          '\s+'))) AS BIGINT) AS c
+      FROM documents),
+      m AS (SELECT COUNT(*) AS n,
+        SUM(CAST(a AS HUGEINT)) AS sa, SUM(CAST(b AS HUGEINT)) AS sb,
+        SUM(CAST(c AS HUGEINT)) AS sc,
+        SUM(CAST(a AS HUGEINT) * a) AS saa,
+        SUM(CAST(b AS HUGEINT) * b) AS sbb,
+        SUM(CAST(c AS HUGEINT) * c) AS scc,
+        SUM(CAST(a AS HUGEINT) * b) AS sab,
+        SUM(CAST(a AS HUGEINT) * c) AS sac,
+        SUM(CAST(b AS HUGEINT) * c) AS sbc
+      FROM f)
+      SELECT 'n_chars' AS feat_a, 'n_tokens' AS feat_b, n,
+        ROUND((CAST(n AS DOUBLE) * CAST(sab AS DOUBLE) -
+            CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)) /
+          sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) -
+              CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+            (CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) -
+              CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))), 6) AS corr
+      FROM m
+      UNION ALL
+      SELECT 'n_chars', 'n_distinct', n,
+        ROUND((CAST(n AS DOUBLE) * CAST(sac AS DOUBLE) -
+            CAST(sa AS DOUBLE) * CAST(sc AS DOUBLE)) /
+          sqrt((CAST(n AS DOUBLE) * CAST(saa AS DOUBLE) -
+              CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE)) *
+            (CAST(n AS DOUBLE) * CAST(scc AS DOUBLE) -
+              CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))), 6)
+      FROM m
+      UNION ALL
+      SELECT 'n_tokens', 'n_distinct', n,
+        ROUND((CAST(n AS DOUBLE) * CAST(sbc AS DOUBLE) -
+            CAST(sb AS DOUBLE) * CAST(sc AS DOUBLE)) /
+          sqrt((CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE) -
+              CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)) *
+            (CAST(n AS DOUBLE) * CAST(scc AS DOUBLE) -
+              CAST(sc AS DOUBLE) * CAST(sc AS DOUBLE))), 6)
+      FROM m"""))
+
+  // Sorted-neighborhood blocking + exact-jaccard verify: the merge/purge
+  // candidate strategy orthogonal to LSH banding.
+  private val q208 = Q("q208_sorted_neighborhood",
+    (s, d) => graft.operators.Dedup.sortedNeighborhoodPairs(
+      documents(s, d), "doc_id", "text",
+      blockLen = 12, windowW = 5, threshold = 0.3),
+    Some(s"""WITH nk AS (SELECT doc_id,
+        regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS key
+      FROM documents),
+      rk AS (SELECT doc_id, substring(key, 1, 12) AS blk,
+        row_number() OVER (PARTITION BY substring(key, 1, 12)
+          ORDER BY key, doc_id) AS rn FROM nk),
+      cand AS (SELECT least(a.doc_id, b.doc_id) AS d1,
+          greatest(a.doc_id, b.doc_id) AS d2
+        FROM rk a JOIN rk b ON a.blk = b.blk
+          AND b.rn > a.rn AND b.rn <= a.rn + 5),
+      $shingleCte,
+      sz AS (SELECT doc, COUNT(*) AS n FROM h GROUP BY doc),
+      inter AS (SELECT c.d1, c.d2, COUNT(*) AS inter FROM cand c
+        JOIN h a ON a.doc = c.d1
+        JOIN h b ON b.doc = c.d2 AND b.hv = a.hv
+        GROUP BY c.d1, c.d2)
+      SELECT d1, d2,
+        ROUND(CAST(inter AS DOUBLE) / (s1.n + s2.n - inter), 6) AS jaccard
+      FROM inter JOIN sz s1 ON d1 = s1.doc JOIN sz s2 ON d2 = s2.doc
+      WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.3"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -7325,7 +7407,8 @@ object Queries {
     q163, q164, q165, q166, q167, q168, q169, q170, q171, q172, q173, q174,
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196,
-    q197, q198, q199, q200, q201, q202, q203, q204, q205, q206)
+    q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
+    q208)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Exact-moment statistics over feature columns — the pre-training
+  * feature-analysis pass (which quality signals are redundant, which
+  * carry independent information) run with the repo's engine-portable
+  * exactness discipline instead of streaming float co-moments.
+  *
+  * Pearson correlation from RAW MOMENTS: corr = (n·Sxy − Sx·Sy) /
+  * √((n·Sxx − Sx²)(n·Syy − Sy²)). Each feature is quantized ONCE to an
+  * integer (⌊x·10^scale⌋ — floor of a correctly-rounded double product,
+  * bit-identical on any engine), then every moment is an EXACT decimal
+  * sum of integer products — order-independent, partitioning-invariant,
+  * no float accumulates. Floats appear only in the final closed-form
+  * formula (one expression, correctly-rounded IEEE ops on the exact
+  * aggregates), rounded at 6.
+  *
+  * Overflow envelope: quantized |x| ≤ 10^12 gives products ≤ 10^24 and
+  * DECIMAL(38,0) sums safe to ~10^13 rows — loud nulls past that, not
+  * silent wraps (documented; DuckDB's HUGEINT mirrors wider).
+  *
+  * Scale shape: ONE map-side-combined aggregate over the corpus
+  * producing a single row of moments (p(p+1)/2 + p + 1 numbers for p
+  * features); the pairwise table is projected from that one row —
+  * nothing else touches the data. */
+object Stats {
+
+  private val D38 = DecimalType(38, 0)
+
+  /** Pairwise Pearson correlations for every column pair (i < j).
+    *
+    * @param scale decimal digits preserved by quantization (0 for
+    *              already-integer features)
+    * @return (feat_a, feat_b, n, corr) — corr rounded at 6, null when a
+    *         variance is zero. */
+  def featureCorrelations(df: DataFrame, cols: Seq[String],
+                          scale: Int = 0): DataFrame = {
+    require(cols.size >= 2 && cols.size <= 32,
+      s"featureCorrelations: need 2..32 columns, got ${cols.size}")
+    require(scale >= 0 && scale <= 9,
+      s"featureCorrelations: scale must be in [0, 9]: $scale")
+    require(cols.distinct.size == cols.size,
+      "featureCorrelations: duplicate columns")
+    val factor = math.pow(10.0, scale)
+    val q = cols.map(c =>
+      floor(col(c).cast(DoubleType) * factor).cast("long").as(s"__q_$c"))
+    val quantized = df.select(q: _*)
+    def dq(c: String): Column = col(s"__q_$c").cast(D38)
+    val aggs =
+      Seq(count(lit(1)).as("__n")) ++
+      cols.map(c => sum(dq(c)).as(s"__s_$c")) ++
+      (for (i <- cols.indices; j <- i until cols.size) yield
+        sum(dq(cols(i)) * dq(cols(j))).as(s"__p_${cols(i)}_${cols(j)}"))
+    val m = quantized.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    val pairs = for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
+      val (a, b) = (cols(i), cols(j))
+      val n = col("__n").cast(DoubleType)
+      val sx = col(s"__s_$a").cast(DoubleType)
+      val sy = col(s"__s_$b").cast(DoubleType)
+      val sxx = col(s"__p_${a}_$a").cast(DoubleType)
+      val syy = col(s"__p_${b}_$b").cast(DoubleType)
+      val sxy = col(s"__p_${a}_$b").cast(DoubleType)
+      val num = n * sxy - sx * sy
+      val den = sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+      m.select(lit(a).as("feat_a"), lit(b).as("feat_b"),
+        col("__n").as("n"),
+        when(den === 0.0, lit(null).cast(DoubleType))
+          .otherwise(round(num / den, 6)).as("corr"))
+    }
+    pairs.reduce(_ unionAll _)
+  }
+}

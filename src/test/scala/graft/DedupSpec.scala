@@ -501,4 +501,44 @@ class DedupSpec extends SparkSpec {
     // the clique collapsed to ONE cluster of 50 and 10 singletons
     assert(out.size == 11 && out.exists(_._3 == 50L))
   }
+
+  test("sortedNeighborhoodPairs: prefix-sorted neighbors verify by exact " +
+    "jaccard; beyond-window pairs are the documented miss") {
+    import spark.implicits._
+    // docs 1 and 2 share a long prefix (same block, adjacent after sort);
+    // doc 9 is near-identical to 1 but its normalized key starts
+    // differently -> different block -> never a candidate (that's LSH's
+    // job, not SNM's)
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta one two three"),
+      (2L, "alpha beta gamma delta epsilon zeta one two four"),
+      (3L, "omega psi chi phi upsilon tau completely different"),
+      (9L, "ALPHA   beta gamma delta epsilon zeta one two three x"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup.sortedNeighborhoodPairs(
+      docs, "doc_id", "text", blockLen = 12, windowW = 3, threshold = 0.3)
+      .orderBy("d1", "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // 9 normalizes into the same "alpha beta g" block: candidates are
+    // (1,2) j=0.75, (1,9) j=6/9, (2,9) j=5/10 — all pass 0.3
+    assert(out.toSeq == Seq((1L, 2L), (1L, 9L), (2L, 9L)), out.mkString(","))
+    // a tighter threshold drops (2,9): shingling is raw-case, so doc 9's
+    // "ALPHA" head shingle never matches
+    val tight = graft.operators.Dedup.sortedNeighborhoodPairs(
+      docs, "doc_id", "text", 12, 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tight == Set((1L, 2L), (1L, 9L)), tight.toString)
+    // window w=1 pairs each doc only with its immediate sort neighbor:
+    // (1,9) sorts between-adjacent? keys: "alpha beta gamma delta
+    // epsilon zeta one two four" (2) < "... three" (1) < "... three x"
+    // (9), so w=1 gives (2,1) and (1,9) — (2,9) is beyond the window
+    val w1 = graft.operators.Dedup.sortedNeighborhoodPairs(
+      docs, "doc_id", "text", blockLen = 12, windowW = 1, threshold = 0.01)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(w1 == Set((1L, 2L), (1L, 9L)), w1.toString)
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.sortedNeighborhoodPairs(
+        docs, "doc_id", "text", 0, 3, 0.3)
+    }
+  }
 }
