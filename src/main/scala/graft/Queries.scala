@@ -7390,6 +7390,71 @@ object Queries {
       FROM inter JOIN sz s1 ON d1 = s1.doc JOIN sz s2 ON d2 = s2.doc
       WHERE CAST(inter AS DOUBLE) / (s1.n + s2.n - inter) >= 0.3"""))
 
+  // Group-wise z-score: document length normalized within language so a
+  // global cutoff compares like with like.
+  private val q209 = Q("q209_zscore_by_group",
+    (s, d) => graft.operators.TrainingData.normalizeByGroup(
+      documents(s, d).select(col("doc_id"), col("lang"), col("n_chars")),
+      "lang", "n_chars"),
+    Some("""WITH m AS (SELECT lang, COUNT(*) AS n,
+        SUM(CAST(n_chars AS HUGEINT)) AS s,
+        SUM(CAST(n_chars AS HUGEINT) * n_chars) AS ss
+      FROM documents GROUP BY lang)
+      SELECT doc_id, d.lang, n_chars,
+        CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) -
+            CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) = 0 THEN NULL
+          ELSE ROUND((CAST(n AS DOUBLE) * CAST(n_chars AS DOUBLE) -
+              CAST(s AS DOUBLE)) /
+            sqrt(CAST(n AS DOUBLE) * CAST(ss AS DOUBLE) -
+              CAST(s AS DOUBLE) * CAST(s AS DOUBLE)), 6) END AS z
+      FROM documents d JOIN m ON d.lang = m.lang"""))
+
+  // Largest-remainder fetch-budget apportionment across sources —
+  // integer-exact shares that sum to the budget.
+  private val q210 = Q("q210_budget_apportion",
+    (s, d) => graft.operators.CrawlPolicy.apportionBudget(
+      documents(s, d).select(col("source"), col("n_chars")),
+      "source", "n_chars", budget = 1000L),
+    Some("""WITH pk AS (SELECT CAST(source AS VARCHAR) AS key,
+        CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS score
+      FROM documents GROUP BY 1),
+      t AS (SELECT CAST(SUM(score) AS BIGINT) AS w FROM pk),
+      b AS (SELECT key, score,
+        CAST((CAST(score AS HUGEINT) * 1000) // w AS BIGINT) AS base,
+        CAST((CAST(score AS HUGEINT) * 1000) % w AS BIGINT) AS rem
+      FROM pk, t),
+      l AS (SELECT 1000 - CAST(SUM(base) AS BIGINT) AS leftover FROM b),
+      r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, key) AS rn
+        FROM b)
+      SELECT key, score, base,
+        CAST(CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra,
+        base + CAST(CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+          AS slots
+      FROM r, l"""))
+
+  // Proximity (NEAR) search: "hash" within 3 tokens of "join" — exact
+  // minimum gap via the adjacent-pair merge, no positional self-join.
+  private val q211 = Q("q211_proximity_search",
+    (s, d) => graft.operators.TextSearch.proximityMatches(
+      documents(s, d), "doc_id", "text", "hash", "join", slop = 3),
+    Some("""WITH pt AS (SELECT doc, pos, tok FROM (
+        SELECT doc_id AS doc, CAST(p[2] AS BIGINT) AS pos, p[1] AS tok
+        FROM (SELECT doc_id, unnest(list_zip(tk, range(len(tk)))) AS p
+              FROM (SELECT doc_id,
+                      string_split_regex(trim(lower(text)), '\s+') AS tk
+                    FROM documents)))
+        WHERE tok IN ('hash', 'join')),
+      w AS (SELECT doc, pos, tok,
+        lag(pos) OVER (PARTITION BY doc ORDER BY pos) AS ppos,
+        lag(tok) OVER (PARTITION BY doc ORDER BY pos) AS ptok FROM pt),
+      g AS (SELECT doc,
+        MIN(CASE WHEN ptok IS NOT NULL AND ptok <> tok
+          THEN pos - ppos END) AS min_gap,
+        COUNT(CASE WHEN tok = 'hash' THEN 1 END) AS n_a,
+        COUNT(CASE WHEN tok = 'join' THEN 1 END) AS n_b
+      FROM w GROUP BY doc)
+      SELECT doc, n_a, n_b, min_gap FROM g WHERE min_gap <= 3"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -7408,7 +7473,7 @@ object Queries {
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208)
+    q208, q209, q210, q211)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

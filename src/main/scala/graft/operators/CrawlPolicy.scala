@@ -239,4 +239,69 @@ object CrawlPolicy {
       .where(col("url").isNotNull)
       .select(col("host"), col("url"), col("authority"), col("slot"))
   }
+
+  /** Fetch-budget apportionment by largest remainder (Hamilton's
+    * method — public-domain apportionment arithmetic): split an
+    * integer crawl budget across hosts proportionally to an integer
+    * score, exactly. Each host gets ⌊B·w/W⌋ slots; the L = B − Σ⌊·⌋
+    * leftover slots go to the L largest remainders (B·w mod W), ties
+    * to the smaller key. Σ slots == B exactly (never over- or
+    * under-spends the fetch budget), zero-score hosts get 0, and the
+    * whole protocol is integer arithmetic — engine-portable, no
+    * float shares that "almost" sum to B.
+    *
+    * Scale shape: one score aggregate (map-side combined) per host,
+    * one 1-row total broadcast back, and the remainder ranking via
+    * range-repartition + per-partition row_number + collected partition
+    * offsets (bounded driver state, one long per partition — the
+    * [[graft.operators.Upsert.withSurrogateKeys]] discipline) — no
+    * single-partition global window at any size.
+    *
+    * @return (key, score, base, extra, slots) with slots = base+extra. */
+  def apportionBudget(scores: DataFrame, keyCol: String, scoreCol: String,
+                      budget: Long): DataFrame = {
+    require(budget >= 1, s"apportionBudget: budget must be >= 1: $budget")
+    val spark = scores.sparkSession
+    import spark.implicits._
+    val perKey = scores
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(sum(col(scoreCol).cast("long")).as("score"))
+      .localCheckpoint()
+    val t = perKey.agg(sum(col("score")), min(col("score"))).collect()(0)
+    require(!t.isNullAt(0) && t.getLong(0) >= 1,
+      "apportionBudget: total score must be >= 1")
+    require(t.getLong(1) >= 0,
+      s"apportionBudget: negative score ${t.getLong(1)}")
+    val w = t.getLong(0)
+    // decimal products: B·w overflows long once B and W pass 2^31.5
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val prod = col("score").cast(d38) * lit(budget).cast(d38)
+    // floor, NOT a decimal cast — casting the scaled quotient to
+    // scale-0 would round half-up and overshoot the budget
+    val based = perKey
+      .withColumn("base",
+        floor(prod / lit(w).cast(d38)).cast("long"))
+      .withColumn("__rem", (prod - col("base").cast(d38) * lit(w).cast(d38))
+        .cast("long"))
+      .localCheckpoint()
+    val leftover = budget -
+      based.agg(sum(col("base"))).collect()(0).getLong(0)
+    // global remainder rank without a single-partition window
+    val parts = based.repartitionByRange(col("__rem").desc, col("key"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    var acc = 0L
+    val offsets = parts.groupBy(col("__pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .map { case (pid, n) => val o = acc; acc += n; (pid, o) }
+    parts
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("__pid"))
+          .orderBy(col("__rem").desc, col("key"))))
+      .join(broadcast(offsets.toSeq.toDF("__pid", "__off")), Seq("__pid"))
+      .withColumn("extra",
+        when(col("__off") + col("__rn") <= leftover, 1L).otherwise(0L))
+      .select(col("key"), col("score"), col("base"), col("extra"),
+        (col("base") + col("extra")).as("slots"))
+  }
 }

@@ -484,6 +484,52 @@ object TextSearch {
       .agg(count(lit(1)).as("n_matches"))
   }
 
+  /** Proximity (slop) search: documents where `termA` and `termB`
+    * occur within `slop` tokens of each other, with the exact minimum
+    * gap — the NEAR operator BM25's bag-of-words scoring can't
+    * express and [[phraseMatches]]' consecutive contract is too strict
+    * for ("quick ... fox" within 4).
+    *
+    * Algorithm: the minimum |posA − posB| over all occurrence pairs is
+    * always achieved by a pair ADJACENT in the merged position order —
+    * so one lag() window over the doc's merged occurrences computes it
+    * with ZERO positional self-join (the n_a·n_b pair blowup on
+    * stop-wordy terms never materializes).
+    *
+    * Scale shape: one scan; occurrences filter to the two terms BEFORE
+    * the shuffle, so the doc-keyed window + aggregate carry a
+    * vanishing fraction of the corpus. Tokenizer parity:
+    * split(trim(lower(text)), '\s+') raw positions, the
+    * [[phraseMatches]] protocol.
+    *
+    * @return (doc, n_a, n_b, min_gap) for docs with min_gap ≤ slop. */
+  def proximityMatches(docs: DataFrame, idCol: String, textCol: String,
+                       termA: String, termB: String, slop: Int): DataFrame = {
+    val a = termA.trim.toLowerCase(java.util.Locale.ROOT)
+    val b = termB.trim.toLowerCase(java.util.Locale.ROOT)
+    require(a.nonEmpty && b.nonEmpty, "proximityMatches: empty term")
+    require(a != b, "proximityMatches: terms must differ")
+    require(slop >= 1 && slop <= 1000000,
+      s"proximityMatches: slop must be in [1, 1000000]: $slop")
+    val pt = docs.select(col(idCol).as("doc"),
+        posexplode(split(trim(lower(col(textCol))), "\\s+"))
+          .as(Seq("pos", "tok")))
+      .where(col("tok").isin(a, b))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc")).orderBy(col("pos"))
+    pt
+      .withColumn("__ppos", lag(col("pos"), 1).over(w))
+      .withColumn("__ptok", lag(col("tok"), 1).over(w))
+      .groupBy(col("doc"))
+      .agg(
+        min(when(col("__ptok").isNotNull && col("__ptok") =!= col("tok"),
+          (col("pos") - col("__ppos")).cast("long"))).as("min_gap"),
+        count(when(col("tok") === a, lit(1))).as("n_a"),
+        count(when(col("tok") === b, lit(1))).as("n_b"))
+      .where(col("min_gap") <= slop)
+      .select(col("doc"), col("n_a"), col("n_b"), col("min_gap"))
+  }
+
   private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc"),

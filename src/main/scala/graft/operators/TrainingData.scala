@@ -500,6 +500,52 @@ object TrainingData {
     perBatch.withColumn("cum_tokens", sum(col("n_new_tokens")).over(w))
   }
 
+  /** Group-wise z-score normalization — put a quality signal on a
+    * common scale ACROSS domains before a global threshold cuts it
+    * (raw length/score distributions differ per source; a global
+    * cutoff would otherwise just rank domains). Exactness protocol:
+    * per-group moments are exact decimal sums of the quantized
+    * integer values; each row's score is the closed form
+    * z = (n·x − S) / √(n·SS − S²) — algebraically (x − mean)/σ_pop,
+    * but stated as the same short chain of correctly-rounded IEEE ops
+    * on exactly-representable aggregates on both engines, so they
+    * agree bit-for-bit; rounded at 6. Null z for zero-variance groups
+    * (no information, not a fake 0).
+    *
+    * Scale shape: one map-side-combined aggregate to ≤ |groups| rows,
+    * broadcast back over the corpus — the corpus itself never
+    * shuffles. Group cardinality is loudly bounded (broadcast-sized).
+    *
+    * @return input rows + `z` (quantization at `scale` digits, as
+    *         [[Stats.featureCorrelations]]). */
+  def normalizeByGroup(df: DataFrame, groupCol: String, valCol: String,
+                       scale: Int = 0, maxGroups: Int = 1000000): DataFrame = {
+    require(scale >= 0 && scale <= 9,
+      s"normalizeByGroup: scale must be in [0, 9]: $scale")
+    val factor = math.pow(10.0, scale)
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = floor(col(valCol).cast("double") * factor).cast("long")
+    val moments = df
+      .select(col(groupCol).as("__g"), q.cast(d38).as("__q"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__q")).as("__s"),
+        sum(col("__q") * col("__q")).as("__ss"))
+      .localCheckpoint()
+    val nGroups = moments.count()
+    require(nGroups <= maxGroups,
+      s"normalizeByGroup: $nGroups groups exceeds broadcast bound " +
+        s"$maxGroups — raise deliberately or pre-bucket the group column")
+    val n = col("__n").cast("double")
+    val s = col("__s").cast("double")
+    val ss = col("__ss").cast("double")
+    val den = sqrt(n * ss - s * s)
+    df.join(broadcast(moments), df(groupCol) === moments("__g"))
+      .withColumn("z",
+        when(den === 0.0, lit(null).cast("double"))
+          .otherwise(round((n * q.cast("double") - s) / den, 6)))
+      .select(df.columns.map(col) :+ col("z"): _*)
+  }
+
   /** Weighted systematic sampling — draw ~`k` rows with inclusion
     * probability proportional to an integer weight (quality score,
     * token count), DETERMINISTICALLY (Madow & Madow, "On the theory of

@@ -397,4 +397,37 @@ class CrawlCurationSpec extends SparkSpec {
         rules, auth, perHostK = 0)
     }
   }
+
+  test("apportionBudget: largest-remainder shares sum to the budget " +
+    "exactly, ties to the smaller key") {
+    import spark.implicits._
+    val scores = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("host", "s")
+    val out = graft.operators.CrawlPolicy
+      .apportionBudget(scores, "host", "s", budget = 7L)
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // quotas 3.5 / 2.1 / 1.4 -> bases 3,2,1; remainders 5,1,4 -> a +1
+    assert(out.toSeq == Seq(("a", 5L, 3L, 1L, 4L), ("b", 3L, 2L, 0L, 2L),
+      ("c", 2L, 1L, 0L, 1L)), out.mkString(","))
+    assert(out.map(_._5).sum == 7L)
+    // remainder tie: equal scores, odd budget -> smaller key wins
+    val tie = graft.operators.CrawlPolicy.apportionBudget(
+      Seq(("x", 1L), ("y", 1L)).toDF("host", "s"), "host", "s", 3L)
+      .orderBy("key").collect().map(r => (r.getString(0), r.getLong(4)))
+    assert(tie.toSeq == Seq(("x", 2L), ("y", 1L)), tie.mkString(","))
+    // zero-score keys get zero; duplicate keys aggregate first
+    val z = graft.operators.CrawlPolicy.apportionBudget(
+      Seq(("p", 4L), ("p", 4L), ("q", 0L)).toDF("host", "s"),
+      "host", "s", 5L).orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    assert(z.toSeq == Seq(("p", 8L, 5L), ("q", 0L, 0L)), z.mkString(","))
+    intercept[IllegalArgumentException] {
+      graft.operators.CrawlPolicy.apportionBudget(scores, "host", "s", 0L)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.CrawlPolicy.apportionBudget(
+        Seq(("n", -1L)).toDF("host", "s"), "host", "s", 2L)
+    }
+  }
 }

@@ -373,4 +373,32 @@ class TextSearchSpec extends SparkSpec {
     assert(!plan.contains("Generate"), s"token explode leaked in:\n$plan")
     assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
   }
+
+  test("proximityMatches: adjacent-pair minimum gap, slop filter, " +
+    "single-term docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),        // gap quick->fox = 2
+      (2L, "fox a quick fox"),                  // min gap 1 (quick, fox@3)
+      (3L, "quick things only here"),           // missing fox -> absent
+      (4L, "fox FOX Quick"),                    // case-folds; min gap 1
+      (5L, "unrelated text entirely"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TextSearch
+      .proximityMatches(docs, "doc_id", "text", "quick", "fox", slop = 2)
+      .orderBy("doc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 1L, 2L), (2L, 1L, 2L, 1L), (4L, 1L, 2L, 1L)),
+      out.mkString(","))
+    // tighter slop drops the gap-2 doc
+    val tight = graft.operators.TextSearch
+      .proximityMatches(docs, "doc_id", "text", "quick", "fox", 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(tight == Set(2L, 4L), tight.toString)
+    intercept[IllegalArgumentException] {
+      graft.operators.TextSearch.proximityMatches(
+        docs, "doc_id", "text", "same", "same", 2)
+    }
+  }
 }

@@ -1269,4 +1269,26 @@ class TrainingDataSpec extends SparkSpec {
         Seq((1L, -2L)).toDF("id", "w"), "id", "w", 2)
     }
   }
+
+  test("normalizeByGroup: exact closed-form z per group, zero-variance " +
+    "group yields null") {
+    import spark.implicits._
+    val df = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L),
+      ("g2", 7L), ("g2", 7L)).toDF("g", "x")
+    val out = graft.operators.TrainingData
+      .normalizeByGroup(df, "g", "x")
+      .orderBy("g", "x").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) null else Double.box(r.getDouble(2))))
+    // g1: z = (3x - 6)/sqrt(3*14 - 36) = (3x-6)/sqrt(6)
+    assert(out.toSeq == Seq(
+      ("g1", 1L, Double.box(-1.224745)),
+      ("g1", 2L, Double.box(0.0)),
+      ("g1", 3L, Double.box(1.224745)),
+      ("g2", 7L, null), ("g2", 7L, null)), out.mkString(","))
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainingData.normalizeByGroup(df, "g", "x",
+        maxGroups = 1)
+    }
+  }
 }
