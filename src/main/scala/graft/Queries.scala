@@ -7156,8 +7156,10 @@ object Queries {
                 string_split_regex(trim(lower(text)), '\s+') AS tk
               FROM documents)
         WHERE len(tk) >= 2),
-      b AS (SELECT token, MIN(batch) AS batch FROM tok
-        WHERE token <> '' GROUP BY token),
+      b AS (SELECT CAST(CAST(('0x' || substring(md5(token), 1, 16))
+            AS UBIGINT) % 9223372036854775808 AS BIGINT) AS hv,
+          MIN(batch) AS batch FROM tok
+        WHERE token <> '' GROUP BY 1),
       p AS (SELECT batch, COUNT(*) AS n_new_tokens FROM b GROUP BY batch)
       SELECT batch, n_new_tokens,
         CAST(SUM(n_new_tokens) OVER (ORDER BY batch
