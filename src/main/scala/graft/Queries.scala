@@ -7457,6 +7457,79 @@ object Queries {
       FROM w GROUP BY doc)
       SELECT doc, n_a, n_b, min_gap FROM g WHERE min_gap <= 3"""))
 
+  // TextRank corpus keywords: PageRank centrality over the adjacent-token
+  // co-occurrence graph, integer-micros protocol, 3 iterations.
+  private val q212 = Q("q212_textrank_keywords",
+    (s, d) => graft.operators.TextSearch.textrankKeywords(
+      documents(s, d), "doc_id", "text", iters = 3, topK = 30),
+    Some("""WITH tkn AS (SELECT
+          string_split_regex(trim(lower(text)), '\s+') AS tk
+        FROM documents),
+      p0 AS (SELECT unnest(list_transform(range(len(tk) - 1),
+          i -> struct_pack(a := tk[i + 1], b := tk[i + 2]))) AS p
+        FROM tkn WHERE len(tk) >= 2),
+      pe AS (SELECT p.a AS src, p.b AS dst FROM p0
+        WHERE p.a <> '' AND p.b <> ''),
+      e AS (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe)),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rm FROM nodes),
+      c1 AS (SELECT e.dst AS node, SUM(r0.rm // od.deg) AS s
+        FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
+        GROUP BY e.dst),
+      r1 AS (SELECT n.node,
+          CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS rm
+        FROM nodes n LEFT JOIN c1 USING (node)),
+      c2 AS (SELECT e.dst AS node, SUM(r1.rm // od.deg) AS s
+        FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
+        GROUP BY e.dst),
+      r2 AS (SELECT n.node,
+          CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS rm
+        FROM nodes n LEFT JOIN c2 USING (node)),
+      c3 AS (SELECT e.dst AS node, SUM(r2.rm // od.deg) AS s
+        FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src
+        GROUP BY e.dst),
+      r3 AS (SELECT n.node,
+          CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS rm
+        FROM nodes n LEFT JOIN c3 USING (node))
+      SELECT node AS token, CAST(rm AS DOUBLE) / 1000000.0 AS rank
+      FROM r3 ORDER BY rank DESC, token LIMIT 30"""))
+
+  // New-user arrival curve: running COUNT(DISTINCT user) restated as
+  // first-seen attribution — no distinct-over-window.
+  private val q213 = Q("q213_arrival_curve",
+    (s, d) => graft.operators.Sessionize.arrivalCurve(
+      events(s, d), "user_id", "ts"),
+    Some("""WITH f AS (SELECT user_id,
+        MIN(CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+          AS BIGINT)) AS epoch_day
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id),
+      p AS (SELECT epoch_day, COUNT(*) AS n_new FROM f GROUP BY epoch_day)
+      SELECT epoch_day,
+        strftime(DATE '1970-01-01' + CAST(epoch_day AS INTEGER),
+          '%Y-%m-%d') AS day,
+        n_new,
+        CAST(SUM(n_new) OVER (ORDER BY epoch_day
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_entities
+      FROM p"""))
+
+  // First-order Markov transition matrix over each user's event stream.
+  private val q214 = Q("q214_event_transitions",
+    (s, d) => graft.operators.Sessionize.eventTransitions(
+      events(s, d), "user_id", "ts", "event_id", "event_type"),
+    Some("""WITH s AS (SELECT event_type AS from_type,
+        lead(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS to_type
+      FROM events),
+      c AS (SELECT from_type, to_type, COUNT(*) AS n FROM s
+        WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS tot
+        FROM c GROUP BY 1)
+      SELECT c.from_type, c.to_type, n,
+        ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p
+      FROM c JOIN t USING (from_type)"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -7475,7 +7548,7 @@ object Queries {
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211)
+    q208, q209, q210, q211, q212, q213, q214)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -82,4 +82,69 @@ object Sessionize {
         round(col("z"), 6).as("z"),
         (col("z").isNotNull && abs(col("z")) >= 3.0).as("is_anomaly"))
   }
+
+  /** New-entity arrival curve: how many NEVER-BEFORE-SEEN entities
+    * (users, hosts, devices) appear each day, plus the cumulative
+    * total — the growth/acquisition curve, and running
+    * COUNT(DISTINCT entity) restated as a first-seen attribution so
+    * it needs no distinct-over-window (which no engine does
+    * scalably).
+    *
+    * Scale shape: one map-side-combined min-aggregate keyed by the
+    * entity (the only corpus-sized shuffle) → per-day counts (≤ |days|
+    * rows) → one cumulative window over that tiny aggregate (q40's
+    * documented exception).
+    *
+    * @return (epoch_day, day, n_new, cum_entities) ordered by day. */
+  def arrivalCurve(events: DataFrame, entityCol: String,
+                   tsCol: String): DataFrame = {
+    val day = datediff(col(tsCol).cast("date"),
+      lit("1970-01-01").cast("date")).cast("long")
+    val firstSeen = events
+      .select(col(entityCol).as("__e"), day.as("epoch_day"))
+      .where(col("__e").isNotNull)
+      .groupBy(col("__e")).agg(min(col("epoch_day")).as("epoch_day"))
+    val w = Window.orderBy(col("epoch_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    firstSeen.groupBy(col("epoch_day"))
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_entities", sum(col("n_new")).over(w))
+      .select(col("epoch_day"),
+        date_format(date_add(lit("1970-01-01").cast("date"),
+          col("epoch_day").cast("int")), "yyyy-MM-dd").as("day"),
+        col("n_new"), col("cum_entities"))
+  }
+
+  /** Event-type transition matrix (first-order Markov counts): for
+    * each user's time-ordered stream, count consecutive
+    * (from_type → to_type) steps and the per-from transition share —
+    * the "what do users do next" product-analytics primitive behind
+    * funnels and pathing. Exact: counts are integers; the share is
+    * one IEEE division of exact longs, rounded at 6; same-timestamp
+    * order is pinned by `tieBreak`, so the result is deterministic
+    * and engine-replayable.
+    *
+    * Scale shape: one user-keyed window (lead) — the same exchange
+    * sessionization pays — then a (from, to)-keyed map-side count;
+    * per-from totals are a SECOND-LEVEL aggregate of that result
+    * (≤ |type-pairs| rows), never a corpus re-scan.
+    *
+    * @return (from_type, to_type, n, p). */
+  def eventTransitions(events: DataFrame, userCol: String, tsCol: String,
+                       tieBreak: String, typeCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieBreak))
+    val steps = events
+      .withColumn("__next", lead(col(typeCol), 1).over(w))
+      .where(col("__next").isNotNull)
+      .groupBy(col(typeCol).as("from_type"), col("__next").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val totals = steps.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("__tot"))
+    steps.join(totals, Seq("from_type"))
+      .withColumn("p", round(col("n").cast("double") /
+        col("__tot").cast("double"), 6))
+      .select(col("from_type"), col("to_type"), col("n"), col("p"))
+  }
 }

@@ -530,6 +530,45 @@ object TextSearch {
       .select(col("doc"), col("n_a"), col("n_b"), col("min_gap"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau, "TextRank:
+    * Bringing Order into Text", EMNLP 2004 — public literature):
+    * corpus-level keywords as the highest-PageRank nodes of the token
+    * co-occurrence graph (adjacent-token edges, symmetrized). Where
+    * tf-idf ([[graft.operators.TrainingData.tfidfTopTerms]]) scores
+    * terms by rarity, TextRank scores them by CENTRALITY — a term is
+    * important if important terms keep appearing next to it, which
+    * surfaces connective domain vocabulary tf-idf down-weights.
+    *
+    * Determinism: rides [[LinkGraph.pageRank]]'s exact integer-micros
+    * protocol verbatim (rank order = integer order, no float
+    * accumulation), fixed iteration count, ties by token.
+    *
+    * Scale shape: one scan explodes adjacent pairs (narrow strings);
+    * edge dedup collapses them to the vocabulary co-occurrence graph —
+    * node count is VOCABULARY-sized, not corpus-sized — and the
+    * bounded PageRank loop shuffles ≤ |vocab| rows per round. Top-k is
+    * a TakeOrderedAndProject. */
+  def textrankKeywords(docs: DataFrame, idCol: String, textCol: String,
+                       iters: Int, topK: Int): DataFrame = {
+    require(topK >= 1 && topK <= 100000,
+      s"textrankKeywords: topK must be in [1, 100000]: $topK")
+    val tk = split(trim(lower(col(textCol))), "\\s+")
+    val pairs = docs
+      .select(explode(filter(
+        transform(tk, (t, i) =>
+          when(i < size(tk) - 1,
+            struct(t.as("a"), element_at(tk, i + 2).as("b")))),
+        p => p.isNotNull)).as("p"))
+      .select(col("p.a").as("src"), col("p.b").as("dst"))
+      .where(col("src") =!= "" && col("dst") =!= "")
+    val edges = pairs.unionAll(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    LinkGraph.pageRank(edges, "src", "dst", iters)
+      .orderBy(col("rank").desc, col("node"))
+      .limit(topK)
+      .select(col("node").as("token"), col("rank"))
+  }
+
   private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol).as("doc"),

@@ -421,6 +421,30 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("q198/q205/q210: every window is keyed — no single-partition " +
+    "window over corpus-sized data") {
+    // q198's RANGE frame partitions by the customer key; q205/q210's
+    // global prefix-sum/rank run per range-partition with broadcast
+    // offsets — a SinglePartition exchange anywhere in these plans
+    // means the distributed formulation silently regressed
+    for (name <- Seq("q198_rolling_window", "q205_weighted_sample",
+      "q210_budget_apportion")) {
+      val plan = finalPlan(Queries.queries(name)(spark, sf)).toString
+      assert(!plan.contains("SinglePartition"), s"$name:\n${plan.take(800)}")
+    }
+  }
+
+  test("q204: per-label top-k routes through the native TopKPerKey heaps") {
+    val exp = spark.experimental
+    exp.synchronized {
+      if (!exp.extraStrategies.contains(graft.plans.TopKStrategy))
+        exp.extraStrategies = exp.extraStrategies :+ graft.plans.TopKStrategy
+    }
+    val plan = finalPlan(
+      Queries.queries("q204_token_label_pmi")(spark, sf)).toString
+    assert(plan.contains("TopKPerKey"), plan.take(800))
+  }
+
   test("whole-stage codegen covers the cleaning scan (native exprs fused)") {
     val synth = graft.etl.ReferenceShapedData.syntheticOrders(spark, sf)
     val stg = graft.etl.OrderEtl.toStaging(graft.etl.OrderEtl.cleanOrders(synth))

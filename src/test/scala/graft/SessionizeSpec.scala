@@ -47,4 +47,52 @@ class SessionizeSpec extends SparkSpec {
       Sessionize.rateAnomalies(events, "event_type", "ts", window = 0)
     }
   }
+
+  test("arrivalCurve: first-seen attribution gives per-day new counts " +
+    "and a running distinct total") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "1970-01-01 10:00:00"), (1L, "1970-01-04 09:00:00"),
+      (2L, "1970-01-01 23:00:00"), (3L, "1970-01-04 01:00:00"),
+      (4L, "1970-01-06 05:00:00"))
+      .toDF("user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Sessionize.arrivalCurve(ev, "user_id", "ts")
+      .orderBy("epoch_day").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (0L, "1970-01-01", 2L, 2L),
+      (3L, "1970-01-04", 1L, 3L),
+      (5L, "1970-01-06", 1L, 4L)), out.mkString(","))
+  }
+
+  test("eventTransitions: per-user consecutive steps, exact shares, " +
+    "same-timestamp order pinned by the tiebreak") {
+    import spark.implicits._
+    val ev = Seq(
+      (10L, 1L, "2024-01-01 10:00:00", "A"),
+      (11L, 1L, "2024-01-01 10:05:00", "B"),
+      (12L, 1L, "2024-01-01 10:10:00", "A"),
+      (20L, 2L, "2024-01-01 09:00:00", "A"),
+      (21L, 2L, "2024-01-01 09:30:00", "C"))
+      .toDF("event_id", "user_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = Sessionize
+      .eventTransitions(ev, "user_id", "ts", "event_id", "event_type")
+      .orderBy("from_type", "to_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      ("A", "B", 1L, 0.5), ("A", "C", 1L, 0.5), ("B", "A", 1L, 1.0)),
+      out.mkString(","))
+    // tied timestamps: event_id fixes the order (31 before 32)
+    val tied = Seq(
+      (31L, 9L, "2024-01-01 08:00:00", "X"),
+      (32L, 9L, "2024-01-01 08:00:00", "Y"))
+      .toDF("event_id", "user_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val t = Sessionize
+      .eventTransitions(tied, "user_id", "ts", "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(t.toSeq == Seq(("X", "Y")), t.mkString(","))
+  }
 }

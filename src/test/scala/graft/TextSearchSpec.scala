@@ -401,4 +401,23 @@ class TextSearchSpec extends SparkSpec {
         docs, "doc_id", "text", "same", "same", 2)
     }
   }
+
+  test("textrankKeywords: co-occurrence centrality under the exact " +
+    "integer-micros PageRank protocol") {
+    import spark.implicits._
+    // star graph: hub touches x, y, z -> hub's centrality dominates
+    val docs = Seq((1L, "hub x hub y hub z")).toDF("doc_id", "text")
+    val out = graft.operators.TextSearch
+      .textrankKeywords(docs, "doc_id", "text", iters = 3, topK = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    // hand-rolled protocol: r3(hub) = 2483250 micros, r3(leaf) = 505583
+    assert(out(0) == ("hub", 2.48325), out.mkString(","))
+    assert(out.drop(1).toSeq == Seq(("x", 0.505583), ("y", 0.505583),
+      ("z", 0.505583)), out.mkString(","))
+    // symmetric 2-cycle keeps rank at exactly 1.0 (mass-preserving)
+    val ab = graft.operators.TextSearch.textrankKeywords(
+      Seq((1L, "a b a")).toDF("doc_id", "text"), "doc_id", "text", 3, 10)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(ab.toSeq == Seq(("a", 1.0), ("b", 1.0)), ab.mkString(","))
+  }
 }
