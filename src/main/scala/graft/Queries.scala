@@ -7468,10 +7468,22 @@ object Queries {
       p0 AS (SELECT unnest(list_transform(range(len(tk) - 1),
           i -> struct_pack(a := tk[i + 1], b := tk[i + 2]))) AS p
         FROM tkn WHERE len(tk) >= 2),
-      pe AS (SELECT p.a AS src, p.b AS dst FROM p0
+      pe AS (SELECT p.a AS ta, p.b AS tb FROM p0
         WHERE p.a <> '' AND p.b <> ''),
+      hp AS (SELECT
+        CAST(CAST(('0x' || substring(md5(ta), 1, 16)) AS UBIGINT)
+          % 9223372036854775808 AS BIGINT) AS src,
+        CAST(CAST(('0x' || substring(md5(tb), 1, 16)) AS UBIGINT)
+          % 9223372036854775808 AS BIGINT) AS dst FROM pe),
       e AS (SELECT DISTINCT src, dst FROM
-        (SELECT src, dst FROM pe UNION ALL SELECT dst, src FROM pe)),
+        (SELECT src, dst FROM hp UNION ALL SELECT dst, src FROM hp)),
+      vm AS (SELECT
+          CAST(CAST(('0x' || substring(md5(token), 1, 16)) AS UBIGINT)
+            % 9223372036854775808 AS BIGINT) AS node_hv,
+          MIN(token) AS token
+        FROM (SELECT unnest(string_split_regex(trim(lower(text)),
+            '\s+')) AS token FROM documents)
+        WHERE token <> '' GROUP BY 1),
       nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
       od AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
       r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rm FROM nodes),
@@ -7493,8 +7505,9 @@ object Queries {
       r3 AS (SELECT n.node,
           CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS rm
         FROM nodes n LEFT JOIN c3 USING (node))
-      SELECT node AS token, CAST(rm AS DOUBLE) / 1000000.0 AS rank
-      FROM r3 ORDER BY rank DESC, token LIMIT 30"""))
+      SELECT vm.token, CAST(rm AS DOUBLE) / 1000000.0 AS rank
+      FROM r3 JOIN vm ON r3.node = vm.node_hv
+      ORDER BY rank DESC, token LIMIT 30"""))
 
   // New-user arrival curve: running COUNT(DISTINCT user) restated as
   // first-seen attribution — no distinct-over-window.

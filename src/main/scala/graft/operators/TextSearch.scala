@@ -543,30 +543,51 @@ object TextSearch {
     * protocol verbatim (rank order = integer order, no float
     * accumulation), fixed iteration count, ties by token.
     *
-    * Scale shape: one scan explodes adjacent pairs (narrow strings);
-    * edge dedup collapses them to the vocabulary co-occurrence graph —
-    * node count is VOCABULARY-sized, not corpus-sized — and the
-    * bounded PageRank loop shuffles ≤ |vocab| rows per round. Top-k is
-    * a TakeOrderedAndProject. */
+    * Scale shape: one scan explodes adjacent pairs, and nodes are
+    * 63-bit md5 keys from the SCAN ([[graft.functions.StableId63]]) —
+    * the bounded PageRank loop's per-iteration joins then shuffle
+    * 8-byte longs instead of token strings (the vocabGrowth
+    * discipline). The trade is one extra bounded scan to build the
+    * hv→token name map, joined back ONCE over the vocabulary-sized
+    * rank frame; at sf1.0 the two variants measure within ambient
+    * noise of each other (~10 s either way, SCALE.md), but the narrow
+    * iteration shuffles are what survives 100× — iteration cost is
+    * 3 rounds × |edges|, and key width multiplies every one of them,
+    * while the name map stays a single scan. Top-k is a
+    * TakeOrderedAndProject on (rank desc, token). 63-bit collisions
+    * merge two tokens' neighborhoods (~|vocab|²/2⁶⁴ — negligible,
+    * deterministic, engine-identical; the merged node reports the
+    * lexicographically smallest colliding token). */
   def textrankKeywords(docs: DataFrame, idCol: String, textCol: String,
                        iters: Int, topK: Int): DataFrame = {
     require(topK >= 1 && topK <= 100000,
       s"textrankKeywords: topK must be in [1, 100000]: $topK")
     val tk = split(trim(lower(col(textCol))), "\\s+")
+    // two independent narrow scans (pairs for edges, tokens for names)
+    // beat one checkpointed wide pairs frame: materializing the bigram
+    // strings costs more than the re-scan at every measured scale
     val pairs = docs
       .select(explode(filter(
         transform(tk, (t, i) =>
           when(i < size(tk) - 1,
             struct(t.as("a"), element_at(tk, i + 2).as("b")))),
         p => p.isNotNull)).as("p"))
-      .select(col("p.a").as("src"), col("p.b").as("dst"))
-      .where(col("src") =!= "" && col("dst") =!= "")
-    val edges = pairs.unionAll(
-      pairs.select(col("dst").as("src"), col("src").as("dst")))
+      .select(col("p.a").as("ta"), col("p.b").as("tb"))
+      .where(col("ta") =!= "" && col("tb") =!= "")
+    def hv(c: Column): Column = graft.functions.StableId63.stableId63(c)
+    val hashed = pairs.select(hv(col("ta")).as("src"), hv(col("tb")).as("dst"))
+    val edges = hashed.unionAll(
+      hashed.select(col("dst").as("src"), col("src").as("dst")))
+    val names = docs.select(explode(tk).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(hv(col("token")).as("node_hv"))
+      .agg(min(col("token")).as("token"))
     LinkGraph.pageRank(edges, "src", "dst", iters)
-      .orderBy(col("rank").desc, col("node"))
+      .select(col("node").cast("long").as("node_hv"), col("rank"))
+      .join(names, Seq("node_hv"))
+      .orderBy(col("rank").desc, col("token"))
       .limit(topK)
-      .select(col("node").as("token"), col("rank"))
+      .select(col("token"), col("rank"))
   }
 
   private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame =
