@@ -7543,6 +7543,112 @@ object Queries {
         ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS p
       FROM c JOIN t USING (from_type)"""))
 
+  // Winsorization at exact per-group permille bounds — outlier clipping
+  // before moments.
+  private val q215 = Q("q215_winsorize",
+    (s, d) => graft.operators.TrainingData.winsorizeByGroup(
+      documents(s, d).select(col("lang"), col("n_chars")),
+      "lang", "n_chars", loPermille = 50, hiPermille = 950),
+    Some("""WITH h AS (SELECT lang AS key, CAST(n_chars AS BIGINT) AS v,
+        COUNT(*) AS cnt FROM documents
+        WHERE lang IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1, 2),
+      c AS (SELECT key, v,
+        SUM(cnt) OVER (PARTITION BY key ORDER BY v) AS cum,
+        SUM(cnt) OVER (PARTITION BY key) AS n FROM h),
+      q AS (SELECT key, p AS q_permille, MIN(v) AS value
+        FROM c, (SELECT unnest([50, 950]) AS p)
+        WHERE cum >= (p * n + 999) // 1000 GROUP BY 1, 2),
+      lo AS (SELECT key, value AS lo FROM q WHERE q_permille = 50),
+      hi AS (SELECT key, value AS hi FROM q WHERE q_permille = 950)
+      SELECT d.lang, CAST(d.n_chars AS BIGINT) AS n_chars,
+        CASE WHEN d.n_chars < lo THEN lo WHEN d.n_chars > hi THEN hi
+          ELSE CAST(d.n_chars AS BIGINT) END AS winsorized,
+        CASE WHEN d.n_chars < lo THEN 'low' WHEN d.n_chars > hi
+          THEN 'high' ELSE 'none' END AS clipped
+      FROM documents d JOIN lo ON d.lang = lo.key
+      JOIN hi ON d.lang = hi.key
+      WHERE d.lang IS NOT NULL AND d.n_chars IS NOT NULL"""))
+
+  // Stream-static enrichment: the event stream joins a broadcast batch
+  // dimension and rolls up per segment; misses land in the NULL group.
+  private val q216 = Q("q216_streaming_enrich",
+    (s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dir = Queries.stagedEventsDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_stream_${Queries.stagingSuffix(d)}")
+        f.mkdirs()
+        Queries.stageParquetCopy(s"$d/events.parquet", f, "events")
+        f
+      })
+      val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
+      val ev = Tables.normalizeEventTs(
+        s.readStream.schema(rawSchema).parquet(dir.getAbsolutePath))
+      val dim = customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val sink = "graft_q216_sink"
+      Queries.withStreamingParallelism(s) {
+        graft.streaming.EventStreams
+          .enrichAgg(ev, dim, "user_id", "c_mktsegment")
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      s.table(sink)
+    },
+    Some("""SELECT c_mktsegment, COUNT(*) AS n,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      GROUP BY 1"""))
+
+  // Golden-record survivorship: modal non-null attribute per duplicate
+  // cluster, ties to the smallest value.
+  private val q217 = Q("q217_golden_record",
+    (s, d) => graft.operators.Dedup.goldenRecord(
+      documents(s, d).withColumn("fp",
+        md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))),
+      "doc_id", "fp", Seq("lang", "source")),
+    Some("""WITH b AS (SELECT doc_id,
+        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS cluster,
+        lang, source FROM documents),
+      m AS (SELECT cluster, MIN(doc_id) AS rep_id, COUNT(*) AS n_members
+        FROM b GROUP BY 1),
+      lv AS (SELECT cluster, lang, COUNT(*) AS c FROM b
+        WHERE lang IS NOT NULL GROUP BY 1, 2),
+      lb AS (SELECT cluster, MAX(c) AS mx FROM lv GROUP BY 1),
+      lw AS (SELECT lv.cluster, MIN(lang) AS lang FROM lv
+        JOIN lb ON lv.cluster = lb.cluster AND lv.c = lb.mx GROUP BY 1),
+      sv AS (SELECT cluster, source, COUNT(*) AS c FROM b
+        WHERE source IS NOT NULL GROUP BY 1, 2),
+      sb AS (SELECT cluster, MAX(c) AS mx FROM sv GROUP BY 1),
+      sw AS (SELECT sv.cluster, MIN(source) AS source FROM sv
+        JOIN sb ON sv.cluster = sb.cluster AND sv.c = sb.mx GROUP BY 1)
+      SELECT m.cluster, rep_id, n_members, lw.lang, sw.source
+      FROM m LEFT JOIN lw USING (cluster) LEFT JOIN sw USING (cluster)"""))
+
+  // Benford first-digit audit over order totals — integer-domain digit
+  // extraction, pinned expected shares, exact chi-square terms.
+  private val q218 = Q("q218_benford_audit",
+    (s, d) => graft.operators.Stats.benfordAudit(
+      orders(s, d), "o_totalprice"),
+    Some("""WITH c AS (SELECT CAST(substring(CAST(CAST(FLOOR(o_totalprice)
+          AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+        COUNT(*) AS n
+      FROM orders WHERE o_totalprice IS NOT NULL AND o_totalprice >= 1.0
+      GROUP BY 1),
+      t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c),
+      e AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS digit,
+        unnest([0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+          0.066947, 0.057992, 0.051153, 0.045757]) AS expected)
+      SELECT c.digit, n,
+        ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share,
+        expected,
+        ROUND((CAST(n AS DOUBLE) - expected * CAST(total AS DOUBLE)) *
+          (CAST(n AS DOUBLE) - expected * CAST(total AS DOUBLE)) /
+          (expected * CAST(total AS DOUBLE)), 6) AS chi_term
+      FROM c JOIN e USING (digit), t"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -7561,7 +7667,7 @@ object Queries {
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -1096,6 +1096,51 @@ object Dedup {
       .select(col("component"), col("doc").as("rep"), col("n_members"))
   }
 
+  /** Golden-record survivorship: collapse each duplicate cluster to ONE
+    * record whose attributes are field-wise MODAL values (most frequent
+    * non-null wins, ties to the smallest value — deterministic, the
+    * classic merge/purge consolidation step after [[exactKeepBest]]-
+    * style clustering picks which ROWS belong together but not which
+    * FIELD VALUES to keep when members disagree).
+    *
+    * The mode is computed without max_by (whose ties are
+    * nondeterministic in a distributed agg): per (cluster, value)
+    * counts → per-cluster max count → filter to arg-max ties →
+    * min(value) — [[LinkGraph.labelPropagation]]'s vote discipline,
+    * once per attribute. Null values never vote (a field nobody filled
+    * stays null only when nobody voted).
+    *
+    * Scale shape: per attribute one (cluster, value)-keyed map-side
+    * count + two tiny aggregates over it; the membership aggregate
+    * (rep id, member count) is one more. All shuffles keyed; the
+    * attribute loop is over the SCHEMA, not the data.
+    *
+    * @return (cluster, rep_id, n_members, attrs...) — rep_id is the
+    *         smallest member id. */
+  def goldenRecord(df: DataFrame, idCol: String, clusterCol: String,
+                   attrs: Seq[String]): DataFrame = {
+    require(attrs.nonEmpty && attrs.size <= 32,
+      s"goldenRecord: need 1..32 attrs, got ${attrs.size}")
+    require(attrs.distinct.size == attrs.size, "goldenRecord: dup attrs")
+    val base = df.select(
+      (col(clusterCol).as("cluster") +: col(idCol).as("__id") +:
+        attrs.map(col)): _*)
+      .where(col("cluster").isNotNull)
+      .localCheckpoint()
+    val members = base.groupBy(col("cluster"))
+      .agg(min(col("__id")).as("rep_id"), count(lit(1)).as("n_members"))
+    attrs.foldLeft(members) { (acc, a) =>
+      val votes = base.where(col(a).isNotNull)
+        .groupBy(col("cluster"), col(a))
+        .agg(count(lit(1)).as("__c"))
+      val best = votes.groupBy(col("cluster")).agg(max(col("__c")).as("__m"))
+      val winner = votes.join(best, Seq("cluster"))
+        .where(col("__c") === col("__m"))
+        .groupBy(col("cluster")).agg(min(col(a)).as(a))
+      acc.join(winner, Seq("cluster"), "left")
+    }
+  }
+
   /** Sorted-neighborhood candidate generation + exact Jaccard verify
     * (Hernández & Stolfo, "The merge/purge problem for large
     * databases", SIGMOD 1995 — public literature): an entity-resolution

@@ -55,6 +55,10 @@ object Stats {
       (for (i <- cols.indices; j <- i until cols.size) yield
         sum(dq(cols(i)) * dq(cols(j))).as(s"__p_${cols(i)}_${cols(j)}"))
     val m = quantized.agg(aggs.head, aggs.tail: _*).localCheckpoint()
+    pairsOf(cols, m)
+  }
+
+  private def pairsOf(cols: Seq[String], m: DataFrame): DataFrame = {
     val pairs = for (i <- cols.indices; j <- (i + 1) until cols.size) yield {
       val (a, b) = (cols(i), cols(j))
       val n = col("__n").cast(DoubleType)
@@ -71,5 +75,52 @@ object Stats {
           .otherwise(round(num / den, 6)).as("corr"))
     }
     pairs.reduce(_ unionAll _)
+  }
+
+  /** Benford first-digit audit (Benford, "The Law of Anomalous
+    * Numbers", Proc. Am. Phil. Soc. 1938 — public literature):
+    * organically-generated monetary/size values put digit d first with
+    * probability log₁₀(1+1/d); fabricated, capped, or unit-mangled
+    * data doesn't. A per-digit share table against the Benford
+    * expectation is the cheap data-quality screen before a 100 TB
+    * ingest is trusted.
+    *
+    * Determinism: the first digit is extracted in the INTEGER domain —
+    * first character of ⌊value⌋'s decimal render (values must be
+    * ≥ 1; rows below are excluded and counted in no bucket) — no
+    * log10 of data anywhere. The nine expected shares are pinned
+    * literals (6 dp), not libm calls, so engines can't disagree on
+    * them; each chi² term is one IEEE expression over exact counts
+    * and those literals.
+    *
+    * Scale shape: one narrow scan → a ≤9-key map-side HashAggregate.
+    *
+    * @return (digit, n, share, expected, chi_term) for digits 1–9. */
+  val BenfordExpected: Seq[Double] = Seq(
+    0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
+    0.066947, 0.057992, 0.051153, 0.045757)
+
+  def benfordAudit(df: DataFrame, valCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val digit = substring(
+      floor(col(valCol).cast(DoubleType)).cast("long").cast("string"), 1, 1)
+      .cast("int")
+    val counts = df
+      .where(col(valCol).isNotNull && col(valCol).cast(DoubleType) >= 1.0)
+      .select(digit.as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val total = counts.agg(sum(col("n"))).collect()(0).getLong(0)
+    val expected = BenfordExpected.zipWithIndex
+      .map { case (e, i) => (i + 1, e) }.toDF("digit", "expected")
+    counts.join(broadcast(expected), Seq("digit"))
+      .withColumn("share", round(col("n").cast(DoubleType) / total.toDouble, 6))
+      .withColumn("chi_term", round(
+        (col("n").cast(DoubleType) - col("expected") * total.toDouble) *
+          (col("n").cast(DoubleType) - col("expected") * total.toDouble) /
+          (col("expected") * total.toDouble), 6))
+      .select(col("digit"), col("n"), col("share"), col("expected"),
+        col("chi_term"))
   }
 }

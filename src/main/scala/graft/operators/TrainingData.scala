@@ -506,6 +506,50 @@ object TrainingData {
     perBatch.withColumn("cum_tokens", sum(col("n_new_tokens")).over(w))
   }
 
+  /** Group-wise winsorization: clip a signal at exact per-group
+    * permille bounds — the outlier guard that runs BEFORE moments
+    * (one pathological 500 MB "document" otherwise owns the group's
+    * mean and std, making [[normalizeByGroup]]'s z-scores garbage).
+    * Bounds are [[quantilesByKey]]'s exact histogram quantiles (value
+    * at the smallest cum ≥ ⌈p·n/1000⌉), so clipping is deterministic
+    * and engine-replayable — no approximate percentile sketch
+    * anywhere.
+    *
+    * Scale shape: the quantile pass is histogram-shaped (its own
+    * loudly-guarded contract); bounds are ≤ |groups| rows broadcast
+    * back; the clip itself is a narrow projection — the corpus never
+    * shuffles. Null-key/null-value rows are excluded (the quantile
+    * frame has no bound for them — documented, not silent).
+    *
+    * @return (keyCol, valCol, winsorized, clipped ∈ {low, high,
+    *         none}). */
+  def winsorizeByGroup(df: DataFrame, keyCol: String, valCol: String,
+                       loPermille: Int, hiPermille: Int): DataFrame = {
+    require(loPermille >= 1 && hiPermille <= 1000 &&
+      loPermille < hiPermille,
+      s"winsorizeByGroup: need 1 <= lo < hi <= 1000: " +
+        s"$loPermille, $hiPermille")
+    val qs = quantilesByKey(df, keyCol, valCol,
+      Seq(loPermille, hiPermille))
+    val lo = qs.where(col("q_permille") === loPermille)
+      .select(col("key"), col("value").as("__lo"))
+    val hi = qs.where(col("q_permille") === hiPermille)
+      .select(col("key"), col("value").as("__hi"))
+    df.where(col(keyCol).isNotNull && col(valCol).isNotNull)
+      .select(col(keyCol), col(valCol).cast("long").as(valCol))
+      .join(broadcast(lo), col(keyCol) === lo("key")).drop("key")
+      .join(broadcast(hi), col(keyCol) === hi("key")).drop("key")
+      .withColumn("winsorized",
+        when(col(valCol) < col("__lo"), col("__lo"))
+          .when(col(valCol) > col("__hi"), col("__hi"))
+          .otherwise(col(valCol)))
+      .withColumn("clipped",
+        when(col(valCol) < col("__lo"), lit("low"))
+          .when(col(valCol) > col("__hi"), lit("high"))
+          .otherwise(lit("none")))
+      .select(col(keyCol), col(valCol), col("winsorized"), col("clipped"))
+  }
+
   /** Group-wise z-score normalization — put a quality signal on a
     * common scale ACROSS domains before a global threshold cuts it
     * (raw length/score distributions differ per source; a global

@@ -60,6 +60,29 @@ object EventStreams {
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Stream-static enrichment + rollup: join the event stream against a
+    * BATCH dimension (the classic "decorate clicks with the customer
+    * segment" shape) and aggregate per dimension attribute. The static
+    * side broadcasts — each micro-batch probes the same built hash
+    * relation, no stream-side shuffle for the join, and the dimension
+    * is re-read per batch (so a dim refresh is picked up without
+    * restarting the query — the documented stream-static contract).
+    * Left join: events whose key misses the dimension roll up under
+    * the NULL attribute instead of silently dropping (at 100 TB the
+    * miss rate is itself a signal worth seeing).
+    *
+    * Unwindowed complete-mode aggregate: state is ≤ |attribute values|
+    * rows — dimension-bounded, not stream-bounded. */
+  def enrichAgg(events: DataFrame, dim: DataFrame, keyCol: String,
+                attrCol: String): DataFrame =
+    events
+      .join(broadcast(dim.select(col(keyCol), col(attrCol))),
+        Seq(keyCol), "left")
+      .groupBy(col(attrCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("total_value"))
+
   /** Exactly-once-style ingest dedup: drop event_id re-deliveries within
     * the watermark horizon (state = one id per event inside the horizon,
     * GC'd as the watermark advances — bounded at any scale; an at-least-

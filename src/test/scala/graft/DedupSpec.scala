@@ -502,6 +502,32 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 11 && out.exists(_._3 == 50L))
   }
 
+  test("goldenRecord: modal non-null survivorship, ties to smallest, " +
+    "null never votes") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "A", Some("en"), Some("s1")),
+      (2L, "A", Some("de"), Some("s1")),
+      (3L, "A", Some("en"), Option.empty[String]),
+      (4L, "B", Some("fr"), Some("x")),
+      (5L, "B", Some("it"), Some("y")),
+      (6L, "C", Option.empty[String], Option.empty[String]))
+      .toDF("id", "cl", "lang", "source")
+    val out = graft.operators.Dedup
+      .goldenRecord(df, "id", "cl", Seq("lang", "source"))
+      .orderBy("cluster").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.getString(3)), Option(r.getString(4))))
+    assert(out.toSeq == Seq(
+      ("A", 1L, 3L, Some("en"), Some("s1")),   // en 2-1; s1 2-0 (null mute)
+      ("B", 4L, 2L, Some("fr"), Some("x")),    // ties -> min value
+      ("C", 6L, 1L, None, None)),              // nobody voted -> null
+      out.mkString("\n"))
+    intercept[IllegalArgumentException] {
+      graft.operators.Dedup.goldenRecord(df, "id", "cl", Seq())
+    }
+  }
+
   test("sortedNeighborhoodPairs: prefix-sorted neighbors verify by exact " +
     "jaccard; beyond-window pairs are the documented miss") {
     import spark.implicits._

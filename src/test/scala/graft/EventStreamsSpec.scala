@@ -59,6 +59,24 @@ class EventStreamsSpec extends SparkSpec {
     assert(totalView == 3L * 4L, s"view rows x 4 windows, got $totalView")
   }
 
+  test("stream-static enrichment: broadcast dim join + complete-mode " +
+    "rollup matches the batch join; misses land in the NULL group") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    mem.addData(sampleEvents: _*)
+    val dim = Seq((1L, "gold"), (3L, "silver")).toDF("user_id", "tier")
+    val q = EventStreams.enrichAgg(mem.toDF(), dim, "user_id", "tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("enriched")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getDouble(2))).toSet
+    // user 1 (gold): events 1,2,3 -> 6.0; user 2 unmatched -> null tier
+    assert(got == Set(
+      (Some("gold"), 3L, 6.0), (None, 2L, 9.0)), got.toString)
+  }
+
   test("stateful sessionization agrees with the batch Sessionize operator") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]

@@ -44,6 +44,24 @@ class StatsSpec extends SparkSpec {
     assert(a < -0.9 && a > -1.0, a.toString)
   }
 
+  test("benfordAudit: integer-domain first digits, pinned expectations, " +
+    "exact chi terms; sub-1 values excluded") {
+    import spark.implicits._
+    val df = ((1 to 9).map(_.toDouble) ++ Seq(19.4, 0.5)).toDF("v")
+    val out = Stats.benfordAudit(df, "v").orderBy("digit").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(out.length == 9)
+    assert(out.map(_._2).toSeq == Seq(2L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L))
+    val d1 = out(0)
+    assert(d1._3 == 0.2 && d1._4 == 0.301030)
+    // chi term for digit 1: (2 - 3.0103)^2 / 3.0103, rounded half-up at 6
+    val exp = new java.math.BigDecimal(
+      (2.0 - 3.0103) * (2.0 - 3.0103) / 3.0103)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(d1._5 == exp, s"${d1._5} vs $exp")
+  }
+
   test("bounds reject") {
     import spark.implicits._
     val df = Seq((1L, 2L)).toDF("x", "y")

@@ -1270,6 +1270,23 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("winsorizeByGroup: exact permille bounds clip, flags, passthrough") {
+    import spark.implicits._
+    val df = (1 to 10).map(i => ("g", i.toLong)).toDF("k", "x")
+    // n=10: lo 200‰ -> rank ceil(2)=2 -> 2; hi 800‰ -> rank 8 -> 8
+    val out = graft.operators.TrainingData
+      .winsorizeByGroup(df, "k", "x", 200, 800)
+      .orderBy("x").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 2L, "low"), (2L, 2L, "none"), (3L, 3L, "none"), (4L, 4L, "none"),
+      (5L, 5L, "none"), (6L, 6L, "none"), (7L, 7L, "none"), (8L, 8L, "none"),
+      (9L, 8L, "high"), (10L, 8L, "high")), out.mkString(","))
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainingData.winsorizeByGroup(df, "k", "x", 800, 200)
+    }
+  }
+
   test("normalizeByGroup: exact closed-form z per group, zero-variance " +
     "group yields null") {
     import spark.implicits._
