@@ -2675,6 +2675,46 @@ object Queries {
       FROM enc GROUP BY doc_id"""
   }
 
+  /** Per-language tokenizer-fertility oracle: the [[bpeOracleSql]] CTE
+    * chain aggregated per lang instead of per doc. */
+  private def bpeFertilityOracleSql(merges: Seq[(String, String)]): String = {
+    require(merges.forall(p => p._1 != p._2),
+      "bpe fertility oracle: self-pair rules have no faithful oracle")
+    val inner = merges.foldLeft("d") { case (acc, (a, b)) =>
+      val pat = s"chr(1)||'$a'||chr(1)||'$b'||chr(1)"
+      val rep = s"chr(1)||'$a$b'||chr(1)"
+      s"replace(replace($acc, $pat, $rep), $pat, $rep)"
+    }
+    s"""WITH doc AS (SELECT doc_id, lang, lower(text) AS text,
+          CAST(length(text) AS BIGINT) AS nc FROM documents
+        WHERE length(trim(text)) > 0),
+      ws AS (SELECT doc_id, unnest(list_zip(
+            string_split_regex(trim(text), '\\s+'),
+            range(len(string_split_regex(trim(text), '\\s+'))))) AS p
+        FROM doc),
+      w AS (SELECT doc_id, p[1] AS word FROM ws WHERE p[1] <> ''),
+      framed AS (SELECT doc_id,
+          chr(1) || array_to_string(regexp_extract_all(word, '.'), chr(1))
+            || chr(1) AS d
+        FROM w),
+      enc AS (SELECT doc_id,
+          list_filter(string_split($inner, chr(1)), x -> x <> '') AS toks
+        FROM framed),
+      bpe AS (SELECT doc_id, CAST(SUM(len(toks)) AS BIGINT) AS nb
+        FROM enc GROUP BY doc_id),
+      wc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nw
+        FROM w GROUP BY doc_id)
+      SELECT lang, CAST(SUM(nb) AS BIGINT) AS n_bpe_tokens,
+        CAST(SUM(nw) AS BIGINT) AS n_words,
+        CAST(SUM(nc) AS BIGINT) AS n_chars,
+        ROUND(CAST(SUM(nb) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE), 6)
+          AS fertility,
+        ROUND(CAST(SUM(nc) AS DOUBLE) / CAST(SUM(nb) AS DOUBLE), 6)
+          AS chars_per_token
+      FROM doc JOIN bpe USING (doc_id) JOIN wc USING (doc_id)
+      GROUP BY lang"""
+  }
+
   private val q106 = Q("q106_bpe_encode",
     (s, d) => {
       val toks = graft.functions.BpeEncode.bpeEncode(
@@ -7649,6 +7689,73 @@ object Queries {
           (expected * CAST(total AS DOUBLE)), 6) AS chi_term
       FROM c JOIN e USING (digit), t"""))
 
+  // Tokenizer fertility: BPE tokens per word and chars per token per
+  // language — the tokenizer-evaluation table (a high-fertility language
+  // is paying more sequence length per word).
+  private val q219 = Q("q219_tokenizer_fertility",
+    (s, d) => {
+      val toks = graft.functions.BpeEncode.bpeEncode(
+        lower(col("text")), graft.functions.BpeEncode.DemoMerges)
+      documents(s, d)
+        .where(length(trim(col("text"))) > 0)
+        .select(col("lang"),
+          size(toks).cast("long").as("__nb"),
+          size(filter(graft.functions.TextExprs.tokens(lower(col("text"))),
+            t => t =!= "")).cast("long").as("__nw"),
+          length(col("text")).cast("long").as("__nc"))
+        .groupBy(col("lang"))
+        .agg(sum(col("__nb")).as("n_bpe_tokens"),
+          sum(col("__nw")).as("n_words"),
+          sum(col("__nc")).as("n_chars"))
+        .withColumn("fertility",
+          round(col("n_bpe_tokens").cast("double") /
+            col("n_words").cast("double"), 6))
+        .withColumn("chars_per_token",
+          round(col("n_chars").cast("double") /
+            col("n_bpe_tokens").cast("double"), 6))
+    },
+    Some(bpeFertilityOracleSql(graft.functions.BpeEncode.DemoMerges)))
+
+  // Deterministic stratified k-fold audit: per (lang, fold) balance.
+  private val q220 = Q("q220_kfold_report",
+    (s, d) => graft.operators.TrainingData.kFoldReport(
+      documents(s, d), "doc_id", "lang", k = 5),
+    Some("""WITH f AS (SELECT lang AS stratum,
+        CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 16))
+          AS UBIGINT) % 9223372036854775808 AS BIGINT) % 5 AS fold
+      FROM documents),
+      c AS (SELECT stratum, fold, COUNT(*) AS n FROM f GROUP BY 1, 2),
+      t AS (SELECT stratum, CAST(SUM(n) AS BIGINT) AS tot FROM c
+        GROUP BY 1)
+      SELECT c.stratum, c.fold, n,
+        ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+      FROM c JOIN t USING (stratum)"""))
+
+  // Collocation extraction: directed adjacent-pair PMI with a
+  // transcendental-free ratio sort, min-count guarded.
+  private val q221 = Q("q221_collocations",
+    (s, d) => graft.operators.TrainingData.collocations(
+      documents(s, d), "doc_id", "text", minCount = 20L, topK = 40),
+    Some("""WITH bg AS (SELECT p[1] AS a, p[2] AS b, COUNT(*) AS n_ab
+      FROM (SELECT unnest(list_transform(range(len(tk) - 1),
+              i -> [tk[i + 1], tk[i + 2]])) AS p
+            FROM (SELECT string_split_regex(trim(lower(text)), '\s+') AS tk
+                  FROM documents)
+            WHERE len(tk) >= 2)
+      WHERE p[1] <> '' AND p[2] <> '' GROUP BY 1, 2),
+      lft AS (SELECT a, CAST(SUM(n_ab) AS BIGINT) AS n_a FROM bg
+        GROUP BY 1),
+      rgt AS (SELECT b, CAST(SUM(n_ab) AS BIGINT) AS n_b FROM bg
+        GROUP BY 1),
+      tot AS (SELECT CAST(SUM(n_ab) AS DOUBLE) AS nd FROM bg),
+      sc AS (SELECT a, b, n_ab, n_a, n_b,
+          CAST(n_ab AS DOUBLE) * nd /
+            (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS r
+        FROM bg JOIN lft USING (a) JOIN rgt USING (b), tot
+        WHERE n_ab >= 20)
+      SELECT a, b, n_ab, n_a, n_b, ROUND(LN(r), 6) AS pmi
+      FROM sc ORDER BY r DESC, a, b LIMIT 40"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -7667,7 +7774,8 @@ object Queries {
     q175, q176, q177, q178, q179, q180, q181, q182, q183, q184, q185,
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
-    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218)
+    q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
+    q219, q220, q221)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -506,6 +506,87 @@ object TrainingData {
     perBatch.withColumn("cum_tokens", sum(col("n_new_tokens")).over(w))
   }
 
+  /** Deterministic stratified k-fold assignment — cross-validation
+    * folds from the id hash, so every engine, every re-run, and every
+    * node of a 1000-executor cluster assigns the SAME fold without
+    * coordination (no RNG, no shuffle for the assignment itself:
+    * `fold = stable63(id) mod k`, a narrow projection). Stratification
+    * is a property to AUDIT, not enforce: the hash is independent of
+    * the stratum, so folds are balanced in expectation, and the audit
+    * aggregate this returns alongside per-row assignment
+    * ([[kFoldReport]]) is the check.
+    *
+    * @return input rows + `fold` ∈ [0, k). */
+  def kFoldAssign(df: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, s"kFoldAssign: k must be in [2, 1000]: $k")
+    df.withColumn("fold",
+      pmod(graft.functions.StableId63.stableId63(
+        col(idCol).cast("string")), lit(k.toLong)))
+  }
+
+  /** The fold-balance audit: per (stratum, fold) counts and the fold's
+    * share within its stratum — one map-side aggregate over
+    * [[kFoldAssign]]'s narrow projection. */
+  def kFoldReport(df: DataFrame, idCol: String, stratumCol: String,
+                  k: Int): DataFrame = {
+    val folded = kFoldAssign(df, idCol, k)
+      .select(col(stratumCol).as("stratum"), col("fold"))
+      .groupBy(col("stratum"), col("fold"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val totals = folded.groupBy(col("stratum"))
+      .agg(sum(col("n")).as("__t"))
+    folded.join(totals, Seq("stratum"))
+      .withColumn("share",
+        round(col("n").cast("double") / col("__t").cast("double"), 6))
+      .select(col("stratum"), col("fold"), col("n"), col("share"))
+  }
+
+  /** Collocation extraction by pointwise mutual information over
+    * DIRECTED adjacent-token events (Church & Hanks 1990): word pairs
+    * that co-occur far above chance — multi-word expressions, named
+    * entities, domain terms — the phrase inventory a tokenizer or
+    * quality pipeline wants to know about. PMI(a→b) =
+    * ln(c_ab·N / (c_a·c_b)) where c_a / c_b are the LEFT / RIGHT
+    * marginals of the bigram event table and N its total.
+    *
+    * Exactness: the sort key is the double likelihood ratio (exact
+    * integer inputs, correctly-rounded IEEE ops, [[tokenLabelPmi]]'s
+    * protocol) — ln only decorates the output. `minCount` kills the
+    * hapax pairs whose PMI is degenerately high.
+    *
+    * Scale shape: one scan → one (a,b)-keyed map-side count; both
+    * marginals and N are SECOND-LEVEL aggregates of that result;
+    * global top-k is a TakeOrderedAndProject. */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Long, topK: Int): DataFrame = {
+    require(minCount >= 1, s"collocations: minCount must be >= 1: $minCount")
+    require(topK >= 1 && topK <= 100000,
+      s"collocations: topK must be in [1, 100000]: $topK")
+    val tk = TextExprs.tokens(lower(col(textCol)))
+    val bigrams = docs
+      .select(explode(filter(
+        transform(tk, (t, i) =>
+          when(i < size(tk) - 1,
+            struct(t.as("a"), element_at(tk, i + 2).as("b")))),
+        p => p.isNotNull)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .where(col("a") =!= "" && col("b") =!= "")
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint()
+    val left = bigrams.groupBy(col("a")).agg(sum(col("n_ab")).as("n_a"))
+    val right = bigrams.groupBy(col("b")).agg(sum(col("n_ab")).as("n_b"))
+    val n = bigrams.agg(sum(col("n_ab"))).collect()(0).getLong(0)
+    bigrams.join(left, Seq("a")).join(right, Seq("b"))
+      .where(col("n_ab") >= minCount)
+      .withColumn("__r", col("n_ab").cast("double") * n.toDouble /
+        (col("n_a").cast("double") * col("n_b").cast("double")))
+      .orderBy(col("__r").desc, col("a"), col("b"))
+      .limit(topK)
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        round(log(col("__r")), 6).as("pmi"))
+  }
+
   /** Group-wise winsorization: clip a signal at exact per-group
     * permille bounds — the outlier guard that runs BEFORE moments
     * (one pathological 500 MB "document" otherwise owns the group's

@@ -1270,6 +1270,51 @@ class TrainingDataSpec extends SparkSpec {
     }
   }
 
+  test("kFoldAssign/Report: deterministic hash folds in [0,k), " +
+    "partitioning-invariant, shares sum to 1 per stratum") {
+    import spark.implicits._
+    val df = (0L until 200L).map(i => (i, s"lang${i % 3}")).toDF("id", "lang")
+    val folds = graft.operators.TrainingData.kFoldAssign(df, "id", 5)
+    assert(folds.where(col("fold") < 0 || col("fold") >= 5).count() == 0)
+    val a = folds.orderBy("id").collect().map(_.getLong(2))
+    val b = graft.operators.TrainingData
+      .kFoldAssign(df.repartition(11), "id", 5)
+      .orderBy("id").collect().map(_.getLong(2))
+    assert(a.toSeq == b.toSeq)
+    val rep = graft.operators.TrainingData.kFoldReport(df, "id", "lang", 5)
+    val byStratum = rep.groupBy("stratum")
+      .agg(sum("n").as("n"), sum("share").as("s")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    byStratum.foreach { case (st, n, s) =>
+      assert(n > 0 && math.abs(s - 1.0) < 1e-4, s"$st $n $s")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainingData.kFoldAssign(df, "id", 1)
+    }
+  }
+
+  test("collocations: directed bigram PMI, ratio-ordered, min-count guard") {
+    import spark.implicits._
+    val docs = Seq((1L, "new york new york"), (2L, "new york city"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.TrainingData
+      .collocations(docs, "doc_id", "text", minCount = 1L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    // events: (new,york)x3, (york,new)x1, (york,city)x1 -> N=5
+    // ratios: york->city 5/2=2.5, york->new 2.5, new->york 15/9
+    def pmi(r: Double) = new java.math.BigDecimal(math.log(r))
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
+    assert(out.toSeq == Seq(
+      ("york", "city", 1L, 2L, 1L, pmi(2.5)),
+      ("york", "new", 1L, 2L, 1L, pmi(2.5)),
+      ("new", "york", 3L, 3L, 3L, pmi(5.0/ 3.0))), out.mkString("\n"))
+    // min-count kills the hapax pairs
+    val mc = graft.operators.TrainingData
+      .collocations(docs, "doc_id", "text", 2L, 10).collect()
+    assert(mc.length == 1 && mc(0).getString(0) == "new")
+  }
+
   test("winsorizeByGroup: exact permille bounds clip, flags, passthrough") {
     import spark.implicits._
     val df = (1 to 10).map(i => ("g", i.toLong)).toDF("k", "x")
