@@ -7756,6 +7756,78 @@ object Queries {
       SELECT a, b, n_ab, n_a, n_b, ROUND(LN(r), 6) AS pmi
       FROM sc ORDER BY r DESC, a, b LIMIT 40"""))
 
+  // Streaming fixed-window rate limiter: at most 1 admitted event per
+  // user per hour, slot-numbered — equals the batch row_number gate.
+  private val q222 = Q("q222_streaming_rate_limit",
+    (s, d) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val dir = Queries.stagedEventsDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_stream_${Queries.stagingSuffix(d)}")
+        f.mkdirs()
+        Queries.stageParquetCopy(s"$d/events.parquet", f, "events")
+        f
+      })
+      val rawSchema = s.read.parquet(dir.getAbsolutePath).schema
+      val ev = Tables.normalizeEventTs(
+          s.readStream.schema(rawSchema).parquet(dir.getAbsolutePath))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[graft.streaming.EventStreams.Event]
+      val sink = "graft_q222_sink"
+      Queries.withStreamingParallelism(s) {
+        graft.streaming.EventStreams
+          .rateLimitPerKey(ev, windowMinutes = 60, maxPerWindow = 1L)
+          .toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("update")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+      }
+      s.table(sink).select(col("event_id"), col("user_id"),
+        date_format(col("window_start"), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"),
+        col("slot"))
+    },
+    Some("""WITH r AS (SELECT event_id, user_id,
+        date_trunc('hour', ts) AS w,
+        row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+          ORDER BY ts, event_id) AS slot
+      FROM events)
+      SELECT event_id, user_id,
+        strftime(w, '%Y-%m-%d %H:%M:%S') AS window_start,
+        CAST(slot AS BIGINT) AS slot
+      FROM r WHERE slot <= 1"""))
+
+  // Language-ID confusion matrix: the n-gram classifier scored against
+  // the labeled lang column, with per-truth-language shares.
+  private val q223 = Q("q223_langid_confusion",
+    (s, d) => documents(s, d)
+      .select(col("lang"), TextExprs.langId(col("text")).as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("lang"))).cast("double"),
+        6)),
+    Some {
+      val cnts = TextExprs.langStopwords.map { case (l, sw) =>
+        s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN (${sw.map(w => s"'$w'").mkString(",")}))) AS c_$l"
+      }.mkString(", ")
+      val langs = TextExprs.langStopwords.map(_._1)
+      val greatest = s"GREATEST(${langs.map("c_" + _).mkString(",")})"
+      val cases = langs.map(l => s"WHEN c_$l = $greatest THEN '$l'").mkString(" ")
+      s"""WITH c AS (SELECT doc_id, lang, $cnts FROM documents),
+        p AS (SELECT lang,
+          CASE WHEN $greatest = 0 THEN 'unk' $cases END AS pred_lang
+          FROM c),
+        g AS (SELECT lang, pred_lang, COUNT(*) AS n FROM p GROUP BY 1, 2),
+        t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot FROM g GROUP BY 1)
+        SELECT g.lang, pred_lang, n,
+          ROUND(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS share
+        FROM g JOIN t USING (lang)"""
+    })
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -7775,7 +7847,7 @@ object Queries {
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221)
+    q219, q220, q221, q222, q223)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

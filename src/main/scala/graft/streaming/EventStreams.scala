@@ -201,4 +201,62 @@ object EventStreams {
       .select(col("effect_id"), col("cause_id").as("cause_id"),
         col("user_id"), col("effect_ts"), col("c_ts").as("cause_ts"))
   }
+
+  final case class Admitted(event_id: Long, user_id: Long,
+                            window_start: java.sql.Timestamp, slot: Long)
+  final case class RateState(windows: Map[Long, Long])
+
+  /** Streaming fixed-window rate limiter — the frontier-politeness gate
+    * at FETCH time ("at most `maxPerWindow` requests per key per
+    * tumbling window"; the batch scheduler's TopK politeness bounds
+    * the plan, this bounds the live stream). flatMapGroupsWithState
+    * keeps one tiny (window → admitted-count) map per key; admitted
+    * events emit with their slot (1-based within the window), excess
+    * rows are silently deferred (re-submission is the caller's loop,
+    * exactly like a real fetch scheduler).
+    *
+    * Determinism: within a micro-batch a key's rows are sorted by
+    * (ts, event_id) before admission, so the decision is the batch
+    * `row_number() ≤ R` formulation whenever delivery is in-order
+    * across batches (the gate's AvailableNow drain is; true re-ordered
+    * delivery admits first-arrived — at-most-R holds regardless, the
+    * documented streaming contract). State eviction: windows older
+    * than the newest-seen window minus `horizonWindows` drop — bounded
+    * state per key at any stream length.
+    *
+    * Memory: the per-batch sort buffers one KEY's micro-batch rows —
+    * bounded by per-key arrival rate (a frontier's per-host rate is
+    * politeness-bounded by construction; documented). */
+  def rateLimitPerKey(events: Dataset[Event], windowMinutes: Int,
+                      maxPerWindow: Long,
+                      horizonWindows: Long = 48L): Dataset[Admitted] = {
+    require(windowMinutes >= 1 && maxPerWindow >= 1 && horizonWindows >= 1,
+      s"rateLimitPerKey: positive window/max/horizon required")
+    import events.sparkSession.implicits._
+    val wUs = windowMinutes.toLong * 60L * 1000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[RateState, Admitted](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        case (uid, rows, state: GroupState[RateState]) =>
+          var wins = state.getOption.map(_.windows).getOrElse(Map.empty)
+          val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer.empty[Admitted]
+          sorted.foreach { e =>
+            val w = micros(e.ts) / wUs * wUs
+            val cnt = wins.getOrElse(w, 0L)
+            if (cnt < maxPerWindow) {
+              wins = wins.updated(w, cnt + 1L)
+              out += Admitted(e.event_id, uid,
+                new java.sql.Timestamp(w / 1000L), cnt + 1L)
+            }
+          }
+          if (wins.nonEmpty) {
+            val newest = wins.keys.max
+            wins = wins.filter(_._1 > newest - horizonWindows * wUs)
+            state.update(RateState(wins))
+          }
+          out.iterator
+      }
+  }
 }

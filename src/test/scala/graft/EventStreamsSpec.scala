@@ -77,6 +77,43 @@ class EventStreamsSpec extends SparkSpec {
       (Some("gold"), 3L, 6.0), (None, 2L, 9.0)), got.toString)
   }
 
+  test("rateLimitPerKey: at most R per key per window, slots ordered by " +
+    "(ts, event_id), state persists across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Event]
+    mem.addData(sampleEvents: _*)
+    val q = EventStreams.rateLimitPerKey(mem.toDS(), windowMinutes = 60,
+      maxPerWindow = 1L)
+      .toDF().writeStream.format("memory").queryName("rate")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      // u1: 10:00 admitted, 10:10 deferred, 11:00:01 admitted (new hour);
+      // u2: 10:05 admitted, 10:20 deferred
+      val got = spark.table("rate").select("event_id", "slot")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 1L), (3L, 1L), (4L, 1L)), got.toString)
+      // a second micro-batch in an already-full window defers entirely
+      mem.addData(EventStreams.Event(9,
+        java.sql.Timestamp.valueOf("2024-01-01 10:40:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      val after = spark.table("rate").select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(after == Set(1L, 3L, 4L), after.toString)
+    } finally q.stop()
+    // R=2 admits the second event with slot 2
+    val mem2 = MemoryStream[EventStreams.Event]
+    mem2.addData(sampleEvents: _*)
+    val q2 = EventStreams.rateLimitPerKey(mem2.toDS(), 60, 2L)
+      .toDF().writeStream.format("memory").queryName("rate2")
+      .outputMode("update").start()
+    try q2.processAllAvailable() finally q2.stop()
+    val got2 = spark.table("rate2").select("event_id", "slot")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == Set((1L, 1L), (2L, 2L), (3L, 1L), (4L, 1L), (5L, 2L)),
+      got2.toString)
+  }
+
   test("stateful sessionization agrees with the batch Sessionize operator") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]
