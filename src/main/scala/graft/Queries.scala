@@ -7828,6 +7828,58 @@ object Queries {
         FROM g JOIN t USING (lang)"""
     })
 
+  // Late-arrival audit: lateness behind the per-user running max event
+  // time, in ingest order — sizes a watermark before deploying one.
+  private val q224 = Q("q224_lateness_audit",
+    (s, d) => graft.operators.Sessionize.latenessAudit(
+      events(s, d), "user_id", "ts", "event_id", horizonSeconds = 3600L),
+    Some("""WITH l AS (SELECT user_id,
+        GREATEST(COALESCE(MAX(epoch_us(ts)) OVER (PARTITION BY user_id
+          ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND
+          1 PRECEDING) - epoch_us(ts), 0), 0) AS late_us
+      FROM events)
+      SELECT user_id, COUNT(*) AS n_events,
+        CAST(SUM(CASE WHEN late_us > 3600000000 THEN 1 ELSE 0 END)
+          AS BIGINT) AS n_late,
+        CAST(MAX(late_us // 1000000) AS BIGINT) AS max_lateness_s
+      FROM l GROUP BY user_id"""))
+
+  // Order-independent table fingerprints: XOR of 63-bit row hashes +
+  // counts — the cross-engine migration-validation check.
+  private val q225 = Q("q225_table_fingerprint",
+    (s, d) => {
+      def fp(df: DataFrame, table: String, canonical: Column) =
+        graft.operators.Stats.contentFingerprint(df, canonical)
+          .select(lit(table).as("tbl"), col("n_rows"), col("fingerprint"))
+      fp(customer(s, d), "customer",
+        concat_ws("|", col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal").cast(DecimalType(18, 2)), col("c_mktsegment")))
+        .unionAll(fp(orders(s, d), "orders",
+          concat_ws("|", col("o_orderkey"), col("o_custkey"),
+            col("o_orderstatus"),
+            col("o_totalprice").cast(DecimalType(18, 2)),
+            date_format(col("o_orderdate"), "yyyy-MM-dd"),
+            col("o_orderpriority"))))
+    },
+    Some("""SELECT 'customer' AS tbl, COUNT(*) AS n_rows,
+      COALESCE(bit_xor(CAST(CAST(('0x' || substring(md5(
+        CAST(c_custkey AS VARCHAR) || '|' || c_name || '|' ||
+        CAST(c_nationkey AS VARCHAR) || '|' ||
+        CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+        c_mktsegment), 1, 16)) AS UBIGINT)
+        % 9223372036854775808 AS BIGINT)), 0) AS fingerprint
+      FROM customer
+      UNION ALL
+      SELECT 'orders', COUNT(*),
+      COALESCE(bit_xor(CAST(CAST(('0x' || substring(md5(
+        CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR)
+        || '|' || o_orderstatus || '|' ||
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+        strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') || '|' ||
+        o_orderpriority), 1, 16)) AS UBIGINT)
+        % 9223372036854775808 AS BIGINT)), 0)
+      FROM orders"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -7847,7 +7899,7 @@ object Queries {
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223)
+    q219, q220, q221, q222, q223, q224, q225)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

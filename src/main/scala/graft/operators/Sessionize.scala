@@ -83,6 +83,38 @@ object Sessionize {
         (col("z").isNotNull && abs(col("z")) >= 3.0).as("is_anomaly"))
   }
 
+  /** Late-arrival audit: per key, how far events arrive BEHIND the
+    * newest event time already seen on that key's stream (arrival
+    * order = `arrivalCol`, a monotone ingest id) — the measurement
+    * that SIZES a watermark before you deploy one. An event whose
+    * lateness exceeds `horizonSeconds` is exactly the event
+    * `withWatermark(horizon)` would drop; running this audit over a
+    * day of history tells you the drop rate every candidate horizon
+    * buys, instead of guessing.
+    *
+    * Exact integer micros throughout (running max per key via one
+    * keyed window — the sessionization exchange, never global).
+    *
+    * @return (key, n_events, n_late, max_lateness_s) per key with at
+    *         least one late event... no — EVERY key, zeros included
+    *         (the healthy keys are the denominator). */
+  def latenessAudit(events: DataFrame, keyCol: String, tsCol: String,
+                    arrivalCol: String, horizonSeconds: Long): DataFrame = {
+    require(horizonSeconds >= 0,
+      s"latenessAudit: horizonSeconds must be >= 0: $horizonSeconds")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val lateUs = max(unix_micros(col(tsCol))).over(w) -
+      unix_micros(col(tsCol))
+    events
+      .withColumn("__late_us", greatest(coalesce(lateUs, lit(0L)), lit(0L)))
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("__late_us") > horizonSeconds * 1000000L, 1L)
+          .otherwise(0L)).as("n_late"),
+        max(expr("__late_us DIV 1000000")).as("max_lateness_s"))
+  }
+
   /** New-entity arrival curve: how many NEVER-BEFORE-SEEN entities
     * (users, hosts, devices) appear each day, plus the cumulative
     * total — the growth/acquisition curve, and running

@@ -96,6 +96,28 @@ object Stats {
     * Scale shape: one narrow scan → a ≤9-key map-side HashAggregate.
     *
     * @return (digit, n, share, expected, chi_term) for digits 1–9. */
+  /** Order-independent content fingerprint: XOR of 63-bit md5 row
+    * hashes + exact row count — the migration-validation primitive
+    * ("is the copied table byte-equivalent?") that needs no sort, no
+    * collect, and compares across ENGINES because the hash is the
+    * repo's engine-portable [[graft.functions.StableId63]]. XOR is
+    * commutative/associative, so the aggregate is map-side combined
+    * and partitioning-invariant by construction. Caveat (documented,
+    * inherent): XOR is duplicate-PAIR-blind — a row appearing twice
+    * cancels itself — which the row count catches unless the dup
+    * displaces another row; for a stronger check fingerprint disjoint
+    * partitions of the table separately.
+    *
+    * The caller supplies the canonical row rendering (column order,
+    * numeric formatting) — determinism of the render is the caller's
+    * contract, exactly as with the P9 surrogate key.
+    *
+    * @return one row: (n_rows, fingerprint). */
+  def contentFingerprint(df: DataFrame, canonical: Column): DataFrame =
+    df.select(graft.functions.StableId63.stableId63(canonical).as("__h"))
+      .agg(count(lit(1)).as("n_rows"),
+        coalesce(expr("bit_xor(__h)"), lit(0L)).as("fingerprint"))
+
   val BenfordExpected: Seq[Double] = Seq(
     0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
     0.066947, 0.057992, 0.051153, 0.045757)

@@ -66,6 +66,33 @@ class SessionizeSpec extends SparkSpec {
       (5L, "1970-01-06", 1L, 4L)), out.mkString(","))
   }
 
+  test("latenessAudit: running-max lateness in arrival order, horizon " +
+    "threshold, zero rows for in-order keys") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: arrival ids 1,2,3 with ts 10:00, 09:30 (30 min late),
+      // 11:00 — horizon 600 s flags the 09:30 event
+      (1L, 1L, "2024-01-01 10:00:00"),
+      (2L, 1L, "2024-01-01 09:30:00"),
+      (3L, 1L, "2024-01-01 11:00:00"),
+      // user 2: strictly in order
+      (4L, 2L, "2024-01-01 08:00:00"),
+      (5L, 2L, "2024-01-01 09:00:00"))
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = graft.operators.Sessionize
+      .latenessAudit(ev, "user_id", "ts", "event_id", horizonSeconds = 600L)
+      .orderBy("user_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 3L, 1L, 1800L), (2L, 2L, 0L, 0L)),
+      out.mkString(","))
+    // a bigger horizon clears the flag but keeps the measured max
+    val loose = graft.operators.Sessionize
+      .latenessAudit(ev, "user_id", "ts", "event_id", 7200L)
+      .where(col("user_id") === 1L).collect()(0)
+    assert(loose.getLong(2) == 0L && loose.getLong(3) == 1800L)
+  }
+
   test("eventTransitions: per-user consecutive steps, exact shares, " +
     "same-timestamp order pinned by the tiebreak") {
     import spark.implicits._

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Stats
+import org.apache.spark.sql.functions.{col, lit}
 
 /** Exact-moment Pearson correlations: known values, zero-variance null,
   * quantization, partitioning invariance. */
@@ -60,6 +61,21 @@ class StatsSpec extends SparkSpec {
       (2.0 - 3.0103) * (2.0 - 3.0103) / 3.0103)
       .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue
     assert(d1._5 == exp, s"${d1._5} vs $exp")
+  }
+
+  test("contentFingerprint: order-independent, content-sensitive, " +
+    "empty-safe") {
+    import spark.implicits._
+    val a = Seq("r1", "r2", "r3").toDF("c")
+    val b = Seq("r3", "r1", "r2").toDF("c").repartition(5)
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      Stats.contentFingerprint(df, col("c")).collect()(0)
+    assert(fp(a).getLong(0) == 3L)
+    assert(fp(a).getLong(1) == fp(b).getLong(1))   // order/layout invariant
+    val c = Seq("r1", "r2", "rX").toDF("c")
+    assert(fp(a).getLong(1) != fp(c).getLong(1))   // content sensitive
+    val e = spark.emptyDataFrame.withColumn("c", lit("x")).where(lit(false))
+    assert(fp(e).getLong(0) == 0L && fp(e).getLong(1) == 0L)
   }
 
   test("bounds reject") {
