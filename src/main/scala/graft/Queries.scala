@@ -7880,6 +7880,45 @@ object Queries {
         % 9223372036854775808 AS BIGINT)), 0)
       FROM orders"""))
 
+  // Transition dwell-time quantiles: exact median/p90 seconds per
+  // (from→to) step — eventTransitions says where, this says how fast.
+  private val q226 = Q("q226_transition_gaps",
+    (s, d) => graft.operators.Sessionize.transitionGapQuantiles(
+      events(s, d), "user_id", "ts", "event_id", "event_type",
+      permille = Seq(500, 900)),
+    Some("""WITH st AS (SELECT event_type AS ft,
+        lead(event_type) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS tt,
+        (lead(epoch_us(ts)) OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) - epoch_us(ts)) // 1000000 AS gap
+      FROM events),
+      g AS (SELECT ft || '>' || tt AS key, CAST(gap AS BIGINT) AS v
+        FROM st WHERE tt IS NOT NULL),
+      h AS (SELECT key, v, COUNT(*) AS cnt FROM g GROUP BY 1, 2),
+      c AS (SELECT key, v,
+        SUM(cnt) OVER (PARTITION BY key ORDER BY v) AS cum,
+        SUM(cnt) OVER (PARTITION BY key) AS n FROM h),
+      q AS (SELECT key, CAST(p AS BIGINT) AS q_permille,
+          CAST(MAX(n) AS BIGINT) AS n, MIN(v) AS value
+        FROM c, (SELECT unnest([500, 900]) AS p)
+        WHERE cum >= (p * n + 999) // 1000 GROUP BY 1, 2)
+      SELECT key AS transition, q_permille, n, value FROM q"""))
+
+  // Per-source exact-duplicate rate: which ingest stream pays for
+  // copies, before any near-dup compute is spent on it.
+  private val q227 = Q("q227_dup_rate_by_source",
+    (s, d) => graft.operators.Dedup.dupRateByGroup(
+      documents(s, d), "doc_id", "text", "source"),
+    Some("""WITH f AS (SELECT source AS grp,
+        md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+      FROM documents),
+      c AS (SELECT grp, fp, COUNT(*) AS n FROM f GROUP BY 1, 2)
+      SELECT grp, CAST(SUM(n) AS BIGINT) AS n_docs,
+        COUNT(*) AS n_distinct,
+        ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / CAST(SUM(n) AS DOUBLE), 6)
+          AS dup_rate
+      FROM c GROUP BY 1"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -7899,7 +7938,7 @@ object Queries {
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -1096,6 +1096,31 @@ object Dedup {
       .select(col("component"), col("doc").as("rep"), col("n_members"))
   }
 
+  /** Per-group duplication report: exact-duplicate rate per source /
+    * host / shard — which ingest stream is paying for copies. Uses the
+    * [[exactKeepBest]] fingerprint (md5 of the whitespace-collapsed
+    * lowercased text), counts docs vs distinct fingerprints per group.
+    * dup_rate = 1 − distinct/docs; a boilerplate-mirroring source
+    * jumps out before any near-dup pass spends compute on it.
+    *
+    * One (group, fp)-keyed map-side aggregate, one per-group rollup —
+    * text never shuffles (only 32-char fingerprints).
+    *
+    * @return (grp, n_docs, n_distinct, dup_rate). */
+  def dupRateByGroup(docs: DataFrame, idCol: String, textCol: String,
+                     groupCol: String): DataFrame =
+    docs
+      .select(col(groupCol).as("grp"),
+        md5(lower(regexp_replace(trim(col(textCol)), "\\s+", " ")))
+          .as("__fp"))
+      .groupBy(col("grp"), col("__fp"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("grp"))
+      .agg(sum(col("__n")).as("n_docs"), count(lit(1)).as("n_distinct"))
+      .withColumn("dup_rate",
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          col("n_docs").cast("double"), 6))
+
   /** Golden-record survivorship: collapse each duplicate cluster to ONE
     * record whose attributes are field-wise MODAL values (most frequent
     * non-null wins, ties to the smallest value — deterministic, the

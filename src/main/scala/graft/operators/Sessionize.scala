@@ -83,6 +83,36 @@ object Sessionize {
         (col("z").isNotNull && abs(col("z")) >= 3.0).as("is_anomaly"))
   }
 
+  /** Transition dwell-time quantiles: for each (from → to) event-type
+    * step, the exact permille quantiles of the gap in SECONDS — "how
+    * long between add-to-cart and purchase, at the median and the
+    * tail" — [[eventTransitions]] says WHERE users go, this says HOW
+    * FAST. Gaps are exact integer seconds (micros DIV 10⁶); quantiles
+    * ride [[graft.operators.TrainingData.quantilesByKey]]'s exact
+    * histogram protocol (guarded against continuous blow-up — seconds
+    * granularity keeps the histogram small by construction).
+    *
+    * Scale shape: one user-keyed lead window (the sessionization
+    * exchange) → the histogram-shaped quantile pass.
+    *
+    * @return (transition, q_permille, n, value) — value in seconds. */
+  def transitionGapQuantiles(events: DataFrame, userCol: String,
+      tsCol: String, tieBreak: String, typeCol: String,
+      permille: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tieBreak))
+    val gaps = events
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__next_type", lead(col(typeCol), 1).over(w))
+      .withColumn("__next_us", lead(col("__us"), 1).over(w))
+      .where(col("__next_type").isNotNull)
+      .select(concat(col(typeCol), lit(">"), col("__next_type"))
+        .as("transition"),
+        expr("(__next_us - __us) DIV 1000000").as("__gap_s"))
+    TrainingData.quantilesByKey(gaps, "transition", "__gap_s", permille)
+      .withColumnRenamed("key", "transition")
+  }
+
   /** Late-arrival audit: per key, how far events arrive BEHIND the
     * newest event time already seen on that key's stream (arrival
     * order = `arrivalCol`, a monotone ingest id) — the measurement

@@ -502,6 +502,21 @@ class DedupSpec extends SparkSpec {
     assert(out.size == 11 && out.exists(_._3 == 50L))
   }
 
+  test("dupRateByGroup: normalized-fingerprint duplicate share per group") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "x"), (2L, "s1", "  X "), (3L, "s1", "y"),
+      (4L, "s2", "a"), (5L, "s2", "b"))
+      .toDF("doc_id", "source", "text")
+    val out = graft.operators.Dedup
+      .dupRateByGroup(docs, "doc_id", "text", "source")
+      .orderBy("grp").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // s1: "x" and "  X " normalize identically -> 2 distinct of 3
+    assert(out.toSeq == Seq(("s1", 3L, 2L, 0.333333), ("s2", 2L, 2L, 0.0)),
+      out.mkString(","))
+  }
+
   test("goldenRecord: modal non-null survivorship, ties to smallest, " +
     "null never votes") {
     import spark.implicits._

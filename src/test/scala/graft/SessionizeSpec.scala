@@ -66,6 +66,27 @@ class SessionizeSpec extends SparkSpec {
       (5L, "1970-01-06", 1L, 4L)), out.mkString(","))
   }
 
+  test("transitionGapQuantiles: exact per-transition gap quantiles in " +
+    "seconds") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "A"),
+      (2L, 1L, "2024-01-01 10:05:00", "B"),
+      (3L, 1L, "2024-01-01 10:06:00", "A"),
+      (4L, 1L, "2024-01-01 10:36:00", "B"))
+      .toDF("event_id", "user_id", "ts_s", "event_type")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val out = graft.operators.Sessionize
+      .transitionGapQuantiles(ev, "user_id", "ts", "event_id",
+        "event_type", Seq(500, 1000))
+      .orderBy("transition", "q_permille").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // A>B gaps {300, 1800}: median 300, max 1800; B>A gap {60}
+    assert(out.toSeq == Seq(
+      ("A>B", 500L, 2L, 300L), ("A>B", 1000L, 2L, 1800L),
+      ("B>A", 500L, 1L, 60L), ("B>A", 1000L, 1L, 60L)), out.mkString(","))
+  }
+
   test("latenessAudit: running-max lateness in arrival order, horizon " +
     "threshold, zero rows for in-order keys") {
     import spark.implicits._
