@@ -7919,6 +7919,104 @@ object Queries {
           AS dup_rate
       FROM c GROUP BY 1"""))
 
+  // End-to-end curation chain: language gate → exact keep-best dedup →
+  // deterministic PPS-systematic sample — three verified operators
+  // composed the way a production corpus build runs them.
+  private val q228 = Q("q228_curation_chain",
+    (s, d) => {
+      val docs = documents(s, d)
+      val en = docs.where(TextExprs.langId(col("text")) === "en")
+      val kept = graft.operators.Dedup
+        .exactKeepBest(en, "doc_id", "text", "n_chars")
+        .select(col("doc_id"))
+        .join(en, Seq("doc_id"))
+      graft.operators.TrainingData.weightedSystematicSample(
+        kept, "doc_id", "n_chars", k = 50)
+    },
+    Some {
+      val cnts = TextExprs.langStopwords.map { case (l, sw) =>
+        s"len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x IN (${sw.map(w => s"'$w'").mkString(",")}))) AS c_$l"
+      }.mkString(", ")
+      val langs = TextExprs.langStopwords.map(_._1)
+      val greatest = s"GREATEST(${langs.map("c_" + _).mkString(",")})"
+      val cases = langs.map(l => s"WHEN c_$l = $greatest THEN '$l'").mkString(" ")
+      s"""WITH cl AS (SELECT doc_id, text, n_chars, $cnts FROM documents),
+        en AS (SELECT doc_id, text, n_chars FROM cl
+          WHERE (CASE WHEN $greatest = 0 THEN 'unk' $cases END) = 'en'),
+        kb AS (SELECT doc_id, n_chars FROM (
+          SELECT doc_id, n_chars, ROW_NUMBER() OVER (
+            PARTITION BY md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+            ORDER BY n_chars DESC, doc_id) AS rn FROM en) WHERE rn = 1),
+        t AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+          CAST(SUM(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id, n_chars
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM kb),
+        s AS (SELECT GREATEST(1, CAST(SUM(CAST(n_chars AS BIGINT))
+            AS BIGINT) // 50) AS stride FROM kb)
+        SELECT doc_id, w AS n_chars,
+          CAST((cum // stride) - ((cum - w) // stride) AS BIGINT)
+            AS multiplicity
+        FROM t, s
+        WHERE (cum // stride) - ((cum - w) // stride) >= 1"""
+    })
+
+  // Authority-weighted fetch budget: PageRank host authority feeds the
+  // largest-remainder allocator — the graph family composed with the
+  // scheduling family.
+  private val q229 = Q("q229_authority_budget",
+    (s, d) => {
+      val docs = documents(s, d)
+      def gen(a: Int, b: Int) = docs.select(
+        concat(lit("h"), (col("doc_id") % 97).cast("string")).as("src"),
+        concat(lit("h"), ((col("doc_id") * a + b) % 97).cast("string"))
+          .as("dst"))
+      val ranks = graft.operators.LinkGraph.pageRank(
+        gen(31, 7), "src", "dst", iters = 3)
+        .select(col("node"),
+          (col("rank") * 1000000.0).cast("long").as("score_micro"))
+      graft.operators.CrawlPolicy.apportionBudget(
+        ranks, "node", "score_micro", budget = 10000L)
+    },
+    Some("""WITH e AS (SELECT DISTINCT 'h' || (doc_id % 97) AS src,
+          'h' || ((doc_id * 31 + 7) % 97) AS dst FROM documents),
+      nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      od AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+      r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rm FROM nodes),
+      c1 AS (SELECT e.dst AS node, SUM(r0.rm // od.deg) AS s
+        FROM e JOIN r0 ON e.src = r0.node JOIN od ON e.src = od.src
+        GROUP BY e.dst),
+      r1 AS (SELECT n.node,
+          CAST(150000 + (85 * COALESCE(c1.s, 0)) // 100 AS BIGINT) AS rm
+        FROM nodes n LEFT JOIN c1 USING (node)),
+      c2 AS (SELECT e.dst AS node, SUM(r1.rm // od.deg) AS s
+        FROM e JOIN r1 ON e.src = r1.node JOIN od ON e.src = od.src
+        GROUP BY e.dst),
+      r2 AS (SELECT n.node,
+          CAST(150000 + (85 * COALESCE(c2.s, 0)) // 100 AS BIGINT) AS rm
+        FROM nodes n LEFT JOIN c2 USING (node)),
+      c3 AS (SELECT e.dst AS node, SUM(r2.rm // od.deg) AS s
+        FROM e JOIN r2 ON e.src = r2.node JOIN od ON e.src = od.src
+        GROUP BY e.dst),
+      r3 AS (SELECT n.node,
+          CAST(150000 + (85 * COALESCE(c3.s, 0)) // 100 AS BIGINT) AS rm
+        FROM nodes n LEFT JOIN c3 USING (node)),
+      sc AS (SELECT node AS key,
+          CAST(trunc(CAST(rm AS DOUBLE) / 1000000.0 * 1000000.0)
+            AS BIGINT) AS score FROM r3),
+      t AS (SELECT CAST(SUM(score) AS BIGINT) AS w FROM sc),
+      b AS (SELECT key, score,
+        CAST((CAST(score AS HUGEINT) * 10000) // w AS BIGINT) AS base,
+        CAST((CAST(score AS HUGEINT) * 10000) % w AS BIGINT) AS rem
+      FROM sc, t),
+      l AS (SELECT 10000 - CAST(SUM(base) AS BIGINT) AS leftover FROM b),
+      r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, key) AS rn
+        FROM b)
+      SELECT key, score, base,
+        CAST(CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+          AS extra,
+        base + CAST(CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+          AS slots
+      FROM r, l"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -7938,7 +8036,7 @@ object Queries {
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
