@@ -8017,6 +8017,32 @@ object Queries {
           AS slots
       FROM r, l"""))
 
+  // Embedding outlier audit: furthest-from-label-centroid vectors under
+  // the exact integer protocol (no centroid division, one float at the
+  // reported distance).
+  private val q230 = Q("q230_embedding_outliers",
+    (s, d) => graft.operators.Similarity.centroidOutliers(
+      embeddings(s, d), "vec_id", "embedding", "label", topK = 5),
+    Some("""WITH q AS (SELECT vec_id, label, CAST(p[2] AS INTEGER) AS dim,
+        CAST(floor(CAST(p[1] AS DOUBLE) * 10000.0) AS BIGINT) AS xq
+      FROM (SELECT vec_id, label,
+            unnest(list_zip(embedding, range(len(embedding)))) AS p
+            FROM embeddings)),
+      c AS (SELECT label, dim, SUM(CAST(xq AS HUGEINT)) AS s,
+        COUNT(*) AS n FROM q GROUP BY 1, 2),
+      d AS (SELECT vec_id, q.label,
+          SUM((CAST(n AS HUGEINT) * xq - s) * (CAST(n AS HUGEINT) * xq - s))
+            AS d2,
+          MAX(n) AS n
+        FROM q JOIN c ON q.label = c.label AND q.dim = c.dim
+        GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY label
+          ORDER BY CAST(d2 AS DOUBLE) DESC, vec_id) AS rank FROM d)
+      SELECT label, rank, vec_id,
+        ROUND(sqrt(CAST(d2 AS DOUBLE)) / (CAST(n AS DOUBLE) * 10000.0), 6)
+          AS dist
+      FROM r WHERE rank <= 5"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -8036,7 +8062,8 @@ object Queries {
     q186, q187, q188, q189, q190, q191, q192, q193, q194, q195, q196,
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
-    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229)
+    q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229,
+    q230)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -340,4 +340,62 @@ object Similarity {
             (sqrt(col("__na").cast("double")) * sqrt(col("__nb").cast("double"))))
           .as("drift_cos"))
   }
+
+  /** Embedding-space outlier audit: the vectors FURTHEST from their
+    * label's centroid — mislabeled rows, encoder failures, and the
+    * garbage embeddings that poison both ANN recall and classifier
+    * training surface at the top of this list. Runs on the repo's
+    * exact-integer discipline end to end: elements quantize to
+    * ⌊x·10⁴⌋ longs in the scan (float→double→floor, bit-identical on
+    * any engine), per-(label, dim) centroid moments are exact decimal
+    * sums, and the ranking metric is the INTEGER quantity
+    * d2·n² = Σ_dim (n·x_q − S_dim)² — centroid division never happens,
+    * so no float enters until the one reported distance
+    * (√(d2n2)/(n·10⁴), rounded at 6).
+    *
+    * Scale shape: one posexplode scan (|vecs|·dim narrow rows) → a
+    * (label, dim)-keyed map-side moment aggregate (dim·|labels| rows,
+    * broadcast back) → a vec-keyed distance aggregate → top-k per
+    * label through the native TopKPerKey heaps when installed (window
+    * fallback) ranked by the double rendering of d2n2 (ties broken by
+    * id; a double collision of distinct ≥2⁵³ integers ties both
+    * engines identically — same IEEE value).
+    *
+    * @return (label, rank, vec_id, dist) — top `topK` per label. */
+  def centroidOutliers(emb: DataFrame, idCol: String, vecCol: String,
+                       labelCol: String, topK: Int): DataFrame = {
+    require(topK >= 1 && topK <= 100000,
+      s"centroidOutliers: topK must be in [1, 100000]: $topK")
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val q = emb
+      .select(col(idCol).as("vec_id"), col(labelCol).as("label"),
+        posexplode(col(vecCol)).as(Seq("dim", "x")))
+      .select(col("vec_id"), col("label"), col("dim"),
+        floor(col("x").cast("double") * 10000.0).cast("long").as("xq"))
+      .localCheckpoint()
+    val cent = q.groupBy(col("label"), col("dim"))
+      .agg(sum(col("xq").cast(d38)).as("__s"), count(lit(1)).as("__n"))
+    val dist = q.join(broadcast(cent), Seq("label", "dim"))
+      .withColumn("__t",
+        col("__n").cast(d38) * col("xq").cast(d38) - col("__s"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum(col("__t") * col("__t")).as("__d2"), max(col("__n")).as("__n"))
+      .withColumn("__dd", col("__d2").cast("double"))
+    val native = dist.sparkSession.sessionState.planner.strategies
+      .contains(graft.plans.TopKStrategy)
+    val ranked =
+      if (native)
+        graft.plans.TopK.perKey(dist, Seq("label"),
+          Seq(graft.plans.TopK.Sort("__dd", desc = true),
+            graft.plans.TopK.Sort("vec_id")), topK)
+      else {
+        val w = Window.partitionBy(col("label"))
+          .orderBy(col("__dd").desc, col("vec_id"))
+        dist.withColumn("rank", row_number().over(w))
+          .where(col("rank") <= topK)
+      }
+    ranked.select(col("label"), col("rank"), col("vec_id"),
+      round(sqrt(col("__dd")) / (col("__n").cast("double") * 10000.0), 6)
+        .as("dist"))
+  }
 }

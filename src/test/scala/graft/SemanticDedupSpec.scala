@@ -177,4 +177,38 @@ class SemanticDedupSpec extends SparkSpec {
       else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(e).exists(_.contains("dimensionality")), msgs(e).toString)
   }
+
+  test("centroidOutliers: integer-exact distance ranking, per-label " +
+    "top-k, partitioning invariance") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // label 0: three vectors near (1, 0) and one far outlier at (9, 9);
+    // label 1: two identical vectors -> zero distances, ties by id
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(1.1f, 0.0f), 0),
+      (3L, Array(0.9f, 0.1f), 0), (4L, Array(9.0f, 9.0f), 0),
+      (5L, Array(2.0f, 2.0f), 1), (6L, Array(2.0f, 2.0f), 1))
+    val emb = rows.toDF("vec_id", "embedding", "label")
+    val out = graft.operators.Similarity
+      .centroidOutliers(emb, "vec_id", "embedding", "label", topK = 2)
+      .orderBy("label", "rank").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // label-0 distances to centroid (3, 2.275): v4 9.013, v1 3.029,
+    // v3 3.023, v2 2.964 -> top-2 are v4 then v1
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq ==
+      Seq((0, 1, 4L), (0, 2, 1L), (1, 1, 5L), (1, 2, 6L)),
+      out.mkString(","))
+    // label-1 twins sit exactly on their centroid
+    assert(out.filter(_._1 == 1).forall(_._4 == 0.0), out.mkString(","))
+    // the outlier's distance: centroid of label 0 = (3, 2.275) quantized;
+    // sanity band rather than a hand-rolled decimal: ~9.2
+    assert(out(0)._4 > 8.5 && out(0)._4 < 10.0, out(0).toString)
+    // layout invariance
+    val out2 = graft.operators.Similarity
+      .centroidOutliers(emb.repartition(7), "vec_id", "embedding",
+        "label", 2)
+      .orderBy("label", "rank").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == out2.toSeq)
+  }
 }
