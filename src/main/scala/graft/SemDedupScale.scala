@@ -28,11 +28,16 @@ object SemDedupScale {
         .groupBy("cell").agg(count(lit(1)).as("n"))
         .agg(sum(expr("n * (n - 1)")).cast("long")).collect()(0).getLong(0)
     }
-    def run(tag: String, m: graft.operators.IvfIndex.Model): Unit = {
+    // the one-cell worst case exceeds DefaultMaxCellPairs at sf1.0 by
+    // design (that's what the guard refuses); this measure raises the
+    // bound DELIBERATELY — the documented override contract. The
+    // trained-16 run rides the default, demonstrating it passes.
+    def run(tag: String, m: graft.operators.IvfIndex.Model,
+            maxPairs: Long): Unit = {
       def once(): (Double, Long) = {
         val t0 = System.nanoTime()
         val n = graft.operators.SemDeDup.dedup(emb, "vec_id", "embedding",
-          m, tau = 0.35).count()
+          m, tau = 0.35, maxCellPairs = maxPairs).count()
         ((System.nanoTime() - t0) / 1e9, n)
       }
       once()
@@ -42,8 +47,8 @@ object SemDedupScale {
         f"median=${ts(1)}%.3f s passes=${ts.map(t => f"$t%.3f").mkString(",")} " +
         s"survivors=${rs.head._2} pairBound=${pairBound(m)}")
     }
-    run("one-cell (q166 worst case)", one)
-    run("trained-16", many)
+    run("one-cell (q166 worst case)", one, Long.MaxValue)
+    run("trained-16", many, graft.operators.SemDeDup.DefaultMaxCellPairs)
     spark.stop()
   }
 }

@@ -24,14 +24,22 @@ import org.apache.spark.sql.functions._
   * edges survive, preserving diversity), and within a cell the verify
   * is exhaustive, not bucket-limited.
   *
-  * Keeper rule (the paper's): within a duplicate group, keep the
-  * example with the LOWEST cosine similarity to its cluster centroid —
-  * survivors sit at cluster edges, preserving diversity. Made exact
-  * and order-free here as a greedy dominance rule: order each cluster
-  * by (centroid-cosine asc, id asc); an example is DROPPED iff some
-  * earlier example in that order is `tau`-similar to it. One
-  * deterministic pass, no iteration — survivors are exactly the greedy
-  * prefix-scan's picks.
+  * Keeper rule (the paper's, made exact): within a duplicate group,
+  * keep the example with the LOWEST cosine similarity to its cluster
+  * centroid — survivors sit at cluster edges, preserving diversity.
+  * Implemented as a greedy DOMINANCE rule: order each cluster by
+  * (centroid-cosine asc, id asc); an example is DROPPED iff ANY
+  * earlier example in that order — kept or itself dropped — is
+  * `tau`-similar to it. This is deliberately NOT the kept-only greedy
+  * prefix scan: on a non-transitive chain a→b→c with sim(a,b) ≥ tau,
+  * sim(b,c) ≥ tau but sim(a,c) < tau, kept-only greedy keeps {a, c}
+  * while dominance keeps {a} alone. The paper's prose ("keep the
+  * lowest-centroid-similarity example of each duplicate group") pins
+  * neither variant — duplicate "groups" aren't transitive closures in
+  * its pseudocode either. Dominance is the one chosen here because it
+  * is order-free and states as ONE anti-join (no sequential per-cell
+  * scan, no iteration), and both the q166 oracle and SemDeDupSpec pin
+  * exactly this rule.
   *
   * Scale shape (100 TB): the quadratic verify is confined inside
   * clusters — one shuffle keyed on cell, candidate volume Σ|cell|²
@@ -46,6 +54,19 @@ import org.apache.spark.sql.functions._
   * centroid table. */
 object SemDeDup {
 
+  /** Default bound on the within-cell candidate mass Σ|cell|·(|cell|−1)
+    * (ordered pairs — each unordered candidate pair counts twice, once
+    * per direction of the dominance predicate). 2²⁶ ≈ 67M ordered pairs
+    * × one dim-length dot each ≈ a few seconds of codegen'd verify work
+    * on one node and a bounded join payload everywhere. Past it, the
+    * model is the problem, not the bound: the paper sizes k ≈ corpus/10⁴
+    * precisely so cells stay small — a mass this high means too few
+    * cells or a skewed training sample, and silently paying Σ|cell|² is
+    * the |corpus|² shape this operator exists to avoid. Raise it only
+    * deliberately (the [[graft.SemDedupScale]] worst-case measure does,
+    * with `Long.MaxValue`). */
+  val DefaultMaxCellPairs: Long = 1L << 26
+
   /** Deduplicate `emb` against itself: returns the SURVIVING input rows
     * (all original columns, original values). `model` supplies the
     * cluster centroids ([[IvfIndex.train]]'s output or any fixed
@@ -54,11 +75,22 @@ object SemDeDup {
     * threshold at or above which two same-cluster examples are
     * duplicates. Vectors must be non-null, non-empty, and
     * dimension-consistent with the model (the native kernels fail
-    * loudly per row otherwise — same contract as the ANN family). */
+    * loudly per row otherwise — same contract as the ANN family).
+    *
+    * Loud cell-mass guard (the [[Dedup]] candidate-mass discipline):
+    * before the cell-keyed anti-join, ONE aggregate over the assigned
+    * cells computes the candidate mass Σ|cell|·(|cell|−1) and the
+    * hottest cell's share; past `maxCellPairs` the call refuses with
+    * the numbers and the fix (train more cells) instead of silently
+    * running a quadratic verify a skewed model smuggled in. The probe
+    * is one narrow extra scan (cell ids only — no norms, no csim),
+    * same price class as the LSH family's routing probe. */
   def dedup(emb: DataFrame, idCol: String, vecCol: String,
-                    model: IvfIndex.Model, tau: Double): DataFrame = {
+                    model: IvfIndex.Model, tau: Double,
+                    maxCellPairs: Long = DefaultMaxCellPairs): DataFrame = {
     require(tau > 0.0 && tau <= 1.0,
       s"SemDeDup: tau must be in (0, 1]: $tau")
+    require(maxCellPairs >= 0, s"SemDeDup: maxCellPairs < 0: $maxCellPairs")
     val cents: Seq[Array[Double]] = model.centroids.map { c =>
       val n = math.sqrt(c.map(x => x * x).sum)
       require(n > 0.0, "SemDeDup: zero-vector centroid")
@@ -75,6 +107,25 @@ object SemDeDup {
         case (acc, (c, i)) => acc.when(col("__cell") === i,
           VectorNative.dotProduct(col("__nv"), typedlit(c.toSeq)))
       }
+    // cell-mass probe: sum + hottest in one aggregate over cell ids only
+    val probe = emb.select(cell.as("__cell"))
+      .groupBy(col("__cell")).agg(count(lit(1)).as("n"))
+      .agg(
+        coalesce(sum(col("n") * (col("n") - lit(1L))), lit(0L)).as("mass"),
+        max(struct((col("n") * (col("n") - lit(1L))).as("m"),
+          col("__cell").as("cell"))).as("hot"))
+      .head()
+    val mass = probe.getLong(0)
+    if (mass > maxCellPairs) {
+      val hot = probe.getStruct(1)
+      throw new IllegalArgumentException(
+        s"SemDeDup: within-cell candidate mass $mass ordered pairs " +
+          s"(Σ|cell|·(|cell|−1) over ${model.centroids.length} cells) " +
+          s"exceeds maxCellPairs=$maxCellPairs; hottest cell " +
+          s"${hot.getInt(1)} alone contributes ${hot.getLong(0)}. " +
+          "Train more cells (the paper sizes k ≈ corpus/10⁴ so cells " +
+          "stay ~10⁴-sized) or raise maxCellPairs deliberately.")
+    }
     val slim = emb
       .select(col(idCol).as("__sd_id"), nv.as("__nv"), cell.as("__cell"))
       .withColumn("__csim", csim)
@@ -100,7 +151,9 @@ object SemDeDup {
     * [[dedup]]. */
   def dedupTrained(emb: DataFrame, idCol: String, vecCol: String,
                            k: Int, tau: Double, sampleSize: Int = 2000,
-                           iters: Int = 8): DataFrame =
+                           iters: Int = 8,
+                           maxCellPairs: Long = DefaultMaxCellPairs): DataFrame =
     dedup(emb, idCol, vecCol,
-      IvfIndex.train(emb, idCol, vecCol, k, sampleSize, iters), tau)
+      IvfIndex.train(emb, idCol, vecCol, k, sampleSize, iters), tau,
+      maxCellPairs)
 }

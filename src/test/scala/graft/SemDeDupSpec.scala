@@ -117,13 +117,39 @@ class SemDeDupSpec extends SparkSpec {
   test("plan gate: the dominance anti-join keys on cell equality (hash " +
     "or sort-merge join), never a nested-loop corpus product") {
     val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
-    val model = IvfIndex.Model(Array(e0, e1, Array(-1.0, 0.0)))
+    def basis(i: Int) = Array.tabulate(64)(j => if (j == i) 1.0 else 0.0)
+    val model = IvfIndex.Model(Array(basis(0), basis(1), basis(2)))
     val plan = SemDeDup.dedup(emb, "vec_id", "embedding", model, 0.4)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
       !plan.contains("CartesianProduct"),
       s"all-pairs join leaked into the SemDeDup plan:\n${plan.take(2000)}")
     assert(plan.contains("LeftAnti"), plan.take(2000))
+  }
+
+  test("cell-mass guard: a skewed one-cell model trips the bound loudly " +
+    "with the mass and the fix; a multi-cell model on the same corpus " +
+    "and bound passes") {
+    val rnd = new scala.util.Random(7)
+    // 100 rows spread over four quadrants: one-cell mass = 100·99 = 9,900;
+    // the 4-cell model splits ~25/cell -> mass ≈ 4·25·24 ≈ 2,400
+    val rows = (0L until 100L).map(i => i -> at(rnd.nextInt(360)))
+    val df = rows.toDF("vec_id", "embedding")
+    val skewed = IvfIndex.Model(Array(e0))
+    val ex = intercept[IllegalArgumentException] {
+      SemDeDup.dedup(df, "vec_id", "embedding", skewed, 0.9,
+        maxCellPairs = 5000L).collect()
+    }
+    assert(ex.getMessage.contains("9900") &&
+      ex.getMessage.contains("maxCellPairs=5000") &&
+      ex.getMessage.contains("Train more cells"), ex.getMessage)
+    val spread = IvfIndex.Model(
+      Array(e0, e1, Array(-1.0, 0.0), Array(0.0, -1.0)))
+    val got = SemDeDup.dedup(df, "vec_id", "embedding", spread, 0.9,
+        maxCellPairs = 5000L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(got == brute(rows, Seq(e0, e1, Array(-1.0, 0.0),
+      Array(0.0, -1.0)), 0.9))
   }
 
   test("refusals: tau out of (0,1], zero-vector centroid") {
