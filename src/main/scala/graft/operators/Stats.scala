@@ -32,10 +32,19 @@ object Stats {
 
   /** Pairwise Pearson correlations for every column pair (i < j).
     *
+    * Null contract (LISTWISE deletion, the [[graft.operators
+    * .TrainingData.winsorizeByGroup]] exclusion discipline): a row
+    * with ANY null feature is excluded from EVERY moment — n, sums,
+    * and products all see the same complete-row set, so every pair's
+    * corr is computed over one consistent population. The alternative
+    * (pairwise deletion) silently mixes per-pair populations; counting
+    * all rows while null-skipping sums corrupts every moment — both
+    * rejected, documented here, not silent.
+    *
     * @param scale decimal digits preserved by quantization (0 for
     *              already-integer features)
-    * @return (feat_a, feat_b, n, corr) — corr rounded at 6, null when a
-    *         variance is zero. */
+    * @return (feat_a, feat_b, n, corr) — n = complete rows; corr
+    *         rounded at 6, null when a variance is zero. */
   def featureCorrelations(df: DataFrame, cols: Seq[String],
                           scale: Int = 0): DataFrame = {
     require(cols.size >= 2 && cols.size <= 32,
@@ -47,7 +56,9 @@ object Stats {
     val factor = math.pow(10.0, scale)
     val q = cols.map(c =>
       floor(col(c).cast(DoubleType) * factor).cast("long").as(s"__q_$c"))
-    val quantized = df.select(q: _*)
+    val quantized = df
+      .where(cols.map(col(_).isNotNull).reduce(_ && _))
+      .select(q: _*)
     def dq(c: String): Column = col(s"__q_$c").cast(D38)
     val aggs =
       Seq(count(lit(1)).as("__n")) ++
@@ -77,25 +88,6 @@ object Stats {
     pairs.reduce(_ unionAll _)
   }
 
-  /** Benford first-digit audit (Benford, "The Law of Anomalous
-    * Numbers", Proc. Am. Phil. Soc. 1938 — public literature):
-    * organically-generated monetary/size values put digit d first with
-    * probability log₁₀(1+1/d); fabricated, capped, or unit-mangled
-    * data doesn't. A per-digit share table against the Benford
-    * expectation is the cheap data-quality screen before a 100 TB
-    * ingest is trusted.
-    *
-    * Determinism: the first digit is extracted in the INTEGER domain —
-    * first character of ⌊value⌋'s decimal render (values must be
-    * ≥ 1; rows below are excluded and counted in no bucket) — no
-    * log10 of data anywhere. The nine expected shares are pinned
-    * literals (6 dp), not libm calls, so engines can't disagree on
-    * them; each chi² term is one IEEE expression over exact counts
-    * and those literals.
-    *
-    * Scale shape: one narrow scan → a ≤9-key map-side HashAggregate.
-    *
-    * @return (digit, n, share, expected, chi_term) for digits 1–9. */
   /** Order-independent content fingerprint: XOR of 63-bit md5 row
     * hashes + exact row count — the migration-validation primitive
     * ("is the copied table byte-equivalent?") that needs no sort, no
@@ -122,6 +114,28 @@ object Stats {
     0.301030, 0.176091, 0.124939, 0.096910, 0.079181,
     0.066947, 0.057992, 0.051153, 0.045757)
 
+  /** Benford first-digit audit (Benford, "The Law of Anomalous
+    * Numbers", Proc. Am. Phil. Soc. 1938 — public literature):
+    * organically-generated monetary/size values put digit d first with
+    * probability log₁₀(1+1/d); fabricated, capped, or unit-mangled
+    * data doesn't. A per-digit share table against the Benford
+    * expectation is the cheap data-quality screen before a 100 TB
+    * ingest is trusted.
+    *
+    * Determinism: the first digit is extracted in the INTEGER domain —
+    * first character of ⌊value⌋'s decimal render (values must be
+    * ≥ 1; rows below are excluded and counted in no bucket) — no
+    * log10 of data anywhere. The nine expected shares are pinned
+    * literals (6 dp), not libm calls, so engines can't disagree on
+    * them; each chi² term is one IEEE expression over exact counts
+    * and those literals. No qualifying rows at all (empty input, or
+    * every value below 1) → an empty frame with the full schema, not
+    * an NPE on the null SUM (the [[graft.operators.CrawlPolicy
+    * .apportionBudget]] isNullAt discipline).
+    *
+    * Scale shape: one narrow scan → a ≤9-key map-side HashAggregate.
+    *
+    * @return (digit, n, share, expected, chi_term) for digits 1–9. */
   def benfordAudit(df: DataFrame, valCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -133,7 +147,11 @@ object Stats {
       .select(digit.as("digit"))
       .groupBy(col("digit")).agg(count(lit(1)).as("n"))
       .localCheckpoint()
-    val total = counts.agg(sum(col("n"))).collect()(0).getLong(0)
+    val totalRow = counts.agg(sum(col("n"))).collect()(0)
+    // SUM over zero rows is null, not 0 — with total 0 `counts` is
+    // empty, so the join below yields the empty frame and no division
+    // ever evaluates
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val expected = BenfordExpected.zipWithIndex
       .map { case (e, i) => (i + 1, e) }.toDF("digit", "expected")
     counts.join(broadcast(expected), Seq("digit"))

@@ -48,9 +48,16 @@ object EventStreams {
     *
     * slideDur must divide windowDur (Spark aligns window starts to the
     * slide grid from the epoch; a non-dividing pair produces partial
-    * windows the batch oracle can't replay). */
+    * windows the batch oracle can't replay) — enforced loudly below,
+    * not just documented. */
   def slidingAgg(events: DataFrame, windowDur: String = "1 hour",
-                 slideDur: String = "15 minutes"): DataFrame =
+                 slideDur: String = "15 minutes"): DataFrame = {
+    val wUs = durationMicros(windowDur, "slidingAgg.windowDur")
+    val sUs = durationMicros(slideDur, "slidingAgg.slideDur")
+    require(sUs <= wUs && wUs % sUs == 0,
+      s"slidingAgg: slideDur ($slideDur) must divide windowDur " +
+        s"($windowDur) — non-dividing pairs produce partial windows " +
+        "the batch oracle cannot replay")
     events
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), windowDur, slideDur), col("event_type"))
@@ -59,6 +66,28 @@ object EventStreams {
           .as("total_value"))
       .select(col("window.start").as("w_start"), col("event_type"),
         col("n"), col("total_value"))
+  }
+
+  /** Parse the fixed-unit duration strings this module accepts
+    * ("N second(s)/minute(s)/hour(s)/day(s)") to microseconds —
+    * loud on anything else (calendar units like months have no fixed
+    * micros, and window() rejects them as slides anyway). */
+  private[graft] def durationMicros(s: String, what: String): Long = {
+    val m = "^\\s*(\\d+)\\s+(second|minute|hour|day)s?\\s*$".r
+      .findFirstMatchIn(s.toLowerCase(java.util.Locale.ROOT))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$what: cannot parse duration '$s' — expected 'N " +
+          "second(s)|minute(s)|hour(s)|day(s)'"))
+    val n = m.group(1).toLong
+    require(n >= 1, s"$what: duration must be >= 1: '$s'")
+    val unit = m.group(2) match {
+      case "second" => 1000000L
+      case "minute" => 60L * 1000000L
+      case "hour"   => 3600L * 1000000L
+      case "day"    => 86400L * 1000000L
+    }
+    math.multiplyExact(n, unit)
+  }
 
   /** Stream-static enrichment + rollup: join the event stream against a
     * BATCH dimension (the classic "decorate clicks with the customer
@@ -219,10 +248,16 @@ object EventStreams {
     * (ts, event_id) before admission, so the decision is the batch
     * `row_number() ≤ R` formulation whenever delivery is in-order
     * across batches (the gate's AvailableNow drain is; true re-ordered
-    * delivery admits first-arrived — at-most-R holds regardless, the
-    * documented streaming contract). State eviction: windows older
+    * delivery admits first-arrived). State eviction: windows older
     * than the newest-seen window minus `horizonWindows` drop — bounded
-    * state per key at any stream length.
+    * state per key at any stream length. An event arriving in a window
+    * ALREADY evicted (more than `horizonWindows` behind the key's
+    * newest window) is DROPPED outright, never re-counted against a
+    * fresh zero — so at-most-`maxPerWindow` per (key, window) holds
+    * regardless of arrival order; the price is that extremely late
+    * stragglers are rejected even if their window had free slots
+    * (the same trade a watermark makes, and `horizonWindows` is the
+    * loud knob).
     *
     * Memory: the per-batch sort buffers one KEY's micro-batch rows —
     * bounded by per-key arrival rate (a frontier's per-host rate is
@@ -240,19 +275,28 @@ object EventStreams {
         OutputMode.Update, GroupStateTimeout.NoTimeout()) {
         case (uid, rows, state: GroupState[RateState]) =>
           var wins = state.getOption.map(_.windows).getOrElse(Map.empty)
+          // persisted wins are always within the horizon of their max,
+          // so keys.max is exactly the newest window ever admitted
+          var newest =
+            if (wins.isEmpty) Long.MinValue else wins.keys.max
           val sorted = rows.toArray.sortBy(e => (micros(e.ts), e.event_id))
           val out = scala.collection.mutable.ArrayBuffer.empty[Admitted]
           sorted.foreach { e =>
             val w = micros(e.ts) / wUs * wUs
+            // evicted-window straggler: its count is forgotten, so
+            // re-counting could exceed maxPerWindow — drop instead
+            // (the documented at-most-R contract)
+            val evicted = newest != Long.MinValue &&
+              w <= newest - horizonWindows * wUs
             val cnt = wins.getOrElse(w, 0L)
-            if (cnt < maxPerWindow) {
+            if (!evicted && cnt < maxPerWindow) {
               wins = wins.updated(w, cnt + 1L)
+              if (w > newest) newest = w
               out += Admitted(e.event_id, uid,
                 new java.sql.Timestamp(w / 1000L), cnt + 1L)
             }
           }
           if (wins.nonEmpty) {
-            val newest = wins.keys.max
             wins = wins.filter(_._1 > newest - horizonWindows * wUs)
             state.update(RateState(wins))
           }

@@ -114,6 +114,52 @@ class EventStreamsSpec extends SparkSpec {
       got2.toString)
   }
 
+  test("rateLimitPerKey: an evicted-window straggler is dropped, never " +
+    "re-counted against a fresh zero — at-most-R survives re-ordered " +
+    "delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, ts: String) = EventStreams.Event(
+      id, java.sql.Timestamp.valueOf(ts), 1L, "view", 1.0)
+    val mem = MemoryStream[EventStreams.Event]
+    val q = EventStreams.rateLimitPerKey(mem.toDS(), windowMinutes = 60,
+      maxPerWindow = 1L, horizonWindows = 1L)
+      .toDF().writeStream.format("memory").queryName("rate_evict")
+      .outputMode("update").start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00"))  // window 10:00 admitted
+      q.processAllAvailable()
+      mem.addData(ev(2, "2024-01-01 13:00:00"))  // newest -> 13:00; 10:00 evicted
+      q.processAllAvailable()
+      // straggler back in the evicted 10:00 window: its count (1 admit,
+      // R=1) is forgotten — re-counting would admit a 2nd event there
+      mem.addData(ev(3, "2024-01-01 10:30:00"))
+      q.processAllAvailable()
+      val got = spark.table("rate_evict").select("event_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(got == Set(1L, 2L), got.toString)
+    } finally q.stop()
+  }
+
+  test("slidingAgg: non-dividing slide is refused loudly; duration " +
+    "parser accepts fixed units only") {
+    val ev = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      EventStreams.eventSchema)
+    intercept[IllegalArgumentException] {
+      EventStreams.slidingAgg(ev, "1 hour", "25 minutes")
+    }
+    intercept[IllegalArgumentException] {
+      EventStreams.slidingAgg(ev, "15 minutes", "1 hour") // slide > window
+    }
+    intercept[IllegalArgumentException] {
+      EventStreams.durationMicros("3 months", "t")
+    }
+    assert(EventStreams.durationMicros("2 hours", "t") == 7200L * 1000000L)
+    assert(EventStreams.durationMicros("1 second", "t") == 1000000L)
+    // dividing pair still constructs a plan
+    EventStreams.slidingAgg(ev, "1 hour", "20 minutes")
+  }
+
   test("stateful sessionization agrees with the batch Sessionize operator") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[EventStreams.Event]

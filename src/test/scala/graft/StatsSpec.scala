@@ -32,6 +32,34 @@ class StatsSpec extends SparkSpec {
     assert(r.isNullAt(3))
   }
 
+  test("featureCorrelations: listwise deletion — a row with ANY null " +
+    "feature is excluded from n and every moment") {
+    import spark.implicits._
+    val clean = Seq((1L, 2L), (2L, 4L), (3L, 6L), (4L, 8L))
+      .toDF("x", "y")
+    // same rows + two rows with a null in one column each: identical output
+    val dirty = Seq(
+      (Option(1L), Option(2L)), (Option(2L), Option(4L)),
+      (Option(3L), Option(6L)), (Option(4L), Option(8L)),
+      (Option(99L), Option.empty[Long]), (Option.empty[Long], Option(99L)))
+      .toDF("x", "y")
+    val a = Stats.featureCorrelations(clean, Seq("x", "y")).collect()(0)
+    val b = Stats.featureCorrelations(dirty, Seq("x", "y")).collect()(0)
+    assert(b.getLong(2) == 4L, s"n should count complete rows: $b")
+    assert(a.getLong(2) == b.getLong(2) && a.getDouble(3) == b.getDouble(3))
+  }
+
+  test("benfordAudit: empty / all-sub-1 input yields an empty frame with " +
+    "the full schema, not an NPE on the null SUM") {
+    import spark.implicits._
+    val empty = Stats.benfordAudit(Seq.empty[Double].toDF("v"), "v")
+    assert(empty.columns.toSeq ==
+      Seq("digit", "n", "share", "expected", "chi_term"))
+    assert(empty.count() == 0L)
+    val sub1 = Stats.benfordAudit(Seq(0.3, 0.9, -5.0).toDF("v"), "v")
+    assert(sub1.count() == 0L)
+  }
+
   test("featureCorrelations: scale quantizes identically regardless of " +
     "partitioning") {
     import spark.implicits._
