@@ -1353,4 +1353,60 @@ class TrainingDataSpec extends SparkSpec {
         maxGroups = 1)
     }
   }
+
+  test("normalizeByGroup: null value/group rows are excluded from the " +
+    "moments AND the output — z of the surviving rows is unchanged") {
+    import spark.implicits._
+    val clean = Seq(("g1", 1L), ("g1", 2L), ("g1", 3L)).toDF("g", "x")
+    val dirty = Seq(
+      (Option("g1"), Option(1L)), (Option("g1"), Option(2L)),
+      (Option("g1"), Option(3L)),
+      (Option("g1"), Option.empty[Long]),   // null value in a live group
+      (Option.empty[String], Option(9L)))   // null group
+      .toDF("g", "x")
+    def zs(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TrainingData.normalizeByGroup(df, "g", "x")
+        .orderBy("x").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    // pre-fix, the null value inflated n to 4 and corrupted every z
+    assert(zs(dirty) == zs(clean), s"${zs(dirty)} vs ${zs(clean)}")
+  }
+
+  test("vocabGrowthApprox: cumulative HLL estimates track the exact " +
+    "curve within 10% at every batch on real documents; bounds refuse") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val exact = graft.operators.TrainingData
+      .vocabGrowth(docs, "doc_id", "text", batchSize = 10L, n = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val approx = graft.operators.TrainingData
+      .vocabGrowthApprox(docs, "doc_id", "text", batchSize = 10L, n = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exact emits only batches that BIRTHED a token; approx emits every
+    // batch with grams (an estimate can't prove zero-new) — so approx's
+    // batch set covers exact's
+    assert(exact.keySet.subsetOf(approx.map(_._1).toSet), "batch gap")
+    approx.filter(a => exact.contains(a._1)).foreach { case (b, _, cum) =>
+      val e = exact(b)
+      assert(math.abs(cum - e) <= e * 0.10, s"batch $b: approx $cum exact $e")
+    }
+    // n_new differences telescope back to the cumulative estimates
+    assert(approx.map(_._2).sum == approx.map(_._3).max)
+    intercept[IllegalArgumentException] {
+      graft.operators.TrainingData.vocabGrowthApprox(docs, "doc_id", "text",
+        batchSize = 10L, n = 2, lgConfigK = 2)
+    }
+  }
+
+  test("collocations: empty corpus / all-single-token docs yield an " +
+    "empty frame, not an NPE on the null SUM") {
+    import spark.implicits._
+    val empty = graft.operators.TrainingData.collocations(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"),
+      "doc_id", "text", 1L, 10)
+    assert(empty.count() == 0L)
+    val singles = graft.operators.TrainingData.collocations(
+      Seq((1L, "alpha"), (2L, "beta")).toDF("doc_id", "text"),
+      "doc_id", "text", 1L, 10)
+    assert(singles.count() == 0L)
+  }
 }
