@@ -144,15 +144,22 @@ object Dedup {
                            bands: Int = 4, ngram: Int = 3): DataFrame =
     candidatesOf(signaturesOf(postings(docs, idCol, textCol, ngram)), bands)
 
-  private def candidatesOf(sig: DataFrame, bands: Int): DataFrame = {
+  /** (doc, band, bucket) band rows of a signature frame — the LSH key
+    * material, shared by the in-memory self-join ([[candidatesOf]]) and
+    * the persisted signature store ([[saveMinhashStore]]). */
+  private def bandedOf(sig: DataFrame, bands: Int): DataFrame = {
     val k = MinhashParams.size
     val rows = k / bands
     val bandStructs = (0 until bands).map { bnd =>
       val cols = (bnd * rows until (bnd + 1) * rows).map(i => col(s"m$i"))
       struct(lit(bnd).as("band"), md5(concat_ws("_", cols: _*)).as("bucket"))
     }
-    val banded = sig.select(col("doc"), explode(array(bandStructs: _*)).as("bb"))
+    sig.select(col("doc"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
+  private def candidatesOf(sig: DataFrame, bands: Int): DataFrame = {
+    val banded = bandedOf(sig, bands)
     val l = banded.select(col("band"), col("bucket"), col("doc").as("d1"))
     val r = banded.select(col("band"), col("bucket"), col("doc").as("d2"))
     l.join(r, Seq("band", "bucket")).where(col("d1") < col("d2"))
@@ -176,6 +183,123 @@ object Dedup {
                         threshold: Double, bands: Int = 4, ngram: Int = 3): DataFrame =
     verifiedPairs(postings(docs, idCol, textCol, ngram).localCheckpoint(),
       threshold, bands)
+
+  /** Persist the MinHash signature store a growing corpus dedupes
+    * against — the near-dup analog of the q75 exact fingerprint store
+    * (round-13 verdict missing #2). Layout under `path`:
+    *
+    *  - `postings/`: (doc, hv) — each doc's distinct 32-bit shingle
+    *    hashes, the material the exact Jaccard verify needs;
+    *  - `bands/`: (doc, band, bucket) — the LSH band keys, the
+    *    material candidate generation needs.
+    *
+    * Both directories are append-mode bags; [[minhashIncremental]]
+    * grows them one delta batch at a time. `postings/` is the
+    * MEMBERSHIP AUTHORITY: a doc is "in the store" iff its postings
+    * are (see the torn-append recovery note there). */
+  def saveMinhashStore(docs: DataFrame, idCol: String, textCol: String,
+                       path: String, bands: Int = 4, ngram: Int = 3): Unit = {
+    val tok = postings(docs, idCol, textCol, ngram).localCheckpoint()
+    bandedOf(signaturesOf(tok), bands)
+      .write.mode("overwrite").parquet(s"$path/bands")
+    tok.write.mode("overwrite").parquet(s"$path/postings")
+  }
+
+  /** Dedupe a NEW batch against a persisted MinHash store AND grow the
+    * store — the daily-crawl near-dup shape ([[exactIncremental]]'s
+    * byte-exact contract extended to Jaccard similarity): candidates
+    * come from band-bucket collisions of the delta against the store
+    * plus within the delta, the verify is the exact candidate-
+    * restricted Jaccard, and the surviving NEW docs' postings + bands
+    * are appended so the next batch sees them.
+    *
+    * Returns the verified duplicate pairs (d1 < d2, jaccard ≥
+    * threshold) that involve at least one NEW doc. Already-seen ids
+    * (postings present in the store) are SKIPPED entirely — re-running
+    * the same batch returns zero pairs and appends nothing, so
+    * ingestion is idempotent. The union of returned pair sets across
+    * batches equals one-shot [[minhashDuplicates]] over the union
+    * corpus EXACTLY (banding is per-doc deterministic, so a pair
+    * band-collides independently of which batch its docs arrived in;
+    * oracle-gated at q234). Keep-which-copy is the caller's policy on
+    * the pairs, as everywhere in this module ([[nearDupKeepBest]]).
+    *
+    * Scale shape (100 TB store, delta-sized batch): the store is
+    * SCANNED (column-pruned) but never shuffled — the delta's ids,
+    * band keys, and candidate doc ids ride broadcast semi-joins into
+    * the three store reads (seen-probe, candidate generation, verify
+    * postings), each of which returns a delta-bounded result; every
+    * shuffle in the plan carries delta- or candidate-sized frames.
+    * Deltas past [[IvfIndex.MaxBroadcastQueries]] band rows fall back
+    * to shuffle joins of the store scans (loud in the plan, correct
+    * either way; split huge backfills into batches instead). Per-batch
+    * cost is O(scan(store) + |delta| log |delta|) — rescanning beats
+    * re-SHUFFLING the corpus, and a bucketed band layout is the
+    * next step if scan cost ever dominates (the store dirs are plain
+    * bags, so re-bucketing is an offline rewrite).
+    *
+    * Torn append: `bands/` lands before `postings/`. A crash between
+    * them leaves band rows whose doc has no postings — such a doc is
+    * NOT "seen" (postings are the membership authority), so re-running
+    * the batch re-appends its postings once and its band rows twice;
+    * duplicate band rows are harmless (candidates are DISTINCT pairs)
+    * while duplicate postings would corrupt every future Jaccard
+    * against that doc — which is exactly why the order is bands-first
+    * and membership reads postings. Re-run with the same batch IS the
+    * recovery. */
+  def minhashIncremental(batch: DataFrame, idCol: String, textCol: String,
+                         storePath: String, threshold: Double,
+                         bands: Int = 4, ngram: Int = 3): DataFrame = {
+    val spark = batch.sparkSession
+    val storeToks = spark.read.parquet(s"$storePath/postings")
+    val storeBands = spark.read.parquet(s"$storePath/bands")
+    require(storeToks.columns.toSeq == Seq("doc", "hv") &&
+      storeBands.columns.toSeq == Seq("doc", "band", "bucket"),
+      s"minhashIncremental: $storePath is not a saveMinhashStore layout")
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (IvfIndex.fitsBroadcast(df, IvfIndex.MaxBroadcastQueries))
+        broadcast(df) else df
+    // seen-probe: store scan filtered by the (broadcast) batch ids —
+    // result is ≤ |batch| ids; the batch then drops them locally
+    val batchIds = batch.select(col(idCol)).distinct().localCheckpoint()
+    val seenIds = storeToks.select(col("doc"))
+      .join(maybeBroadcast(batchIds), col("doc") === col(idCol), "left_semi")
+      .distinct().localCheckpoint()
+    val fresh = batch.join(maybeBroadcast(seenIds),
+      batch(idCol) === seenIds("doc"), "left_anti")
+    val tokNew = postings(fresh, idCol, textCol, ngram).localCheckpoint()
+    val sigNew = signaturesOf(tokNew).localCheckpoint()
+    val bandedNew = bandedOf(sigNew, bands).localCheckpoint()
+    // candidates: delta×delta (the in-memory self-join) plus
+    // delta×store (store band scan, broadcast-probed by the delta)
+    val intra = candidatesOf(sigNew, bands)
+    val bn = bandedNew.select(col("band"), col("bucket"),
+      col("doc").as("__new_doc"))
+    val cross = storeBands
+      .join(maybeBroadcast(bn), Seq("band", "bucket"))
+      .select(least(col("doc"), col("__new_doc")).as("d1"),
+        greatest(col("doc"), col("__new_doc")).as("d2"))
+      .where(col("d1") =!= col("d2"))
+      .distinct()
+    val pairs = intra.unionAll(cross).distinct().localCheckpoint()
+    // verify postings: the delta's own, plus ONLY the store docs that
+    // appear in a candidate pair (store scan, broadcast-probed)
+    val candDocs = pairs.select(col("d1").as("doc"))
+      .unionAll(pairs.select(col("d2").as("doc"))).distinct()
+      .join(tokNew.select(col("doc")).distinct(), Seq("doc"), "left_anti")
+      .localCheckpoint()
+    val tokOld = storeToks
+      .join(maybeBroadcast(candDocs), Seq("doc"), "left_semi")
+    val tokAll = tokNew.unionAll(tokOld).localCheckpoint()
+    val out = verifyJaccard(tokAll,
+      tokAll.groupBy(col("doc")).agg(count(lit(1)).as("n")),
+      pairs, threshold).localCheckpoint()
+    // grow the store: bands first, postings second (see torn-append
+    // note); both appends are delta-sized
+    bandedNew.write.mode("append").parquet(s"$storePath/bands")
+    tokNew.write.mode("append").parquet(s"$storePath/postings")
+    out
+  }
 
   /** The candidate-first verify over an already-materialized (doc, hv)
     * posting frame — shared by [[minhashDuplicates]] and the collapsed

@@ -313,6 +313,44 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashIncremental: two-batch ingest against the persisted store " +
+    "returns exactly the one-shot pair set; re-ingesting a seen batch is " +
+    "a zero-pair no-op; non-store layout refuses") {
+    val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_minhash_store_${System.nanoTime()}")
+    store.deleteOnExit()
+    val batch1 = docs.where(col("doc_id") % 2 === 0)
+    val batch2 = docs.where(col("doc_id") % 2 === 1)
+    Dedup.saveMinhashStore(batch1, "doc_id", "text", store.getAbsolutePath)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val bootstrap = pairSet(
+      Dedup.minhashDuplicates(batch1, "doc_id", "text", 0.4))
+    val delta = pairSet(Dedup.minhashIncremental(
+      batch2, "doc_id", "text", store.getAbsolutePath, 0.4))
+    val oneShot = pairSet(
+      Dedup.minhashDuplicates(docs, "doc_id", "text", 0.4))
+    assert((bootstrap ++ delta) == oneShot,
+      s"missing=${(oneShot -- bootstrap -- delta).take(5)} " +
+        s"extra=${((bootstrap ++ delta) -- oneShot).take(5)}")
+    // every delta pair touches at least one batch-2 (odd) doc
+    assert(delta.forall(p => p._1 % 2 == 1 || p._2 % 2 == 1))
+    // idempotent: the whole corpus is now in the store
+    assert(Dedup.minhashIncremental(docs, "doc_id", "text",
+      store.getAbsolutePath, 0.4).count() == 0L)
+    // a directory that is not a signature store refuses
+    val notStore = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_minhash_notstore_${System.nanoTime()}")
+    notStore.deleteOnExit()
+    docs.limit(1).write.parquet(s"$notStore/postings")
+    docs.limit(1).write.parquet(s"$notStore/bands")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.minhashIncremental(docs, "doc_id", "text",
+        notStore.getAbsolutePath, 0.4)
+    }
+    assert(e.getMessage.contains("saveMinhashStore layout"))
+  }
+
   test("overlapMatrix: shared shingles + jaccard per group pair, sparse, null-safe") {
     import spark.implicits._
     // a: shingles {w1 w2 w3, w2 w3 w4} ; b shares exactly {w2 w3 w4} and
