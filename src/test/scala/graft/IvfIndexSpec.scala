@@ -99,6 +99,114 @@ class IvfIndexSpec extends SparkSpec {
         model, k = 5, nProbe = 4)))
   }
 
+  test("purgeFromIndex: purged index equals a from-scratch index over " +
+      "survivors; untouched cells keep their files; idempotent re-purge " +
+      "removes 0; whole-cell purge drops the partition") {
+    import org.apache.hadoop.fs.Path
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_purge_spec_${System.nanoTime()}")
+    dir.deleteOnExit()
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
+    IvfIndex.saveIndex(model,
+      IvfIndex.assign(emb, "vec_id", "embedding", model), dir.getAbsolutePath)
+    val fs = new Path(dir.getAbsolutePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def cellFiles(): Map[String, Seq[(String, Long)]] =
+      fs.listStatus(new Path(s"${dir.getAbsolutePath}/postings"))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .map(cd => cd.getPath.getName ->
+          fs.listStatus(cd.getPath).filter(_.isFile)
+            .map(f => (f.getPath.getName, f.getModificationTime)).toSeq.sorted)
+        .toMap
+    val filesBefore = cellFiles()
+    val purgeIds = emb.where(col("vec_id") % 3 === 0).select(col("vec_id"))
+    val nPurged = emb.where(col("vec_id") % 3 === 0).count()
+    assert(IvfIndex.purgeFromIndex(spark, dir.getAbsolutePath,
+      purgeIds, "vec_id") == nPurged)
+    val (loaded, postings) = IvfIndex.loadIndex(spark, dir.getAbsolutePath)
+    val survivors = emb.where(col("vec_id") % 3 =!= 0)
+    assert(postings.count() == survivors.count())
+    // purged index ≡ same-centroid assignment of the survivors
+    val oneShot = IvfIndex.assign(survivors, "vec_id", "embedding", model)
+    assert(postings.select("n_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      oneShot.collect().map(r => (r.getLong(0), r.getInt(2))).toSet)
+    // search parity, purged ids allowed as query points
+    val queries = emb.where(col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"), r.getAs[Double]("cos"))).sorted.toSeq
+    assert(rows(IvfIndex.search(postings, queries, "vec_id", "embedding",
+        loaded, k = 5, nProbe = 8)) ==
+      rows(IvfIndex.search(oneShot, queries, "vec_id", "embedding",
+        model, k = 5, nProbe = 8)))
+    // cells without a purged id were not rewritten (same files, mtimes)
+    val filesAfter = cellFiles()
+    val touched = IvfIndex.assign(emb.where(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", model)
+      .select("cell").distinct().collect().map(r => s"cell=${r.getInt(0)}").toSet
+    filesBefore.keys.filterNot(touched).foreach { c =>
+      assert(filesAfter(c) == filesBefore(c), s"untouched $c was rewritten")
+    }
+    // idempotent: nothing left to remove
+    assert(IvfIndex.purgeFromIndex(spark, dir.getAbsolutePath,
+      purgeIds, "vec_id") == 0L)
+    // purge everything remaining in one cell -> its partition dir drops
+    val (_, p2) = IvfIndex.loadIndex(spark, dir.getAbsolutePath)
+    val victim = p2.groupBy("cell").count().orderBy(col("count"), col("cell"))
+      .collect()(0).getInt(0)
+    val victimIds = p2.where(col("cell") === victim).select(col("n_id"))
+    IvfIndex.purgeFromIndex(spark, dir.getAbsolutePath, victimIds, "n_id")
+    assert(!fs.exists(new Path(s"${dir.getAbsolutePath}/postings/cell=$victim")))
+    // non-index layout refuses
+    intercept[IllegalArgumentException] {
+      IvfIndex.purgeFromIndex(spark,
+        dir.getAbsolutePath + "_nope", purgeIds, "vec_id")
+    }
+  }
+
+  test("rebuildIndex: retrains on the postings' own vectors, preserves " +
+      "every posting, swaps in place; search equals a fresh same-model " +
+      "assignment; refuses a non-index path") {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_rebuild_spec_${System.nanoTime()}")
+    dir.deleteOnExit()
+    // stale geometry: 2 centroids trained on a biased half
+    val stale = IvfIndex.train(emb.where(col("vec_id") % 2 === 0),
+      "vec_id", "embedding", k = 2)
+    IvfIndex.saveIndex(stale,
+      IvfIndex.assign(emb, "vec_id", "embedding", stale), dir.getAbsolutePath)
+    val rebuilt = IvfIndex.rebuildIndex(spark, dir.getAbsolutePath, k = 8)
+    assert(rebuilt.centroids.length == 8)
+    val (loaded, postings) = IvfIndex.loadIndex(spark, dir.getAbsolutePath)
+    // returned model round-trips bit-for-bit and k actually changed
+    rebuilt.centroids.zip(loaded.centroids).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq)
+    }
+    // no posting lost or duplicated
+    assert(postings.count() == emb.count())
+    assert(postings.select("n_id").distinct().count() == emb.count())
+    // assignments equal a fresh assign under the rebuilt model
+    val fresh = IvfIndex.assign(emb, "vec_id", "embedding", rebuilt)
+    assert(postings.select("n_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet ==
+      fresh.collect().map(r => (r.getLong(0), r.getInt(2))).toSet)
+    // search parity at exhausted probes
+    val queries = emb.where(col("vec_id") < 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"), r.getAs[Double]("cos"))).sorted.toSeq
+    assert(rows(IvfIndex.search(postings, queries, "vec_id", "embedding",
+        loaded, k = 5, nProbe = 8)) ==
+      rows(IvfIndex.search(fresh, queries, "vec_id", "embedding",
+        rebuilt, k = 5, nProbe = 8)))
+    // no leftover tmp directory after a clean swap
+    assert(!new java.io.File(dir.getAbsolutePath + ".rebuild_tmp").exists())
+    intercept[IllegalArgumentException] {
+      IvfIndex.rebuildIndex(spark, dir.getAbsolutePath + "_nope", k = 4)
+    }
+  }
+
   test("stale index: dimension mismatch fails loudly, corrupt centroid " +
       "set refuses at load") {
     import spark.implicits._

@@ -246,6 +246,52 @@ class TextSearchSpec extends SparkSpec {
     assert(e.getMessage.contains("saveCorpusStats layout"))
   }
 
+  test("purgeCorpusStats: purged stats answer EXACTLY like a rebuild " +
+      "over the survivors — including a term whose df reaches 0 — and " +
+      "compose with compaction; a non-stats target refuses") {
+    // purge doc 4: 'durian' df drops 1 -> 0 (scores like absent);
+    // purge doc 3: cherry's df and the heaviest dl both change
+    val survivors = corpus.where(col("doc_id") =!= 3L && col("doc_id") =!= 4L)
+    val purged = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_purge_${System.nanoTime()}")
+    purged.deleteOnExit()
+    TextSearch.saveCorpusStats(corpus, "doc_id", "text", purged.getAbsolutePath)
+    TextSearch.purgeCorpusStats(
+      corpus.where(col("doc_id") === 3L || col("doc_id") === 4L),
+      "doc_id", "text", purged.getAbsolutePath)
+    val oneShot = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_purge_oneshot_${System.nanoTime()}")
+    oneShot.deleteOnExit()
+    TextSearch.saveCorpusStats(survivors, "doc_id", "text",
+      oneShot.getAbsolutePath)
+    def rows(path: String, terms: Seq[String]) =
+      TextSearch.bm25TopKIndexed(survivors, "doc_id", "text", path, terms,
+        k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    for (terms <- Seq(Seq("apple", "cherry"), Seq("durian"),
+        Seq("banana", "zzz_absent"))) {
+      assert(rows(purged.getAbsolutePath, terms) ===
+        rows(oneShot.getAbsolutePath, terms), s"terms=$terms")
+    }
+    // df=0 'durian' really does score like an absent term
+    assert(rows(purged.getAbsolutePath, Seq("durian")) ===
+      rows(purged.getAbsolutePath, Seq("zzz_absent")))
+    // compaction folds the negative partials without changing answers
+    val before = rows(purged.getAbsolutePath, Seq("apple", "cherry"))
+    TextSearch.compactCorpusStats(spark, purged.getAbsolutePath)
+    assert(rows(purged.getAbsolutePath, Seq("apple", "cherry")) === before)
+    // non-stats layout refuses before mutation
+    val notStats = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_purge_notstats_${System.nanoTime()}")
+    notStats.deleteOnExit()
+    corpus.write.parquet(s"$notStats/corpus")
+    val e = intercept[IllegalArgumentException] {
+      TextSearch.purgeCorpusStats(corpus, "doc_id", "text",
+        notStats.getAbsolutePath)
+    }
+    assert(e.getMessage.contains("saveCorpusStats layout"))
+  }
+
   test("compactCorpusStats: folds the append partials into one file-set " +
       "with byte-identical summed reads; refuses a non-stats layout") {
     val grown = corpus.union(Seq(
