@@ -8043,6 +8043,271 @@ object Queries {
           AS dist
       FROM r WHERE rank <= 5"""))
 
+  /** SemDeDup with a literal MULTI-cell model — closes the q166 gap
+    * where cross-cell confinement and per-cell dominance were only
+    * spec-gated: three fixed unit-basis centroids e0/e1/e2 (no
+    * training), so the oracle replays assignment EXACTLY — nearest-
+    * by-L2 on normalized vectors against basis centroids is argmax of
+    * coordinates nv[1..3] (ties → lowest index, matching the native
+    * kernel's strict-< argmin), and centroid-cosine degenerates to the
+    * assigned coordinate (adding the basis vector's zeros is
+    * IEEE-exact, q166's trick). The dominance NOT EXISTS then runs
+    * PER CELL: tau-similar pairs straddling a cell boundary both
+    * survive (confinement), and within a cell the lowest-csim edge
+    * member dominates. Pairwise dots are the identical ordered fold on
+    * both sides (VectorNative ↔ list_dot_product). */
+  private val q231 = Q("q231_semantic_dedup_multicell",
+    (s, d) => {
+      def basis(i: Int) = Array.tabulate(64)(j => if (j == i) 1.0 else 0.0)
+      graft.operators.SemDeDup.dedup(
+          embeddings(s, d), "vec_id", "embedding",
+          graft.operators.IvfIndex.Model(
+            Array(basis(0), basis(1), basis(2))), tau = 0.35)
+        .select(col("vec_id"), col("label"))
+    },
+    Some("""WITH c AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+      n AS (SELECT vec_id, label,
+          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM c),
+      asg AS (SELECT vec_id, label, nv,
+          CASE WHEN nv[1] >= nv[2] AND nv[1] >= nv[3] THEN 0
+               WHEN nv[2] >= nv[3] THEN 1 ELSE 2 END AS cell
+        FROM n),
+      o AS (SELECT vec_id, label, nv, cell,
+          CASE cell WHEN 0 THEN nv[1] WHEN 1 THEN nv[2] ELSE nv[3] END
+            AS csim
+        FROM asg)
+      SELECT vec_id, label FROM o a
+      WHERE NOT EXISTS (SELECT 1 FROM o b
+        WHERE b.cell = a.cell
+          AND (b.csim < a.csim
+            OR (b.csim = a.csim AND b.vec_id < a.vec_id))
+          AND list_dot_product(a.nv, b.nv) >= 0.35)"""))
+
+  private val stagedBm25PurgeDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** BM25 stats purge — the takedown path (round-13 verdict missing
+    * #1): stats are saved over the FULL corpus, every doc_id ≡ 0 mod 5
+    * is then forgotten via [[graft.operators.TextSearch
+    * .purgeCorpusStats]] (negative additive partials — no rewrite of
+    * what's there), the partials are compacted, and the indexed search
+    * runs over the surviving corpus with the purged stats. The oracle
+    * is q116's score contract computed FROM SCRATCH on survivors only
+    * — a stale df, an unpurged N/TL, or a lost negative partial
+    * changes a score and fails the hash (purge ∘ save ≡ save ∘
+    * filter). */
+  private val q232 = Q("q232_bm25_stats_purge",
+    (s, d) => {
+      val dir = Queries.stagedBm25PurgeDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_bm25_purge_${Queries.stagingSuffix(d)}")
+        graft.operators.TextSearch.saveCorpusStats(
+          documents(s, d), "doc_id", "text", f.getAbsolutePath)
+        graft.operators.TextSearch.purgeCorpusStats(
+          documents(s, d).where(col("doc_id") % 5 === 0), "doc_id", "text",
+          f.getAbsolutePath)
+        // fold the save + negative-purge partials — the gate covers
+        // save → purge → COMPACT → indexed-score end-to-end
+        graft.operators.TextSearch.compactCorpusStats(s, f.getAbsolutePath)
+        f
+      })
+      graft.operators.TextSearch.bm25TopKIndexed(
+        documents(s, d).where(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        dir.getAbsolutePath, Seq("spark", "vector", "join"), k = 20)
+    },
+    Some("""WITH base AS (SELECT doc_id AS doc,
+          list_filter(string_split_regex(trim(lower(text)), '\s+'),
+            t -> t <> '') AS toks
+        FROM documents WHERE doc_id % 5 <> 0),
+      b AS (SELECT doc, toks, CAST(len(toks) AS BIGINT) AS dl FROM base),
+      st AS (SELECT COUNT(*) AS n, COALESCE(SUM(dl), 0) AS tl FROM b),
+      t(term) AS (SELECT * FROM (VALUES ('spark'), ('vector'), ('join'))),
+      dfreq AS (SELECT term,
+          (SELECT COUNT(*) FROM b WHERE list_contains(b.toks, t.term)) AS df
+        FROM t),
+      idf AS (SELECT term,
+          ROUND(ln(CAST(st.n + 1 AS DOUBLE) / (dfreq.df + 0.5)), 6) AS idf
+        FROM dfreq CROSS JOIN st),
+      pr AS (SELECT doc, dl, toks FROM b
+        WHERE list_has_any(toks, ['spark', 'vector', 'join'])),
+      tf AS (SELECT doc, dl, term,
+          CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+        FROM pr CROSS JOIN t),
+      c AS (SELECT doc, CASE WHEN tf > 0 THEN 1 ELSE 0 END AS hit,
+          CAST(ROUND(idf.idf * ((10.0 * st.tl * tf) /
+              (10.0 * st.tl * tf + 3.0 * st.tl + 9.0 * dl * st.n)), 6)
+            AS DECIMAL(18,6)) AS contrib
+        FROM tf JOIN idf USING (term) CROSS JOIN st)
+      SELECT doc, CAST(SUM(hit) AS BIGINT) AS n_hit,
+        CAST(CAST(SUM(contrib) * 1000000 AS BIGINT) AS DOUBLE)
+          / 1000000.0 AS score
+      FROM c GROUP BY doc ORDER BY score DESC, doc LIMIT 20"""))
+
+  private val stagedIvfPurgeDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** IVF index purge — q232's sibling for the ANN family: the index is
+    * trained and saved over the FULL corpus, every vec_id ≡ 0 mod 7 is
+    * then forgotten via [[graft.operators.IvfIndex.purgeFromIndex]]
+    * (only the cells holding a purged id are rewritten, behind the
+    * staged per-cell swap), and the search runs against the purged
+    * index. Queries keep ids 0 and 7 — PURGED vectors used as query
+    * points — so the gate also pins that a forgotten document can no
+    * longer retrieve itself. nProbe = k exhausts the probes, so the
+    * oracle is exact brute force over the SURVIVING corpus: a posting
+    * that outlived its takedown (or a survivor lost from a rewritten
+    * cell) changes a neighbor and fails the hash. */
+  private val q233 = Q("q233_ann_ivf_purge",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val dir = Queries.stagedIvfPurgeDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_ivf_purge_${Queries.stagingSuffix(d)}")
+        val model = graft.operators.IvfIndex.train(
+          emb, "vec_id", "embedding", k = 16)
+        graft.operators.IvfIndex.saveIndex(model,
+          graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", model),
+          f.getAbsolutePath)
+        graft.operators.IvfIndex.purgeFromIndex(s, f.getAbsolutePath,
+          emb.where(col("vec_id") % 7 === 0).select(col("vec_id")), "vec_id")
+        f
+      })
+      val (model, postings) =
+        graft.operators.IvfIndex.loadIndex(s, dir.getAbsolutePath)
+      graft.operators.IvfIndex.search(postings,
+        emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", model, k = 5, nProbe = 16)
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id % 7 <> 0),
+        scored AS (SELECT q_id, n_id,
+            list_dot_product(qv, cv) /
+              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+          FROM q CROSS JOIN c WHERE q_id <> n_id),
+        r AS (SELECT q_id, n_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored)
+        SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, ROUND(cos, 6) AS cos
+        FROM r WHERE rank <= 5"""))
+
+  private val stagedMinhashIncDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Incremental near-dup dedup against a persisted MinHash signature
+    * store (round-13 verdict missing #2; q75's exact-store protocol
+    * extended to Jaccard): the store is bootstrapped from the even half
+    * of the corpus ([[graft.operators.Dedup.saveMinhashStore]] + the
+    * one-shot intra pairs), the odd half then arrives as a delta batch
+    * through [[graft.operators.Dedup.minhashIncremental]] — candidates
+    * from delta-vs-store band collisions plus delta-internal banding,
+    * exact candidate-restricted Jaccard verify, survivors' signatures
+    * appended. The union of the bootstrap pairs and the delta's
+    * returned pairs must equal ONE-SHOT [[graft.operators.Dedup
+    * .minhashDuplicates]] over the full corpus — q114's oracle
+    * verbatim — so a candidate lost at the store boundary, a stale
+    * band row, or a double-counted posting all fail the hash. */
+  private val q234 = Q("q234_minhash_incremental",
+    (s, d) => {
+      val dir = Queries.stagedMinhashIncDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_minhash_inc_${Queries.stagingSuffix(d)}")
+        val docs = documents(s, d)
+        val batch1 = docs.where(col("doc_id") % 2 === 0)
+        val batch2 = docs.where(col("doc_id") % 2 === 1)
+        graft.operators.Dedup.saveMinhashStore(
+          batch1, "doc_id", "text", s"${f.getAbsolutePath}/store")
+        val bootstrapPairs = graft.operators.Dedup.minhashDuplicates(
+          batch1, "doc_id", "text", 0.4, bands = 4, ngram = 3)
+        val deltaPairs = graft.operators.Dedup.minhashIncremental(
+          batch2, "doc_id", "text", s"${f.getAbsolutePath}/store", 0.4,
+          bands = 4, ngram = 3)
+        bootstrapPairs.unionAll(deltaPairs)
+          .write.mode("overwrite").parquet(s"${f.getAbsolutePath}/pairs")
+        f
+      })
+      s.read.parquet(s"${dir.getAbsolutePath}/pairs")
+    },
+    q114.oracle)
+
+  /** Sketched vocab-growth curve (round-13 verdict missing #5 — the
+    * 100 TB answer to q201's distinct-gram-mass shuffle): per-batch HLL
+    * sketches fold map-side, the shuffle carries fixed-size sketch
+    * buffers instead of one row per distinct gram, and cumulative
+    * distinct is a union over the tiny per-batch sketch table. The gate
+    * is the q48 error-bar protocol: the exact curve (q201's protocol,
+    * replayed by the oracle) plus a boolean pinning the sketch estimate
+    * within 10% of exact at every batch — loose enough for HLL at
+    * lgK=12 (~1.6% rsd), tight enough that a broken union or a dropped
+    * batch fails. */
+  private val q235 = Q("q235_vocab_growth_sketch",
+    (s, d) => {
+      val exact = graft.operators.TrainingData.vocabGrowth(
+        documents(s, d), "doc_id", "text", batchSize = 25L, n = 2)
+      val approx = graft.operators.TrainingData.vocabGrowthApprox(
+        documents(s, d), "doc_id", "text", batchSize = 25L, n = 2)
+      exact.join(approx, Seq("batch"))
+        .select(col("batch"), col("n_new_tokens"), col("cum_tokens"),
+          (abs(col("cum_approx") - col("cum_tokens"))
+            <= col("cum_tokens").cast("double") * 0.10)
+            .as("cum_within_10pct"))
+    },
+    Some("""WITH tok AS (SELECT doc_id // 25 AS batch,
+          unnest(list_transform(range(len(tk) - 1),
+            i -> tk[i + 1] || ' ' || tk[i + 2])) AS token
+        FROM (SELECT doc_id,
+                string_split_regex(trim(lower(text)), '\s+') AS tk
+              FROM documents)
+        WHERE len(tk) >= 2),
+      b AS (SELECT CAST(CAST(('0x' || substring(md5(token), 1, 16))
+            AS UBIGINT) % 9223372036854775808 AS BIGINT) AS hv,
+          MIN(batch) AS batch FROM tok
+        WHERE token <> '' GROUP BY 1),
+      p AS (SELECT batch, COUNT(*) AS n_new_tokens FROM b GROUP BY batch)
+      SELECT batch, n_new_tokens,
+        CAST(SUM(n_new_tokens) OVER (ORDER BY batch
+          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens,
+        TRUE AS cum_within_10pct
+      FROM p"""))
+
+  private val stagedIvfRebuildDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** IVF rebuild-in-place (round-13 verdict missing #8 — q145's
+    * embeddingDrift says WHEN centroids went stale; this is the
+    * rebuild that needs no path change): the index is first saved with
+    * deliberately STALE geometry — 4 centroids trained on the even
+    * half only — then [[graft.operators.IvfIndex.rebuildIndex]]
+    * retrains k=16 on the postings' own vectors, re-encodes every
+    * posting, and swaps the whole index directory in behind the staged
+    * protocol. The search runs against the rebuilt index at nProbe = k
+    * (probes exhausted), so the oracle is exact brute force over the
+    * full corpus — a posting lost or duplicated by the rebuild, or a
+    * truncated swap, changes a neighbor and fails the hash. */
+  private val q236 = Q("q236_ann_ivf_rebuild",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val dir = Queries.stagedIvfRebuildDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_ivf_rebuild_${Queries.stagingSuffix(d)}")
+        val stale = graft.operators.IvfIndex.train(
+          emb.where(col("vec_id") % 2 === 0), "vec_id", "embedding", k = 4)
+        graft.operators.IvfIndex.saveIndex(stale,
+          graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", stale),
+          f.getAbsolutePath)
+        graft.operators.IvfIndex.rebuildIndex(s, f.getAbsolutePath, k = 16)
+        f
+      })
+      val (model, postings) =
+        graft.operators.IvfIndex.loadIndex(s, dir.getAbsolutePath)
+      graft.operators.IvfIndex.search(postings,
+        emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", model, k = 5, nProbe = 16)
+    },
+    q146.oracle)
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -8063,7 +8328,7 @@ object Queries {
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229,
-    q230)
+    q230, q231, q232, q233, q234, q235, q236)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
