@@ -14,6 +14,30 @@ object Bench {
     spark.range(1000).selectExpr("sum(id)").collect()
     try spark.read.parquet(s"$sfDir/nation.parquet").count()
     catch { case scala.util.control.NonFatal(_) => () }
+    // HOST-STATE CALIBRATION (advice r13): full-bench totals moved
+    // 1.2-1.5x on byte-identical plans two rounds running, and each
+    // adjudication cost a day of isolated re-measures. A pinned
+    // synthetic workload (generated data — no I/O, no plan changes
+    // round-over-round) timed at bench start AND end, plus
+    // /proc/loadavg at both points, makes the next smear
+    // self-adjudicating: if calib moved with the totals, it's the
+    // host; if calib held, it's the code.
+    def loadavg(): String =
+      try new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+        .trim.split("\\s+").take(3).mkString(",")
+      catch { case scala.util.control.NonFatal(_) => "" }
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 400000000L, 1L, 32)
+        .selectExpr("id % 1024 AS k", "xxhash64(id) AS h")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("h"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibrate() // untimed: JIT/codegen for the probe itself
+    val calibStart = calibrate()
+    val loadStart = loadavg()
     // Force FULL evaluation of every output column: count() lets Catalyst
     // prune unevaluated projections, so projection-only queries would
     // benchmark a bare scan instead of their operator. The noop sink
@@ -107,6 +131,8 @@ object Bench {
     def fmt(v: Double): String =
       if (v.isNaN) "null"
       else java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val calibEnd = calibrate()
+    val loadEnd = loadavg()
     val total = results.values.filterNot(_.isNaN).sum
     // stdout line must fit the driver's 2000-char tail capture (the full
     // 80-query map with long names + full-precision doubles is ~2.7k and
@@ -121,8 +147,11 @@ object Bench {
       ",\"failed\":" + failures.toSeq.sortBy(_._1).map { case (k, n) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + n
       }.mkString("{", ",", "}")
+    val calibJson =
+      s""","calib":{"start":${fmt(calibStart)},"end":${fmt(calibEnd)},""" +
+        s""""load_start":"$loadStart","load_end":"$loadEnd"}"""
     println(
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs$failJson,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs$failJson$calibJson,"sf":"$sfDir"}""")
     // full names + full precision land in a file: a truncated stdout tail
     // (round 3 lost 7 per-query numbers) must not lose the measurement
     val qs = results.toSeq.sortBy(_._1).map { case (k, v) =>
@@ -133,7 +162,7 @@ object Bench {
         "\"" + k + "\":" + n
       }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failFull,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$failFull$calibJson,"sf":"$sfDir"}"""
     val out = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "target/bench.json"))
     if (out.getParent != null) java.nio.file.Files.createDirectories(out.getParent)
