@@ -325,23 +325,35 @@ object IvfIndex {
       .join(keyed, col("n_id") === col("__purge_id"))
       .groupBy(col("cell")).agg(count(lit(1)).as("n_gone"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (affected.isEmpty) return 0L
+    // ONE job rewrites every affected cell (partition-pruned scan →
+    // anti-join → cell-partitioned write into a staging root): a
+    // per-cell job loop measured 9.3 s vs saveIndex's 2.0 at sf0.1 —
+    // serial job-submission overhead, not data. The repartition bounds
+    // the file count to one per rewritten cell; a fully purged cell
+    // simply has no output partition.
+    val tmpRoot = new Path(postingsPath.getParent, "postings.purge_tmp")
+    fs.delete(tmpRoot, true)
+    spark.read.parquet(postingsPath.toString)
+      .where(col("cell").isin(affected.keys.toSeq: _*))
+      .join(keyed, col("n_id") === col("__purge_id"), "left_anti")
+      .repartition(affected.size, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmpRoot.toString)
+    // the staging root is complete before any live cell is touched;
+    // each swap below is per-cell atomic, and a crash mid-loop is
+    // recovered by RE-RUNNING with the same ids (the anti-join removes
+    // nothing from an already-swapped cell)
     affected.keys.toSeq.sorted.foreach { cellId =>
       val cellDir = new Path(postingsPath, s"cell=$cellId")
-      val tmp = new Path(postingsPath, s"cell=$cellId.purge_tmp")
-      val survivors = spark.read.parquet(cellDir.toString)
-        .join(keyed, col("n_id") === col("__purge_id"), "left_anti")
-      survivors.write.mode("overwrite").parquet(tmp.toString)
-      // metadata-only count (parquet footers, no data read): a fully
-      // purged cell drops its partition dir instead of leaving a
-      // zombie schema-only file
-      val hasData = spark.read.parquet(tmp.toString).count() > 0L
+      val tmp = new Path(tmpRoot, s"cell=$cellId")
       fs.delete(cellDir, true)
-      if (hasData)
+      if (fs.exists(tmp))
         require(fs.rename(tmp, cellDir),
           s"purgeFromIndex: swap failed for $cellDir — purged data is " +
             s"intact at $tmp; rename it into place (or re-run) to recover")
-      else fs.delete(tmp, true) // cell fully purged: drop the partition
+      // else: cell fully purged — its partition dir stays dropped
     }
+    fs.delete(tmpRoot, true)
     affected.values.sum
   }
 

@@ -515,10 +515,14 @@ object TrainingData {
     * partition folds its grams into PER-BATCH HLL SKETCHES map-side
     * (q48's machinery, Spark's datasketches HLL), so the only shuffle
     * carries ≤ |partitions|·|batches| fixed-size sketch buffers —
-    * independent of how many distinct grams exist. Cumulative-distinct
-    * per batch is then a union over the tiny per-batch sketch table
-    * (a ≤|batches|² self-join, not a window, so no sketch-in-window
-    * support is assumed), and the per-batch NEW count is the
+    * independent of how many distinct grams exist. The cumulative
+    * union then runs on the DRIVER over the collected ≤ `maxBatches`
+    * per-batch sketches (4 KB each — bounded driver state, loudly
+    * guarded, the [[graft.operators.IvfIndex.train]] sample-collect
+    * discipline; the first cut's distributed ≤|batches|² sketch
+    * self-join moved 8 GB of sketch bytes through one join at 2000
+    * batches — measured 14.3 s vs exact's 4.6 at sf1.0 — for a fold a
+    * single core does in milliseconds). The per-batch NEW count is the
     * difference of successive cumulative estimates — which can be
     * slightly negative on a flat batch (estimate jitter); it is
     * reported as-is, not clamped, so the error is visible (the q48
@@ -536,12 +540,17 @@ object TrainingData {
     * @return (batch, n_new_approx, cum_approx) ordered by batch. */
   def vocabGrowthApprox(docs: DataFrame, idCol: String, textCol: String,
                         batchSize: Long, n: Int = 1,
-                        lgConfigK: Int = 12): DataFrame = {
+                        lgConfigK: Int = 12,
+                        maxBatches: Int = 16384): DataFrame = {
     require(batchSize >= 1,
       s"vocabGrowthApprox: batchSize must be >= 1: $batchSize")
     require(n >= 1 && n <= 8, s"vocabGrowthApprox: n must be in [1, 8]: $n")
     require(lgConfigK >= 4 && lgConfigK <= 21,
       s"vocabGrowthApprox: lgConfigK must be in [4, 21]: $lgConfigK")
+    require(maxBatches >= 1,
+      s"vocabGrowthApprox: maxBatches must be >= 1: $maxBatches")
+    val spark = docs.sparkSession
+    import spark.implicits._
     val tk = TextExprs.tokens(lower(col(textCol)))
     val grams =
       if (n == 1) tk
@@ -558,18 +567,22 @@ object TrainingData {
         graft.functions.StableId63.stableId63(col("token")).as("__hv"))
       .groupBy(col("batch"))
       .agg(hll_sketch_agg(col("__hv"), lit(lgConfigK)).as("__sk"))
-      .localCheckpoint() // ≤ |batches| rows from here on
-    val cum = sk.select(col("batch"))
-      .join(sk.select(col("batch").as("__b2"), col("__sk")),
-        col("__b2") <= col("batch"))
-      .groupBy(col("batch"))
-      .agg(hll_sketch_estimate(hll_union_agg(col("__sk"), lit(true)))
-        .as("cum_approx"))
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("batch"))
-    cum.withColumn("n_new_approx",
-        col("cum_approx") - coalesce(lag(col("cum_approx"), 1).over(w),
-          lit(0L)))
-      .select(col("batch"), col("n_new_approx"), col("cum_approx"))
+      .collect() // ≤ |batches| rows of ~2^lgK bytes each, guarded below
+    require(sk.length <= maxBatches,
+      s"vocabGrowthApprox: ${sk.length} batches exceeds the driver-fold " +
+        s"bound $maxBatches (~${(1 << lgConfigK)} B/sketch) — raise " +
+        "maxBatches deliberately or use a larger batchSize")
+    val union = new org.apache.datasketches.hll.Union(lgConfigK)
+    var prev = 0L
+    val rows = sk.sortBy(_.getLong(0)).map { r =>
+      union.update(org.apache.datasketches.hll.HllSketch.heapify(
+        r.getAs[Array[Byte]](1)))
+      val cum = math.round(union.getEstimate)
+      val out = (r.getLong(0), cum - prev, cum)
+      prev = cum
+      out
+    }
+    rows.toSeq.toDF("batch", "n_new_approx", "cum_approx")
   }
 
   /** Deterministic stratified k-fold assignment — cross-validation
