@@ -8272,6 +8272,45 @@ object Queries {
         TRUE AS cum_within_10pct
       FROM p"""))
 
+  private val stagedMinhashPurgeDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** MinHash store purge + re-ingest (q234's store completed with the
+    * takedown verb): the store is built over the FULL corpus, every
+    * odd doc is then purged via [[graft.operators.Dedup
+    * .purgeMinhashStore]] (only the id-derived bucket partitions
+    * rewrite), the partials are compacted, and the odd half is
+    * re-ingested as a fresh delta. A purged doc must be fully
+    * forgotten — treated as never seen (re-admitted, not skipped) and
+    * absent from the survivor side of every candidate pair — so the
+    * re-ingest must return EXACTLY the one-shot duplicate pairs that
+    * touch at least one odd doc: a posting that survived its takedown
+    * adds a pair, a survivor lost from a rewritten bucket loses one,
+    * and a broken seen-probe returns nothing. */
+  private val q237 = Q("q237_minhash_store_purge",
+    (s, d) => {
+      val dir = Queries.stagedMinhashPurgeDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_minhash_purge_${Queries.stagingSuffix(d)}")
+        val docs = documents(s, d)
+        val store = s"${f.getAbsolutePath}/store"
+        graft.operators.Dedup.saveMinhashStore(
+          docs, "doc_id", "text", store)
+        graft.operators.Dedup.purgeMinhashStore(s, store,
+          docs.where(col("doc_id") % 2 === 1).select(col("doc_id")),
+          "doc_id")
+        graft.operators.Dedup.compactMinhashStore(s, store)
+        graft.operators.Dedup.minhashIncremental(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text", store, 0.4,
+          bands = 4, ngram = 3)
+          .write.mode("overwrite").parquet(s"${f.getAbsolutePath}/pairs")
+        f
+      })
+      s.read.parquet(s"${dir.getAbsolutePath}/pairs")
+    },
+    q114.oracle.map(sql =>
+      s"SELECT * FROM ($sql) WHERE d1 % 2 = 1 OR d2 % 2 = 1"))
+
   private val stagedIvfRebuildDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
@@ -8328,7 +8367,7 @@ object Queries {
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229,
-    q230, q231, q232, q233, q234, q235, q236)
+    q230, q231, q232, q233, q234, q235, q236, q237)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -184,6 +184,16 @@ object Dedup {
     verifiedPairs(postings(docs, idCol, textCol, ngram).localCheckpoint(),
       threshold, bands)
 
+  /** The store's doc-bucket partitioning: both directories are
+    * PARTITIONED by `pb = stable63(doc) mod NStoreBuckets`, and the
+    * bucket of any doc is computable from its ID ALONE — so
+    * [[purgeMinhashStore]] knows which partitions a takedown batch
+    * touches without scanning anything, and rewrites only those. */
+  val NStoreBuckets: Int = 64
+  private def storeBucket(doc: Column): Column =
+    pmod(graft.functions.StableId63.stableId63(doc.cast("string")),
+      lit(NStoreBuckets.toLong))
+
   /** Persist the MinHash signature store a growing corpus dedupes
     * against — the near-dup analog of the q75 exact fingerprint store
     * (round-13 verdict missing #2). Layout under `path`:
@@ -193,16 +203,22 @@ object Dedup {
     *  - `bands/`: (doc, band, bucket) — the LSH band keys, the
     *    material candidate generation needs.
     *
-    * Both directories are append-mode bags; [[minhashIncremental]]
-    * grows them one delta batch at a time. `postings/` is the
-    * MEMBERSHIP AUTHORITY: a doc is "in the store" iff its postings
-    * are (see the torn-append recovery note there). */
+    * Both directories are append-mode bags partitioned by the
+    * id-derived doc bucket `pb` ([[NStoreBuckets]]) so the delete path
+    * rewrites only affected partitions; [[minhashIncremental]] grows
+    * them one delta batch at a time, [[purgeMinhashStore]] forgets,
+    * [[compactMinhashStore]] folds the accumulated per-append
+    * file-sets. `postings/` is the MEMBERSHIP AUTHORITY: a doc is "in
+    * the store" iff its postings are (see the torn-append recovery
+    * note there). */
   def saveMinhashStore(docs: DataFrame, idCol: String, textCol: String,
                        path: String, bands: Int = 4, ngram: Int = 3): Unit = {
     val tok = postings(docs, idCol, textCol, ngram).localCheckpoint()
     bandedOf(signaturesOf(tok), bands)
-      .write.mode("overwrite").parquet(s"$path/bands")
-    tok.write.mode("overwrite").parquet(s"$path/postings")
+      .withColumn("pb", storeBucket(col("doc")))
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$path/bands")
+    tok.withColumn("pb", storeBucket(col("doc")))
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$path/postings")
   }
 
   /** Dedupe a NEW batch against a persisted MinHash store AND grow the
@@ -253,8 +269,8 @@ object Dedup {
     val spark = batch.sparkSession
     val storeToks = spark.read.parquet(s"$storePath/postings")
     val storeBands = spark.read.parquet(s"$storePath/bands")
-    require(storeToks.columns.toSeq == Seq("doc", "hv") &&
-      storeBands.columns.toSeq == Seq("doc", "band", "bucket"),
+    require(storeToks.columns.toSet == Set("doc", "hv", "pb") &&
+      storeBands.columns.toSet == Set("doc", "band", "bucket", "pb"),
       s"minhashIncremental: $storePath is not a saveMinhashStore layout")
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (IvfIndex.fitsBroadcast(df, IvfIndex.MaxBroadcastQueries))
@@ -290,15 +306,122 @@ object Dedup {
       .localCheckpoint()
     val tokOld = storeToks
       .join(maybeBroadcast(candDocs), Seq("doc"), "left_semi")
+      .select(col("doc"), col("hv"))
     val tokAll = tokNew.unionAll(tokOld).localCheckpoint()
     val out = verifyJaccard(tokAll,
       tokAll.groupBy(col("doc")).agg(count(lit(1)).as("n")),
       pairs, threshold).localCheckpoint()
     // grow the store: bands first, postings second (see torn-append
     // note); both appends are delta-sized
-    bandedNew.write.mode("append").parquet(s"$storePath/bands")
-    tokNew.write.mode("append").parquet(s"$storePath/postings")
+    bandedNew.withColumn("pb", storeBucket(col("doc")))
+      .write.mode("append").partitionBy("pb").parquet(s"$storePath/bands")
+    tokNew.withColumn("pb", storeBucket(col("doc")))
+      .write.mode("append").partitionBy("pb").parquet(s"$storePath/postings")
     out
+  }
+
+  /** Forget PURGED documents from a persisted MinHash signature store —
+    * the takedown path completing the store's lifecycle
+    * (save/ingest/purge/compact, the same four verbs as the BM25 and
+    * IVF artifact families). Both directories are partitioned by the
+    * ID-DERIVED doc bucket, so the affected partitions are computed
+    * from the purge ids alone (no store scan for routing); each
+    * affected (dir, bucket) partition is rewritten in ONE
+    * partition-pruned job per directory (anti-join against the
+    * broadcast purge set, staged root, per-partition atomic swaps —
+    * [[IvfIndex.purgeFromIndex]]'s measured shape). IDEMPOTENT: the
+    * anti-join removes nothing on a re-run, so re-running with the
+    * same ids is the torn-purge recovery; purging unknown ids is a
+    * no-op. A purged doc is fully forgotten — later
+    * [[minhashIncremental]] batches treat it as never seen (re-ingest
+    * re-admits it), and it can no longer appear in any candidate pair.
+    *
+    * @return number of purged docs that were actually in the store. */
+  def purgeMinhashStore(spark: org.apache.spark.sql.SparkSession,
+                        path: String, ids: DataFrame,
+                        idCol: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    require(fs.exists(new Path(s"$path/postings")) &&
+      fs.exists(new Path(s"$path/bands")),
+      s"purgeMinhashStore: $path is not a saveMinhashStore layout")
+    val purgeKeys = ids
+      .select(col(idCol).cast("string").as("__purge_id"))
+      .distinct().localCheckpoint()
+    // affected partitions from the ids alone — no store scan
+    val pbs = purgeKeys
+      .select(pmod(graft.functions.StableId63.stableId63(col("__purge_id")),
+        lit(NStoreBuckets.toLong)).as("pb"))
+      .distinct().collect().map(_.getLong(0)).sorted
+    if (pbs.isEmpty) return 0L
+    val gone = spark.read.parquet(s"$path/postings")
+      .where(col("pb").isin(pbs: _*))
+      .select(col("doc")).distinct()
+      .join(broadcast(purgeKeys),
+        col("doc").cast("string") === col("__purge_id"), "left_semi")
+      .count()
+    Seq("postings", "bands").foreach { dirName =>
+      val live = new Path(s"$path/$dirName")
+      val tmpRoot = new Path(s"$path/$dirName.purge_tmp")
+      fs.delete(tmpRoot, true)
+      spark.read.parquet(live.toString)
+        .where(col("pb").isin(pbs: _*))
+        .join(broadcast(purgeKeys),
+          col("doc").cast("string") === col("__purge_id"), "left_anti")
+        .repartition(pbs.length, col("pb"))
+        .write.mode("overwrite").partitionBy("pb").parquet(tmpRoot.toString)
+      pbs.foreach { pb =>
+        val part = new Path(live, s"pb=$pb")
+        val tmp = new Path(tmpRoot, s"pb=$pb")
+        fs.delete(part, true)
+        if (fs.exists(tmp))
+          require(fs.rename(tmp, part),
+            s"purgeMinhashStore: swap failed for $part — purged data is " +
+              s"intact at $tmp; rename it into place (or re-run) to recover")
+        // else: every doc in the partition was purged — it stays dropped
+      }
+      fs.delete(tmpRoot, true)
+    }
+    gone
+  }
+
+  /** Fold each store partition's accumulated per-append file-sets into
+    * ~`targetBytes` files — [[IvfIndex.compactPostings]]' small-file
+    * compaction applied to the signature store (every
+    * [[minhashIncremental]] batch adds one file-set per touched
+    * bucket). Content-preserving by construction (both directories are
+    * plain bags within a partition); each partition's compacted set is
+    * fully written beside it before the atomic swap. Safe any time no
+    * ingest is in flight. */
+  def compactMinhashStore(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    import org.apache.hadoop.fs.Path
+    Seq("postings", "bands").foreach { dirName =>
+      val live = new Path(s"$path/$dirName")
+      val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
+      require(fs.exists(live),
+        s"compactMinhashStore: $path is not a saveMinhashStore layout")
+      fs.listStatus(live)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("pb="))
+        .foreach { pd =>
+          val files = fs.listStatus(pd.getPath)
+            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          if (files.length > 1) {
+            val nFiles = math.max(1,
+              math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
+            val tmp = new Path(pd.getPath.getParent,
+              pd.getPath.getName + ".compact_tmp")
+            spark.read.parquet(pd.getPath.toString)
+              .repartition(nFiles)
+              .write.mode("overwrite").parquet(tmp.toString)
+            fs.delete(pd.getPath, true)
+            require(fs.rename(tmp, pd.getPath),
+              s"compactMinhashStore: swap failed for ${pd.getPath} — " +
+                s"compacted data is intact at $tmp; rename it to recover")
+          }
+        }
+    }
   }
 
   /** The candidate-first verify over an already-materialized (doc, hv)

@@ -351,6 +351,55 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("saveMinhashStore layout"))
   }
 
+  test("purgeMinhashStore: purged docs are fully forgotten (re-ingest " +
+    "re-admits them, survivors untouched); only affected buckets " +
+    "rewrite; idempotent; compaction is invisible") {
+    import org.apache.hadoop.fs.Path
+    val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_minhash_purge_spec_${System.nanoTime()}")
+    store.deleteOnExit()
+    Dedup.saveMinhashStore(docs, "doc_id", "text", store.getAbsolutePath)
+    val fs = new Path(store.getAbsolutePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def partFiles(dir: String): Map[String, Seq[String]] =
+      fs.listStatus(new Path(s"${store.getAbsolutePath}/$dir"))
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("pb="))
+        .map(pd => pd.getPath.getName ->
+          fs.listStatus(pd.getPath).filter(_.isFile)
+            .map(_.getPath.getName).toSeq.sorted)
+        .toMap
+    val before = partFiles("postings")
+    val purgeIds = docs.where(col("doc_id") % 3 === 0).select(col("doc_id"))
+    val touched = purgeIds
+      .select(pmod(graft.functions.StableId63
+        .stableId63(col("doc_id").cast("string")), lit(64L)).as("pb"))
+      .distinct().collect().map(r => s"pb=${r.getLong(0)}").toSet
+    val n = docs.where(col("doc_id") % 3 === 0).count()
+    assert(Dedup.purgeMinhashStore(spark, store.getAbsolutePath,
+      purgeIds, "doc_id") == n)
+    // untouched buckets keep their exact files
+    val after = partFiles("postings")
+    before.keys.filterNot(touched).foreach { p =>
+      assert(after(p) == before(p), s"untouched $p was rewritten")
+    }
+    // idempotent: nothing left matching
+    assert(Dedup.purgeMinhashStore(spark, store.getAbsolutePath,
+      purgeIds, "doc_id") == 0L)
+    Dedup.compactMinhashStore(spark, store.getAbsolutePath)
+    // purged docs re-ingest as NEW, and the pairs equal one-shot pairs
+    // touching a purged doc — survivors' signatures must be intact
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val reIngested = pairSet(Dedup.minhashIncremental(
+      docs.where(col("doc_id") % 3 === 0), "doc_id", "text",
+      store.getAbsolutePath, 0.4))
+    val expected = pairSet(Dedup.minhashDuplicates(docs, "doc_id", "text", 0.4))
+      .filter(p => p._1 % 3 == 0 || p._2 % 3 == 0)
+    assert(reIngested == expected,
+      s"missing=${(expected -- reIngested).take(5)} " +
+        s"extra=${(reIngested -- expected).take(5)}")
+  }
+
   test("overlapMatrix: shared shingles + jaccard per group pair, sparse, null-safe") {
     import spark.implicits._
     // a: shingles {w1 w2 w3, w2 w3 w4} ; b shares exactly {w2 w3 w4} and
