@@ -36,6 +36,14 @@ object IndexOpsScale {
         docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
         s"$base/mh", 0.4).write.format("noop").mode("overwrite").save()
     }
+    timed("minhash purgeStore(third)") {
+      val n = graft.operators.Dedup.purgeMinhashStore(spark, s"$base/mh",
+        docs.where(col("doc_id") % 3 === 0).select(col("doc_id")), "doc_id")
+      println(s"[indexops]   purged=$n")
+    }
+    timed("minhash compactStore") {
+      graft.operators.Dedup.compactMinhashStore(spark, s"$base/mh")
+    }
     // BM25 stats: save all, purge a fifth
     timed("bm25 saveCorpusStats(all)") {
       graft.operators.TextSearch.saveCorpusStats(

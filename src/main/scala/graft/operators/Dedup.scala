@@ -214,10 +214,14 @@ object Dedup {
   def saveMinhashStore(docs: DataFrame, idCol: String, textCol: String,
                        path: String, bands: Int = 4, ngram: Int = 3): Unit = {
     val tok = postings(docs, idCol, textCol, ngram).localCheckpoint()
+    // repartition on pb before the partitioned write: ONE file per
+    // bucket per write instead of (tasks × buckets) small files
     bandedOf(signaturesOf(tok), bands)
       .withColumn("pb", storeBucket(col("doc")))
+      .repartition(NStoreBuckets, col("pb"))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$path/bands")
     tok.withColumn("pb", storeBucket(col("doc")))
+      .repartition(NStoreBuckets, col("pb"))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$path/postings")
   }
 
@@ -312,10 +316,12 @@ object Dedup {
       tokAll.groupBy(col("doc")).agg(count(lit(1)).as("n")),
       pairs, threshold).localCheckpoint()
     // grow the store: bands first, postings second (see torn-append
-    // note); both appends are delta-sized
+    // note); both appends are delta-sized, one file per touched bucket
     bandedNew.withColumn("pb", storeBucket(col("doc")))
+      .repartition(NStoreBuckets, col("pb"))
       .write.mode("append").partitionBy("pb").parquet(s"$storePath/bands")
     tokNew.withColumn("pb", storeBucket(col("doc")))
+      .repartition(NStoreBuckets, col("pb"))
       .write.mode("append").partitionBy("pb").parquet(s"$storePath/postings")
     out
   }

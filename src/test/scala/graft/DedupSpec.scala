@@ -398,6 +398,15 @@ class DedupSpec extends SparkSpec {
     assert(reIngested == expected,
       s"missing=${(expected -- reIngested).take(5)} " +
         s"extra=${(reIngested -- expected).take(5)}")
+    // the re-ingest appended a second file-set into surviving buckets;
+    // compaction folds every bucket to one file WITHOUT changing what
+    // the store knows (the same batch still reads as fully seen)
+    Dedup.compactMinhashStore(spark, store.getAbsolutePath)
+    partFiles("postings").foreach { case (p, files) =>
+      assert(files.count(_.endsWith(".parquet")) <= 1, s"$p: $files")
+    }
+    assert(Dedup.minhashIncremental(docs, "doc_id", "text",
+      store.getAbsolutePath, 0.4).count() == 0L)
   }
 
   test("overlapMatrix: shared shingles + jaccard per group pair, sparse, null-safe") {
