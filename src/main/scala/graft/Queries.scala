@@ -8311,6 +8311,49 @@ object Queries {
     q114.oracle.map(sql =>
       s"SELECT * FROM ($sql) WHERE d1 % 2 = 1 OR d2 % 2 = 1"))
 
+  private val stagedDocStreamDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Continuous near-dup ingest (q234's store protocol driven through
+    * Structured Streaming): the corpus arrives as two pinned-order
+    * micro-batches (even ids, then odd — `maxFilesPerTrigger=1` +
+    * forced modTimes), [[graft.streaming.DocStreams.nearDupIngest]]
+    * bootstraps the store from the first batch and rides
+    * minhashIncremental for the second, writing each batch's duplicate
+    * pairs to its own partition. The union of the per-batch pair logs
+    * must equal one-shot minhashDuplicates over the full corpus —
+    * q114's oracle verbatim — so a batch-boundary candidate loss, a
+    * bootstrap/incremental mismatch, or a foreachBatch ordering bug
+    * all fail the hash. */
+  private val q238 = Q("q238_streaming_near_dup_ingest",
+    (s, d) => {
+      val dir = Queries.stagedDocStreamDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_doc_stream_${Queries.stagingSuffix(d)}")
+        org.apache.commons.io.FileUtils.deleteDirectory(f)
+        val in = new java.io.File(f, "in"); in.mkdirs()
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val t0 = System.currentTimeMillis()
+        Queries.stageStreamFile(
+          docs.where(col("doc_id") % 2 === 0), in, "a_even", t0)
+        Queries.stageStreamFile(
+          docs.where(col("doc_id") % 2 === 1), in, "b_odd", t0 + 2000)
+        val rawSchema = s.read.parquet(in.getAbsolutePath).schema
+        val stream = s.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in.getAbsolutePath)
+        Queries.withStreamingParallelism(s) {
+          graft.streaming.DocStreams.nearDupIngest(stream,
+            "doc_id", "text", s"$f/store", s"$f/pairs", s"$f/ckpt",
+            threshold = 0.4)
+        }
+        f
+      })
+      s.read.parquet(s"${dir.getAbsolutePath}/pairs")
+        .select(col("d1"), col("d2"), col("jaccard"))
+    },
+    q114.oracle)
+
   private val stagedIvfRebuildDir =
     new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
 
@@ -8367,7 +8410,7 @@ object Queries {
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229,
-    q230, q231, q232, q233, q234, q235, q236, q237)
+    q230, q231, q232, q233, q234, q235, q236, q237, q238)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
