@@ -29,9 +29,11 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => "" }
     def calibrate(): Double = {
       val t0 = System.nanoTime()
+      // bit_xor, not sum: summing 400M full-range hashes overflows long
+      // under ANSI (measured — it killed the whole bench run)
       spark.range(0L, 400000000L, 1L, 32)
         .selectExpr("id % 1024 AS k", "xxhash64(id) AS h")
-        .groupBy("k").agg(org.apache.spark.sql.functions.sum("h"))
+        .groupBy("k").agg(org.apache.spark.sql.functions.expr("bit_xor(h)"))
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
