@@ -409,6 +409,51 @@ class DedupSpec extends SparkSpec {
       store.getAbsolutePath, 0.4).count() == 0L)
   }
 
+  test("minhashIncremental torn-append recovery: bands landed but " +
+    "postings missing -> the batch reads as unseen, re-running restores " +
+    "postings once and returns the full pair set; no posting duplicates") {
+    import org.apache.hadoop.fs.Path
+    val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_minhash_torn_spec_${System.nanoTime()}")
+    store.deleteOnExit()
+    val batch1 = docs.where(col("doc_id") % 2 === 0)
+    val batch2 = docs.where(col("doc_id") % 2 === 1)
+    Dedup.saveMinhashStore(batch1, "doc_id", "text", store.getAbsolutePath)
+    val fs = new Path(store.getAbsolutePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def postingFiles(): Set[String] = {
+      val root = new Path(s"${store.getAbsolutePath}/postings")
+      fs.listStatus(root).filter(_.isDirectory).flatMap(pd =>
+        fs.listStatus(pd.getPath).filter(_.isFile)
+          .map(f => s"${pd.getPath.getName}/${f.getPath.getName}")).toSet
+    }
+    val preAppend = postingFiles()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val clean = pairSet(Dedup.minhashIncremental(
+      batch2, "doc_id", "text", store.getAbsolutePath, 0.4))
+    // simulate the documented crash window: the append's BANDS landed
+    // (first move batch) but its POSTINGS did not — delete exactly the
+    // posting files the append added
+    (postingFiles() -- preAppend).foreach { rel =>
+      fs.delete(new Path(s"${store.getAbsolutePath}/postings/$rel"), false)
+    }
+    // membership authority is postings: batch2 reads as UNSEEN, so the
+    // re-run re-admits it, restores its postings exactly once, and its
+    // duplicate band rows are harmless under the DISTINCT candidates
+    val recovered = pairSet(Dedup.minhashIncremental(
+      batch2, "doc_id", "text", store.getAbsolutePath, 0.4))
+    assert(recovered == clean,
+      s"missing=${(clean -- recovered).take(5)} " +
+        s"extra=${(recovered -- clean).take(5)}")
+    // postings not duplicated: every (doc, hv) appears exactly once
+    val p = spark.read.parquet(s"${store.getAbsolutePath}/postings")
+    assert(p.count() == p.select("doc", "hv").distinct().count())
+    // and the store now behaves fully seen
+    assert(Dedup.minhashIncremental(docs, "doc_id", "text",
+      store.getAbsolutePath, 0.4).count() == 0L)
+  }
+
   test("overlapMatrix: shared shingles + jaccard per group pair, sparse, null-safe") {
     import spark.implicits._
     // a: shingles {w1 w2 w3, w2 w3 w4} ; b shares exactly {w2 w3 w4} and

@@ -165,6 +165,47 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("purgeFromIndex torn-purge recovery: a cell that crashed back to " +
+      "its pre-purge state is healed by re-running with the same ids") {
+    import org.apache.hadoop.fs.Path
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_torn_spec_${System.nanoTime()}")
+    dir.deleteOnExit()
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
+    IvfIndex.saveIndex(model,
+      IvfIndex.assign(emb, "vec_id", "embedding", model), dir.getAbsolutePath)
+    val fs = new Path(dir.getAbsolutePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val purgeIds = emb.where(col("vec_id") % 3 === 0).select(col("vec_id"))
+    // pick a cell that will be affected, back up its PRE-purge files
+    val victim = IvfIndex.assign(emb.where(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", model)
+      .select("cell").distinct().orderBy("cell").collect()(0).getInt(0)
+    val cellDir = new Path(s"${dir.getAbsolutePath}/postings/cell=$victim")
+    val backup = new Path(s"${dir.getAbsolutePath}/cell_backup")
+    org.apache.hadoop.fs.FileUtil.copy(fs, cellDir, fs, backup, false, false,
+      spark.sessionState.newHadoopConf())
+    // clean purge, snapshot the expected survivors
+    IvfIndex.purgeFromIndex(spark, dir.getAbsolutePath, purgeIds, "vec_id")
+    val want = IvfIndex.loadIndex(spark, dir.getAbsolutePath)._2
+      .select("n_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    // simulate the crash window: the victim cell reverts to its
+    // pre-purge content (as if its swap never happened)
+    fs.delete(cellDir, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, backup, fs, cellDir, false, false,
+      spark.sessionState.newHadoopConf())
+    assert(IvfIndex.loadIndex(spark, dir.getAbsolutePath)._2
+      .select("n_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet != want, "torn state")
+    // the documented recovery: re-run with the same ids
+    IvfIndex.purgeFromIndex(spark, dir.getAbsolutePath, purgeIds, "vec_id")
+    val got = IvfIndex.loadIndex(spark, dir.getAbsolutePath)._2
+      .select("n_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(got == want)
+  }
+
   test("rebuildIndex: retrains on the postings' own vectors, preserves " +
       "every posting, swaps in place; search equals a fresh same-model " +
       "assignment; refuses a non-index path") {
