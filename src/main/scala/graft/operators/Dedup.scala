@@ -1408,13 +1408,17 @@ object Dedup {
     val members = base.groupBy(col("cluster"))
       .agg(min(col("__id")).as("rep_id"), count(lit(1)).as("n_members"))
     attrs.foldLeft(members) { (acc, a) =>
-      val votes = base.where(col(a).isNotNull)
+      // one argmax-min aggregate per attribute: min(struct(−count,
+      // value)) is the same total order (most frequent value, ties to
+      // smallest) as the former per-cluster max + join-back + min —
+      // minus a join and a recompute of the vote table (the LPA
+      // struct-min collapse, measured 1.42× there in [[graft.LpaAb]])
+      val winner = base.where(col(a).isNotNull)
         .groupBy(col("cluster"), col(a))
         .agg(count(lit(1)).as("__c"))
-      val best = votes.groupBy(col("cluster")).agg(max(col("__c")).as("__m"))
-      val winner = votes.join(best, Seq("cluster"))
-        .where(col("__c") === col("__m"))
-        .groupBy(col("cluster")).agg(min(col(a)).as(a))
+        .groupBy(col("cluster"))
+        .agg(min(struct((-col("__c")).as("nc"), col(a).as("v"))).as("__b"))
+        .select(col("cluster"), col("__b").getField("v").as(a))
       acc.join(winner, Seq("cluster"), "left")
     }
   }
