@@ -56,14 +56,23 @@ object LinkGraph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    // out-degree folds INTO the edge frame once, pre-partitioned on
+    // src — the loop pays one join per iteration instead of two, and
+    // the repartition-then-localCheckpoint preserves HashPartitioning
+    // through the LogicalRDD, so each round's src-join re-shuffles
+    // only the |nodes|-row rank frame, never the edge list
+    // (interleaved same-JVM A/B at 1M nodes / 8M edges / 3 iters:
+    // 22.1 → 7.3 s, 3.0× — [[graft.PrAb]]; the edge re-shuffle per
+    // round was the dominant cost, not the extra join)
+    val ed = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), Seq("src"))
+      .repartition(col("src"))
       .localCheckpoint()
     val baseMicro = (100L - dampingPct) * 10000L
     var rank = nodes.select(col("node"), lit(1000000L).as("__rm"))
     for (_ <- 1 to iters) {
-      val contrib = e
+      val contrib = ed
         .join(rank.select(col("node").as("src"), col("__rm")), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst"), expr("__rm DIV __deg").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
       rank = nodes
@@ -153,6 +162,10 @@ object LinkGraph {
         col(dstCol).cast("string").as("dst"))
       .where(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      // src-partitioned before the checkpoint so each relax round
+      // re-shuffles only the reached set, never the edge list (the
+      // pageRank 3.0× lesson, graft.PrAb)
+      .repartition(col("src"))
       .localCheckpoint()
     val inGraph = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
@@ -209,16 +222,18 @@ object LinkGraph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
-    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+    // degree folded into the edge frame once — [[pageRank]]'s shape
+    val ed = e
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), Seq("src"))
+      .repartition(col("src"))
       .localCheckpoint()
     val isSeed = col("node").isin(seeds: _*)
     val baseMicro = (100L - dampingPct) * 10000L
     var rank = nodes.select(col("node"),
       when(isSeed, lit(1000000L)).otherwise(lit(0L)).as("__rm"))
     for (_ <- 1 to iters) {
-      val contrib = e
+      val contrib = ed
         .join(rank.select(col("node").as("src"), col("__rm")), Seq("src"))
-        .join(outdeg, Seq("src"))
         .select(col("dst"), expr("__rm DIV __deg").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
       rank = nodes
@@ -273,6 +288,13 @@ object LinkGraph {
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint()
+    // one pre-partitioned copy per join orientation: the repartition-
+    // then-localCheckpoint preserves HashPartitioning through the
+    // LogicalRDD ([[pageRank]]'s measured 3.0× lesson, graft.PrAb),
+    // so each half-step re-shuffles only the ≤|nodes|-row score frame,
+    // never the edge list
+    val eSrc = e.repartition(col("src")).localCheckpoint()
+    val eDst = e.repartition(col("dst")).localCheckpoint()
     def rescaled(raw: DataFrame, valCol: String): DataFrame = {
       val mx = raw.agg(max(col(valCol))).collect()(0).getLong(0)
       val denom = math.max(1L, (mx + 999999L) / 1000000L)
@@ -286,11 +308,11 @@ object LinkGraph {
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       auth = rescaled(
-        e.join(hub.select(col("node").as("src"), col("__hm")), Seq("src"))
+        eSrc.join(hub.select(col("node").as("src"), col("__hm")), Seq("src"))
           .groupBy(col("dst")).agg(sum(col("__hm")).as("__am"))
           .withColumnRenamed("dst", "node"), "__am")
       hub = rescaled(
-        e.join(auth.select(col("node").as("dst"), col("__am")), Seq("dst"))
+        eDst.join(auth.select(col("node").as("dst"), col("__am")), Seq("dst"))
           .groupBy(col("src")).agg(sum(col("__am")).as("__hm"))
           .withColumnRenamed("src", "node"), "__hm")
     }
