@@ -222,11 +222,14 @@ object TextSearch {
     * documents that aren't in (or negating twice) drives df/N below
     * the truth silently, exactly as double-appending inflates them; id
     * bookkeeping is the caller's sink contract (SURVEY §2 S4). Torn
-    * purge: the staged move lands terms/ before corpus/, so a failure
-    * between the two leaves dfs reduced with N/TL still high —
-    * idf slightly UNDER-estimated for the purged terms only (scores
-    * sag, never inflate), and re-running saveCorpusStats rebuilds; the
-    * same recovery as a torn append. */
+    * purge: the staged move lands corpus/ before terms/ — the REVERSE
+    * of append's order, because the conservative direction flips with
+    * the sign: with N/TL already reduced and dfs still high, idf =
+    * ln((N+1)/(df+0.5)) is UNDER-estimated, so scores sag and never
+    * inflate (terms-first would leave dfs low under a stale-high N —
+    * idf inflation, the one failure mode a ranking must not have;
+    * direction spec-gated). Recovery = re-running saveCorpusStats,
+    * the same as a torn append. */
   def purgeCorpusStats(purged: DataFrame, idCol: String, textCol: String,
                        path: String): Unit = {
     val spark = purged.sparkSession
@@ -252,7 +255,8 @@ object TextSearch {
         .groupBy(col("term")).agg((-count(lit(1))).as("df"))
         .sortWithinPartitions(col("term"))
         .write.mode("overwrite").parquet(new Path(stage, "terms").toString)
-      Seq("terms", "corpus").foreach { part =>
+      // corpus BEFORE terms — see the torn-purge direction note above
+      Seq("corpus", "terms").foreach { part =>
         fs.listStatus(new Path(stage, part))
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .foreach { f =>

@@ -292,6 +292,44 @@ class TextSearchSpec extends SparkSpec {
     assert(e.getMessage.contains("saveCorpusStats layout"))
   }
 
+  test("purgeCorpusStats torn-purge direction: corpus negative landed, " +
+      "terms negatives missing -> every score sags at or below the " +
+      "clean-purge score, never inflates") {
+    import org.apache.hadoop.fs.Path
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_torn_${System.nanoTime()}")
+    dir.deleteOnExit()
+    TextSearch.saveCorpusStats(corpus, "doc_id", "text", dir.getAbsolutePath)
+    val fs = new Path(dir.getAbsolutePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def termFiles(): Set[String] =
+      fs.listStatus(new Path(s"${dir.getAbsolutePath}/terms"))
+        .filter(_.isFile).map(_.getPath.getName).toSet
+    val before = termFiles()
+    // purge docs 3+4 (cherry's df and durian's whole presence go)
+    TextSearch.purgeCorpusStats(
+      corpus.where(col("doc_id") === 3L || col("doc_id") === 4L),
+      "doc_id", "text", dir.getAbsolutePath)
+    val survivors = corpus.where(col("doc_id") < 3L)
+    def scores(path: String) =
+      TextSearch.bm25TopKIndexed(survivors, "doc_id", "text", path,
+        Seq("apple", "cherry", "banana"), k = 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    val clean = scores(dir.getAbsolutePath)
+    // simulate the crash window the move order defines: remove exactly
+    // the terms negatives the purge added, keep the corpus negative
+    (termFiles() -- before).foreach { name =>
+      fs.delete(new Path(s"${dir.getAbsolutePath}/terms/$name"), false)
+    }
+    val torn = scores(dir.getAbsolutePath)
+    assert(torn.keySet == clean.keySet)
+    torn.foreach { case (doc, s) =>
+      assert(s <= clean(doc) + 1e-12, s"doc $doc inflated: $s > ${clean(doc)}")
+    }
+    // and the sag is real for a doc containing a purged-df term
+    assert(torn.exists { case (doc, s) => s < clean(doc) - 1e-9 }, torn)
+  }
+
   test("compactCorpusStats: folds the append partials into one file-set " +
       "with byte-identical summed reads; refuses a non-stats layout") {
     val grown = corpus.union(Seq(
