@@ -149,9 +149,21 @@ object Bench {
       ",\"failed\":" + failures.toSeq.sortBy(_._1).map { case (k, n) =>
         "\"" + k.takeWhile(_ != '_') + "\":" + n
       }.mkString("{", ",", "}")
+    // calibration-corrected total (verdict r14 #8): the pinned probe's
+    // UNLOADED duration on this host is ~0.40 s (measured across the
+    // r13/r14 runs at loadavg < 1); scaling the raw total by
+    // ref / mean(calib start, end) folds ambient host load out of the
+    // round-over-round comparison so it stops needing manual
+    // adjudication. First-order only — load is not perfectly linear in
+    // wall time — so BOTH totals are emitted and the raw one stays the
+    // primary metric.
+    val calibRef = 0.40
+    val calibMean = (calibStart + calibEnd) / 2.0
+    val totalCal = if (calibMean > 0) total * (calibRef / calibMean) else total
     val calibJson =
       s""","calib":{"start":${fmt(calibStart)},"end":${fmt(calibEnd)},""" +
-        s""""load_start":"$loadStart","load_end":"$loadEnd"}"""
+        s""""load_start":"$loadStart","load_end":"$loadEnd"}""" +
+        s""","total_s_calibrated":${fmt(totalCal)}"""
     println(
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$shortQs$failJson$calibJson,"sf":"$sfDir"}""")
     // full names + full precision land in a file: a truncated stdout tail

@@ -8390,6 +8390,41 @@ object Queries {
     },
     q146.oracle)
 
+  private val stagedDerivePairsDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Store-only pair derivation (round-14 verdict missing #2 made
+    * executable — [[graft.operators.Dedup.derivePairsFromStore]]): the
+    * persisted MinHash store is built through the production
+    * composition (bootstrap save over the even half, incremental
+    * ingest of the odd half — q234's protocol), its per-ingest pair
+    * outputs are then DISCARDED, and the full verified pair set is
+    * regenerated from the store alone: bands → banded-collision
+    * candidates → exact Jaccard against the stored postings. Must
+    * equal one-shot minhashDuplicates over the full corpus — q114's
+    * oracle verbatim — so a candidate lost in the store's band rows, a
+    * posting dropped or duplicated by an ingest, or a broken verify
+    * all fail the hash. This is the replay-stable remedy for
+    * DocStreams' at-most-once pair log. */
+  private val q239 = Q("q239_derive_pairs_from_store",
+    (s, d) => {
+      val dir = Queries.stagedDerivePairsDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_derive_pairs_${Queries.stagingSuffix(d)}")
+        val docs = documents(s, d)
+        graft.operators.Dedup.saveMinhashStore(
+          docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+          s"${f.getAbsolutePath}/store")
+        graft.operators.Dedup.minhashIncremental(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+          s"${f.getAbsolutePath}/store", 0.4, bands = 4, ngram = 3).count()
+        f
+      })
+      graft.operators.Dedup.derivePairsFromStore(s,
+        s"${dir.getAbsolutePath}/store", 0.4)
+    },
+    q114.oracle)
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -8410,7 +8445,7 @@ object Queries {
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229,
-    q230, q231, q232, q233, q234, q235, q236, q237, q238)
+    q230, q231, q232, q233, q234, q235, q236, q237, q238, q239)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

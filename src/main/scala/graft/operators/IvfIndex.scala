@@ -179,6 +179,11 @@ object IvfIndex {
     * so a bad batch fails while the index is still intact). */
   def appendToIndex(spark: SparkSession, path: String, delta: DataFrame,
                     idCol: String, vecCol: String): Model = {
+    // mutation verb: promote any orphaned staged cell a torn purge or
+    // compaction left behind, so the append lands in a complete index
+    StoreSwap.recoverStagedPartitions(
+      StoreSwap.fsOf(spark, path),
+      new org.apache.hadoop.fs.Path(s"$path/postings"), "cell=")
     val (model, _) = loadIndex(spark, path)
     val saved = spark.read.parquet(s"$path/postings")
       .schema("n_vec").dataType.catalogString
@@ -207,11 +212,14 @@ object IvfIndex {
     * probed-cell scans long before data volume does. Postings are a plain
     * (n_id, n_vec) bag within each cell=… partition, so a per-cell
     * rewrite is trivially content-preserving (spec-gated: identical
-    * search results, file count collapsed). Each cell's compacted set
-    * is fully written to a sibling tmp directory before the live cell
-    * directory is dropped and the tmp promoted — a crash leaves either
-    * the old files or the compacted set, never a torn cell. Safe any
-    * time no append is in flight. */
+    * search results, file count collapsed). ONE partition-pruned job
+    * rewrites every multi-file cell into a dot-prefixed SIBLING staging
+    * root (never a temp inside postings/, where partition discovery
+    * could mistake a torn dir for data), then each cell swaps in
+    * atomically; a crash is healed at the next mutation verb's entry,
+    * which promotes any orphaned staged cell
+    * ([[StoreSwap.compactPartitions]]). Safe any time no append is in
+    * flight. */
   def compactPostings(spark: SparkSession, path: String,
                       targetBytes: Long = 128L * 1024 * 1024): Unit = {
     import org.apache.hadoop.fs.Path
@@ -219,24 +227,8 @@ object IvfIndex {
     val fs = postings.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(postings),
       s"compactPostings: $path is not a saveIndex layout (no postings/)")
-    fs.listStatus(postings)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      .foreach { cd =>
-        val files = fs.listStatus(cd.getPath)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        if (files.length > 1) {
-          val nFiles = math.max(1,
-            math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
-          val tmp = new Path(cd.getPath.getParent, cd.getPath.getName + ".compact_tmp")
-          spark.read.parquet(cd.getPath.toString)
-            .repartition(nFiles)
-            .write.mode("overwrite").parquet(tmp.toString)
-          fs.delete(cd.getPath, true)
-          require(fs.rename(tmp, cd.getPath),
-            s"compactPostings: swap failed for ${cd.getPath} — compacted " +
-              s"data is intact at $tmp; rename it into place to recover")
-        }
-      }
+    StoreSwap.compactPartitions(spark, postings, "cell", "compactPostings",
+      targetBytes)
   }
 
   /** Rebuild a persisted index IN PLACE — the rebalance path
@@ -252,9 +244,14 @@ object IvfIndex {
     * directory before swapping. The OLD index stays fully readable
     * until the new one is completely written ([[graft.sources
     * .WarehouseStore.compactFact]]'s staged-swap contract); the swap
-    * itself is delete-live + rename-tmp — a crash inside that narrow
-    * window leaves the complete new index at the tmp path with a loud
-    * recovery message, never a half-index at the live path.
+    * is a TWO-RENAME sequence — live aside to `.rebuild_old`, tmp to
+    * live, drop `.rebuild_old` — so a COMPLETE index exists at every
+    * instant: a crash between the renames leaves both the old index
+    * (at `.rebuild_old`) and the new one (at `.rebuild_tmp`), and the
+    * next rebuildIndex call promotes the rebuilt one before doing
+    * anything else (spec-gated crash-window case). The previous
+    * delete-live + rename-tmp shape had a window with NO live index
+    * at all.
     *
     * @return the retrained model (the caller can search immediately). */
   def rebuildIndex(spark: SparkSession, path: String, k: Int,
@@ -262,18 +259,37 @@ object IvfIndex {
     import org.apache.hadoop.fs.Path
     val live = new Path(path)
     val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(new Path(path, "postings")),
+    val tmp = new Path(live.getParent, live.getName + ".rebuild_tmp")
+    val old = new Path(live.getParent, live.getName + ".rebuild_old")
+    // crash recovery for the two-rename window: if the live index is
+    // missing, a prior rebuild died between its renames — promote the
+    // complete rebuilt index (or, failing that, the set-aside old one)
+    def complete(p: Path): Boolean = fs.exists(new Path(p, "postings"))
+    if (!complete(live)) {
+      if (complete(tmp))
+        require(fs.rename(tmp, live),
+          s"rebuildIndex: failed to promote the complete rebuilt index " +
+            s"at $tmp to $path — rename it manually, then retry")
+      else if (complete(old))
+        require(fs.rename(old, live),
+          s"rebuildIndex: failed to restore the set-aside index at $old " +
+            s"to $path — rename it manually, then retry")
+    }
+    fs.delete(old, true)
+    fs.delete(tmp, true)
+    require(complete(live),
       s"rebuildIndex: $path is not a saveIndex layout (no postings/)")
     val corpus = spark.read.parquet(s"$path/postings")
       .select(col("n_id"), col("n_vec"))
     val model = train(corpus, "n_id", "n_vec", k, sampleSize, iters)
-    val tmp = new Path(live.getParent, live.getName + ".rebuild_tmp")
-    fs.delete(tmp, true)
     saveIndex(model, assign(corpus, "n_id", "n_vec", model), tmp.toString)
-    fs.delete(live, true)
+    require(fs.rename(live, old),
+      s"rebuildIndex: could not set the live index aside at $old — the " +
+        s"live index is untouched; the complete rebuilt index is at $tmp")
     require(fs.rename(tmp, live),
       s"rebuildIndex: swap failed — the complete rebuilt index is " +
-        s"intact at $tmp; rename it to $path to recover")
+        s"intact at $tmp (old index at $old); rename $tmp to $path to recover")
+    fs.delete(old, true)
     model
   }
 
@@ -313,6 +329,10 @@ object IvfIndex {
     val fs = postingsPath.getFileSystem(spark.sessionState.newHadoopConf())
     require(fs.exists(postingsPath),
       s"purgeFromIndex: $path is not a saveIndex layout (no postings/)")
+    // promote any torn prior mutation BEFORE the probe — an orphaned
+    // staged cell's survivors are invisible until promoted, and a
+    // re-run that deleted the staging root would lose them forever
+    StoreSwap.recoverStagedPartitions(fs, postingsPath, "cell=")
     val purgeKeys = ids.select(col(idCol).as("__purge_id"))
       .distinct().localCheckpoint()
     val keyed =
@@ -327,33 +347,14 @@ object IvfIndex {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     if (affected.isEmpty) return 0L
     // ONE job rewrites every affected cell (partition-pruned scan →
-    // anti-join → cell-partitioned write into a staging root): a
+    // anti-join → cell-partitioned write into the staging root): a
     // per-cell job loop measured 9.3 s vs saveIndex's 2.0 at sf0.1 —
-    // serial job-submission overhead, not data. The repartition bounds
-    // the file count to one per rewritten cell; a fully purged cell
-    // simply has no output partition.
-    val tmpRoot = new Path(postingsPath.getParent, "postings.purge_tmp")
-    fs.delete(tmpRoot, true)
-    spark.read.parquet(postingsPath.toString)
-      .where(col("cell").isin(affected.keys.toSeq: _*))
-      .join(keyed, col("n_id") === col("__purge_id"), "left_anti")
-      .repartition(affected.size, col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmpRoot.toString)
-    // the staging root is complete before any live cell is touched;
-    // each swap below is per-cell atomic, and a crash mid-loop is
-    // recovered by RE-RUNNING with the same ids (the anti-join removes
-    // nothing from an already-swapped cell)
-    affected.keys.toSeq.sorted.foreach { cellId =>
-      val cellDir = new Path(postingsPath, s"cell=$cellId")
-      val tmp = new Path(tmpRoot, s"cell=$cellId")
-      fs.delete(cellDir, true)
-      if (fs.exists(tmp))
-        require(fs.rename(tmp, cellDir),
-          s"purgeFromIndex: swap failed for $cellDir — purged data is " +
-            s"intact at $tmp; rename it into place (or re-run) to recover")
-      // else: cell fully purged — its partition dir stays dropped
+    // serial job-submission overhead, not data. A fully purged cell
+    // simply has no output partition and stays dropped.
+    StoreSwap.rewriteParts(spark, postingsPath, "cell",
+      affected.keys.toSeq.sorted.map(_.toLong), "purgeFromIndex") { pruned =>
+      pruned.join(keyed, col("n_id") === col("__purge_id"), "left_anti")
     }
-    fs.delete(tmpRoot, true)
     affected.values.sum
   }
 

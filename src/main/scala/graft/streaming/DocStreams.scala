@@ -22,9 +22,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * sees every id as seen and rewrites its partition to empty — so the
   * pair log is at-most-once per batch under replay, stated loudly,
   * while the store (the system of record for dedup state) is
-  * exactly-once. Pipelines that need a replay-stable pair log should
-  * re-derive it from the store rather than trust a replayed log
-  * partition.
+  * exactly-once. Pipelines that need a replay-stable pair log derive
+  * it from the store with [[graft.operators.Dedup
+  * .derivePairsFromStore]] (bands → candidates → postings-verified
+  * Jaccard, no corpus rescan; spec-gated here against a wiped pair
+  * partition) rather than trusting a replayed log partition.
   *
   * Bootstrap: the first batch to arrive creates the store
   * ([[Dedup.saveMinhashStore]] + intra-batch [[Dedup

@@ -454,6 +454,158 @@ class DedupSpec extends SparkSpec {
       store.getAbsolutePath, 0.4).count() == 0L)
   }
 
+  test("bandidx projection: a 1-doc ingest touches at most `bands` band " +
+    "buckets (untouched partitions keep files+mtimes); legacy stores " +
+    "without the projection produce identical pairs; purge keeps the " +
+    "projection exactly equal to bands/") {
+    import org.apache.hadoop.fs.Path
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bandidx_spec_${System.nanoTime()}")
+    base.deleteOnExit()
+    val root = s"${base.getAbsolutePath}/store"
+    val legacy = s"${base.getAbsolutePath}/legacy"
+    val batch1 = docs.where(col("doc_id") % 2 === 0)
+    val batch2 = docs.where(col("doc_id") % 2 === 1)
+    Dedup.saveMinhashStore(batch1, "doc_id", "text", root)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.exists(new Path(s"$root/bandidx")))
+    def idxState(): Map[String, Set[(String, Long, Long)]] =
+      fs.listStatus(new Path(s"$root/bandidx")).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("bb="))
+        .map(pd => pd.getPath.getName ->
+          fs.listStatus(pd.getPath).toSeq.filter(_.isFile)
+            .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+            .toSet)
+        .toMap
+    val before = idxState()
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // a 1-doc delta has exactly 4 band keys -> it may append to at most
+    // 4 of the 64 band buckets; every other partition stays byte- and
+    // mtime-identical (the write side of the pruning contract)
+    val oneDoc = batch2.orderBy("doc_id").limit(1).localCheckpoint()
+    val p1 = pairSet(Dedup.minhashIncremental(
+      oneDoc, "doc_id", "text", root, 0.4))
+    val after = idxState()
+    val touched = after.collect {
+      case (k, v) if before.get(k).forall(_ != v) => k
+    }.toSet
+    assert(touched.size <= 4, s"1-doc delta touched ${touched.size} buckets")
+    (before.keySet -- touched).foreach { k =>
+      assert(after(k) == before(k), s"untouched $k was rewritten")
+    }
+    // legacy store (no bandidx): the full-scan fallback produces the
+    // SAME pairs as the pruned projection path over the same corpus
+    Dedup.saveMinhashStore(batch1, "doc_id", "text", legacy)
+    fs.delete(new Path(s"$legacy/bandidx"), true)
+    val viaLegacy = pairSet(Dedup.minhashIncremental(
+      batch2, "doc_id", "text", legacy, 0.4))
+    val viaIdx = p1 ++ pairSet(Dedup.minhashIncremental(
+      batch2, "doc_id", "text", root, 0.4))
+    assert(viaIdx == viaLegacy,
+      s"missing=${(viaLegacy -- viaIdx).take(5)} " +
+        s"extra=${(viaIdx -- viaLegacy).take(5)}")
+    // a legacy store stays legacy: the ingest must not half-create the
+    // projection (a partial bandidx would silently lose candidates)
+    assert(!fs.exists(new Path(s"$legacy/bandidx")))
+    // purge keeps the projection EXACT: no purged doc survives in it,
+    // and it equals bands/ row-for-row afterwards
+    Dedup.purgeMinhashStore(spark, root,
+      docs.where(col("doc_id") % 3 === 0).select(col("doc_id")), "doc_id")
+    def bandRows(dir: String): Seq[(Long, Int, String)] =
+      spark.read.parquet(s"$root/$dir").select("doc", "band", "bucket")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+        .toSeq.sorted
+    assert(bandRows("bandidx") == bandRows("bands"),
+      "bandidx diverged from bands/ after purge")
+    assert(spark.read.parquet(s"$root/bandidx")
+      .where(col("doc") % 3 === 0).count() == 0L)
+  }
+
+  test("derivePairsFromStore: the store alone regenerates exactly the " +
+    "one-shot pair set, before and after a purge") {
+    val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_derive_spec_${System.nanoTime()}")
+    store.deleteOnExit()
+    val root = store.getAbsolutePath
+    Dedup.saveMinhashStore(docs, "doc_id", "text", root)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val oneShot = pairSet(Dedup.minhashDuplicates(docs, "doc_id", "text", 0.4))
+    val derived = pairSet(Dedup.derivePairsFromStore(spark, root, 0.4))
+    assert(derived == oneShot,
+      s"missing=${(oneShot -- derived).take(5)} " +
+        s"extra=${(derived -- oneShot).take(5)}")
+    // after a purge the derivation sees only survivors
+    Dedup.purgeMinhashStore(spark, root,
+      docs.where(col("doc_id") % 3 === 0).select(col("doc_id")), "doc_id")
+    val survivors = docs.where(col("doc_id") % 3 =!= 0)
+    assert(pairSet(Dedup.derivePairsFromStore(spark, root, 0.4)) ==
+      pairSet(Dedup.minhashDuplicates(survivors, "doc_id", "text", 0.4)))
+    intercept[IllegalArgumentException] {
+      Dedup.derivePairsFromStore(spark, root + "_nope", 0.4)
+    }
+  }
+
+  test("purge crash recovery: an orphaned staged bucket (live deleted, " +
+    "staged rename never ran) is PROMOTED by the next mutation verb, " +
+    "never discarded; an unknown-id purge touches no file") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_minhash_orphan_spec_${System.nanoTime()}")
+    store.deleteOnExit()
+    val root = store.getAbsolutePath
+    Dedup.saveMinhashStore(docs, "doc_id", "text", root)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    val purgeIds = docs.where(col("doc_id") % 3 === 0).select(col("doc_id"))
+    assert(Dedup.purgeMinhashStore(spark, root, purgeIds, "doc_id") > 0L)
+    def postingSet(): Set[String] =
+      spark.read.parquet(s"$root/postings").collect().map(_.toString).toSet
+    val want = postingSet()
+    // simulate the documented crash window on a populated bucket: the
+    // live dir is gone and the staged rewrite holds the ONLY copy
+    val pb = fs.listStatus(new Path(s"$root/postings"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("pb="))
+      .map(_.getPath.getName).sorted.head
+    val tmpRoot = new Path(s"$root/.postings.purge_tmp")
+    fs.mkdirs(tmpRoot)
+    assert(fs.rename(new Path(s"$root/postings/$pb"), new Path(tmpRoot, pb)))
+    // the documented recovery is re-running with the same ids: entry
+    // promotion restores the bucket's survivors before anything deletes
+    assert(Dedup.purgeMinhashStore(spark, root, purgeIds, "doc_id") == 0L)
+    assert(postingSet() == want, "orphaned staged bucket was lost")
+    // purging ids that are NOT in the store is a REAL no-op: zero
+    // removed and zero files rewritten (no delete/rename crash window)
+    def fileState(): Set[(String, Long, Long)] =
+      Seq("postings", "bands").flatMap { d =>
+        fs.listStatus(new Path(s"$root/$d")).toSeq.filter(_.isDirectory)
+          .flatMap(pd => fs.listStatus(pd.getPath).toSeq.filter(_.isFile)
+            .map(f => (s"$d/${pd.getPath.getName}/${f.getPath.getName}",
+              f.getLen, f.getModificationTime)))
+      }.toSet
+    val before = fileState()
+    assert(Dedup.purgeMinhashStore(spark, root,
+      Seq(900000001L, 900000002L).toDF("doc_id"), "doc_id") == 0L)
+    assert(fileState() == before, "no-op purge rewrote store files")
+    // orphan promotion also guards the ingest path: with a fresh orphan
+    // (this time under the compaction staging root), every stored doc
+    // must still read as seen — nothing re-appended, no duplicates
+    val compactRoot = new Path(s"$root/.postings.compact_tmp")
+    fs.mkdirs(compactRoot)
+    assert(fs.rename(new Path(s"$root/postings/$pb"),
+      new Path(compactRoot, pb)))
+    assert(Dedup.minhashIncremental(docs.where(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", root, 0.4).count() == 0L)
+    assert(postingSet() == want, "ingest after orphan duplicated postings")
+    // and compaction itself promotes before folding
+    fs.mkdirs(compactRoot)
+    assert(fs.rename(new Path(s"$root/postings/$pb"),
+      new Path(compactRoot, pb)))
+    Dedup.compactMinhashStore(spark, root)
+    assert(postingSet() == want, "compaction lost the orphaned bucket")
+  }
+
   test("overlapMatrix: shared shingles + jaccard per group pair, sparse, null-safe") {
     import spark.implicits._
     // a: shingles {w1 w2 w3, w2 w3 w4} ; b shares exactly {w2 w3 w4} and

@@ -43,6 +43,20 @@ class DocStreamsSpec extends SparkSpec {
       assert(pairSet() == oneShot)
       assert(Dedup.minhashIncremental(docs, "doc_id", "text",
         s"$base/store", 0.4).count() == 0L)
+      // the documented at-most-once wart, and its executable remedy: a
+      // replay rewrites a batch's pair partition to empty — simulate the
+      // loss, then re-derive the FULL pair set from the store alone
+      val fs = new org.apache.hadoop.fs.Path(s"$base/pairs")
+        .getFileSystem(spark.sessionState.newHadoopConf())
+      assert(spark.read.parquet(s"$base/pairs/batch=1").count() > 0,
+        "incremental batch logged no pairs — the wipe below would be vacuous")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$base/pairs/batch=1"), true)
+      assert(pairSet() != oneShot, "wiping batch=1 changed nothing")
+      val derived = Dedup.derivePairsFromStore(spark, s"$base/store", 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(derived == oneShot,
+        s"missing=${(oneShot -- derived).take(5)} " +
+          s"extra=${(derived -- oneShot).take(5)}")
     } finally q.stop()
   }
 }

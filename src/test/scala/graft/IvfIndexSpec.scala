@@ -243,9 +243,76 @@ class IvfIndexSpec extends SparkSpec {
         rebuilt, k = 5, nProbe = 8)))
     // no leftover tmp directory after a clean swap
     assert(!new java.io.File(dir.getAbsolutePath + ".rebuild_tmp").exists())
+    assert(!new java.io.File(dir.getAbsolutePath + ".rebuild_old").exists())
     intercept[IllegalArgumentException] {
       IvfIndex.rebuildIndex(spark, dir.getAbsolutePath + "_nope", k = 4)
     }
+  }
+
+  test("rebuildIndex crash window: a complete index exists at every " +
+      "instant — both torn states (between the renames, after the " +
+      "second) recover at the next call") {
+    import org.apache.hadoop.fs.Path
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_rebuild_torn_${System.nanoTime()}")
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val m4 = IvfIndex.train(emb, "vec_id", "embedding", k = 4)
+    IvfIndex.saveIndex(m4, IvfIndex.assign(emb, "vec_id", "embedding", m4), path)
+    val total = emb.count()
+    // torn state A — crash BETWEEN the two renames: the live index is
+    // set aside at .rebuild_old and the complete rebuilt one sits at
+    // .rebuild_tmp; at no instant is there no complete index on disk
+    val m8 = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
+    IvfIndex.saveIndex(m8, IvfIndex.assign(emb, "vec_id", "embedding", m8),
+      s"$path.rebuild_tmp")
+    assert(fs.rename(new Path(path), new Path(s"$path.rebuild_old")))
+    val recovered = IvfIndex.rebuildIndex(spark, path, k = 8)
+    assert(recovered.centroids.length == 8)
+    val (_, postings) = IvfIndex.loadIndex(spark, path)
+    assert(postings.count() == total)
+    assert(postings.select("n_id").distinct().count() == total)
+    assert(!fs.exists(new Path(s"$path.rebuild_tmp")))
+    assert(!fs.exists(new Path(s"$path.rebuild_old")))
+    // torn state B — crash AFTER the second rename: only the stale
+    // .rebuild_old lingers; the next call drops it and proceeds
+    assert(fs.mkdirs(new Path(s"$path.rebuild_old/postings")))
+    IvfIndex.rebuildIndex(spark, path, k = 4)
+    assert(!fs.exists(new Path(s"$path.rebuild_old")))
+    assert(IvfIndex.loadIndex(spark, path)._2.count() == total)
+  }
+
+  test("purgeFromIndex crash recovery: an orphaned staged cell (live " +
+      "deleted, staged rename never ran) is promoted by the re-run, " +
+      "never discarded with the staging root") {
+    import org.apache.hadoop.fs.Path
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_orphan_spec_${System.nanoTime()}")
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
+    IvfIndex.saveIndex(model,
+      IvfIndex.assign(emb, "vec_id", "embedding", model), path)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val purgeIds = emb.where(col("vec_id") % 3 === 0).select(col("vec_id"))
+    assert(IvfIndex.purgeFromIndex(spark, path, purgeIds, "vec_id") > 0L)
+    def postingSet(): Set[(Long, Int)] =
+      IvfIndex.loadIndex(spark, path)._2.select("n_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val want = postingSet()
+    // simulate the crash window: a surviving cell's live dir is gone
+    // and the staged rewrite holds the only copy
+    val cell = fs.listStatus(new Path(s"$path/postings"))
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+      .map(_.getPath.getName).sorted.head
+    val tmpRoot = new Path(s"$path/.postings.purge_tmp")
+    fs.mkdirs(tmpRoot)
+    assert(fs.rename(new Path(s"$path/postings/$cell"),
+      new Path(tmpRoot, cell)))
+    // re-running with the same ids is the documented recovery
+    assert(IvfIndex.purgeFromIndex(spark, path, purgeIds, "vec_id") == 0L)
+    assert(postingSet() == want, "orphaned staged cell was lost")
   }
 
   test("stale index: dimension mismatch fails loudly, corrupt centroid " +
