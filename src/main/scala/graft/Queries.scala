@@ -8425,6 +8425,94 @@ object Queries {
     },
     q114.oracle)
 
+  private val stagedBm25StreamDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Streaming BM25 stats ingest (q153's save → append → indexed-search
+    * protocol driven through Structured Streaming — the round-14
+    * verdict's streaming × artifact-store matrix completed for the
+    * retrieval family): the corpus arrives as two pinned-order
+    * micro-batches (even ids bootstrap the stats, odd ids append
+    * batch-tagged partials via [[graft.streaming.ArtifactStreams
+    * .bm25StatsIngest]]), and the indexed search runs against the
+    * streamed stats. The oracle is q116's FULL-corpus score contract
+    * verbatim — a lost delta term, a double-counted df (a broken
+    * replay-cleanup), or a stale N/TL changes a score and fails the
+    * hash. */
+  private val q240 = Q("q240_bm25_streaming_ingest",
+    (s, d) => {
+      val dir = Queries.stagedBm25StreamDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_bm25_stream_${Queries.stagingSuffix(d)}")
+        org.apache.commons.io.FileUtils.deleteDirectory(f)
+        val in = new java.io.File(f, "in"); in.mkdirs()
+        val docs = documents(s, d).select(col("doc_id"), col("text"))
+        val t0 = System.currentTimeMillis()
+        Queries.stageStreamFile(
+          docs.where(col("doc_id") % 2 === 0), in, "a_even", t0)
+        Queries.stageStreamFile(
+          docs.where(col("doc_id") % 2 === 1), in, "b_odd", t0 + 2000)
+        val rawSchema = s.read.parquet(in.getAbsolutePath).schema
+        val stream = s.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in.getAbsolutePath)
+        Queries.withStreamingParallelism(s) {
+          graft.streaming.ArtifactStreams.bm25StatsIngest(stream,
+            "doc_id", "text", s"$f/stats", s"$f/ckpt")
+        }
+        f
+      })
+      graft.operators.TextSearch.bm25TopKIndexed(
+        documents(s, d), "doc_id", "text", s"${dir.getAbsolutePath}/stats",
+        Seq("spark", "vector", "join"), k = 20)
+    },
+    q116.oracle)
+
+  private val stagedIvfStreamDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Streaming IVF index ingest (q146's save → append → search protocol
+    * driven through Structured Streaming): the embedding corpus arrives
+    * as two pinned-order micro-batches — the even half bootstraps the
+    * index (train + save, k = 16), the odd half appends batch-tagged
+    * postings against the frozen centroids via
+    * [[graft.streaming.ArtifactStreams.ivfIngest]] — and the search
+    * runs against the grown index at nProbe = k (probes exhausted), so
+    * the oracle is exact brute force over the FULL corpus: a vector
+    * lost at the batch boundary, mis-assigned by the append, or
+    * double-appended by a broken replay-cleanup changes a neighbor and
+    * fails the hash. */
+  private val q241 = Q("q241_ann_ivf_streaming_ingest",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val dir = Queries.stagedIvfStreamDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_ivf_stream_${Queries.stagingSuffix(d)}")
+        org.apache.commons.io.FileUtils.deleteDirectory(f)
+        val in = new java.io.File(f, "in"); in.mkdirs()
+        val t0 = System.currentTimeMillis()
+        Queries.stageStreamFile(
+          emb.where(col("vec_id") % 2 === 0), in, "a_even", t0)
+        Queries.stageStreamFile(
+          emb.where(col("vec_id") % 2 === 1), in, "b_odd", t0 + 2000)
+        val rawSchema = s.read.parquet(in.getAbsolutePath).schema
+        val stream = s.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in.getAbsolutePath)
+        Queries.withStreamingParallelism(s) {
+          graft.streaming.ArtifactStreams.ivfIngest(stream,
+            "vec_id", "embedding", s"$f/index", s"$f/ckpt", k = 16)
+        }
+        f
+      })
+      val (model, postings) = graft.operators.IvfIndex.loadIndex(
+        s, s"${dir.getAbsolutePath}/index")
+      graft.operators.IvfIndex.search(postings,
+        emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", model, k = 5, nProbe = 16)
+    },
+    q146.oracle)
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -8445,7 +8533,8 @@ object Queries {
     q197, q198, q199, q200, q201, q202, q203, q204, q205, q206, q207,
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229,
-    q230, q231, q232, q233, q234, q235, q236, q237, q238, q239)
+    q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240,
+    q241)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

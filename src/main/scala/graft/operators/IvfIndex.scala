@@ -176,9 +176,19 @@ object IvfIndex {
     * can fail on or resolve inconsistently), and every delta vector's
     * length must equal the model's dimensionality (checked in one
     * bounded scan over the delta — an ingest batch, never the corpus —
-    * so a bad batch fails while the index is still intact). */
+    * so a bad batch fails while the index is still intact).
+    *
+    * `filePrefix` tags this append's posting files by name: the
+    * streaming adapter drops a replayed batch's prefixed files
+    * ([[dropAppendPartials]]) before re-applying, which upgrades the
+    * at-least-once foreachBatch delivery to exactly-once. A prefixed
+    * append stages the delta's cell-partitioned postings and MOVES
+    * each file into its live cell dir under the prefixed name (the
+    * [[graft.operators.TextSearch.appendCorpusStats]] shape); an
+    * unprefixed append is the plain Spark append-mode write. */
   def appendToIndex(spark: SparkSession, path: String, delta: DataFrame,
-                    idCol: String, vecCol: String): Model = {
+                    idCol: String, vecCol: String,
+                    filePrefix: String = ""): Model = {
     // mutation verb: promote any orphaned staged cell a torn purge or
     // compaction left behind, so the append lands in a complete index
     StoreSwap.recoverStagedPartitions(
@@ -198,9 +208,58 @@ object IvfIndex {
     require(badDim == 0,
       s"appendToIndex: delta contains a vector whose length != the " +
         s"index dimensionality ${model.dim} (or a NULL vector)")
-    assign(delta, idCol, vecCol, model)
-      .write.mode("append").partitionBy("cell").parquet(s"$path/postings")
+    val assigned = assign(delta, idCol, vecCol, model)
+    if (filePrefix.isEmpty) {
+      assigned.write.mode("append").partitionBy("cell")
+        .parquet(s"$path/postings")
+    } else {
+      import org.apache.hadoop.fs.Path
+      val fs = StoreSwap.fsOf(spark, path)
+      val stage = new Path(path,
+        s".append_stage_${java.util.UUID.randomUUID().toString.take(8)}")
+      try {
+        assigned
+          .repartition(model.centroids.length, col("cell"))
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(stage.toString)
+        fs.listStatus(stage)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+          .foreach { cd =>
+            val liveCell = new Path(s"$path/postings/${cd.getPath.getName}")
+            fs.mkdirs(liveCell)
+            fs.listStatus(cd.getPath)
+              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+              .foreach { f =>
+                require(fs.rename(f.getPath,
+                  new Path(liveCell, filePrefix + f.getPath.getName)),
+                  s"appendToIndex: move of ${f.getPath} into $liveCell " +
+                    "failed — drop this batch's prefixed partials and re-run")
+              }
+          }
+      } finally fs.delete(stage, true)
+    }
     model
+  }
+
+  /** Remove the posting files a prefixed [[appendToIndex]] landed — the
+    * replay-cleanup half of the streaming ingest's exactly-once
+    * contract (drop, then re-apply; a crash anywhere in the pair
+    * re-runs to the same state). Refuses an empty prefix. */
+  def dropAppendPartials(spark: SparkSession, path: String,
+                         filePrefix: String): Unit = {
+    require(filePrefix.nonEmpty,
+      "dropAppendPartials: empty prefix would drop every posting file")
+    import org.apache.hadoop.fs.Path
+    val postings = new Path(s"$path/postings")
+    val fs = StoreSwap.fsOf(spark, path)
+    if (fs.exists(postings))
+      fs.listStatus(postings)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
+        .foreach { cd =>
+          fs.listStatus(cd.getPath)
+            .filter(s => s.isFile && s.getPath.getName.startsWith(filePrefix))
+            .foreach(s => fs.delete(s.getPath, false))
+        }
   }
 
   /** Fold each cell's accumulated posting files into ~`targetBytes`

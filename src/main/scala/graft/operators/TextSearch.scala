@@ -156,9 +156,16 @@ object TextSearch {
     * be NEW (appending the same batch twice double-counts — id dedup is
     * the caller's append-sink contract, SURVEY §2 S4); changed or
     * deleted documents need a rebuild. The target is validated as a
-    * stats directory before anything is written. */
+    * stats directory before anything is written.
+    *
+    * `filePrefix` tags this append's partial files by name, which is
+    * what makes a REPLAYED append (Structured Streaming's foreachBatch
+    * re-delivers the last uncommitted batch) exactly-once instead of
+    * double-counting: the streaming adapter drops the batch's prefixed
+    * partials ([[dropAppendPartials]]) before re-applying. Batch
+    * appends leave it empty. */
   def appendCorpusStats(delta: DataFrame, idCol: String, textCol: String,
-                        path: String): Unit = {
+                        path: String, filePrefix: String = ""): Unit = {
     val spark = delta.sparkSession
     val cs = spark.read.parquet(s"$path/corpus").schema.fieldNames.toSet
     require(cs == Set("n", "tl"),
@@ -194,12 +201,35 @@ object TextSearch {
         fs.listStatus(new Path(stage, part))
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
           .foreach { f =>
-            require(fs.rename(f.getPath, new Path(s"$path/$part", f.getPath.getName)),
+            require(fs.rename(f.getPath,
+              new Path(s"$path/$part", filePrefix + f.getPath.getName)),
               s"appendCorpusStats: move of ${f.getPath} into $path/$part " +
                 "failed — stats may be torn; rebuild with saveCorpusStats")
           }
       }
     } finally fs.delete(stage, true)
+  }
+
+  /** Remove the partial files a prefixed [[appendCorpusStats]] landed —
+    * the replay-cleanup half of the streaming ingest's exactly-once
+    * contract: re-applying a batch is `dropAppendPartials(prefix)` then
+    * `appendCorpusStats(…, prefix)`, and a crash anywhere in that pair
+    * re-runs to the same state (partials either absent or present once,
+    * never twice). Refuses an empty prefix — it would delete the whole
+    * stats layout. */
+  def dropAppendPartials(spark: org.apache.spark.sql.SparkSession,
+                         path: String, filePrefix: String): Unit = {
+    require(filePrefix.nonEmpty,
+      "dropAppendPartials: empty prefix would drop every partial")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    Seq("terms", "corpus").foreach { part =>
+      val dir = new Path(s"$path/$part")
+      if (fs.exists(dir))
+        fs.listStatus(dir)
+          .filter(s => s.isFile && s.getPath.getName.startsWith(filePrefix))
+          .foreach(s => fs.delete(s.getPath, false))
+    }
   }
 
   /** Forget PURGED documents from saved corpus stats — the

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import graft.operators.{IvfIndex, TextSearch}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Continuous ingest for the OTHER two persisted artifact families —
+  * BM25 corpus stats and the IVF ANN index — completing the
+  * streaming × persisted-store matrix [[DocStreams.nearDupIngest]]
+  * started for MinHash signatures: a stateless stream drained
+  * micro-batch by micro-batch through a store the batch operators own
+  * (the [[IncrementalIngest]] shape).
+  *
+  * Exactly-once, per family's append contract: both append verbs
+  * double-count on a blind re-run (additive df/N partials; bag-append
+  * postings), so each batch's partials are TAGGED by batch id
+  * (`filePrefix = "b<id>_"`) and a replayed batch first drops its own
+  * prefixed partials, then re-appends — the drop + re-apply pair
+  * converges to the same state from any crash point inside it. The
+  * FIRST batch bootstraps the store (save-from-scratch, overwrite mode
+  * — its replay simply re-saves). Corollary: do NOT run the family's
+  * compaction verb while an ingest stream has an uncommitted batch —
+  * folding a batch's tagged partials erases the replay cleanup's
+  * target (the same "no append in flight" rule the batch compactors
+  * already state).
+  *
+  * New documents/vectors only — the append contracts' must-be-NEW rule
+  * is the caller's id-dedup duty, exactly as in the batch path
+  * (upstream [[DocStreams.nearDupIngest]] or an exact-dedup stage is
+  * the usual supplier).
+  */
+object ArtifactStreams {
+
+  /** Grow persisted BM25 corpus stats ([[TextSearch.saveCorpusStats]]'
+    * layout) from a document stream. Searches read the stats as usual
+    * ([[TextSearch.bm25TopKIndexed]]); scores reflect every committed
+    * batch. Gated at q240 (q153's save → append → search protocol
+    * replayed through pinned micro-batches). */
+  def bm25StatsIngest(docs: DataFrame, idCol: String, textCol: String,
+                      statsPath: String, checkpointDir: String,
+                      availableNow: Boolean = true): StreamingQuery = {
+    require(docs.isStreaming, "bm25StatsIngest: docs must be a streaming frame")
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(statsPath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        // bootstrapped iff terms/ exists — saveCorpusStats writes it
+        // LAST, so a half-bootstrapped store re-bootstraps on replay
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$statsPath/terms"))) {
+          val prefix = s"b${batchId}_"
+          TextSearch.dropAppendPartials(spark, statsPath, prefix)
+          TextSearch.appendCorpusStats(batch, idCol, textCol, statsPath,
+            prefix)
+        } else
+          TextSearch.saveCorpusStats(batch, idCol, textCol, statsPath)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** Grow a persisted IVF index ([[IvfIndex.saveIndex]]'s layout) from
+    * an embedding stream: the first batch trains the centroids and
+    * saves the index, every later batch assigns against the FROZEN
+    * centroids and appends its postings ([[IvfIndex.appendToIndex]]'s
+    * no-retrain contract — rebalance is [[IvfIndex.rebuildIndex]], an
+    * offline verb). Gated at q241 (q146's save → append → search
+    * protocol replayed through pinned micro-batches). */
+  def ivfIngest(vecs: DataFrame, idCol: String, vecCol: String,
+                indexPath: String, checkpointDir: String, k: Int,
+                sampleSize: Int = 2000, iters: Int = 8,
+                availableNow: Boolean = true): StreamingQuery = {
+    require(vecs.isStreaming, "ivfIngest: vecs must be a streaming frame")
+    val writer = vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(indexPath)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        // bootstrapped iff postings/ exists — saveIndex writes it LAST
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/postings"))) {
+          val prefix = s"b${batchId}_"
+          IvfIndex.dropAppendPartials(spark, indexPath, prefix)
+          IvfIndex.appendToIndex(spark, indexPath, batch, idCol, vecCol,
+            prefix)
+        } else {
+          val model = IvfIndex.train(batch, idCol, vecCol, k, sampleSize,
+            iters)
+          IvfIndex.saveIndex(model,
+            IvfIndex.assign(batch, idCol, vecCol, model), indexPath)
+        }
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+}

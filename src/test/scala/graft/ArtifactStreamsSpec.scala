@@ -1,0 +1,107 @@
+package graft
+
+import graft.operators.{IvfIndex, TextSearch}
+import graft.streaming.ArtifactStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming ingest for the BM25-stats and IVF-index artifact families:
+  * micro-batched growth equals the one-shot batch build, and the
+  * batch-tagged replay cleanup makes re-applied batches exactly-once. */
+class ArtifactStreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+  private lazy val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+
+  test("bm25StatsIngest: bootstrap + append batches merge to exactly the " +
+    "one-shot stats; a replayed batch (drop + re-apply) changes nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_stream_spec_${System.nanoTime()}")
+    base.deleteOnExit()
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, String)]
+    val q = ArtifactStreams.bm25StatsIngest(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
+      s"$base/stats", s"$base/ckpt", availableNow = false)
+    try {
+      mem.addData(b0.toIndexedSeq: _*); q.processAllAvailable() // bootstrap
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable() // append
+    } finally q.stop()
+    val terms = Seq("spark", "vector", "join")
+    def topK() = TextSearch.bm25TopKIndexed(docs, "doc_id", "text",
+        s"$base/stats", terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    TextSearch.saveCorpusStats(docs, "doc_id", "text", s"$base/oneshot")
+    val want = TextSearch.bm25TopKIndexed(docs, "doc_id", "text",
+        s"$base/oneshot", terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(topK() == want)
+    // the replay pair: drop batch 1's tagged partials, re-append the
+    // same documents under the same tag — scores must not move (a blind
+    // re-append without the drop would double-count every odd doc)
+    val odd = docs.where(col("doc_id") % 2 === 1)
+    TextSearch.dropAppendPartials(spark, s"$base/stats", "b1_")
+    TextSearch.appendCorpusStats(odd, "doc_id", "text", s"$base/stats", "b1_")
+    assert(topK() == want, "replayed append double-counted")
+    // and the cleanup verb refuses the delete-everything footgun
+    intercept[IllegalArgumentException] {
+      TextSearch.dropAppendPartials(spark, s"$base/stats", "")
+    }
+  }
+
+  test("ivfIngest: bootstrap trains on the first batch, appends assign " +
+    "against frozen centroids; equals the batch-built index; replayed " +
+    "append (drop + re-apply) changes nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_stream_spec_${System.nanoTime()}")
+    base.deleteOnExit()
+    val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    val mem = MemoryStream[(Long, Array[Double])]
+    val q = ArtifactStreams.ivfIngest(
+      mem.toDF().toDF("vec_id", "embedding"), "vec_id", "embedding",
+      s"$base/index", s"$base/ckpt", k = 8, availableNow = false)
+    try {
+      mem.addData(b0.toIndexedSeq: _*); q.processAllAvailable() // bootstrap
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable() // append
+    } finally q.stop()
+    val (model, postings) = IvfIndex.loadIndex(spark, s"$base/index")
+    assert(postings.count() == emb.count())
+    assert(postings.select("n_id").distinct().count() == emb.count())
+    // same protocol in batch: train on the even half, assign everything
+    val even = emb.where(col("vec_id") % 2 === 0)
+    val batchModel = IvfIndex.train(even, "vec_id", "embedding", k = 8)
+    batchModel.centroids.zip(model.centroids).foreach { case (a, b) =>
+      assert(a.toSeq == b.toSeq, "streamed centroids differ from batch-trained")
+    }
+    val queries = emb.where(col("vec_id") < 10)
+    def rows6(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"), r.getAs[Double]("cos"))).sorted.toSeq
+    val want = rows6(IvfIndex.search(
+      IvfIndex.assign(emb, "vec_id", "embedding", batchModel),
+      queries, "vec_id", "embedding", batchModel, k = 5, nProbe = 8))
+    def got() = rows6(IvfIndex.search(
+      IvfIndex.loadIndex(spark, s"$base/index")._2,
+      queries, "vec_id", "embedding", model, k = 5, nProbe = 8))
+    assert(got() == want)
+    // the replay pair: drop batch 1's tagged postings, re-append the
+    // same vectors under the same tag — neighbors must not move
+    val odd = emb.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    IvfIndex.dropAppendPartials(spark, s"$base/index", "b1_")
+    IvfIndex.appendToIndex(spark, s"$base/index", odd,
+      "vec_id", "embedding", "b1_")
+    assert(got() == want, "replayed append duplicated postings")
+    assert(IvfIndex.loadIndex(spark, s"$base/index")._2.count() == emb.count())
+    intercept[IllegalArgumentException] {
+      IvfIndex.dropAppendPartials(spark, s"$base/index", "")
+    }
+  }
+}
