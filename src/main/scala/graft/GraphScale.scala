@@ -13,10 +13,14 @@ import org.apache.spark.sql.functions._
   * at 1x and 10x so the per-round join/aggregate shapes are pinned by
   * measurement, like every other family in SCALE.md.
   *
-  * Usage: runMain graft.GraphScale [baseNodes] (default 100000). */
+  * Usage: runMain graft.GraphScale [baseNodes] [opFilter] (default
+  * 100000, all operators; opFilter is a comma-separated substring
+  * match, e.g. "kCore" re-measures one row without paying the rest). */
 object GraphScale {
   def main(args: Array[String]): Unit = {
     val base = args.lift(0).map(_.toLong).getOrElse(100000L)
+    val opFilter = args.lift(1)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
     val mults = Seq(31L, 37L, 41L, 43L, 47L, 53L, 59L, 61L)
@@ -30,6 +34,7 @@ object GraphScale {
         .localCheckpoint()
     }
     def medianOf3(tag: String, n: Long)(body: => Unit): Unit = {
+      if (!opFilter.forall(_.exists(tag.contains))) return
       body // warm (JIT/codegen)
       val ts = (1 to 3).map { _ =>
         spark.sharedState.cacheManager.clearCache()

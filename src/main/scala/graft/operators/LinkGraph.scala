@@ -391,9 +391,13 @@ object LinkGraph {
     * graph signal next to [[pageRank]]/[[hits]] (endorsement) and
     * [[triangles]] (local density).
     *
-    * Scale shape: per round ONE degree aggregation (map-side combined,
-    * ≤ |nodes| rows) + one broadcast-or-shuffle semi-join of the edge
-    * list against the surviving node set, bounded driver loop,
+    * Scale shape: the edge list is hash-partitioned on `u` ONCE at
+    * entry; per round ONE degree aggregation (map-side combined,
+    * ≤ |nodes| rows shuffle) + two BROADCAST anti-joins against the
+    * round's dead node set — the edge frame itself never re-shuffles
+    * (the per-round dead delta is node-sized and usually tiny; a
+    * mass-extinction round past the broadcast cap falls back to
+    * alive-semi-joins and re-partitions once). Bounded driver loop,
     * localCheckpoint per round. Exact integer degrees; no floats
     * anywhere.
     *
@@ -404,7 +408,7 @@ object LinkGraph {
     require(k >= 1, s"kCorePeel: k must be >= 1: $k")
     require(rounds >= 1 && rounds <= 100,
       s"kCorePeel: rounds must be in [1, 100]: $rounds")
-    var e = undirected(edges, srcCol, dstCol)
+    var e = undirected(edges, srcCol, dstCol, partitionOnU = true)
     for (_ <- 1 to rounds) e = peelOnce(e, k)
     degrees(e)
   }
@@ -417,7 +421,7 @@ object LinkGraph {
     require(k >= 1, s"kCore: k must be >= 1: $k")
     require(maxRounds >= 1 && maxRounds <= 100,
       s"kCore: maxRounds must be in [1, 100]: $maxRounds")
-    var e = undirected(edges, srcCol, dstCol)
+    var e = undirected(edges, srcCol, dstCol, partitionOnU = true)
     var n = e.count()
     var round = 0
     var done = n == 0L
@@ -490,9 +494,17 @@ object LinkGraph {
       .limit(topK)
   }
 
+  /** `partitionOnU` hash-partitions the canonical edge list on `u`
+    * INSIDE the same materialization job (one extra exchange after the
+    * distinct, zero extra passes) — the peel loop's entry shape: the
+    * partitioning survives localCheckpoint, so every later
+    * u-keyed filter of the edge frame reuses it instead of
+    * re-shuffling the edges (the round-14 iterative-graph discipline,
+    * extended to the one graph op whose edge set MUTATES per round). */
   private def undirected(edges: DataFrame, srcCol: String,
-                         dstCol: String): DataFrame =
-    edges
+                         dstCol: String,
+                         partitionOnU: Boolean = false): DataFrame = {
+    val canonical = edges
       .select(col(srcCol).cast("string").as("u"),
         col(dstCol).cast("string").as("v"))
       .where(col("u").isNotNull && col("v").isNotNull &&
@@ -500,21 +512,43 @@ object LinkGraph {
       .select(least(col("u"), col("v")).as("u"),
         greatest(col("u"), col("v")).as("v"))
       .distinct()
+    (if (partitionOnU) canonical.repartition(col("u")) else canonical)
       .localCheckpoint()
+  }
 
   private def degrees(e: DataFrame): DataFrame =
     e.select(col("u").as("node"))
       .unionAll(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
 
-  /** Drop sub-k nodes and their incident edges, once. */
+  /** Drop sub-k nodes and their incident edges, once. The DEAD node
+    * set — the per-round delta, usually tiny — drives the edge filter,
+    * not the alive set: dead broadcasts, so both incident-edge filters
+    * are broadcast anti-joins that keep the edge frame IN PLACE (no
+    * edge shuffle, u-partitioning preserved through the checkpoint for
+    * the next round's degree aggregation). A round that kills more
+    * nodes than the broadcast cap falls back to alive-semi-joins and
+    * restores the u-partitioning behind them — correct either way, and
+    * on a converged round (no dead nodes) the frame passes through
+    * untouched. */
   private def peelOnce(e: DataFrame, k: Int): DataFrame = {
-    val alive = degrees(e).where(col("degree") >= k)
-      .select(col("node"))
-    e.join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
-      .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
-      .select(col("u"), col("v"))
+    val deg = degrees(e)
+    val dead = deg.where(col("degree") < k).select(col("node"))
       .localCheckpoint()
+    if (dead.isEmpty) return e // converged: nothing to rewrite
+    if (IvfIndex.fitsBroadcast(dead, IvfIndex.MaxBroadcastQueries)) {
+      e.join(broadcast(dead.select(col("node").as("u"))), Seq("u"), "left_anti")
+        .join(broadcast(dead.select(col("node").as("v"))), Seq("v"), "left_anti")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    } else {
+      val alive = deg.where(col("degree") >= k).select(col("node"))
+      e.join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .repartition(col("u"))
+        .localCheckpoint()
+    }
   }
 
   /** Per-node triangle counts and local clustering coefficient over
