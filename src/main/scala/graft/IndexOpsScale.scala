@@ -44,6 +44,74 @@ object IndexOpsScale {
     timed("minhash compactStore") {
       graft.operators.Dedup.compactMinhashStore(spark, s"$base/mh")
     }
+    // bytes-read pruning (round-14 verdict #1's gate): a SMALL delta
+    // against the FULL store, with the band-keyed bandidx projection
+    // (partition-pruned candidate lookup + pb-pruned seen/verify
+    // probes) vs the same store with the projection removed (the
+    // legacy full-scan path). Bucket counts sized to the pruning
+    // regime — the delta's key set must be smaller than the bucket
+    // count for any layout to prune (see Dedup.storeLayout's note).
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+      })
+    def measuredBytes(tag: String)(body: => Unit): Unit = {
+      Thread.sleep(1500) // drain listener events from prior jobs
+      bytesRead.set(0L)
+      val t0 = System.nanoTime()
+      body
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500) // let the bus deliver the last task metrics
+      println(f"[indexops] $tag ${dt}%.3f s " +
+        f"bytesRead=${bytesRead.get() / 1048576.0}%.1f MiB")
+    }
+    // the proportionality claim is "bytes follow the DELTA, not the
+    // store": grow the store 4x and show the pruned ingest's read stays
+    // ~flat while the legacy full-scan path grows with the store. The
+    // corpus is replicated with offset ids (docs stay genuinely
+    // distinct for the id-keyed layout; band keys repeat, which only
+    // ADDS candidate work — conservative for the pruned arm).
+    def corpus(copies: Int) = (0 until copies)
+      .map(c => docs.select((col("doc_id") + c.toLong * 1000000L)
+        .as("doc_id"), col("text")))
+      .reduce(_ unionAll _).localCheckpoint()
+    // NOVEL texts (reversed + id-salted): the delta must not near-dup
+    // the store, or the measured bytes are dominated by the genuine
+    // verify work on a candidate set that grows with store replication
+    def delta(offset: Long) = docs.limit(16)
+      .select((col("doc_id") + offset).as("doc_id"),
+        concat(lit("novel "), col("doc_id").cast("string"), lit(" "),
+          reverse(col("text"))).as("text"))
+      .localCheckpoint()
+    Seq(5, 20).foreach { copies =>
+      val store = s"$base/mh_x$copies"
+      graft.operators.Dedup.saveMinhashStore(corpus(copies), "doc_id",
+        "text", store, storeBuckets = 128, bandBuckets = 1024)
+      val storeBytes = org.apache.commons.io.FileUtils
+        .sizeOfDirectory(new java.io.File(store))
+      println(f"[indexops] minhash ${copies}x store on disk " +
+        f"${storeBytes / 1048576.0}%.1f MiB (the r14 shape re-read " +
+        "postings+bands of this per batch)")
+      measuredBytes(s"minhash incremental(16-doc delta, ${copies}x store, " +
+        "bandidx pruned)") {
+        graft.operators.Dedup.minhashIncremental(delta(100000000L),
+          "doc_id", "text", store, 0.4)
+          .write.format("noop").mode("overwrite").save()
+      }
+      org.apache.hadoop.fs.FileSystem
+        .getLocal(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(s"$store/bandidx"), true)
+      measuredBytes(s"minhash incremental(16-doc delta, ${copies}x store, " +
+        "legacy full scan)") {
+        graft.operators.Dedup.minhashIncremental(delta(200000000L),
+          "doc_id", "text", store, 0.4)
+          .write.format("noop").mode("overwrite").save()
+      }
+    }
     // BM25 stats: save all, purge a fifth
     timed("bm25 saveCorpusStats(all)") {
       graft.operators.TextSearch.saveCorpusStats(

@@ -197,11 +197,9 @@ object Dedup {
   def derivePairsFromStore(spark: org.apache.spark.sql.SparkSession,
                            storePath: String, threshold: Double): DataFrame = {
     val fs = StoreSwap.fsOf(spark, storePath)
-    require(fs.exists(new org.apache.hadoop.fs.Path(s"$storePath/postings")) &&
-      fs.exists(new org.apache.hadoop.fs.Path(s"$storePath/bands")),
-      s"derivePairsFromStore: $storePath is not a saveMinhashStore layout")
-    val storeToks = spark.read.parquet(s"$storePath/postings")
-    val storeBands = spark.read.parquet(s"$storePath/bands")
+    val (_, mfFiles) = requireManifest(fs, storePath, "derivePairsFromStore")
+    val storeToks = readStoreDir(spark, storePath, "postings", mfFiles)
+    val storeBands = readStoreDir(spark, storePath, "bands", mfFiles)
     require(storeToks.columns.toSet == Set("doc", "hv", "pb") &&
       storeBands.columns.toSet == Set("doc", "band", "bucket", "pb"),
       s"derivePairsFromStore: $storePath is not a saveMinhashStore layout")
@@ -241,22 +239,232 @@ object Dedup {
     * [[purgeMinhashStore]] knows which partitions a takedown batch
     * touches without scanning anything, and rewrites only those. */
   val NStoreBuckets: Int = 64
-  private def storeBucket(doc: Column): Column =
+  private def storeBucket(doc: Column, n: Int): Column =
     pmod(graft.functions.StableId63.stableId63(doc.cast("string")),
-      lit(NStoreBuckets.toLong))
+      lit(n.toLong))
 
   /** The band-keyed projection's partitioning: `bandidx/` is partitioned
-    * by `bb = hash(band, bucket) mod NBandBuckets`, computable from a
+    * by `bb = hash(band, bucket) mod bandBuckets`, computable from a
     * band key ALONE — so [[minhashIncremental]]'s delta-vs-store
-    * candidate lookup partition-prunes to the ≤ NBandBuckets buckets the
-    * delta's own band keys touch, instead of scanning the whole store
-    * per batch (the round-14 verdict's top item: a daily delta against a
-    * 100 TB store was re-reading the store every ingest). The hash is
-    * Spark-internal (Murmur3) — bb is layout-only and never appears in a
-    * result, so no oracle has to reproduce it. */
+    * candidate lookup partition-prunes to the buckets the delta's own
+    * band keys touch, instead of scanning the whole store per batch
+    * (the round-14 verdict's top item: a daily delta against a 100 TB
+    * store was re-reading the store every ingest). The hash is
+    * Spark-internal (Murmur3) — bb is layout-only and never appears in
+    * a result, so no oracle has to reproduce it. */
   val NBandBuckets: Int = 64
-  private def bandBucket(band: Column, bucket: Column): Column =
-    pmod(hash(band, bucket), lit(NBandBuckets))
+  private def bandBucket(band: Column, bucket: Column, n: Int): Column =
+    pmod(hash(band, bucket), lit(n))
+
+  /** Per-store bucket counts, persisted at save time in a tiny
+    * `_layout` file so every later verb routes with the SAME counts the
+    * data was written with. Bucket counts are the pruning lever at
+    * scale: partition pruning saves bytes only while a delta's key set
+    * is smaller than the bucket count (a 1M-doc backfill's ~4M band
+    * keys hit every one of 64 buckets — no layout can prune a probe
+    * that genuinely touches everything), so a 100 TB store is saved
+    * with counts sized to its DAILY DELTA, not to the store: a
+    * streaming micro-batch of ~1k docs against bandBuckets=65536
+    * touches ≤ 4k buckets ≈ 6% of the store. Defaults (64/64) suit the
+    * test scale; legacy stores without the file read as 64/64, which
+    * is what they were written with. */
+  private def writeStoreLayout(fs: org.apache.hadoop.fs.FileSystem,
+                               path: String, pbN: Int, bbN: Int): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_layout"), true)
+    try out.write(s"pb=$pbN\nbb=$bbN\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def storeLayout(fs: org.apache.hadoop.fs.FileSystem,
+                          path: String): (Int, Int) = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_layout")
+    if (!fs.exists(p)) return (NStoreBuckets, NBandBuckets)
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    val kv = text.linesIterator.map(_.trim).filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v.toInt }.toMap
+    (kv.getOrElse("pb", NStoreBuckets), kv.getOrElse("bb", NBandBuckets))
+  }
+
+  /** Partition-prune a store scan to `touched` buckets — skipped when
+    * the probe touches every bucket anyway (an isin over the full
+    * bucket range prunes nothing and bloats the filter). */
+  private def pruneBuckets(df: DataFrame, partCol: String,
+                           touched: Seq[Long], total: Int): DataFrame =
+    if (touched.length >= total) df
+    else df.where(col(partCol).isin(touched: _*))
+
+  // ------------------------------------------------------------------
+  // Store manifest: reader isolation via copy-on-write (r14 verdict #6)
+  //
+  // Every reader of the MinHash store resolves the CURRENT file-set
+  // through the highest-numbered `_manifest.v<N>` at the store root
+  // (one relative parquet path per line), and every mutation verb is
+  // copy-on-write: new files land first (append files, or staged
+  // rewrites MOVED in under fresh names), then ONE rename-committed
+  // manifest makes them visible — old files are never deleted by a
+  // mutation, only unlisted. Consequences, all spec-gated:
+  //  - a reader pinned mid-mutation resolved the previous manifest and
+  //    every file it lists still exists — it sees the old consistent
+  //    file-set or the new one, never a gap (the dir-swap design this
+  //    replaces had a delete→rename window per partition);
+  //  - a crash ANYWHERE before the flip leaves the new files unlisted
+  //    (invisible garbage) and the store byte-identical to readers;
+  //    re-running the verb is always the recovery, with no ordering
+  //    contract between the three directories any more — the flip is
+  //    the single commit point;
+  //  - unlisted garbage accumulates until [[vacuumMinhashStore]], the
+  //    retention verb: run it when no reader is pinned past the
+  //    latest manifest (the standard retention rule).
+  // Single-writer, as everywhere in the store family.
+  // ------------------------------------------------------------------
+  private val ManifestPrefix = "_manifest.v"
+
+  private def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
+                               path: String): Seq[Int] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(ManifestPrefix))
+      .flatMap(n => scala.util.Try(n.drop(ManifestPrefix.length).toInt).toOption)
+      .sorted
+  }
+
+  private def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
+                             path: String): Option[(Int, Seq[String])] =
+    manifestVersions(fs, path).lastOption.map { v =>
+      val in = fs.open(
+        new org.apache.hadoop.fs.Path(s"$path/$ManifestPrefix$v"))
+      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+      v -> text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+    }
+
+  /** Rename-committed manifest write: the content lands in a dot-tmp
+    * file first, so a partially-written manifest can never be the
+    * highest version a reader resolves. */
+  private def commitManifest(fs: org.apache.hadoop.fs.FileSystem,
+                             path: String, version: Int,
+                             files: Seq[String]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(path,
+      s"._manifest_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(files.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp,
+      new org.apache.hadoop.fs.Path(s"$path/$ManifestPrefix$version")),
+      s"commitManifest: rename to $path/$ManifestPrefix$version failed — " +
+        "the mutation is NOT visible; re-run the verb")
+  }
+
+  /** All parquet files currently under a store directory, as
+    * store-relative paths (`dir/part=value/file.parquet`). */
+  private def listDirFiles(fs: org.apache.hadoop.fs.FileSystem,
+                           path: String, dir: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(s"$path/$dir")
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { pd =>
+      fs.listStatus(pd.getPath).toSeq
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(f => s"$dir/${pd.getPath.getName}/${f.getPath.getName}")
+    }
+  }
+
+  /** Manifest-resolved read of one store directory: only the files the
+    * manifest lists exist for this reader, with the partition column
+    * recovered from the paths (basePath) and partition pruning intact. */
+  private def readStoreDir(spark: org.apache.spark.sql.SparkSession,
+                           path: String, dir: String,
+                           manifestFiles: Seq[String]): DataFrame = {
+    val mine = manifestFiles.filter(_.startsWith(dir + "/"))
+      .map(f => s"$path/$f")
+    require(mine.nonEmpty,
+      s"readStoreDir: the store manifest at $path lists no $dir files")
+    spark.read.option("basePath", s"$path/$dir").parquet(mine: _*)
+  }
+
+  /** Resolve the store's manifest or refuse: every store this module
+    * writes carries one ([[saveMinhashStore]] commits v1), so a path
+    * without one is not a store. */
+  private def requireManifest(fs: org.apache.hadoop.fs.FileSystem,
+                              path: String, verb: String): (Int, Seq[String]) =
+    latestManifest(fs, path).getOrElse(throw new IllegalArgumentException(
+      s"$verb: $path is not a saveMinhashStore layout (no store manifest)"))
+
+  /** True iff `path` holds a committed MinHash store (a manifest
+    * exists — the save's single commit point, so a torn bootstrap
+    * reads as absent and is simply re-run). */
+  def minhashStoreReady(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Boolean =
+    latestManifest(StoreSwap.fsOf(spark, path), path).nonEmpty
+
+  /** Drop every file the latest manifest does not list — the retention
+    * verb that reclaims the copy-on-write garbage mutations leave
+    * behind (unflipped crash leftovers, superseded rewrite inputs) plus
+    * superseded manifest versions and staging roots. Run it when no
+    * reader is pinned to an older manifest (the standard retention
+    * rule; a pinned reader's file-set is exactly what vacuum deletes).
+    *
+    * @return number of data files deleted. */
+  def vacuumMinhashStore(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Long = {
+    val fs = StoreSwap.fsOf(spark, path)
+    val (version, files) = requireManifest(fs, path, "vacuumMinhashStore")
+    val listed = files.toSet
+    var dropped = 0L
+    Seq("postings", "bands", "bandidx").foreach { dir =>
+      listDirFiles(fs, path, dir).filterNot(listed).foreach { rel =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), false)
+        dropped += 1
+      }
+      // a partition dir whose files are all gone is dead weight
+      val root = new org.apache.hadoop.fs.Path(s"$path/$dir")
+      if (fs.exists(root))
+        fs.listStatus(root).toSeq.filter(_.isDirectory).foreach { pd =>
+          if (fs.listStatus(pd.getPath).isEmpty) fs.delete(pd.getPath, true)
+        }
+    }
+    manifestVersions(fs, path).filter(_ < version).foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$ManifestPrefix$v"),
+        false))
+    fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+      .filter(s => s.getPath.getName.startsWith("._manifest_tmp_") ||
+        s.getPath.getName.endsWith(".purge_tmp") ||
+        s.getPath.getName.endsWith(".compact_tmp"))
+      .foreach(s => fs.delete(s.getPath, true))
+    dropped
+  }
+
+  /** Move every staged partition file under `tmpRoot` into the live
+    * `dir` under a fresh `tag`-prefixed name (copy-on-write: nothing
+    * in the live tree is deleted or overwritten), returning the moved
+    * files' store-relative paths. The staging root is dropped. */
+  private def moveStagedIn(fs: org.apache.hadoop.fs.FileSystem,
+                           path: String, dir: String,
+                           tmpRoot: org.apache.hadoop.fs.Path,
+                           tag: String): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (fs.exists(tmpRoot)) {
+      fs.listStatus(tmpRoot).filter(_.isDirectory).foreach { pd =>
+        val livePart = new Path(s"$path/$dir/${pd.getPath.getName}")
+        fs.mkdirs(livePart)
+        fs.listStatus(pd.getPath)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .foreach { f =>
+            val name = s"$tag${f.getPath.getName}"
+            require(fs.rename(f.getPath, new Path(livePart, name)),
+              s"moveStagedIn: rename of ${f.getPath} into $livePart failed " +
+                "— nothing is visible yet; re-run the verb")
+            moved += s"$dir/${pd.getPath.getName}/$name"
+          }
+      }
+      fs.delete(tmpRoot, true)
+    }
+    moved.toSeq
+  }
 
   /** Persist the MinHash signature store a growing corpus dedupes
     * against — the near-dup analog of the q75 exact fingerprint store
@@ -281,27 +489,42 @@ object Dedup {
     * every verb. [[minhashIncremental]] grows all three one delta
     * batch at a time, [[purgeMinhashStore]] forgets,
     * [[compactMinhashStore]] folds the accumulated per-append
-    * file-sets. `postings/` is the MEMBERSHIP AUTHORITY: a doc is "in
-    * the store" iff its postings are (see the torn-append recovery
-    * note there). */
+    * file-sets, [[vacuumMinhashStore]] reclaims unlisted garbage.
+    * Every reader resolves the current file-set through the store
+    * MANIFEST (see the copy-on-write note above [[vacuumMinhashStore]])
+    * — the save's manifest commit is its single atomicity point, so a
+    * torn save reads as no store at all ([[minhashStoreReady]]) and is
+    * simply re-run. */
   def saveMinhashStore(docs: DataFrame, idCol: String, textCol: String,
-                       path: String, bands: Int = 4, ngram: Int = 3): Unit = {
+                       path: String, bands: Int = 4, ngram: Int = 3,
+                       storeBuckets: Int = NStoreBuckets,
+                       bandBuckets: Int = NBandBuckets): Unit = {
+    require(storeBuckets >= 1 && bandBuckets >= 1,
+      s"saveMinhashStore: bucket counts must be >= 1: $storeBuckets/$bandBuckets")
     val tok = postings(docs, idCol, textCol, ngram).localCheckpoint()
     val banded = bandedOf(signaturesOf(tok), bands).localCheckpoint()
+    val fs = StoreSwap.fsOf(docs.sparkSession, path)
+    // the layout file first: every verb after this routes with the
+    // counts the data is about to be written with
+    writeStoreLayout(fs, path, storeBuckets, bandBuckets)
     // repartition on the partition column before each partitioned
     // write: ONE file per bucket per write instead of (tasks × buckets)
-    // small files. Write order = reverse membership authority: bandidx,
-    // bands, postings — a torn save leaves band rows without postings,
-    // which read as NOT seen (see minhashIncremental's recovery note).
-    banded.withColumn("bb", bandBucket(col("band"), col("bucket")))
-      .repartition(NBandBuckets, col("bb"))
+    // small files
+    banded.withColumn("bb", bandBucket(col("band"), col("bucket"), bandBuckets))
+      .repartition(bandBuckets, col("bb"))
       .write.mode("overwrite").partitionBy("bb").parquet(s"$path/bandidx")
-    banded.withColumn("pb", storeBucket(col("doc")))
-      .repartition(NStoreBuckets, col("pb"))
+    banded.withColumn("pb", storeBucket(col("doc"), storeBuckets))
+      .repartition(storeBuckets, col("pb"))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$path/bands")
-    tok.withColumn("pb", storeBucket(col("doc")))
-      .repartition(NStoreBuckets, col("pb"))
+    tok.withColumn("pb", storeBucket(col("doc"), storeBuckets))
+      .repartition(storeBuckets, col("pb"))
       .write.mode("overwrite").partitionBy("pb").parquet(s"$path/postings")
+    // the commit point: overwrite-mode writes cleared the dirs, so the
+    // listing is exactly this save's files. Versions continue past any
+    // prior store at this path (readers pin the HIGHEST version).
+    val version = manifestVersions(fs, path).lastOption.getOrElse(0) + 1
+    commitManifest(fs, path, version,
+      Seq("postings", "bands", "bandidx").flatMap(listDirFiles(fs, path, _)))
   }
 
   /** Dedupe a NEW batch against a persisted MinHash store AND grow the
@@ -340,43 +563,42 @@ object Dedup {
     * split huge backfills into batches instead). Per-batch cost is
     * O(scan(delta-touched buckets) + |delta| log |delta|).
     *
-    * Torn append: `bands/` lands before `postings/`. A crash between
-    * them leaves band rows whose doc has no postings — such a doc is
-    * NOT "seen" (postings are the membership authority), so re-running
-    * the batch re-appends its postings once and its band rows twice;
-    * duplicate band rows are harmless (candidates are DISTINCT pairs)
-    * while duplicate postings would corrupt every future Jaccard
-    * against that doc — which is exactly why the order is bands-first
-    * and membership reads postings. Re-run with the same batch IS the
-    * recovery. */
+    * Torn append: the batch's files land first, the manifest flip
+    * makes them visible LAST — a crash anywhere before the flip leaves
+    * the whole batch invisible (its files are unlisted garbage for
+    * [[vacuumMinhashStore]]), so the batch reads as unseen and
+    * re-running it IS the recovery, with no duplicate ever visible and
+    * no ordering contract between the three directories. */
   def minhashIncremental(batch: DataFrame, idCol: String, textCol: String,
                          storePath: String, threshold: Double,
                          bands: Int = 4, ngram: Int = 3): DataFrame = {
     val spark = batch.sparkSession
-    // mutation verb: promote any orphaned staged bucket a torn purge or
-    // compaction left behind BEFORE the seen-probe — an invisible bucket
-    // would re-admit its docs and double-append their postings, which
-    // corrupts every future Jaccard against them
     val fsInc = StoreSwap.fsOf(spark, storePath)
-    Seq("postings" -> "pb=", "bands" -> "pb=", "bandidx" -> "bb=")
-      .foreach { case (d, prefix) =>
-        val p = new org.apache.hadoop.fs.Path(s"$storePath/$d")
-        if (fsInc.exists(p)) StoreSwap.recoverStagedPartitions(fsInc, p, prefix)
-      }
-    val storeToks = spark.read.parquet(s"$storePath/postings")
-    val storeBands = spark.read.parquet(s"$storePath/bands")
+    val (mfVersion, mfFiles) =
+      requireManifest(fsInc, storePath, "minhashIncremental")
+    val storeToks = readStoreDir(spark, storePath, "postings", mfFiles)
+    val storeBands = readStoreDir(spark, storePath, "bands", mfFiles)
     require(storeToks.columns.toSet == Set("doc", "hv", "pb") &&
       storeBands.columns.toSet == Set("doc", "band", "bucket", "pb"),
       s"minhashIncremental: $storePath is not a saveMinhashStore layout")
+    // the projection is optional: deleting the bandidx/ dir downgrades
+    // the store to the full bands/ scan (manifest entries for a
+    // missing dir are ignored — the dir is the opt-in switch)
     val hasBandIdx = fsInc.exists(
-      new org.apache.hadoop.fs.Path(s"$storePath/bandidx"))
+      new org.apache.hadoop.fs.Path(s"$storePath/bandidx")) &&
+      mfFiles.exists(_.startsWith("bandidx/"))
+    val (pbN, bbN) = storeLayout(fsInc, storePath)
     def maybeBroadcast(df: DataFrame): DataFrame =
       if (IvfIndex.fitsBroadcast(df, IvfIndex.MaxBroadcastQueries))
         broadcast(df) else df
-    // seen-probe: store scan filtered by the (broadcast) batch ids —
-    // result is ≤ |batch| ids; the batch then drops them locally
+    // seen-probe: postings scan PRUNED to the batch ids' own buckets
+    // (computable from the ids alone), then filtered by the (broadcast)
+    // batch ids — result is ≤ |batch| ids; the batch drops them locally
     val batchIds = batch.select(col(idCol)).distinct().localCheckpoint()
-    val seenIds = storeToks.select(col("doc"))
+    val batchPbs = batchIds.select(storeBucket(col(idCol), pbN).as("pb"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val seenIds = pruneBuckets(storeToks, "pb", batchPbs, pbN)
+      .select(col("doc"))
       .join(maybeBroadcast(batchIds), col("doc") === col(idCol), "left_semi")
       .distinct().localCheckpoint()
     val fresh = batch.join(maybeBroadcast(seenIds),
@@ -396,10 +618,10 @@ object Dedup {
     val storeBandSide =
       if (hasBandIdx) {
         val touched = bandedNew
-          .select(bandBucket(col("band"), col("bucket")).as("bb"))
-          .distinct().collect().map(_.getInt(0)).sorted // ≤ NBandBuckets
-        spark.read.parquet(s"$storePath/bandidx")
-          .where(col("bb").isin(touched.map(Int.box): _*))
+          .select(bandBucket(col("band"), col("bucket"), bbN).as("bb"))
+          .distinct().collect().map(_.getInt(0).toLong).sorted.toSeq
+        pruneBuckets(readStoreDir(spark, storePath, "bandidx", mfFiles),
+          "bb", touched, bbN)
           .select(col("doc"), col("band"), col("bucket"))
       } else storeBands.select(col("doc"), col("band"), col("bucket"))
     val cross = storeBandSide
@@ -415,27 +637,46 @@ object Dedup {
       .unionAll(pairs.select(col("d2").as("doc"))).distinct()
       .join(tokNew.select(col("doc")).distinct(), Seq("doc"), "left_anti")
       .localCheckpoint()
-    val tokOld = storeToks
+    val candPbs = candDocs.select(storeBucket(col("doc"), pbN).as("pb"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val tokOld = pruneBuckets(storeToks, "pb", candPbs, pbN)
       .join(maybeBroadcast(candDocs), Seq("doc"), "left_semi")
       .select(col("doc"), col("hv"))
     val tokAll = tokNew.unionAll(tokOld).localCheckpoint()
     val out = verifyJaccard(tokAll,
       tokAll.groupBy(col("doc")).agg(count(lit(1)).as("n")),
       pairs, threshold).localCheckpoint()
-    // grow the store: band projections first, postings LAST (see the
-    // torn-append note — membership reads postings, and duplicate band
-    // rows are harmless); all appends are delta-sized, one file per
-    // touched bucket
-    if (hasBandIdx)
-      bandedNew.withColumn("bb", bandBucket(col("band"), col("bucket")))
-        .repartition(NBandBuckets, col("bb"))
-        .write.mode("append").partitionBy("bb").parquet(s"$storePath/bandidx")
-    bandedNew.withColumn("pb", storeBucket(col("doc")))
-      .repartition(NStoreBuckets, col("pb"))
-      .write.mode("append").partitionBy("pb").parquet(s"$storePath/bands")
-    tokNew.withColumn("pb", storeBucket(col("doc")))
-      .repartition(NStoreBuckets, col("pb"))
-      .write.mode("append").partitionBy("pb").parquet(s"$storePath/postings")
+    // grow the store, copy-on-write: each frame is staged then MOVED
+    // into the live tree under batch-unique names, and ONE manifest
+    // flip at the end makes the whole batch visible atomically. No
+    // explicit partition count on the delta stages: hash distribution
+    // on the bucket column already lands each touched bucket in ONE
+    // task (one file per bucket), and AQE coalesces the delta-sized
+    // shuffle to a few tasks — an explicit count equal to the store's
+    // bucket total would spawn thousands of near-empty tasks per
+    // micro-batch on a high-bucket-count store.
+    val tag = s"a${java.util.UUID.randomUUID().toString.take(8)}_"
+    def stageAppend(df: DataFrame, partCol: String, dir: String): Seq[String] = {
+      val tmpRoot = new org.apache.hadoop.fs.Path(storePath,
+        s".ingest_stage_$dir")
+      fsInc.delete(tmpRoot, true)
+      df.repartition(col(partCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(tmpRoot.toString)
+      moveStagedIn(fsInc, storePath, dir, tmpRoot, tag)
+    }
+    val added =
+      (if (hasBandIdx)
+        stageAppend(bandedNew.withColumn("bb",
+          bandBucket(col("band"), col("bucket"), bbN)), "bb", "bandidx")
+      else Seq.empty) ++
+        stageAppend(bandedNew.withColumn("pb",
+          storeBucket(col("doc"), pbN)), "pb", "bands") ++
+        stageAppend(tokNew.withColumn("pb",
+          storeBucket(col("doc"), pbN)), "pb", "postings")
+    // nothing new (fully-seen batch): skip the flip — idempotent
+    // re-ingest leaves the manifest version untouched
+    if (added.nonEmpty)
+      commitManifest(fsInc, storePath, mfVersion + 1, mfFiles ++ added)
     out
   }
 
@@ -448,20 +689,21 @@ object Dedup {
     * the band-keyed `bandidx/` projection is routed by a delta-sized
     * probe of the pb-PRUNED bands rows (the purged docs' own band
     * keys). Each affected (dir, bucket) partition is rewritten in ONE
-    * partition-pruned job per directory (anti-join against the
-    * broadcast purge set, staged root, per-partition atomic swaps —
-    * [[IvfIndex.purgeFromIndex]]'s measured shape). IDEMPOTENT: the
-    * anti-join removes nothing on a re-run, so re-running with the
-    * same ids is the torn-purge recovery — safe even after a crash
-    * inside a swap, because entry recovery PROMOTES an orphaned staged
-    * partition (the only copy of that bucket's survivors) before
-    * anything is deleted ([[StoreSwap.recoverStagedPartitions]]).
-    * Purging unknown ids is a REAL no-op: the membership probe
-    * restricts the rewrite to buckets that actually hold a purged doc,
-    * and returns without opening a delete/rename window when none
-    * does. A purged doc is fully forgotten — later
-    * [[minhashIncremental]] batches treat it as never seen (re-ingest
-    * re-admits it), and it can no longer appear in any candidate pair.
+    * partition-pruned job per directory, copy-on-write: the rewritten
+    * files are MOVED into the live tree under purge-unique names, old
+    * files stay on disk for any pinned reader, and ONE manifest flip
+    * at the end unlists every touched partition's old files and lists
+    * the rewrites — the purge is atomic to readers across all three
+    * directories. IDEMPOTENT: the membership probe reads the current
+    * manifest, so after a crash at ANY point before the flip the
+    * purged docs still read as members and a re-run with the same ids
+    * redoes the whole purge (the unflipped rewrite files are garbage
+    * for [[vacuumMinhashStore]]). Purging unknown ids is a REAL no-op:
+    * the probe restricts the rewrite to buckets that actually hold a
+    * purged doc, and returns without writing a byte when none does. A
+    * purged doc is fully forgotten — later [[minhashIncremental]]
+    * batches treat it as never seen (re-ingest re-admits it), and it
+    * can no longer appear in any candidate pair.
     *
     * @return number of purged docs that were actually in the store. */
   def purgeMinhashStore(spark: org.apache.spark.sql.SparkSession,
@@ -469,27 +711,19 @@ object Dedup {
                         idCol: String): Long = {
     import org.apache.hadoop.fs.Path
     val fs = StoreSwap.fsOf(spark, path)
-    require(fs.exists(new Path(s"$path/postings")) &&
-      fs.exists(new Path(s"$path/bands")),
-      s"purgeMinhashStore: $path is not a saveMinhashStore layout")
-    // promote any torn prior mutation BEFORE probing membership — an
-    // orphaned staged partition's survivors are invisible until promoted
-    Seq("postings" -> "pb=", "bands" -> "pb=", "bandidx" -> "bb=")
-      .foreach { case (d, prefix) =>
-        val p = new Path(s"$path/$d")
-        if (fs.exists(p)) StoreSwap.recoverStagedPartitions(fs, p, prefix)
-      }
+    val (mfVersion, mfFiles) = requireManifest(fs, path, "purgeMinhashStore")
+    val (pbN, bbN) = storeLayout(fs, path)
     val purgeKeys = ids
       .select(col(idCol).cast("string").as("__purge_id"))
       .distinct().localCheckpoint()
     // candidate partitions from the ids alone — no store scan
     val pbsAll = purgeKeys
-      .select(pmod(graft.functions.StableId63.stableId63(col("__purge_id")),
-        lit(NStoreBuckets.toLong)).as("pb"))
+      .select(storeBucket(col("__purge_id"), pbN).as("pb"))
       .distinct().collect().map(_.getLong(0)).sorted
     if (pbsAll.isEmpty) return 0L
-    val matched = spark.read.parquet(s"$path/postings")
-      .where(col("pb").isin(pbsAll: _*))
+    val matched = pruneBuckets(
+        readStoreDir(spark, path, "postings", mfFiles), "pb",
+        pbsAll.toSeq, pbN)
       .select(col("doc"), col("pb").cast("long").as("pb")).distinct()
       .join(broadcast(purgeKeys),
         col("doc").cast("string") === col("__purge_id"), "left_semi")
@@ -497,72 +731,116 @@ object Dedup {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     if (matched.isEmpty) return 0L
     val pbs = matched.keys.toSeq.sorted
-    // bandidx routing: the purged docs' band keys, read from the
-    // pb-PRUNED bands/ scan BEFORE it is rewritten — a delta-sized
-    // probe that names the ≤ NBandBuckets band buckets to rewrite (the
-    // projection is band-partitioned, so ids alone cannot route it)
+    // bandidx routing: the purged docs' band keys, a delta-sized probe
+    // of the pb-pruned bands rows that names the band buckets to
+    // rewrite (the projection is band-partitioned, so ids alone cannot
+    // route it)
+    val hasBandIdx = fs.exists(new Path(s"$path/bandidx")) &&
+      mfFiles.exists(_.startsWith("bandidx/"))
     val bbs =
-      if (fs.exists(new Path(s"$path/bandidx")))
-        spark.read.parquet(s"$path/bands")
-          .where(col("pb").isin(pbs: _*))
+      if (hasBandIdx)
+        pruneBuckets(readStoreDir(spark, path, "bands", mfFiles), "pb",
+            pbs, pbN)
           .join(broadcast(purgeKeys),
             col("doc").cast("string") === col("__purge_id"), "left_semi")
-          .select(bandBucket(col("band"), col("bucket")).as("bb"))
+          .select(bandBucket(col("band"), col("bucket"), bbN).as("bb"))
           .distinct().collect().map(_.getInt(0).toLong).sorted.toSeq
       else Seq.empty[Long]
-    // rewrite order = band projections first, postings (the MEMBERSHIP
-    // authority) LAST: the matched-probe reads postings, so after a
-    // crash at ANY point the purged docs still read as members and a
-    // re-run with the same ids re-routes and heals every directory —
-    // postings-first would return 0 on the re-run and leave stale band
-    // rows behind forever
-    if (bbs.nonEmpty)
-      StoreSwap.rewriteParts(spark, new Path(s"$path/bandidx"), "bb", bbs,
-        "purgeMinhashStore") { pruned =>
-        pruned.join(broadcast(purgeKeys),
+    val tag = s"p${java.util.UUID.randomUUID().toString.take(8)}_"
+    def rewriteDir(dir: String, partCol: String, parts: Seq[Long],
+                   total: Int): Seq[String] = {
+      val tmpRoot = new Path(path, s".purge_stage_$dir")
+      fs.delete(tmpRoot, true)
+      pruneBuckets(readStoreDir(spark, path, dir, mfFiles), partCol,
+          parts, total)
+        .join(broadcast(purgeKeys),
           col("doc").cast("string") === col("__purge_id"), "left_anti")
-      }
-    Seq("bands", "postings").foreach { dirName =>
-      StoreSwap.rewriteParts(spark, new Path(s"$path/$dirName"), "pb", pbs,
-        "purgeMinhashStore") { pruned =>
-        pruned.join(broadcast(purgeKeys),
-          col("doc").cast("string") === col("__purge_id"), "left_anti")
-      }
+        .repartition(parts.size, col(partCol))
+        .write.mode("overwrite").partitionBy(partCol)
+        .parquet(tmpRoot.toString)
+      moveStagedIn(fs, path, dir, tmpRoot, tag)
     }
+    val rewritten =
+      (if (bbs.nonEmpty) rewriteDir("bandidx", "bb", bbs, bbN)
+       else Seq.empty) ++
+        rewriteDir("bands", "pb", pbs, pbN) ++
+        rewriteDir("postings", "pb", pbs, pbN)
+    // ONE flip: every touched partition's old files unlist, the
+    // rewrites list — atomic across all three directories
+    val dropPrefixes =
+      pbs.flatMap(v => Seq(s"postings/pb=$v/", s"bands/pb=$v/")) ++
+        bbs.map(v => s"bandidx/bb=$v/")
+    commitManifest(fs, path, mfVersion + 1,
+      mfFiles.filterNot(f => dropPrefixes.exists(f.startsWith)) ++ rewritten)
     matched.values.sum
   }
 
-  /** Fold each store partition's accumulated per-append file-sets into
+  /** Fold each store partition's accumulated per-ingest file-sets into
     * ~`targetBytes` files — [[IvfIndex.compactPostings]]' small-file
     * compaction applied to the signature store (every
-    * [[minhashIncremental]] batch adds one file-set per touched
-    * bucket). Content-preserving by construction (both directories are
-    * plain bags within a partition). ONE partition-pruned job per
-    * directory rewrites every multi-file bucket into a dot-prefixed
-    * SIBLING staging root, then swaps each bucket in — never a
+    * [[minhashIncremental]] batch adds one file per touched bucket).
+    * Content-preserving by construction (the directories are plain bags
+    * within a partition). ONE partition-pruned job per directory
+    * rewrites every multi-file bucket (multi-file BY THE MANIFEST —
+    * unlisted garbage never gets compacted into the store) into a
+    * staging root, the compacted files move in copy-on-write, and ONE
+    * manifest flip commits all directories atomically — never a
     * per-bucket job loop (the measured 9.3-vs-1.6 s serial-submission
-    * shape), and never a temp dir inside the live tree where partition
-    * discovery could mistake it for data
-    * ([[StoreSwap.compactPartitions]]). Crashes recover at the next
-    * mutation verb's entry (orphaned staged buckets are promoted).
-    * Safe any time no ingest is in flight. */
+    * shape). Compaction is a maintenance verb already gated on "no
+    * ingest in flight", so it ends with [[vacuumMinhashStore]] to
+    * reclaim the inputs it just superseded (do not run it while a
+    * reader is pinned to an older manifest — the same retention rule
+    * vacuum itself carries). A crash before the flip changes nothing
+    * visible; re-running is the recovery. */
   def compactMinhashStore(spark: org.apache.spark.sql.SparkSession,
                           path: String,
                           targetBytes: Long = 128L * 1024 * 1024): Unit = {
     import org.apache.hadoop.fs.Path
-    Seq("postings", "bands").foreach { dirName =>
-      val live = new Path(s"$path/$dirName")
-      val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-      require(fs.exists(live),
-        s"compactMinhashStore: $path is not a saveMinhashStore layout")
-      StoreSwap.compactPartitions(spark, live, "pb", "compactMinhashStore",
-        targetBytes)
+    val fs = StoreSwap.fsOf(spark, path)
+    val (mfVersion, mfFiles) =
+      requireManifest(fs, path, "compactMinhashStore")
+    val (pbN, bbN) = storeLayout(fs, path)
+    val tag = s"c${java.util.UUID.randomUUID().toString.take(8)}_"
+    var moved = Seq.empty[String]
+    var dropped = Set.empty[String]
+    Seq(("postings", "pb", pbN), ("bands", "pb", pbN),
+        ("bandidx", "bb", bbN)).foreach { case (dir, partCol, total) =>
+      val groups = mfFiles.filter(_.startsWith(dir + "/"))
+        .groupBy(_.split("/")(1))
+        .filter(_._2.length > 1)
+      if (groups.nonEmpty &&
+          (dir != "bandidx" || fs.exists(new Path(s"$path/bandidx")))) {
+        val slices = groups.toSeq.map { case (partName, files) =>
+          val bytes = files
+            .map(f => fs.getFileStatus(new Path(s"$path/$f")).getLen).sum
+          partName.split("=", 2)(1).toLong ->
+            math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+        }.sortBy(_._1)
+        val pruned = pruneBuckets(readStoreDir(spark, path, dir, mfFiles),
+          partCol, slices.map(_._1), total)
+        // deterministic content-hash slice for oversized partitions
+        // (never repartition on a nondeterministic column — task
+        // retries would duplicate or drop rows)
+        val sliceExpr = slices.filter(_._2 > 1).foldLeft(lit(0)) {
+          case (acc, (v, n)) =>
+            when(col(partCol) === lit(v),
+              pmod(hash(pruned.columns.map(col): _*), lit(n))).otherwise(acc)
+        }
+        val tmpRoot = new Path(path, s".compact_stage_$dir")
+        fs.delete(tmpRoot, true)
+        pruned.withColumn("__slice", sliceExpr)
+          .repartition(slices.map(_._2).sum, col(partCol), col("__slice"))
+          .drop("__slice")
+          .write.mode("overwrite").partitionBy(partCol)
+          .parquet(tmpRoot.toString)
+        moved = moved ++ moveStagedIn(fs, path, dir, tmpRoot, tag)
+        dropped = dropped ++ groups.values.flatten
+      }
     }
-    val bandIdx = new Path(s"$path/bandidx")
-    val fs = bandIdx.getFileSystem(spark.sessionState.newHadoopConf())
-    if (fs.exists(bandIdx)) // absent on a legacy store — optional
-      StoreSwap.compactPartitions(spark, bandIdx, "bb", "compactMinhashStore",
-        targetBytes)
+    if (dropped.nonEmpty)
+      commitManifest(fs, path, mfVersion + 1,
+        mfFiles.filterNot(dropped) ++ moved)
+    vacuumMinhashStore(spark, path)
   }
 
   /** The candidate-first verify over an already-materialized (doc, hv)

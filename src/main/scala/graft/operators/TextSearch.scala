@@ -167,6 +167,8 @@ object TextSearch {
   def appendCorpusStats(delta: DataFrame, idCol: String, textCol: String,
                         path: String, filePrefix: String = ""): Unit = {
     val spark = delta.sparkSession
+    recoverStatsDirs(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf()), path)
     val cs = spark.read.parquet(s"$path/corpus").schema.fieldNames.toSet
     require(cs == Set("n", "tl"),
       s"appendCorpusStats: $path/corpus is not a saveCorpusStats layout " +
@@ -263,6 +265,8 @@ object TextSearch {
   def purgeCorpusStats(purged: DataFrame, idCol: String, textCol: String,
                        path: String): Unit = {
     val spark = purged.sparkSession
+    recoverStatsDirs(new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf()), path)
     val cs = spark.read.parquet(s"$path/corpus").schema.fieldNames.toSet
     require(cs == Set("n", "tl"),
       s"purgeCorpusStats: $path/corpus is not a saveCorpusStats layout " +
@@ -307,28 +311,36 @@ object TextSearch {
     * the compacted `corpus/` is ONE (n, tl) row, the compacted `terms/`
     * is one (term, df) row per distinct term, and every subsequent
     * summed read is byte-identical to the pre-compaction read
-    * (spec-gated). [[WarehouseStore.compactFact]]'s staged swap: the
-    * folded result is fully written to a sibling tmp directory before
-    * the live directory is dropped and the tmp promoted, so a crash
-    * mid-compaction leaves either the old partials or the compacted set
-    * — never a half-written layout. Safe to run any time no append is
-    * in flight. */
+    * (spec-gated). The swap is a TWO-RENAME sequence per directory
+    * (live aside, compacted tmp in, drop the set-aside) so a complete
+    * stats layout exists at every instant — the previous delete-live +
+    * rename-tmp shape had a window with NO corpus/ or terms/ at all —
+    * and every stats mutation verb's entry heals the torn states
+    * ([[recoverStatsDirs]]). Safe to run any time no append is in
+    * flight. */
   def compactCorpusStats(spark: org.apache.spark.sql.SparkSession,
                          path: String,
                          targetBytes: Long = 128L * 1024 * 1024): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    recoverStatsDirs(fs, path)
     val cs = spark.read.parquet(s"$path/corpus").schema.fieldNames.toSet
     require(cs == Set("n", "tl"),
       s"compactCorpusStats: $path/corpus is not a saveCorpusStats layout " +
         s"(fields: ${cs.mkString(",")})")
     def swap(live: Path)(write: String => Unit): Unit = {
-      val tmp = new Path(live.getParent, live.getName + ".compact_tmp")
+      val tmp = new Path(live.getParent, s".${live.getName}.compact_tmp")
+      val old = new Path(live.getParent, s".${live.getName}.compact_old")
+      fs.delete(tmp, true)
+      fs.delete(old, true)
       write(tmp.toString)
-      fs.delete(live, true)
+      require(fs.rename(live, old),
+        s"compactCorpusStats: could not set $live aside at $old — the " +
+          s"live stats are untouched; compacted data is at $tmp")
       require(fs.rename(tmp, live),
         s"compactCorpusStats: swap failed for $live — compacted data is " +
-          s"intact at $tmp; rename it into place to recover")
+          s"intact at $tmp (old partials at $old); re-running recovers")
+      fs.delete(old, true)
     }
     swap(new Path(s"$path/corpus")) { tmp =>
       spark.read.parquet(s"$path/corpus")
@@ -350,6 +362,34 @@ object TextSearch {
         .repartition(nFiles)
         .sortWithinPartitions(col("term"))
         .write.mode("overwrite").parquet(tmp)
+    }
+  }
+
+  /** Heal the compaction swap's torn states, run at every stats
+    * mutation verb's entry: a live dir missing with its compacted copy
+    * staged (crash between the two renames) promotes the compacted
+    * copy; failing that, the set-aside old partials are restored; a
+    * stale set-aside next to a live dir (crash after the second
+    * rename) is dropped. */
+  private def recoverStatsDirs(fs: org.apache.hadoop.fs.FileSystem,
+                               path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    Seq("corpus", "terms").foreach { part =>
+      val live = new Path(s"$path/$part")
+      val tmp = new Path(s"$path/.$part.compact_tmp")
+      val old = new Path(s"$path/.$part.compact_old")
+      if (!fs.exists(live)) {
+        if (fs.exists(tmp))
+          require(fs.rename(tmp, live),
+            s"recovery: failed to promote compacted $tmp to $live — " +
+              "rename it manually, then retry")
+        else if (fs.exists(old))
+          require(fs.rename(old, live),
+            s"recovery: failed to restore set-aside $old to $live — " +
+              "rename it manually, then retry")
+      }
+      fs.delete(tmp, true)
+      fs.delete(old, true)
     }
   }
 

@@ -45,11 +45,10 @@ object DocStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(storePath)
-          .getFileSystem(spark.sessionState.newHadoopConf())
         val pairs =
-          if (fs.exists(new org.apache.hadoop.fs.Path(
-              s"$storePath/postings"))) {
+          // bootstrapped iff the store MANIFEST exists — the save's
+          // single commit point, so a torn bootstrap re-runs cleanly
+          if (Dedup.minhashStoreReady(spark, storePath)) {
             Dedup.minhashIncremental(batch, idCol, textCol, storePath,
               threshold, bands, ngram)
           } else {

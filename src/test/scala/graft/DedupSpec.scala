@@ -409,49 +409,44 @@ class DedupSpec extends SparkSpec {
       store.getAbsolutePath, 0.4).count() == 0L)
   }
 
-  test("minhashIncremental torn-append recovery: bands landed but " +
-    "postings missing -> the batch reads as unseen, re-running restores " +
-    "postings once and returns the full pair set; no posting duplicates") {
+  test("minhashIncremental torn-append recovery: the batch's files " +
+    "landed but the manifest flip did not -> the whole batch reads as " +
+    "unseen, re-running returns the full pair set; no duplicate is ever " +
+    "visible; vacuum reclaims the unflipped leftovers") {
     import org.apache.hadoop.fs.Path
     val store = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_minhash_torn_spec_${System.nanoTime()}")
     store.deleteOnExit()
+    val root = store.getAbsolutePath
     val batch1 = docs.where(col("doc_id") % 2 === 0)
     val batch2 = docs.where(col("doc_id") % 2 === 1)
-    Dedup.saveMinhashStore(batch1, "doc_id", "text", store.getAbsolutePath)
-    val fs = new Path(store.getAbsolutePath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    def postingFiles(): Set[String] = {
-      val root = new Path(s"${store.getAbsolutePath}/postings")
-      fs.listStatus(root).filter(_.isDirectory).flatMap(pd =>
-        fs.listStatus(pd.getPath).filter(_.isFile)
-          .map(f => s"${pd.getPath.getName}/${f.getPath.getName}")).toSet
-    }
-    val preAppend = postingFiles()
+    Dedup.saveMinhashStore(batch1, "doc_id", "text", root)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
     def pairSet(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val clean = pairSet(Dedup.minhashIncremental(
-      batch2, "doc_id", "text", store.getAbsolutePath, 0.4))
-    // simulate the documented crash window: the append's BANDS landed
-    // (first move batch) but its POSTINGS did not — delete exactly the
-    // posting files the append added
-    (postingFiles() -- preAppend).foreach { rel =>
-      fs.delete(new Path(s"${store.getAbsolutePath}/postings/$rel"), false)
-    }
-    // membership authority is postings: batch2 reads as UNSEEN, so the
-    // re-run re-admits it, restores its postings exactly once, and its
-    // duplicate band rows are harmless under the DISTINCT candidates
+      batch2, "doc_id", "text", root, 0.4))
+    // simulate the crash window: the ingest's files all landed but the
+    // manifest flip did not — on disk that is exactly "delete the flip"
+    assert(fs.delete(new Path(s"$root/_manifest.v2"), false),
+      "fixture expects the ingest to have committed _manifest.v2")
+    // the whole batch is invisible -> it reads as UNSEEN and the re-run
+    // returns the full pair set again (re-run IS the recovery)
     val recovered = pairSet(Dedup.minhashIncremental(
-      batch2, "doc_id", "text", store.getAbsolutePath, 0.4))
+      batch2, "doc_id", "text", root, 0.4))
     assert(recovered == clean,
       s"missing=${(clean -- recovered).take(5)} " +
         s"extra=${(recovered -- clean).take(5)}")
-    // postings not duplicated: every (doc, hv) appears exactly once
-    val p = spark.read.parquet(s"${store.getAbsolutePath}/postings")
-    assert(p.count() == p.select("doc", "hv").distinct().count())
+    // no duplicate is ever VISIBLE: the manifest-resolved postings hold
+    // every (doc, hv) exactly once even though the first attempt's
+    // files still sit on disk as unlisted garbage
+    Dedup.vacuumMinhashStore(spark, root)
+    val p = spark.read.parquet(s"$root/postings")
+    assert(p.count() == p.select("doc", "hv").distinct().count(),
+      "duplicate postings visible after torn-ingest recovery + vacuum")
     // and the store now behaves fully seen
     assert(Dedup.minhashIncremental(docs, "doc_id", "text",
-      store.getAbsolutePath, 0.4).count() == 0L)
+      root, 0.4).count() == 0L)
   }
 
   test("bandidx projection: a 1-doc ingest touches at most `bands` band " +
@@ -509,9 +504,12 @@ class DedupSpec extends SparkSpec {
     // projection (a partial bandidx would silently lose candidates)
     assert(!fs.exists(new Path(s"$legacy/bandidx")))
     // purge keeps the projection EXACT: no purged doc survives in it,
-    // and it equals bands/ row-for-row afterwards
+    // and it equals bands/ row-for-row afterwards (vacuum first — the
+    // copy-on-write purge leaves unlisted garbage the plain dir reads
+    // below would otherwise see)
     Dedup.purgeMinhashStore(spark, root,
       docs.where(col("doc_id") % 3 === 0).select(col("doc_id")), "doc_id")
+    Dedup.vacuumMinhashStore(spark, root)
     def bandRows(dir: String): Seq[(Long, Int, String)] =
       spark.read.parquet(s"$root/$dir").select("doc", "band", "bucket")
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
@@ -547,63 +545,92 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("purge crash recovery: an orphaned staged bucket (live deleted, " +
-    "staged rename never ran) is PROMOTED by the next mutation verb, " +
-    "never discarded; an unknown-id purge touches no file") {
+  test("manifest isolation: a reader pinned mid-purge sees the old " +
+    "consistent file-set (never a gap); a crash before the flip is " +
+    "invisible and re-running heals; unknown-id purge touches nothing; " +
+    "vacuum reclaims only unlisted garbage") {
     import org.apache.hadoop.fs.Path
     import spark.implicits._
     val store = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_minhash_orphan_spec_${System.nanoTime()}")
+      s"graft_minhash_manifest_spec_${System.nanoTime()}")
     store.deleteOnExit()
     val root = store.getAbsolutePath
     Dedup.saveMinhashStore(docs, "doc_id", "text", root)
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    def manifests(): Seq[String] = fs.listStatus(new Path(root)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("_manifest.v")).sorted
+    def manifestFiles(name: String): Seq[String] = {
+      val in = fs.open(new Path(s"$root/$name"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    }
+    assert(manifests() == Seq("_manifest.v1"))
+    // PIN a reader on the v1 file-set exactly as the library resolves
+    // it (lazy frame over the manifest's postings files)
+    val pinnedFiles = manifestFiles("_manifest.v1")
+      .filter(_.startsWith("postings/")).map(f => s"$root/$f")
+    val pinned = spark.read.option("basePath", s"$root/postings")
+      .parquet(pinnedFiles: _*)
+    val prePurge = docs.count()
     val purgeIds = docs.where(col("doc_id") % 3 === 0).select(col("doc_id"))
-    assert(Dedup.purgeMinhashStore(spark, root, purgeIds, "doc_id") > 0L)
-    def postingSet(): Set[String] =
-      spark.read.parquet(s"$root/postings").collect().map(_.toString).toSet
-    val want = postingSet()
-    // simulate the documented crash window on a populated bucket: the
-    // live dir is gone and the staged rewrite holds the ONLY copy
-    val pb = fs.listStatus(new Path(s"$root/postings"))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("pb="))
-      .map(_.getPath.getName).sorted.head
-    val tmpRoot = new Path(s"$root/.postings.purge_tmp")
-    fs.mkdirs(tmpRoot)
-    assert(fs.rename(new Path(s"$root/postings/$pb"), new Path(tmpRoot, pb)))
-    // the documented recovery is re-running with the same ids: entry
-    // promotion restores the bucket's survivors before anything deletes
-    assert(Dedup.purgeMinhashStore(spark, root, purgeIds, "doc_id") == 0L)
-    assert(postingSet() == want, "orphaned staged bucket was lost")
-    // purging ids that are NOT in the store is a REAL no-op: zero
-    // removed and zero files rewritten (no delete/rename crash window)
+    val nPurged = docs.where(col("doc_id") % 3 === 0).count()
+    assert(Dedup.purgeMinhashStore(spark, root, purgeIds, "doc_id")
+      == nPurged)
+    assert(manifests() == Seq("_manifest.v1", "_manifest.v2"))
+    // the pinned reader still resolves: every v1 file exists (the purge
+    // was copy-on-write), and the content is the OLD consistent set
+    assert(pinned.select("doc").distinct().count() == prePurge,
+      "pinned reader lost files mid-purge")
+    def visibleDocs(): Set[Long] = {
+      val files = manifestFiles(manifests().last)
+        .filter(_.startsWith("postings/")).map(f => s"$root/$f")
+      spark.read.option("basePath", s"$root/postings").parquet(files: _*)
+        .select("doc").distinct().collect().map(_.getLong(0)).toSet
+    }
+    val survivors = docs.where(col("doc_id") % 3 =!= 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(visibleDocs() == survivors)
+    // crash-before-flip: dropping the v2 manifest IS the on-disk state
+    // a crash between the purge's rewrites and its flip leaves —
+    // rewrite files present but unlisted, v1 latest again
+    fs.delete(new Path(s"$root/_manifest.v2"), false)
+    assert(visibleDocs().size.toLong == prePurge,
+      "unflipped rewrite files leaked into the visible set")
+    // re-running the same purge is the recovery
+    assert(Dedup.purgeMinhashStore(spark, root, purgeIds, "doc_id")
+      == nPurged)
+    assert(visibleDocs() == survivors)
+    // unknown-id purge: zero removed, zero bytes written, no flip
     def fileState(): Set[(String, Long, Long)] =
-      Seq("postings", "bands").flatMap { d =>
+      Seq("postings", "bands", "bandidx").flatMap { d =>
         fs.listStatus(new Path(s"$root/$d")).toSeq.filter(_.isDirectory)
           .flatMap(pd => fs.listStatus(pd.getPath).toSeq.filter(_.isFile)
             .map(f => (s"$d/${pd.getPath.getName}/${f.getPath.getName}",
               f.getLen, f.getModificationTime)))
       }.toSet
     val before = fileState()
+    val mfBefore = manifests()
     assert(Dedup.purgeMinhashStore(spark, root,
       Seq(900000001L, 900000002L).toDF("doc_id"), "doc_id") == 0L)
     assert(fileState() == before, "no-op purge rewrote store files")
-    // orphan promotion also guards the ingest path: with a fresh orphan
-    // (this time under the compaction staging root), every stored doc
-    // must still read as seen — nothing re-appended, no duplicates
-    val compactRoot = new Path(s"$root/.postings.compact_tmp")
-    fs.mkdirs(compactRoot)
-    assert(fs.rename(new Path(s"$root/postings/$pb"),
-      new Path(compactRoot, pb)))
-    assert(Dedup.minhashIncremental(docs.where(col("doc_id") % 3 =!= 0),
-      "doc_id", "text", root, 0.4).count() == 0L)
-    assert(postingSet() == want, "ingest after orphan duplicated postings")
-    // and compaction itself promotes before folding
-    fs.mkdirs(compactRoot)
-    assert(fs.rename(new Path(s"$root/postings/$pb"),
-      new Path(compactRoot, pb)))
-    Dedup.compactMinhashStore(spark, root)
-    assert(postingSet() == want, "compaction lost the orphaned bucket")
+    assert(manifests() == mfBefore, "no-op purge flipped the manifest")
+    // vacuum drops exactly the unlisted garbage (the crash leftovers
+    // and superseded rewrite inputs) and the store still answers
+    assert(Dedup.vacuumMinhashStore(spark, root) > 0L)
+    val listed = manifestFiles(manifests().last).toSet
+    Seq("postings", "bands", "bandidx").foreach { d =>
+      fs.listStatus(new Path(s"$root/$d")).toSeq.filter(_.isDirectory)
+        .flatMap(pd => fs.listStatus(pd.getPath).toSeq.filter(_.isFile)
+          .map(f => s"$d/${pd.getPath.getName}/${f.getPath.getName}"))
+        .foreach(rel => assert(listed.contains(rel), s"garbage survived: $rel"))
+    }
+    assert(visibleDocs() == survivors)
+    // purged docs re-ingest as new against the vacuumed store
+    assert(Dedup.minhashIncremental(docs.where(col("doc_id") % 3 === 0),
+      "doc_id", "text", root, 0.4).count() ==
+      Dedup.minhashDuplicates(docs, "doc_id", "text", 0.4)
+        .where(col("d1") % 3 === 0 || col("d2") % 3 === 0).count())
   }
 
   test("overlapMatrix: shared shingles + jaccard per group pair, sparse, null-safe") {

@@ -375,6 +375,51 @@ class TextSearchSpec extends SparkSpec {
     assert(e.getMessage.contains("saveCorpusStats layout"))
   }
 
+  test("compactCorpusStats crash windows: a complete layout exists at " +
+      "every instant — both torn states (between the renames, after the " +
+      "second) heal at the next mutation verb's entry") {
+    import org.apache.hadoop.fs.Path
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_compact_torn_${System.nanoTime()}")
+    dir.deleteOnExit()
+    val root = dir.getAbsolutePath
+    TextSearch.saveCorpusStats(corpus, "doc_id", "text", root)
+    TextSearch.appendCorpusStats(Seq((5L, "apple durian durian"))
+      .toDF("doc_id", "text"), "doc_id", "text", root)
+    val grown = corpus.union(Seq((5L, "apple durian durian"))
+      .toDF("doc_id", "text"))
+    def rows() = TextSearch.bm25TopKIndexed(grown, "doc_id", "text",
+        root, Seq("apple", "durian"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = rows()
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    // torn state A — crash BETWEEN the two renames: live corpus/ is
+    // gone, its content staged; the next mutation verb promotes it
+    fs.mkdirs(new Path(s"$root/.corpus.compact_old"))
+    assert(fs.rename(new Path(s"$root/corpus"),
+      new Path(s"$root/.corpus.compact_tmp")))
+    TextSearch.compactCorpusStats(spark, root)
+    assert(rows() == want, "torn-between-renames state lost the corpus dir")
+    assert(!fs.exists(new Path(s"$root/.corpus.compact_tmp")))
+    assert(!fs.exists(new Path(s"$root/.corpus.compact_old")))
+    // torn state B — crash AFTER the second rename: only a stale
+    // set-aside lingers; the next append drops it and proceeds
+    fs.mkdirs(new Path(s"$root/.terms.compact_old"))
+    TextSearch.appendCorpusStats(Seq((6L, "cherry banana"))
+      .toDF("doc_id", "text"), "doc_id", "text", root)
+    assert(!fs.exists(new Path(s"$root/.terms.compact_old")))
+    val grown2 = grown.union(Seq((6L, "cherry banana")).toDF("doc_id", "text"))
+    // scores now reflect the appended doc against a healed layout
+    val fresh = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_compact_torn_fresh_${System.nanoTime()}")
+    fresh.deleteOnExit()
+    TextSearch.saveCorpusStats(grown2, "doc_id", "text", fresh.getAbsolutePath)
+    def rowsAt(p: String) = TextSearch.bm25TopKIndexed(grown2, "doc_id",
+        "text", p, Seq("apple", "durian"), k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(rowsAt(root) == rowsAt(fresh.getAbsolutePath))
+  }
+
   test("batch indexed: saved stats reproduce the live batch exactly, " +
       "zero corpus scans before scoring") {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
