@@ -535,8 +535,12 @@ object LinkGraph {
     val deg = degrees(e)
     val dead = deg.where(col("degree") < k).select(col("node"))
       .localCheckpoint()
-    if (dead.isEmpty) return e // converged: nothing to rewrite
-    if (IvfIndex.fitsBroadcast(dead, IvfIndex.MaxBroadcastQueries)) {
+    // one count serves both decisions (converged? broadcastable?) —
+    // a separate isEmpty + limit-probe pair costs two driver jobs per
+    // round, which dominates on small graphs
+    val nDead = dead.count()
+    if (nDead == 0) return e // converged: nothing to rewrite
+    if (nDead <= IvfIndex.MaxBroadcastQueries) {
       e.join(broadcast(dead.select(col("node").as("u"))), Seq("u"), "left_anti")
         .join(broadcast(dead.select(col("node").as("v"))), Seq("v"), "left_anti")
         .select(col("u"), col("v"))

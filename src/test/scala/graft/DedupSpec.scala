@@ -545,6 +545,52 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("store lifecycle property: a seeded-random interleaving of " +
+    "ingest/purge/compact/vacuum keeps the store exactly equivalent to " +
+    "its surviving corpus at every step boundary") {
+    import spark.implicits._
+    val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_minhash_prop_${System.nanoTime()}")
+    store.deleteOnExit()
+    val root = store.getAbsolutePath
+    val rnd = new scala.util.Random(42)
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    def byIds(ids: Set[Long]) = docs.where(col("doc_id").isin(ids.toSeq: _*))
+    var inStore = allIds.take(120).toSet
+    Dedup.saveMinhashStore(byIds(inStore), "doc_id", "text", root)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    for (step <- 1 to 7) {
+      rnd.nextInt(4) match {
+        case 0 | 1 => // ingest a mixed batch (some seen, some new)
+          val batch = rnd.shuffle(allIds.toSeq).take(80).toSet
+          Dedup.minhashIncremental(byIds(batch), "doc_id", "text", root, 0.4)
+          inStore = inStore ++ batch
+        case 2 => // purge a mixed set (some present, some unknown)
+          val victims = rnd.shuffle(allIds.toSeq).take(40).toSet
+          val expected = (victims intersect inStore).size.toLong
+          assert(Dedup.purgeMinhashStore(spark, root,
+            victims.toSeq.toDF("doc_id"), "doc_id") == expected,
+            s"step $step: purge count off")
+          inStore = inStore -- victims
+        case 3 =>
+          Dedup.compactMinhashStore(spark, root)
+          if (rnd.nextBoolean()) Dedup.vacuumMinhashStore(spark, root)
+      }
+      // invariant: the store IS its surviving corpus — derived pairs
+      // equal one-shot minhashDuplicates over exactly the docs in store
+      val derived = pairSet(Dedup.derivePairsFromStore(spark, root, 0.4))
+      val oneShot = pairSet(Dedup.minhashDuplicates(
+        byIds(inStore), "doc_id", "text", 0.4))
+      assert(derived == oneShot,
+        s"step $step: missing=${(oneShot -- derived).take(5)} " +
+          s"extra=${(derived -- oneShot).take(5)}")
+    }
+    // everything in the store reads as seen; nothing outside does
+    assert(Dedup.minhashIncremental(byIds(inStore), "doc_id", "text",
+      root, 0.4).count() == 0L, "an in-store doc read as unseen")
+  }
+
   test("manifest isolation: a reader pinned mid-purge sees the old " +
     "consistent file-set (never a gap); a crash before the flip is " +
     "invisible and re-running heals; unknown-id purge touches nothing; " +
