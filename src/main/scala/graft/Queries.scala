@@ -8513,6 +8513,43 @@ object Queries {
     },
     q146.oracle)
 
+  private val stagedStoreLifecycleDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Full MinHash-store lifecycle under the round-15 manifest design:
+    * save (even half) → incremental ingest (odd half) → purge (every
+    * third doc) → VACUUM (the retention verb that deletes the
+    * copy-on-write garbage the mutations unlisted) → derive the pair
+    * set from the store alone. The oracle is one-shot
+    * minhashDuplicates over exactly the SURVIVING corpus (q114's
+    * protocol filtered to non-purged docs), so a purge survivor lost
+    * by a manifest flip, a vacuum that deleted a LISTED file, or a
+    * stale band row resurrecting a purged doc all change a pair and
+    * fail the hash. */
+  private val q242 = Q("q242_minhash_store_vacuum",
+    (s, d) => {
+      val dir = Queries.stagedStoreLifecycleDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_store_vacuum_${Queries.stagingSuffix(d)}")
+        val docs = documents(s, d)
+        val store = s"${f.getAbsolutePath}/store"
+        graft.operators.Dedup.saveMinhashStore(
+          docs.where(col("doc_id") % 2 === 0), "doc_id", "text", store)
+        graft.operators.Dedup.minhashIncremental(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text", store,
+          0.4, bands = 4, ngram = 3).count()
+        graft.operators.Dedup.purgeMinhashStore(s, store,
+          docs.where(col("doc_id") % 3 === 0).select(col("doc_id")),
+          "doc_id")
+        graft.operators.Dedup.vacuumMinhashStore(s, store)
+        f
+      })
+      graft.operators.Dedup.derivePairsFromStore(s,
+        s"${dir.getAbsolutePath}/store", 0.4)
+    },
+    q114.oracle.map(sql =>
+      s"SELECT * FROM ($sql) WHERE d1 % 3 <> 0 AND d2 % 3 <> 0"))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -8534,7 +8571,7 @@ object Queries {
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229,
     q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240,
-    q241)
+    q241, q242)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
