@@ -198,8 +198,8 @@ object Dedup {
                            storePath: String, threshold: Double): DataFrame = {
     val fs = StoreSwap.fsOf(spark, storePath)
     val (_, mfFiles) = requireManifest(fs, storePath, "derivePairsFromStore")
-    val storeToks = readStoreDir(spark, storePath, "postings", mfFiles)
-    val storeBands = readStoreDir(spark, storePath, "bands", mfFiles)
+    val storeToks = StoreSwap.readStoreDir(spark, storePath, "postings", mfFiles)
+    val storeBands = StoreSwap.readStoreDir(spark, storePath, "bands", mfFiles)
     require(storeToks.columns.toSet == Set("doc", "hv", "pb") &&
       storeBands.columns.toSet == Set("doc", "band", "bucket", "pb"),
       s"derivePairsFromStore: $storePath is not a saveMinhashStore layout")
@@ -296,15 +296,15 @@ object Dedup {
     else df.where(col(partCol).isin(touched: _*))
 
   // ------------------------------------------------------------------
-  // Store manifest: reader isolation via copy-on-write (r14 verdict #6)
+  // Store manifest: reader isolation via copy-on-write (r14 verdict #6;
+  // the shared plumbing lives in [[StoreSwap]]).
   //
   // Every reader of the MinHash store resolves the CURRENT file-set
-  // through the highest-numbered `_manifest.v<N>` at the store root
-  // (one relative parquet path per line), and every mutation verb is
-  // copy-on-write: new files land first (append files, or staged
-  // rewrites MOVED in under fresh names), then ONE rename-committed
-  // manifest makes them visible — old files are never deleted by a
-  // mutation, only unlisted. Consequences, all spec-gated:
+  // through the highest-numbered `_manifest.v<N>` at the store root,
+  // and every mutation verb is copy-on-write: new files land first,
+  // then ONE rename-committed manifest makes them visible — old files
+  // are never deleted by a mutation, only unlisted. Consequences, all
+  // spec-gated:
   //  - a reader pinned mid-mutation resolved the previous manifest and
   //    every file it lists still exists — it sees the old consistent
   //    file-set or the new one, never a gap (the dir-swap design this
@@ -312,93 +312,25 @@ object Dedup {
   //  - a crash ANYWHERE before the flip leaves the new files unlisted
   //    (invisible garbage) and the store byte-identical to readers;
   //    re-running the verb is always the recovery, with no ordering
-  //    contract between the three directories any more — the flip is
-  //    the single commit point;
+  //    contract between the three directories — the flip is the single
+  //    commit point;
   //  - unlisted garbage accumulates until [[vacuumMinhashStore]], the
   //    retention verb: run it when no reader is pinned past the
   //    latest manifest (the standard retention rule).
   // Single-writer, as everywhere in the store family.
   // ------------------------------------------------------------------
-  private val ManifestPrefix = "_manifest.v"
-
-  private def manifestVersions(fs: org.apache.hadoop.fs.FileSystem,
-                               path: String): Seq[Int] = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(root)) return Seq.empty
-    fs.listStatus(root).toSeq
-      .map(_.getPath.getName)
-      .filter(_.startsWith(ManifestPrefix))
-      .flatMap(n => scala.util.Try(n.drop(ManifestPrefix.length).toInt).toOption)
-      .sorted
-  }
-
-  private def latestManifest(fs: org.apache.hadoop.fs.FileSystem,
-                             path: String): Option[(Int, Seq[String])] =
-    manifestVersions(fs, path).lastOption.map { v =>
-      val in = fs.open(
-        new org.apache.hadoop.fs.Path(s"$path/$ManifestPrefix$v"))
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      v -> text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-    }
-
-  /** Rename-committed manifest write: the content lands in a dot-tmp
-    * file first, so a partially-written manifest can never be the
-    * highest version a reader resolves. */
-  private def commitManifest(fs: org.apache.hadoop.fs.FileSystem,
-                             path: String, version: Int,
-                             files: Seq[String]): Unit = {
-    val tmp = new org.apache.hadoop.fs.Path(path,
-      s"._manifest_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(files.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
-    finally out.close()
-    require(fs.rename(tmp,
-      new org.apache.hadoop.fs.Path(s"$path/$ManifestPrefix$version")),
-      s"commitManifest: rename to $path/$ManifestPrefix$version failed — " +
-        "the mutation is NOT visible; re-run the verb")
-  }
-
-  /** All parquet files currently under a store directory, as
-    * store-relative paths (`dir/part=value/file.parquet`). */
-  private def listDirFiles(fs: org.apache.hadoop.fs.FileSystem,
-                           path: String, dir: String): Seq[String] = {
-    val root = new org.apache.hadoop.fs.Path(s"$path/$dir")
-    if (!fs.exists(root)) return Seq.empty
-    fs.listStatus(root).toSeq.filter(_.isDirectory).flatMap { pd =>
-      fs.listStatus(pd.getPath).toSeq
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-        .map(f => s"$dir/${pd.getPath.getName}/${f.getPath.getName}")
-    }
-  }
-
-  /** Manifest-resolved read of one store directory: only the files the
-    * manifest lists exist for this reader, with the partition column
-    * recovered from the paths (basePath) and partition pruning intact. */
-  private def readStoreDir(spark: org.apache.spark.sql.SparkSession,
-                           path: String, dir: String,
-                           manifestFiles: Seq[String]): DataFrame = {
-    val mine = manifestFiles.filter(_.startsWith(dir + "/"))
-      .map(f => s"$path/$f")
-    require(mine.nonEmpty,
-      s"readStoreDir: the store manifest at $path lists no $dir files")
-    spark.read.option("basePath", s"$path/$dir").parquet(mine: _*)
-  }
-
-  /** Resolve the store's manifest or refuse: every store this module
-    * writes carries one ([[saveMinhashStore]] commits v1), so a path
-    * without one is not a store. */
   private def requireManifest(fs: org.apache.hadoop.fs.FileSystem,
                               path: String, verb: String): (Int, Seq[String]) =
-    latestManifest(fs, path).getOrElse(throw new IllegalArgumentException(
-      s"$verb: $path is not a saveMinhashStore layout (no store manifest)"))
+    StoreSwap.latestManifest(fs, path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$verb: $path is not a saveMinhashStore layout (no store manifest)"))
 
   /** True iff `path` holds a committed MinHash store (a manifest
     * exists — the save's single commit point, so a torn bootstrap
     * reads as absent and is simply re-run). */
   def minhashStoreReady(spark: org.apache.spark.sql.SparkSession,
                         path: String): Boolean =
-    latestManifest(StoreSwap.fsOf(spark, path), path).nonEmpty
+    StoreSwap.latestManifest(StoreSwap.fsOf(spark, path), path).nonEmpty
 
   /** Drop every file the latest manifest does not list — the retention
     * verb that reclaims the copy-on-write garbage mutations leave
@@ -410,60 +342,9 @@ object Dedup {
     * @return number of data files deleted. */
   def vacuumMinhashStore(spark: org.apache.spark.sql.SparkSession,
                          path: String): Long = {
-    val fs = StoreSwap.fsOf(spark, path)
-    val (version, files) = requireManifest(fs, path, "vacuumMinhashStore")
-    val listed = files.toSet
-    var dropped = 0L
-    Seq("postings", "bands", "bandidx").foreach { dir =>
-      listDirFiles(fs, path, dir).filterNot(listed).foreach { rel =>
-        fs.delete(new org.apache.hadoop.fs.Path(s"$path/$rel"), false)
-        dropped += 1
-      }
-      // a partition dir whose files are all gone is dead weight
-      val root = new org.apache.hadoop.fs.Path(s"$path/$dir")
-      if (fs.exists(root))
-        fs.listStatus(root).toSeq.filter(_.isDirectory).foreach { pd =>
-          if (fs.listStatus(pd.getPath).isEmpty) fs.delete(pd.getPath, true)
-        }
-    }
-    manifestVersions(fs, path).filter(_ < version).foreach(v =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/$ManifestPrefix$v"),
-        false))
-    fs.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
-      .filter(s => s.getPath.getName.startsWith("._manifest_tmp_") ||
-        s.getPath.getName.endsWith(".purge_tmp") ||
-        s.getPath.getName.endsWith(".compact_tmp"))
-      .foreach(s => fs.delete(s.getPath, true))
-    dropped
-  }
-
-  /** Move every staged partition file under `tmpRoot` into the live
-    * `dir` under a fresh `tag`-prefixed name (copy-on-write: nothing
-    * in the live tree is deleted or overwritten), returning the moved
-    * files' store-relative paths. The staging root is dropped. */
-  private def moveStagedIn(fs: org.apache.hadoop.fs.FileSystem,
-                           path: String, dir: String,
-                           tmpRoot: org.apache.hadoop.fs.Path,
-                           tag: String): Seq[String] = {
-    import org.apache.hadoop.fs.Path
-    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
-    if (fs.exists(tmpRoot)) {
-      fs.listStatus(tmpRoot).filter(_.isDirectory).foreach { pd =>
-        val livePart = new Path(s"$path/$dir/${pd.getPath.getName}")
-        fs.mkdirs(livePart)
-        fs.listStatus(pd.getPath)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .foreach { f =>
-            val name = s"$tag${f.getPath.getName}"
-            require(fs.rename(f.getPath, new Path(livePart, name)),
-              s"moveStagedIn: rename of ${f.getPath} into $livePart failed " +
-                "— nothing is visible yet; re-run the verb")
-            moved += s"$dir/${pd.getPath.getName}/$name"
-          }
-      }
-      fs.delete(tmpRoot, true)
-    }
-    moved.toSeq
+    requireManifest(StoreSwap.fsOf(spark, path), path, "vacuumMinhashStore")
+    StoreSwap.vacuumManifested(spark, path,
+      Seq("postings", "bands", "bandidx"), "vacuumMinhashStore")
   }
 
   /** Persist the MinHash signature store a growing corpus dedupes
@@ -522,9 +403,9 @@ object Dedup {
     // the commit point: overwrite-mode writes cleared the dirs, so the
     // listing is exactly this save's files. Versions continue past any
     // prior store at this path (readers pin the HIGHEST version).
-    val version = manifestVersions(fs, path).lastOption.getOrElse(0) + 1
-    commitManifest(fs, path, version,
-      Seq("postings", "bands", "bandidx").flatMap(listDirFiles(fs, path, _)))
+    val version = StoreSwap.manifestVersions(fs, path).lastOption.getOrElse(0) + 1
+    StoreSwap.commitManifest(fs, path, version,
+      Seq("postings", "bands", "bandidx").flatMap(StoreSwap.listDirFiles(fs, path, _)))
   }
 
   /** Dedupe a NEW batch against a persisted MinHash store AND grow the
@@ -576,8 +457,8 @@ object Dedup {
     val fsInc = StoreSwap.fsOf(spark, storePath)
     val (mfVersion, mfFiles) =
       requireManifest(fsInc, storePath, "minhashIncremental")
-    val storeToks = readStoreDir(spark, storePath, "postings", mfFiles)
-    val storeBands = readStoreDir(spark, storePath, "bands", mfFiles)
+    val storeToks = StoreSwap.readStoreDir(spark, storePath, "postings", mfFiles)
+    val storeBands = StoreSwap.readStoreDir(spark, storePath, "bands", mfFiles)
     require(storeToks.columns.toSet == Set("doc", "hv", "pb") &&
       storeBands.columns.toSet == Set("doc", "band", "bucket", "pb"),
       s"minhashIncremental: $storePath is not a saveMinhashStore layout")
@@ -620,7 +501,7 @@ object Dedup {
         val touched = bandedNew
           .select(bandBucket(col("band"), col("bucket"), bbN).as("bb"))
           .distinct().collect().map(_.getInt(0).toLong).sorted.toSeq
-        pruneBuckets(readStoreDir(spark, storePath, "bandidx", mfFiles),
+        pruneBuckets(StoreSwap.readStoreDir(spark, storePath, "bandidx", mfFiles),
           "bb", touched, bbN)
           .select(col("doc"), col("band"), col("bucket"))
       } else storeBands.select(col("doc"), col("band"), col("bucket"))
@@ -662,7 +543,7 @@ object Dedup {
       fsInc.delete(tmpRoot, true)
       df.repartition(col(partCol))
         .write.mode("overwrite").partitionBy(partCol).parquet(tmpRoot.toString)
-      moveStagedIn(fsInc, storePath, dir, tmpRoot, tag)
+      StoreSwap.moveStagedIn(fsInc, storePath, dir, tmpRoot, tag)
     }
     val added =
       (if (hasBandIdx)
@@ -676,7 +557,7 @@ object Dedup {
     // nothing new (fully-seen batch): skip the flip — idempotent
     // re-ingest leaves the manifest version untouched
     if (added.nonEmpty)
-      commitManifest(fsInc, storePath, mfVersion + 1, mfFiles ++ added)
+      StoreSwap.commitManifest(fsInc, storePath, mfVersion + 1, mfFiles ++ added)
     out
   }
 
@@ -722,7 +603,7 @@ object Dedup {
       .distinct().collect().map(_.getLong(0)).sorted
     if (pbsAll.isEmpty) return 0L
     val matched = pruneBuckets(
-        readStoreDir(spark, path, "postings", mfFiles), "pb",
+        StoreSwap.readStoreDir(spark, path, "postings", mfFiles), "pb",
         pbsAll.toSeq, pbN)
       .select(col("doc"), col("pb").cast("long").as("pb")).distinct()
       .join(broadcast(purgeKeys),
@@ -739,7 +620,7 @@ object Dedup {
       mfFiles.exists(_.startsWith("bandidx/"))
     val bbs =
       if (hasBandIdx)
-        pruneBuckets(readStoreDir(spark, path, "bands", mfFiles), "pb",
+        pruneBuckets(StoreSwap.readStoreDir(spark, path, "bands", mfFiles), "pb",
             pbs, pbN)
           .join(broadcast(purgeKeys),
             col("doc").cast("string") === col("__purge_id"), "left_semi")
@@ -751,14 +632,14 @@ object Dedup {
                    total: Int): Seq[String] = {
       val tmpRoot = new Path(path, s".purge_stage_$dir")
       fs.delete(tmpRoot, true)
-      pruneBuckets(readStoreDir(spark, path, dir, mfFiles), partCol,
+      pruneBuckets(StoreSwap.readStoreDir(spark, path, dir, mfFiles), partCol,
           parts, total)
         .join(broadcast(purgeKeys),
           col("doc").cast("string") === col("__purge_id"), "left_anti")
         .repartition(parts.size, col(partCol))
         .write.mode("overwrite").partitionBy(partCol)
         .parquet(tmpRoot.toString)
-      moveStagedIn(fs, path, dir, tmpRoot, tag)
+      StoreSwap.moveStagedIn(fs, path, dir, tmpRoot, tag)
     }
     val rewritten =
       (if (bbs.nonEmpty) rewriteDir("bandidx", "bb", bbs, bbN)
@@ -770,7 +651,7 @@ object Dedup {
     val dropPrefixes =
       pbs.flatMap(v => Seq(s"postings/pb=$v/", s"bands/pb=$v/")) ++
         bbs.map(v => s"bandidx/bb=$v/")
-    commitManifest(fs, path, mfVersion + 1,
+    StoreSwap.commitManifest(fs, path, mfVersion + 1,
       mfFiles.filterNot(f => dropPrefixes.exists(f.startsWith)) ++ rewritten)
     matched.values.sum
   }
@@ -795,51 +676,10 @@ object Dedup {
   def compactMinhashStore(spark: org.apache.spark.sql.SparkSession,
                           path: String,
                           targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    import org.apache.hadoop.fs.Path
-    val fs = StoreSwap.fsOf(spark, path)
-    val (mfVersion, mfFiles) =
-      requireManifest(fs, path, "compactMinhashStore")
-    val (pbN, bbN) = storeLayout(fs, path)
-    val tag = s"c${java.util.UUID.randomUUID().toString.take(8)}_"
-    var moved = Seq.empty[String]
-    var dropped = Set.empty[String]
-    Seq(("postings", "pb", pbN), ("bands", "pb", pbN),
-        ("bandidx", "bb", bbN)).foreach { case (dir, partCol, total) =>
-      val groups = mfFiles.filter(_.startsWith(dir + "/"))
-        .groupBy(_.split("/")(1))
-        .filter(_._2.length > 1)
-      if (groups.nonEmpty &&
-          (dir != "bandidx" || fs.exists(new Path(s"$path/bandidx")))) {
-        val slices = groups.toSeq.map { case (partName, files) =>
-          val bytes = files
-            .map(f => fs.getFileStatus(new Path(s"$path/$f")).getLen).sum
-          partName.split("=", 2)(1).toLong ->
-            math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
-        }.sortBy(_._1)
-        val pruned = pruneBuckets(readStoreDir(spark, path, dir, mfFiles),
-          partCol, slices.map(_._1), total)
-        // deterministic content-hash slice for oversized partitions
-        // (never repartition on a nondeterministic column — task
-        // retries would duplicate or drop rows)
-        val sliceExpr = slices.filter(_._2 > 1).foldLeft(lit(0)) {
-          case (acc, (v, n)) =>
-            when(col(partCol) === lit(v),
-              pmod(hash(pruned.columns.map(col): _*), lit(n))).otherwise(acc)
-        }
-        val tmpRoot = new Path(path, s".compact_stage_$dir")
-        fs.delete(tmpRoot, true)
-        pruned.withColumn("__slice", sliceExpr)
-          .repartition(slices.map(_._2).sum, col(partCol), col("__slice"))
-          .drop("__slice")
-          .write.mode("overwrite").partitionBy(partCol)
-          .parquet(tmpRoot.toString)
-        moved = moved ++ moveStagedIn(fs, path, dir, tmpRoot, tag)
-        dropped = dropped ++ groups.values.flatten
-      }
-    }
-    if (dropped.nonEmpty)
-      commitManifest(fs, path, mfVersion + 1,
-        mfFiles.filterNot(dropped) ++ moved)
+    requireManifest(StoreSwap.fsOf(spark, path), path, "compactMinhashStore")
+    StoreSwap.compactManifested(spark, path,
+      Seq("postings" -> "pb", "bands" -> "pb", "bandidx" -> "bb"),
+      "compactMinhashStore", targetBytes)
     vacuumMinhashStore(spark, path)
   }
 

@@ -113,18 +113,62 @@ object IvfIndex {
     *    (PartitionFilters on `cell`).
     *
     * `index` must be an [[assign]] frame for `model` (same column
-    * contract); the cell-range require catches a mismatched pair. */
+    * contract); the cell-range require catches a mismatched pair.
+    *
+    * Reader isolation (the MinHash store's design applied to the ANN
+    * family): a rename-committed `_manifest.v<N>` at the index root is
+    * the save's single commit point, every reader resolves the listed
+    * file-set, and every mutation verb is copy-on-write behind ONE
+    * manifest flip ([[StoreSwap]]); [[vacuumIndex]] is the retention
+    * verb. */
   def saveIndex(model: Model, index: DataFrame, path: String): Unit = {
     val spark = index.sparkSession
-    import spark.implicits._
     require(index.columns.toSeq == Seq("n_id", "n_vec", "cell"),
       s"saveIndex: not an assign() frame: ${index.columns.toSeq}")
-    model.centroids.zipWithIndex
-      .map { case (c, i) => (i, c.toSeq) }.toSeq
-      .toDF("cell", "centroid")
+    centroidsDf(spark, model)
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     index.write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/postings")
+    // the commit point: overwrite-mode writes cleared the dirs, so the
+    // listing is exactly this save's files; versions continue past any
+    // prior index at this path (readers pin the HIGHEST version)
+    val fs = StoreSwap.fsOf(spark, path)
+    val version = StoreSwap.manifestVersions(fs, path).lastOption
+      .getOrElse(0) + 1
+    StoreSwap.commitManifest(fs, path, version,
+      Seq("centroids", "postings")
+        .flatMap(StoreSwap.listDirFiles(fs, path, _)))
+  }
+
+  private def centroidsDf(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+  }
+
+  private def requireIndexManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                   path: String,
+                                   verb: String): (Int, Seq[String]) =
+    StoreSwap.latestManifest(fs, path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$verb: $path is not a saveIndex layout (no index manifest)"))
+
+  /** True iff `path` holds a committed index (a manifest exists — the
+    * save's single commit point, so a torn bootstrap reads as absent
+    * and is simply re-run). */
+  def indexReady(spark: SparkSession, path: String): Boolean =
+    StoreSwap.latestManifest(StoreSwap.fsOf(spark, path), path).nonEmpty
+
+  /** Drop every file the latest manifest does not list — the ANN
+    * family's retention verb (see [[Dedup.vacuumMinhashStore]]); run it
+    * when no reader is pinned to an older manifest.
+    *
+    * @return number of data files deleted. */
+  def vacuumIndex(spark: SparkSession, path: String): Long = {
+    requireIndexManifest(StoreSwap.fsOf(spark, path), path, "vacuumIndex")
+    StoreSwap.vacuumManifested(spark, path,
+      Seq("centroids", "postings"), "vacuumIndex")
   }
 
   /** Load a persisted index: (model, postings). The centroid set is
@@ -132,9 +176,19 @@ object IvfIndex {
     * dimensionality (the [[Model]] require) — so a corrupted or
     * hand-edited index fails HERE, not as garbage neighbors. Searching a
     * stale index with queries of a different dimensionality fails loudly
-    * per row in the `nearest_cells` kernel (checkDims), spec-gated. */
+    * per row in the `nearest_cells` kernel (checkDims), spec-gated.
+    *
+    * Reads resolve through the index manifest when one exists (every
+    * index this module writes commits one) and fall back to plain
+    * directory reads on a legacy or hand-built layout. */
   def loadIndex(spark: SparkSession, path: String): (Model, DataFrame) = {
-    val cents = spark.read.parquet(s"$path/centroids")
+    val fs = StoreSwap.fsOf(spark, path)
+    val mf = StoreSwap.latestManifest(fs, path).map(_._2)
+    def dirDf(dir: String): DataFrame = mf match {
+      case Some(files) => StoreSwap.readStoreDir(spark, path, dir, files)
+      case None => spark.read.parquet(s"$path/$dir")
+    }
+    val cents = dirDf("centroids")
       .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
       .collect()
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
@@ -143,7 +197,7 @@ object IvfIndex {
       s"loadIndex: non-contiguous cell ids in $path/centroids: " +
         cents.map(_._1).mkString(","))
     val model = Model(cents.map(_._2))
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = dirDf("postings")
       .select(col("n_id"), col("n_vec").cast("array<double>"),
         col("cell").cast("int"))
     (model, postings)
@@ -181,21 +235,20 @@ object IvfIndex {
     * `filePrefix` tags this append's posting files by name: the
     * streaming adapter drops a replayed batch's prefixed files
     * ([[dropAppendPartials]]) before re-applying, which upgrades the
-    * at-least-once foreachBatch delivery to exactly-once. A prefixed
-    * append stages the delta's cell-partitioned postings and MOVES
-    * each file into its live cell dir under the prefixed name (the
-    * [[graft.operators.TextSearch.appendCorpusStats]] shape); an
-    * unprefixed append is the plain Spark append-mode write. */
+    * at-least-once foreachBatch delivery to exactly-once. Every append
+    * is copy-on-write: the delta's cell-partitioned postings are
+    * staged, MOVED into the live cell dirs under batch-unique names,
+    * and committed by ONE manifest flip — a crash before the flip
+    * leaves the whole batch invisible, and re-running it (after the
+    * drop, under replay) is the recovery. */
   def appendToIndex(spark: SparkSession, path: String, delta: DataFrame,
                     idCol: String, vecCol: String,
                     filePrefix: String = ""): Model = {
-    // mutation verb: promote any orphaned staged cell a torn purge or
-    // compaction left behind, so the append lands in a complete index
-    StoreSwap.recoverStagedPartitions(
-      StoreSwap.fsOf(spark, path),
-      new org.apache.hadoop.fs.Path(s"$path/postings"), "cell=")
+    import org.apache.hadoop.fs.Path
+    val fs = StoreSwap.fsOf(spark, path)
+    val (mfVersion, mfFiles) = requireIndexManifest(fs, path, "appendToIndex")
     val (model, _) = loadIndex(spark, path)
-    val saved = spark.read.parquet(s"$path/postings")
+    val saved = StoreSwap.readStoreDir(spark, path, "postings", mfFiles)
       .schema("n_vec").dataType.catalogString
     val deltaT = delta.schema(vecCol).dataType.catalogString
     require(deltaT == saved,
@@ -208,50 +261,42 @@ object IvfIndex {
     require(badDim == 0,
       s"appendToIndex: delta contains a vector whose length != the " +
         s"index dimensionality ${model.dim} (or a NULL vector)")
-    val assigned = assign(delta, idCol, vecCol, model)
-    if (filePrefix.isEmpty) {
-      assigned.write.mode("append").partitionBy("cell")
-        .parquet(s"$path/postings")
-    } else {
-      import org.apache.hadoop.fs.Path
-      val fs = StoreSwap.fsOf(spark, path)
-      val stage = new Path(path,
-        s".append_stage_${java.util.UUID.randomUUID().toString.take(8)}")
-      try {
-        assigned
-          .repartition(model.centroids.length, col("cell"))
-          .write.mode("overwrite").partitionBy("cell")
-          .parquet(stage.toString)
-        fs.listStatus(stage)
-          .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-          .foreach { cd =>
-            val liveCell = new Path(s"$path/postings/${cd.getPath.getName}")
-            fs.mkdirs(liveCell)
-            fs.listStatus(cd.getPath)
-              .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-              .foreach { f =>
-                require(fs.rename(f.getPath,
-                  new Path(liveCell, filePrefix + f.getPath.getName)),
-                  s"appendToIndex: move of ${f.getPath} into $liveCell " +
-                    "failed — drop this batch's prefixed partials and re-run")
-              }
-          }
-      } finally fs.delete(stage, true)
-    }
+    val tag =
+      if (filePrefix.nonEmpty) filePrefix
+      else s"a${java.util.UUID.randomUUID().toString.take(8)}_"
+    val stage = new Path(path, ".ingest_stage_postings")
+    fs.delete(stage, true)
+    // no explicit partition count: hash distribution on cell lands each
+    // touched cell in one task (one file per cell) and AQE coalesces
+    // the delta-sized shuffle
+    assign(delta, idCol, vecCol, model)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+    val added = StoreSwap.moveStagedIn(fs, path, "postings", stage, tag)
+    if (added.nonEmpty)
+      StoreSwap.commitManifest(fs, path, mfVersion + 1, mfFiles ++ added)
     model
   }
 
   /** Remove the posting files a prefixed [[appendToIndex]] landed — the
     * replay-cleanup half of the streaming ingest's exactly-once
     * contract (drop, then re-apply; a crash anywhere in the pair
-    * re-runs to the same state). Refuses an empty prefix. */
+    * re-runs to the same state). UNLISTS the batch's files first (one
+    * manifest flip — readers stop seeing the batch atomically), then
+    * deletes them. Refuses an empty prefix. */
   def dropAppendPartials(spark: SparkSession, path: String,
                          filePrefix: String): Unit = {
     require(filePrefix.nonEmpty,
       "dropAppendPartials: empty prefix would drop every posting file")
     import org.apache.hadoop.fs.Path
-    val postings = new Path(s"$path/postings")
     val fs = StoreSwap.fsOf(spark, path)
+    StoreSwap.latestManifest(fs, path).foreach { case (v, files) =>
+      val (mine, keep) = files.partition(f =>
+        f.startsWith("postings/") &&
+          f.split("/").last.startsWith(filePrefix))
+      if (mine.nonEmpty) StoreSwap.commitManifest(fs, path, v + 1, keep)
+    }
+    val postings = new Path(s"$path/postings")
     if (fs.exists(postings))
       fs.listStatus(postings)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
@@ -272,22 +317,18 @@ object IvfIndex {
     * (n_id, n_vec) bag within each cell=… partition, so a per-cell
     * rewrite is trivially content-preserving (spec-gated: identical
     * search results, file count collapsed). ONE partition-pruned job
-    * rewrites every multi-file cell into a dot-prefixed SIBLING staging
-    * root (never a temp inside postings/, where partition discovery
-    * could mistake a torn dir for data), then each cell swaps in
-    * atomically; a crash is healed at the next mutation verb's entry,
-    * which promotes any orphaned staged cell
-    * ([[StoreSwap.compactPartitions]]). Safe any time no append is in
-    * flight. */
+    * rewrites every multi-file cell (multi-file BY THE MANIFEST)
+    * copy-on-write behind one manifest flip
+    * ([[StoreSwap.compactManifested]]), then [[vacuumIndex]] reclaims
+    * the superseded inputs — compaction is already gated on "no append
+    * in flight", and the vacuum adds the no-pinned-readers retention
+    * rule. A crash before the flip changes nothing visible. */
   def compactPostings(spark: SparkSession, path: String,
                       targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    import org.apache.hadoop.fs.Path
-    val postings = new Path(s"$path/postings")
-    val fs = postings.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(postings),
-      s"compactPostings: $path is not a saveIndex layout (no postings/)")
-    StoreSwap.compactPartitions(spark, postings, "cell", "compactPostings",
-      targetBytes)
+    requireIndexManifest(StoreSwap.fsOf(spark, path), path, "compactPostings")
+    StoreSwap.compactManifested(spark, path, Seq("postings" -> "cell"),
+      "compactPostings", targetBytes)
+    vacuumIndex(spark, path)
   }
 
   /** Rebuild a persisted index IN PLACE — the rebalance path
@@ -298,57 +339,38 @@ object IvfIndex {
     * external source: retrain on the postings' own vectors (the
     * id-hash-ordered unbiased sample, [[train]]'s protocol), re-assign
     * every posting against the new centroids (one full postings scan —
-    * the irreducible price of retraining), and stage the ENTIRE new
-    * index (centroids + cell-partitioned postings) in a sibling tmp
-    * directory before swapping. The OLD index stays fully readable
-    * until the new one is completely written ([[graft.sources
-    * .WarehouseStore.compactFact]]'s staged-swap contract); the swap
-    * is a TWO-RENAME sequence — live aside to `.rebuild_old`, tmp to
-    * live, drop `.rebuild_old` — so a COMPLETE index exists at every
-    * instant: a crash between the renames leaves both the old index
-    * (at `.rebuild_old`) and the new one (at `.rebuild_tmp`), and the
-    * next rebuildIndex call promotes the rebuilt one before doing
-    * anything else (spec-gated crash-window case). The previous
-    * delete-live + rename-tmp shape had a window with NO live index
-    * at all.
+    * the irreducible price of retraining), stage the ENTIRE new index
+    * (centroids + cell-partitioned postings) copy-on-write, and commit
+    * it with ONE manifest flip that lists ONLY the new files — a
+    * COMPLETE index is visible at every instant, a reader pinned on
+    * the old manifest keeps the old index intact, and a crash before
+    * the flip changes nothing visible (re-run = recovery; spec-gated).
+    * Ends with [[vacuumIndex]] to reclaim the superseded index —
+    * rebuild is offline maintenance, so the no-pinned-readers
+    * retention rule applies, exactly as for [[compactPostings]].
     *
     * @return the retrained model (the caller can search immediately). */
   def rebuildIndex(spark: SparkSession, path: String, k: Int,
                    sampleSize: Int = 2000, iters: Int = 8): Model = {
     import org.apache.hadoop.fs.Path
-    val live = new Path(path)
-    val fs = live.getFileSystem(spark.sessionState.newHadoopConf())
-    val tmp = new Path(live.getParent, live.getName + ".rebuild_tmp")
-    val old = new Path(live.getParent, live.getName + ".rebuild_old")
-    // crash recovery for the two-rename window: if the live index is
-    // missing, a prior rebuild died between its renames — promote the
-    // complete rebuilt index (or, failing that, the set-aside old one)
-    def complete(p: Path): Boolean = fs.exists(new Path(p, "postings"))
-    if (!complete(live)) {
-      if (complete(tmp))
-        require(fs.rename(tmp, live),
-          s"rebuildIndex: failed to promote the complete rebuilt index " +
-            s"at $tmp to $path — rename it manually, then retry")
-      else if (complete(old))
-        require(fs.rename(old, live),
-          s"rebuildIndex: failed to restore the set-aside index at $old " +
-            s"to $path — rename it manually, then retry")
-    }
-    fs.delete(old, true)
-    fs.delete(tmp, true)
-    require(complete(live),
-      s"rebuildIndex: $path is not a saveIndex layout (no postings/)")
-    val corpus = spark.read.parquet(s"$path/postings")
+    val fs = StoreSwap.fsOf(spark, path)
+    val (mfVersion, mfFiles) = requireIndexManifest(fs, path, "rebuildIndex")
+    val corpus = StoreSwap.readStoreDir(spark, path, "postings", mfFiles)
       .select(col("n_id"), col("n_vec"))
     val model = train(corpus, "n_id", "n_vec", k, sampleSize, iters)
-    saveIndex(model, assign(corpus, "n_id", "n_vec", model), tmp.toString)
-    require(fs.rename(live, old),
-      s"rebuildIndex: could not set the live index aside at $old — the " +
-        s"live index is untouched; the complete rebuilt index is at $tmp")
-    require(fs.rename(tmp, live),
-      s"rebuildIndex: swap failed — the complete rebuilt index is " +
-        s"intact at $tmp (old index at $old); rename $tmp to $path to recover")
-    fs.delete(old, true)
+    val tag = s"r${java.util.UUID.randomUUID().toString.take(8)}_"
+    val pStage = new Path(path, ".rebuild_stage_postings")
+    fs.delete(pStage, true)
+    assign(corpus, "n_id", "n_vec", model)
+      .write.mode("overwrite").partitionBy("cell").parquet(pStage.toString)
+    val newPostings = StoreSwap.moveStagedIn(fs, path, "postings", pStage, tag)
+    val cStage = new Path(path, ".rebuild_stage_centroids")
+    fs.delete(cStage, true)
+    centroidsDf(spark, model)
+      .coalesce(1).write.mode("overwrite").parquet(cStage.toString)
+    val newCents = StoreSwap.moveStagedIn(fs, path, "centroids", cStage, tag)
+    StoreSwap.commitManifest(fs, path, mfVersion + 1, newCents ++ newPostings)
+    vacuumIndex(spark, path)
     model
   }
 
@@ -357,22 +379,22 @@ object IvfIndex {
     * sibling; round-13 verdict missing #1). Postings are partitioned by
     * cell, so deletion rewrites ONLY the cells that actually contain a
     * purged id: one narrow (n_id, cell) scan finds the affected cells
-    * (column-pruned — vectors are never read for the probe), then each
-    * affected cell is anti-joined against the purge set and swapped in
-    * behind [[compactPostings]]' staged per-cell protocol (tmp fully
-    * written → live dropped → tmp promoted — a crash leaves the old
-    * cell or the purged cell, never a torn one). Cells the purge set
-    * misses keep their files byte-identical. Centroids are untouched —
-    * removing members never invalidates the remaining assignments
-    * (unlike retraining, which is [[train]] + [[saveIndex]]'s rebuild
-    * path when [[Similarity.embeddingDrift]] says the cells went
-    * stale).
+    * (column-pruned — vectors are never read for the probe), then ONE
+    * partition-pruned job rewrites them (anti-join against the purge
+    * set), the rewritten files move in copy-on-write, and ONE manifest
+    * flip unlists the touched cells' old files — atomic to readers,
+    * who keep a complete index at every instant ([[StoreSwap]]). Cells
+    * the purge set misses keep their files byte-identical. Centroids
+    * are untouched — removing members never invalidates the remaining
+    * assignments (unlike retraining, which is [[rebuildIndex]] when
+    * [[Similarity.embeddingDrift]] says the cells went stale).
     *
-    * IDEMPOTENT, unlike the stats purge: the anti-join removes nothing
-    * on a second run, so a torn multi-cell purge (some cells swapped,
-    * then a crash) is recovered by simply re-running with the same ids.
-    * Purging ids that aren't in the index is a no-op for the same
-    * reason. Search over the purged index equals brute force over the
+    * IDEMPOTENT: the probe reads the current manifest, so after a
+    * crash at any point before the flip the purged ids still read as
+    * members and re-running with the same ids redoes the whole purge
+    * (unflipped rewrite files are garbage for [[vacuumIndex]]).
+    * Purging ids that aren't in the index is a REAL no-op — no write,
+    * no flip. Search over the purged index equals brute force over the
     * surviving corpus (oracle-gated: q233).
     *
     * `ids` must be a 1-column frame (or have `idCol`) of purge keys —
@@ -384,14 +406,8 @@ object IvfIndex {
   def purgeFromIndex(spark: SparkSession, path: String, ids: DataFrame,
                      idCol: String): Long = {
     import org.apache.hadoop.fs.Path
-    val postingsPath = new Path(s"$path/postings")
-    val fs = postingsPath.getFileSystem(spark.sessionState.newHadoopConf())
-    require(fs.exists(postingsPath),
-      s"purgeFromIndex: $path is not a saveIndex layout (no postings/)")
-    // promote any torn prior mutation BEFORE the probe — an orphaned
-    // staged cell's survivors are invisible until promoted, and a
-    // re-run that deleted the staging root would lose them forever
-    StoreSwap.recoverStagedPartitions(fs, postingsPath, "cell=")
+    val fs = StoreSwap.fsOf(spark, path)
+    val (mfVersion, mfFiles) = requireIndexManifest(fs, path, "purgeFromIndex")
     val purgeKeys = ids.select(col(idCol).as("__purge_id"))
       .distinct().localCheckpoint()
     val keyed =
@@ -399,7 +415,7 @@ object IvfIndex {
       else purgeKeys
     // narrow probe: which cells hold a purged id, and how many postings
     // go — (n_id, cell) only, the vector column is pruned at the scan
-    val affected = spark.read.parquet(postingsPath.toString)
+    val affected = StoreSwap.readStoreDir(spark, path, "postings", mfFiles)
       .select(col("n_id"), col("cell"))
       .join(keyed, col("n_id") === col("__purge_id"))
       .groupBy(col("cell")).agg(count(lit(1)).as("n_gone"))
@@ -409,11 +425,20 @@ object IvfIndex {
     // anti-join → cell-partitioned write into the staging root): a
     // per-cell job loop measured 9.3 s vs saveIndex's 2.0 at sf0.1 —
     // serial job-submission overhead, not data. A fully purged cell
-    // simply has no output partition and stays dropped.
-    StoreSwap.rewriteParts(spark, postingsPath, "cell",
-      affected.keys.toSeq.sorted.map(_.toLong), "purgeFromIndex") { pruned =>
-      pruned.join(keyed, col("n_id") === col("__purge_id"), "left_anti")
-    }
+    // simply has no rewrite output and drops out of the manifest.
+    val cells = affected.keys.toSeq.sorted.map(_.toLong)
+    val tag = s"p${java.util.UUID.randomUUID().toString.take(8)}_"
+    val stage = new Path(path, ".purge_stage_postings")
+    fs.delete(stage, true)
+    StoreSwap.readStoreDir(spark, path, "postings", mfFiles)
+      .where(col("cell").isin(cells: _*))
+      .join(keyed, col("n_id") === col("__purge_id"), "left_anti")
+      .repartition(cells.size, col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+    val rewritten = StoreSwap.moveStagedIn(fs, path, "postings", stage, tag)
+    val dropPrefixes = cells.map(c => s"postings/cell=$c/")
+    StoreSwap.commitManifest(fs, path, mfVersion + 1,
+      mfFiles.filterNot(f => dropPrefixes.exists(f.startsWith)) ++ rewritten)
     affected.values.sum
   }
 

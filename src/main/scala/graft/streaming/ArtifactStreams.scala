@@ -76,10 +76,9 @@ object ArtifactStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(indexPath)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        // bootstrapped iff postings/ exists — saveIndex writes it LAST
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$indexPath/postings"))) {
+        // bootstrapped iff the index MANIFEST exists — the save's single
+        // commit point, so a torn bootstrap re-runs cleanly
+        if (IvfIndex.indexReady(spark, indexPath)) {
           val prefix = s"b${batchId}_"
           IvfIndex.dropAppendPartials(spark, indexPath, prefix)
           IvfIndex.appendToIndex(spark, indexPath, batch, idCol, vecCol,

@@ -151,12 +151,16 @@ class IvfIndexSpec extends SparkSpec {
     // idempotent: nothing left to remove
     assert(IvfIndex.purgeFromIndex(spark, dir.getAbsolutePath,
       purgeIds, "vec_id") == 0L)
-    // purge everything remaining in one cell -> its partition dir drops
+    // purge everything remaining in one cell -> it drops out of the
+    // manifest, and the vacuumed dir disappears from disk too
     val (_, p2) = IvfIndex.loadIndex(spark, dir.getAbsolutePath)
     val victim = p2.groupBy("cell").count().orderBy(col("count"), col("cell"))
       .collect()(0).getInt(0)
     val victimIds = p2.where(col("cell") === victim).select(col("n_id"))
     IvfIndex.purgeFromIndex(spark, dir.getAbsolutePath, victimIds, "n_id")
+    assert(IvfIndex.loadIndex(spark, dir.getAbsolutePath)._2
+      .where(col("cell") === victim).count() == 0L)
+    IvfIndex.vacuumIndex(spark, dir.getAbsolutePath)
     assert(!fs.exists(new Path(s"${dir.getAbsolutePath}/postings/cell=$victim")))
     // non-index layout refuses
     intercept[IllegalArgumentException] {
@@ -165,45 +169,49 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
-  test("purgeFromIndex torn-purge recovery: a cell that crashed back to " +
-      "its pre-purge state is healed by re-running with the same ids") {
+  test("purgeFromIndex crash semantics: a reader pinned mid-purge keeps " +
+      "the old consistent index; a crash before the manifest flip is " +
+      "invisible and re-running with the same ids heals; vacuum " +
+      "reclaims only unlisted garbage") {
     import org.apache.hadoop.fs.Path
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_ivf_torn_spec_${System.nanoTime()}")
     dir.deleteOnExit()
+    val path = dir.getAbsolutePath
     val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
     IvfIndex.saveIndex(model,
-      IvfIndex.assign(emb, "vec_id", "embedding", model), dir.getAbsolutePath)
-    val fs = new Path(dir.getAbsolutePath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
+      IvfIndex.assign(emb, "vec_id", "embedding", model), path)
+    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
     val purgeIds = emb.where(col("vec_id") % 3 === 0).select(col("vec_id"))
-    // pick a cell that will be affected, back up its PRE-purge files
-    val victim = IvfIndex.assign(emb.where(col("vec_id") % 3 === 0),
-      "vec_id", "embedding", model)
-      .select("cell").distinct().orderBy("cell").collect()(0).getInt(0)
-    val cellDir = new Path(s"${dir.getAbsolutePath}/postings/cell=$victim")
-    val backup = new Path(s"${dir.getAbsolutePath}/cell_backup")
-    org.apache.hadoop.fs.FileUtil.copy(fs, cellDir, fs, backup, false, false,
-      spark.sessionState.newHadoopConf())
-    // clean purge, snapshot the expected survivors
-    IvfIndex.purgeFromIndex(spark, dir.getAbsolutePath, purgeIds, "vec_id")
-    val want = IvfIndex.loadIndex(spark, dir.getAbsolutePath)._2
-      .select("n_id", "cell").collect()
-      .map(r => (r.getLong(0), r.getInt(1))).toSet
-    // simulate the crash window: the victim cell reverts to its
-    // pre-purge content (as if its swap never happened)
-    fs.delete(cellDir, true)
-    org.apache.hadoop.fs.FileUtil.copy(fs, backup, fs, cellDir, false, false,
-      spark.sessionState.newHadoopConf())
-    assert(IvfIndex.loadIndex(spark, dir.getAbsolutePath)._2
-      .select("n_id", "cell").collect()
-      .map(r => (r.getLong(0), r.getInt(1))).toSet != want, "torn state")
-    // the documented recovery: re-run with the same ids
-    IvfIndex.purgeFromIndex(spark, dir.getAbsolutePath, purgeIds, "vec_id")
-    val got = IvfIndex.loadIndex(spark, dir.getAbsolutePath)._2
-      .select("n_id", "cell").collect()
-      .map(r => (r.getLong(0), r.getInt(1))).toSet
-    assert(got == want)
+    def postingSet(): Set[(Long, Int)] =
+      IvfIndex.loadIndex(spark, path)._2.select("n_id", "cell")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val prePurge = postingSet()
+    // PIN a reader before the purge: loadIndex resolves the current
+    // manifest, so this frame's file-set must survive the mutation
+    val pinned = IvfIndex.loadIndex(spark, path)._2
+    assert(IvfIndex.purgeFromIndex(spark, path, purgeIds, "vec_id") ==
+      emb.where(col("vec_id") % 3 === 0).count())
+    val want = postingSet()
+    assert(want != prePurge)
+    // the pinned reader still answers from the OLD consistent file-set
+    // (copy-on-write: nothing it lists was deleted)
+    assert(pinned.select("n_id", "cell").collect()
+      .map(r => (r.getLong(0), r.getInt(1))).toSet == prePurge,
+      "pinned reader lost files mid-purge")
+    // crash-before-flip: dropping the latest manifest IS the on-disk
+    // state a crash between the rewrite moves and the flip leaves
+    val latest = fs.listStatus(new Path(path)).map(_.getPath.getName)
+      .filter(_.startsWith("_manifest.v")).sorted.last
+    fs.delete(new Path(s"$path/$latest"), false)
+    assert(postingSet() == prePurge,
+      "unflipped rewrite files leaked into the visible set")
+    // re-running with the same ids is the recovery
+    IvfIndex.purgeFromIndex(spark, path, purgeIds, "vec_id")
+    assert(postingSet() == want)
+    // vacuum reclaims the garbage; the index still answers identically
+    assert(IvfIndex.vacuumIndex(spark, path) > 0L)
+    assert(postingSet() == want)
   }
 
   test("rebuildIndex: retrains on the postings' own vectors, preserves " +
@@ -241,17 +249,20 @@ class IvfIndexSpec extends SparkSpec {
         loaded, k = 5, nProbe = 8)) ==
       rows(IvfIndex.search(fresh, queries, "vec_id", "embedding",
         rebuilt, k = 5, nProbe = 8)))
-    // no leftover tmp directory after a clean swap
-    assert(!new java.io.File(dir.getAbsolutePath + ".rebuild_tmp").exists())
-    assert(!new java.io.File(dir.getAbsolutePath + ".rebuild_old").exists())
+    // a clean rebuild leaves no staging dirs and no unlisted garbage
+    // (rebuild ends with vacuumIndex)
+    val leftovers = new java.io.File(dir.getAbsolutePath).listFiles()
+      .map(_.getName).filter(_.startsWith(".rebuild_stage_"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
     intercept[IllegalArgumentException] {
       IvfIndex.rebuildIndex(spark, dir.getAbsolutePath + "_nope", k = 4)
     }
   }
 
-  test("rebuildIndex crash window: a complete index exists at every " +
-      "instant — both torn states (between the renames, after the " +
-      "second) recover at the next call") {
+  test("rebuildIndex crash window: a complete index is visible at every " +
+      "instant — a crash before the manifest flip leaves the OLD index " +
+      "answering and re-running is the recovery; a reader pinned across " +
+      "the rebuild keeps the old index") {
     import org.apache.hadoop.fs.Path
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_ivf_rebuild_torn_${System.nanoTime()}")
@@ -261,58 +272,34 @@ class IvfIndexSpec extends SparkSpec {
     val m4 = IvfIndex.train(emb, "vec_id", "embedding", k = 4)
     IvfIndex.saveIndex(m4, IvfIndex.assign(emb, "vec_id", "embedding", m4), path)
     val total = emb.count()
-    // torn state A — crash BETWEEN the two renames: the live index is
-    // set aside at .rebuild_old and the complete rebuilt one sits at
-    // .rebuild_tmp; at no instant is there no complete index on disk
-    val m8 = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
-    IvfIndex.saveIndex(m8, IvfIndex.assign(emb, "vec_id", "embedding", m8),
-      s"$path.rebuild_tmp")
-    assert(fs.rename(new Path(path), new Path(s"$path.rebuild_old")))
-    val recovered = IvfIndex.rebuildIndex(spark, path, k = 8)
-    assert(recovered.centroids.length == 8)
-    val (_, postings) = IvfIndex.loadIndex(spark, path)
-    assert(postings.count() == total)
-    assert(postings.select("n_id").distinct().count() == total)
-    assert(!fs.exists(new Path(s"$path.rebuild_tmp")))
-    assert(!fs.exists(new Path(s"$path.rebuild_old")))
-    // torn state B — crash AFTER the second rename: only the stale
-    // .rebuild_old lingers; the next call drops it and proceeds
-    assert(fs.mkdirs(new Path(s"$path.rebuild_old/postings")))
-    IvfIndex.rebuildIndex(spark, path, k = 4)
-    assert(!fs.exists(new Path(s"$path.rebuild_old")))
-    assert(IvfIndex.loadIndex(spark, path)._2.count() == total)
-  }
-
-  test("purgeFromIndex crash recovery: an orphaned staged cell (live " +
-      "deleted, staged rename never ran) is promoted by the re-run, " +
-      "never discarded with the staging root") {
-    import org.apache.hadoop.fs.Path
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_ivf_orphan_spec_${System.nanoTime()}")
-    dir.deleteOnExit()
-    val path = dir.getAbsolutePath
-    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
-    IvfIndex.saveIndex(model,
-      IvfIndex.assign(emb, "vec_id", "embedding", model), path)
-    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    val purgeIds = emb.where(col("vec_id") % 3 === 0).select(col("vec_id"))
-    assert(IvfIndex.purgeFromIndex(spark, path, purgeIds, "vec_id") > 0L)
-    def postingSet(): Set[(Long, Int)] =
-      IvfIndex.loadIndex(spark, path)._2.select("n_id", "cell")
-        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
-    val want = postingSet()
-    // simulate the crash window: a surviving cell's live dir is gone
-    // and the staged rewrite holds the only copy
-    val cell = fs.listStatus(new Path(s"$path/postings"))
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
-      .map(_.getPath.getName).sorted.head
-    val tmpRoot = new Path(s"$path/.postings.purge_tmp")
-    fs.mkdirs(tmpRoot)
-    assert(fs.rename(new Path(s"$path/postings/$cell"),
-      new Path(tmpRoot, cell)))
-    // re-running with the same ids is the documented recovery
-    assert(IvfIndex.purgeFromIndex(spark, path, purgeIds, "vec_id") == 0L)
-    assert(postingSet() == want, "orphaned staged cell was lost")
+    // crash-before-flip: run a rebuild WITHOUT its vacuum by rebuilding
+    // then restoring the pre-rebuild manifest — on disk that is exactly
+    // the torn state (new files present but unlisted)... except vacuum
+    // already ran inside rebuildIndex, so fabricate the torn state
+    // directly: stage new files by hand and do NOT flip
+    val stage = new Path(path, ".rebuild_stage_postings")
+    IvfIndex.assign(emb, "vec_id", "embedding", m4)
+      .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
+    // unflipped staging is invisible: the old k=4 index still answers
+    val (loaded0, postings0) = IvfIndex.loadIndex(spark, path)
+    assert(loaded0.centroids.length == 4)
+    assert(postings0.count() == total)
+    // re-running the rebuild is the recovery — it replaces the staging
+    // root, commits one flip, vacuums the superseded files
+    val pinned = IvfIndex.loadIndex(spark, path)._2.localCheckpoint()
+    val rebuilt = IvfIndex.rebuildIndex(spark, path, k = 8)
+    assert(rebuilt.centroids.length == 8)
+    val (loaded1, postings1) = IvfIndex.loadIndex(spark, path)
+    assert(loaded1.centroids.length == 8)
+    assert(postings1.count() == total)
+    assert(postings1.select("n_id").distinct().count() == total)
+    // the pinned reader (checkpointed before the rebuild's vacuum)
+    // still holds the complete old index
+    assert(pinned.count() == total)
+    // no staging roots left behind
+    val leftovers = new java.io.File(path).listFiles()
+      .map(_.getName).filter(_.startsWith(".rebuild_stage_"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
   }
 
   test("stale index: dimension mismatch fails loudly, corrupt centroid " +
