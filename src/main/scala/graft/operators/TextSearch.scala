@@ -124,7 +124,16 @@ object TextSearch {
     * different snapshot is the caller's staleness bug — scores use
     * frozen idf/TL (often the wanted behavior for a published index;
     * rebuild when the corpus shrinks or documents CHANGE — append only
-    * covers growth by NEW documents). */
+    * covers growth by NEW documents).
+    *
+    * Reader isolation (the third artifact family on the committed-
+    * manifest design, [[StoreSwap]]): a reader resolves the partial
+    * file-set through the manifest, so a mutation's partials become
+    * visible ATOMICALLY — the previous layout had a live race where a
+    * reader could sum a terms partial whose corpus partial had not
+    * landed (inconsistent idf), plus crash-ordering contracts between
+    * the two directories; both are gone, the flip is the single commit
+    * point. [[vacuumCorpusStats]] is the retention verb. */
   def saveCorpusStats(docs: DataFrame, idCol: String, textCol: String,
                       path: String): Unit = {
     val base = docs
@@ -139,6 +148,39 @@ object TextSearch {
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .sortWithinPartitions(col("term"))
       .write.mode("overwrite").parquet(s"$path/terms")
+    val fs = StoreSwap.fsOf(docs.sparkSession, path)
+    val version = StoreSwap.manifestVersions(fs, path).lastOption
+      .getOrElse(0) + 1
+    StoreSwap.commitManifest(fs, path, version,
+      Seq("corpus", "terms").flatMap(StoreSwap.listDirFiles(fs, path, _)))
+  }
+
+  private def requireStatsManifest(fs: org.apache.hadoop.fs.FileSystem,
+                                   path: String,
+                                   verb: String): (Int, Seq[String]) =
+    StoreSwap.latestManifest(fs, path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$verb: $path is not a saveCorpusStats layout (no stats manifest)"))
+
+  /** True iff `path` holds committed corpus stats (a manifest exists —
+    * the save's single commit point, so a torn bootstrap reads as
+    * absent and is simply re-run). */
+  def statsReady(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Boolean =
+    StoreSwap.latestManifest(StoreSwap.fsOf(spark, path), path).nonEmpty
+
+  /** Drop every file the latest manifest does not list — the stats
+    * family's retention verb (see [[graft.operators.Dedup
+    * .vacuumMinhashStore]]); run it when no reader is pinned to an
+    * older manifest.
+    *
+    * @return number of data files deleted. */
+  def vacuumCorpusStats(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Long = {
+    requireStatsManifest(StoreSwap.fsOf(spark, path), path,
+      "vacuumCorpusStats")
+    StoreSwap.vacuumManifested(spark, path, Seq("corpus", "terms"),
+      "vacuumCorpusStats")
   }
 
   /** Incrementally grow SAVED corpus stats with a delta batch of NEW
@@ -167,9 +209,12 @@ object TextSearch {
   def appendCorpusStats(delta: DataFrame, idCol: String, textCol: String,
                         path: String, filePrefix: String = ""): Unit = {
     val spark = delta.sparkSession
-    recoverStatsDirs(new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf()), path)
-    val cs = spark.read.parquet(s"$path/corpus").schema.fieldNames.toSet
+    import org.apache.hadoop.fs.Path
+    val fs = StoreSwap.fsOf(spark, path)
+    val (mfVersion, mfFiles) =
+      requireStatsManifest(fs, path, "appendCorpusStats")
+    val cs = StoreSwap.readStoreDir(spark, path, "corpus", mfFiles)
+      .schema.fieldNames.toSet
     require(cs == Set("n", "tl"),
       s"appendCorpusStats: $path/corpus is not a saveCorpusStats layout " +
         s"(fields: ${cs.mkString(",")})")
@@ -177,19 +222,18 @@ object TextSearch {
       .select(filter(TextExprs.tokens(lower(col(textCol))), t => t =!= "")
         .as("__toks"))
       .select(col("__toks"), size(col("__toks")).cast("long").as("__dl"))
-    // Both partials land in a STAGING directory first, and only then
-    // move into the live layout — terms/ before corpus/. A failure
-    // while staging leaves the live stats untouched; a failure between
-    // the two move batches leaves term dfs in without the delta's N/TL,
-    // which UNDER-counts N (slightly inflated dfs for the delta's terms
-    // only) instead of the reverse ordering's silent global idf
-    // inflation (N up, every df stale). Either torn state is repaired
-    // by re-running saveCorpusStats (rebuild) — the documented recovery.
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    // copy-on-write: both partials stage, move in under batch-unique
+    // names, and ONE manifest flip makes them visible together — a
+    // reader can never sum a terms partial whose corpus partial has
+    // not landed (the old layout's live race AND its crash-ordering
+    // contract, both gone); a crash before the flip is invisible and
+    // re-running the append is the recovery
+    val tag =
+      if (filePrefix.nonEmpty) filePrefix
+      else s"a${java.util.UUID.randomUUID().toString.take(8)}_"
     val stage = new Path(path,
       s".append_stage_${java.util.UUID.randomUUID().toString.take(8)}")
-    try {
+    val added = try {
       base.agg(count(lit(1)).cast("long").as("n"),
           coalesce(sum(col("__dl")), lit(0L)).as("tl"))
         .coalesce(1).write.mode("overwrite")
@@ -199,17 +243,11 @@ object TextSearch {
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
         .sortWithinPartitions(col("term"))
         .write.mode("overwrite").parquet(new Path(stage, "terms").toString)
-      Seq("terms", "corpus").foreach { part =>
-        fs.listStatus(new Path(stage, part))
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .foreach { f =>
-            require(fs.rename(f.getPath,
-              new Path(s"$path/$part", filePrefix + f.getPath.getName)),
-              s"appendCorpusStats: move of ${f.getPath} into $path/$part " +
-                "failed — stats may be torn; rebuild with saveCorpusStats")
-          }
-      }
+      Seq("corpus", "terms").flatMap(part =>
+        StoreSwap.moveStagedIn(fs, path, part, new Path(stage, part), tag))
     } finally fs.delete(stage, true)
+    if (added.nonEmpty)
+      StoreSwap.commitManifest(fs, path, mfVersion + 1, mfFiles ++ added)
   }
 
   /** Remove the partial files a prefixed [[appendCorpusStats]] landed —
@@ -224,7 +262,15 @@ object TextSearch {
     require(filePrefix.nonEmpty,
       "dropAppendPartials: empty prefix would drop every partial")
     import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val fs = StoreSwap.fsOf(spark, path)
+    // UNLIST first (one flip — readers stop summing the batch
+    // atomically), then delete the files; a crash between the two
+    // leaves unlisted garbage for vacuumCorpusStats
+    StoreSwap.latestManifest(fs, path).foreach { case (v, files) =>
+      val (mine, keep) = files.partition(f =>
+        f.split("/").last.startsWith(filePrefix))
+      if (mine.nonEmpty) StoreSwap.commitManifest(fs, path, v + 1, keep)
+    }
     Seq("terms", "corpus").foreach { part =>
       val dir = new Path(s"$path/$part")
       if (fs.exists(dir))
@@ -253,21 +299,23 @@ object TextSearch {
     * text they were indexed with, and purged at most once — negating
     * documents that aren't in (or negating twice) drives df/N below
     * the truth silently, exactly as double-appending inflates them; id
-    * bookkeeping is the caller's sink contract (SURVEY §2 S4). Torn
-    * purge: the staged move lands corpus/ before terms/ — the REVERSE
-    * of append's order, because the conservative direction flips with
-    * the sign: with N/TL already reduced and dfs still high, idf =
-    * ln((N+1)/(df+0.5)) is UNDER-estimated, so scores sag and never
-    * inflate (terms-first would leave dfs low under a stale-high N —
-    * idf inflation, the one failure mode a ranking must not have;
-    * direction spec-gated). Recovery = re-running saveCorpusStats,
-    * the same as a torn append. */
+    * bookkeeping is the caller's sink contract (SURVEY §2 S4). The
+    * negative partials become visible ATOMICALLY — one manifest flip
+    * covers both directories, so no reader can ever see N/TL reduced
+    * under stale-high dfs or the reverse (the previous layout needed a
+    * carefully-ordered corpus-before-terms move to bound WHICH
+    * direction a torn purge skewed scores; the manifest removes the
+    * torn state entirely — a crash before the flip is invisible and
+    * re-running the purge is the recovery). */
   def purgeCorpusStats(purged: DataFrame, idCol: String, textCol: String,
                        path: String): Unit = {
     val spark = purged.sparkSession
-    recoverStatsDirs(new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sessionState.newHadoopConf()), path)
-    val cs = spark.read.parquet(s"$path/corpus").schema.fieldNames.toSet
+    import org.apache.hadoop.fs.Path
+    val fs = StoreSwap.fsOf(spark, path)
+    val (mfVersion, mfFiles) =
+      requireStatsManifest(fs, path, "purgeCorpusStats")
+    val cs = StoreSwap.readStoreDir(spark, path, "corpus", mfFiles)
+      .schema.fieldNames.toSet
     require(cs == Set("n", "tl"),
       s"purgeCorpusStats: $path/corpus is not a saveCorpusStats layout " +
         s"(fields: ${cs.mkString(",")})")
@@ -275,11 +323,10 @@ object TextSearch {
       .select(filter(TextExprs.tokens(lower(col(textCol))), t => t =!= "")
         .as("__toks"))
       .select(col("__toks"), size(col("__toks")).cast("long").as("__dl"))
-    import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
+    val tag = s"p${java.util.UUID.randomUUID().toString.take(8)}_"
     val stage = new Path(path,
       s".purge_stage_${java.util.UUID.randomUUID().toString.take(8)}")
-    try {
+    val added = try {
       base.agg((-count(lit(1))).cast("long").as("n"),
           (-coalesce(sum(col("__dl")), lit(0L))).as("tl"))
         .coalesce(1).write.mode("overwrite")
@@ -289,18 +336,11 @@ object TextSearch {
         .groupBy(col("term")).agg((-count(lit(1))).as("df"))
         .sortWithinPartitions(col("term"))
         .write.mode("overwrite").parquet(new Path(stage, "terms").toString)
-      // corpus BEFORE terms — see the torn-purge direction note above
-      Seq("corpus", "terms").foreach { part =>
-        fs.listStatus(new Path(stage, part))
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .foreach { f =>
-            require(fs.rename(f.getPath,
-              new Path(s"$path/$part", f.getPath.getName)),
-              s"purgeCorpusStats: move of ${f.getPath} into $path/$part " +
-                "failed — stats may be torn; rebuild with saveCorpusStats")
-          }
-      }
+      Seq("corpus", "terms").flatMap(part =>
+        StoreSwap.moveStagedIn(fs, path, part, new Path(stage, part), tag))
     } finally fs.delete(stage, true)
+    if (added.nonEmpty)
+      StoreSwap.commitManifest(fs, path, mfVersion + 1, mfFiles ++ added)
   }
 
   /** Fold the accumulated save/append PARTIALS into one file-set per
@@ -311,99 +351,74 @@ object TextSearch {
     * the compacted `corpus/` is ONE (n, tl) row, the compacted `terms/`
     * is one (term, df) row per distinct term, and every subsequent
     * summed read is byte-identical to the pre-compaction read
-    * (spec-gated). The swap is a TWO-RENAME sequence per directory
-    * (live aside, compacted tmp in, drop the set-aside) so a complete
-    * stats layout exists at every instant — the previous delete-live +
-    * rename-tmp shape had a window with NO corpus/ or terms/ at all —
-    * and every stats mutation verb's entry heals the torn states
-    * ([[recoverStatsDirs]]). Safe to run any time no append is in
-    * flight. */
+    * (spec-gated). The compacted partials stage, move in copy-on-write,
+    * and ONE manifest flip lists ONLY them — atomic to readers, a crash
+    * before the flip changes nothing visible, and a pinned reader keeps
+    * the pre-compaction partials. Ends with [[vacuumCorpusStats]] to
+    * reclaim the superseded partials (compaction is already gated on
+    * "no append in flight"; the vacuum adds the no-pinned-readers
+    * retention rule). */
   def compactCorpusStats(spark: org.apache.spark.sql.SparkSession,
                          path: String,
                          targetBytes: Long = 128L * 1024 * 1024): Unit = {
     import org.apache.hadoop.fs.Path
-    val fs = new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
-    recoverStatsDirs(fs, path)
-    val cs = spark.read.parquet(s"$path/corpus").schema.fieldNames.toSet
+    val fs = StoreSwap.fsOf(spark, path)
+    val (mfVersion, mfFiles) =
+      requireStatsManifest(fs, path, "compactCorpusStats")
+    val cs = StoreSwap.readStoreDir(spark, path, "corpus", mfFiles)
+      .schema.fieldNames.toSet
     require(cs == Set("n", "tl"),
       s"compactCorpusStats: $path/corpus is not a saveCorpusStats layout " +
         s"(fields: ${cs.mkString(",")})")
-    def swap(live: Path)(write: String => Unit): Unit = {
-      val tmp = new Path(live.getParent, s".${live.getName}.compact_tmp")
-      val old = new Path(live.getParent, s".${live.getName}.compact_old")
-      fs.delete(tmp, true)
-      fs.delete(old, true)
-      write(tmp.toString)
-      require(fs.rename(live, old),
-        s"compactCorpusStats: could not set $live aside at $old — the " +
-          s"live stats are untouched; compacted data is at $tmp")
-      require(fs.rename(tmp, live),
-        s"compactCorpusStats: swap failed for $live — compacted data is " +
-          s"intact at $tmp (old partials at $old); re-running recovers")
-      fs.delete(old, true)
-    }
-    swap(new Path(s"$path/corpus")) { tmp =>
-      spark.read.parquet(s"$path/corpus")
+    val tag = s"c${java.util.UUID.randomUUID().toString.take(8)}_"
+    val stage = new Path(path,
+      s".compact_stage_${java.util.UUID.randomUUID().toString.take(8)}")
+    val compacted = try {
+      StoreSwap.readStoreDir(spark, path, "corpus", mfFiles)
         .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
           coalesce(sum(col("tl")), lit(0L)).as("tl"))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
-    }
-    // terms/ is vocabulary-sized — size-target the folded file count
-    // (one file per ~targetBytes of input partials) instead of forcing
-    // one; per-file min/max term stats keep the IN-pruning property.
-    val termsLive = new Path(s"$path/terms")
-    val termBytes = fs.listStatus(termsLive)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getLen).sum
-    val nFiles = math.max(1, math.ceil(termBytes.toDouble / targetBytes).toInt)
-    swap(termsLive) { tmp =>
-      spark.read.parquet(s"$path/terms")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(new Path(stage, "corpus").toString)
+      // terms/ is vocabulary-sized — size-target the folded file count
+      // (one file per ~targetBytes of input partials) instead of
+      // forcing one; per-file min/max term stats keep the IN-pruning
+      // property.
+      val termBytes = mfFiles.filter(_.startsWith("terms/"))
+        .map(f => fs.getFileStatus(new Path(s"$path/$f")).getLen).sum
+      val nFiles = math.max(1,
+        math.ceil(termBytes.toDouble / targetBytes).toInt)
+      StoreSwap.readStoreDir(spark, path, "terms", mfFiles)
         .groupBy(col("term")).agg(sum(col("df")).as("df"))
         .repartition(nFiles)
         .sortWithinPartitions(col("term"))
-        .write.mode("overwrite").parquet(tmp)
-    }
-  }
-
-  /** Heal the compaction swap's torn states, run at every stats
-    * mutation verb's entry: a live dir missing with its compacted copy
-    * staged (crash between the two renames) promotes the compacted
-    * copy; failing that, the set-aside old partials are restored; a
-    * stale set-aside next to a live dir (crash after the second
-    * rename) is dropped. */
-  private def recoverStatsDirs(fs: org.apache.hadoop.fs.FileSystem,
-                               path: String): Unit = {
-    import org.apache.hadoop.fs.Path
-    Seq("corpus", "terms").foreach { part =>
-      val live = new Path(s"$path/$part")
-      val tmp = new Path(s"$path/.$part.compact_tmp")
-      val old = new Path(s"$path/.$part.compact_old")
-      if (!fs.exists(live)) {
-        if (fs.exists(tmp))
-          require(fs.rename(tmp, live),
-            s"recovery: failed to promote compacted $tmp to $live — " +
-              "rename it manually, then retry")
-        else if (fs.exists(old))
-          require(fs.rename(old, live),
-            s"recovery: failed to restore set-aside $old to $live — " +
-              "rename it manually, then retry")
-      }
-      fs.delete(tmp, true)
-      fs.delete(old, true)
-    }
+        .write.mode("overwrite").parquet(new Path(stage, "terms").toString)
+      Seq("corpus", "terms").flatMap(part =>
+        StoreSwap.moveStagedIn(fs, path, part, new Path(stage, part), tag))
+    } finally fs.delete(stage, true)
+    StoreSwap.commitManifest(fs, path, mfVersion + 1, compacted)
+    vacuumCorpusStats(spark, path)
   }
 
   /** Read persisted stats: (N, TL) plus the given terms' document
     * frequencies. `corpus/` and `terms/` hold additive partials (one
     * per save/append), so both reads SUM — the terms read is still
-    * pushdown-pruned to the query terms before the tiny aggregate. */
+    * pushdown-pruned to the query terms before the tiny aggregate.
+    * Reads resolve through the stats manifest when one exists (every
+    * stats layout this module writes commits one) and fall back to
+    * plain directory reads on a legacy or hand-built layout. */
   private def readStats(spark: org.apache.spark.sql.SparkSession,
                         path: String, terms: Seq[String])
   : (Long, Long, Map[String, Long]) = {
-    val cr = spark.read.parquet(s"$path/corpus")
+    val mf = StoreSwap.latestManifest(StoreSwap.fsOf(spark, path), path)
+      .map(_._2)
+    def dirDf(dir: String): DataFrame = mf match {
+      case Some(files) => StoreSwap.readStoreDir(spark, path, dir, files)
+      case None => spark.read.parquet(s"$path/$dir")
+    }
+    val cr = dirDf("corpus")
       .agg(coalesce(sum(col("n")), lit(0L)).as("n"),
         coalesce(sum(col("tl")), lit(0L)).as("tl")).collect()(0)
-    val dfByTerm = spark.read.parquet(s"$path/terms")
+    val dfByTerm = dirDf("terms")
       .where(col("term").isin(terms: _*))
       .groupBy(col("term")).agg(sum(col("df")).as("df"))
       .collect().map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap

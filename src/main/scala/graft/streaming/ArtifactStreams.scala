@@ -44,11 +44,9 @@ object ArtifactStreams {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val fs = new org.apache.hadoop.fs.Path(statsPath)
-          .getFileSystem(spark.sessionState.newHadoopConf())
-        // bootstrapped iff terms/ exists — saveCorpusStats writes it
-        // LAST, so a half-bootstrapped store re-bootstraps on replay
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$statsPath/terms"))) {
+        // bootstrapped iff the stats MANIFEST exists — the save's single
+        // commit point, so a torn bootstrap re-runs cleanly
+        if (TextSearch.statsReady(spark, statsPath)) {
           val prefix = s"b${batchId}_"
           TextSearch.dropAppendPartials(spark, statsPath, prefix)
           TextSearch.appendCorpusStats(batch, idCol, textCol, statsPath,

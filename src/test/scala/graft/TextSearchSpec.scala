@@ -292,42 +292,68 @@ class TextSearchSpec extends SparkSpec {
     assert(e.getMessage.contains("saveCorpusStats layout"))
   }
 
-  test("purgeCorpusStats torn-purge direction: corpus negative landed, " +
-      "terms negatives missing -> every score sags at or below the " +
-      "clean-purge score, never inflates") {
+  test("stats manifest isolation: a torn purge is INVISIBLE (no sagging " +
+      "half-state — the old careful move-order bound is superseded); " +
+      "re-running heals; a reader pinned mid-mutation keeps the old " +
+      "consistent partials; vacuum reclaims only garbage") {
     import org.apache.hadoop.fs.Path
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_bm25_torn_${System.nanoTime()}")
     dir.deleteOnExit()
-    TextSearch.saveCorpusStats(corpus, "doc_id", "text", dir.getAbsolutePath)
-    val fs = new Path(dir.getAbsolutePath)
-      .getFileSystem(spark.sessionState.newHadoopConf())
-    def termFiles(): Set[String] =
-      fs.listStatus(new Path(s"${dir.getAbsolutePath}/terms"))
-        .filter(_.isFile).map(_.getPath.getName).toSet
-    val before = termFiles()
-    // purge docs 3+4 (cherry's df and durian's whole presence go)
-    TextSearch.purgeCorpusStats(
-      corpus.where(col("doc_id") === 3L || col("doc_id") === 4L),
-      "doc_id", "text", dir.getAbsolutePath)
+    val root = dir.getAbsolutePath
+    TextSearch.saveCorpusStats(corpus, "doc_id", "text", root)
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    def manifests(): Seq[String] = fs.listStatus(new Path(root))
+      .map(_.getPath.getName).filter(_.startsWith("_manifest.v")).sorted.toSeq
+    def manifestFiles(name: String): Seq[String] = {
+      val in = fs.open(new Path(s"$root/$name"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).toList
+      finally in.close()
+    }
+    // PIN a reader on the v1 corpus partials exactly as readStats
+    // resolves them
+    val pinnedFiles = manifestFiles("_manifest.v1")
+      .filter(_.startsWith("corpus/")).map(f => s"$root/$f")
+    val pinned = spark.read.option("basePath", s"$root/corpus")
+      .parquet(pinnedFiles: _*)
     val survivors = corpus.where(col("doc_id") < 3L)
-    def scores(path: String) =
-      TextSearch.bm25TopKIndexed(survivors, "doc_id", "text", path,
+    def scores() =
+      TextSearch.bm25TopKIndexed(survivors, "doc_id", "text", root,
         Seq("apple", "cherry", "banana"), k = 10)
         .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
-    val clean = scores(dir.getAbsolutePath)
-    // simulate the crash window the move order defines: remove exactly
-    // the terms negatives the purge added, keep the corpus negative
-    (termFiles() -- before).foreach { name =>
-      fs.delete(new Path(s"${dir.getAbsolutePath}/terms/$name"), false)
+    val prePurge = scores()
+    TextSearch.purgeCorpusStats(
+      corpus.where(col("doc_id") === 3L || col("doc_id") === 4L),
+      "doc_id", "text", root)
+    val clean = scores()
+    assert(clean != prePurge)
+    // the pinned reader still sums the OLD consistent corpus partials
+    assert(pinned.agg(sum(col("n"))).collect()(0).getLong(0) ==
+      corpus.count(), "pinned reader lost files mid-purge")
+    // crash-before-flip: dropping the latest manifest IS the on-disk
+    // state a crash between the purge's moves and its flip leaves —
+    // the stats read as FULLY pre-purge, never a skewed half-state
+    // (the old layout needed a move-order argument to even bound the
+    // skew direction; now there is no torn state at all)
+    val latest = manifests().last
+    fs.delete(new Path(s"$root/$latest"), false)
+    assert(scores() == prePurge, "torn purge leaked a half-state")
+    // re-running the purge is the recovery
+    TextSearch.purgeCorpusStats(
+      corpus.where(col("doc_id") === 3L || col("doc_id") === 4L),
+      "doc_id", "text", root)
+    assert(scores() == clean)
+    // vacuum drops exactly the unlisted garbage; answers unchanged
+    assert(TextSearch.vacuumCorpusStats(spark, root) > 0L)
+    val listed = manifestFiles(manifests().last).toSet
+    Seq("corpus", "terms").foreach { d =>
+      fs.listStatus(new Path(s"$root/$d"))
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        .map(f => s"$d/${f.getPath.getName}")
+        .foreach(rel => assert(listed.contains(rel), s"garbage survived: $rel"))
     }
-    val torn = scores(dir.getAbsolutePath)
-    assert(torn.keySet == clean.keySet)
-    torn.foreach { case (doc, s) =>
-      assert(s <= clean(doc) + 1e-12, s"doc $doc inflated: $s > ${clean(doc)}")
-    }
-    // and the sag is real for a doc containing a purged-df term
-    assert(torn.exists { case (doc, s) => s < clean(doc) - 1e-9 }, torn)
+    assert(scores() == clean)
   }
 
   test("compactCorpusStats: folds the append partials into one file-set " +
@@ -375,9 +401,10 @@ class TextSearchSpec extends SparkSpec {
     assert(e.getMessage.contains("saveCorpusStats layout"))
   }
 
-  test("compactCorpusStats crash windows: a complete layout exists at " +
-      "every instant — both torn states (between the renames, after the " +
-      "second) heal at the next mutation verb's entry") {
+  test("compactCorpusStats crash window: a crash mid-stage changes " +
+      "nothing visible (abandoned staging roots are reclaimed), a torn " +
+      "append is invisible until its flip, and the healed layout equals " +
+      "a fresh rebuild") {
     import org.apache.hadoop.fs.Path
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_bm25_compact_torn_${System.nanoTime()}")
@@ -393,23 +420,26 @@ class TextSearchSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     val want = rows()
     val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
-    // torn state A — crash BETWEEN the two renames: live corpus/ is
-    // gone, its content staged; the next mutation verb promotes it
-    fs.mkdirs(new Path(s"$root/.corpus.compact_old"))
-    assert(fs.rename(new Path(s"$root/corpus"),
-      new Path(s"$root/.corpus.compact_tmp")))
+    // crash mid-stage: an abandoned staging root changes nothing
+    // visible, and the next compaction reclaims it
+    fs.mkdirs(new Path(s"$root/.compact_stage_deadbeef/corpus"))
+    assert(rows() == want)
     TextSearch.compactCorpusStats(spark, root)
-    assert(rows() == want, "torn-between-renames state lost the corpus dir")
-    assert(!fs.exists(new Path(s"$root/.corpus.compact_tmp")))
-    assert(!fs.exists(new Path(s"$root/.corpus.compact_old")))
-    // torn state B — crash AFTER the second rename: only a stale
-    // set-aside lingers; the next append drops it and proceeds
-    fs.mkdirs(new Path(s"$root/.terms.compact_old"))
+    assert(rows() == want, "compaction changed answers")
+    assert(!fs.listStatus(new Path(root))
+      .exists(_.getPath.getName.startsWith(".compact_stage_")),
+      "abandoned staging root survived the compaction's vacuum")
+    // torn append (files moved, flip missing): invisible, re-run heals
     TextSearch.appendCorpusStats(Seq((6L, "cherry banana"))
       .toDF("doc_id", "text"), "doc_id", "text", root)
-    assert(!fs.exists(new Path(s"$root/.terms.compact_old")))
+    val latest = fs.listStatus(new Path(root)).map(_.getPath.getName)
+      .filter(_.startsWith("_manifest.v")).sorted.last
+    fs.delete(new Path(s"$root/$latest"), false)
+    assert(rows() == want, "unflipped append partials leaked")
+    TextSearch.appendCorpusStats(Seq((6L, "cherry banana"))
+      .toDF("doc_id", "text"), "doc_id", "text", root)
     val grown2 = grown.union(Seq((6L, "cherry banana")).toDF("doc_id", "text"))
-    // scores now reflect the appended doc against a healed layout
+    // the healed layout answers exactly like a fresh rebuild
     val fresh = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_bm25_compact_torn_fresh_${System.nanoTime()}")
     fresh.deleteOnExit()
