@@ -60,10 +60,14 @@ object WarehouseStore {
     *
     * Only partitions matched by `years` (None = all) rewrite — at scale,
     * compaction runs against the recent write window, not the archive.
-    * The rewrite stages to a sibling temp dir and swaps directories
-    * last, so a failed compaction leaves the original data untouched
-    * (single-writer maintenance op, like the reference's index rebuild
-    * window). */
+    * The rewrite stages to a DOT-PREFIXED sibling temp dir (a bare
+    * `p_month=N.compact_tmp` parses as a legitimate key=value partition
+    * dir and silently flips the p_month column to string — the exact
+    * torn-temp-as-data hazard the artifact stores eliminated this
+    * round), then swaps with a TWO-RENAME sequence (live aside,
+    * compacted in, drop the set-aside) so a complete month partition
+    * exists at every instant; both torn states heal at the next
+    * compaction's entry. Single-writer maintenance op. */
   def compactFact(spark: SparkSession, path: String,
                   targetBytes: Long = 128L * 1024 * 1024,
                   years: Option[Seq[Int]] = None): Unit = {
@@ -76,6 +80,24 @@ object WarehouseStore {
       .filter(s => years.forall(
         _.contains(s.getPath.getName.stripPrefix("p_year=").toInt)))
     yearDirs.foreach { yd =>
+      // heal a torn prior swap: a month dir missing with its compacted
+      // copy staged (crash between the renames) promotes the copy;
+      // failing that the set-aside originals are restored; stale dot
+      // dirs next to a live month are dropped
+      fs.listStatus(yd.getPath)
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".p_month="))
+        .foreach { dd =>
+          val live = new Path(yd.getPath, dd.getPath.getName
+            .stripPrefix(".").replaceAll("\\.compact_(tmp|old)$", ""))
+          if (!fs.exists(live) &&
+              dd.getPath.getName.endsWith(".compact_tmp"))
+            require(fs.rename(dd.getPath, live),
+              s"compactFact recovery: promote ${dd.getPath} manually")
+          else if (!fs.exists(live))
+            require(fs.rename(dd.getPath, live),
+              s"compactFact recovery: restore ${dd.getPath} manually")
+          else fs.delete(dd.getPath, true)
+        }
       fs.listStatus(yd.getPath)
         .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_month="))
         .foreach { md =>
@@ -84,14 +106,23 @@ object WarehouseStore {
           if (files.length > 1) {
             val nFiles = math.max(1,
               math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
-            val tmp = new Path(md.getPath.getParent, md.getPath.getName + ".compact_tmp")
+            val tmp = new Path(md.getPath.getParent,
+              s".${md.getPath.getName}.compact_tmp")
+            val old = new Path(md.getPath.getParent,
+              s".${md.getPath.getName}.compact_old")
+            fs.delete(tmp, true)
+            fs.delete(old, true)
             spark.read.parquet(md.getPath.toString)
               .repartition(nFiles)
               .sortWithinPartitions(col("product_id"))
               .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-            // swap: drop the originals, promote the compacted directory
-            fs.delete(md.getPath, true)
-            require(fs.rename(tmp, md.getPath), s"compaction swap failed for ${md.getPath}")
+            // two-rename swap: a complete month exists at every instant
+            require(fs.rename(md.getPath, old),
+              s"compactFact: could not set ${md.getPath} aside — originals untouched")
+            require(fs.rename(tmp, md.getPath),
+              s"compactFact: swap failed for ${md.getPath} — compacted data at " +
+                s"$tmp, originals at $old; re-running recovers")
+            fs.delete(old, true)
           }
         }
     }

@@ -58,6 +58,31 @@ class WarehouseStoreSpec extends SparkSpec {
       .where(col("p_year") === 2025).count() == 5)
     // scoped compaction leaves other years alone
     WarehouseStore.compactFact(spark, dir, years = Some(Seq(2024)))
+    // crash-window recovery: a month dir gone with its compacted copy
+    // staged (crash between the two renames) is promoted at the next
+    // compaction's entry — a dot-prefixed stage is never mistaken for
+    // a partition by discovery, and the data reads identically
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val live = new org.apache.hadoop.fs.Path(
+      s"$dir/fact_sales/p_year=2024/p_month=1")
+    val staged = new org.apache.hadoop.fs.Path(
+      s"$dir/fact_sales/p_year=2024/.p_month=1.compact_tmp")
+    assert(fs.rename(live, staged))
+    // discovery ignores the dot dir: the table still reads (minus the
+    // torn month), p_month stays integer-typed
+    assert(spark.read.parquet(s"$dir/fact_sales")
+      .where(col("p_year") === 2024 && col("p_month") === 1).count() == 0)
+    WarehouseStore.compactFact(spark, dir)
+    assert(files("p_year=2024/p_month=1") == 1)
+    assert(spark.read.parquet(s"$dir/fact_sales")
+      .orderBy("fact_id").collect().map(_.toSeq).toSeq == before)
+    // a stale set-aside next to a live month is dropped
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      s"$dir/fact_sales/p_year=2025/.p_month=1.compact_old"))
+    WarehouseStore.compactFact(spark, dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$dir/fact_sales/p_year=2025/.p_month=1.compact_old")))
   }
 
   test("date-range predicates prune partitions at the scan") {
