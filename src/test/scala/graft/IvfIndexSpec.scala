@@ -302,6 +302,57 @@ class IvfIndexSpec extends SparkSpec {
     assert(leftovers.isEmpty, leftovers.mkString(","))
   }
 
+  test("index lifecycle property: a seeded-random interleaving of " +
+      "append/purge/compact/rebuild/vacuum keeps search at exhausted " +
+      "probes equal to brute force over the surviving members at every " +
+      "step boundary") {
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_prop_${System.nanoTime()}")
+    base.deleteOnExit()
+    val path = base.getAbsolutePath
+    val rnd = new scala.util.Random(42)
+    val allIds = emb.select("vec_id").collect().map(_.getLong(0)).sorted
+    def byIds(ids: Set[Long]) = emb.where(col("vec_id").isin(ids.toSeq: _*))
+    var members = allIds.take(800).toSet
+    val m0 = IvfIndex.train(byIds(members), "vec_id", "embedding", k = 8)
+    IvfIndex.saveIndex(m0,
+      IvfIndex.assign(byIds(members), "vec_id", "embedding", m0), path)
+    val queries = emb.where(col("vec_id") < 10).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"), r.getAs[Double]("cos"))).sorted.toSeq
+    for (step <- 1 to 6) {
+      rnd.nextInt(4) match {
+        case 0 | 1 => // append NEW vectors only (the must-be-NEW contract)
+          val batch = rnd.shuffle((allIds.toSet -- members).toSeq)
+            .take(150).toSet
+          if (batch.nonEmpty) {
+            IvfIndex.appendToIndex(spark, path, byIds(batch),
+              "vec_id", "embedding")
+            members = members ++ batch
+          }
+        case 2 => // purge a mixed set (members and unknowns)
+          val victims = rnd.shuffle(allIds.toSeq).take(120).toSet
+          IvfIndex.purgeFromIndex(spark, path,
+            byIds(victims).select("vec_id"), "vec_id")
+          members = members -- victims
+        case 3 =>
+          if (rnd.nextBoolean()) IvfIndex.compactPostings(spark, path)
+          else IvfIndex.rebuildIndex(spark, path, k = 8)
+          if (rnd.nextBoolean()) IvfIndex.vacuumIndex(spark, path)
+      }
+      // invariant: at nProbe = k the search is exact over the members
+      val (m, postings) = IvfIndex.loadIndex(spark, path)
+      assert(postings.select("n_id").distinct().count() == members.size,
+        s"step $step: membership drifted")
+      val got = rows(IvfIndex.search(postings, queries,
+        "vec_id", "embedding", m, k = 5, nProbe = m.centroids.length))
+      val want = rows(Similarity.bruteTopK(byIds(members), queries,
+        "vec_id", "embedding", 5))
+      assert(got == want, s"step $step: search diverged from brute force")
+    }
+  }
+
   test("stale index: dimension mismatch fails loudly, corrupt centroid " +
       "set refuses at load") {
     import spark.implicits._

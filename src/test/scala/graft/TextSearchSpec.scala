@@ -450,6 +450,57 @@ class TextSearchSpec extends SparkSpec {
     assert(rowsAt(root) == rowsAt(fresh.getAbsolutePath))
   }
 
+  test("stats lifecycle property: a seeded-random interleaving of " +
+      "append/purge/compact/vacuum keeps indexed scores equal to a " +
+      "fresh rebuild over the surviving corpus at every step boundary") {
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_prop_${System.nanoTime()}")
+    base.deleteOnExit()
+    val root = s"${base.getAbsolutePath}/stats"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val rnd = new scala.util.Random(42)
+    val allIds = docs.select("doc_id").collect().map(_.getLong(0)).sorted
+    def byIds(ids: Set[Long]) = docs.where(col("doc_id").isin(ids.toSeq: _*))
+    var members = allIds.take(150).toSet
+    TextSearch.saveCorpusStats(byIds(members), "doc_id", "text", root)
+    // query terms drawn from a member doc so scores are non-trivial
+    val terms = docs.orderBy("doc_id").limit(1)
+      .select(col("text")).collect()(0).getString(0)
+      .toLowerCase.split("\\W+").filter(_.length > 2).distinct.take(3).toSeq
+    def scores(statsPath: String, corpus: org.apache.spark.sql.DataFrame) =
+      TextSearch.bm25TopKIndexed(corpus, "doc_id", "text", statsPath,
+        terms, k = 15)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    for (step <- 1 to 6) {
+      rnd.nextInt(4) match {
+        case 0 | 1 => // append NEW documents only (the must-be-NEW rule)
+          val batch = rnd.shuffle((allIds.toSet -- members).toSeq)
+            .take(60).toSet
+          if (batch.nonEmpty) {
+            TextSearch.appendCorpusStats(byIds(batch), "doc_id", "text", root)
+            members = members ++ batch
+          }
+        case 2 => // purge currently-counted docs only (the mirror rule)
+          val victims = rnd.shuffle(members.toSeq).take(40).toSet
+          if (victims.nonEmpty) {
+            TextSearch.purgeCorpusStats(byIds(victims), "doc_id", "text", root)
+            members = members -- victims
+          }
+        case 3 =>
+          TextSearch.compactCorpusStats(spark, root)
+          if (rnd.nextBoolean()) TextSearch.vacuumCorpusStats(spark, root)
+      }
+      // invariant: the evolved stats score exactly like a fresh rebuild
+      // over the surviving corpus
+      val fresh = s"${base.getAbsolutePath}/fresh_$step"
+      TextSearch.saveCorpusStats(byIds(members), "doc_id", "text", fresh)
+      val corpus = byIds(members)
+      assert(scores(root, corpus) == scores(fresh, corpus),
+        s"step $step: evolved stats diverged from a fresh rebuild")
+    }
+  }
+
   test("batch indexed: saved stats reproduce the live batch exactly, " +
       "zero corpus scans before scoring") {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
