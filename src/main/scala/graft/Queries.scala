@@ -8550,6 +8550,82 @@ object Queries {
     q114.oracle.map(sql =>
       s"SELECT * FROM ($sql) WHERE d1 % 3 <> 0 AND d2 % 3 <> 0"))
 
+  private val stagedIvfLifecycleDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Full ANN-index lifecycle under the manifest design (q242's sibling
+    * for the IVF family): a deliberately-stale 4-centroid index is
+    * bootstrapped from the even half, the odd half appends against the
+    * frozen centroids, every vec_id ≡ 0 mod 7 is purged, and
+    * [[graft.operators.IvfIndex.rebuildIndex]] retrains k=16 over the
+    * survivors and commits the whole new index in one manifest flip
+    * (ending with the vacuum). nProbe = k exhausts the probes, so the
+    * oracle is exact brute force over the surviving corpus — a vector
+    * lost at any verb boundary, resurrected by a stale manifest entry,
+    * or mis-assigned by the rebuild changes a neighbor and fails the
+    * hash. */
+  private val q243 = Q("q243_ann_ivf_lifecycle",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val dir = Queries.stagedIvfLifecycleDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_ivf_lifecycle_${Queries.stagingSuffix(d)}")
+        val even = emb.where(col("vec_id") % 2 === 0)
+        val stale = graft.operators.IvfIndex.train(
+          even, "vec_id", "embedding", k = 4)
+        graft.operators.IvfIndex.saveIndex(stale,
+          graft.operators.IvfIndex.assign(even, "vec_id", "embedding", stale),
+          f.getAbsolutePath)
+        graft.operators.IvfIndex.appendToIndex(s, f.getAbsolutePath,
+          emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding")
+        graft.operators.IvfIndex.purgeFromIndex(s, f.getAbsolutePath,
+          emb.where(col("vec_id") % 7 === 0).select(col("vec_id")), "vec_id")
+        graft.operators.IvfIndex.rebuildIndex(s, f.getAbsolutePath, k = 16)
+        f
+      })
+      val (model, postings) =
+        graft.operators.IvfIndex.loadIndex(s, dir.getAbsolutePath)
+      graft.operators.IvfIndex.search(postings,
+        emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", model, k = 5, nProbe = 16)
+    },
+    q233.oracle)
+
+  private val stagedBm25LifecycleDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Full BM25-stats lifecycle (q242's sibling for the retrieval
+    * family): stats bootstrap from the even half, the odd half appends
+    * additive partials, every doc_id ≡ 0 mod 5 purges as negative
+    * partials, and compaction folds everything (ending with the
+    * vacuum). The final state equals q232's (all docs minus the
+    * fifths), so its from-scratch-on-survivors oracle applies verbatim
+    * — a partial lost at any verb boundary or a double-counted df from
+    * a torn flip changes a score and fails the hash. */
+  private val q244 = Q("q244_bm25_stats_lifecycle",
+    (s, d) => {
+      val dir = Queries.stagedBm25LifecycleDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_bm25_lifecycle_${Queries.stagingSuffix(d)}")
+        val docs = documents(s, d)
+        graft.operators.TextSearch.saveCorpusStats(
+          docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+          f.getAbsolutePath)
+        graft.operators.TextSearch.appendCorpusStats(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+          f.getAbsolutePath)
+        graft.operators.TextSearch.purgeCorpusStats(
+          docs.where(col("doc_id") % 5 === 0), "doc_id", "text",
+          f.getAbsolutePath)
+        graft.operators.TextSearch.compactCorpusStats(s, f.getAbsolutePath)
+        f
+      })
+      graft.operators.TextSearch.bm25TopKIndexed(
+        documents(s, d).where(col("doc_id") % 5 =!= 0), "doc_id", "text",
+        dir.getAbsolutePath, Seq("spark", "vector", "join"), k = 20)
+    },
+    q232.oracle)
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -8571,7 +8647,7 @@ object Queries {
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229,
     q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240,
-    q241, q242)
+    q241, q242, q243, q244)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
