@@ -8626,6 +8626,137 @@ object Queries {
     },
     q232.oracle)
 
+  private val stagedMinhashAsOfDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Snapshot (time-travel) read of the MinHash store: the store runs
+    * the full bootstrap → ingest → purge lifecycle, then the derive
+    * pins the PRE-PURGE manifest version. Copy-on-write mutations never
+    * delete bytes — a purge only commits a manifest that stops listing
+    * them — so the pre-purge pair set must still be byte-identical to
+    * one-shot [[graft.operators.Dedup.minhashDuplicates]] over the FULL
+    * corpus (q114's oracle verbatim). A purge that physically deleted,
+    * a manifest flip that mixed file-sets, or a resolver that silently
+    * fell back to latest (q242 gates latest = survivors-only) all
+    * change pairs and fail the hash. */
+  private val q245 = Q("q245_minhash_time_travel",
+    (s, d) => {
+      val dir = Queries.stagedMinhashAsOfDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_minhash_asof_${Queries.stagingSuffix(d)}")
+        val docs = documents(s, d)
+        val store = s"${f.getAbsolutePath}/store"
+        graft.operators.Dedup.saveMinhashStore(
+          docs.where(col("doc_id") % 2 === 0), "doc_id", "text", store) // v1
+        graft.operators.Dedup.minhashIncremental(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text", store,
+          0.4, bands = 4, ngram = 3).count() // v2
+        graft.operators.Dedup.purgeMinhashStore(s, store,
+          docs.where(col("doc_id") % 3 === 0).select(col("doc_id")),
+          "doc_id") // v3
+        f
+      })
+      graft.operators.Dedup.derivePairsFromStore(s,
+        s"${dir.getAbsolutePath}/store", 0.4, asOfVersion = Some(2))
+    },
+    q114.oracle)
+
+  private val stagedBm25RaceDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Writer-side isolation through the verbs: two threads race
+    * [[graft.operators.TextSearch.appendCorpusStats]] on one stats
+    * layout. The CAS manifest commit guarantees exactly one wins each
+    * version claim; the loser's attempt is invisible (its moved-in
+    * files are unlisted) and its retry re-reads the winner's manifest —
+    * so REGARDLESS of interleaving the final stats hold every partial
+    * exactly once, and scoring the full corpus reproduces q116's
+    * full-corpus oracle bit-for-bit. A lost update (clobbered
+    * manifest), a double-count (blind retry), or a torn visible partial
+    * all shift idf/N and fail the hash. */
+  private val q246 = Q("q246_bm25_concurrent_ingest",
+    (s, d) => {
+      val dir = Queries.stagedBm25RaceDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_bm25_race_${Queries.stagingSuffix(d)}")
+        val docs = documents(s, d)
+        graft.operators.TextSearch.saveCorpusStats(
+          docs.where(col("doc_id") % 4 === 0), "doc_id", "text",
+          f.getAbsolutePath)
+        val halves = Seq(1, 2).map(r =>
+          docs.where(col("doc_id") % 4 === r).localCheckpoint())
+        val barrier = new java.util.concurrent.CyclicBarrier(2)
+        val errs =
+          new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+        val threads = halves.map { h =>
+          new Thread(() => {
+            try {
+              barrier.await()
+              var done = false
+              while (!done) {
+                try {
+                  graft.operators.TextSearch.appendCorpusStats(
+                    h, "doc_id", "text", f.getAbsolutePath)
+                  done = true
+                } catch {
+                  // CAS loser: nothing visible; re-run is the contract
+                  case _: java.util.ConcurrentModificationException => ()
+                }
+              }
+            } catch { case t: Throwable => errs.add(t) }
+          })
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join())
+        require(errs.isEmpty, s"racing append died: ${errs.peek()}")
+        graft.operators.TextSearch.appendCorpusStats(
+          docs.where(col("doc_id") % 4 === 3), "doc_id", "text",
+          f.getAbsolutePath)
+        f
+      })
+      graft.operators.TextSearch.bm25TopKIndexed(
+        documents(s, d), "doc_id", "text", dir.getAbsolutePath,
+        Seq("spark", "vector", "join"), k = 20)
+    },
+    q116.oracle)
+
+  private val stagedIvfAsOfDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Snapshot read of the IVF index (q245's sibling for the ANN
+    * family): bootstrap on the even half (v1), append the odd half
+    * (v2), purge every seventh vector (v3), then search with
+    * [[graft.operators.IvfIndex.loadIndex]] PINNED at the pre-purge
+    * version with probes exhausted — exact brute force over the FULL
+    * corpus (q146's oracle verbatim), even though the latest manifest
+    * no longer lists the purged cells' original files. */
+  private val q247 = Q("q247_ann_ivf_time_travel",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val dir = Queries.stagedIvfAsOfDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_ivf_asof_${Queries.stagingSuffix(d)}")
+        val even = emb.where(col("vec_id") % 2 === 0)
+        val model = graft.operators.IvfIndex.train(
+          even, "vec_id", "embedding", k = 16)
+        graft.operators.IvfIndex.saveIndex(model,
+          graft.operators.IvfIndex.assign(even, "vec_id", "embedding", model),
+          f.getAbsolutePath) // v1
+        graft.operators.IvfIndex.appendToIndex(s, f.getAbsolutePath,
+          emb.where(col("vec_id") % 2 === 1), "vec_id", "embedding") // v2
+        graft.operators.IvfIndex.purgeFromIndex(s, f.getAbsolutePath,
+          emb.where(col("vec_id") % 7 === 0).select(col("vec_id")),
+          "vec_id") // v3
+        f
+      })
+      val (model, postings) = graft.operators.IvfIndex.loadIndex(
+        s, dir.getAbsolutePath, asOfVersion = Some(2))
+      graft.operators.IvfIndex.search(postings,
+        emb.where(col("vec_id") < 10),
+        "vec_id", "embedding", model, k = 5, nProbe = 16)
+    },
+    q146.oracle)
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -8647,7 +8778,7 @@ object Queries {
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229,
     q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240,
-    q241, q242, q243, q244)
+    q241, q242, q243, q244, q245, q246, q247)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

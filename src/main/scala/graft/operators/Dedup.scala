@@ -195,9 +195,16 @@ object Dedup {
     * candidate-pair postings shuffle — the whole-store pair derivation
     * costs one store scan plus candidate-bounded joins. */
   def derivePairsFromStore(spark: org.apache.spark.sql.SparkSession,
-                           storePath: String, threshold: Double): DataFrame = {
+                           storePath: String, threshold: Double,
+                           asOfVersion: Option[Int] = None): DataFrame = {
     val fs = StoreSwap.fsOf(spark, storePath)
-    val (_, mfFiles) = requireManifest(fs, storePath, "derivePairsFromStore")
+    // snapshot read: pin an older manifest (any version vacuum has
+    // retained is a complete point-in-time file-set — copy-on-write
+    // means a purge's "deleted" docs are still bytes on disk until
+    // vacuum, so the pre-purge pair set is derivable after the purge)
+    val (_, mfFiles) = asOfVersion
+      .map(v => StoreSwap.manifestAt(fs, storePath, v))
+      .getOrElse(requireManifest(fs, storePath, "derivePairsFromStore"))
     val storeToks = StoreSwap.readStoreDir(spark, storePath, "postings", mfFiles)
     val storeBands = StoreSwap.readStoreDir(spark, storePath, "bands", mfFiles)
     require(storeToks.columns.toSet == Set("doc", "hv", "pb") &&
@@ -332,19 +339,29 @@ object Dedup {
                         path: String): Boolean =
     StoreSwap.latestManifest(StoreSwap.fsOf(spark, path), path).nonEmpty
 
-  /** Drop every file the latest manifest does not list — the retention
-    * verb that reclaims the copy-on-write garbage mutations leave
-    * behind (unflipped crash leftovers, superseded rewrite inputs) plus
-    * superseded manifest versions and staging roots. Run it when no
-    * reader is pinned to an older manifest (the standard retention
-    * rule; a pinned reader's file-set is exactly what vacuum deletes).
+  /** The store's retained manifest versions, oldest first — the
+    * time-travel surface: any listed version is a complete snapshot
+    * [[derivePairsFromStore]] can pin via `asOfVersion`. */
+  def minhashStoreVersions(spark: org.apache.spark.sql.SparkSession,
+                           path: String): Seq[Int] =
+    StoreSwap.manifestVersions(StoreSwap.fsOf(spark, path), path)
+
+  /** Drop every file no retained manifest lists — the retention verb
+    * that reclaims the copy-on-write garbage mutations leave behind
+    * (unflipped crash leftovers, superseded rewrite inputs, a losing
+    * CAS writer's moved-in files) plus out-of-window manifest versions
+    * and staging roots. `keepVersions` = how much history snapshot
+    * reads may still pin (default 1: pure GC, history collapses to the
+    * present). Run it when no reader is pinned OUTSIDE the kept window
+    * (the standard retention rule; an out-of-window reader's file-set
+    * is exactly what vacuum deletes).
     *
     * @return number of data files deleted. */
   def vacuumMinhashStore(spark: org.apache.spark.sql.SparkSession,
-                         path: String): Long = {
+                         path: String, keepVersions: Int = 1): Long = {
     requireManifest(StoreSwap.fsOf(spark, path), path, "vacuumMinhashStore")
     StoreSwap.vacuumManifested(spark, path,
-      Seq("postings", "bands", "bandidx"), "vacuumMinhashStore")
+      Seq("postings", "bands", "bandidx"), "vacuumMinhashStore", keepVersions)
   }
 
   /** Persist the MinHash signature store a growing corpus dedupes

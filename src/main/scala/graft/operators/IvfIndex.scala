@@ -160,15 +160,22 @@ object IvfIndex {
   def indexReady(spark: SparkSession, path: String): Boolean =
     StoreSwap.latestManifest(StoreSwap.fsOf(spark, path), path).nonEmpty
 
-  /** Drop every file the latest manifest does not list — the ANN
-    * family's retention verb (see [[Dedup.vacuumMinhashStore]]); run it
-    * when no reader is pinned to an older manifest.
+  /** The index's retained manifest versions, oldest first — any listed
+    * version is a complete snapshot [[loadIndex]] can pin. */
+  def indexVersions(spark: SparkSession, path: String): Seq[Int] =
+    StoreSwap.manifestVersions(StoreSwap.fsOf(spark, path), path)
+
+  /** Drop every file no retained manifest lists — the ANN family's
+    * retention verb (see [[Dedup.vacuumMinhashStore]] for the
+    * `keepVersions` time-travel window); run it when no reader is
+    * pinned outside the kept window.
     *
     * @return number of data files deleted. */
-  def vacuumIndex(spark: SparkSession, path: String): Long = {
+  def vacuumIndex(spark: SparkSession, path: String,
+                  keepVersions: Int = 1): Long = {
     requireIndexManifest(StoreSwap.fsOf(spark, path), path, "vacuumIndex")
     StoreSwap.vacuumManifested(spark, path,
-      Seq("centroids", "postings"), "vacuumIndex")
+      Seq("centroids", "postings"), "vacuumIndex", keepVersions)
   }
 
   /** Load a persisted index: (model, postings). The centroid set is
@@ -180,10 +187,16 @@ object IvfIndex {
     *
     * Reads resolve through the index manifest when one exists (every
     * index this module writes commits one) and fall back to plain
-    * directory reads on a legacy or hand-built layout. */
-  def loadIndex(spark: SparkSession, path: String): (Model, DataFrame) = {
+    * directory reads on a legacy or hand-built layout. `asOfVersion`
+    * pins a retained older manifest — a snapshot read: copy-on-write
+    * mutations leave every version's file-set intact until vacuum, so
+    * e.g. the pre-purge index is searchable after the purge. */
+  def loadIndex(spark: SparkSession, path: String,
+                asOfVersion: Option[Int] = None): (Model, DataFrame) = {
     val fs = StoreSwap.fsOf(spark, path)
-    val mf = StoreSwap.latestManifest(fs, path).map(_._2)
+    val mf = asOfVersion
+      .map(v => Some(StoreSwap.manifestAt(fs, path, v)._2))
+      .getOrElse(StoreSwap.latestManifest(fs, path).map(_._2))
     def dirDf(dir: String): DataFrame = mf match {
       case Some(files) => StoreSwap.readStoreDir(spark, path, dir, files)
       case None => spark.read.parquet(s"$path/$dir")

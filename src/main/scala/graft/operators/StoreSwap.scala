@@ -43,13 +43,37 @@ private[operators] object StoreSwap {
       .sorted
   }
 
+  private def readManifest(fs: FileSystem, path: String,
+                           v: Int): (Int, Seq[String]) = {
+    val in = fs.open(new Path(s"$path/$ManifestPrefix$v"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    v -> text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
   def latestManifest(fs: FileSystem, path: String): Option[(Int, Seq[String])] =
-    manifestVersions(fs, path).lastOption.map { v =>
-      val in = fs.open(new Path(s"$path/$ManifestPrefix$v"))
-      val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
-      v -> text.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
-    }
+    manifestVersions(fs, path).lastOption.map(v => readManifest(fs, path, v))
+
+  /** Resolve a PINNED manifest version — the snapshot-read entry: every
+    * mutation is copy-on-write behind a fresh manifest, so any version
+    * vacuum has not reclaimed is a complete, consistent point-in-time
+    * file-set. Refuses loudly (naming the retained window) when the
+    * version was never committed or has been vacuumed past. One honest
+    * edge: the streaming replay verb (`dropAppendPartials`) physically
+    * reclaims a replayed batch's files like a targeted vacuum, so a
+    * version listing those files stops being readable — resolution
+    * still succeeds but the scan fails loudly on the missing paths,
+    * exactly as documented on the replay verbs. */
+  def manifestAt(fs: FileSystem, path: String, version: Int)
+  : (Int, Seq[String]) = {
+    val have = manifestVersions(fs, path)
+    require(have.contains(version),
+      s"manifestAt: $path has no manifest v$version (retained: " +
+        s"${if (have.isEmpty) "none" else have.mkString(",")}) — " +
+        "either it was never committed or vacuum reclaimed it; " +
+        "re-run vacuum with a larger keepVersions to retain history")
+    readManifest(fs, path, version)
+  }
 
   /** Resolve the store's manifest or refuse: every store this module
     * writes commits one at save time, so a path without one is not a
@@ -59,9 +83,25 @@ private[operators] object StoreSwap {
     latestManifest(fs, path).getOrElse(throw new IllegalArgumentException(
       s"$verb: $path is not a committed store layout (no store manifest)"))
 
-  /** Rename-committed manifest write: the content lands in a dot-tmp
-    * file first, so a partially-written manifest can never be the
-    * highest version a reader resolves. */
+  /** CAS-committed manifest write — the write-side half of the store's
+    * isolation story. The content lands complete in a dot-tmp file first
+    * (a partially-written manifest can never be the version a reader
+    * resolves), then CLAIMS `_manifest.v<version>` atomically-if-absent:
+    *
+    *  - `file:` scheme: a hard link (`Files.createLink`) — `link(2)`
+    *    fails with EEXIST atomically, so of two racing writers exactly
+    *    one wins (a plain rename would silently clobber on POSIX);
+    *  - other schemes: `FileSystem.rename`, which on HDFS is atomic and
+    *    returns false when the destination exists.
+    *
+    * The loser gets a [[java.util.ConcurrentModificationException]]:
+    * the store advanced under its entry read, so its version-N+1 claim
+    * is stale. Nothing it staged is visible (copy-on-write files it
+    * moved in are unlisted garbage — vacuum reclaims them); the remedy
+    * is to re-run the verb, which re-reads the NEW manifest. This turns
+    * the repo-wide single-writer contract from documentation into an
+    * enforced optimistic-concurrency protocol: lost updates are
+    * impossible, concurrent writers serialize or fail loudly. */
   def commitManifest(fs: FileSystem, path: String, version: Int,
                      files: Seq[String]): Unit = {
     val tmp = new Path(path,
@@ -69,9 +109,23 @@ private[operators] object StoreSwap {
     val out = fs.create(tmp, true)
     try out.write(files.sorted.mkString("", "\n", "\n").getBytes("UTF-8"))
     finally out.close()
-    require(fs.rename(tmp, new Path(s"$path/$ManifestPrefix$version")),
-      s"commitManifest: rename to $path/$ManifestPrefix$version failed — " +
-        "the mutation is NOT visible; re-run the verb")
+    val dest = new Path(s"$path/$ManifestPrefix$version")
+    def conflict(): Nothing = {
+      fs.delete(tmp, false)
+      throw new java.util.ConcurrentModificationException(
+        s"commitManifest: $dest already exists — a concurrent writer " +
+          "committed since this verb read the manifest. Nothing from " +
+          "this attempt is visible; re-run the verb (it will read the " +
+          "new manifest) and vacuum when quiescent to reclaim the " +
+          "attempt's unlisted files")
+    }
+    if (fs.exists(dest)) conflict()
+    if (fs.getScheme == "file") {
+      val raw = (p: Path) => java.nio.file.Paths.get(p.toUri.getPath)
+      try java.nio.file.Files.createLink(raw(dest), raw(tmp))
+      catch { case _: java.nio.file.FileAlreadyExistsException => conflict() }
+      fs.delete(tmp, false)
+    } else if (!fs.rename(tmp, dest)) conflict()
   }
 
   /** All parquet files currently under a store directory, as
@@ -135,17 +189,29 @@ private[operators] object StoreSwap {
     moved.toSeq
   }
 
-  /** Drop every file the latest manifest does not list — the shared
-    * retention verb: reclaims copy-on-write garbage (unflipped crash
-    * leftovers, superseded rewrite inputs), empty partition dirs,
-    * superseded manifest versions, and leftover staging roots.
+  /** Drop every file no RETAINED manifest lists — the shared retention
+    * verb: reclaims copy-on-write garbage (unflipped crash leftovers,
+    * superseded rewrite inputs, a losing CAS writer's moved-in files),
+    * empty partition dirs, manifest versions older than the retained
+    * window, and leftover staging roots.
+    *
+    * `keepVersions` is the time-travel retention knob: the newest K
+    * manifests survive, and with them every file any of them lists, so
+    * a snapshot read pinned inside the window ([[manifestAt]]) stays
+    * complete. The default (1) is pure garbage collection — history
+    * collapses to the present, exactly the pre-retention behavior.
     *
     * @return number of data files deleted. */
   def vacuumManifested(spark: SparkSession, path: String,
-                       dirs: Seq[String], verb: String): Long = {
+                       dirs: Seq[String], verb: String,
+                       keepVersions: Int = 1): Long = {
+    require(keepVersions >= 1,
+      s"$verb: keepVersions must be >= 1 (got $keepVersions) — " +
+        "vacuum never deletes the latest manifest's file-set")
     val fs = fsOf(spark, path)
-    val (version, files) = requireManifest(fs, path, verb)
-    val listed = files.toSet
+    requireManifest(fs, path, verb)
+    val kept = manifestVersions(fs, path).takeRight(keepVersions)
+    val listed = kept.flatMap(v => readManifest(fs, path, v)._2).toSet
     var dropped = 0L
     dirs.foreach { dir =>
       listDirFiles(fs, path, dir).filterNot(listed).foreach { rel =>
@@ -158,7 +224,7 @@ private[operators] object StoreSwap {
           if (fs.listStatus(pd.getPath).isEmpty) fs.delete(pd.getPath, true)
         }
     }
-    manifestVersions(fs, path).filter(_ < version).foreach(v =>
+    manifestVersions(fs, path).filterNot(kept.contains).foreach(v =>
       fs.delete(new Path(s"$path/$ManifestPrefix$v"), false))
     fs.listStatus(new Path(path)).toSeq
       .filter { s =>

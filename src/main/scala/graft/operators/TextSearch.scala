@@ -169,18 +169,25 @@ object TextSearch {
                  path: String): Boolean =
     StoreSwap.latestManifest(StoreSwap.fsOf(spark, path), path).nonEmpty
 
-  /** Drop every file the latest manifest does not list — the stats
-    * family's retention verb (see [[graft.operators.Dedup
-    * .vacuumMinhashStore]]); run it when no reader is pinned to an
-    * older manifest.
+  /** The stats layout's retained manifest versions, oldest first — any
+    * listed version is a complete snapshot [[bm25TopKIndexed]] can
+    * pin. */
+  def statsVersions(spark: org.apache.spark.sql.SparkSession,
+                    path: String): Seq[Int] =
+    StoreSwap.manifestVersions(StoreSwap.fsOf(spark, path), path)
+
+  /** Drop every file no retained manifest lists — the stats family's
+    * retention verb (see [[graft.operators.Dedup.vacuumMinhashStore]]
+    * for the `keepVersions` time-travel window); run it when no reader
+    * is pinned outside the kept window.
     *
     * @return number of data files deleted. */
   def vacuumCorpusStats(spark: org.apache.spark.sql.SparkSession,
-                        path: String): Long = {
+                        path: String, keepVersions: Int = 1): Long = {
     requireStatsManifest(StoreSwap.fsOf(spark, path), path,
       "vacuumCorpusStats")
     StoreSwap.vacuumManifested(spark, path, Seq("corpus", "terms"),
-      "vacuumCorpusStats")
+      "vacuumCorpusStats", keepVersions)
   }
 
   /** Incrementally grow SAVED corpus stats with a delta batch of NEW
@@ -407,10 +414,13 @@ object TextSearch {
     * stats layout this module writes commits one) and fall back to
     * plain directory reads on a legacy or hand-built layout. */
   private def readStats(spark: org.apache.spark.sql.SparkSession,
-                        path: String, terms: Seq[String])
+                        path: String, terms: Seq[String],
+                        asOfVersion: Option[Int] = None)
   : (Long, Long, Map[String, Long]) = {
-    val mf = StoreSwap.latestManifest(StoreSwap.fsOf(spark, path), path)
-      .map(_._2)
+    val fs = StoreSwap.fsOf(spark, path)
+    val mf = asOfVersion
+      .map(v => Some(StoreSwap.manifestAt(fs, path, v)._2))
+      .getOrElse(StoreSwap.latestManifest(fs, path).map(_._2))
     def dirDf(dir: String): DataFrame = mf match {
       case Some(files) => StoreSwap.readStoreDir(spark, path, dir, files)
       case None => spark.read.parquet(s"$path/$dir")
@@ -431,10 +441,12 @@ object TextSearch {
     * (`term IN (...)` reaches the parquet scan — plan-gated), so only
     * the scoring pass touches the corpus. Scores are IDENTICAL to
     * [[bm25TopK]] on the snapshot the stats were built from
-    * (spec-gated equality; q121 gates it against q116's oracle). */
+    * (spec-gated equality; q121 gates it against q116's oracle).
+    * `asOfVersion` pins a retained older stats manifest — a snapshot
+    * score: e.g. pre-purge idf weights after the purge committed. */
   def bm25TopKIndexed(docs: DataFrame, idCol: String, textCol: String,
                       statsPath: String, queryTerms: Seq[String],
-                      k: Int): DataFrame = {
+                      k: Int, asOfVersion: Option[Int] = None): DataFrame = {
     val spark = docs.sparkSession
     val terms = queryTerms.map(_.trim.toLowerCase(java.util.Locale.ROOT))
       .filter(_.nonEmpty).distinct
@@ -442,7 +454,7 @@ object TextSearch {
     require(terms.size <= 64,
       s"bm25TopKIndexed: ${terms.size} query terms — same cap as bm25TopK")
     require(k > 0, s"bm25TopKIndexed: k must be positive: $k")
-    val (n, tl, dfByTerm) = readStats(spark, statsPath, terms)
+    val (n, tl, dfByTerm) = readStats(spark, statsPath, terms, asOfVersion)
     require(n > 0, "bm25TopKIndexed: stats describe an empty corpus")
     val idf: Seq[Double] = terms.map { t =>
       val df = dfByTerm.getOrElse(t, 0L) // absent term: df 0, like bm25TopK

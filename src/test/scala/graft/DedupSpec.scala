@@ -591,6 +591,51 @@ class DedupSpec extends SparkSpec {
       root, 0.4).count() == 0L, "an in-store doc read as unseen")
   }
 
+  test("snapshot reads: a version-pinned derive equals one-shot dedup " +
+    "over that version's corpus (the pre-purge pair set is readable " +
+    "AFTER the purge); vacuum's keepVersions bounds the window and an " +
+    "out-of-window pin refuses naming the retained versions") {
+    import spark.implicits._
+    val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_minhash_asof_${System.nanoTime()}")
+    store.deleteOnExit()
+    val root = store.getAbsolutePath
+    val evens = docs.where(col("doc_id") % 2 === 0)
+    val odds = docs.where(col("doc_id") % 2 === 1)
+    val survivors = docs.where(col("doc_id") % 3 =!= 0)
+    Dedup.saveMinhashStore(evens, "doc_id", "text", root) // v1
+    Dedup.minhashIncremental(odds, "doc_id", "text", root, 0.4).count() // v2
+    Dedup.purgeMinhashStore(spark, root,
+      docs.where(col("doc_id") % 3 === 0).select("doc_id"), "doc_id") // v3
+    assert(Dedup.minhashStoreVersions(spark, root) == Seq(1, 2, 3))
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    def oneShot(d: org.apache.spark.sql.DataFrame) =
+      pairSet(Dedup.minhashDuplicates(d, "doc_id", "text", 0.4))
+    assert(pairSet(Dedup.derivePairsFromStore(spark, root, 0.4, Some(1))) ==
+      oneShot(evens), "v1 snapshot must be the bootstrap corpus")
+    assert(pairSet(Dedup.derivePairsFromStore(spark, root, 0.4, Some(2))) ==
+      oneShot(docs), "v2 snapshot must see the full pre-purge corpus")
+    assert(pairSet(Dedup.derivePairsFromStore(spark, root, 0.4)) ==
+      oneShot(survivors), "latest must see only purge survivors")
+    // keepVersions = 2: v2 stays fully derivable, v1 leaves the window
+    Dedup.vacuumMinhashStore(spark, root, keepVersions = 2)
+    assert(Dedup.minhashStoreVersions(spark, root) == Seq(2, 3))
+    assert(pairSet(Dedup.derivePairsFromStore(spark, root, 0.4, Some(2))) ==
+      oneShot(docs), "retained snapshot must survive the vacuum intact")
+    val e = intercept[IllegalArgumentException](
+      Dedup.derivePairsFromStore(spark, root, 0.4, Some(1)))
+    assert(e.getMessage.contains("v1") && e.getMessage.contains("2,3"),
+      s"out-of-window pin must name the retained versions: ${e.getMessage}")
+    // default vacuum: history collapses to the present
+    Dedup.vacuumMinhashStore(spark, root)
+    assert(Dedup.minhashStoreVersions(spark, root) == Seq(3))
+    intercept[IllegalArgumentException](
+      Dedup.derivePairsFromStore(spark, root, 0.4, Some(2)))
+    assert(pairSet(Dedup.derivePairsFromStore(spark, root, 0.4)) ==
+      oneShot(survivors), "the present must be untouched by retention")
+  }
+
   test("manifest isolation: a reader pinned mid-purge sees the old " +
     "consistent file-set (never a gap); a crash before the flip is " +
     "invisible and re-running heals; unknown-id purge touches nothing; " +

@@ -353,6 +353,52 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("snapshot reads: loadIndex pinned pre-purge searches the full " +
+    "corpus exactly (brute-force-equal at exhausted probes) AFTER the " +
+    "purge committed; vacuum collapses the window and the pin refuses") {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_asof_${System.nanoTime()}")
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val evens = emb.where(col("vec_id") % 2 === 0)
+    val odds = emb.where(col("vec_id") % 2 === 1)
+    val model = IvfIndex.train(evens, "vec_id", "embedding", k = 8)
+    IvfIndex.saveIndex(model,
+      IvfIndex.assign(evens, "vec_id", "embedding", model), path) // v1
+    IvfIndex.appendToIndex(spark, path, odds, "vec_id", "embedding") // v2
+    IvfIndex.purgeFromIndex(spark, path,
+      emb.where(col("vec_id") % 7 === 0).select("vec_id"), "vec_id") // v3
+    assert(IvfIndex.indexVersions(spark, path) == Seq(1, 2, 3))
+    val queries = emb.where(col("vec_id") < 10).localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("n_id"), r.getAs[Double]("cos"))).sorted.toSeq
+    def searchAt(asOf: Option[Int]) = {
+      val (m, postings) = IvfIndex.loadIndex(spark, path, asOf)
+      rows(IvfIndex.search(postings, queries, "vec_id", "embedding", m,
+        k = 5, nProbe = m.centroids.length))
+    }
+    assert(searchAt(Some(2)) ==
+      rows(Similarity.bruteTopK(emb, queries, "vec_id", "embedding", 5)),
+      "the pre-purge snapshot must still answer over the full corpus")
+    assert(searchAt(Some(1)) ==
+      rows(Similarity.bruteTopK(evens, queries, "vec_id", "embedding", 5)),
+      "the bootstrap snapshot must answer over the bootstrap corpus")
+    val survivors = emb.where(col("vec_id") % 7 =!= 0)
+    assert(searchAt(None) ==
+      rows(Similarity.bruteTopK(survivors, queries, "vec_id", "embedding", 5)),
+      "latest must answer over the purge survivors")
+    IvfIndex.vacuumIndex(spark, path)
+    assert(IvfIndex.indexVersions(spark, path) == Seq(3))
+    val e = intercept[IllegalArgumentException](searchAt(Some(2)))
+    assert(e.getMessage.contains("v2") &&
+      e.getMessage.contains("keepVersions"),
+      s"out-of-window pin must name the remedy: ${e.getMessage}")
+    assert(searchAt(None) ==
+      rows(Similarity.bruteTopK(survivors, queries, "vec_id", "embedding", 5)),
+      "the present must be untouched by retention")
+  }
+
   test("stale index: dimension mismatch fails loudly, corrupt centroid " +
       "set refuses at load") {
     import spark.implicits._

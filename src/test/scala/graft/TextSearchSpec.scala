@@ -501,6 +501,107 @@ class TextSearchSpec extends SparkSpec {
     }
   }
 
+  test("snapshot stats: a version-pinned read scores with that " +
+    "version's idf/N (pre-purge weights stay scoreable after the purge " +
+    "committed); vacuum's keepVersions bounds the pinnable window") {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_asof_${System.nanoTime()}")
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    val grown = corpus.union(Seq(
+      (5L, "apple durian durian"),
+      (6L, "cherry banana apple apple")).toDF("doc_id", "text"))
+    TextSearch.saveCorpusStats(corpus, "doc_id", "text", path) // v1
+    TextSearch.appendCorpusStats(grown.where(col("doc_id") > 4L),
+      "doc_id", "text", path) // v2
+    TextSearch.purgeCorpusStats(grown.where(col("doc_id") % 2L === 0L),
+      "doc_id", "text", path) // v3
+    assert(TextSearch.statsVersions(spark, path) == Seq(1, 2, 3))
+    def scored(docs: org.apache.spark.sql.DataFrame, asOf: Option[Int],
+               terms: Seq[String]) =
+      TextSearch.bm25TopKIndexed(docs, "doc_id", "text", path, terms,
+          k = 10, asOfVersion = asOf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    def live(docs: org.apache.spark.sql.DataFrame, terms: Seq[String]) =
+      TextSearch.bm25TopK(docs, "doc_id", "text", terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val survivors = grown.where(col("doc_id") % 2L =!= 0L)
+    for (terms <- Seq(Seq("apple", "cherry"), Seq("durian", "zzz_absent"))) {
+      assert(scored(grown, Some(2), terms) === live(grown, terms),
+        s"v2 pin must score with full pre-purge stats: terms=$terms")
+      assert(scored(corpus, Some(1), terms) === live(corpus, terms),
+        s"v1 pin must score with bootstrap stats: terms=$terms")
+      assert(scored(survivors, None, terms) === live(survivors, terms),
+        s"latest must score with survivor stats: terms=$terms")
+    }
+    TextSearch.vacuumCorpusStats(spark, path, keepVersions = 2)
+    assert(TextSearch.statsVersions(spark, path) == Seq(2, 3))
+    assert(scored(grown, Some(2), Seq("apple", "cherry")) ===
+      live(grown, Seq("apple", "cherry")),
+      "a retained snapshot must survive the vacuum intact")
+    val e = intercept[IllegalArgumentException](
+      scored(corpus, Some(1), Seq("apple")))
+    assert(e.getMessage.contains("v1") &&
+      e.getMessage.contains("keepVersions"),
+      s"out-of-window pin must name the remedy: ${e.getMessage}")
+  }
+
+  test("writer CAS through the verbs: two appends racing on one stats " +
+    "layout serialize or fail loudly, and retry-on-conflict converges " +
+    "to exactly-once — final scores equal a one-shot rebuild") {
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_race_${System.nanoTime()}")
+    dir.deleteOnExit()
+    val path = dir.getAbsolutePath
+    TextSearch.saveCorpusStats(corpus, "doc_id", "text", path)
+    val extras = Seq(
+      (5L, "apple durian durian"), (6L, "cherry banana apple apple"),
+      (7L, "banana banana durian"), (8L, "apple cherry fig"))
+      .toDF("doc_id", "text")
+    val grown = corpus.union(extras)
+    val halves = Seq(extras.where(col("doc_id") < 7L).localCheckpoint(),
+      extras.where(col("doc_id") >= 7L).localCheckpoint())
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = halves.map { h =>
+      new Thread(() => {
+        try {
+          barrier.await()
+          var done = false
+          while (!done) {
+            try {
+              TextSearch.appendCorpusStats(h, "doc_id", "text", path)
+              done = true
+            } catch {
+              // the CAS loser: nothing visible, re-run is the contract
+              case _: java.util.ConcurrentModificationException => ()
+            }
+          }
+        } catch { case t: Throwable => errs.add(t) }
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(errs.isEmpty, s"racing append died: ${errs.peek()}")
+    val oneShot = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_race_oneshot_${System.nanoTime()}")
+    oneShot.deleteOnExit()
+    TextSearch.saveCorpusStats(grown, "doc_id", "text",
+      oneShot.getAbsolutePath)
+    def rows(p: String, terms: Seq[String]) =
+      TextSearch.bm25TopKIndexed(grown, "doc_id", "text", p, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    for (terms <- Seq(Seq("apple", "cherry"), Seq("durian", "fig"))) {
+      assert(rows(path, terms) === rows(oneShot.getAbsolutePath, terms),
+        s"racing appends lost or double-counted a partial: terms=$terms")
+    }
+    // a loser's first-attempt files are unlisted garbage: vacuum
+    // reclaims them and the answers do not move
+    TextSearch.vacuumCorpusStats(spark, path)
+    assert(rows(path, Seq("apple", "cherry")) ===
+      rows(oneShot.getAbsolutePath, Seq("apple", "cherry")))
+  }
+
   test("batch indexed: saved stats reproduce the live batch exactly, " +
       "zero corpus scans before scoring") {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
