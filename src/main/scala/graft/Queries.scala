@@ -8757,6 +8757,38 @@ object Queries {
     },
     q146.oracle)
 
+  /** Filtered (metadata-constrained) ANN search — "top-k nearest WHERE
+    * label ≡ 1 mod 3": the allow-set (an id frame joined down from the
+    * metadata predicate) semi-joins the postings BEFORE any cosine is
+    * computed, so filtered-out vectors are never scored. Probes are
+    * exhausted (nProbe = k cells), so [[graft.operators.IvfIndex
+    * .searchFiltered]] is EXACT over the allowed subset and the oracle
+    * is brute force with the same WHERE — a leaked disallowed
+    * neighbor, a dropped allowed one, or a rank shifted by scoring
+    * filtered-out vectors all change a row and fail the hash. */
+  private val q248 = Q("q248_ann_filtered",
+    (s, d) => {
+      val emb = embeddings(s, d)
+      val model = graft.operators.IvfIndex.train(emb, "vec_id", "embedding", k = 16)
+      val index = graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", model)
+      graft.operators.IvfIndex.searchFiltered(index,
+        emb.where(col("vec_id") < 10).limit(10),
+        "vec_id", "embedding", model, k = 5, nProbe = 16,
+        allowed = emb.where(col("label") % 3 === 1), allowedIdCol = "vec_id")
+    },
+    Some("""WITH q AS (SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+              FROM embeddings WHERE vec_id < 10),
+        c AS (SELECT vec_id AS n_id, CAST(embedding AS DOUBLE[]) AS cv
+              FROM embeddings WHERE label % 3 = 1),
+        scored AS (SELECT q_id, n_id,
+            list_dot_product(qv, cv) /
+              (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv))) AS cos
+          FROM q CROSS JOIN c WHERE q_id <> n_id),
+        r AS (SELECT q_id, n_id, cos,
+            ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank FROM scored)
+        SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, ROUND(cos, 6) AS cos
+        FROM r WHERE rank <= 5"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -8778,7 +8810,7 @@ object Queries {
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229,
     q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240,
-    q241, q242, q243, q244, q245, q246, q247)
+    q241, q242, q243, q244, q245, q246, q247, q248)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

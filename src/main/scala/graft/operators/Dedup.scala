@@ -222,6 +222,98 @@ object Dedup {
       tok.groupBy(col("doc")).agg(count(lit(1)).as("n")), pairs, threshold)
   }
 
+  /** An empty (d1, d2, jaccard) frame typed after `idCol` — the pair
+    * schema every verify in this module emits. */
+  private def emptyPairsLike(docs: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val idType = docs.schema(idCol).dataType
+    docs.sparkSession.createDataFrame(
+      docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(StructField("d1", idType), StructField("d2", idType),
+        StructField("jaccard", DoubleType))))
+  }
+
+  /** The verified duplicate pairs TOUCHING a given id set, derived from
+    * the persisted store alone — [[derivePairsFromStore]] restricted to
+    * a delta: only pairs with at least one side in `ids`, at delta
+    * cost. This is what makes [[graft.streaming.DocStreams
+    * .nearDupIngest]]'s per-batch pair log EXACTLY-ONCE under replay:
+    * the batch's partition is defined as `pairsForIds(batch ids)`
+    * evaluated after the batch's (idempotent) append, a pure function
+    * of (store state, id set) — so a replayed batch rewrites the
+    * IDENTICAL content instead of an empty partition (the at-most-once
+    * wart this replaces: a replay saw every id as already-seen and
+    * [[minhashIncremental]] returned nothing).
+    *
+    * Ids absent from the store (never ingested, or purged) contribute
+    * no pairs; membership follows the postings authority exactly as in
+    * [[derivePairsFromStore]]. For disjoint-id batches each pair
+    * surfaces in exactly one batch — the one where its LATER doc
+    * arrived (the earlier doc's batch cannot derive it: the partner's
+    * band rows are not in the store yet); a re-sent id re-emits its
+    * pairs, so consumers of a log whose SOURCE re-sends ids should
+    * read it distinct.
+    *
+    * Scale shape: every store read is pruned by the delta — the id
+    * docs' own band rows come from the pb-pruned `bands/` scan, the
+    * collision scan reads `bandidx/` pruned to the band buckets those
+    * keys touch (legacy stores without the projection fall back to the
+    * full `bands/` scan), and the verify's posting scan is pruned to
+    * the candidate docs' pb buckets. Bytes read scale with the DELTA
+    * and its candidates, not the store. */
+  def pairsForIds(spark: org.apache.spark.sql.SparkSession,
+                  storePath: String, ids: DataFrame, idCol: String,
+                  threshold: Double,
+                  asOfVersion: Option[Int] = None): DataFrame = {
+    val fs = StoreSwap.fsOf(spark, storePath)
+    val (_, mfFiles) = asOfVersion
+      .map(v => StoreSwap.manifestAt(fs, storePath, v))
+      .getOrElse(requireManifest(fs, storePath, "pairsForIds"))
+    val storeToks = StoreSwap.readStoreDir(spark, storePath, "postings", mfFiles)
+    val storeBands = StoreSwap.readStoreDir(spark, storePath, "bands", mfFiles)
+    require(storeToks.columns.toSet == Set("doc", "hv", "pb") &&
+      storeBands.columns.toSet == Set("doc", "band", "bucket", "pb"),
+      s"pairsForIds: $storePath is not a saveMinhashStore layout")
+    val (pbN, bbN) = storeLayout(fs, storePath)
+    def maybeBroadcast(df: DataFrame): DataFrame =
+      if (IvfIndex.fitsBroadcast(df, IvfIndex.MaxBroadcastQueries))
+        broadcast(df) else df
+    val idFrame = ids.select(col(idCol).as("doc")).distinct().localCheckpoint()
+    val idPbs = idFrame.select(storeBucket(col("doc"), pbN).as("pb"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    // the probe docs' own band rows: pb-pruned, id-restricted
+    val idBands = pruneBuckets(storeBands, "pb", idPbs, pbN)
+      .join(maybeBroadcast(idFrame), Seq("doc"), "left_semi")
+      .select(col("doc"), col("band"), col("bucket")).localCheckpoint()
+    val hasBandIdx = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$storePath/bandidx")) &&
+      mfFiles.exists(_.startsWith("bandidx/"))
+    val collisionSide =
+      if (hasBandIdx) {
+        val touched = idBands
+          .select(bandBucket(col("band"), col("bucket"), bbN).as("bb"))
+          .distinct().collect().map(_.getInt(0).toLong).sorted.toSeq
+        pruneBuckets(StoreSwap.readStoreDir(spark, storePath, "bandidx", mfFiles),
+          "bb", touched, bbN)
+          .select(col("doc"), col("band"), col("bucket"))
+      } else storeBands.select(col("doc"), col("band"), col("bucket"))
+    val probe = idBands.select(col("band"), col("bucket"), col("doc").as("__p"))
+    val pairs = collisionSide
+      .join(maybeBroadcast(probe), Seq("band", "bucket"))
+      .select(least(col("doc"), col("__p")).as("d1"),
+        greatest(col("doc"), col("__p")).as("d2"))
+      .where(col("d1") =!= col("d2")).distinct().localCheckpoint()
+    val candDocs = pairs.select(col("d1").as("doc"))
+      .unionAll(pairs.select(col("d2").as("doc"))).distinct().localCheckpoint()
+    val candPbs = candDocs.select(storeBucket(col("doc"), pbN).as("pb"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val tok = pruneBuckets(storeToks, "pb", candPbs, pbN)
+      .join(maybeBroadcast(candDocs), Seq("doc"), "left_semi")
+      .select(col("doc"), col("hv")).localCheckpoint()
+    verifyJaccard(tok,
+      tok.groupBy(col("doc")).agg(count(lit(1)).as("n")), pairs, threshold)
+  }
+
   /** Full near-dup pipeline: LSH candidates generated FIRST, true Jaccard
     * computed only for candidate pairs.
     *
@@ -443,6 +535,11 @@ object Dedup {
     * band-collides independently of which batch its docs arrived in;
     * oracle-gated at q234). Keep-which-copy is the caller's policy on
     * the pairs, as everywhere in this module ([[nearDupKeepBest]]).
+    * `computePairs = false` is the ingest-only path: the append and
+    * its idempotence contract are identical but the candidate scan and
+    * verify are skipped and an empty pair frame returns — for callers
+    * that derive a replay-stable pair set from the store afterwards
+    * ([[pairsForIds]], the streaming ingest's shape).
     *
     * Scale shape (100 TB store, delta-sized batch): the store is never
     * shuffled — the delta's ids, band keys, and candidate doc ids ride
@@ -469,7 +566,8 @@ object Dedup {
     * no ordering contract between the three directories. */
   def minhashIncremental(batch: DataFrame, idCol: String, textCol: String,
                          storePath: String, threshold: Double,
-                         bands: Int = 4, ngram: Int = 3): DataFrame = {
+                         bands: Int = 4, ngram: Int = 3,
+                         computePairs: Boolean = true): DataFrame = {
     val spark = batch.sparkSession
     val fsInc = StoreSwap.fsOf(spark, storePath)
     val (mfVersion, mfFiles) =
@@ -510,6 +608,13 @@ object Dedup {
     // own band keys touch (PartitionFilters at the scan — bytes read
     // scale with the DELTA, not the store); legacy stores without the
     // projection fall back to the full bands/ scan, broadcast-probed.
+    val out = if (!computePairs) {
+      // ingest-only path ([[graft.streaming.DocStreams.nearDupIngest]]):
+      // the caller derives a replay-stable pair set from the store
+      // AFTER the append ([[pairsForIds]]), so the candidate scan and
+      // verify here would be thrown-away work — skip them entirely
+      emptyPairsLike(batch, idCol)
+    } else {
     val intra = candidatesOf(sigNew, bands)
     val bn = bandedNew.select(col("band"), col("bucket"),
       col("doc").as("__new_doc"))
@@ -541,9 +646,10 @@ object Dedup {
       .join(maybeBroadcast(candDocs), Seq("doc"), "left_semi")
       .select(col("doc"), col("hv"))
     val tokAll = tokNew.unionAll(tokOld).localCheckpoint()
-    val out = verifyJaccard(tokAll,
+    verifyJaccard(tokAll,
       tokAll.groupBy(col("doc")).agg(count(lit(1)).as("n")),
       pairs, threshold).localCheckpoint()
+    }
     // grow the store, copy-on-write: each frame is staged then MOVED
     // into the live tree under batch-unique names, and ONE manifest
     // flip at the end makes the whole batch visible atomically. No

@@ -507,4 +507,35 @@ object IvfIndex {
       .withColumn("cos", VectorNative.cosineSim(col("q_vec"), col("n_vec")))
     Similarity.topKRank(cand, k)
   }
+
+  /** Filtered (metadata-constrained) search: [[search]] restricted to
+    * the vectors whose ids appear in `allowed` — the "top-k nearest
+    * WHERE <predicate>" shape every retrieval pipeline grows into
+    * (tenant scoping, language routing, license filters, freshness
+    * windows). The caller expresses the predicate by joining it down to
+    * an id frame on whatever metadata table owns the attributes; this
+    * verb owns the plan: the allow-set semi-joins the postings BEFORE
+    * any cosine is computed (a filtered-out vector is never scored,
+    * and on a manifest-resolved index the scan's cell
+    * PartitionFilters survive — the semi-join keys on `n_id`, not the
+    * partition column), riding broadcast under the same
+    * [[MaxBroadcastQueries]] guard as every ANN probe; an allow-set
+    * past the cap degrades to a shuffle semi-join, never a driver OOM.
+    *
+    * Recall caveat, stated loudly: probing stays geometric — the
+    * nProbe nearest cells by the QUERY's geometry, not the filter's —
+    * so a highly selective filter can leave fewer than k survivors in
+    * the probed cells even though matches exist elsewhere (the
+    * classic filtered-ANN failure). Raise nProbe as selectivity
+    * rises; nProbe = k (probes exhausted) is EXACT over the allowed
+    * subset, which is how the oracle gates this verb. */
+  def searchFiltered(index: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, model: Model, k: Int, nProbe: Int,
+                     allowed: DataFrame, allowedIdCol: String): DataFrame = {
+    val ids = allowed.select(col(allowedIdCol).as("n_id")).distinct()
+    val idSide = if (fitsBroadcast(ids, MaxBroadcastQueries))
+      broadcast(ids) else ids
+    search(index.join(idSide, Seq("n_id"), "left_semi"),
+      queries, idCol, vecCol, model, k, nProbe)
+  }
 }

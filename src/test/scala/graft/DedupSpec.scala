@@ -351,6 +351,53 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("saveMinhashStore layout"))
   }
 
+  test("pairsForIds: store-derived pairs touching an id set == the " +
+    "delta restriction of the one-shot set; ingest-only appends grow " +
+    "the store without pair work; unknown and purged ids emit nothing") {
+    val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_pairs_for_ids_${System.nanoTime()}")
+    store.deleteOnExit()
+    val evens = docs.where(col("doc_id") % 2 === 0)
+    val odds = docs.where(col("doc_id") % 2 === 1)
+    Dedup.saveMinhashStore(evens, "doc_id", "text", store.getAbsolutePath)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // ingest-only path: typed-empty return, but the append happened
+    val ingestOnly = Dedup.minhashIncremental(odds, "doc_id", "text",
+      store.getAbsolutePath, 0.4, computePairs = false)
+    assert(ingestOnly.columns.toSeq == Seq("d1", "d2", "jaccard"))
+    assert(ingestOnly.count() == 0L)
+    assert(Dedup.minhashIncremental(docs, "doc_id", "text",
+      store.getAbsolutePath, 0.4).count() == 0L,
+      "ingest-only append did not mark the batch as seen")
+    val oneShot = pairSet(Dedup.minhashDuplicates(docs, "doc_id", "text", 0.4))
+    // pairs touching the odd delta == what a pair-computing ingest of the
+    // odds would have returned (the minhashIncremental contract)
+    val deltaPairs = pairSet(Dedup.pairsForIds(spark, store.getAbsolutePath,
+      odds.select(col("doc_id")), "doc_id", 0.4))
+    assert(deltaPairs == oneShot.filter(p => p._1 % 2 == 1 || p._2 % 2 == 1),
+      s"missing=${(oneShot.filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+        -- deltaPairs).take(5)} extra=${(deltaPairs -- oneShot).take(5)}")
+    // every id -> the full derive -> the one-shot set
+    val allPairs = pairSet(Dedup.pairsForIds(spark, store.getAbsolutePath,
+      docs.select(col("doc_id")), "doc_id", 0.4))
+    assert(allPairs == oneShot)
+    // ids the store never saw contribute nothing
+    assert(Dedup.pairsForIds(spark, store.getAbsolutePath,
+      spark.range(1000000, 1000010).select(col("id").as("doc_id")),
+      "doc_id", 0.4).count() == 0L)
+    // purged ids emit nothing; survivors' pair set is the survivor
+    // restriction of one-shot
+    Dedup.purgeMinhashStore(spark, store.getAbsolutePath,
+      docs.where(col("doc_id") % 3 === 0).select(col("doc_id")), "doc_id")
+    assert(Dedup.pairsForIds(spark, store.getAbsolutePath,
+      docs.where(col("doc_id") % 3 === 0).select(col("doc_id")),
+      "doc_id", 0.4).count() == 0L)
+    val survivors = pairSet(Dedup.pairsForIds(spark, store.getAbsolutePath,
+      docs.select(col("doc_id")), "doc_id", 0.4))
+    assert(survivors == oneShot.filter(p => p._1 % 3 != 0 && p._2 % 3 != 0))
+  }
+
   test("purgeMinhashStore: purged docs are fully forgotten (re-ingest " +
     "re-admits them, survivors untouched); only affected buckets " +
     "rewrite; idempotent; compaction is invisible") {

@@ -12,8 +12,9 @@ class DocStreamsSpec extends SparkSpec {
   import spark.implicits._
 
   test("nearDupIngest: bootstrap + incremental batches produce exactly " +
-    "the one-shot pair set; a replayed (already-seen) batch logs no " +
-    "pairs and leaves the store intact") {
+    "the one-shot pair set; a replayed batch rewrites the IDENTICAL " +
+    "pair partition (exactly-once log); a re-sent batch is a store " +
+    "no-op whose partition re-emits its ids' pairs") {
     implicit val sqlCtx = spark.sqlContext
     val base = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_docstream_spec_${System.nanoTime()}")
@@ -27,33 +28,48 @@ class DocStreamsSpec extends SparkSpec {
       mem.toDF().toDF("doc_id", "text"), "doc_id", "text",
       s"$base/store", s"$base/pairs", s"$base/ckpt", threshold = 0.4,
       availableNow = false)
+    def toSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("d1", "d2", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     try {
       mem.addData(b0.toIndexedSeq: _*); q.processAllAvailable() // bootstrap
       mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable() // incremental
-      def pairSet() = spark.read.parquet(s"$base/pairs")
-        .select("d1", "d2", "jaccard").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
-      val oneShot = Dedup.minhashDuplicates(docs, "doc_id", "text", 0.4)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      def pairSet() = toSet(spark.read.parquet(s"$base/pairs"))
+      val oneShot = toSet(Dedup.minhashDuplicates(docs, "doc_id", "text", 0.4))
       assert(pairSet() == oneShot,
         s"missing=${(oneShot -- pairSet()).take(5)} " +
           s"extra=${(pairSet() -- oneShot).take(5)}")
-      // an already-seen batch is a store no-op and logs zero pairs
+      // a re-SENT batch (same ids again, new batch id) is a store no-op;
+      // its partition re-emits the pairs touching those ids (the
+      // documented re-send contract — distinct union is unchanged)
       mem.addData(b0.toIndexedSeq: _*); q.processAllAvailable()
       assert(pairSet() == oneShot)
+      assert(toSet(spark.read.parquet(s"$base/pairs/batch=2")) ==
+        oneShot.filter(p => p._1 % 2 == 0 || p._2 % 2 == 0),
+        "re-sent batch partition != pairs touching its ids")
       assert(Dedup.minhashIncremental(docs, "doc_id", "text",
         s"$base/store", 0.4).count() == 0L)
-      // the documented at-most-once wart, and its executable remedy: a
-      // replay rewrites a batch's pair partition to empty — simulate the
-      // loss, then re-derive the FULL pair set from the store alone
+      // exactly-once under REPLAY: wipe batch=1's partition, then drive
+      // the same batch through the production foreachBatch body — the
+      // partition must come back byte-identical (the at-most-once wart
+      // this design replaced rewrote it EMPTY, because every id read as
+      // already-seen)
+      val batch1 = toSet(spark.read.parquet(s"$base/pairs/batch=1"))
+      assert(batch1.nonEmpty,
+        "incremental batch logged no pairs — the wipe below would be vacuous")
       val fs = new org.apache.hadoop.fs.Path(s"$base/pairs")
         .getFileSystem(spark.sessionState.newHadoopConf())
-      assert(spark.read.parquet(s"$base/pairs/batch=1").count() > 0,
-        "incremental batch logged no pairs — the wipe below would be vacuous")
       fs.delete(new org.apache.hadoop.fs.Path(s"$base/pairs/batch=1"), true)
       assert(pairSet() != oneShot, "wiping batch=1 changed nothing")
-      val derived = Dedup.derivePairsFromStore(spark, s"$base/store", 0.4)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      DocStreams.processBatch(b1.toIndexedSeq.toDF("doc_id", "text"), 1L,
+        "doc_id", "text", s"$base/store", s"$base/pairs",
+        threshold = 0.4, bands = 4, ngram = 3)
+      assert(toSet(spark.read.parquet(s"$base/pairs/batch=1")) == batch1,
+        "replayed batch did not rewrite the identical pair partition")
+      assert(pairSet() == oneShot)
+      // and the from-nothing remedy still holds: the FULL pair set
+      // derives from the store alone
+      val derived = toSet(Dedup.derivePairsFromStore(spark, s"$base/store", 0.4))
       assert(derived == oneShot,
         s"missing=${(oneShot -- derived).take(5)} " +
           s"extra=${(derived -- oneShot).take(5)}")

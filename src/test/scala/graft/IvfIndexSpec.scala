@@ -36,6 +36,39 @@ class IvfIndexSpec extends SparkSpec {
     // recover at least half the true top-5
   }
 
+  test("searchFiltered: exact over the allowed subset at exhausted " +
+    "probes, no disallowed neighbor ever surfaces, ranks are " +
+    "re-densified (not the unfiltered ranks with holes)") {
+    val model = IvfIndex.train(emb, "vec_id", "embedding", k = 8)
+    val idx = IvfIndex.assign(emb, "vec_id", "embedding", model)
+    val queries = emb.where(col("vec_id") < 20)
+    val allowed = emb.where(col("label") % 3 === 1)
+    val allowedIds = allowed.select("vec_id").collect()
+      .map(_.getLong(0)).toSet
+    val got = IvfIndex.searchFiltered(idx, queries, "vec_id", "embedding",
+      model, k = 5, nProbe = 8, allowed, "vec_id")
+    val gotRows = got.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // filter safety: every surfaced neighbor is allowed
+    assert(gotRows.forall(r => allowedIds.contains(r._3)))
+    // exactness at exhausted probes: equals brute force over the subset,
+    // rank for rank (so ranks are dense within the filtered pool)
+    val exact = Similarity.bruteTopK(allowed, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(gotRows == exact,
+      s"missing=${(exact -- gotRows).take(5)} extra=${(gotRows -- exact).take(5)}")
+    // selective-filter recall caveat is real: with ONE probed cell some
+    // query must lose an allowed true neighbor that lives elsewhere
+    // (documents the raise-nProbe remedy rather than hiding it)
+    val narrow = IvfIndex.searchFiltered(idx, queries, "vec_id", "embedding",
+      model, k = 5, nProbe = 1, allowed, "vec_id")
+      .select("q_id", "n_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exactPairs = exact.map(r => (r._1, r._3))
+    assert((exactPairs -- narrow).nonEmpty,
+      "nProbe=1 filtered search unexpectedly achieved full recall")
+  }
+
   test("saved index: load answers identically to the fresh index, " +
       "centroids round-trip bit-for-bit") {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
