@@ -8789,6 +8789,138 @@ object Queries {
         SELECT q_id, CAST(rank AS INTEGER) AS rank, n_id, ROUND(cos, 6) AS cos
         FROM r WHERE rank <= 5"""))
 
+  private val stagedSemStoreDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Semantic-store lifecycle (the FOURTH persisted artifact family —
+    * [[graft.operators.SemDeDup]]'s cluster-confined dominance behind
+    * the same save/ingest/purge/vacuum verbs and manifest isolation as
+    * the MinHash, IVF, and BM25 families): evens bootstrap the store
+    * (seq 1), odds ingest as the second batch (seq 2), every seventh
+    * id purges, and the survivors DERIVE from what remains under
+    * arrival-order dominance — order (seq, csim, id), dropped
+    * examples dominating too, purged examples absent from BOTH sides
+    * (a takedown automatically re-admits what only its docs
+    * suppressed). Basis-vector centroids (q231's trick) make the
+    * assignment SQL-expressible: cell = first argmax of nv[1..3],
+    * csim = nv[cell+1] exactly. A lost example, a wrong seq, a
+    * survivor judged against a purged dominator, or a torn flip all
+    * change a row and fail the hash. */
+  private val q249 = Q("q249_semantic_store_lifecycle",
+    (s, d) => {
+      def basis(i: Int) = Array.tabulate(64)(j => if (j == i) 1.0 else 0.0)
+      val dir = Queries.stagedSemStoreDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_sem_store_${Queries.stagingSuffix(d)}")
+        val e = embeddings(s, d)
+        val m = graft.operators.IvfIndex.Model(
+          Array(basis(0), basis(1), basis(2)))
+        graft.operators.SemanticStore.save(
+          e.where(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          f.getAbsolutePath, m) // v1
+        graft.operators.SemanticStore.ingest(
+          e.where(col("vec_id") % 2 === 1), "vec_id", "embedding",
+          f.getAbsolutePath, tau = 0.35).count() // v2
+        graft.operators.SemanticStore.purge(s, f.getAbsolutePath,
+          e.where(col("vec_id") % 7 === 0).select(col("vec_id")),
+          "vec_id") // v3
+        f
+      })
+      graft.operators.SemanticStore.deriveSurvivors(s,
+          dir.getAbsolutePath, tau = 0.35)
+        .select(col("doc").as("vec_id"), col("cell"), col("seq"))
+    },
+    Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings WHERE vec_id % 7 <> 0),
+      n AS (SELECT vec_id,
+          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM c),
+      o AS (SELECT vec_id, nv,
+          CASE WHEN nv[1] >= nv[2] AND nv[1] >= nv[3] THEN 0
+               WHEN nv[2] >= nv[3] THEN 1 ELSE 2 END AS cell,
+          CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 2 END AS seq
+        FROM n),
+      o2 AS (SELECT vec_id, nv, cell, seq,
+          CASE cell WHEN 0 THEN nv[1] WHEN 1 THEN nv[2] ELSE nv[3] END
+            AS csim
+        FROM o)
+      SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+        CAST(a.seq AS INTEGER) AS seq
+      FROM o2 a WHERE NOT EXISTS (SELECT 1 FROM o2 b
+        WHERE b.cell = a.cell
+          AND (b.seq < a.seq OR (b.seq = a.seq
+            AND (b.csim < a.csim
+              OR (b.csim = a.csim AND b.vec_id < a.vec_id))))
+          AND list_dot_product(a.nv, b.nv) >= 0.35)"""))
+
+  private val stagedSemStreamDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Streaming semantic ingest (q249's family driven through
+    * Structured Streaming — the fourth row of the streaming ×
+    * persisted-artifact matrix): the embedding corpus arrives as two
+    * pinned-order micro-batches (evens bootstrap the store with the
+    * basis-centroid model, odds ingest as seq 2), and the output is
+    * the VERDICT LOG itself — every doc's (cell, seq, kept) across
+    * both batch partitions, exactly-once under replay because each
+    * partition is a pure function of (store state, batch id set). The
+    * oracle recomputes arrival-order dominance over the full corpus in
+    * SQL; a wrong verdict, a dropped doc, a wrong seq, or a
+    * double-written partition all change rows and fail the hash. */
+  private val q250 = Q("q250_semantic_streaming_ingest",
+    (s, d) => {
+      def basis(i: Int) = Array.tabulate(64)(j => if (j == i) 1.0 else 0.0)
+      val dir = Queries.stagedSemStreamDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_sem_stream_${Queries.stagingSuffix(d)}")
+        org.apache.commons.io.FileUtils.deleteDirectory(f)
+        val in = new java.io.File(f, "in"); in.mkdirs()
+        val e = embeddings(s, d).select(col("vec_id"), col("embedding"))
+        val t0 = System.currentTimeMillis()
+        Queries.stageStreamFile(
+          e.where(col("vec_id") % 2 === 0), in, "a_even", t0)
+        Queries.stageStreamFile(
+          e.where(col("vec_id") % 2 === 1), in, "b_odd", t0 + 2000)
+        val rawSchema = s.read.parquet(in.getAbsolutePath).schema
+        val stream = s.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in.getAbsolutePath)
+        Queries.withStreamingParallelism(s) {
+          graft.streaming.ArtifactStreams.semanticIngest(stream,
+            "vec_id", "embedding", s"$f/store", s"$f/verdicts", s"$f/ckpt",
+            tau = 0.35, model = Some(graft.operators.IvfIndex.Model(
+              Array(basis(0), basis(1), basis(2)))))
+        }
+        f
+      })
+      s.read.parquet(s"${dir.getAbsolutePath}/verdicts")
+        .select(col("doc").as("vec_id"), col("cell"), col("seq"),
+          col("kept"))
+    },
+    Some("""WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+      n AS (SELECT vec_id,
+          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+        FROM c),
+      o AS (SELECT vec_id, nv,
+          CASE WHEN nv[1] >= nv[2] AND nv[1] >= nv[3] THEN 0
+               WHEN nv[2] >= nv[3] THEN 1 ELSE 2 END AS cell,
+          CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 2 END AS seq
+        FROM n),
+      o2 AS (SELECT vec_id, nv, cell, seq,
+          CASE cell WHEN 0 THEN nv[1] WHEN 1 THEN nv[2] ELSE nv[3] END
+            AS csim
+        FROM o)
+      SELECT a.vec_id, CAST(a.cell AS INTEGER) AS cell,
+        CAST(a.seq AS INTEGER) AS seq,
+        NOT EXISTS (SELECT 1 FROM o2 b
+          WHERE b.cell = a.cell
+            AND (b.seq < a.seq OR (b.seq = a.seq
+              AND (b.csim < a.csim
+                OR (b.csim = a.csim AND b.vec_id < a.vec_id))))
+            AND list_dot_product(a.nv, b.nv) >= 0.35) AS kept
+      FROM o2 a"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -8810,7 +8942,7 @@ object Queries {
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229,
     q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240,
-    q241, q242, q243, q244, q245, q246, q247, q248)
+    q241, q242, q243, q244, q245, q246, q247, q248, q249, q250)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -1,0 +1,453 @@
+package graft.operators
+
+import graft.functions.VectorNative
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted SEMANTIC dedup store — [[SemDeDup]]'s cluster-confined
+  * cosine dominance turned into the fourth lifecycle artifact family
+  * (after the MinHash signature store, the IVF index, and the BM25
+  * stats): a growing corpus of embeddings is deduped semantically one
+  * delta batch at a time against everything previously ingested,
+  * with the same verbs (save / ingest / purge / compact / vacuum),
+  * the same reader-isolation manifest ([[StoreSwap]] — copy-on-write
+  * mutations, ONE flip per verb, CAS-committed), and the same
+  * snapshot-read surface (`asOfVersion`) as the other three.
+  *
+  * The store holds EVERY ingested example — kept and dropped alike —
+  * and keep/drop is always DERIVED from current membership, never
+  * persisted: an example is kept iff no EARLIER example in its cell is
+  * `tau`-similar, where the arrival order is the lexicographic
+  * (seq, csim, id) — `seq` is the batch's commit version (save = the
+  * first, every ingest the next), and within a batch the order is
+  * [[SemDeDup]]'s own (centroid-cosine asc, id asc). Dominance counts
+  * dropped examples as dominators too, exactly as [[SemDeDup.dedup]]'s
+  * order-free anti-join does — so the derive is ONE anti-join, and a
+  * PURGE (which removes examples from membership) automatically
+  * re-admits anything only its purged dominators suppressed. Storing
+  * the dropped examples is what buys that: a kept-only store could
+  * never answer "who becomes kept once this takedown lands".
+  *
+  * Centroids are fixed at save time (the IVF contract: mutating cells
+  * invalidates every stored assignment); csim and the cell are
+  * computed ONCE per example, at ingest, and persisted — reads never
+  * re-touch raw vectors.
+  *
+  * Layout under `path`:
+  *  - `centroids/`: (cell, centroid) — k tiny rows, L2-NORMALIZED;
+  *  - `vectors/`: (doc, nv, csim, seq) partitioned by `cell` — the
+  *    example store; nv is the normalized vector (all similarity is
+  *    dot-on-normalized);
+  *  - `idmap/`: (doc, cell, seq) partitioned by the id-derived bucket
+  *    `pb` — the PURGE/SEEN AUTHORITY: membership and cell routing
+  *    from ids alone, no scan of `vectors/`.
+  *
+  * Scale shape (100 TB corpus): the quadratic compare is confined to
+  * cells (the paper's k ≈ corpus/10⁴ sizing; the same loud
+  * [[SemDeDup.DefaultMaxCellPairs]] mass guard refuses a skewed
+  * model), every per-batch read is partition-pruned — the seen-probe
+  * to the batch ids' pb buckets, the compare to the batch's TOUCHED
+  * cells — and purge routes from `idmap/` without touching
+  * unaffected cell partitions. Bytes read per ingest scale with the
+  * delta and its touched cells, not the store. */
+object SemanticStore {
+
+  /** Id-bucket count for `idmap/` — the same delete-path routing as
+    * [[Dedup.NStoreBuckets]]. */
+  val NIdBuckets: Int = 64
+
+  private def idBucket(doc: Column, n: Int): Column =
+    pmod(graft.functions.StableId63.stableId63(doc.cast("string")),
+      lit(n.toLong))
+
+  private def requireStore(fs: org.apache.hadoop.fs.FileSystem,
+                           path: String, verb: String): (Int, Seq[String]) =
+    StoreSwap.latestManifest(fs, path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$verb: $path is not a SemanticStore layout (no store manifest)"))
+
+  /** True iff `path` holds a committed semantic store. */
+  def ready(spark: SparkSession, path: String): Boolean =
+    StoreSwap.latestManifest(StoreSwap.fsOf(spark, path), path).nonEmpty
+
+  /** Retained manifest versions, oldest first — the snapshot surface. */
+  def versions(spark: SparkSession, path: String): Seq[Int] =
+    StoreSwap.manifestVersions(StoreSwap.fsOf(spark, path), path)
+
+  // -- layout file: pb count persisted at save so every verb routes
+  //    with the counts the data was written with (the Dedup pattern) --
+  private def writeLayout(fs: org.apache.hadoop.fs.FileSystem,
+                          path: String, pbN: Int): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_layout"), true)
+    try out.write(s"pb=$pbN\n".getBytes("UTF-8")) finally out.close()
+  }
+
+  private def layoutPbN(fs: org.apache.hadoop.fs.FileSystem,
+                        path: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_layout")
+    if (!fs.exists(p)) return NIdBuckets
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    text.linesIterator.map(_.trim).collectFirst {
+      case l if l.startsWith("pb=") => l.stripPrefix("pb=").toInt
+    }.getOrElse(NIdBuckets)
+  }
+
+  private def pruneParts(df: DataFrame, partCol: String,
+                         touched: Seq[Long], total: Int): DataFrame =
+    if (touched.length >= total) df
+    else df.where(col(partCol).isin(touched: _*))
+
+  /** Normalized assignment of an embedding frame against normalized
+    * centroids: (doc, nv, cell, csim) — [[SemDeDup.dedup]]'s slim
+    * frame with stable names. csim rides a when-chain on the
+    * already-computed cell (one dot per row, not k — the argmin paid
+    * the k-dot scan), the same bounded-literal-centroids envelope as
+    * SemDeDup itself. */
+  private def assignSlim(emb: DataFrame, idCol: String, vecCol: String,
+                         cents: Seq[Array[Double]]): DataFrame = {
+    val nv = VectorNative.l2Normalize(col(vecCol).cast("array<double>"))
+    val csim: Column = cents.zipWithIndex.tail
+      .foldLeft(when(col("cell") === 0,
+        VectorNative.dotProduct(col("nv"), typedlit(cents.head.toSeq)))) {
+        case (acc, (c, i)) => acc.when(col("cell") === i,
+          VectorNative.dotProduct(col("nv"), typedlit(c.toSeq)))
+      }
+    emb.select(col(idCol).as("doc"), nv.as("nv"),
+        VectorNative.nearestCentroid(nv, cents).as("cell"))
+      .withColumn("csim", csim)
+  }
+
+  private def normalizedCentroids(model: IvfIndex.Model): Seq[Array[Double]] =
+    model.centroids.map { c =>
+      val n = math.sqrt(c.map(x => x * x).sum)
+      require(n > 0.0, "SemanticStore: zero-vector centroid")
+      c.map(_ / n)
+    }.toSeq
+
+  /** Create the store from a bootstrap corpus: centroids persisted
+    * normalized, every example assigned once (seq = the committing
+    * version), the manifest flip is the single commit point (a torn
+    * save reads as no store — [[ready]] — and is simply re-run). */
+  def save(emb: DataFrame, idCol: String, vecCol: String, path: String,
+           model: IvfIndex.Model, idBuckets: Int = NIdBuckets): Unit = {
+    require(idBuckets >= 1, s"SemanticStore.save: idBuckets < 1: $idBuckets")
+    val spark = emb.sparkSession
+    val fs = StoreSwap.fsOf(spark, path)
+    val cents = normalizedCentroids(model)
+    val version = StoreSwap.manifestVersions(fs, path).lastOption.getOrElse(0) + 1
+    writeLayout(fs, path, idBuckets)
+    import spark.implicits._
+    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    // one row per id (the family contract); a batch that repeats an id
+    // keeps one arbitrary copy rather than corrupting the store
+    val slim = assignSlim(emb, idCol, vecCol, cents)
+      .dropDuplicates("doc").withColumn("seq", lit(version))
+    slim.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
+    slim.select(col("doc"), col("cell"), col("seq"),
+        idBucket(col("doc"), idBuckets).as("pb"))
+      .repartition(col("pb"))
+      .write.mode("overwrite").partitionBy("pb").parquet(s"$path/idmap")
+    StoreSwap.commitManifest(fs, path, version,
+      Seq("centroids", "vectors", "idmap")
+        .flatMap(StoreSwap.listDirFiles(fs, path, _)))
+  }
+
+  private def readDir(spark: SparkSession, path: String, dir: String,
+                      mfFiles: Seq[String]): DataFrame =
+    StoreSwap.readStoreDir(spark, path, dir, mfFiles)
+
+  private def loadCentroids(spark: SparkSession, path: String,
+                            mfFiles: Seq[String]): Seq[Array[Double]] = {
+    val cents = readDir(spark, path, "centroids", mfFiles)
+      .select(col("cell").cast("int"), col("centroid").cast("array<double>"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1)
+    require(cents.map(_._1).toSeq == cents.indices.toSeq,
+      s"SemanticStore: non-contiguous cell ids in $path/centroids")
+    cents.map(_._2).toSeq
+  }
+
+  // vectors/ read with typed columns (cell is the partition column)
+  private def vectorsOf(spark: SparkSession, path: String,
+                        mfFiles: Seq[String]): DataFrame =
+    readDir(spark, path, "vectors", mfFiles)
+      .select(col("doc"), col("nv").cast("array<double>"),
+        col("csim").cast("double"), col("seq").cast("int"),
+        col("cell").cast("int"))
+
+  private def idmapOf(spark: SparkSession, path: String,
+                      mfFiles: Seq[String]): DataFrame =
+    readDir(spark, path, "idmap", mfFiles)
+      .select(col("doc"), col("cell").cast("int"), col("seq").cast("int"),
+        col("pb").cast("long"))
+
+  /** "b dominates a": b is strictly earlier in the (seq, csim, id)
+    * arrival order. Cell equality and the `tau` dot ride alongside at
+    * the join. */
+  private def earlier(aSeq: Column, aCsim: Column, aDoc: Column,
+                      bSeq: Column, bCsim: Column, bDoc: Column): Column =
+    bSeq < aSeq || (bSeq === aSeq &&
+      (bCsim < aCsim || (bCsim === aCsim && bDoc < aDoc)))
+
+  private def maybeBroadcast(df: DataFrame): DataFrame =
+    if (IvfIndex.fitsBroadcast(df, IvfIndex.MaxBroadcastQueries))
+      broadcast(df) else df
+
+  /** Ingest a delta batch: already-seen ids are SKIPPED (idempotent —
+    * the seen-probe reads the current manifest, so a torn append
+    * re-runs cleanly), fresh examples are assigned once against the
+    * STORE's centroids and appended copy-on-write behind ONE flip, and
+    * the returned frame is [[verdictsForIds]] over the batch's ids —
+    * a pure function of (store state, id set), so a REPLAYED batch
+    * returns the identical verdicts (the exactly-once contract the
+    * streaming pair log established; same design, applied here from
+    * the start).
+    *
+    * Returns (doc, cell, csim, seq, kept): `kept = false` means some
+    * earlier-ordered same-cell example is `tau`-similar — semantic
+    * duplicate; the caller's policy decides what to do with it, as
+    * everywhere in the dedup family. */
+  def ingest(batch: DataFrame, idCol: String, vecCol: String, path: String,
+             tau: Double,
+             maxCellPairs: Long = SemDeDup.DefaultMaxCellPairs): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"SemanticStore.ingest: tau: $tau")
+    val spark = batch.sparkSession
+    val fs = StoreSwap.fsOf(spark, path)
+    val (mfVersion, mfFiles) = requireStore(fs, path, "SemanticStore.ingest")
+    val pbN = layoutPbN(fs, path)
+    val cents = loadCentroids(spark, path, mfFiles)
+    // seen-probe: idmap pruned to the batch ids' own buckets
+    val batchIds = batch.select(col(idCol)).distinct().localCheckpoint()
+    val batchPbs = batchIds.select(idBucket(col(idCol), pbN).as("pb"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val seen = pruneParts(idmapOf(spark, path, mfFiles), "pb", batchPbs, pbN)
+      .select(col("doc"))
+      .join(maybeBroadcast(batchIds), col("doc") === col(idCol), "left_semi")
+      .distinct().localCheckpoint()
+    val fresh = batch.join(maybeBroadcast(seen),
+      batch(idCol) === seen("doc"), "left_anti")
+    val slim = assignSlim(fresh, idCol, vecCol, cents)
+      .dropDuplicates("doc")
+      .withColumn("seq", lit(mfVersion + 1)).localCheckpoint()
+    // cell-mass guard BEFORE any compare or write: Σ over the delta's
+    // touched cells of |delta∩cell| · |cell after append| — the cost of
+    // the verdict compare this ingest commits the store to
+    val freshCounts = slim.groupBy(col("cell")).agg(count(lit(1)).as("fn"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (freshCounts.nonEmpty) {
+      val touched = freshCounts.keys.map(_.toLong).toSeq.sorted
+      val storeCounts =
+        pruneParts(vectorsOf(spark, path, mfFiles), "cell", touched,
+            cents.length)
+          .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val mass = freshCounts.map { case (c, fn) =>
+        fn * (storeCounts.getOrElse(c, 0L) + fn) }.sum
+      if (mass > maxCellPairs)
+        throw new IllegalArgumentException(
+          s"SemanticStore.ingest: delta-vs-cell compare mass $mass " +
+            s"ordered pairs exceeds maxCellPairs=$maxCellPairs. Train " +
+            "more cells (k ≈ corpus/10⁴) or split the batch.")
+      // append copy-on-write: staged, moved in under batch-unique
+      // names, ONE flip
+      val tag = s"a${java.util.UUID.randomUUID().toString.take(8)}_"
+      def stage(df: DataFrame, partCol: String, dir: String): Seq[String] = {
+        val tmpRoot = new org.apache.hadoop.fs.Path(path, s".ingest_stage_$dir")
+        fs.delete(tmpRoot, true)
+        df.repartition(col(partCol))
+          .write.mode("overwrite").partitionBy(partCol).parquet(tmpRoot.toString)
+        StoreSwap.moveStagedIn(fs, path, dir, tmpRoot, tag)
+      }
+      val added = stage(slim, "cell", "vectors") ++
+        stage(slim.select(col("doc"), col("cell"), col("seq"),
+          idBucket(col("doc"), pbN).as("pb")), "pb", "idmap")
+      StoreSwap.commitManifest(fs, path, mfVersion + 1, mfFiles ++ added)
+    }
+    verdictsForIds(spark, path, batchIds, idCol, tau,
+      maxCellPairs = maxCellPairs)
+  }
+
+  /** Keep/drop verdicts for an id set, derived from the store alone:
+    * (doc, cell, csim, seq, kept) for every listed id the store holds
+    * (ids never ingested, or purged, are absent — membership follows
+    * the store authority). `kept = false` iff some earlier-ordered
+    * same-cell member is `tau`-similar. Every scan is pruned by the
+    * ids: `idmap/` to their pb buckets, `vectors/` to their cells. */
+  def verdictsForIds(spark: SparkSession, path: String, ids: DataFrame,
+                     idCol: String, tau: Double,
+                     asOfVersion: Option[Int] = None,
+                     maxCellPairs: Long = SemDeDup.DefaultMaxCellPairs)
+  : DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"SemanticStore.verdictsForIds: tau: $tau")
+    val fs = StoreSwap.fsOf(spark, path)
+    val (_, mfFiles) = asOfVersion
+      .map(v => StoreSwap.manifestAt(fs, path, v))
+      .getOrElse(requireStore(fs, path, "SemanticStore.verdictsForIds"))
+    val pbN = layoutPbN(fs, path)
+    val k = loadCentroids(spark, path, mfFiles).length
+    val idFrame = ids.select(col(idCol).as("doc")).distinct().localCheckpoint()
+    val idPbs = idFrame.select(idBucket(col("doc"), pbN).as("pb"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    val touched = pruneParts(idmapOf(spark, path, mfFiles), "pb", idPbs, pbN)
+      .join(maybeBroadcast(idFrame), Seq("doc"), "left_semi")
+      .select(col("cell")).distinct()
+      .collect().map(_.getInt(0).toLong).sorted.toSeq
+    if (touched.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc",
+            ids.schema(idCol).dataType),
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("csim",
+            org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("seq",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("kept",
+            org.apache.spark.sql.types.BooleanType))))
+    val cellRows = pruneParts(vectorsOf(spark, path, mfFiles), "cell",
+      touched, k).localCheckpoint()
+    val aRows = cellRows.join(maybeBroadcast(idFrame), Seq("doc"), "left_semi")
+    // mass guard: Σ per touched cell |ids∩cell| · |cell|
+    val aCounts = aRows.groupBy(col("cell")).agg(count(lit(1)).as("an"))
+    val bCounts = cellRows.groupBy(col("cell")).agg(count(lit(1)).as("bn"))
+    val mass = aCounts.join(bCounts, Seq("cell"))
+      .agg(coalesce(sum(col("an") * col("bn")), lit(0L))).head().getLong(0)
+    require(mass <= maxCellPairs,
+      s"SemanticStore.verdictsForIds: compare mass $mass exceeds " +
+        s"maxCellPairs=$maxCellPairs. Train more cells or split the ids.")
+    val b = cellRows.select(col("doc").as("b_doc"), col("nv").as("b_nv"),
+      col("csim").as("b_csim"), col("seq").as("b_seq"),
+      col("cell").as("b_cell"))
+    val dominated = aRows.join(b,
+        col("b_cell") === col("cell") &&
+          earlier(col("seq"), col("csim"), col("doc"),
+            col("b_seq"), col("b_csim"), col("b_doc")) &&
+          VectorNative.dotProduct(col("nv"), col("b_nv")) >= lit(tau),
+        "left_semi")
+      .select(col("doc")).withColumn("kept", lit(false))
+    aRows.select(col("doc"), col("cell"), col("csim"), col("seq"))
+      .join(dominated, Seq("doc"), "left_outer")
+      .withColumn("kept", coalesce(col("kept"), lit(true)))
+  }
+
+  /** The full surviving set, derived from the store alone — the
+    * whole-store analog of [[verdictsForIds]] (one cell-keyed
+    * anti-join, [[SemDeDup.dedup]]'s shape over persisted
+    * assignments): (doc, cell, csim, seq) of every member no
+    * earlier-ordered same-cell member `tau`-dominates. `asOfVersion`
+    * pins a snapshot — e.g. the pre-purge survivors after a takedown
+    * landed. The same Σ|cell|·(|cell|−1) guard as [[SemDeDup.dedup]]
+    * refuses a store whose cells outgrew the quadratic budget. */
+  def deriveSurvivors(spark: SparkSession, path: String, tau: Double,
+                      asOfVersion: Option[Int] = None,
+                      maxCellPairs: Long = SemDeDup.DefaultMaxCellPairs)
+  : DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"SemanticStore.deriveSurvivors: tau: $tau")
+    val fs = StoreSwap.fsOf(spark, path)
+    val (_, mfFiles) = asOfVersion
+      .map(v => StoreSwap.manifestAt(fs, path, v))
+      .getOrElse(requireStore(fs, path, "SemanticStore.deriveSurvivors"))
+    val rows = vectorsOf(spark, path, mfFiles).localCheckpoint()
+    val mass = rows.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(col("n") * (col("n") - lit(1L))), lit(0L)))
+      .head().getLong(0)
+    require(mass <= maxCellPairs,
+      s"SemanticStore.deriveSurvivors: within-cell mass $mass exceeds " +
+        s"maxCellPairs=$maxCellPairs. Train more cells (k ≈ corpus/10⁴).")
+    val b = rows.select(col("doc").as("b_doc"), col("nv").as("b_nv"),
+      col("csim").as("b_csim"), col("seq").as("b_seq"),
+      col("cell").as("b_cell"))
+    rows.join(b,
+        col("b_cell") === col("cell") &&
+          earlier(col("seq"), col("csim"), col("doc"),
+            col("b_seq"), col("b_csim"), col("b_doc")) &&
+          VectorNative.dotProduct(col("nv"), col("b_nv")) >= lit(tau),
+        "left_anti")
+      .select(col("doc"), col("cell"), col("csim"), col("seq"))
+  }
+
+  /** Forget purged ids — the takedown verb. Routing is from the ids
+    * alone via `idmap/` (pb-pruned membership probe names the touched
+    * pb buckets AND cells); only affected partitions rewrite,
+    * copy-on-write behind ONE flip. Because keep/drop is derived, a
+    * purge automatically RE-ADMITS examples only the purged docs
+    * dominated — no re-scoring pass, the next [[deriveSurvivors]] /
+    * [[verdictsForIds]] just sees different membership. Unknown ids
+    * are a REAL no-op (no write, no flip). Idempotent: re-running
+    * after any crash redoes the purge from the committed manifest.
+    *
+    * @return number of purged docs that were actually in the store. */
+  def purge(spark: SparkSession, path: String, ids: DataFrame,
+            idCol: String): Long = {
+    import org.apache.hadoop.fs.Path
+    val fs = StoreSwap.fsOf(spark, path)
+    val (mfVersion, mfFiles) = requireStore(fs, path, "SemanticStore.purge")
+    val pbN = layoutPbN(fs, path)
+    val k = loadCentroids(spark, path, mfFiles).length
+    val purgeKeys = ids.select(col(idCol).cast("string").as("__purge_id"))
+      .distinct().localCheckpoint()
+    val pbsAll = purgeKeys.select(idBucket(col("__purge_id"), pbN).as("pb"))
+      .distinct().collect().map(_.getLong(0)).sorted.toSeq
+    if (pbsAll.isEmpty) return 0L
+    // membership probe: which (pb, cell) actually hold a purged doc
+    val matched = pruneParts(idmapOf(spark, path, mfFiles), "pb", pbsAll, pbN)
+      .join(broadcast(purgeKeys),
+        col("doc").cast("string") === col("__purge_id"), "left_semi")
+      .groupBy(col("pb"), col("cell")).agg(count(lit(1)).as("n"))
+      .collect()
+    if (matched.isEmpty) return 0L
+    val pbs = matched.map(_.getLong(0)).distinct.sorted.toSeq
+    val cellsTouched = matched.map(_.getInt(1).toLong).distinct.sorted.toSeq
+    val gone = matched.map(_.getLong(2)).sum
+    val tag = s"p${java.util.UUID.randomUUID().toString.take(8)}_"
+    def rewrite(dir: String, partCol: String, parts: Seq[Long],
+                total: Int): Seq[String] = {
+      val tmpRoot = new Path(path, s".purge_stage_$dir")
+      fs.delete(tmpRoot, true)
+      pruneParts(readDir(spark, path, dir, mfFiles), partCol, parts, total)
+        .join(broadcast(purgeKeys),
+          col("doc").cast("string") === col("__purge_id"), "left_anti")
+        .repartition(parts.size, col(partCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(tmpRoot.toString)
+      StoreSwap.moveStagedIn(fs, path, dir, tmpRoot, tag)
+    }
+    val rewritten = rewrite("vectors", "cell", cellsTouched, k) ++
+      rewrite("idmap", "pb", pbs, pbN)
+    val dropPrefixes = cellsTouched.map(c => s"vectors/cell=$c/") ++
+      pbs.map(p => s"idmap/pb=$p/")
+    StoreSwap.commitManifest(fs, path, mfVersion + 1,
+      mfFiles.filterNot(f => dropPrefixes.exists(f.startsWith)) ++ rewritten)
+    gone
+  }
+
+  /** Fold accumulated per-ingest file-sets (one file per touched
+    * partition per batch) — maintenance verb, ends with [[vacuum]]
+    * (same no-pinned-readers rule as every compaction). */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    requireStore(StoreSwap.fsOf(spark, path), path, "SemanticStore.compact")
+    StoreSwap.compactManifested(spark, path,
+      Seq("vectors" -> "cell", "idmap" -> "pb"),
+      "SemanticStore.compact", targetBytes)
+    vacuum(spark, path)
+  }
+
+  /** Drop every file no retained manifest lists — the retention verb
+    * ([[Dedup.vacuumMinhashStore]]'s `keepVersions` window applies).
+    *
+    * @return number of data files deleted. */
+  def vacuum(spark: SparkSession, path: String,
+             keepVersions: Int = 1): Long = {
+    requireStore(StoreSwap.fsOf(spark, path), path, "SemanticStore.vacuum")
+    StoreSwap.vacuumManifested(spark, path,
+      Seq("centroids", "vectors", "idmap"), "SemanticStore.vacuum",
+      keepVersions)
+  }
+}

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import graft.operators.{IvfIndex, TextSearch}
+import graft.operators.{IvfIndex, SemanticStore, TextSearch}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Continuous ingest for the OTHER two persisted artifact families —
@@ -88,6 +89,61 @@ object ArtifactStreams {
             IvfIndex.assign(batch, idCol, vecCol, model), indexPath)
         }
         ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
+  /** One micro-batch of [[semanticIngest]] — factored so specs can
+    * drive a REPLAY through the production path. */
+  private[graft] def semanticBatch(batch: DataFrame, batchId: Long,
+                                   idCol: String, vecCol: String,
+                                   storePath: String, verdictsPath: String,
+                                   tau: Double,
+                                   model: Option[IvfIndex.Model],
+                                   k: Int, sampleSize: Int,
+                                   iters: Int): Unit = {
+    val spark = batch.sparkSession
+    val verdicts =
+      if (SemanticStore.ready(spark, storePath))
+        SemanticStore.ingest(batch, idCol, vecCol, storePath, tau)
+      else {
+        val m = model.getOrElse(
+          IvfIndex.train(batch, idCol, vecCol, k, sampleSize, iters))
+        SemanticStore.save(batch, idCol, vecCol, storePath, m)
+        SemanticStore.verdictsForIds(spark, storePath,
+          batch.select(col(idCol)), idCol, tau)
+      }
+    verdicts.write.mode("overwrite").parquet(s"$verdictsPath/batch=$batchId")
+  }
+
+  /** Grow a persisted SEMANTIC dedup store ([[SemanticStore]]'s
+    * layout) from an embedding stream — the fourth family completing
+    * the streaming × persisted-artifact matrix. The first batch
+    * creates the store (centroids from `model` when given, else
+    * trained on the batch with [[IvfIndex.train]]'s deterministic
+    * protocol and FROZEN thereafter — the IVF contract); every later
+    * batch rides [[SemanticStore.ingest]].
+    *
+    * Exactly-once, BOTH sides, with no batch tagging needed: the
+    * store side skips seen ids (a replayed batch appends nothing and
+    * commits no version), and the verdict log partition
+    * `verdictsPath/batch=<id>/` is [[SemanticStore.verdictsForIds]]
+    * over the batch's ids — a pure function of (store state, id set),
+    * so a replay rewrites identical content (the exactly-once pair-log
+    * design, inherited wholesale). */
+  def semanticIngest(vecs: DataFrame, idCol: String, vecCol: String,
+                     storePath: String, verdictsPath: String,
+                     checkpointDir: String, tau: Double,
+                     model: Option[IvfIndex.Model] = None,
+                     k: Int = 16, sampleSize: Int = 2000, iters: Int = 8,
+                     availableNow: Boolean = true): StreamingQuery = {
+    require(vecs.isStreaming, "semanticIngest: vecs must be a streaming frame")
+    val writer = vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        semanticBatch(batch, batchId, idCol, vecCol, storePath,
+          verdictsPath, tau, model, k, sampleSize, iters)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
