@@ -136,6 +136,68 @@ object IndexOpsScale {
     timed("ivf rebuildIndex(k=16)") {
       graft.operators.IvfIndex.rebuildIndex(spark, s"$base/ivf", 16)
     }
+    // Semantic store (family 4): verb wall-times at a replicated
+    // corpus, then the read-pruning measure — a small ingest delta's
+    // bytesRead vs the full-store derive. Two honesty notes. (1) The
+    // listener's bytesRead includes localCheckpoint BLOCK reads (the
+    // dominant term here — uncompressed row blocks re-read by the join
+    // sides), so the number tracks total rows TOUCHED, which is
+    // exactly the proportionality claim. (2) Pruning is
+    // fraction-of-cells (touched/k of `vectors/` plus touched-pb of
+    // `idmap/`), so the claim is the RATIO to the full-store derive,
+    // not flatness: per-cell row counts grow with the store unless k
+    // is scaled with the corpus (the mass guard's k ≈ corpus/10⁴
+    // sizing, which also keeps the within-cell quadratic bounded).
+    def embCorpus(copies: Int) = (0 until copies)
+      .map(c => emb.select((col("vec_id") + c.toLong * 10000000L)
+        .as("vec_id"), col("embedding")))
+      .reduce(_ unionAll _).localCheckpoint()
+    Seq(10, 40).foreach { copies =>
+      val store = s"$base/sem_x$copies"
+      val corpusC = embCorpus(copies)
+      val semModel = graft.operators.IvfIndex.train(
+        corpusC, "vec_id", "embedding", 64)
+      timed(s"semantic save(${copies}x corpus, k=64)") {
+        graft.operators.SemanticStore.save(corpusC, "vec_id", "embedding",
+          store, semModel)
+      }
+      println(f"[indexops] semantic ${copies}x store on disk " +
+        f"${org.apache.commons.io.FileUtils.sizeOfDirectory(
+          new java.io.File(store)) / 1048576.0}%.1f MiB")
+      val semDelta = emb.limit(4)
+        .select((col("vec_id") + 900000000L).as("vec_id"), col("embedding"))
+        .localCheckpoint()
+      measuredBytes(s"semantic ingest(4-vector delta, ${copies}x store)") {
+        graft.operators.SemanticStore.ingest(semDelta, "vec_id",
+          "embedding", store, 0.9)
+          .write.format("noop").mode("overwrite").save()
+      }
+      // the guard is part of the measurement: growing the corpus 4x
+      // without more cells trips the within-cell mass refusal (the
+      // k ≈ corpus/10⁴ contract); the full derive then runs with the
+      // deliberate override, exactly like SemDedupScale's worst case
+      try graft.operators.SemanticStore.deriveSurvivors(spark, store, 0.9)
+        .write.format("noop").mode("overwrite").save()
+      catch { case e: IllegalArgumentException =>
+        println(s"[indexops] semantic derive(${copies}x) guard trip: " +
+          e.getMessage.takeWhile(_ != '.'))
+      }
+      measuredBytes(s"semantic deriveSurvivors(full, ${copies}x store, " +
+        "guard overridden)") {
+        graft.operators.SemanticStore.deriveSurvivors(spark, store, 0.9,
+            maxCellPairs = Long.MaxValue)
+          .write.format("noop").mode("overwrite").save()
+      }
+      timed(s"semantic purge(a 1/7 takedown, ${copies}x store)") {
+        val n = graft.operators.SemanticStore.purge(spark, store,
+          corpusC.where(col("vec_id") % 7 === 0).select(col("vec_id")),
+          "vec_id")
+        println(s"[indexops]   purged=$n")
+      }
+      timed(s"semantic compact+vacuum(${copies}x store)") {
+        graft.operators.SemanticStore.compact(spark, store)
+      }
+    }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))
     spark.stop()
   }

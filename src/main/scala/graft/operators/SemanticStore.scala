@@ -31,7 +31,14 @@ import org.apache.spark.sql.functions._
   * Centroids are fixed at save time (the IVF contract: mutating cells
   * invalidates every stored assignment); csim and the cell are
   * computed ONCE per example, at ingest, and persisted — reads never
-  * re-touch raw vectors.
+  * re-touch raw vectors. There is deliberately NO retrain/rebuild
+  * verb (the one verb [[IvfIndex]] has that this family does not):
+  * csim is part of the ARRIVAL ORDER, so retraining centroids would
+  * rewrite history — verdicts already acted on (docs dropped from a
+  * training set, takedowns justified by a dominator) would silently
+  * flip. A store whose geometry went stale is replaced by building a
+  * NEW store at a new path from the surviving corpus, an explicit
+  * migration, not an in-place mutation.
   *
   * Layout under `path`:
   *  - `centroids/`: (cell, centroid) — k tiny rows, L2-NORMALIZED;
