@@ -8812,6 +8812,10 @@ object Queries {
       val dir = Queries.stagedSemStoreDir.computeIfAbsent(d, _ => {
         val f = new java.io.File(System.getProperty("java.io.tmpdir"),
           s"graft_sem_store_${Queries.stagingSuffix(d)}")
+        // the output carries seq = manifest VERSION, and versions
+        // continue past any prior store at this path — a leftover from
+        // an earlier run would shift every seq and fail the oracle
+        org.apache.commons.io.FileUtils.deleteDirectory(f)
         val e = embeddings(s, d)
         val m = graft.operators.IvfIndex.Model(
           Array(basis(0), basis(1), basis(2)))

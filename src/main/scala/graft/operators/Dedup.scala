@@ -276,8 +276,7 @@ object Dedup {
       s"pairsForIds: $storePath is not a saveMinhashStore layout")
     val (pbN, bbN) = storeLayout(fs, storePath)
     def maybeBroadcast(df: DataFrame): DataFrame =
-      if (IvfIndex.fitsBroadcast(df, IvfIndex.MaxBroadcastQueries))
-        broadcast(df) else df
+      StoreSwap.maybeBroadcast(df)
     val idFrame = ids.select(col(idCol).as("doc")).distinct().localCheckpoint()
     val idPbs = idFrame.select(storeBucket(col("doc"), pbN).as("pb"))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
@@ -339,8 +338,7 @@ object Dedup {
     * touches without scanning anything, and rewrites only those. */
   val NStoreBuckets: Int = 64
   private def storeBucket(doc: Column, n: Int): Column =
-    pmod(graft.functions.StableId63.stableId63(doc.cast("string")),
-      lit(n.toLong))
+    StoreSwap.idBucket(doc, n)
 
   /** The band-keyed projection's partitioning: `bandidx/` is partitioned
     * by `bb = hash(band, bucket) mod bandBuckets`, computable from a
@@ -368,31 +366,20 @@ object Dedup {
     * test scale; legacy stores without the file read as 64/64, which
     * is what they were written with. */
   private def writeStoreLayout(fs: org.apache.hadoop.fs.FileSystem,
-                               path: String, pbN: Int, bbN: Int): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_layout"), true)
-    try out.write(s"pb=$pbN\nbb=$bbN\n".getBytes("UTF-8"))
-    finally out.close()
-  }
+                               path: String, pbN: Int, bbN: Int): Unit =
+    StoreSwap.writeLayout(fs, path, Seq("pb" -> pbN, "bb" -> bbN))
 
   private def storeLayout(fs: org.apache.hadoop.fs.FileSystem,
                           path: String): (Int, Int) = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_layout")
-    if (!fs.exists(p)) return (NStoreBuckets, NBandBuckets)
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    val kv = text.linesIterator.map(_.trim).filter(_.contains("="))
-      .map { l => val Array(k, v) = l.split("=", 2); k -> v.toInt }.toMap
+    val kv = StoreSwap.readLayout(fs, path)
     (kv.getOrElse("pb", NStoreBuckets), kv.getOrElse("bb", NBandBuckets))
   }
 
-  /** Partition-prune a store scan to `touched` buckets — skipped when
-    * the probe touches every bucket anyway (an isin over the full
-    * bucket range prunes nothing and bloats the filter). */
+  /** Partition-prune a store scan to `touched` buckets (shared
+    * [[StoreSwap]] plumbing). */
   private def pruneBuckets(df: DataFrame, partCol: String,
                            touched: Seq[Long], total: Int): DataFrame =
-    if (touched.length >= total) df
-    else df.where(col(partCol).isin(touched: _*))
+    StoreSwap.prunePartitions(df, partCol, touched, total)
 
   // ------------------------------------------------------------------
   // Store manifest: reader isolation via copy-on-write (r14 verdict #6;
@@ -585,8 +572,7 @@ object Dedup {
       mfFiles.exists(_.startsWith("bandidx/"))
     val (pbN, bbN) = storeLayout(fsInc, storePath)
     def maybeBroadcast(df: DataFrame): DataFrame =
-      if (IvfIndex.fitsBroadcast(df, IvfIndex.MaxBroadcastQueries))
-        broadcast(df) else df
+      StoreSwap.maybeBroadcast(df)
     // seen-probe: postings scan PRUNED to the batch ids' own buckets
     // (computable from the ids alone), then filtered by the (broadcast)
     // batch ids — result is ≤ |batch| ids; the batch drops them locally

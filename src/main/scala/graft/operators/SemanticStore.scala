@@ -64,8 +64,7 @@ object SemanticStore {
   val NIdBuckets: Int = 64
 
   private def idBucket(doc: Column, n: Int): Column =
-    pmod(graft.functions.StableId63.stableId63(doc.cast("string")),
-      lit(n.toLong))
+    StoreSwap.idBucket(doc, n)
 
   private def requireStore(fs: org.apache.hadoop.fs.FileSystem,
                            path: String, verb: String): (Int, Seq[String]) =
@@ -81,30 +80,15 @@ object SemanticStore {
   def versions(spark: SparkSession, path: String): Seq[Int] =
     StoreSwap.manifestVersions(StoreSwap.fsOf(spark, path), path)
 
-  // -- layout file: pb count persisted at save so every verb routes
-  //    with the counts the data was written with (the Dedup pattern) --
-  private def writeLayout(fs: org.apache.hadoop.fs.FileSystem,
-                          path: String, pbN: Int): Unit = {
-    val out = fs.create(new org.apache.hadoop.fs.Path(s"$path/_layout"), true)
-    try out.write(s"pb=$pbN\n".getBytes("UTF-8")) finally out.close()
-  }
-
+  // layout file (shared [[StoreSwap]] plumbing): pb count persisted at
+  // save so every verb routes with the counts the data was written with
   private def layoutPbN(fs: org.apache.hadoop.fs.FileSystem,
-                        path: String): Int = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_layout")
-    if (!fs.exists(p)) return NIdBuckets
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-    text.linesIterator.map(_.trim).collectFirst {
-      case l if l.startsWith("pb=") => l.stripPrefix("pb=").toInt
-    }.getOrElse(NIdBuckets)
-  }
+                        path: String): Int =
+    StoreSwap.readLayout(fs, path).getOrElse("pb", NIdBuckets)
 
   private def pruneParts(df: DataFrame, partCol: String,
                          touched: Seq[Long], total: Int): DataFrame =
-    if (touched.length >= total) df
-    else df.where(col(partCol).isin(touched: _*))
+    StoreSwap.prunePartitions(df, partCol, touched, total)
 
   /** Normalized assignment of an embedding frame against normalized
     * centroids: (doc, nv, cell, csim) — [[SemDeDup.dedup]]'s slim
@@ -144,15 +128,20 @@ object SemanticStore {
     val fs = StoreSwap.fsOf(spark, path)
     val cents = normalizedCentroids(model)
     val version = StoreSwap.manifestVersions(fs, path).lastOption.getOrElse(0) + 1
-    writeLayout(fs, path, idBuckets)
+    StoreSwap.writeLayout(fs, path, Seq("pb" -> idBuckets))
     import spark.implicits._
     cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
     // one row per id (the family contract); a batch that repeats an id
-    // keeps one arbitrary copy rather than corrupting the store
+    // keeps one arbitrary copy rather than corrupting the store. The
+    // checkpoint pins that choice: dropDuplicates is per-evaluation
+    // nondeterministic, and the two writes below MUST see the same
+    // rows or vectors/ and idmap/ could disagree on a doc's cell
+    // (an unpurgeable phantom dominator).
     val slim = assignSlim(emb, idCol, vecCol, cents)
       .dropDuplicates("doc").withColumn("seq", lit(version))
+      .localCheckpoint()
     slim.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
     slim.select(col("doc"), col("cell"), col("seq"),
@@ -202,8 +191,7 @@ object SemanticStore {
       (bCsim < aCsim || (bCsim === aCsim && bDoc < aDoc)))
 
   private def maybeBroadcast(df: DataFrame): DataFrame =
-    if (IvfIndex.fitsBroadcast(df, IvfIndex.MaxBroadcastQueries))
-      broadcast(df) else df
+    StoreSwap.maybeBroadcast(df)
 
   /** Ingest a delta batch: already-seen ids are SKIPPED (idempotent —
     * the seen-probe reads the current manifest, so a torn append
@@ -232,34 +220,50 @@ object SemanticStore {
     val batchIds = batch.select(col(idCol)).distinct().localCheckpoint()
     val batchPbs = batchIds.select(idBucket(col(idCol), pbN).as("pb"))
       .distinct().collect().map(_.getLong(0)).sorted.toSeq
-    val seen = pruneParts(idmapOf(spark, path, mfFiles), "pb", batchPbs, pbN)
-      .select(col("doc"))
+    val seenCells = pruneParts(idmapOf(spark, path, mfFiles), "pb", batchPbs, pbN)
       .join(maybeBroadcast(batchIds), col("doc") === col(idCol), "left_semi")
-      .distinct().localCheckpoint()
+      .select(col("doc"), col("cell")).distinct().localCheckpoint()
+    val seen = seenCells.select(col("doc"))
     val fresh = batch.join(maybeBroadcast(seen),
       batch(idCol) === seen("doc"), "left_anti")
     val slim = assignSlim(fresh, idCol, vecCol, cents)
       .dropDuplicates("doc")
       .withColumn("seq", lit(mfVersion + 1)).localCheckpoint()
-    // cell-mass guard BEFORE any compare or write: Σ over the delta's
-    // touched cells of |delta∩cell| · |cell after append| — the cost of
-    // the verdict compare this ingest commits the store to
+    // cell-mass guard BEFORE any write, bounding the FULL verdict
+    // compare this call commits to — a-side is every batch id in the
+    // store after the append (seen ids included: a replayed or
+    // re-sending source still gets verdicts for them), b-side the
+    // post-append cell. Guarding on fresh ids alone could pass here
+    // and then throw inside verdictsForIds AFTER the manifest flip —
+    // a half-observable committed side effect a retry can never get
+    // past, since by then every id reads as seen.
     val freshCounts = slim.groupBy(col("cell")).agg(count(lit(1)).as("fn"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    if (freshCounts.nonEmpty) {
-      val touched = freshCounts.keys.map(_.toLong).toSeq.sorted
+    val seenCounts = seenCells.groupBy(col("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val touched = (freshCounts.keySet ++ seenCounts.keySet)
+      .map(_.toLong).toSeq.sorted
+    if (touched.nonEmpty) {
       val storeCounts =
         pruneParts(vectorsOf(spark, path, mfFiles), "cell", touched,
             cents.length)
           .groupBy(col("cell")).agg(count(lit(1)).as("n"))
           .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-      val mass = freshCounts.map { case (c, fn) =>
-        fn * (storeCounts.getOrElse(c, 0L) + fn) }.sum
+      val mass = touched.map { cL =>
+        val c = cL.toInt
+        val a = freshCounts.getOrElse(c, 0L) + seenCounts.getOrElse(c, 0L)
+        val b = storeCounts.getOrElse(c, 0L) + freshCounts.getOrElse(c, 0L)
+        a * b
+      }.sum
       if (mass > maxCellPairs)
         throw new IllegalArgumentException(
-          s"SemanticStore.ingest: delta-vs-cell compare mass $mass " +
-            s"ordered pairs exceeds maxCellPairs=$maxCellPairs. Train " +
-            "more cells (k ≈ corpus/10⁴) or split the batch.")
+          s"SemanticStore.ingest: batch-vs-cell compare mass $mass " +
+            s"ordered pairs exceeds maxCellPairs=$maxCellPairs (nothing " +
+            "was written). Train more cells (k ≈ corpus/10⁴), or raise " +
+            "maxCellPairs deliberately; splitting the batch helps only " +
+            "its fresh portion — seen ids are judged regardless.")
+    }
+    if (freshCounts.nonEmpty) {
       // append copy-on-write: staged, moved in under batch-unique
       // names, ONE flip
       val tag = s"a${java.util.UUID.randomUUID().toString.take(8)}_"
@@ -305,11 +309,15 @@ object SemanticStore {
       .select(col("cell")).distinct()
       .collect().map(_.getInt(0).toLong).sorted.toSeq
     if (touched.isEmpty)
+      // typed from the STORE's persisted doc column (not the caller's
+      // ids frame): the non-empty path types doc from the store, and a
+      // per-batch verdict log must union consistently across batches
+      // whether or not any id was a member
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType(Seq(
           org.apache.spark.sql.types.StructField("doc",
-            ids.schema(idCol).dataType),
+            idmapOf(spark, path, mfFiles).schema("doc").dataType),
           org.apache.spark.sql.types.StructField("cell",
             org.apache.spark.sql.types.IntegerType),
           org.apache.spark.sql.types.StructField("csim",

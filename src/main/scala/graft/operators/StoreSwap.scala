@@ -33,6 +33,56 @@ private[operators] object StoreSwap {
 
   val ManifestPrefix = "_manifest.v"
 
+  // -- shared routing/guard helpers (one definition for every family;
+  //    these used to be re-implemented per store module) --
+
+  /** stable63-derived id bucket: the delete-path routing every
+    * id-bucketed store dir uses — the bucket of any id is computable
+    * from the id ALONE, so purges route without scanning. */
+  def idBucket(id: org.apache.spark.sql.Column,
+               n: Int): org.apache.spark.sql.Column =
+    pmod(graft.functions.StableId63.stableId63(id.cast("string")),
+      lit(n.toLong))
+
+  /** Partition-prune a store scan to `touched` buckets — skipped when
+    * the probe touches every bucket anyway (an isin over the full
+    * bucket range prunes nothing and bloats the filter). */
+  def prunePartitions(df: DataFrame, partCol: String,
+                      touched: Seq[Long], total: Int): DataFrame =
+    if (touched.length >= total) df
+    else df.where(col(partCol).isin(touched: _*))
+
+  /** Broadcast-if-provably-small under the shared ANN-family guard
+    * ([[IvfIndex.fitsBroadcast]]): delta-sized probes ride broadcast
+    * joins into store scans, oversized ones degrade to shuffle joins
+    * instead of a driver OOM. */
+  def maybeBroadcast(df: DataFrame): DataFrame =
+    if (IvfIndex.fitsBroadcast(df, IvfIndex.MaxBroadcastQueries))
+      broadcast(df) else df
+
+  /** `_layout` file: named bucket counts persisted at save time so
+    * every later verb routes with the SAME counts the data was
+    * written with. */
+  def writeLayout(fs: FileSystem, path: String,
+                  counts: Seq[(String, Int)]): Unit = {
+    val out = fs.create(new Path(s"$path/_layout"), true)
+    try out.write(counts.map { case (k, v) => s"$k=$v\n" }
+      .mkString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The `_layout` counts, empty when the file is absent (legacy
+    * stores) — callers apply their own per-key defaults. */
+  def readLayout(fs: FileSystem, path: String): Map[String, Int] = {
+    val p = new Path(s"$path/_layout")
+    if (!fs.exists(p)) return Map.empty
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    text.linesIterator.map(_.trim).filter(_.contains("="))
+      .map { l => val Array(k, v) = l.split("=", 2); k -> v.toInt }.toMap
+  }
+
   def manifestVersions(fs: FileSystem, path: String): Seq[Int] = {
     val root = new Path(path)
     if (!fs.exists(root)) return Seq.empty

@@ -52,7 +52,9 @@ object ArtifactStreams {
           TextSearch.dropAppendPartials(spark, statsPath, prefix)
           TextSearch.appendCorpusStats(batch, idCol, textCol, statsPath,
             prefix)
-        } else
+        } else if (!batch.isEmpty)
+          // an empty first batch must not bootstrap empty stats (see
+          // semanticBatch) — wait for the first batch with documents
           TextSearch.saveCorpusStats(batch, idCol, textCol, statsPath)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
@@ -82,7 +84,10 @@ object ArtifactStreams {
           IvfIndex.dropAppendPartials(spark, indexPath, prefix)
           IvfIndex.appendToIndex(spark, indexPath, batch, idCol, vecCol,
             prefix)
-        } else {
+        } else if (!batch.isEmpty) {
+          // an empty first batch must not bootstrap (train(empty) has
+          // no sample; an empty index manifest would brick later reads
+          // while indexReady() stays true — see semanticBatch)
           val model = IvfIndex.train(batch, idCol, vecCol, k, sampleSize,
             iters)
           IvfIndex.saveIndex(model,
@@ -107,6 +112,12 @@ object ArtifactStreams {
     val verdicts =
       if (SemanticStore.ready(spark, storePath))
         SemanticStore.ingest(batch, idCol, vecCol, storePath, tau)
+      else if (batch.isEmpty)
+        // an EMPTY first batch must not bootstrap: save(empty) would
+        // commit a manifest listing no vectors/idmap files, bricking
+        // every later read while ready() stays true. Skip — no store,
+        // no verdict partition (an empty replay skips identically).
+        return
       else {
         val m = model.getOrElse(
           IvfIndex.train(batch, idCol, vecCol, k, sampleSize, iters))

@@ -60,6 +60,13 @@ object DocStreams {
     if (Dedup.minhashStoreReady(spark, storePath))
       Dedup.minhashIncremental(batch, idCol, textCol, storePath,
         threshold, bands, ngram, computePairs = false)
+    else if (batch.isEmpty)
+      // an EMPTY first batch (no-data trigger, upstream filter) must
+      // not bootstrap: save(empty) would commit a manifest listing no
+      // postings/bands files, bricking every later read while the
+      // store reads as ready. Skip — no store, no pair partition
+      // (replay of the empty batch skips identically).
+      return
     else
       Dedup.saveMinhashStore(batch, idCol, textCol, storePath,
         bands, ngram)

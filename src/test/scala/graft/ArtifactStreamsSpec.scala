@@ -105,6 +105,42 @@ class ArtifactStreamsSpec extends SparkSpec {
     }
   }
 
+  test("empty first micro-batch does NOT bootstrap any family's store " +
+    "(save(empty) would commit a manifest that bricks later reads " +
+    "while ready() reports true); the next non-empty batch bootstraps") {
+    import graft.operators.SemanticStore
+    implicit val sqlCtx = spark.sqlContext
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_empty_boot_spec_${System.nanoTime()}")
+    base.deleteOnExit()
+    def basis(i: Int) = Array.tabulate(64)(j => if (j == i) 1.0 else 0.0)
+    val model = IvfIndex.Model(Array(basis(0), basis(1), basis(2)))
+    val rows = emb.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    // drive the production batch body with an EMPTY batch first
+    val empty = spark.emptyDataset[(Long, Array[Double])]
+      .toDF("vec_id", "embedding")
+    ArtifactStreams.semanticBatch(empty, 0L, "vec_id", "embedding",
+      s"$base/store", s"$base/verdicts", tau = 0.35, model = Some(model),
+      k = 8, sampleSize = 2000, iters = 8)
+    assert(!SemanticStore.ready(spark, s"$base/store"),
+      "empty batch bootstrapped a store")
+    assert(!new java.io.File(s"$base/verdicts/batch=0").exists(),
+      "empty batch wrote a verdict partition")
+    // the next (non-empty) batch bootstraps normally and is queryable
+    ArtifactStreams.semanticBatch(rows.toIndexedSeq.toDF("vec_id", "embedding"),
+      1L, "vec_id", "embedding", s"$base/store", s"$base/verdicts",
+      tau = 0.35, model = Some(model), k = 8, sampleSize = 2000, iters = 8)
+    assert(SemanticStore.ready(spark, s"$base/store"))
+    assert(spark.read.parquet(s"$base/verdicts/batch=1").count() == emb.count())
+    // the MinHash streaming body has the same contract
+    val emptyDocs = spark.emptyDataset[(Long, String)].toDF("doc_id", "text")
+    graft.streaming.DocStreams.processBatch(emptyDocs, 0L, "doc_id", "text",
+      s"$base/mh", s"$base/pairs", threshold = 0.4, bands = 4, ngram = 3)
+    assert(!graft.operators.Dedup.minhashStoreReady(spark, s"$base/mh"),
+      "empty batch bootstrapped the MinHash store")
+  }
+
   test("semanticIngest: bootstrap + ingest batches build the semantic " +
     "store; the verdict log equals whole-store verdicts; a replayed " +
     "batch rewrites the identical verdict partition") {

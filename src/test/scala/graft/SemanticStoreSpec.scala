@@ -144,13 +144,31 @@ class SemanticStoreSpec extends SparkSpec {
       SemanticStore.deriveSurvivors(spark, path, tau, maxCellPairs = 10L)
     }
     assert(e1.getMessage.contains("Train more cells"))
+    val vBefore = SemanticStore.versions(spark, path)
     val e2 = intercept[IllegalArgumentException] {
       SemanticStore.ingest(
         Tables.embeddings(spark, "/root/testdata/sf0.001")
           .withColumn("vec_id", col("vec_id") + 1000000L),
         "vec_id", "embedding", path, tau, maxCellPairs = 10L)
     }
-    assert(e2.getMessage.contains("maxCellPairs"))
+    assert(e2.getMessage.contains("maxCellPairs") &&
+      e2.getMessage.contains("nothing was written"))
+    assert(SemanticStore.versions(spark, path) == vBefore,
+      "guard-refused ingest committed a version")
+    // the guard bounds the FULL verdict compare, so a fully-SEEN batch
+    // past the cap refuses BEFORE verdictsForIds (no half-observable
+    // state a retry could never get past) — and with the default cap
+    // the same re-sent batch answers verdicts normally
+    val e2b = intercept[IllegalArgumentException] {
+      SemanticStore.ingest(emb, "vec_id", "embedding", path, tau,
+        maxCellPairs = 10L)
+    }
+    assert(e2b.getMessage.contains("nothing was written"))
+    assert(SemanticStore.versions(spark, path) == vBefore)
+    assert(SemanticStore.ingest(emb, "vec_id", "embedding", path, tau)
+      .count() == emb.count())
+    assert(SemanticStore.versions(spark, path) == vBefore,
+      "fully-seen re-ingest committed a version")
     import spark.implicits._
     assert(SemanticStore.verdictsForIds(spark, path,
       Seq(999999L).toDF("vec_id"), "vec_id", tau).count() == 0L)
