@@ -8925,6 +8925,45 @@ object Queries {
             AND list_dot_product(a.nv, b.nv) >= 0.35) AS kept
       FROM o2 a"""))
 
+  /** Corpus-wide exact-substring dedup (arXiv:2107.06499's ExactSubstr
+    * pass in window-hash form): every duplicated 8-token span loses all
+    * but its globally FIRST occurrence — mid-sentence, cross-document —
+    * and documents reassemble from surviving tokens. The oracle
+    * reproduces the full protocol (whitespace tokens, md5 window
+    * hashes, (doc, pos) winner, interval coverage, single-space
+    * reassembly); a kept duplicate, a removed first copy, an
+    * off-by-one window bound, or divergent whitespace normalization
+    * all change a row and fail the hash. */
+  private val q251 = Q("q251_substring_dedup",
+    (s, d) =>
+      graft.operators.TrainingData.dedupSubstringsGlobal(
+        documents(s, d), "doc_id", "text", minTokens = 8),
+    Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      w AS (SELECT doc_id, j.range AS pos,
+          md5(array_to_string(list_slice(toks, j.range + 1, j.range + 8), ' ')) AS h
+        FROM t CROSS JOIN range(8192) j
+        WHERE j.range <= len(toks) - 8),
+      r AS (SELECT doc_id, pos, h,
+          ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
+          COUNT(*) OVER (PARTITION BY h) AS c
+        FROM w),
+      rem AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM r
+        WHERE c >= 2 AND rn > 1),
+      posx AS (SELECT doc_id, j.range AS p, toks[j.range + 1] AS tok
+        FROM t CROSS JOIN range(8192) j WHERE j.range < len(toks)),
+      keptpos AS (SELECT px.doc_id, px.p, px.tok FROM posx px
+        WHERE NOT EXISTS (SELECT 1 FROM rem
+          WHERE rem.doc_id = px.doc_id AND rem.s <= px.p AND px.p <= rem.e)),
+      kept AS (SELECT doc_id,
+          array_to_string(list(tok ORDER BY p), ' ') AS text_dedup,
+          COUNT(*) AS nk
+        FROM keptpos GROUP BY doc_id)
+      SELECT t.doc_id, COALESCE(kept.text_dedup, '') AS text_dedup,
+        CAST(len(t.toks) - COALESCE(kept.nk, 0) AS BIGINT) AS n_removed
+      FROM t LEFT JOIN kept USING (doc_id)"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -8946,7 +8985,7 @@ object Queries {
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229,
     q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240,
-    q241, q242, q243, q244, q245, q246, q247, q248, q249, q250)
+    q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -1363,6 +1363,98 @@ object TrainingData {
         sum(col("n_tokens")).as("n_tokens_kept"))
   }
 
+  /** Corpus-wide exact-substring dedup (Lee, Ippolito, Nystrom, Zhang,
+    * Eck, Callison-Burch & Carlini, "Deduplicating Training Data Makes
+    * Language Models Better", arXiv:2107.06499 — public literature):
+    * remove every duplicated token span of at least `minTokens`
+    * whitespace tokens ANYWHERE in the corpus, keeping exactly the
+    * FIRST occurrence (minimal (doc id, position) — a total order, so
+    * the survivor set is deterministic on any cluster). Where
+    * [[dedupSegmentsGlobal]] is sentence-aligned (the C4 line pass),
+    * this catches duplicated spans that cross sentence boundaries or
+    * start mid-sentence — the boilerplate/quotation shape the paper
+    * measures.
+    *
+    * Window-hash formulation instead of the paper's suffix array
+    * (which is a single-machine structure): every length-`minTokens`
+    * token window is fingerprinted (md5 over the space-joined window —
+    * engine-portable, collision odds negligible), a window hash seen
+    * at ≥ 2 positions marks every NON-FIRST occurrence's token range
+    * for removal, and each document reassembles from its surviving
+    * tokens. Any duplicated span of length ≥ `minTokens` contains only
+    * duplicated windows, so its non-first copies are fully removed —
+    * the same guarantee the suffix array gives at this granularity.
+    * Whitespace is normalized to single spaces in the output (tokens
+    * are the unit, exactly as in the paper).
+    *
+    * Returns every input document as (idCol, text_dedup, n_removed):
+    * `text_dedup` may be empty when a document was entirely duplicated
+    * spans; `n_removed` counts removed tokens.
+    *
+    * Scale shape (100 TB): the winner vote shuffles only (16-byte
+    * hash, id, pos) per window — corpus-token-sized, same class as
+    * [[dedupSegmentsGlobal]]'s fingerprint shuffle; a hyper-duplicated
+    * boilerplate window is a hot hash key whose min/count aggregate
+    * combines map-side. Text moves twice (unavoidable for an operator
+    * whose output is rewritten text). Per-doc removal intervals are
+    * MERGED (sorted fold) before the coverage filter, so a heavily
+    * duplicated document costs O(tokens · disjoint-intervals), not
+    * O(tokens · duplicated-windows). */
+  def dedupSubstringsGlobal(docs: DataFrame, idCol: String, textCol: String,
+                            minTokens: Int = 50): DataFrame = {
+    require(minTokens >= 2, s"dedupSubstringsGlobal: minTokens < 2: $minTokens")
+    val L = minTokens
+    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+    val base = docs.select(col(idCol), toks.as("__toks"))
+    // every L-window's (pos, hash); docs shorter than L emit none
+    val windows = base
+      .where(size(col("__toks")) >= L)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("__toks")) - lit(L)),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(L))))
+            .as("h")))).as("__w"))
+      .select(col(idCol), col("__w.pos").as("__pos"), col("__w.h").as("__h"))
+      .localCheckpoint()
+    val winners = windows.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"),
+        min(struct(col(idCol), col("__pos"))).as("__win"))
+      .where(col("__c") >= 2)
+      .select(col("__h"),
+        col("__win").getField(idCol).as("__wid"),
+        col("__win").getField("__pos").as("__wpos"))
+    // non-first occurrences' token ranges, merged per doc (sorted fold
+    // over disjoint-or-overlapping [s, e] intervals)
+    val intervals = windows.join(winners, Seq("__h"))
+      .where(!(col(idCol) === col("__wid") && col("__pos") === col("__wpos")))
+      .select(col(idCol), col("__pos").as("s"), (col("__pos") + lit(L - 1)).as("e"))
+      .groupBy(col(idCol))
+      .agg(aggregate(
+        array_sort(collect_list(struct(col("s"), col("e")))),
+        array().cast("array<struct<s:int,e:int>>"),
+        (acc, iv) => when(size(acc) > 0 &&
+            element_at(acc, -1).getField("e") >= iv.getField("s") - 1,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(
+              element_at(acc, -1).getField("s").as("s"),
+              greatest(element_at(acc, -1).getField("e"), iv.getField("e"))
+                .as("e")))))
+          .otherwise(concat(acc, array(iv)))).as("__ivs"))
+    base.join(intervals, Seq(idCol), "left_outer")
+      .withColumn("__ivs", coalesce(col("__ivs"),
+        array().cast("array<struct<s:int,e:int>>")))
+      .select(col(idCol),
+        array_join(filter(
+          transform(col("__toks"),
+            (t, p) => when(exists(col("__ivs"),
+              iv => iv.getField("s") <= p && p <= iv.getField("e")),
+              lit(null).cast("string")).otherwise(t)),
+          t => t.isNotNull), " ").as("text_dedup"),
+        aggregate(col("__ivs"), lit(0),
+          (acc, iv) => acc + (iv.getField("e") - iv.getField("s") + lit(1)))
+          .cast("long").as("n_removed"))
+  }
+
   /** Corpus snapshot diff: classify every document across two corpus
     * versions as added / removed / changed / unchanged — the audit that
     * decides whether an incremental retrain is warranted and what the

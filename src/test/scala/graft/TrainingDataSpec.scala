@@ -9,6 +9,71 @@ class TrainingDataSpec extends SparkSpec {
   private val sf = "/root/testdata/sf0.001"
   private lazy val docs = Tables.documents(spark, sf)
 
+  test("dedupSubstringsGlobal: non-first copies of every >=L-token span " +
+    "are removed (first occurrence kept), mid-sentence and cross-doc; " +
+    "short docs and unique text pass through normalized; a fully " +
+    "duplicated doc empties; brute-force reference on real docs") {
+    import spark.implicits._
+    // hand-built corpus, L = 3: doc 1 owns the span; doc 2 repeats it
+    // mid-text; doc 3 IS the span plus a unique tail; doc 4 repeats
+    // doc 1 entirely; doc 5 is too short to ever match
+    val d = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "intro words the quick brown fox jumps and a tail"),
+      (3L, "quick brown fox jumps elsewhere"),
+      (4L, "the quick brown fox jumps"),
+      (5L, "the quick")).toDF("doc_id", "text")
+    val out = TrainingData.dedupSubstringsGlobal(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("the quick brown fox jumps", 0L)) // first copy kept
+    // doc 2: tokens 2..6 ("the...jumps") duplicated; 3..6 also windows
+    // of doc 1's span — removed as one merged interval
+    assert(out(2L) == ("intro words and a tail", 5L))
+    // doc 3: "quick brown fox jumps" duplicates doc 1's suffix windows
+    assert(out(3L) == ("elsewhere", 4L))
+    assert(out(4L) == ("", 5L)) // whole doc duplicated -> empty
+    assert(out(5L) == ("the quick", 0L)) // shorter than L: untouched
+    // whitespace normalization: tabs/doubles collapse to single spaces
+    val norm = TrainingData.dedupSubstringsGlobal(
+      Seq((9L, "a\tb   c")).toDF("doc_id", "text"), "doc_id", "text", 3)
+      .collect().head
+    assert(norm.getString(1) == "a b c" && norm.getLong(2) == 0L)
+    // real documents vs a brute-force reference at L = 8
+    val L = 8
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val tokd = rows.map { case (id, t) =>
+      id -> t.split("\\s+").filter(_.nonEmpty) }
+    val firstPos = scala.collection.mutable.Map.empty[String, (Long, Int)]
+    for ((id, ts) <- tokd; p <- 0 to ts.length - L) {
+      val w = ts.slice(p, p + L).mkString(" ")
+      if (!firstPos.contains(w)) firstPos(w) = (id, p)
+      else firstPos(w) = Seq(firstPos(w), (id, p)).min
+    }
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+      .withDefaultValue(0)
+    for ((_, ts) <- tokd; p <- 0 to ts.length - L)
+      counts(ts.slice(p, p + L).mkString(" ")) += 1
+    val expected = tokd.map { case (id, ts) =>
+      val covered = Array.fill(ts.length)(false)
+      for (p <- 0 to ts.length - L) {
+        val w = ts.slice(p, p + L).mkString(" ")
+        if (counts(w) >= 2 && firstPos(w) != ((id, p)))
+          (p until p + L).foreach(covered(_) = true)
+      }
+      id -> (ts.zipWithIndex.collect { case (t, i) if !covered(i) => t }
+        .mkString(" "), covered.count(identity).toLong)
+    }.toMap
+    val got = TrainingData.dedupSubstringsGlobal(docs, "doc_id", "text", L)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got.keySet == expected.keySet)
+    val diffs = got.keys.filter(k => got(k) != expected(k))
+    assert(diffs.isEmpty, s"mismatch for ${diffs.take(3)}: " +
+      diffs.take(1).map(k => s"got=${got(k)._2} want=${expected(k)._2}"))
+    assert(got.values.exists(_._2 > 0L),
+      "no span was removed on real documents — the gate is vacuous")
+  }
+
   test("deterministic sample: stable, subset-monotonic in permille") {
     val s200 = TrainingData.deterministicSample(docs, "doc_id", 200)
       .select("doc_id").collect().map(_.getLong(0)).toSet
