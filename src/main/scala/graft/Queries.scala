@@ -8964,6 +8964,44 @@ object Queries {
         CAST(len(t.toks) - COALESCE(kept.nk, 0) AS BIGINT) AS n_removed
       FROM t LEFT JOIN kept USING (doc_id)"""))
 
+  /** Surgical decontamination (q62's drop-the-document rule refined to
+    * span level — the GPT-3 13-gram filter shape, here 8-gram for
+    * corpus-density): every 8-token span shared with the eval slice
+    * (doc_id < 20) is REDACTED, the rest of the document kept; eval
+    * members themselves redact to empty. The oracle reproduces window
+    * hashing, the eval hash set, interval coverage, and single-space
+    * reassembly; a surviving contaminated span, an over-redacted clean
+    * span, or divergent tokenization all change a row and fail the
+    * hash. */
+  private val q252 = Q("q252_surgical_decontamination",
+    (s, d) => {
+      val docs = documents(s, d)
+      graft.operators.TrainingData.redactEvalSpans(docs,
+        docs.where(col("doc_id") < 20), "doc_id", "text", minTokens = 8)
+    },
+    Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      w AS (SELECT doc_id, j.range AS pos,
+          md5(array_to_string(list_slice(toks, j.range + 1, j.range + 8), ' ')) AS h
+        FROM t CROSS JOIN range(8192) j
+        WHERE j.range <= len(toks) - 8),
+      ev AS (SELECT DISTINCT h FROM w WHERE doc_id < 20),
+      rem AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM w
+        WHERE h IN (SELECT h FROM ev)),
+      posx AS (SELECT doc_id, j.range AS p, toks[j.range + 1] AS tok
+        FROM t CROSS JOIN range(8192) j WHERE j.range < len(toks)),
+      keptpos AS (SELECT px.doc_id, px.p, px.tok FROM posx px
+        WHERE NOT EXISTS (SELECT 1 FROM rem
+          WHERE rem.doc_id = px.doc_id AND rem.s <= px.p AND px.p <= rem.e)),
+      kept AS (SELECT doc_id,
+          array_to_string(list(tok ORDER BY p), ' ') AS tr,
+          COUNT(*) AS nk
+        FROM keptpos GROUP BY doc_id)
+      SELECT t.doc_id, COALESCE(kept.tr, '') AS text_redacted,
+        CAST(len(t.toks) - COALESCE(kept.nk, 0) AS BIGINT) AS n_redacted
+      FROM t LEFT JOIN kept USING (doc_id)"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -8985,7 +9023,7 @@ object Queries {
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229,
     q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240,
-    q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251)
+    q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

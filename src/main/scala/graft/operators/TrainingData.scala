@@ -1404,18 +1404,8 @@ object TrainingData {
                             minTokens: Int = 50): DataFrame = {
     require(minTokens >= 2, s"dedupSubstringsGlobal: minTokens < 2: $minTokens")
     val L = minTokens
-    val toks = filter(split(col(textCol), "\\s+"), t => length(t) > 0)
-    val base = docs.select(col(idCol), toks.as("__toks"))
-    // every L-window's (pos, hash); docs shorter than L emit none
-    val windows = base
-      .where(size(col("__toks")) >= L)
-      .select(col(idCol), explode(transform(
-        sequence(lit(0), size(col("__toks")) - lit(L)),
-        i => struct(i.as("pos"),
-          md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(L))))
-            .as("h")))).as("__w"))
-      .select(col(idCol), col("__w.pos").as("__pos"), col("__w.h").as("__h"))
-      .localCheckpoint()
+    val base = docs.select(col(idCol), tokenArray(textCol).as("__toks"))
+    val windows = tokenWindows(base, idCol, L).localCheckpoint()
     val winners = windows.groupBy(col("__h"))
       .agg(count(lit(1)).as("__c"),
         min(struct(col(idCol), col("__pos"))).as("__win"))
@@ -1423,10 +1413,37 @@ object TrainingData {
       .select(col("__h"),
         col("__win").getField(idCol).as("__wid"),
         col("__win").getField("__pos").as("__wpos"))
-    // non-first occurrences' token ranges, merged per doc (sorted fold
-    // over disjoint-or-overlapping [s, e] intervals)
-    val intervals = windows.join(winners, Seq("__h"))
-      .where(!(col(idCol) === col("__wid") && col("__pos") === col("__wpos")))
+    // non-first occurrences' token ranges, merged per doc
+    val intervals = mergedIntervals(
+      windows.join(winners, Seq("__h"))
+        .where(!(col(idCol) === col("__wid") && col("__pos") === col("__wpos"))),
+      idCol, L)
+    removeCovered(base, intervals, idCol, "text_dedup", "n_removed")
+  }
+
+  /** Whitespace token array (empty tokens dropped — the paper's unit;
+    * output text is reassembled with single spaces). */
+  private def tokenArray(textCol: String): Column =
+    filter(split(col(textCol), "\\s+"), t => length(t) > 0)
+
+  /** Every length-`L` token window of a (idCol, __toks) frame as
+    * (idCol, __pos, __h) — md5 over the space-joined window, the
+    * engine-portable span fingerprint. Docs shorter than L emit none. */
+  private def tokenWindows(base: DataFrame, idCol: String, L: Int): DataFrame =
+    base.where(size(col("__toks")) >= L)
+      .select(col(idCol), explode(transform(
+        sequence(lit(0), size(col("__toks")) - lit(L)),
+        i => struct(i.as("pos"),
+          md5(concat_ws(" ", slice(col("__toks"), i + 1, lit(L))))
+            .as("h")))).as("__w"))
+      .select(col(idCol), col("__w.pos").as("__pos"), col("__w.h").as("__h"))
+
+  /** Per-doc merged [s, e] token intervals of a window frame — sorted
+    * fold over overlapping-or-adjacent ranges, so downstream coverage
+    * checks cost O(tokens · disjoint-intervals). */
+  private def mergedIntervals(windowRows: DataFrame, idCol: String,
+                              L: Int): DataFrame =
+    windowRows
       .select(col(idCol), col("__pos").as("s"), (col("__pos") + lit(L - 1)).as("e"))
       .groupBy(col(idCol))
       .agg(aggregate(
@@ -1440,6 +1457,13 @@ object TrainingData {
               greatest(element_at(acc, -1).getField("e"), iv.getField("e"))
                 .as("e")))))
           .otherwise(concat(acc, array(iv)))).as("__ivs"))
+
+  /** Reassemble each doc from the tokens its intervals do NOT cover:
+    * (idCol, <outText>, <outCount>) over EVERY base row (docs with no
+    * intervals pass through whitespace-normalized). */
+  private def removeCovered(base: DataFrame, intervals: DataFrame,
+                            idCol: String, outText: String,
+                            outCount: String): DataFrame =
     base.join(intervals, Seq(idCol), "left_outer")
       .withColumn("__ivs", coalesce(col("__ivs"),
         array().cast("array<struct<s:int,e:int>>")))
@@ -1449,10 +1473,41 @@ object TrainingData {
             (t, p) => when(exists(col("__ivs"),
               iv => iv.getField("s") <= p && p <= iv.getField("e")),
               lit(null).cast("string")).otherwise(t)),
-          t => t.isNotNull), " ").as("text_dedup"),
+          t => t.isNotNull), " ").as(outText),
         aggregate(col("__ivs"), lit(0),
           (acc, iv) => acc + (iv.getField("e") - iv.getField("s") + lit(1)))
-          .cast("long").as("n_removed"))
+          .cast("long").as(outCount))
+
+  /** Surgical decontamination (the span-level companion to
+    * [[graft.operators.Dedup.decontaminate]]'s drop-the-document rule,
+    * and the n-gram-overlap filter GPT-3's appendix made standard —
+    * Brown et al., arXiv:2005.14165 use 13-grams): REDACT every token
+    * span of at least `minTokens` that appears anywhere in the eval
+    * set, keeping the rest of the document. Where the drop rule
+    * discards a 10k-token document over one quoted benchmark item,
+    * this removes the quotation and keeps the training signal.
+    *
+    * Returns every corpus document as (idCol, text_redacted,
+    * n_redacted); a document that IS an eval member redacts to empty.
+    * Same window-hash machinery as [[dedupSubstringsGlobal]]: any
+    * shared span of length ≥ `minTokens` is fully covered by shared
+    * L-windows. The eval side reduces to a DISTINCT hash set that
+    * rides a broadcast semi-join into the corpus window stream when
+    * provably small (the usual case — eval sets are tiny next to a
+    * 100 TB corpus), so the corpus is scanned once and only matching
+    * windows shuffle. */
+  def redactEvalSpans(corpus: DataFrame, evalSet: DataFrame, idCol: String,
+                      textCol: String, minTokens: Int = 13): DataFrame = {
+    require(minTokens >= 2, s"redactEvalSpans: minTokens < 2: $minTokens")
+    val L = minTokens
+    val base = corpus.select(col(idCol), tokenArray(textCol).as("__toks"))
+    val evalHashes = tokenWindows(
+        evalSet.select(col(idCol), tokenArray(textCol).as("__toks")), idCol, L)
+      .select(col("__h")).distinct()
+    val contaminated = tokenWindows(base, idCol, L)
+      .join(StoreSwap.maybeBroadcast(evalHashes), Seq("__h"), "left_semi")
+    removeCovered(base, mergedIntervals(contaminated, idCol, L),
+      idCol, "text_redacted", "n_redacted")
   }
 
   /** Corpus snapshot diff: classify every document across two corpus

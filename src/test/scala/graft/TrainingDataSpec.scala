@@ -74,6 +74,42 @@ class TrainingDataSpec extends SparkSpec {
       "no span was removed on real documents — the gate is vacuous")
   }
 
+  test("redactEvalSpans: shared >=L spans vanish mid-document, clean " +
+    "text passes through normalized, eval members redact to empty, " +
+    "spans shorter than L survive") {
+    import spark.implicits._
+    val evalSet = Seq((100L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "start alpha beta gamma delta end of it"), // contains the span
+      (2L, "totally unrelated training words here"),  // clean
+      (3L, "alpha beta gamma only"),                  // 3-token overlap < L
+      (4L, "alpha beta gamma delta")                  // IS the eval text
+    ).toDF("doc_id", "text")
+    val out = TrainingData.redactEvalSpans(corpus, evalSet,
+      "doc_id", "text", minTokens = 4)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) == ("start end of it", 4L))
+    assert(out(2L) == ("totally unrelated training words here", 0L))
+    assert(out(3L) == ("alpha beta gamma only", 0L)) // below L: kept
+    assert(out(4L) == ("", 4L))
+    // real documents: eval members redact to empty; redaction count on
+    // the rest matches windows shared with the eval slice (non-vacuous)
+    val evalReal = docs.where(col("doc_id") < 20)
+    val real = TrainingData.redactEvalSpans(docs, evalReal,
+      "doc_id", "text", minTokens = 8)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    evalReal.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
+      assert(real(id)._1 == "" || real(id)._2 == 0L && {
+        // an eval member shorter than 8 tokens has no window to match
+        docs.where(col("doc_id") === id)
+          .select(size(split(col("text"), "\\s+"))).head.getInt(0) < 8
+      }, s"eval member $id not fully redacted: ${real(id)}")
+    }
+    assert(real.size == docs.count())
+    assert(real.exists { case (id, (_, n)) => id >= 20 && n > 0 },
+      "no non-eval doc shared a span with the eval slice — vacuous")
+  }
+
   test("deterministic sample: stable, subset-monotonic in permille") {
     val s200 = TrainingData.deterministicSample(docs, "doc_id", 200)
       .select("doc_id").collect().map(_.getLong(0)).toSet
