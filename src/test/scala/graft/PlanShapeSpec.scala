@@ -445,6 +445,47 @@ class PlanShapeSpec extends SparkSpec {
     assert(plan.contains("TopKPerKey"), plan.take(800))
   }
 
+  test("searchFiltered on a persisted index: the postings scan keeps " +
+    "cell PartitionFilters (the n_id semi-join must not defeat probe " +
+    "pruning) and the allow-set rides a broadcast join") {
+    val emb = Tables.embeddings(spark, sf)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_planspec_filtered_${System.nanoTime()}")
+    dir.deleteOnExit()
+    val model = graft.operators.IvfIndex.train(emb, "vec_id", "embedding", k = 8)
+    graft.operators.IvfIndex.saveIndex(model,
+      graft.operators.IvfIndex.assign(emb, "vec_id", "embedding", model),
+      dir.getAbsolutePath)
+    val (loaded, postings) =
+      graft.operators.IvfIndex.loadIndex(spark, dir.getAbsolutePath)
+    val df = graft.operators.IvfIndex.searchFiltered(postings,
+      emb.where(col("vec_id") < 10).limit(10), "vec_id", "embedding",
+      loaded, k = 5, nProbe = 2,
+      allowed = emb.where(col("label") % 3 === 1), allowedIdCol = "vec_id")
+    val plan = finalPlan(df)
+    // the postings scan is partition-filtered on cell (dynamic pruning
+    // from the probe side) even with the semi-join inserted below it
+    val postScan = collectScans(plan).filter(_.metadata
+      .get("Location").exists(_.contains("postings")))
+    assert(postScan.nonEmpty, plan.toString.take(800))
+    assert(postScan.exists(s =>
+      s.metadata.get("PartitionFilters").exists(_.contains("cell"))),
+      postScan.map(_.metadata.getOrElse("PartitionFilters", "?")).mkString("; "))
+    // the allow-set joins broadcast (never a corpus shuffle for a small
+    // filter), and as a semi join (no duplicate scoring)
+    def joins(p: org.apache.spark.sql.execution.SparkPlan): Seq[String] =
+      p.collect {
+        case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+          Seq(j.joinType.toString)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          joins(q.plan)
+        case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+          joins(r.child)
+      }.flatten
+    assert(joins(plan).exists(_.contains("LeftSemi")),
+      plan.toString.take(800))
+  }
+
   test("whole-stage codegen covers the cleaning scan (native exprs fused)") {
     val synth = graft.etl.ReferenceShapedData.syntheticOrders(spark, sf)
     val stg = graft.etl.OrderEtl.toStaging(graft.etl.OrderEtl.cleanOrders(synth))
