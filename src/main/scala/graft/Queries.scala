@@ -8644,6 +8644,11 @@ object Queries {
       val dir = Queries.stagedMinhashAsOfDir.computeIfAbsent(d, _ => {
         val f = new java.io.File(System.getProperty("java.io.tmpdir"),
           s"graft_minhash_asof_${Queries.stagingSuffix(d)}")
+        // the derive PINS manifest v2: a leftover store from a prior
+        // JVM would make this run's save commit v4+ (and the pinned v2
+        // would list files the overwrite-mode save deleted) — the
+        // protocol must start from nothing
+        org.apache.commons.io.FileUtils.deleteDirectory(f)
         val docs = documents(s, d)
         val store = s"${f.getAbsolutePath}/store"
         graft.operators.Dedup.saveMinhashStore(
@@ -8736,6 +8741,9 @@ object Queries {
       val dir = Queries.stagedIvfAsOfDir.computeIfAbsent(d, _ => {
         val f = new java.io.File(System.getProperty("java.io.tmpdir"),
           s"graft_ivf_asof_${Queries.stagingSuffix(d)}")
+        // the search PINS manifest v2 — start from nothing (see the
+        // q245 note; a leftover index shifts every version)
+        org.apache.commons.io.FileUtils.deleteDirectory(f)
         val even = emb.where(col("vec_id") % 2 === 0)
         val model = graft.operators.IvfIndex.train(
           even, "vec_id", "embedding", k = 16)
