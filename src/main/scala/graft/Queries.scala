@@ -8949,18 +8949,20 @@ object Queries {
     Some("""WITH t AS (SELECT doc_id,
           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
         FROM documents),
-      w AS (SELECT doc_id, j.range AS pos,
-          md5(array_to_string(list_slice(toks, j.range + 1, j.range + 8), ' ')) AS h
-        FROM t CROSS JOIN range(8192) j
-        WHERE j.range <= len(toks) - 8),
+      w0 AS (SELECT doc_id,
+          unnest(range(0, greatest(len(toks) - 7, 0))) AS pos FROM t),
+      w AS (SELECT w0.doc_id, w0.pos,
+          md5(array_to_string(list_slice(t.toks, w0.pos + 1, w0.pos + 8), ' ')) AS h
+        FROM w0 JOIN t USING (doc_id)),
       r AS (SELECT doc_id, pos, h,
           ROW_NUMBER() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rn,
           COUNT(*) OVER (PARTITION BY h) AS c
         FROM w),
       rem AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM r
         WHERE c >= 2 AND rn > 1),
-      posx AS (SELECT doc_id, j.range AS p, toks[j.range + 1] AS tok
-        FROM t CROSS JOIN range(8192) j WHERE j.range < len(toks)),
+      p0 AS (SELECT doc_id, unnest(range(0, len(toks))) AS p FROM t),
+      posx AS (SELECT p0.doc_id, p0.p, t.toks[p0.p + 1] AS tok
+        FROM p0 JOIN t USING (doc_id)),
       keptpos AS (SELECT px.doc_id, px.p, px.tok FROM posx px
         WHERE NOT EXISTS (SELECT 1 FROM rem
           WHERE rem.doc_id = px.doc_id AND rem.s <= px.p AND px.p <= rem.e)),
@@ -8990,15 +8992,17 @@ object Queries {
     Some("""WITH t AS (SELECT doc_id,
           list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
         FROM documents),
-      w AS (SELECT doc_id, j.range AS pos,
-          md5(array_to_string(list_slice(toks, j.range + 1, j.range + 8), ' ')) AS h
-        FROM t CROSS JOIN range(8192) j
-        WHERE j.range <= len(toks) - 8),
+      w0 AS (SELECT doc_id,
+          unnest(range(0, greatest(len(toks) - 7, 0))) AS pos FROM t),
+      w AS (SELECT w0.doc_id, w0.pos AS pos,
+          md5(array_to_string(list_slice(t.toks, w0.pos + 1, w0.pos + 8), ' ')) AS h
+        FROM w0 JOIN t USING (doc_id)),
       ev AS (SELECT DISTINCT h FROM w WHERE doc_id < 20),
       rem AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM w
         WHERE h IN (SELECT h FROM ev)),
-      posx AS (SELECT doc_id, j.range AS p, toks[j.range + 1] AS tok
-        FROM t CROSS JOIN range(8192) j WHERE j.range < len(toks)),
+      p0 AS (SELECT doc_id, unnest(range(0, len(toks))) AS p FROM t),
+      posx AS (SELECT p0.doc_id, p0.p, t.toks[p0.p + 1] AS tok
+        FROM p0 JOIN t USING (doc_id)),
       keptpos AS (SELECT px.doc_id, px.p, px.tok FROM posx px
         WHERE NOT EXISTS (SELECT 1 FROM rem
           WHERE rem.doc_id = px.doc_id AND rem.s <= px.p AND px.p <= rem.e)),

@@ -18,8 +18,9 @@ object SubstrScale {
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, sfDir).localCheckpoint()
     val nDocs = docs.count()
-    val nTokens = docs.agg(sum(size(split(col("text"), "\\s+"))))
-      .head().getLong(0)
+    // the operators' token unit: whitespace-filtered
+    val nTokens = docs.agg(sum(size(filter(split(col("text"), "\\s+"),
+      t => length(t) > 0)))).head().getLong(0)
     println(s"[substr] $sfDir docs=$nDocs tokens=$nTokens")
     def timed(tag: String)(body: => Unit): Unit = {
       val t0 = System.nanoTime()

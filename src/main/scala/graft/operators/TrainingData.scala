@@ -1501,9 +1501,11 @@ object TrainingData {
     require(minTokens >= 2, s"redactEvalSpans: minTokens < 2: $minTokens")
     val L = minTokens
     val base = corpus.select(col(idCol), tokenArray(textCol).as("__toks"))
+    // checkpoint: the broadcast-guard probe and the semi-join would
+    // otherwise each evaluate the eval tokenize→window→distinct pipeline
     val evalHashes = tokenWindows(
         evalSet.select(col(idCol), tokenArray(textCol).as("__toks")), idCol, L)
-      .select(col("__h")).distinct()
+      .select(col("__h")).distinct().localCheckpoint()
     val contaminated = tokenWindows(base, idCol, L)
       .join(StoreSwap.maybeBroadcast(evalHashes), Seq("__h"), "left_semi")
     removeCovered(base, mergedIntervals(contaminated, idCol, L),

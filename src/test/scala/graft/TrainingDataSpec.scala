@@ -101,8 +101,10 @@ class TrainingDataSpec extends SparkSpec {
     evalReal.select("doc_id").collect().map(_.getLong(0)).foreach { id =>
       assert(real(id)._1 == "" || real(id)._2 == 0L && {
         // an eval member shorter than 8 tokens has no window to match
+        // (same filtered tokenization the operator uses)
         docs.where(col("doc_id") === id)
-          .select(size(split(col("text"), "\\s+"))).head.getInt(0) < 8
+          .select(size(filter(split(col("text"), "\\s+"),
+            t => length(t) > 0))).head.getInt(0) < 8
       }, s"eval member $id not fully redacted: ${real(id)}")
     }
     assert(real.size == docs.count())
