@@ -647,8 +647,11 @@ object Dedup {
     // micro-batch on a high-bucket-count store.
     val tag = s"a${java.util.UUID.randomUUID().toString.take(8)}_"
     def stageAppend(df: DataFrame, partCol: String, dir: String): Seq[String] = {
+      // unique per invocation: racing writers must never clobber each
+      // other's staging (CAS decides the winner; the loser's moved-in
+      // files are unlisted garbage, never a torn mix)
       val tmpRoot = new org.apache.hadoop.fs.Path(storePath,
-        s".ingest_stage_$dir")
+        s".ingest_stage_$tag$dir")
       fsInc.delete(tmpRoot, true)
       df.repartition(col(partCol))
         .write.mode("overwrite").partitionBy(partCol).parquet(tmpRoot.toString)
@@ -739,7 +742,7 @@ object Dedup {
     val tag = s"p${java.util.UUID.randomUUID().toString.take(8)}_"
     def rewriteDir(dir: String, partCol: String, parts: Seq[Long],
                    total: Int): Seq[String] = {
-      val tmpRoot = new Path(path, s".purge_stage_$dir")
+      val tmpRoot = new Path(path, s".purge_stage_$tag$dir")
       fs.delete(tmpRoot, true)
       pruneBuckets(StoreSwap.readStoreDir(spark, path, dir, mfFiles), partCol,
           parts, total)

@@ -268,7 +268,12 @@ object SemanticStore {
       // names, ONE flip
       val tag = s"a${java.util.UUID.randomUUID().toString.take(8)}_"
       def stage(df: DataFrame, partCol: String, dir: String): Seq[String] = {
-        val tmpRoot = new org.apache.hadoop.fs.Path(path, s".ingest_stage_$dir")
+        // staging root UNIQUE per invocation (the CAS story's write-side
+        // prerequisite: two racing writers must never clobber each
+        // other's staging — the loser's moved-in files become unlisted
+        // garbage, never a torn mix)
+        val tmpRoot = new org.apache.hadoop.fs.Path(path,
+          s".ingest_stage_$tag$dir")
         fs.delete(tmpRoot, true)
         df.repartition(col(partCol))
           .write.mode("overwrite").partitionBy(partCol).parquet(tmpRoot.toString)
@@ -424,7 +429,7 @@ object SemanticStore {
     val tag = s"p${java.util.UUID.randomUUID().toString.take(8)}_"
     def rewrite(dir: String, partCol: String, parts: Seq[Long],
                 total: Int): Seq[String] = {
-      val tmpRoot = new Path(path, s".purge_stage_$dir")
+      val tmpRoot = new Path(path, s".purge_stage_$tag$dir")
       fs.delete(tmpRoot, true)
       pruneParts(readDir(spark, path, dir, mfFiles), partCol, parts, total)
         .join(broadcast(purgeKeys),

@@ -324,7 +324,10 @@ private[operators] object StoreSwap {
             when(col(partCol) === lit(v),
               pmod(hash(pruned.columns.map(col): _*), lit(n))).otherwise(acc)
         }
-        val tmpRoot = new Path(path, s".compact_stage_$dir")
+        // unique per invocation, like every staging root in the family
+        // (compaction is a no-concurrent-mutations maintenance verb,
+        // but the CAS story should not depend on that being honored)
+        val tmpRoot = new Path(path, s".compact_stage_$tag$dir")
         fs.delete(tmpRoot, true)
         pruned.withColumn("__slice", sliceExpr)
           .repartition(slices.map(_._2).sum, col(partCol), col("__slice"))
