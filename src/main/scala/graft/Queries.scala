@@ -9014,6 +9014,63 @@ object Queries {
         CAST(len(t.toks) - COALESCE(kept.nk, 0) AS BIGINT) AS n_redacted
       FROM t LEFT JOIN kept USING (doc_id)"""))
 
+  private val stagedEvalStoreDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Persisted decontamination suite (the eval-hash store lifecycle):
+    * benchmark A (doc_id < 10) bootstraps the store, benchmark B
+    * (10 ≤ doc_id < 20) appends under its own source partition, then A
+    * RETIRES — one manifest flip, no rewrite — and the corpus redacts
+    * against what remains. The oracle is q252's protocol with the eval
+    * slice narrowed to benchmark B alone: a span still suppressed by
+    * the retired suite, a lost benchmark-B hash, or a stale L all
+    * change a row and fail the hash. */
+  private val q253 = Q("q253_eval_hash_store",
+    (s, d) => {
+      val dir = Queries.stagedEvalStoreDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_eval_store_${Queries.stagingSuffix(d)}")
+        org.apache.commons.io.FileUtils.deleteDirectory(f)
+        val docs = documents(s, d)
+        graft.operators.TrainingData.saveEvalHashStore(
+          docs.where(col("doc_id") < 10), "doc_id", "text",
+          f.getAbsolutePath, "benchA", minTokens = 8) // v1
+        graft.operators.TrainingData.appendEvalSource(
+          docs.where(col("doc_id") >= 10 && col("doc_id") < 20),
+          "doc_id", "text", f.getAbsolutePath, "benchB") // v2
+        graft.operators.TrainingData.purgeEvalSource(s,
+          f.getAbsolutePath, "benchA") // v3
+        f
+      })
+      graft.operators.TrainingData.redactAgainstStore(
+        documents(s, d), "doc_id", "text", dir.getAbsolutePath)
+    },
+    Some("""WITH t AS (SELECT doc_id,
+          list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks
+        FROM documents),
+      w0 AS (SELECT doc_id,
+          unnest(range(0, greatest(len(toks) - 7, 0))) AS pos FROM t),
+      w AS (SELECT w0.doc_id, w0.pos AS pos,
+          md5(array_to_string(list_slice(t.toks, w0.pos + 1, w0.pos + 8), ' ')) AS h
+        FROM w0 JOIN t USING (doc_id)),
+      ev AS (SELECT DISTINCT h FROM w
+        WHERE doc_id >= 10 AND doc_id < 20),
+      rem AS (SELECT doc_id, pos AS s, pos + 7 AS e FROM w
+        WHERE h IN (SELECT h FROM ev)),
+      p0 AS (SELECT doc_id, unnest(range(0, len(toks))) AS p FROM t),
+      posx AS (SELECT p0.doc_id, p0.p, t.toks[p0.p + 1] AS tok
+        FROM p0 JOIN t USING (doc_id)),
+      keptpos AS (SELECT px.doc_id, px.p, px.tok FROM posx px
+        WHERE NOT EXISTS (SELECT 1 FROM rem
+          WHERE rem.doc_id = px.doc_id AND rem.s <= px.p AND px.p <= rem.e)),
+      kept AS (SELECT doc_id,
+          array_to_string(list(tok ORDER BY p), ' ') AS tr,
+          COUNT(*) AS nk
+        FROM keptpos GROUP BY doc_id)
+      SELECT t.doc_id, COALESCE(kept.tr, '') AS text_redacted,
+        CAST(len(t.toks) - COALESCE(kept.nk, 0) AS BIGINT) AS n_redacted
+      FROM t LEFT JOIN kept USING (doc_id)"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -9035,7 +9092,7 @@ object Queries {
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229,
     q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240,
-    q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252)
+    q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.{StableId63, TextExprs}
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1509,6 +1509,150 @@ object TrainingData {
     val contaminated = tokenWindows(base, idCol, L)
       .join(StoreSwap.maybeBroadcast(evalHashes), Seq("__h"), "left_semi")
     removeCovered(base, mergedIntervals(contaminated, idCol, L),
+      idCol, "text_redacted", "n_redacted")
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted eval-hash store: the decontamination artifact. A
+  // production pipeline redacts EVERY ingest batch against the same
+  // benchmark suite — recomputing the suite's window hashes per batch
+  // wastes exactly the work this store persists once. Layout under
+  // `path`: `hashes/` (h) PARTITIONED BY `src` (the benchmark name the
+  // caller supplies), so retiring a benchmark is a pure manifest
+  // unlist — no rewrite, its files become vacuum garbage; `_layout`
+  // pins the window length L every verb must agree on (a store queried
+  // at a different L would silently miss spans). Shares [[StoreSwap]]'s
+  // manifest isolation: copy-on-write, ONE flip per verb, CAS commit,
+  // vacuum retention.
+  // ------------------------------------------------------------------
+
+  private def requireEvalStore(fs: org.apache.hadoop.fs.FileSystem,
+                               path: String, verb: String): (Int, Seq[String]) =
+    StoreSwap.latestManifest(fs, path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$verb: $path is not an eval-hash store (no store manifest)"))
+
+  private def evalStoreL(fs: org.apache.hadoop.fs.FileSystem,
+                         path: String, verb: String): Int =
+    StoreSwap.readLayout(fs, path).getOrElse("L",
+      throw new IllegalArgumentException(
+        s"$verb: $path has no L in _layout — not an eval-hash store"))
+
+  /** Create the store from one benchmark: its distinct window hashes
+    * land under `src=<source>`, the manifest flip is the commit point
+    * (a torn save reads as no store and is re-run). */
+  def saveEvalHashStore(evalSet: DataFrame, idCol: String, textCol: String,
+                        path: String, source: String,
+                        minTokens: Int = 13): Unit = {
+    require(minTokens >= 2, s"saveEvalHashStore: minTokens < 2: $minTokens")
+    require(source.nonEmpty, "saveEvalHashStore: empty source name")
+    val spark = evalSet.sparkSession
+    val fs = StoreSwap.fsOf(spark, path)
+    StoreSwap.writeLayout(fs, path, Seq("L" -> minTokens))
+    tokenWindows(evalSet.select(col(idCol),
+        tokenArray(textCol).as("__toks")), idCol, minTokens)
+      .select(col("__h").as("h")).distinct()
+      .withColumn("src", lit(source))
+      .repartition(1).write.mode("overwrite").partitionBy("src")
+      .parquet(s"$path/hashes")
+    val version = StoreSwap.manifestVersions(fs, path).lastOption
+      .getOrElse(0) + 1
+    StoreSwap.commitManifest(fs, path, version,
+      StoreSwap.listDirFiles(fs, path, "hashes"))
+  }
+
+  /** Append another benchmark's hashes under its own `src` partition
+    * (copy-on-write; re-running a torn append is the recovery). A
+    * source that already exists refuses — retire it first
+    * ([[purgeEvalSource]]) so suite updates are explicit, never silent
+    * unions of stale and fresh hashes. */
+  def appendEvalSource(evalSet: DataFrame, idCol: String, textCol: String,
+                       path: String, source: String): Unit = {
+    require(source.nonEmpty, "appendEvalSource: empty source name")
+    val spark = evalSet.sparkSession
+    val fs = StoreSwap.fsOf(spark, path)
+    val (mfVersion, mfFiles) = requireEvalStore(fs, path, "appendEvalSource")
+    require(!mfFiles.exists(_.startsWith(s"hashes/src=$source/")),
+      s"appendEvalSource: source '$source' already in the store — " +
+        "purgeEvalSource it first (suite updates are explicit)")
+    val l = evalStoreL(fs, path, "appendEvalSource")
+    val tag = s"a${java.util.UUID.randomUUID().toString.take(8)}_"
+    val tmpRoot = new org.apache.hadoop.fs.Path(path, s".append_stage_$tag")
+    fs.delete(tmpRoot, true)
+    tokenWindows(evalSet.select(col(idCol),
+        tokenArray(textCol).as("__toks")), idCol, l)
+      .select(col("__h").as("h")).distinct()
+      .withColumn("src", lit(source))
+      .repartition(1).write.mode("overwrite").partitionBy("src")
+      .parquet(tmpRoot.toString)
+    val added = StoreSwap.moveStagedIn(fs, path, "hashes", tmpRoot, tag)
+    StoreSwap.commitManifest(fs, path, mfVersion + 1, mfFiles ++ added)
+  }
+
+  /** Retire a benchmark: ONE manifest flip unlists its `src` partition
+    * — no rewrite, no scan; the files become [[vacuumEvalHashStore]]
+    * garbage. Later redactions stop removing its spans (text they
+    * alone suppressed comes back — keep/redact is derived, exactly as
+    * in the other artifact families). Unknown sources are a REAL
+    * no-op.
+    *
+    * @return true iff the source was present. */
+  def purgeEvalSource(spark: SparkSession, path: String,
+                      source: String): Boolean = {
+    val fs = StoreSwap.fsOf(spark, path)
+    val (mfVersion, mfFiles) = requireEvalStore(fs, path, "purgeEvalSource")
+    val prefix = s"hashes/src=$source/"
+    val keep = mfFiles.filterNot(_.startsWith(prefix))
+    if (keep.length == mfFiles.length) return false
+    StoreSwap.commitManifest(fs, path, mfVersion + 1, keep)
+    true
+  }
+
+  /** The sources the current manifest carries. */
+  def evalSources(spark: SparkSession, path: String): Seq[String] = {
+    val fs = StoreSwap.fsOf(spark, path)
+    val (_, mfFiles) = requireEvalStore(fs, path, "evalSources")
+    mfFiles.filter(_.startsWith("hashes/src="))
+      .map(_.stripPrefix("hashes/src=").takeWhile(_ != '/'))
+      .distinct.sorted
+  }
+
+  /** Drop every file no retained manifest lists — the retention verb. */
+  def vacuumEvalHashStore(spark: SparkSession, path: String,
+                          keepVersions: Int = 1): Long = {
+    requireEvalStore(StoreSwap.fsOf(spark, path), path, "vacuumEvalHashStore")
+    StoreSwap.vacuumManifested(spark, path, Seq("hashes"),
+      "vacuumEvalHashStore", keepVersions)
+  }
+
+  /** [[redactEvalSpans]] against the PERSISTED suite: the corpus is
+    * scanned once, the store's hash set (union of live sources, read
+    * through the manifest) rides the broadcast semi-join, and L comes
+    * from the store's `_layout` — the one the hashes were computed
+    * with, so a caller can never probe at a mismatched window length.
+    * `asOfVersion` pins a retained manifest (redact exactly as the
+    * suite stood at a past version — reproducing a historical
+    * training run's decontamination). */
+  def redactAgainstStore(corpus: DataFrame, idCol: String, textCol: String,
+                         path: String,
+                         asOfVersion: Option[Int] = None): DataFrame = {
+    val spark = corpus.sparkSession
+    val fs = StoreSwap.fsOf(spark, path)
+    val (_, mfFiles) = asOfVersion
+      .map(v => StoreSwap.manifestAt(fs, path, v))
+      .getOrElse(requireEvalStore(fs, path, "redactAgainstStore"))
+    val l = evalStoreL(fs, path, "redactAgainstStore")
+    val base = corpus.select(col(idCol), tokenArray(textCol).as("__toks"))
+    // a fully-retired suite redacts nothing (normalized pass-through)
+    if (!mfFiles.exists(_.startsWith("hashes/")))
+      return base.select(col(idCol),
+        array_join(col("__toks"), " ").as("text_redacted"),
+        lit(0L).as("n_redacted"))
+    val hashes = StoreSwap.readStoreDir(spark, path, "hashes", mfFiles)
+      .select(col("h").as("__h"))
+    val contaminated = tokenWindows(base, idCol, l)
+      .join(StoreSwap.maybeBroadcast(hashes), Seq("__h"), "left_semi")
+    removeCovered(base, mergedIntervals(contaminated, idCol, l),
       idCol, "text_redacted", "n_redacted")
   }
 

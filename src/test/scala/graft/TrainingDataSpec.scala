@@ -112,6 +112,60 @@ class TrainingDataSpec extends SparkSpec {
       "no non-eval doc shared a span with the eval slice — vacuous")
   }
 
+  test("eval-hash store: persisted suite redacts exactly like the " +
+    "direct union; retiring a source is one flip that re-admits its " +
+    "spans; duplicate source refuses; empty suite passes through; " +
+    "snapshot pins a historical suite; vacuum reclaims") {
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_evalstore_${System.nanoTime()}").getAbsolutePath
+    val benchA = docs.where(col("doc_id") < 10)
+    val benchB = docs.where(col("doc_id") >= 10 && col("doc_id") < 20)
+    TrainingData.saveEvalHashStore(benchA, "doc_id", "text", path,
+      "benchA", minTokens = 8) // v1
+    TrainingData.appendEvalSource(benchB, "doc_id", "text", path,
+      "benchB") // v2
+    assert(TrainingData.evalSources(spark, path) == Seq("benchA", "benchB"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val both = toMap(TrainingData.redactAgainstStore(docs, "doc_id",
+      "text", path))
+    assert(both == toMap(TrainingData.redactEvalSpans(docs,
+      docs.where(col("doc_id") < 20), "doc_id", "text", 8)),
+      "store-backed redaction != direct redaction over the union suite")
+    assert(both.values.exists(_._2 > 0L), "vacuous: nothing redacted")
+    // suite updates are explicit: a live source refuses to re-append
+    val e = intercept[IllegalArgumentException] {
+      TrainingData.appendEvalSource(benchA, "doc_id", "text", path, "benchA")
+    }
+    assert(e.getMessage.contains("purgeEvalSource"))
+    // retire benchA: pure manifest flip, spans it alone suppressed return
+    assert(TrainingData.purgeEvalSource(spark, path, "benchA")) // v3
+    assert(!TrainingData.purgeEvalSource(spark, path, "benchA"),
+      "purging a retired source must be a no-op")
+    assert(TrainingData.evalSources(spark, path) == Seq("benchB"))
+    val onlyB = toMap(TrainingData.redactAgainstStore(docs, "doc_id",
+      "text", path))
+    assert(onlyB == toMap(TrainingData.redactEvalSpans(docs, benchB,
+      "doc_id", "text", 8)))
+    assert(onlyB.exists { case (id, (_, n)) =>
+      n < both(id)._2 }, "no span was re-admitted by the retirement")
+    // snapshot: the historical two-bench suite is still pinnable
+    assert(toMap(TrainingData.redactAgainstStore(docs, "doc_id", "text",
+      path, asOfVersion = Some(2))) == both)
+    // vacuum reclaims benchA's unlisted partition; the pin then refuses
+    assert(TrainingData.vacuumEvalHashStore(spark, path) > 0L)
+    intercept[IllegalArgumentException] {
+      TrainingData.redactAgainstStore(docs, "doc_id", "text", path,
+        asOfVersion = Some(2))
+    }
+    // fully-retired suite: normalized pass-through, zero redactions
+    assert(TrainingData.purgeEvalSource(spark, path, "benchB")) // v4
+    val none = toMap(TrainingData.redactAgainstStore(docs, "doc_id",
+      "text", path))
+    assert(none.values.forall(_._2 == 0L))
+    assert(none.keySet == both.keySet)
+  }
+
   test("deterministic sample: stable, subset-monotonic in permille") {
     val s200 = TrainingData.deterministicSample(docs, "doc_id", 200)
       .select("doc_id").collect().map(_.getLong(0)).toSet
