@@ -266,7 +266,7 @@ object Dedup {
                   threshold: Double,
                   asOfVersion: Option[Int] = None): DataFrame = {
     val fs = StoreSwap.fsOf(spark, storePath)
-    val (_, mfFiles) = asOfVersion
+    val (mfV, mfFiles) = asOfVersion
       .map(v => StoreSwap.manifestAt(fs, storePath, v))
       .getOrElse(requireManifest(fs, storePath, "pairsForIds"))
     val storeToks = StoreSwap.readStoreDir(spark, storePath, "postings", mfFiles)
@@ -274,7 +274,7 @@ object Dedup {
     require(storeToks.columns.toSet == Set("doc", "hv", "pb") &&
       storeBands.columns.toSet == Set("doc", "band", "bucket", "pb"),
       s"pairsForIds: $storePath is not a saveMinhashStore layout")
-    val (pbN, bbN) = storeLayout(fs, storePath)
+    val (pbN, bbN) = storeLayout(fs, storePath, mfV)
     def maybeBroadcast(df: DataFrame): DataFrame =
       StoreSwap.maybeBroadcast(df)
     val idFrame = ids.select(col(idCol).as("doc")).distinct().localCheckpoint()
@@ -365,13 +365,13 @@ object Dedup {
     * touches ≤ 4k buckets ≈ 6% of the store. Defaults (64/64) suit the
     * test scale; legacy stores without the file read as 64/64, which
     * is what they were written with. */
-  private def writeStoreLayout(fs: org.apache.hadoop.fs.FileSystem,
-                               path: String, pbN: Int, bbN: Int): Unit =
-    StoreSwap.writeLayout(fs, path, Seq("pb" -> pbN, "bb" -> bbN))
-
+  /** Layout resolution is VERSIONED ([[StoreSwap.readLayoutAt]]'s
+    * floor rule at the manifest version being read): a pinned snapshot
+    * routes with the counts its files were written with even after
+    * [[rebucketMinhashStore]] changed them. */
   private def storeLayout(fs: org.apache.hadoop.fs.FileSystem,
-                          path: String): (Int, Int) = {
-    val kv = StoreSwap.readLayout(fs, path)
+                          path: String, asOf: Int): (Int, Int) = {
+    val kv = StoreSwap.readLayoutAt(fs, path, Some(asOf))
     (kv.getOrElse("pb", NStoreBuckets), kv.getOrElse("bb", NBandBuckets))
   }
 
@@ -437,10 +437,12 @@ object Dedup {
     *
     * @return number of data files deleted. */
   def vacuumMinhashStore(spark: org.apache.spark.sql.SparkSession,
-                         path: String, keepVersions: Int = 1): Long = {
+                         path: String, keepVersions: Int = 1,
+                         graceMs: Long = 0L): Long = {
     requireManifest(StoreSwap.fsOf(spark, path), path, "vacuumMinhashStore")
     StoreSwap.vacuumManifested(spark, path,
-      Seq("postings", "bands", "bandidx"), "vacuumMinhashStore", keepVersions)
+      Seq("postings", "bands", "bandidx"), "vacuumMinhashStore", keepVersions,
+      graceMs)
   }
 
   /** Persist the MinHash signature store a growing corpus dedupes
@@ -481,27 +483,37 @@ object Dedup {
     val tok = postings(docs, idCol, textCol, ngram).localCheckpoint()
     val banded = bandedOf(signaturesOf(tok), bands).localCheckpoint()
     val fs = StoreSwap.fsOf(docs.sparkSession, path)
-    // the layout file first: every verb after this routes with the
-    // counts the data is about to be written with
-    writeStoreLayout(fs, path, storeBuckets, bandBuckets)
-    // repartition on the partition column before each partitioned
-    // write: ONE file per bucket per write instead of (tasks × buckets)
-    // small files
-    banded.withColumn("bb", bandBucket(col("band"), col("bucket"), bandBuckets))
-      .repartition(bandBuckets, col("bb"))
-      .write.mode("overwrite").partitionBy("bb").parquet(s"$path/bandidx")
-    banded.withColumn("pb", storeBucket(col("doc"), storeBuckets))
-      .repartition(storeBuckets, col("pb"))
-      .write.mode("overwrite").partitionBy("pb").parquet(s"$path/bands")
-    tok.withColumn("pb", storeBucket(col("doc"), storeBuckets))
-      .repartition(storeBuckets, col("pb"))
-      .write.mode("overwrite").partitionBy("pb").parquet(s"$path/postings")
-    // the commit point: overwrite-mode writes cleared the dirs, so the
-    // listing is exactly this save's files. Versions continue past any
-    // prior store at this path (readers pin the HIGHEST version).
+    // STAGED like every mutation verb — never an overwrite into the
+    // live dirs: saving over an existing store continues the version
+    // chain with a manifest listing ONLY this save's file-set, while
+    // every retained older version keeps its complete files (pinned
+    // readers unbroken; the superseded store is vacuum garbage). The
+    // repartition on the partition column keeps ONE file per bucket
+    // per write instead of (tasks × buckets) small files.
     val version = StoreSwap.manifestVersions(fs, path).lastOption.getOrElse(0) + 1
-    StoreSwap.commitManifest(fs, path, version,
-      Seq("postings", "bands", "bandidx").flatMap(StoreSwap.listDirFiles(fs, path, _)))
+    val tag = s"s${java.util.UUID.randomUUID().toString.take(8)}_"
+    def stage(df: DataFrame, n: Int, partCol: String,
+              dir: String): Seq[String] = {
+      val tmpRoot = new org.apache.hadoop.fs.Path(path, s".save_stage_$tag$dir")
+      fs.delete(tmpRoot, true)
+      df.repartition(n, col(partCol))
+        .write.mode("overwrite").partitionBy(partCol).parquet(tmpRoot.toString)
+      StoreSwap.moveStagedIn(fs, path, dir, tmpRoot, tag)
+    }
+    val staged =
+      stage(banded.withColumn("bb",
+        bandBucket(col("band"), col("bucket"), bandBuckets)),
+        bandBuckets, "bb", "bandidx") ++
+      stage(banded.withColumn("pb", storeBucket(col("doc"), storeBuckets)),
+        storeBuckets, "pb", "bands") ++
+      stage(tok.withColumn("pb", storeBucket(col("doc"), storeBuckets)),
+        storeBuckets, "pb", "postings")
+    // the VERSIONED layout (floor-resolved by readers), then the
+    // commit point; a crash between the two leaves an orphan layout no
+    // committed version resolves
+    StoreSwap.commitLayout(fs, path, version,
+      Seq("pb" -> storeBuckets, "bb" -> bandBuckets))
+    StoreSwap.commitManifest(fs, path, version, staged)
   }
 
   /** Dedupe a NEW batch against a persisted MinHash store AND grow the
@@ -570,7 +582,7 @@ object Dedup {
     val hasBandIdx = fsInc.exists(
       new org.apache.hadoop.fs.Path(s"$storePath/bandidx")) &&
       mfFiles.exists(_.startsWith("bandidx/"))
-    val (pbN, bbN) = storeLayout(fsInc, storePath)
+    val (pbN, bbN) = storeLayout(fsInc, storePath, mfVersion)
     def maybeBroadcast(df: DataFrame): DataFrame =
       StoreSwap.maybeBroadcast(df)
     // seen-probe: postings scan PRUNED to the batch ids' own buckets
@@ -705,7 +717,7 @@ object Dedup {
     import org.apache.hadoop.fs.Path
     val fs = StoreSwap.fsOf(spark, path)
     val (mfVersion, mfFiles) = requireManifest(fs, path, "purgeMinhashStore")
-    val (pbN, bbN) = storeLayout(fs, path)
+    val (pbN, bbN) = storeLayout(fs, path, mfVersion)
     val purgeKeys = ids
       .select(col(idCol).cast("string").as("__purge_id"))
       .distinct().localCheckpoint()
@@ -787,12 +799,13 @@ object Dedup {
     * visible; re-running is the recovery. */
   def compactMinhashStore(spark: org.apache.spark.sql.SparkSession,
                           path: String,
-                          targetBytes: Long = 128L * 1024 * 1024): Unit = {
+                          targetBytes: Long = 128L * 1024 * 1024,
+                          keepVersions: Int = 1): Unit = {
     requireManifest(StoreSwap.fsOf(spark, path), path, "compactMinhashStore")
     StoreSwap.compactManifested(spark, path,
       Seq("postings" -> "pb", "bands" -> "pb", "bandidx" -> "bb"),
       "compactMinhashStore", targetBytes)
-    vacuumMinhashStore(spark, path)
+    vacuumMinhashStore(spark, path, keepVersions)
   }
 
   /** The candidate-first verify over an already-materialized (doc, hv)

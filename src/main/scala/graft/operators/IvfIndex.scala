@@ -122,22 +122,30 @@ object IvfIndex {
     * manifest flip ([[StoreSwap]]); [[vacuumIndex]] is the retention
     * verb. */
   def saveIndex(model: Model, index: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
     val spark = index.sparkSession
     require(index.columns.toSeq == Seq("n_id", "n_vec", "cell"),
       s"saveIndex: not an assign() frame: ${index.columns.toSeq}")
-    centroidsDf(spark, model)
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    index.write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/postings")
-    // the commit point: overwrite-mode writes cleared the dirs, so the
-    // listing is exactly this save's files; versions continue past any
-    // prior index at this path (readers pin the HIGHEST version)
+    // STAGED like every mutation verb — never an overwrite into the
+    // live dirs: saving over an existing index continues the version
+    // chain with a manifest listing ONLY this save's file-set, while
+    // every retained older version keeps its complete files (pinned
+    // readers unbroken; the superseded index is vacuum garbage).
     val fs = StoreSwap.fsOf(spark, path)
+    val tag = s"s${java.util.UUID.randomUUID().toString.take(8)}_"
+    val cStage = new Path(path, s".save_stage_${tag}centroids")
+    val pStage = new Path(path, s".save_stage_${tag}postings")
+    fs.delete(cStage, true)
+    fs.delete(pStage, true)
+    centroidsDf(spark, model)
+      .coalesce(1).write.mode("overwrite").parquet(cStage.toString)
+    index.write.mode("overwrite").partitionBy("cell")
+      .parquet(pStage.toString)
+    val staged = StoreSwap.moveStagedIn(fs, path, "centroids", cStage, tag) ++
+      StoreSwap.moveStagedIn(fs, path, "postings", pStage, tag)
     val version = StoreSwap.manifestVersions(fs, path).lastOption
       .getOrElse(0) + 1
-    StoreSwap.commitManifest(fs, path, version,
-      Seq("centroids", "postings")
-        .flatMap(StoreSwap.listDirFiles(fs, path, _)))
+    StoreSwap.commitManifest(fs, path, version, staged)
   }
 
   private def centroidsDf(spark: SparkSession, model: Model): DataFrame = {
@@ -172,10 +180,10 @@ object IvfIndex {
     *
     * @return number of data files deleted. */
   def vacuumIndex(spark: SparkSession, path: String,
-                  keepVersions: Int = 1): Long = {
+                  keepVersions: Int = 1, graceMs: Long = 0L): Long = {
     requireIndexManifest(StoreSwap.fsOf(spark, path), path, "vacuumIndex")
     StoreSwap.vacuumManifested(spark, path,
-      Seq("centroids", "postings"), "vacuumIndex", keepVersions)
+      Seq("centroids", "postings"), "vacuumIndex", keepVersions, graceMs)
   }
 
   /** Load a persisted index: (model, postings). The centroid set is
@@ -337,11 +345,12 @@ object IvfIndex {
     * in flight", and the vacuum adds the no-pinned-readers retention
     * rule. A crash before the flip changes nothing visible. */
   def compactPostings(spark: SparkSession, path: String,
-                      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+                      targetBytes: Long = 128L * 1024 * 1024,
+                      keepVersions: Int = 1): Unit = {
     requireIndexManifest(StoreSwap.fsOf(spark, path), path, "compactPostings")
     StoreSwap.compactManifested(spark, path, Seq("postings" -> "cell"),
       "compactPostings", targetBytes)
-    vacuumIndex(spark, path)
+    vacuumIndex(spark, path, keepVersions)
   }
 
   /** Rebuild a persisted index IN PLACE — the rebalance path
@@ -364,7 +373,8 @@ object IvfIndex {
     *
     * @return the retrained model (the caller can search immediately). */
   def rebuildIndex(spark: SparkSession, path: String, k: Int,
-                   sampleSize: Int = 2000, iters: Int = 8): Model = {
+                   sampleSize: Int = 2000, iters: Int = 8,
+                   keepVersions: Int = 1): Model = {
     import org.apache.hadoop.fs.Path
     val fs = StoreSwap.fsOf(spark, path)
     val (mfVersion, mfFiles) = requireIndexManifest(fs, path, "rebuildIndex")
@@ -383,7 +393,7 @@ object IvfIndex {
       .coalesce(1).write.mode("overwrite").parquet(cStage.toString)
     val newCents = StoreSwap.moveStagedIn(fs, path, "centroids", cStage, tag)
     StoreSwap.commitManifest(fs, path, mfVersion + 1, newCents ++ newPostings)
-    vacuumIndex(spark, path)
+    vacuumIndex(spark, path, keepVersions)
     model
   }
 

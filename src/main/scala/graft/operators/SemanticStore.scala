@@ -80,11 +80,13 @@ object SemanticStore {
   def versions(spark: SparkSession, path: String): Seq[Int] =
     StoreSwap.manifestVersions(StoreSwap.fsOf(spark, path), path)
 
-  // layout file (shared [[StoreSwap]] plumbing): pb count persisted at
-  // save so every verb routes with the counts the data was written with
+  // layout (shared [[StoreSwap]] plumbing): pb count persisted
+  // VERSIONED at save, resolved at the manifest version being read —
+  // a pinned snapshot routes with the counts its data was written
+  // with, even if a later save at this path chose different buckets
   private def layoutPbN(fs: org.apache.hadoop.fs.FileSystem,
-                        path: String): Int =
-    StoreSwap.readLayout(fs, path).getOrElse("pb", NIdBuckets)
+                        path: String, asOf: Int): Int =
+    StoreSwap.readLayoutAt(fs, path, Some(asOf)).getOrElse("pb", NIdBuckets)
 
   private def pruneParts(df: DataFrame, partCol: String,
                          touched: Seq[Long], total: Int): DataFrame =
@@ -120,7 +122,17 @@ object SemanticStore {
   /** Create the store from a bootstrap corpus: centroids persisted
     * normalized, every example assigned once (seq = the committing
     * version), the manifest flip is the single commit point (a torn
-    * save reads as no store — [[ready]] — and is simply re-run). */
+    * save reads as no store — [[ready]] — and is simply re-run).
+    *
+    * STAGED like every other mutation verb — never an overwrite into
+    * the live dirs: saving over an existing store continues the
+    * version chain with a manifest listing ONLY the new file-set,
+    * while every retained older version keeps its complete files
+    * (pinned and concurrent readers unbroken; the superseded store is
+    * vacuum garbage). The pb count commits as a VERSIONED layout
+    * ([[StoreSwap.commitLayout]]), so a pinned read resolves the
+    * routing the data it reads was written with even if a later save
+    * chose different buckets. */
   def save(emb: DataFrame, idCol: String, vecCol: String, path: String,
            model: IvfIndex.Model, idBuckets: Int = NIdBuckets): Unit = {
     require(idBuckets >= 1, s"SemanticStore.save: idBuckets < 1: $idBuckets")
@@ -128,11 +140,20 @@ object SemanticStore {
     val fs = StoreSwap.fsOf(spark, path)
     val cents = normalizedCentroids(model)
     val version = StoreSwap.manifestVersions(fs, path).lastOption.getOrElse(0) + 1
-    StoreSwap.writeLayout(fs, path, Seq("pb" -> idBuckets))
     import spark.implicits._
-    cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
-      .toDF("cell", "centroid")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    val tag = s"s${java.util.UUID.randomUUID().toString.take(8)}_"
+    def stage(df: DataFrame, dir: String,
+              partCol: Option[String]): Seq[String] = {
+      val tmpRoot = new org.apache.hadoop.fs.Path(path, s".save_stage_$tag$dir")
+      fs.delete(tmpRoot, true)
+      partCol match {
+        case Some(pc) => df.repartition(col(pc))
+          .write.mode("overwrite").partitionBy(pc).parquet(tmpRoot.toString)
+        case None => df.coalesce(1)
+          .write.mode("overwrite").parquet(tmpRoot.toString)
+      }
+      StoreSwap.moveStagedIn(fs, path, dir, tmpRoot, tag)
+    }
     // one row per id (the family contract); a batch that repeats an id
     // keeps one arbitrary copy rather than corrupting the store. The
     // checkpoint pins that choice: dropDuplicates is per-evaluation
@@ -142,15 +163,14 @@ object SemanticStore {
     val slim = assignSlim(emb, idCol, vecCol, cents)
       .dropDuplicates("doc").withColumn("seq", lit(version))
       .localCheckpoint()
-    slim.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/vectors")
-    slim.select(col("doc"), col("cell"), col("seq"),
-        idBucket(col("doc"), idBuckets).as("pb"))
-      .repartition(col("pb"))
-      .write.mode("overwrite").partitionBy("pb").parquet(s"$path/idmap")
-    StoreSwap.commitManifest(fs, path, version,
-      Seq("centroids", "vectors", "idmap")
-        .flatMap(StoreSwap.listDirFiles(fs, path, _)))
+    val staged =
+      stage(cents.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+        .toDF("cell", "centroid"), "centroids", None) ++
+      stage(slim, "vectors", Some("cell")) ++
+      stage(slim.select(col("doc"), col("cell"), col("seq"),
+        idBucket(col("doc"), idBuckets).as("pb")), "idmap", Some("pb"))
+    StoreSwap.commitLayout(fs, path, version, Seq("pb" -> idBuckets))
+    StoreSwap.commitManifest(fs, path, version, staged)
   }
 
   private def readDir(spark: SparkSession, path: String, dir: String,
@@ -214,7 +234,7 @@ object SemanticStore {
     val spark = batch.sparkSession
     val fs = StoreSwap.fsOf(spark, path)
     val (mfVersion, mfFiles) = requireStore(fs, path, "SemanticStore.ingest")
-    val pbN = layoutPbN(fs, path)
+    val pbN = layoutPbN(fs, path, mfVersion)
     val cents = loadCentroids(spark, path, mfFiles)
     // seen-probe: idmap pruned to the batch ids' own buckets
     val batchIds = batch.select(col(idCol)).distinct().localCheckpoint()
@@ -301,10 +321,10 @@ object SemanticStore {
   : DataFrame = {
     require(tau > 0.0 && tau <= 1.0, s"SemanticStore.verdictsForIds: tau: $tau")
     val fs = StoreSwap.fsOf(spark, path)
-    val (_, mfFiles) = asOfVersion
+    val (mfV, mfFiles) = asOfVersion
       .map(v => StoreSwap.manifestAt(fs, path, v))
       .getOrElse(requireStore(fs, path, "SemanticStore.verdictsForIds"))
-    val pbN = layoutPbN(fs, path)
+    val pbN = layoutPbN(fs, path, mfV)
     val k = loadCentroids(spark, path, mfFiles).length
     val idFrame = ids.select(col(idCol).as("doc")).distinct().localCheckpoint()
     val idPbs = idFrame.select(idBucket(col("doc"), pbN).as("pb"))
@@ -409,7 +429,7 @@ object SemanticStore {
     import org.apache.hadoop.fs.Path
     val fs = StoreSwap.fsOf(spark, path)
     val (mfVersion, mfFiles) = requireStore(fs, path, "SemanticStore.purge")
-    val pbN = layoutPbN(fs, path)
+    val pbN = layoutPbN(fs, path, mfVersion)
     val k = loadCentroids(spark, path, mfFiles).length
     val purgeKeys = ids.select(col(idCol).cast("string").as("__purge_id"))
       .distinct().localCheckpoint()
@@ -451,12 +471,13 @@ object SemanticStore {
     * partition per batch) — maintenance verb, ends with [[vacuum]]
     * (same no-pinned-readers rule as every compaction). */
   def compact(spark: SparkSession, path: String,
-              targetBytes: Long = 128L * 1024 * 1024): Unit = {
+              targetBytes: Long = 128L * 1024 * 1024,
+              keepVersions: Int = 1): Unit = {
     requireStore(StoreSwap.fsOf(spark, path), path, "SemanticStore.compact")
     StoreSwap.compactManifested(spark, path,
       Seq("vectors" -> "cell", "idmap" -> "pb"),
       "SemanticStore.compact", targetBytes)
-    vacuum(spark, path)
+    vacuum(spark, path, keepVersions)
   }
 
   /** Drop every file no retained manifest lists — the retention verb
@@ -464,10 +485,10 @@ object SemanticStore {
     *
     * @return number of data files deleted. */
   def vacuum(spark: SparkSession, path: String,
-             keepVersions: Int = 1): Long = {
+             keepVersions: Int = 1, graceMs: Long = 0L): Long = {
     requireStore(StoreSwap.fsOf(spark, path), path, "SemanticStore.vacuum")
     StoreSwap.vacuumManifested(spark, path,
       Seq("centroids", "vectors", "idmap"), "SemanticStore.vacuum",
-      keepVersions)
+      keepVersions, graceMs)
   }
 }

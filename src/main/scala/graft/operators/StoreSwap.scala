@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
   * table format carries; chunked manifests are the named next step if
   * the file count ever dominates.
   */
-private[operators] object StoreSwap {
+private[graft] object StoreSwap {
 
   def fsOf(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -64,8 +64,12 @@ private[operators] object StoreSwap {
     * every later verb routes with the SAME counts the data was
     * written with. */
   def writeLayout(fs: FileSystem, path: String,
-                  counts: Seq[(String, Int)]): Unit = {
-    val out = fs.create(new Path(s"$path/_layout"), true)
+                  counts: Seq[(String, Int)]): Unit =
+    writeLayoutFile(fs, new Path(s"$path/_layout"), counts)
+
+  private def writeLayoutFile(fs: FileSystem, p: Path,
+                              counts: Seq[(String, Int)]): Unit = {
+    val out = fs.create(p, true)
     try out.write(counts.map { case (k, v) => s"$k=$v\n" }
       .mkString.getBytes("UTF-8"))
     finally out.close()
@@ -73,14 +77,94 @@ private[operators] object StoreSwap {
 
   /** The `_layout` counts, empty when the file is absent (legacy
     * stores) — callers apply their own per-key defaults. */
-  def readLayout(fs: FileSystem, path: String): Map[String, Int] = {
-    val p = new Path(s"$path/_layout")
+  def readLayout(fs: FileSystem, path: String): Map[String, Int] =
+    readLayoutFile(fs, new Path(s"$path/_layout"))
+
+  private def readLayoutFile(fs: FileSystem, p: Path): Map[String, Int] = {
     if (!fs.exists(p)) return Map.empty
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     text.linesIterator.map(_.trim).filter(_.contains("="))
       .map { l => val Array(k, v) = l.split("=", 2); k -> v.toInt }.toMap
+  }
+
+  /** VERSIONED layout files — `_layout.v<N>`, committed alongside
+    * manifest version N by any verb that sets or changes routing
+    * values (save, re-bucket). A plain unversioned `_layout` is a
+    * value's history erased: a pinned snapshot read would resolve the
+    * CURRENT bucket counts / window length against files written with
+    * the OLD ones and silently mis-route. Resolution is the floor
+    * rule — the highest layout version ≤ the manifest version being
+    * read (verbs between layout changes commit manifests without
+    * layout files) — falling back to the plain `_layout` for legacy
+    * stores. Save verbs keep writing the plain file too, so older
+    * readers and `ready()`-style probes are unaffected. */
+  val LayoutPrefix = "_layout.v"
+
+  def layoutVersions(fs: FileSystem, path: String): Seq[Int] = {
+    val root = new Path(path)
+    if (!fs.exists(root)) return Seq.empty
+    fs.listStatus(root).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(LayoutPrefix))
+      .flatMap(n => scala.util.Try(n.drop(LayoutPrefix.length).toInt).toOption)
+      .sorted
+  }
+
+  /** Write the versioned layout (the history the floor rule reads)
+    * and mirror it to the plain `_layout` (legacy compatibility).
+    * Claim-or-verify on the versioned file: a re-run after a crash
+    * (same version, same counts) passes idempotently; a RACING writer
+    * with DIFFERENT counts fails loudly here, before its manifest
+    * claim, so a committed version's layout can never be another
+    * writer's counts. Called BEFORE [[commitManifest]] — a crash
+    * between the two leaves an orphan layout file that no committed
+    * manifest version resolves (readers pass the resolved manifest
+    * version to [[readLayoutAt]]). */
+  def commitLayout(fs: FileSystem, path: String, version: Int,
+                   counts: Seq[(String, Int)]): Unit = {
+    fs.mkdirs(new Path(path))
+    val dest = new Path(s"$path/$LayoutPrefix$version")
+    def verifyOrConflict(): Unit = {
+      val existing = readLayoutFile(fs, dest)
+      if (existing != counts.toMap)
+        throw new java.util.ConcurrentModificationException(
+          s"commitLayout: $dest already exists with different values " +
+            s"($existing vs ${counts.toMap}) — a concurrent or crashed " +
+            "writer claimed this version with other routing counts; " +
+            "re-run the verb (it will read the new manifest), or delete " +
+            "the orphan layout file if no manifest v" + version + " exists")
+    }
+    if (fs.exists(dest)) verifyOrConflict()
+    else {
+      val tmp = new Path(path,
+        s"._layout_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+      writeLayoutFile(fs, tmp, counts)
+      if (fs.getScheme == "file") {
+        val raw = (p: Path) => java.nio.file.Paths.get(p.toUri.getPath)
+        try java.nio.file.Files.createLink(raw(dest), raw(tmp))
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException => verifyOrConflict()
+        }
+        fs.delete(tmp, false)
+      } else if (!fs.rename(tmp, dest)) { fs.delete(tmp, false); verifyOrConflict() }
+    }
+    writeLayoutFile(fs, new Path(s"$path/_layout"), counts)
+  }
+
+  /** The layout in effect at manifest version `asOf` (None = latest):
+    * floor rule over the versioned files, plain-`_layout` fallback. */
+  def readLayoutAt(fs: FileSystem, path: String,
+                   asOf: Option[Int]): Map[String, Int] = {
+    val vs = layoutVersions(fs, path)
+    val pick = asOf match {
+      case Some(v) => vs.filter(_ <= v).lastOption
+      case None    => vs.lastOption
+    }
+    pick.map(v => readLayoutFile(fs, new Path(s"$path/$LayoutPrefix$v")))
+      .filter(_.nonEmpty)
+      .getOrElse(readLayout(fs, path))
   }
 
   def manifestVersions(fs: FileSystem, path: String): Seq[Int] = {
@@ -179,20 +263,22 @@ private[operators] object StoreSwap {
   }
 
   /** All parquet files currently under a store directory, as
-    * store-relative paths — flat files (`dir/file.parquet`) and
-    * partitioned ones (`dir/part=value/file.parquet`). */
+    * store-relative paths — RECURSIVE to any partition depth (flat
+    * `dir/file.parquet`, one-level `dir/part=v/file.parquet`,
+    * two-level `dir/p_year=Y/p_month=M/file.parquet`, …). Depth-2+
+    * layouts used to be silently unlisted here — which would have made
+    * the next vacuum DELETE live files of any multi-level family. */
   def listDirFiles(fs: FileSystem, path: String, dir: String): Seq[String] = {
-    val root = new Path(s"$path/$dir")
-    if (!fs.exists(root)) return Seq.empty
-    fs.listStatus(root).toSeq.flatMap { st =>
-      if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-        Seq(s"$dir/${st.getPath.getName}")
-      else if (st.isDirectory)
-        fs.listStatus(st.getPath).toSeq
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(f => s"$dir/${st.getPath.getName}/${f.getPath.getName}")
-      else Seq.empty
-    }
+    val base = new Path(s"$path/$dir")
+    if (!fs.exists(base)) return Seq.empty
+    def walk(p: Path, rel: String): Seq[String] =
+      fs.listStatus(p).toSeq.flatMap { st =>
+        val childRel = s"$rel/${st.getPath.getName}"
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) Seq(childRel)
+        else if (st.isDirectory) walk(st.getPath, childRel)
+        else Seq.empty
+      }
+    walk(base, dir)
   }
 
   /** Manifest-resolved read of one store directory: only the files the
@@ -210,30 +296,27 @@ private[operators] object StoreSwap {
   /** Move every staged file under `tmpRoot` into the live `dir` under a
     * fresh `tag`-prefixed name (copy-on-write: nothing in the live tree
     * is deleted or overwritten), returning the moved files'
-    * store-relative paths. Handles flat and single-level-partitioned
-    * staged layouts; the staging root is dropped. */
+    * store-relative paths. RECURSIVE: flat and any-depth partitioned
+    * staged layouts keep their relative partition dirs; the staging
+    * root is dropped. */
   def moveStagedIn(fs: FileSystem, path: String, dir: String,
                    tmpRoot: Path, tag: String): Seq[String] = {
     val moved = scala.collection.mutable.ArrayBuffer.empty[String]
-    def moveFile(f: Path, liveDir: Path, rel: String): Unit = {
-      fs.mkdirs(liveDir)
-      val name = s"$tag${f.getName}"
-      require(fs.rename(f, new Path(liveDir, name)),
-        s"moveStagedIn: rename of $f into $liveDir failed — nothing is " +
-          "visible yet; re-run the verb")
-      moved += s"$rel/$name"
-    }
-    if (fs.exists(tmpRoot)) {
-      fs.listStatus(tmpRoot).foreach { st =>
-        if (st.isFile && st.getPath.getName.endsWith(".parquet"))
-          moveFile(st.getPath, new Path(s"$path/$dir"), dir)
-        else if (st.isDirectory)
-          fs.listStatus(st.getPath)
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-            .foreach(f => moveFile(f.getPath,
-              new Path(s"$path/$dir/${st.getPath.getName}"),
-              s"$dir/${st.getPath.getName}"))
+    def walk(p: Path, relDir: String): Unit =
+      fs.listStatus(p).foreach { st =>
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) {
+          val liveDir = new Path(s"$path/$relDir")
+          fs.mkdirs(liveDir)
+          val name = s"$tag${st.getPath.getName}"
+          require(fs.rename(st.getPath, new Path(liveDir, name)),
+            s"moveStagedIn: rename of ${st.getPath} into $liveDir failed — " +
+              "nothing is visible yet; re-run the verb")
+          moved += s"$relDir/$name"
+        } else if (st.isDirectory)
+          walk(st.getPath, s"$relDir/${st.getPath.getName}")
       }
+    if (fs.exists(tmpRoot)) {
+      walk(tmpRoot, dir)
       fs.delete(tmpRoot, true)
     }
     moved.toSeq
@@ -250,39 +333,75 @@ private[operators] object StoreSwap {
     * a snapshot read pinned inside the window ([[manifestAt]]) stays
     * complete. The default (1) is pure garbage collection — history
     * collapses to the present, exactly the pre-retention behavior.
+    * Versioned layout files follow the same window (the floor layout
+    * of the oldest kept manifest survives, so every retained snapshot
+    * still resolves the routing values it was written with).
+    *
+    * `graceMs` scopes the sweep to bytes OLDER than the horizon: with
+    * the default 0, vacuum assumes QUIESCENCE — a concurrent in-flight
+    * verb's staging root, tmp manifest, or moved-in-but-not-yet-
+    * flipped files are indistinguishable from crash garbage and WILL
+    * be deleted (the verb then fails loudly at its rename or commits a
+    * manifest listing deleted files). Pass a horizon comfortably above
+    * the longest verb runtime (e.g. 1h) to vacuum safely alongside
+    * live writers: anything younger than the horizon is presumed
+    * in-flight and left alone, and the next vacuum reclaims it once
+    * it has aged past.
     *
     * @return number of data files deleted. */
   def vacuumManifested(spark: SparkSession, path: String,
                        dirs: Seq[String], verb: String,
-                       keepVersions: Int = 1): Long = {
+                       keepVersions: Int = 1, graceMs: Long = 0L): Long = {
     require(keepVersions >= 1,
       s"$verb: keepVersions must be >= 1 (got $keepVersions) — " +
         "vacuum never deletes the latest manifest's file-set")
+    require(graceMs >= 0L, s"$verb: graceMs must be >= 0 (got $graceMs)")
     val fs = fsOf(spark, path)
     requireManifest(fs, path, verb)
+    val cutoff = System.currentTimeMillis() - graceMs
+    def aged(p: Path): Boolean =
+      graceMs == 0L || fs.getFileStatus(p).getModificationTime < cutoff
     val kept = manifestVersions(fs, path).takeRight(keepVersions)
     val listed = kept.flatMap(v => readManifest(fs, path, v)._2).toSet
     var dropped = 0L
     dirs.foreach { dir =>
       listDirFiles(fs, path, dir).filterNot(listed).foreach { rel =>
-        fs.delete(new Path(s"$path/$rel"), false)
-        dropped += 1
+        val p = new Path(s"$path/$rel")
+        if (aged(p)) {
+          fs.delete(p, false)
+          dropped += 1
+        }
+      }
+      // prune now-empty partition dirs bottom-up (any depth)
+      def pruneEmpty(p: Path): Boolean = { // returns "now empty"
+        val children = fs.listStatus(p).toSeq
+        val remaining = children.filterNot(st =>
+          st.isDirectory && pruneEmpty(st.getPath) && aged(st.getPath) && {
+            fs.delete(st.getPath, true); true
+          })
+        remaining.isEmpty
       }
       val root = new Path(s"$path/$dir")
-      if (fs.exists(root))
-        fs.listStatus(root).toSeq.filter(_.isDirectory).foreach { pd =>
-          if (fs.listStatus(pd.getPath).isEmpty) fs.delete(pd.getPath, true)
-        }
+      if (fs.exists(root)) pruneEmpty(root)
     }
     manifestVersions(fs, path).filterNot(kept.contains).foreach(v =>
       fs.delete(new Path(s"$path/$ManifestPrefix$v"), false))
+    // layout retention: keep the floor layout of the oldest kept
+    // manifest and everything after it
+    kept.headOption.foreach { oldestKept =>
+      val lvs = layoutVersions(fs, path)
+      lvs.filter(_ <= oldestKept).lastOption.foreach { floor =>
+        lvs.filter(_ < floor).foreach(v =>
+          fs.delete(new Path(s"$path/$LayoutPrefix$v"), false))
+      }
+    }
     fs.listStatus(new Path(path)).toSeq
       .filter { s =>
         val n = s.getPath.getName
-        n.startsWith("._manifest_tmp_") || n.startsWith(".ingest_stage_") ||
-          n.startsWith(".purge_stage_") || n.startsWith(".compact_stage_") ||
-          n.startsWith(".append_stage_") || n.startsWith(".rebuild_stage_")
+        n.startsWith("._manifest_tmp_") || n.startsWith("._layout_tmp_") ||
+          n.matches("^\\.[a-z]+_stage_.*")
       }
+      .filter(s => aged(s.getPath))
       .foreach(s => fs.delete(s.getPath, true))
     dropped
   }

@@ -140,19 +140,32 @@ object TextSearch {
       .select(filter(TextExprs.tokens(lower(col(textCol))), t => t =!= "")
         .as("__toks"))
       .select(col("__toks"), size(col("__toks")).cast("long").as("__dl"))
+    // STAGED like every mutation verb — never an overwrite into the
+    // live dirs: saving over existing stats continues the version
+    // chain with a manifest listing ONLY this save's partials, while
+    // every retained older version keeps its complete files (pinned
+    // readers unbroken; the superseded partials are vacuum garbage).
+    val fs = StoreSwap.fsOf(docs.sparkSession, path)
+    val tag = s"s${java.util.UUID.randomUUID().toString.take(8)}_"
+    val cStage = new org.apache.hadoop.fs.Path(path,
+      s".save_stage_${tag}corpus")
+    val tStage = new org.apache.hadoop.fs.Path(path,
+      s".save_stage_${tag}terms")
+    fs.delete(cStage, true)
+    fs.delete(tStage, true)
     base.agg(count(lit(1)).cast("long").as("n"),
         coalesce(sum(col("__dl")), lit(0L)).as("tl"))
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/corpus")
+      .coalesce(1).write.mode("overwrite").parquet(cStage.toString)
     base
       .select(explode(array_distinct(col("__toks"))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").parquet(s"$path/terms")
-    val fs = StoreSwap.fsOf(docs.sparkSession, path)
+      .write.mode("overwrite").parquet(tStage.toString)
+    val staged = StoreSwap.moveStagedIn(fs, path, "corpus", cStage, tag) ++
+      StoreSwap.moveStagedIn(fs, path, "terms", tStage, tag)
     val version = StoreSwap.manifestVersions(fs, path).lastOption
       .getOrElse(0) + 1
-    StoreSwap.commitManifest(fs, path, version,
-      Seq("corpus", "terms").flatMap(StoreSwap.listDirFiles(fs, path, _)))
+    StoreSwap.commitManifest(fs, path, version, staged)
   }
 
   private def requireStatsManifest(fs: org.apache.hadoop.fs.FileSystem,
@@ -183,11 +196,12 @@ object TextSearch {
     *
     * @return number of data files deleted. */
   def vacuumCorpusStats(spark: org.apache.spark.sql.SparkSession,
-                        path: String, keepVersions: Int = 1): Long = {
+                        path: String, keepVersions: Int = 1,
+                        graceMs: Long = 0L): Long = {
     requireStatsManifest(StoreSwap.fsOf(spark, path), path,
       "vacuumCorpusStats")
     StoreSwap.vacuumManifested(spark, path, Seq("corpus", "terms"),
-      "vacuumCorpusStats", keepVersions)
+      "vacuumCorpusStats", keepVersions, graceMs)
   }
 
   /** Incrementally grow SAVED corpus stats with a delta batch of NEW
@@ -367,7 +381,8 @@ object TextSearch {
     * retention rule). */
   def compactCorpusStats(spark: org.apache.spark.sql.SparkSession,
                          path: String,
-                         targetBytes: Long = 128L * 1024 * 1024): Unit = {
+                         targetBytes: Long = 128L * 1024 * 1024,
+                         keepVersions: Int = 1): Unit = {
     import org.apache.hadoop.fs.Path
     val fs = StoreSwap.fsOf(spark, path)
     val (mfVersion, mfFiles) =
@@ -403,7 +418,7 @@ object TextSearch {
         StoreSwap.moveStagedIn(fs, path, part, new Path(stage, part), tag))
     } finally fs.delete(stage, true)
     StoreSwap.commitManifest(fs, path, mfVersion + 1, compacted)
-    vacuumCorpusStats(spark, path)
+    vacuumCorpusStats(spark, path, keepVersions)
   }
 
   /** Read persisted stats: (N, TL) plus the given terms' document

@@ -1367,9 +1367,18 @@ object TrainingData {
     * Eck, Callison-Burch & Carlini, "Deduplicating Training Data Makes
     * Language Models Better", arXiv:2107.06499 — public literature):
     * remove every duplicated token span of at least `minTokens`
-    * whitespace tokens ANYWHERE in the corpus, keeping exactly the
-    * FIRST occurrence (minimal (doc id, position) — a total order, so
-    * the survivor set is deterministic on any cluster). Where
+    * whitespace tokens ANYWHERE in the corpus. Survivors are chosen
+    * PER WINDOW: each duplicated L-window keeps exactly its first
+    * occurrence (minimal (doc id, position) — a total order, so the
+    * survivor set is deterministic on any cluster). For a long
+    * duplicated span this is WEAKER than the suffix-array guarantee of
+    * one intact copy of the whole span: when a sub-window of the span
+    * also occurs EARLIER in some third document, that sub-window's
+    * range is removed from the span's own first occurrence too, so no
+    * intact copy of the longer span may survive — every duplicated
+    * window keeps one occurrence somewhere, but possibly spread across
+    * documents. (The tests and the q251 oracle encode exactly this
+    * window-level semantics.) Where
     * [[dedupSegmentsGlobal]] is sentence-aligned (the C4 line pass),
     * this catches duplicated spans that cross sentence boundaries or
     * start mid-sentence — the boilerplate/quotation shape the paper
@@ -1382,8 +1391,7 @@ object TrainingData {
     * at ≥ 2 positions marks every NON-FIRST occurrence's token range
     * for removal, and each document reassembles from its surviving
     * tokens. Any duplicated span of length ≥ `minTokens` contains only
-    * duplicated windows, so its non-first copies are fully removed —
-    * the same guarantee the suffix array gives at this granularity.
+    * duplicated windows, so its non-first copies are fully removed.
     * Whitespace is normalized to single spaces in the output (tokens
     * are the unit, exactly as in the paper).
     *
@@ -1532,15 +1540,28 @@ object TrainingData {
       .getOrElse(throw new IllegalArgumentException(
         s"$verb: $path is not an eval-hash store (no store manifest)"))
 
+  /** Window length resolved VERSIONED at the manifest version being
+    * read ([[StoreSwap.readLayoutAt]]'s floor rule): a pinned
+    * historical redaction probes at the L its hashes were computed
+    * with, even if the store was later re-created at a different
+    * minTokens. */
   private def evalStoreL(fs: org.apache.hadoop.fs.FileSystem,
-                         path: String, verb: String): Int =
-    StoreSwap.readLayout(fs, path).getOrElse("L",
+                         path: String, asOf: Int, verb: String): Int =
+    StoreSwap.readLayoutAt(fs, path, Some(asOf)).getOrElse("L",
       throw new IllegalArgumentException(
         s"$verb: $path has no L in _layout — not an eval-hash store"))
 
   /** Create the store from one benchmark: its distinct window hashes
     * land under `src=<source>`, the manifest flip is the commit point
-    * (a torn save reads as no store and is re-run). */
+    * (a torn save reads as no store and is re-run).
+    *
+    * STAGED like every mutation verb — never an overwrite into the
+    * live dir: re-creating a store (e.g. at a different `minTokens`)
+    * continues the version chain with a manifest listing ONLY the new
+    * hashes, while every retained older version keeps its complete
+    * files; L commits as a VERSIONED layout, so a pinned historical
+    * redaction still probes at the window length its hashes were
+    * computed with. */
   def saveEvalHashStore(evalSet: DataFrame, idCol: String, textCol: String,
                         path: String, source: String,
                         minTokens: Int = 13): Unit = {
@@ -1548,17 +1569,20 @@ object TrainingData {
     require(source.nonEmpty, "saveEvalHashStore: empty source name")
     val spark = evalSet.sparkSession
     val fs = StoreSwap.fsOf(spark, path)
-    StoreSwap.writeLayout(fs, path, Seq("L" -> minTokens))
+    val version = StoreSwap.manifestVersions(fs, path).lastOption
+      .getOrElse(0) + 1
+    val tag = s"s${java.util.UUID.randomUUID().toString.take(8)}_"
+    val tmpRoot = new org.apache.hadoop.fs.Path(path, s".save_stage_$tag")
+    fs.delete(tmpRoot, true)
     tokenWindows(evalSet.select(col(idCol),
         tokenArray(textCol).as("__toks")), idCol, minTokens)
       .select(col("__h").as("h")).distinct()
       .withColumn("src", lit(source))
       .repartition(1).write.mode("overwrite").partitionBy("src")
-      .parquet(s"$path/hashes")
-    val version = StoreSwap.manifestVersions(fs, path).lastOption
-      .getOrElse(0) + 1
-    StoreSwap.commitManifest(fs, path, version,
-      StoreSwap.listDirFiles(fs, path, "hashes"))
+      .parquet(tmpRoot.toString)
+    val staged = StoreSwap.moveStagedIn(fs, path, "hashes", tmpRoot, tag)
+    StoreSwap.commitLayout(fs, path, version, Seq("L" -> minTokens))
+    StoreSwap.commitManifest(fs, path, version, staged)
   }
 
   /** Append another benchmark's hashes under its own `src` partition
@@ -1575,7 +1599,7 @@ object TrainingData {
     require(!mfFiles.exists(_.startsWith(s"hashes/src=$source/")),
       s"appendEvalSource: source '$source' already in the store — " +
         "purgeEvalSource it first (suite updates are explicit)")
-    val l = evalStoreL(fs, path, "appendEvalSource")
+    val l = evalStoreL(fs, path, mfVersion, "appendEvalSource")
     val tag = s"a${java.util.UUID.randomUUID().toString.take(8)}_"
     val tmpRoot = new org.apache.hadoop.fs.Path(path, s".append_stage_$tag")
     fs.delete(tmpRoot, true)
@@ -1619,10 +1643,10 @@ object TrainingData {
 
   /** Drop every file no retained manifest lists — the retention verb. */
   def vacuumEvalHashStore(spark: SparkSession, path: String,
-                          keepVersions: Int = 1): Long = {
+                          keepVersions: Int = 1, graceMs: Long = 0L): Long = {
     requireEvalStore(StoreSwap.fsOf(spark, path), path, "vacuumEvalHashStore")
     StoreSwap.vacuumManifested(spark, path, Seq("hashes"),
-      "vacuumEvalHashStore", keepVersions)
+      "vacuumEvalHashStore", keepVersions, graceMs)
   }
 
   /** [[redactEvalSpans]] against the PERSISTED suite: the corpus is
@@ -1638,10 +1662,10 @@ object TrainingData {
                          asOfVersion: Option[Int] = None): DataFrame = {
     val spark = corpus.sparkSession
     val fs = StoreSwap.fsOf(spark, path)
-    val (_, mfFiles) = asOfVersion
+    val (mfV, mfFiles) = asOfVersion
       .map(v => StoreSwap.manifestAt(fs, path, v))
       .getOrElse(requireEvalStore(fs, path, "redactAgainstStore"))
-    val l = evalStoreL(fs, path, "redactAgainstStore")
+    val l = evalStoreL(fs, path, mfV, "redactAgainstStore")
     val base = corpus.select(col(idCol), tokenArray(textCol).as("__toks"))
     // a fully-retired suite redacts nothing (normalized pass-through)
     if (!mfFiles.exists(_.startsWith("hashes/")))

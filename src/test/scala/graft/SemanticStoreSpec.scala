@@ -232,6 +232,69 @@ class SemanticStoreSpec extends SparkSpec {
       "derive diverged from the observed-commit-order reference")
   }
 
+  test("staged re-save over a live store: the superseded version's " +
+    "pinned reads stay byte-complete, and the new save's different " +
+    "id-bucket count resolves through the VERSIONED layout (floor rule)") {
+    val path = newDir("resave")
+    val evens = emb.where(col("vec_id") % 2 === 0)
+    SemanticStore.save(evens, "vec_id", "embedding", path, model) // v1, pb=64
+    val before = SemanticStore.deriveSurvivors(spark, path, tau)
+      .select("doc").collect().map(_.getLong(0)).toSet
+    // re-create the store at the same path from the FULL corpus with a
+    // different pb count — v2 continues the chain; v1 keeps its files
+    // (the old design's overwrite-mode save physically deleted them)
+    SemanticStore.save(emb, "vec_id", "embedding", path, model,
+      idBuckets = 4) // v2
+    assert(SemanticStore.versions(spark, path) == Seq(1, 2))
+    val pinned = SemanticStore.deriveSurvivors(spark, path, tau,
+      asOfVersion = Some(1))
+      .select("doc").collect().map(_.getLong(0)).toSet
+    assert(pinned == before, "v1 broke under the v2 save")
+    // the pb-ROUTED pinned path (verdictsForIds prunes idmap by v1's
+    // pb=64, not v2's 4): every v1 member answers, survivors match
+    val v1Verdicts = SemanticStore.verdictsForIds(spark, path,
+      evens.select(col("vec_id")), "vec_id", tau, asOfVersion = Some(1))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(v1Verdicts.size == evens.count())
+    assert(v1Verdicts.filter(_._2).keySet == before)
+    // latest resolves the NEW store: full membership at pb=4 routing,
+    // every seq re-assigned by the v2 save
+    val latest = SemanticStore.verdictsForIds(spark, path,
+      emb.select(col("vec_id")), "vec_id", tau)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    assert(latest.size == emb.count())
+    assert(latest.values.toSet == Set(2), "v2 members must carry seq=2")
+    // vacuum to 1 version reclaims the superseded v1 store
+    assert(SemanticStore.vacuum(spark, path) > 0L)
+    intercept[IllegalArgumentException] {
+      SemanticStore.deriveSurvivors(spark, path, tau, asOfVersion = Some(1))
+    }
+  }
+
+  test("compact keepVersions: nightly maintenance no longer collapses " +
+    "the snapshot window — a pre-compact pinned read still resolves") {
+    val path = newDir("compactkeep")
+    val evens = emb.where(col("vec_id") % 2 === 0)
+    val odds = emb.where(col("vec_id") % 2 === 1)
+    SemanticStore.save(evens, "vec_id", "embedding", path, model) // v1
+    SemanticStore.ingest(odds, "vec_id", "embedding", path, tau).count() // v2
+    val preCompact = SemanticStore.deriveSurvivors(spark, path, tau,
+      asOfVersion = Some(1))
+      .select("doc").collect().map(_.getLong(0)).toSet
+    SemanticStore.compact(spark, path, keepVersions = 2) // v3 + vacuum(2)
+    // the pre-compact v2 is retained; v1 is out of window
+    val pinned = SemanticStore.deriveSurvivors(spark, path, tau,
+      asOfVersion = Some(2))
+      .select("doc").collect().map(_.getLong(0)).toSet
+    assert(pinned == SemanticStore.deriveSurvivors(spark, path, tau)
+      .select("doc").collect().map(_.getLong(0)).toSet,
+      "pre-compact snapshot must equal the compacted present")
+    intercept[IllegalArgumentException] {
+      SemanticStore.deriveSurvivors(spark, path, tau, asOfVersion = Some(1))
+    }
+    assert(preCompact.nonEmpty)
+  }
+
   test("reader isolation: a reader pinned mid-purge resolves the old " +
     "consistent file-set; crash-before-flip is invisible and re-run " +
     "heals; vacuum reclaims exactly the unlisted garbage") {

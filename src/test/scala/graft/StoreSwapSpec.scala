@@ -74,6 +74,104 @@ class StoreSwapSpec extends graft.SparkSpec {
       s"committed content must be exactly one claimant's, intact: $files")
   }
 
+  test("listDirFiles and moveStagedIn are recursive: a two-level " +
+    "partitioned layout lists and moves completely (a depth-limited " +
+    "lister would unlist live files and the next vacuum would delete " +
+    "them)") {
+    val root = freshRoot()
+    val fs = StoreSwap.fsOf(spark, root)
+    def touch(rel: String): Unit = {
+      val p = new Path(s"$root/$rel")
+      fs.mkdirs(p.getParent)
+      fs.create(p, true).close()
+    }
+    touch("fact/flat.parquet")
+    touch("fact/p_year=2024/one.parquet")
+    touch("fact/p_year=2024/p_month=1/deep.parquet")
+    touch("fact/p_year=2024/p_month=2/deep2.parquet")
+    touch("fact/p_year=2024/p_month=1/_ignored.crc") // non-parquet skipped
+    assert(StoreSwap.listDirFiles(fs, root, "fact").sorted == Seq(
+      "fact/flat.parquet", "fact/p_year=2024/one.parquet",
+      "fact/p_year=2024/p_month=1/deep.parquet",
+      "fact/p_year=2024/p_month=2/deep2.parquet"),
+      "every depth must list, non-parquet must not")
+    // staged two-level layout moves in preserving partition dirs
+    val stage = new Path(root, ".save_stage_t_fact")
+    fs.mkdirs(new Path(stage, "p_year=2025/p_month=3"))
+    fs.create(new Path(stage, "p_year=2025/p_month=3/f.parquet"), true).close()
+    val moved = StoreSwap.moveStagedIn(fs, root, "fact", stage, "tag_")
+    assert(moved == Seq("fact/p_year=2025/p_month=3/tag_f.parquet"), moved)
+    assert(fs.exists(new Path(s"$root/${moved.head}")))
+    assert(!fs.exists(stage), "staging root must be dropped")
+  }
+
+  test("vacuum graceMs protects a mid-flight verb: young staging roots, " +
+    "tmp manifests, and moved-in-but-unflipped files survive; the same " +
+    "sweep with grace 0 (quiescent) reclaims them") {
+    val root = freshRoot()
+    val fs = StoreSwap.fsOf(spark, root)
+    fs.mkdirs(new Path(root))
+    // committed store: one listed file
+    fs.mkdirs(new Path(s"$root/d"))
+    fs.create(new Path(s"$root/d/live.parquet"), true).close()
+    StoreSwap.commitManifest(fs, root, 1, Seq("d/live.parquet"))
+    // a mid-flight mutation: staging root + an already-moved-in (but
+    // not yet flipped) file + a tmp manifest, all freshly written
+    fs.mkdirs(new Path(s"$root/.ingest_stage_x_d"))
+    fs.create(new Path(s"$root/d/unflipped.parquet"), true).close()
+    fs.create(new Path(s"$root/._manifest_tmp_x"), true).close()
+    val dropped = StoreSwap.vacuumManifested(spark, root, Seq("d"),
+      "spec", keepVersions = 1, graceMs = 3600 * 1000L)
+    assert(dropped == 0L, s"grace must protect young bytes, dropped $dropped")
+    assert(fs.exists(new Path(s"$root/.ingest_stage_x_d")) &&
+      fs.exists(new Path(s"$root/d/unflipped.parquet")) &&
+      fs.exists(new Path(s"$root/._manifest_tmp_x")),
+      "in-flight staging/tmp/moved-in files must survive a graced vacuum")
+    // the mutation now commits — its moved-in file becomes listed
+    StoreSwap.commitManifest(fs, root, 2,
+      Seq("d/live.parquet", "d/unflipped.parquet"))
+    // quiescent sweep (grace 0): the leftovers reclaim, listed files stay
+    val dropped2 = StoreSwap.vacuumManifested(spark, root, Seq("d"), "spec")
+    assert(dropped2 == 0L, "both files are listed by the kept manifest")
+    assert(!fs.exists(new Path(s"$root/.ingest_stage_x_d")) &&
+      !fs.exists(new Path(s"$root/._manifest_tmp_x")),
+      "quiescent vacuum reclaims staging litter")
+    assert(fs.exists(new Path(s"$root/d/unflipped.parquet")),
+      "the committed file must survive")
+  }
+
+  test("versioned layout: floor-rule resolution per manifest version, " +
+    "claim-or-verify on re-commit, and vacuum keeps the oldest kept " +
+    "manifest's floor layout") {
+    val root = freshRoot()
+    val fs = StoreSwap.fsOf(spark, root)
+    fs.mkdirs(new Path(root))
+    fs.mkdirs(new Path(s"$root/d"))
+    def commitV(v: Int): Unit = {
+      fs.create(new Path(s"$root/d/f$v.parquet"), true).close()
+      StoreSwap.commitManifest(fs, root, v, Seq(s"d/f$v.parquet"))
+    }
+    StoreSwap.commitLayout(fs, root, 1, Seq("pb" -> 8))
+    commitV(1)
+    commitV(2) // a verb that doesn't change layout
+    StoreSwap.commitLayout(fs, root, 3, Seq("pb" -> 64))
+    commitV(3)
+    assert(StoreSwap.readLayoutAt(fs, root, Some(1)) == Map("pb" -> 8))
+    assert(StoreSwap.readLayoutAt(fs, root, Some(2)) == Map("pb" -> 8),
+      "floor rule: v2 resolves the layout committed at v1")
+    assert(StoreSwap.readLayoutAt(fs, root, Some(3)) == Map("pb" -> 64))
+    // idempotent re-commit with same values passes; different values refuse
+    StoreSwap.commitLayout(fs, root, 3, Seq("pb" -> 64))
+    val e = intercept[java.util.ConcurrentModificationException](
+      StoreSwap.commitLayout(fs, root, 3, Seq("pb" -> 16)))
+    assert(e.getMessage.contains("different values"), e.getMessage)
+    // vacuum to the latest 1: v3's floor (the v3 layout) survives,
+    // the v1 layout is out of window and reclaimed
+    StoreSwap.vacuumManifested(spark, root, Seq("d"), "spec")
+    assert(StoreSwap.layoutVersions(fs, root) == Seq(3))
+    assert(StoreSwap.readLayoutAt(fs, root, Some(3)) == Map("pb" -> 64))
+  }
+
   test("manifestAt resolves any retained version and refuses an unknown " +
     "or vacuumed one naming the retained window") {
     val root = freshRoot()

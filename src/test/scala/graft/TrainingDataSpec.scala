@@ -166,6 +166,43 @@ class TrainingDataSpec extends SparkSpec {
     assert(none.keySet == both.keySet)
   }
 
+  test("eval-hash store re-created at a DIFFERENT minTokens: the save " +
+    "is staged (v1's files survive) and a pinned historical redaction " +
+    "probes at the OLD window length — the versioned-layout floor rule") {
+    import spark.implicits._
+    val path = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_evalstore_relen_${System.nanoTime()}").getAbsolutePath
+    // hand-built so the two window lengths provably differ: doc 2
+    // shares a SIX-token span with the benchmark (redacts at L=5,
+    // survives at L=8), doc 3 quotes the full ten tokens (both)
+    val corpus = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "x1 x2 a b c d e f x3 x4"),
+      (3L, "y1 y2 y3 a b c d e f g h i j y4")).toDF("doc_id", "text")
+    val bench = corpus.where(col("doc_id") === 1)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    TrainingData.saveEvalHashStore(bench, "doc_id", "text", path,
+      "benchA", minTokens = 8) // v1, L=8
+    val v1 = toMap(TrainingData.redactAgainstStore(corpus, "doc_id",
+      "text", path))
+    assert(v1(2L)._2 == 0L && v1(3L)._2 > 0L, s"L=8 shape wrong: $v1")
+    // re-create the suite at L=5 — a staged save continuing the chain
+    TrainingData.saveEvalHashStore(bench, "doc_id", "text", path,
+      "benchA", minTokens = 5) // v2, L=5
+    val latest = toMap(TrainingData.redactAgainstStore(corpus, "doc_id",
+      "text", path))
+    assert(latest == toMap(TrainingData.redactEvalSpans(corpus, bench,
+      "doc_id", "text", 5)), "latest must redact at the NEW L")
+    assert(latest(2L)._2 == 6L, s"the 6-token span must redact at L=5: $latest")
+    // the pinned v1 redaction still probes at L=8 with v1's hashes —
+    // the unversioned-_layout design probed v1 hashes at L=5 and
+    // silently missed every span
+    assert(toMap(TrainingData.redactAgainstStore(corpus, "doc_id", "text",
+      path, asOfVersion = Some(1))) == v1,
+      "pinned redaction diverged — layout not resolved at the pin")
+  }
+
   test("deterministic sample: stable, subset-monotonic in permille") {
     val s200 = TrainingData.deterministicSample(docs, "doc_id", 200)
       .select("doc_id").collect().map(_.getLong(0)).toSet
