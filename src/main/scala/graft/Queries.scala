@@ -9071,6 +9071,106 @@ object Queries {
         CAST(len(t.toks) - COALESCE(kept.nk, 0) AS BIGINT) AS n_redacted
       FROM t LEFT JOIN kept USING (doc_id)"""))
 
+  private val stagedWhTtDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Whole-warehouse time travel (the reference-parity fact table on
+    * the manifest protocol — the LAST store with reader-visible swap
+    * windows, now converted): the even half bootstraps `fact_sales`
+    * (v1), the odd half appends (v2), compaction folds every
+    * multi-file month behind ONE flip (v3). The query reads BOTH the
+    * pre-compact pinned v2 and the compacted latest, aggregated by the
+    * recovered partition columns — byte-equal aggregates because
+    * compaction is content-preserving and copy-on-write never deletes
+    * a retained version's files. A torn month, a compaction that
+    * dropped or duplicated rows, a pin resolving the wrong file-set,
+    * or partition columns lost by the manifest-resolved read all
+    * change a row and fail the hash. */
+  private val q254 = Q("q254_warehouse_time_travel",
+    (s, d) => {
+      def fact(): DataFrame = lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("fact_id"),
+          col("o_orderdate").as("date_id"),
+          col("l_partkey").as("product_id"),
+          col("l_quantity").cast("int").as("units"))
+      val dir = Queries.stagedWhTtDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_wh_tt_${Queries.stagingSuffix(d)}")
+        // the read PINS manifest v2 — start from nothing (see the q245
+        // note; a leftover warehouse shifts every version)
+        org.apache.commons.io.FileUtils.deleteDirectory(f)
+        val fx = fact()
+        graft.sources.WarehouseStore.saveFact(
+          fx.where(col("fact_id") % 2 === 0), f.getAbsolutePath) // v1
+        graft.sources.WarehouseStore.saveFact(
+          fx.where(col("fact_id") % 2 === 1), f.getAbsolutePath,
+          org.apache.spark.sql.SaveMode.Append) // v2
+        graft.sources.WarehouseStore.compactFact(s, f.getAbsolutePath) // v3
+        f
+      })
+      def agg(df: DataFrame, tag: String): DataFrame =
+        df.groupBy(col("p_year").cast("int").as("p_year"),
+            col("p_month").cast("int").as("p_month"))
+          .agg(count(lit(1)).as("n_rows"), sum(col("units")).as("sum_units"))
+          .withColumn("src", lit(tag))
+      agg(graft.sources.WarehouseStore.loadFact(s, dir.getAbsolutePath,
+        asOfVersion = Some(2)), "pinned_v2")
+        .unionAll(agg(graft.sources.WarehouseStore.loadFact(s,
+          dir.getAbsolutePath), "latest"))
+    },
+    Some("""WITH fact AS (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS p_year,
+          CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS p_month,
+          CAST(l_quantity AS INTEGER) AS units
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      agg AS (SELECT p_year, p_month, COUNT(*) AS n_rows,
+          CAST(SUM(units) AS BIGINT) AS sum_units
+        FROM fact GROUP BY p_year, p_month)
+      SELECT p_year, p_month, n_rows, sum_units, 'pinned_v2' AS src FROM agg
+      UNION ALL
+      SELECT p_year, p_month, n_rows, sum_units, 'latest' AS src FROM agg"""))
+
+  private val stagedRebucketDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Store re-bucketing (the layout-lifecycle completion): a MinHash
+    * store deliberately saved with bucket counts its deltas have
+    * OUTGROWN (2 band buckets — pruning can no longer win) runs the
+    * bootstrap → ingest lifecycle, then
+    * [[graft.operators.Dedup.rebucketMinhashStore]] rewrites all three
+    * directories at 64/64 behind ONE manifest flip with a VERSIONED
+    * layout. The derive over the re-bucketed store must equal one-shot
+    * [[graft.operators.Dedup.minhashDuplicates]] over the full corpus
+    * (q114's oracle verbatim): a pair lost or invented by the
+    * re-partition, routing applied at the wrong counts, or a manifest
+    * mixing old and new layouts all change a row and fail the hash. */
+  private val q255 = Q("q255_minhash_rebucket",
+    (s, d) => {
+      val dir = Queries.stagedRebucketDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_minhash_rebucket_${Queries.stagingSuffix(d)}")
+        // versioned protocol — start from nothing (see the q245 note)
+        org.apache.commons.io.FileUtils.deleteDirectory(f)
+        val docs = documents(s, d)
+        val store = s"${f.getAbsolutePath}/store"
+        graft.operators.Dedup.saveMinhashStore(
+          docs.where(col("doc_id") % 2 === 0), "doc_id", "text", store,
+          storeBuckets = 4, bandBuckets = 2) // v1
+        graft.operators.Dedup.minhashIncremental(
+          docs.where(col("doc_id") % 2 === 1), "doc_id", "text", store,
+          0.4, bands = 4, ngram = 3).count() // v2
+        graft.operators.Dedup.rebucketMinhashStore(s, store,
+          storeBuckets = 64, bandBuckets = 64) // v3
+        graft.operators.Dedup.vacuumMinhashStore(s, store)
+        f
+      })
+      graft.operators.Dedup.derivePairsFromStore(s,
+        s"${dir.getAbsolutePath}/store", 0.4)
+    },
+    q114.oracle)
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -9092,7 +9192,8 @@ object Queries {
     q208, q209, q210, q211, q212, q213, q214, q215, q216, q217, q218,
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229,
     q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240,
-    q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252, q253)
+    q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252,
+    q253, q254, q255)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

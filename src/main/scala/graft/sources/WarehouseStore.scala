@@ -1,41 +1,135 @@
 package graft.sources
 
 import graft.etl.OrderEtl.Warehouse
+import graft.operators.StoreSwap
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Warehouse persistence (SURVEY.md §2.1 S4-S7): dims as plain parquet
+/** Warehouse persistence (SURVEY.md §2.1 S4-S7): dims as parquet
   * (they're KB-MB at any scale), the fact table partitioned by
-  * (year, month) of date_id.
+  * (year, month) of date_id — ON THE MANIFEST PROTOCOL, like every
+  * other persisted artifact in this engine ([[StoreSwap]]): one
+  * warehouse manifest at `path` covers all five directories, every
+  * reader resolves the file-set through it, and every write verb is
+  * copy-on-write behind ONE CAS-committed flip. The fact table was the
+  * last store with reader-visible swap windows (the old compactFact's
+  * delete-then-rename) and "recover manually" crash messages; now a
+  * reader mid-compaction keeps a complete month at every instant, a
+  * crash before the flip changes nothing visible, re-running is always
+  * the recovery, and [[load]]'s `asOfVersion` is a snapshot read of
+  * the whole warehouse (pre-compact, pre-append, pre-reload).
   *
-  * Why this layout at 100 TB: the dashboard/view queries all constrain or
-  * group on date attributes, so date partitioning turns them into
-  * partition-pruned scans; within a partition, parquet row-group stats
-  * give min/max pruning on the remaining predicates. `overwrite` on the
-  * staging path is the truncate-reload idempotence of the reference
-  * (S5); `append` on fact is the incremental load path. fact files are
-  * written pre-sorted by product_id so per-product rollups read
-  * clustered row groups.
+  * Why this layout at 100 TB: the dashboard/view queries all constrain
+  * or group on date attributes, so date partitioning turns them into
+  * partition-pruned scans (manifest-resolved reads recover the
+  * partition columns via basePath, so `PartitionFilters` still land at
+  * the scan — PlanShapeSpec gates it); within a partition, parquet
+  * row-group stats give min/max pruning on the remaining predicates.
+  * [[save]] is the truncate-reload idempotence of the reference (S5) —
+  * a re-save continues the version chain with a manifest listing only
+  * the new file-set; `SaveMode.Append` on [[saveFact]] is the
+  * incremental load path. fact files are written pre-sorted by
+  * product_id so per-product rollups read clustered row groups.
   */
 object WarehouseStore {
 
-  def saveFact(fact: DataFrame, path: String,
-               mode: SaveMode = SaveMode.Overwrite): Unit =
+  private val DimDirs =
+    Seq("dim_date", "dim_customer", "dim_product", "dim_platform")
+  private val AllDirs = DimDirs :+ "fact_sales"
+
+  private def fsOf(spark: SparkSession, path: String) =
+    StoreSwap.fsOf(spark, path)
+
+  /** Retained manifest versions, oldest first — the snapshot surface. */
+  def versions(spark: SparkSession, path: String): Seq[Int] =
+    StoreSwap.manifestVersions(fsOf(spark, path), path)
+
+  /** True iff `path` holds a committed warehouse. */
+  def ready(spark: SparkSession, path: String): Boolean =
+    StoreSwap.latestManifest(fsOf(spark, path), path).nonEmpty
+
+  private def requireWh(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                        verb: String): (Int, Seq[String]) =
+    StoreSwap.latestManifest(fs, path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$verb: $path is not a committed warehouse layout (no manifest) — " +
+          "write it with WarehouseStore.save/saveFact"))
+
+  private def resolve(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                      asOfVersion: Option[Int],
+                      verb: String): (Int, Seq[String]) =
+    asOfVersion.map(v => StoreSwap.manifestAt(fs, path, v))
+      .getOrElse(requireWh(fs, path, verb))
+
+  /** Stage a partitioned fact frame and move it in copy-on-write;
+    * returns the moved files' store-relative paths (no flip here —
+    * the caller commits). */
+  private def stageFact(fact: DataFrame, path: String,
+                        fs: org.apache.hadoop.fs.FileSystem,
+                        tag: String): Seq[String] = {
+    val tmpRoot = new Path(path, s".fact_stage_${tag}fact_sales")
+    fs.delete(tmpRoot, true)
     fact
       .withColumn("p_year", year(col("date_id")))
       .withColumn("p_month", month(col("date_id")))
       .repartition(col("p_year"), col("p_month"))
       .sortWithinPartitions(col("product_id"))
-      .write.mode(mode)
+      .write.mode(SaveMode.Overwrite)
       .partitionBy("p_year", "p_month")
-      .parquet(s"$path/fact_sales")
+      .parquet(tmpRoot.toString)
+    StoreSwap.moveStagedIn(fs, path, "fact_sales", tmpRoot, tag)
+  }
 
+  /** Write (Overwrite) or grow (Append) the fact table behind ONE
+    * manifest flip. Overwrite = truncate-reload: the new manifest
+    * unlists every prior fact file (they stay on disk for pinned
+    * readers until [[vacuumWarehouse]]) while dim entries carry over.
+    * Append = the incremental load: prior fact entries carry over and
+    * the batch's files join them — a torn append (crash before the
+    * flip) is invisible and re-running is the recovery. */
+  def saveFact(fact: DataFrame, path: String,
+               mode: SaveMode = SaveMode.Overwrite): Unit = {
+    require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
+      s"saveFact: unsupported mode $mode")
+    val spark = fact.sparkSession
+    val fs = fsOf(spark, path)
+    val tag = s"f${java.util.UUID.randomUUID().toString.take(8)}_"
+    val moved = stageFact(fact, path, fs, tag)
+    val prior = StoreSwap.latestManifest(fs, path)
+    val (version, carried) = prior match {
+      case Some((v, files)) =>
+        val kept = if (mode == SaveMode.Append) files
+                   else files.filterNot(_.startsWith("fact_sales/"))
+        (v + 1, kept)
+      case None => (1, Seq.empty[String])
+    }
+    StoreSwap.commitManifest(fs, path, version, carried ++ moved)
+  }
+
+  /** Full truncate-reload of the warehouse: dims + fact staged, moved
+    * in copy-on-write, ONE manifest flip listing ONLY this save's
+    * file-set. Re-saving continues the version chain; the superseded
+    * warehouse is vacuum garbage, complete for any pinned reader. */
   def save(wh: Warehouse, path: String): Unit = {
-    wh.dimDate.write.mode(SaveMode.Overwrite).parquet(s"$path/dim_date")
-    wh.dimCustomer.write.mode(SaveMode.Overwrite).parquet(s"$path/dim_customer")
-    wh.dimProduct.write.mode(SaveMode.Overwrite).parquet(s"$path/dim_product")
-    wh.dimPlatform.write.mode(SaveMode.Overwrite).parquet(s"$path/dim_platform")
-    saveFact(wh.factSales, path)
+    val spark = wh.factSales.sparkSession
+    val fs = fsOf(spark, path)
+    val tag = s"s${java.util.UUID.randomUUID().toString.take(8)}_"
+    def stageDim(df: DataFrame, dir: String): Seq[String] = {
+      val tmpRoot = new Path(path, s".save_stage_$tag$dir")
+      fs.delete(tmpRoot, true)
+      df.write.mode(SaveMode.Overwrite).parquet(tmpRoot.toString)
+      StoreSwap.moveStagedIn(fs, path, dir, tmpRoot, tag)
+    }
+    val staged =
+      stageDim(wh.dimDate, "dim_date") ++
+      stageDim(wh.dimCustomer, "dim_customer") ++
+      stageDim(wh.dimProduct, "dim_product") ++
+      stageDim(wh.dimPlatform, "dim_platform") ++
+      stageFact(wh.factSales, path, fs, tag)
+    val version = StoreSwap.manifestVersions(fs, path).lastOption
+      .getOrElse(0) + 1
+    StoreSwap.commitManifest(fs, path, version, staged)
   }
 
   /** Bucketed catalog table: pre-shuffled on `keys` into `numBuckets` so
@@ -53,79 +147,99 @@ object WarehouseStore {
 
   /** Small-file compaction for the incrementally-appended fact: every
     * `saveFact(..., Append)` batch adds a file per touched (year, month)
-    * directory, and a year of hourly loads turns partition listings and
-    * scan task counts into the bottleneck. Rewrites each affected
-    * partition into ~`targetBytes` files, restoring the product_id
-    * cluster ordering that appends interleave.
+    * directory, and a year of hourly loads turns manifest size and scan
+    * task counts into the bottleneck. Rewrites each multi-file partition
+    * (multi-file BY THE MANIFEST — unlisted garbage never compacts into
+    * the store) into ~`targetBytes` files, restoring the product_id
+    * cluster ordering that appends interleave — ONE partition-pruned
+    * job across all affected partitions (deterministic content-hash
+    * slices for oversized ones, never a per-partition job loop), staged,
+    * moved in copy-on-write, ONE manifest flip. A reader sees the old
+    * complete file-set or the new one, never a missing month (the
+    * delete-then-rename window and its "recover manually" messages are
+    * gone); a crash before the flip changes nothing visible and
+    * re-running is the recovery.
     *
-    * Only partitions matched by `years` (None = all) rewrite — at scale,
-    * compaction runs against the recent write window, not the archive.
-    * The rewrite stages to a DOT-PREFIXED sibling temp dir (a bare
-    * `p_month=N.compact_tmp` parses as a legitimate key=value partition
-    * dir and silently flips the p_month column to string — the exact
-    * torn-temp-as-data hazard the artifact stores eliminated this
-    * round), then swaps with a TWO-RENAME sequence (live aside,
-    * compacted in, drop the set-aside) so a complete month partition
-    * exists at every instant; both torn states heal at the next
-    * compaction's entry. Single-writer maintenance op. */
+    * Only partitions matched by `years` (None = all) rewrite — at
+    * scale, compaction runs against the recent write window, not the
+    * archive. Does NOT vacuum: pass `keepVersions` to
+    * [[vacuumWarehouse]] on your retention schedule so routine
+    * compaction never collapses the snapshot window. */
   def compactFact(spark: SparkSession, path: String,
                   targetBytes: Long = 128L * 1024 * 1024,
                   years: Option[Seq[Int]] = None): Unit = {
-    import org.apache.hadoop.fs.Path
-    val factPath = new Path(s"$path/fact_sales")
-    val fs = factPath.getFileSystem(spark.sessionState.newHadoopConf())
-    if (!fs.exists(factPath)) return
-    val yearDirs = fs.listStatus(factPath)
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_year="))
-      .filter(s => years.forall(
-        _.contains(s.getPath.getName.stripPrefix("p_year=").toInt)))
-    yearDirs.foreach { yd =>
-      // heal a torn prior swap: a month dir missing with its compacted
-      // copy staged (crash between the renames) promotes the copy;
-      // failing that the set-aside originals are restored; stale dot
-      // dirs next to a live month are dropped
-      fs.listStatus(yd.getPath)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(".p_month="))
-        .foreach { dd =>
-          val live = new Path(yd.getPath, dd.getPath.getName
-            .stripPrefix(".").replaceAll("\\.compact_(tmp|old)$", ""))
-          if (!fs.exists(live) &&
-              dd.getPath.getName.endsWith(".compact_tmp"))
-            require(fs.rename(dd.getPath, live),
-              s"compactFact recovery: promote ${dd.getPath} manually")
-          else if (!fs.exists(live))
-            require(fs.rename(dd.getPath, live),
-              s"compactFact recovery: restore ${dd.getPath} manually")
-          else fs.delete(dd.getPath, true)
-        }
-      fs.listStatus(yd.getPath)
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("p_month="))
-        .foreach { md =>
-          val files = fs.listStatus(md.getPath)
-            .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          if (files.length > 1) {
-            val nFiles = math.max(1,
-              math.ceil(files.map(_.getLen).sum.toDouble / targetBytes).toInt)
-            val tmp = new Path(md.getPath.getParent,
-              s".${md.getPath.getName}.compact_tmp")
-            val old = new Path(md.getPath.getParent,
-              s".${md.getPath.getName}.compact_old")
-            fs.delete(tmp, true)
-            fs.delete(old, true)
-            spark.read.parquet(md.getPath.toString)
-              .repartition(nFiles)
-              .sortWithinPartitions(col("product_id"))
-              .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
-            // two-rename swap: a complete month exists at every instant
-            require(fs.rename(md.getPath, old),
-              s"compactFact: could not set ${md.getPath} aside — originals untouched")
-            require(fs.rename(tmp, md.getPath),
-              s"compactFact: swap failed for ${md.getPath} — compacted data at " +
-                s"$tmp, originals at $old; re-running recovers")
-            fs.delete(old, true)
-          }
-        }
+    val fs = fsOf(spark, path)
+    val prior = StoreSwap.latestManifest(fs, path)
+    if (prior.isEmpty) return
+    val (mfVersion, mfFiles) = prior.get
+    def partDir(rel: String): String = {
+      val i = rel.lastIndexOf('/')
+      rel.substring(0, i)
     }
+    def yearOf(dir: String): Int =
+      dir.split("/")(1).stripPrefix("p_year=").toInt
+    def monthOf(dir: String): Int =
+      dir.split("/")(2).stripPrefix("p_month=").toInt
+    val groups = mfFiles.filter(_.startsWith("fact_sales/"))
+      .filter(_.count(_ == '/') == 3) // fact_sales/p_year=Y/p_month=M/f
+      .groupBy(partDir)
+      .filter { case (dir, fls) =>
+        fls.length > 1 && years.forall(_.contains(yearOf(dir)))
+      }
+    if (groups.isEmpty) return
+    val slices = groups.toSeq.map { case (dir, fls) =>
+      val bytes = fls
+        .map(f => fs.getFileStatus(new Path(s"$path/$f")).getLen).sum
+      (yearOf(dir), monthOf(dir),
+        math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
+    }.sorted
+    val pruned = StoreSwap.readStoreDir(spark, path, "fact_sales",
+        groups.values.flatten.toSeq)
+    // deterministic content-hash slice for oversized partitions (never
+    // repartition on a nondeterministic column — task retries would
+    // duplicate or drop rows)
+    val sliceExpr = slices.filter(_._3 > 1).foldLeft(lit(0)) {
+      case (acc, (y, m, n)) =>
+        when(col("p_year") === lit(y) && col("p_month") === lit(m),
+          pmod(hash(pruned.columns.map(col): _*), lit(n))).otherwise(acc)
+    }
+    val tag = s"c${java.util.UUID.randomUUID().toString.take(8)}_"
+    val tmpRoot = new Path(path, s".compact_stage_${tag}fact_sales")
+    fs.delete(tmpRoot, true)
+    pruned.withColumn("__slice", sliceExpr)
+      .repartition(slices.map(_._3).sum,
+        col("p_year"), col("p_month"), col("__slice"))
+      .drop("__slice")
+      .sortWithinPartitions(col("product_id"))
+      .write.mode(SaveMode.Overwrite).partitionBy("p_year", "p_month")
+      .parquet(tmpRoot.toString)
+    val moved = StoreSwap.moveStagedIn(fs, path, "fact_sales", tmpRoot, tag)
+    val droppedSet = groups.values.flatten.toSet
+    StoreSwap.commitManifest(fs, path, mfVersion + 1,
+      mfFiles.filterNot(droppedSet) ++ moved)
+  }
+
+  /** Drop every file no retained manifest lists — the warehouse's
+    * retention verb ([[StoreSwap.vacuumManifested]]: `keepVersions` is
+    * the time-travel window, `graceMs` protects in-flight writers).
+    *
+    * @return number of data files deleted. */
+  def vacuumWarehouse(spark: SparkSession, path: String,
+                      keepVersions: Int = 1, graceMs: Long = 0L): Long = {
+    requireWh(fsOf(spark, path), path, "vacuumWarehouse")
+    StoreSwap.vacuumManifested(spark, path, AllDirs, "vacuumWarehouse",
+      keepVersions, graceMs)
+  }
+
+  /** Manifest-resolved fact read WITH the partition columns (p_year,
+    * p_month recovered via basePath, so predicates on them are
+    * `PartitionFilters` at the scan). `asOfVersion` pins a retained
+    * snapshot — the whole-warehouse time travel. */
+  def loadFact(spark: SparkSession, path: String,
+               asOfVersion: Option[Int] = None): DataFrame = {
+    val fs = fsOf(spark, path)
+    val (_, mfFiles) = resolve(fs, path, asOfVersion, "loadFact")
+    StoreSwap.readStoreDir(spark, path, "fact_sales", mfFiles)
   }
 
   /** Partition-pruned fact read: the year filter lands on the p_year
@@ -133,14 +247,20 @@ object WarehouseStore {
     * the matching (p_year=…) directories — at 100 TB this is the
     * difference between scanning one year and scanning the table. */
   def loadFactYear(spark: SparkSession, path: String, year: Int): DataFrame =
-    spark.read.parquet(s"$path/fact_sales").where(col("p_year") === year)
+    loadFact(spark, path).where(col("p_year") === year)
 
-  def load(spark: SparkSession, path: String): Warehouse =
+  def load(spark: SparkSession, path: String,
+           asOfVersion: Option[Int] = None): Warehouse = {
+    val fs = fsOf(spark, path)
+    val (_, mfFiles) = resolve(fs, path, asOfVersion, "load")
+    def dim(dir: String): DataFrame =
+      StoreSwap.readStoreDir(spark, path, dir, mfFiles)
     Warehouse(
-      dimDate = spark.read.parquet(s"$path/dim_date"),
-      dimCustomer = spark.read.parquet(s"$path/dim_customer"),
-      dimProduct = spark.read.parquet(s"$path/dim_product"),
-      dimPlatform = spark.read.parquet(s"$path/dim_platform"),
-      factSales = spark.read.parquet(s"$path/fact_sales")
+      dimDate = dim("dim_date"),
+      dimCustomer = dim("dim_customer"),
+      dimProduct = dim("dim_product"),
+      dimPlatform = dim("dim_platform"),
+      factSales = StoreSwap.readStoreDir(spark, path, "fact_sales", mfFiles)
         .drop("p_year", "p_month"))
+  }
 }

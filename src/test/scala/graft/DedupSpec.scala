@@ -683,6 +683,69 @@ class DedupSpec extends SparkSpec {
       oneShot(survivors), "the present must be untouched by retention")
   }
 
+  test("rebucketMinhashStore: pairs byte-identical across the re-bucket, " +
+    "the new counts route later ingests, a pre-rebucket pin still " +
+    "resolves the OLD layout, and a legacy store gains the bandidx " +
+    "projection") {
+    import org.apache.hadoop.fs.Path
+    import spark.implicits._
+    val store = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_minhash_rebucket_${System.nanoTime()}")
+    store.deleteOnExit()
+    val root = store.getAbsolutePath
+    val evens = docs.where(col("doc_id") % 2 === 0)
+    val odds = docs.where(col("doc_id") % 2 === 1)
+    // a store whose deltas OUTGREW its counts: 2 band buckets
+    Dedup.saveMinhashStore(evens, "doc_id", "text", root,
+      storeBuckets = 4, bandBuckets = 2) // v1
+    Dedup.minhashIncremental(odds, "doc_id", "text", root, 0.4).count() // v2
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = pairSet(Dedup.derivePairsFromStore(spark, root, 0.4))
+    val fs = new Path(root).getFileSystem(spark.sessionState.newHadoopConf())
+    Dedup.rebucketMinhashStore(spark, root,
+      storeBuckets = 64, bandBuckets = 64) // v3
+    assert(graft.operators.StoreSwap.readLayoutAt(fs, root, Some(3)) ==
+      Map("pb" -> 64, "bb" -> 64))
+    assert(graft.operators.StoreSwap.readLayoutAt(fs, root, Some(2)) ==
+      Map("pb" -> 4, "bb" -> 2),
+      "the pre-rebucket pin must resolve the OLD layout (floor rule)")
+    assert(pairSet(Dedup.derivePairsFromStore(spark, root, 0.4)) == before,
+      "re-bucketing changed the derived pairs")
+    assert(pairSet(Dedup.derivePairsFromStore(spark, root, 0.4,
+      asOfVersion = Some(2))) == before,
+      "the pinned pre-rebucket snapshot broke")
+    // later verbs route with the NEW counts: a 1-doc probe equals the
+    // one-shot restriction, and purge still routes from ids alone
+    val one = pairSet(Dedup.pairsForIds(spark, root,
+      Seq(0L).toDF("doc_id"), "doc_id", 0.4))
+    assert(one == before.filter(p => p._1 == 0L || p._2 == 0L))
+    Dedup.vacuumMinhashStore(spark, root)
+    assert(Dedup.purgeMinhashStore(spark, root,
+      Seq(0L).toDF("doc_id"), "doc_id") == 1L)
+    assert(!pairSet(Dedup.derivePairsFromStore(spark, root, 0.4))
+      .exists(p => p._1 == 0L || p._2 == 0L))
+    // legacy upgrade: strip bandidx/ from a copy of the layout → the
+    // re-bucket rebuilds the projection from bands/
+    val legacy = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_minhash_rebucket_legacy_${System.nanoTime()}")
+    legacy.deleteOnExit()
+    Dedup.saveMinhashStore(evens, "doc_id", "text", legacy.getAbsolutePath)
+    val lfs = new Path(legacy.getAbsolutePath)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    lfs.delete(new Path(s"${legacy.getAbsolutePath}/bandidx"), true)
+    val legacyPairs = pairSet(Dedup.derivePairsFromStore(spark,
+      legacy.getAbsolutePath, 0.4))
+    Dedup.rebucketMinhashStore(spark, legacy.getAbsolutePath)
+    assert(lfs.exists(new Path(s"${legacy.getAbsolutePath}/bandidx")),
+      "re-bucket must rebuild the candidate projection")
+    assert(pairSet(Dedup.derivePairsFromStore(spark,
+      legacy.getAbsolutePath, 0.4)) == legacyPairs)
+    assert(Dedup.minhashIncremental(evens, "doc_id", "text",
+      legacy.getAbsolutePath, 0.4).count() == 0L,
+      "the upgraded store must still read the corpus as seen")
+  }
+
   test("manifest isolation: a reader pinned mid-purge sees the old " +
     "consistent file-set (never a gap); a crash before the flip is " +
     "invisible and re-running heals; unknown-id purge touches nothing; " +

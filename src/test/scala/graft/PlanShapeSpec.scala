@@ -189,11 +189,14 @@ class PlanShapeSpec extends SparkSpec {
       "graft_wh_planspec_dpp").getAbsolutePath
     graft.sources.WarehouseStore.save(
       graft.etl.ReferenceShapedData.warehouse(spark, sf), path)
-    val fact = spark.read.parquet(s"$path/fact_sales")
+    // manifest-resolved reads (the deterministic dir accumulates
+    // superseded unlisted files across JVMs — a raw dir read would see
+    // them; the manifest is the isolation boundary)
+    val fact = graft.sources.WarehouseStore.loadFact(spark, path)
     // the filter constrains date_id, NOT the join key: a `year = 1995`
     // equality would constant-fold into a static partition filter (tested
     // above via q51) — here pruning can only happen at runtime
-    val years = spark.read.parquet(s"$path/dim_date")
+    val years = graft.sources.WarehouseStore.load(spark, path).dimDate
       .where(col("date_id").between("1995-01-01", "1995-12-31"))
       .select(col("year").as("p_year")).distinct()
     val q = fact.join(years, Seq("p_year")).groupBy(col("p_month")).count()

@@ -1,12 +1,17 @@
 package graft
 
 import graft.etl.OrderEtl
+import graft.operators.StoreSwap
 import graft.sources.WarehouseStore
+import org.apache.spark.sql.SaveMode
 import org.apache.spark.sql.functions._
 import java.nio.file.Files
 
-/** Warehouse persistence: partitioned layout, round-trip fidelity, and
-  * partition pruning actually reaching the scan. */
+/** Warehouse persistence on the manifest protocol: partitioned layout,
+  * round-trip fidelity, partition pruning reaching the scan, reader
+  * isolation through append/compact (the fact table was the last store
+  * with reader-visible swap windows), crash-before-flip invisibility,
+  * and whole-warehouse time travel. */
 class WarehouseStoreSpec extends SparkSpec {
   import spark.implicits._
 
@@ -20,7 +25,12 @@ class WarehouseStoreSpec extends SparkSpec {
     OrderEtl.emptyWarehouse(spark).copy(factSales = fact)
   }
 
-  test("save/load round-trip preserves fact rows; partition dirs exist") {
+  private def factRows(dir: String, asOf: Option[Int] = None) =
+    WarehouseStore.loadFact(spark, dir, asOf)
+      .orderBy("fact_id").collect().map(_.toSeq).toSeq
+
+  test("save/load round-trip preserves fact rows; partition dirs exist; " +
+    "a path without a manifest refuses loudly") {
     val dir = Files.createTempDirectory("graft-wh").toString
     WarehouseStore.save(wh, dir)
     assert(new java.io.File(s"$dir/fact_sales/p_year=2024/p_month=1").exists())
@@ -30,66 +40,107 @@ class WarehouseStoreSpec extends SparkSpec {
     assert(back.factSales.columns.sorted.toSeq == wh.factSales.columns.sorted.toSeq)
     val units = back.factSales.orderBy("fact_id").select("units").as[Int].collect()
     assert(units.toSeq == Seq(2, 1, 3))
+    val e = intercept[IllegalArgumentException] {
+      WarehouseStore.load(spark,
+        Files.createTempDirectory("graft-wh-none").toString)
+    }
+    assert(e.getMessage.contains("no manifest"), e.getMessage)
   }
 
-  test("compaction merges appended small files without changing content") {
-    import org.apache.spark.sql.SaveMode
+  test("append + compaction: content invariant behind ONE flip, small " +
+    "files folded, product_id clustering restored, scoped years " +
+    "untouched, pinned pre-compact reader keeps the uncompacted " +
+    "file-set, vacuum reclaims the superseded inputs") {
     val dir = Files.createTempDirectory("graft-wh3").toString
     // 5 appends of the same fact = 5 small files per touched partition
-    WarehouseStore.saveFact(wh.factSales, dir)
+    WarehouseStore.saveFact(wh.factSales, dir) // v1
     (1 to 4).foreach { i =>
       val batch = wh.factSales.withColumn("fact_id", col("fact_id") + lit(i * 10L))
-      WarehouseStore.saveFact(batch, dir, SaveMode.Append)
+      WarehouseStore.saveFact(batch, dir, SaveMode.Append) // v2..v5
     }
-    def files(sub: String): Int =
-      Option(new java.io.File(s"$dir/fact_sales/$sub").listFiles())
-        .getOrElse(Array.empty).count(_.getName.endsWith(".parquet"))
-    assert(files("p_year=2024/p_month=1") >= 5)
-    val before = spark.read.parquet(s"$dir/fact_sales")
-      .orderBy("fact_id").collect().map(_.toSeq).toSeq
-    WarehouseStore.compactFact(spark, dir)
-    assert(files("p_year=2024/p_month=1") == 1) // tiny data -> one target file
-    assert(files("p_year=2025/p_month=1") == 1)
-    val after = spark.read.parquet(s"$dir/fact_sales")
-      .orderBy("fact_id").collect().map(_.toSeq).toSeq
-    assert(after == before)
-    // pruning still works over the compacted layout
-    assert(spark.read.parquet(s"$dir/fact_sales")
-      .where(col("p_year") === 2025).count() == 5)
-    // scoped compaction leaves other years alone
-    WarehouseStore.compactFact(spark, dir, years = Some(Seq(2024)))
-    // crash-window recovery: a month dir gone with its compacted copy
-    // staged (crash between the two renames) is promoted at the next
-    // compaction's entry — a dot-prefixed stage is never mistaken for
-    // a partition by discovery, and the data reads identically
     val fs = new org.apache.hadoop.fs.Path(dir)
       .getFileSystem(spark.sessionState.newHadoopConf())
-    val live = new org.apache.hadoop.fs.Path(
-      s"$dir/fact_sales/p_year=2024/p_month=1")
-    val staged = new org.apache.hadoop.fs.Path(
-      s"$dir/fact_sales/p_year=2024/.p_month=1.compact_tmp")
-    assert(fs.rename(live, staged))
-    // discovery ignores the dot dir: the table still reads (minus the
-    // torn month), p_month stays integer-typed
-    assert(spark.read.parquet(s"$dir/fact_sales")
-      .where(col("p_year") === 2024 && col("p_month") === 1).count() == 0)
-    WarehouseStore.compactFact(spark, dir)
-    assert(files("p_year=2024/p_month=1") == 1)
-    assert(spark.read.parquet(s"$dir/fact_sales")
-      .orderBy("fact_id").collect().map(_.toSeq).toSeq == before)
-    // a stale set-aside next to a live month is dropped
-    fs.mkdirs(new org.apache.hadoop.fs.Path(
-      s"$dir/fact_sales/p_year=2025/.p_month=1.compact_old"))
-    WarehouseStore.compactFact(spark, dir)
-    assert(!fs.exists(new org.apache.hadoop.fs.Path(
-      s"$dir/fact_sales/p_year=2025/.p_month=1.compact_old")))
+    def manifestFiles(sub: String): Int =
+      StoreSwap.latestManifest(fs, dir).get._2
+        .count(_.startsWith(s"fact_sales/$sub/"))
+    assert(manifestFiles("p_year=2024/p_month=1") >= 5)
+    val before = factRows(dir)
+    assert(before.length == 15)
+    WarehouseStore.compactFact(spark, dir) // v6
+    assert(manifestFiles("p_year=2024/p_month=1") == 1) // tiny -> one file
+    assert(manifestFiles("p_year=2025/p_month=1") == 1)
+    assert(factRows(dir) == before, "compaction changed content")
+    // pruning still works over the compacted layout
+    assert(WarehouseStore.loadFactYear(spark, dir, 2025).count() == 5)
+    // the pre-compact version is still a complete pinned snapshot
+    // (copy-on-write: the flip unlisted the small files, deleted nothing)
+    assert(factRows(dir, asOf = Some(5)) == before,
+      "pinned pre-compact reader lost files")
+    // scoped compaction is a no-op when nothing multi-file matches
+    val vBefore = WarehouseStore.versions(spark, dir)
+    WarehouseStore.compactFact(spark, dir, years = Some(Seq(2024)))
+    assert(WarehouseStore.versions(spark, dir) == vBefore,
+      "a nothing-to-do compaction committed a version")
+    // vacuum to 1 version: the superseded small files reclaim, the
+    // pre-compact pin then refuses with the retained window named
+    assert(WarehouseStore.vacuumWarehouse(spark, dir) > 0L)
+    assert(factRows(dir) == before)
+    val e = intercept[IllegalArgumentException](factRows(dir, Some(5)))
+    assert(e.getMessage.contains("keepVersions"))
   }
 
-  test("date-range predicates prune partitions at the scan") {
+  test("reader isolation: crash-before-flip (staged + moved-in files, " +
+    "no commit) is invisible to readers; a reader pinned mid-append " +
+    "sees the old consistent file-set") {
+    val dir = Files.createTempDirectory("graft-wh4").toString
+    WarehouseStore.saveFact(wh.factSales, dir) // v1
+    val before = factRows(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    // simulate a crash between move-in and flip: land a foreign parquet
+    // file in a live partition dir, unlisted by any manifest
+    val alien = new org.apache.hadoop.fs.Path(
+      s"$dir/fact_sales/p_year=2024/p_month=1/zz_unflipped.parquet")
+    fs.create(alien, true).close()
+    assert(factRows(dir) == before,
+      "an unlisted (torn-append) file leaked into a manifest-resolved read")
+    // real append: the pinned v1 reader keeps the pre-append rows
+    WarehouseStore.saveFact(
+      wh.factSales.withColumn("fact_id", col("fact_id") + lit(100L)),
+      dir, SaveMode.Append) // v2
+    assert(factRows(dir).length == 6)
+    assert(factRows(dir, asOf = Some(1)) == before,
+      "pinned reader saw the append")
+    // vacuum reclaims the torn file (and v1's window stays: keep 2)
+    assert(WarehouseStore.vacuumWarehouse(spark, dir, keepVersions = 2) >= 1L)
+    assert(!fs.exists(alien), "vacuum left the torn file")
+    assert(factRows(dir, asOf = Some(1)) == before,
+      "keepVersions=2 must retain the v1 snapshot")
+  }
+
+  test("whole-warehouse time travel: a truncate-reload (save) supersedes " +
+    "the old warehouse without deleting it; the pinned old version " +
+    "round-trips dims AND fact") {
+    val dir = Files.createTempDirectory("graft-wh5").toString
+    WarehouseStore.save(wh, dir) // v1
+    val v1Fact = factRows(dir)
+    val grown = wh.copy(factSales = wh.factSales
+      .unionAll(wh.factSales.withColumn("fact_id", col("fact_id") + lit(7L))))
+    WarehouseStore.save(grown, dir) // v2: reload with 6 rows
+    assert(WarehouseStore.versions(spark, dir) == Seq(1, 2))
+    assert(factRows(dir).length == 6)
+    val old = WarehouseStore.load(spark, dir, asOfVersion = Some(1))
+    assert(old.factSales.count() == 3)
+    assert(factRows(dir, Some(1)) == v1Fact)
+    assert(old.dimDate.columns.nonEmpty) // dims resolve at the pin too
+  }
+
+  test("date-range predicates prune partitions at the scan " +
+    "(manifest-resolved read keeps PartitionFilters)") {
     val dir = Files.createTempDirectory("graft-wh2").toString
     WarehouseStore.save(wh, dir)
-    val fact = spark.read.parquet(s"$dir/fact_sales")
-    val pruned = fact.where(col("p_year") === 2024 && col("p_month") === 1)
+    val pruned = WarehouseStore.loadFact(spark, dir)
+      .where(col("p_year") === 2024 && col("p_month") === 1)
     val plan = pruned.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") &&
       (plan.contains("p_year") || plan.contains("dynamicpruning")), plan)
