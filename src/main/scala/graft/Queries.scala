@@ -5407,13 +5407,18 @@ object Queries {
     * hosts ⇒ host 0 owns 8 frontier slots, hosts 1-6 own 7. */
   private val q163 = Q("q163_streaming_url_frontier",
     (s, d) => {
-      // the staged stream carries (doc_id, url) ONLY — a frontier's
-      // input is a URL stream, not a documents table; staging the text
-      // would stream megabytes the query never reads
+      // the staged stream carries the DISTINCT url set ONLY — a
+      // frontier's input is a URL stream, not a documents table;
+      // staging the text would stream megabytes the query never reads,
+      // and staging every row would replay thousands of exact
+      // duplicates the frontier's own state dedups anyway (the fixture
+      // gates canonicalization + per-host dedup semantics, not
+      // throughput — round-15 verdict Next #5: the drain fixtures were
+      // ~6% of the bench for trigger machinery)
       val f = Queries.stagedUrlStreamDir.computeIfAbsent(d, _ => {
         val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
           s"graft_stream_url_${Queries.stagingSuffix(d)}")
-        documents(s, d).select(col("doc_id"), messyUrl.as("url"))
+        documents(s, d).select(messyUrl.as("url")).dropDuplicates("url")
           .coalesce(1).write.mode("overwrite").parquet(dir.getAbsolutePath)
         dir
       })
@@ -5469,10 +5474,16 @@ object Queries {
         val base = 1767225600L // 2026-01-01T00:00:00Z
         val far = base + 100L * 86400
         val g = col("doc_id") % 50
+        // distinct (arrival, url) rows only — urls are keyed by
+        // (doc_id % 50, doc_id % 6), so this is the same 300-variant
+        // set the full table replays with thousands of exact
+        // duplicates; the within-watermark dedup state they exercise
+        // is identically exercised by one copy each (fixture trim,
+        // round-15 verdict Next #5)
         val arrivals = documents(s, d).select(
           (lit(base) + g * 60 + col("doc_id") % 6).cast("timestamp")
             .as("arrival"),
-          messyUrl.as("url"))
+          messyUrl.as("url")).dropDuplicates("arrival", "url")
         val tick = (n: Int) => Seq(
           (new java.sql.Timestamp((far + n) * 1000L),
             s"https://clock.example.com/tick$n"))
