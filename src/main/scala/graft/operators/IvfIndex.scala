@@ -139,7 +139,14 @@ object IvfIndex {
     fs.delete(pStage, true)
     centroidsDf(spark, model)
       .coalesce(1).write.mode("overwrite").parquet(cStage.toString)
-    index.write.mode("overwrite").partitionBy("cell")
+    // repartition on the partition column: ONE file per cell instead of
+    // (tasks × cells) — the round-16 q236 adjudication measured the
+    // manifest-era explicit-file-list read paying ~2.5 ms of driver
+    // time PER FILE (485 files from an unrepartitioned save = 1.4 s per
+    // loadIndex; 16 files = 0.09 s), so file count is a read-path cost,
+    // not just a listing nicety
+    index.repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
       .parquet(pStage.toString)
     val staged = StoreSwap.moveStagedIn(fs, path, "centroids", cStage, tag) ++
       StoreSwap.moveStagedIn(fs, path, "postings", pStage, tag)
@@ -385,6 +392,7 @@ object IvfIndex {
     val pStage = new Path(path, ".rebuild_stage_postings")
     fs.delete(pStage, true)
     assign(corpus, "n_id", "n_vec", model)
+      .repartition(col("cell")) // ONE file per cell (see saveIndex note)
       .write.mode("overwrite").partitionBy("cell").parquet(pStage.toString)
     val newPostings = StoreSwap.moveStagedIn(fs, path, "postings", pStage, tag)
     val cStage = new Path(path, ".rebuild_stage_centroids")
