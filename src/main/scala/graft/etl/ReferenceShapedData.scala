@@ -83,10 +83,17 @@ object ReferenceShapedData {
     * paid at load time, reporting reads are pruned scans. */
   def persistedWarehousePath(spark: SparkSession, sfDir: String): String =
     persisted.computeIfAbsent(sfDir, _ => {
-      val path = new java.io.File(System.getProperty("java.io.tmpdir"),
-        s"graft_dashwh_${Integer.toHexString(sfDir.hashCode)}").getAbsolutePath
-      graft.sources.WarehouseStore.save(warehouse(spark, sfDir), path)
-      path
+      val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_dashwh_${Integer.toHexString(sfDir.hashCode)}")
+      // start from nothing: the staged copy-on-write save never deletes
+      // superseded files, so re-saving into the deterministic dir every
+      // JVM would accumulate one full warehouse copy per run (and a
+      // leftover pre-manifest layout from an older build would read as
+      // legacy) — the q254 staged-protocol hygiene rule
+      org.apache.commons.io.FileUtils.deleteDirectory(f)
+      graft.sources.WarehouseStore.save(warehouse(spark, sfDir),
+        f.getAbsolutePath)
+      f.getAbsolutePath
     })
 
   /** DuckDB CTEs reproducing syntheticOrders + the cleaning pass — shared

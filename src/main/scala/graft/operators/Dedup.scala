@@ -493,13 +493,10 @@ object Dedup {
     val version = StoreSwap.manifestVersions(fs, path).lastOption.getOrElse(0) + 1
     val tag = s"s${java.util.UUID.randomUUID().toString.take(8)}_"
     def stage(df: DataFrame, n: Int, partCol: String,
-              dir: String): Seq[String] = {
-      val tmpRoot = new org.apache.hadoop.fs.Path(path, s".save_stage_$tag$dir")
-      fs.delete(tmpRoot, true)
-      df.repartition(n, col(partCol))
-        .write.mode("overwrite").partitionBy(partCol).parquet(tmpRoot.toString)
-      StoreSwap.moveStagedIn(fs, path, dir, tmpRoot, tag)
-    }
+              dir: String): Seq[String] =
+      StoreSwap.stageAndMoveIn(fs, path, dir, "save", tag)(root =>
+        df.repartition(n, col(partCol))
+          .write.mode("overwrite").partitionBy(partCol).parquet(root))
     val staged =
       stage(banded.withColumn("bb",
         bandBucket(col("band"), col("bucket"), bandBuckets)),
@@ -513,7 +510,8 @@ object Dedup {
     // committed version resolves
     StoreSwap.commitLayout(fs, path, version,
       Seq("pb" -> storeBuckets, "bb" -> bandBuckets))
-    StoreSwap.commitManifest(fs, path, version, staged)
+    StoreSwap.commitManifest(fs, path, version, staged,
+      layoutCommitted = true)
   }
 
   /** Dedupe a NEW batch against a persisted MinHash store AND grow the
@@ -845,14 +843,10 @@ object Dedup {
       .select(col("doc"), col("hv"))
     val tag = s"b${java.util.UUID.randomUUID().toString.take(8)}_"
     def rewrite(df: DataFrame, n: Int, partCol: String,
-                dir: String): Seq[String] = {
-      val tmpRoot = new org.apache.hadoop.fs.Path(path,
-        s".rebucket_stage_$tag$dir")
-      fs.delete(tmpRoot, true)
-      df.repartition(n, col(partCol))
-        .write.mode("overwrite").partitionBy(partCol).parquet(tmpRoot.toString)
-      StoreSwap.moveStagedIn(fs, path, dir, tmpRoot, tag)
-    }
+                dir: String): Seq[String] =
+      StoreSwap.stageAndMoveIn(fs, path, dir, "rebucket", tag)(root =>
+        df.repartition(n, col(partCol))
+          .write.mode("overwrite").partitionBy(partCol).parquet(root))
     val staged =
       rewrite(bandsRows.withColumn("bb",
         bandBucket(col("band"), col("bucket"), bandBuckets)),
@@ -863,7 +857,8 @@ object Dedup {
         storeBuckets, "pb", "postings")
     StoreSwap.commitLayout(fs, path, mfVersion + 1,
       Seq("pb" -> storeBuckets, "bb" -> bandBuckets))
-    StoreSwap.commitManifest(fs, path, mfVersion + 1, staged)
+    StoreSwap.commitManifest(fs, path, mfVersion + 1, staged,
+      layoutCommitted = true)
   }
 
   /** The candidate-first verify over an already-materialized (doc, hv)

@@ -133,23 +133,19 @@ object IvfIndex {
     // readers unbroken; the superseded index is vacuum garbage).
     val fs = StoreSwap.fsOf(spark, path)
     val tag = s"s${java.util.UUID.randomUUID().toString.take(8)}_"
-    val cStage = new Path(path, s".save_stage_${tag}centroids")
-    val pStage = new Path(path, s".save_stage_${tag}postings")
-    fs.delete(cStage, true)
-    fs.delete(pStage, true)
-    centroidsDf(spark, model)
-      .coalesce(1).write.mode("overwrite").parquet(cStage.toString)
-    // repartition on the partition column: ONE file per cell instead of
-    // (tasks × cells) — the round-16 q236 adjudication measured the
-    // manifest-era explicit-file-list read paying ~2.5 ms of driver
-    // time PER FILE (485 files from an unrepartitioned save = 1.4 s per
-    // loadIndex; 16 files = 0.09 s), so file count is a read-path cost,
-    // not just a listing nicety
-    index.repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(pStage.toString)
-    val staged = StoreSwap.moveStagedIn(fs, path, "centroids", cStage, tag) ++
-      StoreSwap.moveStagedIn(fs, path, "postings", pStage, tag)
+    val staged =
+      StoreSwap.stageAndMoveIn(fs, path, "centroids", "save", tag)(root =>
+        centroidsDf(spark, model)
+          .coalesce(1).write.mode("overwrite").parquet(root)) ++
+      // repartition on the partition column: ONE file per cell instead
+      // of (tasks × cells) — the round-16 q236 adjudication measured
+      // the manifest-era explicit-file-list read paying ~2.5 ms of
+      // driver time PER FILE (485 files from an unrepartitioned save =
+      // 1.4 s per loadIndex; 16 files = 0.09 s), so file count is a
+      // read-path cost, not just a listing nicety
+      StoreSwap.stageAndMoveIn(fs, path, "postings", "save", tag)(root =>
+        index.repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(root))
     val version = StoreSwap.manifestVersions(fs, path).lastOption
       .getOrElse(0) + 1
     StoreSwap.commitManifest(fs, path, version, staged)

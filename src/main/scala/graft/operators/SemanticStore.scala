@@ -143,17 +143,15 @@ object SemanticStore {
     import spark.implicits._
     val tag = s"s${java.util.UUID.randomUUID().toString.take(8)}_"
     def stage(df: DataFrame, dir: String,
-              partCol: Option[String]): Seq[String] = {
-      val tmpRoot = new org.apache.hadoop.fs.Path(path, s".save_stage_$tag$dir")
-      fs.delete(tmpRoot, true)
-      partCol match {
-        case Some(pc) => df.repartition(col(pc))
-          .write.mode("overwrite").partitionBy(pc).parquet(tmpRoot.toString)
-        case None => df.coalesce(1)
-          .write.mode("overwrite").parquet(tmpRoot.toString)
+              partCol: Option[String]): Seq[String] =
+      StoreSwap.stageAndMoveIn(fs, path, dir, "save", tag) { root =>
+        partCol match {
+          case Some(pc) => df.repartition(col(pc))
+            .write.mode("overwrite").partitionBy(pc).parquet(root)
+          case None => df.coalesce(1)
+            .write.mode("overwrite").parquet(root)
+        }
       }
-      StoreSwap.moveStagedIn(fs, path, dir, tmpRoot, tag)
-    }
     // one row per id (the family contract); a batch that repeats an id
     // keeps one arbitrary copy rather than corrupting the store. The
     // checkpoint pins that choice: dropDuplicates is per-evaluation
@@ -170,7 +168,8 @@ object SemanticStore {
       stage(slim.select(col("doc"), col("cell"), col("seq"),
         idBucket(col("doc"), idBuckets).as("pb")), "idmap", Some("pb"))
     StoreSwap.commitLayout(fs, path, version, Seq("pb" -> idBuckets))
-    StoreSwap.commitManifest(fs, path, version, staged)
+    StoreSwap.commitManifest(fs, path, version, staged,
+      layoutCommitted = true)
   }
 
   private def readDir(spark: SparkSession, path: String, dir: String,

@@ -119,9 +119,12 @@ private[graft] object StoreSwap {
     * with DIFFERENT counts fails loudly here, before its manifest
     * claim, so a committed version's layout can never be another
     * writer's counts. Called BEFORE [[commitManifest]] — a crash
-    * between the two leaves an orphan layout file that no committed
-    * manifest version resolves (readers pass the resolved manifest
-    * version to [[readLayoutAt]]). */
+    * between the two leaves an orphan layout file no committed
+    * manifest resolves, and [[commitManifest]] REFUSES to let a
+    * layout-less verb claim that version number (the orphan counts
+    * would bind to old-count files and mis-route every pruned read);
+    * the remedy is re-running the crashed verb, or vacuuming the aged
+    * orphan away when quiescent. */
   def commitLayout(fs: FileSystem, path: String, version: Int,
                    counts: Seq[(String, Int)]): Unit = {
     fs.mkdirs(new Path(path))
@@ -235,9 +238,29 @@ private[graft] object StoreSwap {
     * is to re-run the verb, which re-reads the NEW manifest. This turns
     * the repo-wide single-writer contract from documentation into an
     * enforced optimistic-concurrency protocol: lost updates are
-    * impossible, concurrent writers serialize or fail loudly. */
+    * impossible, concurrent writers serialize or fail loudly.
+    *
+    * `layoutCommitted` = this verb committed `_layout.v<version>`
+    * itself (saves, re-bucket). A verb that did NOT must refuse when
+    * an orphan layout file already claims this version: a
+    * layout-writing verb crashed between its two commits, and letting
+    * a layout-LESS verb take the version number would bind the
+    * never-applied routing counts to files written under the old ones
+    * — every pruned read would silently miss. The remedy is loud:
+    * re-run the crashed verb (its claim-or-verify passes and it takes
+    * this version), or delete the orphan file if that work is
+    * abandoned. */
   def commitManifest(fs: FileSystem, path: String, version: Int,
-                     files: Seq[String]): Unit = {
+                     files: Seq[String],
+                     layoutCommitted: Boolean = false): Unit = {
+    if (!layoutCommitted && fs.exists(new Path(s"$path/$LayoutPrefix$version")))
+      throw new java.util.ConcurrentModificationException(
+        s"commitManifest: $path/$LayoutPrefix$version exists but this verb " +
+          "did not commit it — a layout-writing verb (save/re-bucket) " +
+          "crashed between its layout and manifest commits. Re-run that " +
+          "verb to complete it, or delete the orphan layout file if its " +
+          "work is abandoned; committing past it would mis-route every " +
+          "version-pinned read")
     val tmp = new Path(path,
       s"._manifest_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
@@ -322,6 +345,22 @@ private[graft] object StoreSwap {
     moved.toSeq
   }
 
+  /** The staging protocol every mutation verb follows, in one place:
+    * build the verb-unique dot-prefixed staging root next to the live
+    * tree (tag-unique — racing writers must never share one; the name
+    * matches vacuum's `^\.[a-z]+_stage_` sweep), clear any leftover of
+    * the same name, let the caller write into it, then move the staged
+    * files in copy-on-write ([[moveStagedIn]]). Returns the moved
+    * files' store-relative paths for the caller's manifest flip. */
+  def stageAndMoveIn(fs: FileSystem, path: String, dir: String,
+                     verb: String, tag: String)
+                    (write: String => Unit): Seq[String] = {
+    val tmpRoot = new Path(path, s".${verb}_stage_$tag$dir")
+    fs.delete(tmpRoot, true)
+    write(tmpRoot.toString)
+    moveStagedIn(fs, path, dir, tmpRoot, tag)
+  }
+
   /** Drop every file no RETAINED manifest lists — the shared retention
     * verb: reclaims copy-on-write garbage (unflipped crash leftovers,
     * superseded rewrite inputs, a losing CAS writer's moved-in files),
@@ -359,9 +398,19 @@ private[graft] object StoreSwap {
     val fs = fsOf(spark, path)
     requireManifest(fs, path, verb)
     val cutoff = System.currentTimeMillis() - graceMs
+    // a path can vanish between listing and stat when a live writer
+    // finishes its move mid-sweep (the graced mode's normal case) —
+    // already-gone means nothing to delete, never an abort
     def aged(p: Path): Boolean =
-      graceMs == 0L || fs.getFileStatus(p).getModificationTime < cutoff
-    val kept = manifestVersions(fs, path).takeRight(keepVersions)
+      graceMs == 0L || {
+        try fs.getFileStatus(p).getModificationTime < cutoff
+        catch { case _: java.io.FileNotFoundException => false }
+      }
+    // ONE versions snapshot drives retention end to end: re-listing at
+    // the manifest sweep would catch (and DELETE) a version a live
+    // writer committed mid-vacuum — silent loss of a committed write
+    val allVersions = manifestVersions(fs, path)
+    val kept = allVersions.takeRight(keepVersions)
     val listed = kept.flatMap(v => readManifest(fs, path, v)._2).toSet
     var dropped = 0L
     dirs.foreach { dir =>
@@ -384,15 +433,23 @@ private[graft] object StoreSwap {
       val root = new Path(s"$path/$dir")
       if (fs.exists(root)) pruneEmpty(root)
     }
-    manifestVersions(fs, path).filterNot(kept.contains).foreach(v =>
+    allVersions.filterNot(kept.contains).foreach(v =>
       fs.delete(new Path(s"$path/$ManifestPrefix$v"), false))
     // layout retention: keep the floor layout of the oldest kept
-    // manifest and everything after it
+    // manifest and everything after it — and reclaim ORPHAN layouts
+    // above the newest committed manifest (a crashed layout-writing
+    // verb's leftover, which commitManifest refuses to commit past;
+    // vacuum is the quiescent reclaim point for its staging too)
     kept.headOption.foreach { oldestKept =>
       val lvs = layoutVersions(fs, path)
       lvs.filter(_ <= oldestKept).lastOption.foreach { floor =>
         lvs.filter(_ < floor).foreach(v =>
           fs.delete(new Path(s"$path/$LayoutPrefix$v"), false))
+      }
+      allVersions.lastOption.foreach { newest =>
+        lvs.filter(_ > newest)
+          .filter(v => aged(new Path(s"$path/$LayoutPrefix$v")))
+          .foreach(v => fs.delete(new Path(s"$path/$LayoutPrefix$v"), false))
       }
     }
     fs.listStatus(new Path(path)).toSeq
@@ -401,7 +458,7 @@ private[graft] object StoreSwap {
         n.startsWith("._manifest_tmp_") || n.startsWith("._layout_tmp_") ||
           n.matches("^\\.[a-z]+_stage_.*")
       }
-      .filter(s => aged(s.getPath))
+      .filter(s => graceMs == 0L || s.getModificationTime < cutoff)
       .foreach(s => fs.delete(s.getPath, true))
     dropped
   }

@@ -147,22 +147,17 @@ object TextSearch {
     // readers unbroken; the superseded partials are vacuum garbage).
     val fs = StoreSwap.fsOf(docs.sparkSession, path)
     val tag = s"s${java.util.UUID.randomUUID().toString.take(8)}_"
-    val cStage = new org.apache.hadoop.fs.Path(path,
-      s".save_stage_${tag}corpus")
-    val tStage = new org.apache.hadoop.fs.Path(path,
-      s".save_stage_${tag}terms")
-    fs.delete(cStage, true)
-    fs.delete(tStage, true)
-    base.agg(count(lit(1)).cast("long").as("n"),
-        coalesce(sum(col("__dl")), lit(0L)).as("tl"))
-      .coalesce(1).write.mode("overwrite").parquet(cStage.toString)
-    base
-      .select(explode(array_distinct(col("__toks"))).as("term"))
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      .sortWithinPartitions(col("term"))
-      .write.mode("overwrite").parquet(tStage.toString)
-    val staged = StoreSwap.moveStagedIn(fs, path, "corpus", cStage, tag) ++
-      StoreSwap.moveStagedIn(fs, path, "terms", tStage, tag)
+    val staged =
+      StoreSwap.stageAndMoveIn(fs, path, "corpus", "save", tag)(root =>
+        base.agg(count(lit(1)).cast("long").as("n"),
+            coalesce(sum(col("__dl")), lit(0L)).as("tl"))
+          .coalesce(1).write.mode("overwrite").parquet(root)) ++
+      StoreSwap.stageAndMoveIn(fs, path, "terms", "save", tag)(root =>
+        base
+          .select(explode(array_distinct(col("__toks"))).as("term"))
+          .groupBy(col("term")).agg(count(lit(1)).as("df"))
+          .sortWithinPartitions(col("term"))
+          .write.mode("overwrite").parquet(root))
     val version = StoreSwap.manifestVersions(fs, path).lastOption
       .getOrElse(0) + 1
     StoreSwap.commitManifest(fs, path, version, staged)

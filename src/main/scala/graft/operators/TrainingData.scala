@@ -1572,17 +1572,16 @@ object TrainingData {
     val version = StoreSwap.manifestVersions(fs, path).lastOption
       .getOrElse(0) + 1
     val tag = s"s${java.util.UUID.randomUUID().toString.take(8)}_"
-    val tmpRoot = new org.apache.hadoop.fs.Path(path, s".save_stage_$tag")
-    fs.delete(tmpRoot, true)
-    tokenWindows(evalSet.select(col(idCol),
-        tokenArray(textCol).as("__toks")), idCol, minTokens)
-      .select(col("__h").as("h")).distinct()
-      .withColumn("src", lit(source))
-      .repartition(1).write.mode("overwrite").partitionBy("src")
-      .parquet(tmpRoot.toString)
-    val staged = StoreSwap.moveStagedIn(fs, path, "hashes", tmpRoot, tag)
+    val staged = StoreSwap.stageAndMoveIn(fs, path, "hashes", "save", tag)(
+      root => tokenWindows(evalSet.select(col(idCol),
+          tokenArray(textCol).as("__toks")), idCol, minTokens)
+        .select(col("__h").as("h")).distinct()
+        .withColumn("src", lit(source))
+        .repartition(1).write.mode("overwrite").partitionBy("src")
+        .parquet(root))
     StoreSwap.commitLayout(fs, path, version, Seq("L" -> minTokens))
-    StoreSwap.commitManifest(fs, path, version, staged)
+    StoreSwap.commitManifest(fs, path, version, staged,
+      layoutCommitted = true)
   }
 
   /** Append another benchmark's hashes under its own `src` partition

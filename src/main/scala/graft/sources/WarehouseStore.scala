@@ -67,19 +67,16 @@ object WarehouseStore {
     * the caller commits). */
   private def stageFact(fact: DataFrame, path: String,
                         fs: org.apache.hadoop.fs.FileSystem,
-                        tag: String): Seq[String] = {
-    val tmpRoot = new Path(path, s".fact_stage_${tag}fact_sales")
-    fs.delete(tmpRoot, true)
-    fact
-      .withColumn("p_year", year(col("date_id")))
-      .withColumn("p_month", month(col("date_id")))
-      .repartition(col("p_year"), col("p_month"))
-      .sortWithinPartitions(col("product_id"))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("p_year", "p_month")
-      .parquet(tmpRoot.toString)
-    StoreSwap.moveStagedIn(fs, path, "fact_sales", tmpRoot, tag)
-  }
+                        tag: String): Seq[String] =
+    StoreSwap.stageAndMoveIn(fs, path, "fact_sales", "fact", tag)(root =>
+      fact
+        .withColumn("p_year", year(col("date_id")))
+        .withColumn("p_month", month(col("date_id")))
+        .repartition(col("p_year"), col("p_month"))
+        .sortWithinPartitions(col("product_id"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("p_year", "p_month")
+        .parquet(root))
 
   /** Write (Overwrite) or grow (Append) the fact table behind ONE
     * manifest flip. Overwrite = truncate-reload: the new manifest
@@ -94,9 +91,22 @@ object WarehouseStore {
       s"saveFact: unsupported mode $mode")
     val spark = fact.sparkSession
     val fs = fsOf(spark, path)
+    val prior = StoreSwap.latestManifest(fs, path)
+    // Append onto a manifest-less dir that already HOLDS fact files is
+    // a legacy (pre-manifest) warehouse: committing a v1 listing only
+    // this batch would silently unlist years of fact rows (and the
+    // next vacuum would delete them). Refuse loudly — the upgrade is
+    // an explicit full re-save.
+    if (mode == SaveMode.Append && prior.isEmpty &&
+        StoreSwap.listDirFiles(fs, path, "fact_sales").nonEmpty)
+      throw new IllegalArgumentException(
+        s"saveFact: $path/fact_sales holds files but no warehouse " +
+          "manifest — a legacy (pre-manifest) layout. Appending would " +
+          "commit a manifest listing only this batch and orphan the " +
+          "existing data; re-save the full warehouse (WarehouseStore" +
+          ".save / saveFact Overwrite) to upgrade it first")
     val tag = s"f${java.util.UUID.randomUUID().toString.take(8)}_"
     val moved = stageFact(fact, path, fs, tag)
-    val prior = StoreSwap.latestManifest(fs, path)
     val (version, carried) = prior match {
       case Some((v, files)) =>
         val kept = if (mode == SaveMode.Append) files
@@ -115,12 +125,9 @@ object WarehouseStore {
     val spark = wh.factSales.sparkSession
     val fs = fsOf(spark, path)
     val tag = s"s${java.util.UUID.randomUUID().toString.take(8)}_"
-    def stageDim(df: DataFrame, dir: String): Seq[String] = {
-      val tmpRoot = new Path(path, s".save_stage_$tag$dir")
-      fs.delete(tmpRoot, true)
-      df.write.mode(SaveMode.Overwrite).parquet(tmpRoot.toString)
-      StoreSwap.moveStagedIn(fs, path, dir, tmpRoot, tag)
-    }
+    def stageDim(df: DataFrame, dir: String): Seq[String] =
+      StoreSwap.stageAndMoveIn(fs, path, dir, "save", tag)(root =>
+        df.write.mode(SaveMode.Overwrite).parquet(root))
     val staged =
       stageDim(wh.dimDate, "dim_date") ++
       stageDim(wh.dimCustomer, "dim_customer") ++
@@ -204,16 +211,15 @@ object WarehouseStore {
           pmod(hash(pruned.columns.map(col): _*), lit(n))).otherwise(acc)
     }
     val tag = s"c${java.util.UUID.randomUUID().toString.take(8)}_"
-    val tmpRoot = new Path(path, s".compact_stage_${tag}fact_sales")
-    fs.delete(tmpRoot, true)
-    pruned.withColumn("__slice", sliceExpr)
-      .repartition(slices.map(_._3).sum,
-        col("p_year"), col("p_month"), col("__slice"))
-      .drop("__slice")
-      .sortWithinPartitions(col("product_id"))
-      .write.mode(SaveMode.Overwrite).partitionBy("p_year", "p_month")
-      .parquet(tmpRoot.toString)
-    val moved = StoreSwap.moveStagedIn(fs, path, "fact_sales", tmpRoot, tag)
+    val moved = StoreSwap.stageAndMoveIn(fs, path, "fact_sales",
+      "compact", tag)(root =>
+      pruned.withColumn("__slice", sliceExpr)
+        .repartition(slices.map(_._3).sum,
+          col("p_year"), col("p_month"), col("__slice"))
+        .drop("__slice")
+        .sortWithinPartitions(col("product_id"))
+        .write.mode(SaveMode.Overwrite).partitionBy("p_year", "p_month")
+        .parquet(root))
     val droppedSet = groups.values.flatten.toSet
     StoreSwap.commitManifest(fs, path, mfVersion + 1,
       mfFiles.filterNot(droppedSet) ++ moved)

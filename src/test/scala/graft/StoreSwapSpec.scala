@@ -147,15 +147,16 @@ class StoreSwapSpec extends graft.SparkSpec {
     val fs = StoreSwap.fsOf(spark, root)
     fs.mkdirs(new Path(root))
     fs.mkdirs(new Path(s"$root/d"))
-    def commitV(v: Int): Unit = {
+    def commitV(v: Int, withLayout: Boolean = false): Unit = {
       fs.create(new Path(s"$root/d/f$v.parquet"), true).close()
-      StoreSwap.commitManifest(fs, root, v, Seq(s"d/f$v.parquet"))
+      StoreSwap.commitManifest(fs, root, v, Seq(s"d/f$v.parquet"),
+        layoutCommitted = withLayout)
     }
     StoreSwap.commitLayout(fs, root, 1, Seq("pb" -> 8))
-    commitV(1)
+    commitV(1, withLayout = true)
     commitV(2) // a verb that doesn't change layout
     StoreSwap.commitLayout(fs, root, 3, Seq("pb" -> 64))
-    commitV(3)
+    commitV(3, withLayout = true)
     assert(StoreSwap.readLayoutAt(fs, root, Some(1)) == Map("pb" -> 8))
     assert(StoreSwap.readLayoutAt(fs, root, Some(2)) == Map("pb" -> 8),
       "floor rule: v2 resolves the layout committed at v1")
@@ -170,6 +171,42 @@ class StoreSwapSpec extends graft.SparkSpec {
     StoreSwap.vacuumManifested(spark, root, Seq("d"), "spec")
     assert(StoreSwap.layoutVersions(fs, root) == Seq(3))
     assert(StoreSwap.readLayoutAt(fs, root, Some(3)) == Map("pb" -> 64))
+  }
+
+  test("orphan layout (a crashed layout-writing verb): a layout-less " +
+    "commit of that version refuses loudly, the crashed verb's re-run " +
+    "passes, and vacuum reclaims an aged abandoned orphan") {
+    val root = freshRoot()
+    val fs = StoreSwap.fsOf(spark, root)
+    fs.mkdirs(new Path(s"$root/d"))
+    fs.create(new Path(s"$root/d/f1.parquet"), true).close()
+    // crash window: layout v1 committed, manifest v1 not
+    StoreSwap.commitLayout(fs, root, 1, Seq("pb" -> 8))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      StoreSwap.commitManifest(fs, root, 1, Seq("d/f1.parquet"))
+    }
+    assert(e.getMessage.contains("Re-run") ||
+      e.getMessage.contains("re-run") || e.getMessage.contains("orphan"),
+      s"refusal must name the remedy: ${e.getMessage}")
+    // the crashed verb re-runs: claim-or-verify passes, it takes v1
+    StoreSwap.commitLayout(fs, root, 1, Seq("pb" -> 8))
+    StoreSwap.commitManifest(fs, root, 1, Seq("d/f1.parquet"),
+      layoutCommitted = true)
+    assert(StoreSwap.readLayoutAt(fs, root, Some(1)) == Map("pb" -> 8))
+    // an abandoned orphan ABOVE the newest manifest: vacuum (quiescent)
+    // reclaims it, and the next layout-less commit proceeds
+    StoreSwap.commitLayout(fs, root, 2, Seq("pb" -> 16))
+    intercept[java.util.ConcurrentModificationException] {
+      StoreSwap.commitManifest(fs, root, 2, Seq("d/f1.parquet"))
+    }
+    StoreSwap.vacuumManifested(spark, root, Seq("d"), "spec")
+    assert(StoreSwap.layoutVersions(fs, root) == Seq(1),
+      "vacuum must reclaim the abandoned orphan layout")
+    fs.create(new Path(s"$root/d/f2.parquet"), true).close()
+    StoreSwap.commitManifest(fs, root, 2,
+      Seq("d/f1.parquet", "d/f2.parquet"))
+    assert(StoreSwap.readLayoutAt(fs, root, Some(2)) == Map("pb" -> 8),
+      "v2 must floor-resolve v1's layout after the orphan is gone")
   }
 
   test("manifestAt resolves any retained version and refuses an unknown " +
