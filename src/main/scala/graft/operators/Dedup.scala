@@ -656,17 +656,13 @@ object Dedup {
     // bucket total would spawn thousands of near-empty tasks per
     // micro-batch on a high-bucket-count store.
     val tag = s"a${java.util.UUID.randomUUID().toString.take(8)}_"
-    def stageAppend(df: DataFrame, partCol: String, dir: String): Seq[String] = {
-      // unique per invocation: racing writers must never clobber each
+    def stageAppend(df: DataFrame, partCol: String, dir: String): Seq[String] =
+      // tag-unique staging: racing writers must never clobber each
       // other's staging (CAS decides the winner; the loser's moved-in
       // files are unlisted garbage, never a torn mix)
-      val tmpRoot = new org.apache.hadoop.fs.Path(storePath,
-        s".ingest_stage_$tag$dir")
-      fsInc.delete(tmpRoot, true)
-      df.repartition(col(partCol))
-        .write.mode("overwrite").partitionBy(partCol).parquet(tmpRoot.toString)
-      StoreSwap.moveStagedIn(fsInc, storePath, dir, tmpRoot, tag)
-    }
+      StoreSwap.stageAndMoveIn(fsInc, storePath, dir, "ingest", tag)(root =>
+        df.repartition(col(partCol))
+          .write.mode("overwrite").partitionBy(partCol).parquet(root))
     val added =
       (if (hasBandIdx)
         stageAppend(bandedNew.withColumn("bb",
@@ -751,18 +747,15 @@ object Dedup {
       else Seq.empty[Long]
     val tag = s"p${java.util.UUID.randomUUID().toString.take(8)}_"
     def rewriteDir(dir: String, partCol: String, parts: Seq[Long],
-                   total: Int): Seq[String] = {
-      val tmpRoot = new Path(path, s".purge_stage_$tag$dir")
-      fs.delete(tmpRoot, true)
-      pruneBuckets(StoreSwap.readStoreDir(spark, path, dir, mfFiles), partCol,
-          parts, total)
-        .join(broadcast(purgeKeys),
-          col("doc").cast("string") === col("__purge_id"), "left_anti")
-        .repartition(parts.size, col(partCol))
-        .write.mode("overwrite").partitionBy(partCol)
-        .parquet(tmpRoot.toString)
-      StoreSwap.moveStagedIn(fs, path, dir, tmpRoot, tag)
-    }
+                   total: Int): Seq[String] =
+      StoreSwap.stageAndMoveIn(fs, path, dir, "purge", tag)(root =>
+        pruneBuckets(StoreSwap.readStoreDir(spark, path, dir, mfFiles), partCol,
+            parts, total)
+          .join(broadcast(purgeKeys),
+            col("doc").cast("string") === col("__purge_id"), "left_anti")
+          .repartition(parts.size, col(partCol))
+          .write.mode("overwrite").partitionBy(partCol)
+          .parquet(root))
     val rewritten =
       (if (bbs.nonEmpty) rewriteDir("bandidx", "bb", bbs, bbN)
        else Seq.empty) ++

@@ -302,18 +302,14 @@ object SemanticStore {
       // append copy-on-write: staged, moved in under batch-unique
       // names, ONE flip
       val tag = s"a${java.util.UUID.randomUUID().toString.take(8)}_"
-      def stage(df: DataFrame, partCol: String, dir: String): Seq[String] = {
-        // staging root UNIQUE per invocation (the CAS story's write-side
-        // prerequisite: two racing writers must never clobber each
-        // other's staging — the loser's moved-in files become unlisted
-        // garbage, never a torn mix)
-        val tmpRoot = new org.apache.hadoop.fs.Path(path,
-          s".ingest_stage_$tag$dir")
-        fs.delete(tmpRoot, true)
-        df.repartition(col(partCol))
-          .write.mode("overwrite").partitionBy(partCol).parquet(tmpRoot.toString)
-        StoreSwap.moveStagedIn(fs, path, dir, tmpRoot, tag)
-      }
+      // staging root UNIQUE per invocation (the CAS story's write-side
+      // prerequisite: two racing writers must never clobber each
+      // other's staging — the loser's moved-in files become unlisted
+      // garbage, never a torn mix)
+      def stage(df: DataFrame, partCol: String, dir: String): Seq[String] =
+        StoreSwap.stageAndMoveIn(fs, path, dir, "ingest", tag)(root =>
+          df.repartition(col(partCol))
+            .write.mode("overwrite").partitionBy(partCol).parquet(root))
       val added = stage(slim, "cell", "vectors") ++
         stage(slim.select(col("doc"), col("cell"), col("seq"),
           idBucket(col("doc"), pbN).as("pb")), "pb", "idmap")
@@ -484,16 +480,13 @@ object SemanticStore {
     val gone = matched.map(_.getLong(2)).sum
     val tag = s"p${java.util.UUID.randomUUID().toString.take(8)}_"
     def rewrite(dir: String, partCol: String, parts: Seq[Long],
-                total: Int): Seq[String] = {
-      val tmpRoot = new Path(path, s".purge_stage_$tag$dir")
-      fs.delete(tmpRoot, true)
-      pruneParts(readDir(spark, path, dir, mfFiles), partCol, parts, total)
-        .join(broadcast(purgeKeys),
-          col("doc").cast("string") === col("__purge_id"), "left_anti")
-        .repartition(parts.size, col(partCol))
-        .write.mode("overwrite").partitionBy(partCol).parquet(tmpRoot.toString)
-      StoreSwap.moveStagedIn(fs, path, dir, tmpRoot, tag)
-    }
+                total: Int): Seq[String] =
+      StoreSwap.stageAndMoveIn(fs, path, dir, "purge", tag)(root =>
+        pruneParts(readDir(spark, path, dir, mfFiles), partCol, parts, total)
+          .join(broadcast(purgeKeys),
+            col("doc").cast("string") === col("__purge_id"), "left_anti")
+          .repartition(parts.size, col(partCol))
+          .write.mode("overwrite").partitionBy(partCol).parquet(root))
     val rewritten = rewrite("vectors", "cell", cellsTouched, k) ++
       rewrite("idmap", "pb", pbs, pbN)
     val dropPrefixes = cellsTouched.map(c => s"vectors/cell=$c/") ++
