@@ -288,15 +288,15 @@ object IvfIndex {
     val tag =
       if (filePrefix.nonEmpty) filePrefix
       else s"a${java.util.UUID.randomUUID().toString.take(8)}_"
-    val stage = new Path(path, ".ingest_stage_postings")
-    fs.delete(stage, true)
-    // no explicit partition count: hash distribution on cell lands each
-    // touched cell in one task (one file per cell) and AQE coalesces
-    // the delta-sized shuffle
-    assign(delta, idCol, vecCol, model)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
-    val added = StoreSwap.moveStagedIn(fs, path, "postings", stage, tag)
+    // tag-unique staging (racing writers never share a root; a crashed
+    // attempt's root is vacuum garbage). No explicit partition count:
+    // hash distribution on cell lands each touched cell in one task
+    // (one file per cell) and AQE coalesces the delta-sized shuffle
+    val added = StoreSwap.stageAndMoveIn(fs, path, "postings",
+      "ingest", tag)(root =>
+      assign(delta, idCol, vecCol, model)
+        .repartition(col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(root))
     if (added.nonEmpty)
       StoreSwap.commitManifest(fs, path, mfVersion + 1, mfFiles ++ added)
     model
@@ -385,17 +385,15 @@ object IvfIndex {
       .select(col("n_id"), col("n_vec"))
     val model = train(corpus, "n_id", "n_vec", k, sampleSize, iters)
     val tag = s"r${java.util.UUID.randomUUID().toString.take(8)}_"
-    val pStage = new Path(path, ".rebuild_stage_postings")
-    fs.delete(pStage, true)
-    assign(corpus, "n_id", "n_vec", model)
-      .repartition(col("cell")) // ONE file per cell (see saveIndex note)
-      .write.mode("overwrite").partitionBy("cell").parquet(pStage.toString)
-    val newPostings = StoreSwap.moveStagedIn(fs, path, "postings", pStage, tag)
-    val cStage = new Path(path, ".rebuild_stage_centroids")
-    fs.delete(cStage, true)
-    centroidsDf(spark, model)
-      .coalesce(1).write.mode("overwrite").parquet(cStage.toString)
-    val newCents = StoreSwap.moveStagedIn(fs, path, "centroids", cStage, tag)
+    val newPostings = StoreSwap.stageAndMoveIn(fs, path, "postings",
+      "rebuild", tag)(root =>
+      assign(corpus, "n_id", "n_vec", model)
+        .repartition(col("cell")) // ONE file per cell (see saveIndex note)
+        .write.mode("overwrite").partitionBy("cell").parquet(root))
+    val newCents = StoreSwap.stageAndMoveIn(fs, path, "centroids",
+      "rebuild", tag)(root =>
+      centroidsDf(spark, model)
+        .coalesce(1).write.mode("overwrite").parquet(root))
     StoreSwap.commitManifest(fs, path, mfVersion + 1, newCents ++ newPostings)
     vacuumIndex(spark, path, keepVersions)
     model
@@ -455,14 +453,13 @@ object IvfIndex {
     // simply has no rewrite output and drops out of the manifest.
     val cells = affected.keys.toSeq.sorted.map(_.toLong)
     val tag = s"p${java.util.UUID.randomUUID().toString.take(8)}_"
-    val stage = new Path(path, ".purge_stage_postings")
-    fs.delete(stage, true)
-    StoreSwap.readStoreDir(spark, path, "postings", mfFiles)
-      .where(col("cell").isin(cells: _*))
-      .join(keyed, col("n_id") === col("__purge_id"), "left_anti")
-      .repartition(cells.size, col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(stage.toString)
-    val rewritten = StoreSwap.moveStagedIn(fs, path, "postings", stage, tag)
+    val rewritten = StoreSwap.stageAndMoveIn(fs, path, "postings",
+      "purge", tag)(root =>
+      StoreSwap.readStoreDir(spark, path, "postings", mfFiles)
+        .where(col("cell").isin(cells: _*))
+        .join(keyed, col("n_id") === col("__purge_id"), "left_anti")
+        .repartition(cells.size, col("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(root))
     val dropPrefixes = cells.map(c => s"postings/cell=$c/")
     StoreSwap.commitManifest(fs, path, mfVersion + 1,
       mfFiles.filterNot(f => dropPrefixes.exists(f.startsWith)) ++ rewritten)
