@@ -85,14 +85,16 @@ object ReferenceShapedData {
     persisted.computeIfAbsent(sfDir, _ => {
       val f = new java.io.File(System.getProperty("java.io.tmpdir"),
         s"graft_dashwh_${Integer.toHexString(sfDir.hashCode)}")
-      // start from nothing: the staged copy-on-write save never deletes
-      // superseded files, so re-saving into the deterministic dir every
-      // JVM would accumulate one full warehouse copy per run (and a
-      // leftover pre-manifest layout from an older build would read as
-      // legacy) — the q254 staged-protocol hygiene rule
-      org.apache.commons.io.FileUtils.deleteDirectory(f)
+      // save then VACUUM (not deleteDirectory): the staged save never
+      // deletes superseded files, so the deterministic dir would
+      // accumulate one full warehouse copy per JVM; vacuum reclaims
+      // everything the fresh manifest doesn't list — including a
+      // pre-manifest layout left by an older build — while a
+      // concurrent reader of the committed manifest keeps a complete
+      // file-set (a directory delete would yank files mid-query)
       graft.sources.WarehouseStore.save(warehouse(spark, sfDir),
         f.getAbsolutePath)
+      graft.sources.WarehouseStore.vacuumWarehouse(spark, f.getAbsolutePath)
       f.getAbsolutePath
     })
 

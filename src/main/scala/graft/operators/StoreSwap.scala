@@ -253,14 +253,21 @@ private[graft] object StoreSwap {
   def commitManifest(fs: FileSystem, path: String, version: Int,
                      files: Seq[String],
                      layoutCommitted: Boolean = false): Unit = {
-    if (!layoutCommitted && fs.exists(new Path(s"$path/$LayoutPrefix$version")))
+    // ORPHAN check only: a layout file whose manifest version IS
+    // committed is a live layout, and the right diagnosis for this
+    // caller is the ordinary CAS conflict below (its version claim is
+    // stale) — never an instruction to delete a layout a committed
+    // manifest resolves
+    if (!layoutCommitted &&
+        fs.exists(new Path(s"$path/$LayoutPrefix$version")) &&
+        !fs.exists(new Path(s"$path/$ManifestPrefix$version")))
       throw new java.util.ConcurrentModificationException(
         s"commitManifest: $path/$LayoutPrefix$version exists but this verb " +
-          "did not commit it — a layout-writing verb (save/re-bucket) " +
-          "crashed between its layout and manifest commits. Re-run that " +
-          "verb to complete it, or delete the orphan layout file if its " +
-          "work is abandoned; committing past it would mis-route every " +
-          "version-pinned read")
+          "did not commit it and no manifest v" + version + " exists — a " +
+          "layout-writing verb (save/re-bucket) crashed between its " +
+          "layout and manifest commits. Re-run that verb to complete it, " +
+          "or delete the orphan layout file if its work is abandoned; " +
+          "committing past it would mis-route every version-pinned read")
     val tmp = new Path(path,
       s"._manifest_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
     val out = fs.create(tmp, true)
@@ -346,16 +353,22 @@ private[graft] object StoreSwap {
   }
 
   /** The staging protocol every mutation verb follows, in one place:
-    * build the verb-unique dot-prefixed staging root next to the live
-    * tree (tag-unique — racing writers must never share one; the name
-    * matches vacuum's `^\.[a-z]+_stage_` sweep), clear any leftover of
-    * the same name, let the caller write into it, then move the staged
-    * files in copy-on-write ([[moveStagedIn]]). Returns the moved
-    * files' store-relative paths for the caller's manifest flip. */
+    * build an invocation-unique dot-prefixed staging root next to the
+    * live tree (the name matches vacuum's `^\.[a-z]+_stage_` sweep),
+    * let the caller write into it, then move the staged files in
+    * copy-on-write under `tag`-prefixed names ([[moveStagedIn]]).
+    * Returns the moved files' store-relative paths for the caller's
+    * manifest flip. */
   def stageAndMoveIn(fs: FileSystem, path: String, dir: String,
                      verb: String, tag: String)
                     (write: String => Unit): Seq[String] = {
-    val tmpRoot = new Path(path, s".${verb}_stage_$tag$dir")
+    // the staging ROOT is always invocation-unique, even when the
+    // caller's file tag is deterministic (a streaming replay prefix):
+    // two writers replaying the same batch must never share a root —
+    // one's delete would eat the other's in-flight staged output and a
+    // torn MIX could move in
+    val tmpRoot = new Path(path,
+      s".${verb}_stage_${java.util.UUID.randomUUID().toString.take(8)}_$dir")
     fs.delete(tmpRoot, true)
     write(tmpRoot.toString)
     moveStagedIn(fs, path, dir, tmpRoot, tag)
@@ -500,17 +513,12 @@ private[graft] object StoreSwap {
             when(col(partCol) === lit(v),
               pmod(hash(pruned.columns.map(col): _*), lit(n))).otherwise(acc)
         }
-        // unique per invocation, like every staging root in the family
-        // (compaction is a no-concurrent-mutations maintenance verb,
-        // but the CAS story should not depend on that being honored)
-        val tmpRoot = new Path(path, s".compact_stage_$tag$dir")
-        fs.delete(tmpRoot, true)
-        pruned.withColumn("__slice", sliceExpr)
-          .repartition(slices.map(_._2).sum, col(partCol), col("__slice"))
-          .drop("__slice")
-          .write.mode("overwrite").partitionBy(partCol)
-          .parquet(tmpRoot.toString)
-        moved = moved ++ moveStagedIn(fs, path, dir, tmpRoot, tag)
+        moved = moved ++ stageAndMoveIn(fs, path, dir, "compact", tag)(
+          root => pruned.withColumn("__slice", sliceExpr)
+            .repartition(slices.map(_._2).sum, col(partCol), col("__slice"))
+            .drop("__slice")
+            .write.mode("overwrite").partitionBy(partCol)
+            .parquet(root))
         dropped = dropped ++ groups.values.flatten
       }
     }

@@ -96,15 +96,24 @@ object WarehouseStore {
     // a legacy (pre-manifest) warehouse: committing a v1 listing only
     // this batch would silently unlist years of fact rows (and the
     // next vacuum would delete them). Refuse loudly — the upgrade is
-    // an explicit full re-save.
-    if (mode == SaveMode.Append && prior.isEmpty &&
-        StoreSwap.listDirFiles(fs, path, "fact_sales").nonEmpty)
-      throw new IllegalArgumentException(
-        s"saveFact: $path/fact_sales holds files but no warehouse " +
-          "manifest — a legacy (pre-manifest) layout. Appending would " +
-          "commit a manifest listing only this batch and orphan the " +
-          "existing data; re-save the full warehouse (WarehouseStore" +
-          ".save / saveFact Overwrite) to upgrade it first")
+    // an explicit full re-save. A torn FIRST append's own crash
+    // leftovers must NOT refuse (re-running is the documented
+    // recovery): this verb's files are move-in TAGGED
+    // ("<letter><8 hex>_…"), legacy layouts hold plain Spark part
+    // files, and only the latter block the append.
+    if (mode == SaveMode.Append && prior.isEmpty) {
+      val legacy = StoreSwap.listDirFiles(fs, path, "fact_sales")
+        .filterNot(f => f.substring(f.lastIndexOf('/') + 1)
+          .matches("^[a-z][0-9a-f]{8}_.*"))
+      if (legacy.nonEmpty)
+        throw new IllegalArgumentException(
+          s"saveFact: $path/fact_sales holds untagged files but no " +
+            "warehouse manifest — a legacy (pre-manifest) layout. " +
+            "Appending would commit a manifest listing only this batch " +
+            "and orphan the existing data; re-save the full warehouse " +
+            "(WarehouseStore.save / saveFact Overwrite) to upgrade it " +
+            s"first (e.g. ${legacy.head})")
+    }
     val tag = s"f${java.util.UUID.randomUUID().toString.take(8)}_"
     val moved = stageFact(fact, path, fs, tag)
     val (version, carried) = prior match {

@@ -118,6 +118,36 @@ class WarehouseStoreSpec extends SparkSpec {
       "keepVersions=2 must retain the v1 snapshot")
   }
 
+  test("first-append crash recovery vs legacy refusal: a torn first " +
+    "append's own tagged leftovers re-run cleanly; an untagged " +
+    "pre-manifest layout refuses the append loudly") {
+    val fsConf = spark.sessionState.newHadoopConf()
+    // torn first append: a move-in TAGGED file landed, no manifest —
+    // re-running the append is the documented recovery
+    val dir = Files.createTempDirectory("graft-wh6").toString
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(fsConf)
+    val torn = new org.apache.hadoop.fs.Path(
+      s"$dir/fact_sales/p_year=2024/p_month=1/f0123abcd_part-0.parquet")
+    fs.mkdirs(torn.getParent)
+    fs.create(torn, true).close()
+    WarehouseStore.saveFact(wh.factSales, dir, SaveMode.Append)
+    assert(factRows(dir).length == 3, "torn-bootstrap retry must succeed")
+    // the torn leftover is unlisted garbage; vacuum reclaims it
+    assert(WarehouseStore.vacuumWarehouse(spark, dir) == 1L)
+    assert(!fs.exists(torn))
+    // legacy: plain Spark part files, no manifest — append refuses
+    val dir2 = Files.createTempDirectory("graft-wh7").toString
+    val legacy = new org.apache.hadoop.fs.Path(
+      s"$dir2/fact_sales/p_year=2024/p_month=1/part-00000-abc.parquet")
+    fs.mkdirs(legacy.getParent)
+    fs.create(legacy, true).close()
+    val e = intercept[IllegalArgumentException] {
+      WarehouseStore.saveFact(wh.factSales, dir2, SaveMode.Append)
+    }
+    assert(e.getMessage.contains("legacy") &&
+      e.getMessage.contains("re-save"), e.getMessage)
+  }
+
   test("whole-warehouse time travel: a truncate-reload (save) supersedes " +
     "the old warehouse without deleting it; the pinned old version " +
     "round-trips dims AND fact") {
