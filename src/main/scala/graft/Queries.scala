@@ -9182,6 +9182,65 @@ object Queries {
     },
     q114.oracle)
 
+  private val stagedWhStreamDir =
+    new java.util.concurrent.ConcurrentHashMap[String, java.io.File]()
+
+  /** Streaming warehouse fact ingest (q254's fact protocol driven
+    * through Structured Streaming — the FIFTH family's streaming row):
+    * the fact rows arrive as two pinned-order micro-batches, the even
+    * half bootstraps `fact_sales` (truncate-reload save, v1), the odd
+    * half appends batch-tagged files behind one manifest flip (v2) via
+    * [[graft.streaming.ArtifactStreams.factIngest]], and the read
+    * aggregates the manifest-committed latest by the recovered
+    * partition columns. The oracle is the BATCH fact built from the
+    * same join — a row lost at the batch boundary, a torn append
+    * leaking into the read, or a broken replay-cleanup double-counting
+    * a batch all change an aggregate and fail the hash (replay
+    * byte-identity is additionally spec-gated in ArtifactStreamsSpec). */
+  private val q256 = Q("q256_warehouse_streaming_ingest",
+    (s, d) => {
+      val dir = Queries.stagedWhStreamDir.computeIfAbsent(d, _ => {
+        val f = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_wh_stream_${Queries.stagingSuffix(d)}")
+        // versioned protocol — start from nothing (see the q245 note)
+        org.apache.commons.io.FileUtils.deleteDirectory(f)
+        val in = new java.io.File(f, "in"); in.mkdirs()
+        val fact = lineitem(s, d)
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .select(
+            (col("l_orderkey") * 10 + col("l_linenumber")).as("fact_id"),
+            col("o_orderdate").as("date_id"),
+            col("l_partkey").as("product_id"),
+            col("l_quantity").cast("int").as("units"))
+        val t0 = System.currentTimeMillis()
+        Queries.stageStreamFile(
+          fact.where(col("fact_id") % 2 === 0), in, "a_even", t0)
+        Queries.stageStreamFile(
+          fact.where(col("fact_id") % 2 === 1), in, "b_odd", t0 + 2000)
+        val rawSchema = s.read.parquet(in.getAbsolutePath).schema
+        val stream = s.readStream.schema(rawSchema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(in.getAbsolutePath)
+        Queries.withStreamingParallelism(s) {
+          graft.streaming.ArtifactStreams.factIngest(stream,
+            s"$f/wh", s"$f/ckpt")
+        }
+        f
+      })
+      graft.sources.WarehouseStore.loadFact(s, s"${dir.getAbsolutePath}/wh")
+        .groupBy(col("p_year").cast("int").as("p_year"),
+          col("p_month").cast("int").as("p_month"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("units")).as("sum_units"))
+    },
+    Some("""WITH fact AS (
+        SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INTEGER) AS p_year,
+          CAST(EXTRACT(MONTH FROM o_orderdate) AS INTEGER) AS p_month,
+          CAST(l_quantity AS INTEGER) AS units
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+      SELECT p_year, p_month, COUNT(*) AS n_rows,
+        CAST(SUM(units) AS BIGINT) AS sum_units
+      FROM fact GROUP BY p_year, p_month"""))
+
   val registry: Seq[Q] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13,
     q14, q15, q16, q17, q18, q19, q20, q21, q22, q23, q24, q25, q26,
@@ -9204,7 +9263,7 @@ object Queries {
     q219, q220, q221, q222, q223, q224, q225, q226, q227, q228, q229,
     q230, q231, q232, q233, q234, q235, q236, q237, q238, q239, q240,
     q241, q242, q243, q244, q245, q246, q247, q248, q249, q250, q251, q252,
-    q253, q254, q255)
+    q253, q254, q255, q256)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap

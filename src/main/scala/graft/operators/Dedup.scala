@@ -508,10 +508,10 @@ object Dedup {
     // the VERSIONED layout (floor-resolved by readers), then the
     // commit point; a crash between the two leaves an orphan layout no
     // committed version resolves
-    StoreSwap.commitLayout(fs, path, version,
+    val lc = StoreSwap.commitLayout(fs, path, version,
       Seq("pb" -> storeBuckets, "bb" -> bandBuckets))
     StoreSwap.commitManifest(fs, path, version, staged,
-      layoutCommitted = true)
+      layoutCommitted = true, layoutCreated = lc)
   }
 
   /** Dedupe a NEW batch against a persisted MinHash store AND grow the
@@ -848,10 +848,10 @@ object Dedup {
         storeBuckets, "pb", "bands") ++
       rewrite(tokRows.withColumn("pb", storeBucket(col("doc"), storeBuckets)),
         storeBuckets, "pb", "postings")
-    StoreSwap.commitLayout(fs, path, mfVersion + 1,
+    val lc = StoreSwap.commitLayout(fs, path, mfVersion + 1,
       Seq("pb" -> storeBuckets, "bb" -> bandBuckets))
     StoreSwap.commitManifest(fs, path, mfVersion + 1, staged,
-      layoutCommitted = true)
+      layoutCommitted = true, layoutCreated = lc)
   }
 
   /** The candidate-first verify over an already-materialized (doc, hv)

@@ -167,9 +167,10 @@ object SemanticStore {
       stage(slim, "vectors", Some("cell")) ++
       stage(slim.select(col("doc"), col("cell"), col("seq"),
         idBucket(col("doc"), idBuckets).as("pb")), "idmap", Some("pb"))
-    StoreSwap.commitLayout(fs, path, version, Seq("pb" -> idBuckets))
+    val lc = StoreSwap.commitLayout(fs, path, version,
+      Seq("pb" -> idBuckets))
     StoreSwap.commitManifest(fs, path, version, staged,
-      layoutCommitted = true)
+      layoutCommitted = true, layoutCreated = lc)
   }
 
   private def readDir(spark: SparkSession, path: String, dir: String,

@@ -1579,9 +1579,10 @@ object TrainingData {
         .withColumn("src", lit(source))
         .repartition(1).write.mode("overwrite").partitionBy("src")
         .parquet(root))
-    StoreSwap.commitLayout(fs, path, version, Seq("L" -> minTokens))
+    val lc = StoreSwap.commitLayout(fs, path, version,
+      Seq("L" -> minTokens))
     StoreSwap.commitManifest(fs, path, version, staged,
-      layoutCommitted = true)
+      layoutCommitted = true, layoutCreated = lc)
   }
 
   /** Append another benchmark's hashes under its own `src` partition

@@ -84,9 +84,16 @@ object WarehouseStore {
     * readers until [[vacuumWarehouse]]) while dim entries carry over.
     * Append = the incremental load: prior fact entries carry over and
     * the batch's files join them — a torn append (crash before the
-    * flip) is invisible and re-running is the recovery. */
+    * flip) is invisible and re-running is the recovery.
+    *
+    * `filePrefix` (streaming ingest only): a DETERMINISTIC move-in tag
+    * (`"b<batchId>_"`) replacing the default verb-unique one, so a
+    * replayed micro-batch can find and drop its own partials
+    * ([[dropAppendPartials]]) before re-appending — the same
+    * exactly-once contract as the other four families' ingests. */
   def saveFact(fact: DataFrame, path: String,
-               mode: SaveMode = SaveMode.Overwrite): Unit = {
+               mode: SaveMode = SaveMode.Overwrite,
+               filePrefix: Option[String] = None): Unit = {
     require(mode == SaveMode.Overwrite || mode == SaveMode.Append,
       s"saveFact: unsupported mode $mode")
     val spark = fact.sparkSession
@@ -102,19 +109,23 @@ object WarehouseStore {
     // ("<letter><8 hex>_…"), legacy layouts hold plain Spark part
     // files, and only the latter block the append.
     if (mode == SaveMode.Append && prior.isEmpty) {
+      // tagged = verb-unique ("<letter><8 hex>_") or a streaming
+      // batch tag ("b<digits>_") — both are this store's own move-ins
       val legacy = StoreSwap.listDirFiles(fs, path, "fact_sales")
         .filterNot(f => f.substring(f.lastIndexOf('/') + 1)
-          .matches("^[a-z][0-9a-f]{8}_.*"))
+          .matches("^([a-z][0-9a-f]{8}|b[0-9]+)_.*"))
       if (legacy.nonEmpty)
         throw new IllegalArgumentException(
           s"saveFact: $path/fact_sales holds untagged files but no " +
             "warehouse manifest — a legacy (pre-manifest) layout. " +
             "Appending would commit a manifest listing only this batch " +
-            "and orphan the existing data; re-save the full warehouse " +
-            "(WarehouseStore.save / saveFact Overwrite) to upgrade it " +
-            s"first (e.g. ${legacy.head})")
+            "and orphan the existing data; adopt it in place with " +
+            "WarehouseStore.upgradeWarehouse (one manifest flip, no data " +
+            "rewrite) or re-save the full warehouse " +
+            s"(e.g. ${legacy.head})")
     }
-    val tag = s"f${java.util.UUID.randomUUID().toString.take(8)}_"
+    val tag = filePrefix
+      .getOrElse(s"f${java.util.UUID.randomUUID().toString.take(8)}_")
     val moved = stageFact(fact, path, fs, tag)
     val (version, carried) = prior match {
       case Some((v, files)) =>
@@ -146,6 +157,52 @@ object WarehouseStore {
     val version = StoreSwap.manifestVersions(fs, path).lastOption
       .getOrElse(0) + 1
     StoreSwap.commitManifest(fs, path, version, staged)
+  }
+
+  /** Unlist-then-delete every fact file a streaming batch moved in
+    * under its deterministic `filePrefix` tag — the replay-recovery
+    * half of the exactly-once contract ([[saveFact]]'s `filePrefix`):
+    * a replayed micro-batch first drops its own partials, then
+    * re-appends, so the drop + re-apply pair converges from any crash
+    * point inside it. One manifest flip unlists (readers never see a
+    * half-dropped batch); the physical delete after it is unlisted
+    * garbage cleanup a crash leaves to [[vacuumWarehouse]]. */
+  def dropAppendPartials(spark: SparkSession, path: String,
+                         filePrefix: String): Unit = {
+    require(filePrefix.nonEmpty,
+      "dropAppendPartials: empty prefix would drop every fact file")
+    val fs = fsOf(spark, path)
+    StoreSwap.latestManifest(fs, path).foreach { case (v, files) =>
+      val (mine, keep) = files.partition(f =>
+        f.startsWith("fact_sales/") &&
+          f.substring(f.lastIndexOf('/') + 1).startsWith(filePrefix))
+      if (mine.nonEmpty) {
+        StoreSwap.commitManifest(fs, path, v + 1, keep)
+        mine.foreach(f => fs.delete(new Path(s"$path/$f"), false))
+      }
+    }
+  }
+
+  /** Adopt a LEGACY (pre-manifest) warehouse in place: commit a v1
+    * manifest listing the directory trees' existing files verbatim —
+    * ONE flip, no data rewrite. At 100 TB this is the difference
+    * between an upgrade that costs one metadata write and a full
+    * table re-save; after it, every manifest verb (saveFact Append,
+    * compactFact, vacuumWarehouse, asOfVersion reads) works against
+    * the adopted layout. Refuses when a manifest already exists (the
+    * store is already on the protocol) or when there is nothing to
+    * adopt. Single-writer like every mutation verb: don't run it
+    * while a legacy writer is still appending files. */
+  def upgradeWarehouse(spark: SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    require(StoreSwap.latestManifest(fs, path).isEmpty,
+      s"upgradeWarehouse: $path already has a committed warehouse " +
+        "manifest — it is already on the manifest protocol")
+    val files = AllDirs.flatMap(d => StoreSwap.listDirFiles(fs, path, d))
+    require(files.nonEmpty,
+      s"upgradeWarehouse: $path holds no warehouse files to adopt " +
+        s"(looked under ${AllDirs.mkString(", ")})")
+    StoreSwap.commitManifest(fs, path, 1, files)
   }
 
   /** Bucketed catalog table: pre-shuffled on `keys` into `numBuckets` so
@@ -185,9 +242,15 @@ object WarehouseStore {
                   targetBytes: Long = 128L * 1024 * 1024,
                   years: Option[Seq[Int]] = None): Unit = {
     val fs = fsOf(spark, path)
-    val prior = StoreSwap.latestManifest(fs, path)
-    if (prior.isEmpty) return
-    val (mfVersion, mfFiles) = prior.get
+    // loud on a legacy/absent layout, mirroring saveFact: an operator
+    // compacting a pre-manifest warehouse must not get success-shaped
+    // silence while the small-file problem stays
+    val (mfVersion, mfFiles) = StoreSwap.latestManifest(fs, path)
+      .getOrElse(throw new IllegalArgumentException(
+        s"compactFact: $path is not a committed warehouse layout (no " +
+          "manifest) — adopt a legacy layout with " +
+          "WarehouseStore.upgradeWarehouse first, or write the store " +
+          "with WarehouseStore.save/saveFact"))
     def partDir(rel: String): String = {
       val i = rel.lastIndexOf('/')
       rel.substring(0, i)
@@ -204,8 +267,7 @@ object WarehouseStore {
       }
     if (groups.isEmpty) return
     val slices = groups.toSeq.map { case (dir, fls) =>
-      val bytes = fls
-        .map(f => fs.getFileStatus(new Path(s"$path/$f")).getLen).sum
+      val bytes = StoreSwap.sizesFor(fs, path, fls).map(_._2).sum
       (yearOf(dir), monthOf(dir),
         math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt))
     }.sorted

@@ -99,6 +99,46 @@ object ArtifactStreams {
       .start()
   }
 
+  /** One micro-batch of [[factIngest]] — factored so specs can drive a
+    * REPLAY through the production path. */
+  private[graft] def factBatch(batch: DataFrame, batchId: Long,
+                               whPath: String): Unit = {
+    val spark = batch.sparkSession
+    if (graft.sources.WarehouseStore.ready(spark, whPath)) {
+      val prefix = s"b${batchId}_"
+      graft.sources.WarehouseStore.dropAppendPartials(spark, whPath, prefix)
+      graft.sources.WarehouseStore.saveFact(batch, whPath,
+        org.apache.spark.sql.SaveMode.Append, Some(prefix))
+    } else if (!batch.isEmpty)
+      // an empty first batch must not bootstrap an empty fact table
+      // (see semanticBatch) — wait for the first batch with rows
+      graft.sources.WarehouseStore.saveFact(batch, whPath,
+        org.apache.spark.sql.SaveMode.Overwrite)
+  }
+
+  /** Grow the WAREHOUSE fact table ([[graft.sources.WarehouseStore]]'s
+    * manifest layout — the fifth persisted family) from a streaming
+    * fact feed: the first non-empty batch bootstraps `fact_sales`
+    * (truncate-reload save, v1 — its replay re-saves), every later
+    * batch appends behind one manifest flip with batch-tagged files,
+    * replay-recovered exactly once like the other four families
+    * ([[graft.sources.WarehouseStore.dropAppendPartials]]). Dims carry
+    * over untouched when the warehouse already exists (the batch ETL
+    * owns them); readers time-travel across committed batches via
+    * `loadFact(asOfVersion)`. Gated at q256 (the q254 fact protocol
+    * replayed through pinned micro-batches against the batch oracle). */
+  def factIngest(facts: DataFrame, whPath: String, checkpointDir: String,
+                 availableNow: Boolean = true): StreamingQuery = {
+    require(facts.isStreaming, "factIngest: facts must be a streaming frame")
+    val writer = facts.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        factBatch(batch, batchId, whPath)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
+      .start()
+  }
+
   /** One micro-batch of [[semanticIngest]] — factored so specs can
     * drive a REPLAY through the production path. */
   private[graft] def semanticBatch(batch: DataFrame, batchId: Long,

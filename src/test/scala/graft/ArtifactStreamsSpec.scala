@@ -53,6 +53,49 @@ class ArtifactStreamsSpec extends SparkSpec {
     }
   }
 
+  test("factIngest: bootstrap + append equal the batch-built fact " +
+    "table; a replayed batch (drop + re-apply) changes nothing") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_fact_stream_spec_${System.nanoTime()}")
+    base.deleteOnExit()
+    def d(s: String) = java.sql.Date.valueOf(s)
+    val rows = Seq(
+      (1L, d("2024-01-01"), 10L, 2), (2L, d("2024-02-15"), 11L, 1),
+      (3L, d("2025-01-03"), 12L, 3), (4L, d("2024-01-20"), 13L, 5),
+      (5L, d("2024-02-02"), 10L, 7), (6L, d("2025-03-09"), 11L, 4))
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    val cols = Seq("fact_id", "date_id", "product_id", "units")
+    val mem = MemoryStream[(Long, java.sql.Date, Long, Int)]
+    val q = ArtifactStreams.factIngest(
+      mem.toDF().toDF(cols: _*), s"$base/wh", s"$base/ckpt",
+      availableNow = false)
+    try {
+      mem.addData(b0.toIndexedSeq: _*); q.processAllAvailable() // bootstrap
+      mem.addData(b1.toIndexedSeq: _*); q.processAllAvailable() // append
+    } finally q.stop()
+    def factRows(path: String) =
+      graft.sources.WarehouseStore.loadFact(spark, path)
+        .orderBy("fact_id").collect().map(_.toSeq).toSeq
+    val streamed = factRows(s"$base/wh")
+    assert(streamed.length == 6)
+    // micro-batched growth ≡ the one-shot batch save
+    graft.sources.WarehouseStore.saveFact(rows.toDF(cols: _*), s"$base/batch")
+    assert(streamed == factRows(s"$base/batch"),
+      "streamed fact table diverged from the batch build")
+    // the replay pair: drop batch 1's tagged files, re-append the same
+    // rows under the same tag — content must not move (a blind
+    // re-append without the drop would double every odd row)
+    graft.sources.WarehouseStore.dropAppendPartials(spark, s"$base/wh", "b1_")
+    graft.sources.WarehouseStore.saveFact(b1.toDF(cols: _*), s"$base/wh",
+      org.apache.spark.sql.SaveMode.Append, Some("b1_"))
+    assert(factRows(s"$base/wh") == streamed, "replayed append double-counted")
+    // and the cleanup verb refuses the delete-everything footgun
+    intercept[IllegalArgumentException] {
+      graft.sources.WarehouseStore.dropAppendPartials(spark, s"$base/wh", "")
+    }
+  }
+
   test("ivfIngest: bootstrap trains on the first batch, appends assign " +
     "against frozen centroids; equals the batch-built index; replayed " +
     "append (drop + re-apply) changes nothing") {

@@ -762,8 +762,9 @@ class DedupSpec extends SparkSpec {
       .map(_.getPath.getName).filter(_.startsWith("_manifest.v")).sorted
     def manifestFiles(name: String): Seq[String] = {
       val in = fs.open(new Path(s"$root/$name"))
+      // entries are `relpath<TAB>bytes` since the sized-manifest format
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toList
+        .filter(_.nonEmpty).map(_.split("\t")(0)).toList
       finally in.close()
     }
     assert(manifests() == Seq("_manifest.v1"))

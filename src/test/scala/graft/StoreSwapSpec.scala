@@ -155,17 +155,25 @@ class StoreSwapSpec extends graft.SparkSpec {
     StoreSwap.commitLayout(fs, root, 1, Seq("pb" -> 8))
     commitV(1, withLayout = true)
     commitV(2) // a verb that doesn't change layout
-    StoreSwap.commitLayout(fs, root, 3, Seq("pb" -> 64))
+    assert(StoreSwap.commitLayout(fs, root, 3, Seq("pb" -> 64)),
+      "first claim of a version reports created")
+    // idempotent re-commit with same values passes (a crashed verb's
+    // re-run, BEFORE any manifest v3 exists); different values refuse
+    assert(!StoreSwap.commitLayout(fs, root, 3, Seq("pb" -> 64)),
+      "verify of an existing identical claim reports NOT created")
+    val e = intercept[java.util.ConcurrentModificationException](
+      StoreSwap.commitLayout(fs, root, 3, Seq("pb" -> 16)))
+    assert(e.getMessage.contains("different values"), e.getMessage)
     commitV(3, withLayout = true)
     assert(StoreSwap.readLayoutAt(fs, root, Some(1)) == Map("pb" -> 8))
     assert(StoreSwap.readLayoutAt(fs, root, Some(2)) == Map("pb" -> 8),
       "floor rule: v2 resolves the layout committed at v1")
     assert(StoreSwap.readLayoutAt(fs, root, Some(3)) == Map("pb" -> 64))
-    // idempotent re-commit with same values passes; different values refuse
-    StoreSwap.commitLayout(fs, root, 3, Seq("pb" -> 64))
-    val e = intercept[java.util.ConcurrentModificationException](
-      StoreSwap.commitLayout(fs, root, 3, Seq("pb" -> 16)))
-    assert(e.getMessage.contains("different values"), e.getMessage)
+    // once manifest v3 is committed, ANY layout claim of v3 is stale
+    // (the claimant's entry read predates the committed version)
+    val stale = intercept[java.util.ConcurrentModificationException](
+      StoreSwap.commitLayout(fs, root, 3, Seq("pb" -> 64)))
+    assert(stale.getMessage.contains("already"), stale.getMessage)
     // vacuum to the latest 1: v3's floor (the v3 layout) survives,
     // the v1 layout is out of window and reclaimed
     StoreSwap.vacuumManifested(spark, root, Seq("d"), "spec")
@@ -207,6 +215,165 @@ class StoreSwapSpec extends graft.SparkSpec {
       Seq("d/f1.parquet", "d/f2.parquet"))
     assert(StoreSwap.readLayoutAt(fs, root, Some(2)) == Map("pb" -> 8),
       "v2 must floor-resolve v1's layout after the orphan is gone")
+  }
+
+  test("layout CAS-loss cleanup: a layout-writing verb that loses the " +
+    "manifest race deletes the layout file it created, so the orphan " +
+    "can never bind to the winner's manifest") {
+    val root = freshRoot()
+    val fs = StoreSwap.fsOf(spark, root)
+    fs.mkdirs(new Path(s"$root/d"))
+    fs.create(new Path(s"$root/d/f1.parquet"), true).close()
+    val c1 = StoreSwap.commitLayout(fs, root, 1, Seq("pb" -> 8))
+    StoreSwap.commitManifest(fs, root, 1, Seq("d/f1.parquet"),
+      layoutCommitted = true, layoutCreated = c1)
+    // the residual interleaving: this verb claims layout v2 while the
+    // manifest is still absent…
+    val c2 = StoreSwap.commitLayout(fs, root, 2, Seq("pb" -> 64))
+    assert(c2, "fresh claim must report created")
+    // …then a concurrent writer lands manifest v2 first (simulated
+    // directly — in the live race it passed its own orphan check
+    // before this verb's layout existed)
+    fs.create(new Path(s"$root/d/w.parquet"), true).close()
+    StoreSwap.commitManifest(fs, root, 2,
+      Seq("d/f1.parquet", "d/w.parquet"), layoutCommitted = true)
+    fs.create(new Path(s"$root/d/f2.parquet"), true).close()
+    intercept[java.util.ConcurrentModificationException] {
+      StoreSwap.commitManifest(fs, root, 2,
+        Seq("d/f1.parquet", "d/f2.parquet"),
+        layoutCommitted = true, layoutCreated = c2)
+    }
+    assert(StoreSwap.layoutVersions(fs, root) == Seq(1),
+      "the loser must delete the layout it created — otherwise v2 " +
+        "pinned reads would resolve pb=64 for files written under pb=8")
+    assert(StoreSwap.readLayoutAt(fs, root, Some(2)) == Map("pb" -> 8),
+      "after cleanup the winner's version floor-resolves the old counts")
+    // and a layout claim AGAINST an already-committed version refuses
+    val stale = intercept[java.util.ConcurrentModificationException](
+      StoreSwap.commitLayout(fs, root, 2, Seq("pb" -> 64)))
+    assert(stale.getMessage.contains("already committed"), stale.getMessage)
+  }
+
+  test("legacy back-fill: the first versioned layout over a plain-" +
+    "_layout store preserves the legacy values as the oldest retained " +
+    "manifest's floor, so pinned legacy-era reads keep their counts") {
+    val root = freshRoot()
+    val fs = StoreSwap.fsOf(spark, root)
+    fs.mkdirs(new Path(s"$root/d"))
+    fs.create(new Path(s"$root/d/f1.parquet"), true).close()
+    // a legacy store: plain _layout only, two committed manifests
+    StoreSwap.writeLayout(fs, root, Seq("pb" -> 8))
+    StoreSwap.commitManifest(fs, root, 1, Seq("d/f1.parquet"))
+    fs.create(new Path(s"$root/d/f2.parquet"), true).close()
+    StoreSwap.commitManifest(fs, root, 2,
+      Seq("d/f1.parquet", "d/f2.parquet"))
+    // first VERSIONED claim changes the counts (a re-bucket to 16)
+    val created = StoreSwap.commitLayout(fs, root, 3, Seq("pb" -> 16))
+    fs.create(new Path(s"$root/d/f3.parquet"), true).close()
+    StoreSwap.commitManifest(fs, root, 3, Seq("d/f3.parquet"),
+      layoutCommitted = true, layoutCreated = created)
+    assert(StoreSwap.readLayoutAt(fs, root, Some(1)) == Map("pb" -> 8),
+      "legacy-era pinned read must resolve the back-filled old counts")
+    assert(StoreSwap.readLayoutAt(fs, root, Some(2)) == Map("pb" -> 8))
+    assert(StoreSwap.readLayoutAt(fs, root, Some(3)) == Map("pb" -> 16))
+    assert(StoreSwap.readLayout(fs, root) == Map("pb" -> 16),
+      "the plain mirror carries the NEW counts for legacy readers")
+  }
+
+  test("chunked manifests: past the segment threshold the file list " +
+    "rolls into _mfseg segments, an append CARRIES prior segments by " +
+    "reference (delta-cost commit), reads expand verbatim, and vacuum " +
+    "reclaims only unreferenced segments") {
+    val root = freshRoot()
+    val fs = StoreSwap.fsOf(spark, root)
+    fs.mkdirs(new Path(root))
+    def fakeFiles(n: Int, tag: String): Seq[String] =
+      (0 until n).map(i => f"d/part=${i % 8}/${tag}_f$i%06d.parquet")
+    def manifestText(v: Int): String = {
+      val in = fs.open(new Path(s"$root/_manifest.v$v"))
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    }
+    def segRefs(v: Int): Set[String] =
+      manifestText(v).linesIterator.filter(_.startsWith("#seg\t"))
+        .map(_.split("\t")(1)).toSet
+    val v1Files = fakeFiles(40000, "a")
+    StoreSwap.commitManifest(fs, root, 1, v1Files)
+    assert(segRefs(1).nonEmpty, "40k entries must chunk into segments")
+    assert(manifestText(1).linesIterator.size < 2000,
+      "the manifest itself must stay small — that is the point")
+    assert(StoreSwap.latestManifest(fs, root).get._2.sorted ==
+      v1Files.sorted, "expansion must be verbatim")
+    // append 16 files: prior segments carry by REFERENCE
+    val v2Files = v1Files ++ fakeFiles(16, "b")
+    StoreSwap.commitManifest(fs, root, 2, v2Files)
+    assert(segRefs(1).subsetOf(segRefs(2)),
+      "an append must reuse every prior segment, not rewrite the list")
+    assert(StoreSwap.latestManifest(fs, root).get._2.sorted ==
+      v2Files.sorted)
+    // drop one entry: the segment containing it dissolves, the rest carry
+    val dropped = v1Files.head
+    val v3Files = v2Files.filterNot(_ == dropped)
+    StoreSwap.commitManifest(fs, root, 3, v3Files)
+    assert(StoreSwap.latestManifest(fs, root).get._2.sorted ==
+      v3Files.sorted)
+    assert((segRefs(2) -- segRefs(3)).nonEmpty,
+      "the dropped entry's segment must not be carried")
+    assert((segRefs(2) & segRefs(3)).nonEmpty,
+      "untouched segments must still carry")
+    // pinned reads at every retained version stay exact
+    assert(StoreSwap.manifestAt(fs, root, 1)._2.sorted == v1Files.sorted)
+    assert(StoreSwap.manifestAt(fs, root, 2)._2.sorted == v2Files.sorted)
+    // vacuum to the latest: v1/v2-only segments reclaim, v3's survive
+    fs.mkdirs(new Path(s"$root/d"))
+    StoreSwap.vacuumManifested(spark, root, Seq("d"), "spec")
+    val remaining = fs.listStatus(new Path(s"$root/_mfseg"))
+      .map(s => s"_mfseg/${s.getPath.getName}").toSet
+    assert(remaining == segRefs(3),
+      s"vacuum must keep exactly the referenced segments: " +
+        s"$remaining vs ${segRefs(3)}")
+    assert(StoreSwap.latestManifest(fs, root).get._2.sorted ==
+      v3Files.sorted, "the store must read identically after vacuum")
+  }
+
+  test("sized manifest entries round-trip: commit records tab-sized " +
+    "lines for moved-in files and a hand-written legacy (unsized) " +
+    "manifest still reads through the dir-batched fallback") {
+    val root = freshRoot()
+    val fs = StoreSwap.fsOf(spark, root)
+    fs.mkdirs(new Path(root))
+    import spark.implicits._
+    val df = Seq((1, "x"), (2, "y"), (3, "z")).toDF("k", "v")
+    val moved = StoreSwap.stageAndMoveIn(fs, root, "d", "save", "s1_")(
+      tmp => df.repartition(1).write.mode("overwrite").parquet(tmp))
+    StoreSwap.commitManifest(fs, root, 1, moved)
+    val in = fs.open(new Path(s"$root/_manifest.v1"))
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    assert(text.linesIterator.forall(l => l.isEmpty || l.contains("\t")),
+      s"entries must carry sizes: $text")
+    val (_, files) = StoreSwap.latestManifest(fs, root).get
+    assert(files == moved, "reads must return plain paths")
+    val back = StoreSwap.readStoreDir(spark, root, "d", files)
+    assert(back.orderBy("k").as[(Int, String)].collect().toSeq ==
+      Seq((1, "x"), (2, "y"), (3, "z")))
+    // legacy manifest: same files, no sizes — a fresh store root so the
+    // size cache is cold for it; the read must fall back to one
+    // listStatus per dir and still work
+    val root2 = freshRoot()
+    val fs2 = StoreSwap.fsOf(spark, root2)
+    fs2.mkdirs(new Path(s"$root2/d"))
+    moved.foreach { rel =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$root/$rel"),
+        fs2, new Path(s"$root2/$rel"), false, fs.getConf)
+    }
+    val out = fs2.create(new Path(s"$root2/_manifest.v1"), true)
+    out.write(moved.mkString("", "\n", "\n").getBytes("UTF-8"))
+    out.close()
+    val (_, legacyFiles) = StoreSwap.latestManifest(fs2, root2).get
+    val back2 = StoreSwap.readStoreDir(spark, root2, "d", legacyFiles)
+    assert(back2.orderBy("k").as[(Int, String)].collect().toSeq ==
+      Seq((1, "x"), (2, "y"), (3, "z")))
   }
 
   test("manifestAt resolves any retained version and refuses an unknown " +

@@ -307,8 +307,9 @@ class TextSearchSpec extends SparkSpec {
       .map(_.getPath.getName).filter(_.startsWith("_manifest.v")).sorted.toSeq
     def manifestFiles(name: String): Seq[String] = {
       val in = fs.open(new Path(s"$root/$name"))
+      // entries are `relpath<TAB>bytes` since the sized-manifest format
       try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-        .filter(_.nonEmpty).toList
+        .filter(_.nonEmpty).map(_.split("\t")(0)).toList
       finally in.close()
     }
     // PIN a reader on the v1 corpus partials exactly as readStats
