@@ -52,7 +52,9 @@ object ManifestRelation {
     require(files.nonEmpty, s"ManifestRelation: empty file-set under $basePath")
     val base = new Path(basePath)
     val partitionSchema = inferPartitionSchema(basePath, files.map(_._1))
-    val dataSchema = dataSchemaOf(spark, basePath, files.head._1)
+    // schema from the LARGEST listed file: deterministic, and by far
+    // the most likely to be a fully-written data file
+    val dataSchema = dataSchemaOf(spark, basePath, files.maxBy(_._2)._1)
     val index = new ManifestFileIndex(base, files, partitionSchema)
     val cs = spark.asInstanceOf[classic.SparkSession]
     val relation = HadoopFsRelation(index, partitionSchema, dataSchema,
