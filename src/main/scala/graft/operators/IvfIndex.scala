@@ -121,7 +121,8 @@ object IvfIndex {
     * file-set, and every mutation verb is copy-on-write behind ONE
     * manifest flip ([[StoreSwap]]); [[vacuumIndex]] is the retention
     * verb. */
-  def saveIndex(model: Model, index: DataFrame, path: String): Unit = {
+  def saveIndex(model: Model, index: DataFrame, path: String,
+                filePrefix: Option[String] = None): Unit = {
     import org.apache.hadoop.fs.Path
     val spark = index.sparkSession
     require(index.columns.toSeq == Seq("n_id", "n_vec", "cell"),
@@ -131,8 +132,13 @@ object IvfIndex {
     // chain with a manifest listing ONLY this save's file-set, while
     // every retained older version keeps its complete files (pinned
     // readers unbroken; the superseded index is vacuum garbage).
+    // filePrefix (streaming bootstrap only): a deterministic batch
+    // tag so a REPLAYED first batch's dropAppendPartials finds and
+    // removes the bootstrap's own postings before re-applying (the
+    // centroids dir is out of dropAppendPartials' scope and stays)
     val fs = StoreSwap.fsOf(spark, path)
-    val tag = s"s${java.util.UUID.randomUUID().toString.take(8)}_"
+    val tag = filePrefix
+      .getOrElse(s"s${java.util.UUID.randomUUID().toString.take(8)}_")
     val staged =
       StoreSwap.stageAndMoveIn(fs, path, "centroids", "save", tag)(root =>
         centroidsDf(spark, model)

@@ -317,15 +317,34 @@ private[graft] object StoreSwap {
     // layout of the oldest retained manifest, so pinned reads at
     // legacy-era versions (which have no _layout.v* <= v) keep
     // resolving the counts their files were written with instead of
-    // floor-falling to the NEW counts.
-    if (created) {
+    // floor-falling to the NEW counts. NOT gated on `created`: a verb
+    // that crashed between its layout claim and this write re-runs
+    // with created=false and must still back-fill (the condition
+    // below — this version is the ONLY versioned layout and the
+    // mirror still carries the old values — is idempotent). Written
+    // atomically like every other layout file: a torn multi-key
+    // back-fill would parse as a silent partial.
+    {
       val legacy = readLayout(fs, path)
       if (legacy.nonEmpty && legacy != counts.toMap &&
           layoutVersions(fs, path) == Seq(version))
         manifestVersions(fs, path).headOption.filter(_ < version).foreach {
           oldest =>
-            writeLayoutFile(fs, new Path(s"$path/$LayoutPrefix$oldest"),
-              legacy.toSeq.sortBy(_._1))
+            val bf = new Path(s"$path/$LayoutPrefix$oldest")
+            if (!fs.exists(bf)) {
+              val btmp = new Path(path, "._layout_tmp_" +
+                java.util.UUID.randomUUID().toString.take(8))
+              writeLayoutFile(fs, btmp, legacy.toSeq.sortBy(_._1))
+              if (fs.getScheme == "file") {
+                val raw = (p: Path) =>
+                  java.nio.file.Paths.get(p.toUri.getPath)
+                try java.nio.file.Files.createLink(raw(bf), raw(btmp))
+                catch {
+                  case _: java.nio.file.FileAlreadyExistsException => ()
+                }
+                fs.delete(btmp, false)
+              } else if (!fs.rename(btmp, bf)) fs.delete(btmp, false)
+            }
         }
     }
     // plain mirror via tmp+atomic-replace: an in-place truncate+write
@@ -527,15 +546,8 @@ private[graft] object StoreSwap {
           "layout and manifest commits. Re-run that verb to complete it, " +
           "or delete the orphan layout file if its work is abandoned; " +
           "committing past it would mis-route every version-pinned read")
-    val body = manifestBody(fs, path, version, files)
-    val tmp = new Path(path,
-      s"._manifest_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
-    val out = fs.create(tmp, true)
-    try out.write(body.getBytes("UTF-8"))
-    finally out.close()
     val dest = new Path(s"$path/$ManifestPrefix$version")
-    def conflict(): Nothing = {
-      fs.delete(tmp, false)
+    def lost(): Nothing = {
       // release the layout claim this invocation created — left in
       // place it would bind to the WINNER's manifest (see scaladoc)
       if (layoutCreated)
@@ -546,6 +558,20 @@ private[graft] object StoreSwap {
           "this attempt is visible; re-run the verb (it will read the " +
           "new manifest) and vacuum when quiescent to reclaim the " +
           "attempt's unlisted files")
+    }
+    // cheap pre-check BEFORE the body build: on a big store manifestBody
+    // writes segment files — an already-lost CAS should cost one
+    // exists() probe, not a segment roll stranded as vacuum garbage
+    if (fs.exists(dest)) lost()
+    val body = manifestBody(fs, path, version, files)
+    val tmp = new Path(path,
+      s"._manifest_tmp_${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    try out.write(body.getBytes("UTF-8"))
+    finally out.close()
+    def conflict(): Nothing = {
+      fs.delete(tmp, false)
+      lost()
     }
     if (fs.exists(dest)) conflict()
     if (fs.getScheme == "file") {

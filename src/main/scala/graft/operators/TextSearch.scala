@@ -135,7 +135,8 @@ object TextSearch {
     * the two directories; both are gone, the flip is the single commit
     * point. [[vacuumCorpusStats]] is the retention verb. */
   def saveCorpusStats(docs: DataFrame, idCol: String, textCol: String,
-                      path: String): Unit = {
+                      path: String,
+                      filePrefix: Option[String] = None): Unit = {
     val base = docs
       .select(filter(TextExprs.tokens(lower(col(textCol))), t => t =!= "")
         .as("__toks"))
@@ -145,8 +146,15 @@ object TextSearch {
     // chain with a manifest listing ONLY this save's partials, while
     // every retained older version keeps its complete files (pinned
     // readers unbroken; the superseded partials are vacuum garbage).
+    // filePrefix (streaming bootstrap only): a deterministic batch
+    // tag so a REPLAYED first batch's dropAppendPartials finds and
+    // removes the bootstrap's own files before re-applying — without
+    // it, a crash between this save's manifest commit and the stream's
+    // checkpoint commit would replay batch 0 down the append path and
+    // silently double-count every bootstrap document
     val fs = StoreSwap.fsOf(docs.sparkSession, path)
-    val tag = s"s${java.util.UUID.randomUUID().toString.take(8)}_"
+    val tag = filePrefix
+      .getOrElse(s"s${java.util.UUID.randomUUID().toString.take(8)}_")
     val staged =
       StoreSwap.stageAndMoveIn(fs, path, "corpus", "save", tag)(root =>
         base.agg(count(lit(1)).cast("long").as("n"),

@@ -18,8 +18,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * (`filePrefix = "b<id>_"`) and a replayed batch first drops its own
   * prefixed partials, then re-appends — the drop + re-apply pair
   * converges to the same state from any crash point inside it. The
-  * FIRST batch bootstraps the store (save-from-scratch, overwrite mode
-  * — its replay simply re-saves). Corollary: do NOT run the family's
+  * FIRST batch bootstraps the store (save-from-scratch, overwrite
+  * mode) — BATCH-TAGGED like the appends, because a replay landing
+  * after the save's manifest commit but before the checkpoint commit
+  * re-enters via the append path, whose drop must find the
+  * bootstrap's own files (a crash before the manifest commit simply
+  * re-saves). Corollary: do NOT run the family's
   * compaction verb while an ingest stream has an uncommitted batch —
   * folding a batch's tagged partials erases the replay cleanup's
   * target (the same "no append in flight" rule the batch compactors
@@ -54,8 +58,13 @@ object ArtifactStreams {
             prefix)
         } else if (!batch.isEmpty)
           // an empty first batch must not bootstrap empty stats (see
-          // semanticBatch) — wait for the first batch with documents
-          TextSearch.saveCorpusStats(batch, idCol, textCol, statsPath)
+          // semanticBatch) — wait for the first batch with documents.
+          // The bootstrap carries the batch tag too: a replay after
+          // the save's manifest commit (but before the checkpoint
+          // commit) takes the append path, and its drop must find the
+          // bootstrap's own files or every document double-counts
+          TextSearch.saveCorpusStats(batch, idCol, textCol, statsPath,
+            Some(s"b${batchId}_"))
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
@@ -90,8 +99,11 @@ object ArtifactStreams {
           // while indexReady() stays true — see semanticBatch)
           val model = IvfIndex.train(batch, idCol, vecCol, k, sampleSize,
             iters)
+          // batch-tagged bootstrap: a replayed first batch re-enters
+          // via the append path, whose drop must find these postings
           IvfIndex.saveIndex(model,
-            IvfIndex.assign(batch, idCol, vecCol, model), indexPath)
+            IvfIndex.assign(batch, idCol, vecCol, model), indexPath,
+            Some(s"b${batchId}_"))
         }
         ()
       }
@@ -111,9 +123,11 @@ object ArtifactStreams {
         org.apache.spark.sql.SaveMode.Append, Some(prefix))
     } else if (!batch.isEmpty)
       // an empty first batch must not bootstrap an empty fact table
-      // (see semanticBatch) — wait for the first batch with rows
+      // (see semanticBatch) — wait for the first batch with rows.
+      // Batch-tagged like the other bootstraps: a replayed first batch
+      // re-enters via the append path, whose drop must find these files
       graft.sources.WarehouseStore.saveFact(batch, whPath,
-        org.apache.spark.sql.SaveMode.Overwrite)
+        org.apache.spark.sql.SaveMode.Overwrite, Some(s"b${batchId}_"))
   }
 
   /** Grow the WAREHOUSE fact table ([[graft.sources.WarehouseStore]]'s

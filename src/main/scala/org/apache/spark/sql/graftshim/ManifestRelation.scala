@@ -93,9 +93,12 @@ object ManifestRelation {
       pairs.zipWithIndex.foreach { case ((_, v), i) => values(i) += v }
     }
     StructType(first.zipWithIndex.map { case (name, i) =>
-      val vs = values(i)
+      // the Hive null marker is a NULL literal, not a value — Spark's
+      // own inference excludes it before typing the column
+      val vs = values(i).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
       val dt =
-        if (vs.forall(v => scala.util.Try(v.toInt).isSuccess)) IntegerType
+        if (vs.isEmpty) StringType
+        else if (vs.forall(v => scala.util.Try(v.toInt).isSuccess)) IntegerType
         else if (vs.forall(v => scala.util.Try(v.toLong).isSuccess)) LongType
         else StringType
       StructField(name, dt, nullable = true)

@@ -47,6 +47,14 @@ class ArtifactStreamsSpec extends SparkSpec {
     TextSearch.dropAppendPartials(spark, s"$base/stats", "b1_")
     TextSearch.appendCorpusStats(odd, "doc_id", "text", s"$base/stats", "b1_")
     assert(topK() == want, "replayed append double-counted")
+    // BOOTSTRAP replay (crash between the save's manifest commit and
+    // the checkpoint commit): batch 0 re-enters via the append path —
+    // the drop must find the bootstrap's own b0_-tagged files, or
+    // every even doc double-counts
+    val even = docs.where(col("doc_id") % 2 === 0)
+    TextSearch.dropAppendPartials(spark, s"$base/stats", "b0_")
+    TextSearch.appendCorpusStats(even, "doc_id", "text", s"$base/stats", "b0_")
+    assert(topK() == want, "replayed BOOTSTRAP double-counted")
     // and the cleanup verb refuses the delete-everything footgun
     intercept[IllegalArgumentException] {
       TextSearch.dropAppendPartials(spark, s"$base/stats", "")
@@ -90,6 +98,14 @@ class ArtifactStreamsSpec extends SparkSpec {
     graft.sources.WarehouseStore.saveFact(b1.toDF(cols: _*), s"$base/wh",
       org.apache.spark.sql.SaveMode.Append, Some("b1_"))
     assert(factRows(s"$base/wh") == streamed, "replayed append double-counted")
+    // BOOTSTRAP replay through the production path (crash between the
+    // bootstrap save's manifest commit and the checkpoint commit):
+    // batch 0 re-enters factBatch with ready()==true — its drop must
+    // find the bootstrap's own b0_-tagged files
+    graft.streaming.ArtifactStreams.factBatch(b0.toDF(cols: _*), 0L,
+      s"$base/wh")
+    assert(factRows(s"$base/wh") == streamed,
+      "replayed BOOTSTRAP double-counted")
     // and the cleanup verb refuses the delete-everything footgun
     intercept[IllegalArgumentException] {
       graft.sources.WarehouseStore.dropAppendPartials(spark, s"$base/wh", "")
@@ -142,6 +158,17 @@ class ArtifactStreamsSpec extends SparkSpec {
     IvfIndex.appendToIndex(spark, s"$base/index", odd,
       "vec_id", "embedding", "b1_")
     assert(got() == want, "replayed append duplicated postings")
+    assert(IvfIndex.loadIndex(spark, s"$base/index")._2.count() == emb.count())
+    // BOOTSTRAP replay (crash between the save's manifest commit and
+    // the checkpoint commit): batch 0 re-enters via the append path —
+    // the drop must find the bootstrap's own b0_-tagged postings
+    // (centroids are out of its scope and stay frozen)
+    val evenCast = even.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    IvfIndex.dropAppendPartials(spark, s"$base/index", "b0_")
+    IvfIndex.appendToIndex(spark, s"$base/index", evenCast,
+      "vec_id", "embedding", "b0_")
+    assert(got() == want, "replayed BOOTSTRAP duplicated postings")
     assert(IvfIndex.loadIndex(spark, s"$base/index")._2.count() == emb.count())
     intercept[IllegalArgumentException] {
       IvfIndex.dropAppendPartials(spark, s"$base/index", "")

@@ -278,6 +278,21 @@ class StoreSwapSpec extends graft.SparkSpec {
     assert(StoreSwap.readLayoutAt(fs, root, Some(3)) == Map("pb" -> 16))
     assert(StoreSwap.readLayout(fs, root) == Map("pb" -> 16),
       "the plain mirror carries the NEW counts for legacy readers")
+    // crash-rerun: a verb that died AFTER claiming _layout.v<N> but
+    // BEFORE the back-fill re-runs with created=false — the back-fill
+    // must still land (it is not gated on who created the claim)
+    val root2 = freshRoot()
+    val fs2 = StoreSwap.fsOf(spark, root2)
+    fs2.mkdirs(new Path(s"$root2/d"))
+    fs2.create(new Path(s"$root2/d/f1.parquet"), true).close()
+    StoreSwap.writeLayout(fs2, root2, Seq("pb" -> 8))
+    StoreSwap.commitManifest(fs2, root2, 1, Seq("d/f1.parquet"))
+    val claim = fs2.create(new Path(s"$root2/_layout.v2"), true)
+    claim.write("pb=16\n".getBytes("UTF-8")); claim.close() // torn verb
+    assert(!StoreSwap.commitLayout(fs2, root2, 2, Seq("pb" -> 16)),
+      "the re-run verifies the existing claim")
+    assert(StoreSwap.readLayoutAt(fs2, root2, Some(1)) == Map("pb" -> 8),
+      "the re-run must still back-fill the legacy values")
   }
 
   test("chunked manifests: past the segment threshold the file list " +
