@@ -177,12 +177,6 @@ object IndexOpsScale {
           "doc_id", "text", store, 0.4)
           .write.format("noop").mode("overwrite").save()
       }
-      // the 100x anchor's cold-read half: derive the full pair set from
-      // the store alone (manifest-resolved load of all three dirs)
-      timed(s"minhash cold derivePairsFromStore(${copies}x store)") {
-        graft.operators.Dedup.derivePairsFromStore(spark, store, 0.4)
-          .write.format("noop").mode("overwrite").save()
-      }
       org.apache.hadoop.fs.FileSystem
         .getLocal(spark.sparkContext.hadoopConfiguration)
         .delete(new org.apache.hadoop.fs.Path(s"$store/bandidx"), true)
@@ -191,6 +185,30 @@ object IndexOpsScale {
         graft.operators.Dedup.minhashIncremental(delta(200000000L),
           "doc_id", "text", store, 0.4)
           .write.format("noop").mode("overwrite").save()
+      }
+    }
+    // Cold full-store derive at scale, on SALTED replicas: every token
+    // is copy-prefixed, so cross-copy similarity vanishes and the
+    // corpus keeps the BASE duplicate rate — true pairs grow ~linearly
+    // with copies. (Identical-text replication would make every doc a
+    // <copies>-way near-dup cluster: at 100x that is ~25M true pairs
+    // and a quadratic verify — a workload artifact, not a store cost.)
+    def saltedCorpus(copies: Int) = (0 until copies)
+      .map(c => docs.select((col("doc_id") + c.toLong * 1000000L)
+        .as("doc_id"),
+        array_join(transform(split(col("text"), " "),
+          t => concat(lit(s"c$c"), t)), " ").as("text")))
+      .reduce(_ unionAll _).localCheckpoint()
+    mhCopies.foreach { copies =>
+      val sStore = s"$base/mh_s$copies"
+      timed(s"minhash saveStore(salted ${copies}x corpus)") {
+        graft.operators.Dedup.saveMinhashStore(saltedCorpus(copies),
+          "doc_id", "text", sStore, storeBuckets = 128, bandBuckets = 1024)
+      }
+      timed(s"minhash cold derivePairsFromStore(salted ${copies}x store)") {
+        val n = graft.operators.Dedup.derivePairsFromStore(spark, sStore, 0.4)
+          .count()
+        println(s"[indexops]   pairs=$n")
       }
     }
     // BM25 stats: save all, purge a fifth
