@@ -343,7 +343,19 @@ private[graft] object StoreSwap {
                   case _: java.nio.file.FileAlreadyExistsException => ()
                 }
                 fs.delete(btmp, false)
-              } else if (!fs.rename(btmp, bf)) fs.delete(btmp, false)
+              } else if (!fs.rename(btmp, bf)) {
+                fs.delete(btmp, false)
+                // an I/O fault here must be LOUD: continuing would
+                // rewrite the plain mirror to the new counts, erasing
+                // the re-run condition — the back-fill would never
+                // happen and legacy-era pinned reads would silently
+                // mis-route forever (another claimant having landed
+                // the identical file is the only benign case)
+                if (!fs.exists(bf)) throw new java.io.IOException(
+                  s"commitLayout: legacy back-fill rename to $bf failed " +
+                    "and the destination does not exist — an I/O fault; " +
+                    "nothing is committed, re-run the verb")
+              }
             }
         }
     }

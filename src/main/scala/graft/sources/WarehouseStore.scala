@@ -110,10 +110,11 @@ object WarehouseStore {
     // files, and only the latter block the append.
     if (mode == SaveMode.Append && prior.isEmpty) {
       // tagged = verb-unique ("<letter><8 hex>_") or a streaming
-      // batch tag ("b<digits>_") — both are this store's own move-ins
+      // batch tag ("b<id>x<lineage>_") — both are this store's own
+      // move-ins
       val legacy = StoreSwap.listDirFiles(fs, path, "fact_sales")
         .filterNot(f => f.substring(f.lastIndexOf('/') + 1)
-          .matches("^([a-z][0-9a-f]{8}|b[0-9]+)_.*"))
+          .matches("^([a-z][0-9a-f]{8}|b[0-9]+x[0-9a-f]+)_.*"))
       if (legacy.nonEmpty)
         throw new IllegalArgumentException(
           s"saveFact: $path/fact_sales holds untagged files but no " +

@@ -14,8 +14,9 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Exactly-once, per family's append contract: both append verbs
   * double-count on a blind re-run (additive df/N partials; bag-append
-  * postings), so each batch's partials are TAGGED by batch id
-  * (`filePrefix = "b<id>_"`) and a replayed batch first drops its own
+  * postings), so each batch's partials are TAGGED by (checkpoint
+  * lineage, batch id) — [[batchPrefix]] — and a replayed batch first
+  * drops its own
   * prefixed partials, then re-appends — the drop + re-apply pair
   * converges to the same state from any crash point inside it. The
   * FIRST batch bootstraps the store (save-from-scratch, overwrite
@@ -36,6 +37,74 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   */
 object ArtifactStreams {
 
+  /** The batch file prefix for one (checkpoint lineage, batch id):
+    * `b<id>x<lineage>_`. The lineage component (a hash of the
+    * checkpoint directory) scopes replay cleanup to THIS stream's own
+    * batches — without it, a stream restarted on a fresh checkpoint
+    * against an existing store would replay batch 0, match the
+    * ORIGINAL bootstrap's `b0_` files, and silently delete them. The
+    * `x` delimiter keeps `b1x…` from prefix-matching `b10x…`. */
+  private[graft] def batchPrefix(batchId: Long,
+                                 checkpointDir: String): String = {
+    val lin = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(new java.io.File(checkpointDir).getAbsolutePath
+        .getBytes("UTF-8"))
+      .take(3).map("%02x".format(_)).mkString
+    s"b${batchId}x${lin}_"
+  }
+
+  /** True iff every listed file under `dirs` (all dirs when empty)
+    * carries this batch's prefix — including the vacuous empty case:
+    * the store IS this batch (a bootstrap whose checkpoint commit was
+    * lost, or a crash mid-replay that left the drop's empty manifest).
+    * The replay must then RE-BOOTSTRAP, not drop + append: the drop
+    * would unlist and delete the store's only data, and the family's
+    * append verb reads the store and fails loudly on the empty
+    * manifest — a permanent wedge (ready() stays true) with the
+    * bootstrap's data gone. */
+  private def onlyThisBatch(spark: org.apache.spark.sql.SparkSession,
+                            path: String, prefix: String,
+                            dirs: Seq[String]): Boolean = {
+    val fs = graft.operators.StoreSwap.fsOf(spark, path)
+    val files = graft.operators.StoreSwap.latestManifest(fs, path)
+      .map(_._2).getOrElse(Seq.empty)
+      .filter(f => dirs.isEmpty || dirs.exists(d => f.startsWith(d + "/")))
+    files.forall(f =>
+      f.substring(f.lastIndexOf('/') + 1).startsWith(prefix))
+  }
+
+  /** One micro-batch of [[bm25StatsIngest]] — factored so specs can
+    * drive a REPLAY through the production path. */
+  private[graft] def bm25Batch(batch: DataFrame, batchId: Long,
+                               idCol: String, textCol: String,
+                               statsPath: String,
+                               checkpointDir: String): Unit = {
+    val spark = batch.sparkSession
+    val prefix = batchPrefix(batchId, checkpointDir)
+    // bootstrapped iff the stats MANIFEST exists — the save's single
+    // commit point, so a torn bootstrap re-runs cleanly
+    if (TextSearch.statsReady(spark, statsPath)) {
+      if (onlyThisBatch(spark, statsPath, prefix, Seq.empty)) {
+        // re-bootstrap (see onlyThisBatch): the save continues the
+        // version chain with identical content
+        if (!batch.isEmpty)
+          TextSearch.saveCorpusStats(batch, idCol, textCol, statsPath,
+            Some(prefix))
+      } else {
+        TextSearch.dropAppendPartials(spark, statsPath, prefix)
+        TextSearch.appendCorpusStats(batch, idCol, textCol, statsPath,
+          prefix)
+      }
+    } else if (!batch.isEmpty)
+      // an empty first batch must not bootstrap empty stats (see
+      // semanticBatch) — wait for the first batch with documents.
+      // The bootstrap carries the batch tag too: a replay after the
+      // save's manifest commit (but before the checkpoint commit)
+      // re-enters above and re-bootstraps
+      TextSearch.saveCorpusStats(batch, idCol, textCol, statsPath,
+        Some(prefix))
+  }
+
   /** Grow persisted BM25 corpus stats ([[TextSearch.saveCorpusStats]]'
     * layout) from a document stream. Searches read the stats as usual
     * ([[TextSearch.bm25TopKIndexed]]); scores reflect every committed
@@ -48,23 +117,7 @@ object ArtifactStreams {
     val writer = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // bootstrapped iff the stats MANIFEST exists — the save's single
-        // commit point, so a torn bootstrap re-runs cleanly
-        if (TextSearch.statsReady(spark, statsPath)) {
-          val prefix = s"b${batchId}_"
-          TextSearch.dropAppendPartials(spark, statsPath, prefix)
-          TextSearch.appendCorpusStats(batch, idCol, textCol, statsPath,
-            prefix)
-        } else if (!batch.isEmpty)
-          // an empty first batch must not bootstrap empty stats (see
-          // semanticBatch) — wait for the first batch with documents.
-          // The bootstrap carries the batch tag too: a replay after
-          // the save's manifest commit (but before the checkpoint
-          // commit) takes the append path, and its drop must find the
-          // bootstrap's own files or every document double-counts
-          TextSearch.saveCorpusStats(batch, idCol, textCol, statsPath,
-            Some(s"b${batchId}_"))
+        bm25Batch(batch, batchId, idCol, textCol, statsPath, checkpointDir)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
@@ -77,6 +130,40 @@ object ArtifactStreams {
     * no-retrain contract — rebalance is [[IvfIndex.rebuildIndex]], an
     * offline verb). Gated at q241 (q146's save → append → search
     * protocol replayed through pinned micro-batches). */
+  /** One micro-batch of [[ivfIngest]] — factored so specs can drive a
+    * REPLAY through the production path. */
+  private[graft] def ivfBatch(batch: DataFrame, batchId: Long,
+                              idCol: String, vecCol: String,
+                              indexPath: String, checkpointDir: String,
+                              k: Int, sampleSize: Int, iters: Int): Unit = {
+    val spark = batch.sparkSession
+    val prefix = batchPrefix(batchId, checkpointDir)
+    def bootstrap(): Unit = if (!batch.isEmpty) {
+      // an empty first batch must not bootstrap (train(empty) has no
+      // sample; an empty index manifest would brick later reads while
+      // indexReady() stays true — see semanticBatch)
+      val model = IvfIndex.train(batch, idCol, vecCol, k, sampleSize,
+        iters)
+      IvfIndex.saveIndex(model,
+        IvfIndex.assign(batch, idCol, vecCol, model), indexPath,
+        Some(prefix))
+    }
+    // bootstrapped iff the index MANIFEST exists — the save's single
+    // commit point, so a torn bootstrap re-runs cleanly
+    if (IvfIndex.indexReady(spark, indexPath)) {
+      if (onlyThisBatch(spark, indexPath, prefix, Seq("postings")))
+        // re-bootstrap (see onlyThisBatch): saveIndex's fresh manifest
+        // also unlists the stale centroids; deterministic training on
+        // the same batch reproduces them
+        bootstrap()
+      else {
+        IvfIndex.dropAppendPartials(spark, indexPath, prefix)
+        IvfIndex.appendToIndex(spark, indexPath, batch, idCol, vecCol,
+          prefix)
+      }
+    } else bootstrap()
+  }
+
   def ivfIngest(vecs: DataFrame, idCol: String, vecCol: String,
                 indexPath: String, checkpointDir: String, k: Int,
                 sampleSize: Int = 2000, iters: Int = 8,
@@ -85,27 +172,8 @@ object ArtifactStreams {
     val writer = vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
-        // bootstrapped iff the index MANIFEST exists — the save's single
-        // commit point, so a torn bootstrap re-runs cleanly
-        if (IvfIndex.indexReady(spark, indexPath)) {
-          val prefix = s"b${batchId}_"
-          IvfIndex.dropAppendPartials(spark, indexPath, prefix)
-          IvfIndex.appendToIndex(spark, indexPath, batch, idCol, vecCol,
-            prefix)
-        } else if (!batch.isEmpty) {
-          // an empty first batch must not bootstrap (train(empty) has
-          // no sample; an empty index manifest would brick later reads
-          // while indexReady() stays true — see semanticBatch)
-          val model = IvfIndex.train(batch, idCol, vecCol, k, sampleSize,
-            iters)
-          // batch-tagged bootstrap: a replayed first batch re-enters
-          // via the append path, whose drop must find these postings
-          IvfIndex.saveIndex(model,
-            IvfIndex.assign(batch, idCol, vecCol, model), indexPath,
-            Some(s"b${batchId}_"))
-        }
-        ()
+        ivfBatch(batch, batchId, idCol, vecCol, indexPath, checkpointDir,
+          k, sampleSize, iters)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
@@ -114,20 +182,30 @@ object ArtifactStreams {
   /** One micro-batch of [[factIngest]] — factored so specs can drive a
     * REPLAY through the production path. */
   private[graft] def factBatch(batch: DataFrame, batchId: Long,
-                               whPath: String): Unit = {
+                               whPath: String,
+                               checkpointDir: String): Unit = {
     val spark = batch.sparkSession
+    val prefix = batchPrefix(batchId, checkpointDir)
     if (graft.sources.WarehouseStore.ready(spark, whPath)) {
-      val prefix = s"b${batchId}_"
-      graft.sources.WarehouseStore.dropAppendPartials(spark, whPath, prefix)
-      graft.sources.WarehouseStore.saveFact(batch, whPath,
-        org.apache.spark.sql.SaveMode.Append, Some(prefix))
+      if (onlyThisBatch(spark, whPath, prefix, Seq("fact_sales")))
+        // re-bootstrap (see onlyThisBatch) — though this family's
+        // append would converge anyway (saveFact reads nothing), the
+        // re-save avoids the transient empty-fact manifest a reader
+        // could observe between the drop and the re-append
+        { if (!batch.isEmpty)
+            graft.sources.WarehouseStore.saveFact(batch, whPath,
+              org.apache.spark.sql.SaveMode.Overwrite, Some(prefix)) }
+      else {
+        graft.sources.WarehouseStore.dropAppendPartials(spark, whPath,
+          prefix)
+        graft.sources.WarehouseStore.saveFact(batch, whPath,
+          org.apache.spark.sql.SaveMode.Append, Some(prefix))
+      }
     } else if (!batch.isEmpty)
       // an empty first batch must not bootstrap an empty fact table
-      // (see semanticBatch) — wait for the first batch with rows.
-      // Batch-tagged like the other bootstraps: a replayed first batch
-      // re-enters via the append path, whose drop must find these files
+      // (see semanticBatch) — wait for the first batch with rows
       graft.sources.WarehouseStore.saveFact(batch, whPath,
-        org.apache.spark.sql.SaveMode.Overwrite, Some(s"b${batchId}_"))
+        org.apache.spark.sql.SaveMode.Overwrite, Some(prefix))
   }
 
   /** Grow the WAREHOUSE fact table ([[graft.sources.WarehouseStore]]'s
@@ -147,7 +225,7 @@ object ArtifactStreams {
     val writer = facts.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        factBatch(batch, batchId, whPath)
+        factBatch(batch, batchId, whPath, checkpointDir)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

@@ -40,21 +40,36 @@ class ArtifactStreamsSpec extends SparkSpec {
         s"$base/oneshot", terms, k = 20)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(topK() == want)
-    // the replay pair: drop batch 1's tagged partials, re-append the
-    // same documents under the same tag — scores must not move (a blind
-    // re-append without the drop would double-count every odd doc)
-    val odd = docs.where(col("doc_id") % 2 === 1)
-    TextSearch.dropAppendPartials(spark, s"$base/stats", "b1_")
-    TextSearch.appendCorpusStats(odd, "doc_id", "text", s"$base/stats", "b1_")
+    // the replay pair through the production path: batch 1 re-enters
+    // bm25Batch — drop + re-apply under the same lineage tag; scores
+    // must not move (a blind re-append would double-count every odd doc)
+    val oddDf = docs.where(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("text"))
+    ArtifactStreams.bm25Batch(oddDf, 1L, "doc_id", "text",
+      s"$base/stats", s"$base/ckpt")
     assert(topK() == want, "replayed append double-counted")
     // BOOTSTRAP replay (crash between the save's manifest commit and
-    // the checkpoint commit): batch 0 re-enters via the append path —
-    // the drop must find the bootstrap's own b0_-tagged files, or
-    // every even doc double-counts
-    val even = docs.where(col("doc_id") % 2 === 0)
-    TextSearch.dropAppendPartials(spark, s"$base/stats", "b0_")
-    TextSearch.appendCorpusStats(even, "doc_id", "text", s"$base/stats", "b0_")
-    assert(topK() == want, "replayed BOOTSTRAP double-counted")
+    // the checkpoint commit): batch 0 re-enters via bm25Batch with
+    // statsReady true — the store consists solely of b0-tagged files,
+    // so the production path must RE-BOOTSTRAP (a drop + append here
+    // would delete the store's only data and wedge on the empty
+    // manifest)
+    val evenDf = docs.where(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"))
+    val soloBase = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_bm25_solo_${System.nanoTime()}")
+    ArtifactStreams.bm25Batch(evenDf, 0L, "doc_id", "text",
+      s"$soloBase/stats", s"$soloBase/ckpt") // bootstrap, only batch
+    val soloWant = TextSearch.bm25TopKIndexed(docs, "doc_id", "text",
+        s"$soloBase/stats", terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    ArtifactStreams.bm25Batch(evenDf, 0L, "doc_id", "text",
+      s"$soloBase/stats", s"$soloBase/ckpt") // the replay, still only batch
+    val soloGot = TextSearch.bm25TopKIndexed(docs, "doc_id", "text",
+        s"$soloBase/stats", terms, k = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(soloGot == soloWant,
+      "only-batch bootstrap replay must re-bootstrap identically")
     // and the cleanup verb refuses the delete-everything footgun
     intercept[IllegalArgumentException] {
       TextSearch.dropAppendPartials(spark, s"$base/stats", "")
@@ -91,21 +106,24 @@ class ArtifactStreamsSpec extends SparkSpec {
     graft.sources.WarehouseStore.saveFact(rows.toDF(cols: _*), s"$base/batch")
     assert(streamed == factRows(s"$base/batch"),
       "streamed fact table diverged from the batch build")
-    // the replay pair: drop batch 1's tagged files, re-append the same
-    // rows under the same tag — content must not move (a blind
-    // re-append without the drop would double every odd row)
-    graft.sources.WarehouseStore.dropAppendPartials(spark, s"$base/wh", "b1_")
-    graft.sources.WarehouseStore.saveFact(b1.toDF(cols: _*), s"$base/wh",
-      org.apache.spark.sql.SaveMode.Append, Some("b1_"))
+    // the replay pair through the production path: batch 1 re-enters
+    // factBatch — drop + re-apply under the same lineage tag; content
+    // must not move (a blind re-append would double every odd row)
+    graft.streaming.ArtifactStreams.factBatch(b1.toDF(cols: _*), 1L,
+      s"$base/wh", s"$base/ckpt")
     assert(factRows(s"$base/wh") == streamed, "replayed append double-counted")
-    // BOOTSTRAP replay through the production path (crash between the
-    // bootstrap save's manifest commit and the checkpoint commit):
-    // batch 0 re-enters factBatch with ready()==true — its drop must
-    // find the bootstrap's own b0_-tagged files
+    // BOOTSTRAP replay as the ONLY committed batch: the fact files are
+    // all b0-tagged, so the production path re-bootstraps (Overwrite)
+    // instead of dropping to an empty fact list first
+    val soloWh = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_fact_solo_${System.nanoTime()}")
     graft.streaming.ArtifactStreams.factBatch(b0.toDF(cols: _*), 0L,
-      s"$base/wh")
-    assert(factRows(s"$base/wh") == streamed,
-      "replayed BOOTSTRAP double-counted")
+      s"$soloWh/wh", s"$soloWh/ckpt") // bootstrap, only batch
+    val soloRows = factRows(s"$soloWh/wh")
+    graft.streaming.ArtifactStreams.factBatch(b0.toDF(cols: _*), 0L,
+      s"$soloWh/wh", s"$soloWh/ckpt") // the replay
+    assert(factRows(s"$soloWh/wh") == soloRows,
+      "only-batch bootstrap replay must re-bootstrap identically")
     // and the cleanup verb refuses the delete-everything footgun
     intercept[IllegalArgumentException] {
       graft.sources.WarehouseStore.dropAppendPartials(spark, s"$base/wh", "")
@@ -150,26 +168,29 @@ class ArtifactStreamsSpec extends SparkSpec {
       IvfIndex.loadIndex(spark, s"$base/index")._2,
       queries, "vec_id", "embedding", model, k = 5, nProbe = 8))
     assert(got() == want)
-    // the replay pair: drop batch 1's tagged postings, re-append the
-    // same vectors under the same tag — neighbors must not move
+    // the replay pair through the production path: batch 1 re-enters
+    // ivfBatch — drop + re-apply under the same lineage tag
     val odd = emb.where(col("vec_id") % 2 === 1)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
-    IvfIndex.dropAppendPartials(spark, s"$base/index", "b1_")
-    IvfIndex.appendToIndex(spark, s"$base/index", odd,
-      "vec_id", "embedding", "b1_")
+    ArtifactStreams.ivfBatch(odd, 1L, "vec_id", "embedding",
+      s"$base/index", s"$base/ckpt", 8, 2000, 8)
     assert(got() == want, "replayed append duplicated postings")
     assert(IvfIndex.loadIndex(spark, s"$base/index")._2.count() == emb.count())
-    // BOOTSTRAP replay (crash between the save's manifest commit and
-    // the checkpoint commit): batch 0 re-enters via the append path —
-    // the drop must find the bootstrap's own b0_-tagged postings
-    // (centroids are out of its scope and stay frozen)
+    // BOOTSTRAP replay as the ONLY committed batch: the store's
+    // postings are all b0-tagged, so the production path must
+    // RE-BOOTSTRAP — a drop + append here would delete every posting,
+    // then wedge at loadIndex on the postings-less manifest
     val evenCast = even.select(col("vec_id"),
       col("embedding").cast("array<double>").as("embedding"))
-    IvfIndex.dropAppendPartials(spark, s"$base/index", "b0_")
-    IvfIndex.appendToIndex(spark, s"$base/index", evenCast,
-      "vec_id", "embedding", "b0_")
-    assert(got() == want, "replayed BOOTSTRAP duplicated postings")
-    assert(IvfIndex.loadIndex(spark, s"$base/index")._2.count() == emb.count())
+    val soloBase = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_ivf_solo_${System.nanoTime()}")
+    ArtifactStreams.ivfBatch(evenCast, 0L, "vec_id", "embedding",
+      s"$soloBase/index", s"$soloBase/ckpt", 8, 2000, 8) // bootstrap
+    val nSolo = IvfIndex.loadIndex(spark, s"$soloBase/index")._2.count()
+    ArtifactStreams.ivfBatch(evenCast, 0L, "vec_id", "embedding",
+      s"$soloBase/index", s"$soloBase/ckpt", 8, 2000, 8) // the replay
+    assert(IvfIndex.loadIndex(spark, s"$soloBase/index")._2.count() == nSolo,
+      "only-batch bootstrap replay must re-bootstrap identically")
     intercept[IllegalArgumentException] {
       IvfIndex.dropAppendPartials(spark, s"$base/index", "")
     }
