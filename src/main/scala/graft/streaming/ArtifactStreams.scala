@@ -38,19 +38,52 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object ArtifactStreams {
 
   /** The batch file prefix for one (checkpoint lineage, batch id):
-    * `b<id>x<lineage>_`. The lineage component (a hash of the
-    * checkpoint directory) scopes replay cleanup to THIS stream's own
-    * batches — without it, a stream restarted on a fresh checkpoint
-    * against an existing store would replay batch 0, match the
-    * ORIGINAL bootstrap's `b0_` files, and silently delete them. The
-    * `x` delimiter keeps `b1x…` from prefix-matching `b10x…`. */
-  private[graft] def batchPrefix(batchId: Long,
-                                 checkpointDir: String): String = {
-    val lin = java.security.MessageDigest.getInstance("SHA-256")
-      .digest(new java.io.File(checkpointDir).getAbsolutePath
-        .getBytes("UTF-8"))
-      .take(3).map("%02x".format(_)).mkString
-    s"b${batchId}x${lin}_"
+    * `b<id>x<lineage>_`. The lineage is an INSTANCE id — a random tag
+    * persisted as `.graft_lineage` inside the checkpoint directory on
+    * first use — not a path hash: it scopes replay cleanup to THIS
+    * checkpoint instance's own batches, so a stream restarted on a
+    * fresh checkpoint (new dir, OR the same path wiped and recreated —
+    * the standard "reset the stream" op) can never match another
+    * run's files and silently delete or overwrite them; and because it
+    * travels WITH the checkpoint, a driver restart or a different cwd
+    * resolves the same lineage and a replayed batch still finds its
+    * own partials (a cwd-dependent path hash would miss them and
+    * double-count). The `x` delimiter keeps `b1x…` from
+    * prefix-matching `b10x…`. */
+  private[graft] def batchPrefix(spark: org.apache.spark.sql.SparkSession,
+                                 batchId: Long,
+                                 checkpointDir: String): String =
+    s"b${batchId}x${lineageOf(spark, checkpointDir)}_"
+
+  private def lineageOf(spark: org.apache.spark.sql.SparkSession,
+                        checkpointDir: String): String = {
+    val fs = graft.operators.StoreSwap.fsOf(spark, checkpointDir)
+    val marker = new org.apache.hadoop.fs.Path(checkpointDir,
+      ".graft_lineage")
+    def read(): Option[String] =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        val t = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+        Some(t.trim).filter(_.nonEmpty)
+      }
+    read().getOrElse {
+      val fresh = java.util.UUID.randomUUID().toString
+        .replace("-", "").take(6)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(checkpointDir))
+      // create-if-absent: one stream per checkpoint by contract, but a
+      // lost race must still converge on the winner's id
+      try {
+        val out = fs.create(marker, false)
+        try out.write(fresh.getBytes("UTF-8")) finally out.close()
+        fresh
+      } catch {
+        case _: java.io.IOException => read().getOrElse(throw
+          new java.io.IOException(
+            s"lineageOf: could not create or read $marker"))
+      }
+    }
   }
 
   /** True iff every listed file under `dirs` (all dirs when empty)
@@ -64,13 +97,16 @@ object ArtifactStreams {
     * bootstrap's data gone. */
   private def onlyThisBatch(spark: org.apache.spark.sql.SparkSession,
                             path: String, prefix: String,
+                            legacyPrefix: String,
                             dirs: Seq[String]): Boolean = {
     val fs = graft.operators.StoreSwap.fsOf(spark, path)
     val files = graft.operators.StoreSwap.latestManifest(fs, path)
       .map(_._2).getOrElse(Seq.empty)
       .filter(f => dirs.isEmpty || dirs.exists(d => f.startsWith(d + "/")))
-    files.forall(f =>
-      f.substring(f.lastIndexOf('/') + 1).startsWith(prefix))
+    files.forall { f =>
+      val name = f.substring(f.lastIndexOf('/') + 1)
+      name.startsWith(prefix) || name.startsWith(legacyPrefix)
+    }
   }
 
   /** One micro-batch of [[bm25StatsIngest]] — factored so specs can
@@ -80,29 +116,30 @@ object ArtifactStreams {
                                statsPath: String,
                                checkpointDir: String): Unit = {
     val spark = batch.sparkSession
-    val prefix = batchPrefix(batchId, checkpointDir)
+    val prefix = batchPrefix(spark, batchId, checkpointDir)
+    // the pre-lineage binaries tagged this batch `b<id>_` — replays
+    // across an upgrade must still find those partials
+    val legacy = s"b${batchId}_"
+    def bootstrap(): Unit =
+      // an empty first batch must not bootstrap empty stats (see
+      // semanticBatch) — wait for the first batch with documents
+      if (!batch.isEmpty)
+        TextSearch.saveCorpusStats(batch, idCol, textCol, statsPath,
+          Some(prefix))
     // bootstrapped iff the stats MANIFEST exists — the save's single
     // commit point, so a torn bootstrap re-runs cleanly
     if (TextSearch.statsReady(spark, statsPath)) {
-      if (onlyThisBatch(spark, statsPath, prefix, Seq.empty)) {
+      if (onlyThisBatch(spark, statsPath, prefix, legacy, Seq.empty))
         // re-bootstrap (see onlyThisBatch): the save continues the
         // version chain with identical content
-        if (!batch.isEmpty)
-          TextSearch.saveCorpusStats(batch, idCol, textCol, statsPath,
-            Some(prefix))
-      } else {
+        bootstrap()
+      else {
         TextSearch.dropAppendPartials(spark, statsPath, prefix)
+        TextSearch.dropAppendPartials(spark, statsPath, legacy)
         TextSearch.appendCorpusStats(batch, idCol, textCol, statsPath,
           prefix)
       }
-    } else if (!batch.isEmpty)
-      // an empty first batch must not bootstrap empty stats (see
-      // semanticBatch) — wait for the first batch with documents.
-      // The bootstrap carries the batch tag too: a replay after the
-      // save's manifest commit (but before the checkpoint commit)
-      // re-enters above and re-bootstraps
-      TextSearch.saveCorpusStats(batch, idCol, textCol, statsPath,
-        Some(prefix))
+    } else bootstrap()
   }
 
   /** Grow persisted BM25 corpus stats ([[TextSearch.saveCorpusStats]]'
@@ -137,7 +174,8 @@ object ArtifactStreams {
                               indexPath: String, checkpointDir: String,
                               k: Int, sampleSize: Int, iters: Int): Unit = {
     val spark = batch.sparkSession
-    val prefix = batchPrefix(batchId, checkpointDir)
+    val prefix = batchPrefix(spark, batchId, checkpointDir)
+    val legacy = s"b${batchId}_" // pre-lineage binaries' tag
     def bootstrap(): Unit = if (!batch.isEmpty) {
       // an empty first batch must not bootstrap (train(empty) has no
       // sample; an empty index manifest would brick later reads while
@@ -151,13 +189,14 @@ object ArtifactStreams {
     // bootstrapped iff the index MANIFEST exists — the save's single
     // commit point, so a torn bootstrap re-runs cleanly
     if (IvfIndex.indexReady(spark, indexPath)) {
-      if (onlyThisBatch(spark, indexPath, prefix, Seq("postings")))
+      if (onlyThisBatch(spark, indexPath, prefix, legacy, Seq("postings")))
         // re-bootstrap (see onlyThisBatch): saveIndex's fresh manifest
         // also unlists the stale centroids; deterministic training on
         // the same batch reproduces them
         bootstrap()
       else {
         IvfIndex.dropAppendPartials(spark, indexPath, prefix)
+        IvfIndex.dropAppendPartials(spark, indexPath, legacy)
         IvfIndex.appendToIndex(spark, indexPath, batch, idCol, vecCol,
           prefix)
       }
@@ -185,27 +224,30 @@ object ArtifactStreams {
                                whPath: String,
                                checkpointDir: String): Unit = {
     val spark = batch.sparkSession
-    val prefix = batchPrefix(batchId, checkpointDir)
+    val prefix = batchPrefix(spark, batchId, checkpointDir)
+    val legacy = s"b${batchId}_" // pre-lineage binaries' tag
+    def bootstrap(): Unit =
+      // an empty first batch must not bootstrap an empty fact table
+      // (see semanticBatch) — wait for the first batch with rows
+      if (!batch.isEmpty)
+        graft.sources.WarehouseStore.saveFact(batch, whPath,
+          org.apache.spark.sql.SaveMode.Overwrite, Some(prefix))
     if (graft.sources.WarehouseStore.ready(spark, whPath)) {
-      if (onlyThisBatch(spark, whPath, prefix, Seq("fact_sales")))
+      if (onlyThisBatch(spark, whPath, prefix, legacy, Seq("fact_sales")))
         // re-bootstrap (see onlyThisBatch) — though this family's
         // append would converge anyway (saveFact reads nothing), the
         // re-save avoids the transient empty-fact manifest a reader
         // could observe between the drop and the re-append
-        { if (!batch.isEmpty)
-            graft.sources.WarehouseStore.saveFact(batch, whPath,
-              org.apache.spark.sql.SaveMode.Overwrite, Some(prefix)) }
+        bootstrap()
       else {
         graft.sources.WarehouseStore.dropAppendPartials(spark, whPath,
           prefix)
+        graft.sources.WarehouseStore.dropAppendPartials(spark, whPath,
+          legacy)
         graft.sources.WarehouseStore.saveFact(batch, whPath,
           org.apache.spark.sql.SaveMode.Append, Some(prefix))
       }
-    } else if (!batch.isEmpty)
-      // an empty first batch must not bootstrap an empty fact table
-      // (see semanticBatch) — wait for the first batch with rows
-      graft.sources.WarehouseStore.saveFact(batch, whPath,
-        org.apache.spark.sql.SaveMode.Overwrite, Some(prefix))
+    } else bootstrap()
   }
 
   /** Grow the WAREHOUSE fact table ([[graft.sources.WarehouseStore]]'s

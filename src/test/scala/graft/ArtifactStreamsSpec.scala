@@ -58,6 +58,7 @@ class ArtifactStreamsSpec extends SparkSpec {
       .select(col("doc_id"), col("text"))
     val soloBase = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_bm25_solo_${System.nanoTime()}")
+    soloBase.deleteOnExit()
     ArtifactStreams.bm25Batch(evenDf, 0L, "doc_id", "text",
       s"$soloBase/stats", s"$soloBase/ckpt") // bootstrap, only batch
     val soloWant = TextSearch.bm25TopKIndexed(docs, "doc_id", "text",
@@ -117,6 +118,7 @@ class ArtifactStreamsSpec extends SparkSpec {
     // instead of dropping to an empty fact list first
     val soloWh = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_fact_solo_${System.nanoTime()}")
+    soloWh.deleteOnExit()
     graft.streaming.ArtifactStreams.factBatch(b0.toDF(cols: _*), 0L,
       s"$soloWh/wh", s"$soloWh/ckpt") // bootstrap, only batch
     val soloRows = factRows(s"$soloWh/wh")
@@ -184,13 +186,22 @@ class ArtifactStreamsSpec extends SparkSpec {
       col("embedding").cast("array<double>").as("embedding"))
     val soloBase = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_ivf_solo_${System.nanoTime()}")
+    soloBase.deleteOnExit()
+    def soloSearch() = {
+      val (m, p) = IvfIndex.loadIndex(spark, s"$soloBase/index")
+      rows6(IvfIndex.search(p, queries, "vec_id", "embedding", m,
+        k = 5, nProbe = 8))
+    }
     ArtifactStreams.ivfBatch(evenCast, 0L, "vec_id", "embedding",
       s"$soloBase/index", s"$soloBase/ckpt", 8, 2000, 8) // bootstrap
+    val soloWant = soloSearch()
     val nSolo = IvfIndex.loadIndex(spark, s"$soloBase/index")._2.count()
     ArtifactStreams.ivfBatch(evenCast, 0L, "vec_id", "embedding",
       s"$soloBase/index", s"$soloBase/ckpt", 8, 2000, 8) // the replay
     assert(IvfIndex.loadIndex(spark, s"$soloBase/index")._2.count() == nSolo,
       "only-batch bootstrap replay must re-bootstrap identically")
+    assert(soloSearch() == soloWant,
+      "re-bootstrapped index must search identically")
     intercept[IllegalArgumentException] {
       IvfIndex.dropAppendPartials(spark, s"$base/index", "")
     }
