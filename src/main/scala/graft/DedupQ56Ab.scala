@@ -1,6 +1,5 @@
 package graft
 
-import org.apache.spark.sql.functions._
 
 /** Dev one-off ([[IvfQ236Ab]]'s interleaved pattern): adjudicate the
   * round-16 q56 driver-bench uptick (2.66 → 3.38 s against a 0.78×
@@ -46,9 +45,13 @@ object DedupQ56Ab {
           .write.format("noop").mode("overwrite").save()
       }
     }
-    def stats(tag: String, a: Array[Double]): Unit =
-      println(f"[q56ab] $tag min=${a.min}%.3f median=" +
-        f"${a.sorted.apply(a.length / 2)}%.3f max=${a.max}%.3f")
+    def stats(tag: String, a: Array[Double]): Unit = {
+      val s = a.sorted
+      // true median: mean of the two middle elements for even counts
+      val med = if (s.length % 2 == 1) s(s.length / 2)
+                else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+      println(f"[q56ab] $tag min=${a.min}%.3f median=$med%.3f max=${a.max}%.3f")
+    }
     stats("jaccardPairs", pairsT)
     stats("components", compT)
     stats("q56 total", pairsT.zip(compT).map(t => t._1 + t._2))

@@ -10,10 +10,17 @@ import org.apache.spark.sql.functions._
   * post-stage search, correctly for the bench but silent on the
   * mutation cost).
   *
-  * Usage: runMain graft.IndexOpsScale [sfDir] (default sf0.1). */
+  * Usage: runMain graft.IndexOpsScale [sfDir] [mhCopies] [sections]
+  * (default sf0.1, "5,20", "base"). `sections` picks measurement
+  * groups: "base" = the full pre-r18 flow; "anchors" = the r18 100×
+  * cold-load + delta-ingest anchors for the IVF / BM25-stats /
+  * semantic families (the q-family analog of the MinHash 100× table). */
 object IndexOpsScale {
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val sections = args.lift(2).map(_.split(",").map(_.trim).toSet)
+      .getOrElse(Set("base"))
+    def sect(s: String): Boolean = sections.contains(s)
     val spark = GraftSession.build(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     spark.sparkContext.setLogLevel("ERROR")
     val docs = Tables.documents(spark, sfDir).localCheckpoint()
@@ -26,6 +33,24 @@ object IndexOpsScale {
       body
       println(f"[indexops] $tag ${(System.nanoTime() - t0) / 1e9}%.3f s")
     }
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
+      })
+    def measuredBytes(tag: String)(body: => Unit): Unit = {
+      Thread.sleep(1500) // drain listener events from prior jobs
+      bytesRead.set(0L)
+      val t0 = System.nanoTime()
+      body
+      val dt = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(1500) // let the bus deliver the last task metrics
+      println(f"[indexops] $tag ${dt}%.3f s " +
+        f"bytesRead=${bytesRead.get() / 1048576.0}%.1f MiB")
+    }
     // Warehouse manifest scale (r16 verdict weak #2): cold PRUNED reads
     // must be FLAT in the manifest's listed-file count. Protocol: save
     // the reference-shaped warehouse; cold-read one year; 10x the fact
@@ -35,7 +60,7 @@ object IndexOpsScale {
     // part of the measurement) and re-read. The explicit-path A/B arm
     // is the old read (~2.5 ms/listed file — at 100k files ~4 min,
     // which is why it runs at the 10x point, not the 100k one).
-    {
+    if (sect("base")) {
       import graft.operators.StoreSwap
       val whDir = s"$base/wh"
       val wh = graft.etl.ReferenceShapedData.warehouse(spark, sfDir)
@@ -86,6 +111,11 @@ object IndexOpsScale {
         StoreSwap.commitManifest(fs, whDir, v + 1, mf ++ fakes)
       }
       coldPruned("100k+ listed files")
+      // r18: the pruned read now ALSO prunes the manifest expansion
+      // itself (prefix-tagged segments) and caches parsed segments —
+      // a REPEAT pruned read must cost ≈ the 80-file constant
+      coldPruned("100k+ repeat (segment cache + prefix pruning)")
+      coldPruned("100k+ repeat 2")
       timed("warehouse delta append on the 100k-file manifest " +
         "(segments must carry by reference)") {
         graft.sources.WarehouseStore.saveFact(
@@ -94,7 +124,9 @@ object IndexOpsScale {
           whDir, org.apache.spark.sql.SaveMode.Append)
       }
       coldPruned("100k+ post-append")
+      coldPruned("100k+ post-append repeat")
     }
+    if (sect("base")) {
     // MinHash store: bootstrap on even half, ingest odd half as a delta
     timed("minhash saveStore(even half)") {
       graft.operators.Dedup.saveMinhashStore(
@@ -120,24 +152,6 @@ object IndexOpsScale {
     // legacy full-scan path). Bucket counts sized to the pruning
     // regime — the delta's key set must be smaller than the bucket
     // count for any layout to prune (see Dedup.storeLayout's note).
-    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0L)
-    spark.sparkContext.addSparkListener(
-      new org.apache.spark.scheduler.SparkListener {
-        override def onTaskEnd(
-            te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
-          if (te.taskMetrics != null)
-            bytesRead.addAndGet(te.taskMetrics.inputMetrics.bytesRead)
-      })
-    def measuredBytes(tag: String)(body: => Unit): Unit = {
-      Thread.sleep(1500) // drain listener events from prior jobs
-      bytesRead.set(0L)
-      val t0 = System.nanoTime()
-      body
-      val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(1500) // let the bus deliver the last task metrics
-      println(f"[indexops] $tag ${dt}%.3f s " +
-        f"bytesRead=${bytesRead.get() / 1048576.0}%.1f MiB")
-    }
     // the proportionality claim is "bytes follow the DELTA, not the
     // store": grow the store 4x and show the pruned ingest's read stays
     // ~flat while the legacy full-scan path grows with the store. The
@@ -295,6 +309,98 @@ object IndexOpsScale {
       }
       timed(s"semantic compact+vacuum(${copies}x store)") {
         graft.operators.SemanticStore.compact(spark, store)
+      }
+    }
+    } // sect("base")
+    // ------------------------------------------------------------------
+    // r18 100× anchors: the MinHash-table analog for the other three
+    // manifest families — at 10× and 100× the corpus, (a) COLD load +
+    // first query wall (the zero-listing claim), (b) a 16-row delta
+    // ingest's bytesRead (the bytes-follow-the-delta claim). Run with
+    // sections="anchors".
+    if (sect("anchors")) {
+      def replicate(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    copies: Int) = (0 until copies)
+        .map(c => df.withColumn(idCol, col(idCol) + lit(c.toLong * 10000000L)))
+        .reduce(_ unionAll _).localCheckpoint()
+      Seq(10, 100).foreach { copies =>
+        // --- IVF ---
+        val ivfStore = s"$base/anchor_ivf_x$copies"
+        val vecs = replicate(emb.select(col("vec_id"), col("embedding")),
+          "vec_id", copies)
+        val k = if (copies >= 100) 64 else 16
+        val m = graft.operators.IvfIndex.train(vecs, "vec_id", "embedding", k)
+        timed(s"ivf saveIndex(${copies}x corpus, k=$k)") {
+          graft.operators.IvfIndex.saveIndex(m,
+            graft.operators.IvfIndex.assign(vecs, "vec_id", "embedding", m),
+            ivfStore)
+        }
+        println(f"[indexops] ivf ${copies}x store on disk " +
+          f"${org.apache.commons.io.FileUtils.sizeOfDirectory(
+            new java.io.File(ivfStore)) / 1048576.0}%.1f MiB")
+        graft.operators.StoreSwap.clearPathCaches(ivfStore) // cold
+        val queries = emb.limit(8).select(col("vec_id"), col("embedding"))
+          .localCheckpoint()
+        measuredBytes(s"ivf COLD load + top-5 search(${copies}x store)") {
+          val (lm, post) = graft.operators.IvfIndex.loadIndex(spark, ivfStore)
+          graft.operators.IvfIndex.search(post, queries, "vec_id",
+            "embedding", lm, k = 5, nProbe = 4)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val ivfDelta = emb.limit(16)
+          .select((col("vec_id") + 5000000000L).as("vec_id"), col("embedding"))
+          .localCheckpoint()
+        measuredBytes(s"ivf appendToIndex(16-vector delta, ${copies}x store)") {
+          graft.operators.IvfIndex.appendToIndex(spark, ivfStore, ivfDelta,
+            "vec_id", "embedding")
+        }
+        // --- BM25 stats ---
+        val bmStore = s"$base/anchor_bm25_x$copies"
+        val corpus = replicate(docs.select(col("doc_id"), col("text")),
+          "doc_id", copies)
+        timed(s"bm25 saveCorpusStats(${copies}x corpus)") {
+          graft.operators.TextSearch.saveCorpusStats(corpus, "doc_id",
+            "text", bmStore)
+        }
+        println(f"[indexops] bm25 ${copies}x store on disk " +
+          f"${org.apache.commons.io.FileUtils.sizeOfDirectory(
+            new java.io.File(bmStore)) / 1048576.0}%.1f MiB")
+        graft.operators.StoreSwap.clearPathCaches(bmStore) // cold
+        measuredBytes(s"bm25 COLD indexed top-20 search(${copies}x store)") {
+          graft.operators.TextSearch.bm25TopKIndexed(corpus, "doc_id",
+            "text", bmStore, Seq("spark", "vector", "join"), k = 20)
+            .write.format("noop").mode("overwrite").save()
+        }
+        val bmDelta = docs.limit(16)
+          .select((col("doc_id") + 5000000000L).as("doc_id"),
+            concat(lit("novel "), col("doc_id").cast("string"), lit(" "),
+              reverse(col("text"))).as("text"))
+          .localCheckpoint()
+        measuredBytes(s"bm25 appendCorpusStats(16-doc delta, ${copies}x store)") {
+          graft.operators.TextSearch.appendCorpusStats(bmDelta, "doc_id",
+            "text", bmStore)
+        }
+        // --- Semantic store ---
+        val semStore = s"$base/anchor_sem_x$copies"
+        val semK = if (copies >= 100) 64 else 16
+        val semModel = graft.operators.IvfIndex.train(vecs, "vec_id",
+          "embedding", semK)
+        timed(s"semantic save(${copies}x corpus, k=$semK)") {
+          graft.operators.SemanticStore.save(vecs, "vec_id", "embedding",
+            semStore, semModel)
+        }
+        println(f"[indexops] semantic ${copies}x store on disk " +
+          f"${org.apache.commons.io.FileUtils.sizeOfDirectory(
+            new java.io.File(semStore)) / 1048576.0}%.1f MiB")
+        graft.operators.StoreSwap.clearPathCaches(semStore) // cold
+        val semDelta = emb.limit(4)
+          .select((col("vec_id") + 5000000000L).as("vec_id"), col("embedding"))
+          .localCheckpoint()
+        measuredBytes(s"semantic COLD ingest(4-vector delta, ${copies}x store)") {
+          graft.operators.SemanticStore.ingest(semDelta, "vec_id",
+            "embedding", semStore, 0.9)
+            .write.format("noop").mode("overwrite").save()
+        }
       }
     }
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(base))

@@ -68,6 +68,37 @@ private[graft] object StoreSwap {
     sizeCache.computeIfAbsent(path, _ =>
       new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]())
 
+  /** Parsed entries of immutable `_mfseg` segment files, keyed by
+    * `<store>/<segRel>` — a repeat read of an unchanged store skips
+    * the O(entries) re-parse entirely (the cold 100k-file read's
+    * residual driver cost, paid once per session instead of per read).
+    * Bounded LRU: a segment tops out at [[SegmentMaxEntries]] entries
+    * (~2 MiB of strings), so the cap bounds driver memory at a few
+    * hundred MiB worst-case across many stores. */
+  private val SegCacheMax = 256
+  private val segCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, Seq[String]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Seq[String]]): Boolean =
+        size() > SegCacheMax
+    })
+
+  /** Drop every per-path cache (sizes, parsed segments, footer
+    * schemas) for `path` — called when the path is observed being
+    * RE-CREATED (a v1 manifest commit): a store deleted and rebuilt at
+    * the same path in one driver session could otherwise serve stale
+    * byte lengths (corrupting scan splits) or schemas when file names
+    * collide (deterministic names happen — adopted legacy layouts,
+    * externally written files). */
+  private[graft] def clearPathCaches(path: String): Unit = {
+    sizeCache.remove(path)
+    segCache.synchronized {
+      val it = segCache.keySet().iterator()
+      while (it.hasNext) if (it.next().startsWith(path + "/")) it.remove()
+    }
+    org.apache.spark.sql.graftshim.ManifestRelation.evictSchemas(path)
+  }
+
   private def readSmallFile(fs: FileSystem, p: Path): String = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -129,16 +160,32 @@ private[graft] object StoreSwap {
     val sorted = files.sorted
     if (sorted.length <= SegmentThreshold)
       return sorted.map(line).mkString("", "\n", "\n")
+    // segments hold SORTED chunks, so the common prefix of all entries
+    // is lcp(first, last) — recorded on the `#seg` ref for pruned
+    // resolution ([[manifestEntriesPruned]]); sorted order gives the
+    // chunks partition locality, which is what makes the recorded
+    // prefixes selective
+    def lcp(a: String, b: String): String = {
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+      a.substring(0, i)
+    }
+    def refLine(segRel: String, n: Int, prefix: String): String =
+      if (prefix.isEmpty) s"#seg\t$segRel\t$n"
+      else s"#seg\t$segRel\t$n\t$prefix"
     val newSet = sorted.toSet
     var covered = Set.empty[String]
     val segLines = Seq.newBuilder[String]
     manifestVersions(fs, path).filter(_ < version).lastOption.foreach { pv =>
-      segRefsOf(fs, path, pv).foreach { case (segRel, n) =>
+      segRefsOf(fs, path, pv).foreach { case (segRel, n, _) =>
         if (n >= SegmentMaxEntries / 4) {
           val es = readSegment(fs, path, segRel, n)
           if (es.nonEmpty && es.forall(e => newSet(e) && !covered(e))) {
             covered ++= es
-            segLines += s"#seg\t$segRel\t$n"
+            // recompute the prefix from the entries (already in hand):
+            // carried pre-r18 refs pick up a prefix on their next commit
+            segLines += refLine(segRel, n, lcp(es.head, es.last))
           }
         }
       }
@@ -155,7 +202,7 @@ private[graft] object StoreSwap {
           try o.write(chunk.map(line).mkString("", "\n", "\n")
             .getBytes("UTF-8"))
           finally o.close()
-          segLines += s"#seg\t$segRel\t${chunk.length}"
+          segLines += refLine(segRel, chunk.length, lcp(chunk.head, chunk.last))
         }
         Seq.empty[String]
       }
@@ -423,16 +470,26 @@ private[graft] object StoreSwap {
     }
   }
 
-  /** Entries of one immutable `_mfseg` segment file. The recorded
-    * entry count (from the `#seg` reference) guards against a torn
-    * read — by protocol a referenced segment is complete, so a
+  /** Entries of one immutable `_mfseg` segment file, cached per
+    * session ([[segCache]] — immutability makes a stale hit
+    * impossible; path re-creation evicts via [[clearPathCaches]]). The
+    * recorded entry count (from the `#seg` reference) guards against a
+    * torn read — by protocol a referenced segment is complete, so a
     * mismatch is store corruption and must be loud. */
   private def readSegment(fs: FileSystem, path: String, segRel: String,
                           expected: Int): Seq[String] = {
-    val sm = sizeMap(path)
-    val entries = readSmallFile(fs, new Path(s"$path/$segRel"))
-      .linesIterator.map(_.trim).filter(_.nonEmpty)
-      .map(parseEntry(sm, _)).toSeq
+    val key = s"$path/$segRel"
+    val cached = segCache.get(key)
+    val entries =
+      if (cached != null) cached
+      else {
+        val sm = sizeMap(path)
+        val parsed = readSmallFile(fs, new Path(key))
+          .linesIterator.map(_.trim).filter(_.nonEmpty)
+          .map(parseEntry(sm, _)).toVector
+        segCache.put(key, parsed)
+        parsed
+      }
     require(expected < 0 || entries.length == expected,
       s"manifest segment $path/$segRel holds ${entries.length} entries, " +
         s"the manifest recorded $expected — the store is corrupt " +
@@ -440,14 +497,17 @@ private[graft] object StoreSwap {
     entries
   }
 
-  /** `(segRel, entryCount)` references of one manifest version —
-    * without expanding them (vacuum retention + commit-time reuse). */
+  /** `(segRel, entryCount, commonPrefix)` references of one manifest
+    * version — without expanding them (vacuum retention, commit-time
+    * reuse, prefix-pruned resolution). `commonPrefix` is a prefix of
+    * EVERY entry in the segment ("" when the ref predates prefix
+    * recording), letting a pruned resolution skip whole segments. */
   private def segRefsOf(fs: FileSystem, path: String,
-                        v: Int): Seq[(String, Int)] =
+                        v: Int): Seq[(String, Int, String)] =
     readSmallFile(fs, new Path(s"$path/$ManifestPrefix$v"))
       .linesIterator.map(_.trim).filter(_.startsWith(SegRef)).map { l =>
         val parts = l.split("\t")
-        (parts(1), parts(2).toInt)
+        (parts(1), parts(2).toInt, if (parts.length > 3) parts(3) else "")
       }.toSeq
 
   private def readManifest(fs: FileSystem, path: String,
@@ -462,6 +522,71 @@ private[graft] object StoreSwap {
       } else out += parseEntry(sm, l)
     }
     v -> out.result()
+  }
+
+  /** Manifest entries under `prefix` ONLY, expanding just the segments
+    * that can hold matches: a segment whose recorded common prefix is
+    * incompatible with `prefix` (neither extends the other) is skipped
+    * without being read or parsed. Sorted-order chunking gives
+    * segments partition locality, so a pruned fact read (one year of a
+    * 100 TB table) expands O(year) entries instead of O(table) — the
+    * driver-side analog of partition pruning, applied to the manifest
+    * itself. Falls back to expanding prefix-less (pre-r18) segment
+    * refs. `version` None = latest; Some pins a retained snapshot with
+    * [[manifestAt]]'s loud retention contract. */
+  def manifestEntriesPruned(fs: FileSystem, path: String,
+                            version: Option[Int], prefix: String,
+                            verb: String): Seq[String] = {
+    val have = manifestVersions(fs, path)
+    val v = version match {
+      case Some(pv) =>
+        require(have.contains(pv),
+          s"$verb: $path has no manifest v$pv (retained: " +
+            s"${if (have.isEmpty) "none" else have.mkString(",")})")
+        pv
+      case None => have.lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"$verb: $path is not a committed store layout (no store manifest)"))
+    }
+    val text = readSmallFile(fs, new Path(s"$path/$ManifestPrefix$v"))
+    val sm = sizeMap(path)
+    val out = Seq.newBuilder[String]
+    text.linesIterator.map(_.trim).filter(_.nonEmpty).foreach { l =>
+      if (l.startsWith(SegRef)) {
+        val parts = l.split("\t")
+        val segPrefix = if (parts.length > 3) parts(3) else ""
+        if (segPrefix.startsWith(prefix) || prefix.startsWith(segPrefix))
+          out ++= readSegment(fs, path, parts(1), parts(2).toInt)
+            .filter(_.startsWith(prefix))
+      } else {
+        val rel = parseEntry(sm, l)
+        if (rel.startsWith(prefix)) out += rel
+      }
+    }
+    out.result()
+  }
+
+  /** Delete manifest version-link files beyond the newest
+    * `keepVersions` — the streaming-ingest retention verb: every
+    * micro-batch commits one `_manifest.v<N>` link, and a long-running
+    * ingest without this accretes millions of link files in one
+    * directory (version listing cost grows linearly, forever). DATA
+    * files are untouched — files listed only by pruned versions become
+    * unlisted garbage the store's vacuum verb reclaims on its own
+    * schedule, and time travel narrows to the retained window (the
+    * same contract as vacuum's `keepVersions`, minus the data
+    * reclaim). Safe alongside the commit protocol: the newest link
+    * always survives (`keepVersions >= 1`), which is the only version
+    * commits and segment-carry read.
+    *
+    * @return number of link files deleted. */
+  def pruneManifestLinks(fs: FileSystem, path: String,
+                         keepVersions: Int): Int = {
+    require(keepVersions >= 1,
+      s"pruneManifestLinks: keepVersions must be >= 1 (got $keepVersions)")
+    val drop = manifestVersions(fs, path).dropRight(keepVersions)
+    drop.foreach(v => fs.delete(new Path(s"$path/$ManifestPrefix$v"), false))
+    drop.length
   }
 
   def latestManifest(fs: FileSystem, path: String): Option[(Int, Seq[String])] =
@@ -558,18 +683,50 @@ private[graft] object StoreSwap {
           "layout and manifest commits. Re-run that verb to complete it, " +
           "or delete the orphan layout file if its work is abandoned; " +
           "committing past it would mis-route every version-pinned read")
+    // a v1 commit means the path is being (re-)created as a store:
+    // evict any caches a PRIOR store at this path populated, so a
+    // deleted-and-rebuilt store with colliding deterministic file
+    // names (adopted legacy layouts) can never resolve stale sizes or
+    // schemas. Before the body build — manifestBody consumes the size
+    // cache.
+    if (version == 1) clearPathCaches(path)
     val dest = new Path(s"$path/$ManifestPrefix$version")
     def lost(): Nothing = {
       // release the layout claim this invocation created — left in
-      // place it would bind to the WINNER's manifest (see scaladoc)
-      if (layoutCreated)
-        fs.delete(new Path(s"$path/$LayoutPrefix$version"), false)
+      // place it would bind to the WINNER's manifest (see scaladoc).
+      // The delete is the right call for every in-contract winner (a
+      // layout-less ingest — the only verb allowed to race maintenance
+      // — must not inherit never-applied routing counts). The one
+      // residual: a same-counts layout-CHANGING winner (two concurrent
+      // re-buckets — outside the single-writer maintenance contract)
+      // claim-or-verified this very file and is left floor-resolving
+      // the PRIOR counts. That case is undetectable here, so instead
+      // of failing silently either way, the conflict message names it
+      // and the remedy whenever the released counts differ from the
+      // floor the winner now resolves.
+      val layoutNote =
+        if (!layoutCreated) ""
+        else {
+          val mine = readLayoutAt(fs, path, Some(version))
+          fs.delete(new Path(s"$path/$LayoutPrefix$version"), false)
+          val floor = readLayoutAt(fs, path, Some(version))
+          if (mine == floor) ""
+          else
+            s" NOTE: this verb's layout claim $LayoutPrefix$version " +
+              s"(${mine.toSeq.sorted.mkString(",")}) was released; the " +
+              s"winner's v$version now floor-resolves " +
+              s"(${floor.toSeq.sorted.mkString(",")}). If the winner was " +
+              "a concurrent layout-CHANGING verb with identical counts " +
+              "(outside the single-writer maintenance contract), re-run " +
+              "it or restore its layout file — its files were written " +
+              "under the released counts."
+        }
       throw new java.util.ConcurrentModificationException(
         s"commitManifest: $dest already exists — a concurrent writer " +
           "committed since this verb read the manifest. Nothing from " +
           "this attempt is visible; re-run the verb (it will read the " +
           "new manifest) and vacuum when quiescent to reclaim the " +
-          "attempt's unlisted files")
+          "attempt's unlisted files." + layoutNote)
     }
     // cheap pre-check BEFORE the body build: on a big store manifestBody
     // writes segment files — an already-lost CAS should cost one

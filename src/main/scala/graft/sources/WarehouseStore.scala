@@ -62,6 +62,51 @@ object WarehouseStore {
     asOfVersion.map(v => StoreSwap.manifestAt(fs, path, v))
       .getOrElse(requireWh(fs, path, verb))
 
+  /** Name+type comparison for the append guard: order-insensitive,
+    * nullability-insensitive (an append may be stricter or looser on
+    * nulls — parquet carries no enforcement), loud on any drift. */
+  private def requireSchemaMatch(stored: org.apache.spark.sql.types.StructType,
+                                 incoming: org.apache.spark.sql.types.StructType,
+                                 path: String): Unit = {
+    def strip(dt: org.apache.spark.sql.types.DataType)
+    : org.apache.spark.sql.types.DataType = dt match {
+      case s: org.apache.spark.sql.types.StructType =>
+        org.apache.spark.sql.types.StructType(s.fields.map(f =>
+          f.copy(dataType = strip(f.dataType), nullable = true)))
+      case a: org.apache.spark.sql.types.ArrayType =>
+        a.copy(elementType = strip(a.elementType), containsNull = true)
+      case m: org.apache.spark.sql.types.MapType =>
+        m.copy(keyType = strip(m.keyType), valueType = strip(m.valueType),
+          valueContainsNull = true)
+      case other => other
+    }
+    val want = stored.fields.map(f => f.name -> strip(f.dataType)).toMap
+    val have = incoming.fields.map(f => f.name -> strip(f.dataType)).toMap
+    val missing = want.keySet -- have.keySet
+    val extra = have.keySet -- want.keySet
+    val retyped = (want.keySet & have.keySet)
+      .filter(n => want(n) != have(n))
+      .map(n => s"$n (store ${want(n).simpleString}, " +
+        s"batch ${have(n).simpleString})")
+    require(missing.isEmpty && extra.isEmpty && retyped.isEmpty,
+      s"saveFact(Append): the batch's schema drifts from the committed " +
+        s"fact schema at $path — " +
+        Seq(
+          if (missing.nonEmpty)
+            Some(s"missing columns: ${missing.toSeq.sorted.mkString(", ")}")
+          else None,
+          if (extra.nonEmpty)
+            Some(s"unknown columns: ${extra.toSeq.sorted.mkString(", ")}")
+          else None,
+          if (retyped.nonEmpty)
+            Some(s"retyped columns: ${retyped.toSeq.sorted.mkString(", ")}")
+          else None
+        ).flatten.mkString("; ") +
+        ". Appending would commit silently and readers would null-fill " +
+        "or fail at scan time; fix the upstream frame, or truncate-" +
+        "reload (SaveMode.Overwrite) to redefine the schema")
+  }
+
   /** Stage a partitioned fact frame and move it in copy-on-write;
     * returns the moved files' store-relative paths (no flip here —
     * the caller commits). */
@@ -124,6 +169,28 @@ object WarehouseStore {
             "WarehouseStore.upgradeWarehouse (one manifest flip, no data " +
             "rewrite) or re-save the full warehouse " +
             s"(e.g. ${legacy.head})")
+    }
+    // Schema-drift guard (the one silent-wrongness hole this family
+    // had): an Append must carry the store's committed fact schema —
+    // same column names and types, any order, nullability free. The
+    // committed schema is resolved exactly the way readers resolve it
+    // (the largest listed fact file's footer, one CACHED read), so a
+    // drifted upstream frame refuses HERE, naming the column, instead
+    // of committing and letting readers silently null-fill or fail at
+    // scan time far from the cause. Overwrite is exempt by design —
+    // truncate-reload legitimately defines a new schema.
+    if (mode == SaveMode.Append) prior.foreach { case (_, files) =>
+      val factFiles = files.filter(_.startsWith("fact_sales/"))
+      if (factFiles.nonEmpty) {
+        val largest = StoreSwap.sizesFor(fs, path, factFiles).maxBy(_._2)._1
+        val stored = org.apache.spark.sql.graftshim.ManifestRelation
+          .dataSchemaOf(spark, path, largest)
+        // the derived partition columns are recomputed by stageFact, so
+        // a frame carrying them (a loadFact round-trip) is not drift
+        requireSchemaMatch(stored, org.apache.spark.sql.types.StructType(
+          fact.schema.fields.filterNot(f =>
+            f.name == "p_year" || f.name == "p_month")), path)
+      }
     }
     val tag = filePrefix
       .getOrElse(s"f${java.util.UUID.randomUUID().toString.take(8)}_")
@@ -320,12 +387,25 @@ object WarehouseStore {
     StoreSwap.readStoreDir(spark, path, "fact_sales", mfFiles)
   }
 
-  /** Partition-pruned fact read: the year filter lands on the p_year
-    * partition column BEFORE it is dropped, so Spark lists and reads only
-    * the matching (p_year=…) directories — at 100 TB this is the
-    * difference between scanning one year and scanning the table. */
-  def loadFactYear(spark: SparkSession, path: String, year: Int): DataFrame =
-    loadFact(spark, path).where(col("p_year") === year)
+  /** Partition-pruned fact read, pruned at BOTH metadata layers: the
+    * manifest expansion itself ([[StoreSwap.manifestEntriesPruned]] —
+    * segments whose recorded prefix can't hold this year's files are
+    * never read or parsed, so the driver does O(year) string work, not
+    * O(table)) and the scan (the p_year filter is a `PartitionFilters`
+    * entry against the already-pruned index). At 100 TB this is the
+    * difference between expanding ~800k manifest entries per read and
+    * expanding one year's worth. The residual `.where` keeps the plan
+    * semantically identical to a filtered [[loadFact]]; a year with no
+    * committed partitions falls back to the unpruned read's empty
+    * result (same schema, zero rows) instead of refusing. */
+  def loadFactYear(spark: SparkSession, path: String, year: Int): DataFrame = {
+    val fs = fsOf(spark, path)
+    val pruned = StoreSwap.manifestEntriesPruned(fs, path, None,
+      s"fact_sales/p_year=$year/", "loadFactYear")
+    if (pruned.isEmpty) loadFact(spark, path).where(col("p_year") === year)
+    else StoreSwap.readStoreDir(spark, path, "fact_sales", pruned)
+      .where(col("p_year") === year)
+  }
 
   def load(spark: SparkSession, path: String,
            asOfVersion: Option[Int] = None): Warehouse = {

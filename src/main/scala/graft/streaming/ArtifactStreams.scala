@@ -53,35 +53,77 @@ object ArtifactStreams {
   private[graft] def batchPrefix(spark: org.apache.spark.sql.SparkSession,
                                  batchId: Long,
                                  checkpointDir: String): String =
-    s"b${batchId}x${lineageOf(spark, checkpointDir)}_"
+    s"b${batchId}x${lineageInfo(spark, checkpointDir)._1}_"
 
-  private def lineageOf(spark: org.apache.spark.sql.SparkSession,
-                        checkpointDir: String): String = {
+  /** The un-lineaged `b<id>_` tag pre-lineage binaries wrote — ONLY
+    * for a checkpoint with evidence it predates the lineage feature
+    * (it had committed/attempted batches before its marker was
+    * created). A NEW checkpoint must never match or drop legacy tags:
+    * they could be another stream instance's committed batches in a
+    * shared store, and a blind `dropAppendPartials("b<N>_")` on batch
+    * N would DELETE that instance's data (or, via the
+    * [[onlyThisBatch]] match, silently re-bootstrap over a
+    * single-batch legacy store). */
+  private[graft] def legacyPrefix(spark: org.apache.spark.sql.SparkSession,
+                                  batchId: Long,
+                                  checkpointDir: String): Option[String] =
+    if (lineageInfo(spark, checkpointDir)._2) Some(s"b${batchId}_") else None
+
+  /** (lineage id, legacy-eligible): the instance id persisted as
+    * `.graft_lineage` in the checkpoint dir, plus whether this
+    * checkpoint PREDATES the lineage feature — decided once, at marker
+    * creation (offsets already present = a pre-lineage binary ran
+    * batches here, whose partials carry un-lineaged tags a replay must
+    * still find), and persisted IN the marker (`legacy=0|1` second
+    * line) so the decision survives restarts. A bare one-line marker
+    * (written by the first lineage-aware binary, which gated nothing)
+    * stays legacy-eligible — its streams relied on legacy matching.
+    *
+    * TIMING: the ingest verbs resolve the marker EAGERLY, before
+    * `start()` — the stream engine writes `offsets/<id>` before
+    * invoking foreachBatch, so a lazy first read inside batch 0 would
+    * see the stream's OWN offset and mis-classify a fresh checkpoint
+    * as pre-lineage (re-opening the very hazard the gate closes). At
+    * stream start, offsets exist iff a previous instance ran. The lazy
+    * path remains only for direct batch-fn calls (specs) and a
+    * manually deleted marker. */
+  private def lineageInfo(spark: org.apache.spark.sql.SparkSession,
+                          checkpointDir: String): (String, Boolean) = {
     val fs = graft.operators.StoreSwap.fsOf(spark, checkpointDir)
     val marker = new org.apache.hadoop.fs.Path(checkpointDir,
       ".graft_lineage")
-    def read(): Option[String] =
+    def read(): Option[(String, Boolean)] =
       if (!fs.exists(marker)) None
       else {
         val in = fs.open(marker)
         val t = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-        Some(t.trim).filter(_.nonEmpty)
+        val lines = t.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+        lines.headOption.map { id =>
+          id -> !lines.exists(_ == "legacy=0")
+        }
       }
     read().getOrElse {
       val fresh = java.util.UUID.randomUUID().toString
         .replace("-", "").take(6)
+      // pre-lineage evidence: the stream engine wrote offsets before
+      // any lineage-aware code touched this checkpoint
+      val offsets = new org.apache.hadoop.fs.Path(checkpointDir, "offsets")
+      val ranBefore = fs.exists(offsets) &&
+        fs.listStatus(offsets).exists(s => !s.getPath.getName.startsWith("."))
       fs.mkdirs(new org.apache.hadoop.fs.Path(checkpointDir))
       // create-if-absent: one stream per checkpoint by contract, but a
       // lost race must still converge on the winner's id
       try {
         val out = fs.create(marker, false)
-        try out.write(fresh.getBytes("UTF-8")) finally out.close()
-        fresh
+        try out.write(s"$fresh\nlegacy=${if (ranBefore) 1 else 0}\n"
+          .getBytes("UTF-8"))
+        finally out.close()
+        (fresh, ranBefore)
       } catch {
         case _: java.io.IOException => read().getOrElse(throw
           new java.io.IOException(
-            s"lineageOf: could not create or read $marker"))
+            s"lineageInfo: could not create or read $marker"))
       }
     }
   }
@@ -97,7 +139,7 @@ object ArtifactStreams {
     * bootstrap's data gone. */
   private def onlyThisBatch(spark: org.apache.spark.sql.SparkSession,
                             path: String, prefix: String,
-                            legacyPrefix: String,
+                            legacyPrefix: Option[String],
                             dirs: Seq[String]): Boolean = {
     val fs = graft.operators.StoreSwap.fsOf(spark, path)
     val files = graft.operators.StoreSwap.latestManifest(fs, path)
@@ -105,21 +147,38 @@ object ArtifactStreams {
       .filter(f => dirs.isEmpty || dirs.exists(d => f.startsWith(d + "/")))
     files.forall { f =>
       val name = f.substring(f.lastIndexOf('/') + 1)
-      name.startsWith(prefix) || name.startsWith(legacyPrefix)
+      name.startsWith(prefix) || legacyPrefix.exists(name.startsWith)
     }
   }
+
+  /** Post-batch manifest link retention ([[StoreSwap.pruneManifestLinks]]):
+    * one link file lands per micro-batch, so an unbounded long-running
+    * ingest turns the store root's version listing into a linear-growth
+    * cost. `retainVersions` > 0 opts in to pruning links beyond the
+    * newest N after each commit — data files stay for the store's
+    * vacuum verb; time travel narrows to the retained window. 0 (the
+    * default) keeps every link, the pre-r18 behavior. */
+  private def retainLinks(spark: org.apache.spark.sql.SparkSession,
+                          path: String, retainVersions: Int): Unit =
+    if (retainVersions > 0)
+      graft.operators.StoreSwap.pruneManifestLinks(
+        graft.operators.StoreSwap.fsOf(spark, path), path, retainVersions)
 
   /** One micro-batch of [[bm25StatsIngest]] — factored so specs can
     * drive a REPLAY through the production path. */
   private[graft] def bm25Batch(batch: DataFrame, batchId: Long,
                                idCol: String, textCol: String,
                                statsPath: String,
-                               checkpointDir: String): Unit = {
+                               checkpointDir: String,
+                               retainVersions: Int = 0): Unit = {
     val spark = batch.sparkSession
     val prefix = batchPrefix(spark, batchId, checkpointDir)
-    // the pre-lineage binaries tagged this batch `b<id>_` — replays
-    // across an upgrade must still find those partials
-    val legacy = s"b${batchId}_"
+    // pre-lineage binaries tagged this batch `b<id>_` — replays across
+    // an upgrade must still find those partials, but ONLY when this
+    // checkpoint demonstrably predates lineage ([[legacyPrefix]]): a
+    // fresh checkpoint matching another instance's `b<id>_` files
+    // would delete or overwrite them
+    val legacy = legacyPrefix(spark, batchId, checkpointDir)
     def bootstrap(): Unit =
       // an empty first batch must not bootstrap empty stats (see
       // semanticBatch) — wait for the first batch with documents
@@ -135,11 +194,12 @@ object ArtifactStreams {
         bootstrap()
       else {
         TextSearch.dropAppendPartials(spark, statsPath, prefix)
-        TextSearch.dropAppendPartials(spark, statsPath, legacy)
+        legacy.foreach(TextSearch.dropAppendPartials(spark, statsPath, _))
         TextSearch.appendCorpusStats(batch, idCol, textCol, statsPath,
           prefix)
       }
     } else bootstrap()
+    retainLinks(spark, statsPath, retainVersions)
   }
 
   /** Grow persisted BM25 corpus stats ([[TextSearch.saveCorpusStats]]'
@@ -149,12 +209,16 @@ object ArtifactStreams {
     * replayed through pinned micro-batches). */
   def bm25StatsIngest(docs: DataFrame, idCol: String, textCol: String,
                       statsPath: String, checkpointDir: String,
-                      availableNow: Boolean = true): StreamingQuery = {
+                      availableNow: Boolean = true,
+                      retainVersions: Int = 0): StreamingQuery = {
     require(docs.isStreaming, "bm25StatsIngest: docs must be a streaming frame")
+    // eager marker resolution: see lineageInfo's TIMING note
+    lineageInfo(docs.sparkSession, checkpointDir)
     val writer = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        bm25Batch(batch, batchId, idCol, textCol, statsPath, checkpointDir)
+        bm25Batch(batch, batchId, idCol, textCol, statsPath, checkpointDir,
+          retainVersions)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
@@ -172,10 +236,12 @@ object ArtifactStreams {
   private[graft] def ivfBatch(batch: DataFrame, batchId: Long,
                               idCol: String, vecCol: String,
                               indexPath: String, checkpointDir: String,
-                              k: Int, sampleSize: Int, iters: Int): Unit = {
+                              k: Int, sampleSize: Int, iters: Int,
+                              retainVersions: Int = 0): Unit = {
     val spark = batch.sparkSession
     val prefix = batchPrefix(spark, batchId, checkpointDir)
-    val legacy = s"b${batchId}_" // pre-lineage binaries' tag
+    // pre-lineage tag, gated on checkpoint age (see bm25Batch)
+    val legacy = legacyPrefix(spark, batchId, checkpointDir)
     def bootstrap(): Unit = if (!batch.isEmpty) {
       // an empty first batch must not bootstrap (train(empty) has no
       // sample; an empty index manifest would brick later reads while
@@ -196,23 +262,27 @@ object ArtifactStreams {
         bootstrap()
       else {
         IvfIndex.dropAppendPartials(spark, indexPath, prefix)
-        IvfIndex.dropAppendPartials(spark, indexPath, legacy)
+        legacy.foreach(IvfIndex.dropAppendPartials(spark, indexPath, _))
         IvfIndex.appendToIndex(spark, indexPath, batch, idCol, vecCol,
           prefix)
       }
     } else bootstrap()
+    retainLinks(spark, indexPath, retainVersions)
   }
 
   def ivfIngest(vecs: DataFrame, idCol: String, vecCol: String,
                 indexPath: String, checkpointDir: String, k: Int,
                 sampleSize: Int = 2000, iters: Int = 8,
-                availableNow: Boolean = true): StreamingQuery = {
+                availableNow: Boolean = true,
+                retainVersions: Int = 0): StreamingQuery = {
     require(vecs.isStreaming, "ivfIngest: vecs must be a streaming frame")
+    // eager marker resolution: see lineageInfo's TIMING note
+    lineageInfo(vecs.sparkSession, checkpointDir)
     val writer = vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         ivfBatch(batch, batchId, idCol, vecCol, indexPath, checkpointDir,
-          k, sampleSize, iters)
+          k, sampleSize, iters, retainVersions)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
@@ -222,10 +292,12 @@ object ArtifactStreams {
     * REPLAY through the production path. */
   private[graft] def factBatch(batch: DataFrame, batchId: Long,
                                whPath: String,
-                               checkpointDir: String): Unit = {
+                               checkpointDir: String,
+                               retainVersions: Int = 0): Unit = {
     val spark = batch.sparkSession
     val prefix = batchPrefix(spark, batchId, checkpointDir)
-    val legacy = s"b${batchId}_" // pre-lineage binaries' tag
+    // pre-lineage tag, gated on checkpoint age (see bm25Batch)
+    val legacy = legacyPrefix(spark, batchId, checkpointDir)
     def bootstrap(): Unit =
       // an empty first batch must not bootstrap an empty fact table
       // (see semanticBatch) — wait for the first batch with rows
@@ -242,12 +314,13 @@ object ArtifactStreams {
       else {
         graft.sources.WarehouseStore.dropAppendPartials(spark, whPath,
           prefix)
-        graft.sources.WarehouseStore.dropAppendPartials(spark, whPath,
-          legacy)
+        legacy.foreach(graft.sources.WarehouseStore.dropAppendPartials(
+          spark, whPath, _))
         graft.sources.WarehouseStore.saveFact(batch, whPath,
           org.apache.spark.sql.SaveMode.Append, Some(prefix))
       }
     } else bootstrap()
+    retainLinks(spark, whPath, retainVersions)
   }
 
   /** Grow the WAREHOUSE fact table ([[graft.sources.WarehouseStore]]'s
@@ -262,12 +335,15 @@ object ArtifactStreams {
     * `loadFact(asOfVersion)`. Gated at q256 (the q254 fact protocol
     * replayed through pinned micro-batches against the batch oracle). */
   def factIngest(facts: DataFrame, whPath: String, checkpointDir: String,
-                 availableNow: Boolean = true): StreamingQuery = {
+                 availableNow: Boolean = true,
+                 retainVersions: Int = 0): StreamingQuery = {
     require(facts.isStreaming, "factIngest: facts must be a streaming frame")
+    // eager marker resolution: see lineageInfo's TIMING note
+    lineageInfo(facts.sparkSession, checkpointDir)
     val writer = facts.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        factBatch(batch, batchId, whPath, checkpointDir)
+        factBatch(batch, batchId, whPath, checkpointDir, retainVersions)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()
@@ -322,13 +398,15 @@ object ArtifactStreams {
                      checkpointDir: String, tau: Double,
                      model: Option[IvfIndex.Model] = None,
                      k: Int = 16, sampleSize: Int = 2000, iters: Int = 8,
-                     availableNow: Boolean = true): StreamingQuery = {
+                     availableNow: Boolean = true,
+                     retainVersions: Int = 0): StreamingQuery = {
     require(vecs.isStreaming, "semanticIngest: vecs must be a streaming frame")
     val writer = vecs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         semanticBatch(batch, batchId, idCol, vecCol, storePath,
           verdictsPath, tau, model, k, sampleSize, iters)
+        retainLinks(batch.sparkSession, storePath, retainVersions)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

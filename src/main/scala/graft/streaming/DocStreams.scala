@@ -79,13 +79,22 @@ object DocStreams {
                     storePath: String, pairsPath: String,
                     checkpointDir: String, threshold: Double,
                     bands: Int = 4, ngram: Int = 3,
-                    availableNow: Boolean = true): StreamingQuery = {
+                    availableNow: Boolean = true,
+                    retainVersions: Int = 0): StreamingQuery = {
     require(docs.isStreaming, "nearDupIngest: docs must be a streaming frame")
     val writer = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch, batchId, idCol, textCol, storePath, pairsPath,
           threshold, bands, ngram)
+        // bound manifest-link accretion (one link per batch): opt-in,
+        // see ArtifactStreams — data files stay for the store's vacuum
+        if (retainVersions > 0) {
+          graft.operators.StoreSwap.pruneManifestLinks(
+            graft.operators.StoreSwap.fsOf(batch.sparkSession, storePath),
+            storePath, retainVersions)
+          ()
+        }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

@@ -38,11 +38,35 @@ import org.apache.spark.unsafe.types.UTF8String
 object ManifestRelation {
 
   /** Data-schema cache keyed by the footer file actually read: one
-    * parquet footer per (store dir, current first file) — repeat reads
-    * of an unchanged store resolve the schema with zero I/O. Entries
-    * are immutable (copy-on-write stores never rewrite a file). */
-  private val schemaCache =
-    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+    * parquet footer per (store dir, current footer file) — repeat
+    * reads of an unchanged store resolve the schema with zero I/O.
+    * Entries are immutable (copy-on-write stores never rewrite a
+    * file), but the KEY churns: compaction and appends change the
+    * largest file, so the cache is a bounded LRU (a long-lived driver
+    * touching many stores/versions must not accrete stranded entries
+    * without bound) and [[evictSchemas]] drops a store's entries when
+    * a path is re-created (a v1 manifest commit on a previously-seen
+    * path). */
+  private val SchemaCacheMax = 256
+  private val schemaCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[String, StructType](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, StructType]): Boolean =
+        size() > SchemaCacheMax
+    })
+
+  /** Cached-schema count (spec gate for the LRU bound). */
+  def schemaCacheSize: Int = schemaCache.size()
+
+  /** Drop every cached schema under `basePath` — called when a store
+    * path is observed being RE-CREATED (v1 manifest commit), so a
+    * deleted-and-rebuilt store at the same path with colliding file
+    * names (adopted legacy layouts use deterministic names) can never
+    * serve a stale footer schema. */
+  def evictSchemas(basePath: String): Unit = schemaCache.synchronized {
+    val it = schemaCache.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(basePath + "/")) it.remove()
+  }
 
   /** DataFrame over `files` (paths relative to `basePath`, with byte
     * lengths) — partition columns recovered from `k=v` path components
@@ -78,8 +102,16 @@ object ManifestRelation {
          .unescapePathName(comp.substring(i + 1)))
     }
 
-  /** Same inference ladder as Spark's directory discovery, restricted
-    * to the types these stores write: int, then long, then string. */
+  /** Same inference ladder as Spark's directory discovery, covering
+    * the value shapes an adopted external layout can carry: int, then
+    * long, then double, then date, then string — so a partition value
+    * like `0.5` or `2024-01-01` types the way the old explicit-path
+    * read (Spark's own inference) typed it instead of silently
+    * becoming a string. Timestamp-valued partitions are REFUSED loudly
+    * ([[inferPartitionSchema]]): Spark would type them TimestampType
+    * via session-zone-dependent parsing this index does not reproduce,
+    * and a silent string would change the column type under an adopted
+    * layout. */
   private def inferPartitionSchema(basePath: String,
                                    rels: Seq[String]): StructType = {
     val first = partPairs(rels.head).map(_._1)
@@ -96,11 +128,25 @@ object ManifestRelation {
       // the Hive null marker is a NULL literal, not a value — Spark's
       // own inference excludes it before typing the column
       val vs = values(i).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
+      def all(p: String => Boolean) =
+        vs.forall(v => scala.util.Try(p(v)).getOrElse(false))
       val dt =
         if (vs.isEmpty) StringType
-        else if (vs.forall(v => scala.util.Try(v.toInt).isSuccess)) IntegerType
-        else if (vs.forall(v => scala.util.Try(v.toLong).isSuccess)) LongType
-        else StringType
+        else if (all(v => { v.toInt; true })) IntegerType
+        else if (all(v => { v.toLong; true })) LongType
+        else if (all(v => { v.toDouble; true })) DoubleType
+        else if (all(v => { java.time.LocalDate.parse(v); true })) DateType
+        else {
+          require(!all(v =>
+            { java.time.LocalDateTime.parse(v.replace(' ', 'T')); true }),
+            s"ManifestRelation: partition column '$name' under $basePath " +
+              s"carries timestamp values (e.g. '${vs.head}') — Spark's " +
+              "directory inference would type it TimestampType with " +
+              "session-zone parsing this manifest index does not " +
+              "reproduce; rewrite the layout with a date or string " +
+              "partition value, or read it with spark.read.parquet")
+          StringType
+        }
       StructField(name, dt, nullable = true)
     })
   }
@@ -113,12 +159,19 @@ object ManifestRelation {
       case (f, v) => f.dataType match {
         case IntegerType => v.toInt
         case LongType    => v.toLong
+        case DoubleType  => v.toDouble
+        // Catalyst dates are days since epoch, same parser as inference
+        case DateType    => java.time.LocalDate.parse(v).toEpochDay.toInt
         case _           => UTF8String.fromString(v)
       }
     }.toSeq)
 
-  private def dataSchemaOf(spark: SparkSession, basePath: String,
-                           firstRel: String): StructType = {
+  /** The parquet data schema of one store-relative file (cached — one
+    * footer read per (store, file) in a session). Public so writers can
+    * validate an incoming frame against the store's committed schema
+    * BEFORE staging an append (the warehouse schema-drift guard). */
+  def dataSchemaOf(spark: SparkSession, basePath: String,
+                   firstRel: String): StructType = {
     val key = s"$basePath/$firstRel"
     val cached = schemaCache.get(key)
     if (cached != null) return cached

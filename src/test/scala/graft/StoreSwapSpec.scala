@@ -238,7 +238,7 @@ class StoreSwapSpec extends graft.SparkSpec {
     StoreSwap.commitManifest(fs, root, 2,
       Seq("d/f1.parquet", "d/w.parquet"), layoutCommitted = true)
     fs.create(new Path(s"$root/d/f2.parquet"), true).close()
-    intercept[java.util.ConcurrentModificationException] {
+    val loss = intercept[java.util.ConcurrentModificationException] {
       StoreSwap.commitManifest(fs, root, 2,
         Seq("d/f1.parquet", "d/f2.parquet"),
         layoutCommitted = true, layoutCreated = c2)
@@ -246,6 +246,14 @@ class StoreSwapSpec extends graft.SparkSpec {
     assert(StoreSwap.layoutVersions(fs, root) == Seq(1),
       "the loser must delete the layout it created — otherwise v2 " +
         "pinned reads would resolve pb=64 for files written under pb=8")
+    // …and, since the released counts (pb=64) differ from the floor the
+    // winner now resolves (pb=8), the conflict must SAY so — the one
+    // undetectable residual (a same-counts layout-changing winner,
+    // outside the single-writer contract) gets a loud adjudication
+    // instruction instead of silent mis-routing
+    assert(loss.getMessage.contains("layout claim") &&
+      loss.getMessage.contains("pb,64") &&
+      loss.getMessage.contains("pb,8"), loss.getMessage)
     assert(StoreSwap.readLayoutAt(fs, root, Some(2)) == Map("pb" -> 8),
       "after cleanup the winner's version floor-resolves the old counts")
     // and a layout claim AGAINST an already-committed version refuses
@@ -389,6 +397,94 @@ class StoreSwapSpec extends graft.SparkSpec {
     val back2 = StoreSwap.readStoreDir(spark, root2, "d", legacyFiles)
     assert(back2.orderBy("k").as[(Int, String)].collect().toSeq ==
       Seq((1, "x"), (2, "y"), (3, "z")))
+  }
+
+  test("manifestEntriesPruned expands only prefix-compatible segments: " +
+    "the pruned entry-set equals the filtered full read, and a segment " +
+    "whose recorded prefix cannot match is never even opened") {
+    val root = freshRoot()
+    val fs = StoreSwap.fsOf(spark, root)
+    fs.mkdirs(new Path(root))
+    val aFiles = (0 until 20000).map(i => f"a/p=1/f$i%05d.parquet")
+    val bFiles = (0 until 20000).map(i => f"b/q=2/f$i%05d.parquet")
+    StoreSwap.commitManifest(fs, root, 1, aFiles ++ bFiles)
+    val refs = scala.io.Source.fromFile(s"$root/_manifest.v1")
+      .getLines().filter(_.startsWith("#seg\t")).map(_.split("\t")).toSeq
+    assert(refs.nonEmpty, "40k entries must roll into segments")
+    assert(refs.exists(r => r.length > 3 && r(3).startsWith("a/")) &&
+      refs.exists(r => r.length > 3 && r(3).startsWith("b/")),
+      s"sorted chunking must yield prefix-selective refs: " +
+        refs.map(_.mkString("|")).mkString("; "))
+    val prunedA = StoreSwap.manifestEntriesPruned(fs, root, None, "a/", "t")
+    assert(prunedA.sorted == aFiles.sorted)
+    val prunedOneB = StoreSwap.manifestEntriesPruned(fs, root, None,
+      "b/q=2/f00001", "t")
+    assert(prunedOneB == Seq("b/q=2/f00001.parquet"))
+    // behavioral skip proof: destroy the pure-b segment — an "a/" prune
+    // must still resolve (it never opens that segment) while the full
+    // read fails loudly on it
+    val bSeg = refs.find(r => r.length > 3 && r(3).startsWith("b/")).get(1)
+    fs.delete(new Path(s"$root/$bSeg"), false)
+    // fresh JVM simulation: the segment cache would mask the delete
+    StoreSwap.clearPathCaches(root)
+    assert(StoreSwap.manifestEntriesPruned(fs, root, None, "a/", "t")
+      .sorted == aFiles.sorted)
+    intercept[Exception](StoreSwap.latestManifest(fs, root))
+  }
+
+  test("pruneManifestLinks keeps the newest K version links (data files " +
+    "untouched), time travel narrows to the retained window") {
+    val root = freshRoot()
+    val fs = StoreSwap.fsOf(spark, root)
+    fs.mkdirs(new Path(root))
+    (1 to 6).foreach(v =>
+      StoreSwap.commitManifest(fs, root, v, (1 to v).map(i => s"d/f$i.parquet")))
+    assert(StoreSwap.pruneManifestLinks(fs, root, 2) == 4)
+    assert(StoreSwap.manifestVersions(fs, root) == Seq(5, 6))
+    assert(StoreSwap.manifestAt(fs, root, 5)._2.length == 5)
+    assert(StoreSwap.latestManifest(fs, root).map(_._1).contains(6))
+    intercept[IllegalArgumentException](StoreSwap.manifestAt(fs, root, 3))
+    // idempotent + floor at 1
+    assert(StoreSwap.pruneManifestLinks(fs, root, 2) == 0)
+    intercept[IllegalArgumentException](
+      StoreSwap.pruneManifestLinks(fs, root, 0))
+  }
+
+  test("a v1 commit on a reused path evicts the prior store's cached " +
+    "sizes and schemas: a rebuilt store with a colliding file name " +
+    "serves the NEW bytes and footer") {
+    val root = freshRoot()
+    val fs = StoreSwap.fsOf(spark, root)
+    import spark.implicits._
+    def buildStore(df: org.apache.spark.sql.DataFrame): Unit = {
+      val stage = s"$root.stage"
+      df.coalesce(1).write.mode("overwrite").parquet(stage)
+      fs.mkdirs(new Path(s"$root/d"))
+      val part = fs.listStatus(new Path(stage))
+        .find(_.getPath.getName.endsWith(".parquet")).get.getPath
+      fs.rename(part, new Path(s"$root/d/f.parquet")) // deterministic name
+      fs.delete(new Path(stage), true)
+      StoreSwap.commitManifest(fs, root, 1, Seq("d/f.parquet"))
+    }
+    buildStore(Seq(1, 2, 3).toDF("x"))
+    val firstLen = StoreSwap.sizesFor(fs, root, Seq("d/f.parquet")).head._2
+    assert(StoreSwap.readStoreDir(spark, root, "d",
+      Seq("d/f.parquet")).columns.toSeq == Seq("x"))
+    // tear the store down and rebuild at the SAME path with the SAME
+    // file name but different schema/content
+    fs.delete(new Path(root), true)
+    fs.mkdirs(new Path(root))
+    buildStore(Seq("a much longer string value", "y")
+      .toDF("y_renamed"))
+    val secondLen = StoreSwap.sizesFor(fs, root, Seq("d/f.parquet")).head._2
+    val second = StoreSwap.readStoreDir(spark, root, "d", Seq("d/f.parquet"))
+    assert(second.columns.toSeq == Seq("y_renamed"),
+      "stale footer schema served after path reuse")
+    assert(secondLen == fs.getFileStatus(
+      new Path(s"$root/d/f.parquet")).getLen &&
+      secondLen != firstLen,
+      s"stale byte length served after path reuse ($firstLen vs $secondLen)")
+    assert(second.count() == 2)
   }
 
   test("manifestAt resolves any retained version and refuses an unknown " +

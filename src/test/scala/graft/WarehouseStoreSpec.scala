@@ -217,6 +217,73 @@ class WarehouseStoreSpec extends SparkSpec {
     assert(old.dimDate.columns.nonEmpty) // dims resolve at the pin too
   }
 
+  test("append schema-drift guard: a missing column, an unknown column, " +
+    "and a retyped column refuse loudly naming the drift; reordered " +
+    "columns and a loadFact round-trip (derived partition cols carried) " +
+    "append fine; Overwrite redefines the schema by design") {
+    val dir = Files.createTempDirectory("graft-wh6").toString
+    WarehouseStore.saveFact(wh.factSales, dir) // v1
+    def appending(df: org.apache.spark.sql.DataFrame) =
+      WarehouseStore.saveFact(df, dir, SaveMode.Append)
+    val missing = intercept[IllegalArgumentException] {
+      appending(wh.factSales.drop("state_code"))
+    }
+    assert(missing.getMessage.contains("missing columns: state_code"),
+      missing.getMessage)
+    val unknown = intercept[IllegalArgumentException] {
+      appending(wh.factSales.withColumn("bonus", lit(1)))
+    }
+    assert(unknown.getMessage.contains("unknown columns: bonus"),
+      unknown.getMessage)
+    val retyped = intercept[IllegalArgumentException] {
+      appending(wh.factSales.withColumn("units", col("units").cast("long")))
+    }
+    assert(retyped.getMessage.contains("retyped columns: units") &&
+      retyped.getMessage.contains("int") &&
+      retyped.getMessage.contains("bigint"), retyped.getMessage)
+    assert(factRows(dir).length == 3, "no refused append may commit")
+    // column ORDER is not drift
+    val reordered = wh.factSales.select(
+      wh.factSales.columns.reverse.map(col).toIndexedSeq: _*)
+      .withColumn("fact_id", col("fact_id") + lit(100L))
+    appending(reordered)
+    assert(factRows(dir).length == 6)
+    // a loadFact round-trip carries p_year/p_month — recomputed by
+    // stageFact, not drift
+    val roundTrip = WarehouseStore.loadFact(spark, dir)
+      .where(col("fact_id") <= 3L)
+      .withColumn("fact_id", col("fact_id") + lit(200L))
+    appending(roundTrip)
+    assert(factRows(dir).length == 9)
+    // truncate-reload legitimately changes the schema
+    WarehouseStore.saveFact(wh.factSales.drop("state_code"), dir)
+    assert(WarehouseStore.loadFact(spark, dir).columns.toSet ==
+      wh.factSales.columns.toSet - "state_code" + "p_year" + "p_month")
+    // and the NEW schema governs later appends
+    appending(wh.factSales.drop("state_code")
+      .withColumn("fact_id", col("fact_id") + lit(300L)))
+    intercept[IllegalArgumentException] { appending(wh.factSales) }
+  }
+
+  test("loadFactYear prunes at the manifest expansion and matches the " +
+    "unpruned filtered read; an absent year yields the empty frame, " +
+    "not a refusal") {
+    val dir = Files.createTempDirectory("graft-wh7").toString
+    WarehouseStore.save(wh, dir)
+    (1 to 3).foreach { i =>
+      WarehouseStore.saveFact(wh.factSales
+        .withColumn("fact_id", col("fact_id") + lit(i * 10L)),
+        dir, SaveMode.Append)
+    }
+    val pruned = WarehouseStore.loadFactYear(spark, dir, 2024)
+      .orderBy("fact_id").collect().map(_.toSeq).toSeq
+    val full = WarehouseStore.loadFact(spark, dir)
+      .where(col("p_year") === 2024)
+      .orderBy("fact_id").collect().map(_.toSeq).toSeq
+    assert(pruned == full && pruned.length == 8)
+    assert(WarehouseStore.loadFactYear(spark, dir, 1900).count() == 0)
+  }
+
   test("date-range predicates prune partitions at the scan " +
     "(manifest-resolved read keeps PartitionFilters)") {
     val dir = Files.createTempDirectory("graft-wh2").toString
