@@ -60,7 +60,7 @@ object IndexOpsScale {
     // part of the measurement) and re-read. The explicit-path A/B arm
     // is the old read (~2.5 ms/listed file — at 100k files ~4 min,
     // which is why it runs at the 10x point, not the 100k one).
-    if (sect("base")) {
+    if (sect("base") || sect("wh")) {
       import graft.operators.StoreSwap
       val whDir = s"$base/wh"
       val wh = graft.etl.ReferenceShapedData.warehouse(spark, sfDir)
@@ -70,12 +70,17 @@ object IndexOpsScale {
       val fs = StoreSwap.fsOf(spark, whDir)
       def factFiles(): Int = StoreSwap.latestManifest(fs, whDir).get._2
         .count(_.startsWith("fact_sales/"))
-      def coldPruned(tag: String): Unit =
-        timed(s"warehouse cold loadFactYear(1995) [$tag, " +
-          s"${factFiles()} fact files listed]") {
+      def coldPruned(tag: String, keepCaches: Boolean = false): Unit = {
+        val label = s"warehouse ${if (keepCaches) "warm" else "cold"} " +
+          s"loadFactYear(1995) [$tag, ${factFiles()} fact files listed]"
+        // factFiles() above expanded the manifest and warmed the size +
+        // segment caches — drop them unless this row MEASURES warmth
+        if (!keepCaches) StoreSwap.clearPathCaches(whDir)
+        timed(label) {
           graft.sources.WarehouseStore.loadFactYear(spark, whDir, 1995)
             .agg(count(lit(1))).collect()
         }
+      }
       coldPruned("base")
       timed("warehouse 9 appends (10x the fact file count)") {
         (1 to 9).foreach { i =>
@@ -114,8 +119,8 @@ object IndexOpsScale {
       // r18: the pruned read now ALSO prunes the manifest expansion
       // itself (prefix-tagged segments) and caches parsed segments —
       // a REPEAT pruned read must cost ≈ the 80-file constant
-      coldPruned("100k+ repeat (segment cache + prefix pruning)")
-      coldPruned("100k+ repeat 2")
+      coldPruned("100k+ repeat (segment cache + prefix pruning)", keepCaches = true)
+      coldPruned("100k+ repeat 2", keepCaches = true)
       timed("warehouse delta append on the 100k-file manifest " +
         "(segments must carry by reference)") {
         graft.sources.WarehouseStore.saveFact(
@@ -124,7 +129,7 @@ object IndexOpsScale {
           whDir, org.apache.spark.sql.SaveMode.Append)
       }
       coldPruned("100k+ post-append")
-      coldPruned("100k+ post-append repeat")
+      coldPruned("100k+ post-append repeat", keepCaches = true)
     }
     if (sect("base")) {
     // MinHash store: bootstrap on even half, ingest odd half as a delta
