@@ -169,6 +169,11 @@ private[graft] object StoreSwap {
       var i = 0
       val n = math.min(a.length, b.length)
       while (i < n && a.charAt(i) == b.charAt(i)) i += 1
+      // never split a surrogate pair: a lone high surrogate would be
+      // written as '?' by the UTF-8 encode and the read-back "prefix"
+      // would no longer prefix its entries — pruned reads would skip
+      // a matching segment silently
+      if (i > 0 && Character.isHighSurrogate(a.charAt(i - 1))) i -= 1
       a.substring(0, i)
     }
     def refLine(segRel: String, n: Int, prefix: String): String =
@@ -548,7 +553,15 @@ private[graft] object StoreSwap {
         throw new IllegalArgumentException(
           s"$verb: $path is not a committed store layout (no store manifest)"))
     }
-    val text = readSmallFile(fs, new Path(s"$path/$ManifestPrefix$v"))
+    val text =
+      try readSmallFile(fs, new Path(s"$path/$ManifestPrefix$v"))
+      catch {
+        // latest-link reclaimed between listing and read (retention
+        // race, see latestManifest) — re-resolve; pinned reads keep
+        // the loud FNF (a reclaimed pin is a retention refusal)
+        case _: java.io.FileNotFoundException if version.isEmpty =>
+          return manifestEntriesPruned(fs, path, version, prefix, verb)
+      }
     val sm = sizeMap(path)
     val out = Seq.newBuilder[String]
     text.linesIterator.map(_.trim).filter(_.nonEmpty).foreach { l =>
@@ -589,8 +602,27 @@ private[graft] object StoreSwap {
     drop.length
   }
 
-  def latestManifest(fs: FileSystem, path: String): Option[(Int, Seq[String])] =
-    manifestVersions(fs, path).lastOption.map(v => readManifest(fs, path, v))
+  /** Latest committed manifest. Retries on a FileNotFoundException
+    * between the version listing and the read: retention (vacuum's
+    * manifest sweep, [[pruneManifestLinks]] after a streaming batch)
+    * may delete the link a reader just listed — by protocol a NEWER
+    * link exists whenever an older one is reclaimed, so re-resolving
+    * converges; persistent absence (a torn store) stays loud. Pinned
+    * reads ([[manifestAt]]) do NOT retry — a reclaimed pinned version
+    * is a legitimate retention refusal, not a race. */
+  def latestManifest(fs: FileSystem, path: String): Option[(Int, Seq[String])] = {
+    var attempt = 0
+    while (true) {
+      val v = manifestVersions(fs, path).lastOption
+      try return v.map(x => readManifest(fs, path, x))
+      catch {
+        case e: java.io.FileNotFoundException =>
+          attempt += 1
+          if (attempt >= 5) throw e
+      }
+    }
+    None // unreachable
+  }
 
   /** Resolve a PINNED manifest version — the snapshot-read entry: every
     * mutation is copy-on-write behind a fresh manifest, so any version
@@ -686,9 +718,14 @@ private[graft] object StoreSwap {
     // a v1 commit means the path is being (re-)created as a store:
     // evict any caches a PRIOR store at this path populated, so a
     // deleted-and-rebuilt store with colliding deterministic file
-    // names (adopted legacy layouts) can never resolve stale sizes or
-    // schemas. Before the body build — manifestBody consumes the size
-    // cache.
+    // names (adopted legacy layouts, externally written files) can
+    // never resolve stale sizes or schemas. Before the body build —
+    // manifestBody consumes the size cache. Deliberate trade: the
+    // eviction also drops the sizes THIS verb's move-in just recorded,
+    // so a bootstrap commit re-resolves them at one listStatus per
+    // directory — a bounded, creation-time-only cost bought for
+    // immunity to stale entries the commit itself cannot distinguish
+    // from fresh ones.
     if (version == 1) clearPathCaches(path)
     val dest = new Path(s"$path/$ManifestPrefix$version")
     def lost(): Nothing = {

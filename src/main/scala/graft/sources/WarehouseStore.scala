@@ -71,8 +71,11 @@ object WarehouseStore {
     def strip(dt: org.apache.spark.sql.types.DataType)
     : org.apache.spark.sql.types.DataType = dt match {
       case s: org.apache.spark.sql.types.StructType =>
+        // metadata reset too: footer-derived fields carry none, and an
+        // upstream-attached Metadata on a nested field is not drift
         org.apache.spark.sql.types.StructType(s.fields.map(f =>
-          f.copy(dataType = strip(f.dataType), nullable = true)))
+          f.copy(dataType = strip(f.dataType), nullable = true,
+            metadata = org.apache.spark.sql.types.Metadata.empty)))
       case a: org.apache.spark.sql.types.ArrayType =>
         a.copy(elementType = strip(a.elementType), containsNull = true)
       case m: org.apache.spark.sql.types.MapType =>

@@ -87,8 +87,34 @@ object ArtifactStreams {
     * stream start, offsets exist iff a previous instance ran. The lazy
     * path remains only for direct batch-fn calls (specs) and a
     * manually deleted marker. */
+  /** Per-JVM cache of resolved markers: the marker is immutable once
+    * created (create-if-absent converges racing creators on the
+    * winner), and each micro-batch would otherwise pay two
+    * exists+open+read round-trips on a 2-line file. A cache hit still
+    * costs ONE existence probe: a wiped-and-recreated checkpoint in
+    * the same driver must resolve a FRESH lineage (the hazard the
+    * instance id exists to prevent), so a vanished marker invalidates
+    * the entry. */
+  private val lineageCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (String, Boolean)]()
+
   private def lineageInfo(spark: org.apache.spark.sql.SparkSession,
                           checkpointDir: String): (String, Boolean) = {
+    val cached = lineageCache.get(checkpointDir)
+    if (cached != null) {
+      val fs = graft.operators.StoreSwap.fsOf(spark, checkpointDir)
+      if (fs.exists(new org.apache.hadoop.fs.Path(checkpointDir,
+          ".graft_lineage")))
+        return cached
+      lineageCache.remove(checkpointDir)
+    }
+    val resolved = lineageInfoUncached(spark, checkpointDir)
+    lineageCache.put(checkpointDir, resolved)
+    resolved
+  }
+
+  private def lineageInfoUncached(spark: org.apache.spark.sql.SparkSession,
+                                  checkpointDir: String): (String, Boolean) = {
     val fs = graft.operators.StoreSwap.fsOf(spark, checkpointDir)
     val marker = new org.apache.hadoop.fs.Path(checkpointDir,
       ".graft_lineage")
@@ -158,8 +184,8 @@ object ArtifactStreams {
     * newest N after each commit — data files stay for the store's
     * vacuum verb; time travel narrows to the retained window. 0 (the
     * default) keeps every link, the pre-r18 behavior. */
-  private def retainLinks(spark: org.apache.spark.sql.SparkSession,
-                          path: String, retainVersions: Int): Unit =
+  private[streaming] def retainLinks(spark: org.apache.spark.sql.SparkSession,
+                                     path: String, retainVersions: Int): Unit =
     if (retainVersions > 0)
       graft.operators.StoreSwap.pruneManifestLinks(
         graft.operators.StoreSwap.fsOf(spark, path), path, retainVersions)

@@ -88,13 +88,10 @@ object DocStreams {
         processBatch(batch, batchId, idCol, textCol, storePath, pairsPath,
           threshold, bands, ngram)
         // bound manifest-link accretion (one link per batch): opt-in,
-        // see ArtifactStreams — data files stay for the store's vacuum
-        if (retainVersions > 0) {
-          graft.operators.StoreSwap.pruneManifestLinks(
-            graft.operators.StoreSwap.fsOf(batch.sparkSession, storePath),
-            storePath, retainVersions)
-          ()
-        }
+        // shared retention helper — data files stay for the store's
+        // vacuum verb
+        ArtifactStreams.retainLinks(batch.sparkSession, storePath,
+          retainVersions)
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer)
       .start()

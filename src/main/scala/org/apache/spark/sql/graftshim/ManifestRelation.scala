@@ -130,21 +130,38 @@ object ManifestRelation {
       val vs = values(i).filterNot(_ == "__HIVE_DEFAULT_PARTITION__")
       def all(p: String => Boolean) =
         vs.forall(v => scala.util.Try(p(v)).getOrElse(false))
+      // values Spark's ladder would type EXACTLY but this index cannot
+      // represent losslessly are REFUSED, never silently retyped:
+      // integral-beyond-long → DecimalType(p,0) in Spark (a double here
+      // would corrupt the value and equality predicates would miss
+      // rows); timestamps → session-zone parsing not reproduced here
+      def refuse(kind: String, sparkType: String): Nothing =
+        throw new IllegalArgumentException(
+          s"ManifestRelation: partition column '$name' under $basePath " +
+            s"carries $kind values (e.g. '${vs.head}') — Spark's " +
+            s"directory inference would type it $sparkType, which this " +
+            "manifest index does not reproduce; rewrite the layout or " +
+            "read it with spark.read.parquet")
       val dt =
         if (vs.isEmpty) StringType
         else if (all(v => { v.toInt; true })) IntegerType
         else if (all(v => { v.toLong; true })) LongType
+        else if (all(_.matches("-?\\d+")))
+          refuse("integral-beyond-long", "DecimalType")
         else if (all(v => { v.toDouble; true })) DoubleType
-        else if (all(v => { java.time.LocalDate.parse(v); true })) DateType
+        // same parser as Spark's DateType rung (stringToDate), used
+        // identically in partRow — lenient forms like 2024-1-1
+        // included. stringToDate also accepts date+time strings by
+        // TRUNCATION ("2024-01-01 00:30:00" → the date), so values
+        // with a time component are excluded here and fall through to
+        // the timestamp refusal below
+        else if (all(v => !v.contains(' ') && !v.contains('T') &&
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .stringToDate(UTF8String.fromString(v)).isDefined)) DateType
         else {
-          require(!all(v =>
-            { java.time.LocalDateTime.parse(v.replace(' ', 'T')); true }),
-            s"ManifestRelation: partition column '$name' under $basePath " +
-              s"carries timestamp values (e.g. '${vs.head}') — Spark's " +
-              "directory inference would type it TimestampType with " +
-              "session-zone parsing this manifest index does not " +
-              "reproduce; rewrite the layout with a date or string " +
-              "partition value, or read it with spark.read.parquet")
+          if (all(v =>
+            { java.time.LocalDateTime.parse(v.replace(' ', 'T')); true }))
+            refuse("timestamp", "TimestampType")
           StringType
         }
       StructField(name, dt, nullable = true)
@@ -161,7 +178,10 @@ object ManifestRelation {
         case LongType    => v.toLong
         case DoubleType  => v.toDouble
         // Catalyst dates are days since epoch, same parser as inference
-        case DateType    => java.time.LocalDate.parse(v).toEpochDay.toInt
+        case DateType    => org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToDate(UTF8String.fromString(v)).getOrElse(
+            throw new IllegalArgumentException(
+              s"ManifestRelation: unparseable date partition value '$v'"))
         case _           => UTF8String.fromString(v)
       }
     }.toSeq)
