@@ -1406,12 +1406,20 @@ object Dedup {
     var prevSum = checksum(labels)
     var iter = 0
     var converged = false
+    // shuffle_hash on the node-sized side (r18, guide §3.1): the
+    // checkpointed frames have unknown stats, so the planner fell back to
+    // SortMergeJoin — which re-SORTS the (big, static) edge frame every
+    // round. A shuffled-hash join streams the pre-partitioned edges
+    // unsorted and builds only the per-partition label map; the rounds'
+    // dominant sort disappears. Build side is node-sized / partitions —
+    // exactly what AQE-sized partitions keep bounded at scale.
     def propagate(ls: DataFrame): DataFrame = {
       val neighborMin = edges
-        .join(ls.select(col("doc").as("src"), col("comp")), Seq("src"))
+        .join(ls.select(col("doc").as("src"), col("comp")).hint("shuffle_hash"),
+          Seq("src"))
         .groupBy(col("dst")).agg(min(col("comp")).as("ncomp"))
         .select(col("dst").as("doc"), col("ncomp"))
-      ls.join(neighborMin, Seq("doc"), "left")
+      ls.join(neighborMin.hint("shuffle_hash"), Seq("doc"), "left")
         .select(col("doc"),
           least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
     }
@@ -1432,7 +1440,9 @@ object Dedup {
   private def joinLabels(docs: DataFrame, idCol: String,
                          labels: DataFrame): DataFrame =
     docs.select(col(idCol).cast("long").as("doc"))
-      .join(labels, Seq("doc"), "left")
+      // shuffle_hash (r18): labels are the edge-endpoint subset — build
+      // them per partition instead of sorting the whole corpus for a SMJ
+      .join(labels.hint("shuffle_hash"), Seq("doc"), "left")
       .select(col("doc"), coalesce(col("comp"), col("doc")).as("component"))
 
   /** Connected components by alternating large-star / small-star
@@ -1470,7 +1480,8 @@ object Dedup {
     val links = starContract(edges, ckpt, maxIters)
     // fixpoint edges are (child, root) with root = component min
     docs.select(col(idCol).cast("long").as("doc"))
-      .join(links.select(col("u").as("doc"), col("v").as("component")),
+      .join(links.select(col("u").as("doc"), col("v").as("component"))
+        .hint("shuffle_hash"),
         Seq("doc"), "left")
       .select(col("doc"),
         coalesce(col("component"), col("doc")).as("component"))
@@ -1498,7 +1509,10 @@ object Dedup {
         .unionByName(e.select(col("v").as("u"), col("u").as("v")))
       val m = dir.groupBy(col("u"))
         .agg(least(min(col("v")), first(col("u"))).as("m"))
-      dir.join(m, Seq("u"))
+      // shuffle_hash on the node-sized min table (r18, guide §3.1): the
+      // planner's stat-less default was SMJ, which sorts the 2|E|-row dir
+      // frame every round; hash-building m streams dir unsorted
+      dir.join(m.hint("shuffle_hash"), Seq("u"))
         .where(col("v") > col("u"))                 // strictly larger re-attach
         .select(col("v").as("u"), col("m").as("v")) // new edge (v, m), v > m
         .where(col("u") =!= col("v"))
@@ -1507,7 +1521,7 @@ object Dedup {
     def smallStar(e: DataFrame): DataFrame = {
       // orient every edge toward the larger endpoint: u > v always holds
       val m = e.groupBy(col("u")).agg(min(col("v")).as("m"))
-      val re = e.join(m, Seq("u"))
+      val re = e.join(m.hint("shuffle_hash"), Seq("u"))
         .where(col("v") =!= col("m"))
         .select(col("v").as("u"), col("m").as("v")) // smaller sibs -> min
       val self = m.select(col("u"), col("m").as("v")) // u stays on its min
@@ -1577,9 +1591,10 @@ object Dedup {
       // doc → partial label → star root of that label (labels whose
       // cluster was already fully contracted stay their own root)
       docs.select(col(idCol).cast("long").as("doc"))
-        .join(labels, Seq("doc"), "left")
+        .join(labels.hint("shuffle_hash"), Seq("doc"), "left")
         .select(col("doc"), coalesce(col("comp"), col("doc")).as("__lab"))
-        .join(roots.select(col("u").as("__lab"), col("v").as("__root")),
+        .join(roots.select(col("u").as("__lab"), col("v").as("__root"))
+          .hint("shuffle_hash"),
           Seq("__lab"), "left")
         .select(col("doc"),
           coalesce(col("__root"), col("__lab")).as("component"))
@@ -1675,9 +1690,10 @@ object Dedup {
     val pairs = pairsOf(leaderNodes).select(col("d1"), col("d2"))
     val labels = componentsAuto(leaderNodes.select(col(idCol)), idCol, pairs)
     base.select(col("doc"))
-      .join(docLeader, Seq("doc"), "left")
+      .join(docLeader.hint("shuffle_hash"), Seq("doc"), "left")
       .join(labels.select(col("doc").as("__leader"),
-        col("component").as("__c")), Seq("__leader"), "left")
+        col("component").as("__c")).hint("shuffle_hash"),
+        Seq("__leader"), "left")
       .select(col("doc"), coalesce(col("__c"), col("doc")).as("component"))
   }
 
@@ -1758,9 +1774,10 @@ object Dedup {
       }
     val labeled = docs
       .select(col(idCol).cast("long").as("doc"), col(qualityCol))
-      .join(docLeader, Seq("doc"), "left")
+      .join(docLeader.hint("shuffle_hash"), Seq("doc"), "left")
       .join(labels.select(col("doc").as("__leader"),
-        col("component").as("__comp")), Seq("__leader"), "left")
+        col("component").as("__comp")).hint("shuffle_hash"),
+        Seq("__leader"), "left")
       .select(col("doc"), col(qualityCol),
         coalesce(col("__comp"), col("doc")).as("component"))
     val byComp = org.apache.spark.sql.expressions.Window

@@ -65,18 +65,27 @@ object LinkGraph {
     // 22.1 → 7.3 s, 3.0× — [[graft.PrAb]]; the edge re-shuffle per
     // round was the dominant cost, not the extra join)
     val ed = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), Seq("src"))
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+        .hint("shuffle_hash"), Seq("src"))
       .repartition(col("src"))
       .localCheckpoint()
     val baseMicro = (100L - dampingPct) * 10000L
     var rank = nodes.select(col("node"), lit(1000000L).as("__rm"))
+    // shuffle_hash on the node-sized side of both per-round joins (r18,
+    // guide §3.1): the checkpointed frames carry no stats, so the planner
+    // defaulted to SortMergeJoin — sorting the static edge frame and the
+    // node frame every round. Hash-building the rank/contrib side streams
+    // the pre-partitioned edges (and nodes) unsorted; build side is
+    // |nodes|/partitions, the quantity AQE-sized partitions bound at scale.
     for (_ <- 1 to iters) {
       val contrib = ed
-        .join(rank.select(col("node").as("src"), col("__rm")), Seq("src"))
+        .join(rank.select(col("node").as("src"), col("__rm"))
+          .hint("shuffle_hash"), Seq("src"))
         .select(col("dst"), expr("__rm DIV __deg").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
       rank = nodes
-        .join(contrib.select(col("dst").as("node"), col("__s")),
+        .join(contrib.select(col("dst").as("node"), col("__s"))
+          .hint("shuffle_hash"),
           Seq("node"), "left")
         .select(col("node"),
           (lit(baseMicro) +
@@ -174,7 +183,8 @@ object LinkGraph {
       .localCheckpoint()
     for (_ <- 1 to maxHops) {
       val relaxed = e
-        .join(dist.select(col("node").as("src"), col("dist")), Seq("src"))
+        .join(dist.select(col("node").as("src"), col("dist"))
+          .hint("shuffle_hash"), Seq("src"))
         .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
       dist = dist.unionAll(relaxed)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
@@ -224,20 +234,24 @@ object LinkGraph {
       .localCheckpoint()
     // degree folded into the edge frame once — [[pageRank]]'s shape
     val ed = e
-      .join(e.groupBy(col("src")).agg(count(lit(1)).as("__deg")), Seq("src"))
+      .join(e.groupBy(col("src")).agg(count(lit(1)).as("__deg"))
+        .hint("shuffle_hash"), Seq("src"))
       .repartition(col("src"))
       .localCheckpoint()
     val isSeed = col("node").isin(seeds: _*)
     val baseMicro = (100L - dampingPct) * 10000L
     var rank = nodes.select(col("node"),
       when(isSeed, lit(1000000L)).otherwise(lit(0L)).as("__rm"))
+    // shuffle_hash on the node-sized sides — [[pageRank]]'s r18 rationale
     for (_ <- 1 to iters) {
       val contrib = ed
-        .join(rank.select(col("node").as("src"), col("__rm")), Seq("src"))
+        .join(rank.select(col("node").as("src"), col("__rm"))
+          .hint("shuffle_hash"), Seq("src"))
         .select(col("dst"), expr("__rm DIV __deg").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
       rank = nodes
-        .join(contrib.select(col("dst").as("node"), col("__s")),
+        .join(contrib.select(col("dst").as("node"), col("__s"))
+          .hint("shuffle_hash"),
           Seq("node"), "left")
         .select(col("node"),
           (when(isSeed, lit(baseMicro)).otherwise(lit(0L)) +
@@ -298,7 +312,7 @@ object LinkGraph {
     def rescaled(raw: DataFrame, valCol: String): DataFrame = {
       val mx = raw.agg(max(col(valCol))).collect()(0).getLong(0)
       val denom = math.max(1L, (mx + 999999L) / 1000000L)
-      nodes.join(raw.withColumnRenamed(valCol, "__raw"),
+      nodes.join(raw.withColumnRenamed(valCol, "__raw").hint("shuffle_hash"),
           Seq("node"), "left")
         .select(col("node"),
           expr(s"coalesce(__raw, 0L) DIV $denom").as(valCol))
@@ -308,15 +322,17 @@ object LinkGraph {
     var auth: DataFrame = null
     for (_ <- 1 to iters) {
       auth = rescaled(
-        eSrc.join(hub.select(col("node").as("src"), col("__hm")), Seq("src"))
+        eSrc.join(hub.select(col("node").as("src"), col("__hm"))
+            .hint("shuffle_hash"), Seq("src"))
           .groupBy(col("dst")).agg(sum(col("__hm")).as("__am"))
           .withColumnRenamed("dst", "node"), "__am")
       hub = rescaled(
-        eDst.join(auth.select(col("node").as("dst"), col("__am")), Seq("dst"))
+        eDst.join(auth.select(col("node").as("dst"), col("__am"))
+            .hint("shuffle_hash"), Seq("dst"))
           .groupBy(col("src")).agg(sum(col("__am")).as("__hm"))
           .withColumnRenamed("src", "node"), "__hm")
     }
-    hub.join(auth, Seq("node"))
+    hub.join(auth.hint("shuffle_hash"), Seq("node"))
       .select(col("node"),
         col("__hm").cast("double").divide(lit(1000000.0)).as("hub"),
         col("__am").cast("double").divide(lit(1000000.0))
@@ -365,7 +381,8 @@ object LinkGraph {
     var lab = nodes.select(col("node"), col("node").as("label"))
     for (_ <- 1 to iters) {
       lab = adj
-        .join(lab.select(col("node").as("nbr"), col("label")), Seq("nbr"))
+        .join(lab.select(col("node").as("nbr"), col("label"))
+          .hint("shuffle_hash"), Seq("nbr"))
         .select(col("node"), col("label"))
         .groupBy(col("node"), col("label"))
         .agg(count(lit(1)).as("__c"))
@@ -474,7 +491,10 @@ object LinkGraph {
     // neighbor lists keyed by the wedge CENTER, center degree bounded
     val nbr = e.select(col("u").as("c"), col("v").as("n"))
       .unionAll(e.select(col("v").as("c"), col("u").as("n")))
-      .join(deg.select(col("node").as("c"), col("degree")), Seq("c"))
+      // shuffle_hash (r18): hash-build the node-sized degree table instead
+      // of sorting the 2|E| adjacency for a stat-less SortMergeJoin
+      .join(deg.select(col("node").as("c"), col("degree"))
+        .hint("shuffle_hash"), Seq("c"))
       .where(col("degree") <= maxDeg)
       .select(col("c"), col("n"),
         expr("1000000 DIV degree").as("__ra"))
@@ -547,8 +567,12 @@ object LinkGraph {
         .localCheckpoint()
     } else {
       val alive = deg.where(col("degree") >= k).select(col("node"))
-      e.join(alive.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(alive.select(col("node").as("v")), Seq("v"), "left_semi")
+      // shuffle_hash (r18): build the node-sized alive set per partition
+      // instead of sorting the edge frame twice per peel round
+      e.join(alive.select(col("node").as("u")).hint("shuffle_hash"),
+          Seq("u"), "left_semi")
+        .join(alive.select(col("node").as("v")).hint("shuffle_hash"),
+          Seq("v"), "left_semi")
         .select(col("u"), col("v"))
         .repartition(col("u"))
         .localCheckpoint()
