@@ -99,11 +99,29 @@ object Dedup {
     val b = tok.select(col("doc").as("d2"), col("hv"))
     val inter = a.join(b, Seq("hv")).where(col("d1") < col("d2"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
+    joinSizes(inter, sz, threshold)
+  }
+
+  /** Attach per-doc posting sizes to a (d1, d2, inter) frame and emit the
+    * pairs at/above `threshold` — shared tail of [[jaccardPairs]],
+    * [[verifyJaccard]] and [[sortedNeighborhoodPairs]] (r18 dedup of three
+    * copies). The size aggregate is NOT materialized and MAY evaluate once
+    * per side: measured at 10M postings / 5M pairs (graft.SzAb,
+    * interleaved medians over 5 rounds) the double aggregate over the
+    * checkpointed posting RDD is free (renames-inside 0.558 s vs
+    * alias-outside 0.554 s) while localCheckpointing sz LOSES (0.625 s —
+    * the eager barrier costs more than the in-memory re-aggregation ever
+    * saves, at any measured scale). */
+  private def joinSizes(inter: DataFrame, sz: DataFrame,
+                        threshold: Double): DataFrame = {
+    val s1 = sz.alias("s1")
+    val s2 = sz.alias("s2")
     inter
-      .join(sz.select(col("doc").as("d1"), col("n").as("n1")), Seq("d1"))
-      .join(sz.select(col("doc").as("d2"), col("n").as("n2")), Seq("d2"))
+      .join(s1, col("d1") === col("s1.doc"))
+      .join(s2, col("d2") === col("s2.doc"))
       .withColumn("jaccard",
-        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+        col("inter").cast("double") /
+          (col("s1.n") + col("s2.n") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
   }
@@ -873,13 +891,7 @@ object Dedup {
       .join(tok.select(col("doc").as("d1"), col("hv")), Seq("d1"))
       .join(tok.select(col("doc").as("d2"), col("hv")), Seq("d2", "hv"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("doc").as("d1"), col("n").as("n1")), Seq("d1"))
-      .join(sz.select(col("doc").as("d2"), col("n").as("n2")), Seq("d2"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+    joinSizes(inter, sz, threshold)
   }
 
   /** How many LSH candidates per document the clustering path verifies
@@ -1916,12 +1928,6 @@ object Dedup {
       .join(tok.select(col("doc").as("d1"), col("hv")), Seq("d1"))
       .join(tok.select(col("doc").as("d2"), col("hv")), Seq("d2", "hv"))
       .groupBy(col("d1"), col("d2")).agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("doc").as("d1"), col("n").as("n1")), Seq("d1"))
-      .join(sz.select(col("doc").as("d2"), col("n").as("n2")), Seq("d2"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
-      .where(col("jaccard") >= threshold)
-      .select(col("d1"), col("d2"), round(col("jaccard"), 6).as("jaccard"))
+    joinSizes(inter, sz, threshold)
   }
 }

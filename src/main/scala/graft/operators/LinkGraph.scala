@@ -32,6 +32,15 @@ import org.apache.spark.sql.functions._
   * would double-count contributions). */
 object LinkGraph {
 
+  /** Fixed-iteration loops (pageRank/personalizedPageRank/
+    * labelPropagation) chain rounds LAZILY and only localCheckpoint
+    * every CkptEvery-th round (r18): no driver decision happens inside
+    * those loops and each round's frame has exactly one consumer, so
+    * the per-round eager materialization was pure barrier cost; the
+    * periodic checkpoint keeps lineage/plan depth bounded for the loud
+    * 50-iteration cap. */
+  val CkptEvery: Int = 8
+
   /** @param edges any frame with `srcCol`/`dstCol` (cast to string);
     *              null endpoints drop, duplicates collapse
     * @param iters fixed iteration count (bounded loudly — authority
@@ -77,13 +86,24 @@ object LinkGraph {
     // node frame every round. Hash-building the rank/contrib side streams
     // the pre-partitioned edges (and nodes) unsorted; build side is
     // |nodes|/partitions, the quantity AQE-sized partitions bound at scale.
-    for (_ <- 1 to iters) {
+    //
+    // Periodic (not per-round) checkpoint (r18): this loop makes NO
+    // driver decision, and rank_{i-1} has exactly ONE consumer in
+    // rank_i's plan — so rounds chain LAZILY without recompute and the
+    // per-round materialization barrier (an eager driver job each
+    // iteration) collapses into one job per CkptEvery rounds. The
+    // checkpoint every 8th round still bounds lineage/plan depth for
+    // iters up to the loud cap of 50. hopDistance cannot do this (dist
+    // feeds BOTH union sides — lazy chaining would recompute 2^k times);
+    // HITS cannot (per-half-step driver max); components cannot (per-2-hop
+    // driver checksum decides convergence).
+    for (i <- 1 to iters) {
       val contrib = ed
         .join(rank.select(col("node").as("src"), col("__rm"))
           .hint("shuffle_hash"), Seq("src"))
         .select(col("dst"), expr("__rm DIV __deg").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
-      rank = nodes
+      val next = nodes
         .join(contrib.select(col("dst").as("node"), col("__s"))
           .hint("shuffle_hash"),
           Seq("node"), "left")
@@ -91,7 +111,8 @@ object LinkGraph {
           (lit(baseMicro) +
             expr(s"($dampingPct * coalesce(__s, 0L)) DIV 100"))
             .as("__rm"))
-        .localCheckpoint()
+      rank = if (i % CkptEvery == 0 && i < iters) next.localCheckpoint()
+             else next
     }
     rank.select(col("node"),
       col("__rm").cast("double").divide(lit(1000000.0)).as("rank"))
@@ -242,14 +263,14 @@ object LinkGraph {
     val baseMicro = (100L - dampingPct) * 10000L
     var rank = nodes.select(col("node"),
       when(isSeed, lit(1000000L)).otherwise(lit(0L)).as("__rm"))
-    // shuffle_hash on the node-sized sides — [[pageRank]]'s r18 rationale
-    for (_ <- 1 to iters) {
+    // shuffle_hash + periodic checkpoint — [[pageRank]]'s r18 rationale
+    for (i <- 1 to iters) {
       val contrib = ed
         .join(rank.select(col("node").as("src"), col("__rm"))
           .hint("shuffle_hash"), Seq("src"))
         .select(col("dst"), expr("__rm DIV __deg").as("__c"))
         .groupBy(col("dst")).agg(sum(col("__c")).as("__s"))
-      rank = nodes
+      val next = nodes
         .join(contrib.select(col("dst").as("node"), col("__s"))
           .hint("shuffle_hash"),
           Seq("node"), "left")
@@ -257,7 +278,8 @@ object LinkGraph {
           (when(isSeed, lit(baseMicro)).otherwise(lit(0L)) +
             expr(s"($dampingPct * coalesce(__s, 0L)) DIV 100"))
             .as("__rm"))
-        .localCheckpoint()
+      rank = if (i % CkptEvery == 0 && i < iters) next.localCheckpoint()
+             else next
     }
     rank.select(col("node"),
       col("__rm").cast("double").divide(lit(1000000.0)).as("rank"))
@@ -379,8 +401,10 @@ object LinkGraph {
       .localCheckpoint()
     val nodes = adj.select(col("node")).distinct().localCheckpoint()
     var lab = nodes.select(col("node"), col("node").as("label"))
-    for (_ <- 1 to iters) {
-      lab = adj
+    // lazy round chaining + periodic checkpoint — [[pageRank]]'s r18
+    // rationale (fixed iters, single consumer per round)
+    for (i <- 1 to iters) {
+      val next = adj
         .join(lab.select(col("node").as("nbr"), col("label"))
           .hint("shuffle_hash"), Seq("nbr"))
         .select(col("node"), col("label"))
@@ -390,7 +414,8 @@ object LinkGraph {
         .agg(min(struct((-col("__c")).as("nc"), col("label").as("l")))
           .as("__b"))
         .select(col("node"), col("__b").getField("l").as("label"))
-        .localCheckpoint()
+      lab = if (i % CkptEvery == 0 && i < iters) next.localCheckpoint()
+            else next
     }
     lab.select(col("node"), col("label").as("community"))
   }
@@ -624,8 +649,12 @@ object LinkGraph {
     def lt(d1: Column, n1: Column, d2: Column, n2: Column): Column =
       d1 < d2 || (d1 === d2 && n1 < n2)
     val withDeg = und
-      .join(deg.select(col("node").as("u"), col("d").as("du")), Seq("u"))
-      .join(deg.select(col("node").as("v"), col("d").as("dv")), Seq("v"))
+      // shuffle_hash (r18): hash-build the node-sized degree table twice
+      // instead of sorting the edge frame twice (stat-less SMJ default)
+      .join(deg.select(col("node").as("u"), col("d").as("du"))
+        .hint("shuffle_hash"), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("d").as("dv"))
+        .hint("shuffle_hash"), Seq("v"))
     val oriented = withDeg.select(
       when(lt(col("du"), col("u"), col("dv"), col("v")), col("u"))
         .otherwise(col("v")).as("a"),
