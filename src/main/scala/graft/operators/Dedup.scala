@@ -1373,13 +1373,20 @@ object Dedup {
     joinLabels(docs, idCol, labels)
   }
 
+  /** Per-round checkpoint flavor. The local path is LAZY (r18): every
+    * loop that uses it runs a driver checksum/count action immediately
+    * after checkpointing, so the lazy flavor caches DURING that action
+    * instead of paying a separate materialization job per round — the
+    * convergence decision and the checkpoint share one job (2 driver
+    * jobs/round → 1). The reliable-dir path stays eager (fault-tolerance
+    * callers expect the files to exist when the verb returns). */
   private def ckptFn(pairs: DataFrame,
                      checkpointDir: Option[String]): DataFrame => DataFrame =
     checkpointDir match {
       case Some(dir) =>
         pairs.sparkSession.sparkContext.setCheckpointDir(dir)
         df => df.checkpoint()
-      case None => df => df.localCheckpoint()
+      case None => df => df.localCheckpoint(false)
     }
 
   /** Both-orientation edge frame, hash-partitioned on src ONCE before the

@@ -331,14 +331,22 @@ object LinkGraph {
     // never the edge list
     val eSrc = e.repartition(col("src")).localCheckpoint()
     val eDst = e.repartition(col("dst")).localCheckpoint()
-    def rescaled(raw: DataFrame, valCol: String): DataFrame = {
+    def rescaled(raw0: DataFrame, valCol: String): DataFrame = {
+      // lazy-checkpoint the half-step aggregate BEFORE the max collect
+      // (r18): `raw` has two consumers — the max and the rescale join —
+      // and un-materialized it RAN TWICE per half-step (the edge⋈score
+      // join and its aggregate, re-derived for each consumer). The lazy
+      // flavor caches during the max job itself, so the fix costs zero
+      // extra driver jobs: max reads as it materializes, the join reads
+      // the cached blocks.
+      val raw = raw0.localCheckpoint(false)
       val mx = raw.agg(max(col(valCol))).collect()(0).getLong(0)
       val denom = math.max(1L, (mx + 999999L) / 1000000L)
       nodes.join(raw.withColumnRenamed(valCol, "__raw").hint("shuffle_hash"),
           Seq("node"), "left")
         .select(col("node"),
           expr(s"coalesce(__raw, 0L) DIV $denom").as(valCol))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     var hub = nodes.select(col("node"), lit(1000000L).as("__hm"))
     var auth: DataFrame = null
